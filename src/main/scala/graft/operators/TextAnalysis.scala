@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/** Text-analysis operators for training-data pipelines (builder brief):
+  * language ID, quality scoring, token counting, fingerprinting. All are
+  * pure column expressions — fully codegen'd, no UDFs, no shuffles beyond
+  * whatever aggregation the caller adds.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists for the n-gram/stopword heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"),
+    "es" -> Seq("el", "la", "los", "de", "y", "un", "una", "es", "que", "por"),
+    "zh" -> Seq("de", "shi", "le", "bu", "wo", "ni", "ta", "men", "zai", "you"))
+
+  /** Fraction of tokens found in `words` (deterministic double division). */
+  def stopwordRatio(tokens: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(tokens, t => array_contains(set, t))).cast("double") /
+      greatest(size(tokens), lit(1)).cast("double")
+  }
+
+  /** Heuristic language ID: the language whose stopword list matches the
+    * largest token fraction; "und" (undetermined) if nothing beats `floor`.
+    */
+  def languageId(text: Column, floor: Double = 0.02): Column = {
+    val toks = tokenize(text)
+    // build struct array (score, lang), take max — deterministic tiebreak by lang desc then flipped
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(stopwordRatio(toks, words).as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") >= floor, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  def tokenCount(text: Column): Column = size(tokenize(text))
+
+  /** BPE-ish subword count estimate: words + long words counted extra
+    * (a whitespace+regex stand-in for a real tokenizer, as briefed).
+    */
+  def subwordCountEstimate(text: Column): Column = {
+    val toks = tokenize(text)
+    size(toks) + size(filter(toks, t => length(t) > 6))
+  }
+
+  /** Quality features: length, token stats, punctuation/digit/upper ratios,
+    * stopword ratio, repetition (1 - distinct/total tokens).
+    */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokenize(t)
+    val nTok = greatest(size(toks), lit(1)).cast("double")
+    df.withColumn("n_chars_q", length(t))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("mean_token_len",
+        aggregate(toks, lit(0L), (a, x) => a + length(x)).cast("double") / nTok)
+      .withColumn("punct_ratio",
+        (length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))).cast("double") /
+          greatest(length(t), lit(1)).cast("double"))
+      .withColumn("digit_ratio",
+        (length(t) - length(regexp_replace(t, "[0-9]", ""))).cast("double") /
+          greatest(length(t), lit(1)).cast("double"))
+      .withColumn("stopword_ratio", stopwordRatio(toks, stopwords("en")))
+      .withColumn("repetition_ratio",
+        lit(1.0) - size(array_distinct(toks)).cast("double") / nTok)
+  }
+
+  /** Composite [0,1] quality score from the features (simple monotone mix). */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame =
+    qualityFeatures(df, textCol).withColumn("quality_score",
+      least(lit(1.0), greatest(lit(0.0),
+        lit(0.3) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)) +
+          lit(0.3) * (lit(1.0) - col("repetition_ratio")) +
+          lit(0.2) * least(col("stopword_ratio") * 5.0, lit(1.0)) +
+          lit(0.2) * (lit(1.0) - col("punct_ratio")))))
+
+  /** Winnowing-style rolling-hash fingerprint (see TextFingerprint). */
+  def fingerprint(text: Column, window: Int = 8): Column =
+    call_function("fingerprint", text, lit(window))
+}
