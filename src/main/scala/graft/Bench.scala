@@ -1,5 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+import graft.queries.Queries
+
+/** Benchmark main (driver contract): runs the headline query set on
+  * SPARK_GRAFT_SF_DIR, prints ONE JSON line with per-query warm seconds.
+  * Each query runs twice; the second (warm: parquet footers + JIT + code
+  * cache hot) is reported, matching BASELINE.md's warm-run protocol.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,17 +15,24 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val headline = Queries.all.filter(_.bench)
+    def once(q: graft.queries.QueryDef): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { q.fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val results = headline.map { q =>
+      once(q) // warm-up: parquet footer cache, codegen, JIT
+      q.name -> once(q)
+    }
+    val qs = results.map { case (k, t) => "\"" + k + "\":" + t }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -20,8 +20,20 @@ import graft.functions.GraftFunctions
 final class GraftSession(val spark: SparkSession) {
   GraftFunctions.register(spark)
 
-  /** Raw SQL entry point (ClickHouse-alias dialect accepted). */
-  def sql(query: String): DataFrame = spark.sql(query)
+  /** Raw SQL entry point (ClickHouse-alias dialect accepted).
+    *
+    * One textual rewrite is required before parsing: Spark's parser owns
+    * DATEDIFF/DATE_DIFF/TIMESTAMPDIFF(unit, …) at the grammar level and
+    * rejects ClickHouse's quoted-unit form, so dateDiff('day', a, b) is
+    * rewritten onto the registry-resolved dateDiffCH (boundary-crossing
+    * semantics, GraftFunctions). Everything else is plain function aliasing.
+    */
+  def sql(query: String): DataFrame = spark.sql(rewriteDialect(query))
+
+  private val dateDiffQuotedUnit =
+    "(?i)\\b(?:datediff|date_diff|timestampdiff)\\s*\\(\\s*(')".r
+  private def rewriteDialect(q: String): String =
+    dateDiffQuotedUnit.replaceAllIn(q, m => "dateDiffCH($1")
 
   /** Register a parquet file/directory as a named SQL table — the analog of
     * `file(path, 'Parquet')` (reference table_functions.py:123).

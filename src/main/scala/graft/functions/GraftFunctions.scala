@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.functions._
@@ -130,19 +131,39 @@ object GraftFunctions {
     alias("subtractYears")(cs => add_months(cs.head, -cs(1) * lit(12)))
     alias("subtractMonths")(cs => add_months(cs.head, -cs(1)))
     alias("subtractDays")(cs => date_sub(cs.head, cs(1).cast("int")))
-    // dateDiff('unit', a, b) — ClickHouse arg order (b - a in units)
-    alias("dateDiff") { cs =>
-      val secs = unix_timestamp(cs(2)) - unix_timestamp(cs(1))
+    // date_diff('unit', a, b) — ClickHouse arg order (b - a in units).
+    // ClickHouse (and DuckDB's date_diff) count unit-BOUNDARY CROSSINGS, not
+    // floor(elapsed/unit): date_diff('day','…23:59','…+1d 00:01') = 1. So both
+    // sides are truncated to the unit before differencing (ADVICE r1).
+    // Registered as `date_diff` AND `dateDiffCH`. Spark's SQL *parser*
+    // intercepts DATEDIFF/DATE_DIFF/TIMESTAMPDIFF(unit, a, b) before function
+    // resolution (AstBuilder.visitTimestampdiff) and rejects quoted units, so
+    // the ClickHouse spelling dateDiff('day', a, b) can never reach the
+    // registry from SQL text — GraftSession.sql rewrites it to dateDiffCH.
+    // The 2-arg form keeps Spark's native end-minus-start day count.
+    alias("date_diff") { cs =>
+      if (cs.size == 2) datediff(cs.head, cs(1))
+      else {
       val unit = lower(cs.head)
-      when(unit === "day", floor(secs / 86400))
-        .when(unit === "hour", floor(secs / 3600))
-        .when(unit === "minute", floor(secs / 60))
-        .when(unit === "second", secs)
-        .when(unit === "week", floor(secs / 604800))
-        .when(unit === "month", (year(cs(2)) - year(cs(1))) * 12 + (month(cs(2)) - month(cs(1))))
-        .when(unit === "year", year(cs(2)) - year(cs(1)))
+      def truncSecs(u: String, divisor: Long): Column =
+        ((unix_timestamp(date_trunc(u, cs(2))) -
+          unix_timestamp(date_trunc(u, cs(1)))) / divisor).cast("long")
+      when(unit === "day", datediff(cs(2).cast("date"), cs(1).cast("date")).cast("long"))
+        .when(unit === "week",
+          (datediff(date_trunc("week", cs(2)).cast("date"),
+            date_trunc("week", cs(1)).cast("date")) / 7).cast("long"))
+        .when(unit === "hour", truncSecs("hour", 3600L))
+        .when(unit === "minute", truncSecs("minute", 60L))
+        .when(unit === "second", truncSecs("second", 1L))
+        .when(unit === "month",
+          ((year(cs(2)) - year(cs(1))) * 12 + (month(cs(2)) - month(cs(1)))).cast("long"))
+        .when(unit === "quarter",
+          ((year(cs(2)) - year(cs(1))) * 4 + (quarter(cs(2)) - quarter(cs(1)))).cast("long"))
+        .when(unit === "year", (year(cs(2)) - year(cs(1))).cast("long"))
         .otherwise(lit(null))
+      }
     }
+    alias("dateDiffCH")(cs => call_function("date_diff", cs: _*))
     alias("dateName")(cs => date_format(cs(1), "MMMM"))
     alias("formatDateTime")(cs => call_function("date_format", cs.head, cs(1)))
     alias("toDateOrNull")(cs => call_function("try_to_timestamp", cs.head).cast("date"))
@@ -157,8 +178,11 @@ object GraftFunctions {
     alias("upperUTF8")(cs => upper(cs.head))
     alias("substringUTF8")(cs => substring(cs.head, cs(1), cs(2)))
     alias("mid")(cs => substring(cs.head, cs(1), cs(2)))
-    // ClickHouse position(haystack, needle [,start]) — 1-based, 0 if absent
-    alias("position")(cs =>
+    // ClickHouse position(haystack, needle [,start]) — 1-based, 0 if absent.
+    // NOT registered as `position`: Spark's builtin position(substr, str) has
+    // the opposite arg order and overriding it would silently flip results
+    // for plain Spark SQL (ADVICE r1). CH arg order lives under positionUTF8.
+    alias("positionUTF8")(cs =>
       if (cs.size >= 3) locate_col(cs(1), cs.head, cs(2)) else locate_col(cs(1), cs.head, lit(1)))
     alias("positionCaseInsensitive")(cs => locate_col(lower(cs(1)), lower(cs.head), lit(1)))
     alias("match")(cs => cs.head.rlike_col(cs(1)))
@@ -179,8 +203,11 @@ object GraftFunctions {
     alias("concatWithSeparator")(cs => concat_ws_cols(cs.head, cs.tail))
     alias("tokens")(cs => tokenize(cs.head))
     alias("ngrams")(cs => shinglesDyn(cs.head, cs(1)))
-    same("startsWith", "startswith")
-    same("endsWith", "endswith")
+    // NOTE: CH names that equal a Spark builtin case-insensitively (MD5,
+    // SHA1, xxHash64, startsWith, endsWith, isNaN, sign) are NOT registered:
+    // the registry is case-insensitive, so registering them would replace the
+    // builtin with an alias that calls itself (infinite resolution loop).
+    // The builtins already answer those spellings.
     same("base64Encode", "base64")
     alias("base64Decode")(cs => unbase64(cs.head).cast("string"))
     alias("tryBase64Decode")(cs => unbase64(cs.head).cast("string"))
@@ -207,9 +234,10 @@ object GraftFunctions {
     alias("sqr")(cs => cs.head * cs.head)
     alias("roundBankers")(cs => bround(cs.head, if (cs.size > 1) cs(1) else lit(0)))
     alias("roundToExp2")(cs => pow(lit(2.0), floor(log(cs.head) / log(lit(2.0)))).cast("long"))
-    alias("sign")(cs => signum(cs.head).cast("int"))
-    same("log", "ln") // ClickHouse log = natural log
-    
+    // CH `log` = natural log, but Spark's builtin log(base, x) must keep its
+    // standard semantics (ADVICE r1) — so no `log` override; `ln` is already
+    // the shared spelling in both dialects.
+
     // ---- CONDITIONAL (function_definitions.py:2170-2254) ----
     alias("multiIf") { cs =>
       val pairs = cs.dropRight(1).grouped(2).toSeq
@@ -220,7 +248,6 @@ object GraftFunctions {
     alias("assumeNotNull")(cs => cs.head)
     alias("toTypeName")(cs => call_function("typeof", cs.head))
     alias("isFinite")(cs => !isnan(cs.head) && cs.head =!= Double.PositiveInfinity && cs.head =!= Double.NegativeInfinity)
-    alias("isNaN")(cs => isnan(cs.head))
 
     // ---- TYPE CONVERSION (function_definitions.py:11001-11679) ----
     alias("toInt8")(cs => cs.head.cast("tinyint"))
@@ -242,15 +269,13 @@ object GraftFunctions {
     alias("toFloat64OrZero")(cs => coalesce(cs.head.try_cast("double"), lit(0.0)))
 
     // ---- HASH (function_definitions.py:3053-3113) ----
-    same("MD5", "md5")
+    // (MD5 / SHA1 / xxHash64 == builtins case-insensitively; see note above)
     alias("SHA256")(cs => sha2(cs.head, 256))
     alias("SHA512")(cs => sha2(cs.head, 512))
-    alias("SHA1")(cs => sha1(cs.head))
     alias("cityHash64")(cs => xxhash64(cs: _*))  // stable 64-bit, not CH-bit-compatible
     alias("sipHash64")(cs => xxhash64(cs: _*))
     alias("farmHash64")(cs => xxhash64(cs: _*))
     alias("farmFingerprint64")(cs => xxhash64(cs: _*))
-    same("xxHash64", "xxhash64")
     alias("xxHash32")(cs => hash(cs: _*))
     alias("halfMD5")(cs => xxhash64(cs: _*))
     alias("hiveHash")(cs => hash(cs: _*))
@@ -302,10 +327,17 @@ object GraftFunctions {
     // ---- ARRAY (function_definitions.py:3114-3752) ----
     alias("has")(cs => array_contains_col(cs.head, cs(1)))
     alias("indexOf")(cs => call_function("array_position", cs.head, cs(1)))
-    alias("arrayMap")(cs => call_function("transform", cs(1), cs.head))   // CH arg order (fn, arr)
-    alias("arrayFilter")(cs => call_function("filter", cs(1), cs.head))
-    alias("arrayExists")(cs => call_function("exists", cs(1), cs.head))
-    alias("arrayAll")(cs => call_function("forall", cs(1), cs.head))
+    // CH arg order (lambda, arr). Lambdas can't ride through an
+    // UnresolvedFunction (the analyzer rejects lambda args on non-higher-order
+    // functions), so these build the catalyst HigherOrderFunction directly.
+    reg.createOrReplaceTempFunction("arrayMap",
+      es => catalyst.expressions.ArrayTransform(es(1), es.head), "built-in")
+    reg.createOrReplaceTempFunction("arrayFilter",
+      es => catalyst.expressions.ArrayFilter(es(1), es.head), "built-in")
+    reg.createOrReplaceTempFunction("arrayExists",
+      es => catalyst.expressions.ArrayExists(es(1), es.head), "built-in")
+    reg.createOrReplaceTempFunction("arrayAll",
+      es => catalyst.expressions.ArrayForAll(es(1), es.head), "built-in")
     alias("arrayJoin")(cs => explode(cs.head))
     alias("arrayConcat")(cs => concat(cs: _*))
     alias("arrayDistinct")(cs => array_distinct(cs.head))
@@ -321,18 +353,32 @@ object GraftFunctions {
     alias("arrayMax")(cs => array_max(cs.head))
     alias("arraySum")(cs => aggregate(cs.head, lit(0.0), (a, x) => a + x.cast("double")))
     alias("arrayAvg")(cs => aggregate(cs.head, lit(0.0), (a, x) => a + x.cast("double")) / size(cs.head))
-    alias("arrayCount")(cs =>
-      if (cs.size == 1) size(cs.head) else size(call_function("filter", cs(1), cs.head)))
+    reg.createOrReplaceTempFunction("arrayCount",
+      es =>
+        if (es.size == 1) catalyst.expressions.Size(es.head)
+        else catalyst.expressions.Size(catalyst.expressions.ArrayFilter(es(1), es.head)),
+      "built-in")
     alias("arrayEnumerate")(cs => sequence(lit(1), size(cs.head)))
     alias("arrayReverse")(cs => reverse(cs.head))
     alias("arrayCompact")(cs => array_distinct(cs.head)) // divergence: full dedup
     alias("arrayPushBack")(cs => concat(cs.head, array(cs(1))))
     alias("arrayPushFront")(cs => concat(array(cs(1)), cs.head))
-    alias("arrayPopBack")(cs => slice(cs.head, lit(1), size(cs.head) - 1))
-    alias("arrayPopFront")(cs => slice(cs.head, lit(2), size(cs.head) - 1))
+    // empty-array guards (ADVICE r1): slice with length -1 throws, and
+    // sequence(0,-1) steps backward — clamp lengths / filter instead.
+    alias("arrayPopBack")(cs => slice(cs.head, lit(1), greatest(size(cs.head) - 1, lit(0))))
+    alias("arrayPopFront")(cs => slice(cs.head, lit(2), greatest(size(cs.head) - 1, lit(0))))
     alias("emptyArrayToSingle")(cs => when(size(cs.head) === 0, array(lit(0))).otherwise(cs.head))
+    // CH range(n)/range(start,end): end-exclusive, [] when empty. Spark's
+    // sequence() reverses direction when end < start, so build one element
+    // past the range and filter — keeps codegen, returns [] for n <= 0.
     alias("range")(cs =>
-      if (cs.size == 1) sequence(lit(0), cs.head - 1) else sequence(cs.head, cs(1) - 1))
+      if (cs.size == 1)
+        filter(sequence(lit(0L), greatest(cs.head.cast("long") - 1, lit(0L))),
+          x => x < cs.head.cast("long"))
+      else
+        filter(sequence(cs.head.cast("long"),
+            greatest(cs(1).cast("long") - 1, cs.head.cast("long"))),
+          x => x >= cs.head.cast("long") && x < cs(1).cast("long")))
 
     // ---- MAP / TUPLE ----
     alias("mapKeys")(cs => map_keys(cs.head))
@@ -370,7 +416,10 @@ object GraftFunctions {
     same("uniqTheta", "approx_count_distinct")
     alias("uniqExact")(cs => count_distinct(cs.head, cs.tail: _*))
     alias("uniqUpTo")(cs => least(size(collect_set(cs.head)), cs(1) + 1))
-    alias("any")(cs => call_function("any_value", cs.head))
+    // CH `any` ≈ any_value, but Spark's builtin any = bool_or — overriding it
+    // would corrupt plain Spark SQL (ADVICE r1); CH behavior stays available
+    // as any_value/anyValue.
+    alias("anyValue")(cs => call_function("any_value", cs.head))
     alias("anyLast")(cs => call_function("last", cs.head))
     alias("anyHeavy")(cs => call_function("mode", cs.head))
     alias("argMin")(cs => min_by(cs.head, cs(1)))

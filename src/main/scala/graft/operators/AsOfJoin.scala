@@ -53,15 +53,17 @@ object AsOfJoin {
       tsOut: String,
       forward: Boolean): DataFrame = {
 
-    val leftCols = left.columns.toSeq
+    // left's payload columns (ts itself travels as tsOut, so it is excluded
+    // here — this also makes tsOut == leftTs legal)
+    val leftCols = left.columns.toSeq.filterNot(c => byKeys.contains(c) || c == leftTs)
     // tagged union: side 0 = right (sorts before left on ts ties → exact match wins)
     val rightTagged = right.select(
       (byKeys.map(col) :+ col(rightTs).as(tsOut) :+ lit(0).as("__side")) ++
-        leftCols.filterNot(byKeys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         rightCols.map(c => col(c).as(s"__r_$c")): _*)
     val leftTagged = left.select(
       (byKeys.map(col) :+ col(leftTs).as(tsOut) :+ lit(1).as("__side")) ++
-        leftCols.filterNot(byKeys.contains).map(col) ++
+        leftCols.map(col) ++
         rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
 
     val unioned = rightTagged.unionByName(leftTagged)
@@ -77,7 +79,7 @@ object AsOfJoin {
     filled
       .filter(col("__side") === 1)
       .select((byKeys.map(col) :+ col(tsOut)) ++
-        leftCols.filterNot(k => byKeys.contains(k) || k == leftTs).map(col) ++
+        leftCols.map(col) ++
         rightCols.map(c => col(s"__f_$c").as(c)): _*)
   }
 }

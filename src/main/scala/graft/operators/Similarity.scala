@@ -43,11 +43,19 @@ object Similarity {
     bitExprs.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** (id, v, bucket) — bucket = packed hyperplane signature. */
-  def hyperplaneSignature(df: DataFrame, vecCol: String, idCol: String, bits: Int): DataFrame = {
-    val dims = 64 // embeddings table dimension (TESTDATA.md)
+  /** (id, v, bucket) — bucket = packed hyperplane signature.
+    * `dims` <= 0 probes the dimension from the first non-null row (one tiny
+    * driver-side job) instead of hardcoding it (ADVICE r1) — element_at past
+    * the array end would null every plane and collapse all rows into one
+    * bucket, degrading the LSH join to a quadratic single-bucket self-join.
+    */
+  def hyperplaneSignature(
+      df: DataFrame, vecCol: String, idCol: String, bits: Int, dims: Int = -1): DataFrame = {
+    val d =
+      if (dims > 0) dims
+      else df.select(size(col(vecCol)).as("n")).filter(col("n") > 0).head().getInt(0)
     df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", signatureExpr(col("v"), dims, bits))
+      .withColumn("bucket", signatureExpr(col("v"), d, bits))
   }
 
   /** Exact top-k cosine neighbors of each query row. `queries` must be small

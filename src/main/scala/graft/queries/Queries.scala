@@ -1,0 +1,969 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.functions.GraftFunctions
+import graft.operators.{AsOfJoin, Dedup, Similarity, TextAnalysis}
+
+/** The driver-checked operator inventory: one QueryDef per implemented
+  * operator family from SURVEY.md §2, each with a DuckDB oracle where the
+  * semantics are ANSI-SQL-expressible (custom aggregates / LSH / ANN are
+  * rows-only checks per the driver contract).
+  *
+  * Cross-engine determinism rules used throughout (see [[Q]]):
+  *  - money/value columns are exactly 2-decimal → decimal-sum → double cast
+  *    gives bit-identical results regardless of aggregation order;
+  *  - every query ends in an ORDER BY over a unique key set, mirrored in the
+  *    oracle (Spark ASC = NULLS FIRST vs DuckDB NULLS LAST → sort keys are
+  *    kept non-null);
+  *  - integer-valued doubles (l_quantity) sum exactly in double;
+  *  - statistical aggregates (stddev/corr) are rounded to 6 decimals;
+  *  - counts are BIGINT on both sides (DuckDB SUM(int)→HUGEINT is cast).
+  */
+object Queries {
+
+  private def v(s: SparkSession, dir: String, names: String*): Unit =
+    names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ================= relational core (SURVEY §2.B/F/G) =================
+
+    QueryDef("q01_tpch_q1", (s, dir) => {
+      val l = Q.t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      l.groupBy("l_returnflag", "l_linestatus").agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          Q.dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(Q.money(col("l_extendedprice")) *
+            (lit(1).cast(DecimalType(3, 2)) - Q.rate(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          avg(col("l_quantity")).as("avg_qty"),
+          (Q.dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+          (sum(Q.rate(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }, Some("""SELECT l_returnflag, l_linestatus,
+      SUM(l_quantity) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+      AVG(l_quantity) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""),
+      bench = true),
+
+    QueryDef("q02_filter_pred", (s, dir) =>
+      Q.t(s, dir, "lineitem")
+        .filter(col("l_shipdate").between(
+            lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp"))
+          && col("l_returnflag").isin("A", "R") && col("l_quantity") > 30)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice").as("price"))
+        // (l_orderkey, l_linenumber) is NOT unique in the test data — order by
+        // every output column so the LIMIT cut is engine-independent
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "price").limit(500),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice AS price
+        FROM lineitem
+        WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+          AND l_returnflag IN ('A','R') AND l_quantity > 30
+        ORDER BY l_orderkey, l_linenumber, l_quantity, price LIMIT 500""")),
+
+    QueryDef("q03_case_when", (s, dir) =>
+      Q.t(s, dir, "lineitem")
+        .select(when(col("l_quantity") < 10, "low")
+          .when(col("l_quantity") < 30, "mid").otherwise("high").as("bucket"),
+          col("l_quantity"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+        .orderBy("bucket"),
+      Some("""SELECT CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 30 THEN 'mid'
+          ELSE 'high' END AS bucket, COUNT(*) AS n, SUM(l_quantity) AS qty
+        FROM lineitem GROUP BY 1 ORDER BY bucket""")),
+
+    QueryDef("q04_arith", (s, dir) =>
+      Q.t(s, dir, "lineitem").filter(col("l_orderkey") < 200)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          floor(col("l_quantity") / 7).cast("long").as("idiv"),
+          (col("l_linenumber") % 3).as("m3"),
+          abs(col("l_quantity") - 25).as("dist"),
+          pow(col("l_linenumber"), 2).cast("long").as("sq"),
+          ceil(col("l_quantity") / 7).cast("long").as("cdiv"))
+        .orderBy("l_orderkey", "l_linenumber", "dist"),
+      Some("""SELECT l_orderkey, l_linenumber,
+        CAST(FLOOR(l_quantity / 7) AS BIGINT) AS idiv, l_linenumber % 3 AS m3,
+        ABS(l_quantity - 25) AS dist, CAST(POWER(l_linenumber, 2) AS BIGINT) AS sq,
+        CAST(CEIL(l_quantity / 7) AS BIGINT) AS cdiv
+        FROM lineitem WHERE l_orderkey < 200 ORDER BY l_orderkey, l_linenumber, dist""")),
+
+    QueryDef("q05_topk_orders", (s, dir) =>
+      Q.t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select("o_orderkey", "o_custkey", "o_totalprice").limit(10),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""),
+      bench = true),
+
+    QueryDef("q06_distinct", (s, dir) =>
+      Q.t(s, dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+        .orderBy("c_mktsegment", "c_nationkey"),
+      Some("""SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+        ORDER BY c_mktsegment, c_nationkey""")),
+
+    QueryDef("q07_union", (s, dir) => {
+      val a = Q.t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+        .select(col("o_orderkey").as("k"))
+      val b = Q.t(s, dir, "lineitem").filter(col("l_quantity") === 50)
+        .select(col("l_orderkey").as("k"))
+      a.union(b).distinct().orderBy("k")
+    }, Some("""SELECT o_orderkey AS k FROM orders WHERE o_totalprice > 300000
+      UNION SELECT l_orderkey FROM lineitem WHERE l_quantity = 50 ORDER BY k""")),
+
+    QueryDef("q08_intersect_except", (s, dir) => {
+      val cn = Q.t(s, dir, "customer").select(col("c_nationkey").as("nk")).distinct()
+      val sn = Q.t(s, dir, "supplier").select(col("s_nationkey").as("nk")).distinct()
+      cn.intersect(sn).withColumn("op", lit("intersect"))
+        .union(cn.except(sn).withColumn("op", lit("except")))
+        .orderBy("op", "nk")
+    }, Some("""SELECT nk, 'intersect' AS op FROM
+        (SELECT DISTINCT c_nationkey AS nk FROM customer INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+      UNION ALL
+      SELECT nk, 'except' AS op FROM
+        (SELECT DISTINCT c_nationkey AS nk FROM customer EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+      ORDER BY op, nk""")),
+
+    // ========================= joins (SURVEY §2.C) =======================
+
+    QueryDef("q10_join3_tpch_q3", (s, dir) => {
+      val c = Q.t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = Q.t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = Q.t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(sum(Q.money(col("l_extendedprice")) *
+            (lit(1).cast(DecimalType(3, 2)) - Q.rate(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc).limit(20)
+    }, Some("""SELECT l_orderkey, o_orderdate,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate > TIMESTAMP '1998-01-01'
+      GROUP BY l_orderkey, o_orderdate ORDER BY revenue DESC, l_orderkey LIMIT 20"""),
+      bench = true),
+
+    QueryDef("q11_join_left", (s, dir) =>
+      Q.t(s, dir, "customer")
+        .join(Q.t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(Q.dsum(col("o_totalprice")), lit(0.0)).as("total_spend"))
+        .orderBy("c_custkey").limit(1000),
+      Some("""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 0.0) AS total_spend
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey ORDER BY c_custkey LIMIT 1000""")),
+
+    QueryDef("q12_join_right", (s, dir) =>
+      Q.t(s, dir, "lineitem")
+        .join(Q.t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"), "right")
+        .groupBy("o_orderkey")
+        .agg(count(col("l_linenumber")).as("n_items"))
+        .orderBy("o_orderkey").limit(2000),
+      Some("""SELECT o_orderkey, COUNT(l_linenumber) AS n_items
+      FROM lineitem RIGHT JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderkey ORDER BY o_orderkey LIMIT 2000""")),
+
+    QueryDef("q13_join_full", (s, dir) => {
+      val a = Q.t(s, dir, "customer").select(col("c_nationkey").as("nk1"))
+        .groupBy("nk1").agg(count(lit(1)).as("c_cnt"))
+      val b = Q.t(s, dir, "supplier").select(col("s_nationkey").as("nk2"))
+        .groupBy("nk2").agg(count(lit(1)).as("s_cnt"))
+      a.join(b, col("nk1") === col("nk2"), "full")
+        .select(coalesce(col("nk1"), col("nk2")).as("nk"),
+          coalesce(col("c_cnt"), lit(0L)).as("c_cnt"),
+          coalesce(col("s_cnt"), lit(0L)).as("s_cnt"))
+        .orderBy("nk")
+    }, Some("""SELECT COALESCE(a.nk1, b.nk2) AS nk, COALESCE(a.c_cnt, 0) AS c_cnt,
+        COALESCE(b.s_cnt, 0) AS s_cnt
+      FROM (SELECT c_nationkey AS nk1, COUNT(*) AS c_cnt FROM customer GROUP BY 1) a
+      FULL JOIN (SELECT s_nationkey AS nk2, COUNT(*) AS s_cnt FROM supplier GROUP BY 1) b
+        ON a.nk1 = b.nk2
+      ORDER BY nk""")),
+
+    QueryDef("q14_join_semi", (s, dir) =>
+      Q.t(s, dir, "customer")
+        .join(Q.t(s, dir, "orders").filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey").limit(1000),
+      Some("""SELECT c_custkey, c_name FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      ORDER BY c_custkey LIMIT 1000""")),
+
+    QueryDef("q15_join_anti", (s, dir) =>
+      Q.t(s, dir, "customer")
+        .join(Q.t(s, dir, "orders").filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey").limit(1000),
+      Some("""SELECT c_custkey, c_name FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      ORDER BY c_custkey LIMIT 1000""")),
+
+    QueryDef("q16_join_cross", (s, dir) => {
+      val r = Q.t(s, dir, "region")
+      r.select(col("r_name").as("r1")).crossJoin(r.select(col("r_name").as("r2")))
+        .orderBy("r1", "r2")
+    }, Some("""SELECT a.r_name AS r1, b.r_name AS r2 FROM region a CROSS JOIN region b
+      ORDER BY r1, r2""")),
+
+    QueryDef("q17_join_nonequi", (s, dir) => {
+      val r = Q.t(s, dir, "region")
+      val a = r.select(col("r_regionkey").as("k1"), col("r_name").as("r1"))
+      val b = r.select(col("r_regionkey").as("k2"), col("r_name").as("r2"))
+      a.join(b, col("k1") < col("k2")).select("r1", "r2").orderBy("r1", "r2")
+    }, Some("""SELECT a.r_name AS r1, b.r_name AS r2 FROM region a
+      JOIN region b ON a.r_regionkey < b.r_regionkey ORDER BY r1, r2""")),
+
+    QueryDef("q18_join5_tpch_q5", (s, dir) => {
+      val r = Q.t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = Q.t(s, dir, "nation")
+      val c = Q.t(s, dir, "customer")
+      val o = Q.t(s, dir, "orders")
+      val l = Q.t(s, dir, "lineitem")
+      val sup = Q.t(s, dir, "supplier")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey")
+          && col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(Q.money(col("l_extendedprice")) *
+            (lit(1).cast(DecimalType(3, 2)) - Q.rate(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }, Some("""SELECT n_name,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY n_name ORDER BY revenue DESC, n_name"""),
+      bench = true),
+
+    QueryDef("q19_tpch_q6", (s, dir) =>
+      Q.t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+          && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(Q.money(col("l_extendedprice")) * Q.rate(col("l_discount")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n")),
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""),
+      bench = true),
+
+    // ===================== aggregations (SURVEY §2.D) ====================
+
+    QueryDef("q20_agg_stats", (s, dir) =>
+      Q.t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sd"),
+          round(var_samp(col("l_quantity")), 6).as("vr"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("cr"),
+          min(col("l_quantity")).as("mn"), max(col("l_quantity")).as("mx"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, ROUND(STDDEV_SAMP(l_quantity), 6) AS sd,
+        ROUND(VAR_SAMP(l_quantity), 6) AS vr,
+        ROUND(CORR(l_quantity, l_extendedprice), 6) AS cr,
+        MIN(l_quantity) AS mn, MAX(l_quantity) AS mx, COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    QueryDef("q21_count_distinct", (s, dir) =>
+      Q.t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+          count_distinct(col("l_partkey")).as("u_part"),
+          count_distinct(col("l_suppkey")).as("u_supp"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS u_part,
+        CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS u_supp, COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      bench = true),
+
+    QueryDef("q22_agg_conditional", (s, dir) =>
+      Q.t(s, dir, "lineitem").groupBy("l_linestatus").agg(
+          count(when(col("l_quantity") > 25, 1)).as("n_hi"),
+          coalesce(sum(when(col("l_returnflag") === "A", Q.money(col("l_extendedprice"))))
+            .cast("double"), lit(0.0)).as("sum_a"),
+          avg(when(col("l_quantity") > 25, col("l_quantity"))).as("avg_hi"))
+        .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus, COUNT(CASE WHEN l_quantity > 25 THEN 1 END) AS n_hi,
+        COALESCE(CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE), 0.0) AS sum_a,
+        AVG(CASE WHEN l_quantity > 25 THEN l_quantity END) AS avg_hi
+      FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    QueryDef("q23_quantiles", (s, dir) =>
+      Q.t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.95)").as("p95"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, QUANTILE_CONT(l_quantity, 0.25) AS p25,
+        QUANTILE_CONT(l_quantity, 0.5) AS p50, QUANTILE_CONT(l_quantity, 0.95) AS p95
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    QueryDef("q24_argminmax", (s, dir) =>
+      Q.t(s, dir, "orders").groupBy("o_orderpriority").agg(
+          max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("max_ok"),
+          min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("min_ok"))
+        .orderBy("o_orderpriority"),
+      Some("""WITH r AS (SELECT o_orderpriority, o_orderkey,
+          ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+          ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+        FROM orders)
+      SELECT o_orderpriority, MAX(CASE WHEN rmax = 1 THEN o_orderkey END) AS max_ok,
+        MAX(CASE WHEN rmin = 1 THEN o_orderkey END) AS min_ok
+      FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    QueryDef("q25_collect_list", (s, dir) =>
+      Q.t(s, dir, "nation")
+        .join(broadcast(Q.t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy("r_name"),
+      Some("""SELECT r_name, STRING_AGG(n_name, ',' ORDER BY n_name) AS nations, COUNT(*) AS n
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name""")),
+
+    QueryDef("q26_having", (s, dir) =>
+      Q.t(s, dir, "customer").groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 40).orderBy("c_nationkey"),
+      Some("""SELECT c_nationkey, COUNT(*) AS n FROM customer GROUP BY c_nationkey
+      HAVING COUNT(*) > 40 ORDER BY c_nationkey""")),
+
+    QueryDef("q27_rollup", (s, dir) =>
+      Q.t(s, dir, "lineitem").rollup("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy("rf", "ls"),
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls""")),
+
+    QueryDef("q28_value_counts", (s, dir) =>
+      Q.t(s, dir, "events").groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("event_type").asc),
+      Some("""SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+      ORDER BY n DESC, event_type""")),
+
+    QueryDef("q29_cube", (s, dir) =>
+      Q.t(s, dir, "orders").cube("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("st"), col("n"))
+        .orderBy("pri", "st"),
+      Some("""SELECT COALESCE(o_orderpriority, 'ALL') AS pri, COALESCE(o_orderstatus, 'ALL') AS st,
+        COUNT(*) AS n
+      FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus) ORDER BY pri, st""")),
+
+    QueryDef("q30_avg_weighted", (s, dir) =>
+      Q.t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+          (sum(Q.money(col("l_extendedprice")) * col("l_quantity").cast(DecimalType(4, 0)))
+            .cast("double") / sum(col("l_quantity"))).as("wavg_price"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE)
+          / SUM(l_quantity) AS wavg_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ==================== window functions (SURVEY §2.E) =================
+
+    QueryDef("q31_window_rank", (s, dir) => {
+      val wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+      val wr = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      Q.t(s, dir, "lineitem").filter(col("l_orderkey") < 1000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"),
+          rank().over(wq).as("rk"), dense_rank().over(wq).as("drk"),
+          row_number().over(wr).as("rn"))
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity")
+    }, Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        CAST(RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS INT) AS rk,
+        CAST(DENSE_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS INT) AS drk,
+        CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber) AS INT) AS rn
+      FROM lineitem WHERE l_orderkey < 1000
+      ORDER BY l_returnflag, l_orderkey, l_linenumber, l_quantity""")),
+
+    QueryDef("q32_window_lag_lead", (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Q.t(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value"),
+          lag("value", 1).over(w).as("prev_value"),
+          lead("value", 1).over(w).as("next_value"))
+        .orderBy("event_id")
+    }, Some("""SELECT event_id, user_id, value,
+        LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+        LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+      FROM events WHERE event_type = 'purchase' ORDER BY event_id""")),
+
+    QueryDef("q33_window_cumsum", (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Q.t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          sum(Q.money(col("o_totalprice"))).over(w).cast("double").as("run_total"))
+        .orderBy("o_orderkey")
+    }, Some("""SELECT o_orderkey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
+      FROM orders ORDER BY o_orderkey"""),
+      bench = true),
+
+    QueryDef("q34_window_ntile", (s, dir) => {
+      // Global (unpartitioned) ranking: single-partition sort by design —
+      // at 100 TB this shape needs a range-partitioned sort (df.orderBy does
+      // exactly that); ntile itself is the operator under test here.
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      Q.t(s, dir, "orders")
+        .select(col("o_orderkey"), ntile(4).over(w).as("tile"),
+          percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+        .orderBy("o_orderkey")
+    }, Some("""SELECT o_orderkey,
+        CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS tile,
+        PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey) AS pr,
+        CUME_DIST() OVER (ORDER BY o_totalprice, o_orderkey) AS cd
+      FROM orders ORDER BY o_orderkey""")),
+
+    QueryDef("q35_window_rolling", (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+      Q.t(s, dir, "events")
+        .select(col("event_id"),
+          sum(Q.money(col("value"))).over(w).cast("double").as("msum"),
+          (sum(Q.money(col("value"))).over(w).cast("double") /
+            count(lit(1)).over(w)).as("mavg"))
+        .orderBy("event_id")
+    }, Some("""SELECT event_id,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS msum,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) / COUNT(*) OVER w AS mavg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""")),
+
+    QueryDef("q36_window_first_last", (s, dir) => {
+      val w = Window.partitionBy("o_orderpriority").orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Q.t(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          first(col("o_orderkey")).over(w).as("first_ok"),
+          last(col("o_orderkey")).over(w).as("last_ok"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+        .distinct().orderBy("o_orderpriority")
+    }, Some("""SELECT DISTINCT o_orderpriority,
+        FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+        LAST_VALUE(o_orderkey) OVER w AS last_ok,
+        NTH_VALUE(o_orderkey, 2) OVER w AS second_ok
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_orderpriority""")),
+
+    QueryDef("q37_limit_by", (s, dir) => {
+      // ClickHouse `LIMIT 3 BY o_orderpriority` — top-n per group
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Q.t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rn")
+    }, Some("""SELECT o_orderpriority, CAST(rn AS INT) AS rn, o_orderkey, o_totalprice FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) WHERE rn <= 3
+      ORDER BY o_orderpriority, rn""")),
+
+    QueryDef("q38_grouping_sets", (s, dir) => {
+      v(s, dir, "lineitem")
+      s.sql("""SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+          COUNT(*) AS n
+        FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY rf, ls""")
+    }, Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        COUNT(*) AS n
+      FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY rf, ls""")),
+
+    // ======================= datetime (SURVEY §2.H) ======================
+
+    QueryDef("q40_date_parts", (s, dir) =>
+      Q.t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"), quarter(col("o_orderdate")).as("q"),
+          month(col("o_orderdate")).as("m"), dayofmonth(col("o_orderdate")).as("d"),
+          (call_function("weekday", col("o_orderdate")) + 1).as("isodow"),
+          weekofyear(col("o_orderdate")).as("wk"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+        .orderBy("o_orderkey").limit(2000),
+      Some("""SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS y,
+        CAST(quarter(o_orderdate) AS INT) AS q, CAST(month(o_orderdate) AS INT) AS m,
+        CAST(day(o_orderdate) AS INT) AS d, CAST(isodow(o_orderdate) AS INT) AS isodow,
+        CAST(weekofyear(o_orderdate) AS INT) AS wk, strftime(o_orderdate, '%Y-%m') AS ym
+      FROM orders ORDER BY o_orderkey LIMIT 2000""")),
+
+    QueryDef("q41_date_trunc_agg", (s, dir) =>
+      Q.t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("mon"))
+        .agg(count(lit(1)).as("n"), Q.dsum(col("o_totalprice")).as("rev"))
+        .orderBy("mon"),
+      Some("""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1 ORDER BY mon""")),
+
+    QueryDef("q42_date_arith", (s, dir) =>
+      Q.t(s, dir, "lineitem").filter(col("l_orderkey") < 500)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          datediff(col("l_shipdate").cast("date"), lit("1995-01-01").cast("date")).as("days_since"),
+          date_add(col("l_shipdate").cast("date"), 30).as("plus30"),
+          add_months(col("l_shipdate").cast("date"), 2).as("plus2m"))
+        .orderBy("l_orderkey", "l_linenumber", "days_since"),
+      Some("""SELECT l_orderkey, l_linenumber,
+        CAST(date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS INT) AS days_since,
+        CAST(l_shipdate AS DATE) + 30 AS plus30,
+        CAST(CAST(l_shipdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m
+      FROM lineitem WHERE l_orderkey < 500 ORDER BY l_orderkey, l_linenumber, days_since""")),
+
+    QueryDef("q43_epoch", (s, dir) =>
+      Q.t(s, dir, "events")
+        .select(col("event_id"), unix_micros(col("ts")).as("us"),
+          col("ts").cast("date").as("d"))
+        .orderBy("event_id").limit(5000),
+      Some("""SELECT event_id, epoch_us(ts) AS us, CAST(ts AS DATE) AS d
+      FROM events ORDER BY event_id LIMIT 5000""")),
+
+    // ======================== strings (SURVEY §2.H) ======================
+
+    QueryDef("q44_string_funcs", (s, dir) =>
+      Q.t(s, dir, "customer")
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("up"), lower(col("c_name")).as("lo"),
+          length(col("c_name")).as("len"), substring(col("c_name"), 1, 8).as("sub"),
+          concat_ws("-", col("c_name"), col("c_mktsegment")).as("cat"),
+          lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+          reverse(col("c_name")).as("rev"))
+        .orderBy("c_custkey").limit(1000),
+      Some("""SELECT c_custkey, UPPER(c_name) AS up, LOWER(c_name) AS lo,
+        CAST(LENGTH(c_name) AS INT) AS len, SUBSTR(c_name, 1, 8) AS sub,
+        c_name || '-' || c_mktsegment AS cat,
+        LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS padded, REVERSE(c_name) AS rev
+      FROM customer ORDER BY c_custkey LIMIT 1000""")),
+
+    QueryDef("q45_regexp", (s, dir) =>
+      Q.t(s, dir, "part")
+        .select(col("p_partkey"),
+          regexp_extract(col("p_brand"), "Brand#(\\d+)", 1).cast("int").as("brand_num"),
+          col("p_type").like("%E%").as("has_e"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("novowels"))
+        .orderBy("p_partkey").limit(1000),
+      Some("""SELECT p_partkey,
+        CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS INT) AS brand_num,
+        p_type LIKE '%E%' AS has_e, regexp_replace(p_name, '[aeiou]', '', 'g') AS novowels
+      FROM part ORDER BY p_partkey LIMIT 1000""")),
+
+    QueryDef("q46_split_part", (s, dir) =>
+      Q.t(s, dir, "documents")
+        .select(col("doc_id"),
+          element_at(split(col("text"), " "), 1).as("first_tok"),
+          size(split(col("text"), " ")).as("n_raw"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, split_part(text, ' ', 1) AS first_tok,
+        CAST(len(string_split(text, ' ')) AS INT) AS n_raw
+      FROM documents ORDER BY doc_id""")),
+
+    // ======================= reshaping (SURVEY §2.I) =====================
+
+    QueryDef("q47_pivot", (s, dir) => {
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      val p = Q.t(s, dir, "customer")
+        .groupBy("c_nationkey").pivot("c_mktsegment", segs).agg(count(lit(1)))
+      p.select(col("c_nationkey") +:
+          segs.map(g => coalesce(col(g), lit(0L)).as(g.toLowerCase)): _*)
+        .orderBy("c_nationkey")
+    }, Some("""SELECT c_nationkey,
+        COUNT(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 END) AS automobile,
+        COUNT(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS building,
+        COUNT(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 END) AS furniture,
+        COUNT(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 END) AS household,
+        COUNT(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END) AS machinery
+      FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    QueryDef("q48_unpivot", (s, dir) =>
+      Q.t(s, dir, "part")
+        .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+          col("p_retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_size"), col("p_retailprice")), "metric", "value")
+        .orderBy("p_partkey", "metric").limit(4000),
+      Some("""SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+      UNION ALL SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice FROM part
+      ORDER BY p_partkey, metric LIMIT 4000""")),
+
+    QueryDef("q49_explode_tokens", (s, dir) =>
+      Q.t(s, dir, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc).limit(30),
+      Some("""SELECT token, COUNT(*) AS n FROM
+        (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+      GROUP BY token ORDER BY n DESC, token LIMIT 30"""),
+      bench = true),
+
+    // ==================== JSON + events (SURVEY §2.H/J) ==================
+
+    QueryDef("q50_json_extract", (s, dir) =>
+      Q.t(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy("k"),
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, COUNT(*) AS n
+      FROM events GROUP BY 1 ORDER BY k""")),
+
+    QueryDef("q51_time_bucket", (s, dir) =>
+      Q.t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"),
+          sum(Q.money(col("value"))).cast("double").as("sum_value"))
+        .orderBy("h"),
+      Some("""SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1 ORDER BY h"""),
+      bench = true),
+
+    QueryDef("q52_sessionize", (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Q.t(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull
+            || (unix_micros(col("ts")) - col("prev_us")) > 1800L * 1000000L, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(sum("new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }, Some("""SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+      FROM (SELECT user_id,
+          CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        FROM (SELECT user_id, ts,
+            LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+          FROM events))
+      GROUP BY user_id ORDER BY user_id""")),
+
+    // ============ custom aggregates (SURVEY §4.3 — rows-only) ============
+
+    QueryDef("q55_window_funnel", (s, dir) => {
+      v(s, dir, "events")
+      s.sql("""SELECT lvl, COUNT(*) AS n_users FROM
+          (SELECT user_id, windowFunnel(604800000000, unix_micros(ts),
+             event_type = 'signup', event_type = 'click', event_type = 'purchase') AS lvl
+           FROM events GROUP BY user_id)
+        GROUP BY lvl ORDER BY lvl""")
+    }, None),
+
+    QueryDef("q56_retention", (s, dir) => {
+      v(s, dir, "events")
+      s.sql("""SELECT CAST(SUM(r[0]) AS BIGINT) AS d0, CAST(SUM(r[1]) AS BIGINT) AS d1,
+          CAST(SUM(r[2]) AS BIGINT) AS d2
+        FROM (SELECT retention(event_type = 'signup', event_type = 'click',
+            event_type = 'purchase') AS r
+          FROM events GROUP BY user_id)""")
+    }, None),
+
+    QueryDef("q57_sequence_match", (s, dir) => {
+      v(s, dir, "events")
+      s.sql("""SELECT COUNT(*) AS n_matched FROM
+          (SELECT user_id,
+             sequenceMatch('(?1).*(?2)', unix_micros(ts),
+               event_type = 'signup', event_type = 'purchase') AS m
+           FROM events GROUP BY user_id)
+        WHERE m""")
+    }, None),
+
+    QueryDef("q58_topk_agg", (s, dir) => {
+      v(s, dir, "events")
+      s.sql("""SELECT user_id % 10 AS grp, array_join(topK(event_type, 3), ',') AS top3
+        FROM events GROUP BY user_id % 10 ORDER BY grp""")
+    }, None),
+
+    QueryDef("q59_bit_agg", (s, dir) => {
+      v(s, dir, "lineitem")
+      s.sql("""SELECT l_returnflag, groupBitAnd(l_linenumber) AS band,
+          groupBitOr(l_linenumber) AS bor, groupBitXor(l_linenumber) AS bxor
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }, Some("""SELECT l_returnflag, CAST(BIT_AND(l_linenumber) AS BIGINT) AS band,
+        CAST(BIT_OR(l_linenumber) AS BIGINT) AS bor, CAST(BIT_XOR(l_linenumber) AS BIGINT) AS bxor
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ======== dedup / text / similarity (training-data pipeline) =========
+
+    QueryDef("q60_dedup_exact", (s, dir) => {
+      // content key = 40-char prefix so the synthetic corpus has real groups
+      val docs = Q.t(s, dir, "documents")
+        .withColumn("key", substring(col("text"), 1, 40))
+      Dedup.exactGroups(docs, "key", "doc_id")
+        .select(col("digest"), col("n"),
+          element_at(col("ids"), 1).as("min_id"),
+          element_at(col("ids"), size(col("ids"))).as("max_id"))
+        .orderBy("digest")
+    }, Some("""SELECT md5(substr(text, 1, 40)) AS digest, COUNT(*) AS n,
+        MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY digest"""),
+      bench = true),
+
+    QueryDef("q61_dedup_keepfirst", (s, dir) => {
+      val docs = Q.t(s, dir, "documents")
+        .withColumn("key", substring(col("text"), 1, 40))
+      Dedup.exactKeepFirst(docs, "key", "doc_id")
+        .select("doc_id", "lang").orderBy("doc_id")
+    }, Some("""SELECT doc_id, lang FROM (SELECT doc_id, lang,
+        ROW_NUMBER() OVER (PARTITION BY md5(substr(text, 1, 40)) ORDER BY doc_id) AS rn
+      FROM documents) WHERE rn = 1 ORDER BY doc_id""")),
+
+    QueryDef("q62_ngram_jaccard", (s, dir) =>
+      Dedup.ngramJaccard(Q.t(s, dir, "documents"), "text", "doc_id",
+          threshold = 0.2, shingleSize = 5, maxDocFreq = 1000000)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b"),
+      None),
+
+    QueryDef("q63_minhash_pairs", (s, dir) =>
+      Dedup.minhashLsh(Q.t(s, dir, "documents"), "text", "doc_id",
+          threshold = 0.4, shingleSize = 3, bands = 8, rowsPerBand = 2)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b"),
+      None, bench = true),
+
+    QueryDef("q64_simhash_pairs", (s, dir) =>
+      Dedup.simhashPairs(Q.t(s, dir, "documents"), "text", "doc_id", maxHamming = 16)
+        .orderBy("id_a", "id_b"),
+      None),
+
+    QueryDef("q65_embed_neardup", (s, dir) =>
+      Dedup.embeddingNearDup(Q.t(s, dir, "embeddings"), "embedding", "vec_id",
+          threshold = 0.9, bits = 8)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("id_a", "id_b"),
+      None),
+
+    QueryDef("q66_ann_bruteforce", (s, dir) => {
+      val emb = Q.t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id", 5)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("query_id", "rn")
+    }, None, bench = true),
+
+    QueryDef("q67_ann_lsh", (s, dir) => {
+      val emb = Q.t(s, dir, "embeddings")
+      Similarity.annTopK(emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id", 5, bits = 8)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("query_id", "rn")
+    }, None),
+
+    QueryDef("q68_cosine_pairs", (s, dir) => {
+      val e = Q.t(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"),
+          round(GraftFunctions.cosineSimilarity(col("va"), col("vb")), 6).as("cos"),
+          round(GraftFunctions.l2Distance(col("va"), col("vb")), 6).as("l2"))
+        .orderBy("id_a")
+    }, Some("""SELECT a.vec_id AS id_a,
+        ROUND(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+           * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) AS cos,
+        ROUND(sqrt(list_sum(list_transform(range(1, 65),
+          i -> (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)) * (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))))), 6) AS l2
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      ORDER BY id_a""")),
+
+    QueryDef("q69_token_count", (s, dir) =>
+      Q.t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.subwordCountEstimate(col("text")).as("n_subwords"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        CAST(len(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS INT) AS n_tokens,
+        CAST(len(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> ''))
+          + len(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> len(x) > 6)) AS INT) AS n_subwords
+      FROM documents ORDER BY doc_id""")),
+
+    QueryDef("q70_quality", (s, dir) =>
+      TextAnalysis.qualityScore(Q.t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_chars_q"), col("n_tokens"),
+          round(col("mean_token_len"), 6).as("mean_token_len"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"),
+          round(col("repetition_ratio"), 6).as("repetition_ratio"),
+          round(col("quality_score"), 6).as("quality_score"))
+        .orderBy("doc_id"),
+      None),
+
+    QueryDef("q71_lang_id", (s, dir) =>
+      Q.t(s, dir, "documents")
+        .select(col("lang"), TextAnalysis.languageId(col("text")).as("pred"))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred"),
+      None),
+
+    QueryDef("q72_asof_join", (s, dir) => {
+      val ev = Q.t(s, dir, "events")
+      val left = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val right = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("click_value"))
+      AsOfJoin.backward(left, right, Seq("user_id"), "ts", "ts",
+          Seq("click_value"), tsOut = "ts")
+        .orderBy("event_id")
+    }, Some("""SELECT l.user_id, l.ts, l.event_id, l.value, r.click_value
+      FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') l
+      ASOF LEFT JOIN (SELECT user_id, ts, MAX(value) AS click_value FROM events
+        WHERE event_type = 'click' GROUP BY user_id, ts) r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+      ORDER BY l.event_id"""),
+      bench = true),
+
+    QueryDef("q73_array_label_stats", (s, dir) =>
+      Q.t(s, dir, "embeddings").groupBy("label").agg(
+          count(lit(1)).as("n"),
+          min(element_at(col("embedding"), 1)).cast("double").as("min_e1"),
+          max(element_at(col("embedding"), 1)).cast("double").as("max_e1"))
+        .orderBy("label"),
+      Some("""SELECT label, COUNT(*) AS n, CAST(MIN(embedding[1]) AS DOUBLE) AS min_e1,
+        CAST(MAX(embedding[1]) AS DOUBLE) AS max_e1
+      FROM embeddings GROUP BY label ORDER BY label""")),
+
+    QueryDef("q74_hash_funcs", (s, dir) =>
+      Q.t(s, dir, "customer").filter(col("c_custkey") < 200)
+        .select(col("c_custkey"), md5(col("c_name").cast("binary")).as("h_md5"),
+          sha2(col("c_name").cast("binary"), 256).as("h_sha256"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, md5(c_name) AS h_md5, sha256(c_name) AS h_sha256
+      FROM customer WHERE c_custkey < 200 ORDER BY c_custkey""")),
+
+    QueryDef("q75_fingerprints", (s, dir) => {
+      v(s, dir, "documents")
+      s.sql("""SELECT doc_id, simHash(text) AS sh, fingerprint(text, 8) AS fp,
+          hammingDistance(simHash(text), 0) AS bits
+        FROM documents ORDER BY doc_id""")
+    }, None),
+
+    // ============== ClickHouse-dialect SQL shim (SURVEY §3.1) ============
+
+    QueryDef("q76_uniq_upto", (s, dir) => {
+      v(s, dir, "lineitem")
+      s.sql("""SELECT l_returnflag, CAST(uniqUpTo(l_partkey, 5) AS BIGINT) AS u5,
+          CAST(uniqUpTo(l_linenumber, 10) AS BIGINT) AS u10
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }, Some("""SELECT l_returnflag, LEAST(COUNT(DISTINCT l_partkey), 6) AS u5,
+        LEAST(COUNT(DISTINCT l_linenumber), 11) AS u10
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    QueryDef("q77_ch_agg_dialect", (s, dir) => {
+      v(s, dir, "lineitem")
+      s.sql("""SELECT CAST(toYear(l_shipdate) AS INT) AS y,
+          CAST(toYYYYMM(l_shipdate) AS INT) AS ym,
+          uniqExact(l_orderkey) AS u, countIf(l_quantity > 25) AS hi,
+          CAST(argMax(l_partkey, (l_orderkey * 100 + l_linenumber) * 100000 + l_partkey) AS BIGINT) AS am
+        FROM lineitem GROUP BY y, ym ORDER BY y, ym""")
+    }, Some("""SELECT CAST(year(l_shipdate) AS INT) AS y,
+        CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT) AS ym,
+        CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS u,
+        COUNT(CASE WHEN l_quantity > 25 THEN 1 END) AS hi,
+        CAST(ARG_MAX(l_partkey, (l_orderkey * 100 + l_linenumber) * 100000 + l_partkey) AS BIGINT) AS am
+      FROM lineitem GROUP BY 1, 2 ORDER BY y, ym""")),
+
+    QueryDef("q78_ch_datetime", (s, dir) => {
+      v(s, dir, "orders")
+      new graft.engine.GraftSession(s).sql(
+        """SELECT o_orderkey, toStartOfMonth(o_orderdate) AS som,
+          CAST(toDayOfWeek(o_orderdate) AS INT) AS dow,
+          addDays(CAST(o_orderdate AS DATE), 10) AS plus10,
+          CAST(dateDiff('day', TIMESTAMP '1995-06-15', o_orderdate) AS BIGINT) AS dd,
+          CAST(dateDiff('month', TIMESTAMP '1995-06-15', o_orderdate) AS BIGINT) AS dm
+        FROM orders ORDER BY o_orderkey LIMIT 2000""")
+    }, Some("""SELECT o_orderkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS som,
+        CAST(isodow(o_orderdate) AS INT) AS dow,
+        CAST(o_orderdate AS DATE) + 10 AS plus10,
+        date_diff('day', TIMESTAMP '1995-06-15', o_orderdate) AS dd,
+        date_diff('month', TIMESTAMP '1995-06-15', o_orderdate) AS dm
+      FROM orders ORDER BY o_orderkey LIMIT 2000""")),
+
+    QueryDef("q79_ch_string", (s, dir) => {
+      v(s, dir, "customer")
+      s.sql("""SELECT c_custkey, CAST(lengthUTF8(c_name) AS INT) AS len8,
+          trimBoth(concatWithSeparator('-', c_name, c_mktsegment)) AS cat,
+          leftPad(toString(c_custkey), 8, '0') AS pad,
+          arrayElement(splitByChar('#', c_name), 1) AS tok
+        FROM customer ORDER BY c_custkey LIMIT 1000""")
+    }, Some("""SELECT c_custkey, CAST(LENGTH(c_name) AS INT) AS len8,
+        TRIM(c_name || '-' || c_mktsegment) AS cat,
+        LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS pad,
+        split_part(c_name, '#', 1) AS tok
+      FROM customer ORDER BY c_custkey LIMIT 1000""")),
+
+    QueryDef("q80_ch_array", (s, dir) => {
+      v(s, dir, "lineitem")
+      s.sql("""SELECT l_orderkey, l_linenumber,
+          arraySum(arrayMap(x -> x * x, range(1, l_linenumber + 1))) AS sumsq,
+          CAST(size(arrayPopBack(range(l_linenumber))) AS INT) AS popn,
+          arraySum(range(l_linenumber - 1)) AS sumr
+        FROM lineitem WHERE l_orderkey < 200 ORDER BY l_orderkey, l_linenumber""")
+    }, Some("""SELECT l_orderkey, l_linenumber,
+        CAST(COALESCE(list_sum(list_transform(range(1, CAST(l_linenumber AS BIGINT) + 1), x -> x * x)), 0) AS DOUBLE) AS sumsq,
+        CAST(l_linenumber - 1 AS INT) AS popn,
+        CAST(COALESCE(list_sum(range(CAST(l_linenumber AS BIGINT) - 1)), 0) AS DOUBLE) AS sumr
+      FROM lineitem WHERE l_orderkey < 200 ORDER BY l_orderkey, l_linenumber""")),
+
+    QueryDef("q81_ch_conditional", (s, dir) => {
+      v(s, dir, "orders")
+      s.sql("""SELECT o_orderkey,
+          multiIf(o_totalprice < 100000, 'small', o_totalprice < 300000, 'mid', 'big') AS sz,
+          ifNull(nullif(o_orderstatus, 'O'), 'open') AS st
+        FROM orders ORDER BY o_orderkey LIMIT 2000""")
+    }, Some("""SELECT o_orderkey,
+        CASE WHEN o_totalprice < 100000 THEN 'small' WHEN o_totalprice < 300000 THEN 'mid'
+          ELSE 'big' END AS sz,
+        COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS st
+      FROM orders ORDER BY o_orderkey LIMIT 2000""")),
+
+    QueryDef("q82_above_avg", (s, dir) => {
+      val c = Q.t(s, dir, "customer")
+      val nav = c.groupBy(col("c_nationkey").as("nk"))
+        .agg((sum(Q.money(col("c_acctbal"))).cast("double") / count(lit(1))).as("nav"))
+      c.join(broadcast(nav), col("c_nationkey") === col("nk"))
+        .filter(col("c_acctbal") > col("nav"))
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_above"))
+        .orderBy("c_nationkey")
+    }, Some("""SELECT c_nationkey, COUNT(*) AS n_above
+      FROM customer JOIN (SELECT c_nationkey AS nk,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS nav
+        FROM customer GROUP BY 1) a ON c_nationkey = nk
+      WHERE c_acctbal > nav
+      GROUP BY c_nationkey ORDER BY c_nationkey"""))
+  )
+
+  val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
+}
