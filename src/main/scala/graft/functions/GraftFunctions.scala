@@ -49,12 +49,22 @@ object GraftFunctions {
   def tokenize(text: Column): Column =
     filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
 
-  /** n-token shingles joined by a single space, over a token array. */
-  def shingles(tokens: Column, n: Int): Column =
+  /** n-token shingles joined by a single space, over a token array.
+    *
+    * Implementation note: expressions referenced from inside a higher-order-
+    * function lambda are re-evaluated PER ELEMENT, so the naive
+    * `transform(sequence(1, len), i => slice(tokens, i, n))` re-tokenizes the
+    * document once per shingle — O(n²) per row. Instead the token array is
+    * sliced n times up front (each slice evaluated once per row) and zipped,
+    * so the lambda touches only its own variable.
+    */
+  def shingles(tokens: Column, n: Int): Column = {
+    val m = greatest(size(tokens) - lit(n - 1), lit(0))
+    val parts = (0 until n).map(i => slice(tokens, lit(i + 1), m).as(s"p$i"))
     when(size(tokens) < n, array(array_join(tokens, " ")))
-      .otherwise(transform(
-        sequence(lit(1), size(tokens) - lit(n - 1)),
-        i => array_join(slice(tokens, i, lit(n)), " ")))
+      .otherwise(transform(arrays_zip(parts: _*),
+        x => concat_ws(" ", (0 until n).map(i => x.getField(s"p$i")): _*)))
+  }
 
   /** One minhash value: min over shingle hashes, salted by `seed`. */
   def minhash(shingleCol: Column, seed: Int): Column =

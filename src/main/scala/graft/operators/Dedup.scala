@@ -55,25 +55,47 @@ object Dedup {
       bands: Int = 8,
       rowsPerBand: Int = 2): DataFrame = {
     val k = bands * rowsPerBand
+    // Hash every shingle to a long ONCE; the k minhash permutations remix the
+    // base hash numerically (xxhash64 over (long, seed)) instead of re-hashing
+    // the string k times. The signature is computed by explode → groupBy(id)
+    // with k min() aggregates rather than k array_min(transform(...)) columns:
+    // projection collapse would inline the whole tokenize→shingle→hash
+    // pipeline into each of the k signature expressions (k× recompute per
+    // row), while the exploded aggregation evaluates it exactly once per
+    // shingle and shuffles only (id, 8-byte hash) — also the plan shape that
+    // scales: map-side partial min makes the shuffle |corpus|-sized.
     val sh = df.select(
       col(idCol).as("id"),
       array_distinct(shingles(tokenize(col(textCol)), shingleSize)).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), k))
+    val shingleHashes = sh.select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
+    val sig = shingleHashes.groupBy("id")
+      .agg((0 until k).map(seed => min(xxhash64(col("h"), lit(seed))).as(s"m$seed")).head,
+        (1 until k).map(seed => min(xxhash64(col("h"), lit(seed))).as(s"m$seed")): _*)
 
-    // band keys: (band index, hash of that signature slice)
-    val banded = sh.select(
-      col("id"), col("sh"),
-      posexplode(lshBands(col("sig"), bands, rowsPerBand)).as(Seq("band", "bh")))
-
-    val a = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("sh").as("sh_b"))
-    val candidates = a.join(b, Seq("band", "bh"))
+    // band keys: (band index, hash of that signature slice); candidates are
+    // generated as bare (id_a, id_b) pairs — the shingle sets are re-joined
+    // AFTER pair dedup so the wide arrays never ride the candidate shuffle
+    // (at scale the candidate set is orders of magnitude larger than the
+    // corpus, so this is the difference between GBs and TBs of shuffle).
+    val bandCols = (0 until bands).map { b =>
+      xxhash64(lit(b) +: (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"m$i")): _*)
+    }
+    val banded = sig.select(
+      col("id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+    val candidates = banded.select(col("band"), col("bh"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bh"), col("id").as("id_b")), Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
-    verifyJaccard(candidates, threshold)
+    val withSets = candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+    verifyJaccard(withSets, threshold)
   }
 
   /** Exact n-gram Jaccard pairs via an inverted shingle index (no LSH, no
@@ -94,14 +116,20 @@ object Dedup {
       array_distinct(shingles(tokenize(col(textCol)), shingleSize)).as("sh"))
       .filter(size(col("sh")) > 0)
 
-    val index = sh.select(col("id"), col("sh"), explode(col("sh")).as("g"))
+    // postings carry only (shingle-hash, id): the inverted index shuffles 16
+    // bytes per posting, and shingle sets are re-joined after pair dedup
+    val index = sh.select(explode(col("sh")).as("g"), col("id"))
+      .withColumn("g", xxhash64(col("g")))
     val hot = index.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") > maxDocFreq)
     val cold = index.join(broadcast(hot), Seq("g"), "left_anti")
 
-    val pairs = cold.select(col("g"), col("id").as("id_a"), col("sh").as("sh_a"))
-      .join(cold.select(col("g"), col("id").as("id_b"), col("sh").as("sh_b")), Seq("g"))
+    val pairs = cold.select(col("g"), col("id").as("id_a"))
+      .join(cold.select(col("g"), col("id").as("id_b")), Seq("g"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
 
     verifyJaccard(pairs, threshold)
   }
