@@ -1,31 +1,14 @@
 package graft
 
-import org.apache.spark.sql.functions._
-
 /** Ad-hoc forked smoke tests during development (not part of the library). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val g = graft.engine.GraftSession.build("local[32]", 32)
-    val spark = g.spark
-    val dir = "/root/testdata/sf0.1"
-
-    def time[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(s"$label: ${(System.nanoTime() - t0) / 1e9}s")
-      r
-    }
-
-    val docs = Tables.load(spark, dir, "documents")
-    val out = graft.operators.Dedup.minhashLsh(docs, "text", "doc_id",
-      threshold = 0.4, shingleSize = 3, bands = 8, rowsPerBand = 2)
-    time("q63 run1")(println("rows=" + out.count()))
-    time("q63 run2")(println("rows=" + out.count()))
-
-    val ng = graft.operators.Dedup.ngramJaccard(docs, "text", "doc_id",
-      threshold = 0.2, shingleSize = 5, maxDocFreq = 1000000)
-    time("q62 run1")(println("rows=" + ng.count()))
-    time("q62 run2")(println("rows=" + ng.count()))
-    spark.stop()
+    val g = graft.engine.GraftSession.build("local[8]", 8)
+    g.sql("""SELECT arrayCount(x -> x > 1, array(1, 2, 3)) AS c2,
+        arrayCount(array(1, 2)) AS c1,
+        arrayCount(x -> x > 0, array()) AS c0""").show()
+    g.registerParquet("lineitem", "/root/testdata/sf0.001/lineitem.parquet")
+    g.sql("SELECT l_returnflag, arrayCount(x -> x > 2, collect_list(l_linenumber)) AS n FROM lineitem GROUP BY 1 ORDER BY 1").show()
+    g.spark.stop()
   }
 }

@@ -363,10 +363,22 @@ object GraftFunctions {
     alias("arrayMax")(cs => array_max(cs.head))
     alias("arraySum")(cs => aggregate(cs.head, lit(0.0), (a, x) => a + x.cast("double")))
     alias("arrayAvg")(cs => aggregate(cs.head, lit(0.0), (a, x) => a + x.cast("double")) / size(cs.head))
+    // arrayCount(lambda, arr): the analyzer requires the expression RESOLVED
+    // from a lambda-bearing call to itself be a HigherOrderFunction, so
+    // Size(ArrayFilter(...)) is rejected — count via ArrayAggregate instead,
+    // splicing the user lambda's body into the merge function.
     reg.createOrReplaceTempFunction("arrayCount",
       es =>
         if (es.size == 1) catalyst.expressions.Size(es.head)
-        else catalyst.expressions.Size(catalyst.expressions.ArrayFilter(es(1), es.head)),
+        else {
+          import catalyst.expressions._
+          val lf = es.head.asInstanceOf[LambdaFunction]
+          val acc = UnresolvedNamedLambdaVariable(Seq("__graft_acc"))
+          val fin = UnresolvedNamedLambdaVariable(Seq("__graft_fin"))
+          val merge = LambdaFunction(
+            If(lf.function, Add(acc, Literal(1)), acc), acc +: lf.arguments)
+          ArrayAggregate(es(1), Literal(0), merge, LambdaFunction(fin, Seq(fin)))
+        },
       "built-in")
     alias("arrayEnumerate")(cs => sequence(lit(1), size(cs.head)))
     alias("arrayReverse")(cs => reverse(cs.head))

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** ClickHouse-dialect scalar/aggregate function semantics, including the
+  * edge cases flagged in round-1 ADVICE (empty arrays, boundary-crossing
+  * dateDiff, builtin-name collisions).
+  */
+class FunctionsSpec extends SparkTestBase {
+
+  private def one(q: String): Row = sql(s"SELECT $q").head()
+
+  test("range: end-exclusive, empty for n <= 0") {
+    assert(one("range(3) AS r").getSeq[Long](0) == Seq(0L, 1L, 2L))
+    assert(one("range(0) AS r").getSeq[Long](0) == Seq())
+    assert(one("range(-2) AS r").getSeq[Long](0) == Seq())
+    assert(one("range(2, 5) AS r").getSeq[Long](0) == Seq(2L, 3L, 4L))
+    assert(one("range(5, 5) AS r").getSeq[Long](0) == Seq())
+  }
+
+  test("arrayPopBack/arrayPopFront: empty-safe") {
+    assert(one("arrayPopBack(array(1,2,3)) AS r").getSeq[Int](0) == Seq(1, 2))
+    assert(one("arrayPopBack(array()) AS r").getSeq[Int](0) == Seq())
+    assert(one("arrayPopFront(array(1,2,3)) AS r").getSeq[Int](0) == Seq(2, 3))
+    assert(one("arrayPopFront(array()) AS r").getSeq[Int](0) == Seq())
+  }
+
+  test("dateDiff counts unit-boundary crossings (ClickHouse contract)") {
+    val g = new graft.engine.GraftSession(spark)
+    val r = g.sql(
+      """SELECT dateDiff('day', TIMESTAMP '2024-01-01 23:59:00', TIMESTAMP '2024-01-02 00:01:00') AS dd,
+                dateDiff('hour', TIMESTAMP '2024-01-01 10:59:00', TIMESTAMP '2024-01-01 11:01:00') AS dh,
+                dateDiff('month', TIMESTAMP '2024-01-31 00:00:00', TIMESTAMP '2024-02-01 00:00:00') AS dm,
+                dateDiff('day', TIMESTAMP '2024-01-02 00:01:00', TIMESTAMP '2024-01-01 23:59:00') AS neg""").head()
+    assert(r.getLong(0) == 1L)  // crosses one midnight despite 2 elapsed minutes
+    assert(r.getLong(1) == 1L)
+    assert(r.getLong(2) == 1L)
+    assert(r.getLong(3) == -1L)
+  }
+
+  test("Spark builtins survive dialect registration (no semantic shadowing)") {
+    // log(base, x) must stay two-argument Spark log
+    assert(one("log(2, 8) AS r").getDouble(0) == 3.0)
+    // position(substr IN str) Spark semantics
+    assert(one("position('b', 'abc') AS r").getInt(0) == 2)
+    // any = bool_or
+    assert(one("any(x) AS r FROM (SELECT explode(array(false, true)) AS x)").getBoolean(0))
+    // 2-arg datediff keeps end-minus-start days
+    assert(one("datediff(DATE '2024-01-10', DATE '2024-01-01') AS r").getInt(0) == 9)
+    // md5/sha1/startswith resolve (previously broken by self-recursive aliases)
+    assert(one("md5('abc') AS r").getString(0) == "900150983cd24fb0d6963f7d28e17f72")
+    assert(one("startswith('abc', 'ab') AS r").getBoolean(0))
+    assert(one("xxhash64('abc') AS r").getLong(0) != 0L)
+  }
+
+  test("CH datetime aliases") {
+    assert(one("toYear(DATE '1997-03-05') AS r").getInt(0) == 1997)
+    assert(one("toDayOfWeek(DATE '2026-08-10') AS r").getInt(0) == 1) // Monday
+    assert(one("toDayOfWeek(DATE '2026-08-16') AS r").getInt(0) == 7) // Sunday
+    assert(one("toYYYYMM(DATE '1997-03-05') AS r").getInt(0) == 199703)
+    assert(one("toStartOfMonth(TIMESTAMP '1997-03-05 10:11:12') AS r").getDate(0).toString == "1997-03-01")
+    assert(one("addDays(DATE '1997-03-05', 10) AS r").getDate(0).toString == "1997-03-15")
+  }
+
+  test("CH string aliases") {
+    assert(one("lengthUTF8('héllo') AS r").getInt(0) == 5)
+    assert(one("positionUTF8('hello world', 'world') AS r").getInt(0) == 7)
+    assert(one("positionUTF8('hello', 'xyz') AS r").getInt(0) == 0)
+    assert(one("splitByChar('|', 'a|b|c') AS r").getSeq[String](0) == Seq("a", "b", "c"))
+    assert(one("trimBoth('  x  ') AS r").getString(0) == "x")
+    assert(one("multiIf(1 > 2, 'a', 2 > 1, 'b', 'c') AS r").getString(0) == "b")
+  }
+
+  test("CH array higher-order aliases take (lambda, array) arg order") {
+    assert(one("arrayMap(x -> x * 2, array(1, 2, 3)) AS r").getSeq[Int](0) == Seq(2, 4, 6))
+    assert(one("arrayFilter(x -> x > 1, array(1, 2, 3)) AS r").getSeq[Int](0) == Seq(2, 3))
+    assert(one("arrayExists(x -> x = 2, array(1, 2, 3)) AS r").getBoolean(0))
+    assert(one("arrayCount(x -> x > 1, array(1, 2, 3)) AS r").getInt(0) == 2)
+    assert(one("arraySum(array(1, 2, 3)) AS r").getDouble(0) == 6.0)
+    assert(one("arraySum(array()) AS r").getDouble(0) == 0.0)
+  }
+
+  test("IPv4 round trip") {
+    assert(one("IPv4NumToString(IPv4StringToNum('192.168.1.10')) AS r").getString(0) == "192.168.1.10")
+    assert(one("isIPv4String('10.0.0.1') AS r").getBoolean(0))
+    assert(!one("isIPv4String('999.0.0.1') AS r").getBoolean(0))
+  }
+
+  test("vector distances") {
+    val r = sql("""SELECT L2Distance(array(0.0, 0.0), array(3.0, 4.0)) AS l2,
+        cosineDistance(array(1.0, 0.0), array(1.0, 0.0)) AS cd,
+        dotProduct(array(1.0, 2.0), array(3.0, 4.0)) AS dp""").head()
+    assert(r.getDouble(0) == 5.0)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+    assert(r.getDouble(2) == 11.0)
+  }
+
+  test("conditional aggregate aliases") {
+    val r = sql("""SELECT countIf(x > 1) AS c, sumIf(x, x > 1) AS s, uniqUpTo(x, 2) AS u
+      FROM (SELECT explode(array(1, 2, 3, 3)) AS x)""").head()
+    assert(r.getLong(0) == 3L)
+    assert(r.getLong(1) == 8L)
+    assert(r.getInt(2) == 3) // 3 distinct capped at 2+1
+  }
+}

@@ -1,0 +1,217 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, Dedup, Similarity, TextAnalysis}
+
+class AsOfJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val left = Seq(
+    (1L, ts("2024-01-01 10:00:00"), "l1"),
+    (1L, ts("2024-01-01 12:00:00"), "l2"),
+    (2L, ts("2024-01-01 09:00:00"), "l3"))
+    .toDF("uid", "ts", "tag")
+  private lazy val right = Seq(
+    (1L, ts("2024-01-01 09:30:00"), 10.0),
+    (1L, ts("2024-01-01 12:00:00"), 20.0), // exact-ts match for l2
+    (2L, ts("2024-01-01 09:30:00"), 30.0)) // after l3 → no backward match
+    .toDF("uid", "ts", "price")
+
+  test("backward: latest right row with ts <= left ts; exact ts matches") {
+    val out = AsOfJoin.backward(left, right, Seq("uid"), "ts", "ts", Seq("price"), tsOut = "ts")
+      .orderBy("uid", "ts").collect()
+    assert(out.map(r => (r.getAs[String]("tag"), Option(r.getAs[Double]("price")))).toSeq ==
+      Seq(("l1", Some(10.0)), ("l2", Some(20.0)), ("l3", None)))
+  }
+
+  test("forward: earliest right row with ts >= left ts") {
+    val out = AsOfJoin.forward(left, right, Seq("uid"), "ts", "ts", Seq("price"), tsOut = "ts")
+      .orderBy("uid", "ts").collect()
+    assert(out.map(r => (r.getAs[String]("tag"), Option(r.getAs[Double]("price")))).toSeq ==
+      Seq(("l1", Some(20.0)), ("l2", Some(20.0)), ("l3", Some(30.0))))
+  }
+}
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river shore"), // near dup
+    (4L, "completely different text about spark query engines and shuffles wide"))
+    .toDF("id", "text")
+
+  test("exactGroups finds exact duplicate groups only") {
+    val g = Dedup.exactGroups(docs, "text", "id").collect()
+    assert(g.length == 1)
+    assert(g.head.getSeq[Long](g.head.fieldIndex("ids")).toSeq == Seq(1L, 2L))
+  }
+
+  test("exactKeepFirst keeps the smallest id per content group") {
+    val kept = Dedup.exactKeepFirst(docs, "text", "id")
+      .select("id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L))
+  }
+
+  test("minhashLsh finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashLsh(docs, "text", "id", threshold = 0.5,
+        shingleSize = 3, bands = 8, rowsPerBand = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // exact dup pair has jaccard 1.0
+    val j12 = Dedup.minhashLsh(docs, "text", "id", 0.5, 3, 8, 2)
+      .filter(col("id_a") === 1 && col("id_b") === 2)
+      .select("jaccard").as[Double].head()
+    assert(j12 == 1.0)
+  }
+
+  test("ngramJaccard computes exact jaccard over shingle sets") {
+    val pairs = Dedup.ngramJaccard(docs, "text", "id", threshold = 0.3, shingleSize = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs(((1L, 2L))) == 1.0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhashPairs finds near duplicates within hamming radius") {
+    val pairs = Dedup.simhashPairs(docs, "text", "id", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // identical text → hamming 0
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+}
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 4 unit-ish vectors: 0≈1 (near), 2 orthogonal-ish, 3 opposite
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.1f)),
+    (1L, Array(0.9f, 0.1f, 0.1f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, -0.1f)))
+    .toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by exact cosine") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0),
+        "embedding", "vec_id", 3)
+      .orderBy("rn").select("neighbor_id").as[Long].collect()
+    assert(out.head == 1L)   // most similar
+    assert(out.last == 3L)   // opposite direction last
+  }
+
+  test("annTopK returns bucket-mates ranked by cosine (near dup found)") {
+    val out = Similarity.annTopK(vecs, vecs.filter(col("vec_id") === 0),
+        "embedding", "vec_id", 3, bits = 4)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(out.contains(1L)) // 0 and 1 are nearly parallel → same hyperplane signs
+  }
+
+  test("embeddingNearDup: near-parallel pair passes threshold, opposite does not") {
+    val pairs = Dedup.embeddingNearDup(vecs, "embedding", "vec_id", threshold = 0.95, bits = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 3L)))
+  }
+}
+
+class TextAnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("tokenCount and subword estimate") {
+    val df = Seq("Hello, world! 42 times").toDF("text")
+    val r = df.select(
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.subwordCountEstimate(col("text")).as("s")).head()
+    assert(r.getInt(0) == 4)
+    assert(r.getInt(1) == 4) // no token longer than 6 chars
+  }
+
+  test("languageId picks the language with the best stopword overlap") {
+    val df = Seq(
+      ("en", "the cat sat on the mat and it is a good day for the walk"),
+      ("fr", "le chat est sur la table et il est un bon jour pour le parc"),
+      ("de", "der hund ist ein guter freund und die katze ist auch von den tieren"))
+      .toDF("lang", "text")
+    val preds = df.select(col("lang"), TextAnalysis.languageId(col("text")).as("pred"))
+      .as[(String, String)].collect().toMap
+    assert(preds("en") == "en")
+    assert(preds("fr") == "fr")
+    assert(preds("de") == "de")
+  }
+
+  test("quality features are bounded and deterministic") {
+    val df = Seq((1L, "good clean sentence with varied words here"),
+      (2L, "spam spam spam spam spam spam")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityScore(df, "text")
+      .select("doc_id", "repetition_ratio", "quality_score")
+      .collect().map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(r(1L)._1 < r(2L)._1)             // spam repeats more
+    assert(r(1L)._2 > r(2L)._2)             // and scores lower
+    assert(r.values.forall { case (rep, q) => rep >= 0 && rep <= 1 && q >= 0 && q <= 1 })
+  }
+}
+
+class CustomAggregatesSpec extends SparkTestBase {
+
+  test("windowFunnel: longest in-window chain") {
+    val df = sql("""SELECT * FROM VALUES
+        (1, 100, 'signup'), (1, 200, 'click'), (1, 300, 'purchase'),
+        (2, 100, 'signup'), (2, 200, 'purchase'),
+        (3, 100, 'click')
+      AS t(uid, ts, et)""")
+    df.createOrReplaceTempView("fe")
+    val lvls = sql("""SELECT uid, windowFunnel(1000, ts, et = 'signup', et = 'click', et = 'purchase') AS l
+        FROM fe GROUP BY uid ORDER BY uid""").collect().map(_.getInt(1)).toSeq
+    assert(lvls == Seq(3, 1, 0)) // uid2 skips click → level 1; uid3 never signs up
+  }
+
+  test("windowFunnel respects the time window") {
+    sql("""SELECT * FROM VALUES (1, 0, 'a'), (1, 5000, 'b') AS t(uid, ts, et)""")
+      .createOrReplaceTempView("fw")
+    val l = sql("""SELECT windowFunnel(1000, ts, et = 'a', et = 'b') AS l FROM fw""")
+      .head().getInt(0)
+    assert(l == 1) // second step out of window
+  }
+
+  test("retention: first condition gates the rest") {
+    sql("""SELECT * FROM VALUES (1, 'signup'), (1, 'click'), (2, 'click')
+      AS t(uid, et)""").createOrReplaceTempView("re")
+    val rows = sql("""SELECT uid, retention(et = 'signup', et = 'click') AS r
+        FROM re GROUP BY uid ORDER BY uid""").collect()
+    assert(rows(0).getSeq[Int](1) == Seq(1, 1))
+    assert(rows(1).getSeq[Int](1) == Seq(0, 0)) // no signup → gated off
+  }
+
+  test("sequenceMatch / sequenceCount with .* gaps") {
+    sql("""SELECT * FROM VALUES (1, 'a'), (2, 'x'), (3, 'b'), (4, 'a'), (5, 'b')
+      AS t(ts, et)""").createOrReplaceTempView("se")
+    val r = sql("""SELECT sequenceMatch('(?1).*(?2)', ts, et = 'a', et = 'b') AS m,
+        sequenceCount('(?1).*(?2)', ts, et = 'a', et = 'b') AS c FROM se""").head()
+    assert(r.getBoolean(0))
+    assert(r.getLong(1) == 2L)
+  }
+
+  test("topK orders by frequency") {
+    sql("""SELECT explode(array('a','a','a','b','b','c')) AS x""")
+      .createOrReplaceTempView("tk")
+    val top = sql("SELECT topK(x, 2) AS t FROM tk").head().getSeq[String](0)
+    assert(top == Seq("a", "b"))
+  }
+
+  test("bit aggregates") {
+    sql("SELECT explode(array(6, 3)) AS x").createOrReplaceTempView("ba")
+    val r = sql("""SELECT groupBitAnd(x) AS a, groupBitOr(x) AS o, groupBitXor(x) AS x3
+      FROM ba""").head()
+    assert(r.getLong(0) == 2L)
+    assert(r.getLong(1) == 7L)
+    assert(r.getLong(2) == 5L)
+  }
+}

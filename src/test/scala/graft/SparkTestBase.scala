@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all suites (getOrCreate → one JVM-wide session). */
+object SparkTestBase {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(s)
+    s
+  }
+  val sfDir = "/root/testdata/sf0.001"
+}
+
+abstract class SparkTestBase extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestBase.spark
+  def sql(q: String): org.apache.spark.sql.DataFrame =
+    new graft.engine.GraftSession(spark).sql(q)
+}
