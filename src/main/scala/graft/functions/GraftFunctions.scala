@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.functions._
 
-import graft.functions.agg.{BitAgg, Retention, SequenceMatchAgg, TopK, WindowFunnel}
+import graft.functions.agg.{BitAgg, Ema, Retention, SequenceMatchAgg, TopK, WindowFunnel}
 
 /** ClickHouse-dialect function registration — the Spark-side counterpart of
   * the reference's 871-function registry (reference:
@@ -496,6 +496,8 @@ object GraftFunctions {
       es => SequenceMatchAgg(es.head, es(1), es.drop(2), countMode = false).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction("sequenceCount",
       es => SequenceMatchAgg(es.head, es(1), es.drop(2), countMode = true).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("exponentialMovingAverage",
+      es => Ema(es.head, es(1), es(2)).toAggregateExpression(), "built-in")
 
     // custom scalar expressions
     reg.createOrReplaceTempFunction("simHash", es => SimHash(es.head), "built-in")

@@ -962,7 +962,94 @@ object Queries {
           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS nav
         FROM customer GROUP BY 1) a ON c_nationkey = nk
       WHERE c_acctbal > nav
-      GROUP BY c_nationkey ORDER BY c_nationkey"""))
+      GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    // ============ null handling / slicing / binning (SURVEY §2.B/F/I) =====
+
+    QueryDef("q83_fillna", (s, dir) => {
+      val j = Q.t(s, dir, "customer")
+        .join(Q.t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+            .select("o_custkey", "o_orderkey", "o_totalprice"),
+          col("c_custkey") === col("o_custkey"), "left")
+      j.na.fill(Map("o_totalprice" -> 0.0))
+        .na.fill(Map("o_orderkey" -> -1L))
+        .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("c_custkey", "o_orderkey")
+    }, Some("""SELECT c_custkey, COALESCE(o_orderkey, -1) AS o_orderkey,
+        COALESCE(o_totalprice, 0.0) AS o_totalprice
+      FROM customer LEFT JOIN
+        (SELECT o_custkey, o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000) o
+        ON c_custkey = o_custkey
+      ORDER BY c_custkey, o_orderkey""")),
+
+    QueryDef("q84_dropna", (s, dir) => {
+      val j = Q.t(s, dir, "customer")
+        .join(Q.t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+            .select("o_custkey", "o_totalprice"),
+          col("c_custkey") === col("o_custkey"), "left")
+      j.na.drop("any", Seq("o_totalprice"))
+        .agg(count(lit(1)).as("n_kept"),
+          Q.dsum(col("o_totalprice")).as("kept_sum"))
+    }, Some("""SELECT COUNT(*) AS n_kept,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS kept_sum
+      FROM customer LEFT JOIN
+        (SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 400000) o
+        ON c_custkey = o_custkey
+      WHERE o_totalprice IS NOT NULL""")),
+
+    QueryDef("q85_offset", (s, dir) =>
+      Q.t(s, dir, "orders").orderBy("o_orderkey")
+        .select("o_orderkey", "o_totalprice")
+        .offset(100).limit(50),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey
+      LIMIT 50 OFFSET 100""")),
+
+    QueryDef("q86_width_bucket_hist", (s, dir) =>
+      // cut()/histogram shape: fixed-width binning + count per bin
+      Q.t(s, dir, "orders")
+        .groupBy(width_bucket(col("o_totalprice"), lit(0), lit(500000), lit(10)).as("bin"))
+        .agg(count(lit(1)).as("n"), Q.dsum(col("o_totalprice")).as("s"))
+        .orderBy("bin"),
+      Some("""SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) + 1 AS bin, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS s
+      FROM orders GROUP BY 1 ORDER BY bin""")),
+
+    QueryDef("q87_entropy", (s, dir) => {
+      val c = Q.t(s, dir, "events").groupBy("event_type")
+        .agg(count(lit(1)).cast("double").as("c"))
+        .withColumn("t", sum(col("c")).over(Window.partitionBy()))
+      c.agg(round(-sum((col("c") / col("t")) * log2(col("c") / col("t"))), 6).as("entropy"),
+        count(lit(1)).as("n_types"))
+    }, Some("""SELECT ROUND(-SUM((c / t) * log2(c / t)), 6) AS entropy, COUNT(*) AS n_types
+      FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS c,
+          CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS t
+        FROM events GROUP BY event_type)""")),
+
+    QueryDef("q88_ffill", (s, dir) => {
+      // null out 'view' values, forward-fill per user in time order
+      val ev = Q.t(s, dir, "events")
+        .withColumn("v", when(col("event_type") === "view", lit(null)).otherwise(col("value")))
+      graft.operators.Fill.ffill(ev, Seq("user_id"), Seq("ts", "event_id"), Seq("v"))
+        .select("event_id", "v").orderBy("event_id")
+    }, Some("""SELECT event_id,
+        LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+      FROM (SELECT event_id, user_id, ts,
+          CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v FROM events)
+      ORDER BY event_id""")),
+
+    QueryDef("q89_ema", (s, dir) => {
+      v(s, dir, "events")
+      // half-life 1 hour in microseconds; closed form is order-independent
+      s.sql("""SELECT user_id,
+          ROUND(exponentialMovingAverage(value, CAST(unix_micros(ts) AS DOUBLE), 3.6e9), 6) AS ema
+        FROM events GROUP BY user_id ORDER BY user_id""")
+    }, Some("""SELECT user_id, ROUND(SUM(value * POW(2, (tt - mt) / 3.6e9))
+          / SUM(POW(2, (tt - mt) / 3.6e9)), 6) AS ema
+      FROM (SELECT user_id, value, CAST(epoch_us(ts) AS DOUBLE) AS tt,
+          CAST(MAX(epoch_us(ts)) OVER (PARTITION BY user_id) AS DOUBLE) AS mt
+        FROM events)
+      GROUP BY user_id ORDER BY user_id"""))
   )
 
   val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
