@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for training-data pipelines (builder brief): images /
+  * audio / video travel as opaque `binary` columns next to a typed metadata
+  * struct; decode / feature-extract / resize / frame-sample are per-partition
+  * batch transforms.
+  *
+  * The DECODE KERNELS ARE STUBS — this container ships no image/audio codecs,
+  * so the pixel-level work is a deterministic fake (hash-derived features,
+  * documented below). Everything Spark-side is real and load-bearing at
+  * scale: the schema contract, the mapPartitions batch loop (decoder state is
+  * per-partition, amortized like an Arrow-batch UDF), partition sizing by
+  * byte volume rather than row count, and the frame-sampling explode.
+  */
+object Multimodal {
+
+  val metadataType: StructType = StructType(Seq(
+    StructField("media_type", StringType),      // image | audio | video
+    StructField("format", StringType),          // jpeg | png | wav | mp4 …
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType),       // audio/video
+    StructField("size_bytes", LongType)))
+
+  /** Attach a media payload + metadata struct to a DataFrame. */
+  def withMedia(
+      df: DataFrame,
+      bytesCol: String,
+      mediaType: String,
+      format: String,
+      width: Int = 0,
+      height: Int = 0,
+      durationMs: Long = 0L): DataFrame =
+    df.withColumn("media_meta", struct(
+      lit(mediaType).as("media_type"), lit(format).as("format"),
+      lit(width).as("width"), lit(height).as("height"),
+      lit(durationMs).as("duration_ms"),
+      length(col(bytesCol)).cast("long").as("size_bytes")))
+
+  val imageFeatureType: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("mean_rgb", ArrayType(FloatType, containsNull = false)),
+    StructField("phash", LongType)))
+
+  /** Decode images and extract features, batched per partition.
+    *
+    * STUB KERNEL: a real implementation hands each batch of byte arrays to a
+    * codec (e.g. via JNI or an Arrow-batch Python UDF); here the "decoder"
+    * derives deterministic pseudo-features from the payload bytes (splitmix
+    * hash → channel means in [0,1], 64-bit perceptual-hash stand-in) so the
+    * pipeline is testable end-to-end. The batch shape is the real contract:
+    * one decoder context per partition, rows streamed through it in groups of
+    * `batchSize` — the same amortization an mapInPandas/Arrow UDF gives.
+    */
+  def decodeImageFeatures(
+      df: DataFrame,
+      contentCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("image_features", imageFeatureType))
+    val idx = df.schema.fieldIndex(contentCol)
+    val metaIdx = if (df.schema.fieldNames.contains("media_meta")) df.schema.fieldIndex("media_meta") else -1
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      // per-partition "decoder" init happens here (real codecs would allocate
+      // native contexts once per partition, not per row)
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val bytes = row.getAs[Array[Byte]](idx)
+          val f =
+            if (bytes == null) null
+            else {
+              val h = bytesHash(bytes)
+              val (w, hgt) = dims(row, metaIdx, bytes)
+              Row(w, hgt,
+                Array(chan(h, 0), chan(h, 1), chan(h, 2)),
+                h)
+            }
+          Row.fromSeq(row.toSeq :+ f)
+        }
+      }
+    }(enc)
+  }
+
+  /** Metadata-level resize: a real kernel would re-encode pixels; the stub
+    * rewrites width/height (the catalog-level contract) and keeps bytes.
+    */
+  def resize(df: DataFrame, width: Int, height: Int): DataFrame =
+    df.withColumn("media_meta", struct(
+      col("media_meta.media_type"), col("media_meta.format"),
+      lit(width).as("width"), lit(height).as("height"),
+      col("media_meta.duration_ms"), col("media_meta.size_bytes")))
+
+  /** Frame sampling for video rows: one output row per sampled frame offset.
+    * Pure plan-level explode — each frame row carries (frame_idx, offset_ms)
+    * and the parent payload reference; at scale the payload column is pruned
+    * unless the consumer actually touches bytes.
+    */
+  def frameSample(df: DataFrame, everyMs: Long): DataFrame =
+    df.withColumn("frame",
+        explode(sequence(lit(0L), greatest(col("media_meta.duration_ms") - 1, lit(0L)),
+          lit(everyMs))))
+      .withColumn("frame_idx", (col("frame") / everyMs).cast("int"))
+      .withColumnRenamed("frame", "frame_offset_ms")
+
+  // ---- deterministic stub internals ----
+
+  private def bytesHash(b: Array[Byte]): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < b.length) { h = (h ^ b(i)) * 0x100000001B3L; i += 1 }
+    h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
+    h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
+    h ^ (h >>> 31)
+  }
+
+  private def chan(h: Long, i: Int): Float =
+    (((h >>> (i * 16)) & 0xFFFFL).toFloat / 65535.0f)
+
+  private def dims(row: Row, metaIdx: Int, bytes: Array[Byte]): (Int, Int) =
+    if (metaIdx >= 0 && !row.isNullAt(metaIdx)) {
+      val m = row.getStruct(metaIdx)
+      (m.getAs[Int]("width"), m.getAs[Int]("height"))
+    } else (bytes.length % 1024, bytes.length / 1024 + 1)
+}

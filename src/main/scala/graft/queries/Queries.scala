@@ -1049,7 +1049,42 @@ object Queries {
       FROM (SELECT user_id, value, CAST(epoch_us(ts) AS DOUBLE) AS tt,
           CAST(MAX(epoch_us(ts)) OVER (PARTITION BY user_id) AS DOUBLE) AS mt
         FROM events)
-      GROUP BY user_id ORDER BY user_id"""))
+      GROUP BY user_id ORDER BY user_id""")),
+
+    // ===== multimodal + streaming-shape operators (brief extensions) =====
+
+    QueryDef("q90_multimodal_decode", (s, dir) => {
+      // documents' text bytes stand in for image payloads: the decode kernel
+      // is a deterministic stub (no codecs in-container), the batch/schema
+      // plumbing is the operator under test
+      val media = graft.operators.Multimodal.withMedia(
+        Q.t(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("content")),
+        "content", "image", "jpeg", width = 640, height = 480)
+      graft.operators.Multimodal.decodeImageFeatures(media, "content", batchSize = 64)
+        .select(col("doc_id"), col("media_meta.size_bytes").as("size_bytes"),
+          col("image_features.phash").as("phash"),
+          round(element_at(col("image_features.mean_rgb"), 1), 6).as("mean_r"))
+        .orderBy("doc_id")
+    }, None),
+
+    QueryDef("q91_stream_window_batch", (s, dir) =>
+      // Structured-Streaming windowed aggregation run on the bounded frame —
+      // identical plan to the readStream path (EventStreams.windowedCounts)
+      graft.streaming.EventStreams.windowedCounts(
+          Q.t(s, dir, "events"), "1 hour", "1 minute")
+        .select(col("w_start"), col("event_type"), col("n"))
+        .orderBy("w_start", "event_type"),
+      Some("""SELECT date_trunc('hour', ts) AS w_start, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""")),
+
+    QueryDef("q92_sessionize_stateful", (s, dir) => {
+      // mapGroupsWithState sessionization (bounded-frame mode)
+      val ev = graft.streaming.EventStreams.readEvents(s, dir)
+      graft.streaming.EventStreams.sessionize(ev, gapMs = 30 * 60 * 1000L)
+        .toDF().select(col("user_id"), col("n_events"),
+          round(col("total_value"), 4).as("total_value"))
+        .orderBy("user_id")
+    }, None)
   )
 
   val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` stream shape
+  * (TESTDATA.md). This is BEYOND reference parity by design: the reference's
+  * "streaming" is pull-based result chunking (docs/streaming.rst:1-120;
+  * SURVEY §2.J) with no watermarks or stateful operators — event-time window
+  * aggregation and stateful sessionization are the Spark-native upgrade the
+  * build plan schedules after parity (SURVEY §7 step 9).
+  *
+  * All operators take/return untyped or typed Datasets built from
+  * `spark.readStream` sources; they run identically on a bounded batch frame,
+  * which is how the specs exercise them (MemoryStream).
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionSummary(user_id: Long, n_events: Long, start: Timestamp,
+      end: Timestamp, total_value: Double)
+
+  /** Tumbling event-time window counts with late-data bound `watermark`.
+    * State is bounded: windows older than the watermark are finalized and
+    * dropped — the property that keeps this runnable forever on a real
+    * stream, instead of accumulating unbounded state.
+    */
+  def windowedCounts(events: DataFrame, window: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding-window per-type rates (window, slide). */
+  def slidingCounts(events: DataFrame, window: String, slide: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Stateful sessionization with mapGroupsWithState: a session closes after
+    * `gapMs` of inactivity (processing-time timeout drives emission on a real
+    * stream; on a bounded frame every group flushes at end).
+    * State per key is one running summary — O(1), shuffle is by user_id.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionSummary](GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          // bounded-frame semantics: fold this batch's events in ts order and
+          // report the LAST session per user (streaming mode would emit each
+          // closed session via timeouts)
+          val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(0, Long.MinValue, Long.MinValue, 0.0, 0))
+          evs.foreach { e =>
+            val t = e.ts.getTime
+            st =
+              if (st.n == 0 || t - st.end > gapMs)
+                SessionState(st.sessions + 1, t, t, e.value, 1)
+              else st.copy(end = t, total = st.total + e.value, n = st.n + 1)
+          }
+          state.update(st)
+          SessionSummary(uid, st.n, new Timestamp(st.start), new Timestamp(st.end), st.total)
+      }
+  }
+
+  case class SessionState(sessions: Long, start: Long, end: Long, total: Double, n: Long)
+
+  /** Convenience: open the events parquet dir as a bounded "stream" with the
+    * same schema the live readStream would carry.
+    */
+  def readEvents(spark: SparkSession, sfDir: String): Dataset[Event] = {
+    import spark.implicits._
+    graft.Tables.load(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+  }
+}
