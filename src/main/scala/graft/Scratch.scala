@@ -1,14 +1,26 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 /** Ad-hoc forked smoke tests during development (not part of the library). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val g = graft.engine.GraftSession.build("local[8]", 8)
-    g.sql("""SELECT arrayCount(x -> x > 1, array(1, 2, 3)) AS c2,
-        arrayCount(array(1, 2)) AS c1,
-        arrayCount(x -> x > 0, array()) AS c0""").show()
-    g.registerParquet("lineitem", "/root/testdata/sf0.001/lineitem.parquet")
-    g.sql("SELECT l_returnflag, arrayCount(x -> x > 2, collect_list(l_linenumber)) AS n FROM lineitem GROUP BY 1 ORDER BY 1").show()
-    g.spark.stop()
+    val spark = g.spark
+    val dir = "/root/testdata/sf0.001"
+
+    // ds facade end-to-end over real test data
+    val li = graft.ds.GraftFrame(Tables.load(spark, dir, "lineitem"))
+    li.query("l_quantity > 45")
+      .groupby("l_returnflag").agg("l_quantity" -> "mean", "l_orderkey" -> "nunique")
+      .sortValues(Seq("l_returnflag")).show()
+    li.groupby("l_returnflag").transform("l_quantity", "sum")
+      .select("l_returnflag", "l_quantity_sum").distinct().show()
+
+    // io registry
+    graft.io.Sources.file(spark, s"$dir/nation.parquet").show(3)
+    graft.io.Sources.generateRandom(spark, 3, Seq("x" -> "double", "s" -> "string")).show()
+
+    spark.stop()
   }
 }

@@ -1,0 +1,255 @@
+package graft.ds
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lazy DataFrame facade — the Spark-native counterpart of the reference's
+  * DataStore pandas surface (reference: datastore/core.py:72 lazy op chain,
+  * datastore/pandas_compat.py method surface; SURVEY §2.B/D/F/G/I and §7.3).
+  *
+  * Deliberately a THIN builder over `Dataset`: every method returns a new
+  * GraftFrame wrapping a transformed DataFrame, so the "lazy op chain" IS the
+  * Catalyst logical plan and all of the reference's planner machinery
+  * (segmentation, pushdown decisions, schema tracking — query_planner.py)
+  * collapses into Catalyst. Row-order semantics follow the reference's
+  * PERFORMANCE mode (datastore/config.py:268-285): unordered relational
+  * results, order-dependent ops take explicit sort columns (SURVEY §1.5).
+  */
+final case class GraftFrame(df: DataFrame) {
+  import GraftFrame._
+
+  // ---- projection / mutation (pandas_compat select/assign/rename/drop) ----
+
+  def select(cols: String*): GraftFrame = GraftFrame(df.select(cols.map(col): _*))
+  def selectExpr(exprs: String*): GraftFrame = GraftFrame(df.selectExpr(exprs: _*))
+
+  /** df.assign(x = expr, …) — computed columns; Catalyst resolves dependency
+    * order (reference splits SQL segments for this, lazy_ops.py:153).
+    */
+  def assign(cols: (String, Column)*): GraftFrame =
+    GraftFrame(cols.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) })
+
+  def drop(cols: String*): GraftFrame = GraftFrame(df.drop(cols: _*))
+
+  def rename(mapping: (String, String)*): GraftFrame =
+    GraftFrame(df.withColumnsRenamed(mapping.toMap))
+
+  def addPrefix(p: String): GraftFrame =
+    GraftFrame(df.toDF(df.columns.map(p + _).toIndexedSeq: _*))
+  def addSuffix(s: String): GraftFrame =
+    GraftFrame(df.toDF(df.columns.map(_ + s).toIndexedSeq: _*))
+
+  /** astype: per-column casts (reference lazy_ops.py:720 LazyAsType). */
+  def astype(casts: (String, String)*): GraftFrame =
+    GraftFrame(casts.foldLeft(df) { case (d, (c, t)) => d.withColumn(c, col(c).cast(t)) })
+
+  // ---- filtering (conditions.py condition tree → Column) ----
+
+  def filter(cond: Column): GraftFrame = GraftFrame(df.filter(cond))
+  /** pandas df.query("a > 5 and b < 3") — Spark parses SQL natively. */
+  def query(sqlCond: String): GraftFrame = GraftFrame(df.filter(sqlCond))
+  def where(cond: Column): GraftFrame = filter(cond)
+
+  /** where(cond, other): pandas value-replacement (reference WhereMaskCaseExpr,
+    * sql_executor.py:47-225) — keep value where cond holds, else `other`.
+    */
+  def whereValue(cond: Column, other: Column, cols: Seq[String]): GraftFrame =
+    GraftFrame(cols.foldLeft(df)((d, c) =>
+      d.withColumn(c, when(cond, col(c)).otherwise(other))))
+  def mask(cond: Column, other: Column, cols: Seq[String]): GraftFrame =
+    whereValue(!cond, other, cols)
+
+  // ---- null handling ----
+
+  def fillna(value: Any, cols: Seq[String] = Nil): GraftFrame = {
+    val target = if (cols.isEmpty) df.columns.toSeq else cols
+    GraftFrame(value match {
+      case d: Double => df.na.fill(d, target)
+      case l: Long => df.na.fill(l, target)
+      case i: Int => df.na.fill(i.toLong, target)
+      case s: String => df.na.fill(s, target)
+      case other => df.na.fill(other.toString, target)
+    })
+  }
+  def dropna(subset: Seq[String] = Nil, how: String = "any"): GraftFrame =
+    GraftFrame(if (subset.isEmpty) df.na.drop(how) else df.na.drop(how, subset))
+
+  // ---- sorting / slicing (SURVEY §2.F) ----
+
+  def sortValues(by: Seq[String], ascending: Seq[Boolean] = Nil): GraftFrame = {
+    val asc = if (ascending.isEmpty) Seq.fill(by.size)(true) else ascending
+    GraftFrame(df.orderBy(by.zip(asc).map { case (c, a) => if (a) col(c).asc else col(c).desc }: _*))
+  }
+  def head(n: Int): GraftFrame = GraftFrame(df.limit(n))
+  def limit(n: Int): GraftFrame = head(n)
+  def offset(n: Int): GraftFrame = GraftFrame(df.offset(n))
+  def sample(fraction: Double, seed: Long = 42L): GraftFrame =
+    GraftFrame(df.sample(fraction, seed))
+
+  def nlargest(n: Int, by: Seq[String]): GraftFrame =
+    GraftFrame(df.orderBy(by.map(col(_).desc): _*).limit(n))
+  def nsmallest(n: Int, by: Seq[String]): GraftFrame =
+    GraftFrame(df.orderBy(by.map(col(_).asc): _*).limit(n))
+
+  // ---- dedup / set ops (SURVEY §2.G) ----
+
+  def distinct(): GraftFrame = GraftFrame(df.distinct())
+
+  /** drop_duplicates(subset, keep='first' by explicit order column) —
+    * order-based keep needs an explicit ordering (PERFORMANCE-mode contract).
+    */
+  def dropDuplicates(subset: Seq[String], keepFirstBy: Seq[String] = Nil): GraftFrame =
+    if (keepFirstBy.isEmpty) GraftFrame(df.dropDuplicates(subset))
+    else {
+      val w = Window.partitionBy(subset.map(col): _*).orderBy(keepFirstBy.map(col): _*)
+      GraftFrame(df.withColumn("__gf_rn", row_number().over(w))
+        .filter(col("__gf_rn") === 1).drop("__gf_rn"))
+    }
+
+  def union(other: GraftFrame, all: Boolean = false): GraftFrame = {
+    val u = df.unionByName(other.df, allowMissingColumns = true)
+    GraftFrame(if (all) u else u.distinct())
+  }
+  def intersect(other: GraftFrame): GraftFrame = GraftFrame(df.intersect(other.df))
+  def except(other: GraftFrame): GraftFrame = GraftFrame(df.except(other.df))
+
+  // ---- joins (SURVEY §2.C; pandas merge suffix semantics) ----
+
+  /** pandas merge: overlapping non-key columns get suffixes (reference gate
+    * pandas_compat.py:1680-1696 falls back to pandas for this; here it is
+    * plain column renaming before a native join).
+    */
+  def merge(
+      right: GraftFrame,
+      on: Seq[String],
+      how: String = "inner",
+      suffixes: (String, String) = ("_x", "_y")): GraftFrame = {
+    val overlap = (df.columns.toSet & right.df.columns.toSet) -- on.toSet
+    val l = overlap.foldLeft(df)((d, c) => d.withColumnRenamed(c, c + suffixes._1))
+    val r = overlap.foldLeft(right.df)((d, c) => d.withColumnRenamed(c, c + suffixes._2))
+    GraftFrame(l.join(r, on, how))
+  }
+
+  def join(right: GraftFrame, cond: Column, how: String = "inner"): GraftFrame =
+    GraftFrame(df.join(right.df, cond, how))
+
+  // ---- grouping (SURVEY §2.D) ----
+
+  def groupby(cols: String*): GraftGroupBy = GraftGroupBy(df, cols)
+
+  /** value_counts (reference pandas_compat.py:1039). */
+  def valueCounts(c: String): GraftFrame =
+    GraftFrame(df.groupBy(c).agg(org.apache.spark.sql.functions.count(lit(1)).as("count"))
+      .orderBy(col("count").desc, col(c).asc))
+
+  def nunique(c: String): GraftFrame =
+    GraftFrame(df.agg(count_distinct(col(c)).as("nunique")))
+
+  /** describe → Spark summary (8-stat table, reference core.py describe). */
+  def describe(cols: String*): GraftFrame = GraftFrame(df.describe(cols: _*))
+
+  // ---- reshaping (SURVEY §2.I — real Spark ops, not pandas fallback) ----
+
+  def pivotTable(index: String, columns: String, values: Seq[String],
+      agg: String = "count"): GraftFrame = {
+    val g = df.groupBy(index).pivot(columns)
+    GraftFrame(agg match {
+      case "count" => g.agg(org.apache.spark.sql.functions.count(lit(1)))
+      case "sum" => g.sum(values: _*)
+      case "mean" | "avg" => g.avg(values: _*)
+      case "min" => g.min(values: _*)
+      case "max" => g.max(values: _*)
+    })
+  }
+
+  def melt(ids: Seq[String], values: Seq[String],
+      varName: String = "variable", valueName: String = "value"): GraftFrame =
+    GraftFrame(df.unpivot(ids.map(col).toArray, values.map(col).toArray, varName, valueName))
+
+  def explodeCol(c: String, outName: String = ""): GraftFrame = {
+    val out = if (outName.isEmpty) c else outName
+    GraftFrame(df.withColumn(out, explode(col(c))))
+  }
+
+  // ---- execution triggers ----
+
+  def collect(): Array[org.apache.spark.sql.Row] = df.collect()
+  def count(): Long = df.count()
+  def show(n: Int = 20): Unit = df.show(n)
+  def explain(): Unit = df.explain("formatted")
+  def cache(): GraftFrame = GraftFrame(df.cache())
+  def toDF: DataFrame = df
+}
+
+object GraftFrame {
+
+  /** Grouped surface (reference datastore/groupby.py LazyGroupBy). */
+  final case class GraftGroupBy(df: DataFrame, keys: Seq[String]) {
+    private def g = df.groupBy(keys.map(col): _*)
+
+    /** agg("col" -> "func", …) with pandas→SQL name mapping
+      * (reference utils.py:263-277 SQL_AGG_FUNC_MAP).
+      */
+    def agg(specs: (String, String)*): GraftFrame =
+      GraftFrame(g.agg(
+        aggExpr(specs.head._1, specs.head._2),
+        specs.tail.map { case (c, f) => aggExpr(c, f) }: _*))
+
+    def aggCols(exprs: Column*): GraftFrame = GraftFrame(g.agg(exprs.head, exprs.tail: _*))
+
+    def count(): GraftFrame = GraftFrame(g.agg(org.apache.spark.sql.functions.count(lit(1)).as("count")))
+    def size(): GraftFrame = count()
+    def mean(cols: String*): GraftFrame = GraftFrame(g.avg(cols: _*))
+    def sum(cols: String*): GraftFrame = GraftFrame(g.sum(cols: _*))
+    def min(cols: String*): GraftFrame = GraftFrame(g.min(cols: _*))
+    def max(cols: String*): GraftFrame = GraftFrame(g.max(cols: _*))
+    def nunique(c: String): GraftFrame =
+      GraftFrame(g.agg(count_distinct(col(c)).as(s"${c}_nunique")))
+
+    /** groupby.transform: group aggregate broadcast back to every row
+      * (reference groupby.py transform → window aggregate, SURVEY §2.D).
+      */
+    def transform(c: String, func: String, outName: String = ""): GraftFrame = {
+      val w = Window.partitionBy(keys.map(col): _*)
+      val out = if (outName.isEmpty) s"${c}_$func" else outName
+      GraftFrame(df.withColumn(out, aggFn(func, c).over(w)))
+    }
+
+    /** groupby.filter: keep rows of groups satisfying a group-level predicate
+      * on func(c) (reference groupby.py filter).
+      */
+    def filterGroups(c: String, func: String, pred: Column => Column): GraftFrame = {
+      val w = Window.partitionBy(keys.map(col): _*)
+      GraftFrame(df.withColumn("__gf_agg", aggFn(func, c).over(w))
+        .filter(pred(col("__gf_agg"))).drop("__gf_agg"))
+    }
+
+    /** head(n) per group with explicit order (LIMIT n BY analog). */
+    def head(n: Int, orderBy: Seq[String]): GraftFrame = {
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(orderBy.map(col): _*)
+      GraftFrame(df.withColumn("__gf_rn", row_number().over(w))
+        .filter(col("__gf_rn") <= n).drop("__gf_rn"))
+    }
+
+    private def aggExpr(c: String, f: String): Column = aggFn(f, c).as(s"${c}_$f")
+
+    /** pandas name → Spark aggregate (reference SQL_AGG_FUNC_MAP). */
+    private def aggFn(f: String, c: String): Column = f match {
+      case "mean" | "avg" => avg(col(c))
+      case "sum" => org.apache.spark.sql.functions.sum(col(c))
+      case "count" => org.apache.spark.sql.functions.count(col(c))
+      case "min" => org.apache.spark.sql.functions.min(col(c))
+      case "max" => org.apache.spark.sql.functions.max(col(c))
+      case "std" => stddev_samp(col(c))
+      case "var" => var_samp(col(c))
+      case "first" | "any" => any_value(col(c))
+      case "last" => org.apache.spark.sql.functions.last(col(c))
+      case "nunique" => count_distinct(col(c))
+      case "median" => org.apache.spark.sql.functions.median(col(c))
+      case "prod" | "product" =>
+        exp(org.apache.spark.sql.functions.sum(log(col(c)))) // positive domain
+      case other => call_function(other, col(c))
+    }
+  }
+}

@@ -1,0 +1,106 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/sink registry — the Spark counterpart of the reference's table
+  * functions (reference: datastore/table_functions.py `file()` :123, `s3()`
+  * :316, `numbers()` :995, `generateRandom()` :1051; uri router
+  * datastore/uri_parser.py:56-94; SURVEY §2.A).
+  *
+  * `spark.read` already covers the format zoo; what this adds is the
+  * reference's ergonomics: extension-based format detection, the numbers /
+  * generateRandom generators, and a single `uri()` entry point. Object-store
+  * paths (s3a://, gs://, abfs://) ride the same API — the scheme selects the
+  * Hadoop filesystem, exactly how a 1000-executor cluster reads 100 TB.
+  */
+object Sources {
+
+  /** file(path[, format]) — format auto-detected from the extension when not
+    * given (reference table_functions.py:123-207 + format detect core.py:2101).
+    */
+  def file(spark: SparkSession, path: String, format: String = ""): DataFrame = {
+    val fmt = if (format.nonEmpty) format.toLowerCase else detectFormat(path)
+    fmt match {
+      case "csv" => spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+      case "tsv" => spark.read.option("header", "true").option("inferSchema", "true")
+        .option("sep", "\t").csv(path)
+      case "json" | "jsoneachrow" | "ndjson" => spark.read.json(path)
+      case "text" | "txt" => spark.read.text(path)
+      case other => spark.read.format(other).load(path)
+    }
+  }
+
+  /** uri() — scheme-routed read (reference uri_parser.py:56-94). s3/gs/abfs
+    * resolve through the Hadoop filesystem layer; jdbc: through the JDBC
+    * source with the table in the fragment: jdbc:postgresql://host/db#table.
+    */
+  def uri(spark: SparkSession, u: String): DataFrame =
+    if (u.startsWith("jdbc:")) {
+      val Array(url, table) = u.split("#", 2)
+      jdbc(spark, url, table)
+    } else file(spark, u)
+
+  /** mysql()/postgresql()/sqlite() analog — federated JDBC table read
+    * (reference table_functions.py:570-667; SURVEY maps it to the JDBC
+    * source, which pushes filters and prunes columns server-side).
+    */
+  def jdbc(spark: SparkSession, url: String, table: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table).options(options).load()
+
+  /** numbers(n) — integer generator (reference table_functions.py:995;
+    * spark.range is already distributed + codegen'd).
+    */
+  def numbers(spark: SparkSession, n: Long, partitions: Int = 0): DataFrame = {
+    val r = if (partitions > 0) spark.range(0, n, 1, partitions) else spark.range(n)
+    r.toDF("number")
+  }
+
+  /** generateRandom(schema-ish) — deterministic random table (reference
+    * table_functions.py:1051-1142). Column spec: name -> one of
+    * int | long | double | string | bool | date.
+    */
+  def generateRandom(
+      spark: SparkSession, n: Long, cols: Seq[(String, String)],
+      seed: Long = 42L): DataFrame =
+    cols.zipWithIndex.foldLeft(numbers(spark, n)) { case (df, ((name, tpe), i)) =>
+      val r = rand(seed + i)
+      df.withColumn(name, tpe.toLowerCase match {
+        case "int" => (r * Int.MaxValue).cast("int")
+        case "long" => (r * Long.MaxValue).cast("long")
+        case "double" => r
+        case "bool" | "boolean" => r > 0.5
+        case "string" => md5(concat(col("number").cast("string"), lit(name)))
+        case "date" => date_add(lit("2020-01-01").cast("date"), (r * 3650).cast("int"))
+        case other => throw new IllegalArgumentException(s"generateRandom: $other")
+      })
+    }
+
+  /** write helpers (reference pandas_compat to_parquet/to_csv/…). */
+  def write(df: DataFrame, path: String, format: String = "",
+      mode: String = "overwrite", partitionBy: Seq[String] = Nil): Unit = {
+    val fmt = if (format.nonEmpty) format else detectFormat(path)
+    var w = df.write.mode(mode)
+    if (fmt == "csv" || fmt == "tsv") w = w.option("header", "true")
+    if (fmt == "tsv") w = w.option("sep", "\t")
+    val fmt2 = if (fmt == "tsv") "csv" else fmt
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).format(fmt2).save(path)
+  }
+
+  private def detectFormat(path: String): String = {
+    val clean = path.replaceAll("[?#].*$", "").replaceAll("/+$", "")
+    val base = clean.substring(clean.lastIndexOf('/') + 1)
+    base.substring(base.lastIndexOf('.') + 1).toLowerCase match {
+      case "pq" | "parquet" => "parquet"
+      case "csv" => "csv"
+      case "tsv" => "tsv"
+      case "json" | "ndjson" | "jsonl" => "json"
+      case "orc" => "orc"
+      case "avro" => "avro"
+      case "txt" | "text" => "text"
+      case _ => "parquet" // directories default to parquet
+    }
+  }
+}
