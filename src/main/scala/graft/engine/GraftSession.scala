@@ -35,6 +35,38 @@ final class GraftSession(val spark: SparkSession) {
   private def rewriteDialect(q: String): String =
     dateDiffQuotedUnit.replaceAllIn(q, m => "dateDiffCH($1")
 
+  /** Parameterized query — the reference's `{name:Type}` placeholders bound
+    * via params= (reference chdb/__init__.py:145-160, README.md:276-289).
+    * ClickHouse placeholders are rewritten to Spark 4 named parameters
+    * (:name) and bound through spark.sql(query, args); the :Type annotation
+    * is dropped — Spark infers from the bound value.
+    */
+  def sql(query: String, params: Map[String, Any]): DataFrame = {
+    val rewritten = "\\{\\s*(\\w+)\\s*:\\s*[\\w()]+\\s*\\}".r
+      .replaceAllIn(rewriteDialect(query), m => ":" + m.group(1))
+    spark.sql(rewritten, params)
+  }
+
+  /** DDL/DML passthrough (reference core.py:4708 create_table, :4757 insert;
+    * SURVEY §2.A). Tables are Spark catalog tables backed by parquet;
+    * UPDATE/DELETE require a lakehouse format (documented gap, SURVEY §2.A).
+    */
+  def createTable(name: String, schemaDdl: String): Unit =
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $name ($schemaDdl) USING parquet")
+
+  def insertInto(name: String, df: DataFrame): Unit =
+    df.write.mode("append").insertInto(name)
+
+  def createView(name: String, selectSql: String): Unit =
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $name AS $selectSql")
+
+  /** Scalar UDF registration (reference docs/udf.rst:20-60 @chdb_udf; the
+    * reference is one-call-per-row Python over TSV strings — a typed Scala
+    * udf is strictly stronger; custom Catalyst expressions stronger still).
+    */
+  def createFunction(name: String, f: org.apache.spark.sql.expressions.UserDefinedFunction): Unit =
+    spark.udf.register(name, f)
+
   /** Register a parquet file/directory as a named SQL table — the analog of
     * `file(path, 'Parquet')` (reference table_functions.py:123).
     */

@@ -1,0 +1,76 @@
+package graft
+
+import graft.queries.Queries
+
+/** Golden plan invariants (SURVEY §5 port: optimizedPlan snapshots → here,
+  * physical-plan property assertions). These lock in the 100 TB plan shapes:
+  * pruned scans with pushed filters, broadcast dim joins, no cartesian blowups.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    Queries.byName(name).fn(spark, SparkTestBase.sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q01: filter pushed to parquet scan, columns pruned") {
+    val p = plan("q01_tpch_q1")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_orderkey"), "projection pruning should drop unused key columns")
+  }
+
+  test("q10: dimension joins broadcast, no sort-merge join") {
+    val p = plan("q10_join3_tpch_q3")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q18: 5-way join is a broadcast chain over one fact scan") {
+    val p = plan("q18_join5_tpch_q5")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 5)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q19: aggregate-only plan reads only needed columns") {
+    val p = plan("q19_tpch_q6")
+    assert(p.contains("l_shipdate") && p.contains("l_discount"))
+    assert(!p.contains("l_orderkey") && !p.contains("l_returnflag"))
+  }
+
+  test("minhash dedup plan has no cartesian product") {
+    val p = plan("q63_minhash_pairs")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("asof join is one union + per-key window, no join node") {
+    val p = plan("q72_asof_join")
+    assert(p.contains("Union"))
+    assert(p.contains("Window"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+}
+
+class SessionSpec extends SparkTestBase {
+
+  test("parameterized query with ClickHouse placeholders") {
+    val g = new graft.engine.GraftSession(spark)
+    g.registerParquet("nation_p", s"${SparkTestBase.sfDir}/nation.parquet")
+    val n = g.sql("SELECT count(*) AS n FROM nation_p WHERE n_nationkey < {k:UInt32}",
+      Map("k" -> 5)).head().getLong(0)
+    assert(n == 5L)
+  }
+
+  test("createView + dialect SQL") {
+    val g = new graft.engine.GraftSession(spark)
+    g.registerParquet("orders_p", s"${SparkTestBase.sfDir}/orders.parquet")
+    g.createView("ov", "SELECT toYear(o_orderdate) AS y FROM orders_p")
+    assert(g.sql("SELECT count(DISTINCT y) AS n FROM ov").head().getLong(0) >= 5L)
+  }
+
+  test("scalar UDF registration") {
+    val g = new graft.engine.GraftSession(spark)
+    g.createFunction("plus_one", org.apache.spark.sql.functions.udf((x: Long) => x + 1))
+    assert(g.sql("SELECT plus_one(41) AS r").head().getLong(0) == 42L)
+  }
+}
