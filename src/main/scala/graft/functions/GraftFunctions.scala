@@ -175,7 +175,37 @@ object GraftFunctions {
     }
     alias("dateDiffCH")(cs => call_function("date_diff", cs: _*))
     alias("dateName")(cs => date_format(cs(1), "MMMM"))
+    alias("monthName")(cs => date_format(cs.head, "MMMM"))
     alias("formatDateTime")(cs => call_function("date_format", cs.head, cs(1)))
+    alias("addQuarters")(cs => add_months(cs.head, cs(1) * lit(3)))
+    alias("subtractWeeks")(cs => date_sub(cs.head, (cs(1) * lit(7)).cast("int")))
+    alias("subtractHours")(cs => cs.head - (cs(1).cast("int") * expr("INTERVAL 1 HOUR")))
+    alias("subtractMinutes")(cs => cs.head - (cs(1).cast("int") * expr("INTERVAL 1 MINUTE")))
+    alias("subtractSeconds")(cs => cs.head - (cs(1).cast("int") * expr("INTERVAL 1 SECOND")))
+    alias("fromUnixTimestamp")(cs => timestamp_seconds(cs.head))
+    alias("toUnixTimestamp64Milli")(cs => unix_millis(cs.head))
+    alias("toUnixTimestamp64Micro")(cs => unix_micros(cs.head))
+    alias("toStartOfTenMinutes")(cs =>
+      timestamp_seconds(floor(unix_timestamp(cs.head) / 600) * 600))
+    // ISO year = calendar year of that ISO week's Thursday
+    alias("toISOYear")(cs => year(date_add(date_trunc("week", cs.head).cast("date"), 3)))
+    alias("toRelativeDayNum")(cs => datediff(cs.head.cast("date"), lit("1970-01-01").cast("date")))
+    // age('unit', a, b) — COMPLETE elapsed units (floor), unlike dateDiff's
+    // boundary crossings: ClickHouse defines both, with exactly this split.
+    alias("age") { cs =>
+      val unit = lower(cs.head)
+      val secs = unix_timestamp(cs(2)) - unix_timestamp(cs(1))
+      val months = floor(months_between(cs(2), cs(1))).cast("long")
+      when(unit === "second", secs)
+        .when(unit === "minute", floor(secs / 60).cast("long"))
+        .when(unit === "hour", floor(secs / 3600).cast("long"))
+        .when(unit === "day", floor(secs / 86400).cast("long"))
+        .when(unit === "week", floor(secs / 604800).cast("long"))
+        .when(unit === "month", months)
+        .when(unit === "quarter", floor(months / 3).cast("long"))
+        .when(unit === "year", floor(months / 12).cast("long"))
+        .otherwise(lit(null))
+    }
     alias("toDateOrNull")(cs => call_function("try_to_timestamp", cs.head).cast("date"))
     alias("toDateTime")(cs => cs.head.cast("timestamp"))
     alias("toTimeZone")(cs => call_function("convert_timezone", lit("UTC"), cs(1), cs.head))
@@ -227,6 +257,27 @@ object GraftFunctions {
     alias("byteSize")(cs => call_function("octet_length", cs.head))
     alias("appendTrailingCharIfAbsent")(cs =>
       when(cs.head.endsWith(cs(1)), cs.head).otherwise(concat(cs.head, cs(1))))
+    alias("countSubstrings")(cs =>
+      ((length(cs.head) - length(call_function("replace", cs.head, cs(1), lit("")))) /
+        length(cs(1))).cast("long"))
+    alias("countMatches")(cs =>
+      size(call_function("regexp_extract_all", cs.head, cs(1), lit(0))).cast("long"))
+    alias("extract")(cs => call_function("regexp_extract", cs.head, cs(1), lit(0)))
+    alias("splitByRegexp")(cs => split_col(cs(1), cs.head))
+    alias("reverseUTF8")(cs => reverse(cs.head))
+    alias("translateUTF8")(cs => call_function("translate", cs: _*))
+    // ngramDistance(a, b): 1 − jaccard of char 4-gram sets (CH contract ~)
+    alias("ngramDistance") { cs =>
+      def grams(c: Column) = array_distinct(charNgrams(lower(c), 4))
+      val (a, b) = (grams(cs.head), grams(cs(1)))
+      val inter = size(array_intersect(a, b)).cast("double")
+      lit(1.0) - inter / greatest(size(a) + size(b) - inter, lit(1)).cast("double")
+    }
+    alias("ngramSearch") { cs =>
+      def grams(c: Column) = array_distinct(charNgrams(lower(c), 4))
+      val (h, n) = (grams(cs.head), grams(cs(1)))
+      size(array_intersect(h, n)).cast("double") / greatest(size(n), lit(1)).cast("double")
+    }
 
     // ---- MATH (function_definitions.py:1960-2169) ----
     alias("intDiv")(cs => floor(cs.head / cs(1)).cast("long"))
@@ -244,6 +295,19 @@ object GraftFunctions {
     alias("sqr")(cs => cs.head * cs.head)
     alias("roundBankers")(cs => bround(cs.head, if (cs.size > 1) cs(1) else lit(0)))
     alias("roundToExp2")(cs => pow(lit(2.0), floor(log(cs.head) / log(lit(2.0)))).cast("long"))
+    alias("sigmoid")(cs => lit(1.0) / (lit(1.0) + exp(-cs.head)))
+    alias("intHash32")(cs => hash(cs.head))
+    alias("intHash64")(cs => xxhash64(cs.head))
+    alias("randUniform")(cs => cs.head + rand() * (cs(1) - cs.head))
+    // ---- BIT (function_definitions.py:8001) ----
+    alias("bitAnd")(cs => cs.head.bitwiseAND(cs(1)))
+    alias("bitOr")(cs => cs.head.bitwiseOR(cs(1)))
+    alias("bitXor")(cs => cs.head.bitwiseXOR(cs(1)))
+    alias("bitNot")(cs => call_function("bitwise_not", cs.head))
+    alias("bitShiftLeft")(cs => call_function("shiftleft", cs.head, cs(1)))
+    alias("bitShiftRight")(cs => call_function("shiftright", cs.head, cs(1)))
+    alias("bitTest")(cs =>
+      call_function("shiftright", cs.head.cast("long"), cs(1).cast("int")).bitwiseAND(lit(1L)).cast("int"))
     // CH `log` = natural log, but Spark's builtin log(base, x) must keep its
     // standard semantics (ADVICE r1) — so no `log` override; `ln` is already
     // the shared spelling in both dialects.
@@ -390,6 +454,32 @@ object GraftFunctions {
     alias("arrayPopBack")(cs => slice(cs.head, lit(1), greatest(size(cs.head) - 1, lit(0))))
     alias("arrayPopFront")(cs => slice(cs.head, lit(2), greatest(size(cs.head) - 1, lit(0))))
     alias("emptyArrayToSingle")(cs => when(size(cs.head) === 0, array(lit(0))).otherwise(cs.head))
+    alias("arrayIntersect")(cs => cs.tail.foldLeft(cs.head)((a, b) => array_intersect(a, b)))
+    alias("hasAll")(cs => forall(cs(1), x => array_contains_col(cs.head, x)))
+    alias("hasAny")(cs => call_function("arrays_overlap", cs.head, cs(1)))
+    alias("countEqual")(cs => size(filter(cs.head, x => x === cs(1))).cast("long"))
+    alias("arrayWithConstant")(cs => array_repeat(cs(1), cs.head.cast("int")))
+    alias("arrayProduct")(cs =>
+      aggregate(cs.head, lit(1.0), (a, x) => a * x.cast("double")))
+    // arrayDifference([a0,a1,…]) = [0, a1−a0, …]
+    alias("arrayDifference") { cs =>
+      val shifted = concat(slice(cs.head, lit(1), lit(1)),
+        slice(cs.head, lit(1), greatest(size(cs.head) - 1, lit(0))))
+      zip_with(cs.head, shifted, (x, y) => x - y)
+    }
+    // arrayCumSum: O(n²) array rebuild — fine for row-level arrays, not for
+    // table-scale running sums (those are window aggregates)
+    alias("arrayCumSum")(cs =>
+      aggregate(cs.head, array().cast("array<double>"),
+        (acc, x) => concat(acc,
+          array(coalesce(call_function("try_element_at", acc, lit(-1)), lit(0.0))
+            + x.cast("double")))))
+    alias("arrayResize") { cs =>
+      val fill = if (cs.size > 2) cs(2) else lit(0)
+      val n = cs(1).cast("int")
+      when(size(cs.head) >= n, slice(cs.head, lit(1), greatest(n, lit(0))))
+        .otherwise(concat(cs.head, array_repeat(fill, n - size(cs.head))))
+    }
     // CH range(n)/range(start,end): end-exclusive, [] when empty. Spark's
     // sequence() reverses direction when end < start, so build one element
     // past the range and filter — keeps codegen, returns [] for n <= 0.
@@ -403,6 +493,7 @@ object GraftFunctions {
           x => x >= cs.head.cast("long") && x < cs(1).cast("long")))
 
     // ---- MAP / TUPLE ----
+    alias("mapFromArrays")(cs => call_function("map_from_arrays", cs.head, cs(1)))
     alias("mapKeys")(cs => map_keys(cs.head))
     alias("mapValues")(cs => map_values(cs.head))
     alias("mapContains")(cs => call_function("map_contains_key", cs.head, cs(1)))
@@ -510,6 +601,16 @@ object GraftFunctions {
   }
 
   // -- helpers over dynamic (non-literal-arg) built-ins -------------------
+
+  /** Character n-grams via the same zip-of-slices shape as [[shingles]]. */
+  private def charNgrams(s: Column, n: Int): Column = {
+    val chars = filter(split(s, ""), c => length(c) > 0)
+    val m = greatest(size(chars) - lit(n - 1), lit(0))
+    val parts = (0 until n).map(i => slice(chars, lit(i + 1), m).as(s"c$i"))
+    when(size(chars) < n, array(array_join(chars, "")))
+      .otherwise(transform(arrays_zip(parts: _*),
+        x => concat((0 until n).map(i => x.getField(s"c$i")): _*)))
+  }
 
   private def jsonPath(keys: Seq[Column]): Column =
     keys.foldLeft(lit("$"))((acc, k) => concat(acc, lit("."), k))

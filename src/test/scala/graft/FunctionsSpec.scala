@@ -95,6 +95,47 @@ class FunctionsSpec extends SparkTestBase {
     assert(r.getDouble(2) == 11.0)
   }
 
+  test("age() counts complete units; dateDiff counts boundary crossings") {
+    val g = new graft.engine.GraftSession(spark)
+    val r = g.sql("""SELECT
+        age('day', TIMESTAMP '2024-01-01 23:59:00', TIMESTAMP '2024-01-02 00:01:00') AS a,
+        dateDiff('day', TIMESTAMP '2024-01-01 23:59:00', TIMESTAMP '2024-01-02 00:01:00') AS d,
+        age('month', TIMESTAMP '2024-01-15 00:00:00', TIMESTAMP '2024-03-14 00:00:00') AS am""").head()
+    assert(r.getLong(0) == 0L) // 2 minutes elapsed < 1 complete day
+    assert(r.getLong(1) == 1L)
+    assert(r.getLong(2) == 1L) // not yet 2 complete months
+  }
+
+  test("array batch-2 aliases") {
+    assert(one("arrayDifference(array(1, 4, 9)) AS r").getSeq[Int](0) == Seq(0, 3, 5))
+    assert(one("arrayCumSum(array(1, 2, 3)) AS r").getSeq[Double](0) == Seq(1.0, 3.0, 6.0))
+    assert(one("arrayProduct(array(2, 3, 4)) AS r").getDouble(0) == 24.0)
+    assert(one("arrayResize(array(1, 2, 3), 2) AS r").getSeq[Int](0) == Seq(1, 2))
+    assert(one("arrayResize(array(1, 2), 4, 9) AS r").getSeq[Int](0) == Seq(1, 2, 9, 9))
+    assert(one("hasAll(array(1, 2, 3), array(1, 3)) AS r").getBoolean(0))
+    assert(!one("hasAll(array(1, 2), array(1, 4)) AS r").getBoolean(0))
+    assert(one("hasAny(array(1, 2), array(2, 9)) AS r").getBoolean(0))
+    assert(one("countEqual(array(1, 2, 2, 3), 2) AS r").getLong(0) == 2L)
+    assert(one("arrayWithConstant(3, 7) AS r").getSeq[Int](0) == Seq(7, 7, 7))
+  }
+
+  test("string batch-2 aliases") {
+    assert(one("countSubstrings('ababab', 'ab') AS r").getLong(0) == 3L)
+    assert(one("countMatches('a1b22c', '\\\\d+') AS r").getLong(0) == 2L)
+    assert(one("extract('key=value', 'key=\\\\w+') AS r").getString(0) == "key=value")
+    assert(one("ngramDistance('hello world', 'hello world') AS r").getDouble(0) == 0.0)
+    assert(one("ngramDistance('hello', 'xyzzy') AS r").getDouble(0) == 1.0)
+  }
+
+  test("bit aliases") {
+    assert(one("bitAnd(6, 3) AS r").getInt(0) == 2)
+    assert(one("bitOr(6, 3) AS r").getInt(0) == 7)
+    assert(one("bitXor(6, 3) AS r").getInt(0) == 5)
+    assert(one("bitShiftLeft(1, 4) AS r").getInt(0) == 16)
+    assert(one("bitTest(5, 0) AS r").getInt(0) == 1)
+    assert(one("bitTest(5, 1) AS r").getInt(0) == 0)
+  }
+
   test("conditional aggregate aliases") {
     val r = sql("""SELECT countIf(x > 1) AS c, sumIf(x, x > 1) AS s, uniqUpTo(x, 2) AS u
       FROM (SELECT explode(array(1, 2, 3, 3)) AS x)""").head()
