@@ -1077,6 +1077,40 @@ object Queries {
       Some("""SELECT date_trunc('hour', ts) AS w_start, event_type, COUNT(*) AS n
       FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""")),
 
+    QueryDef("q93_rank_corr", (s, dir) => {
+      // Spearman rank correlation (reference AGGREGATE rank_corr): Pearson
+      // corr over per-group ranks — two windows + one aggregate, no collect
+      val wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+      val wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+      Q.t(s, dir, "lineitem")
+        .withColumn("rq", rank().over(wq).cast("double"))
+        .withColumn("rp", rank().over(wp).cast("double"))
+        .groupBy("l_returnflag")
+        .agg(round(corr(col("rq"), col("rp")), 6).as("rank_corr"))
+        .orderBy("l_returnflag")
+    }, Some("""SELECT l_returnflag, ROUND(CORR(rq, rp), 6) AS rank_corr FROM
+        (SELECT l_returnflag,
+          CAST(RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS DOUBLE) AS rq,
+          CAST(RANK() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS DOUBLE) AS rp
+        FROM lineitem)
+      GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    QueryDef("q94_skew_kurt", (s, dir) =>
+      // Spark skewness/kurtosis are population moments (m3/m2^1.5,
+      // m4/m2²−3); DuckDB's are sample-adjusted, so the oracle computes the
+      // population moments explicitly
+      Q.t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+          round(skewness(col("l_quantity")), 6).as("sk"),
+          round(kurtosis(col("l_quantity")), 6).as("ku"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        ROUND(AVG(POW(l_quantity - m, 3)) / POW(AVG(POW(l_quantity - m, 2)), 1.5), 6) AS sk,
+        ROUND(AVG(POW(l_quantity - m, 4)) / POW(AVG(POW(l_quantity - m, 2)), 2) - 3, 6) AS ku
+      FROM lineitem JOIN
+        (SELECT l_returnflag AS rf, AVG(l_quantity) AS m FROM lineitem GROUP BY 1) s
+        ON l_returnflag = rf
+      GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     QueryDef("q92_sessionize_stateful", (s, dir) => {
       // mapGroupsWithState sessionization (bounded-frame mode)
       val ev = graft.streaming.EventStreams.readEvents(s, dir)
