@@ -86,14 +86,16 @@ object GraftFunctions {
   private def col2e(c: Column): Expression = ColumnBridge.expression(c)
   private def e2col(e: Expression): Column = ColumnBridge.column(e)
 
-  /** Idempotent per-session registration of the whole dialect. */
-  def register(spark: SparkSession): Unit = synchronized {
-    if (spark.conf.getOption("graft.functions.registered").contains("true")) return
-    val reg = spark.sessionState.functionRegistry
-
+  /** The full dialect as (name, expression builder) pairs — consumed both by
+    * per-session [[register]] and by [[graft.engine.GraftExtensions]] for
+    * config-driven injection (spark.sql.extensions) on a plain cluster.
+    */
+  lazy val dialectFunctions: Seq[(String, Seq[Expression] => Expression)] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Expression] => Expression)]
+    def add(name: String)(b: Seq[Expression] => Expression): Unit = buf += (name -> b)
     /** name(args...) expands to fn(args) — pure expression alias. */
     def alias(name: String)(fn: Seq[Column] => Column): Unit =
-      reg.createOrReplaceTempFunction(name, es => col2e(fn(es.map(e2col))), "built-in")
+      add(name)(es => col2e(fn(es.map(e2col))))
     /** alias straight to an existing function, keeping arg order. */
     def same(name: String, target: String): Unit =
       alias(name)(cs => call_function(target, cs: _*))
@@ -404,14 +406,10 @@ object GraftFunctions {
     // CH arg order (lambda, arr). Lambdas can't ride through an
     // UnresolvedFunction (the analyzer rejects lambda args on non-higher-order
     // functions), so these build the catalyst HigherOrderFunction directly.
-    reg.createOrReplaceTempFunction("arrayMap",
-      es => catalyst.expressions.ArrayTransform(es(1), es.head), "built-in")
-    reg.createOrReplaceTempFunction("arrayFilter",
-      es => catalyst.expressions.ArrayFilter(es(1), es.head), "built-in")
-    reg.createOrReplaceTempFunction("arrayExists",
-      es => catalyst.expressions.ArrayExists(es(1), es.head), "built-in")
-    reg.createOrReplaceTempFunction("arrayAll",
-      es => catalyst.expressions.ArrayForAll(es(1), es.head), "built-in")
+    add("arrayMap")(es => catalyst.expressions.ArrayTransform(es(1), es.head))
+    add("arrayFilter")(es => catalyst.expressions.ArrayFilter(es(1), es.head))
+    add("arrayExists")(es => catalyst.expressions.ArrayExists(es(1), es.head))
+    add("arrayAll")(es => catalyst.expressions.ArrayForAll(es(1), es.head))
     alias("arrayJoin")(cs => explode(cs.head))
     alias("arrayConcat")(cs => concat(cs: _*))
     alias("arrayDistinct")(cs => array_distinct(cs.head))
@@ -431,8 +429,7 @@ object GraftFunctions {
     // from a lambda-bearing call to itself be a HigherOrderFunction, so
     // Size(ArrayFilter(...)) is rejected — count via ArrayAggregate instead,
     // splicing the user lambda's body into the merge function.
-    reg.createOrReplaceTempFunction("arrayCount",
-      es =>
+    add("arrayCount")(es =>
         if (es.size == 1) catalyst.expressions.Size(es.head)
         else {
           import catalyst.expressions._
@@ -442,8 +439,7 @@ object GraftFunctions {
           val merge = LambdaFunction(
             If(lf.function, Add(acc, Literal(1)), acc), acc +: lf.arguments)
           ArrayAggregate(es(1), Literal(0), merge, LambdaFunction(fin, Seq(fin)))
-        },
-      "built-in")
+        })
     alias("arrayEnumerate")(cs => sequence(lit(1), size(cs.head)))
     alias("arrayReverse")(cs => reverse(cs.head))
     alias("arrayCompact")(cs => array_distinct(cs.head)) // divergence: full dedup
@@ -558,12 +554,9 @@ object GraftFunctions {
     same("groupUniqArray", "collect_set")
     alias("groupArraySorted")(cs => array_sort(collect_list(cs.head)))
     alias("groupConcat")(cs => call_function("array_join", collect_list(cs.head.cast("string")), if (cs.size > 1) cs(1) else lit(",")))
-    reg.createOrReplaceTempFunction("groupBitAnd",
-      es => BitAgg(es.head, BitAgg.And).toAggregateExpression(), "built-in")
-    reg.createOrReplaceTempFunction("groupBitOr",
-      es => BitAgg(es.head, BitAgg.Or).toAggregateExpression(), "built-in")
-    reg.createOrReplaceTempFunction("groupBitXor",
-      es => BitAgg(es.head, BitAgg.Xor).toAggregateExpression(), "built-in")
+    add("groupBitAnd")(es => BitAgg(es.head, BitAgg.And).toAggregateExpression())
+    add("groupBitOr")(es => BitAgg(es.head, BitAgg.Or).toAggregateExpression())
+    add("groupBitXor")(es => BitAgg(es.head, BitAgg.Xor).toAggregateExpression())
     alias("sumKahan")(cs => sum(cs.head))
     alias("avgWeighted")(cs => sum(cs.head * cs(1)) / sum(cs(1)))
     alias("sumCount")(cs => struct(sum(cs.head).as("sum"), count(cs.head).as("count")))
@@ -577,26 +570,28 @@ object GraftFunctions {
     same("lagInFrame", "lag")
 
     // ---- custom aggregates (SURVEY §4.3 — genuinely not expressible) ----
-    reg.createOrReplaceTempFunction("topK",
-      es => TopK(es.head, es(1)).toAggregateExpression(), "built-in")
-    reg.createOrReplaceTempFunction("windowFunnel",
-      es => WindowFunnel(es.head, es(1), es.drop(2)).toAggregateExpression(), "built-in")
-    reg.createOrReplaceTempFunction("retention",
-      es => Retention(es).toAggregateExpression(), "built-in")
-    reg.createOrReplaceTempFunction("sequenceMatch",
-      es => SequenceMatchAgg(es.head, es(1), es.drop(2), countMode = false).toAggregateExpression(), "built-in")
-    reg.createOrReplaceTempFunction("sequenceCount",
-      es => SequenceMatchAgg(es.head, es(1), es.drop(2), countMode = true).toAggregateExpression(), "built-in")
-    reg.createOrReplaceTempFunction("exponentialMovingAverage",
-      es => Ema(es.head, es(1), es(2)).toAggregateExpression(), "built-in")
+    add("topK")(es => TopK(es.head, es(1)).toAggregateExpression())
+    add("windowFunnel")(es => WindowFunnel(es.head, es(1), es.drop(2)).toAggregateExpression())
+    add("retention")(es => Retention(es).toAggregateExpression())
+    add("sequenceMatch")(es => SequenceMatchAgg(es.head, es(1), es.drop(2), countMode = false).toAggregateExpression())
+    add("sequenceCount")(es => SequenceMatchAgg(es.head, es(1), es.drop(2), countMode = true).toAggregateExpression())
+    add("exponentialMovingAverage")(es => Ema(es.head, es(1), es(2)).toAggregateExpression())
 
     // custom scalar expressions
-    reg.createOrReplaceTempFunction("simHash", es => SimHash(es.head), "built-in")
-    reg.createOrReplaceTempFunction("fingerprint",
-      es => TextFingerprint(es.head, es.lift(1).getOrElse(col2e(lit(8)))), "built-in")
-    reg.createOrReplaceTempFunction("hammingDistance",
-      es => col2e(bit_count(e2col(es.head).bitwiseXOR(e2col(es(1))))), "built-in")
+    add("simHash")(es => SimHash(es.head))
+    add("fingerprint")(es => TextFingerprint(es.head, es.lift(1).getOrElse(col2e(lit(8)))))
+    add("hammingDistance")(es => col2e(bit_count(e2col(es.head).bitwiseXOR(e2col(es(1))))))
 
+    buf.toSeq
+  }
+
+  /** Idempotent per-session registration of the whole dialect. */
+  def register(spark: SparkSession): Unit = synchronized {
+    if (spark.conf.getOption("graft.functions.registered").contains("true")) return
+    val reg = spark.sessionState.functionRegistry
+    dialectFunctions.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
     spark.conf.set("graft.functions.registered", "true")
   }
 

@@ -68,6 +68,27 @@ class SessionSpec extends SparkTestBase {
     assert(g.sql("SELECT count(DISTINCT y) AS n FROM ov").head().getLong(0) >= 5L)
   }
 
+  test("GraftExtensions injects the dialect via spark.sql.extensions") {
+    import org.apache.spark.sql.SparkSession
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .withExtensions(new graft.engine.GraftExtensions)
+        .getOrCreate()
+      // dialect resolves WITHOUT GraftFunctions.register having run
+      assert(s2.sql("SELECT toYYYYMM(DATE '1997-03-05') AS r").head().getInt(0) == 199703)
+      assert(s2.sql("SELECT arraySum(range(4)) AS r").head().getDouble(0) == 6.0)
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("scalar UDF registration") {
     val g = new graft.engine.GraftSession(spark)
     g.createFunction("plus_one", org.apache.spark.sql.functions.udf((x: Long) => x + 1))
