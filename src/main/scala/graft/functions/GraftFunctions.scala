@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.functions._
 
-import graft.functions.agg.{BitAgg, Ema, Retention, SequenceMatchAgg, TopK, WindowFunnel}
+import graft.functions.agg.{BitAgg, DeltaSumTimestamp, Ema, Retention, SequenceMatchAgg, TopK, WindowFunnel}
 
 /** ClickHouse-dialect function registration — the Spark-side counterpart of
   * the reference's 871-function registry (reference:
@@ -576,6 +576,7 @@ object GraftFunctions {
     add("sequenceMatch")(es => SequenceMatchAgg(es.head, es(1), es.drop(2), countMode = false).toAggregateExpression())
     add("sequenceCount")(es => SequenceMatchAgg(es.head, es(1), es.drop(2), countMode = true).toAggregateExpression())
     add("exponentialMovingAverage")(es => Ema(es.head, es(1), es(2)).toAggregateExpression())
+    add("deltaSumTimestamp")(es => DeltaSumTimestamp(es.head, es(1)).toAggregateExpression())
 
     // custom scalar expressions
     add("simHash")(es => SimHash(es.head))

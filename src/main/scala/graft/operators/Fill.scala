@@ -27,4 +27,29 @@ object Fill {
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     cols.foldLeft(df)((d, c) => d.withColumn(c, first(col(c), ignoreNulls = true).over(w)))
   }
+
+  /** Linear interpolation over a NUMERIC order column (pandas
+    * interpolate(method='values'); reference pandas_compat interpolate —
+    * a pure pandas fallback there, a pair of windows here): each null gets
+    * prev + (next − prev) · (t − tPrev)/(tNext − tPrev); leading/trailing
+    * runs fall back to bfill/ffill respectively.
+    */
+  def interpolate(df: DataFrame, keys: Seq[String], orderCol: String, cols: Seq[String]): DataFrame = {
+    val wb = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    cols.foldLeft(df) { (d, c) =>
+      val t = col(orderCol).cast("double")
+      val prevV = last(col(c), ignoreNulls = true).over(wb)
+      val prevT = last(when(col(c).isNotNull, t), ignoreNulls = true).over(wb)
+      val nextV = first(col(c), ignoreNulls = true).over(wf)
+      val nextT = first(when(col(c).isNotNull, t), ignoreNulls = true).over(wf)
+      d.withColumn(c,
+        when(col(c).isNotNull, col(c))
+          .when(prevV.isNull, nextV)
+          .when(nextV.isNull, prevV)
+          .otherwise(prevV + (nextV - prevV) * (t - prevT) / (nextT - prevT)))
+    }
+  }
 }

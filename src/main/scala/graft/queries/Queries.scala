@@ -1111,6 +1111,56 @@ object Queries {
         ON l_returnflag = rf
       GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    QueryDef("q95_delta_sum", (s, dir) => {
+      v(s, dir, "events")
+      // positive deltas of value per user in (ts, event_id)-implied order;
+      // ts ties are broken by max() aggregation per (user, ts) first so both
+      // engines see the same sequence
+      s.sql("""SELECT user_id, ROUND(deltaSumTimestamp(v, tt), 4) AS ds FROM
+          (SELECT user_id, MAX(value) AS v, unix_micros(ts) AS tt
+           FROM events GROUP BY user_id, unix_micros(ts))
+        GROUP BY user_id ORDER BY user_id""")
+    }, Some("""SELECT user_id, ROUND(SUM(GREATEST(d, 0)), 4) AS ds FROM
+        (SELECT user_id, v - LAG(v) OVER (PARTITION BY user_id ORDER BY tt) AS d FROM
+          (SELECT user_id, MAX(value) AS v, epoch_us(ts) AS tt
+           FROM events GROUP BY user_id, epoch_us(ts)))
+      GROUP BY user_id ORDER BY user_id""")),
+
+    QueryDef("q96_interpolate", (s, dir) => {
+      val ev = Q.t(s, dir, "events")
+        .withColumn("v", when(col("event_type").isin("view", "click"), lit(null))
+          .otherwise(col("value")))
+        .withColumn("tt", unix_micros(col("ts")))
+        // unique numeric order key per user: deterministic dup winner (same
+        // row_number rule as the oracle)
+        .withColumn("dup", row_number().over(
+          Window.partitionBy("user_id", "tt").orderBy("event_id")))
+        .filter(col("dup") === 1).drop("dup")
+      graft.operators.Fill.interpolate(ev, Seq("user_id"), "tt", Seq("v"))
+        .select(col("event_id"), round(col("v"), 4).as("v"))
+        .orderBy("event_id")
+    }, Some("""WITH base AS (
+        SELECT event_id, user_id, CAST(epoch_us(ts) AS DOUBLE) AS tt,
+          CASE WHEN event_type IN ('view','click') THEN NULL ELSE value END AS v
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts) ORDER BY event_id) AS dup
+              FROM events) WHERE dup = 1),
+      w AS (SELECT event_id, v, tt,
+        LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tt
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        LAST_VALUE(CASE WHEN v IS NOT NULL THEN tt END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tt
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tt
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        FIRST_VALUE(CASE WHEN v IS NOT NULL THEN tt END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tt
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        FROM base)
+      SELECT event_id, ROUND(CASE
+          WHEN v IS NOT NULL THEN v
+          WHEN pv IS NULL THEN nv
+          WHEN nv IS NULL THEN pv
+          ELSE pv + (nv - pv) * (tt - pt) / (nt - pt) END, 4) AS v
+      FROM w ORDER BY event_id""")),
+
     QueryDef("q92_sessionize_stateful", (s, dir) => {
       // mapGroupsWithState sessionization (bounded-frame mode)
       val ev = graft.streaming.EventStreams.readEvents(s, dir)

@@ -27,6 +27,31 @@ class FillSpec extends SparkTestBase {
   }
 }
 
+class InterpolateSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("interpolate fills nulls linearly over the order column") {
+    val df = Seq(
+      (1L, 0.0, Some(10.0)), (1L, 1.0, None), (1L, 3.0, None), (1L, 4.0, Some(50.0)),
+      (1L, 5.0, None), // trailing → ffill
+      (2L, 0.0, None), (2L, 1.0, Some(7.0))) // leading → bfill
+      .toDF("uid", "t", "v")
+    val out = graft.operators.Fill.interpolate(df, Seq("uid"), "t", Seq("v"))
+      .orderBy("uid", "t").collect().map(_.getAs[Double]("v"))
+    assert(out.toSeq == Seq(10.0, 20.0, 40.0, 50.0, 50.0, 7.0, 7.0))
+  }
+}
+
+class DeltaSumSpec extends SparkTestBase {
+
+  test("deltaSumTimestamp sums positive deltas in ts order regardless of input order") {
+    // values by ts: 1 → 3 → 2 → 5: positive deltas 2 + 3 = 5
+    sql("""SELECT * FROM VALUES (5.0, 40), (1.0, 10), (2.0, 30), (3.0, 20)
+      AS t(v, ts)""").createOrReplaceTempView("dst")
+    assert(sql("SELECT deltaSumTimestamp(v, ts) AS d FROM dst").head().getDouble(0) == 5.0)
+  }
+}
+
 class EmaSpec extends SparkTestBase {
 
   test("ema equals the closed-form time-decayed average") {
