@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.functions._
 
-import graft.functions.agg.{BitAgg, DeltaSumTimestamp, Ema, Retention, SequenceMatchAgg, TopK, WindowFunnel}
+import graft.functions.agg.{BitAgg, DeltaSumTimestamp, Ema, HistogramAgg, Retention, SequenceMatchAgg, TopK, UniqUpTo, WindowFunnel}
 
 /** ClickHouse-dialect function registration — the Spark-side counterpart of
   * the reference's 871-function registry (reference:
@@ -524,7 +524,9 @@ object GraftFunctions {
     same("uniqHLL12", "approx_count_distinct")
     same("uniqTheta", "approx_count_distinct")
     alias("uniqExact")(cs => count_distinct(cs.head, cs.tail: _*))
-    alias("uniqUpTo")(cs => least(size(collect_set(cs.head)), cs(1) + 1))
+    // capped-buffer exact-up-to-N (the collect_set formulation is unbounded
+    // per group; this one stops growing at N+1 — ClickHouse memory contract)
+    add("uniqUpTo")(es => UniqUpTo(es.head, es(1)).toAggregateExpression())
     // CH `any` ≈ any_value, but Spark's builtin any = bool_or — overriding it
     // would corrupt plain Spark SQL (ADVICE r1); CH behavior stays available
     // as any_value/anyValue.
@@ -577,6 +579,7 @@ object GraftFunctions {
     add("sequenceCount")(es => SequenceMatchAgg(es.head, es(1), es.drop(2), countMode = true).toAggregateExpression())
     add("exponentialMovingAverage")(es => Ema(es.head, es(1), es(2)).toAggregateExpression())
     add("deltaSumTimestamp")(es => DeltaSumTimestamp(es.head, es(1)).toAggregateExpression())
+    add("histogram")(es => HistogramAgg(es.head, es(1)).toAggregateExpression())
 
     // custom scalar expressions
     add("simHash")(es => SimHash(es.head))

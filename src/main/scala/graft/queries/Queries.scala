@@ -1111,6 +1111,17 @@ object Queries {
         ON l_returnflag = rf
       GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    QueryDef("q97_histogram_adaptive", (s, dir) => {
+      v(s, dir, "orders")
+      // adaptive-bin histogram sketch (custom agg); rows-only — bin edges are
+      // sketch-dependent, the invariant checks live in FunctionsSpec
+      s.sql("""SELECT o_orderpriority, b.lower AS lo, b.upper AS hi, b.height AS n
+        FROM (SELECT o_orderpriority, histogram(5, o_totalprice) AS h
+              FROM orders GROUP BY o_orderpriority)
+        LATERAL VIEW inline(h) b
+        ORDER BY o_orderpriority, lo""")
+    }, None),
+
     QueryDef("q95_delta_sum", (s, dir) => {
       v(s, dir, "events")
       // positive deltas of value per user in (ts, event_id)-implied order;

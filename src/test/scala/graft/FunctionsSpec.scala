@@ -141,6 +141,23 @@ class FunctionsSpec extends SparkTestBase {
       FROM (SELECT explode(array(1, 2, 3, 3)) AS x)""").head()
     assert(r.getLong(0) == 3L)
     assert(r.getLong(1) == 8L)
-    assert(r.getInt(2) == 3) // 3 distinct capped at 2+1
+    assert(r.getLong(2) == 3L) // 3 distinct capped at 2+1
+  }
+
+  test("uniqUpTo caps at N+1 with a bounded buffer") {
+    val r = sql("""SELECT uniqUpTo(x, 3) AS a, uniqUpTo(y, 10) AS b
+      FROM (SELECT explode(sequence(1, 100)) AS x, 'k' AS y)""").head()
+    assert(r.getLong(0) == 4L)  // 100 distinct capped at 3+1
+    assert(r.getLong(1) == 1L)
+  }
+
+  test("histogram: adaptive bins cover the domain, heights sum to count") {
+    val rows = sql("""SELECT histogram(3, x) AS h
+      FROM (SELECT explode(sequence(1, 100)) AS x)""")
+      .selectExpr("inline(h)").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getDouble(2)).sum == 100.0)
+    assert(rows.head.getDouble(0) == 1.0)   // first bin starts at min
+    assert(rows.last.getDouble(1) == 100.0) // last bin ends at max
   }
 }
