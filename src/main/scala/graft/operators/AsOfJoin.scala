@@ -30,8 +30,10 @@ object AsOfJoin {
       leftTs: String,
       rightTs: String,
       rightCols: Seq[String],
-      tsOut: String = "__asof_ts"): DataFrame =
-    join(left, right, byKeys, leftTs, rightTs, rightCols, tsOut, forward = false)
+      tsOut: String = "__asof_ts",
+      toleranceMicros: Long = -1L): DataFrame =
+    join(left, right, byKeys, leftTs, rightTs, rightCols, tsOut,
+      forward = false, toleranceMicros)
 
   def forward(
       left: DataFrame,
@@ -40,8 +42,47 @@ object AsOfJoin {
       leftTs: String,
       rightTs: String,
       rightCols: Seq[String],
-      tsOut: String = "__asof_ts"): DataFrame =
-    join(left, right, byKeys, leftTs, rightTs, rightCols, tsOut, forward = true)
+      tsOut: String = "__asof_ts",
+      toleranceMicros: Long = -1L): DataFrame =
+    join(left, right, byKeys, leftTs, rightTs, rightCols, tsOut,
+      forward = true, toleranceMicros)
+
+  /** direction="nearest": per left row, whichever of the backward/forward
+    * match is closer in time (ties → the earlier/backward one, pandas
+    * contract). Both directions come from the SAME hash partitioning — the
+    * second window adds a sort, not a shuffle.
+    */
+  def nearest(
+      left: DataFrame,
+      right: DataFrame,
+      byKeys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightCols: Seq[String],
+      tsOut: String = "__asof_ts",
+      toleranceMicros: Long = -1L): DataFrame = {
+    val lid = "__asof_lid"
+    val tagged = left.withColumn(lid, monotonically_increasing_id())
+    val b = join(tagged, right, byKeys, leftTs, rightTs, rightCols, tsOut,
+        forward = false, toleranceMicros, keepMatchTs = true)
+      .withColumnRenamed("__asof_match_ts", "__bts")
+    val bCols = rightCols.map(c => col(s"$c").as(s"__b_$c"))
+    val f = join(tagged, right, byKeys, leftTs, rightTs, rightCols, tsOut,
+        forward = true, toleranceMicros, keepMatchTs = true)
+      .select((col(lid) +: col("__asof_match_ts").as("__fts") +:
+        rightCols.map(c => col(c).as(s"__f2_$c"))): _*)
+    val joined = b.select((b.columns.filterNot(rightCols.contains).map(col) ++ bCols): _*)
+      .join(f, Seq(lid))
+    val t = col(tsOut)
+    val db = abs(unix_micros(t.cast("timestamp")) - unix_micros(col("__bts").cast("timestamp")))
+    val dfw = abs(unix_micros(t.cast("timestamp")) - unix_micros(col("__fts").cast("timestamp")))
+    val useBackward = col("__fts").isNull || (col("__bts").isNotNull && db <= dfw)
+    val out = rightCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(c, when(useBackward, col(s"__b_$c")).otherwise(col(s"__f2_$c")))
+    }
+    out.drop((rightCols.map(c => s"__b_$c") ++ rightCols.map(c => s"__f2_$c") ++
+      Seq("__bts", "__fts", lid)): _*)
+  }
 
   private def join(
       left: DataFrame,
@@ -51,20 +92,26 @@ object AsOfJoin {
       rightTs: String,
       rightCols: Seq[String],
       tsOut: String,
-      forward: Boolean): DataFrame = {
+      forward: Boolean,
+      toleranceMicros: Long = -1L,
+      keepMatchTs: Boolean = false): DataFrame = {
 
     // left's payload columns (ts itself travels as tsOut, so it is excluded
     // here — this also makes tsOut == leftTs legal)
     val leftCols = left.columns.toSeq.filterNot(c => byKeys.contains(c) || c == leftTs)
-    // tagged union: side 0 = right (sorts before left on ts ties → exact match wins)
+    // tagged union: side 0 = right (sorts before left on ts ties → exact match wins).
+    // The matched right row's own ts travels as one more filled column — it
+    // drives the tolerance cut and the nearest() distance compare.
     val rightTagged = right.select(
       (byKeys.map(col) :+ col(rightTs).as(tsOut) :+ lit(0).as("__side")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map(c => col(c).as(s"__r_$c")): _*)
+        (rightCols.map(c => col(c).as(s"__r_$c")) :+
+          col(rightTs).as("__r___mts")): _*)
     val leftTagged = left.select(
       (byKeys.map(col) :+ col(leftTs).as(tsOut) :+ lit(1).as("__side")) ++
         leftCols.map(col) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+        (rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")) :+
+          lit(null).cast(right.schema(rightTs).dataType).as("__r___mts")): _*)
 
     val unioned = rightTagged.unionByName(leftTagged)
     val ord =
@@ -73,13 +120,25 @@ object AsOfJoin {
     val w = Window.partitionBy(byKeys.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = rightCols.foldLeft(unioned) { (df, c) =>
+    val fillCols = rightCols :+ "__mts"
+    val filled = fillCols.foldLeft(unioned) { (df, c) =>
       df.withColumn(s"__f_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
     }
+    // tolerance (pandas merge_asof tolerance=, timestamps only): a match
+    // farther than toleranceMicros from the left ts is discarded
+    val matchTs = col("__f___mts")
+    val withinTol =
+      if (toleranceMicros < 0) matchTs.isNotNull
+      else matchTs.isNotNull &&
+        abs(unix_micros(col(tsOut).cast("timestamp")) -
+          unix_micros(matchTs.cast("timestamp"))) <= toleranceMicros
+    val matchTsOut =
+      if (keepMatchTs) Seq(when(withinTol, matchTs).as("__asof_match_ts")) else Nil
     filled
       .filter(col("__side") === 1)
       .select((byKeys.map(col) :+ col(tsOut)) ++
         leftCols.map(col) ++
-        rightCols.map(c => col(s"__f_$c").as(c)): _*)
+        rightCols.map(c => when(withinTol, col(s"__f_$c")).as(c)) ++
+        matchTsOut: _*)
   }
 }

@@ -35,6 +35,24 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out.map(r => (r.getAs[String]("tag"), Option(r.getAs[Double]("price")))).toSeq ==
       Seq(("l1", Some(20.0)), ("l2", Some(20.0)), ("l3", Some(30.0))))
   }
+
+  test("tolerance discards matches farther than the bound") {
+    // l1 at 10:00 matches right 09:30 (30 min away) — a 10-min tolerance kills it
+    val out = AsOfJoin.backward(left, right, Seq("uid"), "ts", "ts", Seq("price"),
+        tsOut = "ts", toleranceMicros = 10L * 60 * 1000000)
+      .orderBy("uid", "ts").collect()
+    assert(out.map(r => (r.getAs[String]("tag"), Option(r.getAs[Double]("price")))).toSeq ==
+      Seq(("l1", None), ("l2", Some(20.0)), ("l3", None)))
+  }
+
+  test("nearest picks the closer of backward/forward per row") {
+    // l1 10:00: backward 09:30 (30m) vs forward 12:00 (2h) → backward 10.0
+    // l3 09:00: no backward; forward 09:30 → 30.0
+    val out = AsOfJoin.nearest(left, right, Seq("uid"), "ts", "ts", Seq("price"), tsOut = "ts")
+      .orderBy("uid", "ts").collect()
+    assert(out.map(r => (r.getAs[String]("tag"), Option(r.getAs[Double]("price")))).toSeq ==
+      Seq(("l1", Some(10.0)), ("l2", Some(20.0)), ("l3", Some(30.0))))
+  }
 }
 
 class DedupSpec extends SparkTestBase {
