@@ -399,6 +399,17 @@ object GraftFunctions {
     alias("visitParamExtractString")(cs => call_function("get_json_object", cs.head, jsonPath(cs.tail)))
     alias("JSON_VALUE")(cs => call_function("get_json_object", cs.head, cs(1)))
     alias("isValidJSON")(cs => try_to_json_variant(cs.head))
+    alias("JSONLength")(cs =>
+      if (cs.size == 1) call_function("json_array_length", cs.head)
+      else call_function("json_array_length",
+        call_function("get_json_object", cs.head, jsonPath(cs.tail))))
+    alias("JSONExtractKeys")(cs =>
+      if (cs.size == 1) call_function("json_object_keys", cs.head)
+      else call_function("json_object_keys",
+        call_function("get_json_object", cs.head, jsonPath(cs.tail))))
+    alias("JSONExtractArrayRaw")(cs => call_function("from_json",
+      call_function("get_json_object", cs.head, jsonPath(cs.tail)), lit("array<string>")))
+    alias("visitParamHas")(cs => call_function("get_json_object", cs.head, jsonPath(cs.tail)).isNotNull)
 
     // ---- ARRAY (function_definitions.py:3114-3752) ----
     alias("has")(cs => array_contains_col(cs.head, cs(1)))

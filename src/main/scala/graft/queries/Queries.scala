@@ -1036,7 +1036,8 @@ object Queries {
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
       FROM (SELECT event_id, user_id, ts,
           CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v FROM events)
-      ORDER BY event_id""")),
+      ORDER BY event_id"""),
+      bench = true),
 
     QueryDef("q89_ema", (s, dir) => {
       v(s, dir, "events")
@@ -1075,7 +1076,8 @@ object Queries {
         .select(col("w_start"), col("event_type"), col("n"))
         .orderBy("w_start", "event_type"),
       Some("""SELECT date_trunc('hour', ts) AS w_start, event_type, COUNT(*) AS n
-      FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""")),
+      FROM events GROUP BY 1, 2 ORDER BY w_start, event_type"""),
+      bench = true),
 
     QueryDef("q93_rank_corr", (s, dir) => {
       // Spearman rank correlation (reference AGGREGATE rank_corr): Pearson
@@ -1179,7 +1181,7 @@ object Queries {
         .toDF().select(col("user_id"), col("n_events"),
           round(col("total_value"), 4).as("total_value"))
         .orderBy("user_id")
-    }, None)
+    }, None, bench = true)
   )
 
   val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
