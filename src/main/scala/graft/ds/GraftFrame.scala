@@ -134,6 +134,18 @@ final case class GraftFrame(df: DataFrame) {
   def join(right: GraftFrame, cond: Column, how: String = "inner"): GraftFrame =
     GraftFrame(df.join(right.df, cond, how))
 
+  /** merge_ordered (reference pandas_api.py adjacent to merge_asof; SURVEY
+    * §2.C: union + sort + window ffill): interleave both frames by `keys` +
+    * `order`, forward-filling each side's exclusive columns across the other
+    * side's rows.
+    */
+  def mergeOrdered(right: GraftFrame, keys: Seq[String], order: Seq[String]): GraftFrame = {
+    val u = df.unionByName(right.df, allowMissingColumns = true)
+    val exclusive = (df.columns.toSet ++ right.df.columns.toSet) --
+      (df.columns.toSet & right.df.columns.toSet)
+    GraftFrame(graft.operators.Fill.ffill(u, keys, order, exclusive.toSeq.sorted))
+  }
+
   // ---- grouping (SURVEY §2.D) ----
 
   def groupby(cols: String*): GraftGroupBy = GraftGroupBy(df, cols)

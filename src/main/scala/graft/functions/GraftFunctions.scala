@@ -584,6 +584,8 @@ object GraftFunctions {
 
     // ---- custom aggregates (SURVEY §4.3 — genuinely not expressible) ----
     add("topK")(es => TopK(es.head, es(1)).toAggregateExpression())
+    // topKWeighted(x, k, weight) — CH's parametric topKWeighted(k)(x, weight)
+    add("topKWeighted")(es => TopK(es.head, es(1), Some(es(2))).toAggregateExpression())
     add("windowFunnel")(es => WindowFunnel(es.head, es(1), es.drop(2)).toAggregateExpression())
     add("retention")(es => Retention(es).toAggregateExpression())
     add("sequenceMatch")(es => SequenceMatchAgg(es.head, es(1), es.drop(2), countMode = false).toAggregateExpression())

@@ -41,12 +41,15 @@ final class TopKBuffer(val capacity: Int) extends Serializable {
     other.counts.foreach { case (k, v) => add(k, v) }
 }
 
-/** topK(expr, k) — values of the ~k most frequent inputs, ordered by
-  * descending frequency (ties broken by string form for determinism).
+/** topK(expr, k[, weight]) — values of the ~k most frequent inputs, ordered
+  * by descending frequency (ties broken by string form for determinism).
+  * With a weight expression this is ClickHouse's topKWeighted: each row
+  * credits `weight` instead of 1 to its key's counter.
   */
 case class TopK(
     child: Expression,
     kExpr: Expression,
+    weightExpr: Option[Expression] = None,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKBuffer] {
@@ -54,7 +57,7 @@ case class TopK(
   private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue()
   private lazy val capacity: Int = math.max(k * 10, 256)
 
-  override def children: Seq[Expression] = Seq(child, kExpr)
+  override def children: Seq[Expression] = Seq(child, kExpr) ++ weightExpr
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
 
@@ -62,7 +65,14 @@ case class TopK(
 
   override def update(buffer: TopKBuffer, input: InternalRow): TopKBuffer = {
     val v = child.eval(input)
-    if (v != null) buffer.add(InternalValue.copy(v), 1L)
+    if (v != null) {
+      val w = weightExpr.map(_.eval(input)) match {
+        case Some(null) => 0L
+        case Some(x) => x.asInstanceOf[Number].longValue()
+        case None => 1L
+      }
+      if (w != 0L) buffer.add(InternalValue.copy(v), w)
+    }
     buffer
   }
 
@@ -85,7 +95,8 @@ case class TopK(
   override def withNewInputAggBufferOffset(newOffset: Int): TopK =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): TopK =
-    copy(child = newChildren(0), kExpr = newChildren(1))
+    copy(child = newChildren(0), kExpr = newChildren(1),
+      weightExpr = newChildren.lift(2))
 }
 
 private[agg] object SerDe {

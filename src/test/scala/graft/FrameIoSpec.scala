@@ -65,6 +65,18 @@ class GraftFrameSpec extends SparkTestBase {
     assert(melted.count() == 5)
   }
 
+  test("mergeOrdered interleaves and forward-fills exclusive columns") {
+    val a = GraftFrame(Seq((1L, 1, 100.0), (1L, 3, 300.0)).toDF("k", "t", "va"))
+    val b = GraftFrame(Seq((1L, 2, 7.0), (1L, 4, 9.0)).toDF("k", "t", "vb"))
+    val out = a.mergeOrdered(b, Seq("k"), Seq("t")).sortValues(Seq("t")).collect()
+      .map(r => (r.getAs[Int]("t"),
+        Option(r.getAs[java.lang.Double]("va")).map(_.toDouble),
+        Option(r.getAs[java.lang.Double]("vb")).map(_.toDouble)))
+    assert(out.toSeq == Seq(
+      (1, Some(100.0), None), (2, Some(100.0), Some(7.0)),
+      (3, Some(300.0), Some(7.0)), (4, Some(300.0), Some(9.0))))
+  }
+
   test("whereValue / mask value replacement") {
     val r = gf.whereValue(col("v") >= 10, lit(0.0), Seq("v"))
       .sortValues(Seq("id")).collect().map(_.getAs[Double]("v"))

@@ -80,6 +80,18 @@ class FunctionsSpec extends SparkTestBase {
     assert(one("arraySum(array()) AS r").getDouble(0) == 0.0)
   }
 
+  test("JSON aliases") {
+    val r = sql("""SELECT JSONLength('[1,2,3]') AS a, JSONLength('{"k": [1,2]}', 'k') AS b,
+        JSONExtractKeys('{"x":1,"y":2}') AS c, JSONExtractArrayRaw('{"k": ["a","b"]}', 'k') AS d,
+        visitParamHas('{"k": 1}', 'k') AS e, JSONExtractString('{"k": {"s": "v"}}', 'k', 's') AS f""").head()
+    assert(r.getInt(0) == 3)
+    assert(r.getInt(1) == 2)
+    assert(r.getSeq[String](2) == Seq("x", "y"))
+    assert(r.getSeq[String](3) == Seq("a", "b"))
+    assert(r.getBoolean(4))
+    assert(r.getString(5) == "v")
+  }
+
   test("IPv4 round trip") {
     assert(one("IPv4NumToString(IPv4StringToNum('192.168.1.10')) AS r").getString(0) == "192.168.1.10")
     assert(one("isIPv4String('10.0.0.1') AS r").getBoolean(0))

@@ -224,6 +224,13 @@ class CustomAggregatesSpec extends SparkTestBase {
     assert(top == Seq("a", "b"))
   }
 
+  test("topKWeighted credits weights instead of counts") {
+    sql("""SELECT * FROM VALUES ('a', 1), ('b', 10), ('a', 1), ('c', 3)
+      AS t(x, w)""").createOrReplaceTempView("tkw")
+    val top = sql("SELECT topKWeighted(x, 2, w) AS t FROM tkw").head().getSeq[String](0)
+    assert(top == Seq("b", "c")) // b=10, c=3 outweigh a=2
+  }
+
   test("bit aggregates") {
     sql("SELECT explode(array(6, 3)) AS x").createOrReplaceTempView("ba")
     val r = sql("""SELECT groupBitAnd(x) AS a, groupBitOr(x) AS o, groupBitXor(x) AS x3
