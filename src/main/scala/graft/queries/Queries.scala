@@ -760,12 +760,22 @@ object Queries {
         .orderBy("id_a", "id_b"),
       None),
 
-    QueryDef("q65_embed_neardup", (s, dir) =>
-      Dedup.embeddingNearDup(Q.t(s, dir, "embeddings"), "embedding", "vec_id",
-          threshold = 0.9, bits = 8)
+    QueryDef("q65_embed_neardup", (s, dir) => {
+      // random embeddings contain no natural near-dups (pairwise cosine
+      // ~N(0, 1/64)), so plant scaled copies of the first 20 vectors —
+      // scaling preserves direction, so each (orig, copy) pair has cos ≈ 1
+      // and MUST be recovered by the LSH path
+      val e = Q.t(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = e.filter(col("vec_id") < 20).select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+      // 12 bits → ~|corpus|/4096 per bucket; planted scaled copies share ALL
+      // sign bits with their original, so recall on true near-dups is exact
+      Dedup.embeddingNearDup(e.unionByName(planted), "embedding", "vec_id",
+          threshold = 0.99, bits = 12)
         .withColumn("cos", round(col("cos"), 6))
-        .orderBy("id_a", "id_b"),
-      None),
+        .orderBy("id_a", "id_b")
+    }, None),
 
     QueryDef("q66_ann_bruteforce", (s, dir) => {
       val emb = Q.t(s, dir, "embeddings")
