@@ -98,11 +98,15 @@ object Dedup {
     verifyJaccard(withSets, threshold)
   }
 
-  /** Exact n-gram Jaccard pairs via an inverted shingle index (no LSH, no
-    * cross product): pairs sharing >= 1 shingle are generated from the index,
-    * hot shingles (appearing in > maxDocFreq docs) are dropped first — the
-    * standard stop-shingle guard that keeps the self-join from exploding on
-    * boilerplate at scale.
+  /** Exact n-gram Jaccard pairs via a PREFIX-FILTERED inverted index (the
+    * ppjoin family, Xiao et al. 2008 — public algorithm): under a global
+    * total order (64-bit shingle hash), a pair with J >= t must share an
+    * element inside each set's first n − ⌈t·n⌉ + 1 sorted elements, so only
+    * that prefix is indexed — postings shrink by ~t and the candidate count
+    * superlinearly. Hot shingles (> maxDocFreq docs) are dropped on top, the
+    * standard stop-shingle guard against boilerplate at scale. Candidates are
+    * verified with EXACT Jaccard over the full sorted-hash sets (longs, not
+    * strings — 64-bit collisions are the only approximation, ~n²/2⁶⁴).
     */
   def ngramJaccard(
       df: DataFrame,
@@ -111,15 +115,16 @@ object Dedup {
       threshold: Double = 0.3,
       shingleSize: Int = 5,
       maxDocFreq: Int = 1000): DataFrame = {
-    val sh = df.select(
+    val hs = df.select(
       col(idCol).as("id"),
-      array_distinct(shingles(tokenize(col(textCol)), shingleSize)).as("sh"))
-      .filter(size(col("sh")) > 0)
+      array_sort(array_distinct(
+        transform(shingles(tokenize(col(textCol)), shingleSize), s => xxhash64(s)))).as("hs"))
+      .filter(size(col("hs")) > 0)
 
-    // postings carry only (shingle-hash, id): the inverted index shuffles 16
-    // bytes per posting, and shingle sets are re-joined after pair dedup
-    val index = sh.select(explode(col("sh")).as("g"), col("id"))
-      .withColumn("g", xxhash64(col("g")))
+    // prefix = first (n − ⌈t·n⌉ + 1) sorted hashes; postings carry 16 bytes
+    val prefLen = greatest(
+      (size(col("hs")) - ceil(lit(threshold) * size(col("hs"))) + 1).cast("int"), lit(1))
+    val index = hs.select(explode(slice(col("hs"), lit(1), prefLen)).as("g"), col("id"))
     val hot = index.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") > maxDocFreq)
     val cold = index.join(broadcast(hot), Seq("g"), "left_anti")
 
@@ -128,8 +133,8 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(hs.select(col("id").as("id_a"), col("hs").as("sh_a")), Seq("id_a"))
+      .join(hs.select(col("id").as("id_b"), col("hs").as("sh_b")), Seq("id_b"))
 
     verifyJaccard(pairs, threshold)
   }

@@ -746,7 +746,22 @@ object Queries {
           threshold = 0.2, shingleSize = 5, maxDocFreq = 1000000)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id_a", "id_b"),
-      None),
+      // exact all-pairs oracle: Jaccard over string 5-gram shingle sets ==
+      // Jaccard over the operator's 64-bit hash sets (collisions ~n²/2⁶⁴)
+      Some("""WITH toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+          ELSE list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' ')) END) AS s
+        FROM toks),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM pairs WHERE jaccard >= 0.2
+      ORDER BY id_a, id_b""")),
 
     QueryDef("q63_minhash_pairs", (s, dir) =>
       Dedup.minhashLsh(Q.t(s, dir, "documents"), "text", "doc_id",
