@@ -1,17 +1,17 @@
 package graft
 
-/** Ad-hoc forked smoke tests during development (not part of the library). */
+/** Ad-hoc forked smoke tests during development (not part of the library).
+  * Pass query names as args to run them at sf0.001 and show plans/results.
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val g = graft.engine.GraftSession.build("local[32]", 32)
-    val spark = g.spark
-    val dir = "/root/testdata/sf0.1"
-    def time(n: String): Unit = {
-      val t0 = System.nanoTime()
-      val c = graft.queries.Queries.byName(n).fn(spark, dir).count()
-      println(s"STRESS $n rows=$c t=${(System.nanoTime() - t0) / 1e9}s")
+    val g = graft.engine.GraftSession.build("local[8]", 8)
+    val names = if (args.nonEmpty) args.toSeq else Seq("q01_tpch_q1")
+    names.foreach { n =>
+      println(s"=== $n ===")
+      val df = graft.queries.Queries.byName(n).fn(g.spark, "/root/testdata/sf0.001")
+      df.show(10, false)
     }
-    Seq("q62_ngram_jaccard", "q62_ngram_jaccard").foreach(time)
-    spark.stop()
+    g.spark.stop()
   }
 }
