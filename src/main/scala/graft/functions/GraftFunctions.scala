@@ -298,6 +298,20 @@ object GraftFunctions {
     alias("roundBankers")(cs => bround(cs.head, if (cs.size > 1) cs(1) else lit(0)))
     alias("roundToExp2")(cs => pow(lit(2.0), floor(log(cs.head) / log(lit(2.0)))).cast("long"))
     alias("sigmoid")(cs => lit(1.0) / (lit(1.0) + exp(-cs.head)))
+    alias("formatReadableSize") { cs =>
+      val b = cs.head.cast("double")
+      when(b < 1024, concat(format_number(b, 2), lit(" B")))
+        .when(b < 1024 * 1024, concat(format_number(b / 1024, 2), lit(" KiB")))
+        .when(b < 1024L * 1024 * 1024, concat(format_number(b / (1024 * 1024), 2), lit(" MiB")))
+        .otherwise(concat(format_number(b / (1024L * 1024 * 1024), 2), lit(" GiB")))
+    }
+    // bar(x, min, max, width) — ASCII bar chart cell (CH visualization helper)
+    alias("bar") { cs =>
+      val w = if (cs.size > 3) cs(3) else lit(80)
+      val n = greatest(least(
+        ((cs.head - cs(1)) / (cs(2) - cs(1)) * w).cast("int"), w.cast("int")), lit(0))
+      call_function("repeat", lit("█"), n)
+    }
     alias("intHash32")(cs => hash(cs.head))
     alias("intHash64")(cs => xxhash64(cs.head))
     alias("randUniform")(cs => cs.head + rand() * (cs(1) - cs.head))

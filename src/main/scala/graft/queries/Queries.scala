@@ -1199,6 +1199,41 @@ object Queries {
           ELSE pv + (nv - pv) * (tt - pt) / (nt - pt) END, 4) AS v
       FROM w ORDER BY event_id""")),
 
+    QueryDef("q98_frame_pipeline", (s, dir) =>
+      // the ds facade end-to-end through the driver contract: query → assign
+      // → groupby(name-mapped aggs) → having → sort (SURVEY §7.3)
+      graft.ds.GraftFrame(Q.t(s, dir, "lineitem"))
+        .query("l_quantity > 10 AND l_returnflag != 'N'")
+        .assign("disc_price" ->
+          (Q.money(col("l_extendedprice")) *
+            (lit(1).cast(DecimalType(3, 2)) - Q.rate(col("l_discount")))))
+        .groupby("l_returnflag", "l_linestatus")
+        .aggCols(avg(col("l_quantity")).as("avg_qty"),
+          sum(col("disc_price")).cast("double").as("rev"),
+          count(lit(1)).as("n"))
+        .query("n > 100")
+        .sortValues(Seq("l_returnflag", "l_linestatus"))
+        .toDF,
+      Some("""SELECT l_returnflag, l_linestatus, AVG(l_quantity) AS avg_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS rev,
+        COUNT(*) AS n
+      FROM lineitem WHERE l_quantity > 10 AND l_returnflag != 'N'
+      GROUP BY l_returnflag, l_linestatus HAVING COUNT(*) > 100
+      ORDER BY l_returnflag, l_linestatus""")),
+
+    QueryDef("q99_accessors", (s, dir) => {
+      import graft.ds.syntax._
+      Q.t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderpriority").str.slice(1, 1).as("pri_code"),
+          col("o_orderpriority").str.lower.as("pri_lo"),
+          col("o_orderdate").dt.year.as("y"),
+          col("o_orderdate").dt.monthName.as("mn"))
+        .orderBy("o_orderkey").limit(2000)
+    }, Some("""SELECT o_orderkey, SUBSTR(o_orderpriority, 1, 1) AS pri_code,
+        LOWER(o_orderpriority) AS pri_lo, CAST(year(o_orderdate) AS INT) AS y,
+        strftime(o_orderdate, '%B') AS mn
+      FROM orders ORDER BY o_orderkey LIMIT 2000""")),
+
     QueryDef("q92_sessionize_stateful", (s, dir) => {
       // mapGroupsWithState sessionization (bounded-frame mode)
       val ev = graft.streaming.EventStreams.readEvents(s, dir)
