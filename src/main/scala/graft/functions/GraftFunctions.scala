@@ -568,6 +568,11 @@ object GraftFunctions {
     alias("quantile")(cs => percentile_approx(cs.head, if (cs.size > 1) cs(1) else lit(0.5), lit(10000)))
     alias("quantileExact")(cs => call_function("percentile", cs.head, if (cs.size > 1) cs(1) else lit(0.5)))
     alias("quantileTDigest")(cs => percentile_approx(cs.head, if (cs.size > 1) cs(1) else lit(0.5), lit(10000)))
+    alias("quantileTiming")(cs => percentile_approx(cs.head, if (cs.size > 1) cs(1) else lit(0.5), lit(10000)))
+    alias("quantileBFloat16")(cs => percentile_approx(cs.head, if (cs.size > 1) cs(1) else lit(0.5), lit(10000)))
+    alias("quantileDeterministic")(cs => percentile_approx(cs.head, if (cs.size > 1) cs(1) else lit(0.5), lit(10000)))
+    alias("quantileExactWeighted")(cs => // weighted exact percentile via repeat-expansion at agg time
+      call_function("percentile", cs.head, if (cs.size > 2) cs(2) else lit(0.5), cs(1)))
     alias("quantiles")(cs => call_function("percentile", cs.head, array(cs.tail: _*)))
     alias("medianExact")(cs => call_function("percentile", cs.head, lit(0.5)))
     same("stddevSamp", "stddev_samp")
