@@ -22,9 +22,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val headline = Queries.all.filter(_.bench)
+    // Action = noop sink, not count(): under a bare count Catalyst prunes
+    // every unreferenced projection (and can drop whole Window operators), so
+    // expression-heavy queries would time the scan instead of the operator.
+    // The noop source evaluates every output column and discards the rows.
     def once(q: graft.queries.QueryDef): Double = {
       val t0 = System.nanoTime()
-      try { q.fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
     val results = headline.map { q =>

@@ -264,7 +264,12 @@ object GraftFunctions {
         length(cs(1))).cast("long"))
     alias("countMatches")(cs =>
       size(call_function("regexp_extract_all", cs.head, cs(1), lit(0))).cast("long"))
-    alias("extract")(cs => call_function("regexp_extract", cs.head, cs(1), lit(0)))
+    // NOT registered as bare "extract": Spark's parser lowers EXTRACT(YEAR
+    // FROM ts) to UnresolvedFunction("extract", [Literal("YEAR"), ts]), so a
+    // registry entry named "extract" would shadow the builtin and silently
+    // regexp-match 'YEAR' against the timestamp (ADVICE r2, high). CH's
+    // regex extract lives under a non-colliding spelling instead.
+    alias("extractRegexp")(cs => call_function("regexp_extract", cs.head, cs(1), lit(0)))
     alias("splitByRegexp")(cs => split_col(cs(1), cs.head))
     alias("reverseUTF8")(cs => reverse(cs.head))
     alias("translateUTF8")(cs => call_function("translate", cs: _*))

@@ -47,7 +47,9 @@ case class DeltaSumTimestamp(
   }
 
   override def eval(b: ArrayBuffer[(Long, Double)]): Any = {
-    val sorted = b.sortBy(_._1)
+    // secondary key = value: rows tied on ts would otherwise keep
+    // merge-arrival order, which varies with partitioning (ADVICE r2)
+    val sorted = b.sortBy(identity)
     var sum = 0.0
     var i = 1
     while (i < sorted.length) {

@@ -62,17 +62,27 @@ object AsOfJoin {
       tsOut: String = "__asof_ts",
       toleranceMicros: Long = -1L): DataFrame = {
     val lid = "__asof_lid"
-    val tagged = left.withColumn(lid, monotonically_increasing_id())
+    // Correlation key must be DETERMINISTIC: the backward and forward join
+    // subtrees evaluate `tagged` independently, so monotonically_increasing_id
+    // would renumber rows between the two evaluations whenever `left` contains
+    // a shuffle (or AQE re-plans) — pairing row A's backward match with row
+    // B's forward match (ADVICE r2, medium). row_number over (byKeys, leftTs)
+    // is stable: rows tied on (key, ts) have identical as-of matches by
+    // construction, so any tie-break among them is interchangeable. The key is
+    // unique only within a byKeys group, so the b/f correlation joins on
+    // byKeys :+ lid.
+    val wLid = Window.partitionBy(byKeys.map(col): _*).orderBy(col(leftTs).asc)
+    val tagged = left.withColumn(lid, row_number().over(wLid))
     val b = join(tagged, right, byKeys, leftTs, rightTs, rightCols, tsOut,
         forward = false, toleranceMicros, keepMatchTs = true)
       .withColumnRenamed("__asof_match_ts", "__bts")
     val bCols = rightCols.map(c => col(s"$c").as(s"__b_$c"))
     val f = join(tagged, right, byKeys, leftTs, rightTs, rightCols, tsOut,
         forward = true, toleranceMicros, keepMatchTs = true)
-      .select((col(lid) +: col("__asof_match_ts").as("__fts") +:
-        rightCols.map(c => col(c).as(s"__f2_$c"))): _*)
+      .select((byKeys.map(col) :+ col(lid) :+ col("__asof_match_ts").as("__fts")) ++
+        rightCols.map(c => col(c).as(s"__f2_$c")): _*)
     val joined = b.select((b.columns.filterNot(rightCols.contains).map(col) ++ bCols): _*)
-      .join(f, Seq(lid))
+      .join(f, byKeys :+ lid)
     val t = col(tsOut)
     val db = abs(unix_micros(t.cast("timestamp")) - unix_micros(col("__bts").cast("timestamp")))
     val dfw = abs(unix_micros(t.cast("timestamp")) - unix_micros(col("__fts").cast("timestamp")))

@@ -73,7 +73,12 @@ object Similarity {
     val bucket = (0 until bits)
       .map(p => when(col(s"__plane$p") >= 0, lit(1L << p)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
-    e.join(sums.withColumn("bucket", bucket).select("id", "bucket"), Seq("id"))
+    // LEFT join + default bucket: rows whose vector is null/empty produce no
+    // posexplode rows — an inner join would silently drop them from every
+    // downstream candidate set (ADVICE r2); they land in bucket 0 and are
+    // filtered naturally by the null-propagating cosine check.
+    e.join(sums.withColumn("bucket", bucket).select("id", "bucket"), Seq("id"), "left")
+      .withColumn("bucket", coalesce(col("bucket"), lit(0L)))
   }
 
   /** Exact top-k cosine neighbors of each query row. `queries` must be small
