@@ -92,6 +92,10 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosineSimilarity(col("qv"), col("cv")))
+      // null/empty vectors yield cos = null; without this filter desc-nulls-
+      // last ordering still admits them whenever a query has < k real
+      // candidates (ADVICE r3)
+      .filter(col("cos").isNotNull)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -112,6 +116,10 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosineSimilarity(col("qv"), col("cv")))
+      // null-vector rows all land in bucket 0 (hyperplaneSignature's default)
+      // and would otherwise surface as cos = null rows in under-full buckets
+      // (ADVICE r3)
+      .filter(col("cos").isNotNull)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

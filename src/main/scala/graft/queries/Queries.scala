@@ -771,7 +771,9 @@ object Queries {
       None, bench = true),
 
     QueryDef("q64_simhash_pairs", (s, dir) =>
-      Dedup.simhashPairs(Q.t(s, dir, "documents"), "text", "doc_id", maxHamming = 16)
+      // radius 3 — the classic 64-bit simhash near-dup radius (Manku WWW'07);
+      // recall at this radius is structurally exact (see Dedup.simhashPairs)
+      Dedup.simhashPairs(Q.t(s, dir, "documents"), "text", "doc_id", maxHamming = 3)
         .orderBy("id_a", "id_b"),
       None),
 

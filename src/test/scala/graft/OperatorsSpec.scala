@@ -104,6 +104,40 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.contains((1L, 2L))) // identical text → hamming 0
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
+
+  test("simhash banding has exact recall at hamming == maxHamming (pigeonhole)") {
+    // plant pairs at EXACTLY the requested radius, with bit flips placed
+    // adversarially (clustered low bits, spread bits, high bits) — every
+    // planted pair must be recovered, for several radii including ones the
+    // old fixed-4×16-chunk scheme silently lost (> 3)
+    def flip(h: Long, bits: Seq[Int]): Long = bits.foldLeft(h)((a, b) => a ^ (1L << b))
+    val base = 0x0123456789ABCDEFL
+    for (radius <- Seq(1, 3, 5, 7)) {
+      val placements = Seq(
+        (0 until radius).map(identity),            // clustered at bit 0..r
+        (0 until radius).map(_ * (63 / math.max(radius, 1))), // spread
+        (0 until radius).map(63 - _))              // clustered at the top
+      val rows = placements.zipWithIndex.flatMap { case (bits, i) =>
+        val orig = base + i * 7919L
+        Seq((i * 2L, orig), (i * 2L + 1, flip(orig, bits)))
+      }
+      val h = rows.toDF("id", "h")
+      val got = Dedup.simhashPairsFromHashes(h, maxHamming = radius)
+        .select("id_a", "id_b", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      placements.indices.foreach { i =>
+        assert(got.get((i * 2L, i * 2L + 1)).contains(radius),
+          s"radius=$radius pair ${i * 2L} missing or wrong hamming: $got")
+      }
+    }
+  }
+
+  test("simhash banding at radius 0 degenerates to exact-hash join") {
+    val h = Seq((1L, 42L), (2L, 42L), (3L, 43L)).toDF("id", "h")
+    val got = Dedup.simhashPairsFromHashes(h, maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
 }
 
 class SimilaritySpec extends SparkTestBase {
