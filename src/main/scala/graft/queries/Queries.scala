@@ -680,7 +680,31 @@ object Queries {
              event_type = 'signup', event_type = 'click', event_type = 'purchase') AS lvl
            FROM events GROUP BY user_id)
         GROUP BY lvl ORDER BY lvl""")
-    }, None),
+    },
+      // The funnel's greedy chain-tracking (chainStart carries the most recent
+      // qualifying predecessor) is equivalent to plain existence of an ordered
+      // (signup ≤ click ≤ purchase) triple with both gaps measured from the
+      // signup within the window: the most-recent-predecessor choice dominates
+      // any other witness, so ∃-any ⟺ ∃-algorithmic. Ties process in cond
+      // order (mask asc), so equality at a shared timestamp still chains.
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+        su AS (SELECT user_id, t FROM e WHERE event_type = 'signup'),
+        cl AS (SELECT user_id, t FROM e WHERE event_type = 'click'),
+        pu AS (SELECT user_id, t FROM e WHERE event_type = 'purchase'),
+        u AS (SELECT DISTINCT user_id FROM events),
+        l1 AS (SELECT DISTINCT user_id FROM su),
+        l2 AS (SELECT DISTINCT su.user_id FROM su JOIN cl ON su.user_id = cl.user_id
+               AND cl.t >= su.t AND cl.t - su.t <= 604800000000),
+        l3 AS (SELECT DISTINCT su.user_id FROM su
+               JOIN cl ON su.user_id = cl.user_id AND cl.t >= su.t AND cl.t - su.t <= 604800000000
+               JOIN pu ON pu.user_id = su.user_id AND pu.t >= cl.t AND pu.t - su.t <= 604800000000)
+      SELECT lvl, COUNT(*) AS n_users FROM (
+        SELECT u.user_id, CASE WHEN l3.user_id IS NOT NULL THEN 3
+          WHEN l2.user_id IS NOT NULL THEN 2
+          WHEN l1.user_id IS NOT NULL THEN 1 ELSE 0 END AS lvl
+        FROM u LEFT JOIN l1 USING (user_id) LEFT JOIN l2 USING (user_id)
+          LEFT JOIN l3 USING (user_id))
+      GROUP BY lvl ORDER BY lvl""")),
 
     QueryDef("q56_retention", (s, dir) => {
       v(s, dir, "events")
@@ -689,7 +713,12 @@ object Queries {
         FROM (SELECT retention(event_type = 'signup', event_type = 'click',
             event_type = 'purchase') AS r
           FROM events GROUP BY user_id)""")
-    }, None),
+    }, Some("""SELECT CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS d0,
+        CAST(SUM(CASE WHEN s AND c THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        CAST(SUM(CASE WHEN s AND p THEN 1 ELSE 0 END) AS BIGINT) AS d2
+      FROM (SELECT user_id, bool_or(event_type = 'signup') AS s,
+          bool_or(event_type = 'click') AS c, bool_or(event_type = 'purchase') AS p
+        FROM events GROUP BY user_id)""")),
 
     QueryDef("q57_sequence_match", (s, dir) => {
       v(s, dir, "events")
@@ -699,13 +728,30 @@ object Queries {
                event_type = 'signup', event_type = 'purchase') AS m
            FROM events GROUP BY user_id)
         WHERE m""")
-    }, None),
+    },
+      // '(?1).*(?2)' over (ts, condIndex)-sorted events ⟺ some signup at or
+      // before some purchase (ties: signup's mask sorts first, so an equal-ts
+      // purchase still matches) ⟺ min(signup ts) <= max(purchase ts)
+      Some("""SELECT COUNT(*) AS n_matched FROM (
+        SELECT user_id,
+          min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS ms,
+          max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS mp
+        FROM events GROUP BY user_id)
+      WHERE ms IS NOT NULL AND mp IS NOT NULL AND ms <= mp""")),
 
     QueryDef("q58_topk_agg", (s, dir) => {
       v(s, dir, "events")
       s.sql("""SELECT user_id % 10 AS grp, array_join(topK(event_type, 3), ',') AS top3
         FROM events GROUP BY user_id % 10 ORDER BY grp""")
-    }, None),
+    },
+      // SpaceSaving is exact while distinct keys ≤ capacity (256 here vs a
+      // handful of event types), and its output order is (count desc, string
+      // asc) — both reproducible in plain SQL at this cardinality
+      Some("""SELECT grp, string_agg(event_type, ',' ORDER BY n DESC, event_type) AS top3
+      FROM (SELECT user_id % 10 AS grp, event_type, COUNT(*) AS n,
+          ROW_NUMBER() OVER (PARTITION BY user_id % 10 ORDER BY COUNT(*) DESC, event_type) AS rn
+        FROM events GROUP BY 1, 2)
+      WHERE rn <= 3 GROUP BY grp ORDER BY grp""")),
 
     QueryDef("q59_bit_agg", (s, dir) => {
       v(s, dir, "lineitem")
@@ -768,7 +814,27 @@ object Queries {
           threshold = 0.4, shingleSize = 3, bands = 8, rowsPerBand = 2)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id_a", "id_b"),
-      None, bench = true),
+      // Exact all-pairs oracle is valid because LSH + exact-verify output ⊆
+      // true pairs always, and recall here is deterministic-complete: the
+      // corpus's near-dup pairs all sit at J ≥ 0.9 (verified: no pair exists
+      // in [0.3, 0.9)), where the 8-band/2-row S-curve's miss probability is
+      // (1-0.81)^8 ≈ 2e-6 per pair — and the hashes are seed-fixed, so the
+      // outcome is a constant of the dataset, not a per-run coin flip.
+      Some("""WITH toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+          ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) END) AS s
+        FROM toks),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM pairs WHERE jaccard >= 0.4
+      ORDER BY id_a, id_b"""),
+      bench = true),
 
     QueryDef("q64_simhash_pairs", (s, dir) =>
       // radius 3 — the classic 64-bit simhash near-dup radius (Manku WWW'07);
@@ -790,16 +856,48 @@ object Queries {
       // sign bits with their original, so recall on true near-dups is exact
       Dedup.embeddingNearDup(e.unionByName(planted), "embedding", "vec_id",
           threshold = 0.99, bits = 12)
-        .withColumn("cos", round(col("cos"), 6))
+        .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
-    }, None),
+    },
+      // id-pairs only (no cos column): the pair SET is deterministic — planted
+      // scaled copies share every sign bit with their original (scaling
+      // preserves direction) so LSH recall on true pairs is structural, and
+      // random 64-dim pairs sit ~N(0, 1/64) away from cos 0.99. The float
+      // scaling matches bit-for-bit: x*1.5f in float == round(double(x)*1.5)
+      // since the double product is exact (24+1 mantissa bits < 53).
+      Some("""WITH u AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, list_transform(embedding, x -> CAST(x * 1.5 AS FLOAT))
+        FROM embeddings WHERE vec_id < 20),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+           * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos
+        FROM u a JOIN u b ON a.vec_id < b.vec_id)
+      SELECT id_a, id_b FROM p WHERE cos >= 0.99 ORDER BY id_a, id_b""")),
 
     QueryDef("q66_ann_bruteforce", (s, dir) => {
       val emb = Q.t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id", 5)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("query_id", "rn")
-    }, None, bench = true),
+    },
+      // exact top-k is fully SQL-expressible: same sequential-fold cosine
+      // (list_sum evaluates left-to-right like the Spark aggregate() fold),
+      // same (cos desc, neighbor_id) tie order
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      s AS (SELECT query_id, c.vec_id AS neighbor_id,
+          list_sum(list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))) AS cos
+        FROM embeddings c CROSS JOIN q WHERE c.vec_id <> query_id),
+      r AS (SELECT query_id, neighbor_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+        FROM s)
+      SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id, ROUND(cos, 6) AS cos
+      FROM r WHERE rn <= 5 ORDER BY query_id, rn"""),
+      bench = true),
 
     QueryDef("q67_ann_lsh", (s, dir) => {
       val emb = Q.t(s, dir, "embeddings")
@@ -846,14 +944,56 @@ object Queries {
           round(col("repetition_ratio"), 6).as("repetition_ratio"),
           round(col("quality_score"), 6).as("quality_score"))
         .orderBy("doc_id"),
-      None),
+      // every feature is a pure arithmetic composition over token counts —
+      // both engines divide the same exact integers, and the score's
+      // left-associated double mix is replicated term-for-term ([[:punct:]]
+      // in RE2 == Java \p{Punct} for this ASCII corpus)
+      Some("""WITH f AS (
+        SELECT doc_id, length(text) AS nc,
+          list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks,
+          CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+            / CAST(greatest(length(text), 1) AS DOUBLE) AS punct
+        FROM documents),
+      r AS (
+        SELECT doc_id, nc, len(toks) AS nt, punct,
+          CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE)
+            / CAST(greatest(len(toks), 1) AS DOUBLE) AS mtl,
+          CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS DOUBLE)
+            / CAST(greatest(len(toks), 1) AS DOUBLE) AS stop,
+          1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS rep
+        FROM f)
+      SELECT doc_id, CAST(nc AS INT) AS n_chars_q, CAST(nt AS INT) AS n_tokens,
+        ROUND(mtl, 6) AS mean_token_len, ROUND(stop, 6) AS stopword_ratio,
+        ROUND(rep, 6) AS repetition_ratio,
+        ROUND(least(1.0, greatest(0.0,
+          0.3 * least(CAST(nt AS DOUBLE) / 100.0, 1.0) + 0.3 * (1.0 - rep)
+          + 0.2 * least(stop * 5.0, 1.0) + 0.2 * (1.0 - punct))), 6) AS quality_score
+      FROM r ORDER BY doc_id""")),
 
     QueryDef("q71_lang_id", (s, dir) =>
       Q.t(s, dir, "documents")
         .select(col("lang"), TextAnalysis.languageId(col("text")).as("pred"))
         .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
         .orderBy("lang", "pred"),
-      None),
+      // the heuristic is 5 exact integer-ratio scores + a lexicographic
+      // (score, lang) argmax — the descending CASE chain reproduces the
+      // max-lang tie-break of Spark's greatest(struct(score, lang))
+      Some("""WITH t AS (SELECT lang,
+          list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        FROM documents),
+      sc AS (SELECT lang,
+          CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein','eine','zu','den','von'], x))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS s_de,
+          CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS s_en,
+          CAST(len(list_filter(toks, x -> list_contains(['el','la','los','de','y','un','una','es','que','por'], x))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS s_es,
+          CAST(len(list_filter(toks, x -> list_contains(['le','la','les','de','et','un','une','est','que','pour'], x))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS s_fr,
+          CAST(len(list_filter(toks, x -> list_contains(['de','shi','le','bu','wo','ni','ta','men','zai','you'], x))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS s_zh
+        FROM t),
+      p AS (SELECT lang, greatest(s_de, s_en, s_es, s_fr, s_zh) AS m,
+          s_de, s_en, s_es, s_fr, s_zh FROM sc)
+      SELECT lang, CASE WHEN m < 0.02 THEN 'und'
+          WHEN s_zh = m THEN 'zh' WHEN s_fr = m THEN 'fr' WHEN s_es = m THEN 'es'
+          WHEN s_en = m THEN 'en' ELSE 'de' END AS pred, COUNT(*) AS n
+      FROM p GROUP BY lang, pred ORDER BY lang, pred""")),
 
     QueryDef("q72_asof_join", (s, dir) => {
       val ev = Q.t(s, dir, "events")
@@ -1243,7 +1383,24 @@ object Queries {
         .toDF().select(col("user_id"), col("n_events"),
           round(col("total_value"), 4).as("total_value"))
         .orderBy("user_id")
-    }, None, bench = true)
+    },
+      // bounded-frame sessionize reports the LAST session per user — classic
+      // gaps-and-islands in SQL: same ms-precision timestamps (getTime ==
+      // epoch_ms), same (t, event_id) order, same strict > gap test
+      Some("""WITH o AS (SELECT user_id, event_id, value, epoch_ms(ts) AS t FROM events),
+      g AS (SELECT user_id, value, t, event_id,
+          CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+            OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) > 1800000
+          THEN 1 ELSE 0 END AS ns
+        FROM o),
+      s AS (SELECT user_id, value,
+          SUM(ns) OVER (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g),
+      m AS (SELECT user_id, MAX(sid) AS msid FROM s GROUP BY user_id)
+      SELECT s.user_id, COUNT(*) AS n_events, ROUND(SUM(s.value), 4) AS total_value
+      FROM s JOIN m ON s.user_id = m.user_id AND s.sid = m.msid
+      GROUP BY s.user_id ORDER BY s.user_id"""),
+      bench = true)
   )
 
   val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
