@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.functions._
 
-import graft.functions.agg.{BitAgg, DeltaSumTimestamp, Ema, HistogramAgg, Retention, SequenceMatchAgg, TopK, UniqUpTo, WindowFunnel}
+import graft.functions.agg.{BitAgg, DeltaSumTimestamp, Ema, HistogramAgg, KolmogorovSmirnovTest, MannWhitneyUTest, Retention, SequenceMatchAgg, TTestAgg, TopK, UniqUpTo, WindowFunnel}
 
 /** ClickHouse-dialect function registration — the Spark-side counterpart of
   * the reference's 871-function registry (reference:
@@ -617,6 +617,12 @@ object GraftFunctions {
     add("exponentialMovingAverage")(es => Ema(es.head, es(1), es(2)).toAggregateExpression())
     add("deltaSumTimestamp")(es => DeltaSumTimestamp(es.head, es(1)).toAggregateExpression())
     add("histogram")(es => HistogramAgg(es.head, es(1)).toAggregateExpression())
+    // two-sample hypothesis tests (reference AGGREGATE statistics family):
+    // test(sample_data, sample_index ∈ {0,1}) → struct(statistic, p_value[, dof])
+    add("studentTTest")(es => TTestAgg(es.head, es(1), welch = false).toAggregateExpression())
+    add("welchTTest")(es => TTestAgg(es.head, es(1), welch = true).toAggregateExpression())
+    add("mannWhitneyUTest")(es => MannWhitneyUTest(es.head, es(1)).toAggregateExpression())
+    add("kolmogorovSmirnovTest")(es => KolmogorovSmirnovTest(es.head, es(1)).toAggregateExpression())
 
     // custom scalar expressions
     add("simHash")(es => SimHash(es.head))

@@ -1280,6 +1280,70 @@ object Queries {
         ON l_returnflag = rf
       GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    QueryDef("q100_ttests", (s, dir) => {
+      v(s, dir, "lineitem")
+      // statistics + dof are moment compositions — deterministic here because
+      // l_quantity is integer-valued (every Σx, Σx² is exact in double);
+      // p-values (commons-math3 t CDF) are spec-tested, not oracle-checkable
+      s.sql("""SELECT l_linestatus,
+          ROUND(st.t_statistic, 6) AS t_student, ROUND(st.dof, 6) AS dof_student,
+          ROUND(wt.t_statistic, 6) AS t_welch, ROUND(wt.dof, 6) AS dof_welch
+        FROM (SELECT l_linestatus,
+            studentTTest(l_quantity, IF(l_returnflag = 'A', 0, 1)) AS st,
+            welchTTest(l_quantity, IF(l_returnflag = 'A', 0, 1)) AS wt
+          FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY l_linestatus)
+        ORDER BY l_linestatus""")
+    }, Some("""WITH m AS (SELECT l_linestatus,
+          COUNT(CASE WHEN l_returnflag = 'A' THEN 1 END) AS n0,
+          COUNT(CASE WHEN l_returnflag <> 'A' THEN 1 END) AS n1,
+          SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE 0 END) AS s0,
+          SUM(CASE WHEN l_returnflag <> 'A' THEN l_quantity ELSE 0 END) AS s1,
+          SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity * l_quantity ELSE 0 END) AS q0,
+          SUM(CASE WHEN l_returnflag <> 'A' THEN l_quantity * l_quantity ELSE 0 END) AS q1
+        FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY l_linestatus),
+      d AS (SELECT l_linestatus, n0, n1, s0 / n0 AS m0, s1 / n1 AS m1,
+          (q0 - n0 * (s0 / n0) * (s0 / n0)) / (n0 - 1) AS v0,
+          (q1 - n1 * (s1 / n1) * (s1 / n1)) / (n1 - 1) AS v1
+        FROM m)
+      SELECT l_linestatus,
+        ROUND((m0 - m1) / sqrt(((n0 - 1) * v0 + (n1 - 1) * v1) / (n0 + n1 - 2) * (1.0 / n0 + 1.0 / n1)), 6) AS t_student,
+        ROUND(CAST(n0 + n1 - 2 AS DOUBLE), 6) AS dof_student,
+        ROUND((m0 - m1) / sqrt(v0 / n0 + v1 / n1), 6) AS t_welch,
+        ROUND((v0 / n0 + v1 / n1) * (v0 / n0 + v1 / n1) /
+          ((v0 / n0) * (v0 / n0) / (n0 - 1) + (v1 / n1) * (v1 / n1) / (n1 - 1)), 6) AS dof_welch
+      FROM d ORDER BY l_linestatus""")),
+
+    QueryDef("q101_rank_tests", (s, dir) => {
+      v(s, dir, "lineitem")
+      // U is a sum of average ranks (half-integers — exact in double); KS D is
+      // a max of exact-count ratios: both bit-reproducible cross-engine
+      s.sql("""SELECT l_linestatus,
+          ROUND(mw.u_statistic, 4) AS u_stat, ROUND(ks.d_statistic, 6) AS d_stat
+        FROM (SELECT l_linestatus,
+            mannWhitneyUTest(l_quantity, IF(l_returnflag = 'A', 0, 1)) AS mw,
+            kolmogorovSmirnovTest(l_quantity, IF(l_returnflag = 'A', 0, 1)) AS ks
+          FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY l_linestatus)
+        ORDER BY l_linestatus""")
+    }, Some("""WITH x AS (SELECT l_linestatus AS g, l_quantity AS v,
+          CASE WHEN l_returnflag = 'A' THEN 0 ELSE 1 END AS idx
+        FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+      r AS (SELECT g, idx, v,
+          RANK() OVER (PARTITION BY g ORDER BY v) + (COUNT(*) OVER (PARTITION BY g, v) - 1) / 2.0 AS ar
+        FROM x),
+      u AS (SELECT g, SUM(CASE WHEN idx = 0 THEN ar END)
+          - COUNT(CASE WHEN idx = 0 THEN 1 END) * (COUNT(CASE WHEN idx = 0 THEN 1 END) + 1) / 2.0 AS u0
+        FROM r GROUP BY g),
+      cnt AS (SELECT g, COUNT(CASE WHEN idx = 0 THEN 1 END) AS n0,
+          COUNT(CASE WHEN idx = 1 THEN 1 END) AS n1 FROM x GROUP BY g),
+      cum AS (SELECT g, v, SUM(CASE WHEN idx = 0 THEN 1 ELSE 0 END) AS c0,
+          SUM(CASE WHEN idx = 1 THEN 1 ELSE 0 END) AS c1 FROM x GROUP BY g, v),
+      fd AS (SELECT g, MAX(ABS(CAST(cc0 AS DOUBLE) / n0 - CAST(cc1 AS DOUBLE) / n1)) AS d FROM (
+          SELECT cum.g AS g, SUM(c0) OVER (PARTITION BY cum.g ORDER BY v) AS cc0,
+            SUM(c1) OVER (PARTITION BY cum.g ORDER BY v) AS cc1, n0, n1
+          FROM cum JOIN cnt ON cum.g = cnt.g) GROUP BY g)
+      SELECT u.g AS l_linestatus, ROUND(u.u0, 4) AS u_stat, ROUND(fd.d, 6) AS d_stat
+      FROM u JOIN fd ON u.g = fd.g ORDER BY l_linestatus""")),
+
     QueryDef("q97_histogram_adaptive", (s, dir) => {
       v(s, dir, "orders")
       // adaptive-bin histogram sketch (custom agg); rows-only — bin edges are
