@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Scale-safe GLOBAL ranking (row_number / ntile / percent_rank / cume_dist
+  * over a total order) — the operator a 100 TB engine needs where
+  * `Window.orderBy(...)` (no partition) would funnel the whole table through
+  * ONE task (the r2 verdict's q34 finding).
+  *
+  * Algorithm (classic two-pass distributed ranking, the same shape
+  * `df.orderBy` uses internally for its range sort):
+  *   1. sample boundary quantiles of the leading sort key (one cheap stats
+  *      pass, approx_percentile);
+  *   2. assign each row a range-bucket id with a pure comparison projection —
+  *      no shuffle, monotone in the key, equal keys land in one bucket;
+  *   3. ONE hash shuffle by bucket id → per-bucket sort + local row_number;
+  *   4. per-bucket counts (map-side-combined aggregate over the persisted
+  *      ranked frame, collected: `buckets` longs) become broadcast prefix
+  *      offsets; global rn = local rn + offset.
+  *
+  * Total shuffle cost: one exchange of the data — the theoretical minimum for
+  * a distributed sort. Skew note: a single heavily-repeated leading key value
+  * forms one bucket (correctness requires it); pick a finer-grained leading
+  * key or add more buckets for skewed domains.
+  *
+  * Calling this triggers the sampling + count jobs eagerly (two-pass
+  * algorithms are inherently not single-plan lazy).
+  */
+object Ranking {
+
+  /** df + `rnCol` = global 1-based row number under (key, tieBreakers) asc.
+    * Also returns the total row count (needed by the ranking derivatives).
+    * Nulls in the key sort first (bucket 0 + nulls-first local sort).
+    */
+  def withGlobalRowNumber(
+      df: DataFrame,
+      keyCol: Column,
+      tieBreakers: Seq[Column],
+      rnCol: String,
+      buckets: Int = 0): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val b = if (buckets > 0) buckets else spark.sessionState.conf.numShufflePartitions
+    val bounds = df
+      .select(percentile_approx(keyCol.cast("double"),
+        array((1 until b).map(i => lit(i.toDouble / b)): _*), lit(10000)).as("q"))
+      .head().getSeq[Double](0).distinct.sorted
+    val pid = bounds.foldLeft(lit(0))((acc, bound) =>
+      acc + when(keyCol.cast("double") > lit(bound), 1).otherwise(0))
+    val w = Window.partitionBy("__pid").orderBy((keyCol +: tieBreakers): _*)
+    val local = df.withColumn("__pid", pid)
+      .withColumn("__lrn", row_number().over(w))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val counts = local.groupBy("__pid").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val offsets = counts.map(_._1).zip(
+      counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
+    import spark.implicits._
+    val offsetsDf = offsets.toSeq.toDF("__pid", "__off")
+    val ranked = local.join(broadcast(offsetsDf), Seq("__pid"))
+      .withColumn(rnCol, (col("__lrn") + col("__off")).cast("long"))
+      .drop("__pid", "__lrn", "__off")
+    (ranked, total)
+  }
+
+  /** df + tile / percent_rank / cume_dist columns over the global
+    * (key, tieBreakers) order — SQL NTILE / PERCENT_RANK / CUME_DIST
+    * semantics including ties (rank = min rn over equal full keys, cume_dist
+    * counts all peers), computed without any single-partition window.
+    */
+  def globalRankings(
+      df: DataFrame,
+      keyCol: Column,
+      tieBreakers: Seq[Column],
+      tiles: Int,
+      tileCol: String = "tile",
+      prCol: String = "pr",
+      cdCol: String = "cd",
+      buckets: Int = 0): DataFrame = {
+    val (ranked, n) = withGlobalRowNumber(df, keyCol, tieBreakers, "__rn", buckets)
+    // ties: peers share the full ordering key → min/max rn within peer group
+    // (a hash-partitioned window over many keys, not a global one)
+    val peers = Window.partitionBy((keyCol +: tieBreakers): _*)
+    val withRank = ranked
+      .withColumn("__rank", min(col("__rn")).over(peers))
+      .withColumn("__peermax", max(col("__rn")).over(peers))
+    // SQL NTILE: first n % tiles buckets get ceil(n/tiles) rows
+    val q = n / tiles
+    val r = n % tiles
+    val rn1 = col("__rn") - 1
+    val tile =
+      if (q == 0) col("__rn").cast("int")
+      else when(col("__rn") <= lit((q + 1) * r),
+        floor(rn1 / lit(q + 1)) + 1)
+        .otherwise(lit(r) + floor((rn1 - r * (q + 1)) / lit(q)) + 1)
+    withRank
+      .withColumn(tileCol, tile.cast("int"))
+      .withColumn(prCol,
+        if (n <= 1) lit(0.0)
+        else (col("__rank") - 1).cast("double") / lit((n - 1).toDouble))
+      .withColumn(cdCol, col("__peermax").cast("double") / lit(n.toDouble))
+      .drop("__rank", "__peermax", "__rn")
+  }
+}

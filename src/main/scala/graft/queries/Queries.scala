@@ -435,16 +435,14 @@ object Queries {
       FROM orders ORDER BY o_orderkey"""),
       bench = true),
 
-    QueryDef("q34_window_ntile", (s, dir) => {
-      // Global (unpartitioned) ranking: single-partition sort by design —
-      // at 100 TB this shape needs a range-partitioned sort (df.orderBy does
-      // exactly that); ntile itself is the operator under test here.
-      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      Q.t(s, dir, "orders")
-        .select(col("o_orderkey"), ntile(4).over(w).as("tile"),
-          percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
-        .orderBy("o_orderkey")
-    }, Some("""SELECT o_orderkey,
+    QueryDef("q34_window_ntile", (s, dir) =>
+      // scale-safe global ranking: range-bucketed two-pass rank (ONE data
+      // shuffle, no single-partition Window) — see operators/Ranking.scala
+      graft.operators.Ranking.globalRankings(
+          Q.t(s, dir, "orders"), col("o_totalprice"), Seq(col("o_orderkey")), tiles = 4)
+        .select("o_orderkey", "tile", "pr", "cd")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
         CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS tile,
         PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey) AS pr,
         CUME_DIST() OVER (ORDER BY o_totalprice, o_orderkey) AS cd

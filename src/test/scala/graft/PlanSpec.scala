@@ -43,6 +43,14 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("global ranking plan has no single-partition exchange or global window") {
+    val p = plan("q34_window_ntile")
+    // the final output orderBy is a range exchange (fine); the ranking itself
+    // must never collapse the data to one partition
+    assert(!p.contains("Exchange SinglePartition"),
+      "global rank must not funnel data through one task")
+  }
+
   test("asof join is one union + per-key window, no join node") {
     val p = plan("q72_asof_join")
     assert(p.contains("Union"))
