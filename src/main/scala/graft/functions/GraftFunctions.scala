@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.functions._
 
-import graft.functions.agg.{BitAgg, DeltaSumTimestamp, Ema, HistogramAgg, KolmogorovSmirnovTest, MannWhitneyUTest, Retention, SequenceMatchAgg, TTestAgg, TopK, UniqUpTo, WindowFunnel}
+import graft.functions.agg.{ArrayMoving, BitAgg, DeltaSumTimestamp, Ema, GroupArrayMoving, HistogramAgg, KolmogorovSmirnovTest, MannWhitneyUTest, Retention, SequenceMatchAgg, SparkBar, TTestAgg, TopK, UniqUpTo, WindowFunnel}
 
 /** ClickHouse-dialect function registration — the Spark-side counterpart of
   * the reference's 871-function registry (reference:
@@ -623,6 +623,24 @@ object GraftFunctions {
     add("welchTTest")(es => TTestAgg(es.head, es(1), welch = true).toAggregateExpression())
     add("mannWhitneyUTest")(es => MannWhitneyUTest(es.head, es(1)).toAggregateExpression())
     add("kolmogorovSmirnovTest")(es => KolmogorovSmirnovTest(es.head, es(1)).toAggregateExpression())
+    // moving-array family: aggregates follow arrival order (reference
+    // parallel-agg caveat applies); arrayMoving* are the deterministic
+    // scalar forms over an explicitly ordered array
+    add("groupArrayMovingSum")(es => GroupArrayMoving(es.head, es.lift(1), avg = false).toAggregateExpression())
+    add("groupArrayMovingAvg")(es => GroupArrayMoving(es.head, es.lift(1), avg = true).toAggregateExpression())
+    add("arrayMovingSum")(es => ArrayMoving(es.head, es.lift(1).getOrElse(col2e(lit(0))), avg = false))
+    add("arrayMovingAvg")(es => ArrayMoving(es.head, es.lift(1).getOrElse(col2e(lit(0))), avg = true))
+    add("sparkBar")(es => SparkBar(es.head, es(1), es(2)).toAggregateExpression())
+    // groupBitmap = exact distinct cardinality of an integer column (the
+    // roaring-bitmap state is an implementation detail of the reference;
+    // Spark's distinct aggregation gives the same answer)
+    alias("groupBitmap")(cs => count_distinct(cs.head))
+
+    // geo tail: geohash + point-in-polygon (haversine already aliased)
+    add("geohashEncode")(es => GeohashEncode(es.head, es(1),
+      es.lift(2).getOrElse(col2e(lit(12)))))
+    add("geohashDecode")(es => GeohashDecode(es.head))
+    add("pointInPolygon")(es => PointInPolygon(es.head, es(1)))
 
     // custom scalar expressions
     add("simHash")(es => SimHash(es.head))

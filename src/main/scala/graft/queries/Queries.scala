@@ -1342,6 +1342,21 @@ object Queries {
       SELECT u.g AS l_linestatus, ROUND(u.u0, 4) AS u_stat, ROUND(fd.d, 6) AS d_stat
       FROM u JOIN fd ON u.g = fd.g ORDER BY l_linestatus""")),
 
+    QueryDef("q102_moving_arrays", (s, dir) => {
+      v(s, dir, "lineitem")
+      // deterministic scalar moving-window forms over an ordered array; the
+      // oracle uses the closed forms of windowed sums over 1..n
+      s.sql("""SELECT l_orderkey, l_linenumber,
+          arrayMovingSum(sequence(1, l_linenumber), 3) AS ms,
+          arrayMovingAvg(sequence(1, l_linenumber), 2) AS ma
+        FROM lineitem WHERE l_orderkey < 300 ORDER BY l_orderkey, l_linenumber""")
+    }, Some("""SELECT l_orderkey, l_linenumber,
+        list_transform(range(1, CAST(l_linenumber AS BIGINT) + 1),
+          i -> CAST(CASE WHEN i < 3 THEN i * (i + 1) / 2 ELSE 3 * i - 3 END AS DOUBLE)) AS ms,
+        list_transform(range(1, CAST(l_linenumber AS BIGINT) + 1),
+          i -> CAST(CASE WHEN i = 1 THEN 1.0 ELSE (2 * i - 1) / 2.0 END AS DOUBLE)) AS ma
+      FROM lineitem WHERE l_orderkey < 300 ORDER BY l_orderkey, l_linenumber""")),
+
     QueryDef("q97_histogram_adaptive", (s, dir) => {
       v(s, dir, "orders")
       // adaptive-bin histogram sketch (custom agg); rows-only — bin edges are
