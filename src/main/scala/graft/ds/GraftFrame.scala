@@ -192,9 +192,57 @@ final case class GraftFrame(df: DataFrame) {
   def explain(): Unit = df.explain("formatted")
   def cache(): GraftFrame = GraftFrame(df.cache())
   def toDF: DataFrame = df
+
+  /** Streamed result iteration (the reference's chunked-pull streaming
+    * surface, docs/streaming.rst): partitions are fetched one at a time, so
+    * driver memory holds one partition, not the result; stop consuming to
+    * stop fetching (early close).
+    */
+  def toLocalIterator(): java.util.Iterator[org.apache.spark.sql.Row] =
+    df.toLocalIterator()
+
+  /** Run the query and report the reference's result metadata surface
+    * (README rows_read()/bytes_read()/elapsed()): rows/bytes actually read
+    * from storage (task input metrics), wall time, and rows returned.
+    */
+  def collectWithMetrics(): (Array[org.apache.spark.sql.Row], GraftFrame.QueryMetrics) = {
+    import java.util.concurrent.atomic.AtomicLong
+    val sc = df.sparkSession.sparkContext
+    val bytes = new AtomicLong
+    val rows = new AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val im = t.taskMetrics.inputMetrics
+        bytes.addAndGet(im.bytesRead)
+        rows.addAndGet(im.recordsRead)
+      }
+    }
+    sc.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    try {
+      val out = df.collect()
+      val elapsedMs = (System.nanoTime() - t0) / 1000000
+      // the listener bus is async — quiesce: wait until the counters stop
+      // moving (bounded at 2 s) before reading them
+      var prev = -1L
+      var waited = 0
+      while (waited < 20 && (bytes.get() + rows.get()) != prev) {
+        prev = bytes.get() + rows.get()
+        Thread.sleep(100)
+        waited += 1
+      }
+      (out, GraftFrame.QueryMetrics(rows.get(), bytes.get(), elapsedMs, out.length))
+    } finally sc.removeSparkListener(listener)
+  }
 }
 
 object GraftFrame {
+
+  /** Result metadata (reference README.md:266-268 rows_read/bytes_read/
+    * elapsed): storage-side rows/bytes actually scanned for this query.
+    */
+  final case class QueryMetrics(
+      rowsRead: Long, bytesRead: Long, elapsedMs: Long, rowsReturned: Long)
 
   /** Grouped surface (reference datastore/groupby.py LazyGroupBy). */
   final case class GraftGroupBy(df: DataFrame, keys: Seq[String]) {

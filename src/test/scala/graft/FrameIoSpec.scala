@@ -107,3 +107,29 @@ class SourcesSpec extends SparkTestBase {
     assert(Sources.file(spark, p, "csv").count() == 3)
   }
 }
+
+/** Result metadata + streamed iteration surface (reference README
+  * rows_read/bytes_read/elapsed; docs/streaming.rst chunked pull).
+  */
+class MetricsSpec extends SparkTestBase {
+
+  test("collectWithMetrics reports storage-side rows/bytes and elapsed") {
+    val f = graft.ds.GraftFrame(
+      graft.Tables.load(spark, SparkTestBase.sfDir, "orders"))
+      .filter(org.apache.spark.sql.functions.col("o_totalprice") > 100000)
+    val (out, m) = f.collectWithMetrics()
+    assert(m.rowsReturned == out.length)
+    assert(m.rowsRead >= out.length, "scan rows must cover returned rows")
+    assert(m.bytesRead > 0, "parquet scan must report bytes read")
+    assert(m.elapsedMs >= 0)
+  }
+
+  test("toLocalIterator streams the full result") {
+    val f = graft.ds.GraftFrame(
+      graft.Tables.load(spark, SparkTestBase.sfDir, "nation"))
+    val it = f.toLocalIterator()
+    var n = 0
+    while (it.hasNext) { it.next(); n += 1 }
+    assert(n == 25)
+  }
+}
