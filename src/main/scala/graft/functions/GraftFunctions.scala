@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.functions._
 
-import graft.functions.agg.{ArrayMoving, BitAgg, DeltaSumTimestamp, Ema, GroupArrayMoving, HistogramAgg, KolmogorovSmirnovTest, MannWhitneyUTest, Retention, SequenceMatchAgg, SparkBar, TTestAgg, TopK, UniqUpTo, WindowFunnel}
+import graft.functions.agg.{ArrayMoving, BitAgg, GroupArrayInsertAt, DeltaSumTimestamp, Ema, GroupArrayMoving, HistogramAgg, KolmogorovSmirnovTest, MannWhitneyUTest, Retention, SequenceMatchAgg, SparkBar, TTestAgg, TopK, UniqUpTo, WindowFunnel}
 
 /** ClickHouse-dialect function registration — the Spark-side counterpart of
   * the reference's 871-function registry (reference:
@@ -590,6 +590,16 @@ object GraftFunctions {
     same("groupArray", "collect_list")
     same("groupUniqArray", "collect_set")
     alias("groupArraySorted")(cs => array_sort(collect_list(cs.head)))
+    // deterministic "sample": order by a seeded hash of the value, take n —
+    // reproducible across runs and cluster layouts (a reservoir would not be)
+    alias("groupArraySample")(cs => {
+      val seed = if (cs.size > 2) cs(2) else lit(42)
+      slice(transform(
+        array_sort(transform(collect_list(cs.head),
+          v => struct(xxhash64(v, seed).as("h"), v.as("v")))),
+        s => s.getField("v")), lit(1), cs(1))
+    })
+    add("groupArrayInsertAt")(es => GroupArrayInsertAt(es.head, es(1)).toAggregateExpression())
     alias("groupConcat")(cs => call_function("array_join", collect_list(cs.head.cast("string")), if (cs.size > 1) cs(1) else lit(",")))
     add("groupBitAnd")(es => BitAgg(es.head, BitAgg.And).toAggregateExpression())
     add("groupBitOr")(es => BitAgg(es.head, BitAgg.Or).toAggregateExpression())

@@ -70,3 +70,23 @@ class GeoMovingSpec extends SparkTestBase {
     assert(spark.sql("SELECT groupBitmap(v) AS r FROM gb").head().getLong(0) == 3L)
   }
 }
+
+/** groupArraySample (deterministic hash-order) + groupArrayInsertAt. */
+class GroupArrayTailSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("groupArraySample is a stable n-subset of the group") {
+    Seq(1, 2, 3, 4, 5, 6, 7, 8).toDF("v").createOrReplaceTempView("gs")
+    val a = spark.sql("SELECT groupArraySample(v, 3) AS r FROM gs").head().getSeq[Int](0)
+    val b = spark.sql("SELECT groupArraySample(v, 3) AS r FROM gs").head().getSeq[Int](0)
+    assert(a == b && a.size == 3 && a.forall((1 to 8).contains))
+    val s2 = spark.sql("SELECT groupArraySample(v, 3, 7) AS r FROM gs").head().getSeq[Int](0)
+    assert(s2.size == 3) // different seed still sizes correctly
+  }
+
+  test("groupArrayInsertAt places values with null gaps") {
+    Seq((10, 0), (30, 2), (50, 4)).toDF("v", "p").createOrReplaceTempView("ia")
+    val r = spark.sql("SELECT groupArrayInsertAt(v, p) AS r FROM ia").head().getSeq[Any](0)
+    assert(r == Seq(10, null, 30, null, 50))
+  }
+}
