@@ -51,6 +51,21 @@ class PlanSpec extends SparkTestBase {
       "global rank must not funnel data through one task")
   }
 
+  test("tpch suite: no cartesian products, dimension joins broadcast") {
+    for (name <- Seq("tpch07_volume_shipping", "tpch09_product_profit",
+        "tpch10_returned_items", "tpch19_disjunctive")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
+      assert(p.contains("BroadcastHashJoin"), s"$name should broadcast its dims")
+    }
+  }
+
+  test("tpch19: disjunctive predicate still prunes the part scan") {
+    val p = plan("tpch19_disjunctive")
+    // the three brand blocks share the brand IN + size bound → pushable
+    assert(p.contains("PushedFilters") && p.contains("p_brand"))
+  }
+
   test("asof join is one union + per-key window, no join node") {
     val p = plan("q72_asof_join")
     assert(p.contains("Union"))
