@@ -184,6 +184,35 @@ final case class GraftFrame(df: DataFrame) {
     GraftFrame(df.withColumn(out, explode(col(c))))
   }
 
+  /** pandas json_normalize: parse a JSON string column and flatten nested
+    * objects into `sep`-joined top-level columns. Schema is inferred from
+    * the first non-null value (one driver-side head — the same contract
+    * pandas has; pass explicit DDL via [[jsonNormalizeAs]] to avoid it).
+    */
+  def jsonNormalize(jsonCol: String, sep: String = "."): GraftFrame = {
+    val sample = df.select(col(jsonCol)).na.drop().head()
+    val ddl = df.sparkSession.range(1)
+      .select(schema_of_json(lit(sample.getString(0))).as("s"))
+      .head().getString(0)
+    jsonNormalizeAs(jsonCol, ddl, sep)
+  }
+
+  /** json_normalize with an explicit schema (DDL or schema_of_json form). */
+  def jsonNormalizeAs(jsonCol: String, schemaDdl: String, sep: String = "."): GraftFrame = {
+    val parsed = df.withColumn("__j", from_json(col(jsonCol), schemaDdl, Map.empty[String, String]))
+    def flatten(prefix: Seq[String], t: org.apache.spark.sql.types.DataType): Seq[Column] =
+      t match {
+        case s: org.apache.spark.sql.types.StructType =>
+          s.fields.toIndexedSeq.flatMap(f => flatten(prefix :+ f.name, f.dataType))
+        case _ =>
+          val path = ("__j" +: prefix).map(p => s"`$p`").mkString(".")
+          Seq(col(path).as(prefix.mkString(sep)))
+      }
+    val jType = parsed.schema("__j").dataType
+    GraftFrame(parsed.select(
+      df.columns.filter(_ != jsonCol).map(col).toIndexedSeq ++ flatten(Nil, jType): _*))
+  }
+
   // ---- execution triggers ----
 
   def collect(): Array[org.apache.spark.sql.Row] = df.collect()

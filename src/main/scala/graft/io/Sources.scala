@@ -89,6 +89,24 @@ object Sources {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).format(fmt2).save(path)
   }
 
+  /** url(url[, format]) — reference table_functions.py:208-315. Driver-side
+    * fetch into a temp file, then the normal format reader. This matches the
+    * reference's showcase use (remote config/sample files); bulk ingest at
+    * scale belongs on a distributed store reached via [[uri]], not HTTP.
+    * Supports http(s):// and file:// schemes.
+    */
+  def url(spark: SparkSession, u: String, format: String = ""): DataFrame = {
+    val fmt = if (format.nonEmpty) format.toLowerCase else detectFormat(u)
+    val src = java.net.URI.create(u).toURL
+    val tmp = java.nio.file.Files.createTempFile("graft_url_", s".$fmt")
+    tmp.toFile.deleteOnExit()
+    val in = src.openStream()
+    try java.nio.file.Files.copy(in, tmp,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    file(spark, tmp.toString, fmt)
+  }
+
   // ---- lakehouse table formats (reference table_functions.py:868-994) ----
 
   /** True when the `delta` / `iceberg` / `hudi` connector jar is on the

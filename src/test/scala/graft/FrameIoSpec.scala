@@ -183,3 +183,27 @@ class LakehouseSpec extends SparkTestBase {
     spark.sql("DROP TABLE nation_mv")
   }
 }
+
+/** url() table function + json_normalize flattening. */
+class UrlJsonSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("url() reads a csv through a file:// URL") {
+    val tmp = java.nio.file.Files.createTempFile("graft_url_src_", ".csv")
+    java.nio.file.Files.writeString(tmp, "a,b\n1,x\n2,y\n")
+    val df = graft.io.Sources.url(spark, tmp.toUri.toString)
+    assert(df.count() == 2 && df.columns.toSeq == Seq("a", "b"))
+  }
+
+  test("jsonNormalize flattens nested objects with sep-joined names") {
+    val df = Seq(
+      (1L, """{"user": {"name": "ann", "geo": {"lat": 1.5}}, "n": 7}"""),
+      (2L, """{"user": {"name": "bob", "geo": {"lat": 2.5}}, "n": 9}"""))
+      .toDF("id", "js")
+    val out = graft.ds.GraftFrame(df).jsonNormalize("js").toDF
+    assert(out.columns.toSet == Set("id", "n", "user.geo.lat", "user.name"))
+    val r = out.orderBy("id").collect()
+    assert(r(0).getAs[String]("user.name") == "ann")
+    assert(r(1).getAs[Double]("user.geo.lat") == 2.5)
+  }
+}
