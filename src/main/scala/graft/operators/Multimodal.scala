@@ -9,12 +9,14 @@ import org.apache.spark.sql.types._
   * struct; decode / feature-extract / resize / frame-sample are per-partition
   * batch transforms.
   *
-  * The DECODE KERNELS ARE STUBS — this container ships no image/audio codecs,
-  * so the pixel-level work is a deterministic fake (hash-derived features,
-  * documented below). Everything Spark-side is real and load-bearing at
-  * scale: the schema contract, the mapPartitions batch loop (decoder state is
-  * per-partition, amortized like an Arrow-batch UDF), partition sizing by
-  * byte volume rather than row count, and the frame-sampling explode.
+  * The IMAGE kernel is real (javax.imageio, in the JDK: jpeg/png/gif/bmp →
+  * true dimensions, mean RGB, 8×8 average-hash); undecodable payloads fall
+  * back to a deterministic hash-derived stand-in, and audio/video kernels
+  * remain stubs (no codecs in the JDK — disclosed). Everything Spark-side is
+  * real and load-bearing at scale: the schema contract, the mapPartitions
+  * batch loop (decoder state is per-partition, amortized like an Arrow-batch
+  * UDF), partition sizing by byte volume rather than row count, and the
+  * frame-sampling explode.
   */
 object Multimodal {
 
@@ -49,13 +51,16 @@ object Multimodal {
 
   /** Decode images and extract features, batched per partition.
     *
-    * STUB KERNEL: a real implementation hands each batch of byte arrays to a
-    * codec (e.g. via JNI or an Arrow-batch Python UDF); here the "decoder"
-    * derives deterministic pseudo-features from the payload bytes (splitmix
-    * hash → channel means in [0,1], 64-bit perceptual-hash stand-in) so the
-    * pipeline is testable end-to-end. The batch shape is the real contract:
-    * one decoder context per partition, rows streamed through it in groups of
-    * `batchSize` — the same amortization an mapInPandas/Arrow UDF gives.
+    * The image kernel is REAL for every format the JDK's javax.imageio
+    * decodes (jpeg/png/gif/bmp): true width/height, sampled mean RGB, and a
+    * 64-bit average-hash perceptual fingerprint (8×8 gray-cell means
+    * thresholded by their average — pure arithmetic, deterministic across
+    * JVMs). Payloads ImageIO cannot decode fall back to a deterministic
+    * hash-derived stand-in (disclosed — keeps synthetic-payload pipelines
+    * runnable end-to-end); audio/video kernels remain stubs (no codecs in
+    * the JDK). The batch shape is the scale contract either way: one decoder
+    * context per partition, rows streamed in groups of `batchSize` — the
+    * same amortization an mapInPandas/Arrow UDF gives.
     */
   def decodeImageFeatures(
       df: DataFrame,
@@ -66,24 +71,74 @@ object Multimodal {
     val metaIdx = if (df.schema.fieldNames.contains("media_meta")) df.schema.fieldIndex("media_meta") else -1
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     df.mapPartitions { rows =>
-      // per-partition "decoder" init happens here (real codecs would allocate
-      // native contexts once per partition, not per row)
+      // per-partition decoder init (ImageIO plugin lookup is JVM-cached;
+      // native codecs would allocate a context here, once per partition)
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { row =>
           val bytes = row.getAs[Array[Byte]](idx)
           val f =
             if (bytes == null) null
-            else {
+            else decodeReal(bytes).getOrElse {
               val h = bytesHash(bytes)
               val (w, hgt) = dims(row, metaIdx, bytes)
-              Row(w, hgt,
-                Array(chan(h, 0), chan(h, 1), chan(h, 2)),
-                h)
+              Row(w, hgt, Array(chan(h, 0), chan(h, 1), chan(h, 2)), h)
             }
           Row.fromSeq(row.toSeq :+ f)
         }
       }
     }(enc)
+  }
+
+  /** Real kernel: ImageIO decode → (width, height, mean RGB, aHash).
+    * Sampling steps at most ~256×256 grid points for big images so cost is
+    * bounded per row; the aHash is the classic 8×8 average hash.
+    */
+  private def decodeReal(bytes: Array[Byte]): Option[Row] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Throwable => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    val stepX = math.max(1, w / 256)
+    val stepY = math.max(1, h / 256)
+    var sr = 0.0; var sg = 0.0; var sb = 0.0
+    var n = 0L
+    val cells = Array.ofDim[Double](8, 8)
+    val counts = Array.ofDim[Long](8, 8)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val r = (p >> 16) & 0xFF
+        val g = (p >> 8) & 0xFF
+        val b = p & 0xFF
+        sr += r; sg += g; sb += b; n += 1
+        val cy = y * 8 / h
+        val cx = x * 8 / w
+        cells(cy)(cx) += (r + g + b) / 3.0
+        counts(cy)(cx) += 1
+        x += stepX
+      }
+      y += stepY
+    }
+    var total = 0.0
+    var filled = 0
+    val means = Array.ofDim[Double](64)
+    var i = 0
+    while (i < 64) {
+      val c = counts(i / 8)(i % 8)
+      if (c > 0) { means(i) = cells(i / 8)(i % 8) / c; total += means(i); filled += 1 }
+      i += 1
+    }
+    val avg = if (filled > 0) total / filled else 0.0
+    var hash = 0L
+    i = 0
+    while (i < 64) { if (counts(i / 8)(i % 8) > 0 && means(i) >= avg) hash |= (1L << i); i += 1 }
+    Some(Row(w, h,
+      Array((sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat, (sb / n / 255.0).toFloat),
+      hash))
   }
 
   /** Metadata-level resize: a real kernel would re-encode pixels; the stub

@@ -98,3 +98,58 @@ class StreamingSpec extends SparkTestBase {
     assert(streamShape == ev.count())
   }
 }
+
+/** Real image kernel: JDK ImageIO decode → dimensions, mean RGB, aHash. */
+class ImageKernelSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def png(w: Int, h: Int)(pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixel(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decodes real PNGs: dimensions and channel means") {
+    val red = png(32, 16)((_, _) => 0xFF0000)
+    val blue = png(8, 8)((_, _) => 0x0000FF)
+    val df = Seq((1L, red), (2L, blue)).toDF("id", "content")
+    val out = graft.operators.Multimodal.decodeImageFeatures(df, "content")
+      .select("id", "image_features.*").orderBy("id").collect()
+    assert(out(0).getAs[Int]("width") == 32 && out(0).getAs[Int]("height") == 16)
+    val redRgb = out(0).getSeq[Float](out(0).fieldIndex("mean_rgb"))
+    assert(redRgb(0) > 0.99f && redRgb(1) < 0.01f && redRgb(2) < 0.01f)
+    val blueRgb = out(1).getSeq[Float](out(1).fieldIndex("mean_rgb"))
+    assert(blueRgb(2) > 0.99f && blueRgb(0) < 0.01f)
+  }
+
+  test("aHash: similar images close, gradient vs inverted far") {
+    def gradient(flip: Boolean) = png(64, 64) { (x, _) =>
+      val v = if (flip) 255 - (x * 4 min 255) else (x * 4 min 255)
+      (v << 16) | (v << 8) | v
+    }
+    val noisy = png(64, 64) { (x, y) =>
+      val v = ((x * 4 + (if ((x + y) % 13 == 0) 6 else 0)) min 255)
+      (v << 16) | (v << 8) | v
+    }
+    val df = Seq((1L, gradient(false)), (2L, noisy), (3L, gradient(true)))
+      .toDF("id", "content")
+    val h = graft.operators.Multimodal.decodeImageFeatures(df, "content")
+      .select("id", "image_features.phash").orderBy("id")
+      .collect().map(_.getLong(1))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(0), h(1)) <= 8, s"similar images should be close: ${ham(h(0), h(1))}")
+    assert(ham(h(0), h(2)) >= 24, s"inverted gradient should be far: ${ham(h(0), h(2))}")
+  }
+
+  test("undecodable payloads fall back to the deterministic stand-in") {
+    val df = Seq((1L, "not an image at all".getBytes)).toDF("id", "content")
+    val a = graft.operators.Multimodal.decodeImageFeatures(df, "content")
+      .select("image_features.phash").head().getLong(0)
+    val b = graft.operators.Multimodal.decodeImageFeatures(df, "content")
+      .select("image_features.phash").head().getLong(0)
+    assert(a == b)
+  }
+}
