@@ -349,13 +349,15 @@ object TpchQueries {
     // Q17: small-quantity-order revenue (brand+container → brand+size;
     // correlated avg → broadcast per-part aggregate)
     QueryDef("tpch17_small_qty", (s, dir) => {
-      val l = Q.t(s, dir, "lineitem")
-      val perPart = l.groupBy(col("l_partkey").as("pk"))
-        .agg((avg(col("l_quantity")) * 0.5).as("half_avg"))
-      l.join(broadcast(Q.t(s, dir, "part")
+      // correlated per-part average as a WINDOW over l_partkey — one hash
+      // shuffle of lineitem, no broadcast of a per-part aggregate (which at
+      // 100 TB is itself huge) and no second scan of lineitem
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+      Q.t(s, dir, "lineitem")
+        .join(broadcast(Q.t(s, dir, "part")
             .filter(col("p_brand") === "Brand#3" && col("p_size") < 10)),
           col("l_partkey") === col("p_partkey"))
-        .join(broadcast(perPart), col("l_partkey") === col("pk"))
+        .withColumn("half_avg", avg(col("l_quantity")).over(w) * 0.5)
         .filter(col("l_quantity") < col("half_avg"))
         .agg(round(Q.dsum(col("l_extendedprice")) / 7.0, 6).as("avg_yearly"))
     }, Some("""SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly
@@ -366,19 +368,19 @@ object TpchQueries {
       bench = true),
 
     // Q18: large-volume customers
-    QueryDef("tpch18_large_orders", (s, dir) => {
-      val big = Q.t(s, dir, "lineitem")
-        .groupBy(col("l_orderkey").as("bk"))
-        .agg(sum(col("l_quantity")).as("sq")).filter(col("sq") > 150)
-        .select("bk")
+    QueryDef("tpch18_large_orders", (s, dir) =>
+      // HAVING-IN as a single groupBy: the per-order quantity sum both
+      // filters and projects, so lineitem is scanned and shuffled ONCE
+      // (the textbook formulation scans it twice and broadcasts an
+      // unbounded order-id set)
       Q.t(s, dir, "lineitem")
-        .join(broadcast(big), col("l_orderkey") === col("bk"), "left_semi")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 150)
         .join(Q.t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(Q.t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(sum(col("l_quantity")).as("sum_qty"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc).limit(100)
-    }, Some("""SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc).limit(100), Some("""SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
         SUM(l_quantity) AS sum_qty
       FROM customer JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -439,17 +441,18 @@ object TpchQueries {
     // Q21: waiting orders (commit/receipt lateness → shipped > 30 days after
     // order; EXISTS/NOT-EXISTS pair → per-order distinct/late supplier counts)
     QueryDef("tpch21_waiting_orders", (s, dir) => {
-      val joined = Q.t(s, dir, "lineitem")
+      // EXISTS/NOT-EXISTS pair as per-order distinct counts computed in a
+      // WINDOW over l_orderkey: one shuffle of the fact join, no
+      // aggregate-then-self-join (which re-scans and re-joins the fact)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")
+      Q.t(s, dir, "lineitem")
         .join(Q.t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
           col("l_orderkey") === col("o_orderkey"))
         .withColumn("late",
           col("l_shipdate").cast("date") > date_add(col("o_orderdate").cast("date"), D30))
-      val perOrder = joined.groupBy(col("l_orderkey").as("ok"))
-        .agg(count_distinct(col("l_suppkey")).as("n_supp"),
-          count_distinct(when(col("late"), col("l_suppkey"))).as("n_late"))
-      joined.filter(col("late"))
-        .join(perOrder, col("l_orderkey") === col("ok"))
-        .filter(col("n_supp") > 1 && col("n_late") === 1)
+        .withColumn("n_supp", size(collect_set(col("l_suppkey")).over(w)))
+        .withColumn("n_late", size(collect_set(when(col("late"), col("l_suppkey"))).over(w)))
+        .filter(col("late") && col("n_supp") > 1 && col("n_late") === 1)
         .join(broadcast(Q.t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
         .groupBy("s_name").agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name").asc).limit(100)
