@@ -21,16 +21,18 @@ object TpchQueries {
     // Q2: min-cost supplier per part (partsupp → the distinct lineitem
     // part-supplier link; supplycost → s_acctbal as the minimized measure)
     QueryDef("tpch02_min_supplier", (s, dir) => {
-      val link = Q.t(s, dir, "lineitem").select(
-        col("l_partkey"), col("l_suppkey")).distinct()
       val eu = Q.t(s, dir, "supplier")
         .join(broadcast(Q.t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(Q.t(s, dir, "region").filter(col("r_name") === "EUROPE")),
           col("n_regionkey") === col("r_regionkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
-      val cand = Q.t(s, dir, "part")
-        .filter(col("p_size") === 15 && col("p_type") === "LARGE")
-        .join(link, col("p_partkey") === col("l_partkey"))
+      // part filter BEFORE the link distinct: dedup runs over the few
+      // matching parts' lines, not the whole fact table
+      val cand = Q.t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+        .join(broadcast(Q.t(s, dir, "part")
+            .filter(col("p_size") === 15 && col("p_type") === "LARGE")),
+          col("l_partkey") === col("p_partkey"))
+        .select("p_partkey", "p_brand", "l_suppkey").distinct()
         .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
         .select("p_partkey", "p_brand", "s_name", "s_acctbal", "n_name")
       val m = cand.groupBy(col("p_partkey").as("mk")).agg(min("s_acctbal").as("mb"))
