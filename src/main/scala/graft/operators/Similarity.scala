@@ -103,16 +103,28 @@ object Similarity {
   }
 
   /** Approximate top-k: compare each query only against corpus rows sharing
-    * its LSH bucket (single-probe IVF). Recall grows with fewer bits /
-    * multiple probe tables; exactness is not the contract here — speed is.
+    * its LSH bucket. `probes` > 1 is standard multi-probe LSH: each query
+    * additionally probes the buckets at Hamming distance 1 from its own
+    * signature (the most-likely-misassigned neighbors for hyperplane
+    * signatures), multiplying recall for a probes× increase in candidate
+    * volume — the corpus side is never duplicated, only the (small,
+    * broadcast) query side explodes.
     */
   def annTopK(
       corpus: DataFrame, queries: DataFrame,
-      vecCol: String, idCol: String, k: Int, bits: Int = 8): DataFrame = {
+      vecCol: String, idCol: String, k: Int, bits: Int = 8,
+      probes: Int = 1): DataFrame = {
     val c = hyperplaneSignature(corpus, vecCol, idCol, bits)
       .select(col("bucket"), col("id").as("neighbor_id"), col("v").as("cv"))
-    val q = hyperplaneSignature(queries, vecCol, idCol, bits)
+    val q0 = hyperplaneSignature(queries, vecCol, idCol, bits)
       .select(col("bucket"), col("id").as("query_id"), col("v").as("qv"))
+    val nProbe = math.max(1, math.min(probes, bits + 1))
+    val q =
+      if (nProbe == 1) q0
+      else q0
+        .withColumn("bucket", explode(array(
+          (col("bucket") +: (0 until nProbe - 1)
+            .map(b => col("bucket").bitwiseXOR(lit(1L << b)))): _*)))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosineSimilarity(col("qv"), col("cv")))

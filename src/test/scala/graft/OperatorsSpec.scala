@@ -274,3 +274,26 @@ class CustomAggregatesSpec extends SparkTestBase {
     assert(r.getLong(2) == 5L)
   }
 }
+
+class MultiProbeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("multi-probe ANN recall is at least single-probe recall") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 200L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 8)
+    def resultSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = resultSet(graft.operators.Similarity
+      .bruteForceTopK(vecs, queries, "embedding", "vec_id", 5))
+    val p1 = resultSet(graft.operators.Similarity
+      .annTopK(vecs, queries, "embedding", "vec_id", 5, bits = 6, probes = 1))
+    val p7 = resultSet(graft.operators.Similarity
+      .annTopK(vecs, queries, "embedding", "vec_id", 5, bits = 6, probes = 7))
+    val r1 = (p1 intersect exact).size.toDouble / exact.size
+    val r7 = (p7 intersect exact).size.toDouble / exact.size
+    assert(r7 >= r1, s"multi-probe recall $r7 must be >= single-probe $r1")
+    assert(r7 > r1 || r1 == 1.0, s"probing 7/64 buckets should find more ($r1 -> $r7)")
+  }
+}
