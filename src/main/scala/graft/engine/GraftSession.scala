@@ -32,8 +32,14 @@ final class GraftSession(val spark: SparkSession) {
 
   private val dateDiffQuotedUnit =
     "(?i)\\b(?:datediff|date_diff|timestampdiff)\\s*\\(\\s*(')".r
+  // chdb queries conventionally end in `FORMAT <name>` (output-format clause,
+  // reference README examples); Spark returns DataFrames — the clause is
+  // serialization advice, safe to strip at the tail of the statement
+  private val trailingFormat =
+    "(?is)\\s+FORMAT\\s+[A-Za-z][A-Za-z0-9]*\\s*;?\\s*$".r
   private def rewriteDialect(q: String): String =
-    dateDiffQuotedUnit.replaceAllIn(q, m => "dateDiffCH($1")
+    dateDiffQuotedUnit.replaceAllIn(
+      trailingFormat.replaceFirstIn(q, ""), m => "dateDiffCH($1")
 
   /** Parameterized query — the reference's `{name:Type}` placeholders bound
     * via params= (reference chdb/__init__.py:145-160, README.md:276-289).

@@ -652,6 +652,11 @@ object GraftFunctions {
     add("geohashDecode")(es => GeohashDecode(es.head))
     add("pointInPolygon")(es => PointInPolygon(es.head, es(1)))
 
+    // CH arrayJoin = the row-multiplying explode (reference ARRAY family);
+    // Spark SELECT accepts generator expressions natively
+    add("arrayJoin")(es =>
+      org.apache.spark.sql.catalyst.expressions.Explode(es.head))
+
     // custom scalar expressions
     add("simHash")(es => SimHash(es.head))
     add("fingerprint")(es => TextFingerprint(es.head, es.lift(1).getOrElse(col2e(lit(8)))))

@@ -177,3 +177,21 @@ class FunctionsSpec extends SparkTestBase {
     assert(rows.last.getDouble(1) == 100.0) // last bin ends at max
   }
 }
+
+/** chdb SQL-shape conveniences: FORMAT clause strip + arrayJoin generator. */
+class DialectShimSpec extends SparkTestBase {
+
+  test("trailing FORMAT clause is stripped (chdb convention)") {
+    val g = new graft.engine.GraftSession(spark)
+    assert(g.sql("SELECT 1 AS x FORMAT JSONEachRow").head().getInt(0) == 1)
+    assert(g.sql("SELECT 1 AS x\nFORMAT CSV;").head().getInt(0) == 1)
+    // a column literally named format must survive
+    assert(g.sql("SELECT 'csv' AS format").head().getString(0) == "csv")
+  }
+
+  test("arrayJoin multiplies rows like CH") {
+    val g = new graft.engine.GraftSession(spark)
+    val out = g.sql("SELECT arrayJoin(array(1, 2, 3)) AS v").collect().map(_.getInt(0))
+    assert(out.toSeq == Seq(1, 2, 3))
+  }
+}
