@@ -89,6 +89,21 @@ object Sources {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).format(fmt2).save(path)
   }
 
+  /** Bucketed catalog table: pre-shuffles by `keys` into `n` buckets at
+    * write time so every later equi-join/aggregation on those keys is
+    * SHUFFLE-FREE (the co-located-join strategy from the builder brief —
+    * at 100 TB, bucketing the fact tables once pays for itself on the first
+    * repeated join). Read back with `spark.table(name)`.
+    */
+  def writeBucketed(
+      df: DataFrame, table: String, keys: Seq[String], n: Int,
+      sortKeys: Seq[String] = Nil, mode: String = "overwrite"): Unit = {
+    var w = df.write.mode(mode).format("parquet")
+      .bucketBy(n, keys.head, keys.tail: _*)
+    if (sortKeys.nonEmpty) w = w.sortBy(sortKeys.head, sortKeys.tail: _*)
+    w.saveAsTable(table)
+  }
+
   /** url(url[, format]) — reference table_functions.py:208-315. Driver-side
     * fetch into a temp file, then the normal format reader. This matches the
     * reference's showcase use (remote config/sample files); bulk ingest at

@@ -297,3 +297,50 @@ class MultiProbeSpec extends SparkTestBase {
     assert(r7 > r1 || r1 == 1.0, s"probing 7/64 buckets should find more ($r1 -> $r7)")
   }
 }
+
+class SkewBucketSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("saltedJoin matches the plain join on skewed data") {
+    // 90% of probe rows share one hot key
+    val probe = (1 to 1000).map(i =>
+      (if (i <= 900) 1L else i.toLong % 7, i.toLong)).toDF("k", "v")
+    val build = Seq((1L, "hot"), (2L, "a"), (3L, "b")).toDF("k", "name")
+    val plain = probe.join(build, Seq("k")).select("k", "v", "name")
+    val salted = graft.operators.Skew.saltedJoin(probe, build, Seq("k"), buckets = 8)
+      .select("k", "v", "name")
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+    assert(salted.count() == plain.count())
+  }
+
+  test("saltedJoin left join keeps unmatched probe rows") {
+    val probe = Seq((1L, "x"), (9L, "y")).toDF("k", "v")
+    val build = Seq((1L, "one")).toDF("k", "name")
+    val out = graft.operators.Skew.saltedJoin(probe, build, Seq("k"), 4, "left")
+      .orderBy("k").collect()
+    assert(out.length == 2 && out(1).isNullAt(2))
+  }
+
+  test("keySkewReport surfaces the hot key share") {
+    val df = (1 to 100).map(i => (if (i <= 80) "hot" else s"k$i", i)).toDF("k", "v")
+    val top = graft.operators.Skew.keySkewReport(df, Seq("k"), 1).head()
+    assert(top.getString(0) == "hot" && top.getDouble(2) == 0.8)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val a = (1L to 1000L).map(i => (i, i * 2)).toDF("id", "x")
+    val b = (1L to 1000L).map(i => (i, s"n$i")).toDF("id", "name")
+    graft.io.Sources.writeBucketed(a, "bkt_a", Seq("id"), 4, sortKeys = Seq("id"))
+    graft.io.Sources.writeBucketed(b, "bkt_b", Seq("id"), 4, sortKeys = Seq("id"))
+    try {
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), Seq("id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == 1000)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+}
