@@ -76,6 +76,33 @@ object EventStreams {
 
   case class SessionState(sessions: Long, start: Long, end: Long, total: Double, n: Long)
 
+  /** Streaming exact dedup — the training-data-pipeline operator on a live
+    * stream: drop rows whose `idCols` were already seen, with state bounded
+    * by the watermark (ids older than the watermark are expired — the only
+    * way streaming dedup runs forever without unbounded state).
+    */
+  def dedupStream(events: DataFrame, idCols: Seq[String], watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
+  /** Stream-stream inner join with both sides watermarked and the join range
+    * bounded — the shape that keeps join state finite on a real stream
+    * (events within `rangeSeconds` of each other match; older state expires).
+    */
+  def streamJoin(
+      left: DataFrame, right: DataFrame,
+      key: String, watermark: String, rangeSeconds: Long): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+    val r = right.select(col(key).as("r_key"), col("ts").as("r_ts"),
+        col("event_id").as("r_event_id"), col("event_type").as("r_event_type"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+      col(key) === col("r_key")
+        && col("r_ts") >= col("ts")
+        && col("r_ts") <= col("ts") + expr(s"INTERVAL $rangeSeconds SECONDS"))
+  }
+
   /** Convenience: open the events parquet dir as a bounded "stream" with the
     * same schema the live readStream would carry.
     */

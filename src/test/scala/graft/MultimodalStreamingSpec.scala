@@ -153,3 +153,47 @@ class ImageKernelSpec extends SparkTestBase {
     assert(a == b)
   }
 }
+
+/** Streaming dedup + bounded stream-stream join (state finiteness shapes). */
+class StreamingDedupJoinSpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.streaming.EventStreams
+  import graft.streaming.EventStreams.Event
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("dedupStream drops repeated ids within the watermark") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(1, ts("2024-01-01 10:00:05"), 1, "click", 1.0), // duplicate id
+      Event(2, ts("2024-01-01 10:00:10"), 1, "view", 2.0))
+    val q = EventStreams.dedupStream(input.toDF(), Seq("event_id"), "1 minute")
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dd").select("event_id").as[Long].collect().sorted.toSeq
+        == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("streamJoin matches clicks to purchases within the range bound") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    clicks.addData(Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0))
+    buys.addData(
+      Event(2, ts("2024-01-01 10:00:30"), 7, "purchase", 9.0),  // within 60 s
+      Event(3, ts("2024-01-01 11:00:00"), 7, "purchase", 5.0))  // outside range
+    val q = EventStreams.streamJoin(clicks.toDF(), buys.toDF(),
+        "user_id", "10 minutes", rangeSeconds = 60)
+      .writeStream.format("memory").queryName("sj").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("sj").select("r_event_id").as[Long].collect()
+      assert(rows.toSeq == Seq(2L))
+    } finally q.stop()
+  }
+}
