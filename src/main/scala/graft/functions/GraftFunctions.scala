@@ -27,23 +27,22 @@ import graft.functions.agg.{ArrayMoving, BitAgg, GroupArrayInsertAt, DeltaSumTim
   */
 object GraftFunctions {
 
-  /** dot(a, b) over array<numeric> — sequential fold, deterministic order. */
+  /** dot(a, b) over array<numeric> — tight-loop kernel (one virtual call per
+    * row instead of the HOF form's per-element interpreted lambda); same
+    * sequential fold order, bit-identical results.
+    */
   def dotProduct(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    ColumnBridge.column(DotProd(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
 
   def cosineSimilarity(a: Column, b: Column): Column =
-    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+    ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def cosineDistance(a: Column, b: Column): Column = lit(1.0) - cosineSimilarity(a, b)
 
   def l2Distance(a: Column, b: Column): Column =
-    sqrt(aggregate(
-      zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v))
+    ColumnBridge.column(L2Dist(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Lowercased word tokens (the reference's alphaTokens-style split). */
   def tokenize(text: Column): Column =
