@@ -53,6 +53,45 @@ final class GraftSession(val spark: SparkSession) {
     spark.sql(rewritten, params)
   }
 
+  /** chdb's `query(sql, format)` surface (reference chdb/__init__.py:145,
+    * README examples): run SQL, render the (driver-sized) result in the
+    * requested output format. Large results should stay DataFrames — this is
+    * the interactive/embedded entry point, exactly like the reference's.
+    */
+  def queryAs(query: String, format: String = "CSV"): String = {
+    val df = sql(query)
+    format.toUpperCase match {
+      case "CSV" => renderSeparated(df, ",", header = false)
+      case "CSVWITHNAMES" => renderSeparated(df, ",", header = true)
+      case "TSV" | "TABSEPARATED" => renderSeparated(df, "\t", header = false)
+      case "JSONEACHROW" | "NDJSON" => df.toJSON.collect().mkString("", "\n", "\n")
+      case "PRETTY" =>
+        // show() prints; render via the same separated path with a header
+        renderSeparated(df, " | ", header = true)
+      case other => throw new IllegalArgumentException(
+        s"unsupported output format '$other' (CSV, CSVWithNames, TSV, JSONEachRow, Pretty)")
+    }
+  }
+
+  /** query + the reference's result metadata (rows_read/bytes_read/elapsed —
+    * README.md:266-268) in one call.
+    */
+  def queryWithMetrics(query: String)
+      : (Array[org.apache.spark.sql.Row], graft.ds.GraftFrame.QueryMetrics) =
+    graft.ds.GraftFrame(sql(query)).collectWithMetrics()
+
+  private def renderSeparated(df: DataFrame, sep: String, header: Boolean): String = {
+    val sb = new StringBuilder
+    if (header) sb.append(df.columns.mkString(sep)).append('\n')
+    df.collect().foreach { r =>
+      sb.append((0 until r.length).map { i =>
+        val v = r.get(i)
+        if (v == null) "\\N" else v.toString
+      }.mkString(sep)).append('\n')
+    }
+    sb.toString
+  }
+
   /** DDL/DML passthrough (reference core.py:4708 create_table, :4757 insert;
     * SURVEY §2.A). Tables are Spark catalog tables backed by parquet;
     * UPDATE/DELETE require a lakehouse format (documented gap, SURVEY §2.A).

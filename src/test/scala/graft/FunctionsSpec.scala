@@ -195,3 +195,31 @@ class DialectShimSpec extends SparkTestBase {
     assert(out.toSeq == Seq(1, 2, 3))
   }
 }
+
+/** chdb query(sql, format) surface parity. */
+class QueryFormatSpec extends SparkTestBase {
+
+  private def g = new graft.engine.GraftSession(spark)
+
+  test("CSV / CSVWithNames / TSV rendering") {
+    val q = "SELECT 1 AS a, 'x' AS b UNION ALL SELECT 2, 'y' ORDER BY a"
+    assert(g.queryAs(q, "CSV") == "1,x\n2,y\n")
+    assert(g.queryAs(q, "CSVWithNames") == "a,b\n1,x\n2,y\n")
+    assert(g.queryAs(q, "TSV") == "1\tx\n2\ty\n")
+  }
+
+  test("JSONEachRow rendering and null handling") {
+    assert(g.queryAs("SELECT 1 AS a", "JSONEachRow") == "{\"a\":1}\n")
+    assert(g.queryAs("SELECT CAST(NULL AS INT) AS a, 2 AS b", "CSV") == "\\N,2\n")
+  }
+
+  test("queryWithMetrics returns rows plus scan metadata") {
+    g.registerParquet("orders_qm", s"${SparkTestBase.sfDir}/orders.parquet")
+    val (rows, m) = g.queryWithMetrics("SELECT COUNT(*) AS n FROM orders_qm")
+    assert(rows.head.getLong(0) > 0 && m.rowsReturned == 1)
+  }
+
+  test("unknown format raises a capability error") {
+    intercept[IllegalArgumentException] { g.queryAs("SELECT 1", "Arrow") }
+  }
+}
