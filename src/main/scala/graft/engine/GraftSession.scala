@@ -30,6 +30,51 @@ final class GraftSession(val spark: SparkSession) {
     */
   def sql(query: String): DataFrame = spark.sql(rewriteDialect(query))
 
+  // ---- SQL-level table functions (the reference's flagship FROM syntax:
+  // file('x.parquet', Parquet) / url(...) / numbers(N) — table_functions.py).
+  // file()/url() are resolved at rewrite time into session temp views (one
+  // per distinct (path, format), cached by name) so the standard reader
+  // handles headers/inference; numbers(N) rewrites onto Spark's range() TVF.
+  private val fileFn =
+    "(?i)\\bfile\\(\\s*'([^']+)'\\s*(?:,\\s*'?([A-Za-z]+)'?\\s*)?\\)".r
+  private val urlFn =
+    "(?i)\\burl\\(\\s*'([^']+)'\\s*(?:,\\s*'?([A-Za-z]+)'?\\s*)?\\)".r
+  private val numbersFn = "(?i)\\bnumbers\\(\\s*(\\d+)\\s*\\)".r
+
+  private def chFormat(f: String): String =
+    Option(f).map(_.toLowerCase).getOrElse("") match {
+      case "" => ""
+      case "parquet" => "parquet"
+      case "csv" | "csvwithnames" => "csv"
+      case "tsv" | "tabseparated" | "tabseparatedwithnames" => "tsv"
+      case "jsoneachrow" | "json" | "ndjson" => "json"
+      case "orc" => "orc"
+      case "avro" => "avro"
+      case other => throw new IllegalArgumentException(
+        s"unsupported table-function format '$other'")
+    }
+
+  private def registerSource(kind: String, path: String, fmt: String): String = {
+    val name = s"__graft_${kind}_" + java.lang.Long.toHexString(
+      java.util.Objects.hash(path, fmt).toLong & 0xFFFFFFFFL)
+    if (!spark.catalog.tableExists(name)) {
+      val df =
+        if (kind == "url") graft.io.Sources.url(spark, path, fmt)
+        else graft.io.Sources.file(spark, path, fmt)
+      df.createOrReplaceTempView(name)
+    }
+    name
+  }
+
+  private def rewriteTableFns(q: String): String = {
+    val afterFile = fileFn.replaceAllIn(q, m =>
+      registerSource("file", m.group(1), chFormat(m.group(2))))
+    val afterUrl = urlFn.replaceAllIn(afterFile, m =>
+      registerSource("url", m.group(1), chFormat(m.group(2))))
+    numbersFn.replaceAllIn(afterUrl,
+      m => s"(SELECT id AS number FROM range(${m.group(1)}))")
+  }
+
   private val dateDiffQuotedUnit =
     "(?i)\\b(?:datediff|date_diff|timestampdiff)\\s*\\(\\s*(')".r
   // chdb queries conventionally end in `FORMAT <name>` (output-format clause,
@@ -39,7 +84,7 @@ final class GraftSession(val spark: SparkSession) {
     "(?is)\\s+FORMAT\\s+[A-Za-z][A-Za-z0-9]*\\s*;?\\s*$".r
   private def rewriteDialect(q: String): String =
     dateDiffQuotedUnit.replaceAllIn(
-      trailingFormat.replaceFirstIn(q, ""), m => "dateDiffCH($1")
+      rewriteTableFns(trailingFormat.replaceFirstIn(q, "")), m => "dateDiffCH($1")
 
   /** Parameterized query — the reference's `{name:Type}` placeholders bound
     * via params= (reference chdb/__init__.py:145-160, README.md:276-289).

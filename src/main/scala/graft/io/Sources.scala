@@ -160,7 +160,7 @@ object Sources {
     spark.read.format(fmt).load(path)
   }
 
-  private def detectFormat(path: String): String = {
+  private[graft] def detectFormat(path: String): String = {
     val clean = path.replaceAll("[?#].*$", "").replaceAll("/+$", "")
     val base = clean.substring(clean.lastIndexOf('/') + 1)
     base.substring(base.lastIndexOf('.') + 1).toLowerCase match {

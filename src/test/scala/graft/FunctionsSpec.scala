@@ -223,3 +223,39 @@ class QueryFormatSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { g.queryAs("SELECT 1", "Arrow") }
   }
 }
+
+/** SQL-level table functions: file() / url() / numbers() in FROM. */
+class TableFnSpec extends SparkTestBase {
+
+  private def g = new graft.engine.GraftSession(spark)
+
+  test("FROM file('x.parquet') reads in place") {
+    val n = g.sql(s"SELECT COUNT(*) AS n FROM file('${SparkTestBase.sfDir}/nation.parquet')")
+      .head().getLong(0)
+    assert(n == 25L)
+    // bare-identifier format, chdb style
+    val n2 = g.sql(s"SELECT COUNT(*) AS n FROM file('${SparkTestBase.sfDir}/nation.parquet', Parquet)")
+      .head().getLong(0)
+    assert(n2 == 25L)
+  }
+
+  test("FROM file('x.csv', CSV) gets header + inference") {
+    val tmp = java.nio.file.Files.createTempFile("graft_tf_", ".csv")
+    java.nio.file.Files.writeString(tmp, "a,b\n1,x\n2,y\n")
+    val r = g.sql(s"SELECT SUM(a) AS s FROM file('$tmp', CSV)").head()
+    assert(r.getLong(0) == 3L)
+  }
+
+  test("FROM url('file://...') fetches then reads") {
+    val tmp = java.nio.file.Files.createTempFile("graft_tf_u_", ".csv")
+    java.nio.file.Files.writeString(tmp, "a\n5\n7\n")
+    val r = g.sql(s"SELECT SUM(a) AS s FROM url('${tmp.toUri}', CSV)").head()
+    assert(r.getLong(0) == 12L)
+  }
+
+  test("FROM numbers(N) exposes the number column") {
+    assert(g.sql("SELECT SUM(number) AS s FROM numbers(10)").head().getLong(0) == 45L)
+    assert(g.sql("SELECT COUNT(*) AS n FROM numbers(3) AS t WHERE t.number > 0")
+      .head().getLong(0) == 2L)
+  }
+}
