@@ -10,7 +10,8 @@ object Scratch {
     names.foreach { n =>
       println(s"=== $n ===")
       val df = graft.queries.Queries.byName(n).fn(g.spark, "/root/testdata/sf0.001")
-      df.show(10, false)
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) df.explain("formatted")
+      else df.show(10, false)
     }
     g.spark.stop()
   }

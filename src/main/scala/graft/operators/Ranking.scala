@@ -43,10 +43,11 @@ object Ranking {
       buckets: Int = 0): (DataFrame, Long) = {
     val spark = df.sparkSession
     val b = if (buckets > 0) buckets else spark.sessionState.conf.numShufflePartitions
-    val bounds = df
+    // empty frame / all-null key → percentile yields null → single bucket
+    val bounds = Option(df
       .select(percentile_approx(keyCol.cast("double"),
         array((1 until b).map(i => lit(i.toDouble / b)): _*), lit(10000)).as("q"))
-      .head().getSeq[Double](0).distinct.sorted
+      .head().getSeq[Double](0)).getOrElse(Seq.empty).distinct.sorted
     val pid = bounds.foldLeft(lit(0))((acc, bound) =>
       acc + when(keyCol.cast("double") > lit(bound), 1).otherwise(0))
     val w = Window.partitionBy("__pid").orderBy((keyCol +: tieBreakers): _*)

@@ -43,3 +43,21 @@ class RankingSpec extends SparkTestBase {
     assert(got == Map(1L -> 1, 2L -> 2, 3L -> 3))
   }
 }
+
+class RankingEdgeSpec extends SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  test("empty frame and all-null keys do not explode") {
+    val empty = Seq.empty[(Long, java.lang.Double)].toDF("id", "key")
+    val (r0, n0) = graft.operators.Ranking.withGlobalRowNumber(
+      empty, col("key"), Seq(col("id")), "rn", buckets = 4)
+    assert(n0 == 0L && r0.count() == 0)
+    val nulls = Seq((1L, null: java.lang.Double), (2L, null: java.lang.Double))
+      .toDF("id", "key")
+    val (r1, n1) = graft.operators.Ranking.withGlobalRowNumber(
+      nulls, col("key"), Seq(col("id")), "rn", buckets = 4)
+    assert(n1 == 2L)
+    assert(r1.select("rn").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+}
