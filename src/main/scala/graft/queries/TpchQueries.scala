@@ -219,12 +219,15 @@ object TpchQueries {
         .join(broadcast(Q.t(s, dir, "region").filter(col("r_name") === "ASIA")),
           col("n_regionkey") === col("r_regionkey"))
         .select("s_suppkey")
+      // vals feeds both the output and the threshold scalar — persist so the
+      // fact join + aggregation runs once (Spark recomputes shared subplans)
       val vals = Q.t(s, dir, "lineitem")
         .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(Q.t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
         .groupBy("p_partkey")
         .agg(sum(Q.money(col("p_retailprice")) * col("l_quantity").cast(DecimalType(4, 0)))
           .cast("double").as("value"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val total = vals.agg(sum(Q.money(col("value"))).cast("double").as("t"))
       vals.crossJoin(broadcast(total))
         .filter(col("value") > col("t") * 0.001)
@@ -302,6 +305,7 @@ object TpchQueries {
 
     // Q15: top supplier(s) by quarterly revenue (the view + max subquery)
     QueryDef("tpch15_top_supplier", (s, dir) => {
+      // rev feeds both the join and the max scalar — persist (one fact scan)
       val rev = Q.t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
           && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
@@ -309,6 +313,7 @@ object TpchQueries {
         .agg(sum(Q.money(col("l_extendedprice")) *
             (lit(1).cast(DecimalType(3, 2)) - Q.rate(col("l_discount"))))
           .cast("double").as("total_revenue"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val top = rev.agg(max("total_revenue").as("mr"))
       Q.t(s, dir, "supplier")
         .join(rev, col("s_suppkey") === col("supplier_no"))
