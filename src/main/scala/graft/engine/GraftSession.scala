@@ -40,6 +40,33 @@ final class GraftSession(val spark: SparkSession) {
   private val urlFn =
     "(?i)\\burl\\(\\s*'([^']+)'\\s*(?:,\\s*'?([A-Za-z]+)'?\\s*)?\\)".r
   private val numbersFn = "(?i)\\bnumbers\\(\\s*(\\d+)\\s*\\)".r
+  private val generateRandomFn =
+    "(?i)\\bgenerateRandom\\(\\s*'([^']+)'\\s*(?:,\\s*(\\d+)\\s*)?(?:,\\s*(\\d+)\\s*)?\\)".r
+
+  /** CH type name → Sources.generateRandom column kind. */
+  private def randKind(t: String): String = t.toLowerCase match {
+    case s if s.startsWith("int") || s.startsWith("uint") =>
+      if (s.contains("64")) "long" else "int"
+    case s if s.startsWith("float") || s == "double" => "double"
+    case "string" => "string"
+    case "bool" | "boolean" => "bool"
+    case "date" | "date32" => "date"
+    case other => throw new IllegalArgumentException(
+      s"generateRandom: unsupported type '$other'")
+  }
+
+  private def registerGenerateRandom(spec: String, seed: Long): String = {
+    val cols = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { c =>
+      val Array(n, t) = c.split("\\s+", 2)
+      n -> randKind(t.trim)
+    }
+    val name = s"__graft_rand_" + java.lang.Long.toHexString(
+      java.util.Objects.hash(spec, seed).toLong & 0xFFFFFFFFL)
+    if (!spark.catalog.tableExists(name))
+      graft.io.Sources.generateRandom(spark, 10000L, cols, seed)
+        .drop("number").createOrReplaceTempView(name)
+    name
+  }
 
   private def chFormat(f: String): String =
     Option(f).map(_.toLowerCase).getOrElse("") match {
@@ -71,7 +98,10 @@ final class GraftSession(val spark: SparkSession) {
       registerSource("file", m.group(1), chFormat(m.group(2))))
     val afterUrl = urlFn.replaceAllIn(afterFile, m =>
       registerSource("url", m.group(1), chFormat(m.group(2))))
-    numbersFn.replaceAllIn(afterUrl,
+    val afterRand = generateRandomFn.replaceAllIn(afterUrl, m =>
+      registerGenerateRandom(m.group(1),
+        Option(m.group(2)).map(_.toLong).getOrElse(42L)))
+    numbersFn.replaceAllIn(afterRand,
       m => s"(SELECT id AS number FROM range(${m.group(1)}))")
   }
 

@@ -259,3 +259,24 @@ class TableFnSpec extends SparkTestBase {
       .head().getLong(0) == 2L)
   }
 }
+
+/** generateRandom('colspec'[, seed]) in FROM — deterministic random tables. */
+class GenerateRandomSqlSpec extends SparkTestBase {
+
+  private def g = new graft.engine.GraftSession(spark)
+
+  test("colspec types materialize with the right schema") {
+    val df = g.sql("SELECT * FROM generateRandom('a Int32, b String, c Float64, d UInt64') LIMIT 7")
+    assert(df.count() == 7)
+    val t = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(t("a") == "int" && t("b") == "string" && t("c") == "double" && t("d") == "bigint")
+  }
+
+  test("same seed reproduces, different seed differs") {
+    def vals(seed: Int) =
+      g.sql(s"SELECT a FROM generateRandom('a Int32', $seed) LIMIT 50")
+        .collect().map(_.getInt(0)).toSeq
+    assert(vals(7) == vals(7))
+    assert(vals(7) != vals(8))
+  }
+}
