@@ -22,33 +22,6 @@ import graft.functions.GraftFunctions._
   */
 object Similarity {
 
-  /** Deterministic pseudo-random hyperplane component in [-1, 1). */
-  private def planeComponent(plane: Int, dim: Int, seed: Int): Double = {
-    var x = seed.toLong * 0x9E3779B97F4A7C15L + plane.toLong * 0xBF58476D1CE4E5B9L +
-      dim.toLong * 0x94D049BB133111EBL
-    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-    x = x ^ (x >>> 31)
-    (x.toDouble / Long.MaxValue.toDouble)
-  }
-
-  /** sign-bit signature of `bits` hyperplanes, packed into a long bucket id.
-    * Each plane is a constant-folded literal array zipped against the vector
-    * — per-element element_at chains blow the expression tree past codegen
-    * limits (512 nodes for 8×64) and fall back to interpreted eval; the
-    * HOF form stays compact regardless of dims.
-    */
-  def signatureExpr(vec: Column, dims: Int, bits: Int, seed: Int = 42): Column = {
-    val bitExprs = (0 until bits).map { p =>
-      val plane = array((0 until dims).map(d => lit(planeComponent(p, d, seed))): _*)
-      val dot = aggregate(
-        zip_with(vec, plane, (x, w) => x.cast("double") * w),
-        lit(0.0), (a, v) => a + v)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bitExprs.reduce((a, b) => a.bitwiseOR(b))
-  }
-
   /** (id, v, bucket) — bucket = packed hyperplane signature.
     *
     * Plan shape: posexplode the vector → one codegen'd hash-weighted sum per
