@@ -139,7 +139,9 @@ final class GraftSession(val spark: SparkSession) {
       case "CSV" => renderSeparated(df, ",", header = false)
       case "CSVWITHNAMES" => renderSeparated(df, ",", header = true)
       case "TSV" | "TABSEPARATED" => renderSeparated(df, "\t", header = false)
-      case "JSONEACHROW" | "NDJSON" => df.toJSON.collect().mkString("", "\n", "\n")
+      case "JSONEACHROW" | "NDJSON" =>
+        val rows = df.toJSON.collect()
+        if (rows.isEmpty) "" else rows.mkString("", "\n", "\n")
       case "PRETTY" =>
         // show() prints; render via the same separated path with a header
         renderSeparated(df, " | ", header = true)

@@ -187,9 +187,10 @@ case class MannWhitneyUTest(
     val p =
       if (sigma2 <= 0) Double.NaN
       else {
-        // continuity correction shrinks |u − μ| by 0.5
-        val z = (u0 - mu - math.signum(u0 - mu) * 0.5) / math.sqrt(sigma2)
-        StatTests.normPValueTwoSided(z)
+        // continuity correction shrinks |u − μ| by 0.5 but never past zero
+        val d = u0 - mu
+        val corrected = math.signum(d) * math.max(math.abs(d) - 0.5, 0.0)
+        StatTests.normPValueTwoSided(corrected / math.sqrt(sigma2))
       }
     InternalRow(u0, p)
   }

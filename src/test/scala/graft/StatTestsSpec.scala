@@ -76,3 +76,19 @@ class StatTestsSpec extends SparkTestBase {
     assert(mw.getDouble(0).isNaN)
   }
 }
+
+class StatTestEdgeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("MW-U continuity correction never crosses zero (balanced samples → p = 1)") {
+    // interleaved identical-distribution samples: U₀ ≈ μ, so the corrected z
+    // must be 0 and p exactly 1 (an overshooting correction would flip sign)
+    // sample0 = {1,4} (ranks 1,4), sample1 = {2,3}: U₀ = 5 − 3 = 2 = μ
+    Seq((1.0, 0), (2.0, 1), (3.0, 1), (4.0, 0)).toDF("v", "idx")
+      .createOrReplaceTempView("bal")
+    val r = spark.sql("SELECT mannWhitneyUTest(v, idx) AS t FROM bal")
+      .head().getStruct(0)
+    assert(r.getDouble(0) == 2.0)
+    assert(r.getDouble(1) == 1.0)
+  }
+}
