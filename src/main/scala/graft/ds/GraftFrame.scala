@@ -190,9 +190,13 @@ final case class GraftFrame(df: DataFrame) {
     * pandas has; pass explicit DDL via [[jsonNormalizeAs]] to avoid it).
     */
   def jsonNormalize(jsonCol: String, sep: String = "."): GraftFrame = {
-    val sample = df.select(col(jsonCol)).na.drop().head()
+    val sample = df.select(col(jsonCol)).na.drop().limit(1).collect()
+    if (sample.isEmpty)
+      throw new IllegalArgumentException(
+        s"jsonNormalize: column '$jsonCol' has no non-null values to infer a " +
+          "schema from — pass explicit DDL via jsonNormalizeAs")
     val ddl = df.sparkSession.range(1)
-      .select(schema_of_json(lit(sample.getString(0))).as("s"))
+      .select(schema_of_json(lit(sample.head.getString(0))).as("s"))
       .head().getString(0)
     jsonNormalizeAs(jsonCol, ddl, sep)
   }

@@ -60,8 +60,9 @@ final class GraftSession(val spark: SparkSession) {
       val Array(n, t) = c.split("\\s+", 2)
       n -> randKind(t.trim)
     }
-    val name = s"__graft_rand_" + java.lang.Long.toHexString(
-      java.util.Objects.hash(spec, seed).toLong & 0xFFFFFFFFL)
+    val name = s"__graft_rand_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$spec|$seed".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
     if (!spark.catalog.tableExists(name))
       graft.io.Sources.generateRandom(spark, 10000L, cols, seed)
         .drop("number").createOrReplaceTempView(name)
@@ -82,8 +83,12 @@ final class GraftSession(val spark: SparkSession) {
     }
 
   private def registerSource(kind: String, path: String, fmt: String): String = {
-    val name = s"__graft_${kind}_" + java.lang.Long.toHexString(
-      java.util.Objects.hash(path, fmt).toLong & 0xFFFFFFFFL)
+    // full content digest — a 32-bit hash collision would silently alias two
+    // different paths to one cached view
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$path|$fmt".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val name = s"__graft_${kind}_$digest"
     if (!spark.catalog.tableExists(name)) {
       val df =
         if (kind == "url") graft.io.Sources.url(spark, path, fmt)
