@@ -525,6 +525,84 @@ object GraftFunctions {
     alias("tuple")(cs => struct(cs: _*))
     alias("tupleElement")(cs => call_function("element_at", cs.head, cs(1)))
 
+    // ---- registry batch 3: remaining cheap-and-exact reference names ----
+    // (diffed against function_definitions.py in round 4; only names whose
+    // semantics map 1:1 onto composable Spark expressions)
+    alias("SHA224")(cs => sha2(cs.head.cast("binary"), 224))
+    alias("SHA384")(cs => sha2(cs.head.cast("binary"), 384))
+    // Spark's hash() IS 32-bit murmur3 (same stable-hash caveat as city/sip)
+    alias("murmurHash3_32")(cs => call_function("hash", cs: _*))
+    alias("murmurHash3_64")(cs => xxhash64(cs: _*))
+    alias("bitCount")(cs => bit_count(cs.head))
+    alias("bitHammingDistance")(cs => bit_count(cs.head.bitwiseXOR(cs(1))))
+    // 64-bit rotations: (x << n) | (x >>> (64 − n))
+    alias("bitRotateLeft")(cs =>
+      call_function("shiftleft", cs.head, cs(1))
+        .bitwiseOR(call_function("shiftrightunsigned", cs.head, lit(64) - cs(1))))
+    alias("bitRotateRight")(cs =>
+      call_function("shiftrightunsigned", cs.head, cs(1))
+        .bitwiseOR(call_function("shiftleft", cs.head, lit(64) - cs(1))))
+    // array accessor HOFs (CH (lambda, array) order; no-match → null/0, a
+    // documented divergence from CH's type-default). Built as pure catalyst
+    // trees: a Column round-trip re-wraps the lambda under an
+    // UnresolvedFunction, which the analyzer rejects.
+    locally {
+      import catalyst.expressions._
+      import org.apache.spark.sql.types.{IntegerType, LongType}
+      // The analyzer demands that a call carrying a lambda RESOLVE TO a
+      // HigherOrderFunction at the TOP of the tree. For accessors whose
+      // natural form is scalar-over-HOF, wrap the scalar in a no-op
+      // ArrayAggregate over an empty array: a fold of zero elements returns
+      // its zero expression unchanged, and the top node is a HOF.
+      def hofWrap(scalar: Expression): Expression = {
+        val acc = UnresolvedNamedLambdaVariable(Seq("__graft_wrap_acc"))
+        val x = UnresolvedNamedLambdaVariable(Seq("__graft_wrap_x"))
+        val fin = UnresolvedNamedLambdaVariable(Seq("__graft_wrap_fin"))
+        ArrayAggregate(CreateArray(Seq.empty), scalar,
+          LambdaFunction(acc, Seq(acc, x)), LambdaFunction(fin, Seq(fin)))
+      }
+      add("arrayFirst")(es =>
+        hofWrap(ElementAt(ArrayFilter(es(1), es.head), Literal(1))))
+      add("arrayLast")(es =>
+        hofWrap(ElementAt(ArrayFilter(es(1), es.head), Literal(-1))))
+      add("arrayFirstIndex")(es => hofWrap(Cast(
+        ArrayPosition(ArrayTransform(es(1), es.head), Literal(true)), IntegerType)))
+      add("arrayLastIndex")(es => {
+        // position in the reversed match-mask; 0 stays 0, else mirror it
+        val m = ArrayTransform(es(1), es.head)
+        val pos = ArrayPosition(Reverse(m), Literal(true))
+        hofWrap(If(EqualTo(pos, Literal(0L)), Literal(0),
+          Cast(Subtract(Add(Cast(Size(m), LongType), Literal(1L)), pos), IntegerType)))
+      })
+    }
+    // multiSearch family: haystack + array of needles
+    alias("multiSearchAny")(cs => exists(cs(1), n => cs.head.contains(n)))
+    alias("multiSearchAllPositions")(cs =>
+      transform(cs(1), n => call_function("locate", n, cs.head)))
+    alias("multiSearchFirstPosition")(cs => {
+      val pos = filter(transform(cs(1), n => call_function("locate", n, cs.head)),
+        p => p > 0)
+      coalesce(array_min(pos), lit(0))
+    })
+    // vector norm tail
+    alias("L1Norm")(cs => aggregate(cs.head,
+      lit(0.0), (a, v) => a + abs(v.cast("double"))))
+    alias("LinfNorm")(cs => array_max(transform(cs.head, v => abs(v.cast("double")))))
+    alias("L2SquaredDistance")(cs => pow(l2Distance(cs.head, cs(1)), 2))
+    alias("L2Normalize")(cs => transform(cs.head, v => v.cast("double") / l2Norm(cs.head)))
+    alias("LpNorm")(cs => pow(aggregate(cs.head,
+      lit(0.0), (a, v) => a + pow(abs(v.cast("double")), cs(1))), lit(1.0) / cs(1)))
+    // datetime parsing best-effort family → (try_)to_timestamp
+    alias("parseDateTimeBestEffort")(cs => cs.head.cast("timestamp"))
+    alias("parseDateTimeBestEffortOrNull")(cs => call_function("try_to_timestamp", cs.head))
+    alias("parseDateTimeBestEffortOrZero")(cs => coalesce(
+      call_function("try_to_timestamp", cs.head), lit("1970-01-01 00:00:00").cast("timestamp")))
+    alias("roundToExp2")(cs => when(cs.head < 1, lit(0))
+      .otherwise(pow(lit(2.0), floor(log2(cs.head))).cast("long")))
+    alias("isZeroOrNull")(cs => cs.head.isNull || cs.head === 0)
+    alias("JSONArrayLength")(cs => call_function("json_array_length", cs: _*))
+    alias("JSONExtractRaw")(cs => call_function("get_json_object", cs.head, jsonPath(cs.tail)))
+
     // ---- VECTOR DISTANCE (function_definitions.py:9439) ----
     alias("L2Distance")(cs => l2Distance(cs.head, cs(1)))
     alias("L2Norm")(cs => l2Norm(cs.head))

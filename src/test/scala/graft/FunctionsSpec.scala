@@ -280,3 +280,60 @@ class GenerateRandomSqlSpec extends SparkTestBase {
     assert(vals(7) != vals(8))
   }
 }
+
+/** Registry batch 3 (round-4 diff against the reference's function list). */
+class Batch3Spec extends SparkTestBase {
+  private def one(q: String): org.apache.spark.sql.Row = sql(s"SELECT $q").head()
+
+  test("hash and bit additions") {
+    assert(one("SHA224('abc') AS r").getString(0).length == 56)
+    assert(one("SHA384('abc') AS r").getString(0).length == 96)
+    assert(one("bitCount(7) AS r").getInt(0) == 3)
+    assert(one("bitHammingDistance(5, 6) AS r").getInt(0) == 2)
+    assert(one("bitRotateLeft(CAST(1 AS BIGINT), 63) AS r").getLong(0) == Long.MinValue)
+    assert(one("bitRotateRight(CAST(1 AS BIGINT), 1) AS r").getLong(0) == Long.MinValue)
+    assert(one("murmurHash3_32('x') AS r").getInt(0) != 0)
+  }
+
+  test("array accessor HOFs with CH arg order") {
+    assert(one("arrayFirst(x -> x > 1, array(1, 2, 3)) AS r").getInt(0) == 2)
+    assert(one("arrayLast(x -> x > 1, array(1, 2, 3)) AS r").getInt(0) == 3)
+    assert(one("arrayFirstIndex(x -> x > 1, array(1, 2, 3)) AS r").getInt(0) == 2)
+    assert(one("arrayFirstIndex(x -> x > 9, array(1, 2, 3)) AS r").getInt(0) == 0)
+    assert(one("arrayLastIndex(x -> x > 1, array(1, 2, 3)) AS r").getInt(0) == 3)
+    assert(one("arrayLastIndex(x -> x > 9, array(1, 2, 3)) AS r").getInt(0) == 0)
+  }
+
+  test("multiSearch family") {
+    assert(one("multiSearchAny('hello world', array('xyz', 'wor')) AS r").getBoolean(0))
+    assert(!one("multiSearchAny('hello', array('xyz')) AS r").getBoolean(0))
+    assert(one("multiSearchAllPositions('hello', array('l', 'zz')) AS r")
+      .getSeq[Int](0) == Seq(3, 0))
+    assert(one("multiSearchFirstPosition('hello', array('zz', 'llo', 'e')) AS r")
+      .getInt(0) == 2)
+    assert(one("multiSearchFirstPosition('hello', array('zz')) AS r").getInt(0) == 0)
+  }
+
+  test("vector norm tail") {
+    assert(one("L1Norm(array(1.0, -2.0, 3.0)) AS r").getDouble(0) == 6.0)
+    assert(one("LinfNorm(array(1.0, -5.0, 3.0)) AS r").getDouble(0) == 5.0)
+    assert(one("L2SquaredDistance(array(0.0, 0.0), array(3.0, 4.0)) AS r").getDouble(0) == 25.0)
+    assert(one("LpNorm(array(3.0, 4.0), 2.0) AS r").getDouble(0) == 5.0)
+    val n = one("L2Normalize(array(3.0, 4.0)) AS r").getSeq[Double](0)
+    assert(n == Seq(0.6, 0.8))
+  }
+
+  test("parse best-effort and misc") {
+    assert(one("parseDateTimeBestEffort('2024-03-05 10:00:00') AS r")
+      .getTimestamp(0).toString.startsWith("2024-03-05"))
+    assert(one("parseDateTimeBestEffortOrNull('not a date') AS r").isNullAt(0))
+    assert(one("parseDateTimeBestEffortOrZero('nope') AS r")
+      .getTimestamp(0).toString.startsWith("1970-01-01"))
+    assert(one("roundToExp2(100) AS r").getLong(0) == 64L)
+    assert(one("roundToExp2(0) AS r").getLong(0) == 0L)
+    assert(one("isZeroOrNull(0) AS r").getBoolean(0))
+    assert(!one("isZeroOrNull(3) AS r").getBoolean(0))
+    assert(one("JSONArrayLength('[1,2,3]') AS r").getInt(0) == 3)
+    assert(one("JSONExtractRaw('{\"k\": {\"a\": 1}}', 'k') AS r").getString(0) == "{\"a\":1}")
+  }
+}
