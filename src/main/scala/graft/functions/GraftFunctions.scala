@@ -499,6 +499,36 @@ object GraftFunctions {
         (acc, x) => concat(acc,
           array(coalesce(call_function("try_element_at", acc, lit(-1)), lit(0.0))
             + x.cast("double")))))
+    // CH contract: running sum that never drops below zero
+    alias("arrayCumSumNonNegative")(cs =>
+      aggregate(cs.head, array().cast("array<double>"),
+        (acc, x) => concat(acc,
+          array(greatest(
+            coalesce(call_function("try_element_at", acc, lit(-1)), lit(0.0))
+              + x.cast("double"), lit(0.0))))))
+    // arrayReduce('aggName', arr) — the common reducers over a row's array
+    alias("arrayReduce")(cs => {
+      val arr = cs(1)
+      // the agg name must be a foldable literal; dispatch at plan time
+      val name = col2e(cs.head) match {
+        case l: catalyst.expressions.Literal => l.value.toString.toLowerCase
+        case other => throw new IllegalArgumentException(
+          s"arrayReduce: aggregate name must be a literal, got $other")
+      }
+      name match {
+        case "sum" => aggregate(arr, lit(0.0), (a, v) => a + v.cast("double"))
+        case "min" => array_min(arr)
+        case "max" => array_max(arr)
+        case "avg" => aggregate(arr, lit(0.0), (a, v) => a + v.cast("double")) /
+          greatest(size(arr), lit(1))
+        case "count" => size(arr).cast("long")
+        case "uniqexact" | "uniq" => size(array_distinct(arr)).cast("long")
+        case "any" => call_function("try_element_at", arr, lit(1))
+        case "anylast" => call_function("try_element_at", arr, lit(-1))
+        case other => throw new IllegalArgumentException(
+          s"arrayReduce: unsupported aggregate '$other'")
+      }
+    })
     alias("arrayResize") { cs =>
       val fill = if (cs.size > 2) cs(2) else lit(0)
       val n = cs(1).cast("int")
@@ -567,6 +597,12 @@ object GraftFunctions {
         hofWrap(ElementAt(ArrayFilter(es(1), es.head), Literal(-1))))
       add("arrayFirstIndex")(es => hofWrap(Cast(
         ArrayPosition(ArrayTransform(es(1), es.head), Literal(true)), IntegerType)))
+      // arrayFold(λ(acc, x), arr, init) — ArrayAggregate IS the fold
+      add("arrayFold")(es => {
+        val fin = UnresolvedNamedLambdaVariable(Seq("__graft_fold_fin"))
+        ArrayAggregate(es(1), es(2), es.head.asInstanceOf[LambdaFunction],
+          LambdaFunction(fin, Seq(fin)))
+      })
       add("arrayLastIndex")(es => {
         // position in the reversed match-mask; 0 stays 0, else mirror it
         val m = ArrayTransform(es(1), es.head)

@@ -337,3 +337,28 @@ class Batch3Spec extends SparkTestBase {
     assert(one("JSONExtractRaw('{\"k\": {\"a\": 1}}', 'k') AS r").getString(0) == "{\"a\":1}")
   }
 }
+
+/** arrayFold / arrayReduce / non-negative cumsum. */
+class ArrayFoldSpec extends SparkTestBase {
+  private def one(q: String): org.apache.spark.sql.Row = sql(s"SELECT $q").head()
+
+  test("arrayFold runs the CH-order fold") {
+    assert(one("arrayFold((acc, x) -> acc + x, array(1, 2, 3), 10) AS r").getInt(0) == 16)
+    assert(one("arrayFold((acc, x) -> concat(acc, CAST(x AS STRING)), array(1, 2), '') AS r")
+      .getString(0) == "12")
+  }
+
+  test("arrayReduce dispatches literal aggregate names") {
+    assert(one("arrayReduce('sum', array(1, 2, 3)) AS r").getDouble(0) == 6.0)
+    assert(one("arrayReduce('max', array(1, 5, 3)) AS r").getInt(0) == 5)
+    assert(one("arrayReduce('avg', array(2, 4)) AS r").getDouble(0) == 3.0)
+    assert(one("arrayReduce('count', array(1, 2)) AS r").getLong(0) == 2L)
+    assert(one("arrayReduce('uniqExact', array(1, 1, 2)) AS r").getLong(0) == 2L)
+    assert(one("arrayReduce('anyLast', array(7, 8, 9)) AS r").getInt(0) == 9)
+  }
+
+  test("arrayCumSumNonNegative clamps at zero") {
+    assert(one("arrayCumSumNonNegative(array(1, -3, 4)) AS r").getSeq[Double](0)
+      == Seq(1.0, 0.0, 4.0))
+  }
+}
