@@ -639,6 +639,43 @@ object GraftFunctions {
     alias("JSONArrayLength")(cs => call_function("json_array_length", cs: _*))
     alias("JSONExtractRaw")(cs => call_function("get_json_object", cs.head, jsonPath(cs.tail)))
 
+    // bitmap family (reference BITMAP section): the reference's state is a
+    // roaring bitmap; here a bitmap IS a sorted-distinct array (documented
+    // representation divergence — all set-algebra semantics are identical)
+    alias("bitmapBuild")(cs => array_sort(array_distinct(cs.head)))
+    alias("bitmapToArray")(cs => cs.head)
+    alias("bitmapCardinality")(cs => size(array_distinct(cs.head)).cast("long"))
+    alias("bitmapAnd")(cs => array_sort(array_intersect(cs.head, cs(1))))
+    alias("bitmapOr")(cs => array_sort(array_union(cs.head, cs(1))))
+    alias("bitmapAndnot")(cs => array_sort(array_except(cs.head, cs(1))))
+    alias("bitmapXor")(cs => array_sort(array_except(
+      array_union(cs.head, cs(1)), array_intersect(cs.head, cs(1)))))
+    alias("bitmapContains")(cs => array_contains(cs.head, cs(1)))
+    alias("bitmapHasAll")(cs => size(array_except(cs(1), cs.head)) === 0)
+    alias("bitmapHasAny")(cs => size(array_intersect(cs.head, cs(1))) > 0)
+    alias("bitmapAndCardinality")(cs => size(array_intersect(cs.head, cs(1))).cast("long"))
+    alias("bitmapOrCardinality")(cs => size(array_union(cs.head, cs(1))).cast("long"))
+    alias("bitmapMin")(cs => array_min(cs.head))
+    alias("bitmapMax")(cs => array_max(cs.head))
+
+    // human-readable formatting (reference formatReadable* family)
+    alias("formatReadableSize")(cs => {
+      val v = cs.head.cast("double")
+      when(v < 1024, format_string("%.2f B", v))
+        .when(v < 1024L * 1024, format_string("%.2f KiB", v / 1024))
+        .when(v < 1024L * 1024 * 1024, format_string("%.2f MiB", v / (1024L * 1024)))
+        .when(v < 1024L * 1024 * 1024 * 1024,
+          format_string("%.2f GiB", v / (1024L * 1024 * 1024)))
+        .otherwise(format_string("%.2f TiB", v / (1024L * 1024 * 1024 * 1024)))
+    })
+    alias("formatReadableQuantity")(cs => {
+      val v = cs.head.cast("double")
+      when(v < 1000, format_string("%.2f", v))
+        .when(v < 1000000, format_string("%.2f thousand", v / 1000))
+        .when(v < 1000000000, format_string("%.2f million", v / 1000000))
+        .otherwise(format_string("%.2f billion", v / 1000000000))
+    })
+
     // ---- VECTOR DISTANCE (function_definitions.py:9439) ----
     alias("L2Distance")(cs => l2Distance(cs.head, cs(1)))
     alias("L2Norm")(cs => l2Norm(cs.head))

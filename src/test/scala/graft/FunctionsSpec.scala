@@ -362,3 +362,32 @@ class ArrayFoldSpec extends SparkTestBase {
       == Seq(1.0, 0.0, 4.0))
   }
 }
+
+/** bitmap set algebra (sorted-array state) + readable formatting. */
+class BitmapFormatSpec extends SparkTestBase {
+  private def one(q: String): org.apache.spark.sql.Row = sql(s"SELECT $q").head()
+
+  test("bitmap set algebra") {
+    assert(one("bitmapBuild(array(3, 1, 2, 1)) AS r").getSeq[Int](0) == Seq(1, 2, 3))
+    assert(one("bitmapCardinality(array(1, 1, 2)) AS r").getLong(0) == 2L)
+    assert(one("bitmapAnd(array(1, 2, 3), array(2, 3, 4)) AS r").getSeq[Int](0) == Seq(2, 3))
+    assert(one("bitmapOr(array(1, 2), array(2, 3)) AS r").getSeq[Int](0) == Seq(1, 2, 3))
+    assert(one("bitmapAndnot(array(1, 2, 3), array(2)) AS r").getSeq[Int](0) == Seq(1, 3))
+    assert(one("bitmapXor(array(1, 2), array(2, 3)) AS r").getSeq[Int](0) == Seq(1, 3))
+    assert(one("bitmapContains(array(1, 2), 2) AS r").getBoolean(0))
+    assert(one("bitmapHasAll(array(1, 2, 3), array(1, 3)) AS r").getBoolean(0))
+    assert(!one("bitmapHasAll(array(1, 2), array(4)) AS r").getBoolean(0))
+    assert(one("bitmapHasAny(array(1, 2), array(2, 9)) AS r").getBoolean(0))
+    assert(one("bitmapAndCardinality(array(1, 2, 3), array(2, 3)) AS r").getLong(0) == 2L)
+    assert(one("bitmapMin(array(5, 1)) AS r").getInt(0) == 1)
+    assert(one("bitmapMax(array(5, 1)) AS r").getInt(0) == 5)
+  }
+
+  test("formatReadable family") {
+    assert(one("formatReadableSize(123) AS r").getString(0) == "123.00 B")
+    assert(one("formatReadableSize(1536) AS r").getString(0) == "1.50 KiB")
+    assert(one("formatReadableSize(3 * 1024 * 1024) AS r").getString(0) == "3.00 MiB")
+    assert(one("formatReadableQuantity(1500) AS r").getString(0) == "1.50 thousand")
+    assert(one("formatReadableQuantity(2500000) AS r").getString(0) == "2.50 million")
+  }
+}
