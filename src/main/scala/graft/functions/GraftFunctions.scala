@@ -639,6 +639,23 @@ object GraftFunctions {
     alias("JSONArrayLength")(cs => call_function("json_array_length", cs: _*))
     alias("JSONExtractRaw")(cs => call_function("get_json_object", cs.head, jsonPath(cs.tail)))
 
+    // map arithmetic + misc tail
+    alias("mapContains")(cs => call_function("map_contains_key", cs.head, cs(1)))
+    alias("mapAdd")(cs => map_zip_with(cs.head, cs(1),
+      (_, v1, v2) => coalesce(v1, lit(0)) + coalesce(v2, lit(0))))
+    alias("mapSubtract")(cs => map_zip_with(cs.head, cs(1),
+      (_, v1, v2) => coalesce(v1, lit(0)) - coalesce(v2, lit(0))))
+    alias("extractAll")(cs => call_function("regexp_extract_all", cs.head, cs(1), lit(0)))
+    // roundDown(x, boundaries): greatest boundary ≤ x, else the first one
+    alias("roundDown")(cs => coalesce(
+      array_max(filter(cs(1), e => e <= cs.head)), call_function("try_element_at", cs(1), lit(1))))
+    alias("UTCTimestamp")(_ => current_timestamp()) // session TZ is UTC
+    // random distributions (nondeterministic like the reference's)
+    alias("randUniform")(cs => cs.head + rand() * (cs(1) - cs.head))
+    alias("randNormal")(cs => cs.head + sqrt(cs(1)) * randn())
+    alias("randBernoulli")(cs => (rand() < cs.head).cast("int"))
+    alias("randExponential")(cs => -log(lit(1.0) - rand()) / cs.head)
+
     // bitmap family (reference BITMAP section): the reference's state is a
     // roaring bitmap; here a bitmap IS a sorted-distinct array (documented
     // representation divergence — all set-algebra semantics are identical)

@@ -391,3 +391,31 @@ class BitmapFormatSpec extends SparkTestBase {
     assert(one("formatReadableQuantity(2500000) AS r").getString(0) == "2.50 million")
   }
 }
+
+/** map arithmetic, extractAll, roundDown, random distributions. */
+class MiscTailSpec extends SparkTestBase {
+  private def one(q: String): org.apache.spark.sql.Row = sql(s"SELECT $q").head()
+
+  test("map arithmetic") {
+    assert(one("mapContains(map('a', 1), 'a') AS r").getBoolean(0))
+    val m = one("mapAdd(map('a', 1, 'b', 2), map('b', 10)) AS r").getMap[String, Int](0)
+    assert(m == Map("a" -> 1, "b" -> 12))
+    val s = one("mapSubtract(map('a', 5), map('a', 2)) AS r").getMap[String, Int](0)
+    assert(s == Map("a" -> 3))
+  }
+
+  test("extractAll and roundDown") {
+    assert(one("extractAll('a1b22c', '\\\\d+') AS r").getSeq[String](0) == Seq("1", "22"))
+    assert(one("roundDown(17, array(0, 10, 20)) AS r").getInt(0) == 10)
+    assert(one("roundDown(-5, array(0, 10)) AS r").getInt(0) == 0)
+  }
+
+  test("random distributions are in-range") {
+    val u = one("randUniform(5.0, 6.0) AS r").getDouble(0)
+    assert(u >= 5.0 && u < 6.0)
+    val b = one("randBernoulli(0.5) AS r").getInt(0)
+    assert(b == 0 || b == 1)
+    assert(one("randExponential(2.0) AS r").getDouble(0) >= 0.0)
+    assert(!one("randNormal(0.0, 1.0) AS r").getDouble(0).isNaN)
+  }
+}
