@@ -639,6 +639,28 @@ object GraftFunctions {
     alias("JSONArrayLength")(cs => call_function("json_array_length", cs: _*))
     alias("JSONExtractRaw")(cs => call_function("get_json_object", cs.head, jsonPath(cs.tail)))
 
+    // decimal/fixed-width conversion tail: toDecimalN(x, scale) with the
+    // reference's precision tiers (9/18/38 digits)
+    locally {
+      def decScale(c: Column): Int = col2e(c) match {
+        case l: catalyst.expressions.Literal => l.value.asInstanceOf[Number].intValue()
+        case other => throw new IllegalArgumentException(
+          s"toDecimal scale must be a literal, got $other")
+      }
+      alias("toDecimal32")(cs => cs.head.cast(
+        org.apache.spark.sql.types.DecimalType(9, decScale(cs(1)))))
+      alias("toDecimal64")(cs => cs.head.cast(
+        org.apache.spark.sql.types.DecimalType(18, decScale(cs(1)))))
+      alias("toDecimal128")(cs => cs.head.cast(
+        org.apache.spark.sql.types.DecimalType(38, decScale(cs(1)))))
+    }
+    alias("toDateTime64")(cs => cs.head.cast("timestamp"))
+    alias("toDate32")(cs => cs.head.cast("date"))
+    // toFixedString(s, n): truncate-or-pad to exactly n chars (CH pads \0;
+    // spaces here — documented, Spark strings are not byte buffers)
+    alias("toFixedString")(cs => call_function("rpad",
+      call_function("substring", cs.head, lit(1), cs(1)), cs(1), lit(" ")))
+
     // map arithmetic + misc tail
     alias("mapContains")(cs => call_function("map_contains_key", cs.head, cs(1)))
     alias("mapAdd")(cs => map_zip_with(cs.head, cs(1),

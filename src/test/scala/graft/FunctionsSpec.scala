@@ -419,3 +419,26 @@ class MiscTailSpec extends SparkTestBase {
     assert(!one("randNormal(0.0, 1.0) AS r").getDouble(0).isNaN)
   }
 }
+
+/** decimal tier conversions + fixed string. */
+class DecimalTailSpec extends SparkTestBase {
+  private def one(q: String): org.apache.spark.sql.Row = sql(s"SELECT $q").head()
+
+  test("toDecimalN tiers") {
+    assert(one("toDecimal32(1.2345, 2) AS r").getDecimal(0).toString == "1.23")
+    assert(one("toDecimal64(1.5, 3) AS r").getDecimal(0).toString == "1.500")
+    assert(one("toDecimal128(2, 0) AS r").getDecimal(0).toString == "2")
+    assert(one("typeof(toDecimal64(1.5, 3)) AS r").getString(0) == "decimal(18,3)")
+  }
+
+  test("toFixedString truncates or pads") {
+    assert(one("toFixedString('hello', 3) AS r").getString(0) == "hel")
+    assert(one("toFixedString('ab', 4) AS r").getString(0) == "ab  ")
+  }
+
+  test("toDateTime64/toDate32") {
+    assert(one("toDate32('2024-03-05') AS r").getDate(0).toString == "2024-03-05")
+    assert(one("toDateTime64('2024-03-05 10:00:00') AS r").getTimestamp(0)
+      .toString.startsWith("2024-03-05 10:00"))
+  }
+}
