@@ -1357,6 +1357,45 @@ object Queries {
           i -> CAST(CASE WHEN i = 1 THEN 1.0 ELSE (2 * i - 1) / 2.0 END AS DOUBLE)) AS ma
       FROM lineitem WHERE l_orderkey < 300 ORDER BY l_orderkey, l_linenumber""")),
 
+    QueryDef("q103_curation", (s, dir) =>
+      // flagship composed pipeline: quality floor + language filter + exact
+      // keep-first dedup in ONE plan (operators/Curation.scala); the oracle
+      // assembles the already-proven q70/q71/q61 replicas
+      graft.operators.Curation.curate(Q.t(s, dir, "documents"), "text", "doc_id",
+          languages = Seq("en"), minQuality = 0.3)
+        .select(col("doc_id"), col("pred_lang"),
+          round(col("quality_score"), 6).as("quality_score"))
+        .orderBy("doc_id"),
+      Some("""WITH f AS (SELECT doc_id, text, length(text) AS nc,
+          list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks,
+          CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+            / CAST(greatest(length(text), 1) AS DOUBLE) AS punct
+        FROM documents),
+      r AS (SELECT doc_id, text, len(toks) AS nt, punct,
+          CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS DOUBLE)
+            / CAST(greatest(len(toks), 1) AS DOUBLE) AS stop,
+          1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS rep,
+          CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein','eine','zu','den','von'], x))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS s_de,
+          CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS s_en,
+          CAST(len(list_filter(toks, x -> list_contains(['el','la','los','de','y','un','una','es','que','por'], x))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS s_es,
+          CAST(len(list_filter(toks, x -> list_contains(['le','la','les','de','et','un','une','est','que','pour'], x))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS s_fr,
+          CAST(len(list_filter(toks, x -> list_contains(['de','shi','le','bu','wo','ni','ta','men','zai','you'], x))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS s_zh
+        FROM f),
+      q AS (SELECT doc_id, text,
+          least(1.0, greatest(0.0, 0.3 * least(CAST(nt AS DOUBLE) / 100.0, 1.0)
+            + 0.3 * (1.0 - rep) + 0.2 * least(stop * 5.0, 1.0) + 0.2 * (1.0 - punct))) AS qs,
+          greatest(s_de, s_en, s_es, s_fr, s_zh) AS m, s_de, s_en, s_es, s_fr, s_zh
+        FROM r),
+      l AS (SELECT doc_id, text, qs,
+          CASE WHEN m < 0.02 THEN 'und' WHEN s_zh = m THEN 'zh' WHEN s_fr = m THEN 'fr'
+            WHEN s_es = m THEN 'es' WHEN s_en = m THEN 'en' ELSE 'de' END AS pred
+        FROM q),
+      flt AS (SELECT * FROM l WHERE pred IN ('en') AND qs >= 0.3),
+      d AS (SELECT doc_id, pred AS pred_lang, qs,
+          ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM flt)
+      SELECT doc_id, pred_lang, ROUND(qs, 6) AS quality_score
+      FROM d WHERE rn = 1 ORDER BY doc_id""")),
+
     QueryDef("q97_histogram_adaptive", (s, dir) => {
       v(s, dir, "orders")
       // adaptive-bin histogram sketch (custom agg); rows-only — bin edges are
