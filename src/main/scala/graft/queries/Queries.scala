@@ -1394,7 +1394,8 @@ object Queries {
       d AS (SELECT doc_id, pred AS pred_lang, qs,
           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM flt)
       SELECT doc_id, pred_lang, ROUND(qs, 6) AS quality_score
-      FROM d WHERE rn = 1 ORDER BY doc_id""")),
+      FROM d WHERE rn = 1 ORDER BY doc_id"""),
+      bench = true),
 
     QueryDef("q97_histogram_adaptive", (s, dir) => {
       v(s, dir, "orders")

@@ -197,3 +197,25 @@ class StreamingDedupJoinSpec extends SparkTestBase {
     } finally q.stop()
   }
 }
+
+class SlidingWindowSpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.streaming.EventStreams
+  import graft.streaming.EventStreams.Event
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("slidingCounts: one event lands in every overlapping window") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0))
+    val q = EventStreams.slidingCounts(input.toDF(), "10 minutes", "5 minutes", "1 minute")
+      .writeStream.format("memory").queryName("sw").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      // a 10-min window sliding by 5 → the event belongs to 2 windows
+      assert(spark.table("sw").count() == 2)
+    } finally q.stop()
+  }
+}

@@ -344,3 +344,20 @@ class SkewBucketSpec extends SparkTestBase {
     }
   }
 }
+
+class CurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("curate filters language and quality, then dedups keep-first") {
+    val docs = Seq(
+      (1L, "the quick brown fox and the lazy dog of the meadow run to it for fun in a field"),
+      (2L, "the quick brown fox and the lazy dog of the meadow run to it for fun in a field"), // dup of 1
+      (3L, "le renard brun rapide et le chien paresseux de la prairie est que pour une fois"), // fr
+      (4L, "x")) // degenerate, low quality
+      .toDF("doc_id", "text")
+    val out = graft.operators.Curation.curate(docs, "text", "doc_id",
+        languages = Seq("en"), minQuality = 0.3)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L)) // dup 2 dropped, fr 3 dropped, junk 4 dropped
+  }
+}
