@@ -661,6 +661,43 @@ object GraftFunctions {
     alias("toFixedString")(cs => call_function("rpad",
       call_function("substring", cs.head, lit(1), cs(1)), cs(1), lit(" ")))
 
+    // parseDateTime(str, '%Y-%m-%d …') — the reference's MySQL-style format
+    // specifiers converted to java.time patterns at plan time (format must be
+    // a literal, as in the reference)
+    locally {
+      val spec = Map(
+        "%Y" -> "yyyy", "%y" -> "yy", "%m" -> "MM", "%c" -> "M",
+        "%d" -> "dd", "%e" -> "d", "%H" -> "HH", "%k" -> "H",
+        "%h" -> "hh", "%I" -> "hh", "%i" -> "mm", "%s" -> "ss", "%S" -> "ss",
+        "%p" -> "a", "%j" -> "DDD", "%f" -> "SSSSSS", "%%" -> "%",
+        "%T" -> "HH:mm:ss", "%F" -> "yyyy-MM-dd")
+      def convert(c: Column): Column = col2e(c) match {
+        case l: catalyst.expressions.Literal =>
+          val f = l.value.toString
+          val sb = new StringBuilder
+          var i = 0
+          while (i < f.length) {
+            if (f.charAt(i) == '%' && i + 1 < f.length) {
+              val key = f.substring(i, i + 2)
+              sb.append(spec.getOrElse(key,
+                throw new IllegalArgumentException(s"parseDateTime: unsupported specifier $key")))
+              i += 2
+            } else {
+              val ch = f.charAt(i)
+              // quote letters so they aren't treated as pattern chars
+              if (ch.isLetter) sb.append('\'').append(ch).append('\'') else sb.append(ch)
+              i += 1
+            }
+          }
+          lit(sb.toString)
+        case other => throw new IllegalArgumentException(
+          s"parseDateTime format must be a literal, got $other")
+      }
+      alias("parseDateTime")(cs => call_function("to_timestamp", cs.head, convert(cs(1))))
+      alias("parseDateTimeOrNull")(cs =>
+        call_function("try_to_timestamp", cs.head, convert(cs(1))))
+    }
+
     // map arithmetic + misc tail
     alias("mapContains")(cs => call_function("map_contains_key", cs.head, cs(1)))
     alias("mapAdd")(cs => map_zip_with(cs.head, cs(1),

@@ -442,3 +442,21 @@ class DecimalTailSpec extends SparkTestBase {
       .toString.startsWith("2024-03-05 10:00"))
   }
 }
+
+/** parseDateTime with MySQL-style specifiers (reference syntax). */
+class ParseDateTimeSpec extends SparkTestBase {
+  private def one(q: String): org.apache.spark.sql.Row = sql(s"SELECT $q").head()
+
+  test("common specifiers convert") {
+    assert(one("parseDateTime('2024-03-05 10:20:30', '%Y-%m-%d %H:%i:%s') AS r")
+      .getTimestamp(0).toString == "2024-03-05 10:20:30.0")
+    assert(one("parseDateTime('05/03/2024', '%d/%m/%Y') AS r")
+      .getTimestamp(0).toString.startsWith("2024-03-05"))
+    assert(one("parseDateTime('2024-03-05T10:20:30', '%Y-%m-%dT%T') AS r")
+      .getTimestamp(0).toString == "2024-03-05 10:20:30.0")
+  }
+
+  test("OrNull variant survives bad input") {
+    assert(one("parseDateTimeOrNull('garbage', '%Y-%m-%d') AS r").isNullAt(0))
+  }
+}
