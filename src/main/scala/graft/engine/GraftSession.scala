@@ -36,10 +36,16 @@ final class GraftSession(val spark: SparkSession) {
   // per distinct (path, format), cached by name) so the standard reader
   // handles headers/inference; numbers(N) rewrites onto Spark's range() TVF.
   private val fileFn =
-    "(?i)\\bfile\\(\\s*'([^']+)'\\s*(?:,\\s*'?([A-Za-z]+)'?\\s*)?\\)".r
+    "(?i)\\bfile\\(\\s*['\"]([^'\"]+)['\"]\\s*(?:,\\s*['\"]?([A-Za-z]+)['\"]?\\s*)?\\)".r
   private val urlFn =
-    "(?i)\\burl\\(\\s*'([^']+)'\\s*(?:,\\s*'?([A-Za-z]+)'?\\s*)?\\)".r
-  private val numbersFn = "(?i)\\bnumbers\\(\\s*(\\d+)\\s*\\)".r
+    "(?i)\\burl\\(\\s*['\"]([^'\"]+)['\"]\\s*(?:,\\s*['\"]?([A-Za-z]+)['\"]?\\s*)?\\)".r
+  // numbers / numbers_mt accept integer or scientific-notation counts (the
+  // reference README uses numbers_mt(1e10)); system.numbers is the unbounded
+  // generator capped here at 2^33 rows — LIMIT pushdown stops generation
+  private val numbersFn =
+    ("(?i)\\bnumbers(?:_mt)?\\(\\s*([0-9]+(?:\\.[0-9]+)?(?:[eE][0-9]+)?" +
+      "|\\{\\s*\\w+\\s*:\\s*[\\w()]+\\s*\\})\\s*\\)").r
+  private val systemNumbers = "(?i)\\bsystem\\.numbers\\b".r
   private val generateRandomFn =
     "(?i)\\bgenerateRandom\\(\\s*'([^']+)'\\s*(?:,\\s*(\\d+)\\s*)?(?:,\\s*(\\d+)\\s*)?\\)".r
 
@@ -106,8 +112,21 @@ final class GraftSession(val spark: SparkSession) {
     val afterRand = generateRandomFn.replaceAllIn(afterUrl, m =>
       registerGenerateRandom(m.group(1),
         Option(m.group(2)).map(_.toLong).getOrElse(42L)))
-    numbersFn.replaceAllIn(afterRand,
-      m => s"(SELECT id AS number FROM range(${m.group(1)}))")
+    val afterNumbers = numbersFn.replaceAllIn(afterRand, m => {
+      val arg = m.group(1)
+      // number is INT when the count provably fits (keeps CH-style
+      // date + number arithmetic working under Spark's stricter typing),
+      // BIGINT for large literals
+      val (count, cast) =
+        if (arg.startsWith("{")) (arg, "INT") // placeholder: small-N use
+        else {
+          val n = arg.toDouble.toLong
+          (n.toString, if (n <= Int.MaxValue) "INT" else "BIGINT")
+        }
+      s"(SELECT CAST(id AS $cast) AS number FROM range($count))"
+    })
+    systemNumbers.replaceAllIn(afterNumbers,
+      "(SELECT id AS number FROM range(8589934592))")
   }
 
   private val dateDiffQuotedUnit =
@@ -117,9 +136,14 @@ final class GraftSession(val spark: SparkSession) {
   // serialization advice, safe to strip at the tail of the statement
   private val trailingFormat =
     "(?is)\\s+FORMAT\\s+[A-Za-z][A-Za-z0-9]*\\s*;?\\s*$".r
+  // `… SETTINGS max_threads=4, k='v'` — execution hints; Spark's equivalents
+  // are session confs, safe to strip at the statement tail
+  private val trailingSettings =
+    "(?is)\\s+SETTINGS\\s+\\w+\\s*=\\s*[^,;]+(?:\\s*,\\s*\\w+\\s*=\\s*[^,;]+)*\\s*;?\\s*$".r
   private def rewriteDialect(q: String): String =
     dateDiffQuotedUnit.replaceAllIn(
-      rewriteTableFns(trailingFormat.replaceFirstIn(q, "")), m => "dateDiffCH($1")
+      rewriteTableFns(trailingFormat.replaceFirstIn(
+        trailingSettings.replaceFirstIn(q, ""), "")), m => "dateDiffCH($1")
 
   /** Parameterized query — the reference's `{name:Type}` placeholders bound
     * via params= (reference chdb/__init__.py:145-160, README.md:276-289).

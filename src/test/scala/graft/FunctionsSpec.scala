@@ -460,3 +460,48 @@ class ParseDateTimeSpec extends SparkTestBase {
     assert(one("parseDateTimeOrNull('garbage', '%Y-%m-%d') AS r").isNullAt(0))
   }
 }
+
+/** The reference README's example queries, run VERBATIM (paths localized). */
+class ReadmeParitySpec extends SparkTestBase {
+
+  private def g = new graft.engine.GraftSession(spark)
+
+  test("SELECT 1,'abc' with a Pretty format") {
+    assert(g.queryAs("SELECT 1,'abc'", "Pretty").nonEmpty)
+  }
+
+  test("system.numbers with LIMIT (unbounded generator, limit pushdown)") {
+    val rows = g.sql("SELECT number, toString(number) as str FROM system.numbers LIMIT 3")
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(rows.map(_.getString(1)).toSeq == Seq("0", "1", "2"))
+  }
+
+  test("select version()") {
+    assert(g.sql("select version()").head().getString(0).nonEmpty)
+  }
+
+  test("file() with double-quoted path and bare format") {
+    val n = g.sql(s"""select * from file("${SparkTestBase.sfDir}/nation.parquet", Parquet)""")
+      .count()
+    assert(n == 25L)
+  }
+
+  test("parameterized query with typed placeholders") {
+    val rows = g.sql(
+      "SELECT toDate({base_date:String}) + number AS date " +
+        "FROM numbers({total_days:UInt64}) LIMIT {items_per_page:UInt64}",
+      Map("base_date" -> "2025-01-01", "total_days" -> 10, "items_per_page" -> 2))
+      .collect()
+    assert(rows.length == 2)
+    assert(rows.head.getDate(0).toString == "2025-01-01")
+    assert(rows(1).getDate(0).toString == "2025-01-02")
+  }
+
+  test("numbers_mt with scientific notation and a SETTINGS clause") {
+    val r = g.sql(
+      "SELECT sum(number) AS s FROM numbers_mt(1e6) GROUP BY number % 10 SETTINGS max_threads=4")
+      .count()
+    assert(r == 10L)
+  }
+}
