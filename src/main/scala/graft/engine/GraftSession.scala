@@ -198,6 +198,20 @@ final class GraftSession(val spark: SparkSession) {
     sb.toString
   }
 
+  /** The reference's dataframe-table query surface
+    * (chdb.dataframe.query(sql, tbl1=df1, tbl2=df2) with `__tbl1__`
+    * placeholders — README.md:337): each named DataFrame registers as a temp
+    * view and its `__name__` token is substituted.
+    */
+  def queryOn(sqlText: String, tables: (String, DataFrame)*): DataFrame = {
+    val rewritten = tables.foldLeft(sqlText) { case (q, (n, df)) =>
+      val view = s"__graft_tbl_$n"
+      df.createOrReplaceTempView(view)
+      q.replace(s"__${n}__", view)
+    }
+    sql(rewritten)
+  }
+
   /** DDL/DML passthrough (reference core.py:4708 create_table, :4757 insert;
     * SURVEY §2.A). Tables are Spark catalog tables backed by parquet;
     * UPDATE/DELETE require a lakehouse format (documented gap, SURVEY §2.A).

@@ -505,3 +505,18 @@ class ReadmeParitySpec extends SparkTestBase {
     assert(r == 10L)
   }
 }
+
+/** chdb.dataframe query-on-frames surface. */
+class QueryOnSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("__tbl__ placeholders join registered frames (README example)") {
+    val df1 = Seq((1, "a"), (2, "b")).toDF("a", "b")
+    val df2 = Seq((1, "x"), (3, "y")).toDF("c", "d")
+    val out = new graft.engine.GraftSession(spark).queryOn(
+      "select * from __tbl1__ t1 join __tbl2__ t2 on t1.a = t2.c",
+      "tbl1" -> df1, "tbl2" -> df2)
+    assert(out.count() == 1)
+    assert(out.head().getString(1) == "a" && out.head().getString(3) == "x")
+  }
+}
