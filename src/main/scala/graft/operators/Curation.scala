@@ -26,8 +26,14 @@ object Curation {
       idCol: String,
       languages: Seq[String] = Seq("en"),
       minQuality: Double = 0.3): DataFrame = {
-    val scored = TextAnalysis.qualityScore(df, textCol)
-      .withColumn("pred_lang", TextAnalysis.languageId(col(textCol)))
+    // tokens materialize once and feed BOTH the quality features and the
+    // language scores (repeating tokenize() would re-split per feature —
+    // the projection-collapse trap)
+    val scored = TextAnalysis.qualityScoreFromTokens(
+        df.withColumn("__toks", graft.functions.GraftFunctions.tokenize(col(textCol))),
+        textCol, col("__toks"))
+      .withColumn("pred_lang", TextAnalysis.languageIdFromTokens(col("__toks")))
+      .drop("__toks")
     val filtered = scored
       .filter(col("pred_lang").isin(languages: _*) && col("quality_score") >= minQuality)
     Dedup.exactKeepFirst(filtered, textCol, idCol)

@@ -30,8 +30,14 @@ object TextAnalysis {
   /** Heuristic language ID: the language whose stopword list matches the
     * largest token fraction; "und" (undetermined) if nothing beats `floor`.
     */
-  def languageId(text: Column, floor: Double = 0.02): Column = {
-    val toks = tokenize(text)
+  def languageId(text: Column, floor: Double = 0.02): Column =
+    languageIdFromTokens(tokenize(text), floor)
+
+  /** languageId over a precomputed token column — use this form when the
+    * caller already materialized tokens (each score references the tokens;
+    * passing `tokenize(text)` directly re-tokenizes once per language).
+    */
+  def languageIdFromTokens(toks: Column, floor: Double = 0.02): Column = {
     // build struct array (score, lang), take max — deterministic tiebreak by lang desc then flipped
     val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
       struct(stopwordRatio(toks, words).as("score"), lit(lang).as("lang"))
@@ -52,10 +58,20 @@ object TextAnalysis {
 
   /** Quality features: length, token stats, punctuation/digit/upper ratios,
     * stopword ratio, repetition (1 - distinct/total tokens).
+    *
+    * Tokens are materialized ONCE into a multi-use column: Catalyst's
+    * CollapseProject inlines single-use (or cheap) aliases, so repeating
+    * `tokenize(t)` in each feature would re-split the text per feature —
+    * a multi-referenced non-cheap alias survives as one evaluation.
     */
-  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame =
+    qualityFeaturesFromTokens(
+      df.withColumn("__toks", tokenize(col(textCol))), textCol, col("__toks"))
+      .drop("__toks")
+
+  /** Feature computation over a precomputed token column. */
+  def qualityFeaturesFromTokens(df: DataFrame, textCol: String, toks: Column): DataFrame = {
     val t = col(textCol)
-    val toks = tokenize(t)
     val nTok = greatest(size(toks), lit(1)).cast("double")
     df.withColumn("n_chars_q", length(t))
       .withColumn("n_tokens", size(toks))
@@ -72,14 +88,20 @@ object TextAnalysis {
         lit(1.0) - size(array_distinct(toks)).cast("double") / nTok)
   }
 
+  private def scoreMix: Column =
+    least(lit(1.0), greatest(lit(0.0),
+      lit(0.3) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)) +
+        lit(0.3) * (lit(1.0) - col("repetition_ratio")) +
+        lit(0.2) * least(col("stopword_ratio") * 5.0, lit(1.0)) +
+        lit(0.2) * (lit(1.0) - col("punct_ratio"))))
+
   /** Composite [0,1] quality score from the features (simple monotone mix). */
   def qualityScore(df: DataFrame, textCol: String): DataFrame =
-    qualityFeatures(df, textCol).withColumn("quality_score",
-      least(lit(1.0), greatest(lit(0.0),
-        lit(0.3) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)) +
-          lit(0.3) * (lit(1.0) - col("repetition_ratio")) +
-          lit(0.2) * least(col("stopword_ratio") * 5.0, lit(1.0)) +
-          lit(0.2) * (lit(1.0) - col("punct_ratio")))))
+    qualityFeatures(df, textCol).withColumn("quality_score", scoreMix)
+
+  /** qualityScore over a precomputed token column (see qualityFeatures). */
+  def qualityScoreFromTokens(df: DataFrame, textCol: String, toks: Column): DataFrame =
+    qualityFeaturesFromTokens(df, textCol, toks).withColumn("quality_score", scoreMix)
 
   /** Winnowing-style rolling-hash fingerprint (see TextFingerprint). */
   def fingerprint(text: Column, window: Int = 8): Column =
