@@ -1345,17 +1345,23 @@ object Queries {
     QueryDef("q102_moving_arrays", (s, dir) => {
       v(s, dir, "lineitem")
       // deterministic scalar moving-window forms over an ordered array; the
-      // oracle uses the closed forms of windowed sums over 1..n
-      s.sql("""SELECT l_orderkey, l_linenumber,
-          arrayMovingSum(sequence(1, l_linenumber), 3) AS ms,
-          arrayMovingAvg(sequence(1, l_linenumber), 2) AS ma
-        FROM lineitem WHERE l_orderkey < 300 ORDER BY l_orderkey, l_linenumber""")
-    }, Some("""SELECT l_orderkey, l_linenumber,
-        list_transform(range(1, CAST(l_linenumber AS BIGINT) + 1),
-          i -> CAST(CASE WHEN i < 3 THEN i * (i + 1) / 2 ELSE 3 * i - 3 END AS DOUBLE)) AS ms,
-        list_transform(range(1, CAST(l_linenumber AS BIGINT) + 1),
-          i -> CAST(CASE WHEN i = 1 THEN 1.0 ELSE (2 * i - 1) / 2.0 END AS DOUBLE)) AS ma
-      FROM lineitem WHERE l_orderkey < 300 ORDER BY l_orderkey, l_linenumber""")),
+      // oracle uses the closed forms of windowed sums over 1..n. Arrays are
+      // exploded to scalar rows — the driver's pandas compare cannot sort or
+      // hash list cells (round-4 q102 error: "unhashable type: numpy.ndarray")
+      s.sql("""SELECT l_orderkey, l_linenumber, pos + 1 AS i, z.ms AS ms_v, z.ma AS ma_v
+        FROM (SELECT l_orderkey, l_linenumber,
+            arrayMovingSum(sequence(1, l_linenumber), 3) AS ms,
+            arrayMovingAvg(sequence(1, l_linenumber), 2) AS ma
+          FROM lineitem WHERE l_orderkey < 300)
+        LATERAL VIEW posexplode(arrays_zip(ms, ma)) AS pos, z
+        ORDER BY l_orderkey, l_linenumber, i""")
+    }, Some("""SELECT l_orderkey, l_linenumber, i,
+        CAST(CASE WHEN i < 3 THEN i * (i + 1) / 2 ELSE 3 * i - 3 END AS DOUBLE) AS ms_v,
+        CAST(CASE WHEN i = 1 THEN 1.0 ELSE (2 * i - 1) / 2.0 END AS DOUBLE) AS ma_v
+      FROM (SELECT l_orderkey, l_linenumber,
+          UNNEST(range(1, CAST(l_linenumber AS BIGINT) + 1)) AS i
+        FROM lineitem WHERE l_orderkey < 300)
+      ORDER BY l_orderkey, l_linenumber, i""")),
 
     QueryDef("q103_curation", (s, dir) =>
       // flagship composed pipeline: quality floor + language filter + exact
