@@ -23,6 +23,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Register tables in memory before timing anything. BASELINE.md's
+    // DataStore numbers are measured over in-memory pandas DataFrames
+    // (Python(df) zero-copy), so cached tables are the like-for-like setup —
+    // and the single-row-group driver parquet otherwise caps every scan at
+    // one thread (rationale in Tables.enableInMemory's doc).
+    if (sys.env.getOrElse("SPARK_GRAFT_MEMTABLES", "true") == "true") {
+      Tables.enableInMemory(cpus.toInt)
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings")
+        .foreach(Tables.load(spark, sfDir, _))
+    }
+
     val headline = Queries.all.filter(_.bench)
     // Action = noop sink, not count(): under a bare count Catalyst prunes
     // every unreferenced projection (and can drop whole Window operators), so
