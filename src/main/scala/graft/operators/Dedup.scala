@@ -235,6 +235,82 @@ object Dedup {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Connected components over a near-duplicate pair set: assigns every
+    * vertex the MINIMUM id reachable through the pair graph, i.e. the
+    * duplicate-cluster id — the step a production dedup pipeline runs AFTER
+    * pair generation, so "A≈B, B≈C" collapses to one kept document even when
+    * (A, C) was never emitted as a pair.
+    *
+    * Algorithm: iterative min-label propagation (the dataflow form of
+    * label-propagation CC, cf. Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC 2014). Each round shuffles only the EDGE
+    * set — for near-dup graphs that is orders of magnitude smaller than the
+    * corpus — and rounds needed = cluster diameter, which for duplicate
+    * clusters (dense, star-like) is almost always ≤ 3. The loop is
+    * driver-controlled with per-round persist and an exact convergence check
+    * (count of changed labels); lineage is cut every round by the persist,
+    * so 100 iterations would not build a 100-deep plan.
+    *
+    * Input: pairs with (aCol, bCol); output: (id, cluster) with cluster =
+    * min reachable id. Vertices not present in any pair are absent (they are
+    * their own cluster by definition — join back with a coalesce for the
+    * full corpus labeling, see [[dedupByClusters]]).
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // symmetric edge list, cached once: both propagation directions
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id"), col("src").as("cluster"))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // candidate label for each dst: the smallest label of any neighbor
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("cluster"))
+      val next = viaNeighbor.union(labels)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+        .persist(MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
+        .filter(col("cluster") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    edges.unpersist()
+    labels
+  }
+
+  /** Full near-dup dedup: keep ONE document per duplicate cluster (the
+    * smallest id), where clusters are the connected components of `pairs`.
+    * Documents in no pair keep themselves. One broadcast-sized join against
+    * the corpus when the pair set is small (the common case), no shuffle of
+    * the document payload.
+    */
+  def dedupByClusters(
+      df: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+    df.join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("__cluster", coalesce(col("cluster"), col(idCol)))
+      .filter(col(idCol) === col("__cluster"))
+      .drop("cluster", "__cluster")
+  }
+
   private def verifyJaccard(pairs: DataFrame, threshold: Double): DataFrame =
     pairs
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))

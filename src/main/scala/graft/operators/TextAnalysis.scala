@@ -106,4 +106,25 @@ object TextAnalysis {
   /** Winnowing-style rolling-hash fingerprint (see TextFingerprint). */
   def fingerprint(text: Column, window: Int = 8): Column =
     call_function("fingerprint", text, lit(window))
+
+  /** Portable winnowing fingerprint set: md5-hex hashes of the character
+    * k-grams, lexicographic minimum per window of `w` consecutive k-grams,
+    * deduplicated. Selecting by hex-string order makes the winnowing choice
+    * reproducible in any engine with md5() — unlike [[fingerprint]]'s custom
+    * rolling hash — so the semantics are oracle-checkable end to end (q104).
+    * O(n·w) per document; [[fingerprint]] is the O(n) production path.
+    * Returns an empty array for texts shorter than k + w − 1 chars (no full
+    * window exists).
+    */
+  def winnowMd5(text: Column, k: Int = 8, w: Int = 4): Column = {
+    val kgramHashes = transform(
+      sequence(lit(1), length(text) - (k - 1)),
+      i => md5(text.substr(i, lit(k)).cast("binary")))
+    val windowMins = (hs: Column) => transform(
+      sequence(lit(1), size(hs) - (w - 1)),
+      i => array_min(slice(hs, i, lit(w))))
+    when(length(text) >= k + w - 1,
+      array_distinct(windowMins(kgramHashes)))
+      .otherwise(array().cast("array<string>"))
+  }
 }

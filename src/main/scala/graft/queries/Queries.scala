@@ -1403,6 +1403,56 @@ object Queries {
       FROM d WHERE rn = 1 ORDER BY doc_id"""),
       bench = true),
 
+    QueryDef("q104_winnow_fp", (s, dir) => {
+      // winnowing document fingerprints, md5-portable selection (the custom
+      // rolling-hash form is q75; this variant's window minima reproduce in
+      // DuckDB, closing fingerprinting's oracle gap): per doc, the distinct
+      // set of per-window (w=4) minima over character 8-gram md5 hashes
+      Q.t(s, dir, "documents")
+        .filter(length(col("text")) >= 11)
+        .select(col("doc_id"),
+          explode(TextAnalysis.winnowMd5(col("text"), 8, 4)).as("fp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nfp"), min("fp").as("fp_lo"), max("fp").as("fp_hi"))
+        .orderBy("doc_id")
+    }, Some("""WITH g AS (SELECT doc_id, i, md5(substr(text, CAST(i AS INT), 8)) AS h
+        FROM (SELECT doc_id, text, UNNEST(range(1, length(text) - 6)) AS i
+              FROM documents WHERE length(text) >= 11)),
+      w AS (SELECT doc_id, i, MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+            MAX(i) OVER (PARTITION BY doc_id) AS mx FROM g),
+      f AS (SELECT DISTINCT doc_id, fp FROM w WHERE i <= mx - 3)
+      SELECT doc_id, COUNT(*) AS nfp, MIN(fp) AS fp_lo, MAX(fp) AS fp_hi
+      FROM f GROUP BY doc_id ORDER BY doc_id""")),
+
+    QueryDef("q105_dedup_clusters", (s, dir) =>
+      // duplicate CLUSTERS: connected components over the exact-Jaccard pair
+      // graph (operators/Dedup.connectedComponents), so A≈B≈C collapses to
+      // one cluster even when (A, C) was never a pair. Oracle: transitive
+      // closure by recursive CTE over the same q62-proven pair set.
+      Dedup.connectedComponents(
+          Dedup.ngramJaccard(Q.t(s, dir, "documents"), "text", "doc_id",
+            threshold = 0.2, shingleSize = 5, maxDocFreq = 1000000))
+        .orderBy("id"),
+      Some("""WITH RECURSIVE toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+          ELSE list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' ')) END) AS s
+        FROM toks),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.2),
+      e AS (SELECT id_a AS s, id_b AS d FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      r AS (SELECT s AS node, d AS reach FROM e
+        UNION SELECT r.node, e.d FROM r JOIN e ON r.reach = e.s)
+      SELECT node AS id, LEAST(node, MIN(reach)) AS cluster FROM r
+      GROUP BY node ORDER BY id""")),
+
     QueryDef("q97_histogram_adaptive", (s, dir) => {
       v(s, dir, "orders")
       // adaptive-bin histogram sketch (custom agg); rows-only — bin edges are

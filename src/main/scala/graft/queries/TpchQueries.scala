@@ -35,8 +35,12 @@ object TpchQueries {
         .select("p_partkey", "p_brand", "l_suppkey").distinct()
         .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
         .select("p_partkey", "p_brand", "s_name", "s_acctbal", "n_name")
-      val m = cand.groupBy(col("p_partkey").as("mk")).agg(min("s_acctbal").as("mb"))
-      cand.join(broadcast(m), col("p_partkey") === col("mk") && col("s_acctbal") === col("mb"))
+      // per-part min via a partition window, NOT groupBy + self-join: the
+      // self-join would evaluate the lineitem-distinct subtree twice (Spark
+      // does not share unmarked common subplans)
+      cand.withColumn("mb", min("s_acctbal").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("p_partkey")))
+        .filter(col("s_acctbal") === col("mb"))
         .select("p_partkey", "p_brand", "s_name", "s_acctbal", "n_name")
         .orderBy(col("s_acctbal").desc, col("p_partkey").asc, col("s_name").asc)
         .limit(100)

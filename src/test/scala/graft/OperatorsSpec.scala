@@ -361,3 +361,53 @@ class CurationSpec extends SparkTestBase {
     assert(out.toSeq == Seq(1L)) // dup 2 dropped, fr 3 dropped, junk 4 dropped
   }
 }
+
+class DedupClusterSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("connectedComponents: transitive chain collapses to min id") {
+    // 1-2, 2-3 (no 1-3 pair), plus isolated pair 7-9
+    val pairs = Seq((1L, 2L), (2L, 3L), (9L, 7L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("connectedComponents: long path converges past one round") {
+    // path 1-2-3-4-5-6: min label needs multiple propagation rounds
+    val pairs = (1L to 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet == Set(1L) && cc.keySet == (1L to 6L).toSet)
+  }
+
+  test("dedupByClusters keeps one doc per cluster and all unpaired docs") {
+    val docs = Seq(
+      (1L, "aa"), (2L, "bb"), (3L, "cc"), (4L, "dd"), (5L, "ee"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupByClusters(docs, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 4L, 5L)) // 2,3 fold into cluster 1
+  }
+
+  test("winnowMd5: deterministic, dedup'd, and guards short texts") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // identical → same set
+      (3L, "short")) // < k + w - 1 chars → empty
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.winnowMd5(col("text"), 8, 4).as("fp"))
+    val rows = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(rows(1L) == rows(2L) && rows(1L).nonEmpty)
+    assert(rows(1L).distinct == rows(1L)) // dedup'd
+    assert(rows(3L).isEmpty)
+    // every fingerprint is one of the k-gram md5s (a window min)
+    val text = "the quick brown fox jumps over the lazy dog"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val all = (0 to text.length - 8).map { i =>
+      md.digest(text.substring(i, i + 8).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }.toSet
+    assert(rows(1L).forall(all.contains))
+  }
+}
