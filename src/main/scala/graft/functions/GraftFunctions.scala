@@ -229,7 +229,15 @@ object GraftFunctions {
     alias("match")(cs => cs.head.rlike_col(cs(1)))
     alias("extractAll")(cs => call_function("regexp_extract_all", cs.head, cs(1), lit(1)))
     alias("replaceAll")(cs => call_function("replace", cs.head, cs(1), cs(2)))
-    alias("replaceOne")(cs => call_function("replace", cs.head, cs(1), cs(2))) // divergence: replaces all
+    // replaceOne = FIRST occurrence only (r5 verdict: `replace` replaces all):
+    // locate the needle, splice around it with substr
+    alias("replaceOne") { cs =>
+      val pos = locate_col(cs(1), cs.head, lit(1))
+      when(pos === 0 || length(cs(1)) === 0, cs.head)
+        .otherwise(concat(
+          cs.head.substr(lit(1), pos - 1), cs(2),
+          cs.head.substr(pos + length(cs(1)), length(cs.head))))
+    }
     alias("replaceRegexpAll")(cs => regexp_replace(cs.head, cs(1), cs(2)))
     alias("replaceRegexpOne")(cs => regexp_replace(cs.head, cs(1), cs(2)))
     alias("trimBoth")(cs => trim(cs.head))
@@ -252,8 +260,25 @@ object GraftFunctions {
     same("base64Encode", "base64")
     alias("base64Decode")(cs => unbase64(cs.head).cast("string"))
     alias("tryBase64Decode")(cs => unbase64(cs.head).cast("string"))
-    alias("stem")(cs => cs.head) // no-op placeholder
-    alias("normalizeUTF8NFC")(cs => cs.head)
+    // stem('en', s) / stem(s) — Porter (English). A non-English language
+    // literal raises at plan time; returning the input unchanged would be a
+    // silent wrong answer (r5 verdict).
+    add("stem") { es =>
+      val wordE = if (es.size >= 2) es(1) else es.head
+      if (es.size >= 2) es.head match {
+        case catalyst.expressions.Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+          val lang = s.toString.toLowerCase
+          if (!Set("en", "english", "porter").contains(lang))
+            throw new UnsupportedOperationException(
+              s"stem: only English (Porter) is implemented, got '$lang'")
+        case _ =>
+      }
+      PorterStem(wordE)
+    }
+    alias("normalizeUTF8NFC")(cs => e2col(NormalizeUtf8(col2e(cs.head), java.text.Normalizer.Form.NFC)))
+    alias("normalizeUTF8NFD")(cs => e2col(NormalizeUtf8(col2e(cs.head), java.text.Normalizer.Form.NFD)))
+    alias("normalizeUTF8NFKC")(cs => e2col(NormalizeUtf8(col2e(cs.head), java.text.Normalizer.Form.NFKC)))
+    alias("normalizeUTF8NFKD")(cs => e2col(NormalizeUtf8(col2e(cs.head), java.text.Normalizer.Form.NFKD)))
     alias("editDistance")(cs => levenshtein(cs.head, cs(1)))
     alias("byteSize")(cs => call_function("octet_length", cs.head))
     alias("appendTrailingCharIfAbsent")(cs =>
@@ -471,7 +496,13 @@ object GraftFunctions {
         })
     alias("arrayEnumerate")(cs => sequence(lit(1), size(cs.head)))
     alias("arrayReverse")(cs => reverse(cs.head))
-    alias("arrayCompact")(cs => array_distinct(cs.head)) // divergence: full dedup
+    // arrayCompact removes CONSECUTIVE duplicates ([1,1,2,1] → [1,2,1], not
+    // [1,2] — r5 verdict): keep element i iff i == 0 or it differs null-safely
+    // from its predecessor (0-based `get`)
+    alias("arrayCompact") { cs =>
+      val arr = cs.head
+      filter(arr, (x, i) => (i === 0) || !x.eqNullSafe(get(arr, i - 1)))
+    }
     alias("arrayPushBack")(cs => concat(cs.head, array(cs(1))))
     alias("arrayPushFront")(cs => concat(array(cs(1)), cs.head))
     // empty-array guards (ADVICE r1): slice with length -1 throws, and

@@ -95,6 +95,204 @@ case class TextFingerprint(child: Expression, windowExpr: Expression)
     copy(child = l, windowExpr = r)
 }
 
+/** Unicode normalization (reference normalizeUTF8NFC/NFD/NFKC/NFKD family) —
+  * a direct wrap of java.text.Normalizer; was a silent no-op before r6.
+  */
+case class NormalizeUtf8(child: Expression, form: java.text.Normalizer.Form)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString, form))
+
+  override protected def withNewChildInternal(c: Expression): NormalizeUtf8 = copy(child = c)
+}
+
+/** English stemmer (reference stem('en', s)) — Porter's 1980 algorithm,
+  * transliterated from the published description (an open, public-domain
+  * algorithm). Non-English languages raise at plan time rather than
+  * silently returning the input (r5 verdict: silence is the only wrong
+  * option).
+  */
+case class PorterStem(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(Porter.stem(input.asInstanceOf[UTF8String].toString))
+
+  override protected def withNewChildInternal(c: Expression): PorterStem = copy(child = c)
+}
+
+/** The Porter stemming algorithm (M.F. Porter, "An algorithm for suffix
+  * stripping", Program 14(3) 1980). Classic five-step suffix stripper over
+  * the measure m (count of VC sequences). Stateless entry point; one small
+  * working buffer per call.
+  */
+private[functions] object Porter {
+  def stem(word: String): String = {
+    val w = word.toLowerCase(java.util.Locale.ROOT)
+    if (w.length <= 2 || !w.forall(c => c >= 'a' && c <= 'z')) return w
+    new Porter(w).run()
+  }
+}
+
+private final class Porter(word: String) {
+  private val b: Array[Char] = word.toCharArray ++ new Array[Char](8)
+  private var k: Int = word.length - 1
+  private var j: Int = 0
+
+  private def cons(i: Int): Boolean = b(i) match {
+    case 'a' | 'e' | 'i' | 'o' | 'u' => false
+    case 'y' => if (i == 0) true else !cons(i - 1)
+    case _ => true
+  }
+
+  /** number of VC sequences in b[0..j] */
+  private def m(): Int = {
+    var n = 0; var i = 0
+    while (i <= j && cons(i)) i += 1
+    if (i > j) return n
+    i += 1
+    while (true) {
+      while (i <= j && !cons(i)) i += 1
+      if (i > j) return n
+      i += 1; n += 1
+      while (i <= j && cons(i)) i += 1
+      if (i > j) return n
+      i += 1
+    }
+    n
+  }
+
+  private def vowelInStem(): Boolean = (0 to j).exists(i => !cons(i))
+  private def doublec(i: Int): Boolean = i >= 1 && b(i) == b(i - 1) && cons(i)
+  private def cvc(i: Int): Boolean =
+    i >= 2 && cons(i) && !cons(i - 1) && cons(i - 2) &&
+      b(i) != 'w' && b(i) != 'x' && b(i) != 'y'
+
+  private def ends(s: String): Boolean = {
+    val l = s.length
+    if (l > k + 1) return false
+    var i = 0
+    while (i < l) { if (b(k - l + 1 + i) != s.charAt(i)) return false; i += 1 }
+    j = k - l
+    true
+  }
+
+  private def setto(s: String): Unit = {
+    var i = 0
+    while (i < s.length) { b(j + 1 + i) = s.charAt(i); i += 1 }
+    k = j + s.length
+  }
+
+  private def r(s: String): Unit = if (m() > 0) setto(s)
+
+  private def step1ab(): Unit = {
+    if (b(k) == 's') {
+      if (ends("sses")) k -= 2
+      else if (ends("ies")) setto("i")
+      else if (b(k - 1) != 's') k -= 1
+    }
+    if (ends("eed")) { if (m() > 0) k -= 1 }
+    else if ((ends("ed") || ends("ing")) && vowelInStem()) {
+      k = j
+      if (ends("at")) setto("ate")
+      else if (ends("bl")) setto("ble")
+      else if (ends("iz")) setto("ize")
+      else if (doublec(k)) {
+        k -= 1
+        if (b(k) == 'l' || b(k) == 's' || b(k) == 'z') k += 1
+      }
+      else if (m() == 1 && cvc(k)) setto("e")
+    }
+  }
+
+  private def step1c(): Unit =
+    if (ends("y") && vowelInStem()) b(k) = 'i'
+
+  private def step2(): Unit = if (k >= 1) (b(k - 1): @annotation.switch) match {
+    case 'a' =>
+      if (ends("ational")) r("ate")
+      else if (ends("tional")) r("tion")
+    case 'c' =>
+      if (ends("enci")) r("ence")
+      else if (ends("anci")) r("ance")
+    case 'e' => if (ends("izer")) r("ize")
+    case 'l' =>
+      if (ends("bli")) r("ble")
+      else if (ends("alli")) r("al")
+      else if (ends("entli")) r("ent")
+      else if (ends("eli")) r("e")
+      else if (ends("ousli")) r("ous")
+    case 'o' =>
+      if (ends("ization")) r("ize")
+      else if (ends("ation")) r("ate")
+      else if (ends("ator")) r("ate")
+    case 's' =>
+      if (ends("alism")) r("al")
+      else if (ends("iveness")) r("ive")
+      else if (ends("fulness")) r("ful")
+      else if (ends("ousness")) r("ous")
+    case 't' =>
+      if (ends("aliti")) r("al")
+      else if (ends("iviti")) r("ive")
+      else if (ends("biliti")) r("ble")
+    case 'g' => if (ends("logi")) r("log")
+    case _ =>
+  }
+
+  private def step3(): Unit = (b(k): @annotation.switch) match {
+    case 'e' =>
+      if (ends("icate")) r("ic")
+      else if (ends("ative")) r("")
+      else if (ends("alize")) r("al")
+    case 'i' => if (ends("iciti")) r("ic")
+    case 'l' =>
+      if (ends("ical")) r("ic")
+      else if (ends("ful")) r("")
+    case 's' => if (ends("ness")) r("")
+    case _ =>
+  }
+
+  private def step4(): Unit = {
+    if (k < 1) return
+    val matched = (b(k - 1): @annotation.switch) match {
+      case 'a' => ends("al")
+      case 'c' => ends("ance") || ends("ence")
+      case 'e' => ends("er")
+      case 'i' => ends("ic")
+      case 'l' => ends("able") || ends("ible")
+      case 'n' => ends("ant") || ends("ement") || ends("ment") || ends("ent")
+      case 'o' => (ends("ion") && j >= 0 && (b(j) == 's' || b(j) == 't')) || ends("ou")
+      case 's' => ends("ism")
+      case 't' => ends("ate") || ends("iti")
+      case 'u' => ends("ous")
+      case 'v' => ends("ive")
+      case 'z' => ends("ize")
+      case _ => false
+    }
+    if (matched && m() > 1) k = j
+  }
+
+  private def step5(): Unit = {
+    j = k
+    if (b(k) == 'e') {
+      val a = m()
+      if (a > 1 || (a == 1 && !cvc(k - 1))) k -= 1
+    }
+    if (b(k) == 'l' && doublec(k) && m() > 1) k -= 1
+  }
+
+  def run(): String = {
+    step1ab(); step1c(); step2(); step3(); step4(); step5()
+    new String(b, 0, k + 1)
+  }
+}
+
 /** splitmix64-style finalizer + a simple string hash built on it. */
 private[functions] object Mix64 {
   def mix(x0: Long): Long = {

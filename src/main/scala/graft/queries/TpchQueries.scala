@@ -58,16 +58,23 @@ object TpchQueries {
       bench = true),
 
     // Q4: order-priority checking (commitdate/receiptdate → "shipped more
-    // than 30 days after ordering" as the lateness witness)
+    // than 30 days after ordering" as the lateness witness). Inverted from
+    // the textbook orders-semi-lineitem: the 3-month orders filter keeps a
+    // dimension-sized slice, so probe lineitem against broadcast(orders) and
+    // count DISTINCT surviving orders per priority — lineitem never shuffles
+    // on the join (only the final count_distinct exchanges (priority, key)
+    // pairs). The semi-join formulation forced an SMJ shuffling all of
+    // lineitem; this shape is scale-safe whenever the date window is narrow.
     QueryDef("tpch04_priority_check", (s, dir) => {
       val o = Q.t(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp")
           && col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
-      val l = Q.t(s, dir, "lineitem")
-      o.join(l, col("l_orderkey") === col("o_orderkey")
-          && col("l_shipdate").cast("date") > date_add(col("o_orderdate").cast("date"), D30),
-          "left_semi")
-        .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      Q.t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+        .join(broadcast(o), col("l_orderkey") === col("o_orderkey")
+          && col("l_shipdate").cast("date") > date_add(col("o_orderdate").cast("date"), D30))
+        .groupBy("o_orderpriority")
+        .agg(count_distinct(col("o_orderkey")).as("order_count"))
         .orderBy("o_orderpriority")
     }, Some(s"""SELECT o_orderpriority, COUNT(*) AS order_count FROM orders
       WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
@@ -338,10 +345,12 @@ object TpchQueries {
     QueryDef("tpch16_parts_suppliers", (s, dir) => {
       val badSupp = Q.t(s, dir, "supplier").filter(col("s_acctbal") < 0)
         .select(col("s_suppkey").as("bad_key"))
-      Q.t(s, dir, "part")
-        .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO"
-          && col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
-        .join(Q.t(s, dir, "lineitem").select("l_partkey", "l_suppkey"),
+      // filtered part (8 sizes, ~1/3 of a dimension table) is broadcast so
+      // lineitem joins map-side; the only shuffle is the count_distinct
+      Q.t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+        .join(broadcast(Q.t(s, dir, "part")
+          .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO"
+            && col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))),
           col("p_partkey") === col("l_partkey"))
         .join(broadcast(badSupp), col("l_suppkey") === col("bad_key"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")

@@ -504,6 +504,53 @@ class ReadmeParitySpec extends SparkTestBase {
       .count()
     assert(r == 10L)
   }
+
+  test("arrayCompact removes CONSECUTIVE duplicates only (r5 verdict #2)") {
+    assert(one("arrayCompact(array(1,1,2,1)) AS r").getSeq[Int](0) == Seq(1, 2, 1))
+    assert(one("arrayCompact(array(1,1,1)) AS r").getSeq[Int](0) == Seq(1))
+    assert(one("arrayCompact(array()) AS r").getSeq[Int](0) == Seq())
+    assert(one("arrayCompact(array('a','a','b','b','a')) AS r")
+      .getSeq[String](0) == Seq("a", "b", "a"))
+    // null-safe: consecutive nulls collapse, non-consecutive survive
+    assert(one("arrayCompact(array(NULL, NULL, 1, NULL)) AS r")
+      .getSeq[Any](0) == Seq(null, 1, null))
+  }
+
+  test("replaceOne replaces only the first occurrence (r5 verdict #3)") {
+    assert(one("replaceOne('aXbXc', 'X', '_') AS r").getString(0) == "a_bXc")
+    assert(one("replaceOne('abc', 'z', '_') AS r").getString(0) == "abc")
+    assert(one("replaceOne('abc', '', '_') AS r").getString(0) == "abc")
+    assert(one("replaceOne('aaa', 'aa', 'b') AS r").getString(0) == "ba")
+    // replaceAll keeps replace-all semantics
+    assert(one("replaceAll('aXbXc', 'X', '_') AS r").getString(0) == "a_b_c")
+  }
+
+  test("normalizeUTF8NFC/NFD are real Unicode normalization (r5 verdict #1)") {
+    // e + combining acute (U+0065 U+0301) NFC-composes to é (U+00E9)
+    val composed = one("normalizeUTF8NFC('é') AS r").getString(0)
+    assert(composed == "é")
+    val decomposed = one("normalizeUTF8NFD('é') AS r").getString(0)
+    assert(decomposed == "é")
+    // NFKC folds compatibility forms: ﬁ ligature → fi
+    assert(one("normalizeUTF8NFKC('ﬁ') AS r").getString(0) == "fi")
+  }
+
+  test("stem is a real Porter stemmer; non-English raises (r5 verdict #1)") {
+    // canonical examples from Porter's published vocabulary
+    assert(one("stem('en', 'caresses') AS r").getString(0) == "caress")
+    assert(one("stem('en', 'ponies') AS r").getString(0) == "poni")
+    assert(one("stem('en', 'relational') AS r").getString(0) == "relat")
+    assert(one("stem('en', 'conditional') AS r").getString(0) == "condit")
+    assert(one("stem('en', 'triplicate') AS r").getString(0) == "triplic")
+    assert(one("stem('en', 'adjustable') AS r").getString(0) == "adjust")
+    assert(one("stem('en', 'probate') AS r").getString(0) == "probat")
+    assert(one("stem('en', 'controlling') AS r").getString(0) == "control")
+    assert(one("stem('en', 'hopping') AS r").getString(0) == "hop")
+    assert(one("stem('en', 'sky') AS r").getString(0) == "sky")
+    // one-arg form defaults to English
+    assert(one("stem('running') AS r").getString(0) == "run")
+    intercept[Exception] { one("stem('fr', 'mangeons') AS r") }
+  }
 }
 
 /** chdb.dataframe query-on-frames surface. */
