@@ -466,6 +466,8 @@ class ReadmeParitySpec extends SparkTestBase {
 
   private def g = new graft.engine.GraftSession(spark)
 
+  private def one(q: String): Row = sql(s"SELECT $q").head()
+
   test("SELECT 1,'abc' with a Pretty format") {
     assert(g.queryAs("SELECT 1,'abc'", "Pretty").nonEmpty)
   }
