@@ -58,11 +58,52 @@ object Bench {
       once(q); once(q) // warm-ups: codegen cache + C2 JIT (one is not enough
       // for the JIT to finish compiling the generated operators — BenchTune
       // measured run-3 ≈ 40% under run-2 on the same query set)
-      q.name -> once(q)
+      // Min-of-3 measured runs: a single measured run is not robust to
+      // transient machine load (r6's committed bench had seven queries 3-7x
+      // over their quiet-machine times from one CPU spike). The minimum is
+      // the standard load-insensitive estimator for a deterministic workload.
+      val ts = Seq(once(q), once(q), once(q)).filter(_ >= 0)
+      q.name -> (if (ts.isEmpty) -1.0 else ts.min)
     }
     val qs = results.map { case (k, t) => "\"" + k + "\":" + t }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Contamination guard: diff against the previous round's committed numbers
+    // (stderr, so the one-JSON-line stdout contract is untouched). A >1.5x
+    // regression on untouched code means the machine was loaded — rerun.
+    compareToPrevious(results)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** Print per-query deltas vs the newest committed BENCH_r*.json (if any). */
+  private def compareToPrevious(results: Seq[(String, Double)]): Unit = try {
+    val dir = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"))
+    val benches = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+    if (benches.isEmpty) return
+    val prev = benches.last
+    val src = scala.io.Source.fromFile(prev)
+    val json = try src.mkString finally src.close()
+    // minimal extraction of "name":seconds pairs; the driver wraps our JSON
+    // line inside a "tail" string field, so quotes may arrive escaped (\")
+    val pair = """\\?"([A-Za-z0-9_]+)\\?":\s*([-0-9.Ee]+)""".r
+    val prevTimes = pair.findAllMatchIn(json)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap - "value"
+    var flagged = 0
+    results.foreach { case (name, t) =>
+      prevTimes.get(name).foreach { p =>
+        if (p > 0 && t > 0) {
+          val ratio = t / p
+          if (ratio > 1.5 || ratio < 0.67) {
+            flagged += 1
+            System.err.println(
+              f"[bench-delta] $name%-22s ${prev.getName}: $p%.3f s -> now: $t%.3f s (${ratio}%.2fx)")
+          }
+        }
+      }
+    }
+    System.err.println(
+      s"[bench-delta] ${results.size} queries vs ${prev.getName}: $flagged outside [0.67x, 1.5x]" +
+        (if (flagged > 0) " — if code is untouched this run is load-contaminated; rerun" else ""))
+  } catch { case _: Throwable => () } // comparison is best-effort diagnostics
 }

@@ -262,7 +262,10 @@ object GraftFunctions {
     alias("tryBase64Decode")(cs => unbase64(cs.head).cast("string"))
     // stem('en', s) / stem(s) — Porter (English). A non-English language
     // literal raises at plan time; returning the input unchanged would be a
-    // silent wrong answer (r5 verdict).
+    // silent wrong answer (r5 verdict). A NON-literal language (a column that
+    // might hold 'fr' per-row) also raises: we can't validate it at plan time
+    // and Porter-stemming French silently is the same class of wrong (r6
+    // advice).
     add("stem") { es =>
       val wordE = if (es.size >= 2) es(1) else es.head
       if (es.size >= 2) es.head match {
@@ -271,7 +274,11 @@ object GraftFunctions {
           if (!Set("en", "english", "porter").contains(lang))
             throw new UnsupportedOperationException(
               s"stem: only English (Porter) is implemented, got '$lang'")
-        case _ =>
+        case other =>
+          throw new UnsupportedOperationException(
+            "stem: the language argument must be a string literal ('en') — " +
+              s"a per-row language expression (${other.sql}) cannot be " +
+              "validated at plan time and only English is implemented")
       }
       PorterStem(wordE)
     }

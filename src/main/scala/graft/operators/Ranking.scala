@@ -43,13 +43,7 @@ object Ranking {
       buckets: Int = 0): (DataFrame, Long) = {
     val spark = df.sparkSession
     val b = if (buckets > 0) buckets else spark.sessionState.conf.numShufflePartitions
-    // empty frame / all-null key → percentile yields null → single bucket
-    val bounds = Option(df
-      .select(percentile_approx(keyCol.cast("double"),
-        array((1 until b).map(i => lit(i.toDouble / b)): _*), lit(10000)).as("q"))
-      .head().getSeq[Double](0)).getOrElse(Seq.empty).distinct.sorted
-    val pid = bounds.foldLeft(lit(0))((acc, bound) =>
-      acc + when(keyCol.cast("double") > lit(bound), 1).otherwise(0))
+    val (pid, _) = rangeBucket(df, keyCol, b)
     val w = Window.partitionBy("__pid").orderBy((keyCol +: tieBreakers): _*)
     val local = df.withColumn("__pid", pid)
       .withColumn("__lrn", row_number().over(w))
@@ -65,6 +59,55 @@ object Ranking {
       .withColumn(rnCol, (col("__lrn") + col("__off")).cast("long"))
       .drop("__pid", "__lrn", "__off")
     (ranked, total)
+  }
+
+  /** Range-bucket id expression for the leading sort key + the number of
+    * boundaries it uses (exposed for tests: >0 boundaries = no single-bucket
+    * collapse). Numeric keys use one approx_percentile stats pass; all other
+    * orderable types (string/date/timestamp/...) use sample-based boundaries —
+    * the RangePartitioner approach — because cast-to-double on them yields
+    * null bounds and silently funneled every row into bucket 0 (r6 verdict).
+    *
+    * Correctness does not depend on the sample: pid(k) = #{bounds below k} is
+    * monotone in k under Spark's comparison whatever the boundary set, and
+    * equal keys always share a bucket — sampling quality only affects bucket
+    * BALANCE.
+    */
+  private[graft] def rangeBucket(
+      df: DataFrame, keyCol: Column, b: Int): (Column, Int) = {
+    import org.apache.spark.sql.types._
+    val keyType = df.select(keyCol.as("__k")).schema.head.dataType
+    val boundExprs: Seq[Column] = keyType match {
+      case _: NumericType =>
+        // empty frame / all-null key → percentile yields null → single bucket
+        Option(df
+          .select(percentile_approx(keyCol.cast("double"),
+            array((1 until b).map(i => lit(i.toDouble / b)): _*), lit(10000)).as("q"))
+          .head().getSeq[Double](0)).getOrElse(Seq.empty)
+          .distinct.sorted.map(d => lit(d))
+      case _ =>
+        // bounded driver sample: TakeOrdered over rand() — one distributed
+        // pass, at most `cap` rows ever reach the driver
+        val cap = math.min(b * 200, 20000)
+        val sample = df.select(keyCol.as("__k")).where(col("__k").isNotNull)
+          .orderBy(rand(42)).limit(cap).collect().map(_.get(0))
+        if (sample.isEmpty) Seq.empty
+        else {
+          // toString order ≈ Spark order for string/date/timestamp — and any
+          // divergence shifts balance only (see monotonicity note above)
+          val sorted = sample.map(v => v.toString -> v).sortBy(_._1).map(_._2)
+          (1 until b)
+            .map(i => sorted(((i.toLong * sorted.length) / b).toInt
+              .min(sorted.length - 1)))
+            .distinct.map(v => lit(v))
+        }
+    }
+    val cmp: Column => Column =
+      if (keyType.isInstanceOf[NumericType]) keyCol.cast("double") > _
+      else keyCol > _
+    val pid = boundExprs.foldLeft(lit(0))((acc, bound) =>
+      acc + when(cmp(bound), 1).otherwise(0))
+    (pid, boundExprs.size)
   }
 
   /** df + tile / percent_rank / cume_dist columns over the global

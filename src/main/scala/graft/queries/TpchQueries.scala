@@ -64,7 +64,11 @@ object TpchQueries {
     // count DISTINCT surviving orders per priority — lineitem never shuffles
     // on the join (only the final count_distinct exchanges (priority, key)
     // pairs). The semi-join formulation forced an SMJ shuffling all of
-    // lineitem; this shape is scale-safe whenever the date window is narrow.
+    // lineitem. NOTE the unconditional broadcast() hint is LOCAL-BENCH
+    // tuning: at sf0.1 a 3-month orders slice is a few MB, but at 100 TB it
+    // is fact-table-sized and would OOM the executors — production code
+    // should leave the hint off (autoBroadcastJoinThreshold decides) or gate
+    // it on an estimated-size check so the planner can fall back to SMJ.
     QueryDef("tpch04_priority_check", (s, dir) => {
       val o = Q.t(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp")
@@ -346,7 +350,10 @@ object TpchQueries {
       val badSupp = Q.t(s, dir, "supplier").filter(col("s_acctbal") < 0)
         .select(col("s_suppkey").as("bad_key"))
       // filtered part (8 sizes, ~1/3 of a dimension table) is broadcast so
-      // lineitem joins map-side; the only shuffle is the count_distinct
+      // lineitem joins map-side; the only shuffle is the count_distinct.
+      // NOTE: forcing broadcast of 1/3 of `part` is local-bench tuning —
+      // at 100 TB that slice may exceed executor memory; production should
+      // let autoBroadcastJoinThreshold decide rather than hint.
       Q.t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
         .join(broadcast(Q.t(s, dir, "part")
           .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO"

@@ -552,6 +552,11 @@ class ReadmeParitySpec extends SparkTestBase {
     // one-arg form defaults to English
     assert(one("stem('running') AS r").getString(0) == "run")
     intercept[Exception] { one("stem('fr', 'mangeons') AS r") }
+    // non-literal language raises at plan time too — a per-row lang column
+    // can't be validated, and silently Porter-stemming French is wrong (r6)
+    intercept[Exception] {
+      sql("SELECT stem(c, 'word') AS r FROM (SELECT 'fr' AS c)").head()
+    }
   }
 }
 

@@ -36,6 +36,35 @@ class RankingSpec extends SparkTestBase {
     assert(byKey.map(_._2).zip(byKey.map(_._2).tail).forall { case (a, b) => a < b })
   }
 
+  test("string keys use sampled boundaries — no single-bucket collapse (r6)") {
+    val df = (1 to 400).map(i => (i.toLong, f"doc_${i % 97}%03d")).toDF("id", "key")
+    // the bucket expression itself must carve >1 bucket for a string key
+    val (_, nBounds) = Ranking.rangeBucket(df, col("key"), 8)
+    assert(nBounds > 1, s"string key collapsed to one bucket ($nBounds bounds)")
+    // and the ranking built on it matches the single-partition window oracle
+    val (ranked, n) = Ranking.withGlobalRowNumber(
+      df, col("key"), Seq(col("id")), "rn", buckets = 8)
+    assert(n == 400L)
+    val w = Window.orderBy(col("key"), col("id"))
+    val want = df.select(col("id"), row_number().over(w).cast("long").as("rn"))
+    val got = ranked.select("id", "rn")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("date keys bucket correctly (cast-to-double would null out) (r6)") {
+    val df = (1 to 200)
+      .map(i => (i.toLong, java.sql.Date.valueOf(f"2025-${1 + i % 12}%02d-${1 + i % 28}%02d")))
+      .toDF("id", "key")
+    val (_, nBounds) = Ranking.rangeBucket(df, col("key"), 6)
+    assert(nBounds > 1, s"date key collapsed to one bucket ($nBounds bounds)")
+    val (ranked, n) = Ranking.withGlobalRowNumber(
+      df, col("key"), Seq(col("id")), "rn", buckets = 6)
+    assert(n == 200L)
+    val w = Window.orderBy(col("key"), col("id"))
+    val want = df.select(col("id"), row_number().over(w).cast("long").as("rn"))
+    assert(ranked.select("id", "rn").except(want).isEmpty)
+  }
+
   test("tiles smaller than rows in every bucket still exact (q = 0 path)") {
     val df = (1 to 3).map(i => (i.toLong, i.toDouble)).toDF("id", "key")
     val got = Ranking.globalRankings(df, col("key"), Seq(col("id")), tiles = 7)
