@@ -1,0 +1,1314 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Expression, LambdaFunction, Literal, MapEntries, MonotonicallyIncreasingID, TransformValues, UnresolvedNamedLambdaVariable}
+import org.apache.spark.sql.catalyst.expressions.{ArrayAggregate, And => EAnd, Or => EOr}
+import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.functions._
+
+import graft.functions.agg.{ContingencyAgg, DeltaSumTimestamp, EntropyAgg, ProductAgg, RankCorrAgg}
+
+/** The dialect-registry tail: everything from the reference's 873-function /
+  * 1449-name registry (datastore/function_definitions.py, names + aliases)
+  * that rounds 1-6 had not yet made resolvable. Three tiers:
+  *
+  *  1. [[caseVariants]] — generated snake_case/camelCase spellings of
+  *     functions that already exist (ours or Spark natives) under the other
+  *     convention. Pure renames, generated offline from the audit diff.
+  *  2. Compositions over Spark natives (the bulk below) — reference
+  *     semantics per function_definitions.py; divergences noted inline.
+  *  3. Real custom expressions/aggregates (MiscExpressions / MiscAgg) where
+  *     nothing composable exists: erf/gamma family, Jaro/Damerau similarity,
+  *     CRC64, case-insensitive + simpleJSON extraction, Poisson/binomial
+  *     samplers, UUIDv7, reinterpret*, entropy/product/rankCorr/cramersV.
+  *
+  * Deliberately NOT registered (see FNAUDIT.md): stochastic* regression
+  * (SURVEY non-goal, MLlib territory), geoToH3/h3ToGeo (needs an h3 library),
+  * blockSize (no block analogue), runningDifference / diff / pct_change
+  * (window-frame semantics cannot hide behind a scalar name without an OVER
+  * clause — a silently wrong answer is worse than an unresolved name).
+  */
+object DialectAliases {
+
+  private def col2e(c: Column): Expression = ColumnBridge.expression(c)
+  private def e2col(e: Expression): Column = ColumnBridge.column(e)
+
+  /** Plan-time literal extraction — builders that need a constant (format
+    * template, width, type name) refuse non-literal args loudly.
+    */
+  private def litStr(e: Expression, what: String): String = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval() match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case null => throw new IllegalArgumentException(s"$what must not be null")
+      case x => x.toString
+    }
+  }
+  private def litInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+
+  private def regexQuote(c: Column): Column =
+    regexp_replace(c, "([\\\\.\\[\\]{}()*+?^$|])", "\\\\$1")
+
+  private def tryCastTo(e: Expression, sparkType: String): Expression =
+    Cast(e, CatalystSqlParser.parseDataType(sparkType), None, EvalMode.TRY)
+
+  /** Fold a user (k, v) lambda over map entries (exists/all) — the analyzer
+    * requires a lambda-bearing call to resolve to a HigherOrderFunction
+    * itself, so the user body is spliced into an ArrayAggregate over
+    * MapEntries (same device as arrayCount in GraftFunctions).
+    */
+  private def mapEntryFold(lambda: Expression, m: Expression, isExists: Boolean): Expression = {
+    val lf = lambda.asInstanceOf[LambdaFunction]
+    require(lf.arguments.size == 2, "map lambda must take (key, value)")
+    val kName = lf.arguments(0).asInstanceOf[UnresolvedNamedLambdaVariable].nameParts
+    val vName = lf.arguments(1).asInstanceOf[UnresolvedNamedLambdaVariable].nameParts
+    val entry = UnresolvedNamedLambdaVariable(Seq("__graft_entry"))
+    val acc = UnresolvedNamedLambdaVariable(Seq("__graft_acc"))
+    val fin = UnresolvedNamedLambdaVariable(Seq("__graft_fin"))
+    val body = lf.function.transformUp {
+      case v: UnresolvedNamedLambdaVariable if v.nameParts == kName =>
+        UnresolvedExtractValue(entry, Literal("key"))
+      case v: UnresolvedNamedLambdaVariable if v.nameParts == vName =>
+        UnresolvedExtractValue(entry, Literal("value"))
+    }
+    val merge = LambdaFunction(
+      if (isExists) EOr(acc, body) else EAnd(acc, body), Seq(acc, entry))
+    ArrayAggregate(MapEntries(m), Literal(!isExists), merge, LambdaFunction(fin, Seq(fin)))
+  }
+
+  lazy val entries: Seq[(String, Seq[Expression] => Expression)] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Expression] => Expression)]
+    def add(name: String)(b: Seq[Expression] => Expression): Unit = buf += (name -> b)
+    def alias(name: String)(fn: Seq[Column] => Column): Unit =
+      add(name)(es => col2e(fn(es.map(e2col))))
+    def same(name: String, target: String): Unit =
+      alias(name)(cs => call_function(target, cs: _*))
+    def snake(name: String): String =
+      name.replaceAll("([a-z0-9])([A-Z])", "$1_$2").toLowerCase
+    /** register `name` plus its snake_case spelling (the reference lists
+      * both for most of these). */
+    def aliasBoth(name: String)(fn: Seq[Column] => Column): Unit = {
+      alias(name)(fn)
+      if (snake(name) != name) alias(snake(name))(fn)
+    }
+    def addBoth(name: String)(b: Seq[Expression] => Expression): Unit = {
+      add(name)(b)
+      if (snake(name) != name) add(snake(name))(b)
+    }
+
+    // =====================================================================
+    // Tier 2: compositions (reference: datastore/function_definitions.py)
+    // =====================================================================
+
+    // ---- pandas string accessor family ----
+    same("strip", "btrim") // btrim(str[, chars]) matches pandas arg order
+    alias("lstrip")(cs =>
+      if (cs.size > 1) call_function("ltrim", cs(1), cs.head) else ltrim(cs.head))
+    alias("rstrip")(cs =>
+      if (cs.size > 1) call_function("rtrim", cs(1), cs.head) else rtrim(cs.head))
+    same("title", "initcap")
+    alias("capitalize")(cs =>
+      concat(upper(substring(cs.head, 1, 1)), lower(cs.head.substr(lit(2), length(cs.head)))))
+    add("swapcase")(es => SwapCase(es.head))
+    same("casefold", "lower")
+    same("lowercase", "lower"); same("uppercase", "upper")
+    alias("ljust")(cs =>
+      call_function("rpad", cs.head, cs(1), if (cs.size > 2) cs(2) else lit(" ")))
+    alias("rjust")(cs =>
+      call_function("lpad", cs.head, cs(1), if (cs.size > 2) cs(2) else lit(" ")))
+    alias("zfill")(cs => call_function("lpad", cs.head, cs(1), lit("0")))
+    same("pad", "leftPad")
+    alias("center") { cs =>
+      val s = cs.head; val w = cs(1)
+      val f = if (cs.size > 2) cs(2) else lit(" ")
+      val leftTo = length(s) + (w - length(s)) / lit(2) // integer div: left half
+      when(length(s) >= w, s)
+        .otherwise(call_function("rpad", call_function("lpad", s, leftTo, f), w, f))
+    }
+    // find/index: 0-based position, -1 when absent (pandas contract)
+    alias("find")(cs => call_function("locate", cs(1), cs.head) - lit(1))
+    alias("index")(cs => call_function("locate", cs(1), cs.head) - lit(1))
+    alias("rfind") { cs =>
+      val s = cs.head; val sub = cs(1)
+      val fromEnd = call_function("locate", reverse(sub), reverse(s))
+      when(fromEnd === 0, lit(-1)).otherwise(length(s) - fromEnd - length(sub) + lit(1))
+    }
+    same("rindex", "rfind")
+    alias("removeprefix")(cs =>
+      when(cs.head.startsWith(cs(1)),
+        cs.head.substr(length(cs(1)) + lit(1), length(cs.head)))
+        .otherwise(cs.head))
+    alias("removesuffix")(cs =>
+      when(cs.head.endsWith(cs(1)),
+        cs.head.substr(lit(1), length(cs.head) - length(cs(1))))
+        .otherwise(cs.head))
+    alias("fullmatch")(cs => call_function("rlike", cs.head, concat(lit("^(?:"), cs(1), lit(")$"))))
+    same("findall", "extractAll")
+    same("str_count", "countSubstrings")
+    same("count_substring", "countSubstrings")
+    same("has_substring", "position")
+    same("str_replace", "replace")
+    same("join", "arrayStringConcat"); same("join_str", "arrayStringConcat")
+    same("str_join", "arrayStringConcat")
+    alias("get_char")(cs => cs.head.substr(cs(1), lit(1)))
+    alias("str_get")(cs => cs.head.substr(cs(1), lit(1)))
+    alias("slice_replace") { cs =>
+      val s = cs.head
+      val start = cs(1); val stop = cs(2)
+      val repl = if (cs.size > 3) cs(3) else lit("")
+      concat(s.substr(lit(1), start), repl, s.substr(stop + lit(1), length(s)))
+    }
+    // wrap(s, width): greedy word wrap; words longer than width stay whole
+    add("wrapText") { es =>
+      val w = litInt(es(1), "wrapText width")
+      col2e(regexp_replace(
+        regexp_replace(e2col(es.head), s"(.{1,$w})( +|$$)", "$1\n"), "\n$", ""))
+    }
+    same("wrap", "wrapText"); same("wrap_text", "wrapText")
+    alias("rsplit")(cs => reverse(call_function("splitByString", cs(1), cs.head)))
+    alias("splitByNonAlpha")(cs =>
+      filter(split(cs.head, "[^\\p{L}\\p{N}]+"), t => length(t) > 0))
+    same("split_by_non_alpha", "splitByNonAlpha")
+    // pandas is* predicates
+    alias("isalpha")(cs => cs.head.rlike("^\\p{L}+$"))
+    alias("isdigit")(cs => cs.head.rlike("^\\p{Nd}+$"))
+    alias("isalnum")(cs => cs.head.rlike("^[\\p{L}\\p{Nd}]+$"))
+    alias("isdecimal")(cs => cs.head.rlike("^[0-9]+$"))
+    alias("isnumeric")(cs => cs.head.rlike("^\\p{N}+$"))
+    alias("isspace")(cs => cs.head.rlike("^\\s+$"))
+    alias("isascii")(cs => cs.head.rlike("^[\\x00-\\x7F]*$"))
+    alias("islower")(cs => (lower(cs.head) === cs.head) && cs.head.rlike("\\p{L}"))
+    alias("isupper")(cs => (upper(cs.head) === cs.head) && cs.head.rlike("\\p{L}"))
+    alias("istitle")(cs => (initcap(lower(cs.head)) === cs.head) && cs.head.rlike("\\p{L}"))
+    // format('{} and {0}', args…): literal template expansion at plan time
+    add("format") { es =>
+      val template = litStr(es.head, "format template")
+      val args = es.tail.map(e2col)
+      val parts = template.split("\\{(\\d*)\\}", -1)
+      val phs = "\\{(\\d*)\\}".r.findAllMatchIn(template).map(_.group(1)).toSeq
+      var auto = 0
+      val cols = scala.collection.mutable.ArrayBuffer.empty[Column]
+      for (i <- parts.indices) {
+        if (parts(i).nonEmpty) cols += lit(parts(i))
+        if (i < phs.size) {
+          val idx = if (phs(i).isEmpty) { val a = auto; auto += 1; a } else phs(i).toInt
+          require(idx < args.size, s"format placeholder $idx out of range")
+          cols += args(idx).cast("string")
+        }
+      }
+      col2e(if (cols.isEmpty) lit("") else concat(cols.toSeq: _*))
+    }
+    same("format_func", "format")
+    same("concatenate", "concat")
+    // extract(s, re): whole match unless the pattern captures a group (CH)
+    add("extract_func") { es =>
+      val pat = litStr(es(1), "extract pattern")
+      val stripped = pat.replaceAll("\\\\.", "")
+      val hasCapture = stripped.replaceAll("\\(\\?[:=!<]", "").contains("(")
+      col2e(regexp_extract(e2col(es.head), pat, if (hasCapture) 1 else 0))
+    }
+    same("regex_extract", "extract_func")
+    same("regex_match", "match")
+    alias("notLike")(cs => !call_function("like", cs.head, cs(1)))
+    alias("notILike")(cs => !call_function("ilike", cs.head, cs(1)))
+    same("not_like", "notLike"); same("not_ilike", "notILike")
+    alias("equals")(cs => cs.head === cs(1))
+    aliasBoth("extractTextFromHTML")(cs =>
+      trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(cs.head,
+        "(?is)<(script|style)[^>]*>.*?</\\1>", " "),
+        "(?s)<!--.*?-->", " "),
+        "(?s)<[^>]*>", " "),
+        "\\s+", " ")))
+    same("extract_text_from_html", "extractTextFromHTML")
+    aliasBoth("multiMatchAny")(cs =>
+      exists(cs(1), p => call_function("rlike", cs.head, p)).cast("int"))
+    aliasBoth("multiMatchAnyIndex")(cs =>
+      coalesce(array_position(transform(cs(1), p => call_function("rlike", cs.head, p)), lit(true)), lit(0L)))
+    aliasBoth("multiSearchFirstIndex")(cs =>
+      coalesce(array_position(
+        transform(cs(1), n => call_function("locate", n, cs.head) > 0), lit(true)), lit(0L)))
+    aliasBoth("normalizeQuery")(cs =>
+      regexp_replace(regexp_replace(cs.head,
+        "'(?:[^'\\\\]|\\\\.)*'", "?"), "\\b\\d+(\\.\\d+)?\\b", "?"))
+    aliasBoth("normalizedQueryHash")(cs =>
+      xxhash64(call_function("normalizeQuery", cs.head)))
+    same("normalize", "normalizeUTF8NFD") // reference aliases normalize → NFD
+    alias("from_base64")(cs => unbase64(cs.head).cast("string"))
+    same("base64_decode", "from_base64")
+    alias("to_base64")(cs => base64(cs.head.cast("binary")))
+    same("base64_encode", "to_base64")
+    add("unbin")(es => Unbin(es.head)); same("unbin_func", "unbin")
+    // toJSONString(x): JSON rendering of the bare value
+    aliasBoth("toJSONString") { cs =>
+      val doc = to_json(struct(cs.head.as("v")))
+      doc.substr(lit(6), length(doc) - lit(6)) // strip {"v": … }
+    }
+
+    // ---- string similarity (real algorithms, MiscExpressions) ----
+    addBoth("jaroSimilarity")(es => StringSimilarity("jaro", es.head, es(1)))
+    addBoth("jaroWinklerSimilarity")(es => StringSimilarity("jaroWinkler", es.head, es(1)))
+    addBoth("damerauLevenshteinDistance")(es =>
+      StringSimilarity("damerauLevenshtein", es.head, es(1)))
+    same("levenshteinDistance", "levenshtein"); same("levenshtein_distance", "levenshtein")
+
+    // ---- hashes ----
+    add("CRC64")(es => Crc64(es.head)); same("crc64", "CRC64")
+    add("javaHash")(es => JavaHash(es.head)); same("javahash", "javaHash")
+    // xxhash64-mapped family (same documented divergence as cityHash64 etc.)
+    aliasBoth("wyHash64")(cs => xxhash64(cs: _*)); same("wyhash64", "wyHash64")
+    aliasBoth("metroHash64")(cs => xxhash64(cs: _*)); same("metrohash64", "metroHash64")
+    alias("murmurHash2_64")(cs => xxhash64(cs: _*)); same("murmurhash2_64", "murmurHash2_64")
+    alias("murmurHash2_32")(cs => hash(cs: _*)) // 32-bit: Spark's murmur3
+    same("murmurhash2_32", "murmurHash2_32")
+    alias("murmurHash3_128")(cs => md5(cs.head.cast("binary"))) // 128-bit stand-in
+    same("murmurhash3_128", "murmurHash3_128")
+    alias("sipHash128")(cs => md5(cs.head.cast("binary"))); same("siphash128", "sipHash128")
+    aliasBoth("URLHash") { cs =>
+      val clean = regexp_replace(cs.head, "[/#]+$", "")
+      if (cs.size < 2) xxhash64(clean)
+      else xxhash64(array_join(slice(split(clean, "/"), lit(1), cs(1).cast("int") + lit(3)), "/"))
+    }
+    same("urlhash", "URLHash")
+
+    // ---- URL ----
+    same("scheme", "protocol")
+    same("url_path", "path")
+    same("tld", "topLevelDomain")
+    alias("pathFull")(cs => concat(call_function("path", cs.head),
+      coalesce(concat(lit("?"), call_function("queryString", cs.head)), lit(""))))
+    same("path_full", "pathFull")
+    aliasBoth("domainWithoutWWW")(cs =>
+      regexp_replace(call_function("domain", cs.head), "^www\\.", ""))
+    same("decodeURLComponent", "url_decode"); same("decode_url_component", "url_decode")
+    same("encodeURLComponent", "url_encode"); same("encode_url_component", "url_encode")
+    aliasBoth("extractURLParameters")(cs =>
+      filter(split(coalesce(call_function("queryString", cs.head), lit("")), "&"),
+        p => length(p) > 0))
+    same("get_params", "extractURLParameters")
+    aliasBoth("extractURLParameterNames")(cs =>
+      transform(call_function("extractURLParameters", cs.head),
+        p => substring_index(p, "=", 1)))
+    same("get_param_names", "extractURLParameterNames")
+    same("get_param", "extractURLParameter")
+    aliasBoth("cutURLParameter") { cs =>
+      val name = regexQuote(cs(1))
+      regexp_replace(
+        regexp_replace(cs.head, concat(lit("([?&])"), name, lit("=[^&#]*&")), lit("$1")),
+        concat(lit("[?&]"), name, lit("=[^&#]*")), lit(""))
+    }
+    alias("port")(cs => coalesce(
+      nullif(regexp_extract(cs.head, "^\\w+://[^/?#]*:(\\d+)", 1), lit("")).cast("int"),
+      if (cs.size > 1) cs(1).cast("int") else lit(0)))
+    same("url_port", "port")
+
+    // ---- JSON (Jackson-backed; MiscExpressions) ----
+    addBoth("simpleJSONExtractRaw")(es => JsonExtractBy(es.head, es.tail, "raw", false, true))
+    addBoth("simpleJSONExtractString")(es => JsonExtractBy(es.head, es.tail, "string", false, true))
+    addBoth("simpleJSONExtractInt")(es => JsonExtractBy(es.head, es.tail, "int", false, true))
+    addBoth("simpleJSONExtractUInt")(es => JsonExtractBy(es.head, es.tail, "int", false, true))
+    addBoth("simpleJSONExtractFloat")(es => JsonExtractBy(es.head, es.tail, "float", false, true))
+    addBoth("simpleJSONExtractBool")(es => JsonExtractBy(es.head, es.tail, "bool", false, true))
+    same("visitParamExtractRaw", "simpleJSONExtractRaw")
+    same("visitParamExtractString", "simpleJSONExtractString")
+    same("visitParamExtractInt", "simpleJSONExtractInt")
+    same("visitParamExtractUInt", "simpleJSONExtractUInt")
+    same("visitParamExtractFloat", "simpleJSONExtractFloat")
+    same("visitParamExtractBool", "simpleJSONExtractBool")
+    add("JSONExtractRawCaseInsensitive")(es => JsonExtractBy(es.head, es.tail, "raw", true, false))
+    add("JSONExtractStringCaseInsensitive")(es =>
+      JsonExtractBy(es.head, es.tail, "string", true, false))
+    add("JSONExtractIntCaseInsensitive")(es => JsonExtractBy(es.head, es.tail, "int", true, false))
+    add("JSONExtractBoolCaseInsensitive")(es =>
+      JsonExtractBy(es.head, es.tail, "bool", true, false))
+    add("JSONExtractFloatCaseInsensitive")(es =>
+      JsonExtractBy(es.head, es.tail, "float", true, false))
+    add("JSONExtractArrayRawCaseInsensitive")(es =>
+      JsonExtractBy(es.head, es.tail, "arrayRaw", true, false))
+    add("JSONExtractKeysCaseInsensitive")(es => JsonExtractBy(es.head, es.tail, "keys", true, false))
+    same("json_extract_raw_ci", "JSONExtractRawCaseInsensitive")
+    same("json_extract_string_ci", "JSONExtractStringCaseInsensitive")
+    same("json_extract_int_ci", "JSONExtractIntCaseInsensitive")
+    same("json_extract_bool_ci", "JSONExtractBoolCaseInsensitive")
+    same("json_extract_float_ci", "JSONExtractFloatCaseInsensitive")
+    same("json_extract_array_raw_ci", "JSONExtractArrayRawCaseInsensitive")
+    same("json_extract_keys_ci", "JSONExtractKeysCaseInsensitive")
+    // JSONExtract(json, keys…, 'TypeName') — typed extraction
+    add("JSONExtract") { es =>
+      val tname = litStr(es.last, "JSONExtract type")
+      val mode = tname.toLowerCase match {
+        case t if t.startsWith("int") || t.startsWith("uint") => "int"
+        case t if t.startsWith("float") || t.startsWith("double") => "float"
+        case t if t.startsWith("bool") => "bool"
+        case t if t.startsWith("string") => "string"
+        case _ => "raw"
+      }
+      JsonExtractBy(es.head, es.drop(1).dropRight(1), mode, false, false)
+    }
+    same("json_extract", "JSONExtract")
+    add("JSONExtractUInt")(es => JsonExtractBy(es.head, es.tail, "int", false, false))
+    same("json_extract_uint", "JSONExtractUInt")
+    add("JSONExtractValues")(es => JsonExtractBy(es.head, es.tail, "values", false, false))
+    same("json_extract_values", "JSONExtractValues")
+    same("values", "JSONExtractValues")
+    add("JSONExtractKeysAndValues")(es =>
+      JsonExtractBy(es.head, es.drop(1).dropRight(1), "keysAndValues", false, false))
+    same("json_extract_keys_and_values", "JSONExtractKeysAndValues")
+    add("JSONExtractKeysAndValuesRaw")(es =>
+      JsonExtractBy(es.head, es.tail, "keysAndValuesRaw", false, false))
+    same("json_extract_keys_and_values_raw", "JSONExtractKeysAndValuesRaw")
+    add("JSONType")(es => JsonExtractBy(es.head, es.tail, "type", false, false))
+    same("json_type", "JSONType")
+    same("type", "JSONType")
+    add("JSONAllPaths")(es => JsonAllPaths(es.head, withTypes = false))
+    same("json_all_paths", "JSONAllPaths"); same("all_paths", "JSONAllPaths")
+    add("JSONAllPathsWithTypes")(es => JsonAllPaths(es.head, withTypes = true))
+    same("json_all_paths_with_types", "JSONAllPathsWithTypes")
+    same("all_paths_with_types", "JSONAllPathsWithTypes")
+    // Dynamic paths: with text-JSON storage every observed path is dynamic;
+    // shared-data paths are by the same token empty. Documented mapping.
+    same("JSONDynamicPaths", "JSONAllPaths"); same("json_dynamic_paths", "JSONAllPaths")
+    same("JSONDynamicPathsWithTypes", "JSONAllPathsWithTypes")
+    same("json_dynamic_paths_with_types", "JSONAllPathsWithTypes")
+    alias("JSONSharedDataPaths")(_ => array().cast("array<string>"))
+    same("json_shared_data_paths", "JSONSharedDataPaths")
+    alias("JSONSharedDataPathsWithTypes")(_ =>
+      map_from_arrays(array().cast("array<string>"), array().cast("array<string>")))
+    same("json_shared_data_paths_with_types", "JSONSharedDataPathsWithTypes")
+    add("JSONMergePatch")(es => JsonMergePatch(es))
+    same("json_merge_patch", "JSONMergePatch")
+    alias("JSON_EXISTS")(cs => call_function("get_json_object", cs.head, cs(1)).isNotNull)
+    same("json_exists", "JSON_EXISTS")
+    alias("JSON_QUERY")(cs => call_function("get_json_object", cs.head, cs(1)))
+    same("json_query", "JSON_QUERY")
+
+    // ---- datetime ----
+    alias("toMicrosecond")(cs =>
+      (call_function("unix_micros", cs.head.cast("timestamp")) % 1000000L).cast("int"))
+    same("microsecond", "toMicrosecond")
+    alias("toMillisecond")(cs =>
+      ((call_function("unix_micros", cs.head.cast("timestamp")) % 1000000L) / 1000L).cast("int"))
+    same("millisecond", "toMillisecond")
+    alias("toNanosecond")(cs =>
+      (call_function("unix_micros", cs.head.cast("timestamp")) % 1000000L) * 1000L)
+    same("nanosecond", "toNanosecond")
+    same("week", "toWeek"); same("week_of_year", "toWeek")
+    same("weekday_num", "weekday")
+    alias("daysInMonth")(cs => dayofmonth(last_day(cs.head)))
+    same("days_in_month", "daysInMonth"); same("daysinmonth", "daysInMonth")
+    aliasBoth("isLeapYear") { cs =>
+      val y = year(cs.head)
+      (y % 4 === 0 && y % 100 =!= 0) || (y % 400 === 0)
+    }
+    alias("is_month_start")(cs => dayofmonth(cs.head) === 1)
+    alias("is_month_end")(cs => to_date(cs.head) === last_day(cs.head))
+    alias("is_quarter_start")(cs =>
+      to_date(cs.head) === to_date(date_trunc("quarter", cs.head)))
+    alias("is_quarter_end")(cs =>
+      to_date(cs.head) === date_add(add_months(to_date(date_trunc("quarter", cs.head)), 3), -1))
+    alias("is_year_start")(cs => dayofyear(cs.head) === 1)
+    alias("is_year_end")(cs => month(cs.head) === 12 && dayofmonth(cs.head) === 31)
+    // ISO year: the year of the Thursday of x's ISO week
+    aliasBoth("toISOYear")(cs => year(date_add(to_date(date_trunc("week", cs.head)), 3)))
+    same("to_iso_year", "toISOYear")
+    same("iso_calendar", "toISOYear"); same("isocalendar", "toISOYear")
+    same("iso_week", "weekofyear")
+    same("tz_convert", "toTimezone"); same("tz_localize", "toTimezone")
+    alias("timezoneOf")(_ => call_function("current_timezone"))
+    same("timezone_of", "timezoneOf"); same("timeZoneOf", "timezoneOf")
+    same("timezone", "timezoneOf"); same("timezone_func", "timezoneOf")
+    same("serverTimezone", "timezoneOf"); same("server_timezone", "timezoneOf")
+    alias("utc_timestamp")(_ =>
+      to_utc_timestamp(current_timestamp(), call_function("current_timezone")))
+    same("strftime", "formatDateTime")
+    alias("normalize_dt")(cs => date_trunc("day", cs.head))
+    same("total_seconds", "toUnixTimestamp") // reference maps it so
+    same("date_difference", "dateDiff")
+    aliasBoth("toStartOfSecond")(cs => date_trunc("second", cs.head))
+    alias("toYearWeek")(cs =>
+      call_function("toISOYear", cs.head) * lit(100) + weekofyear(cs.head))
+    same("to_year_week", "toYearWeek")
+    aliasBoth("toYYYYMMDDhhmmss")(cs => date_format(cs.head, "yyyyMMddHHmmss").cast("bigint"))
+    aliasBoth("toDaysSinceYearZero")(cs =>
+      datediff(to_date(cs.head), lit(java.sql.Date.valueOf("1970-01-01"))) + lit(719528))
+    aliasBoth("fromDaysSinceYearZero")(cs =>
+      date_add(lit(java.sql.Date.valueOf("1970-01-01")), (cs.head - lit(719528)).cast("int")))
+    aliasBoth("snowflakeToDateTime")(cs =>
+      timestamp_millis(shiftright(cs.head, 22) + lit(1288834974657L)))
+    aliasBoth("dateTimeToSnowflake")(cs =>
+      shiftleft(call_function("unix_millis", cs.head.cast("timestamp")) - lit(1288834974657L), 22))
+    aliasBoth("toUnixTimestamp64Nano")(cs =>
+      call_function("unix_micros", cs.head.cast("timestamp")) * lit(1000L))
+    aliasBoth("toUnixTimestamp64Second")(cs =>
+      call_function("unix_seconds", cs.head.cast("timestamp")))
+    aliasBoth("fromUnixTimestamp64Milli")(cs => timestamp_millis(cs.head))
+    aliasBoth("fromUnixTimestamp64Micro")(cs => call_function("timestamp_micros", cs.head))
+    aliasBoth("fromUnixTimestamp64Nano")(cs =>
+      call_function("timestamp_micros", (cs.head / lit(1000L)).cast("bigint")))
+    aliasBoth("fromUnixTimestamp64Second")(cs => timestamp_seconds(cs.head))
+    alias("from_unix_timestamp")(cs =>
+      if (cs.size == 1) timestamp_seconds(cs.head)
+      else call_function("from_unixtime", cs: _*))
+    alias("makeDateTime") { cs =>
+      val a = cs.padTo(6, lit(0))
+      call_function("make_timestamp", a(0), a(1), a(2), a(3), a(4), a(5))
+    }
+    same("make_datetime", "makeDateTime")
+    same("makeTuple", "tuple")
+    // parseDateTime64 family → the existing parseDateTime layer (micros
+    // precision is already native to Spark timestamps; scale arg dropped)
+    add("parseDateTime64") { es =>
+      val args = if (es.size >= 3) Seq(es.head, es(2)) else Seq(es.head)
+      col2e(call_function("parseDateTime", args.map(e2col): _*))
+    }
+    same("parse_datetime64", "parseDateTime64")
+    alias("parseDateTime64BestEffort")(cs => call_function("parseDateTimeBestEffort", cs.head))
+    same("parse_datetime64_best_effort", "parseDateTime64BestEffort")
+    alias("parseDateTime64BestEffortOrNull")(cs =>
+      call_function("parseDateTimeBestEffortOrNull", cs.head))
+    same("parse_datetime64_best_effort_or_null", "parseDateTime64BestEffortOrNull")
+    alias("parseDateTime64BestEffortOrZero")(cs =>
+      coalesce(call_function("parseDateTimeBestEffortOrNull", cs.head), timestamp_seconds(lit(0))))
+    same("parse_datetime64_best_effort_or_zero", "parseDateTime64BestEffortOrZero")
+    alias("parseDateTimeOrZero")(cs =>
+      coalesce(call_function("parseDateTimeOrNull", cs: _*), timestamp_seconds(lit(0))))
+    same("parse_datetime_or_zero", "parseDateTimeOrZero")
+    // US variant: same best-effort parse (MDY-ambiguous forms follow the
+    // shared parser — documented divergence)
+    alias("parseDateTimeBestEffortUS")(cs => call_function("parseDateTimeBestEffort", cs.head))
+    same("parse_datetime_best_effort_us", "parseDateTimeBestEffortUS")
+    // Joda patterns coincide with java.time patterns for the common fields
+    alias("parseDateTimeInJodaSyntax")(cs => call_function("to_timestamp", cs: _*))
+    same("parse_datetime_in_joda_syntax", "parseDateTimeInJodaSyntax")
+
+    // pandas ceil/floor/round on datetimes, freq codes D/H/T(min)/S/W/M/Q/Y
+    def freqUnit(f: String): String = f.toUpperCase match {
+      case "D" => "day"
+      case "H" => "hour"
+      case "T" | "MIN" => "minute"
+      case "S" => "second"
+      case "W" => "week"
+      case "M" | "MS" | "ME" => "month"
+      case "Q" | "QS" => "quarter"
+      case "Y" | "A" | "YS" => "year"
+      case other => other.toLowerCase
+    }
+    def nextBoundary(u: String, t: Column): Column = u match {
+      case "month" => add_months(t, 1).cast("timestamp")
+      case "quarter" => add_months(t, 3).cast("timestamp")
+      case "year" => add_months(t, 12).cast("timestamp")
+      case "week" => date_add(to_date(t), 7).cast("timestamp")
+      case "day" => date_add(to_date(t), 1).cast("timestamp")
+      case unit => t + expr(s"INTERVAL 1 ${unit.toUpperCase}")
+    }
+    add("floor_dt") { es =>
+      val u = freqUnit(if (es.size > 1) litStr(es(1), "freq") else "D")
+      col2e(date_trunc(u, e2col(es.head)))
+    }
+    same("floor_datetime", "floor_dt")
+    add("ceil_dt") { es =>
+      val u = freqUnit(if (es.size > 1) litStr(es(1), "freq") else "D")
+      val x = e2col(es.head).cast("timestamp")
+      val t = date_trunc(u, x)
+      col2e(when(t === x, x).otherwise(nextBoundary(u, t)))
+    }
+    same("ceil_datetime", "ceil_dt"); same("dateCeil", "ceil_dt"); same("date_ceil", "ceil_dt")
+    add("round_datetime") { es =>
+      val u = freqUnit(if (es.size > 1) litStr(es(1), "freq") else "D")
+      val x = e2col(es.head).cast("timestamp")
+      val lo = date_trunc(u, x)
+      val hi = nextBoundary(u, lo)
+      val um = (c: Column) => call_function("unix_micros", c)
+      col2e(when(um(x) - um(lo) < um(hi) - um(x), lo).otherwise(hi))
+    }
+    same("round_dt", "round_datetime")
+
+    // ---- type conversion ----
+    alias("toBool")(cs => cs.head.cast("boolean")); same("to_bool", "toBool")
+    alias("toDateTime32")(cs => cs.head.cast("timestamp")); same("to_datetime32", "toDateTime32")
+    // BFloat16 → float (closest JVM type; documented precision divergence)
+    alias("toBFloat16")(cs => cs.head.cast("float")); same("to_bfloat16", "toBFloat16")
+    // 256-bit types cap at Decimal(38) — documented (SURVEY §1.3 family)
+    add("toDecimal256") { es =>
+      val s = if (es.size > 1) litInt(es(1), "toDecimal256 scale") else 0
+      col2e(e2col(es.head).cast(s"decimal(38,$s)"))
+    }
+    same("to_decimal256", "toDecimal256")
+    alias("toInt128")(cs => cs.head.cast("decimal(38,0)")); same("to_int128", "toInt128")
+    alias("toInt256")(cs => cs.head.cast("decimal(38,0)")); same("to_int256", "toInt256")
+    alias("toUInt128")(cs => cs.head.cast("decimal(38,0)")); same("to_uint128", "toUInt128")
+    alias("toUInt256")(cs => cs.head.cast("decimal(38,0)")); same("to_uint256", "toUInt256")
+    add("toDecimalString") { es =>
+      val scale = litInt(es(1), "toDecimalString scale")
+      col2e(format_string(s"%.${scale}f", e2col(es.head).cast("double")))
+    }
+    same("to_decimal_string", "toDecimalString")
+    alias("toStringCutToZero")(cs => regexp_extract(cs.head, "^[^\\u0000]*", 0))
+    same("to_string_cut_to_zero", "toStringCutToZero")
+    alias("toValidUTF8")(cs => cs.head.cast("string")) // JVM strings are valid UTF-8
+    same("to_valid_utf8", "toValidUTF8")
+    alias("toLowCardinality")(cs => cs.head); same("to_low_cardinality", "toLowCardinality")
+    alias("toNullable")(cs => cs.head); same("to_nullable", "toNullable")
+    alias("materialize")(cs => cs.head)
+    alias("identity")(cs => cs.head); same("identity_func", "identity")
+    alias("ignore")(_ => lit(0)); same("ignore_func", "ignore") // CH ignore(…) == 0
+    alias("toUUIDOrZero")(cs => when(
+      cs.head.rlike("^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"),
+      lower(cs.head)).otherwise(lit("00000000-0000-0000-0000-000000000000")))
+    same("to_uuid_or_zero", "toUUIDOrZero")
+    alias("UUIDToNum")(cs => unhex(call_function("replace", cs.head, lit("-"), lit(""))))
+    same("uuid_to_num", "UUIDToNum")
+    same("uuid4", "uuid"); same("new_uuid", "uuid"); same("generate_uuid_v4", "uuid")
+    add("generateUUIDv7")(_ => UuidV7(scala.util.Random.nextLong()))
+    same("generate_uuid_v7", "generateUUIDv7"); same("uuid7", "generateUUIDv7")
+    // accurateCast(x, 'CHType') → the matching to<CHType> dialect function
+    add("accurateCast") { es =>
+      val t = litStr(es(1), "accurateCast type")
+      col2e(call_function(s"to$t", e2col(es.head)))
+    }
+    same("accurate_cast", "accurateCast")
+    def sparkTypeOf(ch: String): String = ch match {
+      case "UInt8" | "Int8" => "tinyint"
+      case "UInt16" | "Int16" => "smallint"
+      case "UInt32" | "Int32" => "int"
+      case "Int64" => "bigint"
+      case "UInt64" => "decimal(20,0)"
+      case "Float32" => "float"
+      case "Float64" => "double"
+      case "String" => "string"
+      case "Date" | "Date32" => "date"
+      case "DateTime" | "DateTime64" => "timestamp"
+      case "Bool" => "boolean"
+      case other if other.startsWith("Decimal(") => other.replace("Decimal", "decimal")
+      case other =>
+        throw new IllegalArgumentException(s"accurateCastOrNull: unmapped type $other")
+    }
+    add("accurateCastOrNull") { es =>
+      val t = litStr(es(1), "accurateCastOrNull type")
+      tryCastTo(es.head, sparkTypeOf(t))
+    }
+    same("accurate_cast_or_null", "accurateCastOrNull")
+    add("accurateCastOrDefault") { es =>
+      val t = litStr(es(1), "accurateCastOrDefault type")
+      val casted = e2col(tryCastTo(es.head, sparkTypeOf(t)))
+      val dflt = if (es.size > 2) e2col(es(2)) else lit(0).cast(sparkTypeOf(t))
+      col2e(coalesce(casted, dflt))
+    }
+    same("accurate_cast_or_default", "accurateCastOrDefault")
+    // reinterpret family (bit-level; MiscExpressions.Reinterpret)
+    for (t <- Seq("UInt8", "UInt16", "UInt32", "UInt64", "UInt128", "UInt256",
+                  "Int8", "Int16", "Int32", "Int64", "Int128", "Int256",
+                  "Float32", "Float64", "Date", "DateTime", "String", "FixedString", "UUID")) {
+      add(s"reinterpretAs$t")(es => Reinterpret(es.head, t))
+      add(s"reinterpret_as_${t.toLowerCase}")(es => Reinterpret(es.head, t))
+    }
+    add("reinterpret") { es =>
+      val t = litStr(es(1), "reinterpret type")
+      Reinterpret(es.head, t)
+    }
+
+    // ---- math ----
+    same("arccos", "acos"); same("arcsin", "asin"); same("arctan", "atan")
+    same("toDegrees", "degrees"); same("toRadians", "radians")
+    alias("euler")(_ => call_function("e")); alias("pi_value")(_ => call_function("pi"))
+    add("erf")(es => MathUnary("erf", es.head))
+    add("erfc")(es => MathUnary("erfc", es.head))
+    add("tgamma")(es => MathUnary("tgamma", es.head)); same("gamma", "tgamma")
+    add("lgamma")(es => MathUnary("lgamma", es.head))
+    add("gcd")(es => LongBinary("gcd", es.head, es(1)))
+    add("lcm")(es => LongBinary("lcm", es.head, es(1)))
+    same("popcount", "bit_count")
+    same("round_bankers", "bround")
+    alias("clip")(cs => least(greatest(cs.head, cs(1)), cs(2)))
+    alias("truncate")(cs =>
+      if (cs.size > 1)
+        when(cs.head >= 0, call_function("floor", cs.head, cs(1)))
+          .otherwise(call_function("ceil", cs.head, cs(1)))
+      else // CH trunc returns Float64 (Spark floor/ceil yield LongType)
+        when(cs.head >= 0, floor(cs.head)).otherwise(ceil(cs.head)).cast("double"))
+    same("trunc_func", "truncate")
+    aliasBoth("roundToExp2")(cs =>
+      when(cs.head < 1, lit(0L))
+        .otherwise(pow(lit(2.0), floor(log(2.0, cs.head))).cast("bigint")))
+    aliasBoth("roundDown")(cs =>
+      coalesce(array_max(filter(cs(1), e => e <= cs.head)), element_at(cs(1), 1)))
+    aliasBoth("roundAge") { cs =>
+      val x = cs.head
+      when(x < 1, lit(0)).when(x < 18, lit(17)).when(x < 25, lit(18))
+        .when(x < 35, lit(25)).when(x < 45, lit(35)).when(x < 55, lit(45))
+        .otherwise(lit(55))
+    }
+    aliasBoth("roundDuration") { cs =>
+      val buckets = Seq(36000, 18000, 7200, 3600, 1800, 1200, 600, 300, 240, 180, 120, 60, 30, 10, 1)
+      buckets.foldLeft(when(cs.head < 1, lit(0))) { (acc, b) => acc.when(cs.head >= b, lit(b)) }
+        .otherwise(lit(0))
+    }
+    aliasBoth("ifNotFinite")(cs =>
+      when(isnan(cs.head) || abs(cs.head) === lit(Double.PositiveInfinity), cs(1))
+        .otherwise(cs.head))
+    alias("isInfinite")(cs => abs(cs.head) === lit(Double.PositiveInfinity))
+    same("is_infinite", "isInfinite")
+    // minSampleSize* — classical power-analysis formulas via probit
+    def probitC(c: Column): Column = e2col(MathUnary("probit", col2e(c)))
+    alias("minSampleSizeContinuous") { cs0 =>
+      require(cs0.size == 5, "minSampleSizeContinuous(baseline, sigma, mde, power, alpha)")
+      val cs = cs0.map(_.cast("double"))
+      val baseline = cs(0); val sigma = cs(1); val mde = cs(2)
+      val z = probitC(lit(1.0) - cs(4) / 2) + probitC(cs(3))
+      val n = lit(2.0) * z * z * sigma * sigma / (mde * baseline * mde * baseline)
+      struct(n.as("minimum_sample_size"),
+        (baseline * (lit(1.0) - mde)).as("detect_range_lower"),
+        (baseline * (lit(1.0) + mde)).as("detect_range_upper"))
+    }
+    same("min_sample_size_continuous", "minSampleSizeContinuous")
+    alias("minSampleSizeConversion") { cs0 =>
+      require(cs0.size == 4, "minSampleSizeConversion(baseline, mde, power, alpha)")
+      val cs = cs0.map(_.cast("double"))
+      val p1 = cs(0); val mde = cs(1)
+      val p2 = p1 + mde
+      val z = probitC(lit(1.0) - cs(3) / 2) + probitC(cs(2))
+      val n = z * z * (p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2)) / (mde * mde)
+      struct(n.as("minimum_sample_size"),
+        (p1 - mde).as("detect_range_lower"), (p1 + mde).as("detect_range_upper"))
+    }
+    same("min_sample_size_conversion", "minSampleSizeConversion")
+
+    // ---- conditional ----
+    same("iff", "if"); same("if_then_else", "if"); same("ifFunc", "if")
+    same("where_expr", "if")
+    same("case_when", "multiIf")
+    same("null_if", "nullif")
+    same("fillna", "ifNull"); same("fill_null", "ifNull")
+    same("isna", "isnull"); same("notna", "isnotnull"); same("notnull", "isnotnull")
+    add("throwIf") { es =>
+      val msg = if (es.size > 1) e2col(es(1)) else lit("throwIf condition met")
+      col2e(when(e2col(es.head), raise_error(msg)).otherwise(lit(0)))
+    }
+    same("throw_if", "throwIf")
+
+    // ---- aggregates ----
+    same("average", "avg"); same("maximum", "max"); same("minimum", "min")
+    same("total", "sum"); same("cnt", "count")
+    same("cov", "covar_samp"); same("covariance", "covar_samp")
+    same("correlation", "corr"); same("var", "var_samp")
+    same("corrStable", "corr")
+    same("covarPopStable", "covar_pop"); same("covarSampStable", "covar_samp")
+    // CH samp/pop skew & kurtosis map onto Spark's moment aggregates
+    // (denominator conventions differ slightly; documented)
+    same("skew", "skewness"); same("skewSamp", "skewness"); same("skewPop", "skewness")
+    same("skew_samp", "skewness"); same("skew_pop", "skewness")
+    same("kurt", "kurtosis"); same("kurtSamp", "kurtosis"); same("kurtPop", "kurtosis")
+    same("kurt_samp", "kurtosis"); same("kurt_pop", "kurtosis")
+    same("count_distinct", "uniq"); same("nunique", "uniq"); same("distinct_count", "uniq")
+    same("count_distinct_exact", "uniqExact")
+    same("idxmax", "argMax"); same("idxmin", "argMin")
+    add("product")(es => ProductAgg(es.head).toAggregateExpression())
+    same("prod", "product")
+    add("entropy")(es => EntropyAgg(es.head).toAggregateExpression())
+    same("entropy_func", "entropy"); same("entropyStable", "entropy")
+    addBoth("cramersV")(es => ContingencyAgg("cramersV", es.head, es(1)).toAggregateExpression())
+    same("cramers_v", "cramersV")
+    addBoth("theilsU")(es => ContingencyAgg("theilsU", es.head, es(1)).toAggregateExpression())
+    same("theils_u", "theilsU")
+    add("contingency")(es => ContingencyAgg("contingency", es.head, es(1)).toAggregateExpression())
+    addBoth("rankCorr")(es => RankCorrAgg(es.head, es(1)).toAggregateExpression())
+    same("spearmanRankCorr", "rankCorr"); same("spearman_rank_corr", "rankCorr")
+    same("histogramAgg", "histogram")
+    // deltaSum: positive deltas in encounter order (the same block-order
+    // caveat ClickHouse documents)
+    addBoth("deltaSum")(es => graft.functions.agg.DeltaSumAgg(es.head).toAggregateExpression())
+    same("ema", "exponentialMovingAverage")
+    same("weighted_avg", "avgWeighted")
+    same("ksTest", "kolmogorovSmirnovTest")
+    same("percentiles", "quantiles")
+    same("linear_regression", "simpleLinearRegression")
+    same("all_true", "min"); same("all", "min") // reference: all == min over booleans
+    same("any_match", "arrayExists"); same("all_match", "arrayAll")
+    same("unique", "arrayDistinct")
+    same("runningSum", "sum"); same("running_sum", "sum")
+    same("runningAccumulate", "sum"); same("running_accumulate", "sum")
+    alias("first_value_respect_nulls")(cs => call_function("first_value", cs.head, lit(false)))
+    alias("last_value_respect_nulls")(cs => call_function("last_value", cs.head, lit(false)))
+    // cumulative names — window-context aliases (use with an OVER clause)
+    same("cumsum", "sum"); same("cummax", "max"); same("cummin", "min")
+    same("shift", "lag")
+    add("neighbor") { es => // positive offset looks forward → lag(-offset)
+      val off = org.apache.spark.sql.catalyst.expressions.UnaryMinus(es(1))
+      col2e(call_function("lag", (Seq(es.head, off) ++ es.drop(2)).map(e2col): _*))
+    }
+    same("neighbor_func", "neighbor")
+
+    // ---- arrays / maps / tuples / vectors ----
+    same("array_length", "size"); same("arrayLength", "size")
+    same("array_index", "indexOf")
+    alias("first_element")(cs => element_at(cs.head, 1))
+    alias("last_element")(cs => element_at(cs.head, -1))
+    same("append", "arrayPushBack"); same("prepend", "arrayPushFront")
+    same("arrayShuffle", "shuffle"); same("array_shuffle", "shuffle")
+    same("arrayPartialShuffle", "shuffle") // full shuffle (documented divergence)
+    same("array_partial_shuffle", "shuffle")
+    aliasBoth("bitmaskToArray")(cs =>
+      filter(transform(sequence(lit(0), lit(62)),
+        i => call_function("shiftleft", lit(1L), i)),
+        b => cs.head.bitwiseAND(b) =!= 0))
+    aliasBoth("bitmaskToList")(cs =>
+      array_join(transform(call_function("bitmaskToArray", cs.head), x => x.cast("string")), ","))
+    same("createMap", "map"); same("create_map", "map")
+    aliasBoth("tuplePlus")(cs => zip_with(cs.head, cs(1), (a, b) => a + b))
+    aliasBoth("tupleMinus")(cs => zip_with(cs.head, cs(1), (a, b) => a - b))
+    aliasBoth("tupleMultiply")(cs => zip_with(cs.head, cs(1), (a, b) => a * b))
+    aliasBoth("tupleDivide")(cs => zip_with(cs.head, cs(1), (a, b) => a / b))
+    // map predicates: user (k,v) lambda folded over entries (lambda-first
+    // arg order per reference); mapApply maps values (documented: CH's
+    // tuple-returning lambda has no Spark analogue)
+    addBoth("mapExists")(es => mapEntryFold(es.head, es(1), isExists = true))
+    addBoth("mapAll")(es => mapEntryFold(es.head, es(1), isExists = false))
+    addBoth("mapApply")(es => TransformValues(es(1), es.head))
+    same("manhattan_distance", "L1Distance")
+    same("euclidean_distance", "L2Distance")
+    same("chebyshev_distance", "LinfDistance")
+    same("cosine_distance", "cosineDistance")
+    same("norm", "L2Norm")
+    aliasBoth("LpNorm")(cs =>
+      pow(aggregate(cs.head, lit(0.0), (acc, x) => acc + pow(abs(x), cs(1))), lit(1.0) / cs(1)))
+    same("lp_norm", "LpNorm")
+    aliasBoth("LpDistance")(cs =>
+      pow(aggregate(zip_with(cs.head, cs(1), (a, b) => pow(abs(a - b), cs(2))),
+        lit(0.0), (acc, x) => acc + x), lit(1.0) / cs(2)))
+    same("lp_distance", "LpDistance")
+    aliasBoth("L1Normalize") { cs =>
+      val l1 = aggregate(cs.head, lit(0.0), (acc, x) => acc + abs(x))
+      transform(cs.head, x => x / l1)
+    }
+    same("l1_normalize", "L1Normalize")
+
+    // ---- random ----
+    alias("rand64")(_ => xxhash64(call_function("uuid")))
+    same("random64", "rand64")
+    alias("rand_uniform")(cs => rand() * (cs(1) - cs.head) + cs.head)
+    same("randUniform", "rand_uniform")
+    alias("rand_normal")(cs => randn() * cs(1) + cs.head)
+    same("randNormal", "rand_normal"); same("rand_gaussian", "rand_normal")
+    alias("rand_log_normal")(cs => exp(randn() * cs(1) + cs.head))
+    same("randLogNormal", "rand_log_normal")
+    alias("rand_exponential")(cs => -log(lit(1.0) - rand()) / cs.head)
+    same("randExponential", "rand_exponential")
+    alias("rand_bernoulli")(cs => (rand() < cs.head).cast("int"))
+    same("randBernoulli", "rand_bernoulli")
+    add("randPoisson")(es => RandPoisson(es.head, scala.util.Random.nextLong()))
+    same("rand_poisson", "randPoisson")
+    add("randBinomial")(es => RandBinomial(es.head, es(1), scala.util.Random.nextLong()))
+    same("rand_binomial", "randBinomial")
+    alias("randConstant")(_ => lit(scala.util.Random.nextInt() & 0xFFFFFFFFL))
+    same("rand_constant", "randConstant")
+
+    // ---- text fingerprints over shingles ----
+    aliasBoth("ngramMinHash") { cs =>
+      val h = transform(GraftFunctions.charNgrams(cs.head, 3), g => xxhash64(g))
+      struct(array_min(h).as("h1"), array_max(h).as("h2"))
+    }
+    aliasBoth("wordShingleMinHash") { cs =>
+      val h = transform(GraftFunctions.shingles(GraftFunctions.tokenize(cs.head), 3),
+        g => xxhash64(g))
+      struct(array_min(h).as("h1"), array_max(h).as("h2"))
+    }
+    add("wordShingleSimHash")(es => SimHash(es.head)) // token-level simhash (documented)
+    same("word_shingle_sim_hash", "wordShingleSimHash")
+
+    // ---- IP ----
+    same("toIPv4", "IPv4StringToNum"); same("to_ipv4", "IPv4StringToNum")
+    add("toIPv6")(es => Ipv6StringToNum(es.head)); same("to_ipv6", "toIPv6")
+    add("IPv6NumToString")(es => Ipv6NumToString(es.head))
+    same("ipv6_num_to_string", "IPv6NumToString")
+    add("isIPv6String")(es => IsIpv6String(es.head))
+    same("is_ipv6_string", "isIPv6String")
+    aliasBoth("IPv4ToIPv6")(cs =>
+      concat(unhex(lit("00000000000000000000FFFF")),
+        unhex(lpad(hex(cs.head.cast("bigint")), 8, "0"))))
+    same("ipv4_to_ipv6", "IPv4ToIPv6")
+    aliasBoth("IPv4CIDRToRange") { cs =>
+      val ip = cs.head.cast("bigint")
+      val host = call_function("shiftleft", lit(1L), lit(32) - cs(1).cast("int")) - lit(1L)
+      val lo = ip.bitwiseAND(host.bitwiseXOR(lit(0xFFFFFFFFL)))
+      struct(lo.as("min"), (lo + host).as("max"))
+    }
+    same("ipv4_cidr_to_range", "IPv4CIDRToRange")
+
+    // ---- geo ----
+    aliasBoth("pointInEllipses") { cs =>
+      val x = cs.head; val y = cs(1)
+      val groups = cs.drop(2).grouped(4).filter(_.size == 4).toSeq
+      require(groups.nonEmpty, "pointInEllipses(x, y, x0, y0, a, b, ...)")
+      groups.map { g =>
+        val dx = (x - g(0)) / g(2); val dy = (y - g(1)) / g(3)
+        (dx * dx + dy * dy) <= 1.0
+      }.reduce(_ || _).cast("int")
+    }
+    same("point_in_ellipses", "pointInEllipses")
+
+    // ---- introspection / server ----
+    same("currentDatabase", "current_database"); same("database", "current_database")
+    same("currentUser", "current_user")
+    alias("hostName")(_ => lit(java.net.InetAddress.getLocalHost.getHostName))
+    same("host_name", "hostName"); same("hostname", "hostName")
+    alias("uptime")(_ => lit(
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime / 1000L))
+    same("uptime_func", "uptime")
+    alias("filesystemAvailable")(_ => lit(new java.io.File("/").getUsableSpace))
+    same("filesystem_available", "filesystemAvailable")
+    alias("filesystemCapacity")(_ => lit(new java.io.File("/").getTotalSpace))
+    same("filesystem_capacity", "filesystemCapacity")
+    same("version_func", "version")
+    alias("blockNumber")(_ => spark_partition_id().cast("bigint"))
+    same("block_number", "blockNumber")
+    alias("rowNumberInBlock")(_ => pmod(monotonically_increasing_id(), lit(1L << 33)))
+    same("row_number_in_block", "rowNumberInBlock")
+    // non-contiguous across partitions (documented divergence from CH)
+    alias("rowNumberInAllBlocks")(_ => monotonically_increasing_id())
+    same("row_number_in_all_blocks", "rowNumberInAllBlocks")
+    add("isConstant")(es => col2e(lit(if (es.head.foldable) 1 else 0)))
+    same("is_constant", "isConstant")
+    add("sleep")(es => SleepExpr(es.head)); same("sleep_func", "sleep")
+    add("formatReadableTimeDelta")(es => ReadableTimeDelta(es.head))
+    same("format_readable_time_delta", "formatReadableTimeDelta")
+    // formatRow('Format', cols…) — CSV/TSV/JSONEachRow row rendering
+    add("formatRowNoNewline") { es =>
+      val fmt = litStr(es.head, "formatRow format").toLowerCase
+      val cols = es.tail.map(e2col)
+      col2e(fmt match {
+        case "csv" => to_csv(struct(cols: _*))
+        case "tsv" | "tabseparated" => concat_ws("\t", cols.map(_.cast("string")): _*)
+        case "jsoneachrow" => to_json(struct(cols: _*))
+        case other => throw new IllegalArgumentException(s"formatRow: unsupported format $other")
+      })
+    }
+    same("format_row_no_newline", "formatRowNoNewline")
+    add("formatRow")(es =>
+      col2e(concat(e2col(buildCall("formatRowNoNewline", es)), lit("\n"))))
+    same("format_row", "formatRow")
+
+    // ---- toInterval* family → Spark interval constructors ----
+    alias("toIntervalSecond")(cs => call_function("make_dt_interval", lit(0), lit(0), lit(0), cs.head))
+    alias("toIntervalMinute")(cs => call_function("make_dt_interval", lit(0), lit(0), cs.head, lit(0)))
+    alias("toIntervalHour")(cs => call_function("make_dt_interval", lit(0), cs.head, lit(0), lit(0)))
+    alias("toIntervalDay")(cs => call_function("make_dt_interval", cs.head, lit(0), lit(0), lit(0)))
+    alias("toIntervalWeek")(cs => call_function("make_dt_interval", cs.head * lit(7), lit(0), lit(0), lit(0)))
+    alias("toIntervalMonth")(cs => call_function("make_interval", lit(0), cs.head))
+    alias("toIntervalQuarter")(cs => call_function("make_interval", lit(0), cs.head * lit(3)))
+    alias("toIntervalYear")(cs => call_function("make_interval", cs.head))
+    // sub-second intervals: micros precision (nanos truncate — documented)
+    alias("toIntervalMillisecond")(cs =>
+      call_function("make_dt_interval", lit(0), lit(0), lit(0), cs.head.cast("double") / lit(1000.0)))
+    alias("toIntervalMicrosecond")(cs =>
+      call_function("make_dt_interval", lit(0), lit(0), lit(0), cs.head.cast("double") / lit(1000000.0)))
+    alias("toIntervalNanosecond")(cs =>
+      call_function("make_dt_interval", lit(0), lit(0), lit(0), cs.head.cast("double") / lit(1e9)))
+    for (u <- Seq("second", "minute", "hour", "day", "week", "month", "quarter", "year",
+                  "millisecond", "microsecond", "nanosecond")) {
+      same(s"to_interval_$u", s"toInterval${u.capitalize}")
+    }
+
+    // ---- names whose snake form is not derivable from the camel form ----
+    same("as_date", "toDate"); same("as_datetime", "toDateTime")
+    same("cut_url_parameter", "cutURLParameter")
+    same("extract_url_parameters", "extractURLParameters")
+    same("extract_url_parameter_names", "extractURLParameterNames")
+    same("datetime_to_snowflake", "dateTimeToSnowflake")
+    same("snowflake_to_datetime", "snowflakeToDateTime")
+    same("simple_json_extract_raw", "simpleJSONExtractRaw")
+    same("simple_json_extract_string", "simpleJSONExtractString")
+    same("simple_json_extract_int", "simpleJSONExtractInt")
+    same("simple_json_extract_uint", "simpleJSONExtractUInt")
+    same("simple_json_extract_float", "simpleJSONExtractFloat")
+    same("simple_json_extract_bool", "simpleJSONExtractBool")
+    same("to_json_string", "toJSONString")
+    same("reinterpret_as_fixed_string", "reinterpretAsFixedString")
+    same("str", "toString")
+    same("get_raw", "JSONExtractRaw"); same("get_array", "JSONExtractArrayRaw")
+    same("keys", "JSONExtractKeys"); same("has_key", "JSONHas")
+    same("is_valid", "isValidJSON")
+    addBoth("extractAllGroups")(es => ExtractAllGroups(es.head, es(1)))
+    // toTime64: time-of-day rendering (Spark has no time type — documented)
+    aliasBoth("toTime64")(cs => date_format(cs.head, "HH:mm:ss.SSSSSS"))
+
+    // ---- arrayFill family: lambda spliced into an ArrayAggregate scan ----
+    // (same HigherOrderFunction-root device as arrayCount in GraftFunctions)
+    import org.apache.spark.sql.catalyst.expressions.{ArrayTransform, Concat => EConcat, CreateArray, ElementAt, If => EIf, Reverse => EReverse, Size => ESize, Slice => ESlice, EqualTo => EEq, GreaterThan => EGt}
+    def fillScan(lambda: Expression, arr: Expression, reversed: Boolean): Expression = {
+      val lf = lambda.asInstanceOf[LambdaFunction]
+      val acc = UnresolvedNamedLambdaVariable(Seq("__graft_facc"))
+      val fin = UnresolvedNamedLambdaVariable(Seq("__graft_ffin"))
+      val x = lf.arguments.head
+      // keep x where the predicate holds (or nothing kept yet), else repeat
+      // the last kept element — CH arrayFill forward-fill semantics
+      val keep = EConcat(Seq(acc, CreateArray(Seq(x))))
+      val repeatPrev = EConcat(Seq(acc, CreateArray(Seq(ElementAt(acc, Literal(-1))))))
+      val body = EIf(EOr(lf.function, EEq(ESize(acc), Literal(0))), keep, repeatPrev)
+      val input = if (reversed) EReverse(arr) else arr
+      val finish = if (reversed) EReverse(fin) else fin
+      ArrayAggregate(input, ESlice(arr, Literal(1), Literal(0)),
+        LambdaFunction(body, Seq(acc, x)), LambdaFunction(finish, Seq(fin)))
+    }
+    add("arrayFill")(es => fillScan(es.head, es(1), reversed = false))
+    same("array_fill", "arrayFill")
+    add("arrayReverseFill")(es => fillScan(es.head, es(1), reversed = true))
+    same("array_reverse_fill", "arrayReverseFill")
+    // arraySplit: new group starts at x where the predicate holds (CH splits
+    // on the left side of the element); reverse variant splits on the right
+    def splitScan(lambda: Expression, arr: Expression, reversed: Boolean): Expression = {
+      val lf = lambda.asInstanceOf[LambdaFunction]
+      val acc = UnresolvedNamedLambdaVariable(Seq("__graft_sacc"))
+      val fin = UnresolvedNamedLambdaVariable(Seq("__graft_sfin"))
+      val x = lf.arguments.head
+      val gs = UnresolvedExtractValue(acc, Literal("gs"))
+      val cur = UnresolvedExtractValue(acc, Literal("cur"))
+      def mk(g: Expression, c: Expression) =
+        org.apache.spark.sql.catalyst.expressions.CreateNamedStruct(
+          Seq(Literal("gs"), g, Literal("cur"), c))
+      val emptyGroups = ESlice(CreateArray(Seq(arr)), Literal(1), Literal(0))
+      val emptyCur = ESlice(arr, Literal(1), Literal(0))
+      val startNew = mk(EConcat(Seq(gs, CreateArray(Seq(cur)))), CreateArray(Seq(x)))
+      val extend = mk(gs, EConcat(Seq(cur, CreateArray(Seq(x)))))
+      val body = EIf(EAnd(lf.function, EGt(ESize(cur), Literal(0))), startNew, extend)
+      val finGs = UnresolvedExtractValue(fin, Literal("gs"))
+      val finCur = UnresolvedExtractValue(fin, Literal("cur"))
+      val closed = EIf(EEq(ESize(finCur), Literal(0)), finGs,
+        EConcat(Seq(finGs, CreateArray(Seq(finCur)))))
+      val finish =
+        if (reversed) EReverse(ArrayTransform(closed,
+          LambdaFunction(EReverse(UnresolvedNamedLambdaVariable(Seq("__graft_g"))),
+            Seq(UnresolvedNamedLambdaVariable(Seq("__graft_g"))))))
+        else closed
+      val input = if (reversed) EReverse(arr) else arr
+      ArrayAggregate(input, mk(emptyGroups, emptyCur),
+        LambdaFunction(body, Seq(acc, x)), LambdaFunction(finish, Seq(fin)))
+    }
+    add("arraySplit")(es => splitScan(es.head, es(1), reversed = false))
+    same("array_split", "arraySplit")
+    add("arrayReverseSplit")(es => splitScan(es.head, es(1), reversed = true))
+    same("array_reverse_split", "arrayReverseSplit")
+
+    buf.toSeq ++ caseVariants
+  }
+
+  private def buildCall(name: String, es: Seq[Expression]): Expression =
+    col2e(call_function(name, es.map(e2col): _*))
+
+  /** Tier 1: generated case-variant aliases — each left-hand name appears in
+    * the reference registry (name or alias) and differs from an existing
+    * function only by underscore/case convention. Generated offline from the
+    * audit diff; targets are the registry's canonical (lower-cased) names.
+    */
+  private lazy val caseVariants: Seq[(String, Seq[Expression] => Expression)] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Expression] => Expression)]
+    def same(name: String, target: String): Unit =
+      buf += (name -> ((es: Seq[Expression]) =>
+        col2e(call_function(target, es.map(e2col): _*))))
+    same("add_days", "adddays")
+    same("add_hours", "addhours")
+    same("add_minutes", "addminutes")
+    same("add_quarters", "addquarters")
+    same("add_seconds", "addseconds")
+    same("add_weeks", "addweeks")
+    same("add_years", "addyears")
+    same("alpha_tokens", "alphatokens")
+    same("any_heavy", "anyheavy")
+    same("any_last", "anylast")
+    same("arg_max", "argmax")
+    same("arg_min", "argmin")
+    same("array_all", "arrayall")
+    same("array_avg", "arrayavg")
+    same("array_concat", "arrayconcat")
+    same("array_count", "arraycount")
+    same("array_cum_sum", "arraycumsum")
+    same("array_cum_sum_non_negative", "arraycumsumnonnegative")
+    same("array_difference", "arraydifference")
+    same("array_element", "arrayelement")
+    same("array_enumerate", "arrayenumerate")
+    same("array_exists", "arrayexists")
+    same("array_filter", "arrayfilter")
+    same("array_first", "arrayfirst")
+    same("array_first_index", "arrayfirstindex")
+    same("array_flatten", "arrayflatten")
+    same("array_fold", "arrayfold")
+    same("array_last", "arraylast")
+    same("array_last_index", "arraylastindex")
+    same("array_map", "arraymap")
+    same("array_pop_back", "arraypopback")
+    same("array_pop_front", "arraypopfront")
+    same("array_product", "arrayproduct")
+    same("array_push_back", "arraypushback")
+    same("array_push_front", "arraypushfront")
+    same("array_reduce", "arrayreduce")
+    same("array_resize", "arrayresize")
+    same("array_reverse", "arrayreverse")
+    same("array_reverse_sort", "arrayreversesort")
+    same("array_slice", "arrayslice")
+    same("array_string_concat", "arraystringconcat")
+    same("array_sum", "arraysum")
+    same("array_uniq", "arrayuniq")
+    same("array_zip", "arrayzip")
+    same("assume_not_null", "assumenotnull")
+    same("avg_if", "avgif")
+    same("avg_weighted", "avgweighted")
+    same("base64_decode", "base64decode")
+    same("base64_encode", "base64encode")
+    same("bit_hamming_distance", "bithammingdistance")
+    same("bit_not", "bitnot")
+    same("bit_rotate_left", "bitrotateleft")
+    same("bit_rotate_right", "bitrotateright")
+    same("bit_shift_left", "bitshiftleft")
+    same("bit_shift_right", "bitshiftright")
+    same("bit_test", "bittest")
+    same("bitmap_and", "bitmapand")
+    same("bitmap_andnot", "bitmapandnot")
+    same("bitmap_build", "bitmapbuild")
+    same("bitmap_cardinality", "bitmapcardinality")
+    same("bitmap_contains", "bitmapcontains")
+    same("bitmap_has_all", "bitmaphasall")
+    same("bitmap_has_any", "bitmaphasany")
+    same("bitmap_or", "bitmapor")
+    same("bitmap_to_array", "bitmaptoarray")
+    same("bitmap_xor", "bitmapxor")
+    same("bounding_ratio", "boundingratio")
+    same("byte_size", "bytesize")
+    same("charLength", "char_length")
+    same("city_hash64", "cityhash64")
+    same("concat_with_separator", "concatwithseparator")
+    same("cosine_distance", "cosinedistance")
+    same("count_equal", "countequal")
+    same("cumeDist", "cume_dist")
+    same("currentDatabase", "current_database")
+    same("currentUser", "current_user")
+    same("dateTrunc", "date_trunc")
+    same("date_name", "datename")
+    same("day_name", "dayname")
+    same("day_of_month", "dayofmonth")
+    same("day_of_week", "dayofweek")
+    same("day_of_year", "dayofyear")
+    same("delta_sum_timestamp", "deltasumtimestamp")
+    same("denseRank", "dense_rank")
+    same("dot_product", "dotproduct")
+    same("ends_with", "endswith")
+    same("exponential_moving_average", "exponentialmovingaverage")
+    same("extract_all", "extractall")
+    same("extract_url_parameter", "extracturlparameter")
+    same("firstValue", "first_value")
+    same("format_datetime", "formatdatetime")
+    same("format_readable_quantity", "formatreadablequantity")
+    same("format_readable_size", "formatreadablesize")
+    same("from_unix_timestamp", "fromunixtimestamp")
+    same("generate_uuid_v4", "generateuuidv4")
+    same("geo_distance", "geodistance")
+    same("great_circle_distance", "greatcircledistance")
+    same("group_array", "grouparray")
+    same("group_array_insert_at", "grouparrayinsertat")
+    same("group_array_moving_avg", "grouparraymovingavg")
+    same("group_array_moving_sum", "grouparraymovingsum")
+    same("group_array_sample", "grouparraysample")
+    same("group_array_sorted", "grouparraysorted")
+    same("group_bit_and", "groupbitand")
+    same("group_bit_or", "groupbitor")
+    same("group_bit_xor", "groupbitxor")
+    same("group_bitmap", "groupbitmap")
+    same("group_concat", "groupconcat")
+    same("group_uniq_array", "groupuniqarray")
+    same("if_", "if")
+    same("if_null", "ifnull")
+    same("index_of", "indexof")
+    same("ipv4_num_to_string", "ipv4numtostring")
+    same("ipv4_string_to_num", "ipv4stringtonum")
+    same("isValidUTF8", "is_valid_utf8")
+    same("is_finite", "isfinite")
+    same("is_ipv4_string", "isipv4string")
+    same("is_nan", "isnan")
+    same("is_not_null", "isnotnull")
+    same("is_null", "isnull")
+    same("is_valid_json", "isvalidjson")
+    same("json_extract_array_raw", "jsonextractarrayraw")
+    same("json_extract_bool", "jsonextractbool")
+    same("json_extract_float", "jsonextractfloat")
+    same("json_extract_int", "jsonextractint")
+    same("json_extract_keys", "jsonextractkeys")
+    same("json_extract_raw", "jsonextractraw")
+    same("json_extract_string", "jsonextractstring")
+    same("json_has", "jsonhas")
+    same("json_length", "jsonlength")
+    same("kolmogorov_smirnov_test", "kolmogorovsmirnovtest")
+    same("l1_distance", "l1distance")
+    same("l1_norm", "l1norm")
+    same("l2_distance", "l2distance")
+    same("l2_norm", "l2norm")
+    same("l2_normalize", "l2normalize")
+    same("l2_squared_distance", "l2squareddistance")
+    same("lag_in_frame", "laginframe")
+    same("lastValue", "last_value")
+    same("lead_in_frame", "leadinframe")
+    same("left_pad", "leftpad")
+    same("linf_distance", "linfdistance")
+    same("linf_norm", "linfnorm")
+    same("lp_norm", "lpnorm")
+    same("makeDate", "make_date")
+    same("mann_whitney_u_test", "mannwhitneyutest")
+    same("mapConcat", "map_concat")
+    same("mapContainsKey", "map_contains_key")
+    same("mapFilter", "map_filter")
+    same("map_add", "mapadd")
+    same("map_subtract", "mapsubtract")
+    same("max_if", "maxif")
+    same("median_exact", "medianexact")
+    same("min_if", "minif")
+    same("month_name", "monthname")
+    same("multi_if", "multiif")
+    same("multi_search_all_positions", "multisearchallpositions")
+    same("multi_search_any", "multisearchany")
+    same("multi_search_first_position", "multisearchfirstposition")
+    same("ngram_distance", "ngramdistance")
+    same("ngram_search", "ngramsearch")
+    same("nthValue", "nth_value")
+    same("null_if", "nullif")
+    same("parse_datetime", "parsedatetime")
+    same("parse_datetime_best_effort", "parsedatetimebesteffort")
+    same("parse_datetime_best_effort_or_null", "parsedatetimebesteffortornull")
+    same("parse_datetime_or_null", "parsedatetimeornull")
+    same("path_full", "pathfull")
+    same("percentRank", "percent_rank")
+    same("point_in_polygon", "pointinpolygon")
+    same("position_case_insensitive", "positioncaseinsensitive")
+    same("position_utf8", "positionutf8")
+    same("quantile_bfloat16", "quantilebfloat16")
+    same("quantile_deterministic", "quantiledeterministic")
+    same("quantile_exact", "quantileexact")
+    same("quantile_exact_weighted", "quantileexactweighted")
+    same("quantile_tdigest", "quantiletdigest")
+    same("quantile_timing", "quantiletiming")
+    same("query_string", "querystring")
+    same("rand_bernoulli", "randbernoulli")
+    same("rand_exponential", "randexponential")
+    same("rand_normal", "randnormal")
+    same("rand_uniform", "randuniform")
+    same("regexpExtract", "regexp_extract")
+    same("right_pad", "rightpad")
+    same("round_bankers", "roundbankers")
+    same("round_down", "rounddown")
+    same("round_to_exp2", "roundtoexp2")
+    same("rowNumber", "row_number")
+    same("sequence_count", "sequencecount")
+    same("sequence_match", "sequencematch")
+    same("simple_json_extract_int", "simplejsonextractint")
+    same("simple_json_extract_string", "simplejsonextractstring")
+    same("simple_json_has", "simplejsonhas")
+    same("simple_linear_regression", "simplelinearregression")
+    same("simplelinear_regression", "simplelinearregression")
+    same("sip_hash64", "siphash64")
+    same("spark_bar", "sparkbar")
+    same("split_by_char", "splitbychar")
+    same("split_by_regexp", "splitbyregexp")
+    same("split_by_string", "splitbystring")
+    same("split_by_whitespace", "splitbywhitespace")
+    same("starts_with", "startswith")
+    same("student_t_test", "studentttest")
+    same("subtract_days", "subtractdays")
+    same("subtract_hours", "subtracthours")
+    same("subtract_minutes", "subtractminutes")
+    same("subtract_months", "subtractmonths")
+    same("subtract_seconds", "subtractseconds")
+    same("subtract_weeks", "subtractweeks")
+    same("subtract_years", "subtractyears")
+    same("sum_count", "sumcount")
+    same("sum_if", "sumif")
+    same("sum_kahan", "sumkahan")
+    same("toTime", "to_time")
+    same("to_date32", "todate32")
+    same("to_datetime", "todatetime")
+    same("to_datetime64", "todatetime64")
+    same("to_decimal128", "todecimal128")
+    same("to_decimal32", "todecimal32")
+    same("to_decimal64", "todecimal64")
+    same("to_fixed_string", "tofixedstring")
+    same("to_float32", "tofloat32")
+    same("to_float64", "tofloat64")
+    same("to_int16", "toint16")
+    same("to_int32", "toint32")
+    same("to_int64", "toint64")
+    same("to_int8", "toint8")
+    same("to_iso_year", "toisoyear")
+    same("to_last_day_of_month", "tolastdayofmonth")
+    same("to_monday", "tomonday")
+    same("to_start_of_day", "tostartofday")
+    same("to_start_of_fifteen_minutes", "tostartoffifteenminutes")
+    same("to_start_of_five_minutes", "tostartoffiveminutes")
+    same("to_start_of_hour", "tostartofhour")
+    same("to_start_of_interval", "tostartofinterval")
+    same("to_start_of_minute", "tostartofminute")
+    same("to_start_of_month", "tostartofmonth")
+    same("to_start_of_quarter", "tostartofquarter")
+    same("to_start_of_ten_minutes", "tostartoftenminutes")
+    same("to_start_of_week", "tostartofweek")
+    same("to_start_of_year", "tostartofyear")
+    same("to_string", "tostring")
+    same("to_timezone", "totimezone")
+    same("to_type_name", "totypename")
+    same("to_uint16", "touint16")
+    same("to_uint32", "touint32")
+    same("to_uint64", "touint64")
+    same("to_uint8", "touint8")
+    same("to_unix_timestamp64_micro", "tounixtimestamp64micro")
+    same("to_unix_timestamp64_milli", "tounixtimestamp64milli")
+    same("to_uuid", "touuid")
+    same("to_yyyymm", "toyyyymm")
+    same("to_yyyymmdd", "toyyyymmdd")
+    same("top_k", "topk")
+    same("top_k_weighted", "topkweighted")
+    same("top_level_domain", "topleveldomain")
+    same("tuple_element", "tupleelement")
+    same("uniq_combined", "uniqcombined")
+    same("uniq_combined64", "uniqcombined64")
+    same("uniq_exact", "uniqexact")
+    same("uniq_hll12", "uniqhll12")
+    same("uniq_theta", "uniqtheta")
+    same("uniq_up_to", "uniqupto")
+    same("utc_timestamp", "utctimestamp")
+    same("week_of_year", "weekofyear")
+    same("welch_t_test", "welchttest")
+    same("window_funnel", "windowfunnel")
+    same("age_func", "age")
+    same("array_join_func", "array_join")
+    same("ascii_func", "ascii")
+    same("bar_func", "bar")
+    same("bin_func", "bin")
+    same("cast_func", "cast")
+    same("ceil_func", "ceil")
+    same("char_func", "char")
+    same("coalesce_func", "coalesce")
+    same("concat_func", "concat")
+    same("corr_func", "corr")
+    same("dense_rank_func", "dense_rank")
+    same("floor_func", "floor")
+    same("hex_func", "hex")
+    same("if_func", "if")
+    same("ilike_func", "ilike")
+    same("lag_func", "lag")
+    same("lead_func", "lead")
+    same("like_func", "like")
+    same("map_func", "map")
+    same("match_func", "match")
+    same("median_func", "median")
+    same("nth_value_func", "nth_value")
+    same("ntile_func", "ntile")
+    same("quantile_func", "quantile")
+    same("quantiles_func", "quantiles")
+    same("rank_func", "rank")
+    same("round_func", "round")
+    same("row_number_func", "row_number")
+    same("transform_func", "transform")
+    same("tuple_func", "tuple")
+    same("unhex_func", "unhex")
+    same("version_func", "version")
+    buf.toSeq
+  }
+}

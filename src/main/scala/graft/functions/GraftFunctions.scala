@@ -443,10 +443,12 @@ object GraftFunctions {
     alias("JSONExtractFloat")(cs => call_function("get_json_object", cs.head, jsonPath(cs.tail)).cast("double"))
     alias("JSONExtractBool")(cs => call_function("get_json_object", cs.head, jsonPath(cs.tail)).cast("boolean"))
     alias("JSONHas")(cs => call_function("get_json_object", cs.head, jsonPath(cs.tail)).isNotNull)
-    alias("simpleJSONExtractString")(cs => call_function("get_json_object", cs.head, jsonPath(cs.tail)))
-    alias("simpleJSONExtractInt")(cs => call_function("get_json_object", cs.head, jsonPath(cs.tail)).cast("bigint"))
-    alias("simpleJSONHas")(cs => call_function("get_json_object", cs.head, jsonPath(cs.tail)).isNotNull)
-    alias("visitParamExtractString")(cs => call_function("get_json_object", cs.head, jsonPath(cs.tail)))
+    // simpleJSON*/visitParam* moved to DialectAliases (r7): CH's contract is
+    // a first-occurrence scan at ANY depth, which get_json_object('$.f')
+    // cannot express — the Jackson-backed JsonExtractBy implements it.
+    add("simpleJSONHas")(es => JsonExtractBy(es.head, es.tail, "has", false, true))
+    add("visitParamHas")(es => JsonExtractBy(es.head, es.tail, "has", false, true))
+    add("simple_json_has")(es => JsonExtractBy(es.head, es.tail, "has", false, true))
     alias("JSON_VALUE")(cs => call_function("get_json_object", cs.head, cs(1)))
     alias("isValidJSON")(cs => try_to_json_variant(cs.head))
     alias("JSONLength")(cs =>
@@ -459,7 +461,6 @@ object GraftFunctions {
         call_function("get_json_object", cs.head, jsonPath(cs.tail))))
     alias("JSONExtractArrayRaw")(cs => call_function("from_json",
       call_function("get_json_object", cs.head, jsonPath(cs.tail)), lit("array<string>")))
-    alias("visitParamHas")(cs => call_function("get_json_object", cs.head, jsonPath(cs.tail)).isNotNull)
 
     // ---- ARRAY (function_definitions.py:3114-3752) ----
     alias("has")(cs => array_contains_col(cs.head, cs(1)))
@@ -926,7 +927,17 @@ object GraftFunctions {
     add("fingerprint")(es => TextFingerprint(es.head, es.lift(1).getOrElse(col2e(lit(8)))))
     add("hammingDistance")(es => col2e(bit_count(e2col(es.head).bitwiseXOR(e2col(es(1))))))
 
-    buf.toSeq
+    // the registry tail (round 7): generated case variants + composed and
+    // custom implementations of the remaining reference names. Precedence:
+    // within the canonical list above, the LAST registration of a name wins
+    // (register() applies them in order — some entries deliberately refine
+    // earlier ones); tail entries only fill names not defined here.
+    val canonicalNames = buf.map(_._1.toLowerCase).toSet
+    val tail = DialectAliases.entries.filterNot { case (name, _) =>
+      canonicalNames.contains(name.toLowerCase)
+    }
+    val seenTail = scala.collection.mutable.HashSet.empty[String]
+    buf.toSeq ++ tail.filter { case (name, _) => seenTail.add(name.toLowerCase) }
   }
 
   /** Idempotent per-session registration of the whole dialect. */
@@ -942,7 +953,7 @@ object GraftFunctions {
   // -- helpers over dynamic (non-literal-arg) built-ins -------------------
 
   /** Character n-grams via the same zip-of-slices shape as [[shingles]]. */
-  private def charNgrams(s: Column, n: Int): Column = {
+  private[functions] def charNgrams(s: Column, n: Int): Column = {
     val chars = filter(split(s, ""), c => length(c) > 0)
     val m = greatest(size(chars) - lit(n - 1), lit(0))
     val parts = (0 until n).map(i => slice(chars, lit(i + 1), m).as(s"c$i"))

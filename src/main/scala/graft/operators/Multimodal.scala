@@ -10,13 +10,15 @@ import org.apache.spark.sql.types._
   * batch transforms.
   *
   * The IMAGE kernel is real (javax.imageio, in the JDK: jpeg/png/gif/bmp →
-  * true dimensions, mean RGB, 8×8 average-hash); undecodable payloads fall
-  * back to a deterministic hash-derived stand-in, and audio/video kernels
-  * remain stubs (no codecs in the JDK — disclosed). Everything Spark-side is
-  * real and load-bearing at scale: the schema contract, the mapPartitions
-  * batch loop (decoder state is per-partition, amortized like an Arrow-batch
-  * UDF), partition sizing by byte volume rather than row count, and the
-  * frame-sampling explode.
+  * true dimensions, mean RGB, 8×8 average-hash) and so is the AUDIO kernel
+  * (javax.sound.sampled, in the JDK: WAV/AIFF/AU PCM → sample rate,
+  * channels, duration, RMS, zero-crossing rate, peak — r7). Undecodable
+  * payloads fall back to a deterministic hash-derived stand-in; the VIDEO
+  * kernel remains a stub (no container demuxers in the JDK — disclosed).
+  * Everything Spark-side is real and load-bearing at scale: the schema
+  * contract, the mapPartitions batch loop (decoder state is per-partition,
+  * amortized like an Arrow-batch UDF), partition sizing by byte volume
+  * rather than row count, and the frame-sampling explode.
   */
 object Multimodal {
 
@@ -139,6 +141,150 @@ object Multimodal {
     Some(Row(w, h,
       Array((sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat, (sb / n / 255.0).toFloat),
       hash))
+  }
+
+  val audioFeatureType: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("rms", DoubleType),                 // normalized [-1,1] RMS
+    StructField("zero_crossing_rate", DoubleType),  // crossings / sample
+    StructField("peak", DoubleType)))               // max |sample|, normalized
+
+  /** Decode audio and extract features, batched per partition.
+    *
+    * The audio kernel is REAL for every format the JDK's
+    * javax.sound.sampled stack decodes (WAV/AIFF/AU containers, PCM 8/16/
+    * 24/32-bit signed/unsigned, both endiannesses): true sample rate,
+    * channel count, duration, RMS level, zero-crossing rate and peak —
+    * streamed, so a long clip never materializes as a sample array.
+    * Payloads the JDK cannot decode (mp3/ogg/aac need codecs that are not
+    * in-container) fall back to a deterministic hash-derived stand-in,
+    * disclosed by `sample_rate = 0`. Batch shape identical to the image
+    * kernel: one decoder context per partition, rows in groups of
+    * `batchSize`.
+    */
+  def decodeAudioFeatures(
+      df: DataFrame,
+      contentCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("audio_features", audioFeatureType))
+    val idx = df.schema.fieldIndex(contentCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val bytes = row.getAs[Array[Byte]](idx)
+          val f =
+            if (bytes == null) null
+            else decodeAudioReal(bytes).getOrElse {
+              val h = bytesHash(bytes)
+              Row(0, 0, bytes.length.toLong / 16L, // stand-in, disclosed by rate=0
+                chan(h, 0).toDouble, chan(h, 1).toDouble, chan(h, 2).toDouble)
+            }
+          Row.fromSeq(row.toSeq :+ f)
+        }
+      }
+    }(enc)
+  }
+
+  /** Real kernel: javax.sound.sampled decode → level + rate features.
+    * Samples are normalized to [-1, 1]; multi-channel audio is analyzed on
+    * the per-frame channel mean (mono mixdown), the standard choice for
+    * level/ZCR features.
+    */
+  private[graft] def decodeAudioReal(bytes: Array[Byte]): Option[Row] = {
+    var in: javax.sound.sampled.AudioInputStream = null
+    try {
+      in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      val enc = fmt.getEncoding
+      val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+      if (!signed && !unsigned) return None
+      val bits = fmt.getSampleSizeInBits
+      if (bits % 8 != 0 || bits > 32 || bits <= 0) return None
+      val channels = fmt.getChannels
+      val bytesPerSample = bits / 8
+      val frameBytes = bytesPerSample * channels
+      val big = fmt.isBigEndian
+      val full = (1L << (bits - 1)).toDouble
+      val buf = new Array[Byte](frameBytes * 1024)
+      var sumSq = 0.0
+      var peak = 0.0
+      var crossings = 0L
+      var frames = 0L
+      var prev = 0.0
+      var prevSet = false
+      var read = in.read(buf)
+      while (read > 0) {
+        var off = 0
+        while (off + frameBytes <= read) {
+          var ch = 0
+          var mix = 0.0
+          while (ch < channels) {
+            val base = off + ch * bytesPerSample
+            var raw = 0L
+            var i = 0
+            while (i < bytesPerSample) {
+              val b = buf(base + (if (big) i else bytesPerSample - 1 - i)) & 0xFFL
+              raw = (raw << 8) | b
+              i += 1
+            }
+            val v =
+              if (unsigned) (raw - full) / full
+              else { // sign-extend
+                val shift = 64 - bits
+                ((raw << shift) >> shift) / full
+              }
+            mix += v
+            ch += 1
+          }
+          mix /= channels
+          sumSq += mix * mix
+          val a = math.abs(mix)
+          if (a > peak) peak = a
+          if (prevSet && ((prev < 0 && mix >= 0) || (prev >= 0 && mix < 0))) crossings += 1
+          prev = mix; prevSet = true
+          frames += 1
+          off += frameBytes
+        }
+        read = in.read(buf)
+      }
+      if (frames == 0) return None
+      val durationMs = math.round(frames * 1000.0 / fmt.getFrameRate)
+      Some(Row(fmt.getSampleRate.toInt, channels, durationMs,
+        math.sqrt(sumSq / frames), crossings.toDouble / frames, peak))
+    } catch {
+      case _: Throwable => None
+    } finally {
+      if (in != null) try in.close() catch { case _: Throwable => () }
+    }
+  }
+
+  /** Deterministic 16-bit PCM mono WAV synth (dev/test fixture — a sine at
+    * `freqHz` for `ms` milliseconds). Lets specs and the sf-scale queries
+    * drive the REAL decode path without binary fixtures in the repo.
+    */
+  def sineWav(freqHz: Double, ms: Int, sampleRate: Int = 8000,
+      amplitude: Double = 0.5): Array[Byte] = {
+    val n = sampleRate * ms / 1000
+    val samples = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = (amplitude * math.sin(2.0 * math.Pi * freqHz * i / sampleRate) * 32767.0).toInt
+      samples(i * 2) = (v & 0xFF).toByte
+      samples(i * 2 + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
   }
 
   /** Metadata-level resize: a real kernel would re-encode pixels; the stub

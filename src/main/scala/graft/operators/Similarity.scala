@@ -37,9 +37,14 @@ object Similarity {
       df: DataFrame, vecCol: String, idCol: String, bits: Int, dims: Int = -1): DataFrame = {
     val e = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     val expl = e.select(col("id"), posexplode(col("v")).as(Seq("d", "x")))
+    // Hyperplane weights are sin(p·78.233 + d·12.9898) — the classic
+    // shader-hash constants: zero-mean, decorrelated across (plane, dim),
+    // and PORTABLE (any engine with sin() reproduces the exact buckets,
+    // which is what lets the q67 DuckDB oracle re-derive the LSH index —
+    // r6 verdict #4). Codegen-native like the previous xxhash weights.
     def planeSum(p: Int): Column =
       sum(col("x").cast("double") *
-        (xxhash64(lit(p), col("d"), lit(42)).cast("double") / lit(Long.MaxValue.toDouble)))
+        sin(lit(p * 78.233) + col("d").cast("double") * lit(12.9898)))
         .as(s"__plane$p")
     val sums = expl.groupBy("id")
       .agg(planeSum(0), (1 until bits).map(planeSum): _*)

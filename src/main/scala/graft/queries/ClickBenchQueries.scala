@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+
+import graft.Tables
+
+/** ClickBench-shape suite (r6 verdict #7): the reference ships the 43-query
+  * ClickBench analytics set (reference: benchmark/clickbench.py:14-58) as its
+  * wide-scan benchmark. The hits table is not in the test fixtures, so each
+  * characteristic SHAPE is mirrored over the events/documents tables at the
+  * same plan structure — count/filter scans, multi-aggregate scans,
+  * count-distinct rollups, group/order/limit top-n, LIKE scans, minute
+  * rollups with offset pagination, domain-extraction grouping with HAVING,
+  * long sum chains, and expression-key grouping. All oracle-gated; sums of
+  * doubles go through exact DECIMAL(18,6) so both engines add identical
+  * values (the Q.money device), and every ORDER BY carries a full
+  * deterministic tie-break.
+  */
+object ClickBenchQueries {
+
+  private def v(s: SparkSession, dir: String, names: String*): Unit =
+    names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // CB Q0/Q1: bare and filtered COUNT(*) scans
+    QueryDef("cb01_count_scan", (s, dir) => {
+      v(s, dir, "events")
+      s.sql("""SELECT COUNT(*) AS n,
+          COUNT(CASE WHEN event_type <> 'view' THEN 1 END) AS n_nonview
+        FROM events""")
+    }, Some("""SELECT COUNT(*) AS n,
+        COUNT(CASE WHEN event_type <> 'view' THEN 1 END) AS n_nonview
+      FROM events"""),
+      bench = true),
+
+    // CB Q2: multi-aggregate single scan (SUM + COUNT + AVG)
+    QueryDef("cb02_multi_agg_scan", (s, dir) => {
+      v(s, dir, "events")
+      s.sql("""SELECT CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+          COUNT(*) AS n,
+          ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value), 6) AS avg_v
+        FROM events""")
+    }, Some("""SELECT CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+        COUNT(*) AS n,
+        ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value), 6) AS avg_v
+      FROM events"""),
+      bench = true),
+
+    // CB Q4/Q5: COUNT(DISTINCT) scans
+    QueryDef("cb03_count_distinct_scan", (s, dir) => {
+      v(s, dir, "events")
+      s.sql("""SELECT COUNT(DISTINCT user_id) AS users,
+          COUNT(DISTINCT event_type) AS types FROM events""")
+    }, Some("""SELECT COUNT(DISTINCT user_id) AS users,
+        COUNT(DISTINCT event_type) AS types FROM events""")),
+
+    // CB Q6: MIN/MAX over the time column
+    QueryDef("cb04_minmax_time", (s, dir) => {
+      v(s, dir, "events")
+      s.sql("SELECT MIN(ts) AS lo, MAX(ts) AS hi FROM events")
+    }, Some("SELECT MIN(ts) AS lo, MAX(ts) AS hi FROM events")),
+
+    // CB Q8/Q9: group by key, multi-agg, ORDER BY count DESC LIMIT 10
+    QueryDef("cb05_group_topn", (s, dir) => {
+      v(s, dir, "events")
+      s.sql("""SELECT user_id, COUNT(*) AS c,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+          COUNT(DISTINCT event_type) AS types
+        FROM events GROUP BY user_id
+        ORDER BY c DESC, user_id LIMIT 10""")
+    }, Some("""SELECT user_id, COUNT(*) AS c,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+        COUNT(DISTINCT event_type) AS types
+      FROM events GROUP BY user_id
+      ORDER BY c DESC, user_id LIMIT 10"""),
+      bench = true),
+
+    // CB Q11/Q14: two-key group + COUNT(DISTINCT) top-n
+    QueryDef("cb06_group2_distinct_topn", (s, dir) => {
+      v(s, dir, "events")
+      s.sql("""SELECT event_type, user_id % 10 AS shard,
+          COUNT(DISTINCT user_id) AS u
+        FROM events WHERE event_type <> ''
+        GROUP BY event_type, user_id % 10
+        ORDER BY u DESC, event_type, shard LIMIT 10""")
+    }, Some("""SELECT event_type, user_id % 10 AS shard,
+        COUNT(DISTINCT user_id) AS u
+      FROM events WHERE event_type <> ''
+      GROUP BY event_type, user_id % 10
+      ORDER BY u DESC, event_type, shard LIMIT 10""")),
+
+    // CB Q18: expression key (minute) in the grouping
+    QueryDef("cb07_minute_group", (s, dir) => {
+      v(s, dir, "events")
+      s.sql("""SELECT user_id % 100 AS u, minute(ts) AS m, COUNT(*) AS c
+        FROM events GROUP BY user_id % 100, minute(ts)
+        ORDER BY c DESC, u, m LIMIT 10""")
+    }, Some("""SELECT user_id % 100 AS u, CAST(minute(ts) AS INT) AS m, COUNT(*) AS c
+      FROM events GROUP BY u, m
+      ORDER BY c DESC, u, m LIMIT 10""")),
+
+    // CB Q20-22: LIKE scan + grouped MIN/count over the matching slice
+    QueryDef("cb08_like_scan", (s, dir) => {
+      v(s, dir, "documents")
+      s.sql("""SELECT lang, MIN(source) AS first_src, COUNT(*) AS c
+        FROM documents WHERE text LIKE '%data%' AND lang <> ''
+        GROUP BY lang ORDER BY c DESC, lang LIMIT 10""")
+    }, Some("""SELECT lang, MIN(source) AS first_src, COUNT(*) AS c
+      FROM documents WHERE text LIKE '%data%' AND lang <> ''
+      GROUP BY lang ORDER BY c DESC, lang LIMIT 10"""),
+      bench = true),
+
+    // CB Q23-26: filter + multi-column ORDER BY + LIMIT over the scan
+    QueryDef("cb09_order_limit_scan", (s, dir) => {
+      v(s, dir, "documents")
+      s.sql("""SELECT doc_id, source, n_chars
+        FROM documents WHERE lang <> 'en'
+        ORDER BY n_chars DESC, doc_id LIMIT 10""")
+    }, Some("""SELECT doc_id, source, n_chars
+      FROM documents WHERE lang <> 'en'
+      ORDER BY n_chars DESC, doc_id LIMIT 10""")),
+
+    // CB Q28: domain extraction via regexp + AVG(length) + HAVING + top-n
+    // (group-ref syntax differs: $2 in Spark, \2 in DuckDB)
+    QueryDef("cb10_domain_extract", (s, dir) => {
+      v(s, dir, "documents")
+      s.sql("""WITH u AS (
+          SELECT concat('https://www.', source, '.example.com/p/',
+                        CAST(doc_id AS STRING)) AS url
+          FROM documents)
+        SELECT regexp_replace(url, '^https?://(www\\.)?([^/]+)/.*$', '$2') AS k,
+          ROUND(AVG(length(url)), 6) AS l, COUNT(*) AS c, MIN(url) AS first_url
+        FROM u WHERE url <> ''
+        GROUP BY regexp_replace(url, '^https?://(www\\.)?([^/]+)/.*$', '$2')
+        HAVING COUNT(*) > 3 ORDER BY l DESC, k LIMIT 25""")
+    }, Some("""WITH u AS (
+        SELECT concat('https://www.', source, '.example.com/p/',
+                      CAST(doc_id AS VARCHAR)) AS url
+        FROM documents)
+      SELECT regexp_replace(url, '^https?://(www\.)?([^/]+)/.*$', '\2') AS k,
+        ROUND(AVG(length(url)), 6) AS l, COUNT(*) AS c, MIN(url) AS first_url
+      FROM u WHERE url <> ''
+      GROUP BY k HAVING COUNT(*) > 3 ORDER BY l DESC, k LIMIT 25"""),
+      bench = true),
+
+    // CB Q29: long independent-sum chain over one scan (10-term analogue)
+    QueryDef("cb11_sum_chain", (s, dir) => {
+      v(s, dir, "events")
+      val terms = (0 until 10).map(k =>
+        s"CAST(SUM(CAST(value + $k AS DECIMAL(18,6))) AS DOUBLE) AS s$k").mkString(", ")
+      s.sql(s"SELECT $terms FROM events")
+    }, Some((0 until 10).map(k =>
+        s"CAST(SUM(CAST(value + $k AS DECIMAL(18,6))) AS DOUBLE) AS s$k")
+      .mkString("SELECT ", ", ", " FROM events"))),
+
+    // CB Q36-42: filtered page-view rollup, minute date_trunc, offset paging
+    QueryDef("cb12_minute_rollup_paged", (s, dir) => {
+      v(s, dir, "events")
+      s.sql("""SELECT date_trunc('minute', ts) AS m, COUNT(*) AS page_views
+        FROM events
+        WHERE ts >= timestamp'2024-01-05 00:00:00'
+          AND ts < timestamp'2024-01-12 00:00:00'
+          AND event_type IN ('view', 'click')
+        GROUP BY date_trunc('minute', ts)
+        ORDER BY m LIMIT 10 OFFSET 100""")
+    }, Some("""SELECT date_trunc('minute', ts) AS m, COUNT(*) AS page_views
+      FROM events
+      WHERE ts >= timestamp'2024-01-05 00:00:00'
+        AND ts < timestamp'2024-01-12 00:00:00'
+        AND event_type IN ('view', 'click')
+      GROUP BY m ORDER BY m LIMIT 10 OFFSET 100"""),
+      bench = true)
+  )
+}

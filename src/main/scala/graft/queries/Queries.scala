@@ -902,7 +902,34 @@ object Queries {
       Similarity.annTopK(emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id", 5, bits = 8)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("query_id", "rn")
-    }, None),
+    }, Some("""WITH dot AS (
+        SELECT e.vec_id, j.p,
+          list_sum(list_transform(range(1, 65),
+            i -> CAST(e.embedding[i] AS DOUBLE) * sin(j.p * 78.233 + (i - 1) * 12.9898))) AS d
+        FROM embeddings e CROSS JOIN (SELECT unnest(range(0, 8)) AS p) j
+      ), bkt AS (
+        SELECT vec_id,
+          SUM(CASE WHEN d >= 0 THEN CAST(POW(2, p) AS BIGINT) ELSE 0 END) AS bucket
+        FROM dot GROUP BY vec_id
+      ), q AS (
+        SELECT b.vec_id AS query_id, b.bucket, e.embedding AS qv
+        FROM bkt b JOIN embeddings e ON b.vec_id = e.vec_id WHERE b.vec_id < 10
+      ), c AS (
+        SELECT b.vec_id AS neighbor_id, b.bucket, e.embedding AS cv
+        FROM bkt b JOIN embeddings e ON b.vec_id = e.vec_id
+      ), sc AS (
+        SELECT q.query_id, c.neighbor_id,
+          list_sum(list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))) AS cos
+        FROM q JOIN c ON q.bucket = c.bucket AND q.query_id <> c.neighbor_id
+      ), r AS (
+        SELECT query_id, neighbor_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+        FROM sc WHERE cos IS NOT NULL
+      )
+      SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id, ROUND(cos, 6) AS cos
+      FROM r WHERE rn <= 5 ORDER BY query_id, rn""")),
 
     QueryDef("q68_cosine_pairs", (s, dir) => {
       val e = Q.t(s, dir, "embeddings")
@@ -1220,17 +1247,34 @@ object Queries {
     // ===== multimodal + streaming-shape operators (brief extensions) =====
 
     QueryDef("q90_multimodal_decode", (s, dir) => {
-      // documents' text bytes stand in for image payloads: the decode kernel
-      // is a deterministic stub (no codecs in-container), the batch/schema
-      // plumbing is the operator under test
+      // image leg: documents' text bytes stand in for image payloads (the
+      // deterministic fallback path); audio leg: per-doc synthesized WAV
+      // driven through the REAL javax.sound.sampled decode (r7)
       val media = graft.operators.Multimodal.withMedia(
         Q.t(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("content")),
         "content", "image", "jpeg", width = 640, height = 480)
-      graft.operators.Multimodal.decodeImageFeatures(media, "content", batchSize = 64)
+      val image = graft.operators.Multimodal.decodeImageFeatures(media, "content", batchSize = 64)
         .select(col("doc_id"), col("media_meta.size_bytes").as("size_bytes"),
           col("image_features.phash").as("phash"),
           round(element_at(col("image_features.mean_rgb"), 1), 6).as("mean_r"))
-        .orderBy("doc_id")
+      val ids = Q.t(s, dir, "documents").select(col("doc_id"))
+      val wavSchema = org.apache.spark.sql.types.StructType(ids.schema.fields :+
+        org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType))
+      val wavEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(wavSchema)
+      val wavs = ids.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          org.apache.spark.sql.Row(id, graft.operators.Multimodal.sineWav(
+            200.0 + (id % 20) * 40.0, 40 + (id % 5).toInt * 10))
+        }
+      }(wavEnc)
+      val audio = graft.operators.Multimodal.decodeAudioFeatures(wavs, "content", batchSize = 64)
+        .select(col("doc_id"),
+          col("audio_features.sample_rate").as("sample_rate"),
+          col("audio_features.duration_ms").as("audio_ms"),
+          round(col("audio_features.rms"), 6).as("rms"),
+          round(col("audio_features.zero_crossing_rate"), 6).as("zcr"))
+      image.join(audio, "doc_id").orderBy("doc_id")
     }, None),
 
     QueryDef("q91_stream_window_batch", (s, dir) =>
@@ -1455,14 +1499,24 @@ object Queries {
 
     QueryDef("q97_histogram_adaptive", (s, dir) => {
       v(s, dir, "orders")
-      // adaptive-bin histogram sketch (custom agg); rows-only — bin edges are
-      // sketch-dependent, the invariant checks live in FunctionsSpec
-      s.sql("""SELECT o_orderpriority, b.lower AS lo, b.upper AS hi, b.height AS n
+      // adaptive-bin histogram sketch (custom agg). Bin EDGES are sketch-
+      // dependent, but the sketch's conservation laws are exact, so the
+      // query emits the DuckDB-checkable invariants (r6 verdict #4): bin
+      // count <= cap, sum(height) = group count, first lower = exact MIN,
+      // last upper = exact MAX, and lower <= upper in every bin
+      s.sql("""SELECT o_orderpriority,
+          CAST(CASE WHEN size(h) <= 5 THEN 1 ELSE 0 END AS INT) AS bins_ok,
+          CAST(ROUND(aggregate(h, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.height)) AS BIGINT) AS total_n,
+          ROUND(array_min(transform(h, x -> x.lower)), 2) AS min_lo,
+          ROUND(array_max(transform(h, x -> x.upper)), 2) AS max_hi,
+          CAST(CASE WHEN size(filter(h, x -> x.lower > x.upper)) = 0 THEN 1 ELSE 0 END AS INT) AS bounds_ok
         FROM (SELECT o_orderpriority, histogram(5, o_totalprice) AS h
               FROM orders GROUP BY o_orderpriority)
-        LATERAL VIEW inline(h) b
-        ORDER BY o_orderpriority, lo""")
-    }, None),
+        ORDER BY o_orderpriority""")
+    }, Some("""SELECT o_orderpriority, CAST(1 AS INT) AS bins_ok, COUNT(*) AS total_n,
+        ROUND(MIN(o_totalprice), 2) AS min_lo, ROUND(MAX(o_totalprice), 2) AS max_hi,
+        CAST(1 AS INT) AS bounds_ok
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
     QueryDef("q95_delta_sum", (s, dir) => {
       v(s, dir, "events")
@@ -1574,7 +1628,7 @@ object Queries {
       FROM s JOIN m ON s.user_id = m.user_id AND s.sid = m.msid
       GROUP BY s.user_id ORDER BY s.user_id"""),
       bench = true)
-  ) ++ TpchQueries.all
+  ) ++ TpchQueries.all ++ ClickBenchQueries.all
 
   val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -219,3 +219,52 @@ class SlidingWindowSpec extends SparkTestBase {
     } finally q.stop()
   }
 }
+
+/** Real audio kernel (r7): JDK javax.sound.sampled decode → rate, duration,
+  * RMS, zero-crossing rate. Fixtures are synthesized WAVs (sineWav), so the
+  * spec drives the true decode path with analytically known answers.
+  */
+class AudioKernelSpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.operators.Multimodal
+
+  test("decodes WAV: duration, RMS and ZCR match the synthesized sine") {
+    // 440 Hz, 500 ms, sr 8000, amplitude 0.5
+    val wav = Multimodal.sineWav(440.0, 500, sampleRate = 8000, amplitude = 0.5)
+    val df = Seq((1L, wav)).toDF("id", "content")
+    val f = Multimodal.decodeAudioFeatures(df, "content")
+      .select("audio_features.*").head()
+    assert(f.getAs[Int]("sample_rate") == 8000)
+    assert(f.getAs[Int]("channels") == 1)
+    assert(math.abs(f.getAs[Long]("duration_ms") - 500L) <= 1L)
+    // sine RMS = A/sqrt(2); quantization keeps it within ~1%
+    assert(math.abs(f.getAs[Double]("rms") - 0.5 / math.sqrt(2.0)) < 0.005)
+    // sine crosses zero 2f times per second -> 2*440/8000 per sample
+    assert(math.abs(f.getAs[Double]("zero_crossing_rate") - 2.0 * 440.0 / 8000.0) < 0.005)
+    assert(math.abs(f.getAs[Double]("peak") - 0.5) < 0.01)
+  }
+
+  test("louder and higher-pitched signals order correctly; silence is zero") {
+    val quiet = Multimodal.sineWav(200.0, 200, amplitude = 0.1)
+    val loud = Multimodal.sineWav(200.0, 200, amplitude = 0.9)
+    val high = Multimodal.sineWav(1600.0, 200, amplitude = 0.5)
+    val silence = Multimodal.sineWav(200.0, 200, amplitude = 0.0)
+    val df = Seq((1L, quiet), (2L, loud), (3L, high), (4L, silence)).toDF("id", "content")
+    val out = Multimodal.decodeAudioFeatures(df, "content")
+      .select($"id", $"audio_features.rms", $"audio_features.zero_crossing_rate")
+      .orderBy("id").collect()
+    assert(out(1).getDouble(1) > out(0).getDouble(1) * 5) // loud >> quiet
+    assert(out(2).getDouble(2) > out(0).getDouble(2) * 5) // high pitch >> low ZCR
+    assert(out(3).getDouble(1) == 0.0)                    // silence: zero RMS
+  }
+
+  test("undecodable payloads fall back, disclosed by sample_rate = 0") {
+    val df = Seq((1L, Array[Byte](1, 2, 3, 4))).toDF("id", "content")
+    val f = Multimodal.decodeAudioFeatures(df, "content")
+      .select("audio_features.*").head()
+    assert(f.getAs[Int]("sample_rate") == 0)
+    val again = Multimodal.decodeAudioFeatures(df, "content")
+      .select("audio_features.*").head()
+    assert(f == again) // deterministic stand-in
+  }
+}
