@@ -697,12 +697,31 @@ object DialectAliases {
     same("correlation", "corr"); same("var", "var_samp")
     same("corrStable", "corr")
     same("covarPopStable", "covar_pop"); same("covarSampStable", "covar_samp")
-    // CH samp/pop skew & kurtosis map onto Spark's moment aggregates
-    // (denominator conventions differ slightly; documented)
-    same("skew", "skewness"); same("skewSamp", "skewness"); same("skewPop", "skewness")
-    same("skew_samp", "skewness"); same("skew_pop", "skewness")
-    same("kurt", "kurtosis"); same("kurtSamp", "kurtosis"); same("kurtPop", "kurtosis")
-    same("kurt_samp", "kurtosis"); same("kurt_pop", "kurtosis")
+    // CH moment aggregates, EXACT (from the published definitions):
+    //   Spark skewness = m3/m2^1.5  == CH skewPop verbatim;
+    //   Spark kurtosis = m4/m2^2 - 3 (excess) -> CH kurtPop = kurtosis + 3;
+    //   samp variants divide by the SAMPLE variance: multiply the pop value
+    //   by ((n-1)/n)^1.5 resp. ((n-1)/n)^2.
+    same("skewPop", "skewness"); same("skew_pop", "skewness")
+    alias("kurtPop")(cs => kurtosis(cs.head) + lit(3.0))
+    same("kurt_pop", "kurtPop")
+    alias("skewSamp")(cs =>
+      skewness(cs.head) * pow((count(cs.head) - lit(1)).cast("double") / count(cs.head), 1.5))
+    same("skew_samp", "skewSamp")
+    alias("kurtSamp")(cs =>
+      (kurtosis(cs.head) + lit(3.0)) *
+        pow((count(cs.head) - lit(1)).cast("double") / count(cs.head), 2.0))
+    same("kurt_samp", "kurtSamp")
+    // pandas skew/kurt are the bias-corrected G1/G2 statistics
+    alias("skew") { cs =>
+      val n = count(cs.head).cast("double")
+      skewness(cs.head) * sqrt(n * (n - 1)) / (n - 2)
+    }
+    alias("kurt") { cs =>
+      // G2 = ((n+1)·g2 + 6) · (n-1)/((n-2)(n-3)) with g2 = excess kurtosis
+      val n = count(cs.head).cast("double")
+      ((n + 1) * kurtosis(cs.head) + lit(6.0)) * (n - 1) / ((n - 2) * (n - 3))
+    }
     same("count_distinct", "uniq"); same("nunique", "uniq"); same("distinct_count", "uniq")
     same("count_distinct_exact", "uniqExact")
     same("idxmax", "argMax"); same("idxmin", "argMin")

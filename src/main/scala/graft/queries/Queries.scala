@@ -1497,6 +1497,60 @@ object Queries {
       SELECT node AS id, LEAST(node, MIN(reach)) AS cluster FROM r
       GROUP BY node ORDER BY id""")),
 
+    QueryDef("q106_simhash_portable", (s, dir) => {
+      v(s, dir, "documents")
+      // simhash with md5-portable token hashes (the custom Mix64 form is
+      // q64; this variant's 60-bit per-token hashes reproduce in DuckDB,
+      // closing simhash's oracle gap the way q104 did for winnowing):
+      // lowercase token MULTISET (occurrences weight the bit votes — the
+      // classic Charikar form; distinct-set voting measured ~40x less
+      // selective on shared-vocabulary corpora) → md5[0:15] token hash →
+      // near-dup pairs at Hamming distance ≤ 4
+      s.sql("""WITH th AS (
+          SELECT doc_id,
+            CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT) AS h
+          FROM (SELECT doc_id,
+                  explode(filter(split(lower(text), '[^a-z0-9]+'),
+                                 t -> length(t) > 0)) AS tok
+                FROM documents)
+        ), bits AS (
+          SELECT doc_id, b,
+            SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS w
+          FROM th LATERAL VIEW explode(sequence(0, 59)) AS b
+          GROUP BY doc_id, b
+        ), sh AS (
+          SELECT doc_id,
+            SUM(CASE WHEN w > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0 END) AS s
+          FROM bits GROUP BY doc_id
+        )
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(bit_count(a.s ^ b.s) AS INT) AS dist
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(a.s ^ b.s) <= 4
+        ORDER BY a_id, b_id""")
+    }, Some("""WITH th AS (
+        SELECT doc_id,
+          CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        FROM (SELECT doc_id, UNNEST(list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                t -> t <> '')) AS tok
+              FROM documents)
+      ), bits AS (
+        SELECT doc_id, b,
+          SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS w
+        FROM th CROSS JOIN (SELECT UNNEST(range(0, 60)) AS b) bb
+        GROUP BY doc_id, b
+      ), sh AS (
+        SELECT doc_id,
+          SUM(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS s
+      FROM bits GROUP BY doc_id
+      )
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        CAST(bit_count(xor(a.s, b.s)) AS INT) AS dist
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.s, b.s)) <= 4
+      ORDER BY a_id, b_id""")),
+
     QueryDef("q97_histogram_adaptive", (s, dir) => {
       v(s, dir, "orders")
       // adaptive-bin histogram sketch (custom agg). Bin EDGES are sketch-

@@ -144,6 +144,13 @@ class DialectTailSpec extends SparkTestBase {
     assert(math.abs(d("theilsU(x, x) FROM (SELECT explode(array(1,2,3,1,2,3)) AS x)") - 1.0) < 1e-9)
     assert(d("deltaSum(x) FROM (SELECT explode(array(1, 2, 5, 3, 9)) AS x)") == 10.0)
     assert(l("count_distinct(x) FROM (SELECT explode(array(1,1,2)) AS x)") == 2L)
+    // CH moment aggregates, exact: [1,2,3,4,10] → m2=10, m3=36, m4=278.8,
+    // varSamp=12.5 (CH kurt* does NOT subtract 3, unlike Spark's excess form)
+    val sample = "FROM (SELECT explode(array(1.0, 2.0, 3.0, 4.0, 10.0)) AS x)"
+    assert(math.abs(d(s"skewPop(x) $sample") - 36.0 / math.pow(10.0, 1.5)) < 1e-9)
+    assert(math.abs(d(s"skewSamp(x) $sample") - 36.0 / math.pow(12.5, 1.5)) < 1e-9)
+    assert(math.abs(d(s"kurtPop(x) $sample") - 2.788) < 1e-9)
+    assert(math.abs(d(s"kurtSamp(x) $sample") - 278.8 / 156.25) < 1e-9)
     assert(d("cast(average(x) as double) FROM (SELECT explode(array(2.0, 4.0)) AS x)") == 3.0)
   }
 
