@@ -18,11 +18,13 @@ import graft.functions.GraftFunctions
   * 295-function registry [[GraftFunctions.register]] installs per-session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.dialectFunctions.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft", null, name, s"ClickHouse-dialect $name", ""),
         builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.NanosTimestampPushdown)
+  }
 }

@@ -947,6 +947,12 @@ object GraftFunctions {
     dialectFunctions.foreach { case (name, b) =>
       reg.createOrReplaceTempFunction(name, b, "built-in")
     }
+    // session-path install of the nanos-timestamp pushdown rule (cluster
+    // path: GraftExtensions.injectOptimizerRule)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.NanosTimestampPushdown)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.NanosTimestampPushdown
+    }
     spark.conf.set("graft.functions.registered", "true")
   }
 

@@ -118,3 +118,40 @@ class SessionSpec extends SparkTestBase {
     assert(g.sql("SELECT plus_one(41) AS r").head().getLong(0) == 42L)
   }
 }
+
+/** ClickBench-shape suite (r7): single-scan group-bys must stay one-exchange
+  * partial-agg plans with pushed filters — the shapes ClickBench exists to
+  * stress at the 100 TB point.
+  */
+class ClickBenchPlanSpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    graft.queries.Queries.byName(name).fn(spark, SparkTestBase.sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("cb05 group-topn: partial aggregation before one exchange, TakeOrdered top") {
+    val p = plan("cb05_group_topn")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("TakeOrderedAndProject"), "top-n must not global-sort")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
+
+  test("cb12 minute rollup: time + type filters pushed to the parquet scan") {
+    val p = plan("cb12_minute_rollup_paged")
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThanOrEqual(ts"))
+    assert(!p.contains("props"), "unused wide columns must be pruned from the scan")
+  }
+
+  test("cb10 domain extraction: single aggregation, no join, pruned scan") {
+    val p = plan("cb10_domain_extract")
+    assert(!p.contains("Join"))
+    assert(!p.contains("text"), "only source/doc_id feed the url — text must be pruned")
+  }
+
+  test("cb01/cb02/cb11 scans: no exchange beyond the single aggregation") {
+    for (n <- Seq("cb01_count_scan", "cb02_multi_agg_scan", "cb11_sum_chain")) {
+      val p = plan(n)
+      assert("Exchange".r.findAllIn(p).size <= 1, s"$n should have at most one exchange")
+    }
+  }
+}
