@@ -1551,6 +1551,35 @@ object Queries {
       WHERE bit_count(xor(a.s, b.s)) <= 4
       ORDER BY a_id, b_id""")),
 
+    QueryDef("q107_audio_decode_oracle", (s, dir) => {
+      // the REAL audio decode path (javax.sound.sampled), oracle-gated:
+      // per-doc WAVs are synthesized with doc_id-derived duration, so the
+      // decoder's sample_rate / channels / duration_ms outputs are
+      // independently recomputable by DuckDB from doc_id alone — the audio
+      // analogue of q104's portable fingerprints (q90 keeps the rows-only
+      // full feature set incl. RMS/ZCR)
+      val ids = Q.t(s, dir, "documents").select(col("doc_id"))
+      val wavSchema = org.apache.spark.sql.types.StructType(ids.schema.fields :+
+        org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType))
+      val wavEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(wavSchema)
+      val wavs = ids.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          org.apache.spark.sql.Row(id, graft.operators.Multimodal.sineWav(
+            200.0 + (id % 20) * 40.0, 40 + (id % 5).toInt * 10))
+        }
+      }(wavEnc)
+      graft.operators.Multimodal.decodeAudioFeatures(wavs, "content", batchSize = 64)
+        .select(col("doc_id"),
+          col("audio_features.sample_rate").as("sample_rate"),
+          col("audio_features.channels").as("channels"),
+          col("audio_features.duration_ms").as("audio_ms"))
+        .orderBy("doc_id")
+    }, Some("""SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+        CAST(1 AS INT) AS channels,
+        CAST(40 + (doc_id % 5) * 10 AS BIGINT) AS audio_ms
+      FROM documents ORDER BY doc_id""")),
+
     QueryDef("q97_histogram_adaptive", (s, dir) => {
       v(s, dir, "orders")
       // adaptive-bin histogram sketch (custom agg). Bin EDGES are sketch-

@@ -1,0 +1,101 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.MathKernels
+
+/** Property checks for the round-7 scalar kernels — pure JVM functions, so
+  * the invariants run without a SparkSession. Each law is from the
+  * function's published definition.
+  */
+class KernelPropertySpec extends AnyFunSuite {
+
+  private def samples[A](gen: Gen[A], n: Int = 200): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val word: Gen[String] = for {
+    n <- Gen.choose(0, 12)
+    cs <- Gen.listOfN(n, Gen.alphaNumChar)
+  } yield cs.mkString
+
+  test("jaro/jaroWinkler: identity, symmetry, [0,1] bounds") {
+    for (Seq(a, b) <- samples(Gen.listOfN(2, word))) {
+      val j = MathKernels.jaro(a, b)
+      assert(j >= 0.0 && j <= 1.0)
+      assert(math.abs(j - MathKernels.jaro(b, a)) < 1e-12, s"symmetry: '$a' '$b'")
+      val w = MathKernels.jaroWinkler(a, b)
+      assert(w >= j - 1e-12 && w <= 1.0, "winkler boosts, never exceeds 1")
+    }
+    for (a <- samples(word)) {
+      assert(MathKernels.jaro(a, a) == 1.0 || a.isEmpty && MathKernels.jaro(a, a) == 1.0)
+    }
+  }
+
+  test("damerauLevenshtein: metric-style laws") {
+    for (Seq(a, b) <- samples(Gen.listOfN(2, word))) {
+      val d = MathKernels.damerauLevenshtein(a, b)
+      assert(d == MathKernels.damerauLevenshtein(b, a), "symmetry")
+      assert(d >= math.abs(a.length - b.length), "length lower bound")
+      assert(d <= math.max(a.length, b.length), "replace-all upper bound")
+      assert((d == 0) == (a == b), "identity of indiscernibles")
+    }
+    // the transposition case that distinguishes it from plain Levenshtein
+    assert(MathKernels.damerauLevenshtein("ab", "ba") == 1)
+  }
+
+  test("gcd/lcm: divisibility and product law") {
+    val small = Gen.choose(-1000L, 1000L)
+    for (Seq(a, b) <- samples(Gen.listOfN(2, small))) {
+      val g = MathKernels.gcd(a, b)
+      assert(g >= 0)
+      if (g != 0) assert(a % g == 0 && b % g == 0)
+      val l = MathKernels.lcm(a, b)
+      if (a != 0 && b != 0) {
+        assert(l % a == 0 && l % b == 0)
+        assert(g * l == math.abs(a * b), s"gcd*lcm == |a*b| for $a, $b")
+      } else assert(l == 0L)
+    }
+  }
+
+  test("erf/erfc: complement, odd symmetry, bounds") {
+    for (x <- samples(Gen.choose(-5.0, 5.0))) {
+      assert(math.abs(MathKernels.erf(x) + MathKernels.erfc(x) - 1.0) < 1e-12)
+      assert(math.abs(MathKernels.erf(x) + MathKernels.erf(-x)) < 1e-12)
+      assert(MathKernels.erf(x) >= -1.0 && MathKernels.erf(x) <= 1.0)
+    }
+    // probit inverts the normal CDF: probit(Phi(x)) == x
+    for (x <- samples(Gen.choose(-3.0, 3.0))) {
+      val phi = 0.5 * MathKernels.erfc(-x / math.sqrt(2.0))
+      assert(math.abs(MathKernels.probit(phi) - x) < 1e-9)
+    }
+  }
+
+  test("tgamma/lgamma: recurrence and factorials") {
+    for (x <- samples(Gen.choose(0.5, 20.0))) {
+      // Gamma(x+1) = x * Gamma(x), checked in log space for stability
+      assert(math.abs(MathKernels.lgamma(x + 1) - (math.log(x) + MathKernels.lgamma(x))) < 1e-9)
+    }
+    for (n <- 1 to 8) {
+      assert(math.abs(MathKernels.tgamma(n + 1.0) - (1 to n).product.toDouble) < 1e-6)
+    }
+  }
+
+  test("crc64: deterministic, distinct on simple corpora, ECMA check value") {
+    val strs = samples(word).distinct
+    val hashes = strs.map(s => MathKernels.crc64(s.getBytes("UTF-8")))
+    assert(hashes == strs.map(s => MathKernels.crc64(s.getBytes("UTF-8"))), "deterministic")
+    assert(hashes.distinct.size == strs.size, "no collisions on a small word set")
+    // published ECMA-182 check value for '123456789'
+    assert(MathKernels.crc64("123456789".getBytes("UTF-8")) == 0x6C40DF5F0B497347L)
+  }
+
+  test("readableTimeDelta: round-trips unit arithmetic") {
+    assert(MathKernels.readableTimeDelta(0) == "0 seconds")
+    assert(MathKernels.readableTimeDelta(1) == "1 second")
+    assert(MathKernels.readableTimeDelta(61) == "1 minute, 1 second")
+    assert(MathKernels.readableTimeDelta(-3661) == "-1 hour, 1 minute, 1 second")
+    assert(MathKernels.readableTimeDelta(86400 * 366.0) == "1 year, 1 day")
+  }
+}
