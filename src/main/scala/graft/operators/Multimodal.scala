@@ -12,9 +12,11 @@ import org.apache.spark.sql.types._
   * The IMAGE kernel is real (javax.imageio, in the JDK: jpeg/png/gif/bmp →
   * true dimensions, mean RGB, 8×8 average-hash) and so is the AUDIO kernel
   * (javax.sound.sampled, in the JDK: WAV/AIFF/AU PCM → sample rate,
-  * channels, duration, RMS, zero-crossing rate, peak — r7). Undecodable
-  * payloads fall back to a deterministic hash-derived stand-in; the VIDEO
-  * kernel remains a stub (no container demuxers in the JDK — disclosed).
+  * channels, duration, RMS, zero-crossing rate, peak — r7). VIDEO container
+  * METADATA is real too (r7: AVI 'avih' and MP4 mvhd/tkhd/stsz box parsing
+  * from the published layouts — dimensions, duration, fps, frame count);
+  * frame PIXELS stay out of scope (no demuxer/codec in the JDK — disclosed).
+  * Undecodable payloads fall back to a deterministic hash-derived stand-in.
   * Everything Spark-side is real and load-bearing at scale: the schema
   * contract, the mapPartitions batch loop (decoder state is per-partition,
   * amortized like an Arrow-batch UDF), partition sizing by byte volume
@@ -285,6 +287,159 @@ object Multimodal {
     javax.sound.sampled.AudioSystem.write(
       ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
     out.toByteArray
+  }
+
+  val videoMetaType: StructType = StructType(Seq(
+    StructField("container", StringType),        // avi | mp4 | unknown
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("fps", DoubleType),
+    StructField("total_frames", LongType)))
+
+  /** Decode video CONTAINER metadata, batched per partition.
+    *
+    * Real for the two dominant containers, parsed from their published
+    * layouts with no codec involvement: AVI (RIFF 'avih' main header —
+    * microseconds/frame, total frames, dimensions) and MP4 (ISO BMFF box
+    * walk — 'mvhd' timescale+duration, 'tkhd' 16.16-fixed dimensions).
+    * Frame PIXELS stay out of scope (no demuxer/codec in the JDK —
+    * disclosed); unparsable payloads get the deterministic stand-in,
+    * disclosed by container = 'unknown'. Same batch contract as the image
+    * and audio kernels.
+    */
+  def decodeVideoMeta(
+      df: DataFrame,
+      contentCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("video_meta", videoMetaType))
+    val idx = df.schema.fieldIndex(contentCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val bytes = row.getAs[Array[Byte]](idx)
+          val f =
+            if (bytes == null) null
+            else parseAvi(bytes).orElse(parseMp4(bytes)).getOrElse {
+              val h = bytesHash(bytes)
+              Row("unknown", 0, 0, 0L, 0.0, (h & 0xFFFL))
+            }
+          Row.fromSeq(row.toSeq :+ f)
+        }
+      }
+    }(enc)
+  }
+
+  private def leU32(b: Array[Byte], off: Int): Long =
+    if (off + 4 > b.length) -1L
+    else (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
+         ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+
+  private def beU32(b: Array[Byte], off: Int): Long =
+    if (off + 4 > b.length) -1L
+    else (b(off + 3) & 0xFFL) | ((b(off + 2) & 0xFFL) << 8) |
+         ((b(off + 1) & 0xFFL) << 16) | ((b(off) & 0xFFL) << 24)
+
+  private def fourcc(b: Array[Byte], off: Int): String =
+    if (off + 4 > b.length) "" else new String(b, off, 4, "US-ASCII")
+
+  /** AVI: RIFF….'AVI ' → scan chunks for 'avih' (the main header: layout per
+    * the published AVIMAINHEADER structure).
+    */
+  private[graft] def parseAvi(b: Array[Byte]): Option[Row] = {
+    if (b.length < 64 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ") return None
+    var i = 12
+    while (i + 8 <= b.length) {
+      val id = fourcc(b, i)
+      val size = leU32(b, i + 4)
+      if (id == "LIST") { i += 12 } // descend into the list body
+      else if (id == "avih") {
+        val o = i + 8
+        val usPerFrame = leU32(b, o)
+        val totalFrames = leU32(b, o + 16)
+        val w = leU32(b, o + 32).toInt
+        val h = leU32(b, o + 36).toInt
+        if (usPerFrame <= 0) return None
+        val durMs = totalFrames * usPerFrame / 1000
+        return Some(Row("avi", w, h, durMs, 1e6 / usPerFrame, totalFrames))
+      } else {
+        if (size < 0 || size > b.length) return None
+        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+    }
+    None
+  }
+
+  /** MP4 (ISO BMFF): walk boxes for moov→mvhd (timescale, duration) and
+    * moov→trak→tkhd (16.16-fixed width/height); big-endian throughout.
+    */
+  private[graft] def parseMp4(b: Array[Byte]): Option[Row] = {
+    if (b.length < 16 || fourcc(b, 4) != "ftyp") return None
+    var duration = -1L; var timescale = -1L
+    var w = 0; var h = 0; var frames = -1L
+    def walk(from: Int, to: Int): Unit = {
+      var i = from
+      while (i + 8 <= to) {
+        val size = beU32(b, i)
+        val typ = fourcc(b, i + 4)
+        if (size < 8 || i + size > to + 0L) return
+        typ match {
+          case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+            walk(i + 8, i + size.toInt)
+          case "mvhd" =>
+            val v = b(i + 8) & 0xFF
+            if (v == 1) { // 64-bit times
+              timescale = beU32(b, i + 8 + 20)
+              duration = (beU32(b, i + 8 + 24) << 32) | beU32(b, i + 8 + 28)
+            } else {
+              timescale = beU32(b, i + 8 + 12)
+              duration = beU32(b, i + 8 + 16)
+            }
+          case "tkhd" =>
+            val v = b(i + 8) & 0xFF
+            // width/height sit after version/flags+times+ids+reserved+
+            // layer/volume+matrix: 76 bytes (v0) / 88 bytes (v1)
+            val base = i + 8 + (if (v == 1) 88 else 76)
+            if (w == 0) { // first video track wins
+              w = (beU32(b, base) >> 16).toInt
+              h = (beU32(b, base + 4) >> 16).toInt
+            }
+          case "stsz" => // sample count = frame count for the video track
+            if (frames < 0) frames = beU32(b, i + 8 + 8)
+          case _ => ()
+        }
+        i += size.toInt
+      }
+    }
+    walk(0, b.length)
+    if (timescale <= 0 || duration < 0) None
+    else {
+      val durMs = duration * 1000 / timescale
+      val fps = if (frames > 0 && durMs > 0) frames * 1000.0 / durMs else 0.0
+      Some(Row("mp4", w, h, durMs, fps, if (frames > 0) frames else 0L))
+    }
+  }
+
+  /** Deterministic minimal-AVI synth (dev/test fixture): a RIFF header with
+    * a real AVIMAINHEADER — drives the REAL parse path without binary
+    * fixtures in the repo (same device as [[sineWav]]).
+    */
+  def synthAvi(totalFrames: Long, usPerFrame: Long, width: Int, height: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12 + 12 + 8 + 56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(12 + 8 + 56 - 8 + 4)
+      .put("AVI ".getBytes("US-ASCII"))
+    bb.put("LIST".getBytes("US-ASCII")).putInt(4 + 8 + 56)
+      .put("hdrl".getBytes("US-ASCII"))
+    bb.put("avih".getBytes("US-ASCII")).putInt(56)
+    bb.putInt(usPerFrame.toInt)     // dwMicroSecPerFrame
+    bb.putInt(0).putInt(0).putInt(0)
+    bb.putInt(totalFrames.toInt)    // dwTotalFrames
+    bb.putInt(0).putInt(1).putInt(0)
+    bb.putInt(width).putInt(height) // dwWidth, dwHeight
+    bb.putInt(0).putInt(0).putInt(0).putInt(0)
+    bb.array()
   }
 
   /** Metadata-level resize: a real kernel would re-encode pixels; the stub

@@ -1580,6 +1580,37 @@ object Queries {
         CAST(40 + (doc_id % 5) * 10 AS BIGINT) AS audio_ms
       FROM documents ORDER BY doc_id""")),
 
+    QueryDef("q108_video_meta_oracle", (s, dir) => {
+      // the REAL AVI header parse, oracle-gated like q107: per-doc synthetic
+      // RIFF/avih headers carry doc_id-derived frame counts and dimensions,
+      // so the parser's outputs are recomputable by DuckDB from doc_id alone
+      val ids = Q.t(s, dir, "documents").select(col("doc_id"))
+      val aviSchema = org.apache.spark.sql.types.StructType(ids.schema.fields :+
+        org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType))
+      val aviEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(aviSchema)
+      val avis = ids.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          org.apache.spark.sql.Row(id, graft.operators.Multimodal.synthAvi(
+            totalFrames = 100 + id % 50, usPerFrame = 40000,
+            width = 320 + (id % 4).toInt * 160, height = 240 + (id % 4).toInt * 120))
+        }
+      }(aviEnc)
+      graft.operators.Multimodal.decodeVideoMeta(avis, "content", batchSize = 64)
+        .select(col("doc_id"),
+          col("video_meta.container").as("container"),
+          col("video_meta.width").as("w"),
+          col("video_meta.height").as("h"),
+          col("video_meta.duration_ms").as("dur_ms"),
+          col("video_meta.total_frames").as("frames"))
+        .orderBy("doc_id")
+    }, Some("""SELECT doc_id, 'avi' AS container,
+        CAST(320 + (doc_id % 4) * 160 AS INT) AS w,
+        CAST(240 + (doc_id % 4) * 120 AS INT) AS h,
+        (100 + doc_id % 50) * 40 AS dur_ms,
+        100 + doc_id % 50 AS frames
+      FROM documents ORDER BY doc_id""")),
+
     QueryDef("q97_histogram_adaptive", (s, dir) => {
       v(s, dir, "orders")
       // adaptive-bin histogram sketch (custom agg). Bin EDGES are sketch-

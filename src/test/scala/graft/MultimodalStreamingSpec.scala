@@ -268,3 +268,93 @@ class AudioKernelSpec extends SparkTestBase {
     assert(f == again) // deterministic stand-in
   }
 }
+
+/** Real video container-metadata kernel (r7): AVI 'avih' and MP4 box
+  * parsing from the published layouts. AVI fixtures come from synthAvi; the
+  * MP4 fixture is a minimal ISO BMFF document built here byte-by-byte, so
+  * both parse paths run against known-answer headers.
+  */
+class VideoKernelSpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.operators.Multimodal
+
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+    bb.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+    bb.array()
+  }
+
+  private def minimalMp4(timescale: Int, duration: Int, w: Int, h: Int,
+      frames: Int): Array[Byte] = {
+    val ftyp = box("ftyp", "isom0000isom".getBytes("US-ASCII"))
+    val mvhd = { // v0: v/flags, ctime, mtime, timescale, duration
+      val bb = java.nio.ByteBuffer.allocate(100)
+      bb.putInt(0).putInt(0).putInt(0).putInt(timescale).putInt(duration)
+      box("mvhd", bb.array())
+    }
+    val tkhd = { // v0: 76 bytes to width, then 16.16 width/height
+      val bb = java.nio.ByteBuffer.allocate(84)
+      bb.position(76)
+      bb.putInt(w << 16).putInt(h << 16)
+      box("tkhd", bb.array())
+    }
+    val stsz = { // v/flags, sample_size, sample_count
+      val bb = java.nio.ByteBuffer.allocate(12)
+      bb.putInt(0).putInt(0).putInt(frames)
+      box("stsz", bb.array())
+    }
+    val stbl = box("stbl", stsz)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", minf)
+    val trak = box("trak", tkhd ++ mdia)
+    val moov = box("moov", mvhd ++ trak)
+    ftyp ++ moov
+  }
+
+  test("AVI avih header: dimensions, duration, fps, frame count") {
+    // 250 frames at 40ms/frame = 10 s, 25 fps, 640x480
+    val avi = Multimodal.synthAvi(250, 40000, 640, 480)
+    val df = Seq((1L, avi)).toDF("id", "content")
+    val m = Multimodal.decodeVideoMeta(df, "content").select("video_meta.*").head()
+    assert(m.getAs[String]("container") == "avi")
+    assert(m.getAs[Int]("width") == 640 && m.getAs[Int]("height") == 480)
+    assert(m.getAs[Long]("duration_ms") == 10000L)
+    assert(math.abs(m.getAs[Double]("fps") - 25.0) < 1e-9)
+    assert(m.getAs[Long]("total_frames") == 250L)
+  }
+
+  test("MP4 box walk: mvhd duration, tkhd dimensions, stsz frames") {
+    // timescale 600, duration 3000 units = 5 s, 1280x720, 150 frames = 30 fps
+    val mp4 = minimalMp4(600, 3000, 1280, 720, 150)
+    val df = Seq((1L, mp4)).toDF("id", "content")
+    val m = Multimodal.decodeVideoMeta(df, "content").select("video_meta.*").head()
+    assert(m.getAs[String]("container") == "mp4")
+    assert(m.getAs[Int]("width") == 1280 && m.getAs[Int]("height") == 720)
+    assert(m.getAs[Long]("duration_ms") == 5000L)
+    assert(m.getAs[Long]("total_frames") == 150L)
+    assert(math.abs(m.getAs[Double]("fps") - 30.0) < 1e-9)
+  }
+
+  test("unparsable payloads fall back, disclosed by container = unknown") {
+    val df = Seq((1L, Array[Byte](9, 9, 9, 9))).toDF("id", "content")
+    val m = Multimodal.decodeVideoMeta(df, "content").select("video_meta.*").head()
+    assert(m.getAs[String]("container") == "unknown")
+    val again = Multimodal.decodeVideoMeta(df, "content").select("video_meta.*").head()
+    assert(m == again)
+  }
+
+  test("frameSample over real AVI metadata explodes per frame offset") {
+    val avi = Multimodal.synthAvi(100, 40000, 320, 240) // 4 s
+    val df = Multimodal.decodeVideoMeta(Seq((1L, avi)).toDF("id", "content"), "content")
+      .select($"id", $"video_meta.duration_ms".as("duration_ms"))
+      .withColumn("media_meta", org.apache.spark.sql.functions.struct(
+        org.apache.spark.sql.functions.lit("video").as("media_type"),
+        org.apache.spark.sql.functions.lit("avi").as("format"),
+        org.apache.spark.sql.functions.lit(320).as("width"),
+        org.apache.spark.sql.functions.lit(240).as("height"),
+        $"duration_ms",
+        org.apache.spark.sql.functions.lit(0L).as("size_bytes")))
+    val frames = Multimodal.frameSample(df, everyMs = 1000L)
+    assert(frames.count() == 4) // 0, 1000, 2000, 3000
+  }
+}
