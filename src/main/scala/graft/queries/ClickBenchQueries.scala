@@ -154,6 +154,59 @@ object ClickBenchQueries {
         s"CAST(SUM(CAST(value + $k AS DECIMAL(18,6))) AS DOUBLE) AS s$k")
       .mkString("SELECT ", ", ", " FROM events"))),
 
+    // CB Q19: point lookup by key over the fact scan
+    QueryDef("cb13_point_lookup", (s, dir) => {
+      v(s, dir, "events")
+      s.sql("""SELECT event_id, user_id, event_type
+        FROM events WHERE event_id = 4242""")
+    }, Some("""SELECT event_id, user_id, event_type
+      FROM events WHERE event_id = 4242""")),
+
+    // CB Q23: SELECT * wide-row scan filtered + ordered by time
+    QueryDef("cb14_wide_scan_order_time", (s, dir) => {
+      v(s, dir, "events")
+      s.sql("""SELECT event_id, ts, user_id, event_type, value, props
+        FROM events WHERE props LIKE '%7%'
+        ORDER BY ts, event_id LIMIT 10""")
+    }, Some("""SELECT event_id, ts, user_id, event_type, value, props
+      FROM events WHERE props LIKE '%7%'
+      ORDER BY ts, event_id LIMIT 10""")),
+
+    // CB Q33-35: grouping on arithmetic variants of one key
+    QueryDef("cb15_arith_key_group", (s, dir) => {
+      v(s, dir, "events")
+      s.sql("""SELECT user_id, user_id - 1 AS u1, user_id - 2 AS u2,
+          COUNT(*) AS c
+        FROM events GROUP BY user_id, user_id - 1, user_id - 2
+        ORDER BY c DESC, user_id LIMIT 10""")
+    }, Some("""SELECT user_id, user_id - 1 AS u1, user_id - 2 AS u2,
+        COUNT(*) AS c
+      FROM events GROUP BY user_id, u1, u2
+      ORDER BY c DESC, user_id LIMIT 10""")),
+
+    // CB Q39: CASE-derived source/destination rollup with paging
+    QueryDef("cb16_case_key_rollup", (s, dir) => {
+      v(s, dir, "events")
+      s.sql("""SELECT event_type,
+          CASE WHEN value < 50 THEN get_json_object(props, '$.k')
+               ELSE '' END AS src,
+          COUNT(*) AS page_views
+        FROM events
+        WHERE ts >= timestamp'2024-01-05 00:00:00'
+          AND ts < timestamp'2024-01-20 00:00:00'
+        GROUP BY event_type, CASE WHEN value < 50
+          THEN get_json_object(props, '$.k') ELSE '' END
+        ORDER BY page_views DESC, event_type, src LIMIT 10 OFFSET 20""")
+    }, Some("""SELECT event_type,
+        CASE WHEN value < 50 THEN json_extract_string(props, '$.k')
+             ELSE '' END AS src,
+        COUNT(*) AS page_views
+      FROM events
+      WHERE ts >= timestamp'2024-01-05 00:00:00'
+        AND ts < timestamp'2024-01-20 00:00:00'
+      GROUP BY event_type, src
+      ORDER BY page_views DESC, event_type, src LIMIT 10 OFFSET 20""")),
+
     // CB Q36-42: filtered page-view rollup, minute date_trunc, offset paging
     QueryDef("cb12_minute_rollup_paged", (s, dir) => {
       v(s, dir, "events")
