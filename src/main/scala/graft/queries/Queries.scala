@@ -1501,7 +1501,9 @@ object Queries {
       v(s, dir, "documents")
       // simhash with md5-portable token hashes (the custom Mix64 form is
       // q64; this variant's 60-bit per-token hashes reproduce in DuckDB,
-      // closing simhash's oracle gap the way q104 did for winnowing):
+      // closing simhash's oracle gap the way q104 did for winnowing).
+      // The all-pairs self-join is the ORACLE-SCOPE device (bounded fixture);
+      // the 100 TB path is q64's combinatorial multi-index buckets:
       // lowercase token MULTISET (occurrences weight the bit votes — the
       // classic Charikar form; distinct-set voting measured ~40x less
       // selective on shared-vocabulary corpora) → md5[0:15] token hash →

@@ -148,6 +148,13 @@ class ClickBenchPlanSpec extends SparkTestBase {
     assert(!p.contains("text"), "only source/doc_id feed the url — text must be pruned")
   }
 
+  test("cb16 CASE+JSON rollup: nanos time-range pushed despite expression keys") {
+    val p = plan("cb16_case_key_rollup")
+    // NanosTimestampPushdown must turn both timestamp bounds into raw-nanos
+    // parquet filters even though the grouping key is a CASE over JSON
+    assert(p.contains("GreaterThanOrEqual(ts") && p.contains("LessThan(ts"))
+  }
+
   test("cb01/cb02/cb11 scans: no exchange beyond the single aggregation") {
     for (n <- Seq("cb01_count_scan", "cb02_multi_agg_scan", "cb11_sum_chain")) {
       val p = plan(n)
