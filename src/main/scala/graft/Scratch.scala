@@ -6,6 +6,7 @@ package graft
 object Scratch {
   def main(args: Array[String]): Unit = {
     val g = graft.engine.GraftSession.build("local[8]", 8)
+    if (args.headOption.contains("r8drive")) { r8drive(g); g.spark.stop(); return }
     val names = if (args.nonEmpty) args.toSeq else Seq("q01_tpch_q1")
     names.foreach { n =>
       println(s"=== $n ===")
@@ -14,5 +15,52 @@ object Scratch {
       else df.show(10, false)
     }
     g.spark.stop()
+  }
+
+  /** Drives the r8 advisor fixes through the public API. */
+  private def r8drive(g: graft.engine.GraftSession): Unit = {
+    // 1. rsplit keeps left-to-right order
+    println("rsplit: " + g.sql("SELECT rsplit('a,b,c', ',') AS r").head())
+    // 2. nanos pushdown: negative-nanos filter correctness through SQL
+    import g.spark.implicits._
+    val nanos = Seq(-2000L, -1999L, -1500L, -1000L, -999L, -1L, 0L, 999L, 1000L)
+    nanos.toDF("c").createOrReplaceTempView("nn")
+    val kept = g.sql(
+      "SELECT c FROM (SELECT c, timestamp_micros(c div 1000) AS ts FROM nn) " +
+      "WHERE ts >= timestamp_micros(-1)").collect().map(_.getLong(0)).sorted
+    println("pre-epoch >= -1us keeps: " + kept.mkString(","))
+    assert(kept.toSeq == nanos.filter(_ / 1000 >= -1).sorted,
+      "negative-nanos pushdown mismatch")
+    // pushdown still fires on the real events table path
+    val ev = graft.Tables.load(g.spark, "/root/testdata/sf0.001", "events")
+    ev.createOrReplaceTempView("events")
+    val plan = g.sql(
+      "SELECT count(*) AS n FROM events WHERE ts >= timestamp'2024-01-02 00:00:00'")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"),
+      "nanos range predicate not pushed to parquet:\n" + plan)
+    println("events pushdown: OK")
+    // 3. MP4 audio-trak-first: frames from the video trak
+    def box(typ: String, p: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + p.length)
+      bb.putInt(8 + p.length).put(typ.getBytes("US-ASCII")).put(p); bb.array()
+    }
+    def trak(w: Int, h: Int, n: Int): Array[Byte] = {
+      val tk = java.nio.ByteBuffer.allocate(84); tk.position(76)
+      tk.putInt(w << 16).putInt(h << 16)
+      val sz = java.nio.ByteBuffer.allocate(12); sz.putInt(0).putInt(0).putInt(n)
+      box("trak", box("tkhd", tk.array()) ++
+        box("mdia", box("minf", box("stbl", box("stsz", sz.array())))))
+    }
+    val mv = java.nio.ByteBuffer.allocate(100)
+    mv.putInt(0).putInt(0).putInt(0).putInt(600).putInt(3000)
+    val mp4 = box("ftyp", "isom0000isom".getBytes("US-ASCII")) ++
+      box("moov", box("mvhd", mv.array()) ++ trak(0, 0, 220500) ++ trak(1280, 720, 150))
+    val vm = graft.operators.Multimodal
+      .decodeVideoMeta(Seq((1L, mp4)).toDF("id", "content"), "content")
+      .select("video_meta.*").head()
+    println("mp4 audio-first: " + vm)
+    assert(vm.getAs[Long]("total_frames") == 150L, "frames from wrong trak")
+    println("R8DRIVE OK")
   }
 }

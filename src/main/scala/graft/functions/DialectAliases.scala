@@ -170,7 +170,9 @@ object DialectAliases {
         regexp_replace(e2col(es.head), s"(.{1,$w})( +|$$)", "$1\n"), "\n$", ""))
     }
     same("wrap", "wrapText"); same("wrap_text", "wrapText")
-    alias("rsplit")(cs => reverse(call_function("splitByString", cs(1), cs.head)))
+    // pandas str.rsplit without maxsplit == split: element order stays
+    // left-to-right (the reference maps it to plain splitByString too)
+    alias("rsplit")(cs => call_function("splitByString", cs(1), cs.head))
     alias("splitByNonAlpha")(cs =>
       filter(split(cs.head, "[^\\p{L}\\p{N}]+"), t => length(t) > 0))
     same("split_by_non_alpha", "splitByNonAlpha")

@@ -378,6 +378,29 @@ object Multimodal {
     if (b.length < 16 || fourcc(b, 4) != "ftyp") return None
     var duration = -1L; var timescale = -1L
     var w = 0; var h = 0; var frames = -1L
+    // Set while walking inside a trak whose tkhd has nonzero dimensions:
+    // stsz sample counts are only frame counts for the VIDEO track — in a
+    // file whose audio trak precedes the video trak, an unguarded first-stsz
+    // would report the audio sample count as total_frames.
+    var inVideoTrak = false
+    // Pre-scan a trak's direct children for its tkhd dimensions (16.16 fixed;
+    // audio traks carry 0×0 — that zero is the video/audio discriminator).
+    def tkhdDims(from: Int, to: Int): Option[(Int, Int)] = {
+      var i = from
+      while (i + 8 <= to) {
+        val size = beU32(b, i)
+        if (size < 8 || i + size > to + 0L) return None
+        if (fourcc(b, i + 4) == "tkhd") {
+          val v = b(i + 8) & 0xFF
+          // width/height sit after version/flags+times+ids+reserved+
+          // layer/volume+matrix: 76 bytes (v0) / 88 bytes (v1)
+          val base = i + 8 + (if (v == 1) 88 else 76)
+          return Some(((beU32(b, base) >> 16).toInt, (beU32(b, base + 4) >> 16).toInt))
+        }
+        i += size.toInt
+      }
+      None
+    }
     def walk(from: Int, to: Int): Unit = {
       var i = from
       while (i + 8 <= to) {
@@ -385,8 +408,16 @@ object Multimodal {
         val typ = fourcc(b, i + 4)
         if (size < 8 || i + size > to + 0L) return
         typ match {
-          case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+          case "moov" | "mdia" | "minf" | "stbl" =>
             walk(i + 8, i + size.toInt)
+          case "trak" =>
+            val dims = tkhdDims(i + 8, i + size.toInt)
+            val isVideo = dims.exists(d => d._1 > 0 && d._2 > 0)
+            if (isVideo && w == 0) { w = dims.get._1; h = dims.get._2 } // first video track wins
+            val saved = inVideoTrak
+            inVideoTrak = isVideo
+            walk(i + 8, i + size.toInt)
+            inVideoTrak = saved
           case "mvhd" =>
             val v = b(i + 8) & 0xFF
             if (v == 1) { // 64-bit times
@@ -396,17 +427,8 @@ object Multimodal {
               timescale = beU32(b, i + 8 + 12)
               duration = beU32(b, i + 8 + 16)
             }
-          case "tkhd" =>
-            val v = b(i + 8) & 0xFF
-            // width/height sit after version/flags+times+ids+reserved+
-            // layer/volume+matrix: 76 bytes (v0) / 88 bytes (v1)
-            val base = i + 8 + (if (v == 1) 88 else 76)
-            if (w == 0) { // first video track wins
-              w = (beU32(b, base) >> 16).toInt
-              h = (beU32(b, base + 4) >> 16).toInt
-            }
-          case "stsz" => // sample count = frame count for the video track
-            if (frames < 0) frames = beU32(b, i + 8 + 8)
+          case "stsz" => // sample count = frame count, video trak only
+            if (inVideoTrak && frames < 0) frames = beU32(b, i + 8 + 8)
           case _ => ()
         }
         i += size.toInt

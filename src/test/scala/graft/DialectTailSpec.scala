@@ -13,6 +13,11 @@ class DialectTailSpec extends SparkTestBase {
   private def l(q: String): Long = one(q).getLong(0)
   private def s(q: String): String = one(q).getString(0)
 
+  test("rsplit preserves left-to-right element order (r7 advisor fix)") {
+    val arr = one("rsplit('a,b,c', ',')").getSeq[String](0)
+    assert(arr == Seq("a", "b", "c"))
+  }
+
   // ---- pandas string accessors ----
   test("pandas string accessors behave") {
     assert(s("strip('  ab  ')") == "ab")

@@ -284,14 +284,9 @@ class VideoKernelSpec extends SparkTestBase {
     bb.array()
   }
 
-  private def minimalMp4(timescale: Int, duration: Int, w: Int, h: Int,
-      frames: Int): Array[Byte] = {
-    val ftyp = box("ftyp", "isom0000isom".getBytes("US-ASCII"))
-    val mvhd = { // v0: v/flags, ctime, mtime, timescale, duration
-      val bb = java.nio.ByteBuffer.allocate(100)
-      bb.putInt(0).putInt(0).putInt(0).putInt(timescale).putInt(duration)
-      box("mvhd", bb.array())
-    }
+  // One trak: tkhd with 16.16 dims (audio traks carry 0×0) + stbl/stsz
+  // sample count. Composable so multi-trak files can be assembled.
+  private def mp4Trak(w: Int, h: Int, samples: Int): Array[Byte] = {
     val tkhd = { // v0: 76 bytes to width, then 16.16 width/height
       val bb = java.nio.ByteBuffer.allocate(84)
       bb.position(76)
@@ -300,16 +295,25 @@ class VideoKernelSpec extends SparkTestBase {
     }
     val stsz = { // v/flags, sample_size, sample_count
       val bb = java.nio.ByteBuffer.allocate(12)
-      bb.putInt(0).putInt(0).putInt(frames)
+      bb.putInt(0).putInt(0).putInt(samples)
       box("stsz", bb.array())
     }
-    val stbl = box("stbl", stsz)
-    val minf = box("minf", stbl)
-    val mdia = box("mdia", minf)
-    val trak = box("trak", tkhd ++ mdia)
-    val moov = box("moov", mvhd ++ trak)
-    ftyp ++ moov
+    box("trak", tkhd ++ box("mdia", box("minf", box("stbl", stsz))))
   }
+
+  private def mp4File(timescale: Int, duration: Int, traks: Array[Byte]*): Array[Byte] = {
+    val ftyp = box("ftyp", "isom0000isom".getBytes("US-ASCII"))
+    val mvhd = { // v0: v/flags, ctime, mtime, timescale, duration
+      val bb = java.nio.ByteBuffer.allocate(100)
+      bb.putInt(0).putInt(0).putInt(0).putInt(timescale).putInt(duration)
+      box("mvhd", bb.array())
+    }
+    ftyp ++ box("moov", mvhd +: traks reduce (_ ++ _))
+  }
+
+  private def minimalMp4(timescale: Int, duration: Int, w: Int, h: Int,
+      frames: Int): Array[Byte] =
+    mp4File(timescale, duration, mp4Trak(w, h, frames))
 
   test("AVI avih header: dimensions, duration, fps, frame count") {
     // 250 frames at 40ms/frame = 10 s, 25 fps, 640x480
@@ -333,6 +337,28 @@ class VideoKernelSpec extends SparkTestBase {
     assert(m.getAs[Long]("duration_ms") == 5000L)
     assert(m.getAs[Long]("total_frames") == 150L)
     assert(math.abs(m.getAs[Double]("fps") - 30.0) < 1e-9)
+  }
+
+  test("MP4 with audio trak FIRST: frames come from the video trak's stsz") {
+    // r7 advisor finding: an audio trak (0×0 tkhd) preceding the video trak
+    // used to donate its sample count (here 220500 PCM samples) as
+    // total_frames. Frames must come from the video trak: 150 → 30 fps.
+    val mp4 = mp4File(600, 3000,
+      mp4Trak(0, 0, 220500),      // audio: zero dims, huge sample count
+      mp4Trak(1280, 720, 150))    // video
+    val df = Seq((1L, mp4)).toDF("id", "content")
+    val m = Multimodal.decodeVideoMeta(df, "content").select("video_meta.*").head()
+    assert(m.getAs[Int]("width") == 1280 && m.getAs[Int]("height") == 720)
+    assert(m.getAs[Long]("total_frames") == 150L)
+    assert(math.abs(m.getAs[Double]("fps") - 30.0) < 1e-9)
+  }
+
+  test("MP4 audio-only file: no video trak, zero frames reported") {
+    val mp4 = mp4File(600, 3000, mp4Trak(0, 0, 220500))
+    val df = Seq((1L, mp4)).toDF("id", "content")
+    val m = Multimodal.decodeVideoMeta(df, "content").select("video_meta.*").head()
+    assert(m.getAs[String]("container") == "mp4")
+    assert(m.getAs[Int]("width") == 0 && m.getAs[Long]("total_frames") == 0L)
   }
 
   test("unparsable payloads fall back, disclosed by container = unknown") {

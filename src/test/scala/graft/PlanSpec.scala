@@ -152,7 +152,32 @@ class ClickBenchPlanSpec extends SparkTestBase {
     val p = plan("cb16_case_key_rollup")
     // NanosTimestampPushdown must turn both timestamp bounds into raw-nanos
     // parquet filters even though the grouping key is a CASE over JSON
-    assert(p.contains("GreaterThanOrEqual(ts") && p.contains("LessThan(ts"))
+    // (upper bounds rewrite to <= since r8's trunc-exact inverse)
+    assert(p.contains("GreaterThanOrEqual(ts") && p.contains("LessThanOrEqual(ts"))
+  }
+
+  test("nanos pushdown rewrite is exact for pre-epoch (negative) nanos") {
+    import org.apache.spark.sql.functions.expr
+    import spark.implicits._
+    // r7 advisor finding: IntegralDivide truncates toward zero, so a plain
+    // ×1000 inverse silently drops pre-1970 rows (c = −1500 has q = −1, but
+    // −1500 >= −1000 is false). Enumerate every comparison op against micros
+    // literals around zero over nanos values straddling each boundary.
+    val nanos = Seq(-2001L, -2000L, -1999L, -1500L, -1001L, -1000L, -999L,
+      -1L, 0L, 1L, 999L, 1000L, 1001L, 1999L, 2000L, 2001L)
+    val df = nanos.toDF("c").withColumn("ts", expr("timestamp_micros(c div 1000)"))
+    for (m <- Seq(-2L, -1L, 0L, 1L, 2L); op <- Seq(">=", ">", "<", "<=", "=")) {
+      val got = df.filter(expr(s"ts $op timestamp_micros($m)"))
+        .select("c").collect().map(_.getLong(0)).toSet
+      val want = nanos.filter { c =>
+        val q = c / 1000 // Scala Long division truncates toward zero, like div
+        op match {
+          case ">=" => q >= m; case ">" => q > m; case "<" => q < m
+          case "<=" => q <= m; case "=" => q == m
+        }
+      }.toSet
+      assert(got == want, s"ts $op timestamp_micros($m)")
+    }
   }
 
   test("cb01/cb02/cb11 scans: no exchange beyond the single aggregation") {
