@@ -56,8 +56,14 @@ object Tables {
   private def raw(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val df = spark.read.parquet(s"$sfDir/events.parquet")
+      // driver fixtures carry TIMESTAMP(NANOS) → read as raw long, truncate;
+      // GenData-scaled fixtures already carry micros timestamps → use as-is
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => df
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

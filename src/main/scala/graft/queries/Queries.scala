@@ -145,7 +145,8 @@ object Queries {
       val o = Q.t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       val l = Q.t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        // customer scales with SF: size-gated hint, never a forced broadcast
+        .join(Q.dim(c), col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(sum(Q.money(col("l_extendedprice")) *
             (lit(1).cast(DecimalType(3, 2)) - Q.rate(col("l_discount"))))

@@ -9,8 +9,12 @@ import org.apache.spark.sql.types.DecimalType
   * q01/q10/q18/q19; this file adds the remaining 18 shapes, all oracle-gated
   * and all in the bench set (r2 verdict #9).
   *
-  * Plan-shape conventions: dimension sides broadcast, money math through
-  * exact decimals (see [[Q]]), every query ends in a total order.
+  * Plan-shape conventions: constant-size dimensions (nation/region, scalar
+  * aggregates) broadcast unconditionally; SF-scaling build sides (customer/
+  * orders/part/supplier slices) go through the size-gated [[Q.dim]] so the
+  * hint never forces a build side that would not fit executor memory at
+  * 100 TB (r7 verdict #1). Money math through exact decimals (see [[Q]]),
+  * every query ends in a total order.
   */
 object TpchQueries {
 
@@ -29,11 +33,11 @@ object TpchQueries {
       // part filter BEFORE the link distinct: dedup runs over the few
       // matching parts' lines, not the whole fact table
       val cand = Q.t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
-        .join(broadcast(Q.t(s, dir, "part")
+        .join(Q.dim(Q.t(s, dir, "part")
             .filter(col("p_size") === 15 && col("p_type") === "LARGE")),
           col("l_partkey") === col("p_partkey"))
         .select("p_partkey", "p_brand", "l_suppkey").distinct()
-        .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+        .join(Q.dim(eu), col("l_suppkey") === col("s_suppkey"))
         .select("p_partkey", "p_brand", "s_name", "s_acctbal", "n_name")
       // per-part min via a partition window, NOT groupBy + self-join: the
       // self-join would evaluate the lineitem-distinct subtree twice (Spark
@@ -60,22 +64,19 @@ object TpchQueries {
     // Q4: order-priority checking (commitdate/receiptdate → "shipped more
     // than 30 days after ordering" as the lateness witness). Inverted from
     // the textbook orders-semi-lineitem: the 3-month orders filter keeps a
-    // dimension-sized slice, so probe lineitem against broadcast(orders) and
+    // dimension-sized slice, so probe lineitem against the orders slice and
     // count DISTINCT surviving orders per priority — lineitem never shuffles
     // on the join (only the final count_distinct exchanges (priority, key)
     // pairs). The semi-join formulation forced an SMJ shuffling all of
-    // lineitem. NOTE the unconditional broadcast() hint is LOCAL-BENCH
-    // tuning: at sf0.1 a 3-month orders slice is a few MB, but at 100 TB it
-    // is fact-table-sized and would OOM the executors — production code
-    // should leave the hint off (autoBroadcastJoinThreshold decides) or gate
-    // it on an estimated-size check so the planner can fall back to SMJ.
+    // lineitem. The slice still scales with SF, so the broadcast goes
+    // through the size-gated Q.dim — above the threshold AQE decides.
     QueryDef("tpch04_priority_check", (s, dir) => {
       val o = Q.t(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp")
           && col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
         .select("o_orderkey", "o_orderdate", "o_orderpriority")
       Q.t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
-        .join(broadcast(o), col("l_orderkey") === col("o_orderkey")
+        .join(Q.dim(o), col("l_orderkey") === col("o_orderkey")
           && col("l_shipdate").cast("date") > date_add(col("o_orderdate").cast("date"), D30))
         .groupBy("o_orderpriority")
         .agg(count_distinct(col("o_orderkey")).as("order_count"))
@@ -98,7 +99,7 @@ object TpchQueries {
           lit("1996-01-01").cast("timestamp"), lit("1997-12-31").cast("timestamp")))
         .join(Q.t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(Q.t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Q.t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(Q.dim(Q.t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
         .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
         .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
@@ -133,7 +134,7 @@ object TpchQueries {
         col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
       val america = Q.t(s, dir, "region").filter(col("r_name") === "AMERICA")
       Q.t(s, dir, "lineitem")
-        .join(broadcast(Q.t(s, dir, "part").filter(col("p_type") === "ECONOMY")),
+        .join(Q.dim(Q.t(s, dir, "part").filter(col("p_type") === "ECONOMY")),
           col("l_partkey") === col("p_partkey"))
         .join(Q.t(s, dir, "orders").filter(col("o_orderdate").between(
             lit("1996-01-01").cast("timestamp"), lit("1997-12-31").cast("timestamp"))),
@@ -141,7 +142,7 @@ object TpchQueries {
         .join(Q.t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(custN), col("c_nationkey") === col("c_nk"))
         .join(broadcast(america), col("c_rk") === col("r_regionkey"))
-        .join(broadcast(Q.t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(Q.dim(Q.t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(supN), col("s_nationkey") === col("s_nk"))
         .withColumn("vol", Q.money(col("l_extendedprice")) *
           (lit(1).cast(DecimalType(3, 2)) - Q.rate(col("l_discount"))))
@@ -172,10 +173,10 @@ object TpchQueries {
       val supN = Q.t(s, dir, "nation").select(
         col("n_nationkey").as("s_nk"), col("n_name").as("nation"))
       Q.t(s, dir, "lineitem")
-        .join(broadcast(Q.t(s, dir, "part").filter(col("p_brand").like("%1%"))),
+        .join(Q.dim(Q.t(s, dir, "part").filter(col("p_brand").like("%1%"))),
           col("l_partkey") === col("p_partkey"))
         .join(Q.t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Q.t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(Q.dim(Q.t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(supN), col("s_nationkey") === col("s_nk"))
         .withColumn("profit",
           Q.money(col("l_extendedprice")) *
@@ -237,8 +238,8 @@ object TpchQueries {
       // vals feeds both the output and the threshold scalar — persist so the
       // fact join + aggregation runs once (Spark recomputes shared subplans)
       val vals = Q.t(s, dir, "lineitem")
-        .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(Q.t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .join(Q.dim(asiaSupp), col("l_suppkey") === col("s_suppkey"))
+        .join(Q.dim(Q.t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
         .groupBy("p_partkey")
         .agg(sum(Q.money(col("p_retailprice")) * col("l_quantity").cast(DecimalType(4, 0)))
           .cast("double").as("value"))
@@ -304,7 +305,7 @@ object TpchQueries {
       Q.t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp")
           && col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
-        .join(broadcast(Q.t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .join(Q.dim(Q.t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
         .withColumn("vol", Q.money(col("l_extendedprice")) *
           (lit(1).cast(DecimalType(3, 2)) - Q.rate(col("l_discount"))))
         .agg(round(lit(100.0) *
@@ -349,17 +350,16 @@ object TpchQueries {
     QueryDef("tpch16_parts_suppliers", (s, dir) => {
       val badSupp = Q.t(s, dir, "supplier").filter(col("s_acctbal") < 0)
         .select(col("s_suppkey").as("bad_key"))
-      // filtered part (8 sizes, ~1/3 of a dimension table) is broadcast so
-      // lineitem joins map-side; the only shuffle is the count_distinct.
-      // NOTE: forcing broadcast of 1/3 of `part` is local-bench tuning —
-      // at 100 TB that slice may exceed executor memory; production should
-      // let autoBroadcastJoinThreshold decide rather than hint.
+      // filtered part (8 sizes, ~1/3 of a dimension table) broadcasts only
+      // while the size estimate fits (Q.dim) so lineitem joins map-side at
+      // bench scale; above the threshold AQE decides and SMJ stays available
+      // — at 100 TB a third of `part` would exceed executor memory.
       Q.t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
-        .join(broadcast(Q.t(s, dir, "part")
+        .join(Q.dim(Q.t(s, dir, "part")
           .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO"
             && col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))),
           col("p_partkey") === col("l_partkey"))
-        .join(broadcast(badSupp), col("l_suppkey") === col("bad_key"), "left_anti")
+        .join(Q.dim(badSupp), col("l_suppkey") === col("bad_key"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
         .orderBy(col("supplier_cnt").desc, col("p_brand").asc, col("p_type").asc,
@@ -381,7 +381,7 @@ object TpchQueries {
       // 100 TB is itself huge) and no second scan of lineitem
       val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
       Q.t(s, dir, "lineitem")
-        .join(broadcast(Q.t(s, dir, "part")
+        .join(Q.dim(Q.t(s, dir, "part")
             .filter(col("p_brand") === "Brand#3" && col("p_size") < 10)),
           col("l_partkey") === col("p_partkey"))
         .withColumn("half_avg", avg(col("l_quantity")).over(w) * 0.5)
@@ -420,7 +420,7 @@ object TpchQueries {
     // Q19: disjunctive brand/size/quantity predicate blocks
     QueryDef("tpch19_disjunctive", (s, dir) =>
       Q.t(s, dir, "lineitem")
-        .join(broadcast(Q.t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .join(Q.dim(Q.t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
         .filter(
           (col("p_brand") === "Brand#12" && col("p_size").between(1, 5)
             && col("l_quantity").between(1, 11))
@@ -445,7 +445,7 @@ object TpchQueries {
       val heavy = Q.t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
           && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
-        .join(broadcast(Q.t(s, dir, "part").filter(col("p_type") === "SMALL")),
+        .join(Q.dim(Q.t(s, dir, "part").filter(col("p_type") === "SMALL")),
           col("l_partkey") === col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(sum(col("l_quantity")).as("sq")).filter(col("sq") > 50)
@@ -453,7 +453,7 @@ object TpchQueries {
       Q.t(s, dir, "supplier")
         .join(broadcast(Q.t(s, dir, "nation").filter(col("n_regionkey") === 2)),
           col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(heavy), col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(Q.dim(heavy), col("s_suppkey") === col("l_suppkey"), "left_semi")
         .select("s_name", "n_name")
         .orderBy("s_name")
     }, Some("""SELECT s_name, n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
@@ -480,7 +480,7 @@ object TpchQueries {
         .withColumn("n_supp", size(collect_set(col("l_suppkey")).over(w)))
         .withColumn("n_late", size(collect_set(when(col("late"), col("l_suppkey"))).over(w)))
         .filter(col("late") && col("n_supp") > 1 && col("n_late") === 1)
-        .join(broadcast(Q.t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(Q.dim(Q.t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
         .groupBy("s_name").agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name").asc).limit(100)
     }, Some(s"""WITH j AS (SELECT l_orderkey, l_suppkey,
