@@ -78,6 +78,31 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("dim() gate flips to sort-merge at scale: same results, no forced broadcast") {
+    // The r7 anti-pattern was that a hard broadcast() hint DENIES the
+    // planner its SMJ fallback when the build side outgrows memory. Simulate
+    // the 100 TB regime by disabling the threshold: dim() must stop hinting,
+    // the plan must fall back to shuffle joins, and the results must be
+    // byte-identical to the hinted plan.
+    val name = "tpch09_product_profit"
+    val hinted = Queries.byName(name).fn(spark, SparkTestBase.sfDir).collect()
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val df = Queries.byName(name).fn(spark, SparkTestBase.sfDir)
+      val p = df.queryExecution.sparkPlan
+      assert(p.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }.forall(!_.collectLeaves().map(_.toString)
+        .exists(s => s.contains("part.parquet") || s.contains("supplier.parquet"))),
+        "with no broadcast budget, dim() must not force part/supplier broadcasts")
+      assert(p.toString.contains("SortMergeJoin"),
+        "the planner must be free to choose SMJ")
+      assert(df.collect().toSeq == hinted.toSeq, "plans must agree on results")
+    } finally spark.conf.set(key, saved)
+  }
+
   test("tpch suite: lineitem is never a broadcast build side (100 TB invariant)") {
     // r7 verdict #1: the suite used to force broadcast() on SF-scaling
     // tables; those hints are now size-gated (Q.dim). The fact table must
