@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measures the dedup/ANN tier's scaling behavior (r7 verdict #2: the 100 TB
+  * story was argued, not measured).
+  *
+  * `runMain graft.DedupScaleBench [srcDir] [factors]` replicates the sf0.1
+  * documents/embeddings corpora in-memory at each factor (same scheme as
+  * GenData: shifted ids; replica token appended to text → every source doc
+  * gains factor−1 planted NEAR-duplicates; embeddings repeat exactly →
+  * planted cosine-1 duplicates), then runs each operator end-to-end and
+  * records wall time, total shuffle write bytes (stage-level task metrics),
+  * CANDIDATE pair count, and verified output count.
+  *
+  * The claim under test is sub-quadratic candidate growth: an all-pairs
+  * scheme grows candidates ∝ n², while the banded/blocked/bucketed schemes
+  * should grow ∝ n · (planted duplicates per doc + collision rate). With
+  * replication factor f over n₀ docs, true near-dup pairs grow ∝ n₀·f²/2
+  * (every replica pair of the same source doc is a planted near-dup) — the
+  * HONEST yardstick for candidates is therefore the true-pair count, not n
+  * alone; sub-quadratic means candidates stay within a small multiple of
+  * true pairs instead of tracking n²/2.
+  *
+  * Prints one JSON line per (operator, factor) and a summary table.
+  */
+object DedupScaleBench {
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factors = args.lift(1).getOrElse("1,10,50").split(",").map(_.toInt).toSeq
+    // optional op filter (args(2), comma-separated) for re-running one leg
+    val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-dedup-scale")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+    // stage-completion events arrive asynchronously; drain before reading
+    def drainAndRead(): Long = { Thread.sleep(400); shuffleBytes.get() }
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    def measure(op: String, factor: Int, n: Long)(body: => (Long, Long)): Unit = {
+      if (!only.forall(_.contains(op))) return
+      drainAndRead(); shuffleBytes.set(0)
+      val t0 = System.nanoTime()
+      val (cand, out) = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      val sb = drainAndRead()
+      val line = f"""{"op":"$op","factor":$factor,"rows":$n,"candidates":$cand,""" +
+        f""""output_pairs":$out,"sec":$sec%.3f,"shuffle_bytes":$sb}"""
+      println(line); results += line
+    }
+
+    for (f <- factors) {
+      val docs0 = Tables.load(spark, src, "documents")
+      val dSpan = docs0.agg(max("doc_id")).head().getLong(0) + 1
+      val reps = broadcast(spark.range(f).toDF("__r"))
+      val docs = (if (f == 1) docs0 else docs0.crossJoin(reps)
+        .withColumn("doc_id", col("doc_id") + col("__r") * dSpan)
+        .withColumn("text", when(col("__r") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" rep"), col("__r"))))
+        .drop("__r"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nDocs = docs.count()
+
+      val emb0 = Tables.load(spark, src, "embeddings")
+      val vSpan = emb0.agg(max("vec_id")).head().getLong(0) + 1
+      val emb = (if (f == 1) emb0 else emb0.crossJoin(reps)
+        .withColumn("vec_id", col("vec_id") + col("__r") * vSpan)
+        .drop("__r"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nEmb = emb.count()
+
+      measure("minhash_lsh", f, nDocs) {
+        val (hs, cand) = graft.operators.Dedup
+          .minhashParts(docs, "text", "doc_id", 3, 8, 2)
+        val c = cand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nC = c.count()
+        val withSets = c
+          .join(hs.select(col("id").as("id_a"), col("hs").as("sh_a")), Seq("id_a"))
+          .join(hs.select(col("id").as("id_b"), col("hs").as("sh_b")), Seq("id_b"))
+        val out = graft.operators.Dedup.verifyJaccard(withSets, 0.5).count()
+        c.unpersist(); hs.unpersist()
+        (nC, out)
+      }
+
+      measure("simhash_pairs", f, nDocs) {
+        val h = docs.select(col("doc_id").as("id"), expr("simHash(text)").as("h"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cand = graft.operators.Dedup.simhashCandidatesFromHashes(h, 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nC = cand.count()
+        val out = cand
+          .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+          .filter(col("hamming") <= 3).count()
+        cand.unpersist(); h.unpersist()
+        (nC, out)
+      }
+
+      measure("ngram_jaccard", f, nDocs) {
+        val out = graft.operators.Dedup
+          .ngramJaccard(docs, "text", "doc_id", 0.8, 5, 1000).count()
+        (-1L, out) // candidates internal; output + shuffle bytes still recorded
+      }
+
+      measure("embedding_near_dup", f, nEmb) {
+        // banded hyperplane LSH (r8: the single-band scheme degenerated on
+        // label-clustered corpora — see Similarity.hyperplaneBands). The
+        // candidate metric is band-slot pairs (the join's actual output
+        // volume, before cross-band dedup), the honest cost number.
+        val (bitsPerBand, bands) = (24, 4)
+        val keyed = graft.operators.Similarity
+          .hyperplaneBands(emb, "embedding", "vec_id", bitsPerBand, bands)
+        val nC = keyed.groupBy("band", "key").agg(count(lit(1)).as("n"))
+          .agg(coalesce(sum(col("n") * (col("n") - 1)), lit(0L)).as("s"))
+          .head().getLong(0) / 2
+        val out = graft.operators.Dedup
+          .embeddingNearDup(emb, "embedding", "vec_id", 0.95, bitsPerBand, bands)
+          .count()
+        (nC, out)
+      }
+
+      measure("ann_topk", f, nEmb) {
+        val queries = emb0.limit(100)
+        val cSig = graft.operators.Similarity
+          .hyperplaneSignature(emb, "embedding", "vec_id", 8)
+          .groupBy("bucket").agg(count(lit(1)).as("cn"))
+        val qSig = graft.operators.Similarity
+          .hyperplaneSignature(queries, "embedding", "vec_id", 8)
+          .groupBy("bucket").agg(count(lit(1)).as("qn"))
+        val nC = cSig.join(qSig, Seq("bucket"))
+          .agg(coalesce(sum(col("cn") * col("qn")), lit(0L))).head().getLong(0)
+        val out = graft.operators.Similarity
+          .annTopK(emb, queries, "embedding", "vec_id", 10, 8, 2).count()
+        (nC, out)
+      }
+
+      measure("connected_components", f, nDocs) {
+        val (hs, cand) = graft.operators.Dedup
+          .minhashParts(docs, "text", "doc_id", 3, 8, 2)
+        val withSets = cand
+          .join(hs.select(col("id").as("id_a"), col("hs").as("sh_a")), Seq("id_a"))
+          .join(hs.select(col("id").as("id_b"), col("hs").as("sh_b")), Seq("id_b"))
+        val pairs = graft.operators.Dedup.verifyJaccard(withSets, 0.5)
+        val comps = graft.operators.Dedup.connectedComponents(pairs)
+        val out = comps.agg(countDistinct(col("cluster"))).head().getLong(0)
+        hs.unpersist()
+        (-1L, out)
+      }
+
+      docs.unpersist(); emb.unpersist()
+    }
+
+    println("=== dedup-scale summary ===")
+    results.foreach(println)
+    spark.stop()
+  }
+}

@@ -817,7 +817,14 @@ object GraftFunctions {
     same("uniqCombined", "approx_count_distinct")
     same("uniqCombined64", "approx_count_distinct")
     same("uniqHLL12", "approx_count_distinct")
-    same("uniqTheta", "approx_count_distinct")
+    // real KMV theta sketch (r7 verdict #8): same error class as HLL++ but
+    // the sketch kind CH actually names — supports union/intersect/not set
+    // algebra (graft.functions.agg.ThetaSketch); uniqThetaState exposes the
+    // serialized sketch for that algebra
+    add("uniqTheta")(es => agg.UniqTheta(es.head).toAggregateExpression())
+    add("uniqThetaState")(es =>
+      agg.UniqTheta(es.head, asState = true).toAggregateExpression())
+    same("uniq_theta_state", "uniqThetaState")
     alias("uniqExact")(cs => count_distinct(cs.head, cs.tail: _*))
     // capped-buffer exact-up-to-N (the collect_set formulation is unbounded
     // per group; this one stops growing at N+1 — ClickHouse memory contract)

@@ -54,6 +54,26 @@ object Dedup {
       shingleSize: Int = 3,
       bands: Int = 8,
       rowsPerBand: Int = 2): DataFrame = {
+    val (hs, candidates) =
+      minhashParts(df, textCol, idCol, shingleSize, bands, rowsPerBand)
+    val withSets = candidates
+      .join(hs.select(col("id").as("id_a"), col("hs").as("sh_a")), Seq("id_a"))
+      .join(hs.select(col("id").as("id_b"), col("hs").as("sh_b")), Seq("id_b"))
+    verifyJaccard(withSets, threshold)
+  }
+
+  /** The two stages of [[minhashLsh]] before verification — exposed so the
+    * scale harness (DedupScaleBench) can measure the CANDIDATE set, the
+    * quantity whose growth decides whether the scheme survives 100 TB.
+    * Returns (persisted shingle-hash sets, deduped candidate id pairs).
+    */
+  private[graft] def minhashParts(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int,
+      bands: Int,
+      rowsPerBand: Int): (DataFrame, DataFrame) = {
     val k = bands * rowsPerBand
     // Tokenize → shingle → hash exactly ONCE, into a sorted array of 64-bit
     // shingle hashes, and PERSIST it: the array feeds both the signature pass
@@ -99,11 +119,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-
-    val withSets = candidates
-      .join(hs.select(col("id").as("id_a"), col("hs").as("sh_a")), Seq("id_a"))
-      .join(hs.select(col("id").as("id_b"), col("hs").as("sh_b")), Seq("id_b"))
-    verifyJaccard(withSets, threshold)
+    (hs, candidates)
   }
 
   /** Exact n-gram Jaccard pairs via a PREFIX-FILTERED inverted index (the
@@ -181,6 +197,16 @@ object Dedup {
     * separated so specs can plant hashes at exact Hamming distances.
     */
   def simhashPairsFromHashes(
+      h: DataFrame, maxHamming: Int, tableCap: Int = 32): DataFrame =
+    simhashCandidatesFromHashes(h, maxHamming, tableCap)
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+
+  /** Candidate pairs (pre popcount verification) — exposed for the scale
+    * harness's candidate-growth measurements.
+    */
+  private[graft] def simhashCandidatesFromHashes(
       h: DataFrame, maxHamming: Int, tableCap: Int = 32): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
     def choose(n: Int, r: Int): Long = {
@@ -210,26 +236,39 @@ object Dedup {
     a.join(b, Seq("k"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
   }
 
   /** Embedding-cosine near-duplicates: pairs with cosine >= threshold,
     * candidates from coarse LSH buckets (see [[Similarity.hyperplaneLsh]]).
+    *
+    * The bucket join ships ONLY (bucket, id) — the r8 DedupScaleBench run
+    * caught the previous shape (vectors riding the candidate join) at 2.5 GB
+    * of shuffle for a 20 k-vector corpus; with the candidate set id-only and
+    * vectors re-joined after pair dedup (the same device minhashLsh uses for
+    * its shingle arrays), the candidate shuffle is 16 bytes per pair and the
+    * vector shuffle is one row per SURVIVING distinct pair side.
     */
   def embeddingNearDup(
       df: DataFrame,
       vecCol: String,
       idCol: String,
       threshold: Double = 0.95,
-      bits: Int = 12): DataFrame = {
-    val sig = Similarity.hyperplaneSignature(df, vecCol, idCol, bits)
-    val a = sig.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = sig.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("bucket"))
+      bits: Int = 12,
+      bands: Int = 1): DataFrame = {
+    val keyed =
+      if (bands <= 1)
+        Similarity.hyperplaneSignature(df, vecCol, idCol, bits)
+          .select(col("id"), col("v"), lit(0).as("band"), col("bucket").as("key"))
+      else Similarity.hyperplaneBands(df, vecCol, idCol, bits, bands)
+    val sig = keyed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vecs = sig.select("id", "v").dropDuplicates("id")
+    val a = sig.select(col("band"), col("key"), col("id").as("id_a"))
+    val b = sig.select(col("band"), col("key"), col("id").as("id_b"))
+    a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("cos", cosineSimilarity(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
@@ -311,7 +350,7 @@ object Dedup {
       .drop("cluster", "__cluster")
   }
 
-  private def verifyJaccard(pairs: DataFrame, threshold: Double): DataFrame =
+  private[graft] def verifyJaccard(pairs: DataFrame, threshold: Double): DataFrame =
     pairs
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))

@@ -443,6 +443,28 @@ object Multimodal {
     }
   }
 
+  /** Deterministic solid-color PNG synth (dev/test fixture): a REAL PNG
+    * encoded by the JDK's ImageIO, so [[decodeImageFeatures]]' real decode
+    * path runs against known-answer pixels — the image analogue of
+    * [[sineWav]]/[[synthAvi]] (r7 verdict #5). A solid fill makes the mean
+    * RGB exactly the fill color, recomputable by any engine from the
+    * parameters alone.
+    */
+  def synthPng(width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Deterministic minimal-AVI synth (dev/test fixture): a RIFF header with
     * a real AVIMAINHEADER — drives the REAL parse path without binary
     * fixtures in the repo (same device as [[sineWav]]).

@@ -59,6 +59,51 @@ object Similarity {
       .withColumn("bucket", coalesce(col("bucket"), lit(0L)))
   }
 
+  /** Multi-band hyperplane signatures: `bands` independent keys of
+    * `bitsPerBand` planes each (plane p of band b = global plane
+    * b·bitsPerBand + p, same sin-derived weights as
+    * [[hyperplaneSignature]]). A pair is a candidate iff SOME band's full
+    * key matches — the minhash-banding shape applied to hyperplane LSH.
+    *
+    * Why this exists (r8 DedupScaleBench finding): with a SINGLE band,
+    * label-clustered corpora concentrate mid-similarity vectors (cos ≈ 0.9)
+    * into shared buckets — at 100 k vectors the single-band candidate set
+    * hit 74× the true-pair count. Banding with wider keys drops the
+    * match probability of a cos-0.9 pair per band to (1−θ/π)^bitsPerBand
+    * (≈ 0.02 at 24 bits) while identical vectors still match EVERY band —
+    * exact-duplicate recall stays structural, near-threshold recall rises
+    * (1−(1−p^r)^b beats p^single for the same total bit budget), and the
+    * candidate set stops tracking cluster size.
+    *
+    * Output: one row per (id, band): (id, v, band, key).
+    */
+  private[graft] def hyperplaneBands(
+      df: DataFrame, vecCol: String, idCol: String,
+      bitsPerBand: Int, bands: Int): DataFrame = {
+    val e = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val expl = e.select(col("id"), posexplode(col("v")).as(Seq("d", "x")))
+    val total = bands * bitsPerBand
+    def planeSum(p: Int): Column =
+      sum(col("x").cast("double") *
+        sin(lit(p * 78.233) + col("d").cast("double") * lit(12.9898)))
+        .as(s"__plane$p")
+    val sums = expl.groupBy("id")
+      .agg(planeSum(0), (1 until total).map(planeSum): _*)
+    val keys = (0 until bands).map { b =>
+      (0 until bitsPerBand)
+        .map(p => when(col(s"__plane${b * bitsPerBand + p}") >= 0,
+          lit(1L << p)).otherwise(lit(0L)))
+        .reduce((x, y) => x.bitwiseOR(y))
+    }
+    // LEFT join + key 0 default, same null-vector contract as the single-
+    // band signature
+    e.join(sums.withColumn("__keys", array(keys: _*)).select("id", "__keys"),
+        Seq("id"), "left")
+      .withColumn("__keys",
+        coalesce(col("__keys"), array((0 until bands).map(_ => lit(0L)): _*)))
+      .select(col("id"), col("v"), posexplode(col("__keys")).as(Seq("band", "key")))
+  }
+
   /** Exact top-k cosine neighbors of each query row. `queries` must be small
     * (it is broadcast); the corpus streams through unshuffled until the final
     * per-query top-k, which is a TakeOrdered-style window over k*|queries|.

@@ -207,6 +207,74 @@ object ClickBenchQueries {
       GROUP BY event_type, src
       ORDER BY page_views DESC, event_type, src LIMIT 10 OFFSET 20""")),
 
+    // CB Q40: multi-IN filter + selective modular predicate + paged two-key
+    // rollup (TraficSourceID IN (-1,6) AND RefererHash = const analogue)
+    QueryDef("cb17_multi_in_paged", (s, dir) => {
+      v(s, dir, "events")
+      // CAST to DATE: Spark's date_trunc returns a timestamp, DuckDB's a DATE
+      s.sql("""SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+          COUNT(*) AS page_views
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+          AND user_id % 97 = 3
+          AND ts >= timestamp'2024-01-03 00:00:00'
+          AND ts < timestamp'2024-01-28 00:00:00'
+        GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
+        ORDER BY page_views DESC, user_id, d LIMIT 10 OFFSET 10""")
+    }, Some("""SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+        COUNT(*) AS page_views
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+        AND user_id % 97 = 3
+        AND ts >= timestamp'2024-01-03 00:00:00'
+        AND ts < timestamp'2024-01-28 00:00:00'
+      GROUP BY user_id, d
+      ORDER BY page_views DESC, user_id, d LIMIT 10 OFFSET 10"""),
+      bench = true),
+
+    // CB Q22: LIKE + NOT LIKE pair with MIN/count/count-distinct rollup
+    QueryDef("cb18_dual_like_rollup", (s, dir) => {
+      v(s, dir, "documents")
+      s.sql("""SELECT lang, MIN(source) AS first_src, COUNT(*) AS c,
+          COUNT(DISTINCT doc_id) AS u
+        FROM documents
+        WHERE text LIKE '%the%' AND source NOT LIKE '%cc%' AND lang <> ''
+        GROUP BY lang ORDER BY c DESC, lang LIMIT 10""")
+    }, Some("""SELECT lang, MIN(source) AS first_src, COUNT(*) AS c,
+        COUNT(DISTINCT doc_id) AS u
+      FROM documents
+      WHERE text LIKE '%the%' AND source NOT LIKE '%cc%' AND lang <> ''
+      GROUP BY lang ORDER BY c DESC, lang LIMIT 10""")),
+
+    // CB Q18: three-key high-cardinality grouping (UserID, minute, phrase)
+    // ordered by count — the two-level GROUP BY count family
+    QueryDef("cb19_userid_minute_group", (s, dir) => {
+      v(s, dir, "events")
+      s.sql("""SELECT user_id, CAST(minute(ts) AS INT) AS m, event_type,
+          COUNT(*) AS c
+        FROM events GROUP BY user_id, minute(ts), event_type
+        ORDER BY c DESC, user_id, m, event_type LIMIT 10""")
+    }, Some("""SELECT user_id, CAST(minute(ts) AS INT) AS m, event_type,
+        COUNT(*) AS c
+      FROM events GROUP BY user_id, m, event_type
+      ORDER BY c DESC, user_id, m, event_type LIMIT 10"""),
+      bench = true),
+
+    // CB Q34 ("SELECT 1, URL") + a UNION ALL feeding the rollup: constant
+    // grouping key over a unioned pair of filtered scans
+    QueryDef("cb20_union_rollup", (s, dir) => {
+      v(s, dir, "events")
+      s.sql("""SELECT 1 AS one, event_type, COUNT(*) AS c FROM (
+          SELECT event_type FROM events WHERE value >= 50
+          UNION ALL
+          SELECT event_type FROM events WHERE value < 50 AND event_type <> 'view')
+        GROUP BY 1, event_type ORDER BY c DESC, event_type LIMIT 10""")
+    }, Some("""SELECT 1 AS one, event_type, COUNT(*) AS c FROM (
+        SELECT event_type FROM events WHERE value >= 50
+        UNION ALL
+        SELECT event_type FROM events WHERE value < 50 AND event_type <> 'view')
+      GROUP BY 1, event_type ORDER BY c DESC, event_type LIMIT 10""")),
+
     // CB Q36-42: filtered page-view rollup, minute date_trunc, offset paging
     QueryDef("cb12_minute_rollup_paged", (s, dir) => {
       v(s, dir, "events")

@@ -1614,6 +1614,45 @@ object Queries {
         100 + doc_id % 50 AS frames
       FROM documents ORDER BY doc_id""")),
 
+    QueryDef("q109_image_decode_oracle", (s, dir) => {
+      // the REAL ImageIO decode path, oracle-gated (r7 verdict #5): per-doc
+      // PNGs are encoded in-JDK with doc_id-derived dimensions and a solid
+      // doc_id-derived fill, so the decoder's width/height and mean-RGB
+      // outputs (solid fill → mean = fill exactly) are recomputable by
+      // DuckDB from doc_id alone. The phash stays out of the oracle: cell
+      // means of a solid image tie with the global average, and >= on
+      // 1-ulp-apart doubles is not cross-engine-stable (q90 keeps the full
+      // feature set as the rows-only run).
+      val ids = Q.t(s, dir, "documents").select(col("doc_id"))
+        .orderBy("doc_id").limit(500)
+      val pngSchema = org.apache.spark.sql.types.StructType(ids.schema.fields :+
+        org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType))
+      val pngEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(pngSchema)
+      val pngs = ids.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          org.apache.spark.sql.Row(id, graft.operators.Multimodal.synthPng(
+            width = 16 + (id % 8).toInt * 16, height = 16 + (id % 6).toInt * 16,
+            r = (id % 8).toInt * 30, g = (id % 5).toInt * 50, b = (id % 3).toInt * 100))
+        }
+      }(pngEnc)
+      graft.operators.Multimodal.decodeImageFeatures(pngs, "content", batchSize = 64)
+        .select(col("doc_id"),
+          col("image_features.width").as("w"),
+          col("image_features.height").as("h"),
+          round(element_at(col("image_features.mean_rgb"), 1) * 255).cast("int").as("mean_r"),
+          round(element_at(col("image_features.mean_rgb"), 2) * 255).cast("int").as("mean_g"),
+          round(element_at(col("image_features.mean_rgb"), 3) * 255).cast("int").as("mean_b"))
+        .orderBy("doc_id")
+    }, Some("""SELECT doc_id,
+        CAST(16 + (doc_id % 8) * 16 AS INT) AS w,
+        CAST(16 + (doc_id % 6) * 16 AS INT) AS h,
+        CAST((doc_id % 8) * 30 AS INT) AS mean_r,
+        CAST((doc_id % 5) * 50 AS INT) AS mean_g,
+        CAST((doc_id % 3) * 100 AS INT) AS mean_b
+      FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 500)
+      ORDER BY doc_id""")),
+
     QueryDef("q97_histogram_adaptive", (s, dir) => {
       v(s, dir, "orders")
       // adaptive-bin histogram sketch (custom agg). Bin EDGES are sketch-
