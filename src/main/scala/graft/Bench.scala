@@ -55,9 +55,14 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val results = headline.map { q =>
-      once(q); once(q) // warm-ups: codegen cache + C2 JIT (one is not enough
-      // for the JIT to finish compiling the generated operators — BenchTune
-      // measured run-3 ≈ 40% under run-2 on the same query set)
+      once(q); once(q); once(q) // warm-ups: codegen cache + C2 JIT. THREE,
+      // not two (r8): an isolated q103 probe kept improving through run ~6
+      // (1.27 → 1.05 → 0.96 → 0.83 → 0.72 s at 32 cpus) — the regex-heavy
+      // generated code tiers up slowly, and r7's 0.46 ↔ 0.99 s "swing" was
+      // partly runs caught at different JIT depths. (The other half is CPU
+      // count: q103 is the most CPU-bound query in the set, so its time
+      // scales ~linearly with SPARK_GRAFT_CPUS — cross-run comparisons are
+      // only valid at the same cpus setting.)
       // Min-of-3 measured runs: a single measured run is not robust to
       // transient machine load (r6's committed bench had seven queries 3-7x
       // over their quiet-machine times from one CPU spike). The minimum is
