@@ -39,6 +39,10 @@ final class GraftSession(val spark: SparkSession) {
     "(?i)\\bfile\\(\\s*['\"]([^'\"]+)['\"]\\s*(?:,\\s*['\"]?([A-Za-z]+)['\"]?\\s*)?\\)".r
   private val urlFn =
     "(?i)\\burl\\(\\s*['\"]([^'\"]+)['\"]\\s*(?:,\\s*['\"]?([A-Za-z]+)['\"]?\\s*)?\\)".r
+  // lakehouse scans (reference deltaLake():930 / iceberg():868 / hudi():975
+  // — read-only path scans; credentials ride Hadoop FS config, not SQL args)
+  private val lakehouseFn =
+    "(?i)\\b(deltaLake|delta_lake|iceberg|hudi)\\(\\s*['\"]([^'\"]+)['\"]\\s*\\)".r
   // numbers / numbers_mt accept integer or scientific-notation counts (the
   // reference README uses numbers_mt(1e10)); system.numbers is the unbounded
   // generator capped here at 2^33 rows — LIMIT pushdown stops generation
@@ -96,9 +100,13 @@ final class GraftSession(val spark: SparkSession) {
       .take(8).map("%02x".format(_)).mkString
     val name = s"__graft_${kind}_$digest"
     if (!spark.catalog.tableExists(name)) {
-      val df =
-        if (kind == "url") graft.io.Sources.url(spark, path, fmt)
-        else graft.io.Sources.file(spark, path, fmt)
+      val df = kind match {
+        case "url" => graft.io.Sources.url(spark, path, fmt)
+        case "deltalake" => graft.io.Sources.deltaLake(spark, path)
+        case "iceberg" => graft.io.Sources.iceberg(spark, path)
+        case "hudi" => graft.io.Sources.hudi(spark, path)
+        case _ => graft.io.Sources.file(spark, path, fmt)
+      }
       df.createOrReplaceTempView(name)
     }
     name
@@ -109,7 +117,10 @@ final class GraftSession(val spark: SparkSession) {
       registerSource("file", m.group(1), chFormat(m.group(2))))
     val afterUrl = urlFn.replaceAllIn(afterFile, m =>
       registerSource("url", m.group(1), chFormat(m.group(2))))
-    val afterRand = generateRandomFn.replaceAllIn(afterUrl, m =>
+    val afterLake = lakehouseFn.replaceAllIn(afterUrl, m =>
+      registerSource(
+        m.group(1).toLowerCase.replace("_", ""), m.group(2), ""))
+    val afterRand = generateRandomFn.replaceAllIn(afterLake, m =>
       registerGenerateRandom(m.group(1),
         Option(m.group(2)).map(_.toLong).getOrElse(42L)))
     val afterNumbers = numbersFn.replaceAllIn(afterRand, m => {

@@ -1,0 +1,429 @@
+package graft.io
+
+import scala.collection.mutable
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Native Apache Iceberg reader — a from-scratch implementation of the
+  * public Iceberg table spec (iceberg.apache.org/spec: metadata json →
+  * manifest list (Avro) → manifests (Avro) → data files), used by
+  * [[Sources.iceberg]] when no connector jar is on the classpath
+  * (reference `iceberg()`: datastore/table_functions.py:868 — read-only
+  * path scan; ClickHouse's Iceberg engine is the same metadata walk).
+  *
+  * Like Delta, ALL of this is metadata measured in KBs-to-MBs even for a
+  * 100 TB table; the walk happens on the driver and the resulting file
+  * list feeds one distributed `spark.read.parquet` scan (Iceberg data
+  * files carry complete rows — identity-partition values included — so no
+  * per-file value attachment is needed; Avro arrives on the classpath with
+  * Spark itself).
+  *
+  * Coverage: format v1 and v2 metadata; `version-hint.text` or
+  * newest-`*.metadata.json` discovery; manifest-list or v1 inline
+  * `manifests`; `status=DELETED` entry filtering; snapshot selection via
+  * `current-snapshot-id` (plus `snapshotAsOf` time travel by snapshot id).
+  * Unsupported-by-design (capability error, never wrong rows): delete
+  * files (v2 row-level deletes — a positional/equality merge needs the
+  * connector), non-parquet data files.
+  *
+  * Caveat (documented, inherent to name-based reads): columns renamed via
+  * Iceberg's field-id evolution read as the CURRENT name only if the
+  * parquet footers carry it; tables that renamed columns after writing
+  * data need the connector's field-id resolution.
+  */
+object IcebergNative {
+
+  private val mapper = new ObjectMapper()
+
+  /** Locate and parse the current metadata JSON. */
+  private def currentMetadata(spark: SparkSession, tablePath: String): (Path, JsonNode) = {
+    val meta = new Path(tablePath, "metadata")
+    val fs = meta.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(meta))
+      throw new IllegalArgumentException(
+        s"not an Iceberg table (no metadata/ directory): $tablePath")
+    val hint = new Path(meta, "version-hint.text")
+    val metaFile =
+      if (fs.exists(hint)) {
+        val in = fs.open(hint)
+        val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        new Path(meta, s"v$v.metadata.json")
+      } else {
+        val cands = fs.listStatus(meta).map(_.getPath.getName)
+          .filter(_.endsWith(".metadata.json")).sorted
+        if (cands.isEmpty)
+          throw new IllegalArgumentException(
+            s"not an Iceberg table (no *.metadata.json): $tablePath")
+        new Path(meta, cands.last)
+      }
+    val in = fs.open(metaFile)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    (metaFile, mapper.readTree(text))
+  }
+
+  final case class DataFileRef(path: String, format: String, recordCount: Long)
+
+  /** Data files of the chosen snapshot (default: current). */
+  def planFiles(spark: SparkSession, tablePath: String,
+      snapshotAsOf: Option[Long] = None): (StructType, Seq[DataFileRef]) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val (_, root) = currentMetadata(spark, tablePath)
+
+    val schema = {
+      val byId = Option(root.get("schemas")).map { arr =>
+        (0 until arr.size).map(arr.get).map(s =>
+          s.get("schema-id").asLong -> s).toMap
+      }.getOrElse(Map.empty[Long, JsonNode])
+      val chosen = Option(root.get("current-schema-id")).map(_.asLong)
+        .flatMap(byId.get)
+        .orElse(Option(root.get("schema"))) // v1 single-schema layout
+        .getOrElse(throw new IllegalArgumentException(
+          s"no schema in Iceberg metadata: $tablePath"))
+      icebergSchemaToSpark(chosen)
+    }
+
+    val snapshots = Option(root.get("snapshots"))
+      .map(arr => (0 until arr.size).map(arr.get)).getOrElse(Nil)
+    val wantedId = snapshotAsOf.orElse(
+      Option(root.get("current-snapshot-id")).map(_.asLong).filter(_ != -1L))
+    val snap = wantedId.flatMap(id =>
+      snapshots.find(_.get("snapshot-id").asLong == id))
+    if (snap.isEmpty) return (schema, Nil) // empty table: no snapshot yet
+
+    val manifestPaths: Seq[(String, Int)] = // (path, content: 0 data / 1 deletes)
+      Option(snap.get.get("manifest-list")).map { mlNode =>
+        val mlPath = toFsPath(mlNode.asText, tablePath)
+        readAvro(spark, mlPath).map { r =>
+          val content = Option(r.get("content")).map(_.toString.toInt).getOrElse(0)
+          (r.get("manifest_path").toString, content)
+        }
+      }.orElse(Option(snap.get.get("manifests")).map { arr => // v1 inline
+        (0 until arr.size).map(i => (arr.get(i).asText, 0))
+      }).getOrElse(throw new IllegalArgumentException(
+        s"snapshot has neither manifest-list nor manifests: $tablePath"))
+
+    val files = mutable.Buffer.empty[DataFileRef]
+    manifestPaths.foreach { case (mp, listContent) =>
+      if (listContent == 1)
+        throw unsupported("delete manifests (v2 row-level deletes)", tablePath)
+      readAvro(spark, toFsPath(mp, tablePath)).foreach { entry =>
+        val status = Option(entry.get("status")).map(_.toString.toInt).getOrElse(1)
+        if (status != 2) { // 2 = DELETED
+          val dfRec = entry.get("data_file").asInstanceOf[GenericRecord]
+          val content = Option(dfRec.get("content")).map(_.toString.toInt).getOrElse(0)
+          if (content != 0)
+            throw unsupported("delete files (v2 row-level deletes)", tablePath)
+          val fmt = dfRec.get("file_format").toString.toLowerCase
+          if (fmt != "parquet")
+            throw unsupported(s"$fmt data files", tablePath)
+          files += DataFileRef(dfRec.get("file_path").toString, fmt,
+            Option(dfRec.get("record_count")).map(_.toString.toLong).getOrElse(0L))
+        }
+      }
+    }
+    (schema, files.toSeq)
+  }
+
+  /** Read the table as a DataFrame (current snapshot, or `snapshotAsOf`
+    * a specific snapshot id).
+    */
+  def read(spark: SparkSession, tablePath: String,
+      snapshotAsOf: Option[Long] = None): DataFrame = {
+    val (schema, files) = planFiles(spark, tablePath, snapshotAsOf)
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    spark.read.schema(schema)
+      .parquet(files.map(f => toFsPath(f.path, tablePath).toString): _*)
+  }
+
+  // ------------------------------------------------------------ writer
+  // Fixture-grade but spec-conformant v2 writer: enough of the format
+  // (real Avro manifests + manifest lists, versioned metadata json,
+  // version-hint) for the read path to be exercised end-to-end in a
+  // connector-less container, and for the q112 oracle round trip.
+
+  private val manifestEntrySchema = new org.apache.avro.Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |  {"name":"status","type":"int","field-id":0},
+      |  {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |    {"name":"content","type":"int","field-id":134},
+      |    {"name":"file_path","type":"string","field-id":100},
+      |    {"name":"file_format","type":"string","field-id":101},
+      |    {"name":"record_count","type":"long","field-id":103},
+      |    {"name":"file_size_in_bytes","type":"long","field-id":104}
+      |  ]},"field-id":2}
+      |]}""".stripMargin)
+
+  private val manifestFileSchema = new org.apache.avro.Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |  {"name":"manifest_path","type":"string","field-id":500},
+      |  {"name":"manifest_length","type":"long","field-id":501},
+      |  {"name":"partition_spec_id","type":"int","field-id":502},
+      |  {"name":"content","type":"int","field-id":517},
+      |  {"name":"added_snapshot_id","type":"long","field-id":503}
+      |]}""".stripMargin)
+
+  /** Commit `df` as a new snapshot. Returns the snapshot id. */
+  def write(df: DataFrame, tablePath: String, mode: String = "overwrite"): Long = {
+    val spark = df.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val table = new Path(tablePath)
+    val meta = new Path(table, "metadata")
+    val fs = table.getFileSystem(conf)
+    fs.mkdirs(meta)
+    fs.mkdirs(new Path(table, "data"))
+
+    val priorPair = try Some(currentMetadata(spark, tablePath))
+      catch { case _: IllegalArgumentException => None }
+    val prior = priorPair.map(_._2)
+    val verRe = "^v(\\d+)\\.metadata\\.json$".r
+    val version = priorPair.map(_._1.getName) match {
+      case Some(verRe(v)) => v.toInt + 1
+      case _ => 1
+    }
+    val snapshotId = System.currentTimeMillis() * 1000 + version
+
+    // stage data files, move under data/
+    val tmp = new Path(table, s".graft_stage_${java.util.UUID.randomUUID}")
+    df.write.parquet(tmp.toString)
+    val dataFiles = mutable.Buffer.empty[(String, Long, Long)] // (path, rows, bytes)
+    fs.listStatus(tmp).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .foreach { st =>
+        val dest = new Path(table, s"data/${java.util.UUID.randomUUID}.parquet")
+        fs.rename(st.getPath, dest)
+        dataFiles += ((dest.toString, -1L, st.getLen))
+      }
+    fs.delete(tmp, true)
+
+    // one manifest for this commit's files
+    val manifestPath = new Path(meta, s"manifest-$snapshotId.avro")
+    writeAvro(spark, manifestPath, manifestEntrySchema, dataFiles.toSeq.map {
+      case (p, _, bytes) =>
+        val e = new GenericData.Record(manifestEntrySchema)
+        e.put("status", 1)
+        val d = new GenericData.Record(
+          manifestEntrySchema.getField("data_file").schema())
+        d.put("content", 0); d.put("file_path", p)
+        d.put("file_format", "PARQUET"); d.put("record_count", 0L)
+        d.put("file_size_in_bytes", bytes)
+        e.put("data_file", d)
+        e
+    })
+
+    // manifest list = prior manifests (append) or just this one (overwrite)
+    val priorManifests: Seq[(String, Long)] =
+      if (mode == "overwrite") Nil
+      else prior.toSeq.flatMap { p =>
+        val curId = Option(p.get("current-snapshot-id")).map(_.asLong)
+        val snaps = Option(p.get("snapshots"))
+          .map(arr => (0 until arr.size).map(arr.get)).getOrElse(Nil)
+        snaps.filter(s => curId.contains(s.get("snapshot-id").asLong))
+          .flatMap { s =>
+            readAvro(spark, toFsPath(s.get("manifest-list").asText, tablePath))
+              .map(r => (r.get("manifest_path").toString,
+                r.get("manifest_length").toString.toLong))
+          }
+      }
+    val mlPath = new Path(meta, s"snap-$snapshotId.avro")
+    val mLen = fs.getFileStatus(manifestPath).getLen
+    writeAvro(spark, mlPath, manifestFileSchema,
+      ((manifestPath.toString, mLen) +: priorManifests).map { case (p, len) =>
+        val r = new GenericData.Record(manifestFileSchema)
+        r.put("manifest_path", p); r.put("manifest_length", len)
+        r.put("partition_spec_id", 0); r.put("content", 0)
+        r.put("added_snapshot_id", snapshotId)
+        r
+      })
+
+    // versioned metadata json + version hint
+    val rootNode = mapper.createObjectNode()
+    rootNode.put("format-version", 2)
+    rootNode.put("table-uuid", java.util.UUID.randomUUID.toString)
+    rootNode.put("location", tablePath)
+    rootNode.put("last-sequence-number", version)
+    rootNode.put("last-updated-ms", System.currentTimeMillis())
+    rootNode.put("last-column-id", df.schema.size)
+    rootNode.put("current-schema-id", 0)
+    val schemas = rootNode.putArray("schemas")
+    schemas.add(sparkSchemaToIceberg(df.schema))
+    rootNode.putArray("partition-specs").addObject()
+      .put("spec-id", 0).putArray("fields")
+    rootNode.put("default-spec-id", 0)
+    rootNode.put("current-snapshot-id", snapshotId)
+    val snapsArr = rootNode.putArray("snapshots")
+    // keep prior snapshots readable for snapshotAsOf time travel
+    prior.foreach { p =>
+      Option(p.get("snapshots")).foreach { arr =>
+        (0 until arr.size).foreach(i => snapsArr.add(arr.get(i)))
+      }
+    }
+    val snapNode = snapsArr.addObject()
+    snapNode.put("snapshot-id", snapshotId)
+    snapNode.put("timestamp-ms", System.currentTimeMillis())
+    snapNode.put("manifest-list", mlPath.toString)
+    snapNode.putObject("summary").put("operation",
+      if (mode == "overwrite") "overwrite" else "append")
+
+    val mf = new Path(meta, s"v$version.metadata.json")
+    val out = fs.create(mf, true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(rootNode).getBytes("UTF-8"))
+    finally out.close()
+    val hint = fs.create(new Path(meta, "version-hint.text"), true)
+    try hint.write(version.toString.getBytes("UTF-8")) finally hint.close()
+    snapshotId
+  }
+
+  // ------------------------------------------------------------ helpers
+
+  private[graft] def readAvro(spark: SparkSession, path: Path): Seq[GenericRecord] = {
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(path)
+    val stream = new DataFileStream[GenericRecord](in,
+      new GenericDatumReader[GenericRecord]())
+    try {
+      val b = Seq.newBuilder[GenericRecord]
+      while (stream.hasNext) b += stream.next()
+      b.result()
+    } finally stream.close()
+  }
+
+  private[graft] def writeAvro(spark: SparkSession, path: Path,
+      schema: org.apache.avro.Schema, records: Seq[GenericRecord]): Unit = {
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(path, true)
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, out)
+    try records.foreach(w.append) finally w.close()
+  }
+
+  /** Manifest paths are absolute URIs; map file:/ URIs onto the table's
+    * filesystem and pass others through.
+    */
+  private def toFsPath(uri: String, tablePath: String): Path = {
+    val u = java.net.URI.create(uri.replace(" ", "%20"))
+    if (u.getScheme == null) new Path(new Path(tablePath), uri)
+    else new Path(u)
+  }
+
+  private def unsupported(what: String, tablePath: String) =
+    new UnsupportedOperationException(
+      s"Iceberg table $tablePath uses $what, which the native reader does " +
+        "not support; add the org.apache.iceberg connector jar to read it " +
+        "(Sources.lakehouseAvailable prefers the connector automatically)")
+
+  /** Iceberg schema JSON → Spark StructType (name-based; spec "Schemas"). */
+  private[graft] def icebergSchemaToSpark(node: JsonNode): StructType = {
+    def convert(t: JsonNode): DataType =
+      if (t.isTextual) primitive(t.asText)
+      else t.get("type").asText match {
+        case "struct" =>
+          StructType(jsonSeq(t.get("fields")).map { f =>
+            StructField(f.get("name").asText, convert(f.get("type")),
+              nullable = !Option(f.get("required")).exists(_.asBoolean))
+          })
+        case "list" =>
+          ArrayType(convert(t.get("element")),
+            containsNull = !Option(t.get("element-required")).exists(_.asBoolean))
+        case "map" =>
+          MapType(convert(t.get("key")), convert(t.get("value")),
+            valueContainsNull =
+              !Option(t.get("value-required")).exists(_.asBoolean))
+        case other => throw new IllegalArgumentException(
+          s"unsupported Iceberg type: $other")
+      }
+    def primitive(s: String): DataType = s match {
+      case "boolean" => BooleanType
+      case "int" => IntegerType
+      case "long" => LongType
+      case "float" => FloatType
+      case "double" => DoubleType
+      case "date" => DateType
+      case "timestamp" => TimestampNTZType
+      case "timestamptz" => TimestampType
+      case "string" | "uuid" => StringType
+      case "binary" => BinaryType
+      case f if f.startsWith("fixed") => BinaryType
+      case d if d.startsWith("decimal") =>
+        val Array(p, sc) = d.stripPrefix("decimal(").stripSuffix(")").split(",")
+        DecimalType(p.trim.toInt, sc.trim.toInt)
+      case other => throw new IllegalArgumentException(
+        s"unsupported Iceberg primitive: $other")
+    }
+    convert(node).asInstanceOf[StructType]
+  }
+
+  /** Spark StructType → Iceberg schema JSON (ids assigned depth-first). */
+  private[graft] def sparkSchemaToIceberg(schema: StructType): JsonNode = {
+    var nextId = 0
+    def id(): Int = { nextId += 1; nextId }
+    def typeNode(dt: DataType): Either[String, com.fasterxml.jackson.databind.node.ObjectNode] =
+      dt match {
+        case BooleanType => Left("boolean")
+        case IntegerType | ShortType | ByteType => Left("int")
+        case LongType => Left("long")
+        case FloatType => Left("float")
+        case DoubleType => Left("double")
+        case DateType => Left("date")
+        case TimestampNTZType => Left("timestamp")
+        case TimestampType => Left("timestamptz")
+        case StringType => Left("string")
+        case BinaryType => Left("binary")
+        case d: DecimalType => Left(s"decimal(${d.precision}, ${d.scale})")
+        case st: StructType =>
+          val o = mapper.createObjectNode()
+          o.put("type", "struct")
+          val fields = o.putArray("fields")
+          st.fields.foreach { f =>
+            val fo = fields.addObject()
+            fo.put("id", id()); fo.put("name", f.name)
+            fo.put("required", !f.nullable)
+            typeNode(f.dataType) match {
+              case Left(s) => fo.put("type", s)
+              case Right(n) => fo.set[JsonNode]("type", n)
+            }
+          }
+          Right(o)
+        case at: ArrayType =>
+          val o = mapper.createObjectNode()
+          o.put("type", "list"); o.put("element-id", id())
+          o.put("element-required", !at.containsNull)
+          typeNode(at.elementType) match {
+            case Left(s) => o.put("element", s)
+            case Right(n) => o.set[JsonNode]("element", n)
+          }
+          Right(o)
+        case mt: MapType =>
+          val o = mapper.createObjectNode()
+          o.put("type", "map")
+          o.put("key-id", id()); o.put("value-id", id())
+          o.put("value-required", !mt.valueContainsNull)
+          typeNode(mt.keyType) match {
+            case Left(s) => o.put("key", s)
+            case Right(n) => o.set[JsonNode]("key", n)
+          }
+          typeNode(mt.valueType) match {
+            case Left(s) => o.put("value", s)
+            case Right(n) => o.set[JsonNode]("value", n)
+          }
+          Right(o)
+        case other => throw new IllegalArgumentException(
+          s"unsupported type for Iceberg metadata: $other")
+      }
+    val root = typeNode(schema).toOption.get
+    root.put("schema-id", 0)
+    root
+  }
+
+  private def jsonSeq(n: JsonNode): Seq[JsonNode] =
+    if (n == null || !n.isArray) Nil else (0 until n.size).map(n.get)
+}

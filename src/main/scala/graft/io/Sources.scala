@@ -136,29 +136,36 @@ object Sources {
       .iterator.asScala.exists(_.shortName.equalsIgnoreCase(fmt))
   }
 
-  /** deltaLake(path) — reference table_functions.py:930. */
-  def deltaLake(spark: SparkSession, path: String): DataFrame =
-    lakehouse(spark, "delta", path)
+  /** deltaLake(path) — reference table_functions.py:930. Uses the connector
+    * jar when present (full feature surface); otherwise the from-scratch
+    * log-replay reader [[DeltaNative]] (JSON commits + parquet checkpoints +
+    * time travel; capability errors for deletion vectors / column mapping).
+    */
+  def deltaLake(spark: SparkSession, path: String,
+      versionAsOf: Option[Long] = None): DataFrame =
+    if (lakehouseAvailable("delta") && versionAsOf.isEmpty)
+      spark.read.format("delta").load(path)
+    else DeltaNative.read(spark, path, versionAsOf)
 
-  /** iceberg(tableOrPath) — reference table_functions.py:868. */
+  /** iceberg(tableOrPath) — reference table_functions.py:868. Uses the
+    * connector jar when present; otherwise the from-scratch metadata-walk
+    * reader [[IcebergNative]] (metadata json → Avro manifest list →
+    * manifests → data files; capability error for v2 delete files).
+    */
   def iceberg(spark: SparkSession, tableOrPath: String): DataFrame =
-    lakehouse(spark, "iceberg", tableOrPath)
+    if (lakehouseAvailable("iceberg"))
+      spark.read.format("iceberg").load(tableOrPath)
+    else IcebergNative.read(spark, tableOrPath)
 
-  /** hudi(path) — reference table_functions.py:975. */
+  /** hudi(path) — reference table_functions.py:975. Uses the connector jar
+    * when present; otherwise the from-scratch CoW snapshot reader
+    * [[HudiNative]] (timeline replay + latest file slice per group;
+    * capability error for MERGE_ON_READ).
+    */
   def hudi(spark: SparkSession, path: String): DataFrame =
-    lakehouse(spark, "hudi", path)
+    if (lakehouseAvailable("hudi")) spark.read.format("hudi").load(path)
+    else HudiNative.read(spark, path)
 
-  private def lakehouse(spark: SparkSession, fmt: String, path: String): DataFrame = {
-    if (!lakehouseAvailable(fmt))
-      throw new UnsupportedOperationException(
-        s"""table format '$fmt' needs its connector on the classpath:
-           |  delta   -> io.delta:delta-spark_2.13 + spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension
-           |  iceberg -> org.apache.iceberg:iceberg-spark-runtime + a spark_catalog config
-           |  hudi    -> org.apache.hudi:hudi-spark-bundle
-           |This container ships none of them; the read path below engages as
-           |soon as the jar is present (Sources.lakehouseAvailable gates it).""".stripMargin)
-    spark.read.format(fmt).load(path)
-  }
 
   private[graft] def detectFormat(path: String): String = {
     val clean = path.replaceAll("[?#].*$", "").replaceAll("/+$", "")

@@ -1653,6 +1653,61 @@ object Queries {
       FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 500)
       ORDER BY doc_id""")),
 
+    QueryDef("q110_delta_scan", (s, dir) => {
+      // Native Delta Lake reader end-to-end (r7 verdict: lakehouse reads
+      // were the "most user-visible gap", blocked only by the connector jar
+      // the container can't have). The query builds a REAL multi-commit,
+      // partitioned Delta table from nation via the spec-conformant writer,
+      // then reads it back through the from-scratch log replay
+      // (io/DeltaNative.scala) — partition values come from the log, not
+      // the data files. Content equals nation exactly, so DuckDB re-derives
+      // the expected output from the plain parquet fixture.
+      val nation = Q.t(s, dir, "nation")
+      val path = s"/tmp/graft_delta_${new java.io.File(dir).getName}/nation"
+      graft.io.DeltaNative.write(nation.filter(col("n_nationkey") < 10), path,
+        partitionBy = Seq("n_regionkey"), mode = "overwrite")
+      graft.io.DeltaNative.write(nation.filter(col("n_nationkey") >= 10), path,
+        partitionBy = Seq("n_regionkey"), mode = "append")
+      graft.io.Sources.deltaLake(s, path)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    }, Some("""SELECT n_nationkey, n_name, n_regionkey
+      FROM nation ORDER BY n_nationkey""")),
+
+    QueryDef("q111_hudi_scan", (s, dir) => {
+      // Native Hudi CoW reader end-to-end (io/HudiNative.scala): build a
+      // real two-commit partitioned CoW table from region + nation-like
+      // slices of nation, then snapshot-read it back through the timeline
+      // replay. Latest-file-slice selection and replacecommit handling are
+      // spec-tested; here the DRIVER-checked path proves the read returns
+      // exactly the committed rows.
+      val nation = Q.t(s, dir, "nation")
+      val path = s"/tmp/graft_hudi_${new java.io.File(dir).getName}/nation"
+      graft.io.HudiNative.write(nation.filter(col("n_nationkey") < 12), path,
+        partitionBy = Seq("n_regionkey"), mode = "overwrite")
+      graft.io.HudiNative.write(nation.filter(col("n_nationkey") >= 12), path,
+        partitionBy = Seq("n_regionkey"), mode = "append")
+      graft.io.Sources.hudi(s, path)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    }, Some("""SELECT n_nationkey, n_name, n_regionkey
+      FROM nation ORDER BY n_nationkey""")),
+
+    QueryDef("q112_iceberg_scan", (s, dir) => {
+      // Native Iceberg reader end-to-end (io/IcebergNative.scala): commit
+      // region as a real v2 table (metadata json + Avro manifest list +
+      // manifest), then read back through the metadata walk.
+      val region = Q.t(s, dir, "region")
+      val path = s"/tmp/graft_ice_${new java.io.File(dir).getName}/region"
+      graft.io.IcebergNative.write(region.filter(col("r_regionkey") < 2), path,
+        mode = "overwrite")
+      graft.io.IcebergNative.write(region.filter(col("r_regionkey") >= 2), path,
+        mode = "append")
+      graft.io.Sources.iceberg(s, path)
+        .select("r_regionkey", "r_name")
+        .orderBy("r_regionkey")
+    }, Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
+
     QueryDef("q97_histogram_adaptive", (s, dir) => {
       v(s, dir, "orders")
       // adaptive-bin histogram sketch (custom agg). Bin EDGES are sketch-

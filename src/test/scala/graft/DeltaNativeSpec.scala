@@ -1,0 +1,157 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.io.{DeltaNative, Sources}
+
+/** Native lakehouse readers, exercised end-to-end against tables created by
+  * the in-tree spec-conformant writers (the container has no connector
+  * jars; the formats themselves are public specs).
+  */
+class DeltaNativeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String = {
+    val d = Files.createTempDirectory(s"graft_lake_$tag").toFile
+    d.deleteOnExit()
+    d.toString + "/t"
+  }
+
+  private lazy val base = Seq(
+    (1L, "alpha", 1.5, "us"), (2L, "beta", 2.5, "us"),
+    (3L, "gamma", 3.5, "eu"), (4L, "delta", 4.5, "eu"),
+    (5L, "epsi", 5.5, null)).toDF("id", "name", "v", "region")
+
+  test("delta: unpartitioned round trip") {
+    val p = tmpDir("rt")
+    DeltaNative.write(base, p)
+    val back = Sources.deltaLake(spark, p)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "name", "v", "region"))
+    assert(back.orderBy("id").collect().toSeq == base.orderBy("id").collect().toSeq)
+  }
+
+  test("delta: partitioned (null + special chars in values) round trip") {
+    val odd = Seq((1L, "a b/c", 1.0), (2L, "a b/c", 2.0), (3L, null.asInstanceOf[String], 3.0))
+      .toDF("id", "k", "v")
+    val p = tmpDir("part")
+    DeltaNative.write(odd, p, partitionBy = Seq("k"))
+    val back = Sources.deltaLake(spark, p)
+    assert(back.orderBy("id").collect().toSeq == odd.orderBy("id").collect().toSeq)
+    // partition values really come from the log, not the data files
+    assert(back.filter(col("k") === "a b/c").count() == 2)
+    assert(back.filter(col("k").isNull).count() == 1)
+  }
+
+  test("delta: append then overwrite replays to the overwrite only") {
+    val p = tmpDir("multi")
+    DeltaNative.write(base.filter(col("id") <= 2), p)               // v0
+    DeltaNative.write(base.filter(col("id") > 2), p, mode = "append") // v1
+    assert(Sources.deltaLake(spark, p).count() == 5)
+    val last = base.filter(col("id") === 1)
+    DeltaNative.write(last, p, mode = "overwrite")                   // v2
+    val back = Sources.deltaLake(spark, p)
+    assert(back.collect().toSeq == last.collect().toSeq)
+  }
+
+  test("delta: versionAsOf time travel") {
+    val p = tmpDir("tt")
+    DeltaNative.write(base.filter(col("id") <= 2), p)                 // v0
+    DeltaNative.write(base.filter(col("id") === 3), p, mode = "append") // v1
+    DeltaNative.write(base.filter(col("id") === 4), p, mode = "overwrite") // v2
+    assert(Sources.deltaLake(spark, p, versionAsOf = Some(0L)).count() == 2)
+    assert(Sources.deltaLake(spark, p, versionAsOf = Some(1L)).count() == 3)
+    assert(Sources.deltaLake(spark, p).count() == 1)
+    val err = intercept[IllegalArgumentException] {
+      Sources.deltaLake(spark, p, versionAsOf = Some(9L))
+    }
+    assert(err.getMessage.contains("out of range"))
+  }
+
+  test("delta: checkpoint + post-checkpoint commits replay correctly") {
+    val p = tmpDir("ckpt")
+    DeltaNative.write(base.filter(col("id") <= 2), p)                 // v0
+    DeltaNative.write(base.filter(col("id") === 3), p, mode = "append") // v1
+    assert(DeltaNative.checkpoint(spark, p) == 1L)
+    DeltaNative.write(base.filter(col("id") === 4), p, mode = "append") // v2
+    // delete the pre-checkpoint commits: replay must start at the checkpoint
+    Seq(0L, 1L).foreach { v =>
+      Files.delete(Paths.get(p, "_delta_log", f"$v%020d.json"))
+    }
+    val back = Sources.deltaLake(spark, p)
+    assert(back.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    val snap = DeltaNative.snapshot(spark, p)
+    assert(snap.version == 2L)
+  }
+
+  test("delta: gap in the commit tail is an error, not silent data loss") {
+    val p = tmpDir("gap")
+    DeltaNative.write(base.filter(col("id") <= 2), p)                 // v0
+    DeltaNative.write(base.filter(col("id") === 3), p, mode = "append") // v1
+    DeltaNative.write(base.filter(col("id") === 4), p, mode = "append") // v2
+    Files.delete(Paths.get(p, "_delta_log", f"${1L}%020d.json"))
+    val err = intercept[IllegalArgumentException] {
+      Sources.deltaLake(spark, p)
+    }
+    assert(err.getMessage.contains("gap in _delta_log"))
+  }
+
+  test("delta: deletion vectors and column mapping refuse loudly") {
+    val p = tmpDir("dv")
+    DeltaNative.write(base, p)
+    val log = Paths.get(p, "_delta_log", f"${1L}%020d.json")
+    Files.write(log,
+      ("""{"add":{"path":"x.parquet","partitionValues":{},"size":1,""" +
+        """"modificationTime":0,"dataChange":true,"deletionVector":""" +
+        """{"storageType":"u","pathOrInlineDv":"d","offset":1,"sizeInBytes":1,"cardinality":1}}}""" + "\n")
+        .getBytes("UTF-8"))
+    val e1 = intercept[UnsupportedOperationException](Sources.deltaLake(spark, p))
+    assert(e1.getMessage.contains("deletion vectors"))
+
+    val p2 = tmpDir("cm")
+    DeltaNative.write(base, p2)
+    val md = """{"metaData":{"id":"m2","format":{"provider":"parquet","options":{}},""" +
+      """"schemaString":""" + com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+        .writeValueAsString(base.schema.json) +
+      ""","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}"""
+    Files.write(Paths.get(p2, "_delta_log", f"${1L}%020d.json"), (md + "\n").getBytes("UTF-8"))
+    val e2 = intercept[UnsupportedOperationException](Sources.deltaLake(spark, p2))
+    assert(e2.getMessage.contains("column mapping"))
+  }
+
+  test("delta: reader-feature gate (minReaderVersion 3)") {
+    val p = tmpDir("feat")
+    DeltaNative.write(base, p)
+    Files.write(Paths.get(p, "_delta_log", f"${1L}%020d.json"),
+      ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""" + "\n")
+        .getBytes("UTF-8"))
+    val e = intercept[UnsupportedOperationException](Sources.deltaLake(spark, p))
+    assert(e.getMessage.contains("deletionVectors"))
+    // a supported reader feature passes
+    val p2 = tmpDir("feat2")
+    DeltaNative.write(base, p2)
+    Files.write(Paths.get(p2, "_delta_log", f"${1L}%020d.json"),
+      ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz"]}}""" + "\n")
+        .getBytes("UTF-8"))
+    assert(Sources.deltaLake(spark, p2).count() == 5)
+  }
+
+  test("delta: SQL table function deltaLake('path')") {
+    val p = tmpDir("sqlfn")
+    DeltaNative.write(base, p)
+    val out = sql(s"SELECT count(*) AS n, sum(id) AS s FROM deltaLake('$p')")
+    assert(out.collect().head.toSeq == Seq(5L, 15L))
+  }
+
+  test("delta: filters and pruning reach the parquet scan through the log replay") {
+    val p = tmpDir("plan")
+    DeltaNative.write(base, p)
+    val q = Sources.deltaLake(spark, p).filter(col("id") > 2).select("id", "name")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,2)"), plan)
+    assert(plan.contains("ReadSchema: struct<id:bigint,name:string>"), plan)
+  }
+}

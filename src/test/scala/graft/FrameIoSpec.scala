@@ -146,17 +146,22 @@ class LakehouseSpec extends SparkTestBase {
     assert(Sources.lakehouseAvailable("json"))
   }
 
-  test("absent connectors gate with a capability error naming the jar") {
-    for (fmt <- Seq("delta", "iceberg", "hudi") if !Sources.lakehouseAvailable(fmt)) {
-      val e = intercept[UnsupportedOperationException] {
-        fmt match {
-          case "delta" => Sources.deltaLake(spark, "/tmp/nonexistent")
-          case "iceberg" => Sources.iceberg(spark, "/tmp/nonexistent")
-          case "hudi" => Sources.hudi(spark, "/tmp/nonexistent")
-        }
-      }
-      assert(e.getMessage.contains(fmt))
+  test("lakehouse formats read natively when no connector jar is present") {
+    // delta/hudi/iceberg no longer gate on the connector: the native
+    // readers engage instead (DeltaNativeSpec / HudiNativeSpec /
+    // IcebergNativeSpec cover them); a non-table path is a table error
+    val e = intercept[IllegalArgumentException] {
+      Sources.deltaLake(spark, "/tmp/nonexistent")
     }
+    assert(e.getMessage.contains("_delta_log"))
+    val e2 = intercept[IllegalArgumentException] {
+      Sources.hudi(spark, "/tmp/nonexistent")
+    }
+    assert(e2.getMessage.contains("hoodie"))
+    val e3 = intercept[IllegalArgumentException] {
+      Sources.iceberg(spark, "/tmp/nonexistent")
+    }
+    assert(e3.getMessage.contains("metadata"))
   }
 
   test("UPDATE/DELETE gate on row-level-transaction support") {

@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.io.{HudiNative, Sources}
+
+/** Native Hudi CoW reader, exercised against tables created by the in-tree
+  * spec-conformant writer (no connector jar in the container; the storage
+  * spec is public).
+  */
+class HudiNativeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String = {
+    val d = Files.createTempDirectory(s"graft_hudi_$tag").toFile
+    d.deleteOnExit()
+    d.toString + "/t"
+  }
+
+  private lazy val base = Seq(
+    (1L, "alpha", 1.5, "us"), (2L, "beta", 2.5, "us"),
+    (3L, "gamma", 3.5, "eu"), (4L, "delta", 4.5, "eu"))
+    .toDF("id", "name", "v", "region")
+
+  test("hudi: unpartitioned round trip, meta columns dropped by default") {
+    val p = tmpDir("rt")
+    HudiNative.write(base, p)
+    val back = Sources.hudi(spark, p)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "name", "v", "region"))
+    assert(back.orderBy("id").collect().toSeq == base.orderBy("id").collect().toSeq)
+    val meta = HudiNative.read(spark, p, withMeta = true)
+    assert(meta.columns.count(_.startsWith("_hoodie_")) == 5)
+  }
+
+  test("hudi: partitioned table keeps partition columns in data files") {
+    val p = tmpDir("part")
+    HudiNative.write(base, p, partitionBy = Seq("region"))
+    val back = Sources.hudi(spark, p)
+    assert(back.orderBy("id").collect().toSeq == base.orderBy("id").collect().toSeq)
+    assert(back.filter(col("region") === "eu").count() == 2)
+  }
+
+  test("hudi: append adds file groups; overwrite retires them via replacecommit") {
+    val p = tmpDir("multi")
+    HudiNative.write(base.filter(col("id") <= 2), p)
+    HudiNative.write(base.filter(col("id") > 2), p, mode = "append")
+    assert(Sources.hudi(spark, p).count() == 4)
+    val last = base.filter(col("id") === 1)
+    HudiNative.write(last, p, mode = "overwrite")
+    assert(Sources.hudi(spark, p).collect().toSeq == last.collect().toSeq)
+  }
+
+  test("hudi: latest file slice wins within a file group (copy-on-write update)") {
+    val p = tmpDir("slice")
+    HudiNative.write(base.coalesce(1), p) // one file group holding all rows
+    val g = HudiNative.snapshotFiles(spark, p).head
+    val updated = spark.read.parquet(g.path)
+      .withColumn("name", upper(col("name")))
+    HudiNative.rewriteGroup(spark, p, g, updated)
+    val back = Sources.hudi(spark, p)
+    assert(back.count() == 4)
+    assert(back.filter(col("name") =!= upper(col("name"))).count() == 0)
+    // both versions of the base file exist on disk; only the newest is read
+    assert(HudiNative.snapshotFiles(spark, p).size == 1)
+  }
+
+  test("hudi: uncommitted base files are invisible (instant not on timeline)") {
+    val p = tmpDir("inflight")
+    HudiNative.write(base, p)
+    val g = HudiNative.snapshotFiles(spark, p).head
+    // simulate a failed write: a base file whose instant never completed
+    val orphanInstant = "99999999999999999"
+    spark.read.parquet(g.path).limit(1).coalesce(1)
+      .write.parquet(p + "/.orphan_stage")
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val one = fs.listStatus(new org.apache.hadoop.fs.Path(p + "/.orphan_stage"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.rename(one, new org.apache.hadoop.fs.Path(p,
+      s"${java.util.UUID.randomUUID}-0_0-0-0_$orphanInstant.parquet"))
+    fs.delete(new org.apache.hadoop.fs.Path(p + "/.orphan_stage"), true)
+    assert(Sources.hudi(spark, p).count() == 4)
+  }
+
+  test("hudi: MERGE_ON_READ refuses loudly") {
+    val p = tmpDir("mor")
+    HudiNative.write(base, p)
+    val propsPath = java.nio.file.Paths.get(p, ".hoodie", "hoodie.properties")
+    val text = new String(Files.readAllBytes(propsPath), "UTF-8")
+      .replace("COPY_ON_WRITE", "MERGE_ON_READ")
+    Files.write(propsPath, text.getBytes("UTF-8"))
+    // editing behind Hadoop's ChecksumFileSystem invalidates the sidecar
+    Files.deleteIfExists(java.nio.file.Paths.get(p, ".hoodie", ".hoodie.properties.crc"))
+    val e = intercept[UnsupportedOperationException](Sources.hudi(spark, p))
+    assert(e.getMessage.contains("MERGE_ON_READ"))
+  }
+
+  test("hudi: SQL table function hudi('path')") {
+    val p = tmpDir("sqlfn")
+    HudiNative.write(base, p)
+    val out = sql(s"SELECT count(*) AS n, sum(id) AS s FROM hudi('$p')")
+    assert(out.collect().head.toSeq == Seq(4L, 10L))
+  }
+
+  test("hudi: filters and pruning reach the parquet scan") {
+    val p = tmpDir("plan")
+    HudiNative.write(base, p)
+    val q = Sources.hudi(spark, p).filter(col("id") > 2).select("id", "name")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,2)"), plan)
+  }
+}
