@@ -94,7 +94,11 @@ object Ranking {
         if (sample.isEmpty) Seq.empty
         else {
           // toString order ≈ Spark order for string/date/timestamp — and any
-          // divergence shifts balance only (see monotonicity note above)
+          // divergence shifts balance only (see monotonicity note above).
+          // Known divergence (r7 verdict): java.lang.String sorts by UTF-16
+          // code unit, Spark's UTF8String by UTF-8 byte — supplementary-
+          // plane and some non-ASCII keys order differently, so locale-heavy
+          // key spaces may get skewed (never wrong) buckets.
           val sorted = sample.map(v => v.toString -> v).sortBy(_._1).map(_._2)
           (1 until b)
             .map(i => sorted(((i.toLong * sorted.length) / b).toInt
