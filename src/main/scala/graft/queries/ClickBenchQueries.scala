@@ -275,6 +275,19 @@ object ClickBenchQueries {
         SELECT event_type FROM events WHERE value < 50 AND event_type <> 'view')
       GROUP BY 1, event_type ORDER BY c DESC, event_type LIMIT 10""")),
 
+    // CB Q41: two-int-key rollup paged DEEP (OFFSET 10000-class) — the
+    // pagination shape where the limit no longer short-circuits the sort
+    QueryDef("cb21_deep_offset_rollup", (s, dir) => {
+      v(s, dir, "events")
+      s.sql("""SELECT user_id, CAST(FLOOR(value) AS INT) AS w, COUNT(*) AS page_views
+        FROM events WHERE event_type <> 'view'
+        GROUP BY user_id, CAST(FLOOR(value) AS INT)
+        ORDER BY page_views DESC, user_id, w LIMIT 10 OFFSET 5000""")
+    }, Some("""SELECT user_id, CAST(FLOOR(value) AS INT) AS w, COUNT(*) AS page_views
+      FROM events WHERE event_type <> 'view'
+      GROUP BY user_id, w
+      ORDER BY page_views DESC, user_id, w LIMIT 10 OFFSET 5000""")),
+
     // CB Q36-42: filtered page-view rollup, minute date_trunc, offset paging
     QueryDef("cb12_minute_rollup_paged", (s, dir) => {
       v(s, dir, "events")

@@ -139,6 +139,16 @@ class DeltaNativeSpec extends SparkTestBase {
     assert(Sources.deltaLake(spark, p2).count() == 5)
   }
 
+  test("delta: add-column schema evolution reads old files as null") {
+    val p = tmpDir("evo")
+    DeltaNative.write(base.select("id", "name"), p)                 // v0: 2 cols
+    DeltaNative.write(base.select("id", "name", "v"), p, mode = "append") // v1: 3
+    val back = Sources.deltaLake(spark, p)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "name", "v"))
+    assert(back.filter(col("v").isNull).count() == 5)  // v0 files: missing col
+    assert(back.filter(col("v").isNotNull).count() == 5)
+  }
+
   test("delta: SQL table function deltaLake('path')") {
     val p = tmpDir("sqlfn")
     DeltaNative.write(base, p)
