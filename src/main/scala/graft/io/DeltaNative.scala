@@ -54,8 +54,13 @@ object DeltaNative {
   final case class AddFile(path: String, partitionValues: Map[String, Option[String]],
       size: Long)
 
+  /** `txns`: latest SetTransaction version per streaming appId (the
+    * protocol's exactly-once device — PROTOCOL.md "Transaction
+    * Identifiers").
+    */
   final case class Snapshot(version: Long, schema: StructType,
-      partitionColumns: Seq[String], files: Seq[AddFile])
+      partitionColumns: Seq[String], files: Seq[AddFile],
+      txns: Map[String, Long] = Map.empty)
 
   private val commitRe = "^(\\d{20})\\.json$".r
   private val ckptRe = "^(\\d{20})\\.checkpoint(?:\\.\\d{10}\\.\\d{10})?\\.parquet$".r
@@ -94,6 +99,7 @@ object DeltaNative {
       .reduceOption(_ max _)
 
     val state = mutable.LinkedHashMap.empty[String, AddFile]
+    val txns = mutable.Map.empty[String, Long]
     var schemaString: String = null
     var partitionColumns: Seq[String] = Nil
     var configuration: Map[String, String] = Map.empty
@@ -128,6 +134,10 @@ object DeltaNative {
       val pr = ck.filter(col("protocol").isNotNull)
         .select(col("protocol.minReaderVersion")).collect()
       pr.lastOption.foreach(r => minReader = r.getInt(0))
+      if (ck.schema.fieldNames.contains("txn"))
+        ck.filter(col("txn").isNotNull)
+          .select(col("txn.appId"), col("txn.version")).collect()
+          .foreach(r => txns(r.getString(0)) = r.getLong(1))
     }
 
     val tail = commitVersions.filter(v => v > baseCkpt.getOrElse(-1L) && v <= target)
@@ -171,6 +181,10 @@ object DeltaNative {
           state(path) = AddFile(path, pv, Option(a.get("size")).map(_.asLong).getOrElse(0L))
         }
         if (node.has("remove")) state.remove(node.get("remove").get("path").asText)
+        if (node.has("txn")) {
+          val t = node.get("txn")
+          txns(t.get("appId").asText) = t.get("version").asLong
+        }
       }
     }
 
@@ -186,8 +200,16 @@ object DeltaNative {
       throw new IllegalArgumentException(s"no metaData action in _delta_log: $tablePath")
 
     Snapshot(target, DataType.fromJson(schemaString).asInstanceOf[StructType],
-      partitionColumns, state.values.toSeq)
+      partitionColumns, state.values.toSeq, txns.toMap)
   }
+
+  /** Latest committed SetTransaction version for a streaming `appId`, or
+    * None if the app never committed (or the table doesn't exist yet).
+    */
+  def lastTxnVersion(spark: SparkSession, tablePath: String,
+      appId: String): Option[Long] =
+    try snapshot(spark, tablePath).txns.get(appId)
+    catch { case _: IllegalArgumentException => None }
 
   /** Read the table as a DataFrame (latest snapshot, or `versionAsOf`). */
   def read(spark: SparkSession, tablePath: String,
@@ -239,7 +261,7 @@ object DeltaNative {
     * commit or schema change, `remove` actions on overwrite.
     */
   def write(df: DataFrame, tablePath: String, partitionBy: Seq[String] = Nil,
-      mode: String = "overwrite"): Long = {
+      mode: String = "overwrite", txn: Option[(String, Long)] = None): Long = {
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     val table = new Path(tablePath)
@@ -249,6 +271,10 @@ object DeltaNative {
 
     val prior =
       try Some(snapshot(spark, tablePath)) catch { case _: Exception => None }
+    // SetTransaction idempotence: a replayed streaming batch (appId,
+    // version) that's already committed is a no-op, not a duplicate append
+    for ((appId, v) <- txn; p <- prior; last <- p.txns.get(appId))
+      if (last >= v) return p.version
     val version = prior.map(_.version + 1).getOrElse(0L)
 
     // stage data files under a temp dir, then move into the table keeping
@@ -299,6 +325,13 @@ object DeltaNative {
       md.put("createdTime", now)
       val root = mapper.createObjectNode()
       root.set[JsonNode]("metaData", md)
+      lines += mapper.writeValueAsString(root)
+    }
+    txn.foreach { case (appId, v) =>
+      val t = mapper.createObjectNode()
+      t.put("appId", appId); t.put("version", v); t.put("lastUpdated", now)
+      val root = mapper.createObjectNode()
+      root.set[JsonNode]("txn", t)
       lines += mapper.writeValueAsString(root)
     }
     if (mode == "overwrite") prior.foreach(_.files.foreach { f =>
@@ -355,17 +388,23 @@ object DeltaNative {
     val prType = StructType(Seq(
       StructField("minReaderVersion", IntegerType),
       StructField("minWriterVersion", IntegerType)))
+    val txnType = StructType(Seq(
+      StructField("appId", StringType), StructField("version", LongType)))
     val ckSchema = StructType(Seq(StructField("add", addType),
-      StructField("metaData", mdType), StructField("protocol", prType)))
+      StructField("metaData", mdType), StructField("protocol", prType),
+      StructField("txn", txnType)))
 
     val rows =
       Row(null, Row(java.util.UUID.randomUUID.toString, Row("parquet"),
         snap.schema.json, snap.partitionColumns, Map.empty[String, String]),
-        null) +:
-      Row(null, null, Row(1, 2)) +:
+        null, null) +:
+      Row(null, null, Row(1, 2), null) +:
+      (snap.txns.toSeq.map { case (appId, v) =>
+        Row(null, null, null, Row(appId, v))
+      } ++
       snap.files.map(f => Row(
         Row(f.path, f.partitionValues.map { case (k, v) => k -> v.orNull },
-          f.size, 0L, false), null, null))
+          f.size, 0L, false), null, null, null)))
     val ck = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), ckSchema)
     val tmp = new Path(logDir, s".ckpt_${java.util.UUID.randomUUID}")

@@ -1708,6 +1708,31 @@ object Queries {
         .orderBy("r_regionkey")
     }, Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
 
+    QueryDef("q113_lakehouse_federation", (s, dir) => {
+      // One SQL statement joining THREE table formats — parquet nation via
+      // the dialect's file(), the native-written Delta copy of nation, and
+      // the native-written Iceberg copy of region — through the table
+      // functions the reference exposes (deltaLake()/iceberg()). Exercises
+      // the GraftSession rewrite + both native readers inside a single
+      // Catalyst plan (joins, pushdown and pruning all cross formats).
+      val nation = Q.t(s, dir, "nation")
+      val region = Q.t(s, dir, "region")
+      val dPath = s"/tmp/graft_delta_${new java.io.File(dir).getName}/nation_fed"
+      val iPath = s"/tmp/graft_ice_${new java.io.File(dir).getName}/region_fed"
+      graft.io.DeltaNative.write(nation, dPath, mode = "overwrite")
+      graft.io.IcebergNative.write(region, iPath, mode = "overwrite")
+      val g = new graft.engine.GraftSession(s)
+      g.sql(s"""SELECT r.r_name, COUNT(*) AS n_nations,
+          MIN(d.n_name) AS first_nation
+        FROM deltaLake('$dPath') d
+        JOIN iceberg('$iPath') r ON d.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        ORDER BY r.r_name""")
+    }, Some("""SELECT r.r_name, COUNT(*) AS n_nations,
+        MIN(d.n_name) AS first_nation
+      FROM nation d JOIN region r ON d.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name ORDER BY r.r_name""")),
+
     QueryDef("q97_histogram_adaptive", (s, dir) => {
       v(s, dir, "orders")
       // adaptive-bin histogram sketch (custom agg). Bin EDGES are sketch-

@@ -103,6 +103,26 @@ object EventStreams {
         && col("r_ts") <= col("ts") + expr(s"INTERVAL $rangeSeconds SECONDS"))
   }
 
+  /** Stream into a native Delta table (exactly-once): each micro-batch
+    * commits atomically through [[graft.io.DeltaNative.write]] carrying a
+    * SetTransaction `(queryId, batchId)` — a batch replayed after failure
+    * recovery finds its txn version already committed and no-ops, which is
+    * precisely the Delta protocol's idempotent-append contract for
+    * streaming writers. State on the Spark side is the checkpoint only;
+    * the table is the sink of record.
+    */
+  def deltaSink(stream: DataFrame, tablePath: String, checkpointDir: String,
+      appId: String = "graft-delta-sink"): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.io.DeltaNative.write(batch, tablePath, mode = "append",
+          txn = Some((appId, batchId)))
+        ()
+      }
+      .start()
+
   /** Convenience: open the events parquet dir as a bounded "stream" with the
     * same schema the live readStream would carry.
     */

@@ -139,6 +139,33 @@ class DeltaNativeSpec extends SparkTestBase {
     assert(Sources.deltaLake(spark, p2).count() == 5)
   }
 
+  test("delta: streaming sink commits exactly-once via SetTransaction") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val p = tmpDir("sink")
+    val ckpt = Files.createTempDirectory("graft_sink_ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStreams.deltaSink(
+      mem.toDF().toDF("id", "name"), p, ckpt)
+    mem.addData((1L, "a"), (2L, "b")); q.processAllAvailable()
+    mem.addData((3L, "c")); q.processAllAvailable()
+    q.stop()
+    assert(Sources.deltaLake(spark, p).count() == 3)
+    // a replayed batch id is a committed txn: the append no-ops
+    val before = DeltaNative.snapshot(spark, p)
+    assert(before.txns.get("graft-delta-sink").contains(1L))
+    DeltaNative.write(Seq((9L, "x")).toDF("id", "name"), p, mode = "append",
+      txn = Some(("graft-delta-sink", 0L)))
+    assert(DeltaNative.snapshot(spark, p).version == before.version)
+    assert(Sources.deltaLake(spark, p).count() == 3)
+    // txns survive checkpointing
+    DeltaNative.checkpoint(spark, p)
+    Seq(0L, 1L).foreach { v =>
+      Files.deleteIfExists(Paths.get(p, "_delta_log", f"$v%020d.json"))
+    }
+    assert(DeltaNative.lastTxnVersion(spark, p, "graft-delta-sink").contains(1L))
+  }
+
   test("delta: add-column schema evolution reads old files as null") {
     val p = tmpDir("evo")
     DeltaNative.write(base.select("id", "name"), p)                 // v0: 2 cols
