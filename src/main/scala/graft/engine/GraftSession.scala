@@ -236,22 +236,54 @@ final class GraftSession(val spark: SparkSession) {
   def createView(name: String, selectSql: String): Unit =
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $name AS $selectSql")
 
-  /** UPDATE … SET (reference core.py:4948 update_set). Row-level mutation
-    * needs a lakehouse table format (Delta/Iceberg); on plain parquet Spark
-    * has no transactional rewrite, so this gates on connector presence and
-    * otherwise raises the capability error instead of a parser one.
+  // Delta-backed tables registered for row-level DML: name -> table path
+  private val deltaTables = scala.collection.mutable.Map.empty[String, String]
+
+  /** Register a native Delta table (io/DeltaNative) under `name`: readable
+    * in SQL like any view, and UPDATE/DELETE route to copy-on-write
+    * rewrites committed through the transaction log.
     */
-  def updateSet(table: String, set: Map[String, String], where: String): Unit = {
-    requireRowLevelOps("UPDATE")
-    val assigns = set.map { case (k, v) => s"$k = $v" }.mkString(", ")
-    spark.sql(s"UPDATE $table SET $assigns WHERE $where")
+  def registerDelta(name: String, path: String): Unit = {
+    deltaTables(name) = path
+    graft.io.Sources.deltaLake(spark, path).createOrReplaceTempView(name)
   }
 
-  /** DELETE FROM (reference core.py:4966 delete_rows). Same gate as update. */
-  def deleteRows(table: String, where: String): Unit = {
-    requireRowLevelOps("DELETE")
-    spark.sql(s"DELETE FROM $table WHERE $where")
-  }
+  private def refreshDelta(name: String): Unit =
+    graft.io.Sources.deltaLake(spark, deltaTables(name))
+      .createOrReplaceTempView(name)
+
+  /** UPDATE … SET (reference core.py:4948 update_set). Row-level mutation
+    * needs a transactional table format: tables registered via
+    * [[registerDelta]] get a native copy-on-write rewrite (r8); otherwise
+    * this gates on connector presence and raises the capability error
+    * instead of a parser one.
+    */
+  def updateSet(table: String, set: Map[String, String], where: String): Unit =
+    deltaTables.get(table) match {
+      case Some(path) =>
+        graft.io.DeltaNative.updateWhere(spark, path,
+          org.apache.spark.sql.functions.expr(where),
+          set.map { case (k, v) => k -> org.apache.spark.sql.functions.expr(v) })
+        refreshDelta(table)
+      case None =>
+        requireRowLevelOps("UPDATE")
+        val assigns = set.map { case (k, v) => s"$k = $v" }.mkString(", ")
+        spark.sql(s"UPDATE $table SET $assigns WHERE $where")
+    }
+
+  /** DELETE FROM (reference core.py:4966 delete_rows). Same routing as
+    * update: native CoW for registered Delta tables, gate otherwise.
+    */
+  def deleteRows(table: String, where: String): Unit =
+    deltaTables.get(table) match {
+      case Some(path) =>
+        graft.io.DeltaNative.deleteWhere(spark, path,
+          org.apache.spark.sql.functions.expr(where))
+        refreshDelta(table)
+      case None =>
+        requireRowLevelOps("DELETE")
+        spark.sql(s"DELETE FROM $table WHERE $where")
+    }
 
   /** Materialized view (reference core.py:5952): without a lakehouse format
     * this is an honest parquet snapshot table (CREATE TABLE AS SELECT) —

@@ -365,6 +365,142 @@ object DeltaNative {
     version
   }
 
+  /** Copy-on-write row-level DELETE: files containing matching rows are
+    * rewritten without them; untouched files are not rewritten (the
+    * standard CoW contract — at scale the rewrite cost is proportional to
+    * the MATCHED file set, not the table). One atomic commit of
+    * remove+add actions. Returns the committed version.
+    */
+  def deleteWhere(spark: SparkSession, tablePath: String,
+      condition: org.apache.spark.sql.Column): Long =
+    rewriteMatching(spark, tablePath, condition, identity, keepMatched = false)
+
+  /** Copy-on-write UPDATE ... SET: matched rows get `set` applied, others
+    * are rewritten unchanged (only in files that contain matches).
+    * Partition columns cannot be SET (that would move rows across
+    * partitions — the connector's job). Returns the committed version.
+    */
+  def updateWhere(spark: SparkSession, tablePath: String,
+      condition: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    val snap = snapshot(spark, tablePath)
+    set.keys.find(snap.partitionColumns.contains).foreach { pc =>
+      throw new UnsupportedOperationException(
+        s"UPDATE of partition column '$pc' moves rows across partitions; " +
+          "use overwrite or the connector")
+    }
+    rewriteMatching(spark, tablePath, condition, df => {
+      val cond = condition
+      set.foldLeft(df) { case (d, (k, v)) =>
+        d.withColumn(k, when(cond, v).otherwise(col(k)))
+      }
+    }, keepMatched = true)
+  }
+
+  /** Shared CoW rewrite: select the files containing rows matching
+    * `condition`, transform them (`keepMatched = false` drops matches —
+    * DELETE; `true` keeps all rows for `transform` to adjust — UPDATE),
+    * stage replacement files, commit remove+add atomically.
+    */
+  private def rewriteMatching(spark: SparkSession, tablePath: String,
+      condition: org.apache.spark.sql.Column,
+      transform: DataFrame => DataFrame, keepMatched: Boolean): Long = {
+    val snap = snapshot(spark, tablePath)
+    val conf = spark.sessionState.newHadoopConf()
+    val table = new Path(tablePath)
+    val logDir = new Path(table, "_delta_log")
+    val fs = table.getFileSystem(conf)
+    val dataSchema = StructType(
+      snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)))
+    def abs(p: String): String = {
+      val d = decodePath(p)
+      if (d.contains("://") || d.startsWith("/")) d
+      else new Path(new Path(tablePath), d).toString
+    }
+    // one distributed pass finds the matched FILES (not rows): the CoW
+    // rewrite set. Condition may reference partition columns, so groups
+    // scan with their values attached.
+    val byGroup = snap.files.groupBy(_.partitionValues).toSeq
+    def groupDf(pv: Map[String, Option[String]], fsq: Seq[AddFile]): DataFrame = {
+      var df = spark.read.schema(dataSchema)
+        .parquet(fsq.map(f => abs(f.path)): _*)
+        .withColumn("__graft_file", input_file_name())
+      snap.partitionColumns.foreach { pc =>
+        val ft = snap.schema(pc).dataType
+        df = df.withColumn(pc, pv.getOrElse(pc, None) match {
+          case Some(s) => lit(s).cast(ft)
+          case None => lit(null).cast(ft)
+        })
+      }
+      df
+    }
+    val matchedPhysical: Set[String] = byGroup.flatMap { case (pv, fsq) =>
+      groupDf(pv, fsq).filter(condition)
+        .select("__graft_file").distinct().collect().map(_.getString(0))
+    }.toSet
+    // resolve physical URI back to the log's AddFile (compare by file name:
+    // staging guarantees unique names within the table)
+    def physName(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    val matchedNames = matchedPhysical.map(physName)
+    val matched = snap.files.filter(f => matchedNames.contains(
+      physName(decodePath(f.path))))
+    if (matched.isEmpty) return snap.version // nothing to do: no commit
+
+    val now = System.currentTimeMillis()
+    val lines = mutable.Buffer.empty[String]
+    matched.foreach { f =>
+      val rm = mapper.createObjectNode()
+      rm.put("path", f.path); rm.put("deletionTimestamp", now)
+      rm.put("dataChange", true)
+      val root = mapper.createObjectNode()
+      root.set[JsonNode]("remove", rm)
+      lines += mapper.writeValueAsString(root)
+    }
+    val ordered = snap.schema.map(f => col(f.name))
+    matched.groupBy(_.partitionValues).foreach { case (pv, fsq) =>
+      val rewritten0 = {
+        val df = groupDf(pv, fsq).drop("__graft_file")
+        val kept = if (keepMatched) df else df.filter(!coalesce(condition, lit(false)))
+        transform(kept).select(ordered: _*)
+      }
+      val keep = rewritten0.drop(snap.partitionColumns: _*)
+      val relDir = snap.partitionColumns.map { pc =>
+        pc + "=" + pv.getOrElse(pc, None).map(encodePathSegment)
+          .getOrElse("__HIVE_DEFAULT_PARTITION__")
+      }.mkString("/")
+      val stage = new Path(table, s".graft_cow_${java.util.UUID.randomUUID}")
+      keep.write.parquet(stage.toString)
+      fs.listStatus(stage)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .filter(_.getLen > 0).foreach { st =>
+          val rel = (if (relDir.isEmpty) "" else relDir + "/") + st.getPath.getName
+          val dest = new Path(table, rel)
+          fs.mkdirs(dest.getParent)
+          fs.rename(st.getPath, dest)
+          val add = mapper.createObjectNode()
+          add.put("path", encodePathForLog(rel))
+          val pvn = add.putObject("partitionValues")
+          pv.foreach { case (k, v) =>
+            v match { case Some(s) => pvn.put(k, s); case None => pvn.putNull(k) }
+          }
+          add.put("size", st.getLen); add.put("modificationTime", now)
+          add.put("dataChange", true)
+          val root = mapper.createObjectNode()
+          root.set[JsonNode]("add", add)
+          lines += mapper.writeValueAsString(root)
+        }
+      fs.delete(stage, true)
+    }
+    val version = snap.version + 1
+    val commit = new Path(logDir, f"$version%020d.json")
+    val stagedCommit = new Path(logDir, s".${java.util.UUID.randomUUID}.json.tmp")
+    val out = fs.create(stagedCommit, false)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(stagedCommit, commit))
+      throw new IllegalStateException(s"concurrent commit at version $version: $tablePath")
+    version
+  }
+
   /** Write a classic checkpoint (`%020d.checkpoint.parquet` +
     * `_last_checkpoint`) of the CURRENT snapshot, allowing earlier commits
     * to be vacuumed.

@@ -183,6 +183,54 @@ class DeltaNativeSpec extends SparkTestBase {
     assert(out.collect().head.toSeq == Seq(5L, 15L))
   }
 
+  test("delta: copy-on-write DELETE rewrites only matched files") {
+    val p = tmpDir("del")
+    // two files: ids 1-2 and 3-5 (repartitionByRange keeps them disjoint)
+    DeltaNative.write(base.repartitionByRange(2, col("id")), p)
+    val before = DeltaNative.snapshot(spark, p)
+    assert(before.files.size == 2)
+    DeltaNative.deleteWhere(spark, p, col("id") === 1)
+    val after = DeltaNative.snapshot(spark, p)
+    assert(after.version == before.version + 1)
+    // the file without matches is untouched (same path still present)
+    assert(after.files.map(_.path).intersect(before.files.map(_.path)).size == 1)
+    assert(Sources.deltaLake(spark, p).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(2L, 3L, 4L, 5L))
+    // no-match delete commits nothing
+    assert(DeltaNative.deleteWhere(spark, p, col("id") === 99) == after.version)
+  }
+
+  test("delta: copy-on-write UPDATE on a partitioned table") {
+    val p = tmpDir("upd")
+    DeltaNative.write(base, p, partitionBy = Seq("region"))
+    DeltaNative.updateWhere(spark, p, col("region") === "eu",
+      Map("v" -> (col("v") * 10)))
+    val back = Sources.deltaLake(spark, p)
+    assert(back.filter(col("region") === "eu").select("v").as[Double]
+      .collect().sorted.toSeq == Seq(35.0, 45.0))
+    assert(back.filter(col("region") === "us").select("v").as[Double]
+      .collect().sorted.toSeq == Seq(1.5, 2.5))
+    // partition columns cannot be SET
+    val e = intercept[UnsupportedOperationException] {
+      DeltaNative.updateWhere(spark, p, lit(true), Map("region" -> lit("x")))
+    }
+    assert(e.getMessage.contains("partition column"))
+  }
+
+  test("delta: session UPDATE/DELETE route to CoW for registered tables") {
+    val p = tmpDir("dml")
+    DeltaNative.write(base, p)
+    val g = new graft.engine.GraftSession(spark)
+    g.registerDelta("people_delta", p)
+    g.updateSet("people_delta", Map("name" -> "upper(name)"), "id <= 2")
+    g.deleteRows("people_delta", "id = 5")
+    val back = g.sql("SELECT id, name FROM people_delta ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(back == Seq((1L, "ALPHA"), (2L, "BETA"), (3L, "gamma"), (4L, "delta")))
+    // history is intact: the pre-DML snapshot is still readable
+    assert(Sources.deltaLake(spark, p, versionAsOf = Some(0L)).count() == 5)
+  }
+
   test("delta: filters and pruning reach the parquet scan through the log replay") {
     val p = tmpDir("plan")
     DeltaNative.write(base, p)

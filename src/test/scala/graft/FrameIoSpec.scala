@@ -165,6 +165,8 @@ class LakehouseSpec extends SparkTestBase {
   }
 
   test("UPDATE/DELETE gate on row-level-transaction support") {
+    // non-Delta tables still gate (DeltaNativeSpec covers the registered-
+    // Delta route that r8 opened)
     val g = new graft.engine.GraftSession(spark)
     if (!Sources.lakehouseAvailable("delta")) {
       val e = intercept[UnsupportedOperationException] {
@@ -173,6 +175,28 @@ class LakehouseSpec extends SparkTestBase {
       assert(e.getMessage.contains("Delta"))
       intercept[UnsupportedOperationException] { g.deleteRows("t", "a = 2") }
     }
+  }
+
+  test("jdbc: live round trip against embedded Derby") {
+    // the JDBC read path had never touched a real database (r7 verdict) —
+    // Derby ships with Spark itself (hive-metastore dependency), so drive
+    // it end-to-end: seed over plain JDBC, read through Sources.uri
+    val db = java.nio.file.Files.createTempDirectory("graft_derby")
+      .toString + "/db"
+    val conn = java.sql.DriverManager.getConnection(s"jdbc:derby:$db;create=true")
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE people (id INT, name VARCHAR(20), v DOUBLE)")
+    st.execute("INSERT INTO people VALUES (1,'alpha',1.5),(2,'beta',2.5),(3,'gamma',3.5)")
+    conn.close()
+    val df = Sources.uri(spark, s"jdbc:derby:$db#people")
+    assert(df.schema.fieldNames.map(_.toLowerCase).toSeq == Seq("id", "name", "v"))
+    assert(df.count() == 3)
+    assert(df.filter(org.apache.spark.sql.functions.col("id") === 2)
+      .select("name").collect().head.getString(0) == "beta")
+    // predicate pushdown reaches the JDBC source
+    val plan = df.filter(org.apache.spark.sql.functions.col("id") > 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan)
   }
 
   test("materialized view is a CTAS snapshot, re-creatable") {
