@@ -7,6 +7,7 @@ object Scratch {
   def main(args: Array[String]): Unit = {
     val g = graft.engine.GraftSession.build("local[8]", 8)
     if (args.headOption.contains("r8drive")) { r8drive(g); g.spark.stop(); return }
+    if (args.headOption.contains("deltaprune")) { deltaPrune(g); g.spark.stop(); return }
     val names = if (args.nonEmpty) args.toSeq else Seq("q01_tpch_q1")
     names.foreach { n =>
       println(s"=== $n ===")
@@ -15,6 +16,23 @@ object Scratch {
       else df.show(10, false)
     }
     g.spark.stop()
+  }
+
+  /** Probe: does a partition-column filter fold away non-matching branches
+    * of DeltaNative.read's per-partition union?
+    */
+  private def deltaPrune(g: graft.engine.GraftSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = g.spark
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("graft_prune").toString + "/t"
+    val df = (1 to 100).map(i => (i.toLong, s"n$i", (i % 5).toString)).toDF("id", "name", "part")
+    graft.io.DeltaNative.write(df, p, partitionBy = Seq("part"))
+    val q = graft.io.Sources.deltaLake(spark, p).filter(col("part") === "3")
+    q.explain("formatted")
+    println("SCANS=" + q.queryExecution.executedPlan.toString
+      .split("\n").count(_.contains("Scan parquet")))
+    println("ROWS=" + q.count())
   }
 
   /** Drives the r8 advisor fixes through the public API. */

@@ -501,6 +501,118 @@ object DeltaNative {
     version
   }
 
+  /** OPTIMIZE (bin-packing compaction): partitions holding more than
+    * `maxFilesPerPartition` current files get rewritten into that many,
+    * committed with `dataChange=false` (readers see identical rows — the
+    * protocol's marker that lets concurrent streams skip the commit).
+    * The small-file problem is THE failure mode of streaming ingestion at
+    * scale; this is the maintenance op that fixes it. Returns the new
+    * version, or the current one if nothing needed compaction.
+    */
+  def optimizeCompact(spark: SparkSession, tablePath: String,
+      maxFilesPerPartition: Int = 1): Long = {
+    val snap = snapshot(spark, tablePath)
+    val conf = spark.sessionState.newHadoopConf()
+    val table = new Path(tablePath)
+    val logDir = new Path(table, "_delta_log")
+    val fs = table.getFileSystem(conf)
+    val dataSchema = StructType(
+      snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)))
+    def abs(p: String): String = {
+      val d = decodePath(p)
+      if (d.contains("://") || d.startsWith("/")) d
+      else new Path(new Path(tablePath), d).toString
+    }
+    val toCompact = snap.files.groupBy(_.partitionValues)
+      .filter(_._2.size > maxFilesPerPartition)
+    if (toCompact.isEmpty) return snap.version
+
+    val now = System.currentTimeMillis()
+    val lines = mutable.Buffer.empty[String]
+    toCompact.foreach { case (pv, fsq) =>
+      fsq.foreach { f =>
+        val rm = mapper.createObjectNode()
+        rm.put("path", f.path); rm.put("deletionTimestamp", now)
+        rm.put("dataChange", false)
+        val root = mapper.createObjectNode()
+        root.set[JsonNode]("remove", rm)
+        lines += mapper.writeValueAsString(root)
+      }
+      val compacted = spark.read.schema(dataSchema)
+        .parquet(fsq.map(f => abs(f.path)): _*)
+        .coalesce(maxFilesPerPartition)
+      val relDir = snap.partitionColumns.map { pc =>
+        pc + "=" + pv.getOrElse(pc, None).map(encodePathSegment)
+          .getOrElse("__HIVE_DEFAULT_PARTITION__")
+      }.mkString("/")
+      val stage = new Path(table, s".graft_opt_${java.util.UUID.randomUUID}")
+      compacted.write.parquet(stage.toString)
+      fs.listStatus(stage)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .foreach { st =>
+          val rel = (if (relDir.isEmpty) "" else relDir + "/") + st.getPath.getName
+          val dest = new Path(table, rel)
+          fs.mkdirs(dest.getParent)
+          fs.rename(st.getPath, dest)
+          val add = mapper.createObjectNode()
+          add.put("path", encodePathForLog(rel))
+          val pvn = add.putObject("partitionValues")
+          pv.foreach { case (k, v) =>
+            v match { case Some(s) => pvn.put(k, s); case None => pvn.putNull(k) }
+          }
+          add.put("size", st.getLen); add.put("modificationTime", now)
+          add.put("dataChange", false)
+          val root = mapper.createObjectNode()
+          root.set[JsonNode]("add", add)
+          lines += mapper.writeValueAsString(root)
+        }
+      fs.delete(stage, true)
+    }
+    val version = snap.version + 1
+    val commit = new Path(logDir, f"$version%020d.json")
+    val stagedCommit = new Path(logDir, s".${java.util.UUID.randomUUID}.json.tmp")
+    val out = fs.create(stagedCommit, false)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(stagedCommit, commit))
+      throw new IllegalStateException(s"concurrent commit at version $version: $tablePath")
+    version
+  }
+
+  /** VACUUM: physically delete data files no longer referenced by the
+    * CURRENT snapshot and older than `retainMs` (standard trade: reclaims
+    * the space tombstoned by overwrite/delete/optimize, at the price of
+    * time travel beyond the retention window). Returns the number of
+    * files deleted.
+    */
+  def vacuum(spark: SparkSession, tablePath: String,
+      retainMs: Long = 7L * 24 * 3600 * 1000): Int = {
+    val snap = snapshot(spark, tablePath)
+    val conf = spark.sessionState.newHadoopConf()
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(conf)
+    val active: Set[String] = snap.files.map { f =>
+      val d = decodePath(f.path)
+      if (d.contains("://") || d.startsWith("/")) new Path(d).toUri.getPath
+      else new Path(new Path(tablePath), d).toUri.getPath
+    }.toSet
+    val cutoff = System.currentTimeMillis() - retainMs
+    val tableUri = table.toUri.getPath.stripSuffix("/")
+    var deleted = 0
+    val it = fs.listFiles(table, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val full = st.getPath.toUri.getPath
+      val rel = full.stripPrefix(tableUri).stripPrefix("/")
+      if (!rel.startsWith("_delta_log/") && !rel.startsWith(".") &&
+          rel.endsWith(".parquet") && !active.contains(full) &&
+          st.getModificationTime < cutoff) {
+        fs.delete(st.getPath, false)
+        deleted += 1
+      }
+    }
+    deleted
+  }
+
   /** Write a classic checkpoint (`%020d.checkpoint.parquet` +
     * `_last_checkpoint`) of the CURRENT snapshot, allowing earlier commits
     * to be vacuumed.

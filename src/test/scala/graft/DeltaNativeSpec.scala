@@ -231,6 +231,58 @@ class DeltaNativeSpec extends SparkTestBase {
     assert(Sources.deltaLake(spark, p, versionAsOf = Some(0L)).count() == 5)
   }
 
+  test("delta: partition-column filter folds non-matching union branches away") {
+    val p = tmpDir("prune")
+    val df = (1 to 100).map(i => (i.toLong, s"n$i", (i % 5).toString))
+      .toDF("id", "name", "part")
+    DeltaNative.write(df, p, partitionBy = Seq("part"))
+    assert(DeltaNative.snapshot(spark, p).files
+      .map(_.partitionValues).distinct.size == 5)
+    val q = Sources.deltaLake(spark, p).filter(col("part") === "3")
+    // ConstantFolding + PruneFilters drop the 4 branches whose literal
+    // partition value contradicts the filter: ONE scan survives — the
+    // 100 TB partition-pruning property, via the optimizer, for free
+    val scans = q.queryExecution.executedPlan.toString
+      .split("\n").count(_.contains("Scan parquet"))
+    assert(scans == 1, q.queryExecution.executedPlan.toString)
+    assert(q.count() == 20)
+  }
+
+  test("delta: OPTIMIZE compacts small files without changing data") {
+    val p = tmpDir("opt")
+    DeltaNative.write(base.repartition(4), p)
+    assert(DeltaNative.snapshot(spark, p).files.size > 1)
+    val v = DeltaNative.optimizeCompact(spark, p)
+    assert(DeltaNative.snapshot(spark, p).files.size == 1)
+    assert(Sources.deltaLake(spark, p).orderBy("id").collect().toSeq ==
+      base.orderBy("id").collect().toSeq)
+    // the compaction commit is marked dataChange=false throughout
+    val commit = new String(Files.readAllBytes(
+      Paths.get(p, "_delta_log", f"$v%020d.json")), "UTF-8")
+    assert(!commit.contains("\"dataChange\":true"), commit)
+    // idempotent: nothing left to compact
+    assert(DeltaNative.optimizeCompact(spark, p) == v)
+  }
+
+  test("delta: VACUUM reclaims tombstoned files, keeps the live snapshot") {
+    val p = tmpDir("vac")
+    DeltaNative.write(base, p)                        // v0 files -> tombstoned
+    DeltaNative.write(base.filter(col("id") <= 2), p) // v1 overwrite
+    def parquetCount() = {
+      val d = new java.io.File(p)
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory && f.getName != "_delta_log")
+          Option(f.listFiles).getOrElse(Array.empty).map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(d)
+    }
+    val before = parquetCount()
+    val deleted = DeltaNative.vacuum(spark, p, retainMs = 0L)
+    assert(deleted > 0)
+    assert(parquetCount() == before - deleted)
+    assert(Sources.deltaLake(spark, p).count() == 2)
+  }
+
   test("delta: filters and pruning reach the parquet scan through the log replay") {
     val p = tmpDir("plan")
     DeltaNative.write(base, p)
