@@ -209,6 +209,47 @@ final class GraftSession(val spark: SparkSession) {
     sb.toString
   }
 
+  /** Collect `df` while streaming [[GraftSession.QueryProgress]] ticks to `onProgress`
+    * (reference progress-callback surface). Ticks fire from Spark's
+    * listener bus as tasks of THIS query finish (scoped by job group);
+    * `tasksTotal` grows as stages are submitted, so treat it as a moving
+    * denominator the way the reference's total_rows_approx is.
+    */
+  def collectWithProgress(df: DataFrame,
+      onProgress: GraftSession.QueryProgress => Unit): Array[org.apache.spark.sql.Row] = {
+    val sc = spark.sparkContext
+    val group = s"graft-progress-${java.util.UUID.randomUUID}"
+    val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val tasksTotal = new java.util.concurrent.atomic.AtomicInteger(0)
+    val tasksDone = new java.util.concurrent.atomic.AtomicInteger(0)
+    val records = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (group == js.properties.getProperty("spark.jobGroup.id")) {
+          js.stageInfos.foreach { si =>
+            if (stages.add(si.stageId)) tasksTotal.addAndGet(si.numTasks)
+          }
+        }
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (stages.contains(te.stageId)) {
+          val done = tasksDone.incrementAndGet()
+          val rec = Option(te.taskMetrics)
+            .map(_.inputMetrics.recordsRead).getOrElse(0L)
+          onProgress(GraftSession.QueryProgress(done, tasksTotal.get,
+            records.addAndGet(rec)))
+        }
+    }
+    sc.addSparkListener(listener)
+    sc.setJobGroup(group, "collectWithProgress", interruptOnCancel = false)
+    try df.collect()
+    finally {
+      sc.clearJobGroup()
+      sc.removeSparkListener(listener)
+    }
+  }
+
   /** The reference's dataframe-table query surface
     * (chdb.dataframe.query(sql, tbl1=df1, tbl2=df2) with `__tbl1__`
     * placeholders — README.md:337): each named DataFrame registers as a temp
@@ -329,6 +370,13 @@ final class GraftSession(val spark: SparkSession) {
 }
 
 object GraftSession {
+  /** One progress tick of a running query (the reference streams these to a
+    * user callback — chdb/__init__.py:173-217; rows_read/elapsed there map
+    * to recordsRead/task counts here, the units Spark actually schedules).
+    */
+  final case class QueryProgress(tasksDone: Int, tasksTotal: Int,
+      recordsRead: Long)
+
   val tableNames: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")

@@ -1733,6 +1733,59 @@ object Queries {
       FROM nation d JOIN region r ON d.n_regionkey = r.r_regionkey
       GROUP BY r.r_name ORDER BY r.r_name""")),
 
+    QueryDef("q114_stream_ingest_delta", (s, dir) => {
+      // The full streaming-ingestion loop, driver-checked: a bounded file
+      // STREAM over events (Trigger.AvailableNow) flows through
+      // EventStreams.deltaSink (one atomic Delta commit per micro-batch,
+      // SetTransaction-idempotent), the landed table is compacted
+      // (OPTIMIZE, dataChange=false), then read back through the native
+      // log replay and aggregated. Exactly-once delivery means the result
+      // equals the same aggregate over the source parquet — which is the
+      // DuckDB oracle.
+      val sfName = new java.io.File(dir).getName
+      val tbl = s"/tmp/graft_delta_$sfName/events_ingest"
+      val ckpt = s"/tmp/graft_delta_$sfName/events_ingest_ckpt"
+      // fresh table per run: the checkpoint is deleted, so batch ids reset
+      val fs = new org.apache.hadoop.fs.Path(tbl)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(tbl), true)
+      fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+      // schema EXCLUDES ts: the raw parquet carries TIMESTAMP(NANOS) which
+      // only Tables.load normalizes; the ingest doesn't need it
+      val cols = Q.t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value").schema
+      // FileStreamSource watches a DIRECTORY; the fixture is a single file,
+      // so stage it into an arrival dir (what a real ingest tree looks like)
+      val arrivals = s"/tmp/graft_delta_$sfName/events_ingest_src"
+      fs.delete(new org.apache.hadoop.fs.Path(arrivals), true)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(arrivals))
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(s"$dir/events.parquet"),
+        fs, new org.apache.hadoop.fs.Path(s"$arrivals/events.parquet"),
+        false, s.sessionState.newHadoopConf())
+      val stream = s.readStream.schema(cols)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(arrivals)
+      val q = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          graft.io.DeltaNative.write(batch, tbl, mode = "append",
+            txn = Some(("q114-ingest", batchId)))
+          ()
+        }.start()
+      q.awaitTermination()
+      graft.io.DeltaNative.optimizeCompact(s, tbl)
+      graft.io.Sources.deltaLake(s, tbl)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_v"))
+        .orderBy("event_type")
+    }, Some("""SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+      FROM events GROUP BY event_type ORDER BY event_type""")),
+
     QueryDef("q97_histogram_adaptive", (s, dir) => {
       v(s, dir, "orders")
       // adaptive-bin histogram sketch (custom agg). Bin EDGES are sketch-
