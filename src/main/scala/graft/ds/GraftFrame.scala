@@ -1,6 +1,6 @@
 package graft.ds
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -316,6 +316,31 @@ object GraftFrame {
       val w = Window.partitionBy(keys.map(col): _*)
       GraftFrame(df.withColumn("__gf_agg", aggFn(func, c).over(w))
         .filter(pred(col("__gf_agg"))).drop("__gf_agg"))
+    }
+
+    /** groupby.apply with an arbitrary per-group function (reference
+      * datastore/lazy_ops.py:1620 `groupby.apply(lambda)`). The Spark-
+      * native shape is `flatMapGroups` over a KeyValueGroupedDataset: the
+      * group's rows arrive as one iterator on one executor, `f` returns
+      * the group's output rows, `outSchema` declares their shape.
+      *
+      * This is the ESCAPE HATCH, deliberately last in the API: transform/
+      * filterGroups/head above stay declarative (window aggregates,
+      * codegen, no materialized groups) and should be preferred — a lambda
+      * is opaque to Catalyst, so nothing prunes or pushes through it, and
+      * a skewed group must fit its executor. Same trade the reference
+      * makes (its apply() falls back to per-group pandas).
+      */
+    def applyGroups(outSchema: org.apache.spark.sql.types.StructType)(
+        f: (Row, Iterator[Row]) => Iterator[Row]): GraftFrame = {
+      val keyIdx = keys.map(df.columns.indexOf(_))
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(org.apache.spark.sql.types.StructType(
+          keys.map(k => df.schema(k))))
+      val outEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(outSchema)
+      GraftFrame(df.groupByKey(r => Row.fromSeq(keyIdx.map(r.get)))(enc)
+        .flatMapGroups((k: Row, it: Iterator[Row]) => f(k, it))(outEnc))
     }
 
     /** head(n) per group with explicit order (LIMIT n BY analog). */

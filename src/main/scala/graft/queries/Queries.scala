@@ -1786,6 +1786,31 @@ object Queries {
         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
       FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    QueryDef("q115_groupby_apply", (s, dir) => {
+      // groupby.apply(lambda) escape hatch (reference lazy_ops.py:1620),
+      // Spark-shaped as flatMapGroups: the per-group function computes each
+      // order's price delta from the group minimum. Subtraction of exact
+      // doubles is deterministic, so DuckDB recomputes it with a window.
+      import org.apache.spark.sql.types._
+      val orders = Q.t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val out = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderpriority", StringType),
+        StructField("delta", DoubleType)))
+      graft.ds.GraftFrame(orders).groupby("o_orderpriority")
+        .applyGroups(out) { (_, it) =>
+          val rows = it.toVector
+          val lo = rows.iterator.map(_.getDouble(2)).min
+          rows.iterator.map(r =>
+            org.apache.spark.sql.Row(r.getLong(0), r.getString(1),
+              r.getDouble(2) - lo))
+        }.df.orderBy("o_orderkey")
+    }, Some("""SELECT o_orderkey, o_orderpriority,
+        o_totalprice - MIN(o_totalprice)
+          OVER (PARTITION BY o_orderpriority) AS delta
+      FROM orders ORDER BY o_orderkey""")),
+
     QueryDef("q97_histogram_adaptive", (s, dir) => {
       v(s, dir, "orders")
       // adaptive-bin histogram sketch (custom agg). Bin EDGES are sketch-

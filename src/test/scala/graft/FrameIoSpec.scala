@@ -21,6 +21,18 @@ class GraftFrameSpec extends SparkTestBase {
     assert(out.count() == 4)
   }
 
+  test("groupby applyGroups: arbitrary per-group lambda (escape hatch)") {
+    import org.apache.spark.sql.types._
+    val out = StructType(Seq(StructField("grp", StringType),
+      StructField("n", IntegerType), StructField("span", DoubleType)))
+    val r = gf.groupby("grp").applyGroups(out) { (k, it) =>
+      val vs = it.map(_.getAs[Double]("v")).toVector
+      Iterator(org.apache.spark.sql.Row(k.getString(0), vs.size, vs.max - vs.min))
+    }.sortValues(Seq("grp")).collect()
+    assert(r.map(x => (x.getString(0), x.getInt(1), x.getDouble(2))).toSeq ==
+      Seq(("a", 2, 10.0), ("b", 2, 0.0), ("c", 1, 0.0)))
+  }
+
   test("groupby agg with pandas func names") {
     val r = gf.groupby("grp").agg("v" -> "mean", "v" -> "nunique", "id" -> "max")
       .sortValues(Seq("grp")).collect()
