@@ -8,6 +8,7 @@ object Scratch {
     val g = graft.engine.GraftSession.build("local[8]", 8)
     if (args.headOption.contains("r8drive")) { r8drive(g); g.spark.stop(); return }
     if (args.headOption.contains("deltaprune")) { deltaPrune(g); g.spark.stop(); return }
+    if (args.headOption.contains("deltareplay")) { deltaReplay(g); g.spark.stop(); return }
     val names = if (args.nonEmpty) args.toSeq else Seq("q01_tpch_q1")
     names.foreach { n =>
       println(s"=== $n ===")
@@ -16,6 +17,34 @@ object Scratch {
       else df.show(10, false)
     }
     g.spark.stop()
+  }
+
+  /** Probe: log-replay cost vs commit depth, with and without a checkpoint
+    * (SCALING.md evidence for the metadata-walk claim).
+    */
+  private def deltaReplay(g: graft.engine.GraftSession): Unit = {
+    val spark = g.spark
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("graft_replay").toString + "/t"
+    val one = Seq((1L, "x")).toDF("id", "name").coalesce(1)
+    val t0 = System.nanoTime()
+    (0 until 200).foreach { _ =>
+      graft.io.DeltaNative.write(one, p, mode = "append")
+    }
+    println(f"write 200 commits: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    def timeSnap(tag: String, expect: Int): Unit = {
+      val times = (1 to 5).map { _ =>
+        val s0 = System.nanoTime()
+        val snap = graft.io.DeltaNative.snapshot(spark, p)
+        assert(snap.files.size == expect)
+        (System.nanoTime() - s0) / 1e3
+      }
+      println(f"$tag: snapshot min ${times.min / 1000.0}%.1f ms over 5 runs")
+    }
+    timeSnap("no checkpoint, 200 JSON commits", 200)
+    graft.io.DeltaNative.checkpoint(spark, p)
+    graft.io.DeltaNative.write(one, p, mode = "append")
+    timeSnap("checkpoint @199 + 1 JSON commit ", 201)
   }
 
   /** Probe: does a partition-column filter fold away non-matching branches

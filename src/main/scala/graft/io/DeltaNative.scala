@@ -3,7 +3,14 @@ package graft.io
 import scala.collection.mutable
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.{GroupType, MessageType, Type => PType}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -76,7 +83,8 @@ object DeltaNative {
   def snapshot(spark: SparkSession, tablePath: String,
       versionAsOf: Option[Long] = None): Snapshot = {
     val logDir = new Path(tablePath, "_delta_log")
-    val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val fs = logDir.getFileSystem(hadoopConf)
     if (!fs.exists(logDir))
       throw new IllegalArgumentException(
         s"not a Delta table (no _delta_log directory): $tablePath")
@@ -107,37 +115,31 @@ object DeltaNative {
     var readerFeatures: Set[String] = Set.empty
 
     baseCkpt.foreach { v =>
-      val parts = checkpoints(v).map(n => new Path(logDir, n).toString)
-      val ck = spark.read.parquet(parts: _*)
-      val hasDv = ck.schema("add").dataType.asInstanceOf[StructType]
-        .fieldNames.contains("deletionVector")
-      val addCols = Seq(col("add.path"), col("add.partitionValues"),
-        col("add.size")) ++
-        (if (hasDv) Seq(col("add.deletionVector.storageType")) else Nil)
-      ck.filter(col("add").isNotNull).select(addCols: _*).collect().foreach { r =>
-        if (hasDv && !r.isNullAt(3))
-          throw unsupported("deletion vectors", tablePath)
-        val pv = Option(r.getMap[String, String](1))
-          .map(_.toMap.map { case (k, x) => k -> Option(x) })
-          .getOrElse(Map.empty[String, Option[String]])
-        state(r.getString(0)) = AddFile(r.getString(0), pv, r.getLong(2))
+      val parts = checkpoints(v).map(n => new Path(logDir, n))
+      // Checkpoints are METADATA (MBs for a 100 TB table): replay them on
+      // the driver with parquet-mr directly — a spark.read here costs a
+      // full job (~350 ms fixed) per snapshot() call, which dominates log
+      // replay entirely (measured in SCALING.md "log-replay cost").
+      def onAdd(a: AddFile): Unit = state(a.path) = a
+      def onMeta(ss: String, pc: Seq[String], cfg: Map[String, String]): Unit = {
+        if (ss != null) schemaString = ss
+        partitionColumns = pc; configuration = cfg
       }
-      val md = ck.filter(col("metaData").isNotNull)
-        .select(col("metaData.schemaString"), col("metaData.partitionColumns"),
-          col("metaData.configuration")).collect()
-      md.lastOption.foreach { r =>
-        schemaString = r.getString(0)
-        partitionColumns = r.getSeq[String](1)
-        configuration = Option(r.getMap[String, String](2)).map(_.toMap)
-          .getOrElse(Map.empty)
+      def onProtocol(mr: Int, feats: Set[String]): Unit = {
+        minReader = mr; readerFeatures = feats
       }
-      val pr = ck.filter(col("protocol").isNotNull)
-        .select(col("protocol.minReaderVersion")).collect()
-      pr.lastOption.foreach(r => minReader = r.getInt(0))
-      if (ck.schema.fieldNames.contains("txn"))
-        ck.filter(col("txn").isNotNull)
-          .select(col("txn.appId"), col("txn.version")).collect()
-          .foreach(r => txns(r.getString(0)) = r.getLong(1))
+      def onTxn(appId: String, ver: Long): Unit = txns(appId) = ver
+      try replayCheckpointDriver(hadoopConf, parts, tablePath,
+        onAdd, onMeta, onProtocol, onTxn)
+      catch {
+        case e: UnsupportedOperationException => throw e
+        case scala.util.control.NonFatal(_) =>
+          // unexpected physical layout — fall back to Spark's reader (all
+          // updates are keyed/overwriting, so a partial driver pass is
+          // harmlessly re-applied)
+          replayCheckpointSpark(spark, parts.map(_.toString), tablePath,
+            onAdd, onMeta, onProtocol, onTxn)
+      }
     }
 
     val tail = commitVersions.filter(v => v > baseCkpt.getOrElse(-1L) && v <= target)
@@ -667,6 +669,197 @@ object DeltaNative {
       s"""{"version":${snap.version},"size":${rows.size}}""".getBytes("UTF-8"))
     finally lc.close()
     snap.version
+  }
+
+  // ------------------------------------------------- checkpoint replay
+
+  /** Which subtrees of a checkpoint's schema we consume. Foreign
+    * checkpoints carry more (stats structs, tags, CDC columns…); the
+    * projection below intersects this with what the file actually has, so
+    * unknown columns are simply never decoded.
+    */
+  private sealed trait Keep
+  private case object KeepAll extends Keep
+  private final case class KeepSub(fields: Map[String, Keep]) extends Keep
+
+  private val ckptKeep: Map[String, Keep] = Map(
+    "add" -> KeepSub(Map("path" -> KeepAll, "partitionValues" -> KeepAll,
+      "size" -> KeepAll, "stats" -> KeepAll,
+      "deletionVector" -> KeepSub(Map("storageType" -> KeepAll)))),
+    "metaData" -> KeepSub(Map("schemaString" -> KeepAll,
+      "partitionColumns" -> KeepAll, "configuration" -> KeepAll)),
+    "protocol" -> KeepSub(Map("minReaderVersion" -> KeepAll,
+      "readerFeatures" -> KeepAll)),
+    "txn" -> KeepSub(Map("appId" -> KeepAll, "version" -> KeepAll)))
+
+  private def projectFields(t: GroupType, keep: Map[String, Keep]): java.util.List[PType] = {
+    val out = new java.util.ArrayList[PType]()
+    t.getFields.forEach { f =>
+      keep.get(f.getName).foreach {
+        case KeepAll => out.add(f)
+        case KeepSub(m) =>
+          if (f.isPrimitive) out.add(f)
+          else {
+            val kept = projectFields(f.asGroupType(), m)
+            if (!kept.isEmpty) out.add(f.asGroupType().withNewFields(kept))
+          }
+      }
+    }
+    out
+  }
+
+  /** Driver-side checkpoint replay via parquet-mr's record-materializing
+    * Group reader over a projection of just the action fields we need —
+    * O(actions) with no Spark job, exactly like the JSON commit tail.
+    */
+  private def replayCheckpointDriver(conf: Configuration, parts: Seq[Path],
+      tablePath: String, onAdd: AddFile => Unit,
+      onMeta: (String, Seq[String], Map[String, String]) => Unit,
+      onProtocol: (Int, Set[String]) => Unit,
+      onTxn: (String, Long) => Unit): Unit =
+    parts.foreach { p =>
+      val fr = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      val fileSchema = try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+      val kept = projectFields(fileSchema, ckptKeep)
+      if (!kept.isEmpty) {
+        val c = new Configuration(conf)
+        c.set(ReadSupport.PARQUET_READ_SCHEMA,
+          new MessageType(fileSchema.getName, kept).toString)
+        val reader = ParquetReader.builder(new GroupReadSupport(), p).withConf(c).build()
+        try {
+          var g = reader.read()
+          while (g != null) {
+            optGroup(g, "add").foreach { a =>
+              if (optGroup(a, "deletionVector").exists(dv =>
+                  optString(dv, "storageType").isDefined))
+                throw unsupported("deletion vectors", tablePath)
+              val pv = optGroup(a, "partitionValues").map(groupMap)
+                .getOrElse(Map.empty[String, Option[String]])
+              onAdd(AddFile(a.getString("path", 0), pv,
+                optLong(a, "size").getOrElse(0L)))
+            }
+            optGroup(g, "metaData").foreach { m =>
+              onMeta(optString(m, "schemaString").orNull,
+                optGroup(m, "partitionColumns").map(groupStringList).getOrElse(Nil),
+                optGroup(m, "configuration").map(groupMap)
+                  .getOrElse(Map.empty[String, Option[String]])
+                  .collect { case (k, Some(x)) => k -> x })
+            }
+            optGroup(g, "protocol").foreach { pr =>
+              onProtocol(optInt(pr, "minReaderVersion").getOrElse(1),
+                optGroup(pr, "readerFeatures").map(groupStringList)
+                  .getOrElse(Nil).toSet)
+            }
+            optGroup(g, "txn").foreach { t =>
+              for (a <- optString(t, "appId"); ver <- optLong(t, "version"))
+                onTxn(a, ver)
+            }
+            g = reader.read()
+          }
+        } finally reader.close()
+      }
+    }
+
+  /** Fallback checkpoint replay through Spark (handles any physical layout
+    * parquet-mr's example decoder trips on, at the cost of a job).
+    */
+  private def replayCheckpointSpark(spark: SparkSession, parts: Seq[String],
+      tablePath: String, onAdd: AddFile => Unit,
+      onMeta: (String, Seq[String], Map[String, String]) => Unit,
+      onProtocol: (Int, Set[String]) => Unit,
+      onTxn: (String, Long) => Unit): Unit = {
+    val ck = spark.read.parquet(parts: _*)
+    val addT = ck.schema("add").dataType.asInstanceOf[StructType]
+    val hasDv = addT.fieldNames.contains("deletionVector")
+    val addCols = Seq(col("add.path"), col("add.partitionValues"),
+      col("add.size")) ++
+      (if (hasDv) Seq(col("add.deletionVector.storageType")) else Nil)
+    ck.filter(col("add").isNotNull).select(addCols: _*).collect().foreach { r =>
+      if (hasDv && !r.isNullAt(3))
+        throw unsupported("deletion vectors", tablePath)
+      val pv = Option(r.getMap[String, String](1))
+        .map(_.toMap.map { case (k, x) => k -> Option(x) })
+        .getOrElse(Map.empty[String, Option[String]])
+      onAdd(AddFile(r.getString(0), pv, r.getLong(2)))
+    }
+    val hasFeats = ck.schema("protocol").dataType.asInstanceOf[StructType]
+      .fieldNames.contains("readerFeatures")
+    ck.filter(col("metaData").isNotNull)
+      .select(col("metaData.schemaString"), col("metaData.partitionColumns"),
+        col("metaData.configuration")).collect()
+      .lastOption.foreach { r =>
+        onMeta(r.getString(0), r.getSeq[String](1),
+          Option(r.getMap[String, String](2)).map(_.toMap).getOrElse(Map.empty))
+      }
+    val prCols = Seq(col("protocol.minReaderVersion")) ++
+      (if (hasFeats) Seq(col("protocol.readerFeatures")) else Nil)
+    ck.filter(col("protocol").isNotNull).select(prCols: _*).collect()
+      .lastOption.foreach { r =>
+        onProtocol(r.getInt(0),
+          if (hasFeats && !r.isNullAt(1)) r.getSeq[String](1).toSet else Set.empty)
+      }
+    if (ck.schema.fieldNames.contains("txn"))
+      ck.filter(col("txn").isNotNull)
+        .select(col("txn.appId"), col("txn.version")).collect()
+        .foreach(r => onTxn(r.getString(0), r.getLong(1)))
+  }
+
+  // parquet-mr Group accessors, tolerant of absent optional fields
+  private def optGroup(g: Group, field: String): Option[Group] =
+    if (!g.getType.containsField(field) || g.getFieldRepetitionCount(field) == 0) None
+    else Some(g.getGroup(field, 0))
+  private def optString(g: Group, field: String): Option[String] =
+    if (!g.getType.containsField(field) || g.getFieldRepetitionCount(field) == 0) None
+    else Some(g.getString(field, 0))
+  private def optLong(g: Group, field: String): Option[Long] =
+    if (!g.getType.containsField(field) || g.getFieldRepetitionCount(field) == 0) None
+    else Some(g.getLong(field, 0))
+  private def optInt(g: Group, field: String): Option[Int] =
+    if (!g.getType.containsField(field) || g.getFieldRepetitionCount(field) == 0) None
+    else Some(g.getInteger(field, 0))
+
+  /** map<string,string> group: one repeated key_value group of (key,
+    * optional value). Field positions resolved by name when present.
+    */
+  private def groupMap(g: Group): Map[String, Option[String]] = {
+    val out = Map.newBuilder[String, Option[String]]
+    if (g.getType.getFieldCount >= 1) {
+      val n = g.getFieldRepetitionCount(0)
+      var i = 0
+      while (i < n) {
+        val kv = g.getGroup(0, i)
+        val kt = kv.getType
+        val ki = if (kt.containsField("key")) kt.getFieldIndex("key") else 0
+        val vi = if (kt.containsField("value")) kt.getFieldIndex("value") else 1
+        val v = if (kv.getFieldRepetitionCount(vi) == 0) None
+          else Some(kv.getString(vi, 0))
+        out += kv.getString(ki, 0) -> v
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** array<string> group: 3-level LIST (repeated list/element) or legacy
+    * 2-level (repeated primitive).
+    */
+  private def groupStringList(g: Group): Seq[String] = {
+    val b = Seq.newBuilder[String]
+    if (g.getType.getFieldCount >= 1) {
+      val f0 = g.getType.getType(0)
+      val n = g.getFieldRepetitionCount(0)
+      var i = 0
+      while (i < n) {
+        if (f0.isPrimitive) b += g.getString(0, i)
+        else {
+          val el = g.getGroup(0, i)
+          if (el.getType.getFieldCount >= 1 && el.getFieldRepetitionCount(0) > 0)
+            b += el.getString(0, 0)
+        }
+        i += 1
+      }
+    }
+    b.result()
   }
 
   // ---------------------------------------------------------------- util
