@@ -57,9 +57,12 @@ object DeltaNative {
 
   /** One active data file in a snapshot. `partitionValues` maps partition
     * column -> Some(serialized value) | None (null partition value).
+    * `stats` is the add action's per-file statistics JSON when present
+    * (numRecords/minValues/maxValues/nullCount) — consumed by
+    * [[DeltaStats.skipper]] for data skipping.
     */
   final case class AddFile(path: String, partitionValues: Map[String, Option[String]],
-      size: Long)
+      size: Long, stats: Option[String] = None)
 
   /** `txns`: latest SetTransaction version per streaming appId (the
     * protocol's exactly-once device — PROTOCOL.md "Transaction
@@ -180,7 +183,9 @@ object DeltaNative {
               // jsonObject drops JSON nulls; recover them as None
               keysOf(o).filterNot(jsonObject(o).contains).map(_ -> None).toMap
           }.getOrElse(Map.empty[String, Option[String]])
-          state(path) = AddFile(path, pv, Option(a.get("size")).map(_.asLong).getOrElse(0L))
+          state(path) = AddFile(path, pv,
+            Option(a.get("size")).map(_.asLong).getOrElse(0L),
+            Option(a.get("stats")).filter(_.isTextual).map(_.asText))
         }
         if (node.has("remove")) state.remove(node.get("remove").get("path").asText)
         if (node.has("txn")) {
@@ -213,7 +218,15 @@ object DeltaNative {
     try snapshot(spark, tablePath).txns.get(appId)
     catch { case _: IllegalArgumentException => None }
 
-  /** Read the table as a DataFrame (latest snapshot, or `versionAsOf`). */
+  /** Read the table as a DataFrame (latest snapshot, or `versionAsOf`).
+    *
+    * Built on [[DeltaFileIndex]] + `HadoopFsRelation`: ONE parquet scan
+    * node regardless of partition count, with the log's partitionValues as
+    * plan-time partition pruning, add-action stats as per-file data
+    * skipping, and `maxPartitionBytes` splitting / vectorized reading /
+    * AQE untouched — the same integration seam the Delta connector's
+    * TahoeFileIndex uses.
+    */
   def read(spark: SparkSession, tablePath: String,
       versionAsOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, tablePath, versionAsOf)
@@ -221,38 +234,18 @@ object DeltaNative {
     if (snap.files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], snap.schema)
+    // scan-time nullability must be relaxed (as spark.read does): after
+    // add-column evolution, pre-evolution files omit the column and read
+    // as null even when the TABLE schema declares it non-nullable
     val dataSchema = StructType(
-      snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)))
-    def abs(p: String): String = {
-      val d = decodePath(p)
-      if (d.contains("://") || d.startsWith("/")) d
-      else new Path(new Path(tablePath), d).toString
-    }
-    if (snap.partitionColumns.isEmpty)
-      spark.read.schema(dataSchema)
-        .parquet(snap.files.map(f => abs(f.path)): _*).select(ordered: _*)
-    else {
-      // Partition values live only in the log: group files by partition
-      // tuple, attach the values as cast literals, union the groups. The
-      // union is one scan node per DISTINCT PARTITION TUPLE (not per file)
-      // — fine into the thousands; beyond that the connector jar's
-      // FileIndex integration is the right tool and the SPI gate prefers
-      // it automatically when present.
-      val groups = snap.files.groupBy(_.partitionValues).toSeq
-      groups.map { case (pv, fsq) =>
-        var df = spark.read.schema(dataSchema)
-          .parquet(fsq.map(f => abs(f.path)): _*)
-        snap.partitionColumns.foreach { pc =>
-          val ft = snap.schema(pc).dataType
-          df = df.withColumn(pc,
-            pv.getOrElse(pc, None) match {
-              case Some(s) => lit(s).cast(ft)
-              case None => lit(null).cast(ft)
-            })
-        }
-        df.select(ordered: _*)
-      }.reduce(_ union _)
-    }
+      snap.schema.filterNot(f => snap.partitionColumns.contains(f.name))
+        .map(_.copy(nullable = true)))
+    val index = new DeltaFileIndex(spark, tablePath, snap)
+    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      index, index.partitionSchema, dataSchema, None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+      Map.empty[String, String])(spark)
+    spark.baseRelationToDataFrame(relation).select(ordered: _*)
   }
 
   // ---------------------------------------------------------------- writer
@@ -286,7 +279,8 @@ object DeltaNative {
     val w = if (partitionBy.nonEmpty) df.write.partitionBy(partitionBy: _*) else df.write
     w.parquet(tmp.toString)
 
-    val staged = mutable.Buffer.empty[(String, Map[String, Option[String]], Long)]
+    val dataSchema = StructType(df.schema.filterNot(f => partitionBy.contains(f.name)))
+    val staged = mutable.Buffer.empty[(String, Map[String, Option[String]], Long, Option[String])]
     def walk(dir: Path, parts: Map[String, Option[String]]): Unit =
       fs.listStatus(dir).foreach { st =>
         val n = st.getPath.getName
@@ -303,7 +297,10 @@ object DeltaNative {
           val dest = new Path(table, rel)
           fs.mkdirs(dest.getParent)
           fs.rename(st.getPath, dest)
-          staged += ((rel, parts, st.getLen))
+          // per-file stats from the footer the file already carries — the
+          // data-skipping index, written once at ingest time
+          staged += ((rel, parts, st.getLen,
+            DeltaStats.fromFooter(conf, dest, dataSchema)))
         }
       }
     walk(tmp, Map.empty)
@@ -344,7 +341,7 @@ object DeltaNative {
       root.set[JsonNode]("remove", rm)
       lines += mapper.writeValueAsString(root)
     })
-    staged.foreach { case (rel, parts, size) =>
+    staged.foreach { case (rel, parts, size, stats) =>
       val add = mapper.createObjectNode()
       add.put("path", encodePathForLog(rel))
       val pv = add.putObject("partitionValues")
@@ -353,6 +350,7 @@ object DeltaNative {
       }
       add.put("size", size); add.put("modificationTime", now)
       add.put("dataChange", true)
+      stats.foreach(add.put("stats", _))
       val root = mapper.createObjectNode()
       root.set[JsonNode]("add", add)
       lines += mapper.writeValueAsString(root)
@@ -487,6 +485,7 @@ object DeltaNative {
           }
           add.put("size", st.getLen); add.put("modificationTime", now)
           add.put("dataChange", true)
+          DeltaStats.fromFooter(conf, dest, dataSchema).foreach(add.put("stats", _))
           val root = mapper.createObjectNode()
           root.set[JsonNode]("add", add)
           lines += mapper.writeValueAsString(root)
@@ -564,6 +563,7 @@ object DeltaNative {
           }
           add.put("size", st.getLen); add.put("modificationTime", now)
           add.put("dataChange", false)
+          DeltaStats.fromFooter(conf, dest, dataSchema).foreach(add.put("stats", _))
           val root = mapper.createObjectNode()
           root.set[JsonNode]("add", add)
           lines += mapper.writeValueAsString(root)
@@ -628,7 +628,7 @@ object DeltaNative {
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType)),
       StructField("size", LongType), StructField("modificationTime", LongType),
-      StructField("dataChange", BooleanType)))
+      StructField("dataChange", BooleanType), StructField("stats", StringType)))
     val mdType = StructType(Seq(
       StructField("id", StringType),
       StructField("format", StructType(Seq(StructField("provider", StringType)))),
@@ -654,7 +654,7 @@ object DeltaNative {
       } ++
       snap.files.map(f => Row(
         Row(f.path, f.partitionValues.map { case (k, v) => k -> v.orNull },
-          f.size, 0L, false), null, null, null)))
+          f.size, 0L, false, f.stats.orNull), null, null, null)))
     val ck = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), ckSchema)
     val tmp = new Path(logDir, s".ckpt_${java.util.UUID.randomUUID}")
@@ -736,7 +736,7 @@ object DeltaNative {
               val pv = optGroup(a, "partitionValues").map(groupMap)
                 .getOrElse(Map.empty[String, Option[String]])
               onAdd(AddFile(a.getString("path", 0), pv,
-                optLong(a, "size").getOrElse(0L)))
+                optLong(a, "size").getOrElse(0L), optString(a, "stats")))
             }
             optGroup(g, "metaData").foreach { m =>
               onMeta(optString(m, "schemaString").orNull,
@@ -771,16 +771,19 @@ object DeltaNative {
     val ck = spark.read.parquet(parts: _*)
     val addT = ck.schema("add").dataType.asInstanceOf[StructType]
     val hasDv = addT.fieldNames.contains("deletionVector")
+    val hasStats = addT.fieldNames.contains("stats")
     val addCols = Seq(col("add.path"), col("add.partitionValues"),
-      col("add.size")) ++
+      col("add.size"),
+      if (hasStats) col("add.stats") else lit(null).cast("string")) ++
       (if (hasDv) Seq(col("add.deletionVector.storageType")) else Nil)
     ck.filter(col("add").isNotNull).select(addCols: _*).collect().foreach { r =>
-      if (hasDv && !r.isNullAt(3))
+      if (hasDv && !r.isNullAt(4))
         throw unsupported("deletion vectors", tablePath)
       val pv = Option(r.getMap[String, String](1))
         .map(_.toMap.map { case (k, x) => k -> Option(x) })
         .getOrElse(Map.empty[String, Option[String]])
-      onAdd(AddFile(r.getString(0), pv, r.getLong(2)))
+      onAdd(AddFile(r.getString(0), pv, r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getString(3))))
     }
     val hasFeats = ck.schema("protocol").dataType.asInstanceOf[StructType]
       .fieldNames.contains("readerFeatures")
@@ -896,7 +899,7 @@ object DeltaNative {
     * File"); '+' is a literal plus in a URI path, so protect it from
     * URLDecoder's form-decoding.
     */
-  private def decodePath(p: String): String =
+  private[io] def decodePath(p: String): String =
     java.net.URLDecoder.decode(p.replace("+", "%2B"), "UTF-8")
 
   private def encodePathForLog(rel: String): String =

@@ -231,21 +231,82 @@ class DeltaNativeSpec extends SparkTestBase {
     assert(Sources.deltaLake(spark, p, versionAsOf = Some(0L)).count() == 5)
   }
 
-  test("delta: partition-column filter folds non-matching union branches away") {
+  test("delta: partition filter prunes the file list at plan time (FileIndex)") {
     val p = tmpDir("prune")
     val df = (1 to 100).map(i => (i.toLong, s"n$i", (i % 5).toString))
       .toDF("id", "name", "part")
     DeltaNative.write(df, p, partitionBy = Seq("part"))
-    assert(DeltaNative.snapshot(spark, p).files
-      .map(_.partitionValues).distinct.size == 5)
+    val snap = DeltaNative.snapshot(spark, p)
+    assert(snap.files.map(_.partitionValues).distinct.size == 5)
     val q = Sources.deltaLake(spark, p).filter(col("part") === "3")
-    // ConstantFolding + PruneFilters drop the 4 branches whose literal
-    // partition value contradicts the filter: ONE scan survives — the
-    // 100 TB partition-pruning property, via the optimizer, for free
-    val scans = q.queryExecution.executedPlan.toString
-      .split("\n").count(_.contains("Scan parquet"))
-    assert(scans == 1, q.queryExecution.executedPlan.toString)
+    // DeltaFileIndex serves the log's partitionValues as plan-time
+    // partition metadata: ONE scan node total, the filter lands in
+    // PartitionFilters, and only part=3's files are listed — the
+    // 100 TB partition-pruning property, through the standard seam
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.split("\n").count(_.contains("Scan parquet")) == 1, plan)
+    assert(plan.contains("PartitionFilters"), plan)
     assert(q.count() == 20)
+    val expected = snap.files.filter(_.partitionValues.get("part").contains(Some("3")))
+      .map(_.path).toSet
+    val scanned = q.select(input_file_name()).distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(scanned.size == expected.size, s"scanned $scanned")
+    assert(expected.forall(e => scanned.exists(_.endsWith(e.split("/").last))))
+  }
+
+  test("delta: add-action stats skip files a point lookup can't match") {
+    val p = tmpDir("skip")
+    // 10 appends = 10 files with disjoint id ranges [1..10], [11..20], ...
+    (0 until 10).foreach { b =>
+      DeltaNative.write(
+        (b * 10 + 1 to b * 10 + 10).map(i => (i.toLong, s"n$i")).toDF("id", "name")
+          .coalesce(1),
+        p, mode = if (b == 0) "overwrite" else "append")
+    }
+    val snap = DeltaNative.snapshot(spark, p)
+    assert(snap.files.size == 10)
+    assert(snap.files.forall(_.stats.nonEmpty), "writer must emit stats")
+    // a point lookup must open exactly ONE of the ten files
+    val q = Sources.deltaLake(spark, p).filter(col("id") === 42L)
+    assert(q.select(input_file_name()).distinct().count() == 1)
+    assert(q.count() == 1)
+    // a range must open exactly the straddled files
+    val r = Sources.deltaLake(spark, p)
+      .filter(col("id") >= 15L && col("id") <= 35L)
+    assert(r.select(input_file_name()).distinct().count() == 3)
+    assert(r.count() == 21)
+    // an impossible predicate opens nothing
+    val none = Sources.deltaLake(spark, p).filter(col("id") > 1000L)
+    assert(none.count() == 0)
+    assert(none.select(input_file_name()).distinct().count() == 0)
+  }
+
+  test("delta: stats skipping survives a checkpoint and string/null bounds work") {
+    val p = tmpDir("skipck")
+    DeltaNative.write(Seq((1L, "apple"), (2L, "banana")).toDF("id", "s").coalesce(1), p)
+    DeltaNative.write(Seq((3L, "melon"), (4L, null.asInstanceOf[String])).toDF("id", "s")
+      .coalesce(1), p, mode = "append")
+    DeltaNative.checkpoint(spark, p)
+    DeltaNative.write(Seq((5L, "zebra"), (6L, "zucchini")).toDF("id", "s").coalesce(1),
+      p, mode = "append")
+    val snap = DeltaNative.snapshot(spark, p)
+    assert(snap.files.size == 3)
+    assert(snap.files.forall(_.stats.nonEmpty),
+      "stats must survive the checkpoint round trip")
+    val t = Sources.deltaLake(spark, p)
+    // string equality: only the file whose [min,max] straddles "melon"
+    assert(t.filter(col("s") === "melon")
+      .select(input_file_name()).distinct().count() == 1)
+    // IS NULL: only the file whose nullCount > 0
+    assert(t.filter(col("s").isNull)
+      .select(input_file_name()).distinct().count() == 1)
+    // LIKE 'z%' (StartsWith): only the zebra/zucchini file
+    assert(t.filter(col("s").startsWith("z"))
+      .select(input_file_name()).distinct().count() == 1)
+    // correctness never depends on skipping
+    assert(t.count() == 6)
+    assert(t.filter(col("s").isNotNull).count() == 5)
   }
 
   test("delta: OPTIMIZE compacts small files without changing data") {
