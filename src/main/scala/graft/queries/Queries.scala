@@ -1811,6 +1811,47 @@ object Queries {
           OVER (PARTITION BY o_orderpriority) AS delta
       FROM orders ORDER BY o_orderkey""")),
 
+    QueryDef("q116_delta_skipping", (s, dir) => {
+      // Delta data skipping, ORACLE-GATED INCLUDING THE SKIP COUNT: six
+      // appends with disjoint o_orderkey ranges (width w = ceil(max/6))
+      // produce six files whose add-action stats carry tight [min,max];
+      // a range predicate straddling exactly buckets 1 and 2 must LIST
+      // exactly 2 files. files_opened comes from the executed scan's
+      // numFiles metric, so DuckDB's literal 2 fails the compare if
+      // skipping ever regresses — not just if the row content drifts.
+      val orders = Q.t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      val maxKey = orders.agg(max("o_orderkey")).collect()(0).getLong(0)
+      val w = (maxKey + 5) / 6
+      val path = s"/tmp/graft_delta_${new java.io.File(dir).getName}/orders_skip"
+      (0 until 6).foreach { b =>
+        graft.io.DeltaNative.write(
+          orders.filter(col("o_orderkey").between(b * w + 1, (b + 1) * w))
+            .coalesce(1),
+          path, mode = if (b == 0) "overwrite" else "append")
+      }
+      val filtered = graft.io.Sources.deltaLake(s, path)
+        .filter(col("o_orderkey").between(w + 1, 3 * w))
+      filtered.collect()
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case other => other.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      }
+      val opened = scans(filtered.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum
+      filtered.agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total"))
+        .withColumn("files_opened", lit(opened))
+    }, Some("""WITH m AS (SELECT CAST(CEIL(MAX(o_orderkey)/6.0) AS BIGINT) AS w
+        FROM orders)
+      SELECT COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        CAST(2 AS BIGINT) AS files_opened
+      FROM orders, m WHERE o_orderkey BETWEEN w + 1 AND 3 * w""")),
+
     QueryDef("q97_histogram_adaptive", (s, dir) => {
       v(s, dir, "orders")
       // adaptive-bin histogram sketch (custom agg). Bin EDGES are sketch-

@@ -247,12 +247,28 @@ class DeltaNativeSpec extends SparkTestBase {
     assert(plan.split("\n").count(_.contains("Scan parquet")) == 1, plan)
     assert(plan.contains("PartitionFilters"), plan)
     assert(q.count() == 20)
-    val expected = snap.files.filter(_.partitionValues.get("part").contains(Some("3")))
-      .map(_.path).toSet
-    val scanned = q.select(input_file_name()).distinct().collect()
-      .map(_.getString(0)).toSet
-    assert(scanned.size == expected.size, s"scanned $scanned")
-    assert(expected.forall(e => scanned.exists(_.endsWith(e.split("/").last))))
+    // listing really shrank to part=3's files (scan metric, post-pruning)
+    val expected = snap.files.count(_.partitionValues.get("part").contains(Some("3")))
+    assert(filesRead(q) == expected)
+    assert(filesRead(Sources.deltaLake(spark, p)) == snap.files.size)
+  }
+
+  /** Files the scan actually LISTED (post partition-pruning + stats
+    * skipping), from the FileSourceScanExec numFiles metric after an
+    * action. `input_file_name` counting would be vacuous here: filtered
+    * rows always come from matching files whether or not skipping ran.
+    */
+  private def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case other =>
+        other.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    }
+    scans(df.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
   }
 
   test("delta: add-action stats skip files a point lookup can't match") {
@@ -267,19 +283,22 @@ class DeltaNativeSpec extends SparkTestBase {
     val snap = DeltaNative.snapshot(spark, p)
     assert(snap.files.size == 10)
     assert(snap.files.forall(_.stats.nonEmpty), "writer must emit stats")
-    // a point lookup must open exactly ONE of the ten files
+    // a point lookup must LIST exactly ONE of the ten files (scan metric,
+    // not input_file_name — surviving rows always come from matching files)
     val q = Sources.deltaLake(spark, p).filter(col("id") === 42L)
-    assert(q.select(input_file_name()).distinct().count() == 1)
+    assert(filesRead(q) == 1)
     assert(q.count() == 1)
-    // a range must open exactly the straddled files
+    // a range must list exactly the straddled files
     val r = Sources.deltaLake(spark, p)
       .filter(col("id") >= 15L && col("id") <= 35L)
-    assert(r.select(input_file_name()).distinct().count() == 3)
+    assert(filesRead(r) == 3)
     assert(r.count() == 21)
-    // an impossible predicate opens nothing
+    // an impossible predicate lists nothing
     val none = Sources.deltaLake(spark, p).filter(col("id") > 1000L)
+    assert(filesRead(none) == 0)
     assert(none.count() == 0)
-    assert(none.select(input_file_name()).distinct().count() == 0)
+    // no filter: all ten listed (skipping never over-prunes)
+    assert(filesRead(Sources.deltaLake(spark, p)) == 10)
   }
 
   test("delta: stats skipping survives a checkpoint and string/null bounds work") {
@@ -296,14 +315,11 @@ class DeltaNativeSpec extends SparkTestBase {
       "stats must survive the checkpoint round trip")
     val t = Sources.deltaLake(spark, p)
     // string equality: only the file whose [min,max] straddles "melon"
-    assert(t.filter(col("s") === "melon")
-      .select(input_file_name()).distinct().count() == 1)
+    assert(filesRead(t.filter(col("s") === "melon")) == 1)
     // IS NULL: only the file whose nullCount > 0
-    assert(t.filter(col("s").isNull)
-      .select(input_file_name()).distinct().count() == 1)
+    assert(filesRead(t.filter(col("s").isNull)) == 1)
     // LIKE 'z%' (StartsWith): only the zebra/zucchini file
-    assert(t.filter(col("s").startsWith("z"))
-      .select(input_file_name()).distinct().count() == 1)
+    assert(filesRead(t.filter(col("s").startsWith("z"))) == 1)
     // correctness never depends on skipping
     assert(t.count() == 6)
     assert(t.filter(col("s").isNotNull).count() == 5)
