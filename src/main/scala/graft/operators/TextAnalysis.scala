@@ -103,6 +103,64 @@ object TextAnalysis {
   def qualityScoreFromTokens(df: DataFrame, textCol: String, toks: Column): DataFrame =
     qualityFeaturesFromTokens(df, textCol, toks).withColumn("quality_score", scoreMix)
 
+  /** PII patterns for the scrub step every C4/Dolma-class curation
+    * pipeline runs before training. Conservative, and valid in BOTH Java
+    * regex and RE2 (no backreferences, no lookarounds) so a DuckDB oracle
+    * replicates them verbatim. Order matters for [[scrubPii]]: email
+    * before the numeric patterns, SSN before phone (disjoint shapes, but
+    * scrubbing must be deterministic).
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq( // (name, regex, token)
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+
+  /** Per-category PII match counts (codegen'd regexp scans, no UDF). */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    piiPatterns.map { case (name, re, _) =>
+      name -> size(regexp_extract_all(text, lit(re), lit(0))) }
+
+  /** Redact all PII categories with typed placeholder tokens. */
+  def scrubPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, re, tok)) =>
+      regexp_replace(c, re, tok) }
+
+  /** Gopher-style repetition features (Rae et al. 2021 §A1.1, the standard
+    * repetitious-document filters): over sentence units — duplicate
+    * fraction by count and by character mass — and over token 2-grams —
+    * the top 2-gram's occurrence count. Pure higher-order-function
+    * compositions: codegen'd, no explode, no shuffle; cost is O(distinct
+    * units x units) per document, fine for documents (vs. the corpus-level
+    * dedup operators which handle CROSS-document repetition).
+    */
+  def repetitionFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val dfs = df
+      .withColumn("__sents", filter(split(t, "\\. "), x => x =!= ""))
+      .withColumn("__toks", tokenize(t))
+    val sents = col("__sents")
+    val toks = col("__toks")
+    val nS = greatest(size(sents), lit(1)).cast("double")
+    val dupChar = aggregate(array_distinct(sents), lit(0L), (acc, d) =>
+      acc + (size(filter(sents, x => x === d)) - 1).cast("long") * length(d))
+    val totChar = greatest(
+      aggregate(sents, lit(0L), (acc, x) => acc + length(x)), lit(1L))
+    val grams = transform(sequence(lit(1), size(toks) - 1),
+      i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
+    dfs
+      .withColumn("dup_sent_frac",
+        (size(sents) - size(array_distinct(sents))).cast("double") / nS)
+      .withColumn("dup_sent_char_frac",
+        dupChar.cast("double") / totChar.cast("double"))
+      .withColumn("top_bigram_count",
+        when(size(toks) >= 2,
+          array_max(transform(array_distinct(grams),
+            g => size(filter(grams, x => x === g)))))
+          .otherwise(lit(0)))
+      .drop("__sents", "__toks")
+  }
+
   /** Winnowing-style rolling-hash fingerprint (see TextFingerprint). */
   def fingerprint(text: Column, window: Int = 8): Column =
     call_function("fingerprint", text, lit(window))

@@ -1852,6 +1852,73 @@ object Queries {
         CAST(2 AS BIGINT) AS files_opened
       FROM orders, m WHERE o_orderkey BETWEEN w + 1 AND 3 * w""")),
 
+    QueryDef("q117_pii_scrub", (s, dir) => {
+      // PII scrubbing (the C4/Dolma curation step): detect + redact
+      // emails/SSNs/phones/IPv4s with patterns valid in both Java regex
+      // and RE2, so DuckDB replicates detection, counts AND the scrubbed
+      // text (compared via md5) verbatim. PII is planted deterministically
+      // per doc_id so every category actually fires.
+      val planted = Q.t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com tel 555-867-5309 ip 10.2.3.4 ssn 123-45-6789"))
+          .as("t2"))
+      val counts = TextAnalysis.piiCounts(col("t2"))
+        .map { case (n, c) => c.as(s"n_$n") }
+      planted.select(Seq(col("doc_id")) ++ counts :+
+        md5(TextAnalysis.scrubPii(col("t2")).cast("binary")).as("scrub_md5"): _*)
+        .orderBy("doc_id")
+    }, Some("""WITH p AS (
+        SELECT doc_id,
+          text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+            '@example.com tel 555-867-5309 ip 10.2.3.4 ssn 123-45-6789' AS t2
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+        CAST(len(regexp_extract_all(t2, '\b\d{3}-\d{2}-\d{4}\b')) AS INT) AS n_ssn,
+        CAST(len(regexp_extract_all(t2, '\b\d{3}-\d{3}-\d{4}\b')) AS INT) AS n_phone,
+        CAST(len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+        md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t2,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+          '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS scrub_md5
+      FROM p ORDER BY doc_id""")),
+
+    QueryDef("q118_repetition", (s, dir) => {
+      // Gopher-style repetition filters (Rae et al. 2021 §A1.1): duplicate
+      // sentence fraction (by count and char mass) + top token-2-gram
+      // repeat count. Every feature is an exact integer/HOF composition
+      // replicated term-for-term in the oracle.
+      TextAnalysis.repetitionFeatures(Q.t(s, dir, "documents"), "text")
+        .select(col("doc_id"),
+          round(col("dup_sent_frac"), 6).as("dup_sent_frac"),
+          round(col("dup_sent_char_frac"), 6).as("dup_sent_char_frac"),
+          col("top_bigram_count"))
+        .orderBy("doc_id")
+    }, Some("""WITH f AS (
+        SELECT doc_id,
+          list_filter(string_split(text, '. '), x -> x <> '') AS s,
+          list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        FROM documents),
+      g AS (
+        SELECT doc_id, s, toks,
+          CASE WHEN len(toks) >= 2 THEN
+            list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+          ELSE [] END AS grams
+        FROM f)
+      SELECT doc_id,
+        ROUND(CAST(len(s) - len(list_distinct(s)) AS DOUBLE)
+          / CAST(greatest(len(s), 1) AS DOUBLE), 6) AS dup_sent_frac,
+        ROUND(CAST(COALESCE(list_sum(list_transform(list_distinct(s),
+            d -> (len(list_filter(s, x -> x = d)) - 1) * length(d))), 0) AS DOUBLE)
+          / CAST(greatest(COALESCE(list_sum(list_transform(s, x -> length(x))), 0), 1)
+              AS DOUBLE), 6) AS dup_sent_char_frac,
+        CAST(CASE WHEN len(toks) >= 2 THEN
+          list_max(list_transform(list_distinct(grams),
+            x -> len(list_filter(grams, y -> y = x))))
+        ELSE 0 END AS INT) AS top_bigram_count
+      FROM g ORDER BY doc_id""")),
+
     QueryDef("q97_histogram_adaptive", (s, dir) => {
       v(s, dir, "orders")
       // adaptive-bin histogram sketch (custom agg). Bin EDGES are sketch-

@@ -410,4 +410,39 @@ class DedupClusterSpec extends SparkTestBase {
     }.toSet
     assert(rows(1L).forall(all.contains))
   }
+
+  test("scrubPii redacts every category; counts match; clean text untouched") {
+    val df = Seq(
+      (1L, "mail a.b+c@x.co.uk or 10.0.0.1, ssn 123-45-6789, tel 555-123-4567"),
+      (2L, "no pii here, just 3-4 numbers like 12 and 3.14"),
+      (3L, "")).toDF("id", "text")
+    val out = df.select(col("id") +: TextAnalysis.piiCounts(col("text"))
+        .map { case (n, c) => c.as(n) } :+
+        TextAnalysis.scrubPii(col("text")).as("scrubbed"): _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 1 && out(1L).getInt(2) == 1 &&
+      out(1L).getInt(3) == 1 && out(1L).getInt(4) == 1)
+    val scrubbed = out(1L).getString(5)
+    assert(scrubbed.contains("<EMAIL>") && scrubbed.contains("<SSN>") &&
+      scrubbed.contains("<PHONE>") && scrubbed.contains("<IP>"))
+    assert(!scrubbed.contains("@") && !scrubbed.contains("123-45"))
+    assert(out(2L).toSeq.drop(1) == Seq(0, 0, 0, 0,
+      "no pii here, just 3-4 numbers like 12 and 3.14"))
+    assert(out(3L).getString(5) == "")
+  }
+
+  test("repetitionFeatures: duplicate sentences and top bigram counted exactly") {
+    val df = Seq(
+      (1L, "aa bb. cc dd. aa bb. ee"),       // "aa bb" twice of 4 sentences
+      (2L, "x y x y x y"),                   // top bigram "x y" occurs 3x
+      (3L, "")).toDF("id", "text")
+    val out = TextAnalysis.repetitionFeatures(df, "text")
+      .select("id", "dup_sent_frac", "dup_sent_char_frac", "top_bigram_count")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getDouble(1) == 0.25) // 4 sents, 3 distinct
+    // dup char mass = 5 ("aa bb" once beyond first) / total 17 chars
+    assert(math.abs(out(1L).getDouble(2) - 5.0 / 17.0) < 1e-12)
+    assert(out(2L).getInt(3) == 3)
+    assert(out(3L).getDouble(1) == 0.0 && out(3L).getInt(3) == 0)
+  }
 }
