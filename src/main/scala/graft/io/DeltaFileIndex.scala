@@ -34,7 +34,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *     `spark.read.parquet`, instead of one scan per partition tuple
   *     (the previous union-of-scans shape).
   */
-final class DeltaFileIndex(spark: SparkSession, tablePath: String,
+class DeltaFileIndex(spark: SparkSession, tablePath: String,
     snap: DeltaNative.Snapshot) extends FileIndex {
 
   override val partitionSchema: StructType =
@@ -42,7 +42,7 @@ final class DeltaFileIndex(spark: SparkSession, tablePath: String,
 
   private val zone = Option(spark.sessionState.conf.sessionLocalTimeZone)
 
-  private def absPath(p: String): Path = {
+  protected def absPath(p: String): Path = {
     val d = DeltaNative.decodePath(p)
     if (d.contains("://") || d.startsWith("/")) new Path(d)
     else new Path(new Path(tablePath), d)
@@ -97,4 +97,18 @@ final class DeltaFileIndex(spark: SparkSession, tablePath: String,
   override def refresh(): Unit = ()
 
   override def sizeInBytes: Long = snap.files.map(_.size).sum
+}
+
+/** The same seam for the native Hudi CoW reader. Hudi data files carry
+  * COMPLETE rows (partition columns included), so partitionSchema stays
+  * empty and every filter arrives as a data filter — but each file's hive
+  * partition path pins its partition columns exactly, which
+  * [[HudiNative]] encodes as per-file min=max stats. The inherited
+  * stats skipper then prunes partition-filtered files at plan time
+  * without opening a single footer. Paths come straight from a
+  * FileSystem listing, so no URI decoding applies.
+  */
+final class HudiFileIndex(spark: SparkSession, tablePath: String,
+    snap: DeltaNative.Snapshot) extends DeltaFileIndex(spark, tablePath, snap) {
+  override protected def absPath(p: String): Path = new Path(p)
 }

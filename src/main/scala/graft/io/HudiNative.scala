@@ -41,7 +41,7 @@ object HudiNative {
   private val baseFileRe = "^([^_]+)_([^_]+)_([0-9]+)\\.parquet$".r
 
   final case class BaseFile(partition: String, fileId: String, instant: String,
-      path: String)
+      path: String, size: Long = 0L)
 
   /** Parse `.hoodie/hoodie.properties` (java.util.Properties format). */
   def tableProperties(spark: SparkSession, tablePath: String): Map[String, String] = {
@@ -125,7 +125,8 @@ object HudiNative {
               case d => d
             }
             if (!replaced.get(fileId).exists(_ >= instant))
-              found += BaseFile(partition, fileId, instant, st.getPath.toString)
+              found += BaseFile(partition, fileId, instant,
+                st.getPath.toString, st.getLen)
           case _ => () // non-base or uncommitted file: skip
         }
       }
@@ -137,6 +138,13 @@ object HudiNative {
 
   /** Read the latest CoW snapshot as a DataFrame. `withMeta = false` drops
     * the `_hoodie_*` meta columns (the default user-facing shape).
+    *
+    * Served through [[HudiFileIndex]]: Hudi data files carry complete rows
+    * (partition columns included), so the relation has no partition
+    * schema, but each file's hive partition path pins its partition
+    * columns exactly — encoded as per-file min=max add-action stats, the
+    * pushed filters prune partition-mismatched files at plan time without
+    * opening any footer.
     */
   def read(spark: SparkSession, tablePath: String,
       withMeta: Boolean = false): DataFrame = {
@@ -144,9 +152,49 @@ object HudiNative {
     if (files.isEmpty)
       throw new IllegalArgumentException(
         s"Hudi table has no completed commits: $tablePath")
-    val df = spark.read.parquet(files.map(_.path): _*)
+    // schema from the NEWEST instant's footer (one driver-side read)
+    val schema = spark.read.parquet(files.maxBy(_.instant).path).schema
+    val adds = files.map(f => DeltaNative.AddFile(
+      f.path, Map.empty, f.size, partitionStats(f.partition)))
+    val snap = DeltaNative.Snapshot(0L, schema, Nil, adds)
+    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      new HudiFileIndex(spark, tablePath, snap),
+      org.apache.spark.sql.types.StructType(Nil), schema, None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+      Map.empty[String, String])(spark)
+    val df = spark.baseRelationToDataFrame(relation)
     if (withMeta) df
     else df.select(df.columns.filterNot(_.startsWith("_hoodie_")).map(col): _*)
+  }
+
+  /** Per-file stats JSON from a hive partition path (`k=v/k2=v2`): each
+    * partition column is constant within the file, so min = max = value
+    * (and a null partition value is all-null for that column) — enough
+    * for [[DeltaStats.skipper]] to prune on partition predicates.
+    */
+  private[io] def partitionStats(partition: String): Option[String] = {
+    if (partition.isEmpty) return None
+    val root = mapper.createObjectNode()
+    val minN = root.putObject("minValues")
+    val maxN = root.putObject("maxValues")
+    val nullN = root.putObject("nullCount")
+    var anyNull = false
+    partition.split("/").foreach { seg =>
+      seg.split("=", 2) match {
+        case Array(k, raw) =>
+          if (raw == "__HIVE_DEFAULT_PARTITION__") {
+            nullN.put(k, 1L); anyNull = true
+          } else {
+            val v = java.net.URLDecoder.decode(raw.replace("+", "%2B"), "UTF-8")
+            minN.put(k, v); maxN.put(k, v); nullN.put(k, 0L)
+          }
+        case _ => ()
+      }
+    }
+    // numRecords only matters for the all-null case (allNull = nc >= nr);
+    // 1 is a safe stand-in: the column is null in EVERY row of the file
+    if (anyNull) root.put("numRecords", 1L)
+    Some(mapper.writeValueAsString(root))
   }
 
   // ---------------------------------------------------------------- writer

@@ -253,24 +253,6 @@ class DeltaNativeSpec extends SparkTestBase {
     assert(filesRead(Sources.deltaLake(spark, p)) == snap.files.size)
   }
 
-  /** Files the scan actually LISTED (post partition-pruning + stats
-    * skipping), from the FileSourceScanExec numFiles metric after an
-    * action. `input_file_name` counting would be vacuous here: filtered
-    * rows always come from matching files whether or not skipping ran.
-    */
-  private def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
-    df.collect()
-    def scans(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        scans(a.executedPlan)
-      case other =>
-        other.collect {
-          case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
-    }
-    scans(df.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
-  }
-
   test("delta: add-action stats skip files a point lookup can't match") {
     val p = tmpDir("skip")
     // 10 appends = 10 files with disjoint id ranges [1..10], [11..20], ...

@@ -111,4 +111,35 @@ class HudiNativeSpec extends SparkTestBase {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,2)"), plan)
   }
+
+  test("hudi: partition-path stats prune files at plan time") {
+    val p = tmpDir("prune")
+    // region-partitioned: one file group per region
+    HudiNative.write(base.repartition(1), p, partitionBy = Seq("region"))
+    val files = HudiNative.snapshotFiles(spark, p)
+    val regions = files.map(_.partition).distinct
+    assert(regions.sorted == Seq("region=eu", "region=us"))
+    val t = Sources.hudi(spark, p)
+    // a partition predicate lists ONLY that partition's files — from the
+    // hive path encoded as per-file min=max stats, no footer opened
+    assert(filesRead(t.filter(col("region") === "eu")) ==
+      files.count(_.partition == "region=eu"))
+    assert(filesRead(t.filter(col("region") === "nope")) == 0)
+    assert(filesRead(t) == files.size)
+    // correctness unchanged: rows really are those partitions' rows
+    assert(t.filter(col("region") === "eu").orderBy("id")
+      .select("id").as[Long].collect().toSeq == Seq(3L, 4L))
+    // null partition value: IS NULL keeps only the null-partition file
+    val p2 = tmpDir("prunenull")
+    val withNull = base.union(Seq((5L, "eps", 5.5, null.asInstanceOf[String]))
+      .toDF("id", "name", "v", "region"))
+    HudiNative.write(withNull.repartition(1), p2, partitionBy = Seq("region"))
+    val t2 = Sources.hudi(spark, p2)
+    val f2 = HudiNative.snapshotFiles(spark, p2)
+    assert(filesRead(t2.filter(col("region").isNull)) ==
+      f2.count(_.partition.contains("__HIVE_DEFAULT_PARTITION__")))
+    assert(filesRead(t2.filter(col("region").isNotNull)) ==
+      f2.count(!_.partition.contains("__HIVE_DEFAULT_PARTITION__")))
+    assert(t2.filter(col("region").isNull).count() == 1)
+  }
 }

@@ -24,4 +24,22 @@ abstract class SparkTestBase extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestBase.spark
   def sql(q: String): org.apache.spark.sql.DataFrame =
     new graft.engine.GraftSession(spark).sql(q)
+
+  /** Files a scan actually LISTED (post partition-pruning + stats
+    * skipping): the FileSourceScanExec numFiles metric after an action.
+    * Counting distinct input_file_name would be vacuous — filtered rows
+    * always come from matching files whether or not the listing shrank.
+    */
+  protected def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case other =>
+        other.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    }
+    scans(df.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
+  }
 }
