@@ -112,3 +112,14 @@ final class HudiFileIndex(spark: SparkSession, tablePath: String,
     snap: DeltaNative.Snapshot) extends DeltaFileIndex(spark, tablePath, snap) {
   override protected def absPath(p: String): Path = new Path(p)
 }
+
+/** And for the native Iceberg reader: complete-row data files (empty
+  * partition schema), with the manifest's per-file lower/upper_bounds and
+  * null_value_counts decoded by [[IcebergNative]] into the same stats
+  * JSON — manifest metadata alone prunes the file list at plan time.
+  * Paths are pre-resolved absolute filesystem paths.
+  */
+final class IcebergFileIndex(spark: SparkSession, tablePath: String,
+    snap: DeltaNative.Snapshot) extends DeltaFileIndex(spark, tablePath, snap) {
+  override protected def absPath(p: String): Path = new Path(p)
+}

@@ -40,18 +40,22 @@ object DeltaStats {
 
   // ------------------------------------------------------------- write side
 
-  /** Delta stats JSON for one data file, from its parquet footer. None if
-    * the footer yields nothing usable (still a valid add action).
+  /** Raw merged footer statistics for one top-level primitive column:
+    * min/max as the parquet-physical Java values (Integer/Long/Float/
+    * Double/Boolean/Binary), nullCount when every chunk had it set.
     */
-  def fromFooter(conf: Configuration, file: Path, schema: StructType): Option[String] = {
+  final case class ColStats(min: Any, max: Any, nullCount: Option[Long])
+
+  /** (numRecords, per-column stats) merged across row groups. Nested
+    * columns are ignored. Throws on unreadable footers — callers decide
+    * whether stats are optional.
+    */
+  def footerStats(conf: Configuration, file: Path): (Long, Map[String, ColStats]) = {
     val fr = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
       val blocks = fr.getFooter.getBlocks
-      val numRecords = {
-        var n = 0L
-        blocks.forEach(b => n += b.getRowCount)
-        n
-      }
+      var numRecords = 0L
+      blocks.forEach(b => numRecords += b.getRowCount)
       // merge row-group chunk statistics per top-level primitive column
       val merged = scala.collection.mutable.LinkedHashMap
         .empty[String, org.apache.parquet.column.statistics.Statistics[_]]
@@ -79,18 +83,32 @@ object DeltaStats {
           }
         }
       }
+      val byCol = merged.keysIterator.++(nulls.keysIterator).toSeq.distinct.map { n =>
+        n -> ColStats(
+          merged.get(n).map(_.genericGetMin).orNull,
+          merged.get(n).map(_.genericGetMax).orNull,
+          nulls.get(n).filterNot(_ => nullsInvalid(n)))
+      }.toMap
+      (numRecords, byCol)
+    } finally fr.close()
+  }
+
+  /** Delta stats JSON for one data file, from its parquet footer. None if
+    * the footer yields nothing usable (still a valid add action).
+    */
+  def fromFooter(conf: Configuration, file: Path, schema: StructType): Option[String] =
+    try {
+      val (numRecords, byCol) = footerStats(conf, file)
       val root = mapper.createObjectNode()
       root.put("numRecords", numRecords)
       val minN = root.putObject("minValues")
       val maxN = root.putObject("maxValues")
       val nullN = root.putObject("nullCount")
       schema.fields.foreach { f =>
-        nulls.get(f.name).filterNot(_ => nullsInvalid(f.name)).foreach { n =>
-          nullN.put(f.name, n)
-        }
-        merged.get(f.name).foreach { st =>
-          for (mi <- render(st.genericGetMin, f.dataType);
-               ma <- render(st.genericGetMax, f.dataType)) {
+        byCol.get(f.name).foreach { cs =>
+          cs.nullCount.foreach(nullN.put(f.name, _))
+          for (mi <- render(cs.min, f.dataType);
+               ma <- render(cs.max, f.dataType)) {
             minN.set[JsonNode](f.name, mi)
             maxN.set[JsonNode](f.name, ma)
           }
@@ -98,8 +116,6 @@ object DeltaStats {
       }
       Some(mapper.writeValueAsString(root))
     } catch { case scala.util.control.NonFatal(_) => None }
-    finally fr.close()
-  }
 
   /** Footer statistics value -> Delta stats JSON node, per the SPARK field
     * type (which disambiguates int32-as-date, int64-as-timestamp, …).

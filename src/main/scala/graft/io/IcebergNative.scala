@@ -1,6 +1,7 @@
 package graft.io
 
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.avro.file.{DataFileStream, DataFileWriter}
@@ -68,7 +69,8 @@ object IcebergNative {
     (metaFile, mapper.readTree(text))
   }
 
-  final case class DataFileRef(path: String, format: String, recordCount: Long)
+  final case class DataFileRef(path: String, format: String, recordCount: Long,
+      size: Long = 0L, stats: Option[String] = None)
 
   /** Data files of the chosen snapshot (default: current). */
   def planFiles(spark: SparkSession, tablePath: String,
@@ -109,6 +111,24 @@ object IcebergNative {
       }).getOrElse(throw new IllegalArgumentException(
         s"snapshot has neither manifest-list nor manifests: $tablePath"))
 
+    // top-level (field-id -> (name, iceberg-type)) for decoding the
+    // manifest's bounds maps back into named column stats
+    val fieldById: Map[Int, (String, String)] = {
+      val chosen = Option(root.get("schemas")).flatMap { arr =>
+        val byId = (0 until arr.size).map(arr.get).map(s =>
+          s.get("schema-id").asLong -> s).toMap
+        Option(root.get("current-schema-id")).map(_.asLong).flatMap(byId.get)
+      }.orElse(Option(root.get("schema")))
+      chosen.map { s =>
+        jsonSeq(s.get("fields")).flatMap { f =>
+          val t = f.get("type")
+          if (t != null && t.isTextual && f.get("id") != null)
+            Some(f.get("id").asInt -> (f.get("name").asText, t.asText))
+          else None
+        }.toMap
+      }.getOrElse(Map.empty)
+    }
+
     val files = mutable.Buffer.empty[DataFileRef]
     manifestPaths.foreach { case (mp, listContent) =>
       if (listContent == 1)
@@ -123,16 +143,96 @@ object IcebergNative {
           val fmt = dfRec.get("file_format").toString.toLowerCase
           if (fmt != "parquet")
             throw unsupported(s"$fmt data files", tablePath)
-          files += DataFileRef(dfRec.get("file_path").toString, fmt,
-            Option(dfRec.get("record_count")).map(_.toString.toLong).getOrElse(0L))
+          val rc = Option(dfRec.get("record_count")).map(_.toString.toLong).getOrElse(0L)
+          files += DataFileRef(dfRec.get("file_path").toString, fmt, rc,
+            Option(dfRec.get("file_size_in_bytes")).map(_.toString.toLong).getOrElse(0L),
+            manifestStats(dfRec, rc, fieldById))
         }
       }
     }
     (schema, files.toSeq)
   }
 
+  /** Manifest entry bounds/null-counts → the same per-file stats JSON the
+    * Delta tier uses, so [[DeltaStats.skipper]] prunes Iceberg scans too.
+    * Bounds use Iceberg's binary single-value serialization (spec
+    * Appendix D, little-endian); unknown types are simply omitted —
+    * skipping stays conservative.
+    */
+  private def manifestStats(dfRec: GenericRecord, recordCount: Long,
+      fieldById: Map[Int, (String, String)]): Option[String] = {
+    def entries(field: String): Seq[(Int, Any)] = dfRec.get(field) match {
+      case arr: java.util.Collection[_] =>
+        arr.asScala.toSeq.collect { case r: GenericRecord =>
+          (r.get("key").toString.toInt, r.get("value")) }
+      case m: java.util.Map[_, _] => // plain Avro map with stringified keys
+        m.asScala.toSeq.flatMap { case (k, v) =>
+          scala.util.Try(k.toString.toInt).toOption.map(_ -> v) }
+      case _ => Nil
+    }
+    val lower = entries("lower_bounds")
+    val upper = entries("upper_bounds")
+    val nulls = entries("null_value_counts")
+    if (lower.isEmpty && upper.isEmpty && nulls.isEmpty) return None
+    val root = mapper.createObjectNode()
+    if (recordCount > 0) root.put("numRecords", recordCount)
+    val minN = root.putObject("minValues")
+    val maxN = root.putObject("maxValues")
+    val nullN = root.putObject("nullCount")
+    def put(target: com.fasterxml.jackson.databind.node.ObjectNode,
+        kv: Seq[(Int, Any)]): Unit =
+      kv.foreach { case (id, raw) =>
+        for ((name, typ) <- fieldById.get(id);
+             node <- decodeBound(raw, typ)) target.set[JsonNode](name, node)
+      }
+    put(minN, lower)
+    put(maxN, upper)
+    nulls.foreach { case (id, v) =>
+      fieldById.get(id).foreach { case (name, _) =>
+        nullN.put(name, v.toString.toLong) }
+    }
+    Some(mapper.writeValueAsString(root))
+  }
+
+  /** Iceberg binary single-value → stats JSON node (see Appendix D). */
+  private def decodeBound(raw: Any, icebergType: String): Option[JsonNode] = {
+    val bytes: Array[Byte] = raw match {
+      case bb: java.nio.ByteBuffer =>
+        val b = bb.duplicate(); val a = new Array[Byte](b.remaining); b.get(a); a
+      case a: Array[Byte] => a
+      case _ => return None
+    }
+    def le = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val nf = mapper.getNodeFactory
+    icebergType match {
+      case "int" if bytes.length == 4 => Some(nf.numberNode(le.getInt))
+      case "long" if bytes.length == 8 => Some(nf.numberNode(le.getLong))
+      case "float" if bytes.length == 4 =>
+        Some(le.getFloat).filter(f => !f.isNaN && !f.isInfinite).map(nf.numberNode(_))
+      case "double" if bytes.length == 8 =>
+        Some(le.getDouble).filter(d => !d.isNaN && !d.isInfinite).map(nf.numberNode(_))
+      case "boolean" if bytes.length == 1 => Some(nf.booleanNode(bytes(0) != 0))
+      case "date" if bytes.length == 4 =>
+        Some(nf.textNode(java.time.LocalDate.ofEpochDay(le.getInt.toLong).toString))
+      case "timestamp" | "timestamptz" if bytes.length == 8 =>
+        val us = le.getLong
+        Some(nf.textNode(java.time.format.DateTimeFormatter.ISO_INSTANT.format(
+          java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+            Math.floorMod(us, 1000000L) * 1000L))))
+      case "string" => Some(nf.textNode(new String(bytes, "UTF-8")))
+      case _ => None
+    }
+  }
+
   /** Read the table as a DataFrame (current snapshot, or `snapshotAsOf`
     * a specific snapshot id).
+    *
+    * Served through [[IcebergFileIndex]]: data files carry complete rows
+    * (no partition schema), and the manifest's per-file
+    * lower/upper_bounds + null_value_counts are decoded into the shared
+    * stats-skipping machinery, so pushed filters prune files at plan time
+    * from manifest metadata alone.
     */
   def read(spark: SparkSession, tablePath: String,
       snapshotAsOf: Option[Long] = None): DataFrame = {
@@ -140,8 +240,22 @@ object IcebergNative {
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    spark.read.schema(schema)
-      .parquet(files.map(f => toFsPath(f.path, tablePath).toString): _*)
+    val relaxed = StructType(schema.map(_.copy(nullable = true)))
+    val fs0 = new Path(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
+    val adds = files.map { f =>
+      val p = toFsPath(f.path, tablePath)
+      // a wrong length would TRUNCATE the scan; trust the manifest only
+      // when it actually recorded one
+      val sz = if (f.size > 0) f.size else fs0.getFileStatus(p).getLen
+      DeltaNative.AddFile(p.toString, Map.empty, sz, f.stats)
+    }
+    val snap = DeltaNative.Snapshot(0L, relaxed, Nil, adds)
+    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      new IcebergFileIndex(spark, tablePath, snap),
+      StructType(Nil), relaxed, None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+      Map.empty[String, String])(spark)
+    spark.baseRelationToDataFrame(relation)
   }
 
   // ------------------------------------------------------------ writer
@@ -158,7 +272,22 @@ object IcebergNative {
       |    {"name":"file_path","type":"string","field-id":100},
       |    {"name":"file_format","type":"string","field-id":101},
       |    {"name":"record_count","type":"long","field-id":103},
-      |    {"name":"file_size_in_bytes","type":"long","field-id":104}
+      |    {"name":"file_size_in_bytes","type":"long","field-id":104},
+      |    {"name":"null_value_counts","type":["null",{"type":"array",
+      |      "items":{"type":"record","name":"k121_v122","fields":[
+      |        {"name":"key","type":"int","field-id":121},
+      |        {"name":"value","type":"long","field-id":122}]},
+      |      "logicalType":"map"}],"default":null,"field-id":110},
+      |    {"name":"lower_bounds","type":["null",{"type":"array",
+      |      "items":{"type":"record","name":"k126_v127","fields":[
+      |        {"name":"key","type":"int","field-id":126},
+      |        {"name":"value","type":"bytes","field-id":127}]},
+      |      "logicalType":"map"}],"default":null,"field-id":125},
+      |    {"name":"upper_bounds","type":["null",{"type":"array",
+      |      "items":{"type":"record","name":"k129_v130","fields":[
+      |        {"name":"key","type":"int","field-id":129},
+      |        {"name":"value","type":"bytes","field-id":130}]},
+      |      "logicalType":"map"}],"default":null,"field-id":128}
       |  ]},"field-id":2}
       |]}""".stripMargin)
 
@@ -191,29 +320,62 @@ object IcebergNative {
     }
     val snapshotId = System.currentTimeMillis() * 1000 + version
 
-    // stage data files, move under data/
+    // stage data files, move under data/; derive per-file stats from the
+    // footers just written (real record_count + column bounds)
     val tmp = new Path(table, s".graft_stage_${java.util.UUID.randomUUID}")
     df.write.parquet(tmp.toString)
-    val dataFiles = mutable.Buffer.empty[(String, Long, Long)] // (path, rows, bytes)
+    val fieldIds = topLevelFieldIds(df.schema)
+    // (path, bytes, rows, per-column raw stats)
+    val dataFiles = mutable.Buffer.empty[(String, Long, Long, Map[String, DeltaStats.ColStats])]
     fs.listStatus(tmp).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .foreach { st =>
         val dest = new Path(table, s"data/${java.util.UUID.randomUUID}.parquet")
         fs.rename(st.getPath, dest)
-        dataFiles += ((dest.toString, -1L, st.getLen))
+        val (rows, byCol) =
+          try DeltaStats.footerStats(conf, dest)
+          catch { case scala.util.control.NonFatal(_) =>
+            (0L, Map.empty[String, DeltaStats.ColStats]) }
+        dataFiles += ((dest.toString, st.getLen, rows, byCol))
       }
     fs.delete(tmp, true)
 
-    // one manifest for this commit's files
+    // one manifest for this commit's files, with Appendix-D-encoded bounds
+    val dataFileAvro = manifestEntrySchema.getField("data_file").schema()
+    def kvArraySchema(field: String) =
+      dataFileAvro.getField(field).schema().getTypes.get(1)
     val manifestPath = new Path(meta, s"manifest-$snapshotId.avro")
     writeAvro(spark, manifestPath, manifestEntrySchema, dataFiles.toSeq.map {
-      case (p, _, bytes) =>
+      case (p, bytes, rows, byCol) =>
         val e = new GenericData.Record(manifestEntrySchema)
         e.put("status", 1)
-        val d = new GenericData.Record(
-          manifestEntrySchema.getField("data_file").schema())
+        val d = new GenericData.Record(dataFileAvro)
         d.put("content", 0); d.put("file_path", p)
-        d.put("file_format", "PARQUET"); d.put("record_count", 0L)
+        d.put("file_format", "PARQUET"); d.put("record_count", rows)
         d.put("file_size_in_bytes", bytes)
+        def kvRecords(field: String)(value: (StructField, DeltaStats.ColStats) => Option[Any])
+            : java.util.List[GenericRecord] = {
+          val arrSchema = kvArraySchema(field)
+          val itemSchema = arrSchema.getElementType
+          val out = new java.util.ArrayList[GenericRecord]()
+          df.schema.fields.foreach { f =>
+            for (id <- fieldIds.get(f.name); cs <- byCol.get(f.name);
+                 v <- value(f, cs)) {
+              val r = new GenericData.Record(itemSchema)
+              r.put("key", id); r.put("value", v)
+              out.add(r)
+            }
+          }
+          out
+        }
+        val lowers = kvRecords("lower_bounds")((f, cs) =>
+          encodeBound(cs.min, f.dataType).map(java.nio.ByteBuffer.wrap))
+        val uppers = kvRecords("upper_bounds")((f, cs) =>
+          encodeBound(cs.max, f.dataType).map(java.nio.ByteBuffer.wrap))
+        val nvc = kvRecords("null_value_counts")((_, cs) =>
+          cs.nullCount.map(n => java.lang.Long.valueOf(n)))
+        if (!lowers.isEmpty) d.put("lower_bounds", lowers)
+        if (!uppers.isEmpty) d.put("upper_bounds", uppers)
+        if (!nvc.isEmpty) d.put("null_value_counts", nvc)
         e.put("data_file", d)
         e
     })
@@ -426,4 +588,49 @@ object IcebergNative {
 
   private def jsonSeq(n: JsonNode): Seq[JsonNode] =
     if (n == null || !n.isArray) Nil else (0 until n.size).map(n.get)
+
+  /** Top-level column name -> Iceberg field id, mirroring EXACTLY the
+    * depth-first id assignment [[sparkSchemaToIceberg]] performs (each
+    * field takes the next id, then its nested types consume theirs).
+    */
+  private[graft] def topLevelFieldIds(schema: StructType): Map[String, Int] = {
+    def idSpan(dt: DataType): Int = dt match {
+      case st: StructType => st.fields.map(f => 1 + idSpan(f.dataType)).sum
+      case at: ArrayType => 1 + idSpan(at.elementType)
+      case mt: MapType => 2 + idSpan(mt.keyType) + idSpan(mt.valueType)
+      case _ => 0
+    }
+    var next = 0
+    schema.fields.map { f =>
+      next += 1
+      val myId = next
+      next += idSpan(f.dataType)
+      f.name -> myId
+    }.toMap
+  }
+
+  /** Parquet-physical footer value → Iceberg binary single-value (spec
+    * Appendix D, little-endian). None for types we don't encode (nested,
+    * decimal, binary, NaN/Inf floats, strings > 64 bytes — parquet may
+    * truncate long binary stats, and omitted bounds are always safe).
+    */
+  private[graft] def encodeBound(v: Any, dt: DataType): Option[Array[Byte]] = {
+    def le(n: Int) = java.nio.ByteBuffer.allocate(n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (v, dt) match {
+      case (i: java.lang.Integer, ByteType | ShortType | IntegerType | DateType) =>
+        Some(le(4).putInt(i.intValue).array)
+      case (l: java.lang.Long, LongType | TimestampType | TimestampNTZType) =>
+        Some(le(8).putLong(l.longValue).array)
+      case (f: java.lang.Float, FloatType) if !f.isNaN && !f.isInfinite =>
+        Some(le(4).putFloat(f.floatValue).array)
+      case (d: java.lang.Double, DoubleType) if !d.isNaN && !d.isInfinite =>
+        Some(le(8).putDouble(d.doubleValue).array)
+      case (b: java.lang.Boolean, BooleanType) =>
+        Some(Array[Byte](if (b.booleanValue) 1 else 0))
+      case (b: org.apache.parquet.io.api.Binary, StringType) =>
+        Some(b.getBytes).filter(_.length <= 64)
+      case _ => None
+    }
+  }
 }

@@ -95,4 +95,50 @@ class IcebergNativeSpec extends SparkTestBase {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)"), plan)
   }
+
+  test("iceberg: manifest bounds skip files at plan time") {
+    val p = tmpDir("skip")
+    // three appends with disjoint id ranges → three files whose manifest
+    // entries carry Appendix-D-encoded lower/upper bounds
+    (0 until 3).foreach { b =>
+      IcebergNative.write(
+        (b * 10 + 1 to b * 10 + 10).map(i => (i.toLong, s"n$i")).toDF("id", "name")
+          .coalesce(1),
+        p, mode = if (b == 0) "overwrite" else "append")
+    }
+    val (_, files) = IcebergNative.planFiles(spark, p)
+    assert(files.size == 3)
+    assert(files.forall(_.stats.nonEmpty), "manifest entries must carry bounds")
+    assert(files.forall(_.recordCount == 10), "record_count must be real")
+    val t = Sources.iceberg(spark, p)
+    assert(filesRead(t.filter(col("id") === 15L)) == 1)
+    assert(t.filter(col("id") === 15L).count() == 1)
+    assert(filesRead(t.filter(col("id") > 100L)) == 0)
+    assert(filesRead(t) == 3)
+    // string bounds prune too: "n15" may-matches files 0 ("n1".."n9"
+    // lexicographically straddles it) and 1 ("n11".."n20") but never
+    // file 2; an out-of-range string prunes everything
+    assert(filesRead(t.filter(col("name") === "n15")) == 2)
+    assert(filesRead(t.filter(col("name") === "zzz")) == 0)
+    // correctness never depends on skipping
+    assert(t.count() == 30)
+  }
+
+  test("iceberg: field-id mirror matches the schema writer on nested types") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a", LongType),
+      StructField("s", StructType(Seq(
+        StructField("x", IntegerType), StructField("y", StringType)))),
+      StructField("arr", ArrayType(DoubleType)),
+      StructField("m", MapType(StringType, LongType)),
+      StructField("z", StringType)))
+    // sparkSchemaToIceberg assigns ids depth-first: a=1, s=2 (x=3, y=4),
+    // arr=5 (elem=6), m=7 (key=8, value=9), z=10
+    val node = IcebergNative.sparkSchemaToIceberg(schema)
+    val byName = (0 until node.get("fields").size).map(node.get("fields").get)
+      .map(f => f.get("name").asText -> f.get("id").asInt).toMap
+    assert(IcebergNative.topLevelFieldIds(schema) == byName)
+    assert(byName == Map("a" -> 1, "s" -> 2, "arr" -> 5, "m" -> 7, "z" -> 10))
+  }
 }
