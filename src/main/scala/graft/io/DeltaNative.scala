@@ -511,7 +511,96 @@ object DeltaNative {
     * version, or the current one if nothing needed compaction.
     */
   def optimizeCompact(spark: SparkSession, tablePath: String,
-      maxFilesPerPartition: Int = 1): Long = {
+      maxFilesPerPartition: Int = 1): Long =
+    rewriteGroups(spark, tablePath,
+      _.filter(_._2.size > maxFilesPerPartition),
+      df => df.coalesce(maxFilesPerPartition))
+
+  /** OPTIMIZE ... CLUSTER BY: rewrite every partition with rows
+    * range-distributed and sorted on `clusterBy`, so each output file owns
+    * a tight DISJOINT slice of the cluster-key space and the add-action
+    * min/max stats written from its footer become selective. Compaction
+    * alone fixes file COUNT; clustering is what makes the stats-skipping
+    * tier ([[DeltaStats.skipper]]) effective — after ingestion interleaves
+    * a key across every file, each file's [min,max] spans the whole domain
+    * and no range predicate can skip anything. Same protocol shape as
+    * OPTIMIZE: `dataChange=false`, readers see identical rows.
+    *
+    * `zOrder=false` (linear): `repartitionByRange` on the cluster columns —
+    * optimal for predicates on a prefix of `clusterBy`. `zOrder=true`:
+    * range-partition on a bit-interleaved key instead (see [[zOrderKey]]) —
+    * balances skipping across ALL cluster columns, the multi-dimensional
+    * trade every lakehouse engine's ZORDER makes.
+    *
+    * At 100 TB this is the same distributed shuffle+sort Delta's own
+    * OPTIMIZE runs; only the commit (KBs of JSON) is driver-side.
+    */
+  def optimizeCluster(spark: SparkSession, tablePath: String,
+      clusterBy: Seq[String], filesPerPartition: Int = 4,
+      zOrder: Boolean = false): Long = {
+    require(clusterBy.nonEmpty, "optimizeCluster needs at least one column")
+    val snap0 = snapshot(spark, tablePath)
+    val bad = clusterBy.filter(snap0.partitionColumns.contains)
+    require(bad.isEmpty,
+      s"cluster columns ${bad.mkString(",")} are partition columns — " +
+        "already pruned at plan time, clustering them is a no-op")
+    rewriteGroups(spark, tablePath, identity, { df =>
+      if (zOrder) {
+        val z = zOrderKey(df, clusterBy)
+        df.withColumn("__graft_z", z)
+          .repartitionByRange(filesPerPartition, col("__graft_z"))
+          .sortWithinPartitions("__graft_z")
+          .drop("__graft_z")
+      } else
+        df.repartitionByRange(filesPerPartition, clusterBy.map(col): _*)
+          .sortWithinPartitions(clusterBy.map(col): _*)
+    })
+  }
+
+  /** Bit-interleaved (Morton) clustering key: each column is min/max
+    * normalized to a 16-bit rank, then bit i of column j lands at position
+    * i*ncols+j. Built purely from native shift/or/cast Columns — the whole
+    * key stays inside whole-stage codegen. Column min/max come from the
+    * frame being rewritten (one extra aggregate over data that is about to
+    * be fully re-shuffled anyway — noise at any scale).
+    */
+  private def zOrderKey(df: DataFrame, cols: Seq[String]): org.apache.spark.sql.Column = {
+    val bits = 16
+    require(cols.size * bits <= 63, s"too many z-order columns: ${cols.size}")
+    val numeric = df.schema.filter(f => cols.contains(f.name)).forall(f =>
+      f.dataType.isInstanceOf[NumericType] ||
+        f.dataType == DateType || f.dataType == TimestampType)
+    require(numeric, "z-order requires numeric/date/timestamp columns; " +
+      "use linear clustering (zOrder=false) for strings")
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"mn_$c"),
+      max(col(c).cast("double")).as(s"mx_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val maxRank = (1L << bits) - 1
+    val ranks = cols.zipWithIndex.map { case (c, j) =>
+      val mn = Option(stats.getAs[java.lang.Double](s"mn_$c")).map(_.toDouble).getOrElse(0.0)
+      val mx = Option(stats.getAs[java.lang.Double](s"mx_$c")).map(_.toDouble).getOrElse(0.0)
+      val scaled =
+        if (mx > mn)
+          ((col(c).cast("double") - lit(mn)) / lit(mx - mn) * lit(maxRank.toDouble))
+        else lit(0.0)
+      (coalesce(round(scaled).cast("long"), lit(0L)), j)
+    }
+    val n = cols.size
+    val terms = for { (r, j) <- ranks; i <- 0 until bits } yield
+      shiftleft(shiftright(r, i).bitwiseAND(lit(1L)), i * n + j)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Shared rewrite machinery for OPTIMIZE variants: pick file groups,
+    * re-arrange each group's rows into a new file layout, commit
+    * remove+add with `dataChange=false`. Returns the new version (current
+    * version if nothing qualified).
+    */
+  private def rewriteGroups(spark: SparkSession, tablePath: String,
+      choose: Map[Map[String, Option[String]], Seq[AddFile]] =>
+        Map[Map[String, Option[String]], Seq[AddFile]],
+      rearrange: DataFrame => DataFrame): Long = {
     val snap = snapshot(spark, tablePath)
     val conf = spark.sessionState.newHadoopConf()
     val table = new Path(tablePath)
@@ -524,8 +613,7 @@ object DeltaNative {
       if (d.contains("://") || d.startsWith("/")) d
       else new Path(new Path(tablePath), d).toString
     }
-    val toCompact = snap.files.groupBy(_.partitionValues)
-      .filter(_._2.size > maxFilesPerPartition)
+    val toCompact = choose(snap.files.groupBy(_.partitionValues))
     if (toCompact.isEmpty) return snap.version
 
     val now = System.currentTimeMillis()
@@ -539,9 +627,8 @@ object DeltaNative {
         root.set[JsonNode]("remove", rm)
         lines += mapper.writeValueAsString(root)
       }
-      val compacted = spark.read.schema(dataSchema)
-        .parquet(fsq.map(f => abs(f.path)): _*)
-        .coalesce(maxFilesPerPartition)
+      val compacted = rearrange(spark.read.schema(dataSchema)
+        .parquet(fsq.map(f => abs(f.path)): _*))
       val relDir = snap.partitionColumns.map { pc =>
         pc + "=" + pv.getOrElse(pc, None).map(encodePathSegment)
           .getOrElse("__HIVE_DEFAULT_PARTITION__")

@@ -1919,6 +1919,58 @@ object Queries {
         ELSE 0 END AS INT) AS top_bigram_count
       FROM g ORDER BY doc_id""")),
 
+    QueryDef("q119_delta_cluster", (s, dir) => {
+      // OPTIMIZE ... CLUSTER BY, oracle-gated INCLUDING both file counts:
+      // six round-robin appends (o_orderkey % 6) make six files that EACH
+      // span the whole key range — per-file [min,max] stats are useless and
+      // a point lookup must list all 6. optimizeCluster rewrites them into
+      // range-DISJOINT files; the same lookup then lists exactly 1. Both
+      // counts come from executed-scan numFiles metrics, so DuckDB's
+      // literals 6 and 1 fail the compare if clustering or skipping ever
+      // regresses. The probe key is mid-range (largest key <= max/2) so it
+      // sits inside every interleaved file's [min,max].
+      val orders = Q.t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      val path =
+        s"/tmp/graft_delta_${new java.io.File(dir).getName}/orders_cluster"
+      (0 until 6).foreach { b =>
+        graft.io.DeltaNative.write(
+          orders.filter(col("o_orderkey") % 6 === b).coalesce(1),
+          path, mode = if (b == 0) "overwrite" else "append")
+      }
+      val maxKey = orders.agg(max("o_orderkey")).collect()(0).getLong(0)
+      val probe = orders.filter(col("o_orderkey") * 2 <= maxKey)
+        .agg(max("o_orderkey")).collect()(0).getLong(0)
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case other => other.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      }
+      def listedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect()
+        scans(df.queryExecution.executedPlan)
+          .map(_.metrics("numFiles").value).sum
+      }
+      val before = listedFiles(
+        graft.io.Sources.deltaLake(s, path).filter(col("o_orderkey") === probe))
+      graft.io.DeltaNative.optimizeCluster(s, path,
+        clusterBy = Seq("o_orderkey"), filesPerPartition = 6)
+      val clustered =
+        graft.io.Sources.deltaLake(s, path).filter(col("o_orderkey") === probe)
+      val after = listedFiles(clustered)
+      clustered.agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total"))
+        .withColumn("files_before", lit(before))
+        .withColumn("files_after", lit(after))
+    }, Some("""WITH k AS (SELECT MAX(o_orderkey) AS pk FROM orders
+          WHERE o_orderkey * 2 <= (SELECT MAX(o_orderkey) FROM orders))
+      SELECT COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        CAST(6 AS BIGINT) AS files_before, CAST(1 AS BIGINT) AS files_after
+      FROM orders, k WHERE o_orderkey = k.pk""")),
+
     QueryDef("q97_histogram_adaptive", (s, dir) => {
       v(s, dir, "orders")
       // adaptive-bin histogram sketch (custom agg). Bin EDGES are sketch-

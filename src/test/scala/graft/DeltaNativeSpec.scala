@@ -323,6 +323,73 @@ class DeltaNativeSpec extends SparkTestBase {
     assert(DeltaNative.optimizeCompact(spark, p) == v)
   }
 
+  test("delta: OPTIMIZE CLUSTER BY makes files range-disjoint") {
+    import spark.implicits._
+    val p = tmpDir("clu")
+    val rows = (0L until 1000L).map(i => (i, s"r$i")).toDF("id", "s")
+    // interleaved ingestion: every file spans the whole id range
+    (0 until 4).foreach { b =>
+      DeltaNative.write(rows.filter(col("id") % 4 === b).coalesce(1), p,
+        mode = if (b == 0) "overwrite" else "append")
+    }
+    val t = Sources.deltaLake(spark, p)
+    assert(filesRead(t.filter(col("id") === 500)) == 4,
+      "interleaved files must be unskippable")
+    val v = DeltaNative.optimizeCluster(spark, p, Seq("id"),
+      filesPerPartition = 4)
+    assert(DeltaNative.snapshot(spark, p).files.size == 4)
+    val c = Sources.deltaLake(spark, p)
+    assert(filesRead(c.filter(col("id") === 500)) == 1,
+      "clustered ranges must be disjoint")
+    assert(c.orderBy("id").collect().toSeq == rows.orderBy("id").collect().toSeq)
+    val commit = new String(Files.readAllBytes(
+      Paths.get(p, "_delta_log", f"$v%020d.json")), "UTF-8")
+    assert(!commit.contains("\"dataChange\":true"), commit)
+    // clustering a partition column is a no-op by construction -> refused
+    val pp = tmpDir("clup")
+    DeltaNative.write(rows.withColumn("b", col("id") % 2), pp,
+      partitionBy = Seq("b"))
+    intercept[IllegalArgumentException] {
+      DeltaNative.optimizeCluster(spark, pp, Seq("b"))
+    }
+  }
+
+  test("delta: z-order clustering skips on BOTH columns, linear only on the first") {
+    import spark.implicits._
+    val grid = (for { x <- 0 until 32; y <- 0 until 32 }
+      yield (x, y, x * 32 + y)).toDF("x", "y", "payload")
+    val lin = tmpDir("zlin")
+    DeltaNative.write(grid.coalesce(1), lin)
+    DeltaNative.optimizeCluster(spark, lin, Seq("x", "y"),
+      filesPerPartition = 16)
+    val zed = tmpDir("zmor")
+    DeltaNative.write(grid.coalesce(1), zed)
+    DeltaNative.optimizeCluster(spark, zed, Seq("x", "y"),
+      filesPerPartition = 16, zOrder = true)
+    val linT = Sources.deltaLake(spark, lin)
+    val zedT = Sources.deltaLake(spark, zed)
+    val linTotal = DeltaNative.snapshot(spark, lin).files.size
+    val zedTotal = DeltaNative.snapshot(spark, zed).files.size
+    assert(linTotal > 4 && zedTotal > 4)
+    // leading column: both layouts skip
+    assert(filesRead(linT.filter(col("x") < 4)) < linTotal)
+    assert(filesRead(zedT.filter(col("x") < 4)) < zedTotal)
+    // trailing column: lexicographic sort leaves every file spanning the
+    // full y range (no skipping possible); morton interleaving bounds y
+    // per file too
+    assert(filesRead(linT.filter(col("y") < 4)) == linTotal)
+    assert(filesRead(zedT.filter(col("y") < 4)) < zedTotal)
+    // layout never changes results
+    assert(zedT.filter(col("y") < 4).agg(sum("payload")).collect()(0).getLong(0)
+      == grid.filter(col("y") < 4).agg(sum("payload")).collect()(0).getLong(0))
+    // z-order over strings has no meaningful rank -> refused
+    intercept[IllegalArgumentException] {
+      val sp = tmpDir("zstr")
+      DeltaNative.write(Seq((1L, "a")).toDF("id", "s"), sp)
+      DeltaNative.optimizeCluster(spark, sp, Seq("s"), zOrder = true)
+    }
+  }
+
   test("delta: VACUUM reclaims tombstoned files, keeps the live snapshot") {
     val p = tmpDir("vac")
     DeltaNative.write(base, p)                        // v0 files -> tombstoned
