@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** End-to-end corpus curation — the composed training-data pipeline the
   * builder brief targets: exact dedup (keep first) → language filter →
@@ -37,5 +39,114 @@ object Curation {
     val filtered = scored
       .filter(col("pred_lang").isin(languages: _*) && col("quality_score") >= minQuality)
     Dedup.exactKeepFirst(filtered, textCol, idCol)
+  }
+
+  /** md5-derived bucket in [0, buckets) of `id` — the portable deterministic
+    * hash every split/sampling op here keys on (same 60-bit md5-prefix
+    * device as the simhash/LSH oracles, so DuckDB replicates assignments
+    * bit-for-bit).
+    */
+  private def md5Bucket(id: Column, buckets: Int): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
+      .cast("long") % buckets
+
+  /** Deterministic train/val/test split by id-hash threshold. Stable under
+    * reruns, repartitioning AND corpus growth — a document keeps its split
+    * when more data arrives, the property a `randomSplit` lacks and the
+    * reason every large corpus pipeline splits by hash. Pure projection:
+    * no shuffle, no state, identical plan shape at any scale.
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+      valFrac: Double = 0.05, testFrac: Double = 0.05,
+      buckets: Int = 10000): DataFrame = {
+    require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac < 1,
+      s"invalid split fractions: val=$valFrac test=$testFrac")
+    val b = md5Bucket(col(idCol), buckets)
+    val vHi = math.round(valFrac * buckets)
+    val tHi = vHi + math.round(testFrac * buckets)
+    df.withColumn("split",
+      when(b < vHi, "val").when(b < tHi, "test").otherwise("train"))
+  }
+
+  /** Domain-mixture sampling (the Pile/Dolma mixing step): keep each row
+    * of domain d with probability `rates(d)` (domains absent from `rates`
+    * keep everything), decided by the SAME id-hash device as [[hashSplit]]
+    * so the sample is deterministic and consistent across reruns. One
+    * projection + filter; the rates map rides along as a broadcast-sized
+    * CASE expression, so no join and no shuffle at any corpus size.
+    */
+  def sampleMixture(df: DataFrame, idCol: String, domainCol: String,
+      rates: Map[String, Double], buckets: Int = 10000): DataFrame = {
+    require(rates.values.forall(r => r >= 0 && r <= 1), s"bad rates: $rates")
+    val b = md5Bucket(col(idCol), buckets)
+    val thresh = rates.foldLeft(lit(buckets.toLong)) { case (acc, (d, r)) =>
+      when(col(domainCol) === d, lit(math.round(r * buckets))).otherwise(acc)
+    }
+    df.filter(b < thresh)
+  }
+
+  /** GPT-style concat-and-chunk sequence packing: within a shard, document
+    * token streams are conceptually concatenated in `idCol` order and cut
+    * every `budget` tokens; a document overlapping a cut belongs to every
+    * sequence it spans (the training loader splits it). Emits one row per
+    * (doc, spanned sequence) with the doc's [off_start, off_end) interval
+    * INSIDE that sequence.
+    *
+    * Scale shape: documents shard by id-hash, so the cumulative-sum window
+    * is per-shard — `shards` bounds every window partition (pick ~10k at
+    * 100 TB for ~10 GB shards), never a global single-partition window.
+    * The explode adds at most ceil(tokens/budget)+1 rows per doc.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+      budget: Int, shards: Int = 256): DataFrame = {
+    require(budget > 0 && shards > 0)
+    val w = Window.partitionBy("shard").orderBy(col(idCol))
+    df.withColumn("shard", md5Bucket(col(idCol), shards).cast("int"))
+      .withColumn("__end", sum(col(tokenCol).cast("long")).over(w))
+      .withColumn("__start", col("__end") - col(tokenCol))
+      // zero-token docs still land in exactly one sequence (greatest guard:
+      // sequence(hi, lo) would otherwise count DOWN and fabricate rows)
+      .withColumn("seq_id", explode(sequence(
+        floor(col("__start") / budget),
+        greatest(floor((col("__end") - 1) / budget),
+          floor(col("__start") / budget)))))
+      .withColumn("off_start",
+        greatest(col("__start") - col("seq_id") * budget, lit(0L)))
+      .withColumn("off_end",
+        least(col("__end") - col("seq_id") * budget, lit(budget.toLong)))
+      .drop("__start", "__end")
+  }
+
+  /** Greedy first-fit no-split packing: documents are never cut — a new
+    * pack opens when the next doc would overflow `budget` (docs larger than
+    * the budget get a pack of their own). The sequential fold is inherently
+    * order-dependent, so it runs per shard via `flatMapGroups` over the
+    * id-sorted group — the sanctioned escape hatch for genuinely
+    * imperative per-group logic. Shards bound group size exactly like
+    * [[packSequences]]; packs are (shard, pack_id) pairs, so shards never
+    * coordinate and the op is one shuffle at any scale.
+    */
+  def packGreedy(df: DataFrame, idCol: String, tokenCol: String,
+      budget: Int, shards: Int = 256): DataFrame = {
+    require(budget > 0 && shards > 0)
+    val sharded = df
+      .withColumn("shard", md5Bucket(col(idCol), shards).cast("int"))
+      .select(col("shard"), col(idCol).cast("long").as("id"),
+        col(tokenCol).cast("long").as("tokens"))
+    val out = StructType(Seq(
+      StructField("shard", IntegerType), StructField("id", LongType),
+      StructField("tokens", LongType), StructField("pack_id", LongType)))
+    graft.ds.GraftFrame(sharded).groupby("shard").applyGroups(out) {
+      (_, it) =>
+        val docs = it.toVector.sortBy(_.getLong(1))
+        var pack = 0L
+        var acc = 0L
+        docs.iterator.zipWithIndex.map { case (r, i) =>
+          val t = r.getLong(2)
+          if (i > 0 && acc + t > budget) { pack += 1; acc = 0L }
+          acc += t
+          Row(r.getInt(0), r.getLong(1), t, pack)
+        }
+    }.df
   }
 }

@@ -1971,6 +1971,102 @@ object Queries {
         CAST(6 AS BIGINT) AS files_before, CAST(1 AS BIGINT) AS files_after
       FROM orders, k WHERE o_orderkey = k.pk""")),
 
+    QueryDef("q120_hash_split", (s, dir) =>
+      // deterministic train/val/test split by md5-bucket threshold — the
+      // assignment device every large corpus pipeline uses (stable under
+      // reruns and corpus growth, unlike randomSplit). Pure projection, no
+      // shuffle; the oracle replays the same md5 arithmetic.
+      graft.operators.Curation.hashSplit(
+          Q.t(s, dir, "documents"), "doc_id", valFrac = 0.1, testFrac = 0.1)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
+        .orderBy("split"),
+      Some("""WITH b AS (SELECT doc_id,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 10000 AS bk
+        FROM documents)
+        SELECT CASE WHEN bk < 1000 THEN 'val' WHEN bk < 2000 THEN 'test'
+                    ELSE 'train' END AS split,
+          COUNT(*) AS n, SUM(doc_id) AS id_sum
+        FROM b GROUP BY 1 ORDER BY split""")),
+
+    QueryDef("q121_pack_sequences", (s, dir) => {
+      // GPT-style concat-and-chunk sequence packing: per-shard cumulative
+      // token offsets cut every 256 tokens; docs spanning a cut belong to
+      // each sequence they overlap. The window is PER SHARD (md5 bucket) —
+      // bounded partitions at any corpus size — and the oracle replays
+      // shard, cumsum, chunk arithmetic exactly (generate_series mirrors
+      // the explode(sequence(...))).
+      val docs = Q.t(s, dir, "documents")
+        .withColumn("n_tok", TextAnalysis.tokenCount(col("text")))
+      graft.operators.Curation.packSequences(
+          docs, "doc_id", "n_tok", budget = 256, shards = 8)
+        .select(col("doc_id"), col("shard"), col("seq_id"),
+          col("off_start"), col("off_end"))
+        .orderBy("doc_id", "seq_id")
+    }, Some("""WITH d AS (SELECT doc_id,
+          CAST(len(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS BIGINT) AS n_tok,
+          CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS INT) AS shard
+        FROM documents),
+      c AS (SELECT doc_id, shard, n_tok,
+          CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS e
+        FROM d),
+      u AS (SELECT doc_id, shard, e - n_tok AS st, e,
+          UNNEST(generate_series((e - n_tok) // 256,
+            greatest((e - 1) // 256, (e - n_tok) // 256))) AS seq_id
+        FROM c)
+      SELECT doc_id, shard, seq_id,
+        CAST(greatest(st - seq_id * 256, 0) AS BIGINT) AS off_start,
+        CAST(least(e - seq_id * 256, 256) AS BIGINT) AS off_end
+      FROM u ORDER BY doc_id, seq_id""")),
+
+    QueryDef("q122_pack_greedy", (s, dir) => {
+      // greedy first-fit no-split packing (docs are never cut; a new pack
+      // opens on overflow). The sequential fold runs per md5-shard via
+      // flatMapGroups — bounded groups, one shuffle — and the oracle
+      // replays the SAME fold with a per-shard recursive CTE, so even the
+      // imperative escape hatch is hash-checked row-for-row.
+      val docs = Q.t(s, dir, "documents")
+        .withColumn("n_tok", TextAnalysis.tokenCount(col("text")))
+      graft.operators.Curation.packGreedy(
+          docs, "doc_id", "n_tok", budget = 256, shards = 8)
+        .orderBy("shard", "id")
+    }, Some("""WITH RECURSIVE d AS (
+        SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS INT) AS shard,
+          doc_id AS id,
+          CAST(len(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS BIGINT) AS tokens,
+          ROW_NUMBER() OVER (PARTITION BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 ORDER BY doc_id) AS rn
+        FROM documents),
+      g AS (
+        SELECT shard, id, tokens, rn, CAST(0 AS BIGINT) AS pack_id, tokens AS acc
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.shard, d.id, d.tokens, d.rn,
+          CASE WHEN g.acc + d.tokens > 256 THEN g.pack_id + 1 ELSE g.pack_id END,
+          CASE WHEN g.acc + d.tokens > 256 THEN d.tokens ELSE g.acc + d.tokens END
+        FROM g JOIN d ON d.shard = g.shard AND d.rn = g.rn + 1)
+      SELECT shard, id, tokens, pack_id FROM g ORDER BY shard, id""")),
+
+    QueryDef("q123_domain_mixture", (s, dir) =>
+      // Pile/Dolma-style domain mixing: per-source keep rates decided by
+      // the same md5 bucket as the split — deterministic, no join, no
+      // shuffle before the verifying aggregate. src0 halved, src1
+      // quartered, src2 dropped, the rest kept.
+      graft.operators.Curation.sampleMixture(
+          Q.t(s, dir, "documents"), "doc_id", "source",
+          Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.0),
+          buckets = 1000)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
+        .orderBy("source"),
+      Some("""SELECT source, COUNT(*) AS n, SUM(doc_id) AS id_sum
+        FROM documents
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 1000 <
+          CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 250
+            WHEN 'src2' THEN 0 ELSE 1000 END
+        GROUP BY source ORDER BY source""")),
+
     QueryDef("q97_histogram_adaptive", (s, dir) => {
       v(s, dir, "orders")
       // adaptive-bin histogram sketch (custom agg). Bin EDGES are sketch-

@@ -445,4 +445,75 @@ class DedupClusterSpec extends SparkTestBase {
     assert(out(2L).getInt(3) == 3)
     assert(out(3L).getDouble(1) == 0.0 && out(3L).getInt(3) == 0)
   }
+
+  test("hashSplit: deterministic, pure function of the id, fractions hold") {
+    val docs = (1L to 2000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val a = graft.operators.Curation.hashSplit(docs, "doc_id", 0.1, 0.1)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // identical assignments on a repartitioned rerun (stability under layout)
+    val b = graft.operators.Curation.hashSplit(docs.repartition(13), "doc_id", 0.1, 0.1)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    // growth stability: a doc keeps its split when the corpus doubles
+    val grown = (1L to 4000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val c = graft.operators.Curation.hashSplit(grown, "doc_id", 0.1, 0.1)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a.forall { case (k, v) => c(k) == v })
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(math.abs(frac("val") - 0.1) < 0.03 && math.abs(frac("test") - 0.1) < 0.03)
+    intercept[IllegalArgumentException] {
+      graft.operators.Curation.hashSplit(docs, "doc_id", 0.6, 0.5)
+    }
+  }
+
+  test("packSequences: intervals tile each shard's token stream exactly") {
+    val docs = (1L to 300L).map(i => (i, (i % 37 + 1).toInt)).toDF("doc_id", "n_tok")
+    val packed = graft.operators.Curation.packSequences(docs, "doc_id", "n_tok",
+      budget = 64, shards = 4).cache()
+    // every doc's pieces sum back to its token count
+    val sums = packed.groupBy("doc_id")
+      .agg(sum(col("off_end") - col("off_start")).as("s"))
+      .join(docs, "doc_id").filter(col("s") =!= col("n_tok")).count()
+    assert(sums == 0)
+    // within a shard every sequence except the last is exactly full
+    val seqFill = packed.groupBy("shard", "seq_id")
+      .agg(sum(col("off_end") - col("off_start")).as("fill"))
+    val lastSeq = seqFill.groupBy("shard").agg(max("seq_id").as("last"))
+    val short = seqFill.join(lastSeq, "shard")
+      .filter(col("seq_id") < col("last") && col("fill") =!= 64).count()
+    assert(short == 0)
+    // offsets always inside the budget window
+    assert(packed.filter(col("off_start") < 0 || col("off_end") > 64 ||
+      col("off_start") > col("off_end")).count() == 0)
+    packed.unpersist()
+  }
+
+  test("packGreedy: no pack overflows unless a single doc does; all docs kept") {
+    val docs = (1L to 500L).map(i => (i, (i % 97 + 1).toInt)).toDF("doc_id", "n_tok")
+    val packed = graft.operators.Curation.packGreedy(docs, "doc_id", "n_tok",
+      budget = 100, shards = 4).cache()
+    assert(packed.count() == 500)
+    assert(packed.select("id").distinct().count() == 500)
+    val over = packed.groupBy("shard", "pack_id")
+      .agg(sum("tokens").as("t"), count(lit(1)).as("n"))
+      .filter(col("t") > 100 && col("n") > 1).count()
+    assert(over == 0)
+    // deterministic under input layout
+    val again = graft.operators.Curation.packGreedy(docs.repartition(11),
+      "doc_id", "n_tok", budget = 100, shards = 4)
+    assert(packed.orderBy("shard", "id").collect().toSeq ==
+      again.orderBy("shard", "id").collect().toSeq)
+    packed.unpersist()
+  }
+
+  test("sampleMixture: rate-0 drops the domain, absent domains keep all") {
+    val docs = (1L to 900L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val kept = graft.operators.Curation.sampleMixture(docs, "doc_id", "source",
+      Map("src0" -> 0.0, "src1" -> 0.5))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!kept.contains("src0"))
+    assert(kept("src2") == 300)
+    assert(kept("src1") > 100 && kept("src1") < 200)
+  }
 }
