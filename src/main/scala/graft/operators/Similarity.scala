@@ -160,4 +160,42 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("query_id"), col("rn"), col("neighbor_id"), col("cos"))
   }
+
+  /** Symmetric per-vector int8 quantization — the standard 4× memory /
+    * bandwidth shrink for ANN at scale (a 100 TB float corpus becomes 25 TB
+    * of int8 + one float scale per vector). scale = max|v|/127;
+    * q_i = round(v_i/scale) ∈ [−127, 127]. Returns
+    * struct(scale: double, q: array<tinyint>). Zero/empty vectors get
+    * scale 1 (all-zero codes) rather than NaN.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val mx = array_max(transform(vec, x => abs(x.cast("double"))))
+    val scale = when(mx > 0, mx / lit(127.0)).otherwise(lit(1.0))
+    struct(scale.as("scale"),
+      transform(vec, x =>
+        round(x.cast("double") / scale).cast("tinyint")).as("q"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: per-element error is bounded by scale/2 =
+    * max|v|/254 (spec-locked).
+    */
+  def dequantizeInt8(qz: Column): Column =
+    transform(qz.getField("q"),
+      q => (q.cast("double") * qz.getField("scale")).cast("float"))
+
+  /** Cosine over int8 codes. Cosine is scale-invariant, so the per-vector
+    * scales cancel and the whole computation is EXACT integer arithmetic
+    * (64·127² per term fits long) until one final double division — which is
+    * also what makes it engine-portable (the q124 oracle replays it in
+    * DuckDB bit-for-bit, no float-fold caveats needed).
+    */
+  def int8CosineSimilarity(qa: Column, qb: Column): Column = {
+    def dot(u: Column, v: Column): Column =
+      aggregate(zip_with(u, v, (x, y) => x.cast("long") * y.cast("long")),
+        lit(0L), (acc, x) => acc + x)
+    val d = dot(qa, qb).cast("double")
+    val na = sqrt(dot(qa, qa).cast("double"))
+    val nb = sqrt(dot(qb, qb).cast("double"))
+    when(na > 0 && nb > 0, d / (na * nb))
+  }
 }

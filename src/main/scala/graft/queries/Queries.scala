@@ -2067,6 +2067,43 @@ object Queries {
             WHEN 'src2' THEN 0 ELSE 1000 END
         GROUP BY source ORDER BY source""")),
 
+    QueryDef("q124_int8_quantize", (s, dir) => {
+      // int8 embedding quantization (the 4x ANN memory shrink): scale =
+      // max|v|/127, codes = round(v/scale). Cosine over codes is EXACT
+      // integer arithmetic until one double division (scales cancel), so
+      // DuckDB replays quantization AND the quantized cosine bit-for-bit
+      // alongside the float cosine it approximates.
+      val qz = Q.t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          Similarity.quantizeInt8(col("embedding")).getField("q").as("q"))
+      val a = qz.select(col("vec_id").as("id_a"),
+        col("embedding").as("va"), col("q").as("qa"))
+      val b = qz.select(col("vec_id").as("id_b"),
+        col("embedding").as("vb"), col("q").as("qb"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"),
+          round(Similarity.int8CosineSimilarity(col("qa"), col("qb")), 6)
+            .as("cos8"),
+          round(GraftFunctions.cosineSimilarity(col("va"), col("vb")), 6)
+            .as("cosf"))
+        .orderBy("id_a")
+    }, Some("""WITH qz AS (
+        SELECT vec_id, embedding,
+          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) /
+            (CASE WHEN mx > 0 THEN mx / 127.0 ELSE 1.0 END)) AS BIGINT)) AS q
+        FROM (SELECT vec_id, embedding,
+            list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+          FROM embeddings))
+      SELECT a.vec_id AS id_a,
+        ROUND(CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS DOUBLE)
+          / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * a.q[i])) AS DOUBLE))
+           * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> b.q[i] * b.q[i])) AS DOUBLE))), 6) AS cos8,
+        ROUND(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+           * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) AS cosf
+      FROM qz a JOIN qz b ON b.vec_id = a.vec_id + 1
+      ORDER BY id_a""")),
+
     QueryDef("q97_histogram_adaptive", (s, dir) => {
       v(s, dir, "orders")
       // adaptive-bin histogram sketch (custom agg). Bin EDGES are sketch-

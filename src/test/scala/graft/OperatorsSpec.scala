@@ -172,6 +172,41 @@ class SimilaritySpec extends SparkTestBase {
     assert(pairs.contains((0L, 1L)))
     assert(!pairs.contains((0L, 3L)))
   }
+
+  test("int8 quantization: codes bounded, round-trip error <= scale/2, cosine close") {
+    val rnd = new scala.util.Random(7)
+    val many = (0L until 200L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val qz = many.select(col("vec_id"), col("embedding"),
+      Similarity.quantizeInt8(col("embedding")).as("qz"))
+    val checked = qz.select(col("vec_id"),
+        col("qz").getField("scale").as("scale"),
+        array_max(transform(col("qz").getField("q"),
+          q => abs(q.cast("int")))).as("qmax"),
+        array_max(expr(
+          "zip_with(embedding, qz.q, (v, q) -> abs(CAST(v AS DOUBLE) - q * qz.scale))"))
+          .as("err"))
+      .collect()
+    checked.foreach { r =>
+      assert(r.getAs[Int]("qmax") <= 127)
+      assert(r.getAs[Double]("err") <= r.getAs[Double]("scale") / 2 + 1e-9)
+    }
+    // quantized cosine tracks float cosine within int8 resolution
+    val a = qz.select(col("vec_id").as("ia"), col("embedding").as("va"),
+      col("qz").getField("q").as("qa"))
+    val b = qz.select(col("vec_id").as("ib"), col("embedding").as("vb"),
+      col("qz").getField("q").as("qb"))
+    val diffs = a.join(b, col("ib") === col("ia") + 1)
+      .select(abs(Similarity.int8CosineSimilarity(col("qa"), col("qb")) -
+        graft.functions.GraftFunctions.cosineSimilarity(col("va"), col("vb")))
+        .as("d"))
+      .agg(max("d")).collect()(0).getDouble(0)
+    assert(diffs < 0.02, s"quantized cosine drift $diffs")
+    // dequantize returns floats with the same shape
+    val deq = qz.select(Similarity.dequantizeInt8(col("qz")).as("d"))
+      .selectExpr("size(d) AS n").as[Int].collect()
+    assert(deq.forall(_ == 64))
+  }
 }
 
 class TextAnalysisSpec extends SparkTestBase {
