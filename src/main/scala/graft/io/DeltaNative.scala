@@ -228,8 +228,11 @@ object DeltaNative {
     * TahoeFileIndex uses.
     */
   def read(spark: SparkSession, tablePath: String,
-      versionAsOf: Option[Long] = None): DataFrame = {
-    val snap = snapshot(spark, tablePath, versionAsOf)
+      versionAsOf: Option[Long] = None): DataFrame =
+    scanSnapshot(spark, tablePath, snapshot(spark, tablePath, versionAsOf))
+
+  private def scanSnapshot(spark: SparkSession, tablePath: String,
+      snap: Snapshot): DataFrame = {
     val ordered = snap.schema.map(f => col(f.name))
     if (snap.files.isEmpty)
       return spark.createDataFrame(
@@ -246,6 +249,67 @@ object DeltaNative {
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
       Map.empty[String, String])(spark)
     spark.baseRelationToDataFrame(relation).select(ordered: _*)
+  }
+
+  /** Incremental (streaming-source-style) consumption: rows ADDED after
+    * `sinceVersion` (exclusive) through `untilVersion` (inclusive, default
+    * latest). This is file-level CDC the way Delta's own streaming source
+    * walks the log: only the commit TAIL is parsed (KBs at any table size)
+    * and only the new files are scanned — the pattern that turns a 100 TB
+    * table into an incrementally-processable feed.
+    *
+    * Semantics match the protocol's streaming contract:
+    *   - only `dataChange=true` actions count; OPTIMIZE / CLUSTER commits
+    *     (`dataChange=false`) are invisible — their rewritten files are
+    *     neither served nor deducted. (Corollary: VACUUM can delete a
+    *     compacted-away file an unprocessed incremental still references —
+    *     Delta's own stream-vs-vacuum caveat; consume before vacuuming.)
+    *   - a `dataChange=true` REMOVE in the tail (overwrite, DELETE, UPDATE)
+    *     makes append-only consumption WRONG, so it raises
+    *     (the ignoreChanges contract) instead of returning partial rows.
+    */
+  def readSince(spark: SparkSession, tablePath: String, sinceVersion: Long,
+      untilVersion: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, tablePath, untilVersion)
+    require(sinceVersion >= -1 && sinceVersion <= snap.version,
+      s"sinceVersion $sinceVersion out of range [-1, ${snap.version}] for $tablePath")
+    val logDir = new Path(tablePath, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val adds = mutable.LinkedHashMap.empty[String, AddFile]
+    ((sinceVersion + 1) to snap.version).foreach { v =>
+      val p = new Path(logDir, f"$v%020d.json")
+      if (!fs.exists(p))
+        throw new IllegalArgumentException(
+          s"commit $v missing from _delta_log (checkpoint-truncated?): " +
+            s"incremental read needs the full tail ($tablePath)")
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      text.split("\n").iterator.filter(_.trim.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        if (node.has("remove") &&
+            Option(node.get("remove").get("dataChange")).forall(_.asBoolean))
+          throw new IllegalStateException(
+            s"version $v changes existing data (dataChange=true remove): " +
+              s"append-only incremental read would be wrong — full-refresh " +
+              s"from snapshot instead ($tablePath)")
+        if (node.has("add")) {
+          val a = node.get("add")
+          if (Option(a.get("dataChange")).forall(_.asBoolean)) {
+            val path = a.get("path").asText
+            val pv = Option(a.get("partitionValues")).map { o =>
+              jsonObject(o).map { case (k, x) => k -> Option(x) } ++
+                keysOf(o).filterNot(jsonObject(o).contains).map(_ -> None).toMap
+            }.getOrElse(Map.empty[String, Option[String]])
+            adds(path) = AddFile(path, pv,
+              Option(a.get("size")).map(_.asLong).getOrElse(0L),
+              Option(a.get("stats")).filter(_.isTextual).map(_.asText))
+          }
+        }
+      }
+    }
+    scanSnapshot(spark, tablePath,
+      snap.copy(files = adds.values.toSeq))
   }
 
   // ---------------------------------------------------------------- writer

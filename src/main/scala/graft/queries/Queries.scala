@@ -2104,6 +2104,47 @@ object Queries {
       FROM qz a JOIN qz b ON b.vec_id = a.vec_id + 1
       ORDER BY id_a""")),
 
+    QueryDef("q125_delta_incremental", (s, dir) => {
+      // incremental (streaming-source-style) Delta consumption: three
+      // appends of disjoint key thirds with an OPTIMIZE in between;
+      // readSince(v0) must return EXACTLY the rows of appends 2+3, skip
+      // the compaction commit (dataChange=false is invisible), and scan
+      // only the tail's 2 files — the listed-file count is oracle-gated
+      // alongside the row content.
+      val orders = Q.t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      val maxKey = orders.agg(max("o_orderkey")).collect()(0).getLong(0)
+      val w = (maxKey + 2) / 3
+      val path =
+        s"/tmp/graft_delta_${new java.io.File(dir).getName}/orders_incr"
+      def slice(b: Int) =
+        orders.filter(col("o_orderkey").between(b * w + 1, (b + 1) * w))
+          .coalesce(1)
+      val v0 = graft.io.DeltaNative.write(slice(0), path, mode = "overwrite")
+      graft.io.DeltaNative.write(slice(1), path, mode = "append")
+      graft.io.DeltaNative.optimizeCompact(s, path) // dataChange=false: invisible
+      graft.io.DeltaNative.write(slice(2), path, mode = "append")
+      val inc = graft.io.DeltaNative.readSince(s, path, v0)
+      inc.collect()
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case other => other.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      }
+      val listed = scans(inc.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum
+      inc.agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total"))
+        .withColumn("files_listed", lit(listed))
+    }, Some("""WITH m AS (SELECT CAST(CEIL(MAX(o_orderkey)/3.0) AS BIGINT) AS w
+          FROM orders)
+      SELECT COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        CAST(2 AS BIGINT) AS files_listed
+      FROM orders, m WHERE o_orderkey > w AND o_orderkey <= 3 * w""")),
+
     QueryDef("q97_histogram_adaptive", (s, dir) => {
       v(s, dir, "orders")
       // adaptive-bin histogram sketch (custom agg). Bin EDGES are sketch-

@@ -354,6 +354,37 @@ class DeltaNativeSpec extends SparkTestBase {
     }
   }
 
+  test("delta: readSince serves only the appended tail; refuses rewrites") {
+    import spark.implicits._
+    val p = tmpDir("incr")
+    val v0 = DeltaNative.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), p)
+    DeltaNative.write(Seq((3L, "c")).toDF("id", "s"), p, mode = "append")
+    DeltaNative.write(Seq((4L, "d")).toDF("id", "s"), p, mode = "append")
+    // whole history (since -1) == the snapshot
+    assert(DeltaNative.readSince(spark, p, -1L).count() == 4)
+    // only the tail after v0
+    assert(DeltaNative.readSince(spark, p, v0).orderBy("id")
+      .as[(Long, String)].collect().toSeq == Seq((3L, "c"), (4L, "d")))
+    // caught up -> empty, same schema
+    val latest = DeltaNative.snapshot(spark, p).version
+    assert(DeltaNative.readSince(spark, p, latest).count() == 0)
+    // an OPTIMIZE in the tail is invisible (dataChange=false)
+    DeltaNative.optimizeCompact(spark, p)
+    assert(DeltaNative.readSince(spark, p, v0).count() == 2)
+    // untilVersion bounds the tail
+    assert(DeltaNative.readSince(spark, p, v0, Some(v0 + 1)).count() == 1)
+    // a dataChange=true remove (DELETE / overwrite) in the tail refuses
+    DeltaNative.deleteWhere(spark, p, col("id") === 3L)
+    intercept[IllegalStateException] {
+      DeltaNative.readSince(spark, p, v0).count()
+    }
+    // but reading from after the rewrite works again
+    val afterDelete = DeltaNative.snapshot(spark, p).version
+    DeltaNative.write(Seq((5L, "e")).toDF("id", "s"), p, mode = "append")
+    assert(DeltaNative.readSince(spark, p, afterDelete)
+      .as[(Long, String)].collect().toSeq == Seq((5L, "e")))
+  }
+
   test("delta: z-order clustering skips on BOTH columns, linear only on the first") {
     import spark.implicits._
     val grid = (for { x <- 0 until 32; y <- 0 until 32 }
