@@ -237,6 +237,11 @@ object IcebergNative {
   def read(spark: SparkSession, tablePath: String,
       snapshotAsOf: Option[Long] = None): DataFrame = {
     val (schema, files) = planFiles(spark, tablePath, snapshotAsOf)
+    scanFiles(spark, tablePath, schema, files)
+  }
+
+  private def scanFiles(spark: SparkSession, tablePath: String,
+      schema: StructType, files: Seq[DataFileRef]): DataFrame = {
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -256,6 +261,59 @@ object IcebergNative {
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
       Map.empty[String, String])(spark)
     spark.baseRelationToDataFrame(relation)
+  }
+
+  /** Incremental append scan (the spec's "incremental read"): data files
+    * ADDED by snapshots after `fromSnapshotId` (exclusive) through the
+    * current snapshot. Snapshot ancestry comes from the metadata json's
+    * ordered snapshots array; per snapshot, only manifests whose
+    * `added_snapshot_id` matches are opened, and only status=ADDED entries
+    * count — so consuming N new commits on a 100 TB table reads N commits'
+    * worth of metadata, not the whole manifest forest. Snapshots whose
+    * `summary.operation` is not "append" raise: after an overwrite/delete,
+    * append-only consumption would serve wrong rows (Iceberg's own
+    * incremental scan has the same restriction).
+    */
+  def readSince(spark: SparkSession, tablePath: String,
+      fromSnapshotId: Long): DataFrame = {
+    val (_, root) = currentMetadata(spark, tablePath)
+    val (schema, _) = planFiles(spark, tablePath) // schema + format checks
+    val snapshots = Option(root.get("snapshots"))
+      .map(arr => (0 until arr.size).map(arr.get)).getOrElse(Nil)
+    val fromIdx = snapshots.indexWhere(
+      _.get("snapshot-id").asLong == fromSnapshotId)
+    if (fromIdx < 0)
+      throw new IllegalArgumentException(
+        s"snapshot $fromSnapshotId not in table history (expired?): $tablePath")
+    val files = mutable.Buffer.empty[DataFileRef]
+    snapshots.drop(fromIdx + 1).foreach { s =>
+      val sid = s.get("snapshot-id").asLong
+      val op = Option(s.get("summary")).flatMap(o => Option(o.get("operation")))
+        .map(_.asText).getOrElse("append")
+      if (op != "append")
+        throw new IllegalStateException(
+          s"snapshot $sid is '$op', not append: incremental read would be " +
+            s"wrong — full-refresh from the snapshot instead ($tablePath)")
+      val ml = toFsPath(s.get("manifest-list").asText, tablePath)
+      readAvro(spark, ml)
+        .filter(r => Option(r.get("added_snapshot_id"))
+          .exists(_.toString.toLong == sid))
+        .foreach { m =>
+          readAvro(spark, toFsPath(m.get("manifest_path").toString, tablePath))
+            .foreach { entry =>
+              val status = Option(entry.get("status")).map(_.toString.toInt)
+                .getOrElse(1)
+              if (status == 1) { // ADDED in this snapshot
+                val dfRec = entry.get("data_file").asInstanceOf[GenericRecord]
+                files += DataFileRef(dfRec.get("file_path").toString,
+                  dfRec.get("file_format").toString.toLowerCase,
+                  Option(dfRec.get("record_count")).map(_.toString.toLong).getOrElse(0L),
+                  Option(dfRec.get("file_size_in_bytes")).map(_.toString.toLong).getOrElse(0L))
+              }
+            }
+        }
+    }
+    scanFiles(spark, tablePath, schema, files.toSeq)
   }
 
   // ------------------------------------------------------------ writer
@@ -380,8 +438,11 @@ object IcebergNative {
         e
     })
 
-    // manifest list = prior manifests (append) or just this one (overwrite)
-    val priorManifests: Seq[(String, Long)] =
+    // manifest list = prior manifests (append) or just this one (overwrite).
+    // Each prior manifest keeps its ORIGINAL added_snapshot_id (spec: the
+    // snapshot that first listed it) — that provenance is what makes the
+    // incremental scan ([[readSince]]) able to attribute files to commits.
+    val priorManifests: Seq[(String, Long, Long)] =
       if (mode == "overwrite") Nil
       else prior.toSeq.flatMap { p =>
         val curId = Option(p.get("current-snapshot-id")).map(_.asLong)
@@ -391,18 +452,21 @@ object IcebergNative {
           .flatMap { s =>
             readAvro(spark, toFsPath(s.get("manifest-list").asText, tablePath))
               .map(r => (r.get("manifest_path").toString,
-                r.get("manifest_length").toString.toLong))
+                r.get("manifest_length").toString.toLong,
+                Option(r.get("added_snapshot_id")).map(_.toString.toLong)
+                  .getOrElse(s.get("snapshot-id").asLong)))
           }
       }
     val mlPath = new Path(meta, s"snap-$snapshotId.avro")
     val mLen = fs.getFileStatus(manifestPath).getLen
     writeAvro(spark, mlPath, manifestFileSchema,
-      ((manifestPath.toString, mLen) +: priorManifests).map { case (p, len) =>
-        val r = new GenericData.Record(manifestFileSchema)
-        r.put("manifest_path", p); r.put("manifest_length", len)
-        r.put("partition_spec_id", 0); r.put("content", 0)
-        r.put("added_snapshot_id", snapshotId)
-        r
+      ((manifestPath.toString, mLen, snapshotId) +: priorManifests).map {
+        case (p, len, addedBy) =>
+          val r = new GenericData.Record(manifestFileSchema)
+          r.put("manifest_path", p); r.put("manifest_length", len)
+          r.put("partition_spec_id", 0); r.put("content", 0)
+          r.put("added_snapshot_id", addedBy)
+          r
       })
 
     // versioned metadata json + version hint

@@ -2018,7 +2018,7 @@ object Queries {
       SELECT doc_id, shard, seq_id,
         CAST(greatest(st - seq_id * 256, 0) AS BIGINT) AS off_start,
         CAST(least(e - seq_id * 256, 256) AS BIGINT) AS off_end
-      FROM u ORDER BY doc_id, seq_id""")),
+      FROM u ORDER BY doc_id, seq_id"""), bench = true),
 
     QueryDef("q122_pack_greedy", (s, dir) => {
       // greedy first-fit no-split packing (docs are never cut; a new pack
@@ -2102,7 +2102,7 @@ object Queries {
           / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
            * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) AS cosf
       FROM qz a JOIN qz b ON b.vec_id = a.vec_id + 1
-      ORDER BY id_a""")),
+      ORDER BY id_a"""), bench = true),
 
     QueryDef("q125_delta_incremental", (s, dir) => {
       // incremental (streaming-source-style) Delta consumption: three
@@ -2124,6 +2124,46 @@ object Queries {
       graft.io.DeltaNative.optimizeCompact(s, path) // dataChange=false: invisible
       graft.io.DeltaNative.write(slice(2), path, mode = "append")
       val inc = graft.io.DeltaNative.readSince(s, path, v0)
+      inc.collect()
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case other => other.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      }
+      val listed = scans(inc.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum
+      inc.agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total"))
+        .withColumn("files_listed", lit(listed))
+    }, Some("""WITH m AS (SELECT CAST(CEIL(MAX(o_orderkey)/3.0) AS BIGINT) AS w
+          FROM orders)
+      SELECT COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        CAST(2 AS BIGINT) AS files_listed
+      FROM orders, m WHERE o_orderkey > w AND o_orderkey <= 3 * w""")),
+
+    QueryDef("q126_iceberg_incremental", (s, dir) => {
+      // Iceberg incremental append scan (same contract as q125's Delta
+      // readSince, proven on the second format): snapshot ancestry from the
+      // metadata json, manifests attributed by added_snapshot_id, only
+      // ADDED entries of post-anchor snapshots scanned. Row content AND the
+      // 2-file listed count are oracle-gated.
+      val orders = Q.t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      val maxKey = orders.agg(max("o_orderkey")).collect()(0).getLong(0)
+      val w = (maxKey + 2) / 3
+      val path =
+        s"/tmp/graft_iceberg_${new java.io.File(dir).getName}/orders_incr"
+      def slice(b: Int) =
+        orders.filter(col("o_orderkey").between(b * w + 1, (b + 1) * w))
+          .coalesce(1)
+      // fresh table per run: overwrite resets the current snapshot lineage
+      val s1 = graft.io.IcebergNative.write(slice(0), path, mode = "overwrite")
+      graft.io.IcebergNative.write(slice(1), path, mode = "append")
+      graft.io.IcebergNative.write(slice(2), path, mode = "append")
+      val inc = graft.io.IcebergNative.readSince(s, path, s1)
       inc.collect()
       def scans(p: org.apache.spark.sql.execution.SparkPlan)
           : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {

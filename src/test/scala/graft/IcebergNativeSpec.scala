@@ -43,6 +43,26 @@ class IcebergNativeSpec extends SparkTestBase {
     assert(Sources.iceberg(spark, p).select("id").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("iceberg: readSince serves only appended snapshots; refuses overwrite tails") {
+    val p = tmpDir("incr")
+    val s1 = IcebergNative.write(base.filter(col("id") <= 1), p)
+    IcebergNative.write(base.filter(col("id") === 2), p, mode = "append")
+    val s3 = IcebergNative.write(base.filter(col("id") === 3), p, mode = "append")
+    assert(IcebergNative.readSince(spark, p, s1)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    // caught up -> empty
+    assert(IcebergNative.readSince(spark, p, s3).count() == 0)
+    // unknown anchor snapshot -> loud error
+    intercept[IllegalArgumentException] {
+      IcebergNative.readSince(spark, p, 42L)
+    }
+    // an overwrite in the tail refuses (append-only read would be wrong)
+    IcebergNative.write(base.filter(col("id") === 2), p, mode = "overwrite")
+    intercept[IllegalStateException] {
+      IcebergNative.readSince(spark, p, s1).count()
+    }
+  }
+
   test("iceberg: snapshotAsOf time travel by snapshot id") {
     val p = tmpDir("tt")
     val s1 = IcebergNative.write(base.filter(col("id") <= 1), p)
