@@ -152,6 +152,13 @@ object HudiNative {
     if (files.isEmpty)
       throw new IllegalArgumentException(
         s"Hudi table has no completed commits: $tablePath")
+    val df = scanBase(spark, tablePath, files)
+    if (withMeta) df
+    else df.select(df.columns.filterNot(_.startsWith("_hoodie_")).map(col): _*)
+  }
+
+  private def scanBase(spark: SparkSession, tablePath: String,
+      files: Seq[BaseFile]): DataFrame = {
     // schema from the NEWEST instant's footer (one driver-side read)
     val schema = spark.read.parquet(files.maxBy(_.instant).path).schema
     val adds = files.map(f => DeltaNative.AddFile(
@@ -162,9 +169,35 @@ object HudiNative {
       org.apache.spark.sql.types.StructType(Nil), schema, None,
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
       Map.empty[String, String])(spark)
-    val df = spark.baseRelationToDataFrame(relation)
-    if (withMeta) df
-    else df.select(df.columns.filterNot(_.startsWith("_hoodie_")).map(col): _*)
+    spark.baseRelationToDataFrame(relation)
+  }
+
+  /** Hudi incremental query — the real contract: rows whose
+    * `_hoodie_commit_time` is strictly after `sinceInstant`. Two-level
+    * pruning, the way Hudi's own incremental relation plans it:
+    * file slices whose latest instant <= since cannot contain post-anchor
+    * rows (a CoW rewrite bumps the slice's instant), so they are dropped
+    * before any footer is opened; inside surviving files the meta-column
+    * predicate keeps exactly the rows written after the anchor — which is
+    * why UPSERTS are served correctly (only the changed rows of a
+    * rewritten group come back), the semantics Hudi incremental queries
+    * are known for. Deletes are not propagated (same as Hudi without the
+    * CDC feature) — a consumer needing deletes must full-refresh.
+    */
+  def readSince(spark: SparkSession, tablePath: String, sinceInstant: String,
+      withMeta: Boolean = false): DataFrame = {
+    val all = snapshotFiles(spark, tablePath)
+    if (all.isEmpty)
+      throw new IllegalArgumentException(
+        s"Hudi table has no completed commits: $tablePath")
+    val tail = all.filter(_.instant > sinceInstant)
+    val base = scanBase(spark, tablePath,
+        if (tail.nonEmpty) tail else all.take(1)) // schema-only scan if caught up
+      .filter(col("_hoodie_commit_time") > lit(sinceInstant))
+    val limited = if (tail.nonEmpty) base else base.limit(0)
+    if (withMeta) limited
+    else limited.select(
+      limited.columns.filterNot(_.startsWith("_hoodie_")).map(col): _*)
   }
 
   /** Per-file stats JSON from a hive partition path (`k=v/k2=v2`): each
