@@ -1987,7 +1987,7 @@ object Queries {
         FROM documents)
         SELECT CASE WHEN bk < 1000 THEN 'val' WHEN bk < 2000 THEN 'test'
                     ELSE 'train' END AS split,
-          COUNT(*) AS n, SUM(doc_id) AS id_sum
+          COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
         FROM b GROUP BY 1 ORDER BY split""")),
 
     QueryDef("q121_pack_sequences", (s, dir) => {
@@ -2059,7 +2059,7 @@ object Queries {
         .groupBy("source")
         .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
         .orderBy("source"),
-      Some("""SELECT source, COUNT(*) AS n, SUM(doc_id) AS id_sum
+      Some("""SELECT source, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
         FROM documents
         WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
             % 1000 <
