@@ -40,9 +40,16 @@ import org.apache.spark.sql.types._
   *   - Partition values come from the log (Delta data files do NOT contain
   *     partition columns), attached per partition group as cast literals.
   *   - Time travel: `versionAsOf` replays the prefix of the log.
+  *   - Deletion vectors (r9): add-action DV descriptors are replayed
+  *     (JSON + checkpoint), the roaring bitmaps loaded
+  *     ([[DeletionVectors]]), and deleted row indexes filtered during the
+  *     scan via parquet `_metadata.row_index`; [[deleteWhereDV]] writes
+  *     them. Column mapping (r9): `name` and `id` modes resolve physical
+  *     file/log names back to logical schema names (id mode additionally
+  *     via parquet field ids).
   *   - Unsupported-by-design (clear capability error, never wrong rows):
-  *     deletion vectors, column mapping (`name`/`id`), v2 checkpoints,
-  *     reader features beyond `timestampNtz`.
+  *     v2 checkpoints, reader features beyond
+  *     timestampNtz/deletionVectors/columnMapping.
   *
   * The writer exists so the read path can be exercised end-to-end in a
   * container with no connector jar (specs + the q110 round-trip oracle):
@@ -62,7 +69,8 @@ object DeltaNative {
     * [[DeltaStats.skipper]] for data skipping.
     */
   final case class AddFile(path: String, partitionValues: Map[String, Option[String]],
-      size: Long, stats: Option[String] = None)
+      size: Long, stats: Option[String] = None,
+      dv: Option[DeletionVectors.Descriptor] = None)
 
   /** `txns`: latest SetTransaction version per streaming appId (the
     * protocol's exactly-once device — PROTOCOL.md "Transaction
@@ -70,15 +78,22 @@ object DeltaNative {
     */
   final case class Snapshot(version: Long, schema: StructType,
       partitionColumns: Seq[String], files: Seq[AddFile],
-      txns: Map[String, Long] = Map.empty)
+      txns: Map[String, Long] = Map.empty,
+      minReaderVersion: Int = 1, minWriterVersion: Int = 2,
+      readerFeatures: Set[String] = Set.empty,
+      writerFeatures: Set[String] = Set.empty,
+      configuration: Map[String, String] = Map.empty)
 
   private val commitRe = "^(\\d{20})\\.json$".r
   private val ckptRe = "^(\\d{20})\\.checkpoint(?:\\.\\d{10}\\.\\d{10})?\\.parquet$".r
 
-  // Reader features we actually honor. Anything else (deletionVectors,
-  // columnMapping, v2Checkpoint, ...) would change row visibility or column
-  // resolution — reading anyway would return WRONG data, so we refuse.
-  private val supportedReaderFeatures = Set("timestampNtz")
+  // Reader features we actually honor: deletionVectors filters row
+  // indexes at scan time, columnMapping resolves physical->logical names
+  // (both r9). Anything else (v2Checkpoint, typeWidening, ...) would
+  // change row visibility or column resolution — reading anyway would
+  // return WRONG data, so we refuse.
+  private val supportedReaderFeatures =
+    Set("timestampNtz", "deletionVectors", "columnMapping")
 
   /** Replay the log and return the table state at `versionAsOf` (default:
     * latest).
@@ -115,7 +130,9 @@ object DeltaNative {
     var partitionColumns: Seq[String] = Nil
     var configuration: Map[String, String] = Map.empty
     var minReader = 1
+    var minWriter = 2
     var readerFeatures: Set[String] = Set.empty
+    var writerFeatures: Set[String] = Set.empty
 
     baseCkpt.foreach { v =>
       val parts = checkpoints(v).map(n => new Path(logDir, n))
@@ -128,8 +145,8 @@ object DeltaNative {
         if (ss != null) schemaString = ss
         partitionColumns = pc; configuration = cfg
       }
-      def onProtocol(mr: Int, feats: Set[String]): Unit = {
-        minReader = mr; readerFeatures = feats
+      def onProtocol(mr: Int, mw: Int, rf: Set[String], wf: Set[String]): Unit = {
+        minReader = mr; minWriter = mw; readerFeatures = rf; writerFeatures = wf
       }
       def onTxn(appId: String, ver: Long): Unit = txns(appId) = ver
       try replayCheckpointDriver(hadoopConf, parts, tablePath,
@@ -170,13 +187,14 @@ object DeltaNative {
         if (node.has("protocol")) {
           val pr = node.get("protocol")
           minReader = pr.get("minReaderVersion").asInt
+          minWriter = Option(pr.get("minWriterVersion")).map(_.asInt).getOrElse(2)
           readerFeatures = Option(pr.get("readerFeatures"))
+            .map(jsonArray(_).map(_.asText).toSet).getOrElse(Set.empty)
+          writerFeatures = Option(pr.get("writerFeatures"))
             .map(jsonArray(_).map(_.asText).toSet).getOrElse(Set.empty)
         }
         if (node.has("add")) {
           val a = node.get("add")
-          if (a.hasNonNull("deletionVector"))
-            throw unsupported("deletion vectors", tablePath)
           val path = a.get("path").asText
           val pv = Option(a.get("partitionValues")).map { o =>
             jsonObject(o).map { case (k, x) => k -> Option(x) } ++
@@ -185,7 +203,8 @@ object DeltaNative {
           }.getOrElse(Map.empty[String, Option[String]])
           state(path) = AddFile(path, pv,
             Option(a.get("size")).map(_.asLong).getOrElse(0L),
-            Option(a.get("stats")).filter(_.isTextual).map(_.asText))
+            Option(a.get("stats")).filter(_.isTextual).map(_.asText),
+            parseDvJson(a))
         }
         if (node.has("remove")) state.remove(node.get("remove").get("path").asText)
         if (node.has("txn")) {
@@ -200,14 +219,16 @@ object DeltaNative {
       val extra = readerFeatures -- supportedReaderFeatures
       if (extra.nonEmpty) throw unsupported(s"reader features ${extra.mkString(",")}", tablePath)
     }
-    configuration.get("delta.columnMapping.mode").filter(m => m != "none").foreach { m =>
-      throw unsupported(s"column mapping mode '$m'", tablePath)
-    }
+    configuration.get("delta.columnMapping.mode")
+      .filterNot(m => m == "none" || m == "name" || m == "id").foreach { m =>
+        throw unsupported(s"column mapping mode '$m'", tablePath)
+      }
     if (schemaString == null)
       throw new IllegalArgumentException(s"no metaData action in _delta_log: $tablePath")
 
     Snapshot(target, DataType.fromJson(schemaString).asInstanceOf[StructType],
-      partitionColumns, state.values.toSeq, txns.toMap)
+      partitionColumns, state.values.toSeq, txns.toMap,
+      minReader, minWriter, readerFeatures, writerFeatures, configuration)
   }
 
   /** Latest committed SetTransaction version for a streaming `appId`, or
@@ -232,23 +253,113 @@ object DeltaNative {
     scanSnapshot(spark, tablePath, snapshot(spark, tablePath, versionAsOf))
 
   private def scanSnapshot(spark: SparkSession, tablePath: String,
-      snap: Snapshot): DataFrame = {
-    val ordered = snap.schema.map(f => col(f.name))
-    if (snap.files.isEmpty)
-      return spark.createDataFrame(
+      snap: Snapshot): DataFrame =
+    scanSnapshotMeta(spark, tablePath, snap, withMeta = false)
+
+  /** The full scan pipeline: column-mapping resolution (physical names in
+    * files/log -> logical names in the table schema), deletion-vector row
+    * filtering, then the logical projection. `withMeta = true` keeps
+    * `__graft_file` (data file name) and `__graft_ridx` (physical row
+    * index) for row-level ops ([[deleteWhereDV]]).
+    *
+    * DV filtering rides Spark's parquet `_metadata.row_index` column: each
+    * DV'd file's roaring bitmap (loaded once, driver-side, kept in
+    * compressed form) travels in the filter closure and drops exactly the
+    * deleted row indexes — at scale the shipped state is the compressed
+    * bitmap bytes, proportional to deleted rows, not table size.
+    */
+  private def scanSnapshotMeta(spark: SparkSession, tablePath: String,
+      snap: Snapshot, withMeta: Boolean): DataFrame = {
+    val mode = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
+    val phys = if (mode == "none") snap else physicalSnapshot(snap, mode)
+    // id-mode parquet resolution by field id (files may have arbitrary
+    // physical names); only schemas carrying parquet.field.id metadata —
+    // i.e. exactly these scans — are affected by the conf
+    if (mode == "id")
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val logicalCols = snap.schema.zip(phys.schema).map { case (lf, pf) =>
+      if (lf.name == pf.name && lf.dataType == pf.dataType) col(lf.name)
+      // by-position struct cast renames nested physical fields back too
+      else col(pf.name).cast(lf.dataType).as(lf.name)
+    }
+    if (phys.files.isEmpty) {
+      val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], snap.schema)
+      return if (!withMeta) empty
+        else empty.withColumn("__graft_file", lit(null).cast("string"))
+          .withColumn("__graft_ridx", lit(null).cast("long"))
+    }
     // scan-time nullability must be relaxed (as spark.read does): after
     // add-column evolution, pre-evolution files omit the column and read
     // as null even when the TABLE schema declares it non-nullable
     val dataSchema = StructType(
-      snap.schema.filterNot(f => snap.partitionColumns.contains(f.name))
+      phys.schema.filterNot(f => phys.partitionColumns.contains(f.name))
         .map(_.copy(nullable = true)))
-    val index = new DeltaFileIndex(spark, tablePath, snap)
+    val index = new DeltaFileIndex(spark, tablePath, phys)
     val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       index, index.partitionSchema, dataSchema, None,
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
       Map.empty[String, String])(spark)
-    spark.baseRelationToDataFrame(relation).select(ordered: _*)
+    val base = spark.baseRelationToDataFrame(relation)
+    val dvFiles = phys.files.filter(_.dv.exists(_.cardinality > 0))
+    val needMeta = withMeta || dvFiles.nonEmpty
+    val withCols = if (!needMeta) base
+      else base
+        .withColumn("__graft_file",
+          expr("substring_index(_metadata.file_path, '/', -1)"))
+        .withColumn("__graft_ridx", col("_metadata.row_index"))
+    val undeleted = if (dvFiles.isEmpty) withCols else {
+      val conf = spark.sessionState.newHadoopConf()
+      val dvByName: Map[String, RoaringBitmapArray] = dvFiles.map { f =>
+        val d = decodePath(f.path)
+        d.substring(d.lastIndexOf('/') + 1) ->
+          DeletionVectors.load(conf, tablePath, f.dv.get)
+      }.toMap
+      val deleted = udf((name: String, idx: Long) =>
+        dvByName.get(name).exists(_.contains(idx)))
+      withCols.filter(!deleted(col("__graft_file"), col("__graft_ridx")))
+    }
+    val outCols = if (withMeta)
+      logicalCols ++ Seq(col("__graft_file"), col("__graft_ridx"))
+    else logicalCols
+    undeleted.select(outCols: _*)
+  }
+
+  /** delta.columnMapping.physicalName of a field (logical name when the
+    * table was upgraded in place and the field carries no mapping).
+    */
+  private def physicalName(f: StructField): String =
+    if (f.metadata.contains("delta.columnMapping.physicalName"))
+      f.metadata.getString("delta.columnMapping.physicalName")
+    else f.name
+
+  private def physicalType(dt: DataType, idMode: Boolean): DataType = dt match {
+    case st: StructType => StructType(st.map(f => physicalField(f, idMode)))
+    case ArrayType(et, n) => ArrayType(physicalType(et, idMode), n)
+    case MapType(k, v, n) =>
+      MapType(physicalType(k, idMode), physicalType(v, idMode), n)
+    case other => other
+  }
+
+  private def physicalField(f: StructField, idMode: Boolean): StructField = {
+    val mb = new org.apache.spark.sql.types.MetadataBuilder()
+    if (idMode && f.metadata.contains("delta.columnMapping.id"))
+      mb.putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id"))
+    StructField(physicalName(f), physicalType(f.dataType, idMode),
+      nullable = true, mb.build())
+  }
+
+  /** The snapshot as the FILES see it: physical field names everywhere
+    * (schema, partition columns). The log's partitionValues and stats are
+    * already keyed by physical name, so the whole FileIndex/skipping path
+    * runs untouched in physical terms; [[scanSnapshotMeta]] renames back
+    * at the end.
+    */
+  private def physicalSnapshot(snap: Snapshot, mode: String): Snapshot = {
+    val idMode = mode == "id"
+    val physSchema = StructType(snap.schema.map(f => physicalField(f, idMode)))
+    val physPartCols = snap.partitionColumns.map(c => physicalName(snap.schema(c)))
+    snap.copy(schema = physSchema, partitionColumns = physPartCols)
   }
 
   /** Incremental (streaming-source-style) consumption: rows ADDED after
@@ -303,7 +414,8 @@ object DeltaNative {
             }.getOrElse(Map.empty[String, Option[String]])
             adds(path) = AddFile(path, pv,
               Option(a.get("size")).map(_.asLong).getOrElse(0L),
-              Option(a.get("stats")).filter(_.isTextual).map(_.asText))
+              Option(a.get("stats")).filter(_.isTextual).map(_.asText),
+              parseDvJson(a))
           }
         }
       }
@@ -328,30 +440,55 @@ object DeltaNative {
     val fs = table.getFileSystem(conf)
     fs.mkdirs(logDir)
 
+    // only "table absent / empty log" means NEW table; an unreadable-but-
+    // existing table (unsupported reader feature) must propagate its
+    // capability error, not masquerade as version 0
     val prior =
-      try Some(snapshot(spark, tablePath)) catch { case _: Exception => None }
+      try Some(snapshot(spark, tablePath))
+      catch { case _: IllegalArgumentException => None }
     // SetTransaction idempotence: a replayed streaming batch (appId,
     // version) that's already committed is a no-op, not a duplicate append
     for ((appId, v) <- txn; p <- prior; last <- p.txns.get(appId))
       if (last >= v) return p.version
     val version = prior.map(_.version + 1).getOrElse(0L)
 
+    // column-mapped target: data files and partitionValues must use
+    // PHYSICAL names; df arrives in logical terms and is renamed here.
+    // Schema evolution on a mapped table (mapping-aware metaData rewrite)
+    // is the connector's job — require an exact logical match instead of
+    // silently clobbering the mapping.
+    val cmMode = prior.map(
+      _.configuration.getOrElse("delta.columnMapping.mode", "none"))
+      .getOrElse("none")
+    val (wdf, wParts) = if (cmMode == "none") (df, partitionBy) else {
+      val ls = prior.get.schema
+      require(df.schema.map(f => (f.name, f.dataType)) ==
+          ls.map(f => (f.name, f.dataType)).toSeq,
+        s"column-mapped table $tablePath: write must match the logical schema")
+      require(partitionBy == prior.get.partitionColumns,
+        s"column-mapped table $tablePath: partitionBy must match the table's")
+      (df.toDF(ls.map(physicalName): _*),
+        partitionBy.map(c => physicalName(ls(c))))
+    }
+
     // stage data files under a temp dir, then move into the table keeping
     // the hive-style partition dirs Spark produced (the log, not the dir
     // layout, is authoritative — but the familiar layout aids debugging)
     val tmp = new Path(table, s".graft_stage_${java.util.UUID.randomUUID}")
-    val w = if (partitionBy.nonEmpty) df.write.partitionBy(partitionBy: _*) else df.write
+    val w = if (wParts.nonEmpty) wdf.write.partitionBy(wParts: _*) else wdf.write
     w.parquet(tmp.toString)
 
-    val dataSchema = StructType(df.schema.filterNot(f => partitionBy.contains(f.name)))
+    val dataSchema = StructType(wdf.schema.filterNot(f => wParts.contains(f.name)))
     val staged = mutable.Buffer.empty[(String, Map[String, Option[String]], Long, Option[String])]
     def walk(dir: Path, parts: Map[String, Option[String]]): Unit =
       fs.listStatus(dir).foreach { st =>
         val n = st.getPath.getName
         if (st.isDirectory && n.contains("=")) {
           val Array(k, raw) = n.split("=", 2)
+          // escapePathName leaves '+' literal in partition dirs — protect it
+          // from URLDecoder's form-decoding (same rule as decodePath)
           val v = if (raw == "__HIVE_DEFAULT_PARTITION__") None
-            else Some(java.net.URLDecoder.decode(raw, "UTF-8"))
+            else Some(java.net.URLDecoder.decode(raw.replace("+", "%2B"), "UTF-8"))
           walk(st.getPath, parts + (k -> v))
         } else if (st.isFile && n.endsWith(".parquet")) {
           val relDir = parts.map { case (k, v) =>
@@ -372,7 +509,9 @@ object DeltaNative {
 
     val now = System.currentTimeMillis()
     val lines = mutable.Buffer.empty[String]
-    val schemaChanged = !prior.exists(p =>
+    // a mapped table's schema was required equal above (StructType equality
+    // would false-positive on the mapping metadata the df doesn't carry)
+    val schemaChanged = cmMode == "none" && !prior.exists(p =>
       p.schema == df.schema && p.partitionColumns == partitionBy)
     if (version == 0L)
       lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
@@ -439,6 +578,213 @@ object DeltaNative {
       condition: org.apache.spark.sql.Column): Long =
     rewriteMatching(spark, tablePath, condition, identity, keepMatched = false)
 
+  /** Row-level DELETE via deletion vectors (merge-on-read): instead of
+    * rewriting matched files (CoW — cost proportional to matched BYTES),
+    * write a roaring bitmap of deleted row indexes per matched file and
+    * re-add the file with its DV descriptor — cost proportional to
+    * matched ROWS. This is what modern Delta writers do by default, and
+    * why a 100 TB DELETE of 0.1% of rows is an O(minutes) metadata+bitmap
+    * operation, not an O(table) rewrite. Bitmaps are built per-file on
+    * executors and shipped compressed; the commit upgrades the protocol
+    * to (3, 7) + deletionVectors on first use. Merges with any existing
+    * DV on the file. Returns the committed version.
+    */
+  def deleteWhereDV(spark: SparkSession, tablePath: String,
+      condition: org.apache.spark.sql.Column): Long = {
+    val snap = snapshot(spark, tablePath)
+    val conf = spark.sessionState.newHadoopConf()
+    val logDir = new Path(tablePath, "_delta_log")
+    val fs = new Path(tablePath).getFileSystem(conf)
+    import spark.implicits._
+    // per-file bitmaps built where the rows are; only compressed bytes land
+    // on the driver
+    val matched: Array[(String, Array[Byte])] =
+      scanSnapshotMeta(spark, tablePath, snap, withMeta = true)
+        .filter(condition)
+        .select(col("__graft_file"), col("__graft_ridx"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (name, it) =>
+          (name, RoaringBitmapArray.fromLongs(it.map(_._2).toSeq).serialize())
+        }.collect()
+    if (matched.isEmpty) return snap.version
+
+    val byName: Map[String, AddFile] = snap.files.map { f =>
+      val d = decodePath(f.path)
+      d.substring(d.lastIndexOf('/') + 1) -> f
+    }.toMap
+    val targets: Seq[(AddFile, RoaringBitmapArray)] = matched.toSeq.map {
+      case (name, bytes) =>
+        val f = byName.getOrElse(name,
+          throw new IllegalStateException(s"scan returned unknown file $name"))
+        val fresh = RoaringBitmapArray.deserialize(bytes)
+        val bm = f.dv.map(d =>
+          DeletionVectors.load(conf, tablePath, d).merge(fresh)).getOrElse(fresh)
+        (f, bm)
+    }
+    val descs = DeletionVectors.writeFile(conf, tablePath, targets.map(_._2))
+
+    val now = System.currentTimeMillis()
+    val lines = mutable.Buffer.empty[String]
+    if (!(snap.minReaderVersion >= 3 && snap.readerFeatures.contains("deletionVectors"))) {
+      // upgrading to the features protocol must list EVERY capability the
+      // table already relies on, or foreign readers lose their gate:
+      // columnMapping if configured, plus the legacy minWriter 2 implied
+      // appendOnly+invariants
+      val cmFeat: Set[String] =
+        if (snap.configuration.getOrElse("delta.columnMapping.mode", "none") != "none")
+          Set("columnMapping") else Set.empty
+      val pr = mapper.createObjectNode()
+      pr.put("minReaderVersion", 3); pr.put("minWriterVersion", 7)
+      val rf = pr.putArray("readerFeatures")
+      (snap.readerFeatures ++ cmFeat + "deletionVectors").toSeq.sorted.foreach(rf.add)
+      val wf = pr.putArray("writerFeatures")
+      (snap.writerFeatures ++ cmFeat ++
+        Set("deletionVectors", "appendOnly", "invariants"))
+        .toSeq.sorted.foreach(wf.add)
+      val root = mapper.createObjectNode()
+      root.set[JsonNode]("protocol", pr)
+      lines += mapper.writeValueAsString(root)
+    }
+    targets.zip(descs).foreach { case ((f, _), desc) =>
+      val rm = mapper.createObjectNode()
+      rm.put("path", f.path); rm.put("deletionTimestamp", now)
+      rm.put("dataChange", true)
+      f.dv.foreach(d => rm.set[JsonNode]("deletionVector", dvJson(d)))
+      val rootR = mapper.createObjectNode()
+      rootR.set[JsonNode]("remove", rm)
+      lines += mapper.writeValueAsString(rootR)
+
+      val add = mapper.createObjectNode()
+      add.put("path", f.path)
+      val pvn = add.putObject("partitionValues")
+      f.partitionValues.foreach { case (k, v) =>
+        v match { case Some(s) => pvn.put(k, s); case None => pvn.putNull(k) }
+      }
+      add.put("size", f.size); add.put("modificationTime", now)
+      add.put("dataChange", true)
+      f.stats.foreach(s => add.put("stats", s))
+      add.set[JsonNode]("deletionVector", dvJson(desc))
+      val rootA = mapper.createObjectNode()
+      rootA.set[JsonNode]("add", add)
+      lines += mapper.writeValueAsString(rootA)
+    }
+    val version = snap.version + 1
+    val commit = new Path(logDir, f"$version%020d.json")
+    val stagedCommit = new Path(logDir, s".${java.util.UUID.randomUUID}.json.tmp")
+    val out = fs.create(stagedCommit, false)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(stagedCommit, commit))
+      throw new IllegalStateException(s"concurrent commit at version $version: $tablePath")
+    version
+  }
+
+  /** ALTER TABLE ... RENAME COLUMN: zero data rewritten — exactly the
+    * operation Delta requires column mapping for. First use upgrades the
+    * table to `name` mode, assigning every field its CURRENT name as
+    * `delta.columnMapping.physicalName` plus a stable id (so existing data
+    * files keep resolving); the rename then touches only the LOGICAL field
+    * name in metaData. At 100 TB this is a metadata-only commit.
+    * Returns the committed version.
+    */
+  def renameColumn(spark: SparkSession, tablePath: String,
+      oldName: String, newName: String): Long = {
+    val snap = snapshot(spark, tablePath)
+    require(snap.schema.fieldNames.contains(oldName),
+      s"no column '$oldName' in $tablePath")
+    require(!snap.schema.fieldNames.contains(newName),
+      s"column '$newName' already exists in $tablePath")
+    val mode = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
+    var nextId = snap.schema
+      .map(f => if (f.metadata.contains("delta.columnMapping.id"))
+        f.metadata.getLong("delta.columnMapping.id") else 0L)
+      .foldLeft(0L)(_ max _)
+    val mapped = snap.schema.map { f =>
+      if (f.metadata.contains("delta.columnMapping.physicalName")) f
+      else {
+        nextId += 1
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString("delta.columnMapping.physicalName", f.name)
+          .putLong("delta.columnMapping.id", nextId).build())
+      }
+    }
+    val renamed = StructType(mapped.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    val newParts = snap.partitionColumns.map(c =>
+      if (c == oldName) newName else c)
+    val now = System.currentTimeMillis()
+    val lines = mutable.Buffer.empty[String]
+    if (mode == "none") {
+      if (snap.minReaderVersion >= 3 || snap.readerFeatures.nonEmpty) {
+        val pr = mapper.createObjectNode()
+        pr.put("minReaderVersion", 3); pr.put("minWriterVersion", 7)
+        val rf = pr.putArray("readerFeatures")
+        (snap.readerFeatures + "columnMapping").toSeq.sorted.foreach(rf.add)
+        val wf = pr.putArray("writerFeatures")
+        (snap.writerFeatures + "columnMapping").toSeq.sorted.foreach(wf.add)
+        val root = mapper.createObjectNode()
+        root.set[JsonNode]("protocol", pr)
+        lines += mapper.writeValueAsString(root)
+      } else
+        // legacy protocol floor for column mapping
+        lines += """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+    }
+    val md = mapper.createObjectNode()
+    md.put("id", java.util.UUID.randomUUID.toString)
+    val fmt = md.putObject("format")
+    fmt.put("provider", "parquet"); fmt.putObject("options")
+    md.put("schemaString", renamed.json)
+    val pcs = md.putArray("partitionColumns")
+    newParts.foreach(pcs.add)
+    val cfg = md.putObject("configuration")
+    (snap.configuration ++ Map(
+      "delta.columnMapping.mode" -> (if (mode == "none") "name" else mode),
+      "delta.columnMapping.maxColumnId" -> nextId.toString))
+      .foreach { case (k, v) => cfg.put(k, v) }
+    md.put("createdTime", now)
+    val mdRoot = mapper.createObjectNode()
+    mdRoot.set[JsonNode]("metaData", md)
+    lines += mapper.writeValueAsString(mdRoot)
+
+    val logDir = new Path(tablePath, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val version = snap.version + 1
+    val commit = new Path(logDir, f"$version%020d.json")
+    val stagedCommit = new Path(logDir, s".${java.util.UUID.randomUUID}.json.tmp")
+    val out = fs.create(stagedCommit, false)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(stagedCommit, commit))
+      throw new IllegalStateException(s"concurrent commit at version $version: $tablePath")
+    version
+  }
+
+  /** The direct-file-rewrite ops (CoW delete/update, OPTIMIZE) read data
+    * files raw; on a DV'd table that would resurrect deleted rows, and on
+    * a column-mapped table the physical schema wouldn't line up. Refuse
+    * rather than corrupt.
+    */
+  private def requirePlainTable(snap: Snapshot, tablePath: String,
+      op: String): Unit = {
+    if (snap.files.exists(_.dv.exists(_.cardinality > 0)))
+      throw new UnsupportedOperationException(
+        s"$op would resurrect DV-deleted rows; use deleteWhereDV or " +
+          s"read+overwrite instead ($tablePath)")
+    if (snap.configuration.getOrElse("delta.columnMapping.mode", "none") != "none")
+      throw new UnsupportedOperationException(
+        s"$op on a column-mapped table is not supported ($tablePath)")
+  }
+
+  private def dvJson(d: DeletionVectors.Descriptor): JsonNode = {
+    val n = mapper.createObjectNode()
+    n.put("storageType", d.storageType)
+    n.put("pathOrInlineDv", d.pathOrInlineDv)
+    d.offset.foreach(o => n.put("offset", o))
+    n.put("sizeInBytes", d.sizeInBytes)
+    n.put("cardinality", d.cardinality)
+    n
+  }
+
   /** Copy-on-write UPDATE ... SET: matched rows get `set` applied, others
     * are rewritten unchanged (only in files that contain matches).
     * Partition columns cannot be SET (that would move rows across
@@ -470,6 +816,7 @@ object DeltaNative {
       condition: org.apache.spark.sql.Column,
       transform: DataFrame => DataFrame, keepMatched: Boolean): Long = {
     val snap = snapshot(spark, tablePath)
+    requirePlainTable(snap, tablePath, "copy-on-write rewrite")
     val conf = spark.sessionState.newHadoopConf()
     val table = new Path(tablePath)
     val logDir = new Path(table, "_delta_log")
@@ -666,6 +1013,7 @@ object DeltaNative {
         Map[Map[String, Option[String]], Seq[AddFile]],
       rearrange: DataFrame => DataFrame): Long = {
     val snap = snapshot(spark, tablePath)
+    requirePlainTable(snap, tablePath, "file-group rewrite (OPTIMIZE)")
     val conf = spark.sessionState.newHadoopConf()
     val table = new Path(tablePath)
     val logDir = new Path(table, "_delta_log")
@@ -748,6 +1096,12 @@ object DeltaNative {
       if (d.contains("://") || d.startsWith("/")) new Path(d).toUri.getPath
       else new Path(new Path(tablePath), d).toUri.getPath
     }.toSet
+    // DV bins referenced by the CURRENT snapshot must survive; orphaned
+    // ones (their files' DVs were superseded or the files removed) are
+    // reclaimable like any tombstoned data file
+    val activeDv: Set[String] = snap.files.flatMap(_.dv)
+      .filter(d => d.storageType == "u" || d.storageType == "p")
+      .map(d => DeletionVectors.dvPath(tablePath, d).toUri.getPath).toSet
     val cutoff = System.currentTimeMillis() - retainMs
     val tableUri = table.toUri.getPath.stripSuffix("/")
     var deleted = 0
@@ -756,8 +1110,11 @@ object DeltaNative {
       val st = it.next()
       val full = st.getPath.toUri.getPath
       val rel = full.stripPrefix(tableUri).stripPrefix("/")
+      val reclaimableData = rel.endsWith(".parquet") && !active.contains(full)
+      val reclaimableDv = rel.endsWith(".bin") &&
+        rel.startsWith("deletion_vector_") && !activeDv.contains(full)
       if (!rel.startsWith("_delta_log/") && !rel.startsWith(".") &&
-          rel.endsWith(".parquet") && !active.contains(full) &&
+          (reclaimableData || reclaimableDv) &&
           st.getModificationTime < cutoff) {
         fs.delete(st.getPath, false)
         deleted += 1
@@ -775,11 +1132,18 @@ object DeltaNative {
     val logDir = new Path(tablePath, "_delta_log")
     val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
 
+    val dvType = StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", IntegerType),
+      StructField("sizeInBytes", IntegerType),
+      StructField("cardinality", LongType)))
     val addType = StructType(Seq(
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType)),
       StructField("size", LongType), StructField("modificationTime", LongType),
-      StructField("dataChange", BooleanType), StructField("stats", StringType)))
+      StructField("dataChange", BooleanType), StructField("stats", StringType),
+      StructField("deletionVector", dvType)))
     val mdType = StructType(Seq(
       StructField("id", StringType),
       StructField("format", StructType(Seq(StructField("provider", StringType)))),
@@ -788,24 +1152,35 @@ object DeltaNative {
       StructField("configuration", MapType(StringType, StringType))))
     val prType = StructType(Seq(
       StructField("minReaderVersion", IntegerType),
-      StructField("minWriterVersion", IntegerType)))
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))
     val txnType = StructType(Seq(
       StructField("appId", StringType), StructField("version", LongType)))
     val ckSchema = StructType(Seq(StructField("add", addType),
       StructField("metaData", mdType), StructField("protocol", prType),
       StructField("txn", txnType)))
 
+    // carry the REPLAYED table's protocol + configuration — a constant
+    // (1, 2) here would drop the reader-feature gate for foreign readers
+    // once older commits are vacuumed
     val rows =
       Row(null, Row(java.util.UUID.randomUUID.toString, Row("parquet"),
-        snap.schema.json, snap.partitionColumns, Map.empty[String, String]),
+        snap.schema.json, snap.partitionColumns, snap.configuration),
         null, null) +:
-      Row(null, null, Row(1, 2), null) +:
+      Row(null, null, Row(snap.minReaderVersion, snap.minWriterVersion,
+        if (snap.readerFeatures.isEmpty) null else snap.readerFeatures.toSeq.sorted,
+        if (snap.writerFeatures.isEmpty) null else snap.writerFeatures.toSeq.sorted),
+        null) +:
       (snap.txns.toSeq.map { case (appId, v) =>
         Row(null, null, null, Row(appId, v))
       } ++
       snap.files.map(f => Row(
         Row(f.path, f.partitionValues.map { case (k, v) => k -> v.orNull },
-          f.size, 0L, false, f.stats.orNull), null, null, null)))
+          f.size, 0L, false, f.stats.orNull,
+          f.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
+            d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull),
+        null, null, null)))
     val ck = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), ckSchema)
     val tmp = new Path(logDir, s".ckpt_${java.util.UUID.randomUUID}")
@@ -836,11 +1211,14 @@ object DeltaNative {
   private val ckptKeep: Map[String, Keep] = Map(
     "add" -> KeepSub(Map("path" -> KeepAll, "partitionValues" -> KeepAll,
       "size" -> KeepAll, "stats" -> KeepAll,
-      "deletionVector" -> KeepSub(Map("storageType" -> KeepAll)))),
+      "deletionVector" -> KeepSub(Map("storageType" -> KeepAll,
+        "pathOrInlineDv" -> KeepAll, "offset" -> KeepAll,
+        "sizeInBytes" -> KeepAll, "cardinality" -> KeepAll)))),
     "metaData" -> KeepSub(Map("schemaString" -> KeepAll,
       "partitionColumns" -> KeepAll, "configuration" -> KeepAll)),
     "protocol" -> KeepSub(Map("minReaderVersion" -> KeepAll,
-      "readerFeatures" -> KeepAll)),
+      "minWriterVersion" -> KeepAll, "readerFeatures" -> KeepAll,
+      "writerFeatures" -> KeepAll)),
     "txn" -> KeepSub(Map("appId" -> KeepAll, "version" -> KeepAll)))
 
   private def projectFields(t: GroupType, keep: Map[String, Keep]): java.util.List[PType] = {
@@ -866,7 +1244,7 @@ object DeltaNative {
   private def replayCheckpointDriver(conf: Configuration, parts: Seq[Path],
       tablePath: String, onAdd: AddFile => Unit,
       onMeta: (String, Seq[String], Map[String, String]) => Unit,
-      onProtocol: (Int, Set[String]) => Unit,
+      onProtocol: (Int, Int, Set[String], Set[String]) => Unit,
       onTxn: (String, Long) => Unit): Unit =
     parts.foreach { p =>
       val fr = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
@@ -881,13 +1259,19 @@ object DeltaNative {
           var g = reader.read()
           while (g != null) {
             optGroup(g, "add").foreach { a =>
-              if (optGroup(a, "deletionVector").exists(dv =>
-                  optString(dv, "storageType").isDefined))
-                throw unsupported("deletion vectors", tablePath)
+              val dv = optGroup(a, "deletionVector").flatMap { d =>
+                optString(d, "storageType").map { st =>
+                  DeletionVectors.Descriptor(st,
+                    optString(d, "pathOrInlineDv").getOrElse(""),
+                    optInt(d, "offset"),
+                    optInt(d, "sizeInBytes").getOrElse(0),
+                    optLong(d, "cardinality").getOrElse(0L))
+                }
+              }
               val pv = optGroup(a, "partitionValues").map(groupMap)
                 .getOrElse(Map.empty[String, Option[String]])
               onAdd(AddFile(a.getString("path", 0), pv,
-                optLong(a, "size").getOrElse(0L), optString(a, "stats")))
+                optLong(a, "size").getOrElse(0L), optString(a, "stats"), dv))
             }
             optGroup(g, "metaData").foreach { m =>
               onMeta(optString(m, "schemaString").orNull,
@@ -898,7 +1282,10 @@ object DeltaNative {
             }
             optGroup(g, "protocol").foreach { pr =>
               onProtocol(optInt(pr, "minReaderVersion").getOrElse(1),
+                optInt(pr, "minWriterVersion").getOrElse(2),
                 optGroup(pr, "readerFeatures").map(groupStringList)
+                  .getOrElse(Nil).toSet,
+                optGroup(pr, "writerFeatures").map(groupStringList)
                   .getOrElse(Nil).toSet)
             }
             optGroup(g, "txn").foreach { t =>
@@ -917,7 +1304,7 @@ object DeltaNative {
   private def replayCheckpointSpark(spark: SparkSession, parts: Seq[String],
       tablePath: String, onAdd: AddFile => Unit,
       onMeta: (String, Seq[String], Map[String, String]) => Unit,
-      onProtocol: (Int, Set[String]) => Unit,
+      onProtocol: (Int, Int, Set[String], Set[String]) => Unit,
       onTxn: (String, Long) => Unit): Unit = {
     val ck = spark.read.parquet(parts: _*)
     val addT = ck.schema("add").dataType.asInstanceOf[StructType]
@@ -926,18 +1313,28 @@ object DeltaNative {
     val addCols = Seq(col("add.path"), col("add.partitionValues"),
       col("add.size"),
       if (hasStats) col("add.stats") else lit(null).cast("string")) ++
-      (if (hasDv) Seq(col("add.deletionVector.storageType")) else Nil)
+      (if (hasDv) Seq(col("add.deletionVector.storageType"),
+        col("add.deletionVector.pathOrInlineDv"),
+        col("add.deletionVector.offset").cast("int"),
+        col("add.deletionVector.sizeInBytes").cast("int"),
+        col("add.deletionVector.cardinality").cast("long")) else Nil)
     ck.filter(col("add").isNotNull).select(addCols: _*).collect().foreach { r =>
-      if (hasDv && !r.isNullAt(4))
-        throw unsupported("deletion vectors", tablePath)
+      val dv = if (hasDv && !r.isNullAt(4))
+        Some(DeletionVectors.Descriptor(r.getString(4), r.getString(5),
+          if (r.isNullAt(6)) None else Some(r.getInt(6)),
+          if (r.isNullAt(7)) 0 else r.getInt(7),
+          if (r.isNullAt(8)) 0L else r.getLong(8)))
+      else None
       val pv = Option(r.getMap[String, String](1))
         .map(_.toMap.map { case (k, x) => k -> Option(x) })
         .getOrElse(Map.empty[String, Option[String]])
       onAdd(AddFile(r.getString(0), pv, r.getLong(2),
-        if (r.isNullAt(3)) None else Some(r.getString(3))))
+        if (r.isNullAt(3)) None else Some(r.getString(3)), dv))
     }
-    val hasFeats = ck.schema("protocol").dataType.asInstanceOf[StructType]
-      .fieldNames.contains("readerFeatures")
+    val prT = ck.schema("protocol").dataType.asInstanceOf[StructType]
+    val hasFeats = prT.fieldNames.contains("readerFeatures")
+    val hasWFeats = prT.fieldNames.contains("writerFeatures")
+    val hasMw = prT.fieldNames.contains("minWriterVersion")
     ck.filter(col("metaData").isNotNull)
       .select(col("metaData.schemaString"), col("metaData.partitionColumns"),
         col("metaData.configuration")).collect()
@@ -945,12 +1342,17 @@ object DeltaNative {
         onMeta(r.getString(0), r.getSeq[String](1),
           Option(r.getMap[String, String](2)).map(_.toMap).getOrElse(Map.empty))
       }
-    val prCols = Seq(col("protocol.minReaderVersion")) ++
-      (if (hasFeats) Seq(col("protocol.readerFeatures")) else Nil)
+    val prCols = Seq(col("protocol.minReaderVersion"),
+      if (hasMw) col("protocol.minWriterVersion") else lit(2),
+      if (hasFeats) col("protocol.readerFeatures")
+        else lit(null).cast("array<string>"),
+      if (hasWFeats) col("protocol.writerFeatures")
+        else lit(null).cast("array<string>"))
     ck.filter(col("protocol").isNotNull).select(prCols: _*).collect()
       .lastOption.foreach { r =>
-        onProtocol(r.getInt(0),
-          if (hasFeats && !r.isNullAt(1)) r.getSeq[String](1).toSet else Set.empty)
+        onProtocol(r.getInt(0), r.getInt(1),
+          if (!r.isNullAt(2)) r.getSeq[String](2).toSet else Set.empty,
+          if (!r.isNullAt(3)) r.getSeq[String](3).toSet else Set.empty)
       }
     if (ck.schema.fieldNames.contains("txn"))
       ck.filter(col("txn").isNotNull)
@@ -1023,6 +1425,17 @@ object DeltaNative {
       s"Delta table $tablePath uses $what, which the native reader does not " +
         "support; add the io.delta connector jar to read it (the SPI gate " +
         "in Sources.lakehouseAvailable prefers the connector automatically)")
+
+  /** deletionVector descriptor off an add/remove action's JSON node. */
+  private def parseDvJson(a: JsonNode): Option[DeletionVectors.Descriptor] =
+    Option(a.get("deletionVector")).filter(_.isObject).map { d =>
+      DeletionVectors.Descriptor(
+        d.get("storageType").asText,
+        d.get("pathOrInlineDv").asText,
+        Option(d.get("offset")).map(_.asInt),
+        Option(d.get("sizeInBytes")).map(_.asInt).getOrElse(0),
+        Option(d.get("cardinality")).map(_.asLong).getOrElse(0L))
+    }
 
   private def jsonArray(n: JsonNode): Seq[JsonNode] =
     if (n == null || !n.isArray) Nil

@@ -296,8 +296,10 @@ object HudiNative {
         val n = st.getPath.getName
         if (st.isDirectory && n.contains("=")) {
           val Array(k, raw) = n.split("=", 2)
+          // '+' is literal in hive partition dirs — protect it from
+          // URLDecoder's form-decoding (same rule as partitionStats)
           val v = if (raw == "__HIVE_DEFAULT_PARTITION__") None
-            else Some(java.net.URLDecoder.decode(raw, "UTF-8"))
+            else Some(java.net.URLDecoder.decode(raw.replace("+", "%2B"), "UTF-8"))
           val rel = if (partition.isEmpty) n else partition + "/" + n
           finalize(st.getPath, rel, partVals + (k -> v))
         } else if (st.isFile && n.endsWith(".parquet")) {

@@ -97,6 +97,10 @@ object IcebergNative {
       Option(root.get("current-snapshot-id")).map(_.asLong).filter(_ != -1L))
     val snap = wantedId.flatMap(id =>
       snapshots.find(_.get("snapshot-id").asLong == id))
+    // time travel to a bogus/expired snapshot must error, not read empty
+    if (snap.isEmpty && snapshotAsOf.isDefined)
+      throw new IllegalArgumentException(
+        s"Iceberg snapshot ${snapshotAsOf.get} not found (expired?): $tablePath")
     if (snap.isEmpty) return (schema, Nil) // empty table: no snapshot yet
 
     val manifestPaths: Seq[(String, Int)] = // (path, content: 0 data / 1 deletes)

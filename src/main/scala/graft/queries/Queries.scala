@@ -2185,6 +2185,54 @@ object Queries {
         CAST(2 AS BIGINT) AS files_listed
       FROM orders, m WHERE o_orderkey > w AND o_orderkey <= 3 * w""")),
 
+    QueryDef("q127_delta_deletion_vectors", (s, dir) => {
+      // Deletion-vector delete + read (r8 verdict's top real-user gap, now
+      // native): DV-delete every 7th doc (merge-on-read — a roaring bitmap
+      // of row indexes per file, ZERO data files rewritten), then read
+      // through the scan's `_metadata.row_index` filter. A second delete
+      // proves bitmap MERGE. The oracle replays both predicates on the raw
+      // parquet. At 100 TB the delete cost is O(matched rows) bitmap bytes,
+      // not an O(table) rewrite — the reason modern writers default to DVs.
+      val docs = Q.t(s, dir, "documents").select("doc_id", "source")
+      val path = s"/tmp/graft_dv_${new java.io.File(dir).getName}/documents"
+      graft.io.DeltaNative.write(docs, path, mode = "overwrite")
+      graft.io.DeltaNative.deleteWhereDV(s, path, col("doc_id") % 7 === 0)
+      graft.io.DeltaNative.deleteWhereDV(s, path, col("doc_id") % 11 === 0)
+      graft.io.Sources.deltaLake(s, path)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
+        .orderBy("source")
+    }, Some("""SELECT source, COUNT(*) AS n,
+        CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 0
+      GROUP BY source ORDER BY source""")),
+
+    QueryDef("q128_delta_column_mapping", (s, dir) => {
+      // Column-mapping reads end-to-end: renameColumn upgrades the table
+      // to `name` mode (every field keeps its current name as
+      // physicalName) and renames ONLY the logical metaData — zero data
+      // rewritten; the scan resolves physical file columns back to the new
+      // logical names, and a post-rename append + DV delete both compose.
+      // The oracle replays content with the renamed projection.
+      val docs = Q.t(s, dir, "documents").select("doc_id", "source")
+      val path = s"/tmp/graft_cm_${new java.io.File(dir).getName}/documents"
+      val half = docs.agg(max("doc_id")).collect()(0).getLong(0) / 2
+      graft.io.DeltaNative.write(docs.filter(col("doc_id") <= half), path,
+        mode = "overwrite")
+      graft.io.DeltaNative.renameColumn(s, path, "source", "src")
+      graft.io.DeltaNative.write(
+        docs.filter(col("doc_id") > half).withColumnRenamed("source", "src"),
+        path, mode = "append")
+      graft.io.DeltaNative.deleteWhereDV(s, path, col("doc_id") % 5 === 0)
+      graft.io.Sources.deltaLake(s, path)
+        .groupBy("src")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
+        .orderBy("src")
+    }, Some("""SELECT source AS src, COUNT(*) AS n,
+        CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM documents WHERE doc_id % 5 <> 0
+      GROUP BY source ORDER BY src""")),
+
     QueryDef("q97_histogram_adaptive", (s, dir) => {
       v(s, dir, "orders")
       // adaptive-bin histogram sketch (custom agg). Bin EDGES are sketch-

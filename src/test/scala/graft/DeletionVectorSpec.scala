@@ -1,0 +1,423 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.Files
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.io.{DeletionVectors, DeltaNative, RoaringBitmapArray, RoaringBitmap32, Sources, Z85}
+
+/** Deletion vectors + column mapping for the native Delta reader — the
+  * round-8 verdict's top real-user gap (modern Delta writers enable both
+  * by default). Format details are the public delta-io PROTOCOL.md
+  * ("Deletion Vector Format", "Column Mapping") plus the public
+  * RoaringFormatSpec; golden-byte tests pin the layouts so the writer and
+  * reader can't share a hidden bug.
+  */
+class DeletionVectorSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String = {
+    val d = Files.createTempDirectory(s"graft_dv_$tag").toFile
+    d.deleteOnExit()
+    d.toString + "/t"
+  }
+
+  // ------------------------------------------------------------- Z85
+
+  test("z85: ZeroMQ RFC 32 test vector") {
+    val bytes = Array(0x86, 0x4f, 0xd2, 0x6f, 0xb5, 0x59, 0xf7, 0x5b)
+      .map(_.toByte)
+    assert(Z85.encode(bytes) == "HelloWorld")
+    assert(Z85.decode("HelloWorld").toSeq == bytes.toSeq)
+  }
+
+  test("z85: uuid round trip is 20 chars") {
+    val u = java.util.UUID.fromString("00112233-4455-6677-8899-aabbccddeeff")
+    val enc = Z85.encodeUuid(u)
+    assert(enc.length == 20)
+    assert(Z85.decodeUuid(enc) == u)
+  }
+
+  // --------------------------------------------------------- roaring
+
+  test("roaring: golden bytes for a single array container") {
+    // hand-derived from the RoaringFormatSpec: cookie 12346 LE, count 1,
+    // desc (key 0, card-1 = 2), offset table (16), values 1,2,3
+    val bm = RoaringBitmapArray.fromLongs(Seq(1L, 2L, 3L))
+    val inner = {
+      val bb = ByteBuffer.allocate(22).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(12346).putInt(1)
+      bb.putShort(0).putShort(2)
+      bb.putInt(16)
+      bb.putShort(1).putShort(2).putShort(3)
+      bb.array
+    }
+    val expected = {
+      val bb = ByteBuffer.allocate(4 + 8 + 22).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(1681511377).putLong(1L).put(inner)
+      bb.array
+    }
+    assert(bm.serialize().toSeq == expected.toSeq)
+  }
+
+  test("roaring: round trip across container types and 32-bit boundaries") {
+    val values =
+      (0L until 5000L).map(_ * 2) ++ // >4096 card in key 0..? spread over keys
+        Seq(65536L + 7, 2L * 65536 + 9) ++ // separate array containers
+        Seq((1L << 32) + 5, (1L << 32) + 65536 + 6, (2L << 32) + 1) // higher bitmaps
+    val bm = RoaringBitmapArray.fromLongs(values)
+    val back = RoaringBitmapArray.deserialize(bm.serialize())
+    assert(back.cardinality == values.distinct.size)
+    values.foreach(v => assert(back.contains(v), s"missing $v"))
+    Seq(1L, 65536L, (1L << 32) + 4, (3L << 32), 999999999999L)
+      .foreach(v => assert(!back.contains(v), s"phantom $v"))
+  }
+
+  test("roaring: dense container serializes as bitmap and reads back") {
+    val dense = (0L until 5000L).map(v => v) // card 5000 > 4096, single key
+    val bm = RoaringBitmapArray.fromLongs(dense)
+    val back = RoaringBitmapArray.deserialize(bm.serialize())
+    assert(back.cardinality == 5000)
+    assert(back.contains(4999L) && !back.contains(5000L))
+  }
+
+  test("roaring: reads foreign run-container layout (cookie 12347)") {
+    // hand-built per the spec: one run container [10..20] ∪ [100..102]
+    val inner = {
+      val bb = ByteBuffer.allocate(4 + 1 + 4 + 2 + 8).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(12347 | (0 << 16)) // 1 container
+      bb.put(1.toByte)             // run flag bitset: container 0 is a run
+      bb.putShort(0)               // key
+      bb.putShort(13)              // cardinality-1 (14 values)
+      // n < 4 containers -> NO offset table
+      bb.putShort(2)               // 2 runs
+      bb.putShort(10).putShort(10) // [10, 10+10]
+      bb.putShort(100).putShort(2) // [100, 102]
+      bb.array
+    }
+    val bytes = {
+      val bb = ByteBuffer.allocate(12 + inner.length).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(1681511377).putLong(1L).put(inner)
+      bb.array
+    }
+    val bm = RoaringBitmapArray.deserialize(bytes)
+    assert(bm.cardinality == 14)
+    assert((10 to 20).forall(v => bm.contains(v.toLong)))
+    assert((100 to 102).forall(v => bm.contains(v.toLong)))
+    assert(!bm.contains(9L) && !bm.contains(21L) && !bm.contains(103L))
+  }
+
+  // ----------------------------------------------------- DV end-to-end
+
+  private lazy val base = Seq(
+    (1L, "alpha", "us"), (2L, "beta", "us"), (3L, "gamma", "eu"),
+    (4L, "delta", "eu"), (5L, "epsi", "ap"), (6L, "zeta", "ap"))
+    .toDF("id", "name", "region")
+
+  test("dv: deleteWhereDV excludes rows; time travel sees them") {
+    val p = tmpDir("e2e")
+    DeltaNative.write(base, p)                                   // v0
+    val v = DeltaNative.deleteWhereDV(spark, p, col("id") % 2 === 0) // v1
+    assert(v == 1L)
+    val back = Sources.deltaLake(spark, p)
+    assert(back.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 5L))
+    // protocol was upgraded
+    val snap = DeltaNative.snapshot(spark, p)
+    assert(snap.minReaderVersion == 3 &&
+      snap.readerFeatures.contains("deletionVectors"))
+    // pre-delete version still serves all 6 rows
+    assert(DeltaNative.read(spark, p, versionAsOf = Some(0L)).count() == 6)
+  }
+
+  test("dv: second delete merges with the existing bitmap") {
+    val p = tmpDir("merge")
+    DeltaNative.write(base, p)
+    DeltaNative.deleteWhereDV(spark, p, col("id") === 2)
+    DeltaNative.deleteWhereDV(spark, p, col("id") === 3)
+    val ids = Sources.deltaLake(spark, p).select("id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 4L, 5L, 6L))
+    // the re-added file carries ONE dv with both rows
+    val snap = DeltaNative.snapshot(spark, p)
+    assert(snap.files.flatMap(_.dv).map(_.cardinality).sum == 2)
+  }
+
+  test("dv: partitioned table, delete within one partition") {
+    val p = tmpDir("part")
+    DeltaNative.write(base, p, partitionBy = Seq("region"))
+    DeltaNative.deleteWhereDV(spark, p, col("region") === "us" && col("id") === 1)
+    val back = Sources.deltaLake(spark, p)
+    assert(back.count() == 5)
+    assert(back.filter(col("region") === "us").select("id").as[Long]
+      .collect().toSeq == Seq(2L))
+  }
+
+  test("dv: survives checkpoint + vacuumed commit tail; protocol carried") {
+    val p = tmpDir("ckpt")
+    DeltaNative.write(base, p)                              // v0
+    DeltaNative.deleteWhereDV(spark, p, col("id") <= 2)     // v1
+    DeltaNative.checkpoint(spark, p)                        // ckpt @ v1
+    DeltaNative.write(base.filter(col("id") === 1)
+      .withColumn("id", lit(7L)).withColumn("name", lit("eta")),
+      p, mode = "append")                                   // v2
+    // simulate vacuumed log: drop the pre-checkpoint JSON commits
+    val logDir = new java.io.File(p, "_delta_log")
+    Seq(0L, 1L).foreach { v =>
+      val f = new java.io.File(logDir, f"$v%020d.json")
+      assert(!f.exists() || f.delete())
+    }
+    val snap = DeltaNative.snapshot(spark, p)
+    assert(snap.minReaderVersion == 3 &&
+      snap.readerFeatures.contains("deletionVectors"),
+      "checkpoint must carry the replayed protocol, not a constant (1,2)")
+    val ids = Sources.deltaLake(spark, p).select("id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(3L, 4L, 5L, 6L, 7L),
+      "DV must survive checkpoint replay")
+  }
+
+  test("dv: CoW rewrite ops refuse on a DV table; readSince raises") {
+    val p = tmpDir("guard")
+    DeltaNative.write(base, p)
+    DeltaNative.deleteWhereDV(spark, p, col("id") === 1)
+    intercept[UnsupportedOperationException] {
+      DeltaNative.deleteWhere(spark, p, col("id") === 2)
+    }
+    intercept[UnsupportedOperationException] {
+      DeltaNative.optimizeCompact(spark, p, maxFilesPerPartition = 1)
+    }
+    // a DV delete is a dataChange remove: append-only incremental must raise
+    intercept[IllegalStateException] {
+      DeltaNative.readSince(spark, p, sinceVersion = 0L).count()
+    }
+  }
+
+  test("dv: inline ('i') storage type reads") {
+    val p = tmpDir("inline")
+    DeltaNative.write(base.repartition(1), p) // one data file
+    val snap0 = DeltaNative.snapshot(spark, p)
+    val f = snap0.files.head
+    // craft v1 by hand: re-add the file with an INLINE dv deleting row 0
+    val bm = RoaringBitmapArray.fromLongs(Seq(0L))
+    val inline = Z85.encode(pad4(bm.serialize()))
+    val mapper = new ObjectMapper()
+    val add = mapper.createObjectNode()
+    add.put("path", f.path)
+    add.putObject("partitionValues")
+    add.put("size", f.size); add.put("dataChange", true)
+    val dv = add.putObject("deletionVector")
+    dv.put("storageType", "i"); dv.put("pathOrInlineDv", inline)
+    dv.put("sizeInBytes", bm.serialize().length); dv.put("cardinality", 1L)
+    val root = mapper.createObjectNode()
+    root.set[com.fasterxml.jackson.databind.JsonNode]("add", add)
+    val pr = """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+    Files.write(java.nio.file.Paths.get(p, "_delta_log", f"${1L}%020d.json"),
+      (pr + "\n" + mapper.writeValueAsString(root) + "\n").getBytes("UTF-8"))
+    val back = Sources.deltaLake(spark, p)
+    assert(back.count() == 5, "inline DV must drop exactly row index 0")
+  }
+
+  // Z85 needs 4-byte alignment; delta pads inline bitmaps the same way
+  // (trailing zero bytes are ignored by the roaring deserializer's length
+  // fields)
+  private def pad4(b: Array[Byte]): Array[Byte] =
+    if (b.length % 4 == 0) b else b ++ new Array[Byte](4 - b.length % 4)
+
+  // -------------------------------------------------- column mapping
+
+  private val mapper = new ObjectMapper()
+
+  private def cmField(name: String, phys: String, id: Long, dt: DataType) =
+    StructField(name, dt, nullable = true, new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", phys).build())
+
+  /** Handcraft a column-mapped table the way a foreign writer lays it out:
+    * parquet files under the root with PHYSICAL column names, a log whose
+    * schemaString carries the mapping metadata, partitionValues keyed by
+    * physical name.
+    */
+  private def writeCmFixture(p: String, mode: String,
+      physIdName: String = "p_id", physValName: String = "p_val"): Unit = {
+    val dir = new java.io.File(p); dir.mkdirs()
+    // data file with physical names (and parquet field ids when id mode)
+    val physSchema = StructType(Seq(
+      StructField(physIdName, LongType, nullable = true, new MetadataBuilder()
+        .putLong("parquet.field.id", 1L).build()),
+      StructField(physValName, StringType, nullable = true, new MetadataBuilder()
+        .putLong("parquet.field.id", 2L).build())))
+    val rows = Seq(Row(1L, "a"), Row(2L, "b"), Row(3L, "c"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), physSchema)
+    val stage = p + "/.stage"
+    df.write.parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val dest = new java.io.File(dir, part.getName)
+    assert(part.renameTo(dest))
+    // the log
+    val logical = StructType(Seq(
+      cmField("doc_id", physIdName, 1L, LongType),
+      cmField("label", physValName, 2L, StringType)))
+    val md = mapper.createObjectNode()
+    md.put("id", java.util.UUID.randomUUID.toString)
+    val fmt = md.putObject("format")
+    fmt.put("provider", "parquet"); fmt.putObject("options")
+    md.put("schemaString", logical.json)
+    md.putArray("partitionColumns")
+    val cfg = md.putObject("configuration")
+    cfg.put("delta.columnMapping.mode", mode)
+    cfg.put("delta.columnMapping.maxColumnId", "2")
+    val mdRoot = mapper.createObjectNode()
+    mdRoot.set[com.fasterxml.jackson.databind.JsonNode]("metaData", md)
+    val add = mapper.createObjectNode()
+    add.put("path", dest.getName)
+    add.putObject("partitionValues")
+    add.put("size", dest.length()); add.put("dataChange", true)
+    val addRoot = mapper.createObjectNode()
+    addRoot.set[com.fasterxml.jackson.databind.JsonNode]("add", add)
+    val pr = """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+    val logDir = new java.io.File(dir, "_delta_log"); logDir.mkdirs()
+    Files.write(logDir.toPath.resolve(f"${0L}%020d.json"),
+      (pr + "\n" + mapper.writeValueAsString(mdRoot) + "\n" +
+        mapper.writeValueAsString(addRoot) + "\n").getBytes("UTF-8"))
+  }
+
+  test("column mapping (name mode): physical names resolve to logical") {
+    val p = tmpDir("cmname")
+    writeCmFixture(p, "name")
+    val back = Sources.deltaLake(spark, p)
+    assert(back.schema.fieldNames.toSeq == Seq("doc_id", "label"))
+    assert(back.orderBy("doc_id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(back.filter(col("doc_id") === 2L).select("label")
+      .as[String].collect().toSeq == Seq("b"))
+  }
+
+  test("column mapping (id mode): parquet field ids resolve renamed files") {
+    val p = tmpDir("cmid")
+    // file columns named c1/c2 — NEITHER matches the physicalName; only
+    // the parquet field ids (1, 2) line up, as id-mode resolution demands
+    writeCmFixture(p, "id", physIdName = "c1", physValName = "c2")
+    // log's physicalName differs from the file's column names
+    val logFile = new java.io.File(p + "/_delta_log", f"${0L}%020d.json")
+    val rewritten = new String(Files.readAllBytes(logFile.toPath), "UTF-8")
+      .replace("\"c1\"", "\"col-renamed-1\"").replace("\"c2\"", "\"col-renamed-2\"")
+    Files.write(logFile.toPath, rewritten.getBytes("UTF-8"))
+    val back = Sources.deltaLake(spark, p)
+    assert(back.schema.fieldNames.toSeq == Seq("doc_id", "label"))
+    assert(back.orderBy("doc_id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("column mapping: partitioned, physical partition keys prune from log") {
+    val p = tmpDir("cmpart")
+    val dir = new java.io.File(p); dir.mkdirs()
+    // two data files, partition column ONLY in the log (physical key p_reg)
+    def dataFile(ids: Seq[Long]): java.io.File = {
+      val df = ids.toDF("p_id").repartition(1)
+      val stage = p + "/.stage_" + ids.head
+      df.write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(dir, part.getName)
+      assert(part.renameTo(dest))
+      dest
+    }
+    val fUs = dataFile(Seq(1L, 2L)); val fEu = dataFile(Seq(3L))
+    val logical = StructType(Seq(
+      cmField("doc_id", "p_id", 1L, LongType),
+      cmField("region", "p_reg", 2L, StringType)))
+    val md = mapper.createObjectNode()
+    md.put("id", java.util.UUID.randomUUID.toString)
+    val fmt = md.putObject("format")
+    fmt.put("provider", "parquet"); fmt.putObject("options")
+    md.put("schemaString", logical.json)
+    val pcs = md.putArray("partitionColumns"); pcs.add("region")
+    val cfg = md.putObject("configuration")
+    cfg.put("delta.columnMapping.mode", "name")
+    val mdRoot = mapper.createObjectNode()
+    mdRoot.set[com.fasterxml.jackson.databind.JsonNode]("metaData", md)
+    def addLine(f: java.io.File, reg: String) = {
+      val add = mapper.createObjectNode()
+      add.put("path", f.getName)
+      add.putObject("partitionValues").put("p_reg", reg)
+      add.put("size", f.length()); add.put("dataChange", true)
+      val r = mapper.createObjectNode()
+      r.set[com.fasterxml.jackson.databind.JsonNode]("add", add)
+      mapper.writeValueAsString(r)
+    }
+    val pr = """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+    val logDir = new java.io.File(dir, "_delta_log"); logDir.mkdirs()
+    Files.write(logDir.toPath.resolve(f"${0L}%020d.json"),
+      (pr + "\n" + mapper.writeValueAsString(mdRoot) + "\n" +
+        addLine(fUs, "us") + "\n" + addLine(fEu, "eu") + "\n").getBytes("UTF-8"))
+    val back = Sources.deltaLake(spark, p)
+    assert(back.schema.fieldNames.toSeq == Seq("doc_id", "region"))
+    assert(back.filter(col("region") === "us").select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L))
+    assert(back.filter(col("region") === "eu").select("doc_id").as[Long]
+      .collect().toSeq == Seq(3L))
+  }
+
+  test("column mapping + dv compose: handcrafted cm table with dv delete") {
+    val p = tmpDir("cmdv")
+    writeCmFixture(p, "name")
+    DeltaNative.deleteWhereDV(spark, p, col("doc_id") === 2L)
+    val back = Sources.deltaLake(spark, p)
+    assert(back.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("renameColumn: zero-rewrite rename via auto column-mapping upgrade") {
+    val p = tmpDir("rename")
+    DeltaNative.write(base, p, partitionBy = Seq("region"))   // v0
+    val before = DeltaNative.snapshot(spark, p).files.map(_.path).toSet
+    DeltaNative.renameColumn(spark, p, "name", "label")       // v1, metadata only
+    val snap = DeltaNative.snapshot(spark, p)
+    assert(snap.files.map(_.path).toSet == before, "no data files rewritten")
+    assert(snap.configuration("delta.columnMapping.mode") == "name")
+    assert(snap.minReaderVersion == 2 && snap.minWriterVersion == 5)
+    val back = Sources.deltaLake(spark, p)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "label", "region"))
+    assert(back.filter(col("label") === "gamma").select("id").as[Long]
+      .collect().toSeq == Seq(3L))
+    // rename a PARTITION column too
+    DeltaNative.renameColumn(spark, p, "region", "zone")      // v2
+    val back2 = Sources.deltaLake(spark, p)
+    assert(back2.filter(col("zone") === "eu").count() == 2)
+  }
+
+  test("renameColumn then append: data lands under physical names") {
+    val p = tmpDir("renapp")
+    DeltaNative.write(base, p)
+    DeltaNative.renameColumn(spark, p, "name", "label")
+    val extra = Seq((7L, "eta", "us")).toDF("id", "label", "region")
+    DeltaNative.write(extra, p, mode = "append")
+    val back = Sources.deltaLake(spark, p)
+    assert(back.count() == 7)
+    assert(back.filter(col("label") === "eta").select("id").as[Long]
+      .collect().toSeq == Seq(7L))
+    // DV delete composes with the renamed table
+    DeltaNative.deleteWhereDV(spark, p, col("label") === "alpha")
+    assert(Sources.deltaLake(spark, p).count() == 6)
+  }
+
+  test("unknown reader features still refuse with a capability error") {
+    val p = tmpDir("unknown")
+    DeltaNative.write(base, p)
+    val logDir = java.nio.file.Paths.get(p, "_delta_log")
+    Files.write(logDir.resolve(f"${1L}%020d.json"),
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}"""
+        .concat("\n").getBytes("UTF-8"))
+    val e = intercept[UnsupportedOperationException] {
+      DeltaNative.read(spark, p).count()
+    }
+    assert(e.getMessage.contains("v2Checkpoint"))
+    // and write() must PROPAGATE it, not misdiagnose a new table (r8 advice)
+    intercept[UnsupportedOperationException] {
+      DeltaNative.write(base, p, mode = "append")
+    }
+  }
+}

@@ -97,24 +97,15 @@ class DeltaNativeSpec extends SparkTestBase {
     assert(err.getMessage.contains("gap in _delta_log"))
   }
 
-  test("delta: deletion vectors and column mapping refuse loudly") {
-    val p = tmpDir("dv")
-    DeltaNative.write(base, p)
-    val log = Paths.get(p, "_delta_log", f"${1L}%020d.json")
-    Files.write(log,
-      ("""{"add":{"path":"x.parquet","partitionValues":{},"size":1,""" +
-        """"modificationTime":0,"dataChange":true,"deletionVector":""" +
-        """{"storageType":"u","pathOrInlineDv":"d","offset":1,"sizeInBytes":1,"cardinality":1}}}""" + "\n")
-        .getBytes("UTF-8"))
-    val e1 = intercept[UnsupportedOperationException](Sources.deltaLake(spark, p))
-    assert(e1.getMessage.contains("deletion vectors"))
-
+  test("delta: unknown column mapping mode refuses loudly") {
+    // name/id modes read natively since r9 (DeletionVectorSpec); only an
+    // unknown future mode should capability-error
     val p2 = tmpDir("cm")
     DeltaNative.write(base, p2)
     val md = """{"metaData":{"id":"m2","format":{"provider":"parquet","options":{}},""" +
       """"schemaString":""" + com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
         .writeValueAsString(base.schema.json) +
-      ""","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}"""
+      ""","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"someFutureMode"}}}"""
     Files.write(Paths.get(p2, "_delta_log", f"${1L}%020d.json"), (md + "\n").getBytes("UTF-8"))
     val e2 = intercept[UnsupportedOperationException](Sources.deltaLake(spark, p2))
     assert(e2.getMessage.contains("column mapping"))
@@ -125,11 +116,12 @@ class DeltaNativeSpec extends SparkTestBase {
     DeltaNative.write(base, p)
     Files.write(Paths.get(p, "_delta_log", f"${1L}%020d.json"),
       ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""" + "\n")
+        """"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}}""" + "\n")
         .getBytes("UTF-8"))
     val e = intercept[UnsupportedOperationException](Sources.deltaLake(spark, p))
-    assert(e.getMessage.contains("deletionVectors"))
-    // a supported reader feature passes
+    assert(e.getMessage.contains("typeWidening"))
+    // supported reader features pass (deletionVectors/columnMapping are
+    // exercised end-to-end in DeletionVectorSpec)
     val p2 = tmpDir("feat2")
     DeltaNative.write(base, p2)
     Files.write(Paths.get(p2, "_delta_log", f"${1L}%020d.json"),
