@@ -7,6 +7,7 @@ object Scratch {
   def main(args: Array[String]): Unit = {
     val g = graft.engine.GraftSession.build("local[8]", 8)
     if (args.headOption.contains("r8drive")) { r8drive(g); g.spark.stop(); return }
+    if (args.headOption.contains("fieldids")) { fieldIds(g); g.spark.stop(); return }
     if (args.headOption.contains("deltaprune")) { deltaPrune(g); g.spark.stop(); return }
     if (args.headOption.contains("deltareplay")) { deltaReplay(g); g.spark.stop(); return }
     val names = if (args.nonEmpty) args.toSeq else Seq("q01_tpch_q1")
@@ -17,6 +18,33 @@ object Scratch {
       else df.show(10, false)
     }
     g.spark.stop()
+  }
+
+  /** Probe: does .to(stampParquetIds) put field ids into written footers? */
+  private def fieldIds(g: graft.engine.GraftSession): Unit = {
+    val spark = g.spark
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val stamped = graft.io.IcebergNative.stampParquetIds(df.schema)
+    println(s"stamped schema: ${stamped.map(f => (f.name, f.metadata)).mkString(", ")}")
+    val to = df.to(stamped)
+    println(s"after .to: ${to.schema.map(f => (f.name, f.metadata)).mkString(", ")}")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    println("conf=" + spark.conf.get("spark.sql.parquet.fieldId.write.enabled"))
+    println("hasFieldIds=" +
+      org.apache.spark.sql.execution.datasources.parquet.ParquetUtils
+        .hasFieldIds(to.schema))
+    val p = java.nio.file.Files.createTempDirectory("graft_fid").toString + "/d"
+    spark.createDataFrame(df.rdd, stamped).write.parquet(p)
+    val f = new java.io.File(p).listFiles().find(_.getName.endsWith(".parquet")).get
+    val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.toString),
+        spark.sessionState.newHadoopConf()))
+    import scala.jdk.CollectionConverters._
+    fr.getFooter.getFileMetaData.getSchema.getFields.asScala.foreach(t =>
+      println(s"footer field: ${t.getName} id=${t.getId}"))
+    fr.close()
   }
 
   /** Probe: log-replay cost vs commit depth, with and without a checkpoint

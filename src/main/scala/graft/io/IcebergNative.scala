@@ -32,10 +32,11 @@ import org.apache.spark.sql.types._
   * files (v2 row-level deletes — a positional/equality merge needs the
   * connector), non-parquet data files.
   *
-  * Caveat (documented, inherent to name-based reads): columns renamed via
-  * Iceberg's field-id evolution read as the CURRENT name only if the
-  * parquet footers carry it; tables that renamed columns after writing
-  * data need the connector's field-id resolution.
+  * Column resolution (r9): by FIELD ID, the spec's rule — the schema's
+  * ids ride as `parquet.field.id` metadata into Spark's parquet reader,
+  * so renamed columns keep reading ([[renameColumn]] is the id-preserving
+  * metadata-only rename). Legacy id-less data files (pre-r9 fixtures)
+  * fall back to name matching via a footer probe.
   */
 object IcebergNative {
 
@@ -248,8 +249,21 @@ object IcebergNative {
       schema: StructType, files: Seq[DataFileRef]): DataFrame = {
     if (files.isEmpty)
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val relaxed = StructType(schema.map(_.copy(nullable = true)))
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        stripParquetIds(schema))
+    // field-id resolution (the spec's column-resolution rule) when the
+    // data files actually carry ids — real Iceberg writers always do (and
+    // ours stamps them since r9); for legacy id-less files fall back to
+    // name matching, because Spark's ignoreMissing path would serve nulls.
+    // One driver-side footer probe decides (files within a table are
+    // written consistently).
+    val conf0 = spark.sessionState.newHadoopConf()
+    val useIds = schema.exists(_.metadata.contains("parquet.field.id")) &&
+      fileHasFieldIds(conf0, toFsPath(files.head.path, tablePath))
+    if (useIds)
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val resolved = if (useIds) schema else stripParquetIds(schema)
+    val relaxed = StructType(resolved.map(_.copy(nullable = true)))
     val fs0 = new Path(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
     val adds = files.map { f =>
       val p = toFsPath(f.path, tablePath)
@@ -385,7 +399,15 @@ object IcebergNative {
     // stage data files, move under data/; derive per-file stats from the
     // footers just written (real record_count + column bounds)
     val tmp = new Path(table, s".graft_stage_${java.util.UUID.randomUUID}")
-    df.write.parquet(tmp.toString)
+    // data files carry the schema's field ids (spec requirement; Spark
+    // writes them from parquet.field.id metadata) so readers — ours and
+    // foreign — can resolve renamed columns by id. The metadata must be
+    // pinned at a LEAF (createDataFrame), not an alias: the optimizer
+    // strips metadata-only Projects before the write (verified — .to()
+    // loses the ids).
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    spark.createDataFrame(df.rdd, stampParquetIds(df.schema))
+      .write.parquet(tmp.toString)
     val fieldIds = topLevelFieldIds(df.schema)
     // (path, bytes, rows, per-column raw stats)
     val dataFiles = mutable.Buffer.empty[(String, Long, Long, Map[String, DeltaStats.ColStats])]
@@ -558,8 +580,16 @@ object IcebergNative {
       else t.get("type").asText match {
         case "struct" =>
           StructType(jsonSeq(t.get("fields")).map { f =>
+            // carry the Iceberg field id as parquet.field.id metadata: the
+            // spec resolves columns by ID, not name, and Spark's parquet
+            // reader honors exactly this metadata key when field-id
+            // resolution is enabled — renamed columns keep reading
+            val mb = new MetadataBuilder()
+            Option(f.get("id")).foreach(id =>
+              mb.putLong("parquet.field.id", id.asLong))
             StructField(f.get("name").asText, convert(f.get("type")),
-              nullable = !Option(f.get("required")).exists(_.asBoolean))
+              nullable = !Option(f.get("required")).exists(_.asBoolean),
+              mb.build())
           })
         case "list" =>
           ArrayType(convert(t.get("element")),
@@ -656,6 +686,98 @@ object IcebergNative {
 
   private def jsonSeq(n: JsonNode): Seq[JsonNode] =
     if (n == null || !n.isArray) Nil else (0 until n.size).map(n.get)
+
+  /** Does the parquet footer carry field ids? (one cheap driver-side open) */
+  private def fileHasFieldIds(conf: org.apache.hadoop.conf.Configuration,
+      path: Path): Boolean =
+    try {
+      val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf))
+      try fr.getFooter.getFileMetaData.getSchema.getFields.asScala
+        .exists(_.getId != null)
+      finally fr.close()
+    } catch { case scala.util.control.NonFatal(_) => false }
+
+  private def stripParquetIds(schema: StructType): StructType = {
+    def conv(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        f.copy(dataType = conv(f.dataType), metadata = new MetadataBuilder()
+          .withMetadata(f.metadata).remove("parquet.field.id").build())))
+      case at: ArrayType => at.copy(elementType = conv(at.elementType))
+      case mt: MapType =>
+        mt.copy(keyType = conv(mt.keyType), valueType = conv(mt.valueType))
+      case o => o
+    }
+    conv(schema).asInstanceOf[StructType]
+  }
+
+  /** Stamp `parquet.field.id` metadata matching EXACTLY the depth-first id
+    * assignment [[sparkSchemaToIceberg]] performs, so the data files the
+    * writer emits resolve by id like any real Iceberg writer's.
+    */
+  private[graft] def stampParquetIds(schema: StructType): StructType = {
+    var next = 0
+    def id(): Int = { next += 1; next }
+    def conv(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map { f =>
+        val fid = id()
+        val inner = conv(f.dataType)
+        f.copy(dataType = inner, metadata = new MetadataBuilder()
+          .withMetadata(f.metadata).putLong("parquet.field.id", fid.toLong)
+          .build())
+      })
+      case at: ArrayType => { id(); at.copy(elementType = conv(at.elementType)) }
+      case mt: MapType =>
+        { id(); id()
+          mt.copy(keyType = conv(mt.keyType), valueType = conv(mt.valueType)) }
+      case o => o
+    }
+    conv(schema).asInstanceOf[StructType]
+  }
+
+  /** ALTER TABLE ... RENAME COLUMN, Iceberg-style: a new metadata json
+    * version whose current schema renames the field IN PLACE (same field
+    * id — the spec's whole point: names are metadata, ids are identity).
+    * Data files, manifests and snapshots are untouched; reads resolve the
+    * renamed column through parquet field ids.
+    */
+  def renameColumn(spark: SparkSession, tablePath: String,
+      oldName: String, newName: String): Unit = {
+    val (metaFile, root) = currentMetadata(spark, tablePath)
+    val schemasNode = Option(root.get("schemas"))
+      .filter(_.isArray).getOrElse(throw new IllegalArgumentException(
+        s"v1 single-schema metadata rename not supported: $tablePath"))
+    val curId = Option(root.get("current-schema-id")).map(_.asLong).getOrElse(0L)
+    val cur = (0 until schemasNode.size).map(schemasNode.get)
+      .find(s => Option(s.get("schema-id")).exists(_.asLong == curId))
+      .getOrElse(throw new IllegalArgumentException(
+        s"current schema $curId not found: $tablePath"))
+    val fields = jsonSeq(cur.get("fields"))
+    require(fields.exists(_.get("name").asText == oldName),
+      s"no column '$oldName' in $tablePath")
+    require(!fields.exists(_.get("name").asText == newName),
+      s"column '$newName' already exists in $tablePath")
+    fields.find(_.get("name").asText == oldName).foreach {
+      case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+        o.put("name", newName)
+      case _ =>
+    }
+    val verRe = "^v(\\d+)\\.metadata\\.json$".r
+    val version = metaFile.getName match {
+      case verRe(v) => v.toInt + 1
+      case _ => throw new IllegalArgumentException(
+        s"unversioned metadata file ${metaFile.getName}: $tablePath")
+    }
+    val meta = new Path(tablePath, "metadata")
+    val fs = meta.getFileSystem(spark.sessionState.newHadoopConf())
+    val mf = new Path(meta, s"v$version.metadata.json")
+    val out = fs.create(mf, false)
+    try out.write(mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(root).getBytes("UTF-8"))
+    finally out.close()
+    val hint = fs.create(new Path(meta, "version-hint.text"), true)
+    try hint.write(version.toString.getBytes("UTF-8")) finally hint.close()
+  }
 
   /** Top-level column name -> Iceberg field id, mirroring EXACTLY the
     * depth-first id assignment [[sparkSchemaToIceberg]] performs (each

@@ -2233,6 +2233,29 @@ object Queries {
       FROM documents WHERE doc_id % 5 <> 0
       GROUP BY source ORDER BY src""")),
 
+    QueryDef("q129_iceberg_rename", (s, dir) => {
+      // Iceberg field-id column resolution end-to-end (r8 verdict #5):
+      // write, RENAME a column (id-preserving metadata-only commit, the
+      // spec's whole point — names are metadata, ids are identity), append
+      // under the new name, read back. Pre-rename files carry the OLD
+      // parquet column name and resolve purely by field id.
+      val docs = Q.t(s, dir, "documents").select("doc_id", "source")
+      val path = s"/tmp/graft_icer_${new java.io.File(dir).getName}/documents"
+      val half = docs.agg(max("doc_id")).collect()(0).getLong(0) / 2
+      graft.io.IcebergNative.write(docs.filter(col("doc_id") <= half), path,
+        mode = "overwrite")
+      graft.io.IcebergNative.renameColumn(s, path, "source", "src")
+      graft.io.IcebergNative.write(
+        docs.filter(col("doc_id") > half).withColumnRenamed("source", "src"),
+        path, mode = "append")
+      graft.io.Sources.iceberg(s, path)
+        .groupBy("src")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
+        .orderBy("src")
+    }, Some("""SELECT source AS src, COUNT(*) AS n,
+        CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM documents GROUP BY source ORDER BY src""")),
+
     QueryDef("q97_histogram_adaptive", (s, dir) => {
       v(s, dir, "orders")
       // adaptive-bin histogram sketch (custom agg). Bin EDGES are sketch-

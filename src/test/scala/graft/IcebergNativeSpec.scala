@@ -77,7 +77,10 @@ class IcebergNativeSpec extends SparkTestBase {
       .withColumn("s", struct(lit(1).as("a"), lit("x").as("b")))
     val node = IcebergNative.sparkSchemaToIceberg(df.schema)
     val back = IcebergNative.icebergSchemaToSpark(node)
-    assert(back == df.schema)
+    // round trip preserves names/types/nullability AND carries the field
+    // ids back as parquet.field.id metadata matching the depth-first
+    // assignment stampParquetIds replays on the write side
+    assert(back == IcebergNative.stampParquetIds(df.schema))
   }
 
   test("iceberg: v2 delete files refuse loudly") {
@@ -142,6 +145,45 @@ class IcebergNativeSpec extends SparkTestBase {
     assert(filesRead(t.filter(col("name") === "zzz")) == 0)
     // correctness never depends on skipping
     assert(t.count() == 30)
+  }
+
+  test("iceberg: renameColumn resolves renamed columns via field ids") {
+    val p = tmpDir("rename")
+    IcebergNative.write(base, p)
+    val dataBefore = Sources.iceberg(spark, p).inputFiles.toSet
+    IcebergNative.renameColumn(spark, p, "name", "label")
+    val back = Sources.iceberg(spark, p)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "label", "v"),
+      "current schema serves the NEW name")
+    assert(back.inputFiles.toSet == dataBefore, "zero data files rewritten")
+    // values must come from the OLD-named physical column, by field id —
+    // name matching would serve nulls here
+    assert(back.orderBy("id").select("label").as[String].collect().toSeq ==
+      Seq("alpha", "beta", "gamma"))
+    assert(back.filter(col("label") === "beta").select("id").as[Long]
+      .collect().toSeq == Seq(2L))
+    // append AFTER the rename: new files carry the same ids for the
+    // renamed field, old and new read uniformly
+    IcebergNative.write(Seq((4L, "delta", 4.5)).toDF("id", "label", "v"),
+      p, mode = "append")
+    val all = Sources.iceberg(spark, p)
+    assert(all.count() == 4)
+    assert(all.orderBy("id").select("label").as[String].collect().toSeq ==
+      Seq("alpha", "beta", "gamma", "delta"))
+    // double rename composes
+    IcebergNative.renameColumn(spark, p, "label", "tag")
+    assert(Sources.iceberg(spark, p).filter(col("tag") === "delta").count() == 1)
+  }
+
+  test("iceberg: renameColumn guards missing/duplicate names") {
+    val p = tmpDir("renguard")
+    IcebergNative.write(base, p)
+    intercept[IllegalArgumentException] {
+      IcebergNative.renameColumn(spark, p, "nope", "x")
+    }
+    intercept[IllegalArgumentException] {
+      IcebergNative.renameColumn(spark, p, "name", "id")
+    }
   }
 
   test("iceberg: field-id mirror matches the schema writer on nested types") {
