@@ -1,9 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** End-to-end corpus curation — the composed training-data pipeline the
   * builder brief targets: exact dedup (keep first) → language filter →
@@ -120,33 +119,41 @@ object Curation {
   /** Greedy first-fit no-split packing: documents are never cut — a new
     * pack opens when the next doc would overflow `budget` (docs larger than
     * the budget get a pack of their own). The sequential fold is inherently
-    * order-dependent, so it runs per shard via `flatMapGroups` over the
-    * id-sorted group — the sanctioned escape hatch for genuinely
-    * imperative per-group logic. Shards bound group size exactly like
-    * [[packSequences]]; packs are (shard, pack_id) pairs, so shards never
-    * coordinate and the op is one shuffle at any scale.
+    * order-dependent, so it runs per shard over the id-sorted rows via
+    * SECONDARY SORT (r8 verdict #4): repartition by shard +
+    * `sortWithinPartitions(shard, id)` puts the ordering in Spark's
+    * spillable external sorter, and the `mapPartitions` fold streams rows
+    * holding O(1) state — no shard is ever materialized on the heap (the
+    * previous `it.toVector.sortBy` held corpus/shards rows at once).
+    * Packs are (shard, pack_id) pairs, so shards never coordinate and the
+    * op is one shuffle at any scale.
     */
   def packGreedy(df: DataFrame, idCol: String, tokenCol: String,
       budget: Int, shards: Int = 256): DataFrame = {
     require(budget > 0 && shards > 0)
-    val sharded = df
-      .withColumn("shard", md5Bucket(col(idCol), shards).cast("int"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.withColumn("shard", md5Bucket(col(idCol), shards).cast("int"))
       .select(col("shard"), col(idCol).cast("long").as("id"),
         col(tokenCol).cast("long").as("tokens"))
-    val out = StructType(Seq(
-      StructField("shard", IntegerType), StructField("id", LongType),
-      StructField("tokens", LongType), StructField("pack_id", LongType)))
-    graft.ds.GraftFrame(sharded).groupby("shard").applyGroups(out) {
-      (_, it) =>
-        val docs = it.toVector.sortBy(_.getLong(1))
+      .as[(Int, Long, Long)]
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("id"))
+      .mapPartitions { it =>
+        var curShard = Int.MinValue
+        var started = false
         var pack = 0L
         var acc = 0L
-        docs.iterator.zipWithIndex.map { case (r, i) =>
-          val t = r.getLong(2)
-          if (i > 0 && acc + t > budget) { pack += 1; acc = 0L }
-          acc += t
-          Row(r.getInt(0), r.getLong(1), t, pack)
+        it.map { case (sh, id, t) =>
+          if (!started || sh != curShard) {
+            curShard = sh; started = true; pack = 0L; acc = t
+          } else {
+            if (acc + t > budget) { pack += 1; acc = 0L }
+            acc += t
+          }
+          (sh, id, t, pack)
         }
-    }.df
+      }
+      .toDF("shard", "id", "tokens", "pack_id")
   }
 }

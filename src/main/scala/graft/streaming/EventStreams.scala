@@ -46,32 +46,65 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"))
 
-  /** Stateful sessionization with mapGroupsWithState: a session closes after
-    * `gapMs` of inactivity (processing-time timeout drives emission on a real
-    * stream; on a bounded frame every group flushes at end).
-    * State per key is one running summary — O(1), shuffle is by user_id.
+  /** Stateful sessionization: a session closes after `gapMs` of
+    * inactivity; reports the LAST session per user.
+    *
+    * Two executions behind one contract (r8 verdict #4):
+    *   - STREAMING input: mapGroupsWithState — state per key is one O(1)
+    *     running summary, shuffle by user_id; the per-micro-batch sort is
+    *     bounded by a user's events in ONE batch, never their history.
+    *   - BOUNDED input: a group here is a user's ENTIRE history, so the
+    *     sort moves into Spark's spillable external sorter (repartition +
+    *     `sortWithinPartitions`) and a `mapPartitions` fold streams rows
+    *     with O(1) heap — no per-user materialization at any corpus size.
     */
   def sessionize(events: Dataset[Event], gapMs: Long): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
-    events
-      .groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, SessionSummary](GroupStateTimeout.NoTimeout) {
-        (uid: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          // bounded-frame semantics: fold this batch's events in ts order and
-          // report the LAST session per user (streaming mode would emit each
-          // closed session via timeouts)
-          val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var st = state.getOption.getOrElse(SessionState(0, Long.MinValue, Long.MinValue, 0.0, 0))
-          evs.foreach { e =>
-            val t = e.ts.getTime
-            st =
-              if (st.n == 0 || t - st.end > gapMs)
-                SessionState(st.sessions + 1, t, t, e.value, 1)
-              else st.copy(end = t, total = st.total + e.value, n = st.n + 1)
+    if (events.isStreaming)
+      events
+        .groupByKey(_.user_id)
+        .mapGroupsWithState[SessionState, SessionSummary](GroupStateTimeout.NoTimeout) {
+          (uid: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+            val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.getOrElse(
+              SessionState(0, Long.MinValue, Long.MinValue, 0.0, 0))
+            evs.foreach { e =>
+              val t = e.ts.getTime
+              st =
+                if (st.n == 0 || t - st.end > gapMs)
+                  SessionState(st.sessions + 1, t, t, e.value, 1)
+                else st.copy(end = t, total = st.total + e.value, n = st.n + 1)
+            }
+            state.update(st)
+            SessionSummary(uid, st.n, new Timestamp(st.start),
+              new Timestamp(st.end), st.total)
+        }
+    else
+      events
+        .repartition(col("user_id"))
+        .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
+        .mapPartitions { rows =>
+          val it = rows.buffered
+          new Iterator[SessionSummary] {
+            def hasNext: Boolean = it.hasNext
+            def next(): SessionSummary = {
+              val first = it.next()
+              val uid = first.user_id
+              var t = first.ts.getTime
+              var st = SessionState(1, t, t, first.value, 1)
+              while (it.hasNext && it.head.user_id == uid) {
+                val e = it.next()
+                t = e.ts.getTime
+                st =
+                  if (t - st.end > gapMs)
+                    SessionState(st.sessions + 1, t, t, e.value, 1)
+                  else st.copy(end = t, total = st.total + e.value, n = st.n + 1)
+              }
+              SessionSummary(uid, st.n, new Timestamp(st.start),
+                new Timestamp(st.end), st.total)
+            }
           }
-          state.update(st)
-          SessionSummary(uid, st.n, new Timestamp(st.start), new Timestamp(st.end), st.total)
-      }
+        }
   }
 
   case class SessionState(sessions: Long, start: Long, end: Long, total: Double, n: Long)

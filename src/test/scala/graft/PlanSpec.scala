@@ -125,6 +125,38 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Window"))
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("packGreedy: secondary sort in the exchange, streaming fold (r8 #4)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 500L).map(i => (i, (i % 90) + 1)).toDF("doc_id", "n_tokens")
+    val packed = graft.operators.Curation.packGreedy(docs, "doc_id", "n_tokens",
+      budget = 256, shards = 8)
+    val p = packed.queryExecution.executedPlan.toString
+    // the per-shard ordering must live in Spark's spillable SortExec after
+    // the shuffle — NOT a per-group heap sort inside the fold
+    assert(p.contains("Sort [shard"), s"expected sortWithinPartitions, got:\n$p")
+    assert(p.contains("Exchange hashpartitioning(shard"))
+    // and the fold is a streaming mapPartitions, not an aggregate
+    assert(!p.contains("FlatMapGroups"), "no per-group materialization")
+    // semantics: pack never overflows unless a single doc does; ids within
+    // a (shard, pack) stay contiguous in id order
+    val rows = packed.collect()
+    val byPack = rows.groupBy(r => (r.getInt(0), r.getLong(3)))
+    assert(byPack.values.forall(g =>
+      g.map(_.getLong(2)).sum <= 256 || g.length == 1))
+    assert(rows.nonEmpty && rows.length == 500)
+  }
+
+  test("sessionize (bounded): sort in exchange, no mapGroupsWithState (r8 #4)") {
+    val ev = graft.streaming.EventStreams.readEvents(spark, SparkTestBase.sfDir)
+    val out = graft.streaming.EventStreams.sessionize(ev, gapMs = 30 * 60 * 1000L)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("Sort [user_id"), s"expected secondary sort, got:\n$p")
+    assert(p.contains("Exchange hashpartitioning(user_id"))
+    assert(!p.contains("FlatMapGroupsWithState"),
+      "bounded path must not hold a user's full history on the heap")
+  }
 }
 
 class SessionSpec extends SparkTestBase {
