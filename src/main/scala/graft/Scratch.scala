@@ -8,6 +8,7 @@ object Scratch {
     val g = graft.engine.GraftSession.build("local[8]", 8)
     if (args.headOption.contains("r8drive")) { r8drive(g); g.spark.stop(); return }
     if (args.headOption.contains("fieldids")) { fieldIds(g); g.spark.stop(); return }
+    if (args.headOption.contains("simtune")) { simTune(g, args.drop(1)); g.spark.stop(); return }
     if (args.headOption.contains("deltaprune")) { deltaPrune(g); g.spark.stop(); return }
     if (args.headOption.contains("deltareplay")) { deltaReplay(g); g.spark.stop(); return }
     val names = if (args.nonEmpty) args.toSeq else Seq("q01_tpch_q1")
@@ -18,6 +19,39 @@ object Scratch {
       else df.show(10, false)
     }
     g.spark.stop()
+  }
+
+  /** Probe: simhash candidate ratio vs tableCap (block count) at a given
+    * replication factor — the r8 verdict #6 tuning experiment.
+    */
+  private def simTune(g: graft.engine.GraftSession, args: Seq[String]): Unit = {
+    val spark = g.spark
+    import org.apache.spark.sql.functions._
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val caps = args.lift(1).map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(32, 64, 128))
+    val docs0 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    val span = docs0.agg(max("doc_id")).head().getLong(0) + 1
+    val reps = broadcast(spark.range(factor).toDF("__r"))
+    val docs = docs0.crossJoin(reps)
+      .withColumn("doc_id", col("doc_id") + col("__r") * span)
+      .withColumn("text", when(col("__r") === 0, col("text"))
+        .otherwise(concat(col("text"), lit(" rep"), col("__r"))))
+      .drop("__r")
+    val h = docs.select(col("doc_id").as("id"), expr("simHash(text)").as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"rows=${h.count()}")
+    caps.foreach { cap =>
+      val t0 = System.nanoTime()
+      val cand = graft.operators.Dedup.simhashCandidatesFromHashes(h, 3, cap)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nC = cand.count()
+      val out = cand.withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+        .filter(col("hamming") <= 3).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      cand.unpersist()
+      println(f"cap=$cap candidates=$nC output=$out ratio=${nC.toDouble / out}%.2f sec=$sec%.1f")
+    }
+    h.unpersist()
   }
 
   /** Probe: does .to(stampParquetIds) put field ids into written footers? */

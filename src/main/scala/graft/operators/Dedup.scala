@@ -180,15 +180,23 @@ object Dedup {
     * violation (silent recall loss above hamming 3) is gone by construction.
     *
     * Cost grows combinatorially with maxHamming (h=3 at the default cap →
-    * 20 keys/row of 32 bits; h beyond ~8 degenerates toward narrow keys) —
+    * 56 keys/row of 40 bits; h beyond ~8 degenerates toward narrow keys) —
     * large radii are fundamentally expensive in any exact scheme.
+    *
+    * `tableCap` trades index entries for key width: the default 64 picks 8
+    * blocks (56 keys/row, 40-bit keys) over r8's 32 (6 blocks, 20 keys,
+    * 32-bit keys) — measured at 10× (50 k docs) the wider keys cut
+    * candidates 2.35× (3.20 M → 1.36 M) at byte-identical output (recall
+    * is pigeonhole-structural, not tuned), and at 50× the candidate term
+    * dominates the whole tier (SCALING.md). 128 (10 blocks, 120 keys)
+    * halves candidates again but trips the codegen method-size fallback.
     */
   def simhashPairs(
       df: DataFrame,
       textCol: String,
       idCol: String,
       maxHamming: Int = 3,
-      tableCap: Int = 32): DataFrame = {
+      tableCap: Int = 64): DataFrame = {
     val h = df.select(col(idCol).as("id"), expr(s"simHash($textCol)").as("h"))
     simhashPairsFromHashes(h, maxHamming, tableCap)
   }
@@ -197,7 +205,7 @@ object Dedup {
     * separated so specs can plant hashes at exact Hamming distances.
     */
   def simhashPairsFromHashes(
-      h: DataFrame, maxHamming: Int, tableCap: Int = 32): DataFrame =
+      h: DataFrame, maxHamming: Int, tableCap: Int = 64): DataFrame =
     simhashCandidatesFromHashes(h, maxHamming, tableCap)
       .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .filter(col("hamming") <= maxHamming)
@@ -207,7 +215,7 @@ object Dedup {
     * harness's candidate-growth measurements.
     */
   private[graft] def simhashCandidatesFromHashes(
-      h: DataFrame, maxHamming: Int, tableCap: Int = 32): DataFrame = {
+      h: DataFrame, maxHamming: Int, tableCap: Int = 64): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
     def choose(n: Int, r: Int): Long = {
       val rr = math.min(r, n - r)
