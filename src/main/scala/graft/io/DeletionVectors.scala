@@ -174,15 +174,23 @@ final class RoaringBitmap32 private[io] (
     c.toShortsSorted.map(lo => (k << 16) | lo)
   }.toSeq
 
-  /** Standard portable layout, no-run cookie (12346). */
+  /** Standard portable layout, no-run cookie (12346). A RunContainer
+    * (reachable by round-tripping a foreign DV through deserialize) would
+    * emit a run-format body under the no-run cookie — corrupt bytes — so
+    * runs are converted to array/bitmap form first.
+    */
   def serialize(): Array[Byte] = {
-    val bodies = containers.map(_.serializeBody())
+    val norm: Array[Container] = containers.map {
+      case r: RunContainer => fromLows(r.toShortsSorted.toArray)
+      case c => c
+    }
+    val bodies = norm.map(_.serializeBody())
     val n = keys.length
     val size = 4 + 4 + 4 * n + 4 * n + bodies.map(_.length).sum
     val bb = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
     bb.putInt(CookieNoRun)
     bb.putInt(n)
-    keys.zip(containers).foreach { case (k, c) =>
+    keys.zip(norm).foreach { case (k, c) =>
       bb.putShort(k.toShort)
       bb.putShort((c.cardinality - 1).toShort)
     }
@@ -260,17 +268,19 @@ object RoaringBitmap32 {
       .groupBy(v => (v >>> 16).toInt)
     val keys = byKey.keys.toArray.sorted
     val containers: Array[Container] = keys.map { k =>
-      val lows = byKey(k).map(v => (v & 0xffff).toInt)
-      if (lows.length <= ArrayMaxCard)
-        ArrayContainer(lows.map(_.toChar))
-      else {
-        val words = new Array[Long](1024)
-        lows.foreach(lo => words(lo >>> 6) |= 1L << (lo & 63))
-        BitmapContainer(words)
-      }
+      fromLows(byKey(k).map(v => (v & 0xffff).toInt))
     }
     new RoaringBitmap32(keys, containers)
   }
+
+  private[io] def fromLows(lows: Array[Int]): Container =
+    if (lows.length <= ArrayMaxCard)
+      ArrayContainer(lows.map(_.toChar))
+    else {
+      val words = new Array[Long](1024)
+      lows.foreach(lo => words(lo >>> 6) |= 1L << (lo & 63))
+      BitmapContainer(words)
+    }
 
   /** Reads one bitmap from `bb` (positioned at its cookie), consuming
     * exactly its bytes. Accepts both cookies and all three container

@@ -82,7 +82,11 @@ object DeltaNative {
       minReaderVersion: Int = 1, minWriterVersion: Int = 2,
       readerFeatures: Set[String] = Set.empty,
       writerFeatures: Set[String] = Set.empty,
-      configuration: Map[String, String] = Map.empty)
+      configuration: Map[String, String] = Map.empty,
+      // the table GUID from metaData.id — the spec requires it stable for
+      // the table's lifetime (foreign incremental readers treat a change
+      // as table replacement), so every metaData rewrite must reuse it
+      metaId: String = "")
 
   private val commitRe = "^(\\d{20})\\.json$".r
   private val ckptRe = "^(\\d{20})\\.checkpoint(?:\\.\\d{10}\\.\\d{10})?\\.parquet$".r
@@ -129,6 +133,7 @@ object DeltaNative {
     var schemaString: String = null
     var partitionColumns: Seq[String] = Nil
     var configuration: Map[String, String] = Map.empty
+    var metaId: String = ""
     var minReader = 1
     var minWriter = 2
     var readerFeatures: Set[String] = Set.empty
@@ -141,7 +146,9 @@ object DeltaNative {
       // full job (~350 ms fixed) per snapshot() call, which dominates log
       // replay entirely (measured in SCALING.md "log-replay cost").
       def onAdd(a: AddFile): Unit = state(a.path) = a
-      def onMeta(ss: String, pc: Seq[String], cfg: Map[String, String]): Unit = {
+      def onMeta(id: String, ss: String, pc: Seq[String],
+          cfg: Map[String, String]): Unit = {
+        if (id != null && id.nonEmpty) metaId = id
         if (ss != null) schemaString = ss
         partitionColumns = pc; configuration = cfg
       }
@@ -180,6 +187,8 @@ object DeltaNative {
         val node = mapper.readTree(line)
         if (node.has("metaData")) {
           val m = node.get("metaData")
+          Option(m.get("id")).map(_.asText).filter(_.nonEmpty)
+            .foreach(metaId = _)
           schemaString = m.get("schemaString").asText
           partitionColumns = jsonArray(m.get("partitionColumns")).map(_.asText)
           configuration = Option(m.get("configuration")).map(jsonObject).getOrElse(Map.empty)
@@ -228,7 +237,8 @@ object DeltaNative {
 
     Snapshot(target, DataType.fromJson(schemaString).asInstanceOf[StructType],
       partitionColumns, state.values.toSeq, txns.toMap,
-      minReader, minWriter, readerFeatures, writerFeatures, configuration)
+      minReader, minWriter, readerFeatures, writerFeatures, configuration,
+      metaId)
   }
 
   /** Latest committed SetTransaction version for a streaming `appId`, or
@@ -262,11 +272,12 @@ object DeltaNative {
     * `__graft_file` (data file name) and `__graft_ridx` (physical row
     * index) for row-level ops ([[deleteWhereDV]]).
     *
-    * DV filtering rides Spark's parquet `_metadata.row_index` column: each
-    * DV'd file's roaring bitmap (loaded once, driver-side, kept in
-    * compressed form) travels in the filter closure and drops exactly the
-    * deleted row indexes — at scale the shipped state is the compressed
-    * bitmap bytes, proportional to deleted rows, not table size.
+    * DV filtering rides Spark's parquet `_metadata.row_index` column: the
+    * filter closure carries only the DV DESCRIPTORS (path/offset/
+    * cardinality — metadata-sized; an inline DV's few-KB payload is its
+    * descriptor), and each executor lazily loads just the bitmaps of the
+    * files IT scans ([[DvLookup]]) — at 100 TB neither the driver heap nor
+    * the task closure ever holds the table's full DV set.
     */
   private def scanSnapshotMeta(spark: SparkSession, tablePath: String,
       snap: Snapshot, withMeta: Boolean): DataFrame = {
@@ -303,20 +314,21 @@ object DeltaNative {
     val base = spark.baseRelationToDataFrame(relation)
     val dvFiles = phys.files.filter(_.dv.exists(_.cardinality > 0))
     val needMeta = withMeta || dvFiles.nonEmpty
+    // __graft_file is the FULL scanned URI: basenames are not unique
+    // across partition directories (legal per the spec for foreign
+    // writers), so all file→AddFile resolution is by table-relative-path
+    // suffix, longest match first
     val withCols = if (!needMeta) base
       else base
-        .withColumn("__graft_file",
-          expr("substring_index(_metadata.file_path, '/', -1)"))
+        .withColumn("__graft_file", col("_metadata.file_path"))
         .withColumn("__graft_ridx", col("_metadata.row_index"))
     val undeleted = if (dvFiles.isEmpty) withCols else {
-      val conf = spark.sessionState.newHadoopConf()
-      val dvByName: Map[String, RoaringBitmapArray] = dvFiles.map { f =>
-        val d = decodePath(f.path)
-        d.substring(d.lastIndexOf('/') + 1) ->
-          DeletionVectors.load(conf, tablePath, f.dv.get)
-      }.toMap
-      val deleted = udf((name: String, idx: Long) =>
-        dvByName.get(name).exists(_.contains(idx)))
+      val lookup = new DvLookup(tablePath,
+        dvFiles.map(f => ("/" + decodePath(f.path)) -> f.dv.get)
+          .sortBy(-_._1.length).toArray,
+        new org.apache.spark.SerializableWritable(
+          spark.sessionState.newHadoopConf()))
+      val deleted = udf((path: String, idx: Long) => lookup.deleted(path, idx))
       withCols.filter(!deleted(col("__graft_file"), col("__graft_ridx")))
     }
     val outCols = if (withMeta)
@@ -454,12 +466,18 @@ object DeltaNative {
 
     // column-mapped target: data files and partitionValues must use
     // PHYSICAL names; df arrives in logical terms and is renamed here.
-    // Schema evolution on a mapped table (mapping-aware metaData rewrite)
-    // is the connector's job — require an exact logical match instead of
-    // silently clobbering the mapping.
-    val cmMode = prior.map(
+    // A full OVERWRITE is total — it replaces data AND logical metadata,
+    // so the prior mapping doesn't constrain the incoming frame: the same
+    // commit rewrites metaData with the new schema and mapping reset to
+    // none (this is what makes repeated write(overwrite)+rename sequences
+    // idempotent). Schema evolution on a mapped table under APPEND
+    // (mapping-aware metaData rewrite) is the connector's job — require an
+    // exact logical match instead of silently clobbering the mapping.
+    val cmModePrior = prior.map(
       _.configuration.getOrElse("delta.columnMapping.mode", "none"))
       .getOrElse("none")
+    val resetMapping = mode == "overwrite" && cmModePrior != "none"
+    val cmMode = if (resetMapping) "none" else cmModePrior
     val (wdf, wParts) = if (cmMode == "none") (df, partitionBy) else {
       val ls = prior.get.schema
       require(df.schema.map(f => (f.name, f.dataType)) ==
@@ -511,13 +529,16 @@ object DeltaNative {
     val lines = mutable.Buffer.empty[String]
     // a mapped table's schema was required equal above (StructType equality
     // would false-positive on the mapping metadata the df doesn't carry)
-    val schemaChanged = cmMode == "none" && !prior.exists(p =>
-      p.schema == df.schema && p.partitionColumns == partitionBy)
+    val schemaChanged = resetMapping || (cmMode == "none" && !prior.exists(p =>
+      p.schema == df.schema && p.partitionColumns == partitionBy))
     if (version == 0L)
       lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
     if (version == 0L || schemaChanged) {
       val md = mapper.createObjectNode()
-      md.put("id", java.util.UUID.randomUUID.toString)
+      // table GUID is stable for the table's lifetime (spec): reuse it on
+      // every metaData rewrite; mint one only at table creation
+      md.put("id", prior.map(_.metaId).filter(_.nonEmpty)
+        .getOrElse(java.util.UUID.randomUUID.toString))
       val fmt = md.putObject("format")
       fmt.put("provider", "parquet"); fmt.putObject("options")
       md.put("schemaString", df.schema.json)
@@ -609,13 +630,10 @@ object DeltaNative {
         }.collect()
     if (matched.isEmpty) return snap.version
 
-    val byName: Map[String, AddFile] = snap.files.map { f =>
-      val d = decodePath(f.path)
-      d.substring(d.lastIndexOf('/') + 1) -> f
-    }.toMap
+    val resolve = addFileBySuffix(snap.files)
     val targets: Seq[(AddFile, RoaringBitmapArray)] = matched.toSeq.map {
       case (name, bytes) =>
-        val f = byName.getOrElse(name,
+        val f = resolve(name).getOrElse(
           throw new IllegalStateException(s"scan returned unknown file $name"))
         val fresh = RoaringBitmapArray.deserialize(bytes)
         val bm = f.dv.map(d =>
@@ -629,18 +647,29 @@ object DeltaNative {
     if (!(snap.minReaderVersion >= 3 && snap.readerFeatures.contains("deletionVectors"))) {
       // upgrading to the features protocol must list EVERY capability the
       // table already relies on, or foreign readers lose their gate:
-      // columnMapping if configured, plus the legacy minWriter 2 implied
-      // appendOnly+invariants
+      // columnMapping if configured, plus the full set of writer features
+      // the legacy minWriterVersion implied (the spec's table: 2 →
+      // appendOnly+invariants, 3 → +checkConstraints, 4 →
+      // +changeDataFeed+generatedColumns, 5 → +columnMapping, 6 →
+      // +identityColumns) — hardcoding only minWriter 2's pair would drop
+      // e.g. a checkConstraints gate a legacy minWriter-3 table relied on
       val cmFeat: Set[String] =
         if (snap.configuration.getOrElse("delta.columnMapping.mode", "none") != "none")
           Set("columnMapping") else Set.empty
+      val legacyWriterFeats: Set[String] = Seq(
+        2 -> Set("appendOnly", "invariants"),
+        3 -> Set("checkConstraints"),
+        4 -> Set("changeDataFeed", "generatedColumns"),
+        5 -> Set("columnMapping"),
+        6 -> Set("identityColumns"))
+        .collect { case (v, fs) if snap.minWriterVersion >= v => fs }
+        .flatten.toSet
       val pr = mapper.createObjectNode()
       pr.put("minReaderVersion", 3); pr.put("minWriterVersion", 7)
       val rf = pr.putArray("readerFeatures")
       (snap.readerFeatures ++ cmFeat + "deletionVectors").toSeq.sorted.foreach(rf.add)
       val wf = pr.putArray("writerFeatures")
-      (snap.writerFeatures ++ cmFeat ++
-        Set("deletionVectors", "appendOnly", "invariants"))
+      (snap.writerFeatures ++ cmFeat ++ legacyWriterFeats + "deletionVectors")
         .toSeq.sorted.foreach(wf.add)
       val root = mapper.createObjectNode()
       root.set[JsonNode]("protocol", pr)
@@ -731,7 +760,10 @@ object DeltaNative {
         lines += """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
     }
     val md = mapper.createObjectNode()
-    md.put("id", java.util.UUID.randomUUID.toString)
+    // metadata-only rename must NOT change the table GUID (foreign
+    // incremental readers treat an id change as table replacement)
+    md.put("id", if (snap.metaId.nonEmpty) snap.metaId
+      else java.util.UUID.randomUUID.toString)
     val fmt = md.putObject("format")
     fmt.put("provider", "parquet"); fmt.putObject("options")
     md.put("schemaString", renamed.json)
@@ -849,12 +881,11 @@ object DeltaNative {
       groupDf(pv, fsq).filter(condition)
         .select("__graft_file").distinct().collect().map(_.getString(0))
     }.toSet
-    // resolve physical URI back to the log's AddFile (compare by file name:
-    // staging guarantees unique names within the table)
-    def physName(p: String) = p.substring(p.lastIndexOf('/') + 1)
-    val matchedNames = matchedPhysical.map(physName)
-    val matched = snap.files.filter(f => matchedNames.contains(
-      physName(decodePath(f.path))))
+    // resolve physical URI back to the log's AddFile by relative-path
+    // suffix (basenames are not unique across partition directories)
+    val resolve = addFileBySuffix(snap.files)
+    val matchedRel = matchedPhysical.flatMap(uri => resolve(uri).map(_.path))
+    val matched = snap.files.filter(f => matchedRel.contains(f.path))
     if (matched.isEmpty) return snap.version // nothing to do: no commit
 
     val now = System.currentTimeMillis()
@@ -1165,7 +1196,10 @@ object DeltaNative {
     // (1, 2) here would drop the reader-feature gate for foreign readers
     // once older commits are vacuumed
     val rows =
-      Row(null, Row(java.util.UUID.randomUUID.toString, Row("parquet"),
+      Row(null, Row(
+        if (snap.metaId.nonEmpty) snap.metaId
+        else java.util.UUID.randomUUID.toString,
+        Row("parquet"),
         snap.schema.json, snap.partitionColumns, snap.configuration),
         null, null) +:
       Row(null, null, Row(snap.minReaderVersion, snap.minWriterVersion,
@@ -1214,7 +1248,7 @@ object DeltaNative {
       "deletionVector" -> KeepSub(Map("storageType" -> KeepAll,
         "pathOrInlineDv" -> KeepAll, "offset" -> KeepAll,
         "sizeInBytes" -> KeepAll, "cardinality" -> KeepAll)))),
-    "metaData" -> KeepSub(Map("schemaString" -> KeepAll,
+    "metaData" -> KeepSub(Map("id" -> KeepAll, "schemaString" -> KeepAll,
       "partitionColumns" -> KeepAll, "configuration" -> KeepAll)),
     "protocol" -> KeepSub(Map("minReaderVersion" -> KeepAll,
       "minWriterVersion" -> KeepAll, "readerFeatures" -> KeepAll,
@@ -1243,7 +1277,7 @@ object DeltaNative {
     */
   private def replayCheckpointDriver(conf: Configuration, parts: Seq[Path],
       tablePath: String, onAdd: AddFile => Unit,
-      onMeta: (String, Seq[String], Map[String, String]) => Unit,
+      onMeta: (String, String, Seq[String], Map[String, String]) => Unit,
       onProtocol: (Int, Int, Set[String], Set[String]) => Unit,
       onTxn: (String, Long) => Unit): Unit =
     parts.foreach { p =>
@@ -1274,7 +1308,8 @@ object DeltaNative {
                 optLong(a, "size").getOrElse(0L), optString(a, "stats"), dv))
             }
             optGroup(g, "metaData").foreach { m =>
-              onMeta(optString(m, "schemaString").orNull,
+              onMeta(optString(m, "id").orNull,
+                optString(m, "schemaString").orNull,
                 optGroup(m, "partitionColumns").map(groupStringList).getOrElse(Nil),
                 optGroup(m, "configuration").map(groupMap)
                   .getOrElse(Map.empty[String, Option[String]])
@@ -1303,7 +1338,7 @@ object DeltaNative {
     */
   private def replayCheckpointSpark(spark: SparkSession, parts: Seq[String],
       tablePath: String, onAdd: AddFile => Unit,
-      onMeta: (String, Seq[String], Map[String, String]) => Unit,
+      onMeta: (String, String, Seq[String], Map[String, String]) => Unit,
       onProtocol: (Int, Int, Set[String], Set[String]) => Unit,
       onTxn: (String, Long) => Unit): Unit = {
     val ck = spark.read.parquet(parts: _*)
@@ -1336,11 +1371,12 @@ object DeltaNative {
     val hasWFeats = prT.fieldNames.contains("writerFeatures")
     val hasMw = prT.fieldNames.contains("minWriterVersion")
     ck.filter(col("metaData").isNotNull)
-      .select(col("metaData.schemaString"), col("metaData.partitionColumns"),
-        col("metaData.configuration")).collect()
+      .select(col("metaData.id"), col("metaData.schemaString"),
+        col("metaData.partitionColumns"), col("metaData.configuration"))
+      .collect()
       .lastOption.foreach { r =>
-        onMeta(r.getString(0), r.getSeq[String](1),
-          Option(r.getMap[String, String](2)).map(_.toMap).getOrElse(Map.empty))
+        onMeta(r.getString(0), r.getString(1), r.getSeq[String](2),
+          Option(r.getMap[String, String](3)).map(_.toMap).getOrElse(Map.empty))
       }
     val prCols = Seq(col("protocol.minReaderVersion"),
       if (hasMw) col("protocol.minWriterVersion") else lit(2),
@@ -1473,4 +1509,63 @@ object DeltaNative {
   /** Hive partition-dir encoding for special characters in values. */
   private def encodePathSegment(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+
+  /** A scanned URI (`_metadata.file_path` / `input_file_name`) is
+    * percent-encoded; decode to the on-disk path so suffix comparison
+    * against the log's decoded relative paths lines up.
+    */
+  private def uriDiskPath(p: String): String =
+    try {
+      val q = new java.net.URI(p).getPath
+      if (q == null || q.isEmpty) p else q
+    } catch { case _: java.net.URISyntaxException => p }
+
+  /** Resolve a scanned absolute URI back to the log's AddFile by
+    * table-relative path: the longest "/"-prefixed decoded add path that
+    * is a suffix of the URI's disk path. Basenames alone are NOT unique
+    * across partition directories, so never key by them.
+    */
+  private def addFileBySuffix(files: Seq[AddFile]): String => Option[AddFile] = {
+    val keyed = files.map(f => ("/" + decodePath(f.path)) -> f)
+      .sortBy(-_._1.length)
+    uri => {
+      val p = uriDiskPath(uri)
+      keyed.collectFirst { case (sfx, f) if p.endsWith(sfx) => f }
+    }
+  }
+
+  /** Executor-side DV resolution: the task closure carries only DV
+    * descriptors keyed by table-relative path (longest-suffix match
+    * against the scanned URI); bitmaps are decoded lazily on the executor
+    * that actually reads the file and cached JVM-wide, bounded.
+    */
+  private final class DvLookup(tablePath: String,
+      descs: Array[(String, DeletionVectors.Descriptor)],
+      conf: org.apache.spark.SerializableWritable[Configuration])
+    extends Serializable {
+    @transient private lazy val byFile =
+      new java.util.concurrent.ConcurrentHashMap[String, Option[RoaringBitmapArray]]()
+    def deleted(filePath: String, idx: Long): Boolean = {
+      val bm = byFile.computeIfAbsent(filePath, fp => {
+        val p = uriDiskPath(fp)
+        descs.collectFirst { case (sfx, d) if p.endsWith(sfx) => d }
+          .map(d => DvLookup.cached(tablePath, d, conf.value))
+      })
+      bm.exists(_.contains(idx))
+    }
+  }
+
+  private object DvLookup {
+    // one decode per (table, DV) per JVM, shared across tasks; crude size
+    // bound keeps a long-lived executor that visits many tables in check
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, RoaringBitmapArray]()
+    def cached(tablePath: String, d: DeletionVectors.Descriptor,
+        conf: Configuration): RoaringBitmapArray = {
+      if (cache.size > 256) cache.clear()
+      cache.computeIfAbsent(
+        s"$tablePath#${d.storageType}${d.pathOrInlineDv}@${d.offset.getOrElse(-1)}",
+        _ => DeletionVectors.load(conf, tablePath, d))
+    }
+  }
 }

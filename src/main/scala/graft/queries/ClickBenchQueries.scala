@@ -67,13 +67,16 @@ object ClickBenchQueries {
     // CB Q2: multi-aggregate single scan (SUM + COUNT + AVG)
     QueryDef("cb02_multi_agg_scan", (s, dir) => {
       v(s, dir, "events")
+      // integer-micro avg device — see cb23's comment
       s.sql("""SELECT CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
           COUNT(*) AS n,
-          ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value), 6) AS avg_v
+          CAST((2 * CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+                + COUNT(value)) DIV (2 * COUNT(value)) AS DOUBLE) / 1000000.0 AS avg_v
         FROM events""")
     }, Some("""SELECT CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
         COUNT(*) AS n,
-        ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value), 6) AS avg_v
+        CAST((2 * CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+              + COUNT(value)) // (2 * COUNT(value)) AS DOUBLE) / 1000000.0 AS avg_v
       FROM events"""),
       bench = true),
 
@@ -353,17 +356,26 @@ object ClickBenchQueries {
     // the widest shuffle of the set (WatchID, ClientIP analogue). The
     // unfiltered Q32 variant is the heavy one; keyed here by (user_id,
     // floor(value)) at the same cardinality profile.
+    // avg_v follows the repo's decimal-exact rule (Queries.scala header):
+    // ROUND(sum/count, 6) is computed ENTIRELY in integer micro-units —
+    // half-up micro = (2*S6 + N) div (2*N) with S6 = exact decimal sum in
+    // 1e-6 units (value >= 0 in this data) — because a double-domain
+    // ROUND(x, 6) is not bit-stable across engines and DuckDB lowers
+    // decimal division to DOUBLE. micro/1e6 is then one deterministic
+    // IEEE division on both sides.
     QueryDef("cb23_two_key_multiagg", (s, dir) => {
       v(s, dir, "events")
       s.sql("""SELECT user_id, CAST(FLOOR(value) AS INT) AS w, COUNT(*) AS c,
           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS refreshes,
-          ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value), 6) AS avg_v
+          CAST((2 * CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+                + COUNT(value)) DIV (2 * COUNT(value)) AS DOUBLE) / 1000000.0 AS avg_v
         FROM events
         GROUP BY user_id, CAST(FLOOR(value) AS INT)
         ORDER BY c DESC, user_id, w LIMIT 10""")
     }, Some("""SELECT user_id, CAST(FLOOR(value) AS INT) AS w, COUNT(*) AS c,
         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS refreshes,
-        ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value), 6) AS avg_v
+        CAST((2 * CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+              + COUNT(value)) // (2 * COUNT(value)) AS DOUBLE) / 1000000.0 AS avg_v
       FROM events
       GROUP BY user_id, w
       ORDER BY c DESC, user_id, w LIMIT 10"""),
