@@ -27,10 +27,12 @@ import org.apache.spark.sql.types._
   * Coverage: format v1 and v2 metadata; `version-hint.text` or
   * newest-`*.metadata.json` discovery; manifest-list or v1 inline
   * `manifests`; `status=DELETED` entry filtering; snapshot selection via
-  * `current-snapshot-id` (plus `snapshotAsOf` time travel by snapshot id).
-  * Unsupported-by-design (capability error, never wrong rows): delete
-  * files (v2 row-level deletes — a positional/equality merge needs the
-  * connector), non-parquet data files.
+  * `current-snapshot-id` (plus `snapshotAsOf` time travel by snapshot id);
+  * v2 row-level DELETE FILES (r10) — positional and equality, read as
+  * DataFrames and subtracted with sequence-number-gated anti-joins
+  * ([[applyDeleteFiles]]), written by [[deleteWhere]] /
+  * [[deleteWhereEquality]]. Unsupported-by-design (capability error,
+  * never wrong rows): non-parquet data/delete files.
   *
   * Column resolution (r9): by FIELD ID, the spec's rule — the schema's
   * ids ride as `parquet.field.id` metadata into Spark's parquet reader,
@@ -71,11 +73,34 @@ object IcebergNative {
   }
 
   final case class DataFileRef(path: String, format: String, recordCount: Long,
-      size: Long = 0L, stats: Option[String] = None)
+      size: Long = 0L, stats: Option[String] = None, seq: Long = 0L)
 
-  /** Data files of the chosen snapshot (default: current). */
+  /** A v2 delete file. `content` 1 = position deletes (rows of
+    * `(file_path, pos)`), 2 = equality deletes (rows of the columns named
+    * by `equalityIds`). `seq` is its data sequence number — the spec's
+    * applicability gate: a position delete applies to data files with
+    * data seq <= its seq, an equality delete to data files with data seq
+    * STRICTLY < its seq (so rows appended after the delete survive).
+    */
+  final case class DeleteFileRef(path: String, format: String, content: Int,
+      equalityIds: Seq[Int], seq: Long)
+
+  /** Data files of the chosen snapshot (compat wrapper: errors if the
+    * snapshot carries v2 delete files — callers that can apply them use
+    * [[planFilesWithDeletes]]).
+    */
   def planFiles(spark: SparkSession, tablePath: String,
       snapshotAsOf: Option[Long] = None): (StructType, Seq[DataFileRef]) = {
+    val (schema, files, deletes) = planFilesWithDeletes(spark, tablePath, snapshotAsOf)
+    if (deletes.nonEmpty)
+      throw unsupported("v2 delete files via the files-only plan API", tablePath)
+    (schema, files)
+  }
+
+  /** Data + delete files of the chosen snapshot (default: current). */
+  def planFilesWithDeletes(spark: SparkSession, tablePath: String,
+      snapshotAsOf: Option[Long] = None)
+      : (StructType, Seq[DataFileRef], Seq[DeleteFileRef]) = {
     val conf = spark.sessionState.newHadoopConf()
     val (_, root) = currentMetadata(spark, tablePath)
 
@@ -102,17 +127,19 @@ object IcebergNative {
     if (snap.isEmpty && snapshotAsOf.isDefined)
       throw new IllegalArgumentException(
         s"Iceberg snapshot ${snapshotAsOf.get} not found (expired?): $tablePath")
-    if (snap.isEmpty) return (schema, Nil) // empty table: no snapshot yet
+    if (snap.isEmpty) return (schema, Nil, Nil) // empty table: no snapshot yet
 
-    val manifestPaths: Seq[(String, Int)] = // (path, content: 0 data / 1 deletes)
+    // (path, content: 0 data / 1 deletes, sequence number)
+    val manifestPaths: Seq[(String, Int, Long)] =
       Option(snap.get.get("manifest-list")).map { mlNode =>
         val mlPath = toFsPath(mlNode.asText, tablePath)
         readAvro(spark, mlPath).map { r =>
-          val content = Option(r.get("content")).map(_.toString.toInt).getOrElse(0)
-          (r.get("manifest_path").toString, content)
+          val content = optAvro(r, "content").map(_.toString.toInt).getOrElse(0)
+          val seq = optAvro(r, "sequence_number").map(_.toString.toLong).getOrElse(0L)
+          (r.get("manifest_path").toString, content, seq)
         }
       }.orElse(Option(snap.get.get("manifests")).map { arr => // v1 inline
-        (0 until arr.size).map(i => (arr.get(i).asText, 0))
+        (0 until arr.size).map(i => (arr.get(i).asText, 0, 0L))
       }).getOrElse(throw new IllegalArgumentException(
         s"snapshot has neither manifest-list nor manifests: $tablePath"))
 
@@ -135,27 +162,43 @@ object IcebergNative {
     }
 
     val files = mutable.Buffer.empty[DataFileRef]
-    manifestPaths.foreach { case (mp, listContent) =>
-      if (listContent == 1)
-        throw unsupported("delete manifests (v2 row-level deletes)", tablePath)
+    val deletes = mutable.Buffer.empty[DeleteFileRef]
+    manifestPaths.foreach { case (mp, listContent, mseq) =>
       readAvro(spark, toFsPath(mp, tablePath)).foreach { entry =>
         val status = Option(entry.get("status")).map(_.toString.toInt).getOrElse(1)
         if (status != 2) { // 2 = DELETED
           val dfRec = entry.get("data_file").asInstanceOf[GenericRecord]
-          val content = Option(dfRec.get("content")).map(_.toString.toInt).getOrElse(0)
-          if (content != 0)
-            throw unsupported("delete files (v2 row-level deletes)", tablePath)
+          val content = optAvro(dfRec, "content").map(_.toString.toInt)
+            .getOrElse(if (listContent == 1) 1 else 0)
           val fmt = dfRec.get("file_format").toString.toLowerCase
-          if (fmt != "parquet")
-            throw unsupported(s"$fmt data files", tablePath)
-          val rc = Option(dfRec.get("record_count")).map(_.toString.toLong).getOrElse(0L)
-          files += DataFileRef(dfRec.get("file_path").toString, fmt, rc,
-            Option(dfRec.get("file_size_in_bytes")).map(_.toString.toLong).getOrElse(0L),
-            manifestStats(dfRec, rc, fieldById))
+          // entry-level data sequence number when explicit, else inherited
+          // from the manifest-list entry (the v2 inheritance rule)
+          val eseq = optAvro(entry, "sequence_number")
+            .map(_.toString.toLong).getOrElse(mseq)
+          if (content == 0) {
+            if (fmt != "parquet")
+              throw unsupported(s"$fmt data files", tablePath)
+            val rc = Option(dfRec.get("record_count")).map(_.toString.toLong).getOrElse(0L)
+            files += DataFileRef(dfRec.get("file_path").toString, fmt, rc,
+              Option(dfRec.get("file_size_in_bytes")).map(_.toString.toLong).getOrElse(0L),
+              manifestStats(dfRec, rc, fieldById), eseq)
+          } else {
+            if (fmt != "parquet")
+              throw unsupported(s"$fmt delete files", tablePath)
+            val eqIds = optAvro(dfRec, "equality_ids").orNull match {
+              case c: java.util.Collection[_] => c.asScala.toSeq.map(_.toString.toInt)
+              case _ => Nil
+            }
+            if (content == 2 && eqIds.isEmpty)
+              throw unsupported("equality delete files without equality_ids",
+                tablePath)
+            deletes += DeleteFileRef(dfRec.get("file_path").toString, fmt,
+              content, eqIds, eseq)
+          }
         }
       }
     }
-    (schema, files.toSeq)
+    (schema, files.toSeq, deletes.toSeq)
   }
 
   /** Manifest entry bounds/null-counts → the same per-file stats JSON the
@@ -241,28 +284,46 @@ object IcebergNative {
     */
   def read(spark: SparkSession, tablePath: String,
       snapshotAsOf: Option[Long] = None): DataFrame = {
-    val (schema, files) = planFiles(spark, tablePath, snapshotAsOf)
-    scanFiles(spark, tablePath, schema, files)
+    val (schema, files, deletes) =
+      planFilesWithDeletes(spark, tablePath, snapshotAsOf)
+    scanFiles(spark, tablePath, schema, files, deletes)
   }
 
   private def scanFiles(spark: SparkSession, tablePath: String,
-      schema: StructType, files: Seq[DataFileRef]): DataFrame = {
-    if (files.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        stripParquetIds(schema))
+      schema: StructType, files: Seq[DataFileRef],
+      deletes: Seq[DeleteFileRef] = Nil,
+      withMeta: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val outSchema = stripParquetIds(schema)
+    if (files.isEmpty) {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+      return if (!withMeta) empty
+        else empty.withColumn("__graft_path", lit(null).cast("string"))
+          .withColumn("__graft_pos", lit(null).cast("long"))
+    }
     // field-id resolution (the spec's column-resolution rule) when the
-    // data files actually carry ids — real Iceberg writers always do (and
-    // ours stamps them since r9); for legacy id-less files fall back to
-    // name matching, because Spark's ignoreMissing path would serve nulls.
-    // One driver-side footer probe decides (files within a table are
-    // written consistently).
+    // data files actually carry ids — real Iceberg writers ALWAYS do (the
+    // spec requires ids in data files; ours stamps them since r9), so
+    // id-less files only arise from this repo's pre-r9 fixtures. Probe a
+    // bounded prefix of footers: a MIXED table (legacy + stamped) cannot
+    // be resolved one way globally — id mode would silently serve nulls
+    // from the legacy files for renamed columns — so fail loudly instead.
     val conf0 = spark.sessionState.newHadoopConf()
+    val probed = files.take(32).map(f =>
+      fileHasFieldIds(conf0, toFsPath(f.path, tablePath)))
+    if (probed.distinct.size > 1)
+      throw unsupported(
+        "a mix of id-stamped and legacy id-less data files", tablePath)
     val useIds = schema.exists(_.metadata.contains("parquet.field.id")) &&
-      fileHasFieldIds(conf0, toFsPath(files.head.path, tablePath))
+      probed.headOption.getOrElse(false)
+    // deliberately session-sticky: the scan executes LAZILY (a save/restore
+    // around construction would be gone by execution time), and the key is
+    // inert for schemas that don't carry parquet.field.id metadata — i.e.
+    // it affects exactly these scans
     if (useIds)
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    val resolved = if (useIds) schema else stripParquetIds(schema)
+    val resolved = if (useIds) schema else outSchema
     val relaxed = StructType(resolved.map(_.copy(nullable = true)))
     val fs0 = new Path(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
     val adds = files.map { f =>
@@ -278,7 +339,81 @@ object IcebergNative {
       StructType(Nil), relaxed, None,
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
       Map.empty[String, String])(spark)
-    spark.baseRelationToDataFrame(relation)
+    val base = spark.baseRelationToDataFrame(relation)
+    val needMeta = withMeta || deletes.nonEmpty
+    val withCols = if (!needMeta) base
+      else base.withColumn("__graft_path", col("_metadata.file_path"))
+        .withColumn("__graft_pos", col("_metadata.row_index"))
+    val undeleted = applyDeleteFiles(spark, tablePath, withCols, schema,
+      files, deletes)
+    val outCols = outSchema.map(f => col(f.name)) ++
+      (if (withMeta) Seq(col("__graft_path"), col("__graft_pos")) else Nil)
+    if (needMeta) undeleted.select(outCols: _*) else undeleted
+  }
+
+  /** Strip the URI scheme so a scanned `_metadata.file_path` and a
+    * manifest's `file_path` compare equal regardless of how each renders
+    * the same file (`file:/x`, `file:///x`, `/x`).
+    */
+  private val schemeRe = "^[a-zA-Z][a-zA-Z0-9+.-]*:/+"
+  private def normPath(p: String): String = p.replaceFirst(schemeRe, "/")
+
+  /** Apply v2 delete files to the scanned rows — Spark-first: the delete
+    * files are read as DataFrames (bytes proportional to DELETED rows)
+    * and subtracted with anti-joins, so nothing is materialized on the
+    * driver and Catalyst/AQE picks broadcast vs shuffle as the delete set
+    * grows. Sequence-number gates ride the joins via a per-FILE (path,
+    * seq) frame — metadata-sized, broadcast.
+    */
+  private def applyDeleteFiles(spark: SparkSession, tablePath: String,
+      scanned: DataFrame, schema: StructType, files: Seq[DataFileRef],
+      deletes: Seq[DeleteFileRef]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (deletes.isEmpty) return scanned
+    // rows tagged with their file's normalized path + data sequence number
+    val fileSeq = spark.createDataFrame(files.map(f =>
+      (normPath(toFsPath(f.path, tablePath).toString), f.seq)))
+      .toDF("__g_npath", "__g_dseq")
+    var rows = scanned
+      .withColumn("__g_npath", regexp_replace(col("__graft_path"), schemeRe, "/"))
+      .join(broadcast(fileSeq), "__g_npath")
+
+    // position deletes, grouped by sequence number (one scan per group)
+    val posBySeq = deletes.filter(_.content == 1).groupBy(_.seq).toSeq
+    posBySeq.foreach { case (dseq, dfs) =>
+      val del = spark.read
+        .parquet(dfs.map(d => toFsPath(d.path, tablePath).toString): _*)
+        .select(regexp_replace(col("file_path"), schemeRe, "/").as("__d_npath"),
+          col("pos").as("__d_pos"))
+      // a position delete applies to data files with data seq <= its seq
+      rows = rows.join(del,
+        rows("__g_npath") === del("__d_npath") &&
+          rows("__graft_pos") === del("__d_pos") &&
+          lit(dseq) >= rows("__g_dseq"),
+        "left_anti")
+    }
+
+    // equality deletes: resolve equality_ids to CURRENT logical names via
+    // the schema's field ids, match with null-safe equality, gate with the
+    // STRICT seq inequality (rows appended after the delete survive)
+    val idToField: Map[Int, StructField] = schema.fields.flatMap(f =>
+      if (f.metadata.contains("parquet.field.id"))
+        Some(f.metadata.getLong("parquet.field.id").toInt -> f)
+      else None).toMap
+    val eqBySig = deletes.filter(_.content == 2)
+      .groupBy(d => (d.equalityIds, d.seq)).toSeq
+    eqBySig.foreach { case ((eqIds, dseq), dfs) =>
+      val eqFields = eqIds.map(id => idToField.getOrElse(id,
+        throw unsupported(s"equality delete on unknown field id $id", tablePath)))
+      val del = spark.read.schema(StructType(eqFields.map(_.copy(nullable = true))))
+        .parquet(dfs.map(d => toFsPath(d.path, tablePath).toString): _*)
+        .toDF(eqFields.map(f => "__d_" + f.name): _*)
+      val cond = eqFields.map(f =>
+        rows(f.name) <=> del("__d_" + f.name)).reduce(_ && _) &&
+        lit(dseq) > rows("__g_dseq")
+      rows = rows.join(del, cond, "left_anti")
+    }
+    rows.drop("__g_npath", "__g_dseq")
   }
 
   /** Incremental append scan (the spec's "incremental read"): data files
@@ -295,7 +430,11 @@ object IcebergNative {
   def readSince(spark: SparkSession, tablePath: String,
       fromSnapshotId: Long): DataFrame = {
     val (_, root) = currentMetadata(spark, tablePath)
-    val (schema, _) = planFiles(spark, tablePath) // schema + format checks
+    // schema + format checks; delete files present in the CURRENT snapshot
+    // are safe to ignore here: the op-gate below raises for any non-append
+    // snapshot after `from`, so surviving deletes all predate `from` and
+    // can only target files added before it — never the appends served
+    val (schema, _, _) = planFilesWithDeletes(spark, tablePath)
     val snapshots = Option(root.get("snapshots"))
       .map(arr => (0 until arr.size).map(arr.get)).getOrElse(Nil)
     val fromIdx = snapshots.indexWhere(
@@ -363,7 +502,9 @@ object IcebergNative {
       |      "items":{"type":"record","name":"k129_v130","fields":[
       |        {"name":"key","type":"int","field-id":129},
       |        {"name":"value","type":"bytes","field-id":130}]},
-      |      "logicalType":"map"}],"default":null,"field-id":128}
+      |      "logicalType":"map"}],"default":null,"field-id":128},
+      |    {"name":"equality_ids","type":["null",{"type":"array",
+      |      "items":"int","element-id":136}],"default":null,"field-id":135}
       |  ]},"field-id":2}
       |]}""".stripMargin)
 
@@ -373,6 +514,7 @@ object IcebergNative {
       |  {"name":"manifest_length","type":"long","field-id":501},
       |  {"name":"partition_spec_id","type":"int","field-id":502},
       |  {"name":"content","type":"int","field-id":517},
+      |  {"name":"sequence_number","type":"long","default":0,"field-id":515},
       |  {"name":"added_snapshot_id","type":"long","field-id":503}
       |]}""".stripMargin)
 
@@ -467,33 +609,16 @@ object IcebergNative {
     // manifest list = prior manifests (append) or just this one (overwrite).
     // Each prior manifest keeps its ORIGINAL added_snapshot_id (spec: the
     // snapshot that first listed it) — that provenance is what makes the
-    // incremental scan ([[readSince]]) able to attribute files to commits.
-    val priorManifests: Seq[(String, Long, Long)] =
-      if (mode == "overwrite") Nil
-      else prior.toSeq.flatMap { p =>
-        val curId = Option(p.get("current-snapshot-id")).map(_.asLong)
-        val snaps = Option(p.get("snapshots"))
-          .map(arr => (0 until arr.size).map(arr.get)).getOrElse(Nil)
-        snaps.filter(s => curId.contains(s.get("snapshot-id").asLong))
-          .flatMap { s =>
-            readAvro(spark, toFsPath(s.get("manifest-list").asText, tablePath))
-              .map(r => (r.get("manifest_path").toString,
-                r.get("manifest_length").toString.toLong,
-                Option(r.get("added_snapshot_id")).map(_.toString.toLong)
-                  .getOrElse(s.get("snapshot-id").asLong)))
-          }
-      }
+    // incremental scan ([[readSince]]) able to attribute files to commits —
+    // plus its original content (a DELETE manifest stays one) and sequence
+    // number (what gates delete applicability).
+    val priorManifests: Seq[ManifestRef] =
+      if (mode == "overwrite") Nil else priorManifestRefs(spark, tablePath, prior)
     val mlPath = new Path(meta, s"snap-$snapshotId.avro")
     val mLen = fs.getFileStatus(manifestPath).getLen
-    writeAvro(spark, mlPath, manifestFileSchema,
-      ((manifestPath.toString, mLen, snapshotId) +: priorManifests).map {
-        case (p, len, addedBy) =>
-          val r = new GenericData.Record(manifestFileSchema)
-          r.put("manifest_path", p); r.put("manifest_length", len)
-          r.put("partition_spec_id", 0); r.put("content", 0)
-          r.put("added_snapshot_id", addedBy)
-          r
-      })
+    writeManifestList(spark, mlPath,
+      ManifestRef(manifestPath.toString, mLen, 0, version.toLong, snapshotId) +:
+        priorManifests)
 
     // versioned metadata json + version hint
     val rootNode = mapper.createObjectNode()
@@ -519,6 +644,7 @@ object IcebergNative {
     }
     val snapNode = snapsArr.addObject()
     snapNode.put("snapshot-id", snapshotId)
+    snapNode.put("sequence-number", version.toLong)
     snapNode.put("timestamp-ms", System.currentTimeMillis())
     snapNode.put("manifest-list", mlPath.toString)
     snapNode.putObject("summary").put("operation",
@@ -534,7 +660,217 @@ object IcebergNative {
     snapshotId
   }
 
+  // --------------------------------------------------- v2 delete writers
+
+  private[io] final case class ManifestRef(path: String, length: Long,
+      content: Int, seq: Long, addedBy: Long)
+
+  /** The current snapshot's manifest-list entries with their ORIGINAL
+    * content (a delete manifest stays one), sequence number (what gates
+    * delete applicability) and added-by provenance preserved.
+    */
+  private def priorManifestRefs(spark: SparkSession, tablePath: String,
+      prior: Option[JsonNode]): Seq[ManifestRef] =
+    prior.toSeq.flatMap { p =>
+      val curId = Option(p.get("current-snapshot-id")).map(_.asLong)
+      val snaps = Option(p.get("snapshots"))
+        .map(arr => (0 until arr.size).map(arr.get)).getOrElse(Nil)
+      snaps.filter(s => curId.contains(s.get("snapshot-id").asLong))
+        .flatMap { s =>
+          readAvro(spark, toFsPath(s.get("manifest-list").asText, tablePath))
+            .map(r => ManifestRef(r.get("manifest_path").toString,
+              r.get("manifest_length").toString.toLong,
+              optAvro(r, "content").map(_.toString.toInt).getOrElse(0),
+              optAvro(r, "sequence_number").map(_.toString.toLong).getOrElse(0L),
+              optAvro(r, "added_snapshot_id").map(_.toString.toLong)
+                .getOrElse(s.get("snapshot-id").asLong)))
+        }
+    }
+
+  private def writeManifestList(spark: SparkSession, mlPath: Path,
+      refs: Seq[ManifestRef]): Unit =
+    writeAvro(spark, mlPath, manifestFileSchema, refs.map { m =>
+      val r = new GenericData.Record(manifestFileSchema)
+      r.put("manifest_path", m.path); r.put("manifest_length", m.length)
+      r.put("partition_spec_id", 0); r.put("content", m.content)
+      r.put("sequence_number", m.seq)
+      r.put("added_snapshot_id", m.addedBy)
+      r
+    })
+
+  /** Row-level DELETE via a v2 POSITION delete file (spec "Position Delete
+    * Files"): matched rows are recorded as sorted `(file_path, pos)` pairs
+    * — cost proportional to matched ROWS, zero data files rewritten — the
+    * Iceberg-native analog of Delta's deletion vectors. One delete
+    * manifest + one snapshot commit. Returns the snapshot id (or the
+    * current one unchanged when nothing matches).
+    */
+  def deleteWhere(spark: SparkSession, tablePath: String,
+      condition: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions._
+    val (schema, files, deletes) = planFilesWithDeletes(spark, tablePath)
+    val conf = spark.sessionState.newHadoopConf()
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(conf)
+    // the delete file must record the MANIFEST's file_path spelling (what
+    // foreign readers key on), not the scanned URI — map back with a
+    // broadcast (normalized scanned path -> manifest path) frame
+    val pathMap = spark.createDataFrame(files.map(f =>
+      (normPath(toFsPath(f.path, tablePath).toString), f.path)))
+      .toDF("__m_npath", "__m_path")
+    val scan = scanFiles(spark, tablePath, schema, files, deletes,
+      withMeta = true)
+    val tmp = new Path(table, s".graft_del_${java.util.UUID.randomUUID}")
+    scan.filter(condition)
+      .withColumn("__g_npath",
+        regexp_replace(col("__graft_path"), schemeRe, "/"))
+      .join(broadcast(pathMap), col("__g_npath") === col("__m_npath"))
+      .select(col("__m_path").as("file_path"), col("__graft_pos").as("pos"))
+      .sort("file_path", "pos") // spec: position deletes sorted (path, pos)
+      .write.parquet(tmp.toString)
+    val staged = moveDeleteParts(fs, table, tmp, conf)
+    if (staged.isEmpty)
+      return Option(currentMetadata(spark, tablePath)._2
+        .get("current-snapshot-id")).map(_.asLong).getOrElse(-1L)
+    commitDelete(spark, tablePath, staged, content = 1, equalityIds = Nil)
+  }
+
+  /** Row-level DELETE via a v2 EQUALITY delete file (spec "Equality Delete
+    * Files"): the distinct `values` rows over `cols` are written ONCE, and
+    * any data row equal to a delete row (null-safe) whose data sequence
+    * number STRICTLY precedes this commit is excluded at read time — O(
+    * delete keys) bytes, applying to every earlier file without locating
+    * them (the upsert/CDC primitive). Rows appended later survive, even if
+    * equal. Returns the snapshot id.
+    */
+  def deleteWhereEquality(spark: SparkSession, tablePath: String,
+      cols: Seq[String], values: DataFrame): Long = {
+    val (schema, _, _) = planFilesWithDeletes(spark, tablePath)
+    val eqFields = cols.map(c => schema.fields.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(s"no column '$c' in $tablePath")))
+    val eqIds = eqFields.map(f =>
+      if (f.metadata.contains("parquet.field.id"))
+        f.metadata.getLong("parquet.field.id").toInt
+      else throw unsupported(
+        s"equality delete on id-less column '${f.name}'", tablePath))
+    val spark2 = values.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(conf)
+    // the delete file carries the schema's field ids so it keeps resolving
+    // after future renames, exactly like a data file
+    spark2.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val keyDf = values.selectExpr(cols: _*).dropDuplicates()
+    val tmp = new Path(table, s".graft_del_${java.util.UUID.randomUUID}")
+    spark2.createDataFrame(keyDf.rdd,
+      StructType(eqFields.map(_.copy(nullable = true))))
+      .write.parquet(tmp.toString)
+    val staged = moveDeleteParts(fs, table, tmp, conf)
+    commitDelete(spark, tablePath, staged, content = 2, equalityIds = eqIds)
+  }
+
+  /** Move staged delete part files under data/ and return
+    * (manifest path, bytes, rows) per file.
+    */
+  private def moveDeleteParts(fs: org.apache.hadoop.fs.FileSystem,
+      table: Path, tmp: Path,
+      conf: org.apache.hadoop.conf.Configuration): Seq[(String, Long, Long)] = {
+    val out = mutable.Buffer.empty[(String, Long, Long)]
+    fs.listStatus(tmp)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .foreach { st =>
+        val dest = new Path(table, s"data/delete-${java.util.UUID.randomUUID}.parquet")
+        fs.rename(st.getPath, dest)
+        val rows =
+          try DeltaStats.footerStats(conf, dest)._1
+          catch { case scala.util.control.NonFatal(_) => 0L }
+        if (rows > 0) out += ((dest.toString, st.getLen, rows))
+        else fs.delete(dest, false) // an empty part file deletes nothing
+      }
+    fs.delete(tmp, true)
+    out.toSeq
+  }
+
+  /** Shared delete-commit machinery: one delete MANIFEST listing
+    * `deleteFiles`, then a snapshot whose manifest list prepends it to the
+    * prior manifests (original content/seq preserved). The new sequence
+    * number is last-sequence-number + 1 — data files keep theirs, which is
+    * exactly what the read-side applicability gates compare against.
+    */
+  private def commitDelete(spark: SparkSession, tablePath: String,
+      deleteFiles: Seq[(String, Long, Long)], content: Int,
+      equalityIds: Seq[Int]): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val table = new Path(tablePath)
+    val meta = new Path(table, "metadata")
+    val fs = table.getFileSystem(conf)
+    val (metaFile, root) = currentMetadata(spark, tablePath)
+    val verRe = "^v(\\d+)\\.metadata\\.json$".r
+    val version = metaFile.getName match {
+      case verRe(v) => v.toInt + 1
+      case _ => throw new IllegalArgumentException(
+        s"unversioned metadata file ${metaFile.getName}: $tablePath")
+    }
+    val seq = Option(root.get("last-sequence-number")).map(_.asLong + 1)
+      .getOrElse(version.toLong)
+    val snapshotId = System.currentTimeMillis() * 1000 + version
+
+    val dataFileAvro = manifestEntrySchema.getField("data_file").schema()
+    val manifestPath = new Path(meta, s"manifest-$snapshotId.avro")
+    writeAvro(spark, manifestPath, manifestEntrySchema, deleteFiles.map {
+      case (p, bytes, rows) =>
+        val e = new GenericData.Record(manifestEntrySchema)
+        e.put("status", 1)
+        val d = new GenericData.Record(dataFileAvro)
+        d.put("content", content); d.put("file_path", p)
+        d.put("file_format", "PARQUET"); d.put("record_count", rows)
+        d.put("file_size_in_bytes", bytes)
+        if (equalityIds.nonEmpty) {
+          val l = new java.util.ArrayList[Integer]()
+          equalityIds.foreach(i => l.add(Integer.valueOf(i)))
+          d.put("equality_ids", l)
+        }
+        e.put("data_file", d)
+        e
+    })
+    val mLen = fs.getFileStatus(manifestPath).getLen
+    val mlPath = new Path(meta, s"snap-$snapshotId.avro")
+    writeManifestList(spark, mlPath,
+      ManifestRef(manifestPath.toString, mLen, content, seq, snapshotId) +:
+        priorManifestRefs(spark, tablePath, Some(root)))
+
+    val rootObj = root.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    rootObj.put("last-sequence-number", seq)
+    rootObj.put("last-updated-ms", System.currentTimeMillis())
+    rootObj.put("current-snapshot-id", snapshotId)
+    val snapsArr = rootObj.get("snapshots") match {
+      case a: com.fasterxml.jackson.databind.node.ArrayNode => a
+      case _ => rootObj.putArray("snapshots")
+    }
+    val snapNode = snapsArr.addObject()
+    snapNode.put("snapshot-id", snapshotId)
+    snapNode.put("sequence-number", seq)
+    snapNode.put("timestamp-ms", System.currentTimeMillis())
+    snapNode.put("manifest-list", mlPath.toString)
+    snapNode.putObject("summary").put("operation", "delete")
+    val mf = new Path(meta, s"v$version.metadata.json")
+    val out = fs.create(mf, false)
+    try out.write(mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(rootObj).getBytes("UTF-8"))
+    finally out.close()
+    val hint = fs.create(new Path(meta, "version-hint.text"), true)
+    try hint.write(version.toString.getBytes("UTF-8")) finally hint.close()
+    snapshotId
+  }
+
   // ------------------------------------------------------------ helpers
+
+  /** Avro's GenericRecord.get THROWS on a field the writer schema lacks
+    * (older manifests predate sequence_number/equality_ids) — probe the
+    * schema first.
+    */
+  private def optAvro(r: GenericRecord, name: String): Option[AnyRef] =
+    if (r.getSchema.getField(name) == null) None else Option(r.get(name))
 
   private[graft] def readAvro(spark: SparkSession, path: Path): Seq[GenericRecord] = {
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())

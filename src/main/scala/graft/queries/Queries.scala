@@ -2256,6 +2256,43 @@ object Queries {
         CAST(SUM(doc_id) AS BIGINT) AS id_sum
       FROM documents GROUP BY source ORDER BY src""")),
 
+    QueryDef("q130_iceberg_v2_deletes", (s, dir) => {
+      // Iceberg v2 row-level delete files end-to-end (r9 verdict #5):
+      // POSITIONAL deletes (sorted (file_path, pos) — the DV analog) and
+      // EQUALITY deletes (delete-by-key), both sequence-number-gated per
+      // the spec: rows appended AFTER a delete survive even when they
+      // match it. Composed across a rename, so the equality delete file's
+      // column resolves by field id like any data file.
+      val docs = Q.t(s, dir, "documents").select("doc_id", "source")
+      val path = s"/tmp/graft_icev2_${new java.io.File(dir).getName}/documents"
+      val mx = docs.agg(max("doc_id")).collect()(0).getLong(0)
+      val (t1, t2) = (mx / 3, 2 * mx / 3)
+      graft.io.IcebergNative.write(docs.filter(col("doc_id") <= t1), path,
+        mode = "overwrite")
+      graft.io.IcebergNative.renameColumn(s, path, "source", "src")
+      val renamed = docs.withColumnRenamed("source", "src")
+      graft.io.IcebergNative.write(
+        renamed.filter(col("doc_id") > t1 && col("doc_id") <= t2),
+        path, mode = "append")
+      // positional: drop doc_id % 7 == 0 from everything committed so far
+      graft.io.IcebergNative.deleteWhere(s, path, col("doc_id") % 7 === 0)
+      // equality: drop src = 'src3' from files strictly BEFORE this commit
+      graft.io.IcebergNative.deleteWhereEquality(s, path, Seq("src"),
+        s.createDataFrame(Seq(Tuple1("src3"))).toDF("src"))
+      // the late append's rows survive BOTH deletes (its %7 and 'src3'
+      // rows included) — the sequence-gating proof
+      graft.io.IcebergNative.write(renamed.filter(col("doc_id") > t2),
+        path, mode = "append")
+      graft.io.Sources.iceberg(s, path)
+        .groupBy("src")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
+        .orderBy("src")
+    }, Some("""SELECT source AS src, COUNT(*) AS n,
+        CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM documents, (SELECT (2 * MAX(doc_id)) // 3 AS t2 FROM documents) m
+      WHERE doc_id > m.t2 OR (doc_id % 7 <> 0 AND source <> 'src3')
+      GROUP BY source ORDER BY src""")),
+
     QueryDef("q97_histogram_adaptive", (s, dir) => {
       v(s, dir, "orders")
       // adaptive-bin histogram sketch (custom agg). Bin EDGES are sketch-

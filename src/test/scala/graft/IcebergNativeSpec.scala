@@ -83,25 +83,29 @@ class IcebergNativeSpec extends SparkTestBase {
     assert(back == IcebergNative.stampParquetIds(df.schema))
   }
 
-  test("iceberg: v2 delete files refuse loudly") {
+  test("iceberg: v2 position + equality deletes, sequence-gated") {
     val p = tmpDir("del")
-    IcebergNative.write(base, p)
-    // flip the current manifest list's content flag to 1 (delete manifest)
-    val meta = new Path(p, "metadata")
-    val fs = meta.getFileSystem(spark.sessionState.newHadoopConf())
-    val ml = fs.listStatus(meta).map(_.getPath)
-      .filter(_.getName.startsWith("snap-")).maxBy(_.getName)
-    val recs = IcebergNative.readAvro(spark, ml)
-    val schema = recs.head.getSchema
-    val flipped = recs.map { r =>
-      val c = new GenericData.Record(schema)
-      schema.getFields.forEach(f => c.put(f.name(), r.get(f.name())))
-      c.put("content", 1)
-      c
-    }
-    IcebergNative.writeAvro(spark, ml, schema, flipped)
-    val e = intercept[UnsupportedOperationException](Sources.iceberg(spark, p))
-    assert(e.getMessage.contains("delete"))
+    IcebergNative.write(base.filter(col("id") <= 2), p) // alpha, beta
+    // positional delete: (file_path, pos) pairs, no data file rewritten
+    IcebergNative.deleteWhere(spark, p, col("id") === 1L)
+    assert(Sources.iceberg(spark, p).select("id").as[Long].collect().toSeq
+      == Seq(2L))
+    // equality delete names beta AND gamma — but gamma is appended AFTER,
+    // so the strict sequence gate lets it survive
+    IcebergNative.deleteWhereEquality(spark, p, Seq("name"),
+      Seq(Tuple1("beta"), Tuple1("gamma")).toDF("name"))
+    IcebergNative.write(base.filter(col("id") === 3), p, mode = "append")
+    assert(Sources.iceberg(spark, p).select("name").as[String].collect().toSeq
+      == Seq("gamma"))
+    // the files-only plan API refuses rather than serving undeleted rows
+    intercept[UnsupportedOperationException](IcebergNative.planFiles(spark, p))
+    // deletes stack: a second positional delete hits the survivor
+    IcebergNative.deleteWhere(spark, p, col("name") === "gamma")
+    assert(Sources.iceberg(spark, p).count() == 0)
+    // a no-match delete commits nothing (same current snapshot)
+    val before = IcebergNative.deleteWhere(spark, p, col("id") === 99L)
+    assert(Sources.iceberg(spark, p).count() == 0)
+    assert(before == IcebergNative.deleteWhere(spark, p, col("id") === 98L))
   }
 
   test("iceberg: SQL table function iceberg('path')") {
