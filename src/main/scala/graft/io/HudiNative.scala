@@ -29,19 +29,37 @@ import org.apache.spark.sql.functions._
   * (partition fields included, plus the `_hoodie_*` meta columns), so no
   * per-file value attachment is needed.
   *
+  * MERGE_ON_READ (r10): a MOR file group is a base file plus LOG FILES of
+  * Avro data/delete blocks ([[HudiLog]], from the public log-format spec);
+  * the snapshot is base rows merged with the latest log record per
+  * `_hoodie_record_key`. The merge is Spark-first: log files parse on
+  * EXECUTORS into a DataFrame (bytes proportional to un-compacted
+  * updates), the latest-per-key winner comes from one hash aggregation on
+  * the record key, and base rows are subtracted with an anti-join — at
+  * 100 TB the shuffled volume is the log delta (bounded by compaction),
+  * never the base data, and nothing materializes on the driver.
+  * [[upsert]] / [[deleteWhere]] write log blocks routed to each key's
+  * file group (zero base files rewritten — the whole point of MOR).
+  *
   * Unsupported-by-design (capability error, never wrong rows):
-  * MERGE_ON_READ (log-file merge needs the connector's record merger),
   * `drop.partition.columns=true` tables, timeline-layout v2 (1.x
-  * `.hoodie/timeline/` dir — detected and named in the error).
+  * `.hoodie/timeline/` dir — detected and named in the error), MOR
+  * incremental reads (full-refresh instead), nested columns in log
+  * payloads.
   */
 object HudiNative {
 
   private val mapper = new ObjectMapper()
 
   private val baseFileRe = "^([^_]+)_([^_]+)_([0-9]+)\\.parquet$".r
+  // .{fileId}_{baseInstant}.log.{version}_{writeToken}
+  private val logFileRe = "^\\.(.+)_([0-9]+)\\.log\\.([0-9]+)_(.+)$".r
 
   final case class BaseFile(partition: String, fileId: String, instant: String,
       path: String, size: Long = 0L)
+
+  final case class LogFile(partition: String, fileId: String,
+      baseInstant: String, version: Int, path: String)
 
   /** Parse `.hoodie/hoodie.properties` (java.util.Properties format). */
   def tableProperties(spark: SparkSession, tablePath: String): Map[String, String] = {
@@ -148,6 +166,7 @@ object HudiNative {
     */
   def read(spark: SparkSession, tablePath: String,
       withMeta: Boolean = false): DataFrame = {
+    if (isMor(spark, tablePath)) return readMor(spark, tablePath, withMeta)
     val files = snapshotFiles(spark, tablePath)
     if (files.isEmpty)
       throw new IllegalArgumentException(
@@ -156,6 +175,10 @@ object HudiNative {
     if (withMeta) df
     else df.select(df.columns.filterNot(_.startsWith("_hoodie_")).map(col): _*)
   }
+
+  private def isMor(spark: SparkSession, tablePath: String): Boolean =
+    tableProperties(spark, tablePath).get("hoodie.table.type")
+      .exists(_.equalsIgnoreCase("MERGE_ON_READ"))
 
   private def scanBase(spark: SparkSession, tablePath: String,
       files: Seq[BaseFile]): DataFrame = {
@@ -170,6 +193,306 @@ object HudiNative {
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
       Map.empty[String, String])(spark)
     spark.baseRelationToDataFrame(relation)
+  }
+
+  // ------------------------------------------------------- MERGE_ON_READ
+
+  /** MOR snapshot listing: per file group the newest base file whose
+    * instant is a completed commit/deltacommit, the log files attached to
+    * that base (same fileId + base instant), and the completed-instant set
+    * (log BLOCKS are gated by it at read — an uncommitted block is
+    * invisible, which is how failed writes roll back for free).
+    */
+  def morSnapshotFiles(spark: SparkSession, tablePath: String)
+      : (Seq[BaseFile], Seq[LogFile], Set[String]) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(conf)
+    val props = tableProperties(spark, tablePath)
+    props.get("hoodie.datasource.write.drop.partition.columns")
+      .filter(_.equalsIgnoreCase("true"))
+      .foreach(_ => throw unsupported("drop.partition.columns=true", tablePath))
+    if (fs.exists(new Path(table, ".hoodie/timeline")))
+      throw unsupported("timeline layout v2 (.hoodie/timeline/)", tablePath)
+
+    val hoodie = new Path(table, ".hoodie")
+    val timeline = fs.listStatus(hoodie).filter(_.isFile).map(_.getPath.getName)
+    val commitRe = "^([0-9]+)\\.(commit|deltacommit|replacecommit)$".r
+    val completed = mutable.Map.empty[String, String]
+    timeline.foreach {
+      case commitRe(ts, action) => completed(ts) = action
+      case _ => ()
+    }
+    if (completed.isEmpty) return (Nil, Nil, Set.empty)
+
+    val replaced = mutable.Map.empty[String, String]
+    completed.collect { case (ts, "replacecommit") => ts }.foreach { ts =>
+      val p = new Path(hoodie, s"$ts.replacecommit")
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Option(mapper.readTree(text).get("partitionToReplaceFileIds")).foreach { byPart =>
+        val parts = byPart.fields()
+        while (parts.hasNext) {
+          val ids = parts.next().getValue
+          (0 until ids.size).map(ids.get(_).asText).foreach { id =>
+            if (replaced.get(id).forall(_ < ts)) replaced(id) = ts
+          }
+        }
+      }
+    }
+
+    val bases = mutable.Buffer.empty[BaseFile]
+    val logs = mutable.Buffer.empty[LogFile]
+    val it = fs.listFiles(table, true)
+    val tableUri = table.toUri.getPath.stripSuffix("/")
+    while (it.hasNext) {
+      val st = it.next()
+      val full = st.getPath.toUri.getPath
+      val rel = full.stripPrefix(tableUri).stripPrefix("/")
+      if (!rel.startsWith(".hoodie/") && !rel.startsWith(".")) {
+        val name = st.getPath.getName
+        def partitionOf: String = rel.stripSuffix("/" + name) match {
+          case `rel` => ""
+          case d => d
+        }
+        name match {
+          case baseFileRe(fileId, _, instant) if completed.contains(instant) =>
+            if (!replaced.get(fileId).exists(_ >= instant))
+              bases += BaseFile(partitionOf, fileId, instant,
+                st.getPath.toString, st.getLen)
+          case logFileRe(fileId, baseInstant, version, _) =>
+            logs += LogFile(partitionOf, fileId, baseInstant, version.toInt,
+              st.getPath.toString)
+          case _ => ()
+        }
+      }
+    }
+    val selected = bases.groupBy(f => (f.partition, f.fileId)).values
+      .map(_.maxBy(_.instant)).toSeq.sortBy(_.path)
+    val selKey = selected.map(b => (b.partition, b.fileId, b.instant)).toSet
+    val attached = logs.filter(l =>
+      selKey.contains((l.partition, l.fileId, l.baseInstant)))
+      .toSeq.sortBy(_.path)
+    (selected, attached, completed.keySet.toSet)
+  }
+
+  /** MOR snapshot read: base rows merged with the latest log record per
+    * record key. See the object scaladoc for the scale shape.
+    */
+  private def readMor(spark: SparkSession, tablePath: String,
+      withMeta: Boolean): DataFrame = {
+    val (bases, logs, completed) = morSnapshotFiles(spark, tablePath)
+    if (bases.isEmpty)
+      throw new IllegalArgumentException(
+        s"Hudi table has no completed commits: $tablePath")
+    val baseDf = scanBase(spark, tablePath, bases)
+    val merged = if (logs.isEmpty) baseDf else {
+      val schema = baseDf.schema
+      val logRows = parseLogRows(spark, logs, schema, completed)
+      val dataCols = schema.fieldNames.toSeq
+      // latest-wins per key: one hash aggregation, ordered by (instant,
+      // log version, block, record index) — the log's total order
+      val latest = logRows
+        .groupBy(col("_hoodie_record_key").as("__g_key"))
+        .agg(max_by(
+          struct((dataCols.map(col) :+ col("__g_del")): _*),
+          struct(col("__g_instant"), col("__g_ver"), col("__g_blk"),
+            col("__g_idx"))).as("__g_r"))
+      val live = latest.filter(!col("__g_r.__g_del"))
+        .select(dataCols.map(c => col(s"__g_r.$c")): _*)
+      val shadowed = latest.select(col("__g_key").as("_hoodie_record_key"))
+      baseDf.join(shadowed, Seq("_hoodie_record_key"), "left_anti")
+        .select(dataCols.map(col): _*)
+        .unionByName(live)
+    }
+    if (withMeta) merged
+    else merged.select(
+      merged.columns.filterNot(_.startsWith("_hoodie_")).map(col): _*)
+  }
+
+  /** Log files -> rows, parsed on EXECUTORS (the files are data, not
+    * metadata): each data-block record becomes a full row, each
+    * delete-block record a key-only tombstone row; every row carries its
+    * log total-order coordinates. Blocks whose header instant is not a
+    * completed timeline instant are invisible.
+    */
+  private def parseLogRows(spark: SparkSession, logs: Seq[LogFile],
+      schema: org.apache.spark.sql.types.StructType,
+      completed: Set[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ext = StructType(schema.fields ++ Seq(
+      StructField("__g_del", BooleanType), StructField("__g_instant", StringType),
+      StructField("__g_ver", IntegerType), StructField("__g_blk", IntegerType),
+      StructField("__g_idx", IntegerType)))
+    val avroJson = HudiLog.toAvroSchema(schema, "HoodieRecord").toString
+    val delJson = HudiLog.deleteKeySchema.toString
+    val confSer = new org.apache.spark.SerializableWritable(
+      spark.sessionState.newHadoopConf())
+    val keyIdx = schema.fieldIndex("_hoodie_record_key")
+    val partIdx = schema.fieldIndex("_hoodie_partition_path")
+    val n = schema.size
+    val metas = logs.map(l => (l.path, l.version))
+    val rdd = spark.sparkContext
+      .parallelize(metas, math.max(1, math.min(32, metas.size)))
+      .flatMap { case (p, ver) =>
+        val avroSchema = new org.apache.avro.Schema.Parser().parse(avroJson)
+        val delSchema = new org.apache.avro.Schema.Parser().parse(delJson)
+        HudiLog.read(confSer.value, new Path(p)).zipWithIndex.flatMap {
+          case (b, bi) =>
+            val instant = b.header.getOrElse(HudiLog.HInstantTime, "")
+            if (!completed.contains(instant)) Nil
+            else b.blockType match {
+              case HudiLog.AvroDataBlock =>
+                HudiLog.decodeRecords(avroSchema, b.content).zipWithIndex.map {
+                  case (r, i) => org.apache.spark.sql.Row.fromSeq(
+                    HudiLog.avroToRow(r, schema).toSeq ++
+                      Seq(false, instant, ver, bi, i))
+                }
+              case HudiLog.DeleteBlock =>
+                HudiLog.decodeRecords(delSchema, b.content).zipWithIndex.map {
+                  case (r, i) =>
+                    val vals = Array.fill[Any](n)(null)
+                    vals(keyIdx) = r.get("recordKey").toString
+                    vals(partIdx) = r.get("partitionPath").toString
+                    org.apache.spark.sql.Row.fromSeq(
+                      vals.toIndexedSeq ++ Seq(true, instant, ver, bi, i))
+                }
+              case _ => Nil // command/corrupt blocks carry no rows
+            }
+        }
+      }
+    spark.createDataFrame(rdd, ext)
+  }
+
+  /** MOR UPSERT: every row of `df` (data columns only, no meta) replaces
+    * the CURRENT version of the same record key via an Avro data block
+    * appended to the key's file group — zero base files rewritten, the
+    * point of MERGE_ON_READ. Updates route to their groups with one join
+    * against the key index (the snapshot's own meta columns) and each
+    * group's log file is written by the executor holding its rows. Keys
+    * not present in the table raise (inserts go through `write(append)`).
+    * Returns the commit instant.
+    */
+  def upsert(df: DataFrame, tablePath: String): String = {
+    val spark = df.sparkSession
+    require(isMor(spark, tablePath), s"upsert needs a MERGE_ON_READ table: $tablePath")
+    val (bases, logs, _) = morSnapshotFiles(spark, tablePath)
+    val current = readMor(spark, tablePath, withMeta = true)
+    val dataCols = current.columns.filterNot(_.startsWith("_hoodie_")).toSeq
+    require(df.columns.toSeq == dataCols,
+      s"upsert frame columns ${df.columns.toSeq} must match table data columns $dataCols")
+    val keyField = tableProperties(spark, tablePath)
+      .getOrElse("hoodie.table.recordkey.fields",
+        throw new IllegalArgumentException(
+          s"no hoodie.table.recordkey.fields in $tablePath"))
+    val instant = newInstant(spark, tablePath)
+
+    // key -> (group identity) from the snapshot's own meta columns
+    val keyIndex = current.select(col("_hoodie_record_key"),
+      col("_hoodie_partition_path"), col("_hoodie_file_name"))
+    val keyed = df.withColumn("_hoodie_record_key", col(keyField).cast("string"))
+    val unmatched = keyed.join(keyIndex, Seq("_hoodie_record_key"), "left_anti")
+    require(unmatched.isEmpty,
+      s"upsert keys not present in $tablePath (inserts go through write(append))")
+    val routed = keyed.join(keyIndex, Seq("_hoodie_record_key"))
+      .withColumn("_hoodie_commit_time", lit(instant))
+      .withColumn("_hoodie_commit_seqno",
+        concat(lit(instant + "_0_"), monotonically_increasing_id()))
+    val fullCols = current.columns.toSeq
+    val rows = routed.select(fullCols.map(col): _*)
+    writeGroupedLogs(spark, tablePath, rows, bases, logs, instant,
+      deleteBlock = false)
+    instant
+  }
+
+  /** MOR row-level DELETE: matched keys become delete-block tombstones in
+    * their file groups. Returns the commit instant (current instant when
+    * nothing matches).
+    */
+  def deleteWhere(spark: SparkSession, tablePath: String,
+      condition: org.apache.spark.sql.Column): String = {
+    require(isMor(spark, tablePath),
+      s"log-block delete needs a MERGE_ON_READ table: $tablePath")
+    val (bases, logs, _) = morSnapshotFiles(spark, tablePath)
+    val current = readMor(spark, tablePath, withMeta = true)
+    val matched = current.filter(condition)
+    val instant = newInstant(spark, tablePath)
+    writeGroupedLogs(spark, tablePath, matched, bases, logs, instant,
+      deleteBlock = true)
+    instant
+  }
+
+  /** Group `rows` (full-schema, `_hoodie_file_name` identifying the file
+    * group) by file group and write ONE new log file per group on the
+    * executor holding that group's rows; then complete the deltacommit.
+    * A group's worth of one commit's updates is bounded (compaction keeps
+    * log chains short), so the per-group fold is safe.
+    */
+  private def writeGroupedLogs(spark: SparkSession, tablePath: String,
+      rows: DataFrame, bases: Seq[BaseFile], logs: Seq[LogFile],
+      instant: String, deleteBlock: Boolean): Unit = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val schema = rows.schema
+    val avroJson = HudiLog.toAvroSchema(schema, "HoodieRecord").toString
+    val delJson = HudiLog.deleteKeySchema.toString
+    val confSer = new org.apache.spark.SerializableWritable(
+      spark.sessionState.newHadoopConf())
+    // fileId -> (partition dir, base instant, next log version)
+    val nextVer: Map[String, (String, String, Int)] = bases.map { b =>
+      val existing = logs.filter(l => l.fileId == b.fileId &&
+        l.partition == b.partition).map(_.version)
+      b.fileId -> ((b.partition, b.instant,
+        (existing :+ 0).max + 1))
+    }.toMap
+    val keyIdx = schema.fieldIndex("_hoodie_record_key")
+    val partIdx = schema.fieldIndex("_hoodie_partition_path")
+    val fileIdx = schema.fieldIndex("_hoodie_file_name")
+    val tableStr = tablePath
+    val written = rows.groupByKey((r: Row) =>
+        r.getString(fileIdx).split("_")(0))(Encoders.STRING)
+      .mapGroups { (fileId: String, it: Iterator[Row]) =>
+        val avroSchema = new org.apache.avro.Schema.Parser().parse(avroJson)
+        val delSchema = new org.apache.avro.Schema.Parser().parse(delJson)
+        val (partition, baseInstant, ver) = nextVer(fileId)
+        val recs = it.toSeq
+        val (btype, content) =
+          if (deleteBlock)
+            (HudiLog.DeleteBlock, HudiLog.encodeRecords(delSchema,
+              recs.map { r =>
+                val d = new org.apache.avro.generic.GenericData.Record(delSchema)
+                d.put("recordKey", r.getString(keyIdx))
+                d.put("partitionPath",
+                  if (r.isNullAt(partIdx)) "" else r.getString(partIdx))
+                d
+              }))
+          else
+            (HudiLog.AvroDataBlock, HudiLog.encodeRecords(avroSchema,
+              recs.map(HudiLog.rowToAvro(_, schema, avroSchema))))
+        val dir = if (partition.isEmpty) new Path(tableStr)
+          else new Path(tableStr, partition)
+        val logPath = new Path(dir,
+          s".${fileId}_$baseInstant.log.${ver}_0-0-0")
+        HudiLog.write(confSer.value, logPath, Seq(HudiLog.Block(btype,
+          Map(HudiLog.HInstantTime -> instant, HudiLog.HSchema ->
+            (if (deleteBlock) delJson else avroJson)), content)))
+        logPath.toString
+      }(Encoders.STRING)
+      .collect()
+
+    // requested -> inflight -> completed deltacommit; blocks become
+    // visible only now (read gates on completed instants)
+    val hoodie = new Path(tablePath, ".hoodie")
+    val fs = hoodie.getFileSystem(spark.sessionState.newHadoopConf())
+    val root = mapper.createObjectNode()
+    root.put("operationType", if (deleteBlock) "delete" else "upsert")
+    val pws = root.putObject("partitionToWriteStats")
+    written.foreach { p => pws.putArray(new Path(p).getParent.getName) }
+    Seq(s"$instant.deltacommit.requested", s"$instant.deltacommit.inflight")
+      .foreach { n => val o = fs.create(new Path(hoodie, n), true); o.close() }
+    val out = fs.create(new Path(hoodie, s"$instant.deltacommit"), true)
+    try out.write(mapper.writeValueAsString(root).getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Hudi incremental query — the real contract: rows whose
@@ -239,7 +562,8 @@ object HudiNative {
     * group). Returns the commit instant.
     */
   def write(df: DataFrame, tablePath: String, partitionBy: Seq[String] = Nil,
-      mode: String = "append", recordKeyField: String = ""): String = {
+      mode: String = "append", recordKeyField: String = "",
+      tableType: String = "COPY_ON_WRITE"): String = {
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     val table = new Path(tablePath)
@@ -250,17 +574,22 @@ object HudiNative {
       fs.mkdirs(hoodie)
       val props = new java.util.Properties()
       props.setProperty("hoodie.table.name", table.getName)
-      props.setProperty("hoodie.table.type", "COPY_ON_WRITE")
+      props.setProperty("hoodie.table.type", tableType.toUpperCase)
       props.setProperty("hoodie.table.version", "6")
       props.setProperty("hoodie.timeline.layout.version", "1")
+      if (recordKeyField.nonEmpty)
+        props.setProperty("hoodie.table.recordkey.fields", recordKeyField)
       if (partitionBy.nonEmpty)
         props.setProperty("hoodie.table.partition.fields", partitionBy.mkString(","))
       val out = fs.create(new Path(hoodie, "hoodie.properties"), true)
       try props.store(out, "graft native writer") finally out.close()
     }
 
+    val mor = isMor(spark, tablePath)
     val priorGroups =
-      if (firstCommit) Nil else snapshotFiles(spark, tablePath)
+      if (firstCommit) Nil
+      else if (mor) morSnapshotFiles(spark, tablePath)._1
+      else snapshotFiles(spark, tablePath)
     val instant = newInstant(spark, tablePath)
     val keyCol = if (recordKeyField.nonEmpty) col(recordKeyField)
       else col(df.columns.head)
@@ -309,9 +638,12 @@ object HudiNative {
             part = part.withColumn(k,
               v.map(s => lit(s).cast(ft)).getOrElse(lit(null).cast(ft)))
           }
-          part = part.select(withMeta.columns.map(col): _*)
           val fileId = java.util.UUID.randomUUID.toString + "-0"
           val fileName = s"${fileId}_0-0-0_$instant.parquet"
+          // a real writer stamps the file's own name into the meta column;
+          // MOR upsert routing resolves each key's file group through it
+          part = part.withColumn("_hoodie_file_name", lit(fileName))
+            .select(withMeta.columns.map(col): _*)
           val destDir = if (partition.isEmpty) table else new Path(table, partition)
           fs.mkdirs(destDir)
           val stage2 = new Path(table, s".graft_one_${java.util.UUID.randomUUID}")
@@ -329,7 +661,7 @@ object HudiNative {
     fs.delete(tmp, true)
 
     val action = if (mode == "overwrite" && priorGroups.nonEmpty)
-      "replacecommit" else "commit"
+      "replacecommit" else if (mor) "deltacommit" else "commit"
     val root = mapper.createObjectNode()
     root.put("operationType",
       if (action == "replacecommit") "insert_overwrite" else "upsert")

@@ -84,17 +84,41 @@ class HudiNativeSpec extends SparkTestBase {
     assert(Sources.hudi(spark, p).count() == 4)
   }
 
-  test("hudi: MERGE_ON_READ refuses loudly") {
+  test("hudi: MERGE_ON_READ upsert + delete via log blocks, latest wins") {
     val p = tmpDir("mor")
-    HudiNative.write(base, p)
-    val propsPath = java.nio.file.Paths.get(p, ".hoodie", "hoodie.properties")
-    val text = new String(Files.readAllBytes(propsPath), "UTF-8")
-      .replace("COPY_ON_WRITE", "MERGE_ON_READ")
-    Files.write(propsPath, text.getBytes("UTF-8"))
-    // editing behind Hadoop's ChecksumFileSystem invalidates the sidecar
-    Files.deleteIfExists(java.nio.file.Paths.get(p, ".hoodie", ".hoodie.properties.crc"))
-    val e = intercept[UnsupportedOperationException](Sources.hudi(spark, p))
-    assert(e.getMessage.contains("MERGE_ON_READ"))
+    HudiNative.write(base, p, recordKeyField = "id",
+      tableType = "MERGE_ON_READ")
+    // snapshot without logs == base
+    assert(Sources.hudi(spark, p).count() == 4)
+    // upsert rewrites two keys through an Avro data block — base untouched
+    HudiNative.upsert(
+      Seq((2L, "beta2", 9.0, "us"), (3L, "gamma2", 9.5, "eu"))
+        .toDF("id", "name", "v", "region"), p)
+    val afterUpsert = Sources.hudi(spark, p).orderBy("id")
+      .select("name").as[String].collect().toSeq
+    assert(afterUpsert == Seq("alpha", "beta2", "gamma2", "delta"))
+    // second upsert of the same key: later instant wins
+    HudiNative.upsert(Seq((3L, "gamma3", 1.0, "eu"))
+      .toDF("id", "name", "v", "region"), p)
+    // delete block tombstones a base row AND an upserted row
+    HudiNative.deleteWhere(spark, p,
+      col("name") === "alpha" || col("name") === "beta2")
+    val fin = Sources.hudi(spark, p).orderBy("id")
+      .select("id", "name").as[(Long, String)].collect().toSeq
+    assert(fin == Seq((3L, "gamma3"), (4L, "delta")))
+    // appends still create new file groups via deltacommit
+    HudiNative.write(Seq((5L, "eps", 5.5, "eu")).toDF("id", "name", "v", "region"),
+      p, mode = "append")
+    assert(Sources.hudi(spark, p).count() == 3)
+    // upserting an unknown key refuses (inserts go through write(append))
+    intercept[IllegalArgumentException] {
+      HudiNative.upsert(Seq((99L, "nope", 0.0, "us"))
+        .toDF("id", "name", "v", "region"), p)
+    }
+    // incremental read on MOR refuses rather than serving unmerged rows
+    intercept[UnsupportedOperationException] {
+      HudiNative.readSince(spark, p, "0")
+    }
   }
 
   test("hudi: SQL table function hudi('path')") {
