@@ -57,11 +57,18 @@ object Tables {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$sfDir/events.parquet")
-      // driver fixtures carry TIMESTAMP(NANOS) → read as raw long, truncate;
-      // GenData-scaled fixtures already carry micros timestamps → use as-is
+      // driver fixtures have carried two shapes: TIMESTAMP(NANOS) (pre-r10;
+      // read as raw long, truncate to micros) and plain timestamp[us] with
+      // isAdjustedToUTC=false (r10 regeneration; surfaces as TIMESTAMP_NTZ —
+      // cast to TIMESTAMP, identical instants under the UTC session zone,
+      // and the naive-timestamp convention DuckDB oracles already use).
+      // GenData-scaled fixtures already carry micros timestamps → as-is
       df.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
         case _ => df
       }
     } else {

@@ -44,9 +44,12 @@ object GraftFunctions {
   def l2Distance(a: Column, b: Column): Column =
     ColumnBridge.column(L2Dist(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
-  /** Lowercased word tokens (the reference's alphaTokens-style split). */
+  /** Lowercased word tokens (the reference's alphaTokens-style split) —
+    * single-pass codegen scan ([[Tokenize]]), semantics identical to
+    * `filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)`.
+    */
   def tokenize(text: Column): Column =
-    filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+    ColumnBridge.column(Tokenize(ColumnBridge.expression(text)))
 
   /** n-token shingles joined by a single space, over a token array.
     *

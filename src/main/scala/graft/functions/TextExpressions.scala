@@ -1,9 +1,68 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
+
+/** tokenize(text): lowercased word tokens in a single character-class scan.
+  *
+  * Drop-in replacement for the declarative
+  * `filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)`
+  * (r9 verdict: the regex tokenizer is the whole cost of q103_curation — a
+  * java.util.regex scan per document dominated the curation pipeline). The
+  * semantics are IDENTICAL by construction: lowercase first via the same
+  * `UTF8String.toLowerCase` that Spark's `lower` uses, then emit maximal
+  * runs of code points whose Unicode category is a Letter (Lu/Ll/Lt/Lm/Lo,
+  * `\p{L}`) or Number (Nd/Nl/No, `\p{N}`) — exactly the complement of the
+  * regex separator, decided by one `Character.getType` lookup per code
+  * point instead of a regex engine. TokenizeFidelitySpec property-checks
+  * equivalence against the regex pipeline over unicode inputs.
+  *
+  * Full codegen (one static call per row), so tokenize stays inside
+  * whole-stage codegen in every pipeline that was already codegen'd.
+  */
+case class Tokenize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenizerOps.split(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenizerOps.split($c)")
+
+  override protected def withNewChildInternal(c: Expression): Tokenize = copy(child = c)
+}
+
+/** Static home for [[Tokenize]]'s scan (no companion class, so the
+  * generated Java calls the static forwarder directly).
+  */
+object TokenizerOps {
+  def split(s: UTF8String): GenericArrayData = {
+    val lower = s.toLowerCase.toString
+    val out = new java.util.ArrayList[AnyRef]
+    val n = lower.length
+    var i = 0
+    var start = -1
+    while (i < n) {
+      val cp = lower.codePointAt(i)
+      val t = Character.getType(cp)
+      // Unicode categories Lu..Lo are types 1..5, Nd/Nl/No are 9..11
+      val isTok = (t >= Character.UPPERCASE_LETTER && t <= Character.OTHER_LETTER) ||
+        (t >= Character.DECIMAL_DIGIT_NUMBER && t <= Character.OTHER_NUMBER)
+      if (isTok) { if (start < 0) start = i }
+      else if (start >= 0) {
+        out.add(UTF8String.fromString(lower.substring(start, i)))
+        start = -1
+      }
+      i += Character.charCount(cp)
+    }
+    if (start >= 0) out.add(UTF8String.fromString(lower.substring(start, n)))
+    new GenericArrayData(out.toArray)
+  }
+}
 
 /** 64-bit SimHash over whitespace-separated lowercased tokens — the classic
   * near-duplicate fingerprint (Charikar 2002): documents within small Hamming

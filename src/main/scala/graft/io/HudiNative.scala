@@ -250,8 +250,12 @@ object HudiNative {
       val st = it.next()
       val full = st.getPath.toUri.getPath
       val rel = full.stripPrefix(tableUri).stripPrefix("/")
-      if (!rel.startsWith(".hoodie/") && !rel.startsWith(".")) {
-        val name = st.getPath.getName
+      val name = st.getPath.getName
+      // log files are DOT-files by spec (.fileId_base.log.v_token), so the
+      // hidden-file guard applies to the DIRECTORY segments only (.hoodie,
+      // .graft_stage_* staging) — a dot-named file still name-matches below
+      val hiddenDir = rel.split("/").dropRight(1).exists(_.startsWith("."))
+      if (!hiddenDir) {
         def partitionOf: String = rel.stripSuffix("/" + name) match {
           case `rel` => ""
           case d => d

@@ -139,7 +139,7 @@ object Sources {
   /** deltaLake(path) — reference table_functions.py:930. Uses the connector
     * jar when present (full feature surface); otherwise the from-scratch
     * log-replay reader [[DeltaNative]] (JSON commits + parquet checkpoints +
-    * time travel; capability errors for deletion vectors / column mapping).
+    * time travel + deletion vectors + column mapping, r9).
     */
   def deltaLake(spark: SparkSession, path: String,
       versionAsOf: Option[Long] = None): DataFrame =
@@ -150,7 +150,8 @@ object Sources {
   /** iceberg(tableOrPath) — reference table_functions.py:868. Uses the
     * connector jar when present; otherwise the from-scratch metadata-walk
     * reader [[IcebergNative]] (metadata json → Avro manifest list →
-    * manifests → data files; capability error for v2 delete files).
+    * manifests → data files, with field-id column resolution and v2
+    * positional/equality delete files, r10).
     */
   def iceberg(spark: SparkSession, tableOrPath: String): DataFrame =
     if (lakehouseAvailable("iceberg"))
@@ -158,9 +159,9 @@ object Sources {
     else IcebergNative.read(spark, tableOrPath)
 
   /** hudi(path) — reference table_functions.py:975. Uses the connector jar
-    * when present; otherwise the from-scratch CoW snapshot reader
-    * [[HudiNative]] (timeline replay + latest file slice per group;
-    * capability error for MERGE_ON_READ).
+    * when present; otherwise the from-scratch snapshot reader
+    * [[HudiNative]] (timeline replay + latest file slice per group, both
+    * COPY_ON_WRITE and MERGE_ON_READ log-block merge, r10).
     */
   def hudi(spark: SparkSession, path: String): DataFrame =
     if (lakehouseAvailable("hudi")) spark.read.format("hudi").load(path)

@@ -2293,6 +2293,31 @@ object Queries {
       WHERE doc_id > m.t2 OR (doc_id % 7 <> 0 AND source <> 'src3')
       GROUP BY source ORDER BY src""")),
 
+    QueryDef("q131_hudi_mor", (s, dir) => {
+      // Hudi MERGE_ON_READ end-to-end (r9 verdict #9): base parquet files
+      // plus Avro log blocks (io/HudiLog.scala, public log-format spec),
+      // merged at read by one hash aggregation on the record key — log
+      // bytes shuffle, base data never does. The fixture UPSERTS through a
+      // data block (zero base files rewritten — the point of MOR), then
+      // DELETES through tombstone blocks; the delete lands at a later
+      // instant, so it also shadows rows the upsert just touched.
+      val docs = Q.t(s, dir, "documents").select("doc_id", "source")
+      val path = s"/tmp/graft_hudimor_${new java.io.File(dir).getName}/documents"
+      graft.io.HudiNative.write(docs, path, mode = "overwrite",
+        recordKeyField = "doc_id", tableType = "MERGE_ON_READ")
+      graft.io.HudiNative.upsert(
+        docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("source", lit("upserted")), path)
+      graft.io.HudiNative.deleteWhere(s, path, col("doc_id") % 7 === 0)
+      graft.io.Sources.hudi(s, path)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
+        .orderBy("source")
+    }, Some("""SELECT CASE WHEN doc_id % 10 = 0 THEN 'upserted' ELSE source END AS source,
+        COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM documents WHERE doc_id % 7 <> 0
+      GROUP BY 1 ORDER BY source""")),
+
     QueryDef("q97_histogram_adaptive", (s, dir) => {
       v(s, dir, "orders")
       // adaptive-bin histogram sketch (custom agg). Bin EDGES are sketch-

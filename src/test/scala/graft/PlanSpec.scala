@@ -235,10 +235,13 @@ class ClickBenchPlanSpec extends SparkTestBase {
 
   test("cb16 CASE+JSON rollup: nanos time-range pushed despite expression keys") {
     val p = plan("cb16_case_key_rollup")
-    // NanosTimestampPushdown must turn both timestamp bounds into raw-nanos
-    // parquet filters even though the grouping key is a CASE over JSON
-    // (upper bounds rewrite to <= since r8's trunc-exact inverse)
-    assert(p.contains("GreaterThanOrEqual(ts") && p.contains("LessThanOrEqual(ts"))
+    // both timestamp bounds must reach the parquet scan even though the
+    // grouping key is a CASE over JSON. Two fixture vintages: TIMESTAMP(NANOS)
+    // files go through NanosTimestampPushdown (upper bound rewrites to <=
+    // via r8's trunc-exact inverse); r10's timestamp[us] files push natively
+    // (plain < upper).
+    assert(p.contains("GreaterThanOrEqual(ts") &&
+      (p.contains("LessThanOrEqual(ts") || p.contains("LessThan(ts")))
   }
 
   test("nanos pushdown rewrite is exact for pre-epoch (negative) nanos") {
