@@ -11,6 +11,7 @@ object Scratch {
     if (args.headOption.contains("simtune")) { simTune(g, args.drop(1)); g.spark.stop(); return }
     if (args.headOption.contains("deltaprune")) { deltaPrune(g); g.spark.stop(); return }
     if (args.headOption.contains("deltareplay")) { deltaReplay(g); g.spark.stop(); return }
+    if (args.headOption.contains("morcompact")) { morCompact(g); g.spark.stop(); return }
     val names = if (args.nonEmpty) args.toSeq else Seq("q01_tpch_q1")
     names.foreach { n =>
       println(s"=== $n ===")
@@ -19,6 +20,32 @@ object Scratch {
       else df.show(10, false)
     }
     g.spark.stop()
+  }
+
+  /** Drive MOR upsert/delete/compact end-to-end on the sf0.001 documents
+    * table through the public API and print the before/after snapshots.
+    */
+  private def morCompact(g: graft.engine.GraftSession): Unit = {
+    val spark = g.spark
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "source")
+    val path = s"/tmp/graft_scratch_morcompact/${java.util.UUID.randomUUID}"
+    graft.io.HudiNative.write(docs, path, mode = "overwrite",
+      recordKeyField = "doc_id", tableType = "MERGE_ON_READ")
+    graft.io.HudiNative.upsert(docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("source", lit("upserted")), path)
+    graft.io.HudiNative.deleteWhere(spark, path, col("doc_id") % 7 === 0)
+    val before = graft.io.Sources.hudi(spark, path)
+      .groupBy("source").count().orderBy("source")
+    println("=== before compact ===");  before.show(20, false)
+    val logsBefore = graft.io.HudiNative.morSnapshotFiles(spark, path)._2.size
+    graft.io.HudiNative.compact(spark, path)
+    val after = graft.io.Sources.hudi(spark, path)
+      .groupBy("source").count().orderBy("source")
+    println("=== after compact ===");  after.show(20, false)
+    val logsAfter = graft.io.HudiNative.morSnapshotFiles(spark, path)._2.size
+    println(s"attached logs: $logsBefore -> $logsAfter")
   }
 
   /** Probe: simhash candidate ratio vs tableCap (block count) at a given

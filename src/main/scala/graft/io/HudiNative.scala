@@ -427,6 +427,93 @@ object HudiNative {
     instant
   }
 
+  /** MOR COMPACTION: rewrite every file group that has log files as a new
+    * base file at a fresh commit instant, merging base + latest log records
+    * (the merged snapshot is unchanged by construction — compaction is pure
+    * reorganization). The new slice's instant postdates every log's base
+    * instant, so the old log chain detaches: subsequent reads scan plain
+    * parquet and subsequent upserts log against the new base. This is what
+    * keeps MOR log chains short at scale — [[writeGroupedLogs]]'s bounded
+    * per-group fold assumes someone runs it.
+    *
+    * One distributed job: rows route to their group by the
+    * `_hoodie_file_name` meta column (hash repartition on the group, one
+    * file per group), then the driver does one rename per group — metadata
+    * ops only, the same O(groups) cost any commit pays. Groups whose every
+    * row is tombstoned become an empty base file, retiring their data
+    * without a replacecommit. Returns the compaction instant (a `commit`
+    * action, as real compaction completes), or the current latest instant
+    * when there are no logs to compact.
+    */
+  def compact(spark: SparkSession, tablePath: String): String = {
+    require(isMor(spark, tablePath),
+      s"compact needs a MERGE_ON_READ table: $tablePath")
+    val (bases, logs, _) = morSnapshotFiles(spark, tablePath)
+    require(bases.nonEmpty, s"Hudi table has no completed commits: $tablePath")
+    if (logs.isEmpty) return bases.map(_.instant).max
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val merged = readMor(spark, tablePath, withMeta = true)
+    val instant = newInstant(spark, tablePath)
+    val withLogs = logs.map(l => (l.partition, l.fileId)).toSet
+    val targets = bases.filter(b => withLogs.contains((b.partition, b.fileId)))
+    val nameToGroup = targets.map(b => new Path(b.path).getName -> b).toMap
+    val cols = merged.columns.toSeq
+
+    val rows = merged
+      .filter(col("_hoodie_file_name").isin(nameToGroup.keys.toSeq: _*))
+      .withColumn("__grp", col("_hoodie_file_name"))
+      // stamp the new slice's file name; record commit times are preserved
+      // (compaction rewrites records, it does not re-author them)
+      .withColumn("_hoodie_file_name",
+        concat(substring_index(col("_hoodie_file_name"), "_", 1),
+          lit(s"_0-0-0_$instant.parquet")))
+    val stage = new Path(table, s".graft_stage_${java.util.UUID.randomUUID}")
+    rows.repartition(col("__grp")).write.partitionBy("__grp")
+      .parquet(stage.toString)
+
+    nameToGroup.foreach { case (oldName, g) =>
+      val dir = new Path(stage, s"__grp=$oldName")
+      val newName = s"${g.fileId}_0-0-0_$instant.parquet"
+      val destDir = if (g.partition.isEmpty) table
+        else new Path(table, g.partition)
+      val part = if (fs.exists(dir)) fs.listStatus(dir).map(_.getPath)
+        .find(_.getName.endsWith(".parquet")) else None
+      part match {
+        case Some(one) => fs.rename(one, new Path(destDir, newName))
+        case None => // fully-tombstoned group: write an empty base file
+          val empty = new Path(stage, s".empty_${g.fileId}")
+          merged.limit(0).select(cols.map(col): _*)
+            .coalesce(1).write.parquet(empty.toString)
+          val f = fs.listStatus(empty).map(_.getPath)
+            .find(_.getName.endsWith(".parquet")).get
+          fs.rename(f, new Path(destDir, newName))
+      }
+    }
+    fs.delete(stage, true)
+
+    val hoodie = new Path(table, ".hoodie")
+    val root = mapper.createObjectNode()
+    root.put("operationType", "compaction")
+    val pws = root.putObject("partitionToWriteStats")
+    targets.groupBy(_.partition).foreach { case (part, gs) =>
+      val arr = pws.putArray(part)
+      gs.foreach { g =>
+        val o = arr.addObject()
+        o.put("fileId", g.fileId)
+        o.put("path", (if (part.isEmpty) "" else part + "/") +
+          s"${g.fileId}_0-0-0_$instant.parquet")
+      }
+    }
+    Seq(s"$instant.commit.requested", s"$instant.commit.inflight").foreach { n =>
+      val out = fs.create(new Path(hoodie, n), true); out.close()
+    }
+    val out = fs.create(new Path(hoodie, s"$instant.commit"), true)
+    try out.write(mapper.writeValueAsString(root).getBytes("UTF-8"))
+    finally out.close()
+    instant
+  }
+
   /** Group `rows` (full-schema, `_hoodie_file_name` identifying the file
     * group) by file group and write ONE new log file per group on the
     * executor holding that group's rows; then complete the deltacommit.

@@ -121,6 +121,47 @@ class HudiNativeSpec extends SparkTestBase {
     }
   }
 
+  test("hudi: MOR compaction detaches the log chain, snapshot unchanged") {
+    val p = tmpDir("compact")
+    HudiNative.write(base, p, recordKeyField = "id",
+      tableType = "MERGE_ON_READ")
+    HudiNative.upsert(Seq((2L, "beta2", 9.0, "us"), (3L, "gamma2", 9.5, "eu"))
+      .toDF("id", "name", "v", "region"), p)
+    HudiNative.deleteWhere(spark, p, col("name") === "alpha")
+    val before = Sources.hudi(spark, p).orderBy("id")
+      .select("id", "name", "v").as[(Long, String, Double)].collect().toSeq
+    assert(HudiNative.morSnapshotFiles(spark, p)._2.nonEmpty, "logs exist")
+    HudiNative.compact(spark, p)
+    // compaction is pure reorganization: same snapshot, zero attached logs
+    val after = Sources.hudi(spark, p).orderBy("id")
+      .select("id", "name", "v").as[(Long, String, Double)].collect().toSeq
+    assert(after == before, s"$after vs $before")
+    assert(HudiNative.morSnapshotFiles(spark, p)._2.isEmpty,
+      "old log chain must detach from the new base slice")
+    // the table keeps working: upsert against the compacted base + read
+    HudiNative.upsert(Seq((4L, "delta2", 0.5, "eu"))
+      .toDF("id", "name", "v", "region"), p)
+    val names = Sources.hudi(spark, p).orderBy("id")
+      .select("name").as[String].collect().toSeq
+    assert(names == Seq("beta2", "gamma2", "delta2"))
+    // a second compact with no logs is a no-op returning the live instant
+    HudiNative.compact(spark, p)
+    assert(Sources.hudi(spark, p).count() == 3)
+  }
+
+  test("hudi: compaction of a fully-tombstoned file group retires its rows") {
+    val p = tmpDir("compact_empty")
+    // two groups: one per write (append creates a new file group)
+    HudiNative.write(base.filter($"region" === "us"), p,
+      recordKeyField = "id", tableType = "MERGE_ON_READ")
+    HudiNative.write(base.filter($"region" === "eu"), p, mode = "append")
+    HudiNative.deleteWhere(spark, p, $"region" === "us") // whole group 1
+    HudiNative.compact(spark, p)
+    val ids = Sources.hudi(spark, p).select("id").as[Long].collect().toSet
+    assert(ids == Set(3L, 4L))
+    assert(HudiNative.morSnapshotFiles(spark, p)._2.isEmpty)
+  }
+
   test("hudi: SQL table function hudi('path')") {
     val p = tmpDir("sqlfn")
     HudiNative.write(base, p)
