@@ -146,9 +146,15 @@ object TextAnalysis {
       acc + (size(filter(sents, x => x === d)) - 1).cast("long") * length(d))
     val totChar = greatest(
       aggregate(sents, lit(0L), (acc, x) => acc + length(x)), lit(1L))
-    val grams = transform(sequence(lit(1), size(toks) - 1),
-      i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
-    dfs
+    // bigrams materialize as a column: the top_bigram_count lambda below
+    // references the gram array per element, and a lambda-captured
+    // EXPRESSION is re-evaluated per element (O(n²) concat/element_at per
+    // doc) while a lambda-captured ATTRIBUTE is a plain read
+    val dfg = dfs.withColumn("__grams",
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+    val grams = col("__grams")
+    dfg
       .withColumn("dup_sent_frac",
         (size(sents) - size(array_distinct(sents))).cast("double") / nS)
       .withColumn("dup_sent_char_frac",
@@ -158,7 +164,7 @@ object TextAnalysis {
           array_max(transform(array_distinct(grams),
             g => size(filter(grams, x => x === g)))))
           .otherwise(lit(0)))
-      .drop("__sents", "__toks")
+      .drop("__sents", "__toks", "__grams")
   }
 
   /** Winnowing-style rolling-hash fingerprint (see TextFingerprint). */
@@ -178,11 +184,20 @@ object TextAnalysis {
     val kgramHashes = transform(
       sequence(lit(1), length(text) - (k - 1)),
       i => md5(text.substr(i, lit(k)).cast("binary")))
-    val windowMins = (hs: Column) => transform(
-      sequence(lit(1), size(hs) - (w - 1)),
-      i => array_min(slice(hs, i, lit(w))))
-    when(length(text) >= k + w - 1,
-      array_distinct(windowMins(kgramHashes)))
+    // window minima via the zip-of-slices idiom (see GraftFunctions.shingles):
+    // an expression referenced from inside a higher-order-function lambda is
+    // re-evaluated PER ELEMENT, so the naive transform(sequence(...),
+    // i => array_min(slice(kgramHashes, i, w))) recomputes the ENTIRE md5
+    // k-gram array once per window — O(n²) md5s per document (found as a
+    // single-task stall at sf1). Slicing w times up front evaluates the
+    // k-gram array a constant number of times; the lambda touches only its
+    // zipped row.
+    val m = greatest(size(kgramHashes) - (w - 1), lit(0))
+    val parts = (0 until w).map(j =>
+      slice(kgramHashes, lit(j + 1), m).as(s"w$j"))
+    val windowMins = transform(arrays_zip(parts: _*),
+      x => least((0 until w).map(j => x.getField(s"w$j")): _*))
+    when(length(text) >= k + w - 1, array_distinct(windowMins))
       .otherwise(array().cast("array<string>"))
   }
 }
