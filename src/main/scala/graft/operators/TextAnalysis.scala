@@ -150,9 +150,13 @@ object TextAnalysis {
     // references the gram array per element, and a lambda-captured
     // EXPRESSION is re-evaluated per element (O(n²) concat/element_at per
     // doc) while a lambda-captured ATTRIBUTE is a plain read
+    // guard: sequence(1, size-1) DESCENDS for size < 2 ([1,0,…]), so the
+    // element_at probes must not run at all on 0/1-token docs
     val dfg = dfs.withColumn("__grams",
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>")))
     val grams = col("__grams")
     dfg
       .withColumn("dup_sent_frac",
