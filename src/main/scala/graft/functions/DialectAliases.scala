@@ -24,8 +24,10 @@ import graft.functions.agg.{ContingencyAgg, DeltaSumTimestamp, EntropyAgg, Produ
   *     CRC64, case-insensitive + simpleJSON extraction, Poisson/binomial
   *     samplers, UUIDv7, reinterpret*, entropy/product/rankCorr/cramersV.
   *
-  * Deliberately NOT registered (see FNAUDIT.md): stochastic* regression
-  * (SURVEY non-goal, MLlib territory), geoToH3/h3ToGeo (needs an h3 library),
+  * Deliberately NOT registered (see FNAUDIT.md): stochasticLogisticRegression
+  * (iterative training can't be a one-pass aggregate — MLFit.logisticFit is
+  * the operator; the LINEAR name resolves since r10 via the exact
+  * normal-equations LinRegFit), geoToH3/h3ToGeo (needs an h3 library),
   * blockSize (no block analogue), runningDifference / diff / pct_change
   * (window-frame semantics cannot hide behind a scalar name without an OVER
   * clause — a silently wrong answer is worse than an unresolved name).
@@ -747,6 +749,13 @@ object DialectAliases {
     same("ksTest", "kolmogorovSmirnovTest")
     same("percentiles", "quantiles")
     same("linear_regression", "simpleLinearRegression")
+    // r10: stochastic LINEAR regression now resolves — deterministic exact
+    // normal-equations fit of the same model (LinRegFit Scaladoc has the
+    // divergence note); the LOGISTIC name stays a documented skip (iterative
+    // training cannot hide behind a one-pass aggregate — MLFit.logisticFit
+    // is the operator-level device)
+    same("stochastic_linear_regression", "stochasticLinearRegression")
+    same("stochasticlinear_regression", "stochasticLinearRegression")
     same("all_true", "min"); same("all", "min") // reference: all == min over booleans
     same("any_match", "arrayExists"); same("all_match", "arrayAll")
     same("unique", "arrayDistinct")

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.functions._
 
-import graft.functions.agg.{ArrayMoving, BitAgg, GroupArrayInsertAt, DeltaSumTimestamp, Ema, GroupArrayMoving, HistogramAgg, KolmogorovSmirnovTest, MannWhitneyUTest, Retention, SequenceMatchAgg, SparkBar, TTestAgg, TopK, UniqUpTo, WindowFunnel}
+import graft.functions.agg.{ArrayMoving, BitAgg, GroupArrayInsertAt, DeltaSumTimestamp, Ema, GroupArrayMoving, HistogramAgg, KolmogorovSmirnovTest, LinRegFit, MannWhitneyUTest, Retention, SequenceMatchAgg, SparkBar, TTestAgg, TopK, UniqUpTo, WindowFunnel}
 
 /** ClickHouse-dialect function registration — the Spark-side counterpart of
   * the reference's 871-function registry (reference:
@@ -886,6 +886,25 @@ object GraftFunctions {
     alias("simpleLinearRegression")(cs => struct(
       regr_slope(cs(1), cs.head).as("k"), regr_intercept(cs(1), cs.head).as("b")))
     alias("corrCH")(cs => corr(cs.head, cs(1)))
+    // stochasticLinearRegression(target, x1…xk) → array(w1…wk, bias).
+    // DOCUMENTED DIVERGENCE: deterministic exact normal-equations solve, not
+    // ClickHouse's order-dependent per-thread SGD — see agg.LinRegFit.
+    add("stochasticLinearRegression")(es =>
+      LinRegFit(es.head, es.tail, None).toAggregateExpression())
+    // ridgeRegression(l2, target, x1…xk) — the parametric-combinator spelling
+    // with an explicit L2 strength (leading, so the feature arity stays open)
+    add("ridgeRegression")(es =>
+      LinRegFit(es(1), es.drop(2), Some(es.head)).toAggregateExpression())
+    // evalMLMethod(weights, x1…xk) = w·x + bias — ClickHouse's companion for
+    // applying a fitted state (the reference registry stops at the fit;
+    // provided as the natural prediction surface for LinRegFit weights).
+    // For logistic weights wrap in sigmoid/`> 0` — the margin is the model.
+    alias("evalMLMethod")(cs => {
+      val w = cs.head
+      val feats = cs.tail
+      feats.zipWithIndex.map { case (f, i) => w.getItem(i) * f }
+        .reduceOption(_ + _).getOrElse(lit(0.0)) + w.getItem(feats.length)
+    })
 
     // window-function aliases
     same("leadInFrame", "lead")

@@ -2318,6 +2318,91 @@ object Queries {
       FROM documents WHERE doc_id % 7 <> 0
       GROUP BY 1 ORDER BY source""")),
 
+    QueryDef("q132_linreg_fit", (s, dir) => {
+      v(s, dir, "lineitem")
+      // stochasticLinearRegression, deterministically: the LinRegFit
+      // aggregate accumulates XᵀX/Xᵀy map-side (k²-sized state, one
+      // shuffle at any scale) and solves the normal equations at eval;
+      // the oracle solves the SAME system via Cramer's rule in SQL.
+      // evalMLMethod applies the fitted weights back over the data —
+      // the mean |residual| pins prediction, not just coefficients.
+      s.sql("""WITH w AS (SELECT stochasticLinearRegression(
+            l_extendedprice, l_quantity, l_discount) AS wv FROM lineitem)
+        SELECT ROUND(MIN(wv[0]), 4) AS w_qty, ROUND(MIN(wv[1]), 4) AS w_disc,
+          ROUND(MIN(wv[2]), 4) AS bias,
+          ROUND(AVG(ABS(evalMLMethod(wv, l_quantity, l_discount)
+            - l_extendedprice)), 2) AS mae,
+          COUNT(*) AS n
+        FROM lineitem CROSS JOIN w""")
+    }, Some("""WITH s AS (
+        SELECT SUM(l_quantity*l_quantity) AS a11, SUM(l_quantity*l_discount) AS a12,
+          SUM(l_quantity) AS a13, SUM(l_discount*l_discount) AS a22,
+          SUM(l_discount) AS a23, CAST(COUNT(*) AS DOUBLE) AS a33,
+          SUM(l_quantity*l_extendedprice) AS b1,
+          SUM(l_discount*l_extendedprice) AS b2, SUM(l_extendedprice) AS b3
+        FROM lineitem),
+      sd AS (SELECT *, a11*(a22*a33-a23*a23) - a12*(a12*a33-a23*a13)
+          + a13*(a12*a23-a22*a13) AS det FROM s),
+      w AS (SELECT
+        (b1*(a22*a33-a23*a23) - a12*(b2*a33-a23*b3) + a13*(b2*a23-a22*b3)) / det AS w1,
+        (a11*(b2*a33-a23*b3) - b1*(a12*a33-a23*a13) + a13*(a12*b3-b2*a13)) / det AS w2,
+        (a11*(a22*b3-b2*a23) - a12*(a12*b3-b2*a13) + b1*(a12*a23-a22*a13)) / det AS w3
+        FROM sd)
+      SELECT ROUND(MIN(w1), 4) AS w_qty, ROUND(MIN(w2), 4) AS w_disc,
+        ROUND(MIN(w3), 4) AS bias,
+        ROUND(AVG(ABS(w1*l_quantity + w2*l_discount + w3 - l_extendedprice)), 2) AS mae,
+        COUNT(*) AS n
+      FROM lineitem CROSS JOIN w""")),
+
+    QueryDef("q133_logreg_fit", (s, dir) => {
+      // full-batch logistic GD (MLFit.logisticFit): one distributed
+      // gradient aggregation per epoch, weights = k+1 doubles on the
+      // driver, no data collect. The oracle replays the IDENTICAL three
+      // epochs as unrolled CTEs in DuckDB — same init (w=0), same lr —
+      // then both sides score the fit: weights (round 6) + integer
+      // prediction counts (bit-stable across engines).
+      val li = Q.t(s, dir, "lineitem")
+      val x1 = (col("l_quantity") / 50.0).as("x1")
+      val x2 = (col("l_discount") * 10.0).as("x2")
+      val y = when(col("l_quantity") + lit(100.0) * col("l_discount") > 30.0, 1.0)
+        .otherwise(0.0).as("y")
+      val d = li.select(x1, x2, y)
+      val w = graft.operators.MLFit.logisticFit(
+        d, col("y"), Seq(col("x1"), col("x2")), epochs = 3, lr = 1.0)
+      val margin = graft.operators.MLFit.predictMargin(
+        w, Seq(col("x1"), col("x2")))
+      d.agg(
+        round(lit(w(0)), 6).as("w1"), round(lit(w(1)), 6).as("w2"),
+        round(lit(w(2)), 6).as("b"),
+        sum(when(margin > 0, 1L).otherwise(0L)).as("pred_pos"),
+        sum(when((margin > 0) === (col("y") === 1.0), 1L).otherwise(0L)).as("correct"),
+        sum(col("y")).cast("long").as("actual_pos"))
+    }, Some("""WITH d AS (SELECT l_quantity/50.0 AS x1, l_discount*10.0 AS x2,
+          CASE WHEN l_quantity + 100.0*l_discount > 30.0 THEN 1.0 ELSE 0.0 END AS y
+        FROM lineitem),
+      e0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS b),
+      g1 AS (SELECT AVG((1/(1+EXP(-(w1*x1+w2*x2+b))) - y)*x1) AS d1,
+                    AVG((1/(1+EXP(-(w1*x1+w2*x2+b))) - y)*x2) AS d2,
+                    AVG( 1/(1+EXP(-(w1*x1+w2*x2+b))) - y    ) AS db
+             FROM d CROSS JOIN e0),
+      e1 AS (SELECT w1 - d1 AS w1, w2 - d2 AS w2, b - db AS b FROM e0 CROSS JOIN g1),
+      g2 AS (SELECT AVG((1/(1+EXP(-(w1*x1+w2*x2+b))) - y)*x1) AS d1,
+                    AVG((1/(1+EXP(-(w1*x1+w2*x2+b))) - y)*x2) AS d2,
+                    AVG( 1/(1+EXP(-(w1*x1+w2*x2+b))) - y    ) AS db
+             FROM d CROSS JOIN e1),
+      e2 AS (SELECT w1 - d1 AS w1, w2 - d2 AS w2, b - db AS b FROM e1 CROSS JOIN g2),
+      g3 AS (SELECT AVG((1/(1+EXP(-(w1*x1+w2*x2+b))) - y)*x1) AS d1,
+                    AVG((1/(1+EXP(-(w1*x1+w2*x2+b))) - y)*x2) AS d2,
+                    AVG( 1/(1+EXP(-(w1*x1+w2*x2+b))) - y    ) AS db
+             FROM d CROSS JOIN e2),
+      e3 AS (SELECT w1 - d1 AS w1, w2 - d2 AS w2, b - db AS b FROM e2 CROSS JOIN g3)
+      SELECT ROUND(MIN(w1), 6) AS w1, ROUND(MIN(w2), 6) AS w2,
+        ROUND(MIN(b), 6) AS b,
+        CAST(SUM(CASE WHEN w1*x1+w2*x2+b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pred_pos,
+        CAST(SUM(CASE WHEN (w1*x1+w2*x2+b > 0) = (y = 1.0) THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+        CAST(SUM(y) AS BIGINT) AS actual_pos
+      FROM d CROSS JOIN e3""")),
+
     QueryDef("q97_histogram_adaptive", (s, dir) => {
       v(s, dir, "orders")
       // adaptive-bin histogram sketch (custom agg). Bin EDGES are sketch-

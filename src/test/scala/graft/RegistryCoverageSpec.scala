@@ -11,10 +11,12 @@ package graft
 class RegistryCoverageSpec extends SparkTestBase {
 
   private val deliberateSkips: Set[String] = Set(
-    // SURVEY non-goals: SGD training is MLlib territory
-    "stochasticLinearRegression", "stochasticLogisticRegression",
-    "stochastic_linear_regression", "stochastic_logistic_regression",
-    "stochasticlinear_regression", "stochasticlogistic_regression",
+    // stochastic LINEAR regression resolves since r10 (deterministic exact
+    // normal-equations fit — agg.LinRegFit); the LOGISTIC aggregate stays a
+    // documented skip: training is iterative, so a one-pass aggregate would
+    // be a lie — operators.MLFit.logisticFit is the deterministic device
+    "stochasticLogisticRegression",
+    "stochastic_logistic_regression", "stochasticlogistic_regression",
     // needs the h3 library (not on the classpath, zero egress)
     "geoToH3", "h3ToGeo", "geo_to_h3", "h3_to_geo",
     // no Spark analogue for CH's block size
