@@ -323,11 +323,13 @@ object DeltaNative {
         .withColumn("__graft_file", col("_metadata.file_path"))
         .withColumn("__graft_ridx", col("_metadata.row_index"))
     val undeleted = if (dvFiles.isEmpty) withCols else {
+      // hadoop conf broadcast ONCE — closure-capturing it would re-ship
+      // ~100 KB of XML-derived conf with every task
       val lookup = new DvLookup(tablePath,
         dvFiles.map(f => ("/" + decodePath(f.path)) -> f.dv.get)
           .sortBy(-_._1.length).toArray,
-        new org.apache.spark.SerializableWritable(
-          spark.sessionState.newHadoopConf()))
+        spark.sparkContext.broadcast(new org.apache.spark.SerializableWritable(
+          spark.sessionState.newHadoopConf())))
       val deleted = udf((path: String, idx: Long) => lookup.deleted(path, idx))
       withCols.filter(!deleted(col("__graft_file"), col("__graft_ridx")))
     }
@@ -1541,7 +1543,8 @@ object DeltaNative {
     */
   private final class DvLookup(tablePath: String,
       descs: Array[(String, DeletionVectors.Descriptor)],
-      conf: org.apache.spark.SerializableWritable[Configuration])
+      conf: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.SerializableWritable[Configuration]])
     extends Serializable {
     @transient private lazy val byFile =
       new java.util.concurrent.ConcurrentHashMap[String, Option[RoaringBitmapArray]]()
@@ -1549,7 +1552,7 @@ object DeltaNative {
       val bm = byFile.computeIfAbsent(filePath, fp => {
         val p = uriDiskPath(fp)
         descs.collectFirst { case (sfx, d) if p.endsWith(sfx) => d }
-          .map(d => DvLookup.cached(tablePath, d, conf.value))
+          .map(d => DvLookup.cached(tablePath, d, conf.value.value))
       })
       bm.exists(_.contains(idx))
     }

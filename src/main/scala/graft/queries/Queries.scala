@@ -2352,7 +2352,7 @@ object Queries {
         ROUND(MIN(w3), 4) AS bias,
         ROUND(AVG(ABS(w1*l_quantity + w2*l_discount + w3 - l_extendedprice)), 2) AS mae,
         COUNT(*) AS n
-      FROM lineitem CROSS JOIN w""")),
+      FROM lineitem CROSS JOIN w"""), bench = true),
 
     QueryDef("q133_logreg_fit", (s, dir) => {
       // full-batch logistic GD (MLFit.logisticFit): one distributed
@@ -2401,7 +2401,7 @@ object Queries {
         CAST(SUM(CASE WHEN w1*x1+w2*x2+b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pred_pos,
         CAST(SUM(CASE WHEN (w1*x1+w2*x2+b > 0) = (y = 1.0) THEN 1 ELSE 0 END) AS BIGINT) AS correct,
         CAST(SUM(y) AS BIGINT) AS actual_pos
-      FROM d CROSS JOIN e3""")),
+      FROM d CROSS JOIN e3"""), bench = true),
 
     QueryDef("q97_histogram_adaptive", (s, dir) => {
       v(s, dir, "orders")

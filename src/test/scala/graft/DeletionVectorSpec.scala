@@ -420,4 +420,35 @@ class DeletionVectorSpec extends SparkTestBase {
       DeltaNative.write(base, p, mode = "append")
     }
   }
+
+  test("dv: task closure carries descriptors, not bitmaps (r9 verdict #6)") {
+    // a DV big enough that shipping it in the filter closure would show:
+    // 400k deleted of 1.2M rows → file-stored roaring bitmap, ~100s of KB
+    val p = tmpDir("closure")
+    val big = spark.range(1200000).toDF("id").withColumn("v", col("id") * 2)
+    DeltaNative.write(big.repartition(2), p)
+    DeltaNative.deleteWhereDV(spark, p, col("id") % 3 === 0)
+    val dvBytes = new java.io.File(p).listFiles()
+      .filter(_.getName.startsWith("deletion_vector"))
+      .map(_.length()).sum
+    assert(dvBytes > 100000, s"fixture too small to prove anything: $dvBytes")
+    val df = Sources.deltaLake(spark, p)
+    assert(df.count() == 800000)
+    // the DV row filter is the plan's ScalaUDF condition; java-serializing
+    // it measures EXACTLY what ships to every task. Descriptors are
+    // path+offset+cardinality — plan bytes must stay metadata-sized, far
+    // under the bitmap the driver-side r8 design used to closure-capture
+    val conds = df.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+    assert(conds.nonEmpty, "DV filter missing from the plan")
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    conds.foreach(oos.writeObject)
+    oos.close()
+    // ~13 KB of fixed Catalyst-tree overhead; 32 KB is metadata-scale for
+    // ANY DV size — a captured bitmap would add the full dvBytes here
+    assert(bos.size() < 32768,
+      s"filter closure ${bos.size()} B suggests bitmap capture (DV on disk: $dvBytes B)")
+  }
 }
