@@ -161,6 +161,120 @@ object Similarity {
       .select(col("query_id"), col("rn"), col("neighbor_id"), col("cos"))
   }
 
+  /** Squared L2 distance between two equal-length double arrays. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+      (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** DETERMINISTIC k-means coarse quantizer for IVF (Lloyd's algorithm,
+    * fixed full-batch iterations). Init is data-ordered — the vectors of
+    * the `k` smallest ids — not random, so centroids are a pure function
+    * of the corpus: reproducible across runs, partitionings, and engines
+    * (the q134 oracle replays the identical iterations in SQL).
+    *
+    * Scale shape per iteration: centroids are k rows and BROADCAST; the
+    * corpus streams through the assignment unshuffled (k distance
+    * expressions per row), and the recompute shuffles only (cell, dim,
+    * partial-sum) triples — map-side-combined, so the shuffle is
+    * O(k·dims·partitions), independent of corpus size. Nothing but the
+    * k×dims centroid table ever sits on the driver. For 100 TB corpora
+    * train on a [[Curation.hashSplit]] sample — Lloyd converges on any
+    * representative fraction — then index the full corpus with one
+    * assignment pass.
+    *
+    * Cells that end an iteration empty are dropped (standard Lloyd
+    * degeneracy; deterministic here, so both engines drop the same cell).
+    * Returns (cell, c: array<double>).
+    */
+  def ivfTrain(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      k: Int, iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val e = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull && size(col("v")) > 0)
+    // centroids materialize driver-side each iteration: k×dims doubles is
+    // bounded metadata (NOT a data collect), and it keeps every Lloyd pass
+    // a flat job over a LocalRelation instead of a plan that re-executes
+    // the previous iteration's subtree once per downstream use
+    var cent: Seq[(Int, Seq[Double])] =
+      e.orderBy("id").limit(k).select("v").collect()
+        .zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](0) }.toSeq
+    var it = 0
+    while (it < iters) {
+      val assigned = assignCells(e, cent.toDF("cell", "c"), 1)
+      cent = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("cell", "d").agg(avg(col("x")).as("m"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+          s => s.getField("m")).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1))
+        .sortBy(_._1).toSeq
+      it += 1
+    }
+    cent.toDF("cell", "c")
+  }
+
+  /** Nearest `nProbe` cells per vector: cross join against the broadcast
+    * centroid table, rank by (L2², cell) — the cell tiebreak keeps the
+    * assignment total-order deterministic. Output keeps (id, v, cell).
+    */
+  private def assignCells(e: DataFrame, cent: DataFrame, nProbe: Int): DataFrame = {
+    val w = Window.partitionBy("id").orderBy(col("__dist"), col("cell"))
+    e.crossJoin(broadcast(cent))
+      .withColumn("__dist", l2sq(col("v"), col("c")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nProbe)
+      .drop("__dist", "__rn", "c")
+  }
+
+  /** IVF index: one assignment pass — (cell, id, v). Physically co-locating
+    * a cell's vectors is then `repartition(col("cell"))` (or a cell-
+    * partitioned parquet write), which is exactly the inverted-list layout:
+    * a probe touches only its cells' partitions.
+    */
+  def ivfIndex(corpus: DataFrame, vecCol: String, idCol: String,
+      cent: DataFrame): DataFrame =
+    assignCells(
+      corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+        .filter(col("v").isNotNull && size(col("v")) > 0),
+      cent, 1)
+      .select(col("cell"), col("id"), col("v"))
+
+  /** IVF approximate top-k: queries probe their `nProbe` nearest cells and
+    * compare only against those inverted lists. Corpus-side work is one
+    * cell-keyed join (never duplicated); the (small) query side explodes
+    * ×nProbe — same asymmetry as [[annTopK]], with a learned quantizer
+    * instead of data-oblivious hyperplanes, which is what keeps candidate
+    * counts flat when the corpus is CLUSTERED (the r8 single-band LSH
+    * failure mode). Output schema matches annTopK/bruteForceTopK.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      kCells: Int = 16, iters: Int = 2, nProbe: Int = 2): DataFrame = {
+    val cent = ivfTrain(corpus, vecCol, idCol, kCells, iters)
+    val idx = ivfIndex(corpus, vecCol, idCol, cent)
+      .select(col("cell"), col("id").as("neighbor_id"), col("v").as("cv"))
+    val q = assignCells(
+      queries.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+        .filter(col("v").isNotNull && size(col("v")) > 0),
+      cent, nProbe)
+      .select(col("cell"), col("id").as("query_id"), col("v").as("qv"))
+    val scored = idx.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosineSimilarity(col("qv"), col("cv")))
+      .filter(col("cos").isNotNull)
+      // a vector can meet a neighbor through several probed cells
+      .groupBy("query_id", "neighbor_id").agg(max("cos").as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("cos"))
+  }
+
   /** Symmetric per-vector int8 quantization — the standard 4× memory /
     * bandwidth shrink for ANN at scale (a 100 TB float corpus becomes 25 TB
     * of int8 + one float scale per vector). scale = max|v|/127;

@@ -2403,6 +2403,63 @@ object Queries {
         CAST(SUM(y) AS BIGINT) AS actual_pos
       FROM d CROSS JOIN e3"""), bench = true),
 
+    QueryDef("q134_ann_ivf", (s, dir) => {
+      // IVF ANN with a DETERMINISTIC k-means coarse quantizer: init = the
+      // 8 smallest vec_ids' vectors, 2 full-batch Lloyd iterations, probe
+      // the 2 nearest cells per query. Every step is a pure function of
+      // the corpus, so DuckDB replays the identical iterations (the same
+      // device as q133's unrolled GD epochs) and the inverted-list search
+      // is oracle-checked end to end — not just its invariants.
+      val emb = Q.t(s, dir, "embeddings")
+      graft.operators.Similarity.ivfTopK(
+          emb, emb.filter(col("vec_id") % 50 === 0),
+          "embedding", "vec_id", k = 3, kCells = 8, iters = 2, nProbe = 2)
+        .select(col("query_id"), col("rn"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("query_id", "rn")
+    }, Some("""WITH e AS (SELECT vec_id AS id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
+      dims AS (SELECT UNNEST(range(1, 65)) AS i),
+      c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) AS INT) - 1 AS cell, v AS c
+             FROM (SELECT id, v FROM e ORDER BY id LIMIT 8)),
+      a1 AS (SELECT id, v, cell FROM (
+              SELECT e.id, e.v, c0.cell, ROW_NUMBER() OVER (PARTITION BY e.id
+                ORDER BY list_sum(list_transform(range(1, 65),
+                  i -> (e.v[i] - c0.c[i]) * (e.v[i] - c0.c[i]))), c0.cell) AS rn
+              FROM e CROSS JOIN c0) WHERE rn = 1),
+      c1 AS (SELECT cell, list(m ORDER BY d) AS c FROM (
+              SELECT cell, i - 1 AS d, AVG(v[i]) AS m
+              FROM a1 CROSS JOIN dims GROUP BY cell, i) GROUP BY cell),
+      a2 AS (SELECT id, v, cell FROM (
+              SELECT e.id, e.v, c1.cell, ROW_NUMBER() OVER (PARTITION BY e.id
+                ORDER BY list_sum(list_transform(range(1, 65),
+                  i -> (e.v[i] - c1.c[i]) * (e.v[i] - c1.c[i]))), c1.cell) AS rn
+              FROM e CROSS JOIN c1) WHERE rn = 1),
+      c2 AS (SELECT cell, list(m ORDER BY d) AS c FROM (
+              SELECT cell, i - 1 AS d, AVG(v[i]) AS m
+              FROM a2 CROSS JOIN dims GROUP BY cell, i) GROUP BY cell),
+      idx AS (SELECT id AS neighbor_id, v AS cv, cell FROM (
+              SELECT e.id, e.v, c2.cell, ROW_NUMBER() OVER (PARTITION BY e.id
+                ORDER BY list_sum(list_transform(range(1, 65),
+                  i -> (e.v[i] - c2.c[i]) * (e.v[i] - c2.c[i]))), c2.cell) AS rn
+              FROM e CROSS JOIN c2) WHERE rn = 1),
+      qs AS (SELECT id AS query_id, v AS qv, cell FROM (
+              SELECT e.id, e.v, c2.cell, ROW_NUMBER() OVER (PARTITION BY e.id
+                ORDER BY list_sum(list_transform(range(1, 65),
+                  i -> (e.v[i] - c2.c[i]) * (e.v[i] - c2.c[i]))), c2.cell) AS rn
+              FROM e CROSS JOIN c2 WHERE e.id % 50 = 0) WHERE rn <= 2),
+      scored AS (SELECT query_id, neighbor_id, MAX(
+            list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i]))
+            / (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))
+             * sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i]))))) AS cos
+          FROM idx JOIN qs USING (cell)
+          WHERE query_id <> neighbor_id GROUP BY query_id, neighbor_id)
+      SELECT query_id, rn, neighbor_id, ROUND(cos, 6) AS cos FROM (
+        SELECT query_id, neighbor_id, cos, CAST(ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rn
+        FROM scored) WHERE rn <= 3 ORDER BY query_id, rn""")),
+
     QueryDef("q97_histogram_adaptive", (s, dir) => {
       v(s, dir, "orders")
       // adaptive-bin histogram sketch (custom agg). Bin EDGES are sketch-

@@ -207,6 +207,58 @@ class SimilaritySpec extends SparkTestBase {
       .selectExpr("size(d) AS n").as[Int].collect()
     assert(deq.forall(_ == 64))
   }
+
+  // two well-separated clusters + one planted near-duplicate pair
+  private lazy val clustered = {
+    val rnd = new scala.util.Random(11)
+    val a = (0L until 40L).map(i =>
+      (i, Array.tabulate(16)(d => (if (d < 8) 1.0f else 0.0f) + rnd.nextFloat() * 0.1f)))
+    val b = (40L until 80L).map(i =>
+      (i, Array.tabulate(16)(d => (if (d >= 8) 1.0f else 0.0f) + rnd.nextFloat() * 0.1f)))
+    (a ++ b).toDF("vec_id", "embedding")
+  }
+
+  test("ivfTrain: centroids deterministic and partition-count invariant") {
+    val c1 = Similarity.ivfTrain(clustered, "embedding", "vec_id", k = 4, iters = 2)
+      .orderBy("cell").collect()
+    val c2 = Similarity.ivfTrain(clustered.repartition(7), "embedding", "vec_id",
+        k = 4, iters = 2)
+      .orderBy("cell").collect()
+    assert(c1.length == c2.length && c1.length <= 4)
+    c1.zip(c2).foreach { case (x, y) =>
+      assert(x.getInt(0) == y.getInt(0))
+      x.getSeq[Double](1).zip(y.getSeq[Double](1)).foreach { case (u, v) =>
+        assert(math.abs(u - v) < 1e-9)
+      }
+    }
+  }
+
+  test("ivfIndex separates the two clusters; ivfTopK finds in-cluster neighbors") {
+    val cent = Similarity.ivfTrain(clustered, "embedding", "vec_id", k = 2, iters = 2)
+    val idx = Similarity.ivfIndex(clustered, "embedding", "vec_id", cent)
+    // with k=2 on two tight clusters, Lloyd lands one centroid per cluster:
+    // cell assignment must be constant within each true cluster
+    val cellsPerCluster = idx
+      .withColumn("truth", (col("id") < 40).cast("int"))
+      .groupBy("truth").agg(countDistinct("cell").as("nc"))
+      .select("nc").as[Long].collect()
+    assert(cellsPerCluster.forall(_ == 1L))
+    val out = Similarity.ivfTopK(clustered, clustered.filter(col("vec_id") === 0),
+      "embedding", "vec_id", k = 5, kCells = 2, iters = 2, nProbe = 1)
+    val ns = out.select("neighbor_id").as[Long].collect()
+    assert(ns.length == 5 && ns.forall(_ < 40)) // all from vec 0's cluster
+  }
+
+  test("ivfTopK probes rank by exact cosine and match bruteforce within cells") {
+    val q = clustered.filter(col("vec_id") === 7)
+    val ivf = Similarity.ivfTopK(clustered, q, "embedding", "vec_id",
+        k = 3, kCells = 2, iters = 2, nProbe = 2)
+      .orderBy("rn").select("neighbor_id").as[Long].collect()
+    // nProbe=2 of kCells=2 = exhaustive → must equal bruteforce exactly
+    val bf = Similarity.bruteForceTopK(clustered, q, "embedding", "vec_id", 3)
+      .orderBy("rn").select("neighbor_id").as[Long].collect()
+    assert(ivf.toSeq == bf.toSeq)
+  }
 }
 
 class TextAnalysisSpec extends SparkTestBase {
