@@ -173,10 +173,11 @@ object Similarity {
     * of the corpus: reproducible across runs, partitionings, and engines
     * (the q134 oracle replays the identical iterations in SQL).
     *
-    * Scale shape per iteration: centroids are k rows and BROADCAST; the
-    * corpus streams through the assignment unshuffled (k distance
-    * expressions per row), and the recompute shuffles only (cell, dim,
-    * partial-sum) triples — map-side-combined, so the shuffle is
+    * Scale shape per iteration: assignment is a PURE PROJECTION — the k
+    * centroids inline as literal arrays and argmin is an array_sort over
+    * k (dist, cell) structs per row, so the corpus is never shuffled, not
+    * even by an argmin window — and the recompute shuffles only (cell,
+    * dim, partial-sum) triples, map-side-combined, so the shuffle is
     * O(k·dims·partitions), independent of corpus size. Nothing but the
     * k×dims centroid table ever sits on the driver. For 100 TB corpora
     * train on a [[Curation.hashSplit]] sample — Lloyd converges on any
@@ -203,7 +204,8 @@ object Similarity {
         .zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](0) }.toSeq
     var it = 0
     while (it < iters) {
-      val assigned = assignCells(e, cent.toDF("cell", "c"), 1)
+      val assigned = e.withColumn("cell",
+        nearestCells(col("v"), cent, 1).getItem(0).getField("cell"))
       cent = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
         .groupBy("cell", "d").agg(avg(col("x")).as("m"))
@@ -217,17 +219,21 @@ object Similarity {
     cent.toDF("cell", "c")
   }
 
-  /** Nearest `nProbe` cells per vector: cross join against the broadcast
-    * centroid table, rank by (L2², cell) — the cell tiebreak keeps the
-    * assignment total-order deterministic. Output keeps (id, v, cell).
+  /** The `nProbe` nearest cells of `v` as a sorted array of
+    * struct(dist, cell) — a PURE PROJECTION: the k centroids inline as
+    * literal arrays and argmin is an array_sort over k structs, so
+    * assignment shuffles NOTHING (the first cut ranked a cross join with a
+    * per-id window — a corpus-sized Exchange that would dominate at scale).
+    * Struct sort orders by (dist, cell); the cell tiebreak keeps the
+    * total order deterministic.
     */
-  private def assignCells(e: DataFrame, cent: DataFrame, nProbe: Int): DataFrame = {
-    val w = Window.partitionBy("id").orderBy(col("__dist"), col("cell"))
-    e.crossJoin(broadcast(cent))
-      .withColumn("__dist", l2sq(col("v"), col("c")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= nProbe)
-      .drop("__dist", "__rn", "c")
+  private def nearestCells(v: Column, cent: Seq[(Int, Seq[Double])],
+      nProbe: Int): Column = {
+    val entries = cent.map { case (cell, c) =>
+      struct(l2sq(v, array(c.map(lit): _*)).as("dist"),
+        lit(cell).as("cell"))
+    }
+    slice(array_sort(array(entries: _*)), 1, nProbe)
   }
 
   /** IVF index: one assignment pass — (cell, id, v). Physically co-locating
@@ -236,12 +242,18 @@ object Similarity {
     * a probe touches only its cells' partitions.
     */
   def ivfIndex(corpus: DataFrame, vecCol: String, idCol: String,
-      cent: DataFrame): DataFrame =
-    assignCells(
-      corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-        .filter(col("v").isNotNull && size(col("v")) > 0),
-      cent, 1)
+      cent: DataFrame): DataFrame = {
+    val local = centLocal(cent)
+    corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull && size(col("v")) > 0)
+      .withColumn("cell", nearestCells(col("v"), local, 1)
+        .getItem(0).getField("cell"))
       .select(col("cell"), col("id"), col("v"))
+  }
+
+  /** Collect a centroid table to the driver — k×dims doubles, bounded. */
+  private def centLocal(cent: DataFrame): Seq[(Int, Seq[Double])] =
+    cent.collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1).toSeq
 
   /** IVF approximate top-k: queries probe their `nProbe` nearest cells and
     * compare only against those inverted lists. Corpus-side work is one
@@ -256,13 +268,15 @@ object Similarity {
       vecCol: String, idCol: String, k: Int,
       kCells: Int = 16, iters: Int = 2, nProbe: Int = 2): DataFrame = {
     val cent = ivfTrain(corpus, vecCol, idCol, kCells, iters)
+    val local = centLocal(cent)
     val idx = ivfIndex(corpus, vecCol, idCol, cent)
       .select(col("cell"), col("id").as("neighbor_id"), col("v").as("cv"))
-    val q = assignCells(
-      queries.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-        .filter(col("v").isNotNull && size(col("v")) > 0),
-      cent, nProbe)
-      .select(col("cell"), col("id").as("query_id"), col("v").as("qv"))
+    val q = queries
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull && size(col("v")) > 0)
+      .withColumn("__probe", explode(nearestCells(col("v"), local, nProbe)))
+      .select(col("__probe").getField("cell").as("cell"),
+        col("id").as("query_id"), col("v").as("qv"))
     val scored = idx.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosineSimilarity(col("qv"), col("cv")))
