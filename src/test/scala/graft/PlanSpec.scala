@@ -274,4 +274,26 @@ class ClickBenchPlanSpec extends SparkTestBase {
       assert("Exchange".r.findAllIn(p).size <= 1, s"$n should have at most one exchange")
     }
   }
+
+  test("ivfIndex: assignment is a pure projection — zero exchanges (r10)") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.load(spark, SparkTestBase.sfDir, "embeddings")
+    val cent = graft.operators.Similarity.ivfTrain(emb, "embedding", "vec_id", 4, 1)
+    val p = graft.operators.Similarity.ivfIndex(emb, "embedding", "vec_id", cent)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      "corpus assignment must not shuffle (centroids inline as literals)")
+    assert(!p.contains("Join"), "no join in the assignment path")
+  }
+
+  test("q134 IVF search: every exchange is query-sized, corpus joins once broadcast-side") {
+    val df = Queries.byName("q134_ann_ivf").fn(spark, SparkTestBase.sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // corpus side enters the candidate join via BroadcastHashJoin with the
+    // QUERY side built; no sort-merge (which would shuffle the corpus) and
+    // no cartesian anywhere
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "corpus must not shuffle into the cell join")
+    assert(!p.contains("Cartesian"))
+  }
 }
