@@ -156,4 +156,38 @@ object Curation {
       }
       .toDF("shard", "id", "tokens", "pack_id")
   }
+
+  /** Benchmark DECONTAMINATION — the eval-overlap filter every LLM training
+    * pipeline runs before training: flag corpus documents sharing ≥
+    * `minShared` distinct word `n`-grams with the benchmark/eval corpus.
+    *
+    * Shingles are hashed with the portable 60-bit md5-prefix device (same
+    * as hashSplit/the LSH oracles), so DuckDB replays the overlap join
+    * bit-for-bit (q135). Returns (id, shared_ngrams) for contaminated
+    * documents only.
+    *
+    * Scale shape: the benchmark gram set is DISTINCT'd and BROADCAST (eval
+    * sets are small by nature — the asymmetry is the whole design); corpus
+    * grams are per-document projections that meet the broadcast in a hash
+    * join without shuffling, and the only exchange is the final per-id
+    * count — map-side combined. A 100 TB corpus streams through once.
+    */
+  def decontaminate(
+      corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String,
+      n: Int = 8, minShared: Int = 1): DataFrame = {
+    def grams(df: DataFrame): Column = {
+      val toks = graft.functions.GraftFunctions.tokenize(col(textCol))
+      when(size(toks) >= n,
+        array_distinct(transform(sequence(lit(0), size(toks) - n),
+          i => conv(substring(md5(concat_ws(" ", slice(toks, i + 1, lit(n)))), 1, 15),
+            16, 10).cast("long"))))
+        .otherwise(array().cast("array<long>"))
+    }
+    val bench = benchmark.select(explode(grams(benchmark)).as("g")).distinct()
+    corpus.select(col(idCol).as("id"), explode(grams(corpus)).as("g"))
+      .join(broadcast(bench), "g")
+      .groupBy("id").agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+  }
 }

@@ -2460,6 +2460,97 @@ object Queries {
           PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rn
         FROM scored) WHERE rn <= 3 ORDER BY query_id, rn""")),
 
+    QueryDef("q135_decontaminate", (s, dir) => {
+      // Benchmark decontamination (eval-overlap filter): corpus docs
+      // sharing >= 2 distinct word 5-grams with a held-out "benchmark"
+      // slice are flagged. The 60-bit md5-prefix shingle hash is the
+      // repo's portable device, so the oracle replays the identical
+      // overlap join. Benchmark grams broadcast; the corpus is never
+      // shuffled except the final per-id count.
+      val docs = Q.t(s, dir, "documents")
+      graft.operators.Curation.decontaminate(
+          docs.filter(col("doc_id") % 37 =!= 0),
+          docs.filter(col("doc_id") % 37 === 0),
+          "text", "doc_id", n = 5, minShared = 2)
+        .orderBy("id")
+    }, Some("""WITH tb AS (SELECT doc_id,
+          list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+            x -> x <> '') AS t
+        FROM documents),
+      gr AS (SELECT doc_id, CASE WHEN len(t) >= 5 THEN
+            list_distinct(list_transform(range(0, len(t) - 5 + 1),
+              i -> CAST(('0x' || substr(md5(array_to_string(t[i+1:i+5], ' ')), 1, 15)) AS BIGINT)))
+          ELSE CAST([] AS BIGINT[]) END AS gs
+        FROM tb),
+      bg AS (SELECT DISTINCT UNNEST(gs) AS g FROM gr WHERE doc_id % 37 = 0),
+      cg AS (SELECT doc_id, UNNEST(gs) AS g FROM gr WHERE doc_id % 37 <> 0)
+      SELECT doc_id AS id, COUNT(*) AS shared_ngrams
+      FROM cg JOIN bg USING (g)
+      GROUP BY doc_id HAVING COUNT(*) >= 2 ORDER BY id""")),
+
+    QueryDef("q136_quality_classifier", (s, dir) => {
+      // Trained quality/language classifier over the corpus — the
+      // fasttext-style curation step, composed from two oracle-verified
+      // parts: q70's exact integer-ratio text features and q133's
+      // deterministic full-batch GD. Label = (lang = 'en'); features =
+      // stopword ratio, repetition ratio, mean token length / 10.
+      val feat = graft.operators.TextAnalysis
+        .qualityScore(Q.t(s, dir, "documents"), "text")
+        .select(col("stopword_ratio").as("x1"),
+          col("repetition_ratio").as("x2"),
+          (col("mean_token_len") / 10.0).as("x3"),
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      val w = graft.operators.MLFit.logisticFit(feat, col("y"),
+        Seq(col("x1"), col("x2"), col("x3")), epochs = 3, lr = 1.0)
+      val margin = graft.operators.MLFit.predictMargin(
+        w, Seq(col("x1"), col("x2"), col("x3")))
+      feat.agg(
+        round(lit(w(0)), 6).as("w1"), round(lit(w(1)), 6).as("w2"),
+        round(lit(w(2)), 6).as("w3"), round(lit(w(3)), 6).as("b"),
+        sum(when(margin > 0, 1L).otherwise(0L)).as("pred_pos"),
+        sum(when((margin > 0) === (col("y") === 1.0), 1L).otherwise(0L)).as("correct"),
+        sum(col("y")).cast("long").as("actual_pos"))
+    }, Some("""WITH f AS (
+        SELECT lang,
+          list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        FROM documents),
+      d AS (SELECT
+          CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS DOUBLE)
+            / CAST(greatest(len(toks), 1) AS DOUBLE) AS x1,
+          1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS x2,
+          CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE)
+            / CAST(greatest(len(toks), 1) AS DOUBLE) / 10.0 AS x3,
+          CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        FROM f),
+      e0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS b),
+      g1 AS (SELECT AVG((1/(1+EXP(-(w1*x1+w2*x2+w3*x3+b))) - y)*x1) AS d1,
+                    AVG((1/(1+EXP(-(w1*x1+w2*x2+w3*x3+b))) - y)*x2) AS d2,
+                    AVG((1/(1+EXP(-(w1*x1+w2*x2+w3*x3+b))) - y)*x3) AS d3,
+                    AVG( 1/(1+EXP(-(w1*x1+w2*x2+w3*x3+b))) - y    ) AS db
+             FROM d CROSS JOIN e0),
+      e1 AS (SELECT w1 - d1 AS w1, w2 - d2 AS w2, w3 - d3 AS w3, b - db AS b
+             FROM e0 CROSS JOIN g1),
+      g2 AS (SELECT AVG((1/(1+EXP(-(w1*x1+w2*x2+w3*x3+b))) - y)*x1) AS d1,
+                    AVG((1/(1+EXP(-(w1*x1+w2*x2+w3*x3+b))) - y)*x2) AS d2,
+                    AVG((1/(1+EXP(-(w1*x1+w2*x2+w3*x3+b))) - y)*x3) AS d3,
+                    AVG( 1/(1+EXP(-(w1*x1+w2*x2+w3*x3+b))) - y    ) AS db
+             FROM d CROSS JOIN e1),
+      e2 AS (SELECT w1 - d1 AS w1, w2 - d2 AS w2, w3 - d3 AS w3, b - db AS b
+             FROM e1 CROSS JOIN g2),
+      g3 AS (SELECT AVG((1/(1+EXP(-(w1*x1+w2*x2+w3*x3+b))) - y)*x1) AS d1,
+                    AVG((1/(1+EXP(-(w1*x1+w2*x2+w3*x3+b))) - y)*x2) AS d2,
+                    AVG((1/(1+EXP(-(w1*x1+w2*x2+w3*x3+b))) - y)*x3) AS d3,
+                    AVG( 1/(1+EXP(-(w1*x1+w2*x2+w3*x3+b))) - y    ) AS db
+             FROM d CROSS JOIN e2),
+      e3 AS (SELECT w1 - d1 AS w1, w2 - d2 AS w2, w3 - d3 AS w3, b - db AS b
+             FROM e2 CROSS JOIN g3)
+      SELECT ROUND(MIN(w1), 6) AS w1, ROUND(MIN(w2), 6) AS w2,
+        ROUND(MIN(w3), 6) AS w3, ROUND(MIN(b), 6) AS b,
+        CAST(SUM(CASE WHEN w1*x1+w2*x2+w3*x3+b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pred_pos,
+        CAST(SUM(CASE WHEN (w1*x1+w2*x2+w3*x3+b > 0) = (y = 1.0) THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+        CAST(SUM(y) AS BIGINT) AS actual_pos
+      FROM d CROSS JOIN e3""")),
+
     QueryDef("q97_histogram_adaptive", (s, dir) => {
       v(s, dir, "orders")
       // adaptive-bin histogram sketch (custom agg). Bin EDGES are sketch-

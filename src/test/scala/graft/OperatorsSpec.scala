@@ -603,4 +603,29 @@ class DedupClusterSpec extends SparkTestBase {
     assert(kept("src2") == 300)
     assert(kept("src1") > 100 && kept("src1") < 200)
   }
+
+  test("decontaminate: planted eval overlap flagged, clean docs pass, threshold honored") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // full containment of a benchmark 5-gram window (many shared 5-grams)
+      (1L, "xx alpha beta gamma delta epsilon zeta yy"),
+      // exactly one shared 5-gram
+      (2L, "alpha beta gamma delta epsilon completely different tail here"),
+      // no overlap
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      // too short to shingle
+      (4L, "tiny doc")).toDF("doc_id", "text")
+    val hits = graft.operators.Curation.decontaminate(
+        corpus, bench, "text", "doc_id", n = 5, minShared = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.contains(1L) && hits(1L) >= 2)
+    assert(hits(2L) == 1L)
+    assert(!hits.contains(3L) && !hits.contains(4L))
+    // raising the threshold drops the single-gram hit
+    val strict = graft.operators.Curation.decontaminate(
+        corpus, bench, "text", "doc_id", n = 5, minShared = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(strict == Set(1L))
+  }
 }
