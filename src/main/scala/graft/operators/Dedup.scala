@@ -358,6 +358,48 @@ object Dedup {
       .drop("cluster", "__cluster")
   }
 
+  /** SPAN-level exact dedup — drop repeated paragraphs/sentences CORPUS-WIDE,
+    * keeping each span's first occurrence (smallest (id, position)): the
+    * repeated-boilerplate removal of Lee et al. 2021 ("Deduplicating
+    * Training Data Makes Language Models Better"), at span rather than
+    * suffix granularity. Spans shorter than `minChars` are never deduped
+    * (dropping every repeated "Thanks." would mangle text, and short spans
+    * are exactly where cross-doc repetition is benign).
+    *
+    * Reassembly joins kept spans with `sep`, i.e. separator runs are
+    * normalized — the standard contract for split-based span dedup.
+    *
+    * Scale shape: ONE shuffle keyed by the span digest (the keep-first
+    * window — only (digest, id, pos, span) rows move, never whole
+    * documents), then one per-id groupBy to reassemble; both map-side
+    * combined. Returns (id, text, n_spans, n_kept).
+    */
+  def dedupSpans(
+      df: DataFrame, textCol: String, idCol: String,
+      sep: String = "\\n+", joinSep: String = "\n",
+      minChars: Int = 20): DataFrame = {
+    val spans = df
+      .select(col(idCol).as("id"),
+        posexplode(filter(split(col(textCol), sep), x => x =!= ""))
+          .as(Seq("pos", "span")))
+    val w = Window.partitionBy(md5(col("span"))).orderBy(col("id"), col("pos"))
+    val kept = spans
+      .withColumn("__rn", row_number().over(w))
+      .filter(length(col("span")) < minChars || col("__rn") === 1)
+    val keptAgg = kept.groupBy("id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("span")))),
+          s => s.getField("span")), joinSep).as(textCol),
+        count(lit(1)).as("n_kept"))
+    // left from the span counts so a doc whose EVERY span was a known
+    // duplicate still appears (empty text, n_kept 0)
+    spans.groupBy("id").agg(count(lit(1)).as("n_spans"))
+      .join(keptAgg, Seq("id"), "left")
+      .select(col("id"), coalesce(col(textCol), lit("")).as(textCol),
+        col("n_spans"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   private[graft] def verifyJaccard(pairs: DataFrame, threshold: Double): DataFrame =
     pairs
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))

@@ -2551,6 +2551,40 @@ object Queries {
         CAST(SUM(y) AS BIGINT) AS actual_pos
       FROM d CROSS JOIN e3""")),
 
+    QueryDef("q137_dedup_spans", (s, dir) => {
+      // Span-level exact dedup (Lee et al. 2021 boilerplate removal):
+      // repeated spans dropped corpus-wide keeping the first (id, pos)
+      // occurrence, short spans exempt. The fixture has no natural
+      // paragraph breaks, so spans are derived deterministically by
+      // breaking before every 'table' token (a groupless regexp_replace —
+      // identical in both engines). Output = per-doc digest of the
+      // deduplicated text + span counts.
+      val docs = Q.t(s, dir, "documents")
+        .withColumn("text", regexp_replace(col("text"), " table", "\ntable"))
+      graft.operators.Dedup.dedupSpans(docs, "text", "doc_id",
+          sep = "\n", joinSep = "\n", minChars = 20)
+        .select(col("id"), md5(col("text")).as("digest"),
+          col("n_spans"), col("n_kept"))
+        .orderBy("id")
+    }, Some("""WITH base AS (SELECT doc_id AS id,
+          regexp_replace(text, ' table', chr(10) || 'table', 'g') AS t
+        FROM documents),
+      lists AS (SELECT id,
+          list_filter(string_split(t, chr(10)), x -> x <> '') AS l
+        FROM base),
+      spans AS (SELECT id, pos, l[pos] AS span FROM (
+        SELECT id, l, UNNEST(range(1, len(l) + 1)) AS pos FROM lists)),
+      k AS (SELECT id, pos, span,
+          ROW_NUMBER() OVER (PARTITION BY md5(span) ORDER BY id, pos) AS rn
+        FROM spans),
+      kept AS (SELECT id, pos, span FROM k WHERE length(span) < 20 OR rn = 1),
+      agg AS (SELECT id, string_agg(span, chr(10) ORDER BY pos) AS txt,
+          COUNT(*) AS n_kept FROM kept GROUP BY id),
+      tot AS (SELECT id, COUNT(*) AS n_spans FROM spans GROUP BY id)
+      SELECT tot.id, md5(COALESCE(agg.txt, '')) AS digest, tot.n_spans,
+        COALESCE(agg.n_kept, 0) AS n_kept
+      FROM tot LEFT JOIN agg USING (id) ORDER BY id""")),
+
     QueryDef("q97_histogram_adaptive", (s, dir) => {
       v(s, dir, "orders")
       // adaptive-bin histogram sketch (custom agg). Bin EDGES are sketch-

@@ -628,4 +628,24 @@ class DedupClusterSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(strict == Set(1L))
   }
+  test("dedupSpans: corpus-wide keep-first, short spans exempt, empty-doc contract") {
+    val docs = Seq(
+      (1L, "this paragraph is repeated boilerplate text\nunique content of document one\nok"),
+      (2L, "this paragraph is repeated boilerplate text\nunique content of document two"),
+      (3L, "this paragraph is repeated boilerplate text"),
+      (4L, "ok\nok\nok")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.dedupSpans(docs, "text", "doc_id",
+        sep = "\n", joinSep = "\n", minChars = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1 owns the boilerplate (smallest id) and keeps everything
+    assert(out(1L)._1 == "this paragraph is repeated boilerplate text\nunique content of document one\nok")
+    // doc 2 loses the boilerplate, keeps its unique span
+    assert(out(2L)._1 == "unique content of document two")
+    assert(out(2L)._2 == 2L && out(2L)._3 == 1L)
+    // doc 3 was ONLY boilerplate -> present with empty text, 0 kept
+    assert(out(3L)._1 == "" && out(3L)._3 == 0L)
+    // short spans ("ok" < minChars) are never deduped, even repeated
+    assert(out(4L)._1 == "ok\nok\nok" && out(4L)._3 == 3L)
+  }
 }
