@@ -84,6 +84,30 @@ object Curation {
     df.filter(b < thresh)
   }
 
+  /** TEMPERATURE-scaled domain mixture — the standard multilingual /
+    * multi-source rebalancing (sample domain d with probability
+    * ∝ count_d^alpha, alpha < 1 flattening the head): computes per-domain
+    * deterministic sampling rates r_d = (count_d^alpha / count_d)
+    * normalized so the largest r_d = 1 (sampling WITHOUT replacement can
+    * only downsample), then applies them through [[sampleMixture]]'s
+    * md5-bucket device — so the draw is a pure function of the id,
+    * reproducible anywhere (q138 oracle replays it).
+    *
+    * Scale: one map-side-combined count aggregation (domains are few),
+    * rates computed on the driver from that bounded map, then a pure
+    * projection filter — the corpus streams through once, unshuffled.
+    */
+  def temperatureMixture(df: DataFrame, idCol: String, domainCol: String,
+      alpha: Double, buckets: Int = 10000): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0, 1]: $alpha")
+    val counts = df.groupBy(domainCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val raw = counts.map { case (d, n) => d -> math.pow(n.toDouble, alpha - 1.0) }
+    val mx = raw.values.max
+    sampleMixture(df, idCol, domainCol,
+      raw.map { case (d, r) => d -> r / mx }, buckets)
+  }
+
   /** GPT-style concat-and-chunk sequence packing: within a shard, document
     * token streams are conceptually concatenated in `idCol` order and cut
     * every `budget` tokens; a document overlapping a cut belongs to every

@@ -2585,6 +2585,27 @@ object Queries {
         COALESCE(agg.n_kept, 0) AS n_kept
       FROM tot LEFT JOIN agg USING (id) ORDER BY id""")),
 
+    QueryDef("q138_temperature_mixture", (s, dir) =>
+      // temperature-scaled domain rebalancing (alpha = 0.5): rates
+      // sqrt-flatten the head domain; the oracle recomputes the same
+      // counts → pow → normalize → round thresholds and replays the
+      // md5-bucket draw (structurally identical arithmetic both sides)
+      graft.operators.Curation.temperatureMixture(
+          Q.t(s, dir, "documents"), "doc_id", "source", alpha = 0.5)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
+        .orderBy("source"),
+      Some("""WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+        mn AS (SELECT MIN(n) AS n0 FROM c),
+        th AS (SELECT source,
+            CAST(ROUND(POW(n, -0.5) / POW(n0, -0.5) * 10000) AS BIGINT) AS t
+          FROM c CROSS JOIN mn)
+      SELECT d.source, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM documents d JOIN th USING (source)
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          % 10000 < t
+      GROUP BY d.source ORDER BY d.source""")),
+
     QueryDef("q97_histogram_adaptive", (s, dir) => {
       v(s, dir, "orders")
       // adaptive-bin histogram sketch (custom agg). Bin EDGES are sketch-

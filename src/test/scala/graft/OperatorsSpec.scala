@@ -648,4 +648,23 @@ class DedupClusterSpec extends SparkTestBase {
     // short spans ("ok" < minChars) are never deduped, even repeated
     assert(out(4L)._1 == "ok\nok\nok" && out(4L)._3 == 3L)
   }
+  test("temperatureMixture: alpha=1 keeps everything, lower alpha flattens the head") {
+    val docs = ((1L to 900L).map(i => (i, "big")) ++ (901L to 1000L).map(i => (i, "small")))
+      .toDF("doc_id", "source")
+    val all = graft.operators.Curation.temperatureMixture(docs, "doc_id", "source", 1.0)
+    assert(all.count() == 1000L) // alpha=1: rates all 1
+    val t = graft.operators.Curation.temperatureMixture(docs, "doc_id", "source", 0.5)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(t("small") == 100L) // smallest domain is the rate-1 anchor
+    // head downsampled toward sqrt ratio: expected rate sqrt(100/900) = 1/3
+    assert(t("big") > 200L && t("big") < 400L)
+    // deterministic under repartitioning
+    val t2 = graft.operators.Curation.temperatureMixture(
+        docs.repartition(7), "doc_id", "source", 0.5)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(t == t2)
+    intercept[IllegalArgumentException] {
+      graft.operators.Curation.temperatureMixture(docs, "doc_id", "source", 0.0)
+    }
+  }
 }
