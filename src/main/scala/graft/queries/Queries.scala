@@ -1289,6 +1289,28 @@ object Queries {
       FROM events GROUP BY 1, 2 ORDER BY w_start, event_type"""),
       bench = true),
 
+    QueryDef("q139_stream_join", (s, dir) => {
+      // Stream-stream inner join shape (EventStreams.streamJoin) on the
+      // bounded frame — watermarks no-op in batch but the range-bounded
+      // join predicate is exactly what keeps state finite on the real
+      // stream (StreamingSpec drives the same operator through
+      // readStream). Views join clicks of the same user within 1 h.
+      val ev = Q.t(s, dir, "events")
+      graft.streaming.EventStreams.streamJoin(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "click"),
+          "user_id", watermark = "1 minute", rangeSeconds = 3600)
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("event_id") + col("r_event_id")).as("id_sum"))
+    }, Some("""SELECT COUNT(*) AS n_pairs, COUNT(DISTINCT v.user_id) AS n_users,
+        CAST(SUM(v.event_id + c.event_id) AS BIGINT) AS id_sum
+      FROM (SELECT * FROM events WHERE event_type = 'view') v
+      JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON v.user_id = c.user_id
+        AND epoch_us(c.ts) >= epoch_us(v.ts)
+        AND epoch_us(c.ts) - epoch_us(v.ts) <= 3600000000""")),
+
     QueryDef("q93_rank_corr", (s, dir) => {
       // Spearman rank correlation (reference AGGREGATE rank_corr): Pearson
       // corr over per-group ranks — two windows + one aggregate, no collect
