@@ -6,7 +6,11 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
-/** stochasticLinearRegression(target, x1, …, xk[, l2]) → array(w1…wk, bias)
+/** stochasticLinearRegression(target, x1, …, xk) → array(w1…wk, bias)
+  * (every argument after the target is a feature; the ridge strength is NOT
+  * a trailing argument — it is only reachable through the LEADING-parameter
+  * spelling `ridgeRegression(l2, target, x1…xk)`, which keeps the feature
+  * arity unambiguous)
   * (reference registers stochasticLinearRegression / stochastic_linear_regression
   * in the AGGREGATE section of datastore/function_definitions.py:5194).
   *
@@ -26,10 +30,11 @@ import org.apache.spark.sql.types._
   * single shuffle of k²-sized states at 100 TB. The returned weights feed
   * `evalMLMethod(weights, x1…xk)` (GraftFunctions alias) for prediction.
   *
-  * The optional trailing foldable `l2` is the ridge strength (ClickHouse
-  * spells it as a parametric combinator — Spark has no parametric aggregates,
-  * same convention as [[Ema]]); the bias row is not penalized, matching the
-  * standard ridge formulation. Default 0 = exact OLS.
+  * The optional foldable `l2` (supplied by the `ridgeRegression` spelling;
+  * ClickHouse spells it as a parametric combinator — Spark has no parametric
+  * aggregates, same convention as [[Ema]]) is the ridge strength; the bias
+  * row is not penalized, matching the standard ridge formulation.
+  * Default 0 = exact OLS.
   */
 case class LinRegFit(
     targetExpr: Expression,
@@ -56,6 +61,8 @@ case class LinRegFit(
   private def num(a: Any): Double = a match {
     case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
     case n: Number => n.doubleValue()
+    case null => throw new IllegalArgumentException(
+      "ridgeRegression: l2 must be a non-null numeric literal")
   }
 
   // index of (i,j), i<=j, in the row-major upper triangle of a d×d matrix

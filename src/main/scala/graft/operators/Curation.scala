@@ -102,6 +102,7 @@ object Curation {
     require(alpha > 0 && alpha <= 1, s"alpha in (0, 1]: $alpha")
     val counts = df.groupBy(domainCol).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) return df // no rows, no domains: nothing to rebalance
     val raw = counts.map { case (d, n) => d -> math.pow(n.toDouble, alpha - 1.0) }
     val mx = raw.values.max
     sampleMixture(df, idCol, domainCol,
@@ -200,7 +201,8 @@ object Curation {
       corpus: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String,
       n: Int = 8, minShared: Int = 1): DataFrame = {
-    def grams(df: DataFrame): Column = {
+    // one unresolved Column — it binds to whichever frame selects it
+    val grams: Column = {
       val toks = graft.functions.GraftFunctions.tokenize(col(textCol))
       when(size(toks) >= n,
         array_distinct(transform(sequence(lit(0), size(toks) - n),
@@ -208,8 +210,8 @@ object Curation {
             16, 10).cast("long"))))
         .otherwise(array().cast("array<long>"))
     }
-    val bench = benchmark.select(explode(grams(benchmark)).as("g")).distinct()
-    corpus.select(col(idCol).as("id"), explode(grams(corpus)).as("g"))
+    val bench = benchmark.select(explode(grams).as("g")).distinct()
+    corpus.select(col(idCol).as("id"), explode(grams).as("g"))
       .join(broadcast(bench), "g")
       .groupBy("id").agg(count(lit(1)).as("shared_ngrams"))
       .filter(col("shared_ngrams") >= minShared)

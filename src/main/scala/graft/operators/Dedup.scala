@@ -383,21 +383,22 @@ object Dedup {
         posexplode(filter(split(col(textCol), sep), x => x =!= ""))
           .as(Seq("pos", "span")))
     val w = Window.partitionBy(md5(col("span"))).orderBy(col("id"), col("pos"))
-    val kept = spans
+    val keep = length(col("span")) < minChars || col("__rn") === 1
+    // ONE aggregation over the ranked spans: conditional counts/collects do
+    // the kept/total split (collect_list drops the nulls `when` produces),
+    // so the corpus is split and exploded once, with no second scan and no
+    // rejoin — and a doc whose EVERY span was a known duplicate still
+    // appears (empty text, n_kept 0)
+    spans
       .withColumn("__rn", row_number().over(w))
-      .filter(length(col("span")) < minChars || col("__rn") === 1)
-    val keptAgg = kept.groupBy("id")
+      .groupBy("id")
       .agg(
         array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("span")))),
+          array_sort(collect_list(when(keep, struct(col("pos"), col("span"))))),
           s => s.getField("span")), joinSep).as(textCol),
-        count(lit(1)).as("n_kept"))
-    // left from the span counts so a doc whose EVERY span was a known
-    // duplicate still appears (empty text, n_kept 0)
-    spans.groupBy("id").agg(count(lit(1)).as("n_spans"))
-      .join(keptAgg, Seq("id"), "left")
-      .select(col("id"), coalesce(col(textCol), lit("")).as(textCol),
-        col("n_spans"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        count(lit(1)).as("n_spans"),
+        count(when(keep, 1)).as("n_kept"))
+      .select(col("id"), col(textCol), col("n_spans"), col("n_kept"))
   }
 
   private[graft] def verifyJaccard(pairs: DataFrame, threshold: Double): DataFrame =

@@ -51,28 +51,35 @@ object MLFit {
     // project once: the per-epoch scan reads only k+1 doubles per row
     val cols = features.zipWithIndex.map { case (f, i) => f.cast("double").as(s"x$i") } :+
       target.cast("double").as("y")
+    // persist the k+1-column projection: every epoch re-aggregates it, and
+    // without this the FULL upstream feature pipeline (e.g. q136's
+    // tokenize+quality features) would re-execute once per epoch
     val proj = df.select(cols: _*).na.drop()
-    var w = new Array[Double](k + 1) // [w1…wk, bias] = 0
-    val xCols = (0 until k).map(i => col(s"x$i"))
-    var e = 0
-    while (e < epochs) {
-      val margin = dot(w, xCols) // w·x + b with current weights as literals
-      val err = (sigmoid(margin) - col("y")).as("err")
-      val gradCols = (0 until k).map(i => avg(col("err") * col(s"x$i")).as(s"g$i")) :+
-        avg(col("err")).as("gb")
-      val g = proj.withColumn("err", err).agg(gradCols.head, gradCols.tail: _*)
-        .head()
-      val next = new Array[Double](k + 1)
-      var i = 0
-      while (i < k) {
-        next(i) = w(i) - lr * (g.getDouble(i) + l2 * w(i))
-        i += 1
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var w = new Array[Double](k + 1) // [w1…wk, bias] = 0
+      val xCols = (0 until k).map(i => col(s"x$i"))
+      var e = 0
+      while (e < epochs) {
+        val margin = dot(w, xCols) // w·x + b with current weights as literals
+        val err = (sigmoid(margin) - col("y")).as("err")
+        val gradCols = (0 until k).map(i => avg(col("err") * col(s"x$i")).as(s"g$i")) :+
+          avg(col("err")).as("gb")
+        val g = proj.withColumn("err", err).agg(gradCols.head, gradCols.tail: _*)
+          .head()
+        if (g.isNullAt(0)) return w // empty input: gradient undefined, w stays 0
+        val next = new Array[Double](k + 1)
+        var i = 0
+        while (i < k) {
+          next(i) = w(i) - lr * (g.getDouble(i) + l2 * w(i))
+          i += 1
+        }
+        next(k) = w(k) - lr * g.getDouble(k) // bias unpenalized
+        w = next
+        e += 1
       }
-      next(k) = w(k) - lr * g.getDouble(k) // bias unpenalized
-      w = next
-      e += 1
-    }
-    w
+      w
+    } finally proj.unpersist()
   }
 
   /** Prediction margin w·x + bias for fitted weights (linear prediction;

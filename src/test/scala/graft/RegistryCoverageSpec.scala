@@ -4,7 +4,7 @@ package graft
   * the reference registers (src/test/resources/reference_function_names.txt —
   * the 1,449 `name=`/`aliases=` entries extracted from the reference's
   * datastore/function_definitions.py) must resolve in a dialect session,
-  * EXCEPT the 18 documented deliberate skips. A new alias must never
+  * EXCEPT the 15 documented deliberate skips. A new alias must never
   * silently fall out of the registry, and a new skip must be added here (and
   * to FNAUDIT.md) explicitly.
   */
