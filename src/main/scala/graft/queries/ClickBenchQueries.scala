@@ -373,7 +373,7 @@ object ClickBenchQueries {
         GROUP BY user_id, CAST(FLOOR(value) AS INT)
         ORDER BY c DESC, user_id, w LIMIT 10""")
     }, Some("""SELECT user_id, CAST(FLOOR(value) AS INT) AS w, COUNT(*) AS c,
-        SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS refreshes,
+        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS refreshes,
         CAST((2 * CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
               + COUNT(value)) // (2 * COUNT(value)) AS DOUBLE) / 1000000.0 AS avg_v
       FROM events
