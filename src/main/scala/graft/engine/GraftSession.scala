@@ -112,14 +112,96 @@ final class GraftSession(val spark: SparkSession) {
     name
   }
 
+  // ---- pipeline-tier SQL table functions (r10 verdict "missing" #1) ----
+  // The dedup/similarity/curation operators as FROM-position table
+  // functions, e.g. `SELECT * FROM minhash_pairs(documents, 'text',
+  // 'doc_id', 0.5)` — resolved at rewrite time into cached temp views the
+  // same way file()/deltaLake() are (the reference reaches every operator
+  // from its SQL surface; this is ours). The table argument is any
+  // registered table/view name; column args are quoted strings; numeric
+  // args are optional tails. The view binds the input table's PLAN at
+  // first use (same contract as the cached file() views).
+  private val pipelineFnNames = Seq(
+    "dedup_exact", "dedup_groups", "dedup_spans", "minhash_pairs",
+    "ngram_jaccard_pairs", "simhash_pairs", "embedding_neardup",
+    "quality_score", "language_id", "token_count", "scrub_pii",
+    "repetition_features", "curate", "hash_split", "temperature_mixture",
+    "pack_sequences", "pack_greedy", "decontaminate", "ann_topk",
+    "brute_topk", "ivf_topk")
+  private val pipelineFn =
+    ("(?i)\\b(" + pipelineFnNames.mkString("|") + ")\\(([^()]*)\\)").r
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+
+  private def pipelineView(fn: String, rawArgs: String): String = {
+    val args = rawArgs.split(",").map(_.trim).filter(_.nonEmpty).toIndexedSeq
+    def str(i: Int): String = args(i).stripPrefix("'").stripSuffix("'")
+    def num(i: Int, dflt: Double): Double =
+      if (args.length > i) args(i).toDouble else dflt
+    def int(i: Int, dflt: Int): Int =
+      if (args.length > i) args(i).toDouble.toInt else dflt
+    def t(i: Int): graft.ds.GraftFrame =
+      graft.ds.GraftFrame(spark.table(str(i)))
+    val name = s"__graft_pipe_${md5hex(fn.toLowerCase + "|" + rawArgs)}"
+    // ALWAYS rebuilt (unlike the file() cache): the input is a registered
+    // view that may have been re-registered with new data since the last
+    // call, and a cached pipe view would silently serve the old plan
+    locally {
+      val out = fn.toLowerCase match {
+        case "dedup_exact" => t(0).dedupExact(str(1), str(2))
+        case "dedup_groups" => t(0).dedupGroups(str(1), str(2))
+        case "dedup_spans" => t(0).dedupSpans(str(1), str(2))
+        case "minhash_pairs" =>
+          t(0).minhashPairs(str(1), str(2), num(3, 0.5))
+        case "ngram_jaccard_pairs" =>
+          t(0).ngramJaccardPairs(str(1), str(2), num(3, 0.3))
+        case "simhash_pairs" => t(0).simhashPairs(str(1), str(2), int(3, 3))
+        case "embedding_neardup" =>
+          t(0).embeddingNearDup(str(1), str(2), num(3, 0.95))
+        case "quality_score" => t(0).qualityScore(str(1))
+        case "language_id" => t(0).languageId(str(1))
+        case "token_count" => t(0).tokenCount(str(1))
+        case "scrub_pii" => t(0).scrubPii(str(1))
+        case "repetition_features" => t(0).repetitionFeatures(str(1))
+        case "curate" =>
+          t(0).curate(str(1), str(2),
+            if (args.length > 3) Seq(str(3)) else Seq("en"), num(4, 0.3))
+        case "hash_split" =>
+          t(0).hashSplit(str(1), num(2, 0.05), num(3, 0.05))
+        case "temperature_mixture" =>
+          t(0).temperatureMixture(str(1), str(2), num(3, 0.5))
+        case "pack_sequences" =>
+          t(0).packSequences(str(1), str(2), int(3, 2048))
+        case "pack_greedy" =>
+          t(0).packGreedy(str(1), str(2), int(3, 2048))
+        case "decontaminate" =>
+          t(0).decontaminate(t(1), str(2), str(3), int(4, 8), int(5, 1))
+        case "ann_topk" =>
+          t(0).annTopK(t(1), str(2), str(3), int(4, 10))
+        case "brute_topk" =>
+          t(0).bruteForceTopK(t(1), str(2), str(3), int(4, 10))
+        case "ivf_topk" =>
+          t(0).ivfTopK(t(1), str(2), str(3), int(4, 10))
+        case other => throw new IllegalArgumentException(
+          s"unknown pipeline table function '$other'")
+      }
+      out.df.createOrReplaceTempView(name)
+    }
+    name
+  }
+
   private def rewriteTableFns(q: String): String = {
     val afterFile = fileFn.replaceAllIn(q, m =>
       registerSource("file", m.group(1), chFormat(m.group(2))))
     val afterUrl = urlFn.replaceAllIn(afterFile, m =>
       registerSource("url", m.group(1), chFormat(m.group(2))))
-    val afterLake = lakehouseFn.replaceAllIn(afterUrl, m =>
+    val afterLake0 = lakehouseFn.replaceAllIn(afterUrl, m =>
       registerSource(
         m.group(1).toLowerCase.replace("_", ""), m.group(2), ""))
+    val afterLake = pipelineFn.replaceAllIn(afterLake0, m =>
+      pipelineView(m.group(1), m.group(2)))
     val afterRand = generateRandomFn.replaceAllIn(afterLake, m =>
       registerGenerateRandom(m.group(1),
         Option(m.group(2)).map(_.toLong).getOrElse(42L)))

@@ -1311,6 +1311,38 @@ object Queries {
         AND epoch_us(c.ts) >= epoch_us(v.ts)
         AND epoch_us(c.ts) - epoch_us(v.ts) <= 3600000000""")),
 
+    QueryDef("q140_sql_dedup_surface", (s, dir) => {
+      // the pipeline tier through the SQL surface (r10 verdict "missing"
+      // #1): dedup_exact as a FROM-position table function, rewritten by
+      // GraftSession into the same operator plan q61 proves — so a SQL
+      // user reaches the dedup tier without importing graft.operators
+      v(s, dir, "documents")
+      val gs = graft.engine.GraftSession(s)
+      gs.createView("docs_k40",
+        "SELECT doc_id, lang, substr(text, 1, 40) AS key FROM documents")
+      gs.sql("""SELECT doc_id, lang
+        FROM dedup_exact(docs_k40, 'key', 'doc_id') ORDER BY doc_id""")
+    }, Some("""SELECT doc_id, lang FROM (SELECT doc_id, lang,
+        ROW_NUMBER() OVER (PARTITION BY md5(substr(text, 1, 40)) ORDER BY doc_id) AS rn
+      FROM documents) WHERE rn = 1 ORDER BY doc_id""")),
+
+    QueryDef("q141_sql_split_surface", (s, dir) => {
+      // hash_split through the SQL table-function surface (q120's operator
+      // and oracle, reached from SQL)
+      v(s, dir, "documents")
+      graft.engine.GraftSession(s).sql(
+        """SELECT split, COUNT(*) AS n, SUM(doc_id) AS id_sum
+          FROM hash_split(documents, 'doc_id', 0.1, 0.1)
+          GROUP BY split ORDER BY split""")
+    }, Some("""WITH b AS (SELECT doc_id,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 10000 AS bk
+        FROM documents)
+        SELECT CASE WHEN bk < 1000 THEN 'val' WHEN bk < 2000 THEN 'test'
+                    ELSE 'train' END AS split,
+          COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM b GROUP BY 1 ORDER BY split""")),
+
     QueryDef("q93_rank_corr", (s, dir) => {
       // Spearman rank correlation (reference AGGREGATE rank_corr): Pearson
       // corr over per-group ranks — two windows + one aggregate, no collect
@@ -1432,10 +1464,11 @@ object Queries {
 
     QueryDef("q103_curation", (s, dir) =>
       // flagship composed pipeline: quality floor + language filter + exact
-      // keep-first dedup in ONE plan (operators/Curation.scala); the oracle
-      // assembles the already-proven q70/q71/q61 replicas
-      graft.operators.Curation.curate(Q.t(s, dir, "documents"), "text", "doc_id",
-          languages = Seq("en"), minQuality = 0.3)
+      // keep-first dedup in ONE plan (operators/Curation.scala), routed
+      // through the PUBLIC frame surface (GraftFrame.curate — r10 verdict
+      // "missing" #1); the oracle assembles the proven q70/q71/q61 replicas
+      graft.ds.GraftFrame(Q.t(s, dir, "documents"))
+        .curate("text", "doc_id", languages = Seq("en"), minQuality = 0.3).df
         .select(col("doc_id"), col("pred_lang"),
           round(col("quality_score"), 6).as("quality_score"))
         .orderBy("doc_id"),

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ds.GraftFrame
+import graft.operators.{Curation, Dedup, Similarity}
+
+/** The pipeline tier's PUBLIC surfaces (r10 verdict "what's missing" #1):
+  * every dedup/similarity/curation/fit operator is reachable from (a)
+  * GraftFrame methods and (b) GraftSession SQL table functions — and each
+  * surface produces exactly the underlying operator's result (thin
+  * delegation, no reimplementation).
+  */
+class PipelineSurfaceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, SparkTestBase.sfDir, "documents")
+  private lazy val embs = Tables.load(spark, SparkTestBase.sfDir, "embeddings")
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  // ------------------------------------------------ frame-method surface
+
+  test("frame: dedupExact/dedupGroups delegate to Dedup") {
+    val keyed = docs.withColumn("key", substring(col("text"), 1, 40))
+    assert(rows(GraftFrame(keyed).dedupExact("key", "doc_id").df.select("doc_id"))
+      == rows(Dedup.exactKeepFirst(keyed, "key", "doc_id").select("doc_id")))
+    assert(rows(GraftFrame(keyed).dedupGroups("key", "doc_id").df)
+      == rows(Dedup.exactGroups(keyed, "key", "doc_id")))
+  }
+
+  test("frame: minhashPairs matches operator output") {
+    val sub = docs.filter(col("doc_id") < 200)
+    assert(rows(GraftFrame(sub).minhashPairs("text", "doc_id", 0.5).df)
+      == rows(Dedup.minhashLsh(sub, "text", "doc_id", 0.5)))
+  }
+
+  test("frame: curate matches Curation.curate (q103 shape)") {
+    assert(rows(GraftFrame(docs).curate("text", "doc_id").df.select("doc_id"))
+      == rows(Curation.curate(docs, "text", "doc_id").select("doc_id")))
+  }
+
+  test("frame: hashSplit/temperatureMixture/pack delegate") {
+    assert(rows(GraftFrame(docs).hashSplit("doc_id", 0.1, 0.1).df
+        .groupBy("split").count())
+      == rows(Curation.hashSplit(docs, "doc_id", 0.1, 0.1)
+        .groupBy("split").count()))
+    assert(rows(GraftFrame(docs).packGreedy("doc_id", "n_chars", 2048).df)
+      == rows(Curation.packGreedy(docs, "doc_id", "n_chars", 2048)))
+  }
+
+  test("frame: quality/language/tokens/pii columns appear") {
+    val out = GraftFrame(docs.limit(50))
+      .qualityScore("text").languageId("text").tokenCount("text", "ntk")
+      .scrubPii("text").df
+    assert(Seq("quality_score", "pred_lang", "ntk").forall(out.columns.contains))
+    assert(out.count() == 50)
+  }
+
+  test("frame: decontaminate matches operator") {
+    val bench = docs.filter(col("doc_id") % 37 === 0)
+    assert(rows(GraftFrame(docs).decontaminate(GraftFrame(bench), "text", "doc_id").df)
+      == rows(Curation.decontaminate(docs, bench, "text", "doc_id")))
+  }
+
+  test("frame: ANN topK surfaces match Similarity") {
+    val queries = embs.filter(col("vec_id") < 3)
+    assert(rows(GraftFrame(embs).bruteForceTopK(GraftFrame(queries), "embedding", "vec_id", 5).df)
+      == rows(Similarity.bruteForceTopK(embs, queries, "embedding", "vec_id", 5)))
+    assert(rows(GraftFrame(embs).ivfTopK(GraftFrame(queries), "embedding", "vec_id", 5).df)
+      == rows(Similarity.ivfTopK(embs, queries, "embedding", "vec_id", 5)))
+  }
+
+  test("frame: linearFit/logisticFit return weight layouts") {
+    val d = Seq((1.0, 2.0, 5.0), (2.0, 1.0, 4.0), (3.0, 3.0, 9.0), (4.0, 1.0, 6.0))
+      .toDF("x1", "x2", "y")
+    val w = GraftFrame(d).linearFit(col("y"), Seq(col("x1"), col("x2")))
+      .df.head().getSeq[Double](0)
+    assert(w.length == 3) // w1, w2, bias
+    val lw = GraftFrame(d.withColumn("lbl", (col("y") > 5).cast("double")))
+      .logisticFit(col("lbl"), Seq(col("x1"), col("x2")), epochs = 5)
+    assert(lw.length == 3 && lw.exists(_ != 0.0))
+  }
+
+  // ------------------------------------------------ SQL-table-fn surface
+
+  private def gs = new graft.engine.GraftSession(spark)
+
+  test("sql: dedup_exact table function equals the operator") {
+    docs.withColumn("key", substring(col("text"), 1, 40))
+      .createOrReplaceTempView("__psurf_docs")
+    val viaSql = gs.sql(
+      "SELECT doc_id FROM dedup_exact(__psurf_docs, 'key', 'doc_id')")
+    val direct = Dedup.exactKeepFirst(
+      spark.table("__psurf_docs"), "key", "doc_id").select("doc_id")
+    assert(rows(viaSql) == rows(direct))
+  }
+
+  test("sql: quality_score/token_count/language_id table functions") {
+    docs.limit(100).createOrReplaceTempView("__psurf_small")
+    val q = gs.sql("SELECT doc_id, quality_score FROM quality_score(__psurf_small, 'text')")
+    assert(q.count() == 100)
+    val tc = gs.sql("SELECT n_tokens FROM token_count(__psurf_small, 'text') WHERE n_tokens > 0")
+    assert(tc.count() > 0)
+    val li = gs.sql("SELECT DISTINCT pred_lang FROM language_id(__psurf_small, 'text')")
+    assert(li.count() >= 1)
+  }
+
+  test("sql: hash_split respects fractions and is deterministic") {
+    docs.createOrReplaceTempView("__psurf_docs2")
+    val out = gs.sql("""SELECT split, COUNT(*) AS n
+      FROM hash_split(__psurf_docs2, 'doc_id', 0.1, 0.1) GROUP BY split""")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set("train", "val", "test"))
+    assert(out("train") > out("val") && out("train") > out("test"))
+    // deterministic: same SQL, same counts
+    val again = gs.sql("""SELECT split, COUNT(*) AS n
+      FROM hash_split(__psurf_docs2, 'doc_id', 0.1, 0.1) GROUP BY split""")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == out)
+  }
+
+  test("sql: minhash_pairs and curate compose with plain SQL") {
+    docs.filter(col("doc_id") < 200).createOrReplaceTempView("__psurf_sub")
+    val pairs = gs.sql("""SELECT COUNT(*) AS n
+      FROM minhash_pairs(__psurf_sub, 'text', 'doc_id', 0.5)""").head().getLong(0)
+    assert(pairs == Dedup.minhashLsh(
+      spark.table("__psurf_sub"), "text", "doc_id", 0.5).count())
+    val curated = gs.sql(
+      "SELECT COUNT(*) AS n FROM curate(__psurf_sub, 'text', 'doc_id')")
+      .head().getLong(0)
+    assert(curated == Curation.curate(
+      spark.table("__psurf_sub"), "text", "doc_id").count())
+  }
+
+  test("sql: pipeline view rebinds after the input view changes") {
+    docs.limit(10).createOrReplaceTempView("__psurf_rebind")
+    val n1 = gs.sql("SELECT COUNT(*) AS n FROM token_count(__psurf_rebind, 'text')")
+      .head().getLong(0)
+    docs.limit(25).createOrReplaceTempView("__psurf_rebind")
+    val n2 = gs.sql("SELECT COUNT(*) AS n FROM token_count(__psurf_rebind, 'text')")
+      .head().getLong(0)
+    assert(n1 == 10 && n2 == 25)
+  }
+}
