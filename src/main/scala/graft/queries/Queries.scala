@@ -29,6 +29,54 @@ object Queries {
   private def v(s: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))
 
+  /** The q134 IVF oracle (8 cells, 2 Lloyd iterations, nProbe 2, k 3,
+    * queries = vec_id % 50 = 0) — shared verbatim by q142, whose Spark
+    * side runs the SAME search through the PERSISTED cell-partitioned
+    * index: identical output is exactly the claim under test.
+    */
+  private val ivfOracle8x2: String = """WITH e AS (SELECT vec_id AS id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
+      dims AS (SELECT UNNEST(range(1, 65)) AS i),
+      c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) AS INT) - 1 AS cell, v AS c
+             FROM (SELECT id, v FROM e ORDER BY id LIMIT 8)),
+      a1 AS (SELECT id, v, cell FROM (
+              SELECT e.id, e.v, c0.cell, ROW_NUMBER() OVER (PARTITION BY e.id
+                ORDER BY list_sum(list_transform(range(1, 65),
+                  i -> (e.v[i] - c0.c[i]) * (e.v[i] - c0.c[i]))), c0.cell) AS rn
+              FROM e CROSS JOIN c0) WHERE rn = 1),
+      c1 AS (SELECT cell, list(m ORDER BY d) AS c FROM (
+              SELECT cell, i - 1 AS d, AVG(v[i]) AS m
+              FROM a1 CROSS JOIN dims GROUP BY cell, i) GROUP BY cell),
+      a2 AS (SELECT id, v, cell FROM (
+              SELECT e.id, e.v, c1.cell, ROW_NUMBER() OVER (PARTITION BY e.id
+                ORDER BY list_sum(list_transform(range(1, 65),
+                  i -> (e.v[i] - c1.c[i]) * (e.v[i] - c1.c[i]))), c1.cell) AS rn
+              FROM e CROSS JOIN c1) WHERE rn = 1),
+      c2 AS (SELECT cell, list(m ORDER BY d) AS c FROM (
+              SELECT cell, i - 1 AS d, AVG(v[i]) AS m
+              FROM a2 CROSS JOIN dims GROUP BY cell, i) GROUP BY cell),
+      idx AS (SELECT id AS neighbor_id, v AS cv, cell FROM (
+              SELECT e.id, e.v, c2.cell, ROW_NUMBER() OVER (PARTITION BY e.id
+                ORDER BY list_sum(list_transform(range(1, 65),
+                  i -> (e.v[i] - c2.c[i]) * (e.v[i] - c2.c[i]))), c2.cell) AS rn
+              FROM e CROSS JOIN c2) WHERE rn = 1),
+      qs AS (SELECT id AS query_id, v AS qv, cell FROM (
+              SELECT e.id, e.v, c2.cell, ROW_NUMBER() OVER (PARTITION BY e.id
+                ORDER BY list_sum(list_transform(range(1, 65),
+                  i -> (e.v[i] - c2.c[i]) * (e.v[i] - c2.c[i]))), c2.cell) AS rn
+              FROM e CROSS JOIN c2 WHERE e.id % 50 = 0) WHERE rn <= 2),
+      scored AS (SELECT query_id, neighbor_id, MAX(
+            list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i]))
+            / (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))
+             * sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i]))))) AS cos
+          FROM idx JOIN qs USING (cell)
+          WHERE query_id <> neighbor_id GROUP BY query_id, neighbor_id)
+      SELECT query_id, rn, neighbor_id, ROUND(cos, 6) AS cos FROM (
+        SELECT query_id, neighbor_id, cos, CAST(ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rn
+        FROM scored) WHERE rn <= 3 ORDER BY query_id, rn"""
+
   val all: Seq[QueryDef] = Seq(
 
     // ================= relational core (SURVEY §2.B/F/G) =================
@@ -2472,48 +2520,27 @@ object Queries {
         .select(col("query_id"), col("rn"), col("neighbor_id"),
           round(col("cos"), 6).as("cos"))
         .orderBy("query_id", "rn")
-    }, Some("""WITH e AS (SELECT vec_id AS id,
-          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
-      dims AS (SELECT UNNEST(range(1, 65)) AS i),
-      c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) AS INT) - 1 AS cell, v AS c
-             FROM (SELECT id, v FROM e ORDER BY id LIMIT 8)),
-      a1 AS (SELECT id, v, cell FROM (
-              SELECT e.id, e.v, c0.cell, ROW_NUMBER() OVER (PARTITION BY e.id
-                ORDER BY list_sum(list_transform(range(1, 65),
-                  i -> (e.v[i] - c0.c[i]) * (e.v[i] - c0.c[i]))), c0.cell) AS rn
-              FROM e CROSS JOIN c0) WHERE rn = 1),
-      c1 AS (SELECT cell, list(m ORDER BY d) AS c FROM (
-              SELECT cell, i - 1 AS d, AVG(v[i]) AS m
-              FROM a1 CROSS JOIN dims GROUP BY cell, i) GROUP BY cell),
-      a2 AS (SELECT id, v, cell FROM (
-              SELECT e.id, e.v, c1.cell, ROW_NUMBER() OVER (PARTITION BY e.id
-                ORDER BY list_sum(list_transform(range(1, 65),
-                  i -> (e.v[i] - c1.c[i]) * (e.v[i] - c1.c[i]))), c1.cell) AS rn
-              FROM e CROSS JOIN c1) WHERE rn = 1),
-      c2 AS (SELECT cell, list(m ORDER BY d) AS c FROM (
-              SELECT cell, i - 1 AS d, AVG(v[i]) AS m
-              FROM a2 CROSS JOIN dims GROUP BY cell, i) GROUP BY cell),
-      idx AS (SELECT id AS neighbor_id, v AS cv, cell FROM (
-              SELECT e.id, e.v, c2.cell, ROW_NUMBER() OVER (PARTITION BY e.id
-                ORDER BY list_sum(list_transform(range(1, 65),
-                  i -> (e.v[i] - c2.c[i]) * (e.v[i] - c2.c[i]))), c2.cell) AS rn
-              FROM e CROSS JOIN c2) WHERE rn = 1),
-      qs AS (SELECT id AS query_id, v AS qv, cell FROM (
-              SELECT e.id, e.v, c2.cell, ROW_NUMBER() OVER (PARTITION BY e.id
-                ORDER BY list_sum(list_transform(range(1, 65),
-                  i -> (e.v[i] - c2.c[i]) * (e.v[i] - c2.c[i]))), c2.cell) AS rn
-              FROM e CROSS JOIN c2 WHERE e.id % 50 = 0) WHERE rn <= 2),
-      scored AS (SELECT query_id, neighbor_id, MAX(
-            list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i]))
-            / (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))
-             * sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i]))))) AS cos
-          FROM idx JOIN qs USING (cell)
-          WHERE query_id <> neighbor_id GROUP BY query_id, neighbor_id)
-      SELECT query_id, rn, neighbor_id, ROUND(cos, 6) AS cos FROM (
-        SELECT query_id, neighbor_id, cos, CAST(ROW_NUMBER() OVER (
-          PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rn
-        FROM scored) WHERE rn <= 3 ORDER BY query_id, rn""")),
+    }, Some(ivfOracle8x2)),
+
+    QueryDef("q142_ivf_persisted", (s, dir) => {
+      // the SAME IVF search as q134 through the PERSISTED index: ivfWrite
+      // lays the inverted lists out as cell-partitioned parquet, ivfProbe
+      // computes the probed cell set driver-side and pushes it as a
+      // partition filter (only probed cell=N dirs are listed/read —
+      // SimilaritySpec asserts the file counts). Sharing q134's oracle IS
+      // the claim: persisted-index probe ≡ in-memory probe.
+      val emb = Q.t(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft_ivf_")
+        .toString
+      graft.operators.Similarity.ivfWrite(
+        emb, "embedding", "vec_id", path, kCells = 8, iters = 2)
+      graft.operators.Similarity.ivfProbe(
+          s, path, emb.filter(col("vec_id") % 50 === 0),
+          "embedding", "vec_id", k = 3, nProbe = 2)
+        .select(col("query_id"), col("rn"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("query_id", "rn")
+    }, Some(ivfOracle8x2)),
 
     QueryDef("q135_decontaminate", (s, dir) => {
       // Benchmark decontamination (eval-overlap filter): corpus docs

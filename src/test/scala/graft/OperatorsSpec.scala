@@ -259,6 +259,57 @@ class SimilaritySpec extends SparkTestBase {
       .orderBy("rn").select("neighbor_id").as[Long].collect()
     assert(ivf.toSeq == bf.toSeq)
   }
+
+  test("nearestCells: nested-array-Literal path ≡ unrolled-literal path (r11 gate)") {
+    // same centroids through both assignment shapes — the gated path (for
+    // k·dims above inlineCentroidLimit) must produce identical cell picks
+    val cent = Similarity.ivfTrain(clustered, "embedding", "vec_id", k = 4, iters = 2)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1).toSeq
+    val v = clustered.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    def assign(inline: Boolean) = v.select(col("vec_id"),
+        Similarity.nearestCellsImpl(col("v"), cent, 2, inline).as("p"))
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(_.getInt(1)))
+    assert(assign(inline = true).toSeq == assign(inline = false).toSeq)
+  }
+
+  test("ivfTrain: trainFraction samples deterministically; search stays valid") {
+    val cA = Similarity.ivfTrain(clustered, "embedding", "vec_id", k = 2,
+      iters = 2, trainFraction = 0.6).orderBy("cell").collect()
+    val cB = Similarity.ivfTrain(clustered.repartition(5), "embedding", "vec_id",
+      k = 2, iters = 2, trainFraction = 0.6).orderBy("cell").collect()
+    assert(cA.map(_.toString).toSeq == cB.map(_.toString).toSeq)
+    // a sample-trained quantizer still separates the two tight clusters
+    val out = Similarity.ivfTopK(clustered, clustered.filter(col("vec_id") === 0),
+      "embedding", "vec_id", k = 5, kCells = 2, iters = 2, nProbe = 1,
+      trainFraction = 0.6)
+    assert(out.select("neighbor_id").as[Long].collect().forall(_ < 40))
+  }
+
+  test("ivfWrite/ivfProbe: persisted probe ≡ in-memory, reads only probed cells") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_spec_").toString
+    Similarity.ivfWrite(clustered, "embedding", "vec_id", dir, kCells = 4, iters = 2)
+    val q = clustered.filter(col("vec_id") === 7)
+    val persisted = Similarity.ivfProbe(spark, dir, q, "embedding", "vec_id",
+      k = 3, nProbe = 1)
+    // equality with the in-memory path on the same centroids
+    val cent = spark.read.parquet(dir + "/centroids")
+    val mem = Similarity.ivfIndex(clustered, "embedding", "vec_id", cent)
+    val cells = spark.read.parquet(dir + "/index").select("cell").distinct().count()
+    assert(cells >= 2, "fixture must spread over multiple cells")
+    assert(persisted.collect().map(_.toString).sorted.toSeq ==
+      Similarity.ivfTopK(clustered, q, "embedding", "vec_id", k = 3,
+        kCells = 4, iters = 2, nProbe = 1)
+        .collect().map(_.toString).sorted.toSeq)
+    // partition pruning: the probe scan lists only the probed cell dirs.
+    // nProbe=1 → exactly one cell=N directory of the ≥2 present.
+    val probedFiles = filesRead(persisted)
+    val allFiles = filesRead(spark.read.parquet(dir + "/index"))
+    assert(probedFiles < allFiles,
+      s"probe read $probedFiles of $allFiles files — no partition pruning")
+  }
 }
 
 class TextAnalysisSpec extends SparkTestBase {
