@@ -2542,6 +2542,40 @@ object Queries {
         .orderBy("query_id", "rn")
     }, Some(ivfOracle8x2)),
 
+    QueryDef("q143_incremental_matview", (s, dir) => {
+      // engine-maintained materialized view (r10 verdict missing #3): base
+      // Delta table built from a THIRD of lineitem, two appends folded in
+      // by refreshMatView — each refresh reads ONLY the commit tail
+      // (readSince, q125-proven) + the view-sized state. The oracle
+      // aggregates the FULL table: equality proves the appends are
+      // reflected without any full recompute having run. Sums stay exact
+      // (l_quantity integer-valued; min/max order-free), so the
+      // incremental merge is bit-identical to the one-shot aggregation.
+      val li = Q.t(s, dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice", "l_orderkey")
+      val base = java.nio.file.Files.createTempDirectory("graft_mv_")
+        .toString + "/base"
+      graft.io.DeltaNative.write(li.filter(col("l_orderkey") % 3 === 0), base)
+      val gs = graft.engine.GraftSession(s)
+      gs.registerDelta("mv_base_q143", base)
+      gs.createIncrementalMatView("mv_li_q143", "mv_base_q143",
+        Seq("l_returnflag"),
+        Seq(("count", "*", "n"), ("sum", "l_quantity", "sum_qty"),
+          ("min", "l_extendedprice", "min_price"),
+          ("max", "l_extendedprice", "max_price"),
+          ("avg", "l_quantity", "avg_qty")))
+      graft.io.DeltaNative.write(
+        li.filter(col("l_orderkey") % 3 === 1), base, mode = "append")
+      gs.refreshMatView("mv_li_q143")
+      graft.io.DeltaNative.write(
+        li.filter(col("l_orderkey") % 3 === 2), base, mode = "append")
+      gs.refreshMatView("mv_li_q143")
+      s.table("mv_li_q143").orderBy("l_returnflag")
+    }, Some("""SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS sum_qty,
+        MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+        SUM(l_quantity) / COUNT(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     QueryDef("q135_decontaminate", (s, dir) => {
       // Benchmark decontamination (eval-overlap filter): corpus docs
       // sharing >= 2 distinct word 5-grams with a held-out "benchmark"
