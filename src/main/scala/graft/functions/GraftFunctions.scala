@@ -899,11 +899,19 @@ object GraftFunctions {
     // applying a fitted state (the reference registry stops at the fit;
     // provided as the natural prediction surface for LinRegFit weights).
     // For logistic weights wrap in sigmoid/`> 0` — the margin is the model.
+    // Guarded: a weights array whose length ≠ k+1 used to yield silent
+    // all-null predictions (out-of-range getItem) — now it raises with the
+    // expected/actual arity (ADVICE r10).
     alias("evalMLMethod")(cs => {
       val w = cs.head
       val feats = cs.tail
-      feats.zipWithIndex.map { case (f, i) => w.getItem(i) * f }
+      val margin = feats.zipWithIndex.map { case (f, i) => w.getItem(i) * f }
         .reduceOption(_ + _).getOrElse(lit(0.0)) + w.getItem(feats.length)
+      when(size(w) === feats.length + 1, margin)
+        .otherwise(raise_error(concat(
+          lit(s"evalMLMethod: expected ${feats.length + 1} weights " +
+            s"([w1..w${feats.length}, bias]) but got "),
+          size(w).cast("string"))))
     })
 
     // window-function aliases

@@ -56,6 +56,18 @@ case class LinRegFit(
   override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
+  // a non-foldable l2 used to surface only at EXECUTION as a misleading
+  // "must be a non-null numeric literal" (or an attribute-binding error);
+  // fail analysis instead, where the message lands on the query (ADVICE r10)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (l2Expr.exists(e => !e.foldable))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "ridgeRegression: the l2 strength must be a foldable numeric literal " +
+          "(it parameterizes the aggregate; it cannot vary per row)")
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
   override def createAggregationBuffer(): Array[Double] = new Array[Double](bufN)
 
   private def num(a: Any): Double = a match {

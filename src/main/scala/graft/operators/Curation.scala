@@ -78,8 +78,11 @@ object Curation {
       rates: Map[String, Double], buckets: Int = 10000): DataFrame = {
     require(rates.values.forall(r => r >= 0 && r <= 1), s"bad rates: $rates")
     val b = md5Bucket(col(idCol), buckets)
+    // string-compare so non-string domain columns match their rates map
+    // entries (and a null domain matches nothing → always kept)
     val thresh = rates.foldLeft(lit(buckets.toLong)) { case (acc, (d, r)) =>
-      when(col(domainCol) === d, lit(math.round(r * buckets))).otherwise(acc)
+      when(col(domainCol).cast("string") === d,
+        lit(math.round(r * buckets))).otherwise(acc)
     }
     df.filter(b < thresh)
   }
@@ -100,8 +103,14 @@ object Curation {
   def temperatureMixture(df: DataFrame, idCol: String, domainCol: String,
       alpha: Double, buckets: Int = 10000): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha in (0, 1]: $alpha")
-    val counts = df.groupBy(domainCol).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // cast to string (non-string domain columns used to ClassCastException)
+    // and EXCLUDE nulls from the normalization: a null domain can never be
+    // downsampled (sampleMixture's `=== d` never matches null — those rows
+    // always keep), so counting it could make it the rate-1 anchor and
+    // silently shrink every real domain's rate (ADVICE r10)
+    val counts = df.groupBy(col(domainCol).cast("string").as("__d")).count()
+      .collect().flatMap(r =>
+        Option(r.getString(0)).map(_ -> r.getLong(1))).toMap
     if (counts.isEmpty) return df // no rows, no domains: nothing to rebalance
     val raw = counts.map { case (d, n) => d -> math.pow(n.toDouble, alpha - 1.0) }
     val mx = raw.values.max

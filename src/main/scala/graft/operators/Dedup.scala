@@ -373,6 +373,16 @@ object Dedup {
     * window — only (digest, id, pos, span) rows move, never whole
     * documents), then one per-id groupBy to reassemble; both map-side
     * combined. Returns (id, text, n_spans, n_kept).
+    *
+    * Skew note (ADVICE r10): the keep-first window partitions by span
+    * digest, so EVERY occurrence of a dominant boilerplate span lands in
+    * one partition — correctness is unaffected, but wall-clock degrades on
+    * heavy-tailed span distributions (window partitions get no AQE skew
+    * split). If a corpus is known to carry mega-duplicated spans, lift the
+    * first-occurrence computation into a groupBy(digest).agg(min(struct(
+    * id, pos))) — map-side combined, skew-immune — and join it back
+    * (an AQE-skew-splittable join); at typical boilerplate frequencies
+    * (≤ ~1e6 occurrences) the single-window form here is faster.
     */
   def dedupSpans(
       df: DataFrame, textCol: String, idCol: String,
