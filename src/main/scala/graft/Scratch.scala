@@ -12,6 +12,7 @@ object Scratch {
     if (args.headOption.contains("deltaprune")) { deltaPrune(g); g.spark.stop(); return }
     if (args.headOption.contains("deltareplay")) { deltaReplay(g); g.spark.stop(); return }
     if (args.headOption.contains("morcompact")) { morCompact(g); g.spark.stop(); return }
+    if (args.headOption.contains("q103prof")) { q103prof(g); g.spark.stop(); return }
     val names = if (args.nonEmpty) args.toSeq else Seq("q01_tpch_q1")
     names.foreach { n =>
       println(s"=== $n ===")
@@ -198,5 +199,87 @@ object Scratch {
     println("mp4 audio-first: " + vm)
     assert(vm.getAs[Long]("total_frames") == 150L, "frames from wrong trak")
     println("R8DRIVE OK")
+  }
+
+  /** Time q103's component stages at sf0.1 to find the dominant cost. */
+  private def q103prof(g: graft.engine.GraftSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = g.spark
+    val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+      .select("doc_id", "text").cache()
+    println("docs: " + docs.count() + " rows, avg len " +
+      docs.agg(avg(length(col("text")))).head().getDouble(0))
+    def time(label: String)(f: => Long): Unit = {
+      (1 to 3).foreach { i =>
+        val t0 = System.nanoTime(); val n = f
+        println(f"$label run$i: ${(System.nanoTime - t0) / 1e9}%.3f s (rows=$n)")
+      }
+    }
+    time("textStats only") {
+      docs.select(graft.operators.TextAnalysis.textStats(col("text")).as("s"))
+        .agg(sum(col("s.n_tokens"))).head(); 1L
+    }
+    time("tokenize only") {
+      docs.select(graft.functions.GraftFunctions.tokenize(col("text")).as("t"))
+        .agg(sum(size(col("t")))).head(); 1L
+    }
+    time("md5 window only") {
+      graft.operators.Dedup.exactKeepFirst(docs, "text", "doc_id").count()
+    }
+    time("full curate") {
+      graft.operators.Curation.curate(docs, "text", "doc_id").count()
+    }
+    // 20x-inflated corpus (100k rows): data term visible over fixed overhead
+    val big = docs.crossJoin(spark.range(20).select(col("id").as("rep")))
+      .select((col("doc_id") * 20 + col("rep")).as("doc_id"),
+        concat(col("text"), lit(" r"), col("rep")).as("text"))
+      .cache()
+    println("big: " + big.count() + " rows")
+    def legacyScored(df: org.apache.spark.sql.DataFrame) = {
+      val toks = graft.functions.GraftFunctions.tokenize(col("text"))
+      val scored = graft.operators.TextAnalysis.qualityScoreFromTokens(
+          df.withColumn("__toks", toks), "text", col("__toks"))
+        .withColumn("pred_lang",
+          graft.operators.TextAnalysis.languageIdFromTokens(col("__toks")))
+        .drop("__toks")
+      scored.filter(col("pred_lang").isin("en") && col("quality_score") >= 0.3)
+    }
+    def fusedScored(df: org.apache.spark.sql.DataFrame) = {
+      val scored = graft.operators.TextAnalysis.qualityScoreFromStats(
+          df.withColumn("__st",
+            graft.operators.TextAnalysis.textStats(col("text"))), col("__st"))
+        .withColumn("pred_lang",
+          graft.operators.TextAnalysis.languageIdFromStats(col("__st")))
+        .drop("__st")
+      scored.filter(col("pred_lang").isin("en") && col("quality_score") >= 0.3)
+    }
+    time("legacy features 100k") { legacyScored(big).count() }
+    time("fused features 100k") { fusedScored(big).count() }
+    time("textStats agg 100k") {
+      big.select(graft.operators.TextAnalysis.textStats(col("text")).as("s"))
+        .agg(sum(col("s.n_tokens"))).head(); 1L
+    }
+    time("tokenize agg 100k") {
+      big.select(graft.functions.GraftFunctions.tokenize(col("text")).as("t"))
+        .agg(sum(size(col("t")))).head(); 1L
+    }
+    time("fused quality only 100k") {
+      graft.operators.TextAnalysis.qualityScoreFromStats(
+        big.withColumn("__st",
+          graft.operators.TextAnalysis.textStats(col("text"))), col("__st"))
+        .agg(sum(col("quality_score"))).head(); 1L
+    }
+    time("fused lang only 100k") {
+      big.withColumn("__st",
+          graft.operators.TextAnalysis.textStats(col("text")))
+        .select(graft.operators.TextAnalysis.languageIdFromStats(col("__st")).as("l"))
+        .groupBy("l").count().head(); 1L
+    }
+    time("md5 window 100k") {
+      graft.operators.Dedup.exactKeepFirst(big, "text", "doc_id").count()
+    }
+    time("gated curate 100k") {
+      graft.operators.Curation.curate(big, "text", "doc_id").count()
+    }
   }
 }

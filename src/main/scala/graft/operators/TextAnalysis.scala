@@ -12,13 +12,22 @@ import graft.functions.GraftFunctions._
   */
 object TextAnalysis {
 
-  /** Tiny per-language stopword lists for the n-gram/stopword heuristic. */
-  val stopwords: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
-    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"),
-    "es" -> Seq("el", "la", "los", "de", "y", "un", "una", "es", "que", "por"),
-    "zh" -> Seq("de", "shi", "le", "bu", "wo", "ni", "ta", "men", "zai", "you"))
+  /** Tiny per-language stopword lists for the n-gram/stopword heuristic
+    * (single source of truth lives beside the fused scan:
+    * [[graft.functions.TextStatsOps.stopwords]]).
+    */
+  val stopwords: Map[String, Seq[String]] = graft.functions.TextStatsOps.stopwords
+
+  /** The fused one-scan counts struct ([[graft.functions.TextStats]]) that
+    * the quality/language operators below derive their ratios from.
+    */
+  def textStats(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.TextStats(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
+
+  private def langHit(st: Column, lang: String): Column =
+    st.getField("hits").getItem(graft.functions.TextStatsOps.langs.indexOf(lang))
 
   /** Fraction of tokens found in `words` (deterministic double division). */
   def stopwordRatio(tokens: Column, words: Seq[String]): Column = {
@@ -29,9 +38,24 @@ object TextAnalysis {
 
   /** Heuristic language ID: the language whose stopword list matches the
     * largest token fraction; "und" (undetermined) if nothing beats `floor`.
+    * Runs on the fused one-scan counts (r11) — same scores, same argmax.
     */
   def languageId(text: Column, floor: Double = 0.02): Column =
-    languageIdFromTokens(tokenize(text), floor)
+    languageIdFromStats(textStats(text), floor)
+
+  /** languageId over a precomputed [[textStats]] struct — identical score
+    * arithmetic to [[languageIdFromTokens]] (hit count / max(n_tokens, 1)),
+    * deterministic tiebreak unchanged.
+    */
+  def languageIdFromStats(st: Column, floor: Double = 0.02): Column = {
+    val nTok = greatest(st.getField("n_tokens"), lit(1)).cast("double")
+    val scored = stopwords.keys.toSeq.sorted.map { lang =>
+      struct((langHit(st, lang).cast("double") / nTok).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") >= floor, best.getField("lang")).otherwise(lit("und"))
+  }
 
   /** languageId over a precomputed token column — use this form when the
     * caller already materialized tokens (each score references the tokens;
@@ -59,15 +83,33 @@ object TextAnalysis {
   /** Quality features: length, token stats, punctuation/digit/upper ratios,
     * stopword ratio, repetition (1 - distinct/total tokens).
     *
-    * Tokens are materialized ONCE into a multi-use column: Catalyst's
-    * CollapseProject inlines single-use (or cheap) aliases, so repeating
-    * `tokenize(t)` in each feature would re-split the text per feature —
-    * a multi-referenced non-cheap alias survives as one evaluation.
+    * r11: derived from the FUSED one-scan counts ([[textStats]]) — the
+    * per-row passes (two regex scans + six HOF filters + array_distinct)
+    * collapse into one codegen'd scan; every ratio keeps the exact same
+    * integer operands and division shapes, so results are bit-identical
+    * (q70's oracle is the lock). The stats struct materializes ONCE into a
+    * multi-use column (a multi-referenced non-cheap alias survives
+    * CollapseProject as one evaluation).
     */
   def qualityFeatures(df: DataFrame, textCol: String): DataFrame =
-    qualityFeaturesFromTokens(
-      df.withColumn("__toks", tokenize(col(textCol))), textCol, col("__toks"))
-      .drop("__toks")
+    qualityFeaturesFromStats(
+      df.withColumn("__st", textStats(col(textCol))), col("__st"))
+      .drop("__st")
+
+  /** Feature ratios over a precomputed [[textStats]] struct. */
+  def qualityFeaturesFromStats(df: DataFrame, st: Column): DataFrame = {
+    val nTok = greatest(st.getField("n_tokens"), lit(1)).cast("double")
+    val nCh = greatest(st.getField("n_chars"), lit(1)).cast("double")
+    df.withColumn("n_chars_q", st.getField("n_chars"))
+      .withColumn("n_tokens", st.getField("n_tokens"))
+      .withColumn("mean_token_len",
+        st.getField("tok_len_sum").cast("double") / nTok)
+      .withColumn("punct_ratio", st.getField("punct_cnt").cast("double") / nCh)
+      .withColumn("digit_ratio", st.getField("digit_cnt").cast("double") / nCh)
+      .withColumn("stopword_ratio", langHit(st, "en").cast("double") / nTok)
+      .withColumn("repetition_ratio",
+        lit(1.0) - st.getField("distinct_tokens").cast("double") / nTok)
+  }
 
   /** Feature computation over a precomputed token column. */
   def qualityFeaturesFromTokens(df: DataFrame, textCol: String, toks: Column): DataFrame = {
@@ -102,6 +144,10 @@ object TextAnalysis {
   /** qualityScore over a precomputed token column (see qualityFeatures). */
   def qualityScoreFromTokens(df: DataFrame, textCol: String, toks: Column): DataFrame =
     qualityFeaturesFromTokens(df, textCol, toks).withColumn("quality_score", scoreMix)
+
+  /** qualityScore over a precomputed [[textStats]] struct (fused path). */
+  def qualityScoreFromStats(df: DataFrame, st: Column): DataFrame =
+    qualityFeaturesFromStats(df, st).withColumn("quality_score", scoreMix)
 
   /** PII patterns for the scrub step every C4/Dolma-class curation
     * pipeline runs before training. Conservative, and valid in BOTH Java

@@ -498,6 +498,31 @@ class CurationSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().sorted
     assert(out.toSeq == Seq(1L)) // dup 2 dropped, fr 3 dropped, junk 4 dropped
   }
+
+  test("QualityGate keeps exactly the declarative filter's rows (r11 fused gate)") {
+    // the gate's JVM score/argmax arithmetic must replicate the Column
+    // forms operation-for-operation — checked over the whole fixture, for
+    // several (languages, minQuality) settings including boundary floors
+    val docs = Tables.load(spark, SparkTestBase.sfDir, "documents")
+    for ((langs, q) <- Seq(
+        (Seq("en"), 0.3), (Seq("en", "fr"), 0.5), (Seq("de"), 0.0),
+        (Seq("en"), 0.62), (Seq("und"), 0.3))) {
+      val declarative = graft.operators.TextAnalysis.qualityScoreFromStats(
+          docs.withColumn("__st",
+            graft.operators.TextAnalysis.textStats(col("text"))), col("__st"))
+        .withColumn("pred_lang",
+          graft.operators.TextAnalysis.languageIdFromStats(col("__st")))
+        .filter(col("pred_lang").isin(langs: _*) && col("quality_score") >= q)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val gated = docs.filter(
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.QualityGate(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("text")),
+            langs, q)))
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(gated == declarative, s"gate mismatch for langs=$langs q=$q")
+    }
+  }
 }
 
 class DedupClusterSpec extends SparkTestBase {
