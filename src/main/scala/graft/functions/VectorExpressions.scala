@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -65,6 +65,102 @@ case class DotProd(left: Expression, right: Expression) extends VectorKernel {
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProd =
     copy(left = l, right = r)
+}
+
+/** Cosine over int8 quantization codes — EXACT integer dot products (64·127²
+  * per term fits long; accumulation over longs is order-free) with one final
+  * double division, exactly the arithmetic of the HOF form it replaces
+  * (`aggregate(zip_with(x*y))` ×3 — three interpreted per-element passes per
+  * PAIR, the dominant q124 cost). Null when either norm is zero, matching
+  * `when(na > 0 && nb > 0, …)`.
+  */
+case class Int8Cosine(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  @inline private def getL(d: ArrayData, et: DataType, i: Int): Long = et match {
+    case ByteType => d.getByte(i).toLong
+    case ShortType => d.getShort(i).toLong
+    case IntegerType => d.getInt(i).toLong
+    case LongType => d.getLong(i)
+    case other => throw new IllegalArgumentException(s"non-integer code element: $other")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val ta = left.dataType.asInstanceOf[ArrayType].elementType
+    val tb = right.dataType.asInstanceOf[ArrayType].elementType
+    val va = a.asInstanceOf[ArrayData]
+    val vb = b.asInstanceOf[ArrayData]
+    val n = math.min(va.numElements(), vb.numElements())
+    var ab = 0L; var aa = 0L; var bb = 0L
+    var i = 0
+    while (i < n) {
+      val x = getL(va, ta, i); val y = getL(vb, tb, i)
+      ab += x * y; aa += x * x; bb += y * y
+      i += 1
+    }
+    val na = math.sqrt(aa.toDouble)
+    val nb = math.sqrt(bb.toDouble)
+    if (na > 0 && nb > 0) ab.toDouble / (na * nb) else null
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Int8Cosine =
+    copy(left = l, right = r)
+}
+
+/** Symmetric per-vector int8 quantization in one pass — struct(scale, q)
+  * with scale = max|v|/127 (1.0 for zero/empty/null vectors) and
+  * q_i = round(v_i/scale) as tinyint. Bit-identical to the declarative
+  * `struct(when(mx > 0, mx/127).otherwise(1), transform(v, round(x/scale)
+  * .cast tinyint))` it replaces (two interpreted per-element passes):
+  * the per-element round goes through the same BigDecimal HALF_UP Spark's
+  * `round` uses (`math.floor(v + 0.5)` is NOT equivalent at double
+  * tie-adjacent values, e.g. 0.49999999999999994), and the null contract
+  * is preserved exactly — a NULL vector yields struct(1.0, null), not a
+  * null struct.
+  */
+case class Int8Quantize(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("q", ArrayType(ByteType, containsNull = false))))
+
+  override def nullable: Boolean = false
+
+  @inline private def get(d: ArrayData, et: DataType, i: Int): Double = et match {
+    case DoubleType => d.getDouble(i)
+    case FloatType => d.getFloat(i).toDouble
+    case IntegerType => d.getInt(i).toDouble
+    case LongType => d.getLong(i).toDouble
+    case other => throw new IllegalArgumentException(s"non-numeric vector element: $other")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](1.0, null))
+    val et = child.dataType.asInstanceOf[ArrayType].elementType
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) { val a = math.abs(get(arr, et, i)); if (a > mx) mx = a; i += 1 }
+    val scale = if (mx > 0) mx / 127.0 else 1.0
+    val codes = new Array[Byte](n)
+    i = 0
+    while (i < n) {
+      codes(i) = java.math.BigDecimal.valueOf(get(arr, et, i) / scale)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue().toByte
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scale, ArrayData.toArrayData(codes)))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Int8Quantize =
+    copy(child = c)
 }
 
 /** √Σ(aᵢ−bᵢ)². */

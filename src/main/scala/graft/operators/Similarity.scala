@@ -400,11 +400,12 @@ object Similarity {
     * scale 1 (all-zero codes) rather than NaN.
     */
   def quantizeInt8(vec: Column): Column = {
-    val mx = array_max(transform(vec, x => abs(x.cast("double"))))
-    val scale = when(mx > 0, mx / lit(127.0)).otherwise(lit(1.0))
-    struct(scale.as("scale"),
-      transform(vec, x =>
-        round(x.cast("double") / scale).cast("tinyint")).as("q"))
+    // r11: one-pass kernel (functions.Int8Quantize) replacing the two
+    // interpreted transform/array_max passes; values and null contract
+    // identical (spec-locked against the declarative form)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.Int8Quantize(
+      ColumnBridge.expression(vec)))
   }
 
   /** Inverse of [[quantizeInt8]]: per-element error is bounded by scale/2 =
@@ -419,14 +420,15 @@ object Similarity {
     * (64·127² per term fits long) until one final double division — which is
     * also what makes it engine-portable (the q124 oracle replays it in
     * DuckDB bit-for-bit, no float-fold caveats needed).
+    *
+    * r11: one-pass kernel ([[graft.functions.Int8Cosine]]) — the HOF form
+    * (three `aggregate(zip_with(...))` dots) evaluated its lambdas
+    * interpreted PER ELEMENT, three passes per pair; integer accumulation
+    * is order-free so the kernel is bit-identical (Int8KernelSpec).
     */
   def int8CosineSimilarity(qa: Column, qb: Column): Column = {
-    def dot(u: Column, v: Column): Column =
-      aggregate(zip_with(u, v, (x, y) => x.cast("long") * y.cast("long")),
-        lit(0L), (acc, x) => acc + x)
-    val d = dot(qa, qb).cast("double")
-    val na = sqrt(dot(qa, qa).cast("double"))
-    val nb = sqrt(dot(qb, qb).cast("double"))
-    when(na > 0 && nb > 0, d / (na * nb))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.Int8Cosine(
+      ColumnBridge.expression(qa), ColumnBridge.expression(qb)))
   }
 }

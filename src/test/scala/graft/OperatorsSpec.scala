@@ -260,6 +260,46 @@ class SimilaritySpec extends SparkTestBase {
     assert(ivf.toSeq == bf.toSeq)
   }
 
+  test("int8 quantize kernel ≡ declarative form, incl. null/empty contract (r11)") {
+    val rnd = new scala.util.Random(13)
+    val base = (0 until 200).map { i =>
+      val n = if (i % 17 == 0) 0 else 64
+      (i.toLong, Seq.fill(n)(((rnd.nextDouble() - 0.5) * 4).toFloat))
+    }.toDF("id", "v")
+      // null-vector rows exercise the struct(1.0, null) contract
+      .withColumn("v", when(col("id") % 23 === 0, lit(null)).otherwise(col("v")))
+    def declarative(vec: org.apache.spark.sql.Column) = {
+      val mx = array_max(transform(vec, x => abs(x.cast("double"))))
+      val scale = when(mx > 0, mx / lit(127.0)).otherwise(lit(1.0))
+      struct(scale.as("scale"),
+        transform(vec, x => round(x.cast("double") / scale).cast("tinyint")).as("q"))
+    }
+    val out = base.select(
+      Similarity.quantizeInt8(col("v")).as("k"), declarative(col("v")).as("d"))
+    assert(out.filter(!(col("k.scale") <=> col("d.scale")) ||
+      !(col("k.q") <=> col("d.q"))).isEmpty)
+  }
+
+  test("int8 cosine kernel ≡ HOF aggregate form, bit-identical (r11)") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 300).map { i =>
+      val n = if (i % 29 == 0) 0 else 64 // include empty codes (null contract)
+      (i.toLong, Seq.fill(n)((rnd.nextInt(255) - 127).toByte),
+        Seq.fill(n)((rnd.nextInt(255) - 127).toByte))
+    }.toDF("id", "qa", "qb")
+    def hofDot(u: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+      aggregate(zip_with(u, v, (x, y) => x.cast("long") * y.cast("long")),
+        lit(0L), (acc, x) => acc + x)
+    val d = hofDot(col("qa"), col("qb")).cast("double")
+    val na = sqrt(hofDot(col("qa"), col("qa")).cast("double"))
+    val nb = sqrt(hofDot(col("qb"), col("qb")).cast("double"))
+    val out = rows.select(
+      Similarity.int8CosineSimilarity(col("qa"), col("qb")).as("kernel"),
+      when(na > 0 && nb > 0, d / (na * nb)).as("hof"))
+    // bit-identical: exact equality including the zero-norm null contract
+    assert(out.filter(!(col("kernel") <=> col("hof"))).isEmpty)
+  }
+
   test("nearestCells: nested-array-Literal path ≡ unrolled-literal path (r11 gate)") {
     // same centroids through both assignment shapes — the gated path (for
     // k·dims above inlineCentroidLimit) must produce identical cell picks
