@@ -68,6 +68,22 @@ object GraftFunctions {
         x => concat_ws(" ", (0 until n).map(i => x.getField(s"p$i")): _*)))
   }
 
+  /** Sorted distinct xxhash64 shingle hashes in one fused scan (r11) —
+    * bit-identical to `array_sort(array_distinct(transform(
+    * shingles(tokenize(text), n), s => xxhash64(s))))` (see
+    * [[ShingleHashes]]); the projection every dedup operator runs per doc.
+    */
+  def shingleHashes(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), n))
+
+  /** Exact Jaccard over sorted distinct long arrays — one merge pass
+    * ([[JaccardSortedLongs]]); identical int operands and division as the
+    * array_intersect form it replaces.
+    */
+  def jaccardSortedLongs(a: Column, b: Column): Column =
+    ColumnBridge.column(JaccardSortedLongs(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** One minhash value: min over shingle hashes, salted by `seed`. */
   def minhash(shingleCol: Column, seed: Int): Column =
     array_min(transform(shingleCol, s => xxhash64(s, lit(seed))))

@@ -200,6 +200,130 @@ object TextStatsOps {
   }
 }
 
+/** shingleHashes(text, n): sorted distinct xxhash64 values of the space-
+  * joined n-token shingles — the fused form of
+  * `array_sort(array_distinct(transform(shingles(tokenize(text), n),
+  * s => xxhash64(s))))`, the projection every dedup operator (minhash LSH,
+  * ppjoin n-gram Jaccard) computes per document. The declarative pipeline
+  * ran the slice/zip/concat_ws shingle assembly plus the hash transform as
+  * interpreted per-element lambdas; this is one token scan + one XXH64 per
+  * shingle (the same `XxHash64Function` with the same seed 42 Spark's
+  * `xxhash64` uses, over the identical joined string — so the hash VALUES
+  * are bit-identical, locked by DedupSpec/ShingleFidelitySpec).
+  *
+  * Shingle semantics replicated exactly: fewer than n tokens → ONE shingle
+  * of all tokens joined (the empty string for a token-less text); n or
+  * more → size−n+1 windows.
+  */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleOps.hashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.hashes($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashes =
+    copy(child = c)
+}
+
+object ShingleOps {
+  import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+
+  private def hashString(s: String): Long =
+    XxHash64Function.hash(UTF8String.fromString(s), StringType, 42L)
+
+  def hashes(text: UTF8String, n: Int): GenericArrayData = {
+    // token scan — same loop as TokenizerOps, collecting String tokens
+    val lower = text.toLowerCase.toString
+    val toks = new java.util.ArrayList[String]
+    val len = lower.length
+    var i = 0
+    var start = -1
+    while (i < len) {
+      val cp = lower.codePointAt(i)
+      val t = Character.getType(cp)
+      val isTok = (t >= Character.UPPERCASE_LETTER && t <= Character.OTHER_LETTER) ||
+        (t >= Character.DECIMAL_DIGIT_NUMBER && t <= Character.OTHER_NUMBER)
+      if (isTok) { if (start < 0) start = i }
+      else if (start >= 0) { toks.add(lower.substring(start, i)); start = -1 }
+      i += Character.charCount(cp)
+    }
+    if (start >= 0) toks.add(lower.substring(start, len))
+
+    val k = toks.size
+    val out: Array[Long] =
+      if (k < n) Array(hashString(String.join(" ", toks)))
+      else {
+        val arr = new Array[Long](k - n + 1)
+        val sb = new java.lang.StringBuilder
+        var w = 0
+        while (w <= k - n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks.get(w + j))
+            j += 1
+          }
+          arr(w) = hashString(sb.toString)
+          w += 1
+        }
+        arr
+      }
+    // distinct + ascending sort (array_sort over longs)
+    java.util.Arrays.sort(out)
+    var m = 0
+    var r = 0
+    while (r < out.length) {
+      if (m == 0 || out(r) != out(m - 1)) { out(m) = out(r); m += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
+
+  /** Merge-intersect Jaccard over sorted distinct long arrays. */
+  def jaccard(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+}
+
+/** jaccardSortedLongs(a, b): exact Jaccard over two SORTED DISTINCT long
+  * arrays in one merge pass — the fused form of the verify step's
+  * `size(array_intersect(a, b)) / (size(a) + size(b) − inter)`. The int
+  * division operands are identical, so the double result is bit-identical;
+  * one kernel call per candidate pair replaces an interpreted
+  * array_intersect that predicate pushdown additionally duplicated into
+  * the threshold filter.
+  */
+case class JaccardSortedLongs(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ShingleOps.jaccard(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ShingleOps.jaccard($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): JaccardSortedLongs = copy(left = l, right = r)
+}
+
 /** qualityGate(text): the curation keep/drop decision (language ∈ allowed ∧
   * quality ≥ floor) as ONE boolean expression.
   *

@@ -75,18 +75,18 @@ object Dedup {
       bands: Int,
       rowsPerBand: Int): (DataFrame, DataFrame) = {
     val k = bands * rowsPerBand
-    // Tokenize → shingle → hash exactly ONCE, into a sorted array of 64-bit
-    // shingle hashes, and PERSIST it: the array feeds both the signature pass
-    // and the verification join, and without the cache the whole
-    // tokenize+shingle+hash pipeline re-runs over the full corpus for each
-    // consumer (the r2 bench's top cost). Verification runs over the long
-    // arrays directly — Jaccard over distinct 64-bit hashes equals Jaccard
-    // over the string shingles up to ~n²/2⁶⁴ collisions, and longs shuffle
-    // ~10× smaller than the shingle strings.
+    // Tokenize → shingle → hash exactly ONCE — the fused shingleHashes
+    // kernel (r11; was interpreted slice/zip/concat_ws + hash lambdas) —
+    // into a sorted array of 64-bit shingle hashes, and PERSIST it: the
+    // array feeds both the signature pass and the verification join, and
+    // without the cache the whole pipeline re-runs over the full corpus
+    // for each consumer (the r2 bench's top cost). Verification runs over
+    // the long arrays directly — Jaccard over distinct 64-bit hashes
+    // equals Jaccard over the string shingles up to ~n²/2⁶⁴ collisions,
+    // and longs shuffle ~10× smaller than the shingle strings.
     val hs = df.select(
       col(idCol).as("id"),
-      array_sort(array_distinct(
-        transform(shingles(tokenize(col(textCol)), shingleSize), s => xxhash64(s)))).as("hs"))
+      shingleHashes(col(textCol), shingleSize).as("hs"))
       .filter(size(col("hs")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // The k minhash permutations remix the base hash numerically (xxhash64
@@ -97,8 +97,8 @@ object Dedup {
     // expressions, while the exploded aggregation evaluates it once per
     // shingle and shuffles only (id, 8-byte hash) — also the plan shape that
     // scales: map-side partial min makes the shuffle |corpus|-sized.
-    val shingleHashes = hs.select(col("id"), explode(col("hs")).as("h"))
-    val sig = shingleHashes.groupBy("id")
+    val explodedHashes = hs.select(col("id"), explode(col("hs")).as("h"))
+    val sig = explodedHashes.groupBy("id")
       .agg((0 until k).map(seed => min(xxhash64(col("h"), lit(seed))).as(s"m$seed")).head,
         (1 until k).map(seed => min(xxhash64(col("h"), lit(seed))).as(s"m$seed")): _*)
 
@@ -141,8 +141,7 @@ object Dedup {
       maxDocFreq: Int = 1000): DataFrame = {
     val hs = df.select(
       col(idCol).as("id"),
-      array_sort(array_distinct(
-        transform(shingles(tokenize(col(textCol)), shingleSize), s => xxhash64(s)))).as("hs"))
+      shingleHashes(col(textCol), shingleSize).as("hs"))
       .filter(size(col("hs")) > 0)
 
     // prefix = first (n − ⌈t·n⌉ + 1) sorted hashes; postings carry 16 bytes
@@ -411,11 +410,14 @@ object Dedup {
       .select(col("id"), col(textCol), col("n_spans"), col("n_kept"))
   }
 
+  /** Exact-Jaccard verification over the candidates' sorted hash arrays —
+    * one merge-pass kernel per pair (r11; the array_intersect form was
+    * interpreted AND duplicated into the pushed threshold filter), same
+    * int operands and division → bit-identical jaccard values.
+    */
   private[graft] def verifyJaccard(pairs: DataFrame, threshold: Double): DataFrame =
     pairs
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
-      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .withColumn("jaccard", jaccardSortedLongs(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
 }
