@@ -36,20 +36,23 @@ object BenchTune {
     def run(): Seq[(String, Double)] =
       headline.map { q => once(q); once(q); q.name -> once(q) }
 
+    // r11 protocol lesson: a one-pass variant sweep is confounded by C2
+    // tier-up — the repeat of the FIRST variant at the END beat every middle
+    // variant (8.54 s vs 9.1-10.2 s), i.e. position drift exceeds the effect
+    // under test. So: one discarded full warm pass, then the contender
+    // INTERLEAVED with the incumbent twice — compare within adjacent pairs.
+    val base = Map("spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.adaptive.enabled" -> "false",
+      // explicit default: variants only SET confs, so every knob a contender
+      // touches must appear here too or it leaks into the next variant
+      "spark.sql.autoBroadcastJoinThreshold" -> (10L << 20).toString)
+    // probe: in-memory tables at sf0.1 make every dim + orders trivially
+    // broadcastable (the in-process baseline hash-joins the same data in RAM)
+    val bc64 = base + ("spark.sql.autoBroadcastJoinThreshold" -> (64L << 20).toString)
     val variants: Seq[(String, Map[String, String])] = Seq(
-      "sh8_noaqe" -> Map("spark.sql.shuffle.partitions" -> "8",
-        "spark.sql.adaptive.enabled" -> "false"),
-      "sh32_noaqe" -> Map("spark.sql.shuffle.partitions" -> "32",
-        "spark.sql.adaptive.enabled" -> "false"),
-      "sh32_aqe" -> Map("spark.sql.shuffle.partitions" -> "32",
-        "spark.sql.adaptive.enabled" -> "true",
-        "spark.sql.adaptive.coalescePartitions.enabled" -> "true"),
-      "sh8_aqe" -> Map("spark.sql.shuffle.partitions" -> "8",
-        "spark.sql.adaptive.enabled" -> "true",
-        "spark.sql.adaptive.coalescePartitions.enabled" -> "true"),
-      // repeat the first to bound JIT-order drift
-      "sh8_noaqe_2" -> Map("spark.sql.shuffle.partitions" -> "8",
-        "spark.sql.adaptive.enabled" -> "false"),
+      "warmup_discard" -> base,
+      "sh8_noaqe_A" -> base, "sh8_bc64_A" -> bc64,
+      "sh8_noaqe_B" -> base, "sh8_bc64_B" -> bc64,
     )
     variants.foreach { case (name, confs) =>
       confs.foreach { case (k, v) => spark.conf.set(k, v) }
