@@ -329,6 +329,15 @@ final case class GraftFrame(df: DataFrame) {
     GraftFrame(Curation.decontaminate(df, benchmark.df, textCol, idCol, n,
       minShared))
 
+  /** Per-group cap: best `cap` rows per `groupCol` by `order` (q144 shape). */
+  def capPerGroup(groupCol: String, idCol: String, cap: Int,
+      order: org.apache.spark.sql.Column): GraftFrame =
+    GraftFrame(Curation.capPerGroup(df, groupCol, idCol, cap, order))
+
+  /** Deterministic uniform k-per-group sample by id-hash (q145 shape). */
+  def samplePerGroup(groupCol: String, idCol: String, cap: Int): GraftFrame =
+    GraftFrame(Curation.samplePerGroup(df, groupCol, idCol, cap))
+
   /** Exact cosine top-k of each `queries` row against this corpus (q66). */
   def bruteForceTopK(queries: GraftFrame, vecCol: String, idCol: String,
       k: Int): GraftFrame =

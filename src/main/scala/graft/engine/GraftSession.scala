@@ -127,7 +127,7 @@ final class GraftSession(val spark: SparkSession) {
     "quality_score", "language_id", "token_count", "scrub_pii",
     "repetition_features", "curate", "hash_split", "temperature_mixture",
     "pack_sequences", "pack_greedy", "decontaminate", "ann_topk",
-    "brute_topk", "ivf_topk")
+    "brute_topk", "ivf_topk", "cap_per_group", "sample_per_group")
   private val pipelineFn =
     ("(?i)\\b(" + pipelineFnNames.mkString("|") + ")\\(([^()]*)\\)").r
 
@@ -184,6 +184,16 @@ final class GraftSession(val spark: SparkSession) {
           t(0).bruteForceTopK(t(1), str(2), str(3), int(4, 10))
         case "ivf_topk" =>
           t(0).ivfTopK(t(1), str(2), str(3), int(4, 10))
+        case "cap_per_group" =>
+          // cap_per_group(t, group, id, cap[, orderCol]) — order defaults to
+          // the id-hash (uniform sample); a column name orders best-first
+          t(0).capPerGroup(str(1), str(2), int(3, 100),
+            if (args.length > 4)
+              org.apache.spark.sql.functions.col(str(4))
+            else org.apache.spark.sql.functions.md5(
+              org.apache.spark.sql.functions.col(str(2)).cast("string")))
+        case "sample_per_group" =>
+          t(0).samplePerGroup(str(1), str(2), int(3, 100))
         case other => throw new IllegalArgumentException(
           s"unknown pipeline table function '$other'")
       }

@@ -231,4 +231,35 @@ object Curation {
       .groupBy("id").agg(count(lit(1)).as("shared_ngrams"))
       .filter(col("shared_ngrams") >= minShared)
   }
+
+  /** Per-group cap — the crawl-curation "at most `cap` documents per domain"
+    * step (RefinedWeb/C4-style host caps): keep the best `cap` rows of each
+    * `groupCol` value, "best" = smallest `order` (pass e.g. `-quality` for
+    * best-quality-first), ties broken by `idCol` so the kept set is
+    * deterministic under any physical row order.
+    *
+    * Scale shape: ONE group-keyed shuffle (the ranking window). A mega-group
+    * (a domain with 10^8 pages) lands on one partition — same skew profile
+    * as dedupSpans and the same mitigations apply (AQE skew split does NOT
+    * break a window partition, so for heavy-tailed host distributions
+    * pre-aggregate: filter `order` above the group's cap-th value found via
+    * a groupBy-approx pass, then window only the survivors).
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      cap: Int, order: Column): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
+    val w = Window.partitionBy(col(groupCol)).orderBy(order, col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap).drop("__rk")
+  }
+
+  /** Deterministic uniform k-per-group sample — [[capPerGroup]] ordered by
+    * the md5 id-hash: every group contributes its `cap` hash-smallest rows,
+    * a fixed-size stratified sample that is stable under reruns and
+    * repartitioning (the exact-k counterpart of [[sampleMixture]]'s
+    * per-row rates; same portable hash, so DuckDB replays it).
+    */
+  def samplePerGroup(df: DataFrame, groupCol: String, idCol: String,
+      cap: Int): DataFrame =
+    capPerGroup(df, groupCol, idCol, cap, md5(col(idCol).cast("string")))
 }

@@ -1391,6 +1391,36 @@ object Queries {
           COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
         FROM b GROUP BY 1 ORDER BY split""")),
 
+    QueryDef("q144_domain_cap", (s, dir) => {
+      // per-domain cap (RefinedWeb/C4-style host caps): keep the 10 longest
+      // documents per source, deterministic tie-break on doc_id (10 < the
+      // 25-docs-per-source sf0.01 fixture, so the cap BINDS at the driver
+      // gate). ONE group-keyed window shuffle (Curation.capPerGroup)
+      graft.operators.Curation.capPerGroup(
+          Q.t(s, dir, "documents"), "source", "doc_id", 10,
+          col("n_chars").desc) // .desc = NULLS LAST, same as DuckDB DESC
+        .select("doc_id", "source", "n_chars").orderBy("doc_id")
+    }, Some("""SELECT doc_id, source, n_chars FROM (
+        SELECT doc_id, source, n_chars,
+          ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents) WHERE rn <= 10 ORDER BY doc_id""")),
+
+    QueryDef("q145_group_sample", (s, dir) => {
+      // deterministic uniform 20-per-source sample by md5 id-hash, through
+      // the SQL table-function surface (same portable hash as hash_split,
+      // so DuckDB replays the kept set bit-for-bit)
+      v(s, dir, "documents")
+      graft.engine.GraftSession(s).sql(
+        """SELECT doc_id, source
+          FROM sample_per_group(documents, 'source', 'doc_id', 20)
+          ORDER BY doc_id""")
+    }, Some("""SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+          ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents) WHERE rn <= 20 ORDER BY doc_id""")),
+
     QueryDef("q93_rank_corr", (s, dir) => {
       // Spearman rank correlation (reference AGGREGATE rank_corr): Pearson
       // corr over per-group ranks — two windows + one aggregate, no collect

@@ -720,6 +720,34 @@ class DedupClusterSpec extends SparkTestBase {
     assert(kept("src1") > 100 && kept("src1") < 200)
   }
 
+  test("capPerGroup: keeps best-k per group with deterministic tie-break") {
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 20L), (4L, "a", 30L),
+      (5L, "b", 5L), (6L, "c", 1L)
+    ).toDF("doc_id", "source", "n_chars")
+    val kept = graft.operators.Curation
+      .capPerGroup(docs, "source", "doc_id", 2, col("n_chars").desc)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // group a: n_chars 30 (ids 2,4 — id tie-break keeps 2 then 4); b, c whole
+    assert(kept == Seq(2L, 4L, 5L, 6L))
+    // invariance under physical row order
+    val again = graft.operators.Curation
+      .capPerGroup(docs.repartition(7), "source", "doc_id", 2, col("n_chars").desc)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again == kept)
+  }
+
+  test("samplePerGroup: exact k per group, stable under repartitioning") {
+    val docs = (1L to 600L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val s1 = graft.operators.Curation.samplePerGroup(docs, "source", "doc_id", 25)
+    val counts = s1.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(counts.values.toSet == Set(25L) && counts.size == 3)
+    val s2 = graft.operators.Curation
+      .samplePerGroup(docs.repartition(13), "source", "doc_id", 25)
+    assert(s1.select("doc_id").as[Long].collect().sorted.toSeq ==
+      s2.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
   test("decontaminate: planted eval overlap flagged, clean docs pass, threshold honored") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
       .toDF("doc_id", "text")

@@ -134,6 +134,23 @@ class PipelineSurfaceSpec extends SparkTestBase {
       spark.table("__psurf_sub"), "text", "doc_id").count())
   }
 
+  test("sql: cap_per_group / sample_per_group equal the operators") {
+    docs.createOrReplaceTempView("__psurf_cap")
+    val viaSql = gs.sql("""SELECT doc_id
+      FROM cap_per_group(__psurf_cap, 'source', 'doc_id', 30, 'n_chars')""")
+      .as[Long].collect().sorted.toSeq
+    // SQL form orders ASCENDING on the named column (best = smallest)
+    val viaOp = Curation.capPerGroup(docs, "source", "doc_id", 30,
+      col("n_chars")).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(viaSql == viaOp && viaSql.nonEmpty)
+    val sampSql = gs.sql("""SELECT doc_id
+      FROM sample_per_group(__psurf_cap, 'source', 'doc_id', 15)""")
+      .as[Long].collect().sorted.toSeq
+    val sampOp = Curation.samplePerGroup(docs, "source", "doc_id", 15)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(sampSql == sampOp && sampSql.nonEmpty)
+  }
+
   test("sql: pipeline view rebinds after the input view changes") {
     docs.limit(10).createOrReplaceTempView("__psurf_rebind")
     val n1 = gs.sql("SELECT COUNT(*) AS n FROM token_count(__psurf_rebind, 'text')")
