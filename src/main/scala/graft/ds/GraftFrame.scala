@@ -329,6 +329,11 @@ final case class GraftFrame(df: DataFrame) {
     GraftFrame(Curation.decontaminate(df, benchmark.df, textCol, idCol, n,
       minShared))
 
+  /** SemDeDup cluster-scoped embedding dedup (q146 shape). */
+  def semDedup(vecCol: String, idCol: String, tau: Double = 0.95,
+      kCells: Int = 16): GraftFrame =
+    GraftFrame(Dedup.semDedup(df, vecCol, idCol, tau, kCells))
+
   /** Per-group cap: best `cap` rows per `groupCol` by `order` (q144 shape). */
   def capPerGroup(groupCol: String, idCol: String, cap: Int,
       order: org.apache.spark.sql.Column): GraftFrame =

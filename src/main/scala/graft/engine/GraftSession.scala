@@ -127,7 +127,8 @@ final class GraftSession(val spark: SparkSession) {
     "quality_score", "language_id", "token_count", "scrub_pii",
     "repetition_features", "curate", "hash_split", "temperature_mixture",
     "pack_sequences", "pack_greedy", "decontaminate", "ann_topk",
-    "brute_topk", "ivf_topk", "cap_per_group", "sample_per_group")
+    "brute_topk", "ivf_topk", "cap_per_group", "sample_per_group",
+    "sem_dedup")
   private val pipelineFn =
     ("(?i)\\b(" + pipelineFnNames.mkString("|") + ")\\(([^()]*)\\)").r
 
@@ -194,6 +195,8 @@ final class GraftSession(val spark: SparkSession) {
               org.apache.spark.sql.functions.col(str(2)).cast("string")))
         case "sample_per_group" =>
           t(0).samplePerGroup(str(1), str(2), int(3, 100))
+        case "sem_dedup" =>
+          t(0).semDedup(str(1), str(2), num(3, 0.95), int(4, 16))
         case other => throw new IllegalArgumentException(
           s"unknown pipeline table function '$other'")
       }

@@ -420,4 +420,45 @@ object Dedup {
       .withColumn("jaccard", jaccardSortedLongs(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+
+  /** SemDeDup-style CLUSTER-SCOPED embedding dedup (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): k-means the embedding space, then compare pairs only
+    * WITHIN a cluster and drop every row with a higher-similarity-than-τ
+    * neighbor of smaller id. Complements [[embeddingNearDup]]: hyperplane
+    * bands are data-oblivious (recall degrades on clustered corpora — the
+    * r8 measurement), while the learned quantizer concentrates true
+    * neighbors into the same cell by construction.
+    *
+    * Determinism: the quantizer is [[Similarity.ivfTrain]]'s data-ordered
+    * deterministic Lloyd, assignment is a pure projection, and the drop
+    * rule ("∃ ε-neighbor with smaller id in my cell") is order-free — the
+    * kept set is a pure function of the corpus (the q146 oracle replays
+    * quantizer, assignment, and drop rule in SQL). Divergence from the
+    * paper noted: SemDeDup keeps the example with LOWEST similarity to the
+    * cluster centroid; we keep the smallest id — any deterministic
+    * representative satisfies the method's purpose, and id order is
+    * engine-portable.
+    *
+    * Scale shape: one cell-keyed self-join, O(Σ cell_i²) pair work — the
+    * SemDeDup design point (kCells chosen so cells stay pairwise-tractable;
+    * the paper runs 50k clusters over 5B embeddings). The corpus is never
+    * compared across cells; a skewed mega-cell is capped by raising kCells
+    * (cells shrink ∝ k) or pre-splitting on a secondary hyperplane bit.
+    * Returns (cell, id) of KEPT rows.
+    */
+  def semDedup(
+      df: DataFrame, vecCol: String, idCol: String,
+      tau: Double = 0.95, kCells: Int = 16, iters: Int = 2,
+      trainFraction: Double = 1.0): DataFrame = {
+    val cent = Similarity.ivfTrain(df, vecCol, idCol, kCells, iters, trainFraction)
+    val idx = Similarity.ivfIndex(df, vecCol, idCol, cent)
+    val a = idx.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = idx.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosineSimilarity(col("v_a"), col("v_b")) >= tau)
+      .select(col("id_b").as("id")).distinct()
+    idx.join(dropped, Seq("id"), "left_anti").select(col("cell"), col("id"))
+  }
 }

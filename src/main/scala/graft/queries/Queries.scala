@@ -34,9 +34,16 @@ object Queries {
     * side runs the SAME search through the PERSISTED cell-partitioned
     * index: identical output is exactly the claim under test.
     */
-  private val ivfOracle8x2: String = """WITH e AS (SELECT vec_id AS id,
+  /** Shared DuckDB replay of the deterministic 8-cell / 2-iteration Lloyd
+    * quantizer over `embeddings` (init = 8 smallest ids, the exact
+    * iterations Similarity.ivfTrain runs) — ends at `c2`, the final
+    * centroid table; q134/q142 (IVF search) and q146 (SemDeDup) append
+    * their own assignment + downstream CTEs.
+    */
+  private def lloydPrefix8x2(src: String = "embeddings"): String =
+    s"""WITH e AS (SELECT vec_id AS id,
           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
+        FROM $src WHERE embedding IS NOT NULL AND len(embedding) > 0),
       dims AS (SELECT UNNEST(range(1, 65)) AS i),
       c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) AS INT) - 1 AS cell, v AS c
              FROM (SELECT id, v FROM e ORDER BY id LIMIT 8)),
@@ -55,7 +62,9 @@ object Queries {
               FROM e CROSS JOIN c1) WHERE rn = 1),
       c2 AS (SELECT cell, list(m ORDER BY d) AS c FROM (
               SELECT cell, i - 1 AS d, AVG(v[i]) AS m
-              FROM a2 CROSS JOIN dims GROUP BY cell, i) GROUP BY cell),
+              FROM a2 CROSS JOIN dims GROUP BY cell, i) GROUP BY cell)"""
+
+  private val ivfOracle8x2: String = lloydPrefix8x2() + """,
       idx AS (SELECT id AS neighbor_id, v AS cv, cell FROM (
               SELECT e.id, e.v, c2.cell, ROW_NUMBER() OVER (PARTITION BY e.id
                 ORDER BY list_sum(list_transform(range(1, 65),
@@ -76,6 +85,31 @@ object Queries {
         SELECT query_id, neighbor_id, cos, CAST(ROW_NUMBER() OVER (
           PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rn
         FROM scored) WHERE rn <= 3 ORDER BY query_id, rn"""
+
+  /** SemDeDup oracle: same quantizer replay, then the within-cell drop rule
+    * (drop any id with a smaller-id cosine-≥-τ neighbor in its cell).
+    */
+  private val semDedupOracle8x2: String = lloydPrefix8x2(
+    // the q65 planted-copy device: random 64-dim embeddings have no natural
+    // τ=0.95 pairs (max pairwise cos ≈ 0.51 at sf0.01), so scaled copies of
+    // the first 20 vectors are planted — direction-preserving, cos ≈ 1 with
+    // their original — and the drop rule MUST remove exactly the copies
+    """(SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, list_transform(embedding, x -> CAST(x * 1.5 AS FLOAT))
+        FROM embeddings WHERE vec_id < 20)""") + """,
+      asgn AS (SELECT id, v, cell FROM (
+              SELECT e.id, e.v, c2.cell, ROW_NUMBER() OVER (PARTITION BY e.id
+                ORDER BY list_sum(list_transform(range(1, 65),
+                  i -> (e.v[i] - c2.c[i]) * (e.v[i] - c2.c[i]))), c2.cell) AS rn
+              FROM e CROSS JOIN c2) WHERE rn = 1),
+      dropped AS (SELECT DISTINCT b.id AS id
+              FROM asgn a JOIN asgn b ON a.cell = b.cell AND a.id < b.id
+              WHERE list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+                / (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])))
+                 * sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))) >= 0.95)
+      SELECT cell, id FROM asgn WHERE id NOT IN (SELECT id FROM dropped)
+      ORDER BY id"""
 
   val all: Seq[QueryDef] = Seq(
 
@@ -1420,6 +1454,23 @@ object Queries {
           ROW_NUMBER() OVER (PARTITION BY source
             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         FROM documents) WHERE rn <= 20 ORDER BY doc_id""")),
+
+    QueryDef("q146_semdedup", (s, dir) => {
+      // SemDeDup (Abbas et al. 2023): cluster-scoped embedding dedup —
+      // deterministic 8-cell Lloyd quantizer (q134's), then within-cell
+      // pairwise cosine with the smaller-id-ε-neighbor drop rule. Planted
+      // scaled copies (q65's device) make the rule BIND: each copy lands in
+      // its original's cell (direction-preserving) and must be dropped.
+      // DuckDB replays quantizer + assignment + drop rule end to end.
+      val e = Q.t(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = e.filter(col("vec_id") < 20).select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+      graft.operators.Dedup.semDedup(
+          e.unionByName(planted), "embedding", "vec_id",
+          tau = 0.95, kCells = 8, iters = 2)
+        .orderBy("id")
+    }, Some(semDedupOracle8x2)),
 
     QueryDef("q93_rank_corr", (s, dir) => {
       // Spearman rank correlation (reference AGGREGATE rank_corr): Pearson

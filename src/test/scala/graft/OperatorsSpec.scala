@@ -173,6 +173,21 @@ class SimilaritySpec extends SparkTestBase {
     assert(!pairs.contains((0L, 3L)))
   }
 
+  test("semDedup: within-cell near-dup dropped (smallest id kept), distinct rows survive") {
+    val kept = Dedup.semDedup(vecs, "embedding", "vec_id",
+        tau = 0.95, kCells = 2, iters = 1)
+      .select("id").as[Long].collect().sorted.toSeq
+    // 0≈1 → same cell, cos ≈ 0.995 → 1 dropped; 2 and 3 are not τ-close to
+    // any smaller id
+    assert(!kept.contains(1L) && kept.contains(0L))
+    assert(kept.contains(2L) && kept.contains(3L))
+    // deterministic under physical row order
+    val again = Dedup.semDedup(vecs.repartition(5), "embedding", "vec_id",
+        tau = 0.95, kCells = 2, iters = 1)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(again == kept)
+  }
+
   test("int8 quantization: codes bounded, round-trip error <= scale/2, cosine close") {
     val rnd = new scala.util.Random(7)
     val many = (0L until 200L).map(i =>

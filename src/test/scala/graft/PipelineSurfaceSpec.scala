@@ -151,6 +151,16 @@ class PipelineSurfaceSpec extends SparkTestBase {
     assert(sampSql == sampOp && sampSql.nonEmpty)
   }
 
+  test("sql: sem_dedup equals the operator") {
+    embs.createOrReplaceTempView("__psurf_sem")
+    val viaSql = gs.sql("""SELECT id
+      FROM sem_dedup(__psurf_sem, 'embedding', 'vec_id', 0.9, 4)""")
+      .as[Long].collect().sorted.toSeq
+    val viaOp = Dedup.semDedup(embs, "embedding", "vec_id", 0.9, 4)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(viaSql == viaOp && viaSql.nonEmpty)
+  }
+
   test("sql: pipeline view rebinds after the input view changes") {
     docs.limit(10).createOrReplaceTempView("__psurf_rebind")
     val n1 = gs.sql("SELECT COUNT(*) AS n FROM token_count(__psurf_rebind, 'text')")
