@@ -13,6 +13,7 @@ object Scratch {
     if (args.headOption.contains("deltareplay")) { deltaReplay(g); g.spark.stop(); return }
     if (args.headOption.contains("morcompact")) { morCompact(g); g.spark.stop(); return }
     if (args.headOption.contains("q103prof")) { q103prof(g); g.spark.stop(); return }
+    if (args.headOption.contains("mdprobe")) { multiDistinctProbe(g); g.spark.stop(); return }
     val names = if (args.nonEmpty) args.toSeq else Seq("q01_tpch_q1")
     names.foreach { n =>
       println(s"=== $n ===")
@@ -202,6 +203,44 @@ object Scratch {
   }
 
   /** Time q103's component stages at sf0.1 to find the dominant cost. */
+  /** Probe: Spark plans N count_distincts in one agg via Expand (N+1 copies
+    * of every row through the shuffle). Contender: one partial-distinct agg
+    * per column joined on the group key — shuffles only the distinct
+    * (key, value) pairs. Compare at sf1 where the data term is visible.
+    *
+    * MEASURED (r11, sf1 lineitem 6M rows, local[8], min-of-3): expand
+    * 0.60 s vs split-agg join 0.90 s — the contender LOSES: Expand's 3×
+    * rows are partial-aggregated before the exchange (distinct (key, val)
+    * pairs shuffle either way), so the rewrite just pays two extra scans
+    * and a join. Catalyst's native plan stands; q21 unchanged.
+    */
+  private def multiDistinctProbe(g: graft.engine.GraftSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = g.spark
+    val li = Tables.load(spark, "/tmp/testdata-sf1", "lineitem")
+      .select("l_returnflag", "l_partkey", "l_suppkey").cache()
+    li.count()
+    def time(label: String)(f: => Long): Unit =
+      (1 to 3).foreach { i =>
+        val t0 = System.nanoTime(); val n = f
+        println(f"$label run$i: ${(System.nanoTime - t0) / 1e9}%.3f s (rows=$n)")
+      }
+    time("expand (current q21 shape)") {
+      li.groupBy("l_returnflag").agg(
+        count_distinct(col("l_partkey")).as("u_part"),
+        count_distinct(col("l_suppkey")).as("u_supp"),
+        count(lit(1)).as("n")).count()
+    }
+    time("split-agg join") {
+      val p = li.groupBy("l_returnflag")
+        .agg(count_distinct(col("l_partkey")).as("u_part"))
+      val s = li.groupBy("l_returnflag")
+        .agg(count_distinct(col("l_suppkey")).as("u_supp"))
+      val n = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      p.join(s, "l_returnflag").join(n, "l_returnflag").count()
+    }
+  }
+
   private def q103prof(g: graft.engine.GraftSession): Unit = {
     import org.apache.spark.sql.functions._
     val spark = g.spark
