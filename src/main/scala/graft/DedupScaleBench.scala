@@ -134,6 +134,34 @@ object DedupScaleBench {
         (nC, out)
       }
 
+      measure("sem_dedup", f, nEmb) {
+        // the SemDeDup scale knob: kCells grows with the corpus so cells
+        // stay ~constant-size (the paper's 50k clusters over 5B embeddings)
+        // — with FIXED k, in-cell pairs would grow ∝ n²/k. Candidates =
+        // within-cell pairs Σ c·(c−1)/2, the exact pairwise work bound.
+        // f > 1 also exercises trainFraction (quantizer on a 1/f sample)
+        // and, at kCells·dims > 2048, the NearestCells kernel-assignment gate.
+        val kCells = 16 * f
+        val cent = graft.operators.Similarity.ivfTrain(
+          emb, "embedding", "vec_id", kCells, 2,
+          trainFraction = if (f > 1) 1.0 / f else 1.0)
+        val idx = graft.operators.Similarity
+          .ivfIndex(emb, "embedding", "vec_id", cent)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nC = idx.groupBy("cell").agg(count(lit(1)).as("n"))
+          .agg(coalesce(sum(col("n") * (col("n") - 1)), lit(0L)).as("s"))
+          .head().getLong(0) / 2
+        val a = idx.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
+        val b = idx.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
+        val dropped = a.join(b, Seq("cell"))
+          .filter(col("id_a") < col("id_b"))
+          .filter(graft.functions.GraftFunctions
+            .cosineSimilarity(col("v_a"), col("v_b")) >= 0.95)
+          .select(col("id_b")).distinct().count()
+        idx.unpersist()
+        (nC, dropped)
+      }
+
       measure("ann_topk", f, nEmb) {
         val queries = emb0.limit(100)
         val cSig = graft.operators.Similarity

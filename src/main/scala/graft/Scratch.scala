@@ -14,6 +14,9 @@ object Scratch {
     if (args.headOption.contains("morcompact")) { morCompact(g); g.spark.stop(); return }
     if (args.headOption.contains("q103prof")) { q103prof(g); g.spark.stop(); return }
     if (args.headOption.contains("mdprobe")) { multiDistinctProbe(g); g.spark.stop(); return }
+    if (args.headOption.contains("semprof")) { semProf(g); g.spark.stop(); return }
+    if (args.headOption.contains("ncmicro")) { ncMicro(); g.spark.stop(); return }
+    if (args.headOption.contains("ncplan")) { ncPlan(g); g.spark.stop(); return }
     val names = if (args.nonEmpty) args.toSeq else Seq("q01_tpch_q1")
     names.foreach { n =>
       println(s"=== $n ===")
@@ -238,6 +241,117 @@ object Scratch {
         .agg(count_distinct(col("l_suppkey")).as("u_supp"))
       val n = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
       p.join(s, "l_returnflag").join(n, "l_returnflag").count()
+    }
+  }
+
+  /** In-plan assignment probes at k=800, dims=64 over 100k rows: isolate
+    * which shape multiplies kernel evaluations.
+    */
+  private def ncPlan(g: graft.engine.GraftSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = g.spark
+    val rnd = new scala.util.Random(1)
+    val cent: Seq[(Int, Seq[Double])] =
+      (0 until 800).map(c => c -> Seq.fill(64)(rnd.nextDouble()))
+    val emb0 = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    val emb = emb0.crossJoin(broadcast(spark.range(50).toDF("__r")))
+      .withColumn("vec_id", col("vec_id") + col("__r") * 2000000L).drop("__r")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println("rows: " + emb.count())
+    def time[T](label: String)(body: => T): Unit = {
+      val t0 = System.nanoTime(); body
+      println(f"$label: ${(System.nanoTime - t0) / 1e9}%.2f s")
+    }
+    def kernelCol(nProbe: Int) =
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.NearestCells(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("v")),
+          cent.map(_._1), cent.map(_._2), nProbe))
+    time("A kernel nProbe=1, sum(getItem(0).cell)") {
+      emb.select(kernelCol(1).getItem(0).getField("cell").as("cell"))
+        .agg(sum("cell")).head()
+    }
+    time("B kernel nProbe=1, materialize array then sum") {
+      emb.withColumn("p", kernelCol(1))
+        .select(col("p").getItem(0).getField("cell").as("cell"))
+        .agg(sum("cell")).head()
+    }
+    time("C inline-unrolled k=800 (pre-gate shape)") {
+      emb.select(graft.operators.Similarity
+          .nearestCellsImpl(col("v"), cent, 1, inline = true)
+          .getItem(0).getField("cell").as("cell"))
+        .agg(sum("cell")).head()
+    }
+  }
+
+  /** JVM-level microbench of the NearestCells kernel eval: 100k calls at
+    * k=800, dims=64 — isolates the expression from the Spark plan.
+    */
+  private def ncMicro(): Unit = {
+    val rnd = new scala.util.Random(1)
+    val k = 800; val dims = 64
+    val cents: Seq[Seq[Double]] =
+      Seq.fill(k)(Seq.fill(dims)(rnd.nextDouble()))
+    val expr = graft.functions.NearestCells(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq.fill(dims)(rnd.nextDouble()),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      0 until k, cents, 1)
+    val row = org.apache.spark.sql.catalyst.InternalRow.empty
+    (1 to 3).foreach { r =>
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 100000) { expr.eval(row); i += 1 }
+      println(f"ncMicro run$r: ${(System.nanoTime - t0) / 1e9}%.2f s / 100k evals")
+    }
+  }
+
+  /** Stage-level profile of the sem_dedup 50× DedupScaleBench leg (525 s
+    * wall): which stage dominates — train, assignment, or the in-cell pair
+    * join?
+    */
+  private def semProf(g: graft.engine.GraftSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = g.spark
+    val f = 50
+    val emb0 = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    val vSpan = emb0.agg(max("vec_id")).head().getLong(0) + 1
+    val reps = broadcast(spark.range(f).toDF("__r"))
+    val emb = emb0.crossJoin(reps)
+      .withColumn("vec_id", col("vec_id") + col("__r") * vSpan)
+      .drop("__r")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println("rows: " + emb.count())
+    def time[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime(); val r = body
+      println(f"$label: ${(System.nanoTime - t0) / 1e9}%.2f s"); r
+    }
+    val cent = time("ivfTrain k=800 frac=0.02") {
+      val c = graft.operators.Similarity.ivfTrain(
+        emb, "embedding", "vec_id", 16 * f, 2, trainFraction = 1.0 / f)
+      c.count(); c
+    }
+    val idx = time("ivfIndex (assignment)") {
+      val i = graft.operators.Similarity.ivfIndex(emb, "embedding", "vec_id", cent)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println("  idx rows: " + i.count()); i
+    }
+    time("in-cell pair count (no cosine)") {
+      val a = idx.select(col("cell"), col("id").as("id_a"))
+      val b = idx.select(col("cell"), col("id").as("id_b"))
+      println("  pairs: " + a.join(b, Seq("cell"))
+        .filter(col("id_a") < col("id_b")).count())
+    }
+    time("in-cell pair + kernel cosine filter") {
+      val a = idx.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
+      val b = idx.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
+      println("  dropped: " + a.join(b, Seq("cell"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(graft.functions.GraftFunctions
+          .cosineSimilarity(col("v_a"), col("v_b")) >= 0.95)
+        .select(col("id_b")).distinct().count())
     }
   }
 

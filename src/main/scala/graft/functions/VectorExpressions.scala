@@ -163,6 +163,82 @@ case class Int8Quantize(child: Expression)
     copy(child = c)
 }
 
+/** The `nProbe` nearest centroids of a vector as a (dist, cell)-sorted
+  * array of structs — the contract of `Similarity.nearestCellsImpl`, as ONE
+  * tight-loop kernel. Replaces the over-[[NearestCells]]-gate HOF form
+  * (`transform(sequence(...), i -> struct(l2sq(v, element_at(lit, i))))` +
+  * `array_sort`), whose per-element interpreted lambdas made assignment the
+  * dominant cost at production k·dims (measured r11: k=800·64 dims over
+  * 100 k rows pushed the sem_dedup 50× leg to ~531 s wall; the kernel's
+  * k·dims primitive multiply-adds per row remove that wall entirely).
+  *
+  * Distances accumulate in the same sequential per-dimension fold order as
+  * the HOF/inline forms (and DuckDB's list_sum oracle) → bit-identical;
+  * ties select by (dist, cell) exactly like array_sort on the struct.
+  * Centroids ride as constructor data — plan-embedded constants shipped
+  * once per task with the serialized expression, rebuilt into a primitive
+  * matrix per executor via the transient lazy (Seq fields keep case-class
+  * equality structural for Catalyst; the matrix is eval-only).
+  */
+case class NearestCells(child: Expression, cells: Seq[Int],
+    cents: Seq[Seq[Double]], nProbe: Int)
+  extends UnaryExpression with CodegenFallback {
+  require(cells.length == cents.length && cells.nonEmpty && nProbe >= 1)
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("dist", DoubleType, nullable = false),
+    StructField("cell", IntegerType, nullable = false))), containsNull = false)
+
+  @transient private lazy val cellIds: Array[Int] = cells.toArray
+  @transient private lazy val matrix: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+
+  @inline private def get(d: ArrayData, et: DataType, i: Int): Double = et match {
+    case DoubleType => d.getDouble(i)
+    case FloatType => d.getFloat(i).toDouble
+    case IntegerType => d.getInt(i).toDouble
+    case LongType => d.getLong(i).toDouble
+    case other => throw new IllegalArgumentException(s"non-numeric vector element: $other")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val et = child.dataType.asInstanceOf[ArrayType].elementType
+    val v = a.asInstanceOf[ArrayData]
+    val k = matrix.length
+    val m = math.min(nProbe, k)
+    // selection buffer of the m smallest (dist, cell), (dist, cell)-ordered
+    val bd = new Array[Double](m); val bc = new Array[Int](m)
+    var filled = 0
+    var c = 0
+    while (c < k) {
+      val cent = matrix(c)
+      val n = math.min(v.numElements(), cent.length)
+      var s = 0.0; var i = 0
+      while (i < n) { val d = get(v, et, i) - cent(i); s += d * d; i += 1 }
+      val cell = cellIds(c)
+      if (filled < m || s < bd(m - 1) ||
+          (s == bd(m - 1) && cell < bc(m - 1))) {
+        var p = math.min(filled, m - 1)
+        while (p > 0 && (bd(p - 1) > s || (bd(p - 1) == s && bc(p - 1) > cell))) {
+          bd(p) = bd(p - 1); bc(p) = bc(p - 1); p -= 1
+        }
+        bd(p) = s; bc(p) = cell
+        if (filled < m) filled += 1
+      }
+      c += 1
+    }
+    val rows = new Array[Any](filled)
+    var j = 0
+    while (j < filled) {
+      rows(j) = org.apache.spark.sql.catalyst.InternalRow(bd(j), bc(j)); j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCells =
+    copy(child = c)
+}
+
 /** √Σ(aᵢ−bᵢ)². */
 case class L2Dist(left: Expression, right: Expression) extends VectorKernel {
   override def nullSafeEval(a: Any, b: Any): Any = {

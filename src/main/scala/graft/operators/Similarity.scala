@@ -221,24 +221,30 @@ object Similarity {
   }
 
   /** Above this many total centroid doubles (k·dims), assignment switches
-    * from per-centroid unrolled literal expressions to a single nested-
-    * array Literal + HOF argmin: the unrolled form generates k separate
-    * distance expressions — great codegen at kCells ≈ 16-256, but a
-    * production k·dims ≳ 10⁵ bloats the plan/generated method past
-    * Janino's limits (r10 verdict watch item #1). The Literal holds the
-    * centroid table as ONE constant object in the plan (shipped with the
-    * task binary like a broadcast), so plan size stays O(1) in k.
+    * from per-centroid unrolled literal expressions to the
+    * [[graft.functions.NearestCells]] tight-loop kernel. The unrolled form
+    * is whole-stage-codegen'd and fine for SMALL k, but its cost is NOT
+    * linear in work: k struct constructions + an array_sort of k structs
+    * per row. MEASURED r11 (k≈800, dims 64, 100 k rows, local[8]): inline
+    * 621 s vs kernel 5.3 s — ~120×. The original gate of 50 000 (set for
+    * Janino codegen limits, r10 watch item #1) was ~25× too high: the r11
+    * sem_dedup 50× scale leg trained k=800 but Lloyd's empty-cell drop
+    * left k·dims just UNDER the gate, and the leg burned 525 s in the
+    * inline path (the probe that caught it is Scratch.ncPlan). 2048
+    * (k ≈ 32 at 64 dims) keeps codegen where it measurably wins and the
+    * kernel everywhere scale matters.
     */
-  private[operators] val inlineCentroidLimit = 50000
+  private[operators] val inlineCentroidLimit = 2048
 
   /** The `nProbe` nearest cells of `v` as a sorted array of
-    * struct(dist, cell) — a PURE PROJECTION: the k centroids inline as
-    * literal arrays and argmin is an array_sort over k structs, so
-    * assignment shuffles NOTHING (the first cut ranked a cross join with a
-    * per-id window — a corpus-sized Exchange that would dominate at scale).
-    * Struct sort orders by (dist, cell); the cell tiebreak keeps the
-    * total order deterministic. Above [[inlineCentroidLimit]] the same
-    * computation runs over a single nested-array Literal (see there).
+    * struct(dist, cell) — a PURE PROJECTION: assignment shuffles NOTHING
+    * (the first cut ranked a cross join with a per-id window — a
+    * corpus-sized Exchange that would dominate at scale). Small centroid
+    * tables inline as unrolled literal expressions (whole-stage codegen);
+    * above [[inlineCentroidLimit]] the same computation runs as ONE
+    * tight-loop kernel expression carrying the centroid matrix
+    * ([[graft.functions.NearestCells]]). Both order by (dist, cell) —
+    * deterministic, bit-identical (spec-asserted).
     */
   private def nearestCells(v: Column, cent: Seq[(Int, Seq[Double])],
       nProbe: Int): Column =
@@ -250,27 +256,27 @@ object Similarity {
     * identical assignments on the same centroids.
     */
   private[graft] def nearestCellsImpl(v: Column, cent: Seq[(Int, Seq[Double])],
-      nProbe: Int, inline: Boolean): Column = {
-    val entries =
-      if (inline)
-        array(cent.map { case (cell, c) =>
-          struct(l2sq(v, array(c.map(lit): _*)).as("dist"),
-            lit(cell).as("cell"))
-        }: _*)
-      else {
-        // ONE Literal per table: cells and vectors as parallel constant
-        // arrays. Lambda-captured LITERALS are free to re-reference (the
-        // eval returns the stored object), so the per-element element_at
-        // probes carry none of the capture-re-evaluation trap the shingle
-        // pipeline documents.
-        val cellsArr = typedLit(cent.map(_._1))
-        val vecsArr = typedLit(cent.map(_._2))
-        transform(sequence(lit(1), lit(cent.size)),
-          i => struct(l2sq(v, element_at(vecsArr, i)).as("dist"),
-            element_at(cellsArr, i).as("cell")))
-      }
-    slice(array_sort(entries), 1, nProbe)
-  }
+      nProbe: Int, inline: Boolean): Column =
+    if (inline) {
+      val entries = array(cent.map { case (cell, c) =>
+        struct(l2sq(v, array(c.map(lit): _*)).as("dist"),
+          lit(cell).as("cell"))
+      }: _*)
+      slice(array_sort(entries), 1, nProbe)
+    } else {
+      // ONE kernel expression holding the centroid table as constructor
+      // data (functions.NearestCells): k·dims primitive multiply-adds per
+      // row in a tight loop with an insertion-select of the nProbe best.
+      // Replaced the nested-Literal + HOF argmin form, whose per-element
+      // interpreted lambdas dominated above the gate (measured r11:
+      // k=800, 100 k rows → ~531 s wall for the sem_dedup 50× leg; the
+      // kernel removes that wall). Same fold order and (dist, cell)
+      // tie-break → bit-identical to the inline form (spec-asserted).
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.NearestCells(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(v),
+          cent.map(_._1), cent.map(_._2), nProbe))
+    }
 
   /** IVF index: one assignment pass — (cell, id, v). Physically co-locating
     * a cell's vectors is then `repartition(col("cell"))` (or a cell-

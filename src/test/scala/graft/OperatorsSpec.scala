@@ -315,9 +315,10 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.filter(!(col("kernel") <=> col("hof"))).isEmpty)
   }
 
-  test("nearestCells: nested-array-Literal path ≡ unrolled-literal path (r11 gate)") {
-    // same centroids through both assignment shapes — the gated path (for
-    // k·dims above inlineCentroidLimit) must produce identical cell picks
+  test("nearestCells: kernel path ≡ unrolled-literal path (r11 gate)") {
+    // same centroids through both assignment shapes — the gated path (the
+    // functions.NearestCells kernel, for k·dims above inlineCentroidLimit)
+    // must produce bit-identical (dist, cell) pairs, ties included
     val cent = Similarity.ivfTrain(clustered, "embedding", "vec_id", k = 4, iters = 2)
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1).toSeq
     val v = clustered.select(col("vec_id"),
@@ -326,7 +327,8 @@ class SimilaritySpec extends SparkTestBase {
         Similarity.nearestCellsImpl(col("v"), cent, 2, inline).as("p"))
       .orderBy("vec_id").collect()
       .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
-        .map(_.getInt(1)))
+        .map(p => (java.lang.Double.doubleToLongBits(p.getDouble(0)),
+          p.getInt(1))))
     assert(assign(inline = true).toSeq == assign(inline = false).toSeq)
   }
 
