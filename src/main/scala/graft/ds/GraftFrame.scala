@@ -343,6 +343,11 @@ final case class GraftFrame(df: DataFrame) {
   def samplePerGroup(groupCol: String, idCol: String, cap: Int): GraftFrame =
     GraftFrame(Curation.samplePerGroup(df, groupCol, idCol, cap))
 
+  /** Token-budget cap per group, hash-ordered draw (q147 shape). */
+  def tokenBudgetPerGroup(groupCol: String, idCol: String, tokenCol: String,
+      budget: Long): GraftFrame =
+    GraftFrame(Curation.tokenBudgetPerGroup(df, groupCol, idCol, tokenCol, budget))
+
   /** Exact cosine top-k of each `queries` row against this corpus (q66). */
   def bruteForceTopK(queries: GraftFrame, vecCol: String, idCol: String,
       k: Int): GraftFrame =

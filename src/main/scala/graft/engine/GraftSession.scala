@@ -128,7 +128,7 @@ final class GraftSession(val spark: SparkSession) {
     "repetition_features", "curate", "hash_split", "temperature_mixture",
     "pack_sequences", "pack_greedy", "decontaminate", "ann_topk",
     "brute_topk", "ivf_topk", "cap_per_group", "sample_per_group",
-    "sem_dedup")
+    "sem_dedup", "token_budget_per_group")
   private val pipelineFn =
     ("(?i)\\b(" + pipelineFnNames.mkString("|") + ")\\(([^()]*)\\)").r
 
@@ -197,6 +197,9 @@ final class GraftSession(val spark: SparkSession) {
           t(0).samplePerGroup(str(1), str(2), int(3, 100))
         case "sem_dedup" =>
           t(0).semDedup(str(1), str(2), num(3, 0.95), int(4, 16))
+        case "token_budget_per_group" =>
+          t(0).tokenBudgetPerGroup(str(1), str(2), str(3),
+            num(4, 1000000).toLong)
         case other => throw new IllegalArgumentException(
           s"unknown pipeline table function '$other'")
       }

@@ -262,4 +262,26 @@ object Curation {
   def samplePerGroup(df: DataFrame, groupCol: String, idCol: String,
       cap: Int): DataFrame =
     capPerGroup(df, groupCol, idCol, cap, md5(col(idCol).cast("string")))
+
+  /** TOKEN-BUDGET cap per group — the budgeted-mixture step ("at most N
+    * tokens of each source in the training set"): rows of each `groupCol`
+    * value are taken in deterministic md5-id-hash order (an unbiased
+    * uniform draw, same portable device as [[samplePerGroup]]) until the
+    * group's RUNNING token total would exceed `budget`; the row that
+    * crosses the line and everything after it are dropped. Token-exact
+    * counterpart of document-count caps: domains with long documents
+    * contribute fewer of them.
+    *
+    * Scale shape: one group-keyed window shuffle (the running sum) — the
+    * same skew profile and mitigations as [[capPerGroup]].
+    */
+  def tokenBudgetPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      tokenCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(tokenCol).cast("long")).over(w))
+      .filter(col("__cum") <= budget).drop("__cum")
+  }
 }

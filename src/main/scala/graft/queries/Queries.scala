@@ -1472,6 +1472,20 @@ object Queries {
         .orderBy("id")
     }, Some(semDedupOracle8x2)),
 
+    QueryDef("q147_token_budget", (s, dir) => {
+      // budgeted mixture: at most 2000 chars of each source, drawn in
+      // deterministic md5-id-hash order (running-sum window, one
+      // group-keyed shuffle) — Curation.tokenBudgetPerGroup
+      graft.operators.Curation.tokenBudgetPerGroup(
+          Q.t(s, dir, "documents"), "source", "doc_id", "n_chars", 2000L)
+        .select("doc_id", "source", "n_chars").orderBy("doc_id")
+    }, Some("""SELECT doc_id, source, n_chars FROM (
+        SELECT doc_id, source, n_chars,
+          SUM(n_chars) OVER (PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM documents) WHERE cum <= 2000 ORDER BY doc_id""")),
+
     QueryDef("q93_rank_corr", (s, dir) => {
       // Spearman rank correlation (reference AGGREGATE rank_corr): Pearson
       // corr over per-group ranks — two windows + one aggregate, no collect

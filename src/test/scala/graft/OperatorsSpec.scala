@@ -765,6 +765,26 @@ class DedupClusterSpec extends SparkTestBase {
       s2.select("doc_id").as[Long].collect().sorted.toSeq)
   }
 
+  test("tokenBudgetPerGroup: budget binds per group, crossing row dropped, order-invariant") {
+    val docs = Seq(
+      (1L, "a", 50L), (2L, "a", 50L), (3L, "a", 50L), (4L, "a", 50L),
+      (5L, "b", 90L), (6L, "b", 20L)
+    ).toDF("doc_id", "source", "n_tok")
+    val kept = graft.operators.Curation
+      .tokenBudgetPerGroup(docs, "source", "doc_id", "n_tok", 100L)
+    val bySrc = kept.groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("n_tok").as("t"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // group a: exactly 2 of the 50-token docs fit; which two is hash-order
+    assert(bySrc("a") == (2L, 100L))
+    // group b: hash order decides whether 90 or 90+20… any prefix ≤ 100
+    assert(bySrc("b")._2 <= 100L && bySrc("b")._1 >= 1L)
+    val again = graft.operators.Curation
+      .tokenBudgetPerGroup(docs.repartition(7), "source", "doc_id", "n_tok", 100L)
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq ==
+      again.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
   test("decontaminate: planted eval overlap flagged, clean docs pass, threshold honored") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
       .toDF("doc_id", "text")

@@ -149,6 +149,12 @@ class PipelineSurfaceSpec extends SparkTestBase {
     val sampOp = Curation.samplePerGroup(docs, "source", "doc_id", 15)
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(sampSql == sampOp && sampSql.nonEmpty)
+    val tbSql = gs.sql("""SELECT doc_id
+      FROM token_budget_per_group(__psurf_cap, 'source', 'doc_id', 'n_chars', 2000)""")
+      .as[Long].collect().sorted.toSeq
+    val tbOp = Curation.tokenBudgetPerGroup(docs, "source", "doc_id", "n_chars", 2000L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(tbSql == tbOp && tbSql.nonEmpty)
   }
 
   test("sql: sem_dedup equals the operator") {
