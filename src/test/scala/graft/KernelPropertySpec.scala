@@ -98,4 +98,36 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(MathKernels.readableTimeDelta(-3661) == "-1 hour, 1 minute, 1 second")
     assert(MathKernels.readableTimeDelta(86400 * 366.0) == "1 year, 1 day")
   }
+
+  test("NearestCells: insertion-select equals full sort-by-(dist,cell), ties included") {
+    // the kernel's nProbe selection buffer is hand-rolled — check it against
+    // the obvious reference (compute every distance, sort by (dist, cell),
+    // take nProbe) over random shapes, INCLUDING duplicated centroids so
+    // exact distance ties exercise the cell tie-break
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 60) {
+      val dims = 1 + rnd.nextInt(8)
+      val k = 1 + rnd.nextInt(12)
+      val nProbe = 1 + rnd.nextInt(k + 2) // may exceed k — clamps to k
+      val base = Seq.fill(k)(Seq.fill(dims)(rnd.nextInt(4).toDouble))
+      // duplicate a centroid under a different cell id to force dist ties
+      val cents = if (k > 1) base.updated(k - 1, base.head) else base
+      val cells = rnd.shuffle((0 until k).toList) // non-contiguous order too
+      val v = Seq.fill(dims)(rnd.nextInt(4).toDouble)
+      val expr = graft.functions.NearestCells(
+        Literal.create(v, ArrayType(DoubleType)), cells, cents, nProbe)
+      val got = expr.eval(InternalRow.empty)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val gotPairs = (0 until got.numElements()).map { i =>
+        val r = got.getStruct(i, 2); (r.getDouble(0), r.getInt(1))
+      }
+      val want = cells.zip(cents).map { case (cell, c) =>
+        (c.zip(v).map { case (x, y) => (y - x) * (y - x) }.sum, cell)
+      }.sorted.take(math.min(nProbe, k))
+      assert(gotPairs == want, s"trial $trial dims=$dims k=$k nProbe=$nProbe")
+    }
+  }
 }
