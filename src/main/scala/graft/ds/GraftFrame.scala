@@ -343,6 +343,11 @@ final case class GraftFrame(df: DataFrame) {
   def samplePerGroup(groupCol: String, idCol: String, cap: Int): GraftFrame =
     GraftFrame(Curation.samplePerGroup(df, groupCol, idCol, cap))
 
+  /** Best-fraction-per-group adaptive filter (q148 shape). */
+  def topFractionPerGroup(groupCol: String, idCol: String, fraction: Double,
+      order: org.apache.spark.sql.Column): GraftFrame =
+    GraftFrame(Curation.topFractionPerGroup(df, groupCol, idCol, fraction, order))
+
   /** Token-budget cap per group, hash-ordered draw (q147 shape). */
   def tokenBudgetPerGroup(groupCol: String, idCol: String, tokenCol: String,
       budget: Long): GraftFrame =

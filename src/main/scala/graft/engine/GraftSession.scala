@@ -128,7 +128,7 @@ final class GraftSession(val spark: SparkSession) {
     "repetition_features", "curate", "hash_split", "temperature_mixture",
     "pack_sequences", "pack_greedy", "decontaminate", "ann_topk",
     "brute_topk", "ivf_topk", "cap_per_group", "sample_per_group",
-    "sem_dedup", "token_budget_per_group")
+    "sem_dedup", "token_budget_per_group", "top_fraction_per_group")
   private val pipelineFn =
     ("(?i)\\b(" + pipelineFnNames.mkString("|") + ")\\(([^()]*)\\)").r
 
@@ -200,6 +200,11 @@ final class GraftSession(val spark: SparkSession) {
         case "token_budget_per_group" =>
           t(0).tokenBudgetPerGroup(str(1), str(2), str(3),
             num(4, 1000000).toLong)
+        case "top_fraction_per_group" =>
+          // orders ASCENDING on the named column (best = smallest), same
+          // convention as cap_per_group's orderCol argument
+          t(0).topFractionPerGroup(str(1), str(2), num(4, 0.5),
+            org.apache.spark.sql.functions.col(str(3)))
         case other => throw new IllegalArgumentException(
           s"unknown pipeline table function '$other'")
       }

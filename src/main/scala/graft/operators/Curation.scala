@@ -263,6 +263,22 @@ object Curation {
       cap: Int): DataFrame =
     capPerGroup(df, groupCol, idCol, cap, md5(col(idCol).cast("string")))
 
+  /** Keep the best `fraction` of each group by `order` (smallest first —
+    * pass e.g. `col("quality").desc` for best-quality-first): ADAPTIVE
+    * per-domain quality filtering. A single global quality floor
+    * over-prunes clean domains and under-prunes noisy ones; a per-domain
+    * percentile cut self-calibrates to each domain's own distribution.
+    * Deterministic via the id tie-break (cume_dist over a total order);
+    * one group-keyed window shuffle, same skew profile as [[capPerGroup]].
+    */
+  def topFractionPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      fraction: Double, order: Column): DataFrame = {
+    require(fraction > 0 && fraction <= 1, s"fraction in (0, 1]: $fraction")
+    val w = Window.partitionBy(col(groupCol)).orderBy(order, col(idCol))
+    df.withColumn("__cd", cume_dist().over(w))
+      .filter(col("__cd") <= fraction).drop("__cd")
+  }
+
   /** TOKEN-BUDGET cap per group — the budgeted-mixture step ("at most N
     * tokens of each source in the training set"): rows of each `groupCol`
     * value are taken in deterministic md5-id-hash order (an unbiased

@@ -1486,6 +1486,20 @@ object Queries {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         FROM documents) WHERE cum <= 2000 ORDER BY doc_id""")),
 
+    QueryDef("q148_top_fraction", (s, dir) => {
+      // adaptive per-domain filter: longest 40% of each source
+      // (cume_dist over a total order — deterministic; one group-keyed
+      // window shuffle) — Curation.topFractionPerGroup
+      graft.operators.Curation.topFractionPerGroup(
+          Q.t(s, dir, "documents"), "source", "doc_id", 0.4,
+          col("n_chars").desc)
+        .select("doc_id", "source", "n_chars").orderBy("doc_id")
+    }, Some("""SELECT doc_id, source, n_chars FROM (
+        SELECT doc_id, source, n_chars,
+          CUME_DIST() OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id) AS cd
+        FROM documents) WHERE cd <= 0.4 ORDER BY doc_id""")),
+
     QueryDef("q93_rank_corr", (s, dir) => {
       // Spearman rank correlation (reference AGGREGATE rank_corr): Pearson
       // corr over per-group ranks — two windows + one aggregate, no collect

@@ -765,6 +765,24 @@ class DedupClusterSpec extends SparkTestBase {
       s2.select("doc_id").as[Long].collect().sorted.toSeq)
   }
 
+  test("topFractionPerGroup: per-group percentile cut, deterministic ties") {
+    val docs = Seq(
+      (1L, "a", 9.0), (2L, "a", 8.0), (3L, "a", 7.0), (4L, "a", 1.0), (5L, "a", 1.0),
+      (6L, "b", 2.0), (7L, "b", 3.0)
+    ).toDF("doc_id", "source", "quality")
+    val kept = graft.operators.Curation
+      .topFractionPerGroup(docs, "source", "doc_id", 0.5, col("quality").desc)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // a: 5 rows, cume_dist <= 0.5 keeps positions 1-2 (9.0, 8.0);
+    // b: 2 rows, keeps position 1 (3.0)
+    assert(kept == Seq(1L, 2L, 7L))
+    val again = graft.operators.Curation
+      .topFractionPerGroup(docs.repartition(5), "source", "doc_id", 0.5,
+        col("quality").desc)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again == kept)
+  }
+
   test("tokenBudgetPerGroup: budget binds per group, crossing row dropped, order-invariant") {
     val docs = Seq(
       (1L, "a", 50L), (2L, "a", 50L), (3L, "a", 50L), (4L, "a", 50L),
