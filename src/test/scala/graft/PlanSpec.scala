@@ -126,6 +126,27 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("caps/sampling/budget/fraction family: ONE group-keyed exchange, no join (r11)") {
+    // the four per-group curation ops are each a single window over a
+    // hashpartitioning(source) exchange — no cartesian, no join node,
+    // no single-partition exchange
+    for (q <- Seq("q144_domain_cap", "q145_group_sample",
+        "q147_token_budget", "q148_top_fraction")) {
+      val p = plan(q)
+      assert(p.contains("Exchange hashpartitioning(source"), s"$q:\n$p")
+      assert(!p.contains("Exchange SinglePartition"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("Join"), s"$q has a join")
+    }
+  }
+
+  test("semDedup: cell-keyed pair join only, corpus never broadcast or cartesian (r11)") {
+    val p = plan("q146_semdedup")
+    assert(!p.contains("CartesianProduct"), p)
+    // the drop join is keyed on cell (either SMJ or hash join over the
+    // cell-partitioned sides) and the anti join keyed on id
+    assert(p.contains("cell"), p)
+  }
+
   test("packGreedy: secondary sort in the exchange, streaming fold (r8 #4)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
