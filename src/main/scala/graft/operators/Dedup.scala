@@ -450,13 +450,32 @@ object Dedup {
   def semDedup(
       df: DataFrame, vecCol: String, idCol: String,
       tau: Double = 0.95, kCells: Int = 16, iters: Int = 2,
-      trainFraction: Double = 1.0): DataFrame = {
+      trainFraction: Double = 1.0, keep: String = "minId"): DataFrame = {
+    require(keep == "minId" || keep == "centroidFar",
+      s"keep must be minId or centroidFar: $keep")
     val cent = Similarity.ivfTrain(df, vecCol, idCol, kCells, iters, trainFraction)
-    val idx = Similarity.ivfIndex(df, vecCol, idCol, cent)
-    val a = idx.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = idx.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
-    val dropped = a.join(b, Seq("cell"))
-      .filter(col("id_a") < col("id_b"))
+    val idx0 = Similarity.ivfIndex(df, vecCol, idCol, cent)
+    // keep="centroidFar" is the PAPER's rule (SemDeDup §2.2: within each
+    // ε-ball keep the example with LOWEST cosine similarity to the cluster
+    // centroid — the least-prototypical representative); the drop order
+    // becomes (centroid_sim asc, id asc) lexicographic instead of plain id.
+    // Ties (exact replicas have bit-equal sims) fall through to the id.
+    val idx =
+      if (keep == "minId") idx0
+      else idx0.join(broadcast(cent.select(col("cell"), col("c"))), Seq("cell"))
+        .withColumn("sim", cosineSimilarity(col("v"), col("c"))).drop("c")
+    val rank: Seq[Column] =
+      if (keep == "minId") Seq(col("id")) else Seq(col("sim"), col("id"))
+    def side(sfx: String) =
+      idx.select(col("cell") +: col("id").as(s"id$sfx") +: col("v").as(s"v$sfx") +:
+        (if (keep == "minId") Seq.empty[Column]
+         else Seq(col("sim").as(s"sim$sfx"))): _*)
+    val earlier = // a precedes b in the keep order
+      if (keep == "minId") col("id_a") < col("id_b")
+      else col("sim_a") < col("sim_b") ||
+        (col("sim_a") === col("sim_b") && col("id_a") < col("id_b"))
+    val dropped = side("_a").join(side("_b"), Seq("cell"))
+      .filter(col("id_a") =!= col("id_b")).filter(earlier)
       .filter(cosineSimilarity(col("v_a"), col("v_b")) >= tau)
       .select(col("id_b").as("id")).distinct()
     idx.join(dropped, Seq("id"), "left_anti").select(col("cell"), col("id"))

@@ -111,6 +111,33 @@ object Queries {
       SELECT cell, id FROM asgn WHERE id NOT IN (SELECT id FROM dropped)
       ORDER BY id"""
 
+  /** Paper-faithful SemDeDup oracle (keep = lowest centroid similarity,
+    * id tie-break): same quantizer replay, drop order (sim asc, id asc).
+    */
+  private val semDedupPaperOracle8x2: String = lloydPrefix8x2(
+    """(SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, list_transform(embedding, x -> CAST(x * 1.5 AS FLOAT))
+        FROM embeddings WHERE vec_id < 20)""") + """,
+      asgn AS (SELECT id, v, cell, c FROM (
+              SELECT e.id, e.v, c2.cell, c2.c, ROW_NUMBER() OVER (PARTITION BY e.id
+                ORDER BY list_sum(list_transform(range(1, 65),
+                  i -> (e.v[i] - c2.c[i]) * (e.v[i] - c2.c[i]))), c2.cell) AS rn
+              FROM e CROSS JOIN c2) WHERE rn = 1),
+      sims AS (SELECT id, v, cell,
+          list_sum(list_transform(range(1, 65), i -> v[i] * c[i]))
+            / (sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))
+             * sqrt(list_sum(list_transform(range(1, 65), i -> c[i] * c[i])))) AS sim
+        FROM asgn),
+      dropped AS (SELECT DISTINCT b.id AS id
+              FROM sims a JOIN sims b ON a.cell = b.cell AND a.id <> b.id
+                AND (a.sim < b.sim OR (a.sim = b.sim AND a.id < b.id))
+              WHERE list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+                / (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])))
+                 * sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))) >= 0.95)
+      SELECT cell, id FROM sims WHERE id NOT IN (SELECT id FROM dropped)
+      ORDER BY id"""
+
   val all: Seq[QueryDef] = Seq(
 
     // ================= relational core (SURVEY §2.B/F/G) =================
@@ -1471,6 +1498,23 @@ object Queries {
           tau = 0.95, kCells = 8, iters = 2)
         .orderBy("id")
     }, Some(semDedupOracle8x2)),
+
+    QueryDef("q149_semdedup_paper", (s, dir) => {
+      // the PAPER's keep rule (SemDeDup §2.2: per ε-ball keep the example
+      // LEAST similar to its cluster centroid — the least-prototypical
+      // representative); drop order (centroid_sim asc, id) replayed by
+      // DuckDB end to end. Same planted copies as q146 — the kept set may
+      // legitimately differ from q146's (different representative), but
+      // its SIZE matches: one survivor per ε-ball.
+      val e = Q.t(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = e.filter(col("vec_id") < 20).select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+      graft.operators.Dedup.semDedup(
+          e.unionByName(planted), "embedding", "vec_id",
+          tau = 0.95, kCells = 8, iters = 2, keep = "centroidFar")
+        .orderBy("id")
+    }, Some(semDedupPaperOracle8x2)),
 
     QueryDef("q147_token_budget", (s, dir) => {
       // budgeted mixture: at most 2000 chars of each source, drawn in

@@ -188,6 +188,36 @@ class SimilaritySpec extends SparkTestBase {
     assert(again == kept)
   }
 
+  test("semDedup keep=centroidFar: keeps the ε-ball member least similar to its centroid") {
+    // one cell (kCells=1, centroid = corpus mean): ids 10 and 11 are an
+    // ε-ball (cos ≈ 0.963) where the LOWER id sits closer to the ball's
+    // direction mass → higher centroid similarity → the paper rule keeps
+    // 11 while minId keeps 10; the orthogonal vector 30 always survives
+    val vs = Seq(
+      (10L, Array(1.0f, 0.30f, 0.0f)),  // more prototypical (higher sim)
+      (11L, Array(1.0f, 0.02f, 0.0f)),  // least prototypical of the ball
+      (30L, Array(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val minId = Dedup.semDedup(vs, "embedding", "vec_id",
+        tau = 0.95, kCells = 1, iters = 2)
+      .select("id").as[Long].collect().sorted.toSeq
+    val paper = Dedup.semDedup(vs, "embedding", "vec_id",
+        tau = 0.95, kCells = 1, iters = 2, keep = "centroidFar")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(minId == Seq(10L, 30L))
+    assert(paper.size == minId.size) // one survivor per ball either way
+    // independently confirm 11 is the lower-centroid-sim member, then that
+    // the paper rule kept exactly it
+    val cent = Similarity.ivfTrain(vs, "embedding", "vec_id", 1, 2)
+      .collect().map(r => r.getSeq[Double](1)).head
+    def cos(a: Array[Float], c: Seq[Double]): Double = {
+      val dot = a.zip(c).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(c.map(y => y * y).sum))
+    }
+    assert(cos(Array(1.0f, 0.02f, 0.0f), cent) < cos(Array(1.0f, 0.30f, 0.0f), cent))
+    assert(paper == Seq(11L, 30L))
+  }
+
   test("int8 quantization: codes bounded, round-trip error <= scale/2, cosine close") {
     val rnd = new scala.util.Random(7)
     val many = (0L until 200L).map(i =>
