@@ -331,8 +331,8 @@ final case class GraftFrame(df: DataFrame) {
 
   /** SemDeDup cluster-scoped embedding dedup (q146 shape). */
   def semDedup(vecCol: String, idCol: String, tau: Double = 0.95,
-      kCells: Int = 16): GraftFrame =
-    GraftFrame(Dedup.semDedup(df, vecCol, idCol, tau, kCells))
+      kCells: Int = 16, keep: String = "minId"): GraftFrame =
+    GraftFrame(Dedup.semDedup(df, vecCol, idCol, tau, kCells, keep = keep))
 
   /** Per-group cap: best `cap` rows per `groupCol` by `order` (q144 shape). */
   def capPerGroup(groupCol: String, idCol: String, cap: Int,

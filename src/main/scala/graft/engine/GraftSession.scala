@@ -196,7 +196,8 @@ final class GraftSession(val spark: SparkSession) {
         case "sample_per_group" =>
           t(0).samplePerGroup(str(1), str(2), int(3, 100))
         case "sem_dedup" =>
-          t(0).semDedup(str(1), str(2), num(3, 0.95), int(4, 16))
+          t(0).semDedup(str(1), str(2), num(3, 0.95), int(4, 16),
+            if (args.length > 5) str(5) else "minId")
         case "token_budget_per_group" =>
           t(0).tokenBudgetPerGroup(str(1), str(2), str(3),
             num(4, 1000000).toLong)

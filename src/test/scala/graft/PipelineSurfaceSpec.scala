@@ -165,6 +165,13 @@ class PipelineSurfaceSpec extends SparkTestBase {
     val viaOp = Dedup.semDedup(embs, "embedding", "vec_id", 0.9, 4)
       .select("id").as[Long].collect().sorted.toSeq
     assert(viaSql == viaOp && viaSql.nonEmpty)
+    val paperSql = gs.sql("""SELECT id
+      FROM sem_dedup(__psurf_sem, 'embedding', 'vec_id', 0.9, 4, 'centroidFar')""")
+      .as[Long].collect().sorted.toSeq
+    val paperOp = Dedup.semDedup(embs, "embedding", "vec_id", 0.9, 4,
+        keep = "centroidFar")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(paperSql == paperOp && paperSql.nonEmpty)
   }
 
   test("sql: pipeline view rebinds after the input view changes") {
