@@ -17,6 +17,7 @@ object Scratch {
     if (args.headOption.contains("semprof")) { semProf(g); g.spark.stop(); return }
     if (args.headOption.contains("ncmicro")) { ncMicro(); g.spark.stop(); return }
     if (args.headOption.contains("ncplan")) { ncPlan(g); g.spark.stop(); return }
+    if (args.headOption.contains("r12drive")) { r12drive(g); g.spark.stop(); return }
     val names = if (args.nonEmpty) args.toSeq else Seq("q01_tpch_q1")
     names.foreach { n =>
       println(s"=== $n ===")
@@ -434,5 +435,55 @@ object Scratch {
     time("gated curate 100k") {
       graft.operators.Curation.curate(big, "text", "doc_id").count()
     }
+  }
+
+  /** r12 drive: (1) vector kernels on non-finite / mismatched inputs —
+    * must not crash and must honor the Round+cast / zip_with-null
+    * contracts; (2) the committed-version matview stream: non-empty seed +
+    * sinceVersion, a dataChange=false compaction mid-stream, final view ≡
+    * full recompute.
+    */
+  private def r12drive(g: graft.engine.GraftSession): Unit = {
+    val spark = g.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+
+    println("--- int8 kernels on non-finite / mismatched inputs ---")
+    Seq((1L, Seq(1.0, Double.NaN, -2.0)), (2L, Seq(Double.PositiveInfinity, 3.0)))
+      .toDF("id", "v")
+      .select($"id", graft.operators.Similarity.quantizeInt8($"v").as("qz"))
+      .show(false)
+    Seq((1L, Seq[Byte](1, 2, 3), Seq[Byte](1, 2)), (2L, Seq[Byte](5, 5), Seq[Byte](5, 5)))
+      .toDF("id", "qa", "qb")
+      .select($"id", graft.operators.Similarity.int8CosineSimilarity($"qa", $"qb").as("cos"))
+      .show(false)
+
+    println("--- committed-version matview stream ---")
+    import graft.io.DeltaNative
+    import graft.streaming.IncrementalMatView
+    val root = s"/tmp/graft_scratch_r12/${java.util.UUID.randomUUID}"
+    val base = s"$root/base"; val view = s"$root/view"
+    val b1 = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0)).toDF("k", "q")
+    val b2 = Seq(("a", 4.0), ("c", 5.0)).toDF("k", "q")
+    val aggs: Seq[IncrementalMatView.AggSpec] =
+      Seq(("count", "*", "n"), ("sum", "q", "sq"), ("avg", "q", "qavg"))
+    val v0 = DeltaNative.write(b1, base)
+    DeltaNative.write(IncrementalMatView.state(b1, Seq("k"), aggs), view)
+    val q = IncrementalMatView.maintainStream(
+      spark, base, view, Seq("k"), aggs, s"$root/ckpt", sinceVersion = v0)
+    try {
+      q.processAllAvailable()
+      DeltaNative.optimizeCompact(spark, base) // dataChange=false: invisible
+      DeltaNative.write(b2, base, mode = "append")
+      q.processAllAvailable()
+      println("view after stream (expect a:(3,7.0), b:(1,3.0), c:(1,5.0)):")
+      IncrementalMatView.finalizeState(
+        graft.io.Sources.deltaLake(spark, view), Seq("k"), aggs)
+        .orderBy("k").show(false)
+      println("full recompute:")
+      b1.unionByName(b2).groupBy("k")
+        .agg(count(lit(1)).as("n"), sum("q").as("sq"), avg("q").as("qavg"))
+        .orderBy("k").show(false)
+    } finally q.stop()
   }
 }

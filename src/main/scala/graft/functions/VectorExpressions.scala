@@ -72,7 +72,10 @@ case class DotProd(left: Expression, right: Expression) extends VectorKernel {
   * double division, exactly the arithmetic of the HOF form it replaces
   * (`aggregate(zip_with(x*y))` ×3 — three interpreted per-element passes per
   * PAIR, the dominant q124 cost). Null when either norm is zero, matching
-  * `when(na > 0 && nb > 0, …)`.
+  * `when(na > 0 && nb > 0, …)`, and null when the two code arrays differ in
+  * length — `zip_with` null-pads the shorter side and the products go null,
+  * so the HOF form yields NULL there; a truncated dot product would silently
+  * mask an upstream quantization bug.
   */
 case class Int8Cosine(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
@@ -92,7 +95,8 @@ case class Int8Cosine(left: Expression, right: Expression)
     val tb = right.dataType.asInstanceOf[ArrayType].elementType
     val va = a.asInstanceOf[ArrayData]
     val vb = b.asInstanceOf[ArrayData]
-    val n = math.min(va.numElements(), vb.numElements())
+    val n = va.numElements()
+    if (n != vb.numElements()) return null
     var ab = 0L; var aa = 0L; var bb = 0L
     var i = 0
     while (i < n) {
@@ -117,7 +121,13 @@ case class Int8Cosine(left: Expression, right: Expression)
   * `round` uses (`math.floor(v + 0.5)` is NOT equivalent at double
   * tie-adjacent values, e.g. 0.49999999999999994), and the null contract
   * is preserved exactly — a NULL vector yields struct(1.0, null), not a
-  * null struct.
+  * null struct. Non-finite elements follow the declarative form too:
+  * `array_max` ranks NaN above everything, so a NaN element makes the
+  * `when(mx > 0)` guard false → scale 1.0; Spark's `Round` passes NaN/±Inf
+  * through untouched and the non-ANSI double→tinyint cast is Scala
+  * `.toByte` (NaN→0, ±Inf→±Int.MaxValue truncation) — so NaN/Inf scaled
+  * values skip the BigDecimal path (valueOf throws on non-finite) and cast
+  * raw, bit-matching the `round(x/scale).cast(tinyint)` plan.
   */
 case class Int8Quantize(child: Expression)
   extends UnaryExpression with CodegenFallback {
@@ -145,14 +155,22 @@ case class Int8Quantize(child: Expression)
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
     var mx = 0.0
+    var sawNaN = false
     var i = 0
-    while (i < n) { val a = math.abs(get(arr, et, i)); if (a > mx) mx = a; i += 1 }
-    val scale = if (mx > 0) mx / 127.0 else 1.0
+    while (i < n) {
+      val a = math.abs(get(arr, et, i))
+      if (a != a) sawNaN = true else if (a > mx) mx = a
+      i += 1
+    }
+    val scale = if (!sawNaN && mx > 0) mx / 127.0 else 1.0
     val codes = new Array[Byte](n)
     i = 0
     while (i < n) {
-      codes(i) = java.math.BigDecimal.valueOf(get(arr, et, i) / scale)
-        .setScale(0, java.math.RoundingMode.HALF_UP).longValue().toByte
+      val s = get(arr, et, i) / scale
+      codes(i) =
+        if (java.lang.Double.isNaN(s) || java.lang.Double.isInfinite(s)) s.toByte
+        else java.math.BigDecimal.valueOf(s)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue().toByte
       i += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(

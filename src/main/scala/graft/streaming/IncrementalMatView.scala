@@ -26,10 +26,10 @@ import org.apache.spark.sql.functions._
   * silently drift from its base.
   *
   * The same merge also runs as a Structured-Streaming query
-  * ([[maintainStream]]): a parquet file stream over the (append-only)
-  * base table feeds each micro-batch through [[merge]] inside
-  * foreachBatch — state lives in the view table, exactly like the q114
-  * Delta sink.
+  * ([[maintainStream]]): the stream watches the base's `_delta_log`
+  * commit files purely as a TRIGGER, and each micro-batch folds exactly
+  * the committed version range via [[graft.io.DeltaNative.readSince]] —
+  * state lives in the view table, exactly like the q114 Delta sink.
   *
   * Supported aggregates: count / sum / min / max / avg — the classic
   * self-mergeable set (avg carried as sum+count). Arbitrary SQL stays on
@@ -95,29 +95,77 @@ object IncrementalMatView {
     state.select(groupCols.map(col) ++ outs: _*)
   }
 
-  /** Maintain the view with a Structured-Streaming query: a parquet file
-    * stream over the base table's data directory (valid because the
-    * incremental contract is append-only — every commit adds files, none
-    * are rewritten; the refresh path raises on removes for the same
-    * reason) merged into the view state per micro-batch. The view's Delta
-    * table is the sink of record; the checkpoint makes replays idempotent
-    * the q114 way.
+  /** Maintain the view with a Structured-Streaming query driven by
+    * COMMITTED base versions, never raw data files. A text file stream
+    * over the base's `_delta_log/<span/>*.json` commit files is the trigger
+    * (a commit file exists iff its version committed — atomically, per the
+    * Delta protocol); the batch CONTENT is ignored, and each micro-batch
+    * folds exactly the committed range `(lastFolded, latest]` through
+    * [[graft.io.DeltaNative.readSince]]. That closes every raw-listing
+    * hazard the r11 file-stream form had: data files from failed or
+    * uncommitted writes are never counted (no commit file → not in any
+    * readSince range), `dataChange=false` compaction rewrites are
+    * invisible, leftover files from pre-stream overwrite commits are never
+    * replayed, and a `dataChange=true` remove raises instead of silently
+    * corrupting the view — the exact guard the refresh path has.
+    *
+    * `sinceVersion` is the newest base version the SEED state already
+    * covers (-1 = empty seed): a view seeded from a snapshot of version V
+    * passes V and is never double-counted.
+    *
+    * Crash safety: the `(baseVersion, viewVersion)` offset is persisted
+    * (atomic rename) AFTER each view overwrite, and each batch merges into
+    * the view read AT the offset's version (time travel) — so a crash
+    * between the view write and the offset write replays the same range
+    * against the same pre-merge state, making the retry idempotent.
     */
   def maintainStream(
       spark: SparkSession, basePath: String, viewPath: String,
       groupCols: Seq[String], aggs: Seq[AggSpec],
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val schema = graft.io.Sources.deltaLake(spark, basePath).schema
-    spark.readStream.schema(schema).parquet(basePath)
+      checkpointDir: String, sinceVersion: Long = -1L)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.hadoop.fs.Path
+    val offset = new Path(viewPath, "_graft_mv_offset")
+    val fs = offset.getFileSystem(spark.sessionState.newHadoopConf())
+
+    def readOffset(): (Long, Long) = {
+      val in = fs.open(offset)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      val parts = s.split(" ")
+      (parts(0).toLong, parts(1).toLong)
+    }
+    def writeOffset(b: Long, v: Long): Unit = {
+      val tmp = new Path(viewPath, "_graft_mv_offset.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(s"$b $v".getBytes("UTF-8")) finally out.close()
+      fs.delete(offset, false)
+      if (!fs.rename(tmp, offset))
+        throw new java.io.IOException(s"cannot persist matview offset $offset")
+    }
+    // seed the offset BEFORE the first batch so a first-batch crash-retry
+    // still reads the pre-merge view version, not a torn later one
+    if (!fs.exists(offset))
+      writeOffset(sinceVersion,
+        graft.io.DeltaNative.snapshot(spark, viewPath).version)
+
+    spark.readStream.text(s"$basePath/_delta_log/*.json")
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val deltaState = state(batch, groupCols, aggs)
-        val merged = merge(
-          graft.io.Sources.deltaLake(spark, viewPath), deltaState, groupCols)
-          // materialize BEFORE the overwrite replaces the files the plan reads
-          .localCheckpoint(eager = true)
-        graft.io.DeltaNative.write(merged, viewPath, mode = "overwrite")
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        val (b0, v0) = readOffset()
+        val latest = graft.io.DeltaNative.snapshot(spark, basePath).version
+        if (latest > b0) {
+          val appended =
+            graft.io.DeltaNative.readSince(spark, basePath, b0, Some(latest))
+          val merged = merge(
+            graft.io.Sources.deltaLake(spark, viewPath, Some(v0)),
+            state(appended, groupCols, aggs), groupCols)
+            // materialize BEFORE the overwrite replaces the files the plan reads
+            .localCheckpoint(eager = true)
+          val newV = graft.io.DeltaNative.write(merged, viewPath, mode = "overwrite")
+          writeOffset(latest, newV)
+        }
         ()
       }
       .start()

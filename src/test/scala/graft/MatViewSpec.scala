@@ -73,26 +73,45 @@ class MatViewSpec extends SparkTestBase {
     assert(rowsOf(once) == rowsOf(split))
   }
 
-  test("streaming maintenance: file stream folds new base files into the view") {
+  test("streaming maintenance: non-empty seed + sinceVersion, no double count") {
     val base = tmp("mv_stream_base_")
     val view = tmp("mv_stream_view_") + "/state"
-    DeltaNative.write(batch1, base)
+    val v0 = DeltaNative.write(batch1, base)
     DeltaNative.write(
       IncrementalMatView.state(batch1, Seq("k"), aggs), view)
+    // the seed covers base version v0 — the stream must fold only v0+1…
+    // (the r11 raw-file-stream form replayed batch1's files and silently
+    // double-counted; the committed-version form cannot)
     val q = IncrementalMatView.maintainStream(
-      spark, base, view, Seq("k"), aggs, tmp("mv_ckpt_"))
+      spark, base, view, Seq("k"), aggs, tmp("mv_ckpt_"), sinceVersion = v0)
     try {
-      q.processAllAvailable() // initial files already folded into the seed?
-      // the seed state covered batch1 and the stream ALSO replays batch1's
-      // files — so maintainStream must start from an EMPTY seed in real use;
-      // here we assert the double-count to lock the contract explicitly
+      q.processAllAvailable()
       DeltaNative.write(batch2, base, mode = "append")
       q.processAllAvailable()
       val got = IncrementalMatView.finalizeState(
         graft.io.Sources.deltaLake(spark, view), Seq("k"), aggs)
-      // batch1 counted twice (seed + replay), batch2 once
-      val expect = recompute(batch1.unionByName(batch1).unionByName(batch2))
-      assert(rowsOf(got) == rowsOf(expect))
+      assert(rowsOf(got) == rowsOf(recompute(batch1.unionByName(batch2))))
+    } finally q.stop()
+  }
+
+  test("streaming maintenance ignores dataChange=false compaction commits") {
+    val base = tmp("mv_stream3_base_")
+    val view = tmp("mv_stream3_view_") + "/state"
+    val v0 = DeltaNative.write(batch1, base)
+    DeltaNative.write(
+      IncrementalMatView.state(batch1, Seq("k"), aggs), view)
+    val q = IncrementalMatView.maintainStream(
+      spark, base, view, Seq("k"), aggs, tmp("mv_ckpt3_"), sinceVersion = v0)
+    try {
+      q.processAllAvailable()
+      // a compaction commit rewrites batch1's rows with dataChange=false:
+      // the raw-file-stream form would re-count them; readSince skips them
+      DeltaNative.optimizeCompact(spark, base)
+      DeltaNative.write(batch2, base, mode = "append")
+      q.processAllAvailable()
+      val got = IncrementalMatView.finalizeState(
+        graft.io.Sources.deltaLake(spark, view), Seq("k"), aggs)
+      assert(rowsOf(got) == rowsOf(recompute(batch1.unionByName(batch2))))
     } finally q.stop()
   }
 

@@ -345,6 +345,41 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.filter(!(col("kernel") <=> col("hof"))).isEmpty)
   }
 
+  test("int8 cosine: mismatched code lengths yield NULL, not a truncated dot (r12)") {
+    // zip_with null-pads the shorter side → the HOF form goes NULL; a
+    // min-length truncation would return a plausible-looking similarity
+    // that masks an upstream quantization bug
+    val rows = Seq(
+      (1L, Seq[Byte](1, 2, 3), Seq[Byte](1, 2)),
+      (2L, Seq[Byte](5, 5), Seq[Byte](5, 5))).toDF("id", "qa", "qb")
+    val got = rows.orderBy("id")
+      .select(Similarity.int8CosineSimilarity(col("qa"), col("qb")))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got(0).isEmpty)
+    assert(got(1).exists(v => math.abs(v - 1.0) < 1e-12))
+  }
+
+  test("int8 quantize: NaN/Inf elements follow Round+cast, never crash (r12)") {
+    // NaN ranks highest in array_max → the when(mx > 0) guard is false →
+    // scale 1.0; Round passes non-finite through and the non-ANSI
+    // double→tinyint cast is Scala .toByte (NaN→0). Inf drives scale=Inf:
+    // finite/Inf → 0, Inf/Inf = NaN → 0. The r11 kernel threw
+    // NumberFormatException from BigDecimal.valueOf on any of these.
+    val rows = Seq(
+      (1L, Seq(1.0, Double.NaN, -2.0)),
+      (2L, Seq(Double.PositiveInfinity, 3.0)),
+      (3L, Seq(Double.NegativeInfinity))).toDF("id", "v")
+    val got = rows.orderBy("id")
+      .select(Similarity.quantizeInt8(col("v")).as("s"))
+      .select(col("s.scale"), col("s.q")).collect()
+    assert(got(0).getDouble(0) == 1.0 &&
+      got(0).getSeq[Byte](1) == Seq[Byte](1, 0, -2))
+    assert(got(1).getDouble(0).isPosInfinity &&
+      got(1).getSeq[Byte](1) == Seq[Byte](0, 0))
+    assert(got(2).getDouble(0).isPosInfinity &&
+      got(2).getSeq[Byte](1) == Seq[Byte](0))
+  }
+
   test("nearestCells: kernel path ≡ unrolled-literal path (r11 gate)") {
     // same centroids through both assignment shapes — the gated path (the
     // functions.NearestCells kernel, for k·dims above inlineCentroidLimit)
