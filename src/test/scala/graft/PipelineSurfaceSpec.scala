@@ -174,6 +174,73 @@ class PipelineSurfaceSpec extends SparkTestBase {
     assert(paperSql == paperOp && paperSql.nonEmpty)
   }
 
+  test("sql: top_fraction_per_group follows the numeric-tail convention (r12)") {
+    docs.createOrReplaceTempView("__psurf_tf")
+    val viaSql = gs.sql("""SELECT doc_id
+      FROM top_fraction_per_group(__psurf_tf, 'source', 'doc_id', 0.4, 'n_chars')""")
+      .as[Long].collect().sorted.toSeq
+    val viaOp = Curation.topFractionPerGroup(docs, "source", "doc_id", 0.4,
+      col("n_chars")).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(viaSql == viaOp && viaSql.nonEmpty)
+    // default order = id-hash (uniform per-group fraction)
+    val dfl = gs.sql("""SELECT doc_id
+      FROM top_fraction_per_group(__psurf_tf, 'source', 'doc_id', 0.4)""")
+      .as[Long].collect().sorted.toSeq
+    val dflOp = Curation.topFractionPerGroup(docs, "source", "doc_id", 0.4,
+      md5(col("doc_id").cast("string"))).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(dfl == dflOp && dfl.nonEmpty)
+  }
+
+  test("sql: table-fn args parse quoted commas and nested parens (r12)") {
+    // a column literally NAMED "a,b" — the r11 split(",") parser cut the
+    // quoted arg in half; the tokenizer splits on top-level commas only
+    docs.withColumn("a,b", substring(col("text"), 1, 40))
+      .createOrReplaceTempView("__psurf_comma")
+    val viaSql = gs.sql(
+      "SELECT doc_id FROM dedup_exact(__psurf_comma, 'a,b', 'doc_id')")
+    val direct = Dedup.exactKeepFirst(
+      spark.table("__psurf_comma"), "a,b", "doc_id").select("doc_id")
+    assert(rows(viaSql) == rows(direct) && viaSql.count() > 0)
+    // nested pipeline call in table-argument position resolves inner-first
+    docs.withColumn("key", substring(col("text"), 1, 40))
+      .createOrReplaceTempView("__psurf_nest")
+    val nested = gs.sql("""SELECT doc_id, n_tokens
+      FROM token_count(dedup_exact(__psurf_nest, 'key', 'doc_id'), 'text')""")
+    val composed = GraftFrame(spark.table("__psurf_nest"))
+      .dedupExact("key", "doc_id").tokenCount("text", "n_tokens")
+      .df.select("doc_id", "n_tokens")
+    assert(rows(nested) == rows(composed))
+  }
+
+  test("sql: fn names inside string literals and comments stay verbatim (r12)") {
+    docs.limit(5).createOrReplaceTempView("__psurf_lit")
+    val lit = gs.sql(
+      "SELECT 'curate(a, b)' AS s FROM __psurf_lit LIMIT 1").head().getString(0)
+    assert(lit == "curate(a, b)")
+    val commented = gs.sql(
+      "-- curate(__psurf_lit, 'text', 'doc_id')\nSELECT COUNT(*) AS n FROM __psurf_lit")
+      .head().getLong(0)
+    assert(commented == 5)
+  }
+
+  test("sql: arity and type violations fail with the signature (r12)") {
+    docs.createOrReplaceTempView("__psurf_err")
+    val missing = intercept[IllegalArgumentException] {
+      gs.sql("SELECT * FROM dedup_exact(__psurf_err, 'key')")
+    }
+    assert(missing.getMessage.contains("usage:")
+      && missing.getMessage.contains("idCol"))
+    val extra = intercept[IllegalArgumentException] {
+      gs.sql("SELECT * FROM token_count(__psurf_err, 'text', 'oops', 1, 2)")
+    }
+    assert(extra.getMessage.contains("at most"))
+    val notNum = intercept[IllegalArgumentException] {
+      gs.sql("SELECT * FROM cap_per_group(__psurf_err, 'source', 'doc_id', 'many')")
+    }
+    assert(notNum.getMessage.contains("must be numeric"))
+  }
+
   test("sql: pipeline view rebinds after the input view changes") {
     docs.limit(10).createOrReplaceTempView("__psurf_rebind")
     val n1 = gs.sql("SELECT COUNT(*) AS n FROM token_count(__psurf_rebind, 'text')")
