@@ -190,6 +190,56 @@ object DedupScaleBench {
         (-1L, out)
       }
 
+      // r12: hot-group curation caps — one host owns ~95% of the corpus
+      // (the heavy-tailed crawl shape), so the group window funnels it
+      // through ONE reducer. capPerGroup's mitigation is Catalyst's
+      // InferWindowGroupLimit (map-side Partial group limit before the
+      // exchange — only partitions·cap rows per group shuffle); the
+      // no_partial_limit leg disables that rule to measure exactly what
+      // it buys. tokenBudgetPerGroup's running-sum cut can't be inferred,
+      // so it carries a manual map-side prefix phase — its leg is the
+      // shuffle-bytes (the cluster-relevant cost) vs the direct window.
+      val skewed = docs.withColumn("host",
+          when(col("doc_id") % 20 < 19, lit("hot.example.com"))
+            .otherwise(concat(lit("h"), col("doc_id") % 97)))
+        .select("doc_id", "host", "n_chars")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      skewed.count()
+      val EXCL = "spark.sql.optimizer.excludedRules"
+      measure("hot_cap_no_partial_limit", f, nDocs) {
+        spark.conf.set(EXCL,
+          "org.apache.spark.sql.catalyst.optimizer.InferWindowGroupLimit")
+        try {
+          val out = graft.operators.Curation
+            .capPerGroup(skewed, "host", "doc_id", 100, col("n_chars").desc)
+            .count()
+          (-1L, out)
+        } finally spark.conf.unset(EXCL)
+      }
+      measure("hot_cap", f, nDocs) {
+        val out = graft.operators.Curation
+          .capPerGroup(skewed, "host", "doc_id", 100, col("n_chars").desc)
+          .count()
+        (-1L, out)
+      }
+      measure("hot_budget_direct", f, nDocs) {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("host"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val out = skewed
+          .withColumn("__cum", sum(col("n_chars").cast("long")).over(w))
+          .filter(col("__cum") <= 200000L).count()
+        (-1L, out)
+      }
+      measure("hot_budget_two_phase", f, nDocs) {
+        val out = graft.operators.Curation
+          .tokenBudgetPerGroup(skewed, "host", "doc_id", "n_chars", 200000L)
+          .count()
+        (-1L, out)
+      }
+      skewed.unpersist()
+
       docs.unpersist(); emb.unpersist()
     }
 

@@ -18,6 +18,7 @@ object Scratch {
     if (args.headOption.contains("ncmicro")) { ncMicro(); g.spark.stop(); return }
     if (args.headOption.contains("ncplan")) { ncPlan(g); g.spark.stop(); return }
     if (args.headOption.contains("r12drive")) { r12drive(g); g.spark.stop(); return }
+    if (args.headOption.contains("capprof")) { capProf(g); g.spark.stop(); return }
     val names = if (args.nonEmpty) args.toSeq else Seq("q01_tpch_q1")
     names.foreach { n =>
       println(s"=== $n ===")
@@ -435,6 +436,24 @@ object Scratch {
     time("gated curate 100k") {
       graft.operators.Curation.curate(big, "text", "doc_id").count()
     }
+  }
+
+  /** Inspect the two-phase capPerGroup plan + survivor counts. */
+  private def capProf(g: graft.engine.GraftSession): Unit = {
+    val spark = g.spark
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(250000).toDF("doc_id")
+      .withColumn("host", when(col("doc_id") % 20 < 19, lit("hot.example.com"))
+        .otherwise(concat(lit("h"), col("doc_id") % 97)))
+      .withColumn("n_chars", (col("doc_id") * 7919) % 1000)
+      .persist()
+    docs.count()
+    val out = graft.operators.Curation
+      .capPerGroup(docs, "host", "doc_id", 100, col("n_chars").desc)
+    println("count=" + out.count())
+    println(out.queryExecution.executedPlan.toString.linesIterator
+      .take(40).mkString("\n"))
+    docs.unpersist()
   }
 
   /** r12 drive: (1) vector kernels on non-finite / mismatched inputs —

@@ -868,6 +868,56 @@ class DedupClusterSpec extends SparkTestBase {
       again.select("doc_id").as[Long].collect().sorted.toSeq)
   }
 
+  test("hot-group mitigation: cap keeps Catalyst's partial limit, budget two-phase ≡ direct (r12)") {
+    // one mega-group (90% of rows), several small groups, heavy ties,
+    // hot group deliberately scattered across partitions
+    val rnd = new scala.util.Random(31)
+    val rows = (1L to 4000L).map { i =>
+      val g = if (i <= 3600) "hot" else s"g${i % 7}"
+      (i, g, rnd.nextInt(40).toLong, rnd.nextInt(5).toDouble)
+    }
+    val docs = rows.toDF("doc_id", "source", "n_tok", "quality")
+      .repartition(11)
+
+    // capPerGroup relies on InferWindowGroupLimit planting a MAP-SIDE
+    // Partial group limit below the group exchange — lock the plan so a
+    // refactor (e.g. anything that hides the rank filter from the rule)
+    // can't silently bring the hot-group reducer wall back
+    val cap = graft.operators.Curation
+      .capPerGroup(docs, "source", "doc_id", 37, col("quality").desc)
+    cap.collect()
+    val plan = cap.queryExecution.executedPlan.toString
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning(source")
+    assert(exchangeIdx >= 0, plan)
+    val belowExchange = plan.substring(exchangeIdx)
+    assert(belowExchange.contains("WindowGroupLimit")
+        && belowExchange.contains("Partial"),
+      s"no map-side WindowGroupLimit below the exchange:\n$plan")
+
+    // tokenBudgetPerGroup's manual two-phase (Catalyst can't infer a
+    // running-sum cut) must equal the direct single-window form row-for-row
+    val ws = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val wb = ws.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val directBudget = docs.withColumn("__cum", sum(col("n_tok").cast("long")).over(wb))
+      .filter(col("__cum") <= 700L).drop("__cum")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val twoPhaseBudget = graft.operators.Curation
+      .tokenBudgetPerGroup(docs, "source", "doc_id", "n_tok", 700L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(twoPhaseBudget == directBudget && directBudget.nonEmpty)
+    // tight budget: the sentinel (first crossing row) logic must not
+    // resurrect rows the direct form drops
+    val tight = graft.operators.Curation
+      .tokenBudgetPerGroup(docs, "source", "doc_id", "n_tok", 41L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val directTight = docs.withColumn("__cum", sum(col("n_tok").cast("long")).over(wb))
+      .filter(col("__cum") <= 41L).drop("__cum")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(tight == directTight)
+  }
+
   test("decontaminate: planted eval overlap flagged, clean docs pass, threshold honored") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
       .toDF("doc_id", "text")
