@@ -162,6 +162,15 @@ object DedupScaleBench {
         (nC, dropped)
       }
 
+      measure("sem_dedup_auto", f, nEmb) {
+        // DEFAULT params (r12): kCells auto-derives ≈√n cells from the
+        // corpus count — flat scaling must hold WITHOUT the caller tuning
+        // kCells (the manual leg above pins 16·f); kept-count is the output
+        val kept = graft.operators.Dedup
+          .semDedup(emb, "embedding", "vec_id", 0.95).count()
+        (-1L, kept)
+      }
+
       measure("ann_topk", f, nEmb) {
         val queries = emb0.limit(100)
         val cSig = graft.operators.Similarity

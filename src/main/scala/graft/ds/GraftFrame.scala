@@ -329,9 +329,11 @@ final case class GraftFrame(df: DataFrame) {
     GraftFrame(Curation.decontaminate(df, benchmark.df, textCol, idCol, n,
       minShared))
 
-  /** SemDeDup cluster-scoped embedding dedup (q146 shape). */
+  /** SemDeDup cluster-scoped embedding dedup (q146 shape); kCells = 0
+    * derives ≈√n cells from the corpus.
+    */
   def semDedup(vecCol: String, idCol: String, tau: Double = 0.95,
-      kCells: Int = 16, keep: String = "minId"): GraftFrame =
+      kCells: Int = 0, keep: String = "minId"): GraftFrame =
     GraftFrame(Dedup.semDedup(df, vecCol, idCol, tau, kCells, keep = keep))
 
   /** Per-group cap: best `cap` rows per `groupCol` by `order` (q144 shape). */
@@ -363,9 +365,11 @@ final case class GraftFrame(df: DataFrame) {
       bits: Int = 8, probes: Int = 1): GraftFrame =
     GraftFrame(Similarity.annTopK(df, queries.df, vecCol, idCol, k, bits, probes))
 
-  /** IVF (k-means coarse quantizer) approximate top-k (q134 shape). */
+  /** IVF (k-means coarse quantizer) approximate top-k (q134 shape);
+    * kCells = 0 derives ≈√n cells from the corpus.
+    */
   def ivfTopK(queries: GraftFrame, vecCol: String, idCol: String, k: Int,
-      kCells: Int = 16, iters: Int = 2, nProbe: Int = 2): GraftFrame =
+      kCells: Int = 0, iters: Int = 2, nProbe: Int = 2): GraftFrame =
     GraftFrame(Similarity.ivfTopK(df, queries.df, vecCol, idCol, k, kCells,
       iters, nProbe))
 

@@ -356,8 +356,9 @@ final class GraftSession(val spark: SparkSession) {
         case "sample_per_group" =>
           t(0, "table").samplePerGroup(str(1, "groupCol"), str(2, "idCol"), int(3, 100))
         case "sem_dedup" =>
+          // kCells default 0 = auto (≈√n cells from a corpus count)
           t(0, "table").semDedup(str(1, "embCol"), str(2, "idCol"), num(3, 0.95),
-            int(4, 16), if (args.length > 5) str(5, "keep") else "minId")
+            int(4, 0), if (args.length > 5) str(5, "keep") else "minId")
         case "token_budget_per_group" =>
           t(0, "table").tokenBudgetPerGroup(str(1, "groupCol"), str(2, "idCol"),
             str(3, "tokenCol"), num(4, 1000000).toLong)

@@ -445,15 +445,20 @@ object Dedup {
     * the paper runs 50k clusters over 5B embeddings). The corpus is never
     * compared across cells; a skewed mega-cell is capped by raising kCells
     * (cells shrink ∝ k) or pre-splitting on a secondary hyperplane bit.
+    * `kCells = 0` (default, r12) derives ≈√n cells from a corpus count
+    * ([[Similarity.autoCells]]) so the O(Σ cell²) guarantee no longer
+    * depends on the caller remembering the paper's tuning — Σ cell² stays
+    * ~n^1.5 at any corpus size; pass kCells explicitly to pin it.
     * Returns (cell, id) of KEPT rows.
     */
   def semDedup(
       df: DataFrame, vecCol: String, idCol: String,
-      tau: Double = 0.95, kCells: Int = 16, iters: Int = 2,
+      tau: Double = 0.95, kCells: Int = 0, iters: Int = 2,
       trainFraction: Double = 1.0, keep: String = "minId"): DataFrame = {
     require(keep == "minId" || keep == "centroidFar",
       s"keep must be minId or centroidFar: $keep")
-    val cent = Similarity.ivfTrain(df, vecCol, idCol, kCells, iters, trainFraction)
+    val cent = Similarity.ivfTrain(df, vecCol, idCol,
+      Similarity.resolveCells(df, kCells), iters, trainFraction)
     val idx0 = Similarity.ivfIndex(df, vecCol, idCol, cent)
     // keep="centroidFar" is the PAPER's rule (SemDeDup §2.2: within each
     // ε-ball keep the example with LOWEST cosine similarity to the cluster

@@ -345,6 +345,28 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.filter(!(col("kernel") <=> col("hof"))).isEmpty)
   }
 
+  test("auto-kCells: default derives ceil(√n) bounded at 16, explicit overrides (r12)") {
+    // 80 vectors → √80 ≈ 9 → floor of 16; the O(Σ cell²) guarantee no
+    // longer depends on the caller passing the paper's tuning
+    assert(Similarity.autoCells(clustered) == 16)
+    val big = spark.range(70000).toDF("vec_id")
+      .withColumn("embedding", array(lit(1.0f)))
+    assert(Similarity.autoCells(big) == math.ceil(math.sqrt(70000.0)).toInt)
+    // default params ≡ explicit kCells at the derived value
+    val auto = Dedup.semDedup(clustered, "embedding", "vec_id", 0.9)
+      .select("id").as[Long].collect().sorted.toSeq
+    val explicit = Dedup.semDedup(clustered, "embedding", "vec_id", 0.9, kCells = 16)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(auto == explicit && auto.nonEmpty)
+    val q = clustered.filter(col("vec_id") === 7)
+    val autoIvf = Similarity.ivfTopK(clustered, q, "embedding", "vec_id", k = 3)
+      .orderBy("rn").select("neighbor_id").as[Long].collect().toSeq
+    val explicitIvf = Similarity.ivfTopK(clustered, q, "embedding", "vec_id",
+        k = 3, kCells = 16)
+      .orderBy("rn").select("neighbor_id").as[Long].collect().toSeq
+    assert(autoIvf == explicitIvf)
+  }
+
   test("int8 cosine: mismatched code lengths yield NULL, not a truncated dot (r12)") {
     // zip_with null-pads the shorter side → the HOF form goes NULL; a
     // min-length truncation would return a plausible-looking similarity
