@@ -197,10 +197,18 @@ case class Int8Quantize(child: Expression)
   * once per task with the serialized expression, rebuilt into a primitive
   * matrix per executor via the transient lazy (Seq fields keep case-class
   * equality structural for Catalyst; the matrix is eval-only).
+  *
+  * Codegen (r12): a real `doGenCode` — the generated projection calls
+  * [[compute]] directly on the child's already-evaluated ArrayData via an
+  * `addReferenceObj` handle, so the one kernel on every IVF/SemDeDup
+  * assignment path at 100 TB no longer pays the CodegenFallback toll
+  * (materializing an InternalRow per row + interpreted eval dispatch).
+  * Interpreted eval and codegen share [[compute]] verbatim — bit-equality
+  * between the two paths is spec-asserted.
   */
 case class NearestCells(child: Expression, cells: Seq[Int],
     cents: Seq[Seq[Double]], nProbe: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
   require(cells.length == cents.length && cells.nonEmpty && nProbe >= 1)
 
   override def dataType: DataType = ArrayType(StructType(Seq(
@@ -219,9 +227,19 @@ case class NearestCells(child: Expression, cells: Seq[Int],
     case other => throw new IllegalArgumentException(s"non-numeric vector element: $other")
   }
 
-  override def nullSafeEval(a: Any): Any = {
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCells", this, classOf[NearestCells].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  /** The kernel — shared verbatim by interpreted eval and generated code. */
+  def compute(v: ArrayData): ArrayData = {
     val et = child.dataType.asInstanceOf[ArrayType].elementType
-    val v = a.asInstanceOf[ArrayData]
     val k = matrix.length
     val m = math.min(nProbe, k)
     // selection buffer of the m smallest (dist, cell), (dist, cell)-ordered

@@ -345,6 +345,44 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.filter(!(col("kernel") <=> col("hof"))).isEmpty)
   }
 
+  test("NearestCells doGenCode: generated projection ≡ interpreted eval, codegen real (r12)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(0.7, 0.7))
+    val expr = graft.functions.NearestCells(
+      BoundReference(0, ArrayType(DoubleType), nullable = true),
+      Seq(0, 1, 2), cents, 2)
+    // structural: the kernel is no longer a CodegenFallback — the one
+    // expression on every IVF/SemDeDup assignment path generates real code
+    assert(!expr.isInstanceOf[
+      org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback])
+    val proj = GenerateUnsafeProjection.generate(Seq(expr)) // throws if broken
+    val rnd = new scala.util.Random(5)
+    (0 until 50).foreach { _ =>
+      val v = Array.fill(2)(rnd.nextDouble() * 2 - 1)
+      val row = InternalRow(ArrayData.toArrayData(v))
+      val gen = proj(row).getArray(0)
+      val interp = expr.eval(row).asInstanceOf[ArrayData]
+      assert(gen.numElements() == interp.numElements())
+      (0 until gen.numElements()).foreach { i =>
+        val gs = gen.getStruct(i, 2); val is = interp.getStruct(i, 2)
+        assert(gs.getDouble(0) == is.getDouble(0) && gs.getInt(1) == is.getInt(1))
+      }
+    }
+    // the gated assignment stage stays inside whole-stage codegen
+    val cent = Similarity.ivfTrain(clustered, "embedding", "vec_id", k = 4, iters = 2)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1).toSeq
+    val assigned = clustered.repartition(2) // defeat local-relation folding
+      .select(Similarity.nearestCellsImpl(
+        col("embedding").cast("array<double>"), cent, 2, inline = false).as("p"))
+    assigned.collect()
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"assignment projection left codegen:\n$plan")
+  }
+
   test("auto-kCells: default derives ceil(√n) bounded at 16, explicit overrides (r12)") {
     // 80 vectors → √80 ≈ 9 → floor of 16; the O(Σ cell²) guarantee no
     // longer depends on the caller passing the paper's tuning
