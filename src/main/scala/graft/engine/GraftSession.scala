@@ -454,8 +454,46 @@ final class GraftSession(val spark: SparkSession) {
       case "PRETTY" =>
         // show() prints; render via the same separated path with a header
         renderSeparated(df, " | ", header = true)
+      case "ARROW" | "ARROWSTREAM" | "PARQUET" => throw new IllegalArgumentException(
+        s"'$format' is a BYTES format — use queryAsBytes(sql, \"$format\")")
       case other => throw new IllegalArgumentException(
-        s"unsupported output format '$other' (CSV, CSVWithNames, TSV, JSONEachRow, Pretty)")
+        s"unsupported output format '$other' (CSV, CSVWithNames, TSV, " +
+          "JSONEachRow, Pretty; Arrow/Parquet via queryAsBytes)")
+    }
+  }
+
+  /** chdb's BYTES result formats (reference `_process_result_format_funs`,
+    * chdb/__init__.py:37-41; README.md:379 `chdb.query(sql, "Arrow")`):
+    * the full driver-sized result as one Arrow IPC stream (schema header +
+    * record batches + EOS — readable by pyarrow / arrow-vector / DuckDB)
+    * or as one parquet file's bytes. Large results should stay DataFrames
+    * (`sql(query).write…`) — same contract as [[queryAs]].
+    */
+  def queryAsBytes(query: String, format: String = "Arrow"): Array[Byte] = {
+    val df = sql(query)
+    format.toUpperCase match {
+      case "ARROW" | "ARROWSTREAM" =>
+        org.apache.spark.sql.graftbridge.ArrowBridge.toArrowStream(df)
+      case "PARQUET" => parquetBytes(df)
+      case other => throw new IllegalArgumentException(
+        s"unsupported bytes format '$other' (Arrow, Parquet)")
+    }
+  }
+
+  private def parquetBytes(df: DataFrame): Array[Byte] = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_out_")
+    try {
+      val target = dir.resolve("result").toString
+      df.coalesce(1).write.parquet(target)
+      val part = new java.io.File(target).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(
+          s"no parquet part file written under $target"))
+      java.nio.file.Files.readAllBytes(part.toPath)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
 

@@ -219,8 +219,48 @@ class QueryFormatSpec extends SparkTestBase {
     assert(rows.head.getLong(0) > 0 && m.rowsReturned == 1)
   }
 
-  test("unknown format raises a capability error") {
-    intercept[IllegalArgumentException] { g.queryAs("SELECT 1", "Arrow") }
+  test("unknown format raises a capability error; bytes formats point to queryAsBytes") {
+    val e = intercept[IllegalArgumentException] { g.queryAs("SELECT 1", "Arrow") }
+    assert(e.getMessage.contains("queryAsBytes"))
+    intercept[IllegalArgumentException] { g.queryAs("SELECT 1", "Nope") }
+    intercept[IllegalArgumentException] { g.queryAsBytes("SELECT 1", "Nope") }
+  }
+
+  test("Arrow bytes: IPC stream round-trips the result across batches (r12)") {
+    // 20k rows > the 8192 batch size → multiple record batches in the stream
+    val q = "SELECT id AS a, CAST(id * 2 AS STRING) AS b FROM range(20000)"
+    val bytes = g.queryAsBytes(q, "Arrow")
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(bytes), alloc)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    try {
+      val root = reader.getVectorSchemaRoot
+      assert(root.getSchema.getFields.size() == 2)
+      var batches = 0
+      while (reader.loadNextBatch()) {
+        batches += 1
+        val a = root.getVector("a").asInstanceOf[org.apache.arrow.vector.BigIntVector]
+        val b = root.getVector("b").asInstanceOf[org.apache.arrow.vector.VarCharVector]
+        (0 until root.getRowCount).foreach { i =>
+          got += ((a.get(i), new String(b.get(i), "UTF-8")))
+        }
+      }
+      assert(batches >= 2, s"expected multiple record batches, got $batches")
+    } finally { reader.close(); alloc.close() }
+    val expect = g.sql(q).collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got.toSeq == expect)
+  }
+
+  test("Parquet bytes: one readable parquet file round-trips the result (r12)") {
+    val bytes = g.queryAsBytes("SELECT id AS a FROM range(50)", "Parquet")
+    val f = java.nio.file.Files.createTempFile("graft_pq_rt_", ".parquet")
+    java.nio.file.Files.write(f, bytes)
+    try {
+      val back = spark.read.parquet(f.toString)
+        .orderBy("a").collect().map(_.getLong(0)).toSeq
+      assert(back == (0L until 50L))
+    } finally java.nio.file.Files.deleteIfExists(f)
   }
 }
 
