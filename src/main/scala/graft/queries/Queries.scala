@@ -1465,7 +1465,8 @@ object Queries {
         SELECT doc_id, source, n_chars,
           ROW_NUMBER() OVER (PARTITION BY source
             ORDER BY n_chars DESC, doc_id) AS rn
-        FROM documents) WHERE rn <= 10 ORDER BY doc_id""")),
+        FROM documents) WHERE rn <= 10 ORDER BY doc_id"""),
+      bench = true),
 
     QueryDef("q145_group_sample", (s, dir) => {
       // deterministic uniform 20-per-source sample by md5 id-hash, through
@@ -1497,7 +1498,7 @@ object Queries {
           e.unionByName(planted), "embedding", "vec_id",
           tau = 0.95, kCells = 8, iters = 2)
         .orderBy("id")
-    }, Some(semDedupOracle8x2)),
+    }, Some(semDedupOracle8x2), bench = true),
 
     QueryDef("q149_semdedup_paper", (s, dir) => {
       // the PAPER's keep rule (SemDeDup §2.2: per ε-ball keep the example
@@ -1528,7 +1529,8 @@ object Queries {
           SUM(n_chars) OVER (PARTITION BY source
             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        FROM documents) WHERE cum <= 2000 ORDER BY doc_id""")),
+        FROM documents) WHERE cum <= 2000 ORDER BY doc_id"""),
+      bench = true),
 
     QueryDef("q148_top_fraction", (s, dir) => {
       // adaptive per-domain filter: longest 40% of each source
