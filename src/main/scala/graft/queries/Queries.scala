@@ -944,12 +944,57 @@ object Queries {
       ORDER BY id_a, id_b"""),
       bench = true),
 
-    QueryDef("q64_simhash_pairs", (s, dir) =>
-      // radius 3 — the classic 64-bit simhash near-dup radius (Manku WWW'07);
-      // recall at this radius is structurally exact (see Dedup.simhashPairs)
-      Dedup.simhashPairs(Q.t(s, dir, "documents"), "text", "doc_id", maxHamming = 3)
-        .orderBy("id_a", "id_b"),
-      None),
+    QueryDef("q64_simhash_pairs", (s, dir) => {
+      v(s, dir, "documents")
+      // The PRODUCTION simhash pair pipeline — multi-index pigeonhole
+      // buckets + popcount verification (Dedup.simhashPairsFromHashes,
+      // the 100 TB path; recall at any radius is structurally exact) —
+      // fed md5-portable 60-bit signatures (q106's device) instead of the
+      // engine-native Mix64 token hash, so the OPERATOR's full output
+      // (pairs + hamming) replays bit-for-bit in DuckDB: r12 retires this
+      // row's rows-only status. The Mix64 hash stays simhashPairs'
+      // default (spec-locked); only the hash source is swapped here.
+      val sig = s.sql("""WITH th AS (
+          SELECT doc_id,
+            CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT) AS h
+          FROM (SELECT doc_id,
+                  explode(filter(split(lower(text), '[^a-z0-9]+'),
+                                 t -> length(t) > 0)) AS tok
+                FROM documents)
+        ), bits AS (
+          SELECT doc_id, b,
+            SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS w
+          FROM th LATERAL VIEW explode(sequence(0, 59)) AS b
+          GROUP BY doc_id, b
+        )
+        SELECT doc_id AS id,
+          SUM(CASE WHEN w > 0 THEN shiftleft(CAST(1 AS BIGINT), b)
+              ELSE CAST(0 AS BIGINT) END) AS h
+        FROM bits GROUP BY doc_id""")
+      Dedup.simhashPairsFromHashes(sig, maxHamming = 4)
+        .orderBy("id_a", "id_b")
+    }, Some("""WITH th AS (
+        SELECT doc_id,
+          CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        FROM (SELECT doc_id, UNNEST(list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                t -> t <> '')) AS tok
+              FROM documents)
+      ), bits AS (
+        SELECT doc_id, b,
+          SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS w
+        FROM th CROSS JOIN (SELECT UNNEST(range(0, 60)) AS b) bb
+        GROUP BY doc_id, b
+      ), sh AS (
+        SELECT doc_id,
+          SUM(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS s
+      FROM bits GROUP BY doc_id
+      )
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.s, b.s)) <= 4
+      ORDER BY id_a, id_b""")),
 
     QueryDef("q65_embed_neardup", (s, dir) => {
       // random embeddings contain no natural near-dups (pairwise cosine
