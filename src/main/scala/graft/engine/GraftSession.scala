@@ -35,23 +35,14 @@ final class GraftSession(val spark: SparkSession) {
   // file()/url() are resolved at rewrite time into session temp views (one
   // per distinct (path, format), cached by name) so the standard reader
   // handles headers/inference; numbers(N) rewrites onto Spark's range() TVF.
-  private val fileFn =
-    "(?i)\\bfile\\(\\s*['\"]([^'\"]+)['\"]\\s*(?:,\\s*['\"]?([A-Za-z]+)['\"]?\\s*)?\\)".r
-  private val urlFn =
-    "(?i)\\burl\\(\\s*['\"]([^'\"]+)['\"]\\s*(?:,\\s*['\"]?([A-Za-z]+)['\"]?\\s*)?\\)".r
-  // lakehouse scans (reference deltaLake():930 / iceberg():868 / hudi():975
-  // — read-only path scans; credentials ride Hadoop FS config, not SQL args)
-  private val lakehouseFn =
-    "(?i)\\b(deltaLake|delta_lake|iceberg|hudi)\\(\\s*['\"]([^'\"]+)['\"]\\s*\\)".r
-  // numbers / numbers_mt accept integer or scientific-notation counts (the
-  // reference README uses numbers_mt(1e10)); system.numbers is the unbounded
-  // generator capped here at 2^33 rows — LIMIT pushdown stops generation
-  private val numbersFn =
-    ("(?i)\\bnumbers(?:_mt)?\\(\\s*([0-9]+(?:\\.[0-9]+)?(?:[eE][0-9]+)?" +
-      "|\\{\\s*\\w+\\s*:\\s*[\\w()]+\\s*\\})\\s*\\)").r
+  // All call forms resolve through ONE quote/comment-aware scanner
+  // ([[rewriteCallSites]], r12) — a fn name inside a string literal or
+  // comment is never rewritten, and args parse with full quoting rules.
+  // numbers/numbers_mt accept integer or scientific-notation counts (the
+  // reference README uses numbers_mt(1e10)); system.numbers is the
+  // unbounded generator capped at 2^33 rows — LIMIT pushdown stops
+  // generation.
   private val systemNumbers = "(?i)\\bsystem\\.numbers\\b".r
-  private val generateRandomFn =
-    "(?i)\\bgenerateRandom\\(\\s*'([^']+)'\\s*(?:,\\s*(\\d+)\\s*)?(?:,\\s*(\\d+)\\s*)?\\)".r
 
   /** CH type name → Sources.generateRandom column kind. */
   private def randKind(t: String): String = t.toLowerCase match {
@@ -238,16 +229,24 @@ final class GraftSession(val spark: SparkSession) {
         .replace("\\" + q, q).replace(q + q, q)
     } else s
 
-  /** Rewrite pipeline table-function calls by SCANNING, not regex: string
+  private val sourceHeads = Set("file", "url", "deltalake", "delta_lake",
+    "iceberg", "hudi", "numbers", "numbers_mt", "generaterandom")
+
+  /** Rewrite ALL table-function call sites by SCANNING, not regex: string
     * literals, back-quoted identifiers and comments are copied verbatim
     * (a fn name inside a literal is never rewritten), the argument span is
     * the full balanced-paren extent, and nested pipeline calls in argument
     * position are resolved inner-first — so
-    * `token_count(dedup_exact(t, 'k', 'id'), 'text')` composes. Replaces
-    * the r11 `\bfn\(([^()]*)\)` regex, which split quoted commas in half
-    * and could not see nested calls at all.
+    * `token_count(dedup_exact(t, 'k', 'id'), 'text')` composes. A call
+    * whose SHAPE doesn't match the table-function grammar (e.g. `file(x)`
+    * with an unquoted first arg) is left verbatim for Spark to resolve,
+    * exactly like the r11 regexes' non-matches — but its argument span
+    * still gets scanned, so rewritable calls nested inside arbitrary
+    * expressions are found. Replaces the r11 per-function regex passes,
+    * which split quoted commas in half, rewrote inside literals, and could
+    * not see nested calls.
     */
-  private def rewritePipelineFns(q: String): String = {
+  private def rewriteCallSites(q: String): String = {
     val sb = new StringBuilder
     val n = q.length
     var i = 0
@@ -267,19 +266,61 @@ final class GraftSession(val spark: SparkSession) {
         var e = i + 1
         while (e < n && Character.isJavaIdentifierPart(q.charAt(e))) e += 1
         val word = q.substring(i, e)
+        val lw = word.toLowerCase
         val qualified = i > 0 && q.charAt(i - 1) == '.'
         var p = e
         while (p < n && Character.isWhitespace(q.charAt(p))) p += 1
-        if (!qualified && pipelineFnSet.contains(word.toLowerCase) &&
-            p < n && q.charAt(p) == '(') {
+        val isHead = !qualified && p < n && q.charAt(p) == '(' &&
+          (pipelineFnSet.contains(lw) || sourceHeads.contains(lw))
+        val replaced = if (isHead) {
           val close = matchingParen(q, p)
-          val inner = rewritePipelineFns(q.substring(p + 1, close))
-          sb.append(pipelineView(word, inner))
-          i = close + 1
-        } else { sb.append(word); i = e }
+          rewriteCall(word, lw, q.substring(p + 1, close)).map { repl =>
+            sb.append(repl); i = close + 1
+          }.isDefined
+        } else false
+        if (!replaced) { sb.append(word); i = e }
       } else { sb.append(c); i += 1 }
     }
     sb.toString
+  }
+
+  /** One call site → its replacement text, or None when the argument shape
+    * doesn't match the table-function grammar (leave the call to Spark).
+    */
+  private def rewriteCall(word: String, lw: String, raw: String): Option[String] = {
+    def quotedTok(s: String): Boolean =
+      s.length >= 2 && (s.head == '\'' || s.head == '"') && s.last == s.head
+    val args = splitArgs(raw)
+    lw match {
+      case fn if pipelineFnSet.contains(fn) =>
+        Some(pipelineView(word, rewriteCallSites(raw)))
+      case "file" | "url" if args.nonEmpty && args.length <= 2 && quotedTok(args.head) =>
+        Some(registerSource(lw, unquote(args.head),
+          chFormat(args.lift(1).map(unquote).getOrElse(""))))
+      case "deltalake" | "delta_lake" if args.length == 1 && quotedTok(args.head) =>
+        Some(registerSource("deltalake", unquote(args.head), ""))
+      case "iceberg" | "hudi" if args.length == 1 && quotedTok(args.head) =>
+        Some(registerSource(lw, unquote(args.head), ""))
+      case "numbers" | "numbers_mt" if args.length == 1 &&
+          (args.head.matches("[0-9]+(\\.[0-9]+)?([eE][0-9]+)?") ||
+            args.head.matches("\\{\\s*\\w+\\s*:\\s*[\\w()]+\\s*\\}")) =>
+        // number is INT when the count provably fits (keeps CH-style
+        // date + number arithmetic working under Spark's stricter typing),
+        // BIGINT for large literals
+        val arg = args.head
+        val (count, cast) =
+          if (arg.startsWith("{")) (arg, "INT") // placeholder: small-N use
+          else {
+            val cnt = arg.toDouble.toLong
+            (cnt.toString, if (cnt <= Int.MaxValue) "INT" else "BIGINT")
+          }
+        Some(s"(SELECT CAST(id AS $cast) AS number FROM range($count))")
+      case "generaterandom" if args.nonEmpty && quotedTok(args.head) &&
+          args.tail.forall(_.matches("\\d+")) =>
+        Some(registerGenerateRandom(unquote(args.head),
+          args.lift(1).map(_.toLong).getOrElse(42L)))
+      case _ => None
+    }
   }
 
   private def pipelineView(fn: String, rawArgs: String): String = {
@@ -380,34 +421,9 @@ final class GraftSession(val spark: SparkSession) {
     name
   }
 
-  private def rewriteTableFns(q: String): String = {
-    val afterFile = fileFn.replaceAllIn(q, m =>
-      registerSource("file", m.group(1), chFormat(m.group(2))))
-    val afterUrl = urlFn.replaceAllIn(afterFile, m =>
-      registerSource("url", m.group(1), chFormat(m.group(2))))
-    val afterLake0 = lakehouseFn.replaceAllIn(afterUrl, m =>
-      registerSource(
-        m.group(1).toLowerCase.replace("_", ""), m.group(2), ""))
-    val afterLake = rewritePipelineFns(afterLake0)
-    val afterRand = generateRandomFn.replaceAllIn(afterLake, m =>
-      registerGenerateRandom(m.group(1),
-        Option(m.group(2)).map(_.toLong).getOrElse(42L)))
-    val afterNumbers = numbersFn.replaceAllIn(afterRand, m => {
-      val arg = m.group(1)
-      // number is INT when the count provably fits (keeps CH-style
-      // date + number arithmetic working under Spark's stricter typing),
-      // BIGINT for large literals
-      val (count, cast) =
-        if (arg.startsWith("{")) (arg, "INT") // placeholder: small-N use
-        else {
-          val n = arg.toDouble.toLong
-          (n.toString, if (n <= Int.MaxValue) "INT" else "BIGINT")
-        }
-      s"(SELECT CAST(id AS $cast) AS number FROM range($count))"
-    })
-    systemNumbers.replaceAllIn(afterNumbers,
+  private def rewriteTableFns(q: String): String =
+    systemNumbers.replaceAllIn(rewriteCallSites(q),
       "(SELECT id AS number FROM range(8589934592))")
-  }
 
   private val dateDiffQuotedUnit =
     "(?i)\\b(?:datediff|date_diff|timestampdiff)\\s*\\(\\s*(')".r

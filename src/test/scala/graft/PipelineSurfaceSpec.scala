@@ -222,6 +222,15 @@ class PipelineSurfaceSpec extends SparkTestBase {
       "-- curate(__psurf_lit, 'text', 'doc_id')\nSELECT COUNT(*) AS n FROM __psurf_lit")
       .head().getLong(0)
     assert(commented == 5)
+    // the source table functions route through the same scanner: a file()
+    // call inside a string literal is data, not a scan (the r11 regex
+    // rewrote it into a view name mid-literal)
+    val litFile = gs.sql(
+      "SELECT 'file(''x.parquet'', Parquet)' AS s FROM __psurf_lit LIMIT 1")
+      .head().getString(0)
+    assert(litFile == "file('x.parquet', Parquet)")
+    // shape mismatch stays with Spark: `hudi` as a plain column fn call
+    intercept[Exception] { gs.sql("SELECT hudi(doc_id) FROM __psurf_lit") }
   }
 
   test("sql: arity and type violations fail with the signature (r12)") {
