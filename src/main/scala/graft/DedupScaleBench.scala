@@ -231,6 +231,20 @@ object DedupScaleBench {
           .count()
         (-1L, out)
       }
+      measure("hot_fraction_direct", f, nDocs) {
+        // keep-top-2% quality cut — the aggressive-percentile shape where
+        // the rank-safe quantile prefilter matters most
+        val out = graft.operators.Curation
+          .topFractionPerGroup(skewed, "host", "doc_id", 0.02,
+            col("n_chars").desc).count()
+        (-1L, out)
+      }
+      measure("hot_fraction_prefiltered", f, nDocs) {
+        val out = graft.operators.Curation
+          .topFractionPerGroupPrefiltered(skewed, "host", "doc_id", 0.02,
+            col("n_chars").desc).count()
+        (-1L, out)
+      }
       measure("hot_budget_direct", f, nDocs) {
         val w = org.apache.spark.sql.expressions.Window.partitionBy(col("host"))
           .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))

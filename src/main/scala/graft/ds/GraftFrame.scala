@@ -350,6 +350,16 @@ final case class GraftFrame(df: DataFrame) {
       order: org.apache.spark.sql.Column): GraftFrame =
     GraftFrame(Curation.topFractionPerGroup(df, groupCol, idCol, fraction, order))
 
+  /** [[topFractionPerGroup]] with the rank-safe approximate-quantile
+    * prefilter — identical rows, hot-group reducer shrunk to
+    * ~(fraction+eps)·n (numeric order keys).
+    */
+  def topFractionPerGroupPrefiltered(groupCol: String, idCol: String,
+      fraction: Double, order: org.apache.spark.sql.Column,
+      eps: Double = 0.02): GraftFrame =
+    GraftFrame(Curation.topFractionPerGroupPrefiltered(
+      df, groupCol, idCol, fraction, order, eps))
+
   /** Token-budget cap per group, hash-ordered draw (q147 shape). */
   def tokenBudgetPerGroup(groupCol: String, idCol: String, tokenCol: String,
       budget: Long): GraftFrame =

@@ -312,6 +312,69 @@ object Curation {
       .filter(col("__cd") <= fraction).drop("__cd")
   }
 
+  /** [[topFractionPerGroup]] with a rank-safe approximate-quantile
+    * PREFILTER (r12) — the hot-group mitigation for percentile cuts.
+    * Fraction cuts can't pre-aggregate the way top-k composes (a fraction
+    * of an unknown group size licenses no local drop), but a VALUE
+    * threshold does: rows whose order key is past the group's
+    * `(fraction + eps)`-quantile can never be in the kept fraction, and
+    * `percentile_approx` at accuracy `ceil(2/eps)` bounds the sketch's
+    * rank error below `eps·n/2`, so no true keeper is ever prefiltered
+    * (null keys, NaN keys, and groups whose sketch is empty are always
+    * kept — the prefilter only ever passes a SUPERSET). The exact cut
+    * then runs over the ~`(fraction + eps)·n` survivors, ranking against
+    * the ORIGINAL group size, so the output is row-identical to
+    * [[topFractionPerGroup]] (spec-locked on skewed/tied/null/NaN
+    * fixtures, both directions). Two extra narrow passes (per-group
+    * count+quantile agg, then a keyed join of that group-sized table);
+    * the group window's reducer shrinks from `n` to `~(fraction + eps)·n`
+    * rows — the win is exactly where the cut is aggressive (keep-top-2%
+    * quality filtering of a 10^8-page domain).
+    *
+    * Descending order with null keys degrades that group to unfiltered
+    * (nulls rank WORST under desc, so the non-null quantile under-counts
+    * the digging depth — the per-group escape keeps correctness; asc is
+    * proven safe with nulls ranked first). Requires a numeric order key
+    * (the quantile sketch's domain).
+    */
+  def topFractionPerGroupPrefiltered(
+      df: DataFrame, groupCol: String, idCol: String,
+      fraction: Double, order: Column, eps: Double = 0.02): DataFrame = {
+    require(fraction > 0 && fraction <= 1, s"fraction in (0, 1]: $fraction")
+    require(eps > 0, s"eps must be positive: $eps")
+    if (fraction + eps >= 1.0) return topFractionPerGroup(df, groupCol, idCol, fraction, order)
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val (key, desc) = ColumnBridge.expression(order) match {
+      case SortOrder(child, Descending, _, _) => (ColumnBridge.column(child), true)
+      case SortOrder(child, Ascending, _, _) => (ColumnBridge.column(child), false)
+      case e => (ColumnBridge.column(e), false)
+    }
+    val q = if (desc) 1.0 - (fraction + eps) else fraction + eps
+    val accuracy = math.max(100, math.ceil(2.0 / eps).toInt)
+    val k = key.cast("double")
+    val stats = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("__n"),
+      percentile_approx(when(!isnan(k), k), lit(q), lit(accuracy)).as("__tau"),
+      (max(k.isNull.cast("int")) === 1).as("__hasnull"))
+    val keep =
+      if (desc)
+        // desc + nulls: nulls sort last, so the non-null quantile would
+        // under-estimate how deep the kept fraction digs — escape the group
+        k.isNull || isnan(k) || col("__tau").isNull || col("__hasnull") ||
+          k >= col("__tau")
+      else k.isNull || isnan(k) || col("__tau").isNull || k <= col("__tau")
+    val survivors = df.join(stats, Seq(groupCol)).filter(keep)
+    val w = Window.partitionBy(col(groupCol)).orderBy(order, col(idCol))
+    // every row ranked better than a survivor also survives (its key is on
+    // the kept side of tau), so row_number over survivors == the global
+    // rank — and rn/n over the ORIGINAL count is cume_dist's exact
+    // arithmetic (double division), bit-matching the direct form's cut
+    survivors.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn").cast("double") / col("__n").cast("double") <= fraction)
+      .drop("__rn", "__n", "__tau", "__hasnull")
+  }
+
   /** TOKEN-BUDGET cap per group — the budgeted-mixture step ("at most N
     * tokens of each source in the training set"): rows of each `groupCol`
     * value are taken in deterministic md5-id-hash order (an unbiased

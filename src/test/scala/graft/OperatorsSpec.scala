@@ -978,6 +978,41 @@ class DedupClusterSpec extends SparkTestBase {
     assert(tight == directTight)
   }
 
+  test("topFractionPerGroupPrefiltered ≡ direct: skew, ties, nulls, NaN, both directions (r12)") {
+    val rnd = new scala.util.Random(47)
+    val rows = (1L to 5000L).map { i =>
+      val g = if (i <= 4500) "hot" else s"g${i % 5}"
+      // heavy ties (11 distinct values), planted NaNs everywhere; nulls
+      // only in the small groups, so the hot group's desc prefilter stays
+      // ACTIVE (desc + nulls escapes the group by design)
+      val q: java.lang.Double =
+        if (i % 97 == 0 && i > 4500) null
+        else if (i % 131 == 0) Double.NaN
+        else rnd.nextInt(11).toDouble
+      (i, g, q)
+    }
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2, r._3)), 9),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("quality",
+          org.apache.spark.sql.types.DoubleType, nullable = true))))
+    for (f <- Seq(0.02, 0.3, 0.97); ord <- Seq(col("quality").desc, col("quality").asc_nulls_first)) {
+      val direct = graft.operators.Curation
+        .topFractionPerGroup(docs, "source", "doc_id", f, ord)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val pre = graft.operators.Curation
+        .topFractionPerGroupPrefiltered(docs, "source", "doc_id", f, ord)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(pre == direct, s"fraction=$f order=$ord")
+      assert(direct.nonEmpty)
+    }
+  }
+
   test("decontaminate: planted eval overlap flagged, clean docs pass, threshold honored") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
       .toDF("doc_id", "text")
