@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -12,8 +11,15 @@ import org.apache.spark.sql.types._
   * while-loop over the arrays. Accumulation order is the same sequential
   * left-to-right fold, so results are bit-identical to both the HOF form and
   * DuckDB's list_sum oracle.
+  *
+  * Codegen (r12): real `doGenCode` via the [[NearestCells]] pattern — the
+  * generated code calls [[compute]] directly on the children's evaluated
+  * ArrayData (`addReferenceObj` handle, primitive double return), so the
+  * pair-dense paths (semDedup / embeddingNearDup / ANN scoring evaluate one
+  * of these per CANDIDATE PAIR) skip the CodegenFallback toll of
+  * materializing an InternalRow per row + interpreted dispatch.
   */
-abstract class VectorKernel extends BinaryExpression with CodegenFallback {
+abstract class VectorKernel extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
   @inline protected final def get(d: ArrayData, et: DataType, i: Int): Double = et match {
@@ -29,14 +35,26 @@ abstract class VectorKernel extends BinaryExpression with CodegenFallback {
   protected final def elemTypes: (DataType, DataType) = (
     left.dataType.asInstanceOf[ArrayType].elementType,
     right.dataType.asInstanceOf[ArrayType].elementType)
+
+  /** The kernel — shared verbatim by interpreted eval and generated code. */
+  def compute(va: ArrayData, vb: ArrayData): Double
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("vectorKernel", this, classOf[VectorKernel].getName)
+    nullSafeCodeGen(ctx, ev, (l, r) => s"${ev.value} = $ref.compute($l, $r);")
+  }
 }
 
 /** cosine(a, b) = Σaᵢbᵢ / (√Σaᵢ² · √Σbᵢ²), one pass. */
 case class CosineSim(left: Expression, right: Expression) extends VectorKernel {
-  override def nullSafeEval(a: Any, b: Any): Any = {
+  override def compute(va: ArrayData, vb: ArrayData): Double = {
     val (ta, tb) = elemTypes
-    val va = a.asInstanceOf[ArrayData]
-    val vb = b.asInstanceOf[ArrayData]
     val n = math.min(va.numElements(), vb.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -53,10 +71,8 @@ case class CosineSim(left: Expression, right: Expression) extends VectorKernel {
 
 /** Σ aᵢ·bᵢ. */
 case class DotProd(left: Expression, right: Expression) extends VectorKernel {
-  override def nullSafeEval(a: Any, b: Any): Any = {
+  override def compute(va: ArrayData, vb: ArrayData): Double = {
     val (ta, tb) = elemTypes
-    val va = a.asInstanceOf[ArrayData]
-    val vb = b.asInstanceOf[ArrayData]
     val n = math.min(va.numElements(), vb.numElements())
     var dot = 0.0
     var i = 0
@@ -78,7 +94,7 @@ case class DotProd(left: Expression, right: Expression) extends VectorKernel {
   * mask an upstream quantization bug.
   */
 case class Int8Cosine(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
@@ -90,11 +106,10 @@ case class Int8Cosine(left: Expression, right: Expression)
     case other => throw new IllegalArgumentException(s"non-integer code element: $other")
   }
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
+  /** null = zero-norm or mismatched lengths (the zip_with null contract). */
+  def compute(va: ArrayData, vb: ArrayData): java.lang.Double = {
     val ta = left.dataType.asInstanceOf[ArrayType].elementType
     val tb = right.dataType.asInstanceOf[ArrayType].elementType
-    val va = a.asInstanceOf[ArrayData]
-    val vb = b.asInstanceOf[ArrayData]
     val n = va.numElements()
     if (n != vb.numElements()) return null
     var ab = 0L; var aa = 0L; var bb = 0L
@@ -108,6 +123,22 @@ case class Int8Cosine(left: Expression, right: Expression)
     val nb = math.sqrt(bb.toDouble)
     if (na > 0 && nb > 0) ab.toDouble / (na * nb) else null
   }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("int8cos", this, classOf[Int8Cosine].getName)
+    val tmp = ctx.freshName("int8cosRes")
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"""java.lang.Double $tmp = $ref.compute($l, $r);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }""".stripMargin)
+  }
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Int8Cosine =
     copy(left = l, right = r)
 }
@@ -130,7 +161,7 @@ case class Int8Cosine(left: Expression, right: Expression)
   * raw, bit-matching the `round(x/scale).cast(tinyint)` plan.
   */
 case class Int8Quantize(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("scale", DoubleType, nullable = false),
@@ -146,13 +177,37 @@ case class Int8Quantize(child: Expression)
     case other => throw new IllegalArgumentException(s"non-numeric vector element: $other")
   }
 
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    computeRow(child.eval(input).asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val ref = ctx.addReferenceObj("int8quant", this, classOf[Int8Quantize].getName)
+    val c = child.genCode(ctx)
+    val rowCls = "org.apache.spark.sql.catalyst.InternalRow"
+    val adCls = "org.apache.spark.sql.catalyst.util.ArrayData"
+    // a NULL vector yields struct(1.0, null), not a null struct — the
+    // expression is non-nullable, so the child's null flows INTO computeRow
+    ev.copy(
+      code = code"""
+        ${c.code}
+        $rowCls ${ev.value} = ($rowCls) $ref.computeRow(
+          ${c.isNull} ? null : ($adCls) ${c.value});""",
+      isNull = FalseLiteral)
+  }
+
+  /** The kernel — shared by interpreted eval and generated code; accepts
+    * null (the struct(1.0, null) contract).
+    */
+  def computeRow(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    if (arr == null)
       return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](1.0, null))
     val et = child.dataType.asInstanceOf[ArrayType].elementType
-    val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
     var mx = 0.0
     var sawNaN = false
@@ -277,10 +332,8 @@ case class NearestCells(child: Expression, cells: Seq[Int],
 
 /** √Σ(aᵢ−bᵢ)². */
 case class L2Dist(left: Expression, right: Expression) extends VectorKernel {
-  override def nullSafeEval(a: Any, b: Any): Any = {
+  override def compute(va: ArrayData, vb: ArrayData): Double = {
     val (ta, tb) = elemTypes
-    val va = a.asInstanceOf[ArrayData]
-    val vb = b.asInstanceOf[ArrayData]
     val n = math.min(va.numElements(), vb.numElements())
     var s = 0.0
     var i = 0

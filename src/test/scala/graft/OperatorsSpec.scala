@@ -383,6 +383,57 @@ class SimilaritySpec extends SparkTestBase {
     assert(plan.contains("*("), s"assignment projection left codegen:\n$plan")
   }
 
+  test("vector kernels doGenCode: generated ≡ interpreted incl. null contracts (r12)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType}
+    import graft.functions.{CosineSim, DotProd, Int8Cosine, Int8Quantize, L2Dist}
+    val a = BoundReference(0, ArrayType(DoubleType), nullable = true)
+    val b = BoundReference(1, ArrayType(DoubleType), nullable = true)
+    val exprs = Seq(CosineSim(a, b), DotProd(a, b), L2Dist(a, b))
+    val proj = GenerateUnsafeProjection.generate(exprs) // throws if codegen broken
+    val rnd = new scala.util.Random(17)
+    (0 until 30).foreach { _ =>
+      val row = InternalRow(
+        ArrayData.toArrayData(Array.fill(8)(rnd.nextDouble() * 2 - 1)),
+        ArrayData.toArrayData(Array.fill(8)(rnd.nextDouble() * 2 - 1)))
+      val out = proj(row)
+      exprs.zipWithIndex.foreach { case (e, i) =>
+        assert(out.getDouble(i) == e.eval(row).asInstanceOf[Double], e)
+      }
+    }
+    // Int8Cosine: nullable return through generated code (zero norm,
+    // mismatched lengths) must match interpreted
+    val qa = BoundReference(0, ArrayType(ByteType), nullable = true)
+    val qb = BoundReference(1, ArrayType(ByteType), nullable = true)
+    val cosQ = Int8Cosine(qa, qb)
+    val projQ = GenerateUnsafeProjection.generate(Seq(cosQ))
+    val cases = Seq(
+      (Array[Byte](1, 2, 3), Array[Byte](3, 2, 1)),
+      (Array[Byte](1, 2, 3), Array[Byte](1, 2)), // mismatch → null
+      (Array[Byte](0, 0), Array[Byte](1, 1))) // zero norm → null
+    cases.foreach { case (x, y) =>
+      val row = InternalRow(ArrayData.toArrayData(x), ArrayData.toArrayData(y))
+      val gen = projQ(row)
+      val interp = cosQ.eval(row)
+      if (interp == null) assert(gen.isNullAt(0), x.toSeq)
+      else assert(gen.getDouble(0) == interp.asInstanceOf[Double], x.toSeq)
+    }
+    // Int8Quantize: struct result + the struct(1.0, null) null-input contract
+    val quant = Int8Quantize(a)
+    val projS = GenerateUnsafeProjection.generate(Seq(quant))
+    val vRow = InternalRow(ArrayData.toArrayData(Array(1.0, -2.0, 0.5)), null)
+    val gs = projS(vRow).getStruct(0, 2)
+    val is = quant.eval(vRow).asInstanceOf[InternalRow]
+    assert(gs.getDouble(0) == is.getDouble(0))
+    assert(gs.getArray(1).toByteArray.toSeq == is.getArray(1).toByteArray.toSeq)
+    val nullRow = InternalRow(null, null)
+    val gn = projS(nullRow).getStruct(0, 2)
+    assert(gn.getDouble(0) == 1.0 && gn.isNullAt(1))
+  }
+
   test("auto-kCells: default derives ceil(√n) bounded at 16, explicit overrides (r12)") {
     // 80 vectors → √80 ≈ 9 → floor of 16; the O(Σ cell²) guarantee no
     // longer depends on the caller passing the paper's tuning
