@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Predicate, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -400,12 +400,21 @@ case class QualityGate(child: Expression, languages: Seq[String],
   * results are deterministic across the cluster.
   */
 case class SimHash(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString.toLowerCase
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash", this, classOf[SimHash].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  /** The kernel — shared by interpreted eval and generated code (r12). */
+  def compute(input: UTF8String): Long = {
+    val text = input.toString.toLowerCase
     val weights = new Array[Long](64)
     var start = 0
     val n = text.length
@@ -440,14 +449,23 @@ case class SimHash(child: Expression)
   * first-pass dedup key at scale.
   */
 case class TextFingerprint(child: Expression, windowExpr: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def left: Expression = child
   override def right: Expression = windowExpr
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(input: Any, winAny: Any): Any = {
-    val raw = input.asInstanceOf[UTF8String].toString.toLowerCase
+  override def nullSafeEval(input: Any, winAny: Any): Any =
+    compute(input.asInstanceOf[UTF8String], winAny.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("textFp", this, classOf[TextFingerprint].getName)
+    nullSafeCodeGen(ctx, ev, (l, r) => s"${ev.value} = $ref.compute($l, $r);")
+  }
+
+  /** The kernel — shared by interpreted eval and generated code (r12). */
+  def compute(input: UTF8String, w0: Int): Long = {
+    val raw = input.toString.toLowerCase
     // normalize: collapse non-alphanumerics
     val sb = new java.lang.StringBuilder(raw.length)
     var i = 0
@@ -459,7 +477,7 @@ case class TextFingerprint(child: Expression, windowExpr: Expression)
       i += 1
     }
     val s = sb.toString
-    val w = winAny.asInstanceOf[Int]
+    val w = w0
     if (s.length <= w) return Mix64.hash(s, 0, s.length)
     val B = 1000000007L
     var pow = 1L
@@ -487,13 +505,20 @@ case class TextFingerprint(child: Expression, windowExpr: Expression)
   * a direct wrap of java.text.Normalizer; was a silent no-op before r6.
   */
 case class NormalizeUtf8(child: Expression, form: java.text.Normalizer.Form)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = StringType
 
+  def compute(input: UTF8String): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(input.toString, form))
+
   override def nullSafeEval(input: Any): Any =
-    UTF8String.fromString(java.text.Normalizer.normalize(
-      input.asInstanceOf[UTF8String].toString, form))
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("normUtf8", this, classOf[NormalizeUtf8].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
 
   override protected def withNewChildInternal(c: Expression): NormalizeUtf8 = copy(child = c)
 }
@@ -505,12 +530,20 @@ case class NormalizeUtf8(child: Expression, form: java.text.Normalizer.Form)
   * option).
   */
 case class PorterStem(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = StringType
 
+  def compute(input: UTF8String): UTF8String =
+    UTF8String.fromString(Porter.stem(input.toString))
+
   override def nullSafeEval(input: Any): Any =
-    UTF8String.fromString(Porter.stem(input.asInstanceOf[UTF8String].toString))
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("porter", this, classOf[PorterStem].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
 
   override protected def withNewChildInternal(c: Expression): PorterStem = copy(child = c)
 }

@@ -434,6 +434,36 @@ class SimilaritySpec extends SparkTestBase {
     assert(gn.getDouble(0) == 1.0 && gn.isNullAt(1))
   }
 
+  test("text kernels doGenCode: generated ≡ interpreted (SimHash/fingerprint/normalize/stem) (r12)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.{NormalizeUtf8, PorterStem, SimHash, TextFingerprint}
+    val t = BoundReference(0, StringType, nullable = true)
+    val exprs = Seq(
+      SimHash(t), TextFingerprint(t, Literal(8, IntegerType)),
+      NormalizeUtf8(t, java.text.Normalizer.Form.NFC), PorterStem(t))
+    val proj = GenerateUnsafeProjection.generate(exprs) // throws if codegen broken
+    val samples = Seq(
+      "The quick brown fox jumps over the lazy dog",
+      "running runner ran easily connectedness", "", "héllo wörld – café",
+      "a b", "ABBA abba ABBA abba 123 123")
+    samples.foreach { s0 =>
+      val row = InternalRow(UTF8String.fromString(s0))
+      val out = proj(row)
+      exprs.zipWithIndex.foreach { case (e, i) =>
+        val interp = e.eval(row)
+        val gen: Any = e.dataType match {
+          case StringType => out.getUTF8String(i)
+          case _ => out.getLong(i)
+        }
+        assert(gen == interp, s"${e.getClass.getSimpleName} on '$s0'")
+      }
+    }
+  }
+
   test("auto-kCells: default derives ceil(√n) bounded at 16, explicit overrides (r12)") {
     // 80 vectors → √80 ≈ 9 → floor of 16; the O(Σ cell²) guarantee no
     // longer depends on the caller passing the paper's tuning
