@@ -467,14 +467,14 @@ final class GraftSession(val spark: SparkSession) {
       case "JSONEACHROW" | "NDJSON" =>
         val rows = df.toJSON.collect()
         if (rows.isEmpty) "" else rows.mkString("", "\n", "\n")
-      case "PRETTY" =>
-        // show() prints; render via the same separated path with a header
-        renderSeparated(df, " | ", header = true)
+      case "PRETTY" | "PRETTYCOMPACT" => renderPretty(df)
+      case "JSON" => renderJson(df, compact = false)
+      case "JSONCOMPACT" => renderJson(df, compact = true)
       case "ARROW" | "ARROWSTREAM" | "PARQUET" => throw new IllegalArgumentException(
         s"'$format' is a BYTES format — use queryAsBytes(sql, \"$format\")")
       case other => throw new IllegalArgumentException(
         s"unsupported output format '$other' (CSV, CSVWithNames, TSV, " +
-          "JSONEachRow, Pretty; Arrow/Parquet via queryAsBytes)")
+          "JSONEachRow, JSON, JSONCompact, Pretty; Arrow/Parquet via queryAsBytes)")
     }
   }
 
@@ -519,6 +519,107 @@ final class GraftSession(val spark: SparkSession) {
   def queryWithMetrics(query: String)
       : (Array[org.apache.spark.sql.Row], graft.ds.GraftFrame.QueryMetrics) =
     graft.ds.GraftFrame(sql(query)).collectWithMetrics()
+
+  /** ClickHouse Pretty: box-drawing table, names embedded in the top
+    * border, numbers right-aligned, NULL as ᴺᵁᴸᴸ — the reference README's
+    * flagship interactive format (`chdb.query(sql, "Pretty")`).
+    */
+  private def renderPretty(df: DataFrame): String = {
+    val cols = df.columns
+    val numeric = df.schema.fields.map(
+      _.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    val cells = df.collect().map(r => cols.indices.map { i =>
+      val v = r.get(i); if (v == null) "ᴺᵁᴸᴸ" else v.toString
+    })
+    val widths = cols.indices.map { i =>
+      (cols(i).length +: cells.map(_(i).length).toSeq).max
+    }
+    val sb = new StringBuilder
+    sb.append(cols.indices.map { i =>
+      "─" + cols(i) + ("─" * (widths(i) - cols(i).length + 1))
+    }.mkString("┌", "┬", "┐")).append('\n')
+    cells.foreach { r =>
+      sb.append(cols.indices.map { i =>
+        val pad = widths(i) - r(i).length
+        if (numeric(i)) (" " * (pad + 1)) + r(i) + " "
+        else " " + r(i) + (" " * (pad + 1))
+      }.mkString("│", "│", "│")).append('\n')
+    }
+    sb.append(cols.indices.map(i => "─" * (widths(i) + 2))
+      .mkString("└", "┴", "┘")).append('\n')
+    sb.toString
+  }
+
+  /** ClickHouse JSON / JSONCompact object formats: {"meta": [{name, type}],
+    * "data": [...], "rows": N} with CH type names in meta and — matching
+    * CH's default `output_format_json_quote_64bit_integers=1` — 64-bit
+    * integers quoted as strings in data.
+    */
+  private def renderJson(df: DataFrame, compact: Boolean): String = {
+    import org.apache.spark.sql.types._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def chType(dt: DataType): String = dt match {
+      case LongType => "Int64"
+      case IntegerType => "Int32"
+      case ShortType => "Int16"
+      case ByteType => "Int8"
+      case DoubleType => "Float64"
+      case FloatType => "Float32"
+      case StringType => "String"
+      case BooleanType => "Bool"
+      case DateType => "Date"
+      case _: TimestampType => "DateTime64(6)"
+      case d: DecimalType => s"Decimal(${d.precision}, ${d.scale})"
+      case ArrayType(e, _) => s"Array(${chType(e)})"
+      case other => other.simpleString
+    }
+    val root = mapper.createObjectNode()
+    val meta = root.putArray("meta")
+    df.schema.fields.foreach { f =>
+      val m = meta.addObject(); m.put("name", f.name); m.put("type", chType(f.dataType))
+    }
+    def putValue(target: com.fasterxml.jackson.databind.node.ObjectNode,
+        arr: com.fasterxml.jackson.databind.node.ArrayNode,
+        name: String, dt: DataType, v: Any): Unit = {
+      def set(n: com.fasterxml.jackson.databind.JsonNode): Unit =
+        if (target != null) target.set(name, n) else { arr.add(n); () }
+      val nf = mapper.getNodeFactory
+      (v, dt) match {
+        case (null, _) => set(nf.nullNode())
+        case (x: Long, _) => set(nf.textNode(x.toString)) // CH quotes Int64
+        case (x: Int, _) => set(nf.numberNode(x))
+        case (x: Short, _) => set(nf.numberNode(x))
+        case (x: Byte, _) => set(nf.numberNode(x))
+        case (x: Double, _) => set(nf.numberNode(x))
+        case (x: Float, _) => set(nf.numberNode(x))
+        case (x: Boolean, _) => set(nf.booleanNode(x))
+        case (x: java.sql.Timestamp, _) =>
+          set(nf.textNode(x.toInstant.atZone(java.time.ZoneOffset.UTC)
+            .format(java.time.format.DateTimeFormatter
+              .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))))
+        case (x: scala.collection.Seq[_], ArrayType(et, _)) =>
+          val sub = nf.arrayNode()
+          x.foreach(e => putValue(null, sub, null, et, e))
+          set(sub)
+        case (x, _) => set(nf.textNode(x.toString))
+      }
+    }
+    val data = root.putArray("data")
+    val rows = df.collect()
+    rows.foreach { r =>
+      if (compact) {
+        val a = data.addArray()
+        df.schema.fields.zipWithIndex.foreach { case (f, i) =>
+          putValue(null, a, null, f.dataType, r.get(i)) }
+      } else {
+        val o = data.addObject()
+        df.schema.fields.zipWithIndex.foreach { case (f, i) =>
+          putValue(o, null, f.name, f.dataType, r.get(i)) }
+      }
+    }
+    root.put("rows", rows.length)
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root) + "\n"
+  }
 
   private def renderSeparated(df: DataFrame, sep: String, header: Boolean): String = {
     val sb = new StringBuilder

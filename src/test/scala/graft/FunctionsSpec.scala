@@ -219,6 +219,34 @@ class QueryFormatSpec extends SparkTestBase {
     assert(rows.head.getLong(0) > 0 && m.rowsReturned == 1)
   }
 
+  test("Pretty renders the ClickHouse box table (r12)") {
+    val out = g.queryAs("SELECT 1 AS n, 'abc' AS s", "Pretty")
+    assert(out ==
+      "┌─n─┬─s───┐\n" +
+      "│ 1 │ abc │\n" +
+      "└───┴─────┘\n", out)
+    val withNull = g.queryAs("SELECT CAST(NULL AS INT) AS a", "Pretty")
+    assert(withNull.contains("ᴺᵁᴸᴸ"), withNull)
+  }
+
+  test("JSON / JSONCompact object formats: meta + data + rows (r12)") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val j = mapper.readTree(g.queryAs(
+      "SELECT 1 AS a, CAST(7 AS BIGINT) AS b, 'x' AS s UNION ALL SELECT 2, 8, 'y' ORDER BY a",
+      "JSON"))
+    assert(j.get("rows").asInt == 2)
+    assert(j.get("meta").get(0).get("name").asText == "a")
+    assert(j.get("meta").get(0).get("type").asText == "Int32")
+    assert(j.get("meta").get(1).get("type").asText == "Int64")
+    assert(j.get("data").get(0).get("a").asInt == 1)
+    // CH default output_format_json_quote_64bit_integers: Int64 as string
+    assert(j.get("data").get(0).get("b").isTextual
+      && j.get("data").get(0).get("b").asText == "7")
+    assert(j.get("data").get(1).get("s").asText == "y")
+    val c = mapper.readTree(g.queryAs("SELECT 1 AS a, 'x' AS s", "JSONCompact"))
+    assert(c.get("data").get(0).isArray && c.get("data").get(0).get(1).asText == "x")
+  }
+
   test("unknown format raises a capability error; bytes formats point to queryAsBytes") {
     val e = intercept[IllegalArgumentException] { g.queryAs("SELECT 1", "Arrow") }
     assert(e.getMessage.contains("queryAsBytes"))
