@@ -115,6 +115,52 @@ class MatViewSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming maintenance survives restart on the same checkpoint (r12)") {
+    val base = tmp("mv_stream4_base_")
+    val view = tmp("mv_stream4_view_") + "/state"
+    val ckpt = tmp("mv_ckpt4_")
+    val v0 = DeltaNative.write(batch1, base)
+    DeltaNative.write(IncrementalMatView.state(batch1, Seq("k"), aggs), view)
+    val q1 = IncrementalMatView.maintainStream(
+      spark, base, view, Seq("k"), aggs, ckpt, sinceVersion = v0)
+    try q1.processAllAvailable() finally q1.stop()
+    // appends while the stream is DOWN are picked up on restart; versions
+    // already folded before the stop are not re-folded
+    DeltaNative.write(batch2, base, mode = "append")
+    val q2 = IncrementalMatView.maintainStream(
+      spark, base, view, Seq("k"), aggs, ckpt, sinceVersion = v0)
+    try q2.processAllAvailable() finally q2.stop()
+    val got = IncrementalMatView.finalizeState(
+      graft.io.Sources.deltaLake(spark, view), Seq("k"), aggs)
+    assert(rowsOf(got) == rowsOf(recompute(batch1.unionByName(batch2))))
+  }
+
+  test("torn view commit (stale offset) is replayed idempotently via time travel (r12)") {
+    val base = tmp("mv_stream5_base_")
+    val view = tmp("mv_stream5_view_") + "/state"
+    val ckpt = tmp("mv_ckpt5_")
+    val v0 = DeltaNative.write(batch1, base)
+    DeltaNative.write(IncrementalMatView.state(batch1, Seq("k"), aggs), view)
+    val q1 = IncrementalMatView.maintainStream(
+      spark, base, view, Seq("k"), aggs, ckpt, sinceVersion = v0)
+    try q1.processAllAvailable() finally q1.stop()
+    // simulate a crash BETWEEN the view overwrite and the offset write: a
+    // garbage overwrite lands on the view but the offset still names the
+    // pre-crash (baseVersion, viewVersion) pair
+    DeltaNative.write(
+      IncrementalMatView.state(batch1.limit(1), Seq("k"), aggs), view,
+      mode = "overwrite")
+    DeltaNative.write(batch2, base, mode = "append")
+    val q2 = IncrementalMatView.maintainStream(
+      spark, base, view, Seq("k"), aggs, ckpt, sinceVersion = v0)
+    try q2.processAllAvailable() finally q2.stop()
+    // the batch merged against the view AT the offset's version — the torn
+    // overwrite was ignored and replaced, not compounded
+    val got = IncrementalMatView.finalizeState(
+      graft.io.Sources.deltaLake(spark, view), Seq("k"), aggs)
+    assert(rowsOf(got) == rowsOf(recompute(batch1.unionByName(batch2))))
+  }
+
   test("streaming maintenance from empty seed equals recompute") {
     val base = tmp("mv_stream2_base_")
     val view = tmp("mv_stream2_view_") + "/state"
