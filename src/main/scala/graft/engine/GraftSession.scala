@@ -458,9 +458,18 @@ final class GraftSession(val spark: SparkSession) {
     * requested output format. Large results should stay DataFrames — this is
     * the interactive/embedded entry point, exactly like the reference's.
     */
+  /** A trailing `FORMAT <name>` clause in the SQL wins over the `format`
+    * argument — the clause is part of the statement in ClickHouse, so
+    * `chdb.query("SELECT 1 FORMAT JSONEachRow")` ports verbatim.
+    */
+  private val formatTailName =
+    "(?is)\\s+FORMAT\\s+([A-Za-z][A-Za-z0-9]*)\\s*;?\\s*$".r
+  private def effectiveFormat(query: String, fallback: String): String =
+    formatTailName.findFirstMatchIn(query).map(_.group(1)).getOrElse(fallback)
+
   def queryAs(query: String, format: String = "CSV"): String = {
     val df = sql(query)
-    format.toUpperCase match {
+    effectiveFormat(query, format).toUpperCase match {
       case "CSV" => renderSeparated(df, ",", header = false)
       case "CSVWITHNAMES" => renderSeparated(df, ",", header = true)
       case "TSV" | "TABSEPARATED" => renderSeparated(df, "\t", header = false)
@@ -487,7 +496,7 @@ final class GraftSession(val spark: SparkSession) {
     */
   def queryAsBytes(query: String, format: String = "Arrow"): Array[Byte] = {
     val df = sql(query)
-    format.toUpperCase match {
+    effectiveFormat(query, format).toUpperCase match {
       case "ARROW" | "ARROWSTREAM" =>
         org.apache.spark.sql.graftbridge.ArrowBridge.toArrowStream(df)
       case "PARQUET" => parquetBytes(df)

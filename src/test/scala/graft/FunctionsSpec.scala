@@ -247,6 +247,15 @@ class QueryFormatSpec extends SparkTestBase {
     assert(c.get("data").get(0).isArray && c.get("data").get(0).get(1).asText == "x")
   }
 
+  test("trailing FORMAT clause wins over the format argument (r12)") {
+    // the reference's `chdb.query(\"SELECT 1 FORMAT JSONEachRow\")` idiom —
+    // the clause is part of the statement in ClickHouse
+    assert(g.queryAs("SELECT 1 AS a FORMAT JSONEachRow") == "{\"a\":1}\n")
+    assert(g.queryAs("SELECT 1 AS a FORMAT TSV", "CSV") == "1\n")
+    // and still strips cleanly when it matches the argument path
+    assert(g.queryAs("SELECT 1 AS a, 2 AS b FORMAT CSV") == "1,2\n")
+  }
+
   test("unknown format raises a capability error; bytes formats point to queryAsBytes") {
     val e = intercept[IllegalArgumentException] { g.queryAs("SELECT 1", "Arrow") }
     assert(e.getMessage.contains("queryAsBytes"))
