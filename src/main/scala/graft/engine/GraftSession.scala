@@ -230,7 +230,8 @@ final class GraftSession(val spark: SparkSession) {
     } else s
 
   private val sourceHeads = Set("file", "url", "deltalake", "delta_lake",
-    "iceberg", "hudi", "numbers", "numbers_mt", "generaterandom")
+    "iceberg", "hudi", "numbers", "numbers_mt", "generaterandom",
+    "mysql", "postgresql", "sqlite", "jdbc")
 
   /** Rewrite ALL table-function call sites by SCANNING, not regex: string
     * literals, back-quoted identifiers and comments are copied verbatim
@@ -319,8 +320,28 @@ final class GraftSession(val spark: SparkSession) {
           args.tail.forall(_.matches("\\d+")) =>
         Some(registerGenerateRandom(unquote(args.head),
           args.lift(1).map(_.toLong).getOrElse(42L)))
+      // federated JDBC table functions (reference table_functions.py:570-667):
+      // mysql/postgresql('host:port', 'db', 'table', 'user', 'password'
+      // [, 'schema' for postgresql]), sqlite('path', 'table'), and the
+      // generic jdbc('url', 'table'). All route through Sources.jdbc —
+      // Spark's JDBC source pushes filters and prunes columns server-side.
+      case "mysql" | "postgresql" if args.length >= 5 && args.length <= 6 &&
+          args.forall(quotedTok) =>
+        val (u, t, o) = GraftSession.jdbcTarget(lw, args.map(unquote))
+        Some(registerJdbc(u, t, o))
+      case "sqlite" | "jdbc" if args.length == 2 && args.forall(quotedTok) =>
+        val (u, t, o) = GraftSession.jdbcTarget(lw, args.map(unquote))
+        Some(registerJdbc(u, t, o))
       case _ => None
     }
+  }
+
+  private def registerJdbc(url: String, table: String,
+      opts: Map[String, String]): String = {
+    val name = s"__graft_jdbc_${md5hex(url + "|" + table)}"
+    if (!spark.catalog.tableExists(name))
+      graft.io.Sources.jdbc(spark, url, table, opts).createOrReplaceTempView(name)
+    name
   }
 
   private def pipelineView(fn: String, rawArgs: String): String = {
@@ -870,6 +891,24 @@ final class GraftSession(val spark: SparkSession) {
 }
 
 object GraftSession {
+
+  /** SQL table-function args → (jdbcUrl, dbtable, options) for the
+    * federated sources: mysql/postgresql('host:port', 'db', 'table',
+    * 'user', 'password'[, 'schema' (postgresql)]), sqlite('path',
+    * 'table'), jdbc('url', 'table'). Factored out so the URL assembly is
+    * unit-testable without a live server (zero-egress container).
+    */
+  private[graft] def jdbcTarget(fn: String, args: Seq[String])
+      : (String, String, Map[String, String]) = fn match {
+    case "mysql" | "postgresql" =>
+      val Seq(host, db, table, user, pass) = args.take(5)
+      val tbl =
+        if (fn == "postgresql" && args.length == 6) s"${args(5)}.$table" else table
+      (s"jdbc:$fn://$host/$db", tbl, Map("user" -> user, "password" -> pass))
+    case "sqlite" => (s"jdbc:sqlite:${args.head}", args(1), Map.empty)
+    case "jdbc" => (args.head, args(1), Map.empty)
+    case other => throw new IllegalArgumentException(s"not a jdbc table fn: $other")
+  }
   /** One progress tick of a running query (the reference streams these to a
     * user callback — chdb/__init__.py:173-217; rows_read/elapsed there map
     * to recordsRead/task counts here, the units Spark actually schedules).
