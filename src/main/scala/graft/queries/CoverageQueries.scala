@@ -1,0 +1,272 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ds.GraftFrame
+
+/** Oracle-backed queries for SURVEY §2 rows that previously had only
+  * ScalaTest coverage — each one drives the SAME public surface the spec
+  * exercises (GraftFrame pandas ops, GraftSession UDF/param/DDL/queryAs,
+  * Sources.numbers/generateRandom/url) but through a DuckDB-replayable
+  * shape, so the driver's CORRECTNESS gate verifies it end to end instead
+  * of taking the spec's word. Determinism rules are Queries.scala's: exact
+  * decimal sums for money, ROUND for statistics, ORDER BY over a unique key
+  * set in both engines.
+  */
+object CoverageQueries {
+
+  private def v(s: SparkSession, dir: String, names: String*): Unit =
+    names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("q150_describe", (s, dir) => {
+      // pandas describe (reference core.py describe → Spark df.describe):
+      // count/mean/stddev/min/max as a summary table. Spark renders the
+      // stats as strings — cast back to double and round so both engines
+      // compare numerically (mean of integer-valued l_quantity is an exact
+      // division; stddev agrees far inside 6 dp).
+      GraftFrame(Q.t(s, dir, "lineitem")).describe("l_quantity", "l_discount").df
+        .select(col("summary"),
+          round(col("l_quantity").cast("double"), 6).as("l_quantity"),
+          round(col("l_discount").cast("double"), 6).as("l_discount"))
+        .orderBy("summary")
+    }, Some("""WITH l AS (SELECT l_quantity, l_discount FROM lineitem)
+      SELECT 'count' AS summary,
+        ROUND(CAST(COUNT(l_quantity) AS DOUBLE), 6) AS l_quantity,
+        ROUND(CAST(COUNT(l_discount) AS DOUBLE), 6) AS l_discount FROM l
+      UNION ALL SELECT 'max', ROUND(MAX(l_quantity), 6), ROUND(MAX(l_discount), 6) FROM l
+      UNION ALL SELECT 'mean', ROUND(AVG(l_quantity), 6), ROUND(AVG(l_discount), 6) FROM l
+      UNION ALL SELECT 'min', ROUND(MIN(l_quantity), 6), ROUND(MIN(l_discount), 6) FROM l
+      UNION ALL SELECT 'stddev', ROUND(STDDEV_SAMP(l_quantity), 6), ROUND(STDDEV_SAMP(l_discount), 6) FROM l
+      ORDER BY summary""")),
+
+    QueryDef("q151_extremes", (s, dir) => {
+      // nlargest/nsmallest (pandas): sort-desc/asc + limit. o_totalprice can
+      // tie across engines — o_orderkey in the `by` set makes the cut
+      // deterministic. Top-k never materializes a global sort at scale:
+      // Catalyst plans TakeOrderedAndProject (per-partition heaps + merge).
+      val o = GraftFrame(Q.t(s, dir, "orders"))
+      val hi = o.nlargest(15, Seq("o_totalprice", "o_orderkey")).df
+        .withColumn("side", lit("hi"))
+      val lo = o.nsmallest(15, Seq("o_totalprice", "o_orderkey")).df
+        .withColumn("side", lit("lo"))
+      hi.unionByName(lo).select("side", "o_orderkey", "o_totalprice")
+        .orderBy("side", "o_orderkey")
+    }, Some("""WITH hi AS (SELECT o_orderkey, o_totalprice FROM orders
+          ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 15),
+        lo AS (SELECT o_orderkey, o_totalprice FROM orders
+          ORDER BY o_totalprice ASC, o_orderkey ASC LIMIT 15)
+      SELECT 'hi' AS side, o_orderkey, o_totalprice FROM hi
+      UNION ALL SELECT 'lo', o_orderkey, o_totalprice FROM lo
+      ORDER BY side, o_orderkey""")),
+
+    QueryDef("q152_get_dummies", (s, dir) => {
+      // pandas get_dummies = pivot-on-literal one-hot. Values are passed
+      // EXPLICITLY — pivot without them runs a distinct-scan job first and
+      // caps at spark.sql.pivotMaxValues; a fixed category list is the
+      // scale-safe form (and what get_dummies knows only after a scan anyway).
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      Q.t(s, dir, "customer")
+        .groupBy("c_custkey").pivot("c_mktsegment", segs).agg(count(lit(1)))
+        .na.fill(0).orderBy("c_custkey")
+    }, Some("""SELECT c_custkey,
+        CAST(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS BIGINT) AS "AUTOMOBILE",
+        CAST(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS BIGINT) AS "BUILDING",
+        CAST(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END AS BIGINT) AS "FURNITURE",
+        CAST(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END AS BIGINT) AS "HOUSEHOLD",
+        CAST(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS BIGINT) AS "MACHINERY"
+      FROM customer ORDER BY c_custkey""")),
+
+    QueryDef("q153_crosstab", (s, dir) => {
+      // pandas crosstab = df.stat.crosstab: contingency table of priority ×
+      // status (one groupBy job; the column set is the value domain).
+      Q.t(s, dir, "orders").stat.crosstab("o_orderpriority", "o_orderstatus")
+        .orderBy("o_orderpriority_o_orderstatus")
+    }, Some("""SELECT CAST(o_orderpriority AS VARCHAR) AS o_orderpriority_o_orderstatus,
+        COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+      FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("q154_query_filter", (s, dir) =>
+      // pandas df.query("…"): the condition string IS a SQL predicate over
+      // a Catalyst filter — pushed to the parquet scan like any native one.
+      GraftFrame(Q.t(s, dir, "lineitem"))
+        .query("l_quantity >= 49 AND l_returnflag IN ('A','R') AND l_discount <= 0.01")
+        .df.select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        // (l_orderkey, l_linenumber) is NOT unique in the test data — order
+        // by every output column so the LIMIT cut is engine-independent
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .limit(400),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+        WHERE l_quantity >= 49 AND l_returnflag IN ('A','R') AND l_discount <= 0.01
+        ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount LIMIT 400""")),
+
+    QueryDef("q155_merge_suffixes", (s, dir) => {
+      // pandas merge with overlapping non-key columns → _95/_96 suffixes
+      // (GraftFrame.merge renames then joins natively — no pandas fallback).
+      def yr(y: Int): DataFrame = Q.t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === y)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), Q.dsum(col("o_totalprice")).as("total"))
+      GraftFrame(yr(1995)).merge(GraftFrame(yr(1996)), Seq("o_custkey"),
+          "inner", ("_95", "_96"))
+        .df.orderBy("o_custkey")
+    }, Some("""WITH a AS (SELECT o_custkey, COUNT(*) AS n_orders_95,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_95
+        FROM orders WHERE year(o_orderdate) = 1995 GROUP BY o_custkey),
+      b AS (SELECT o_custkey, COUNT(*) AS n_orders_96,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_96
+        FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey)
+      SELECT a.o_custkey, n_orders_95, total_95, n_orders_96, total_96
+      FROM a JOIN b USING (o_custkey) ORDER BY o_custkey""")),
+
+    QueryDef("q156_numbers_gen", (s, dir) => {
+      // numbers(N) source (spark.range: distributed, codegen'd, no data
+      // read) + generateRandom's string path — md5(number||name) is the one
+      // deterministic-AND-portable column spec, so DuckDB replays it exactly.
+      val _ = dir
+      graft.io.Sources.generateRandom(s, 1000, Seq("tag" -> "string"))
+        .filter(col("number") % 7 === 0)
+        .select("number", "tag").orderBy("number")
+    }, Some("""SELECT number, md5(CAST(number AS VARCHAR) || 'tag') AS tag
+      FROM (SELECT UNNEST(range(1000)) AS number)
+      WHERE number % 7 = 0 ORDER BY number""")),
+
+    QueryDef("q157_group_bitmap", (s, dir) => {
+      // groupBitmap = exact distinct cardinality (the reference's roaring
+      // bitmap is state representation; Spark's distinct agg = same answer,
+      // partial-aggregated map-side like any native).
+      v(s, dir, "lineitem")
+      s.sql("""SELECT l_returnflag, CAST(groupBitmap(l_partkey) AS BIGINT) AS card
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }, Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS card
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    QueryDef("q158_simple_linreg", (s, dir) => {
+      // simpleLinearRegression(x, y) → (k, b) via Spark's native
+      // regr_slope/regr_intercept (one pass, mergeable moments state).
+      // ROUND(…,4) as in q132: both engines' moment formulas agree well
+      // inside 4 dp on this data.
+      v(s, dir, "lineitem")
+      s.sql("""SELECT ROUND(r.k, 4) AS k, ROUND(r.b, 4) AS b FROM
+        (SELECT simpleLinearRegression(l_quantity, l_extendedprice) AS r FROM lineitem)""")
+    }, Some("""SELECT ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS k,
+        ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS b
+      FROM lineitem""")),
+
+    QueryDef("q159_udf_scalar", (s, dir) => {
+      // scalar UDF registration (GraftSession.createFunction — the
+      // reference's @chdb_udf, docs/udf.rst): a typed Scala udf callable
+      // from SQL. Per-row IEEE arithmetic → exact cross-engine replay.
+      v(s, dir, "lineitem")
+      val gs = graft.engine.GraftSession(s)
+      gs.createFunction("disc_price",
+        udf((p: Double, d: Double) => p * (1.0 - d)))
+      gs.sql("""SELECT l_orderkey, l_linenumber, l_partkey,
+          ROUND(disc_price(l_extendedprice, l_discount), 4) AS dp
+        FROM lineitem WHERE l_quantity = 50
+        ORDER BY l_orderkey, l_linenumber, l_partkey, dp LIMIT 400""")
+    }, Some("""SELECT l_orderkey, l_linenumber, l_partkey,
+        ROUND(l_extendedprice * (1.0 - l_discount), 4) AS dp
+      FROM lineitem WHERE l_quantity = 50
+      ORDER BY l_orderkey, l_linenumber, l_partkey, dp LIMIT 400""")),
+
+    QueryDef("q160_udaf_sumsq", (s, dir) => {
+      // UDAF via typed Aggregator (functions.udaf) — exceeds the reference
+      // (chdb UDAFs "explicitly unsupported"). Long Σx² state is exact under
+      // any partitioning, so the oracle compares bit-for-bit.
+      v(s, dir, "lineitem")
+      val gs = graft.engine.GraftSession(s)
+      gs.createFunction("sum_sq", udaf(graft.functions.Udafs.SumOfSquares))
+      gs.sql("""SELECT l_returnflag, sum_sq(CAST(l_quantity AS BIGINT)) AS ssq
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }, Some("""SELECT l_returnflag,
+        CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS ssq
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    QueryDef("q161_param_query", (s, dir) => {
+      // parameterized {name:Type} query (reference chdb/__init__.py:145-160)
+      // → Spark named parameters; the oracle is the literal-substituted SQL.
+      v(s, dir, "orders")
+      graft.engine.GraftSession(s).sql(
+        """SELECT o_orderpriority, COUNT(*) AS n
+          FROM orders WHERE o_totalprice > {min_price:Float64}
+            AND o_orderstatus = {st:String}
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        Map("min_price" -> 150000.0, "st" -> "O"))
+    }, Some("""SELECT o_orderpriority, COUNT(*) AS n
+      FROM orders WHERE o_totalprice > 150000.0 AND o_orderstatus = 'O'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    QueryDef("q162_ddl_insert", (s, dir) => {
+      // DDL/DML surface: CREATE TABLE + two positional INSERTs + query-back
+      // (GraftSession.createTable/insertInto, reference session.py DDL).
+      // The oracle replays both inserts as a UNION ALL over the source.
+      v(s, dir, "nation")
+      val gs = graft.engine.GraftSession(s)
+      s.sql("DROP TABLE IF EXISTS q162_tbl")
+      gs.createTable("q162_tbl", "k INT, name STRING, rk INT")
+      gs.insertInto("q162_tbl",
+        s.sql("SELECT n_nationkey, lower(n_name), n_regionkey FROM nation"))
+      gs.insertInto("q162_tbl",
+        s.sql("SELECT n_nationkey + 100, upper(n_name), n_regionkey FROM nation WHERE n_regionkey = 2"))
+      s.sql("""SELECT rk, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+          MIN(name) AS first_name
+        FROM q162_tbl GROUP BY rk ORDER BY rk""")
+    }, Some("""WITH t AS (
+        SELECT n_nationkey AS k, lower(n_name) AS name, n_regionkey AS rk FROM nation
+        UNION ALL
+        SELECT n_nationkey + 100, upper(n_name), n_regionkey FROM nation WHERE n_regionkey = 2)
+      SELECT rk, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+        MIN(name) AS first_name
+      FROM t GROUP BY rk ORDER BY rk""")),
+
+    QueryDef("q163_ipv4_roundtrip", (s, dir) => {
+      // IP family: IPv4NumToString renders a synthetic address,
+      // IPv4StringToNum parses it back — the oracle checks the round trip
+      // against the source number (identity) and the dotted-quad rendering
+      // against integer arithmetic.
+      v(s, dir, "events")
+      s.sql("""SELECT event_id, ip, CAST(IPv4StringToNum(ip) AS BIGINT) AS back
+        FROM (SELECT event_id,
+            IPv4NumToString(CAST(user_id * 2654435761 % 4294967296 AS BIGINT)) AS ip
+          FROM events)
+        WHERE event_id % 97 = 0 ORDER BY event_id""")
+    }, Some("""SELECT event_id,
+        CAST((n // 16777216) % 256 AS VARCHAR) || '.' ||
+        CAST((n // 65536) % 256 AS VARCHAR) || '.' ||
+        CAST((n // 256) % 256 AS VARCHAR) || '.' ||
+        CAST(n % 256 AS VARCHAR) AS ip,
+        n AS back
+      FROM (SELECT event_id, (user_id * 2654435761) % 4294967296 AS n FROM events)
+      WHERE event_id % 97 = 0 ORDER BY event_id""")),
+
+    QueryDef("q164_queryas_csv", (s, dir) => {
+      // queryAs output-format surface (reference chdb.query(sql, "CSV")):
+      // the CSVWithNames rendering itself is the value under test — the
+      // oracle reconstructs the exact byte string (header + '\n'-terminated
+      // rows) in SQL.
+      v(s, dir, "nation")
+      val csv = graft.engine.GraftSession(s).queryAs(
+        "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
+        "CSVWithNames")
+      s.createDataset(Seq(csv))(Encoders.STRING).toDF("csv")
+    }, Some("""SELECT 'n_nationkey,n_name' || chr(10) ||
+        string_agg(CAST(n_nationkey AS VARCHAR) || ',' || n_name, chr(10)
+          ORDER BY n_nationkey) || chr(10) AS csv
+      FROM nation""")),
+
+    QueryDef("q165_url_source", (s, dir) => {
+      // url() table function (reference table_functions.py:213): fetch to a
+      // local spool, then scan with the detected format. file:// exercises
+      // the same fetch-spool-read path without egress.
+      val p = new java.io.File(s"$dir/nation.parquet").getAbsolutePath
+      graft.io.Sources.url(s, "file://" + p)
+        .select("n_nationkey", "n_name").orderBy("n_nationkey")
+    }, Some("SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"))
+  )
+}

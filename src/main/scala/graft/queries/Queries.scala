@@ -3053,7 +3053,7 @@ object Queries {
       FROM s JOIN m ON s.user_id = m.user_id AND s.sid = m.msid
       GROUP BY s.user_id ORDER BY s.user_id"""),
       bench = true)
-  ) ++ TpchQueries.all ++ ClickBenchQueries.all
+  ) ++ TpchQueries.all ++ ClickBenchQueries.all ++ CoverageQueries.all
 
   val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
