@@ -209,6 +209,17 @@ object CoverageQueries {
       v(s, dir, "nation")
       val gs = graft.engine.GraftSession(s)
       s.sql("DROP TABLE IF EXISTS q162_tbl")
+      // a PRIOR session's managed-table files survive its catalog (DROP in
+      // a fresh session no-ops but CREATE still refuses the location) —
+      // remove the leftover directory physically before re-creating
+      val wh = new java.io.File(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "q162_tbl")
+      if (wh.exists) {
+        import java.nio.file.{Files, Path}
+        import scala.jdk.CollectionConverters._
+        Files.walk(wh.toPath).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      }
       gs.createTable("q162_tbl", "k INT, name STRING, rk INT")
       gs.insertInto("q162_tbl",
         s.sql("SELECT n_nationkey, lower(n_name), n_regionkey FROM nation"))
