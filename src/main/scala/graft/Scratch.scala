@@ -19,6 +19,7 @@ object Scratch {
     if (args.headOption.contains("ncplan")) { ncPlan(g); g.spark.stop(); return }
     if (args.headOption.contains("r12drive")) { r12drive(g); g.spark.stop(); return }
     if (args.headOption.contains("capprof")) { capProf(g); g.spark.stop(); return }
+    if (args.headOption.contains("remotedrive")) { remoteDrive(g); g.spark.stop(); return }
     val names = if (args.nonEmpty) args.toSeq else Seq("q01_tpch_q1")
     names.foreach { n =>
       println(s"=== $n ===")
@@ -504,5 +505,30 @@ object Scratch {
         .agg(count(lit(1)).as("n"), sum("q").as("sq"), avg("q").as("qavg"))
         .orderBy("k").show(false)
     } finally q.stop()
+  }
+
+  /** r12: remote() over a live loopback GraftServer — full public path:
+    * serve sf0.001 nation from one session, read it back through
+    * GraftSession.sql's remote() table function + remoteQuery pushdown.
+    */
+  private def remoteDrive(g: graft.engine.GraftSession): Unit = {
+    import org.apache.spark.sql.functions._
+    graft.Tables.load(g.spark, "/root/testdata/sf0.001", "nation")
+      .createOrReplaceTempView("nation")
+    val server = new graft.io.GraftServer(g).start()
+    try {
+      println(s"server on ${server.hostPort}")
+      val df = g.sql(s"""SELECT r.n_regionkey, count(*) AS n
+        FROM remote('${server.hostPort}', 'default', 'nation') r
+        GROUP BY r.n_regionkey ORDER BY r.n_regionkey""")
+      df.show(false)
+      println("pushdown (remoteQuery):")
+      graft.io.Sources.remoteQuery(g.spark, server.hostPort,
+        "SELECT n_regionkey, count(*) AS n FROM nation GROUP BY 1 ORDER BY 1")
+        .show(false)
+      println("local truth:")
+      g.spark.table("nation").groupBy("n_regionkey").agg(count(lit(1)).as("n"))
+        .orderBy("n_regionkey").show(false)
+    } finally server.stop()
   }
 }

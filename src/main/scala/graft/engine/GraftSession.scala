@@ -231,7 +231,7 @@ final class GraftSession(val spark: SparkSession) {
 
   private val sourceHeads = Set("file", "url", "deltalake", "delta_lake",
     "iceberg", "hudi", "numbers", "numbers_mt", "generaterandom",
-    "mysql", "postgresql", "sqlite", "jdbc")
+    "mysql", "postgresql", "sqlite", "jdbc", "remote", "redis")
 
   /** Rewrite ALL table-function call sites by SCANNING, not regex: string
     * literals, back-quoted identifiers and comments are copied verbatim
@@ -332,6 +332,28 @@ final class GraftSession(val spark: SparkSession) {
       case "sqlite" | "jdbc" if args.length == 2 && args.forall(quotedTok) =>
         val (u, t, o) = GraftSession.jdbcTarget(lw, args.map(unquote))
         Some(registerJdbc(u, t, o))
+      // remote('h{1..N}:port', 'db', 'table'[, 'user', 'password']) —
+      // reference table_functions.py:808-867; served by graft.io.GraftServer
+      case "remote" if args.length >= 3 && args.length <= 5 && args.forall(quotedTok) =>
+        val a = args.map(unquote)
+        val name = s"__graft_remote_${md5hex(a.mkString("|"))}"
+        if (!spark.catalog.tableExists(name))
+          graft.io.Sources.remote(spark, a(0), a(1), a(2),
+            a.lift(3).getOrElse("default"), a.lift(4).getOrElse(""))
+            .createOrReplaceTempView(name)
+        Some(name)
+      // redis('host:port', 'keyCol', 'structure DDL'[, 'pattern', dbIndex,
+      // 'password']) — reference table_functions.py:668-760
+      case "redis" if args.length >= 3 && args.length <= 6 &&
+          args.take(4).forall(quotedTok) =>
+        val a = args.map(unquote)
+        val name = s"__graft_redis_${md5hex(a.mkString("|"))}"
+        if (!spark.catalog.tableExists(name))
+          graft.io.Sources.redis(spark, a(0), a(1), a(2),
+            a.lift(3).getOrElse("*"),
+            a.lift(4).map(_.toInt).getOrElse(0), a.lift(5).getOrElse(""))
+            .createOrReplaceTempView(name)
+        Some(name)
       case _ => None
     }
   }

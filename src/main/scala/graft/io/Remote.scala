@@ -1,0 +1,130 @@
+package graft.io
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+import java.net.{InetSocketAddress, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Client half of `remote()` (reference: datastore/table_functions.py:808-867
+  * — `remote(host:port, database, table, user, password)` reads a named
+  * table from another server). Peer: [[GraftServer]].
+  *
+  * Scale design: the host argument is a SHARD LIST (comma-separated, with
+  * `h{1..32}:9000` range expansion — the reference's "addresses pattern").
+  * The driver fetches only the schema header; the row payload is fetched ON
+  * EXECUTORS, one task per shard, so a 32-shard remote read is 32 concurrent
+  * socket streams into 32 partitions — no driver bottleneck, no collect.
+  * Predicate pushdown is explicit, as in the reference: [[Sources.remoteQuery]]
+  * ships a full SQL statement to the remote session and reads back only its
+  * result.
+  */
+object RemoteClient extends Serializable {
+
+  /** `h{1..3}:9000,other:9001` → Seq(h1:9000, h2:9000, h3:9000, other:9001). */
+  def expandHosts(pattern: String): Seq[String] = {
+    val range = "\\{(\\d+)\\.\\.(\\d+)\\}".r
+    pattern.split(",").map(_.trim).filter(_.nonEmpty).toSeq.flatMap { h =>
+      range.findFirstMatchIn(h) match {
+        case Some(m) =>
+          val (lo, hi) = (m.group(1).toLong, m.group(2).toLong)
+          require(hi >= lo && hi - lo < 4096, s"host range too wide: $h")
+          (lo to hi).map(i => h.substring(0, m.start) + i + h.substring(m.end))
+        case None => Seq(h)
+      }
+    }
+  }
+
+  private def connect(hostPort: String): Socket = {
+    val idx = hostPort.lastIndexOf(':')
+    require(idx > 0, s"remote host must be host:port, got '$hostPort'")
+    val s = new Socket()
+    s.setTcpNoDelay(true)
+    s.connect(new InetSocketAddress(
+      hostPort.substring(0, idx), hostPort.substring(idx + 1).toInt), 10000)
+    s
+  }
+
+  private def request(sock: Socket, fields: Seq[(String, String)]): DataInputStream = {
+    val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+    out.write((GraftServer.jsonObj(fields.map { case (k, v) =>
+      k -> GraftServer.jsonStr(v) }) + "\n").getBytes(UTF_8))
+    out.flush()
+    new DataInputStream(new BufferedInputStream(sock.getInputStream, 1 << 16))
+  }
+
+  /** Header-only round trip; returns the schema DDL. Raises on server error. */
+  def fetchSchema(hostPort: String, fields: Seq[(String, String)]): String = {
+    val sock = connect(hostPort)
+    try {
+      val in = request(sock, fields)
+      val hdr = GraftServer.parseFlatJson(GraftServer.readLine(in))
+      if (hdr.get("ok").contains("true")) hdr.getOrElse("schema", "")
+      else throw new IllegalArgumentException(
+        s"remote($hostPort): ${hdr.getOrElse("error", "malformed response header")}")
+    } finally sock.close()
+  }
+
+  /** Streaming payload fetch — yields JSONEachRow lines as they arrive on
+    * the wire; the socket closes at EOF or when the iterator is abandoned
+    * by task completion. Runs on executors.
+    */
+  def fetchLines(hostPort: String, fields: Seq[(String, String)]): Iterator[String] = {
+    val sock = connect(hostPort)
+    val in = request(sock, fields)
+    val hdr = GraftServer.parseFlatJson(GraftServer.readLine(in))
+    if (!hdr.get("ok").contains("true")) {
+      sock.close()
+      throw new IllegalArgumentException(
+        s"remote($hostPort): ${hdr.getOrElse("error", "malformed response header")}")
+    }
+    // a task that stops consuming mid-stream still closes the socket
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => sock.close()))
+    new Iterator[String] {
+      private var nextLine: String = advance()
+      private def advance(): String = {
+        val l = GraftServer.readLine(in)
+        if (l.isEmpty) { sock.close(); null } else l
+      }
+      def hasNext: Boolean = nextLine != null
+      def next(): String = { val l = nextLine; nextLine = advance(); l }
+    }
+  }
+
+  /** Shard-parallel table read; see [[Sources.remote]] for the public entry. */
+  private[io] def readTable(
+      spark: SparkSession, hostPattern: String, database: String, table: String,
+      user: String, password: String): DataFrame = {
+    val shards = expandHosts(hostPattern)
+    require(shards.nonEmpty, "remote(): empty host list")
+    val base = Seq("database" -> database, "table" -> table,
+      "user" -> user, "password" -> password)
+    val ddl = fetchSchema(shards.head, ("op" -> "schema") +: base)
+    val schema = StructType.fromDDL(ddl)
+    val rows = spark.createDataset(
+      spark.sparkContext
+        .makeRDD(shards, shards.size)
+        .mapPartitions(_.flatMap(h => fetchLines(h, ("op" -> "table") +: base))))(
+      Encoders.STRING)
+    spark.read.schema(schema).json(rows)
+  }
+
+  /** Remote SQL execution (pushdown path); result typed from the header DDL. */
+  private[io] def readQuery(
+      spark: SparkSession, hostPattern: String, sql: String,
+      user: String, password: String): DataFrame = {
+    val shards = expandHosts(hostPattern)
+    require(shards.nonEmpty, "remote(): empty host list")
+    val base = Seq("op" -> "query", "sql" -> sql,
+      "user" -> user, "password" -> password)
+    val ddl = fetchSchema(shards.head, ("op" -> "query_schema") +: base.tail)
+    val schema = StructType.fromDDL(ddl)
+    val rows = spark.createDataset(
+      spark.sparkContext
+        .makeRDD(shards, shards.size)
+        .mapPartitions(_.flatMap(h => fetchLines(h, base))))(Encoders.STRING)
+    spark.read.schema(schema).json(rows)
+  }
+}

@@ -122,6 +122,39 @@ object Sources {
     file(spark, tmp.toString, fmt)
   }
 
+  /** remote('h{1..32}:9000[,more]', db, table[, user, password]) — read a
+    * named table from other Graft sessions (reference
+    * table_functions.py:808-867 RemoteTableFunction). Schema fetched
+    * driver-side (header only); rows fetched ON EXECUTORS, one task per
+    * shard in the address pattern. Serve tables with [[GraftServer]].
+    */
+  def remote(spark: SparkSession, hosts: String, database: String, table: String,
+      user: String = "default", password: String = ""): DataFrame =
+    RemoteClient.readTable(spark, hosts, database, table, user, password)
+
+  /** Pushdown companion to [[remote]]: ship a full SQL statement to the
+    * remote session(s) and read back only its result — the explicit form of
+    * the filter/aggregate pushdown the reference gets from remote() in FROM
+    * position. With a sharded address pattern the same statement runs on
+    * every shard and the results union (each shard holds its slice).
+    */
+  def remoteQuery(spark: SparkSession, hosts: String, sql: String,
+      user: String = "default", password: String = ""): DataFrame =
+    RemoteClient.readQuery(spark, hosts, sql, user, password)
+
+  /** redis('host:6379', keyCol, 'k String, f1 INT, …'[, pattern, dbIndex,
+    * password]) — map a Redis keyspace to a table over a real RESP2 wire
+    * client (reference table_functions.py:668-760). Each matched key is one
+    * row: keyCol gets the key, other columns come from the key's HASH
+    * fields, cast to the declared types. SCAN driver-side (key names only),
+    * HGETALL on executors. See [[RedisClient]] for the divergence note vs
+    * ClickHouse's opaque-value-blob layout.
+    */
+  def redis(spark: SparkSession, hostPort: String, keyCol: String,
+      structure: String, pattern: String = "*", dbIndex: Int = 0,
+      password: String = ""): DataFrame =
+    RedisClient.readTable(spark, hostPort, keyCol, structure, pattern, dbIndex, password)
+
   // ---- lakehouse table formats (reference table_functions.py:868-994) ----
 
   /** True when the `delta` / `iceberg` / `hudi` connector jar is on the

@@ -278,6 +278,27 @@ object CoverageQueries {
       val p = new java.io.File(s"$dir/nation.parquet").getAbsolutePath
       graft.io.Sources.url(s, "file://" + p)
         .select("n_nationkey", "n_name").orderBy("n_nationkey")
-    }, Some("SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"))
+    }, Some("SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey")),
+
+    QueryDef("q166_remote_table", (s, dir) => {
+      // remote() table function (reference table_functions.py:808-867): a
+      // live GraftServer serves this session's `nation` view over a real
+      // loopback socket; the query reads it back through the SQL surface —
+      // schema header + executor-side JSONEachRow streaming, end to end.
+      // cache+count materializes the fetch while the server is up (the
+      // DataFrame itself is lazy; Verify writes it after this fn returns).
+      v(s, dir, "nation")
+      val gs = graft.engine.GraftSession(s)
+      val server = new graft.io.GraftServer(gs).start()
+      try {
+        val df = gs.sql(
+          s"""SELECT n_nationkey, n_name, n_regionkey
+              FROM remote('${server.hostPort}', 'default', 'nation')
+              ORDER BY n_nationkey""")
+        df.cache()
+        df.count()
+        df
+      } finally server.stop()
+    }, Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"))
   )
 }

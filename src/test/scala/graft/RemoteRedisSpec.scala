@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.GraftSession
+import graft.io.{GraftServer, RemoteClient, Sources}
+
+/** remote() + redis() over REAL loopback sockets — the server half is
+  * in-process (GraftServer serving a live GraftSession; MiniRedis speaking
+  * RESP2), the client half is the production code path end to end:
+  * schema header fetch, executor-side shard streaming, RESP SCAN/HGETALL.
+  */
+class RemoteRedisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---------------------------------------------------------- remote()
+
+  test("remote: host pattern expansion") {
+    assert(RemoteClient.expandHosts("h{1..3}:9000") ==
+      Seq("h1:9000", "h2:9000", "h3:9000"))
+    assert(RemoteClient.expandHosts("a:1, b:2") == Seq("a:1", "b:2"))
+    assert(RemoteClient.expandHosts("shard{7..7}:1,x:2") == Seq("shard7:1", "x:2"))
+  }
+
+  test("remote: table round trip preserves schema and rows") {
+    val gs = GraftSession(spark)
+    val src = Seq((1L, "alpha", 1.5), (2L, "beta", -0.25), (3L, "with,comma", 2.0))
+      .toDF("id", "name", "score")
+    src.createOrReplaceTempView("remote_src")
+    val server = new GraftServer(gs).start()
+    try {
+      val got = Sources.remote(spark, server.hostPort, "default", "remote_src")
+      // names + types survive; NOT NULL flags don't (JSONEachRow transport —
+      // Spark's JSON reader is nullable by construction)
+      assert(got.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        src.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+      assert(got.orderBy("id").collect().toSeq == src.orderBy("id").collect().toSeq)
+    } finally server.stop()
+  }
+
+  test("remote: sharded address pattern unions one partition per shard") {
+    val gs = GraftSession(spark)
+    spark.range(10).withColumn("shard", lit(1)).createOrReplaceTempView("rs_t")
+    val s1 = new GraftServer(gs).start()
+    val s2 = new GraftServer(gs).start()
+    try {
+      val df = Sources.remote(spark, s"${s1.hostPort},${s2.hostPort}", "default", "rs_t")
+      // both shards serve the same 10-row view here; the union must be 20
+      assert(df.count() == 20)
+      assert(df.rdd.getNumPartitions == 2)
+    } finally { s1.stop(); s2.stop() }
+  }
+
+  test("remote: remoteQuery pushes the statement to the server") {
+    val gs = GraftSession(spark)
+    spark.range(100).withColumn("v", col("id") % 7).createOrReplaceTempView("rq_t")
+    val server = new GraftServer(gs).start()
+    try {
+      val got = Sources.remoteQuery(spark, server.hostPort,
+        "SELECT v, count(*) AS n FROM rq_t GROUP BY v")
+      assert(got.count() == 7)
+      assert(got.agg(sum("n")).as[Long].head() == 100L)
+      // result is typed from the header DDL, not stringly
+      assert(got.schema("n").dataType.typeName == "long")
+    } finally server.stop()
+  }
+
+  test("remote: bad credentials and unknown tables fail loudly") {
+    val gs = GraftSession(spark)
+    val server = new GraftServer(gs, users = Map("alice" -> "s3cret")).start()
+    try {
+      val e1 = intercept[IllegalArgumentException] {
+        Sources.remote(spark, server.hostPort, "default", "whatever")
+      }
+      assert(e1.getMessage.contains("authentication failed"))
+      val e2 = intercept[IllegalArgumentException] {
+        Sources.remote(spark, server.hostPort, "default", "no_such_table",
+          user = "alice", password = "s3cret")
+      }
+      assert(e2.getMessage.toLowerCase.contains("no_such_table"))
+    } finally server.stop()
+  }
+
+  test("remote: SQL table-function surface") {
+    val gs = GraftSession(spark)
+    Seq(("fr", 10L), ("de", 20L)).toDF("cc", "n").createOrReplaceTempView("sql_remote_t")
+    val server = new GraftServer(gs).start()
+    try {
+      val out = gs.sql(
+        s"SELECT cc, n FROM remote('${server.hostPort}', 'default', 'sql_remote_t') ORDER BY cc")
+      assert(out.as[(String, Long)].collect().toSeq == Seq(("de", 20L), ("fr", 10L)))
+    } finally server.stop()
+  }
+
+  test("remote: null values survive the wire") {
+    val gs = GraftSession(spark)
+    Seq((1L, Some("x")), (2L, None)).toDF("id", "s")
+      .createOrReplaceTempView("rn_t")
+    val server = new GraftServer(gs).start()
+    try {
+      val got = Sources.remote(spark, server.hostPort, "default", "rn_t")
+        .orderBy("id").collect()
+      assert(got(1).isNullAt(1))
+      assert(got(0).getString(1) == "x")
+    } finally server.stop()
+  }
+
+  // ---------------------------------------------------------- redis()
+
+  private val redisData = Map(
+    "doc:1" -> Map("text" -> "hello world", "lang" -> "en", "tokens" -> "2"),
+    "doc:2" -> Map("text" -> "bonjour", "lang" -> "fr", "tokens" -> "1"),
+    "doc:3" -> Map("text" -> "tag,with,commas", "lang" -> "en", "tokens" -> "3"),
+    "other:9" -> Map("text" -> "excluded", "lang" -> "xx", "tokens" -> "0"))
+
+  test("redis: keyspace maps to typed rows via SCAN + HGETALL") {
+    val srv = new MiniRedis(redisData)
+    try {
+      val df = Sources.redis(spark, srv.hostPort, "k",
+        "k STRING, text STRING, lang STRING, tokens INT", pattern = "doc:*")
+      val rows = df.orderBy("k").collect()
+      assert(rows.length == 3)
+      assert(rows(0).getString(0) == "doc:1")
+      assert(rows(0).getString(1) == "hello world")
+      assert(rows(0).getInt(3) == 2)
+      assert(df.schema("tokens").dataType.typeName == "integer")
+    } finally srv.stop()
+  }
+
+  test("redis: missing hash fields become nulls, AUTH enforced") {
+    val srv = new MiniRedis(Map("a" -> Map("x" -> "1")), password = "pw")
+    try {
+      intercept[IllegalArgumentException] {
+        Sources.redis(spark, srv.hostPort, "k", "k STRING, x INT, y STRING")
+          .collect()
+      }
+      val df = Sources.redis(spark, srv.hostPort, "k",
+        "k STRING, x INT, y STRING", password = "pw")
+      val r = df.collect().head
+      assert(r.getString(0) == "a" && r.getInt(1) == 1 && r.isNullAt(2))
+    } finally srv.stop()
+  }
+
+  test("redis: SCAN pages through the cursor protocol") {
+    // 1500 keys > the client's COUNT 512 page → exercises cursor resumption
+    val big = (1 to 1500).map(i => f"k:$i%05d" -> Map("v" -> i.toString)).toMap
+    val srv = new MiniRedis(big)
+    try {
+      val df = Sources.redis(spark, srv.hostPort, "k", "k STRING, v INT")
+      assert(df.count() == 1500)
+      assert(df.agg(sum("v")).as[Long].head() == 1500L * 1501 / 2)
+    } finally srv.stop()
+  }
+
+  test("redis: SQL table-function surface") {
+    val gs = GraftSession(spark)
+    val srv = new MiniRedis(redisData)
+    try {
+      val out = gs.sql(
+        s"SELECT lang, count(*) AS n FROM redis('${srv.hostPort}', 'k', " +
+          "'k STRING, lang STRING', 'doc:*') GROUP BY lang ORDER BY lang")
+      assert(out.as[(String, Long)].collect().toSeq == Seq(("en", 2L), ("fr", 1L)))
+    } finally srv.stop()
+  }
+}
