@@ -231,7 +231,7 @@ final class GraftSession(val spark: SparkSession) {
 
   private val sourceHeads = Set("file", "url", "deltalake", "delta_lake",
     "iceberg", "hudi", "numbers", "numbers_mt", "generaterandom",
-    "mysql", "postgresql", "sqlite", "jdbc", "remote", "redis")
+    "mysql", "postgresql", "sqlite", "jdbc", "remote", "redis", "mongodb")
 
   /** Rewrite ALL table-function call sites by SCANNING, not regex: string
     * literals, back-quoted identifiers and comments are copied verbatim
@@ -340,6 +340,15 @@ final class GraftSession(val spark: SparkSession) {
         if (!spark.catalog.tableExists(name))
           graft.io.Sources.remote(spark, a(0), a(1), a(2),
             a.lift(3).getOrElse("default"), a.lift(4).getOrElse(""))
+            .createOrReplaceTempView(name)
+        Some(name)
+      // mongodb('host:port', 'db', 'collection', 'user', 'password',
+      // 'structure') — reference table_functions.py:668-735
+      case "mongodb" if args.length == 6 && args.forall(quotedTok) =>
+        val a = args.map(unquote)
+        val name = s"__graft_mongo_${md5hex(a.mkString("|"))}"
+        if (!spark.catalog.tableExists(name))
+          graft.io.Sources.mongodb(spark, a(0), a(1), a(2), a(3), a(4), a(5))
             .createOrReplaceTempView(name)
         Some(name)
       // redis('host:port', 'keyCol', 'structure DDL'[, 'pattern', dbIndex,

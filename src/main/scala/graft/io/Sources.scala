@@ -155,6 +155,19 @@ object Sources {
       password: String = ""): DataFrame =
     RedisClient.readTable(spark, hostPort, keyCol, structure, pattern, dbIndex, password)
 
+  /** mongodb('host:port', db, collection, user, password, structure) — read
+    * a collection over the real wire protocol (reference
+    * table_functions.py:668-735): OP_MSG find/getMore cursor batches,
+    * SCRAM-SHA-1 auth when credentials are given, documents cast to
+    * `structure` (missing fields null, extras dropped). Single-cursor
+    * stream = one executor task; see [[MongoClient]] for the scale note.
+    */
+  def mongodb(spark: SparkSession, hostPort: String, database: String,
+      collection: String, user: String, password: String,
+      structure: String): DataFrame =
+    MongoClient.readCollection(spark, hostPort, database, collection,
+      user, password, structure)
+
   // ---- lakehouse table formats (reference table_functions.py:868-994) ----
 
   /** True when the `delta` / `iceberg` / `hudi` connector jar is on the

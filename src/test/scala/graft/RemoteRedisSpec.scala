@@ -162,4 +162,92 @@ class RemoteRedisSpec extends SparkTestBase {
       assert(out.as[(String, Long)].collect().toSeq == Seq(("en", 2L), ("fr", 1L)))
     } finally srv.stop()
   }
+
+  // ---------------------------------------------------------- mongodb()
+
+  private val mongoDocs: Seq[Seq[(String, Any)]] = Seq(
+    Seq("_id" -> graft.io.Bson.ObjectId("0123456789abcdef01234567"),
+      "name" -> "ada", "age" -> 36, "score" -> 9.5, "active" -> true),
+    Seq("_id" -> graft.io.Bson.ObjectId("0123456789abcdef01234568"),
+      "name" -> "grace", "age" -> 45L, "score" -> 8.25, "active" -> false),
+    Seq("_id" -> graft.io.Bson.ObjectId("0123456789abcdef01234569"),
+      "name" -> "edsger", "age" -> 72, "extra_field" -> "dropped"))
+
+  test("mongodb: BSON codec round trips the wire subset") {
+    import graft.io.Bson
+    val doc = Seq("s" -> "héllo\n", "i" -> 42, "l" -> 9999999999L, "d" -> 2.5,
+      "b" -> true, "nil" -> null, "arr" -> Seq(1, 2, 3),
+      "sub" -> Seq("x" -> "y"), "oid" -> Bson.ObjectId("aabbccddeeff00112233aabb"),
+      "ts" -> new java.sql.Timestamp(1700000000000L))
+    val decoded = Bson.decodeDoc(java.nio.ByteBuffer.wrap(Bson.encodeDoc(doc)))
+    assert(decoded("s") == "héllo\n")
+    assert(decoded("i") == 42 && decoded("l") == 9999999999L && decoded("d") == 2.5)
+    assert(decoded("b") == true && decoded("nil") == null)
+    assert(decoded("arr") == Seq(1, 2, 3))
+    assert(decoded("sub") == Map("x" -> "y"))
+    assert(decoded("oid") == Bson.ObjectId("aabbccddeeff00112233aabb"))
+    assert(decoded("ts") == new java.sql.Timestamp(1700000000000L))
+  }
+
+  test("mongodb: collection reads through OP_MSG with structure cast") {
+    val srv = new MiniMongo(Map(("app", "people") -> mongoDocs))
+    try {
+      val df = Sources.mongodb(spark, srv.hostPort, "app", "people", "", "",
+        "_id STRING, name STRING, age BIGINT, score DOUBLE, active BOOLEAN")
+      val rows = df.orderBy("name").collect()
+      assert(rows.length == 3)
+      assert(rows(0).getString(1) == "ada" && rows(0).getLong(2) == 36L
+        && rows(0).getDouble(3) == 9.5 && rows(0).getBoolean(4))
+      // missing field → null; extra field → dropped; ObjectId → hex string
+      assert(rows(1).isNullAt(3) && rows(1).isNullAt(4))
+      assert(rows(0).getString(0) == "0123456789abcdef01234567")
+      assert(df.columns.toSeq ==
+        Seq("_id", "name", "age", "score", "active"))
+    } finally srv.stop()
+  }
+
+  test("mongodb: getMore cursor paging (batch size 2 over 7 docs)") {
+    val docs = (1 to 7).map(i => Seq[(String, Any)]("k" -> i, "v" -> s"d$i"))
+    val srv = new MiniMongo(Map(("db", "c") -> docs), batchLimit = 2)
+    try {
+      val df = Sources.mongodb(spark, srv.hostPort, "db", "c", "", "",
+        "k INT, v STRING")
+      assert(df.count() == 7)
+      assert(df.agg(sum("k")).as[Long].head() == 28L)
+    } finally srv.stop()
+  }
+
+  test("mongodb: SCRAM-SHA-1 — correct password authenticates, wrong rejected") {
+    val srv = new MiniMongo(Map(("db", "c") -> mongoDocs.take(1)),
+      user = "app_user", password = "tr1cky:pwd")
+    try {
+      val ok = Sources.mongodb(spark, srv.hostPort, "db", "c",
+        "app_user", "tr1cky:pwd", "name STRING")
+      assert(ok.collect().map(_.getString(0)).toSeq == Seq("ada"))
+      val e = intercept[org.apache.spark.SparkException] {
+        Sources.mongodb(spark, srv.hostPort, "db", "c",
+          "app_user", "WRONG", "name STRING").collect()
+      }
+      assert(e.getMessage.contains("authentication failed") ||
+        Option(e.getCause).exists(_.getMessage.contains("authentication failed")))
+      // unauthenticated find is rejected server-side
+      val e2 = intercept[org.apache.spark.SparkException] {
+        Sources.mongodb(spark, srv.hostPort, "db", "c", "", "",
+          "name STRING").collect()
+      }
+      assert(e2.getMessage.contains("requires authentication") ||
+        Option(e2.getCause).exists(_.getMessage.contains("requires authentication")))
+    } finally srv.stop()
+  }
+
+  test("mongodb: SQL table-function surface") {
+    val gs = GraftSession(spark)
+    val srv = new MiniMongo(Map(("app", "people") -> mongoDocs))
+    try {
+      val out = gs.sql(
+        s"SELECT name FROM mongodb('${srv.hostPort}', 'app', 'people', '', '', " +
+          "'name STRING, age BIGINT') WHERE age > 40 ORDER BY name")
+      assert(out.as[String].collect().toSeq == Seq("edsger", "grace"))
+    } finally srv.stop()
+  }
 }
