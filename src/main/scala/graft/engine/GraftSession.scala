@@ -351,16 +351,19 @@ final class GraftSession(val spark: SparkSession) {
           graft.io.Sources.mongodb(spark, a(0), a(1), a(2), a(3), a(4), a(5))
             .createOrReplaceTempView(name)
         Some(name)
-      // redis('host:port', 'keyCol', 'structure DDL'[, 'pattern', dbIndex,
-      // 'password']) — reference table_functions.py:668-760
+      // redis('host:port', 'keyCol', 'structure DDL'[, 'password', dbIndex,
+      // 'pattern']) — reference table_functions.py:744-768 positional order
+      // (password then db_index after structure); the trailing key-glob
+      // pattern is a Graft extension (default '*')
       case "redis" if args.length >= 3 && args.length <= 6 &&
           args.take(4).forall(quotedTok) =>
         val a = args.map(unquote)
         val name = s"__graft_redis_${md5hex(a.mkString("|"))}"
         if (!spark.catalog.tableExists(name))
           graft.io.Sources.redis(spark, a(0), a(1), a(2),
-            a.lift(3).getOrElse("*"),
-            a.lift(4).map(_.toInt).getOrElse(0), a.lift(5).getOrElse(""))
+            password = a.lift(3).getOrElse(""),
+            dbIndex = a.lift(4).map(_.toInt).getOrElse(0),
+            pattern = a.lift(5).getOrElse("*"))
             .createOrReplaceTempView(name)
         Some(name)
       case _ => None

@@ -26,8 +26,11 @@ import graft.engine.GraftSession
   *
   * {{{
   *   C: {"op":"table","table":"nation","user":"default","password":""}\n
-  *   S: {"ok":true,"schema":"<DDL>","rows":25}\n
+  *   S: {"ok":true,"schema":"<DDL>"}\n
   *   S: {"n_nationkey":0,...}\n ... (rows)
+  *   S: \n{"eof":true,"rows":25}\n      (blank line + trailer; a stream
+  *                                       ending without it = truncated,
+  *                                       and the client raises)
   * }}}
   *
   * ops: `schema` (header only), `table` (SELECT * FROM <table>), `query`
@@ -79,7 +82,9 @@ final class GraftServer(
       sock.setTcpNoDelay(true)
       val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
       val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream, 1 << 16))
-      val req = GraftServer.parseFlatJson(GraftServer.readLine(in))
+      val reqLine = GraftServer.readLine(in)
+      if (reqLine == null) return // peer connected and closed without a request
+      val req = GraftServer.parseFlatJson(reqLine)
       def fail(msg: String): Unit = {
         out.write((GraftServer.jsonObj(Seq("ok" -> "false", "error" -> msg)) + "\n").getBytes(UTF_8))
         out.flush()
@@ -112,9 +117,26 @@ final class GraftServer(
           out.write((header + "\n").getBytes(UTF_8))
           if (op != "schema" && op != "query_schema") {
             // stream partitions one at a time — the result is never
-            // materialized driver-side in full
-            val it = df.toJSON.toLocalIterator()
-            while (it.hasNext) { out.write(it.next().getBytes(UTF_8)); out.write('\n') }
+            // materialized driver-side in full. The payload is terminated by
+            // a blank line + a trailer carrying the row count; without it the
+            // client treats the stream as TRUNCATED and raises, so a
+            // mid-stream server failure can never be read as a short-but-
+            // complete result.
+            var n = 0L
+            val trailer: String =
+              try {
+                val it = df.toJSON.toLocalIterator()
+                while (it.hasNext) {
+                  out.write(it.next().getBytes(UTF_8)); out.write('\n'); n += 1
+                }
+                GraftServer.jsonObj(Seq("eof" -> "true", "rows" -> n.toString))
+              } catch {
+                case e: Throwable =>
+                  GraftServer.jsonObj(Seq("eof" -> "false", "error" ->
+                    GraftServer.jsonStr(Option(e.getMessage).getOrElse(e.toString))))
+              }
+            out.write('\n') // blank line = end of payload
+            out.write((trailer + "\n").getBytes(UTF_8))
           }
           out.flush()
       }
@@ -128,9 +150,13 @@ object GraftServer {
       users: Map[String, String] = Map("default" -> "")): GraftServer =
     new GraftServer(GraftSession(spark), port, users)
 
+  /** One newline-framed line, or null when the stream is ALREADY at EOF
+    * (so callers can distinguish "blank line" from "connection closed").
+    */
   private[io] def readLine(in: DataInputStream): String = {
-    val buf = new java.io.ByteArrayOutputStream(256)
     var b = in.read()
+    if (b < 0) return null
+    val buf = new java.io.ByteArrayOutputStream(256)
     while (b >= 0 && b != '\n') { buf.write(b); b = in.read() }
     new String(buf.toByteArray, UTF_8)
   }

@@ -113,8 +113,12 @@ object MongoClient extends Serializable {
     */
   private[io] def authenticate(conn: Conn, db: String, user: String, password: String): Unit = {
     val mangled = md5hex(s"$user:mongo:$password")
-    val nonce = Base64.getEncoder.encodeToString(
-      sha1(s"$user|$db|${System.nanoTime()}".getBytes(UTF_8)).take(18))
+    // RFC 5802 requires an UNPREDICTABLE client nonce (replay protection)
+    val nonce = {
+      val b = new Array[Byte](18)
+      new java.security.SecureRandom().nextBytes(b)
+      Base64.getEncoder.encodeToString(b)
+    }
     val gs2 = "n,,"
     val clientFirstBare = s"n=$user,r=$nonce"
     val r1 = conn.command(Seq(

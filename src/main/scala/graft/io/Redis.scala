@@ -10,8 +10,8 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** `redis()` table function — a real RESP2 wire client (reference:
   * datastore/table_functions.py:668-760 RedisTableFunction —
-  * `redis(host:port, key, structure[, db_index[, password]])` maps a Redis
-  * keyspace to a table).
+  * `redis(host:port, key, structure[, password, db_index])` maps a Redis
+  * keyspace to a table; a trailing key-glob pattern is a Graft extension).
   *
   * Data model (documented divergence from ClickHouse's engine, which
   * serializes the non-key columns into an opaque CH-native value blob —
@@ -109,7 +109,10 @@ object RedisClient extends Serializable {
         case other => throw new IllegalStateException(s"bad SCAN reply: $other")
       }
     }
-    out.result()
+    // SCAN has at-least-once semantics: a live server can return the same
+    // key on more than one cursor page (concurrent writes, rehash), so the
+    // enumeration must dedup or redis() would emit duplicate rows
+    out.result().distinct
   }
 
   /** HGETALL → field map. */

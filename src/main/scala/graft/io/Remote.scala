@@ -54,12 +54,19 @@ object RemoteClient extends Serializable {
     new DataInputStream(new BufferedInputStream(sock.getInputStream, 1 << 16))
   }
 
+  private def readHeader(hostPort: String, in: DataInputStream): Map[String, String] = {
+    val line = GraftServer.readLine(in)
+    if (line == null) throw new java.io.IOException(
+      s"remote($hostPort): connection closed before response header")
+    GraftServer.parseFlatJson(line)
+  }
+
   /** Header-only round trip; returns the schema DDL. Raises on server error. */
   def fetchSchema(hostPort: String, fields: Seq[(String, String)]): String = {
     val sock = connect(hostPort)
     try {
       val in = request(sock, fields)
-      val hdr = GraftServer.parseFlatJson(GraftServer.readLine(in))
+      val hdr = readHeader(hostPort, in)
       if (hdr.get("ok").contains("true")) hdr.getOrElse("schema", "")
       else throw new IllegalArgumentException(
         s"remote($hostPort): ${hdr.getOrElse("error", "malformed response header")}")
@@ -69,11 +76,18 @@ object RemoteClient extends Serializable {
   /** Streaming payload fetch — yields JSONEachRow lines as they arrive on
     * the wire; the socket closes at EOF or when the iterator is abandoned
     * by task completion. Runs on executors.
+    *
+    * The payload MUST end with a blank line + an `{"eof":true,"rows":N}`
+    * trailer (written by [[GraftServer]]); a stream that hits raw EOF
+    * first, or whose trailer carries `eof:false` or a mismatched row
+    * count, raises instead of returning a silently truncated result — a
+    * server-side failure or dropped connection after the ok header can
+    * never masquerade as a complete answer.
     */
   def fetchLines(hostPort: String, fields: Seq[(String, String)]): Iterator[String] = {
     val sock = connect(hostPort)
     val in = request(sock, fields)
-    val hdr = GraftServer.parseFlatJson(GraftServer.readLine(in))
+    val hdr = readHeader(hostPort, in)
     if (!hdr.get("ok").contains("true")) {
       sock.close()
       throw new IllegalArgumentException(
@@ -83,10 +97,26 @@ object RemoteClient extends Serializable {
     Option(org.apache.spark.TaskContext.get())
       .foreach(_.addTaskCompletionListener[Unit](_ => sock.close()))
     new Iterator[String] {
+      private var seen = 0L
       private var nextLine: String = advance()
+      private def truncated(detail: String): Nothing = {
+        sock.close()
+        throw new java.io.IOException(
+          s"remote($hostPort): truncated row stream after $seen rows ($detail)")
+      }
       private def advance(): String = {
         val l = GraftServer.readLine(in)
-        if (l.isEmpty) { sock.close(); null } else l
+        if (l == null) truncated("connection closed without eof trailer")
+        else if (l.isEmpty) { // end of payload: verify the trailer
+          val tl = GraftServer.readLine(in)
+          if (tl == null) truncated("blank line but no trailer")
+          val trailer = GraftServer.parseFlatJson(tl)
+          if (!trailer.get("eof").contains("true"))
+            truncated(s"server error mid-stream: ${trailer.getOrElse("error", tl)}")
+          val n = trailer.get("rows").map(_.toLong)
+          if (!n.contains(seen)) truncated(s"server sent ${n.getOrElse("?")} rows")
+          sock.close(); null
+        } else { seen += 1; l }
       }
       def hasNext: Boolean = nextLine != null
       def next(): String = { val l = nextLine; nextLine = advance(); l }

@@ -142,17 +142,19 @@ object Sources {
       user: String = "default", password: String = ""): DataFrame =
     RemoteClient.readQuery(spark, hosts, sql, user, password)
 
-  /** redis('host:6379', keyCol, 'k String, f1 INT, …'[, pattern, dbIndex,
-    * password]) — map a Redis keyspace to a table over a real RESP2 wire
-    * client (reference table_functions.py:668-760). Each matched key is one
-    * row: keyCol gets the key, other columns come from the key's HASH
-    * fields, cast to the declared types. SCAN driver-side (key names only),
-    * HGETALL on executors. See [[RedisClient]] for the divergence note vs
-    * ClickHouse's opaque-value-blob layout.
+  /** redis('host:6379', keyCol, 'k String, f1 INT, …'[, password, dbIndex,
+    * pattern]) — map a Redis keyspace to a table over a real RESP2 wire
+    * client (reference table_functions.py:744-768, positional order
+    * `redis(host, key, structure[, password, db_index])`; the key-glob
+    * `pattern` is a trailing Graft extension, default `*`). Each matched
+    * key is one row: keyCol gets the key, other columns come from the
+    * key's HASH fields, cast to the declared types. SCAN driver-side (key
+    * names only), HGETALL on executors. See [[RedisClient]] for the
+    * divergence note vs ClickHouse's opaque-value-blob layout.
     */
   def redis(spark: SparkSession, hostPort: String, keyCol: String,
-      structure: String, pattern: String = "*", dbIndex: Int = 0,
-      password: String = ""): DataFrame =
+      structure: String, password: String = "", dbIndex: Int = 0,
+      pattern: String = "*"): DataFrame =
     RedisClient.readTable(spark, hostPort, keyCol, structure, pattern, dbIndex, password)
 
   /** mongodb('host:port', db, collection, user, password, structure) — read

@@ -284,9 +284,11 @@ object CoverageQueries {
       // remote() table function (reference table_functions.py:808-867): a
       // live GraftServer serves this session's `nation` view over a real
       // loopback socket; the query reads it back through the SQL surface —
-      // schema header + executor-side JSONEachRow streaming, end to end.
-      // cache+count materializes the fetch while the server is up (the
-      // DataFrame itself is lazy; Verify writes it after this fn returns).
+      // schema header + executor-side JSONEachRow streaming + eof trailer,
+      // end to end. The fetch is materialized DURABLY (collect → local
+      // relation) before the server stops: a cached plan whose lineage still
+      // points at the socket would recompute against a dead server if a
+      // partition were evicted before Verify writes the result.
       v(s, dir, "nation")
       val gs = graft.engine.GraftSession(s)
       val server = new graft.io.GraftServer(gs).start()
@@ -295,9 +297,7 @@ object CoverageQueries {
           s"""SELECT n_nationkey, n_name, n_regionkey
               FROM remote('${server.hostPort}', 'default', 'nation')
               ORDER BY n_nationkey""")
-        df.cache()
-        df.count()
-        df
+        s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
       } finally server.stop()
     }, Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"))
   )

@@ -14,7 +14,10 @@ import java.util.concurrent.atomic.AtomicBoolean
   */
 final class MiniRedis(
     data: Map[String, Map[String, String]],
-    password: String = "") {
+    password: String = "",
+    // re-emit the last N keys of the previous SCAN page on each next page —
+    // models real SCAN's at-least-once semantics (rehash / concurrent writes)
+    scanOverlap: Int = 0) {
 
   private val server = new ServerSocket(0, 8, InetAddress.getLoopbackAddress)
   private val running = new AtomicBoolean(true)
@@ -101,7 +104,8 @@ final class MiniRedis(
               val count = cmd.indexOf("COUNT") match {
                 case -1 => 10; case i => cmd(i + 1).toInt
               }
-              val page = keysSorted.slice(cursor, cursor + count)
+              val from = if (cursor == 0) 0 else math.max(0, cursor - scanOverlap)
+              val page = keysSorted.slice(from, cursor + count)
               val nextCursor = if (cursor + count >= keysSorted.size) 0 else cursor + count
               val matched = page.filter(globMatch(pat, _))
               out.write("*2\r\n".getBytes(UTF_8))

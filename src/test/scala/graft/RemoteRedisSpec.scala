@@ -105,6 +105,52 @@ class RemoteRedisSpec extends SparkTestBase {
     } finally server.stop()
   }
 
+  test("remote: server-side failure mid-stream raises, not a short result") {
+    val gs = GraftSession(spark)
+    spark.udf.register("boom_if", (x: Long) => { require(x < 5, "boom"); x })
+    spark.range(0, 10, 1, 2).createOrReplaceTempView("trunc_t")
+    val server = new GraftServer(gs).start()
+    try {
+      val e = intercept[Exception] {
+        Sources.remoteQuery(spark, server.hostPort,
+          "SELECT boom_if(id) AS v FROM trunc_t").collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("truncated")),
+        s"expected truncation error, got: ${msgs(e).mkString(" | ")}")
+    } finally server.stop()
+  }
+
+  test("remote: dropped connection without eof trailer raises") {
+    // raw fake server: ok header + 2 rows, then hard close — no trailer
+    val ss = new java.net.ServerSocket(0, 4, java.net.InetAddress.getLoopbackAddress)
+    val t = new Thread(() => {
+      try while (true) {
+        val s = ss.accept()
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(s.getInputStream))
+        in.readLine() // request line
+        val out = s.getOutputStream
+        out.write(("{\"ok\":true,\"schema\":\"id BIGINT\"}\n" +
+          "{\"id\":1}\n{\"id\":2}\n").getBytes("UTF-8"))
+        out.flush()
+        s.close()
+      } catch { case _: Throwable => /* server socket closed */ }
+    })
+    t.setDaemon(true); t.start()
+    try {
+      val e = intercept[Exception] {
+        Sources.remote(spark, s"127.0.0.1:${ss.getLocalPort}",
+          "default", "whatever").collect()
+      }
+      def msgs(x: Throwable): Seq[String] =
+        if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+      assert(msgs(e).exists(_.contains("truncated")),
+        s"expected truncation error, got: ${msgs(e).mkString(" | ")}")
+    } finally ss.close()
+  }
+
   // ---------------------------------------------------------- redis()
 
   private val redisData = Map(
@@ -152,14 +198,33 @@ class RemoteRedisSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
-  test("redis: SQL table-function surface") {
+  test("redis: SQL table-function surface (reference positional order)") {
     val gs = GraftSession(spark)
-    val srv = new MiniRedis(redisData)
+    val srv = new MiniRedis(redisData, password = "pw")
     try {
+      // reference order: redis(host, key, structure[, password, db_index]);
+      // the key-glob pattern is a trailing Graft extension
       val out = gs.sql(
         s"SELECT lang, count(*) AS n FROM redis('${srv.hostPort}', 'k', " +
-          "'k STRING, lang STRING', 'doc:*') GROUP BY lang ORDER BY lang")
+          "'k STRING, lang STRING', 'pw', 0, 'doc:*') GROUP BY lang ORDER BY lang")
       assert(out.as[(String, Long)].collect().toSeq == Seq(("en", 2L), ("fr", 1L)))
+      // a reference-conformant call redis(h,k,s,'pw',0) authenticates —
+      // the password must NOT be swallowed as a key pattern
+      val all = gs.sql(
+        s"SELECT count(*) AS n FROM redis('${srv.hostPort}', 'k', " +
+          "'k STRING, lang STRING', 'pw', 0)")
+      assert(all.as[Long].head() == 4L)
+    } finally srv.stop()
+  }
+
+  test("redis: at-least-once SCAN pages do not produce duplicate rows") {
+    // server re-emits 3 keys of the previous page on every cursor step
+    val big = (1 to 1200).map(i => f"k:$i%05d" -> Map("v" -> i.toString)).toMap
+    val srv = new MiniRedis(big, scanOverlap = 3)
+    try {
+      val df = Sources.redis(spark, srv.hostPort, "k", "k STRING, v INT")
+      assert(df.count() == 1200)
+      assert(df.select("k").distinct().count() == 1200)
     } finally srv.stop()
   }
 
