@@ -70,30 +70,85 @@ object Bench {
       val ts = Seq(once(q), once(q), once(q)).filter(_ >= 0)
       q.name -> (if (ts.isEmpty) -1.0 else ts.min)
     }
-    val qs = results.map { case (k, t) => "\"" + k + "\":" + t }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    // Contamination guard: diff against the previous round's committed numbers
-    // (stderr, so the one-JSON-line stdout contract is untouched). A >1.5x
-    // regression on untouched code means the machine was loaded — rerun.
-    compareToPrevious(results)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val resultMap = scala.collection.mutable.LinkedHashMap(results: _*)
+
+    // ENFORCING contamination guard (r13 — the r12 record was a load-
+    // contaminated run committed against its own stderr "rerun" flag).
+    // Load inflation only ever makes queries SLOWER, so: queries >1.5x their
+    // previous committed time (same-sf record) are auto-rerun (bounded, 2
+    // rounds, min kept), and a run that STILL trips prints
+    // "contaminated":true in its JSON line and exits non-zero — a flagged
+    // run can no longer be silently committed as the round's record.
+    // Improvements (<0.67x) are reported but never enforced: they are either
+    // real wins or evidence the PREVIOUS record was the contaminated one.
+    // A genuine, intentional slowdown is declared via
+    // SPARK_GRAFT_EXPECT_SLOWER=q1,q2 (exempts those names from the gate).
+    val (prevName, prevTimes) = previousTimes(sfDir)
+    def slowOnes: Seq[String] = resultMap.toSeq.collect {
+      case (n, t) if prevTimes.get(n).exists(p => p > 0 && t > 0 && t / p > 1.5) => n
+    }
+    var retries = 0
+    while (slowOnes.nonEmpty && retries < 2) {
+      retries += 1
+      System.err.println(s"[bench-delta] retry $retries for ${slowOnes.size} " +
+        s"flagged-slow: ${slowOnes.mkString(", ")}")
+      slowOnes.foreach { n =>
+        headline.find(_.name == n).foreach { q =>
+          val t = once(q)
+          if (t >= 0 && t < resultMap(n)) resultMap(n) = t
+        }
+      }
+    }
+    val expectSlower = sys.env.getOrElse("SPARK_GRAFT_EXPECT_SLOWER", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    reportDeltas(resultMap.toSeq, prevName, prevTimes)
+    val contaminated = slowOnes.filterNot(expectSlower)
+
+    val qs = resultMap.map { case (k, t) => "\"" + k + "\":" + t }.mkString("{", ",", "}")
+    val total = resultMap.values.filter(_ >= 0).sum
+    val flag = if (contaminated.nonEmpty) "\"contaminated\":true," else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$flag"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (contaminated.nonEmpty) {
+      System.err.println(s"[bench-delta] STILL >1.5x after $retries retries " +
+        s"(${contaminated.mkString(", ")}) — refusing a committable record; " +
+        "rerun on an idle machine or set SPARK_GRAFT_EXPECT_SLOWER for " +
+        "intentional slowdowns")
+      sys.exit(1)
+    }
   }
 
-  /** Print per-query deltas vs the newest committed BENCH_r*.json (if any). */
-  private def compareToPrevious(results: Seq[(String, Double)]): Unit = try {
+  /** Per-query seconds from the newest committed same-sf record:
+    * BENCH_r*_sf1.json when benching /…/sf1, else BENCH_r*.json (the
+    * driver's sf0.1 rounds). Other sf dirs (local sf0.01 iteration) get no
+    * baseline — the guard only compares like with like.
+    */
+  private def previousTimes(sfDir: String): (String, Map[String, Double]) = try {
+    val base = new java.io.File(sfDir).getName
+    val pattern = base match {
+      case "sf1" => "BENCH_r\\d+_sf1\\.json"
+      case "sf0.1" => "BENCH_r\\d+\\.json"
+      case _ => return ("", Map.empty)
+    }
     val dir = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"))
     val benches = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
-    if (benches.isEmpty) return
+      .filter(_.getName.matches(pattern))
+      .sortBy(f => "\\d+".r.findFirstIn(f.getName).map(_.toInt).getOrElse(0))
+    if (benches.isEmpty) return ("", Map.empty)
     val prev = benches.last
     val src = scala.io.Source.fromFile(prev)
     val json = try src.mkString finally src.close()
     // minimal extraction of "name":seconds pairs; the driver wraps our JSON
     // line inside a "tail" string field, so quotes may arrive escaped (\")
     val pair = """\\?"([A-Za-z0-9_]+)\\?":\s*([-0-9.Ee]+)""".r
-    val prevTimes = pair.findAllMatchIn(json)
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap - "value"
+    (prev.getName, pair.findAllMatchIn(json)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap - "value")
+  } catch { case _: Throwable => ("", Map.empty) }
+
+  /** Stderr band report (stdout keeps the one-JSON-line contract). */
+  private def reportDeltas(results: Seq[(String, Double)], prevName: String,
+      prevTimes: Map[String, Double]): Unit = {
+    if (prevTimes.isEmpty) return
     var flagged = 0
     results.foreach { case (name, t) =>
       prevTimes.get(name).foreach { p =>
@@ -102,13 +157,12 @@ object Bench {
           if (ratio > 1.5 || ratio < 0.67) {
             flagged += 1
             System.err.println(
-              f"[bench-delta] $name%-22s ${prev.getName}: $p%.3f s -> now: $t%.3f s (${ratio}%.2fx)")
+              f"[bench-delta] $name%-22s $prevName: $p%.3f s -> now: $t%.3f s (${ratio}%.2fx)")
           }
         }
       }
     }
     System.err.println(
-      s"[bench-delta] ${results.size} queries vs ${prev.getName}: $flagged outside [0.67x, 1.5x]" +
-        (if (flagged > 0) " — if code is untouched this run is load-contaminated; rerun" else ""))
-  } catch { case _: Throwable => () } // comparison is best-effort diagnostics
+      s"[bench-delta] ${results.size} queries vs $prevName: $flagged outside [0.67x, 1.5x]")
+  }
 }

@@ -56,16 +56,17 @@ final class GraftSession(val spark: SparkSession) {
       s"generateRandom: unsupported type '$other'")
   }
 
-  private def registerGenerateRandom(spec: String, seed: Long): String = {
+  private def registerGenerateRandom(spec: String, seed: Long,
+      rows: Long): String = {
     val cols = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { c =>
       val Array(n, t) = c.split("\\s+", 2)
       n -> randKind(t.trim)
     }
     val name = s"__graft_rand_" + java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$spec|$seed".getBytes("UTF-8"))
+      .digest(s"$spec|$seed|$rows".getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString
     if (!spark.catalog.tableExists(name))
-      graft.io.Sources.generateRandom(spark, 10000L, cols, seed)
+      graft.io.Sources.generateRandom(spark, rows, cols, seed)
         .drop("number").createOrReplaceTempView(name)
     name
   }
@@ -316,10 +317,14 @@ final class GraftSession(val spark: SparkSession) {
             (cnt.toString, if (cnt <= Int.MaxValue) "INT" else "BIGINT")
           }
         Some(s"(SELECT CAST(id AS $cast) AS number FROM range($count))")
+      // generateRandom('spec'[, seed[, N]]) — the reference's generator is
+      // unbounded/parameterized (table_functions.py:1051); N defaults to
+      // 10000 and accepts scientific notation like numbers() does
       case "generaterandom" if args.nonEmpty && quotedTok(args.head) &&
-          args.tail.forall(_.matches("\\d+")) =>
+          args.tail.forall(_.matches("[0-9]+([.][0-9]*)?([eE][0-9]+)?")) =>
         Some(registerGenerateRandom(unquote(args.head),
-          args.lift(1).map(_.toLong).getOrElse(42L)))
+          args.lift(1).map(_.toDouble.toLong).getOrElse(42L),
+          args.lift(2).map(_.toDouble.toLong).getOrElse(10000L)))
       // federated JDBC table functions (reference table_functions.py:570-667):
       // mysql/postgresql('host:port', 'db', 'table', 'user', 'password'
       // [, 'schema' for postgresql]), sqlite('path', 'table'), and the

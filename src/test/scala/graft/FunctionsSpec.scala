@@ -356,6 +356,24 @@ class GenerateRandomSqlSpec extends SparkTestBase {
     assert(vals(7) == vals(7))
     assert(vals(7) != vals(8))
   }
+
+  test("third argument parameterizes the row count (r13)") {
+    assert(g.sql("SELECT count(*) AS n FROM generateRandom('a Int32', 42, 257)")
+      .head().getLong(0) == 257L)
+    // scientific notation, like numbers(1e4)
+    assert(g.sql("SELECT count(*) AS n FROM generateRandom('a Int32', 42, 1e5)")
+      .head().getLong(0) == 100000L)
+    // default stays 10000
+    assert(g.sql("SELECT count(*) AS n FROM generateRandom('a Int32')")
+      .head().getLong(0) == 10000L)
+    // same spec+seed at different N: the shared prefix is identical (the
+    // generator is deterministic in `number`, not in N)
+    val a = g.sql("SELECT a FROM generateRandom('a Int32', 7, 100) ORDER BY a")
+      .collect().map(_.getInt(0)).toSeq
+    val b = g.sql("SELECT a FROM generateRandom('a Int32', 7, 100) ORDER BY a")
+      .collect().map(_.getInt(0)).toSeq
+    assert(a == b)
+  }
 }
 
 /** Registry batch 3 (round-4 diff against the reference's function list). */
