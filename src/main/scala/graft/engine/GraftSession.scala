@@ -232,7 +232,8 @@ final class GraftSession(val spark: SparkSession) {
 
   private val sourceHeads = Set("file", "url", "deltalake", "delta_lake",
     "iceberg", "hudi", "numbers", "numbers_mt", "generaterandom",
-    "mysql", "postgresql", "sqlite", "jdbc", "remote", "redis", "mongodb")
+    "mysql", "postgresql", "sqlite", "jdbc", "remote", "remotesecure",
+    "redis", "mongodb")
 
   /** Rewrite ALL table-function call sites by SCANNING, not regex: string
     * literals, back-quoted identifiers and comments are copied verbatim
@@ -338,14 +339,24 @@ final class GraftSession(val spark: SparkSession) {
         val (u, t, o) = GraftSession.jdbcTarget(lw, args.map(unquote))
         Some(registerJdbc(u, t, o))
       // remote('h{1..N}:port', 'db', 'table'[, 'user', 'password']) —
-      // reference table_functions.py:808-867; served by graft.io.GraftServer
-      case "remote" if args.length >= 3 && args.length <= 5 && args.forall(quotedTok) =>
+      // reference table_functions.py:808-867; served by graft.io.GraftServer.
+      // remoteSecure(...) is the same surface over TLS (same reference
+      // lines register both names); the client truststore comes from
+      // spark.graft.remote.trustStore[Password] conf (or JVM-default trust)
+      case "remote" | "remotesecure"
+          if args.length >= 3 && args.length <= 5 && args.forall(quotedTok) =>
         val a = args.map(unquote)
-        val name = s"__graft_remote_${md5hex(a.mkString("|"))}"
-        if (!spark.catalog.tableExists(name))
-          graft.io.Sources.remote(spark, a(0), a(1), a(2),
-            a.lift(3).getOrElse("default"), a.lift(4).getOrElse(""))
-            .createOrReplaceTempView(name)
+        val name = s"__graft_${lw}_${md5hex(a.mkString("|"))}"
+        if (!spark.catalog.tableExists(name)) {
+          val df =
+            if (lw == "remotesecure")
+              graft.io.Sources.remoteSecure(spark, a(0), a(1), a(2),
+                a.lift(3).getOrElse("default"), a.lift(4).getOrElse(""))
+            else
+              graft.io.Sources.remote(spark, a(0), a(1), a(2),
+                a.lift(3).getOrElse("default"), a.lift(4).getOrElse(""))
+          df.createOrReplaceTempView(name)
+        }
         Some(name)
       // mongodb('host:port', 'db', 'collection', 'user', 'password',
       // 'structure') — reference table_functions.py:668-735

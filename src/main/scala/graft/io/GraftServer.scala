@@ -47,9 +47,18 @@ import graft.engine.GraftSession
 final class GraftServer(
     gs: GraftSession,
     port: Int = 0,
-    users: Map[String, String] = Map("default" -> "")) {
+    users: Map[String, String] = Map("default" -> ""),
+    // (PKCS12 keystore path, password) — when set, the server speaks TLS
+    // and is the target of remoteSecure() (reference table_functions.py:
+    // 808-867 registers both `remote` and `remoteSecure`)
+    tls: Option[(String, String)] = None) {
 
-  private val server = new ServerSocket(port, 16, InetAddress.getLoopbackAddress)
+  private val server: ServerSocket = tls match {
+    case Some((ksPath, ksPass)) =>
+      GraftServer.serverSslContext(ksPath, ksPass).getServerSocketFactory
+        .createServerSocket(port, 16, InetAddress.getLoopbackAddress)
+    case None => new ServerSocket(port, 16, InetAddress.getLoopbackAddress)
+  }
   private val running = new AtomicBoolean(false)
   private val pool = Executors.newCachedThreadPool { r =>
     val t = new Thread(r, "graft-server"); t.setDaemon(true); t
@@ -90,7 +99,12 @@ final class GraftServer(
         out.flush()
       }
       val user = req.getOrElse("user", "default")
-      if (!users.get(user).contains(req.getOrElse("password", ""))) {
+      // constant-time compare — the credential check's timing must not leak
+      // how much of the password prefix matched
+      val authed = users.get(user).exists(expected =>
+        java.security.MessageDigest.isEqual(
+          expected.getBytes(UTF_8), req.getOrElse("password", "").getBytes(UTF_8)))
+      if (!authed) {
         fail(s"authentication failed for user '$user'"); return
       }
       val op = req.getOrElse("op", "table")
@@ -149,6 +163,19 @@ object GraftServer {
   def apply(spark: SparkSession, port: Int = 0,
       users: Map[String, String] = Map("default" -> "")): GraftServer =
     new GraftServer(GraftSession(spark), port, users)
+
+  /** TLS context serving the identity in a PKCS12 keystore. */
+  private[io] def serverSslContext(ksPath: String, ksPass: String): javax.net.ssl.SSLContext = {
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val in = new java.io.FileInputStream(ksPath)
+    try ks.load(in, ksPass.toCharArray) finally in.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, ksPass.toCharArray)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    ctx
+  }
 
   /** One newline-framed line, or null when the stream is ALREADY at EOF
     * (so callers can distinguish "blank line" from "connection closed").

@@ -22,6 +22,26 @@ import org.apache.spark.sql.types.StructType
   */
 object RemoteClient extends Serializable {
 
+  /** Client TLS trust for remoteSecure(): a PKCS12 truststore holding the
+    * server's certificate. Serializable — executors open their own TLS
+    * sockets, so the trust config rides into the fetch closures.
+    */
+  final case class Tls(trustStore: String, password: String)
+
+  private def clientSslContext(tls: Tls): javax.net.ssl.SSLContext = {
+    if (tls.trustStore.isEmpty) // JVM-default trust (javax.net.ssl sysprops)
+      return javax.net.ssl.SSLContext.getDefault
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val in = new java.io.FileInputStream(tls.trustStore)
+    try ks.load(in, tls.password.toCharArray) finally in.close()
+    val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+      javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(ks)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(null, tmf.getTrustManagers, null)
+    ctx
+  }
+
   /** `h{1..3}:9000,other:9001` → Seq(h1:9000, h2:9000, h3:9000, other:9001). */
   def expandHosts(pattern: String): Seq[String] = {
     val range = "\\{(\\d+)\\.\\.(\\d+)\\}".r
@@ -36,14 +56,30 @@ object RemoteClient extends Serializable {
     }
   }
 
-  private def connect(hostPort: String): Socket = {
+  private def connect(hostPort: String, tls: Option[Tls]): Socket = {
     val idx = hostPort.lastIndexOf(':')
     require(idx > 0, s"remote host must be host:port, got '$hostPort'")
-    val s = new Socket()
-    s.setTcpNoDelay(true)
-    s.connect(new InetSocketAddress(
-      hostPort.substring(0, idx), hostPort.substring(idx + 1).toInt), 10000)
-    s
+    val addr = new InetSocketAddress(
+      hostPort.substring(0, idx), hostPort.substring(idx + 1).toInt)
+    tls match {
+      case None =>
+        val s = new Socket()
+        s.setTcpNoDelay(true)
+        s.connect(addr, 10000)
+        s
+      case Some(t) =>
+        val s = clientSslContext(t).getSocketFactory.createSocket()
+          .asInstanceOf[javax.net.ssl.SSLSocket]
+        s.setTcpNoDelay(true)
+        s.connect(addr, 10000)
+        // verify the certificate is for THIS host (SAN check), not merely
+        // signed by a trusted key — blocks host-in-the-middle replays
+        val p = s.getSSLParameters
+        p.setEndpointIdentificationAlgorithm("HTTPS")
+        s.setSSLParameters(p)
+        s.startHandshake()
+        s
+    }
   }
 
   private def request(sock: Socket, fields: Seq[(String, String)]): DataInputStream = {
@@ -62,8 +98,9 @@ object RemoteClient extends Serializable {
   }
 
   /** Header-only round trip; returns the schema DDL. Raises on server error. */
-  def fetchSchema(hostPort: String, fields: Seq[(String, String)]): String = {
-    val sock = connect(hostPort)
+  def fetchSchema(hostPort: String, fields: Seq[(String, String)],
+      tls: Option[Tls] = None): String = {
+    val sock = connect(hostPort, tls)
     try {
       val in = request(sock, fields)
       val hdr = readHeader(hostPort, in)
@@ -84,8 +121,9 @@ object RemoteClient extends Serializable {
     * server-side failure or dropped connection after the ok header can
     * never masquerade as a complete answer.
     */
-  def fetchLines(hostPort: String, fields: Seq[(String, String)]): Iterator[String] = {
-    val sock = connect(hostPort)
+  def fetchLines(hostPort: String, fields: Seq[(String, String)],
+      tls: Option[Tls] = None): Iterator[String] = {
+    val sock = connect(hostPort, tls)
     val in = request(sock, fields)
     val hdr = readHeader(hostPort, in)
     if (!hdr.get("ok").contains("true")) {
@@ -126,17 +164,17 @@ object RemoteClient extends Serializable {
   /** Shard-parallel table read; see [[Sources.remote]] for the public entry. */
   private[io] def readTable(
       spark: SparkSession, hostPattern: String, database: String, table: String,
-      user: String, password: String): DataFrame = {
+      user: String, password: String, tls: Option[Tls] = None): DataFrame = {
     val shards = expandHosts(hostPattern)
     require(shards.nonEmpty, "remote(): empty host list")
     val base = Seq("database" -> database, "table" -> table,
       "user" -> user, "password" -> password)
-    val ddl = fetchSchema(shards.head, ("op" -> "schema") +: base)
+    val ddl = fetchSchema(shards.head, ("op" -> "schema") +: base, tls)
     val schema = StructType.fromDDL(ddl)
     val rows = spark.createDataset(
       spark.sparkContext
         .makeRDD(shards, shards.size)
-        .mapPartitions(_.flatMap(h => fetchLines(h, ("op" -> "table") +: base))))(
+        .mapPartitions(_.flatMap(h => fetchLines(h, ("op" -> "table") +: base, tls))))(
       Encoders.STRING)
     spark.read.schema(schema).json(rows)
   }
@@ -144,17 +182,17 @@ object RemoteClient extends Serializable {
   /** Remote SQL execution (pushdown path); result typed from the header DDL. */
   private[io] def readQuery(
       spark: SparkSession, hostPattern: String, sql: String,
-      user: String, password: String): DataFrame = {
+      user: String, password: String, tls: Option[Tls] = None): DataFrame = {
     val shards = expandHosts(hostPattern)
     require(shards.nonEmpty, "remote(): empty host list")
     val base = Seq("op" -> "query", "sql" -> sql,
       "user" -> user, "password" -> password)
-    val ddl = fetchSchema(shards.head, ("op" -> "query_schema") +: base.tail)
+    val ddl = fetchSchema(shards.head, ("op" -> "query_schema") +: base.tail, tls)
     val schema = StructType.fromDDL(ddl)
     val rows = spark.createDataset(
       spark.sparkContext
         .makeRDD(shards, shards.size)
-        .mapPartitions(_.flatMap(h => fetchLines(h, base))))(Encoders.STRING)
+        .mapPartitions(_.flatMap(h => fetchLines(h, base, tls))))(Encoders.STRING)
     spark.read.schema(schema).json(rows)
   }
 }

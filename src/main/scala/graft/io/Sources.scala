@@ -142,6 +142,40 @@ object Sources {
       user: String = "default", password: String = ""): DataFrame =
     RemoteClient.readQuery(spark, hosts, sql, user, password)
 
+  /** remoteSecure(...) — [[remote]] over TLS (the reference registers both
+    * `remote` and `remoteSecure`, table_functions.py:808-867). The client
+    * trusts exactly the certificates in `trustStore` (PKCS12) and verifies
+    * the host against the certificate's SAN; credentials and rows never
+    * ride cleartext. Serve with `new GraftServer(gs, tls = Some(ks -> pw))`.
+    * When trustStore is empty, falls back to the JVM-default trust
+    * (`javax.net.ssl.trustStore` system properties) — the public-CA path.
+    */
+  def remoteSecure(spark: SparkSession, hosts: String, database: String,
+      table: String, user: String = "default", password: String = "",
+      trustStore: String = "", trustStorePassword: String = ""): DataFrame =
+    RemoteClient.readTable(spark, hosts, database, table, user, password,
+      tlsConfig(spark, trustStore, trustStorePassword))
+
+  /** Pushdown companion to [[remoteSecure]] — full SQL over TLS. */
+  def remoteSecureQuery(spark: SparkSession, hosts: String, sql: String,
+      user: String = "default", password: String = "",
+      trustStore: String = "", trustStorePassword: String = ""): DataFrame =
+    RemoteClient.readQuery(spark, hosts, sql, user, password,
+      tlsConfig(spark, trustStore, trustStorePassword))
+
+  /** Resolve the client truststore: explicit args > spark conf
+    * (`spark.graft.remote.trustStore[Password]`) > JVM default trust
+    * (javax.net.ssl sysprops, represented as Tls("", "") → default context).
+    */
+  private def tlsConfig(spark: SparkSession, trustStore: String,
+      trustStorePassword: String): Some[RemoteClient.Tls] = {
+    val ts = if (trustStore.nonEmpty) trustStore
+      else spark.conf.get("spark.graft.remote.trustStore", "")
+    val pw = if (trustStore.nonEmpty) trustStorePassword
+      else spark.conf.get("spark.graft.remote.trustStorePassword", "")
+    Some(RemoteClient.Tls(ts, pw))
+  }
+
   /** redis('host:6379', keyCol, 'k String, f1 INT, …'[, password, dbIndex,
     * pattern]) — map a Redis keyspace to a table over a real RESP2 wire
     * client (reference table_functions.py:744-768, positional order

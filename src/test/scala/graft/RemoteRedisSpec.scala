@@ -151,6 +151,95 @@ class RemoteRedisSpec extends SparkTestBase {
     } finally ss.close()
   }
 
+  // ---------------------------------------------------------- remoteSecure()
+
+  /** Self-signed PKCS12 identity for 127.0.0.1 (SAN=IP), generated once per
+    * suite with the JDK's keytool — the server's keystore and the client's
+    * truststore in the happy path.
+    */
+  private lazy val tlsKeystore: String = {
+    val f = java.io.File.createTempFile("graft-tls", ".p12")
+    f.delete()
+    f.deleteOnExit()
+    val keytool = new java.io.File(
+      new java.io.File(System.getProperty("java.home"), "bin"), "keytool").getAbsolutePath
+    val p = new ProcessBuilder(keytool, "-genkeypair", "-alias", "graft",
+      "-keyalg", "RSA", "-keysize", "2048", "-storetype", "PKCS12",
+      "-keystore", f.getAbsolutePath, "-storepass", "changeit",
+      "-keypass", "changeit", "-dname", "CN=127.0.0.1", "-validity", "2",
+      "-ext", "SAN=IP:127.0.0.1").redirectErrorStream(true).start()
+    val out = new String(p.getInputStream.readAllBytes())
+    assert(p.waitFor() == 0, s"keytool failed: $out")
+    f.getAbsolutePath
+  }
+
+  test("remoteSecure: TLS round trip preserves rows; SQL surface works") {
+    val gs = GraftSession(spark)
+    Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name")
+      .createOrReplaceTempView("tls_t")
+    val server = new GraftServer(gs, tls = Some(tlsKeystore -> "changeit")).start()
+    try {
+      val got = Sources.remoteSecure(spark, server.hostPort, "default", "tls_t",
+        trustStore = tlsKeystore, trustStorePassword = "changeit")
+      assert(got.orderBy("id").collect().map(_.getString(1)).toSeq ==
+        Seq("alpha", "beta"))
+      // SQL surface: truststore via spark conf
+      spark.conf.set("spark.graft.remote.trustStore", tlsKeystore)
+      spark.conf.set("spark.graft.remote.trustStorePassword", "changeit")
+      try {
+        val out = gs.sql(s"SELECT count(*) AS n FROM " +
+          s"remoteSecure('${server.hostPort}', 'default', 'tls_t')")
+        assert(out.as[Long].head() == 2L)
+      } finally {
+        spark.conf.unset("spark.graft.remote.trustStore")
+        spark.conf.unset("spark.graft.remote.trustStorePassword")
+      }
+    } finally server.stop()
+  }
+
+  test("remoteSecure: untrusted certificate is rejected (handshake fails)") {
+    val gs = GraftSession(spark)
+    spark.range(3).createOrReplaceTempView("tls_rej_t")
+    val server = new GraftServer(gs, tls = Some(tlsKeystore -> "changeit")).start()
+    try {
+      // empty truststore → JVM-default trust, which does NOT contain our
+      // self-signed cert → SSL handshake must fail, no data transits
+      val e = intercept[Exception] {
+        Sources.remoteSecure(spark, server.hostPort, "default", "tls_rej_t")
+          .collect()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(_.isInstanceOf[javax.net.ssl.SSLException]),
+        s"expected SSL failure, got: $e")
+    } finally server.stop()
+  }
+
+  test("remoteSecure: bad credentials fail loudly over TLS") {
+    val gs = GraftSession(spark)
+    val server = new GraftServer(gs, users = Map("alice" -> "s3cret"),
+      tls = Some(tlsKeystore -> "changeit")).start()
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Sources.remoteSecure(spark, server.hostPort, "default", "whatever",
+          user = "alice", password = "wrong",
+          trustStore = tlsKeystore, trustStorePassword = "changeit")
+      }
+      assert(e.getMessage.contains("authentication failed"))
+    } finally server.stop()
+  }
+
+  test("remoteSecure: plaintext client cannot read a TLS server") {
+    val gs = GraftSession(spark)
+    spark.range(3).createOrReplaceTempView("tls_plain_t")
+    val server = new GraftServer(gs, tls = Some(tlsKeystore -> "changeit")).start()
+    try {
+      intercept[Exception] {
+        Sources.remote(spark, server.hostPort, "default", "tls_plain_t").collect()
+      }
+    } finally server.stop()
+  }
+
   // ---------------------------------------------------------- redis()
 
   private val redisData = Map(

@@ -20,6 +20,7 @@ object Scratch {
     if (args.headOption.contains("r12drive")) { r12drive(g); g.spark.stop(); return }
     if (args.headOption.contains("capprof")) { capProf(g); g.spark.stop(); return }
     if (args.headOption.contains("remotedrive")) { remoteDrive(g); g.spark.stop(); return }
+    if (args.headOption.contains("tlsdrive")) { tlsDrive(g); g.spark.stop(); return }
     val names = if (args.nonEmpty) args.toSeq else Seq("q01_tpch_q1")
     names.foreach { n =>
       println(s"=== $n ===")
@@ -530,5 +531,40 @@ object Scratch {
       g.spark.table("nation").groupBy("n_regionkey").agg(count(lit(1)).as("n"))
         .orderBy("n_regionkey").show(false)
     } finally server.stop()
+  }
+
+  /** r13 drive: remoteSecure() over a real TLS socket via the SQL surface. */
+  private def tlsDrive(g: graft.engine.GraftSession): Unit = {
+    graft.Tables.load(g.spark, "/root/testdata/sf0.001", "nation")
+      .createOrReplaceTempView("nation")
+    val ksFile = java.io.File.createTempFile("graft-tls-drive", ".p12")
+    ksFile.delete()
+    val keytool = new java.io.File(
+      new java.io.File(System.getProperty("java.home"), "bin"), "keytool").getAbsolutePath
+    new ProcessBuilder(keytool, "-genkeypair", "-alias", "graft",
+      "-keyalg", "RSA", "-keysize", "2048", "-storetype", "PKCS12",
+      "-keystore", ksFile.getAbsolutePath, "-storepass", "changeit",
+      "-keypass", "changeit", "-dname", "CN=127.0.0.1", "-validity", "2",
+      "-ext", "SAN=IP:127.0.0.1").inheritIO().start().waitFor()
+    val server = new graft.io.GraftServer(g,
+      tls = Some(ksFile.getAbsolutePath -> "changeit")).start()
+    try {
+      println(s"TLS server on ${server.hostPort}")
+      g.spark.conf.set("spark.graft.remote.trustStore", ksFile.getAbsolutePath)
+      g.spark.conf.set("spark.graft.remote.trustStorePassword", "changeit")
+      g.sql(s"""SELECT n_regionkey, count(*) AS n
+        FROM remoteSecure('${server.hostPort}', 'default', 'nation')
+        GROUP BY n_regionkey ORDER BY n_regionkey""").show(false)
+      println("reject untrusted (default trust):")
+      // clear the conf fallback — otherwise remoteSecure() resolves the
+      // truststore from spark.graft.remote.trustStore and IS trusted
+      g.spark.conf.unset("spark.graft.remote.trustStore")
+      g.spark.conf.unset("spark.graft.remote.trustStorePassword")
+      try {
+        graft.io.Sources.remoteSecure(g.spark, server.hostPort,
+          "default", "nation").collect()
+        println("!! UNEXPECTED: untrusted client read data")
+      } catch { case e: Exception => println(s"rejected as expected: ${e.getClass.getSimpleName}") }
+    } finally { server.stop(); ksFile.delete() }
   }
 }
