@@ -768,6 +768,18 @@ final class GraftSession(val spark: SparkSession) {
     sql(rewritten)
   }
 
+  /** The INGEST half of the Arrow bridge (reference chdb/__init__.py:222 —
+    * the `Python(df)`/PyReader surface accepts in-memory tables from the
+    * host process; [[queryAsBytes]] is the output half): register one
+    * complete Arrow IPC stream as a queryable view. Round trip:
+    * `registerArrow(n, queryAsBytes(sql))` reproduces the result exactly.
+    */
+  def registerArrow(name: String, bytes: Array[Byte]): DataFrame = {
+    val df = org.apache.spark.sql.graftbridge.ArrowBridge.fromArrowStream(spark, bytes)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
   /** DDL/DML passthrough (reference core.py:4708 create_table, :4757 insert;
     * SURVEY §2.A). Tables are Spark catalog tables backed by parquet;
     * UPDATE/DELETE require a lakehouse format (documented gap, SURVEY §2.A).

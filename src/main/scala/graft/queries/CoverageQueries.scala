@@ -299,6 +299,22 @@ object CoverageQueries {
               ORDER BY n_nationkey""")
         s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
       } finally server.stop()
-    }, Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"))
+    }, Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
+    QueryDef("q167_arrow_ingest", (s, dir) => {
+      // Arrow-bytes INGEST (reference chdb/__init__.py:222 — the
+      // Python(df)/PyReader input surface): queryAsBytes renders nation as
+      // one Arrow IPC stream, registerArrow ingests those bytes back as a
+      // view, and the query runs over the ingested table — the full
+      // out-and-back byte bridge through the public SQL surface.
+      v(s, dir, "nation")
+      val gs = graft.engine.GraftSession(s)
+      val bytes = gs.queryAsBytes(
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation", "Arrow")
+      gs.registerArrow("__arrow_nation", bytes)
+      gs.sql("""SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+        FROM __arrow_nation GROUP BY n_regionkey ORDER BY n_regionkey""")
+    }, Some("""SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
   )
 }

@@ -1,13 +1,18 @@
 package org.apache.spark.sql.graftbridge
 
-import java.io.ByteArrayOutputStream
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.nio.channels.Channels
 
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
 import org.apache.arrow.vector.VectorSchemaRoot
-import org.apache.arrow.vector.ipc.ArrowStreamWriter
+import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.execution.arrow.ArrowWriter
 import org.apache.spark.sql.util.ArrowUtils
+import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnVector, ColumnarBatch}
 
 /** Bridge into Spark's `private[sql]` Arrow machinery (ArrowWriter /
   * ArrowUtils — the converters behind toPandas and the Arrow collect
@@ -46,5 +51,42 @@ object ArrowBridge {
       allocator.close()
     }
     out.toByteArray
+  }
+
+  /** The ingest half of the bridge (reference: chdb/__init__.py:222 —
+    * `Python(df)`/PyReader hands the engine an in-memory table; the
+    * Arrow-native path of that surface): one complete Arrow IPC stream →
+    * DataFrame. The bytes are parsed ONCE driver-side (this API's contract
+    * is a driver-sized buffer handed over a language boundary — the
+    * multi-GB path is parquet/file(), not an in-memory byte array), values
+    * are copied out of Arrow memory into Spark rows, and the result
+    * distributes like any other local relation.
+    */
+  def fromArrowStream(spark: org.apache.spark.sql.SparkSession,
+      bytes: Array[Byte]): DataFrame = {
+    val allocator = ArrowUtils.rootAllocator
+      .newChildAllocator("graft-arrow-in", 0, Long.MaxValue)
+    val reader = new ArrowStreamReader(new ByteArrayInputStream(bytes), allocator)
+    try {
+      val root = reader.getVectorSchemaRoot
+      val schema = ArrowUtils.fromArrowSchema(root.getSchema)
+      val rows = new ArrayBuffer[InternalRow]()
+      while (reader.loadNextBatch()) {
+        val cols: Array[ColumnVector] =
+          root.getFieldVectors.asScala.map(new ArrowColumnVector(_): ColumnVector).toArray
+        val batch = new ColumnarBatch(cols, root.getRowCount)
+        // copy() materializes each row out of the Arrow buffers — they are
+        // freed when the reader closes
+        batch.rowIterator().asScala.foreach(r => rows += r.copy())
+      }
+      val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      val parallelism = math.max(1, math.min(rows.size,
+        session.sparkContext.defaultParallelism))
+      session.internalCreateDataFrame(
+        session.sparkContext.parallelize(rows.toSeq, parallelism), schema)
+    } finally {
+      reader.close()
+      allocator.close()
+    }
   }
 }

@@ -289,6 +289,29 @@ class QueryFormatSpec extends SparkTestBase {
     assert(got.toSeq == expect)
   }
 
+  test("Arrow bytes INGEST: fromArrowStream round-trips toArrowStream (r13)") {
+    // mixed types incl. nulls, across multiple record batches
+    val q = """SELECT id AS a, CAST(id * 1.5 AS DOUBLE) AS d,
+      CASE WHEN id % 3 = 0 THEN NULL ELSE CAST(id AS STRING) END AS s,
+      id % 2 = 0 AS b, date_add(date'2020-01-01', CAST(id % 100 AS INT)) AS dt
+      FROM range(10000)"""
+    val bytes = g.queryAsBytes(q, "Arrow")
+    val back = g.registerArrow("arrow_rt", bytes)
+    assert(back.schema == g.sql(q).schema)
+    assert(back.orderBy("a").collect().toSeq == g.sql(q).orderBy("a").collect().toSeq)
+    // and the registered view is queryable through the SQL surface
+    assert(g.sql("SELECT count(*) AS n, count(s) AS ns FROM arrow_rt")
+      .head().toSeq == Seq(10000L, 6666L))
+  }
+
+  test("Arrow bytes INGEST: timestamps and arrays survive the bridge (r13)") {
+    val q = """SELECT timestamp'2024-02-29 12:34:56' + make_interval(0,0,0,0,0,0,id) AS ts,
+      array(id, id + 1) AS arr FROM range(5)"""
+    val back = g.registerArrow("arrow_rt2", g.queryAsBytes(q, "Arrow"))
+    assert(back.orderBy("ts").collect().toSeq ==
+      g.sql(q).orderBy("ts").collect().toSeq)
+  }
+
   test("Parquet bytes: one readable parquet file round-trips the result (r12)") {
     val bytes = g.queryAsBytes("SELECT id AS a FROM range(50)", "Parquet")
     val f = java.nio.file.Files.createTempFile("graft_pq_rt_", ".parquet")
