@@ -1215,7 +1215,116 @@ object Queries {
       s.sql("""SELECT doc_id, simHash(text) AS sh, fingerprint(text, 8) AS fp,
           hammingDistance(simHash(text), 0) AS bits
         FROM documents ORDER BY doc_id""")
-    }, None),
+    },
+    // r13: direct oracle — the engine kernels (SimHash, TextFingerprint,
+    // both Mix64/FNV-1a based) replayed bit-for-bit in DuckDB via HUGEINT
+    // mod-2^64 arithmetic (64x64 multiplies split hi/lo so the product
+    // stays inside HUGEINT; winnow min compared over SIGNED longs exactly
+    // as the Java kernel does). Validated against an independent Python
+    // reference on the empty/punctuation-only/short-string edges.
+    Some("""WITH docs AS (
+  SELECT doc_id, lower(text) AS lt FROM documents
+),
+-- ======== simHash: Mix64(FNV-1a(token)) per token, 64 bit votes ========
+toks AS (
+  SELECT doc_id, tok FROM docs,
+    UNNEST(list_filter(regexp_split_to_array(lt, '[^a-z0-9]+'), t -> t <> '')) AS u(tok)
+),
+tokf AS (  -- FNV-1a over UTF-16 units (ASCII corpus: = codepoints)
+  SELECT doc_id,
+    list_reduce(
+      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        list_transform(split(tok, ''), c -> CAST(unicode(c) AS HUGEINT))),
+      (h, c) -> (xor(h, c) * CAST(1099511628211 AS HUGEINT))
+                % CAST(18446744073709551616 AS HUGEINT)) AS f
+  FROM toks
+),
+-- splitmix64 finalizer, staged; mulmod splits the 64x64 product so the
+-- intermediate stays inside HUGEINT
+tm1 AS (SELECT doc_id, (f + 11400714819323198485) % CAST(18446744073709551616 AS HUGEINT) AS x FROM tokf),
+tm2 AS (SELECT doc_id, xor(x, x >> 30) AS x FROM tm1),
+tm3 AS (SELECT doc_id,
+  ((x % 4294967296) * CAST(13787848793156543929 AS HUGEINT)
+   + (((x >> 32) * 484763065) % 4294967296) * 4294967296)
+  % CAST(18446744073709551616 AS HUGEINT) AS x FROM tm2),
+tm4 AS (SELECT doc_id, xor(x, x >> 27) AS x FROM tm3),
+tm5 AS (SELECT doc_id,
+  ((x % 4294967296) * CAST(10723151780598845931 AS HUGEINT)
+   + (((x >> 32) * 321982955) % 4294967296) * 4294967296)
+  % CAST(18446744073709551616 AS HUGEINT) AS x FROM tm4),
+tokh AS (SELECT doc_id, xor(x, x >> 31) AS h FROM tm5),
+votes AS (
+  SELECT doc_id, b, SUM(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS w
+  FROM tokh, UNNEST(range(0, 64)) AS rb(b)
+  GROUP BY doc_id, b
+),
+shu AS (
+  SELECT doc_id,
+    SUM(CASE WHEN w > 0 THEN (CAST(1 AS HUGEINT) << b) ELSE CAST(0 AS HUGEINT) END) AS sh_u
+  FROM votes GROUP BY doc_id
+),
+-- ======== fingerprint(text, 8): winnowed min of Mix64(rolling hash) ========
+norm AS (
+  SELECT doc_id, ltrim(regexp_replace(lt, '[^a-z0-9]+', ' ', 'g')) AS s FROM docs
+),
+chars AS (
+  SELECT doc_id, s,
+    CASE WHEN length(s) = 0 THEN CAST([] AS HUGEINT[])
+         ELSE list_transform(split(s, ''), c -> CAST(unicode(c) AS HUGEINT)) END AS cs,
+    length(s) AS n
+  FROM norm
+),
+-- short path (n <= 8): Mix64(FNV over the whole normalized string)
+shortf AS (
+  SELECT doc_id,
+    list_reduce(
+      list_prepend(CAST(14695981039346656037 AS HUGEINT), cs),
+      (h, c) -> (xor(h, c) * CAST(1099511628211 AS HUGEINT))
+                % CAST(18446744073709551616 AS HUGEINT)) AS x
+  FROM chars WHERE n <= 8
+),
+-- long path: every window's polynomial hash mod 2^64 (closed form of the
+-- Java slide), B = 1e9+7, powers precomputed mod 2^64
+wins AS (
+  SELECT doc_id,
+    ( cs[i+1] * CAST(9015250055358150391 AS HUGEINT) % CAST(18446744073709551616 AS HUGEINT)
+    + cs[i+2] * CAST(1423083718267137937 AS HUGEINT) % CAST(18446744073709551616 AS HUGEINT)
+    + cs[i+3] * CAST(7232439895113528231 AS HUGEINT) % CAST(18446744073709551616 AS HUGEINT)
+    + cs[i+4] * CAST(2173964608407773537 AS HUGEINT) % CAST(18446744073709551616 AS HUGEINT)
+    + cs[i+5] * CAST(14069101319555514199 AS HUGEINT) % CAST(18446744073709551616 AS HUGEINT)
+    + cs[i+6] * CAST(1000000014000000049 AS HUGEINT) % CAST(18446744073709551616 AS HUGEINT)
+    + cs[i+7] * CAST(1000000007 AS HUGEINT)
+    + cs[i+8] ) % CAST(18446744073709551616 AS HUGEINT) AS x
+  FROM chars, UNNEST(range(0, n - 7)) AS r(i)
+  WHERE n > 8
+),
+allx AS (SELECT doc_id, x FROM shortf UNION ALL SELECT doc_id, x FROM wins),
+fm1 AS (SELECT doc_id, (x + 11400714819323198485) % CAST(18446744073709551616 AS HUGEINT) AS x FROM allx),
+fm2 AS (SELECT doc_id, xor(x, x >> 30) AS x FROM fm1),
+fm3 AS (SELECT doc_id,
+  ((x % 4294967296) * CAST(13787848793156543929 AS HUGEINT)
+   + (((x >> 32) * 484763065) % 4294967296) * 4294967296)
+  % CAST(18446744073709551616 AS HUGEINT) AS x FROM fm2),
+fm4 AS (SELECT doc_id, xor(x, x >> 27) AS x FROM fm3),
+fm5 AS (SELECT doc_id,
+  ((x % 4294967296) * CAST(10723151780598845931 AS HUGEINT)
+   + (((x >> 32) * 321982955) % 4294967296) * 4294967296)
+  % CAST(18446744073709551616 AS HUGEINT) AS x FROM fm4),
+fmix AS (SELECT doc_id, xor(x, x >> 31) AS m FROM fm5),
+fp AS (  -- min over SIGNED longs, as the Java kernel compares
+  SELECT doc_id,
+    MIN(CAST(CASE WHEN m >= 9223372036854775808
+        THEN m - 18446744073709551616 ELSE m END AS BIGINT)) AS fp
+  FROM fmix GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(CASE WHEN s.sh_u >= 9223372036854775808
+       THEN s.sh_u - 18446744073709551616 ELSE s.sh_u END, 0) AS BIGINT) AS sh,
+  fp.fp AS fp,
+  CAST(bit_count(CAST(coalesce(CASE WHEN s.sh_u >= 9223372036854775808
+       THEN s.sh_u - 18446744073709551616 ELSE s.sh_u END, 0) AS BIGINT)) AS INT) AS bits
+FROM docs d LEFT JOIN shu s USING (doc_id) LEFT JOIN fp USING (doc_id)
+ORDER BY d.doc_id""")),
 
     // ============== ClickHouse-dialect SQL shim (SURVEY §3.1) ============
 
