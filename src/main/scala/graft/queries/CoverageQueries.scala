@@ -315,6 +315,33 @@ object CoverageQueries {
       gs.sql("""SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
         FROM __arrow_nation GROUP BY n_regionkey ORDER BY n_regionkey""")
     }, Some("""SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
-        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
+    QueryDef("q168_url_http", (s, dir) => {
+      // url() over LIVE HTTP (reference table_functions.py:213): a loopback
+      // com.sun.net.httpserver serves the nation parquet fixture; the query
+      // reads it through the SQL surface — a real HTTP fetch → spool →
+      // format-detected scan (q165 covers the file:// branch of the same
+      // path). Materialized before the server stops (q166's device).
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/nation.parquet"))
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress(
+          java.net.InetAddress.getLoopbackAddress, 0), 0)
+      server.createContext("/nation.parquet",
+        (ex: com.sun.net.httpserver.HttpExchange) => {
+          ex.sendResponseHeaders(200, bytes.length.toLong)
+          try ex.getResponseBody.write(bytes) finally ex.close()
+        })
+      server.start()
+      try {
+        val gs = graft.engine.GraftSession(s)
+        val df = gs.sql(
+          s"""SELECT n_nationkey, n_name FROM
+              url('http://127.0.0.1:${server.getAddress.getPort}/nation.parquet')
+              ORDER BY n_nationkey""")
+        s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+      } finally server.stop(0)
+    }, Some("SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"))
   )
 }
