@@ -21,6 +21,7 @@ object Scratch {
     if (args.headOption.contains("capprof")) { capProf(g); g.spark.stop(); return }
     if (args.headOption.contains("remotedrive")) { remoteDrive(g); g.spark.stop(); return }
     if (args.headOption.contains("tlsdrive")) { tlsDrive(g); g.spark.stop(); return }
+    if (args.headOption.contains("bench1")) { bench1(args.drop(1)); g.spark.stop(); return }
     val names = if (args.nonEmpty) args.toSeq else Seq("q01_tpch_q1")
     names.foreach { n =>
       println(s"=== $n ===")
@@ -531,6 +532,39 @@ object Scratch {
       g.spark.table("nation").groupBy("n_regionkey").agg(count(lit(1)).as("n"))
         .orderBy("n_regionkey").show(false)
     } finally server.stop()
+  }
+
+  /** Isolated single-query bench probe under the EXACT Bench protocol
+    * (local[32], memtables, AQE off, shuffle 8, 3 warm + 3 measured min) —
+    * for separating machine band from per-query regressions.
+    * Usage: bench1 <queryName> <sfDir> [reps]
+    */
+  private def bench1(args: Seq[String]): Unit = {
+    val name = args.head
+    val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(2).map(_.toInt).getOrElse(3)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.enableInMemory(32)
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings")
+      .foreach(Tables.load(spark, dir, _))
+    val q = graft.queries.Queries.byName(name)
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      q.fn(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    (1 to 3).foreach(_ => once())
+    val ts = (1 to reps).map(_ => once())
+    println(f"bench1 $name min=${ts.min}%.3f all=${ts.map(t => f"$t%.3f").mkString(",")}")
+    spark.stop()
   }
 
   /** r13 drive: remoteSecure() over a real TLS socket via the SQL surface. */
