@@ -329,6 +329,15 @@ final case class GraftFrame(df: DataFrame) {
     GraftFrame(Curation.decontaminate(df, benchmark.df, textCol, idCol, n,
       minShared))
 
+  /** [[decontaminate]]'s bloom-prefiltered scale path (row-identical output;
+    * for benchmark gram sets too large to row-broadcast).
+    */
+  def decontaminateBloom(benchmark: GraftFrame, textCol: String,
+      idCol: String, n: Int = 8, minShared: Int = 1,
+      expectedGrams: Long = 0L, fpp: Double = 0.01): GraftFrame =
+    GraftFrame(Curation.decontaminateBloom(df, benchmark.df, textCol, idCol,
+      n, minShared, expectedGrams, fpp))
+
   /** SemDeDup cluster-scoped embedding dedup (q146 shape); kCells = 0
     * derives ≈√n cells from the corpus.
     */

@@ -118,7 +118,8 @@ final class GraftSession(val spark: SparkSession) {
     "ngram_jaccard_pairs", "simhash_pairs", "embedding_neardup",
     "quality_score", "language_id", "token_count", "scrub_pii",
     "repetition_features", "curate", "hash_split", "temperature_mixture",
-    "pack_sequences", "pack_greedy", "decontaminate", "ann_topk",
+    "pack_sequences", "pack_greedy", "decontaminate", "decontaminate_bloom",
+    "ann_topk",
     "brute_topk", "ivf_topk", "cap_per_group", "sample_per_group",
     "sem_dedup", "token_budget_per_group", "top_fraction_per_group")
   private val pipelineFnSet = pipelineFnNames.toSet
@@ -147,6 +148,7 @@ final class GraftSession(val spark: SparkSession) {
     "pack_sequences" -> ("pack_sequences(table, 'idCol', 'tokenCol'[, maxLen=2048])", 4),
     "pack_greedy" -> ("pack_greedy(table, 'idCol', 'tokenCol'[, maxLen=2048])", 4),
     "decontaminate" -> ("decontaminate(table, benchTable, 'textCol', 'idCol'[, n=8, minHits=1])", 6),
+    "decontaminate_bloom" -> ("decontaminate_bloom(table, benchTable, 'textCol', 'idCol'[, n=8, minHits=1, fpp=0.01])", 7),
     "ann_topk" -> ("ann_topk(table, queriesTable, 'embCol', 'idCol'[, k=10])", 5),
     "brute_topk" -> ("brute_topk(table, queriesTable, 'embCol', 'idCol'[, k=10])", 5),
     "ivf_topk" -> ("ivf_topk(table, queriesTable, 'embCol', 'idCol'[, k=10])", 5),
@@ -453,6 +455,9 @@ final class GraftSession(val spark: SparkSession) {
         case "decontaminate" =>
           t(0, "table").decontaminate(t(1, "benchTable"), str(2, "textCol"),
             str(3, "idCol"), int(4, 8), int(5, 1))
+        case "decontaminate_bloom" =>
+          t(0, "table").decontaminateBloom(t(1, "benchTable"), str(2, "textCol"),
+            str(3, "idCol"), int(4, 8), int(5, 1), fpp = num(6, 0.01))
         case "ann_topk" =>
           t(0, "table").annTopK(t(1, "queriesTable"), str(2, "embCol"), str(3, "idCol"), int(4, 10))
         case "brute_topk" =>

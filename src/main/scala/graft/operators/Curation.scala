@@ -216,18 +216,64 @@ object Curation {
       corpus: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String,
       n: Int = 8, minShared: Int = 1): DataFrame = {
-    // one unresolved Column — it binds to whichever frame selects it
-    val grams: Column = {
-      val toks = graft.functions.GraftFunctions.tokenize(col(textCol))
-      when(size(toks) >= n,
-        array_distinct(transform(sequence(lit(0), size(toks) - n),
-          i => conv(substring(md5(concat_ws(" ", slice(toks, i + 1, lit(n)))), 1, 15),
-            16, 10).cast("long"))))
-        .otherwise(array().cast("array<long>"))
-    }
+    val grams = gramHashes(textCol, n)
     val bench = benchmark.select(explode(grams).as("g")).distinct()
     corpus.select(col(idCol).as("id"), explode(grams).as("g"))
       .join(broadcast(bench), "g")
+      .groupBy("id").agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+  }
+
+  /** Distinct word-n-gram hashes of `textCol` as one unresolved Column —
+    * it binds to whichever frame selects it. Portable 60-bit md5-prefix
+    * shingle device (replays in DuckDB), shared by [[decontaminate]] and
+    * [[decontaminateBloom]].
+    */
+  private def gramHashes(textCol: String, n: Int): Column = {
+    val toks = graft.functions.GraftFunctions.tokenize(col(textCol))
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => conv(substring(md5(concat_ws(" ", slice(toks, i + 1, lit(n)))), 1, 15),
+          16, 10).cast("long"))))
+      .otherwise(array().cast("array<long>"))
+  }
+
+  /** [[decontaminate]]'s scale path for when the benchmark's distinct gram
+    * set OUTGROWS a row broadcast (decontaminating against a large held-out
+    * corpus, or the union of every eval suite with n-gram inflation): a
+    * Bloom prefilter + exact verify.
+    *
+    * Phase 1 builds a Bloom filter over the benchmark grams (`fpp` sizes
+    * it: 10^9 grams at 1% fpp ≈ 1.2 GB of bits — broadcast ONCE per
+    * executor via [[graft.functions.BloomMightContain]], a codegen'd
+    * membership expression over the broadcast handle, never inlined into
+    * the plan). Phase 2 keeps only corpus grams the bloom admits — true
+    * overlaps plus an fpp-fraction of noise — and EXACT-verifies the
+    * survivors with a join against the real gram set, so the result is
+    * ROW-IDENTICAL to [[decontaminate]] for ANY fpp (spec-locked): fpp
+    * trades candidate-shuffle volume against bloom size, never
+    * correctness. The 100 TB corpus still streams through exactly once,
+    * and the verify join ships only the candidate slice.
+    */
+  def decontaminateBloom(
+      corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String,
+      n: Int = 8, minShared: Int = 1,
+      expectedGrams: Long = 0L, fpp: Double = 0.01): DataFrame = {
+    val grams = gramHashes(textCol, n)
+    val bench = benchmark.select(explode(grams).as("g")).distinct()
+    // driver-sized scalar: the bloom must be sized before it is built
+    val expected = if (expectedGrams > 0) expectedGrams
+      else math.max(1L, bench.count())
+    val bf = bench.stat.bloomFilter("g", expected, fpp)
+    val bcast = corpus.sparkSession.sparkContext.broadcast(bf)
+    val admits = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.BloomMightContain(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("g")),
+        bcast))
+    corpus.select(col(idCol).as("id"), explode(grams).as("g"))
+      .filter(admits)
+      .join(bench, "g") // exact verify — fpp noise dies here
       .groupBy("id").agg(count(lit(1)).as("shared_ngrams"))
       .filter(col("shared_ngrams") >= minShared)
   }

@@ -342,6 +342,36 @@ object CoverageQueries {
               ORDER BY n_nationkey""")
         s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
       } finally server.stop(0)
-    }, Some("SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"))
+    }, Some("SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey")),
+
+    QueryDef("q169_decontam_bloom", (s, dir) => {
+      // decontaminateBloom — q135's eval-overlap filter through the BLOOM
+      // scale path (bloom prefilter over a broadcast filter handle + exact
+      // verify), exercised through the SQL surface. Output is row-identical
+      // to decontaminate for any fpp, so the oracle is q135's overlap join;
+      // fpp=0.30 here deliberately admits false positives that must die in
+      // the verify join.
+      v(s, dir, "documents")
+      val docs = s.table("documents")
+      docs.filter(col("doc_id") % 37 =!= 0).createOrReplaceTempView("q169_corpus")
+      docs.filter(col("doc_id") % 37 === 0).createOrReplaceTempView("q169_bench")
+      graft.engine.GraftSession(s).sql(
+        """SELECT id, shared_ngrams FROM decontaminate_bloom(
+             q169_corpus, q169_bench, 'text', 'doc_id', 5, 2, 0.30)
+           ORDER BY id""")
+    }, Some("""WITH tb AS (SELECT doc_id,
+          list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+            x -> x <> '') AS t
+        FROM documents),
+      gr AS (SELECT doc_id, CASE WHEN len(t) >= 5 THEN
+            list_distinct(list_transform(range(0, len(t) - 5 + 1),
+              i -> CAST(('0x' || substr(md5(array_to_string(t[i+1:i+5], ' ')), 1, 15)) AS BIGINT)))
+          ELSE CAST([] AS BIGINT[]) END AS gs
+        FROM tb),
+      bg AS (SELECT DISTINCT UNNEST(gs) AS g FROM gr WHERE doc_id % 37 = 0),
+      cg AS (SELECT doc_id, UNNEST(gs) AS g FROM gr WHERE doc_id % 37 <> 0)
+      SELECT doc_id AS id, COUNT(*) AS shared_ngrams
+      FROM cg JOIN bg USING (g)
+      GROUP BY doc_id HAVING COUNT(*) >= 2 ORDER BY id"""))
   )
 }

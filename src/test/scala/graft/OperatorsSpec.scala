@@ -1118,6 +1118,38 @@ class DedupClusterSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(strict == Set(1L))
   }
+  test("decontaminateBloom: row-identical to decontaminate at any fpp") {
+    // larger corpus so the bloom actually prunes and (at the high fpp) also
+    // admits false positives that MUST die in the exact-verify join
+    val words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split(" ")
+    val bench = Seq((100L, words.take(8).mkString(" ")),
+      (101L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val corpus = (1L to 200L).map { i =>
+      val body =
+        if (i % 7 == 0) s"xx ${words.take(6).mkString(" ")} tail$i" // overlap
+        else if (i % 11 == 0) s"one two three four five noise$i six seven"
+        else s"doc $i " + (1 to 12).map(j => s"w${i}_$j").mkString(" ")
+      (i, body)
+    }.toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    for (minShared <- Seq(1, 2); fpp <- Seq(0.01, 0.5)) {
+      val exact = rows(graft.operators.Curation.decontaminate(
+        corpus, bench, "text", "doc_id", n = 5, minShared = minShared))
+      val bloom = rows(graft.operators.Curation.decontaminateBloom(
+        corpus, bench, "text", "doc_id", n = 5, minShared = minShared,
+        fpp = fpp))
+      assert(bloom == exact, s"minShared=$minShared fpp=$fpp")
+      assert(exact.nonEmpty)
+    }
+    // explicit sizing path (expectedGrams given: no driver count job)
+    val sized = rows(graft.operators.Curation.decontaminateBloom(
+      corpus, bench, "text", "doc_id", n = 5, minShared = 1,
+      expectedGrams = 64, fpp = 0.01))
+    assert(sized == rows(graft.operators.Curation.decontaminate(
+      corpus, bench, "text", "doc_id", n = 5, minShared = 1)))
+  }
+
   test("dedupSpans: corpus-wide keep-first, short spans exempt, empty-doc contract") {
     val docs = Seq(
       (1L, "this paragraph is repeated boilerplate text\nunique content of document one\nok"),
