@@ -281,6 +281,17 @@ final case class GraftFrame(df: DataFrame) {
   def tokenCount(textCol: String, outCol: String = "n_tokens"): GraftFrame =
     GraftFrame(df.withColumn(outCol, TextAnalysis.tokenCount(col(textCol))))
 
+  /** Train a bounded unigram LM over this frame's text (token, cnt). */
+  def lmTrain(textCol: String, vocabSize: Int = 65536): GraftFrame =
+    GraftFrame(TextAnalysis.lmTrain(df, textCol, vocabSize))
+
+  /** CCNet-style perplexity scoring of this frame's documents under a
+    * trained LM: (id, n_tokens, oov_ratio, avg_logprob, perplexity).
+    */
+  def lmScore(lm: GraftFrame, textCol: String, idCol: String,
+      alpha: Double = 0.5): GraftFrame =
+    GraftFrame(TextAnalysis.lmScore(df, lm.df, textCol, idCol, alpha))
+
   /** Redact PII (emails/SSNs/phones/IPs) in place (q117 shape). */
   def scrubPii(textCol: String): GraftFrame =
     GraftFrame(df.withColumn(textCol, TextAnalysis.scrubPii(col(textCol))))

@@ -117,6 +117,7 @@ final class GraftSession(val spark: SparkSession) {
     "dedup_exact", "dedup_groups", "dedup_spans", "minhash_pairs",
     "ngram_jaccard_pairs", "simhash_pairs", "embedding_neardup",
     "quality_score", "language_id", "token_count", "scrub_pii",
+    "lm_train", "lm_score",
     "repetition_features", "curate", "hash_split", "temperature_mixture",
     "pack_sequences", "pack_greedy", "decontaminate", "decontaminate_bloom",
     "ann_topk",
@@ -139,6 +140,8 @@ final class GraftSession(val spark: SparkSession) {
     "embedding_neardup" -> ("embedding_neardup(table, 'embCol', 'idCol'[, cosine=0.95])", 4),
     "quality_score" -> ("quality_score(table, 'textCol')", 2),
     "language_id" -> ("language_id(table, 'textCol')", 2),
+    "lm_train" -> ("lm_train(table, 'textCol'[, vocabSize=65536])", 3),
+    "lm_score" -> ("lm_score(table, lmTable, 'textCol', 'idCol'[, alpha=0.5])", 5),
     "token_count" -> ("token_count(table, 'textCol')", 2),
     "scrub_pii" -> ("scrub_pii(table, 'textCol')", 2),
     "repetition_features" -> ("repetition_features(table, 'textCol')", 2),
@@ -440,6 +443,11 @@ final class GraftSession(val spark: SparkSession) {
         case "language_id" => t(0, "table").languageId(str(1, "textCol"))
         case "token_count" => t(0, "table").tokenCount(str(1, "textCol"))
         case "scrub_pii" => t(0, "table").scrubPii(str(1, "textCol"))
+        case "lm_train" =>
+          t(0, "table").lmTrain(str(1, "textCol"), int(2, 65536))
+        case "lm_score" =>
+          t(0, "table").lmScore(t(1, "lmTable"), str(2, "textCol"),
+            str(3, "idCol"), num(4, 0.5))
         case "repetition_features" => t(0, "table").repetitionFeatures(str(1, "textCol"))
         case "curate" =>
           t(0, "table").curate(str(1, "textCol"), str(2, "idCol"),

@@ -250,4 +250,67 @@ object TextAnalysis {
     when(length(text) >= k + w - 1, array_distinct(windowMins))
       .otherwise(array().cast("array<string>"))
   }
+
+  // ------------------------------------------------------------------
+  // CCNet-style LM perplexity scoring (the quality filter large pipelines
+  // run besides heuristics: score documents by how "expected" their tokens
+  // are under a language model trained on a trusted corpus, then keep the
+  // low-perplexity head / cut the gibberish tail).
+  // ------------------------------------------------------------------
+
+  /** Train a bounded unigram LM: the `vocabSize` most frequent tokens of
+    * `corpus` with their counts — ties broken by token so the vocabulary is
+    * deterministic and the whole model replays in SQL. Returns
+    * (token, cnt); feed to [[lmScore]].
+    *
+    * Scale: one map-side-combined token count (the only shuffle), then a
+    * top-`vocabSize` cut — `vocabSize` BOUNDS the model regardless of
+    * corpus size, which is what makes the scoring side broadcastable at
+    * 100 TB (CCNet's KenLM is similarly a fixed artifact, not corpus-sized).
+    */
+  def lmTrain(corpus: DataFrame, textCol: String,
+      vocabSize: Int = 65536): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
+    corpus
+      .select(explode(tokenize(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      // ordered limit plans as TakeOrderedAndProject: each partition keeps
+      // its local top-vocabSize, the driver merges K-per-partition — no
+      // single-partition sort over the (possibly billion-row) distinct
+      // token table
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(vocabSize)
+  }
+
+  /** Score each document under a trained unigram LM with add-alpha
+    * smoothing: p(w) = (cnt(w) + alpha) / (N + alpha·(V+1)), OOV tokens get
+    * the cnt=0 mass, avg_logprob = mean ln p over the document's tokens,
+    * perplexity = exp(−avg_logprob). Returns
+    * (id, n_tokens, oov_ratio, avg_logprob, perplexity); empty documents
+    * get null scores (no tokens to average).
+    *
+    * Scale: N and V are two driver-sized scalars off the bounded model; the
+    * model BROADCASTS into the token join (it is vocab-bounded by
+    * construction); the only exchange is the per-id mean — map-side
+    * combined. The corpus streams through once.
+    */
+  def lmScore(docs: DataFrame, lm: DataFrame, textCol: String, idCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha must be positive: $alpha")
+    val Array(nTotal, vSize) =
+      lm.agg(sum("cnt"), count(lit(1))).head().toSeq.map(_.toString.toLong).toArray
+    val denom = nTotal + alpha * (vSize + 1)
+    docs.select(col(idCol).as("id"),
+        explode_outer(tokenize(col(textCol))).as("token"))
+      .join(broadcast(lm), Seq("token"), "left")
+      .groupBy("id").agg(
+        count(col("token")).as("n_tokens"),
+        (count(when(col("token").isNotNull && col("cnt").isNull, 1)) /
+          greatest(count(col("token")), lit(1)).cast("double")).as("oov_ratio"),
+        // the when() guard keeps explode_outer's null row (empty document)
+        // out of the mean — avg skips nulls, so empty docs score null
+        avg(when(col("token").isNotNull,
+          log((coalesce(col("cnt"), lit(0L)) + alpha) / denom))).as("avg_logprob"))
+      .withColumn("perplexity", exp(-col("avg_logprob")))
+  }
 }

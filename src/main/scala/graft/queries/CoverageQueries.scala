@@ -372,6 +372,38 @@ object CoverageQueries {
       cg AS (SELECT doc_id, UNNEST(gs) AS g FROM gr WHERE doc_id % 37 <> 0)
       SELECT doc_id AS id, COUNT(*) AS shared_ngrams
       FROM cg JOIN bg USING (g)
-      GROUP BY doc_id HAVING COUNT(*) >= 2 ORDER BY id"""))
+      GROUP BY doc_id HAVING COUNT(*) >= 2 ORDER BY id""")),
+
+    QueryDef("q170_lm_perplexity", (s, dir) => {
+      // CCNet-style LM perplexity quality filter (r13): a bounded unigram
+      // LM is trained on a "trusted" corpus slice (lm_train — top-256
+      // vocabulary, deterministic tie-break) and every document is scored
+      // under it with add-0.5 smoothing (lm_score) — nested table-function
+      // composition through the SQL surface. The whole model (counts,
+      // vocabulary cut, smoothing, log-mean, exp) replays in DuckDB;
+      // statistics ROUND per the repo's float-oracle convention.
+      v(s, dir, "documents")
+      val docs = s.table("documents")
+      docs.filter(col("doc_id") % 37 === 0).createOrReplaceTempView("q170_train")
+      graft.engine.GraftSession(s).sql(
+        """SELECT id, n_tokens, ROUND(oov_ratio, 6) AS oov,
+             ROUND(avg_logprob, 6) AS lp, ROUND(perplexity, 3) AS ppl
+           FROM lm_score(documents, lm_train(q170_train, 'text', 256),
+                         'text', 'doc_id')
+           WHERE n_tokens > 0 ORDER BY id""")
+    }, Some("""WITH tok AS (SELECT doc_id, UNNEST(list_filter(
+          regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS token
+        FROM documents),
+      lm AS (SELECT token, COUNT(*) AS cnt FROM tok WHERE doc_id % 37 = 0
+        GROUP BY token ORDER BY cnt DESC, token LIMIT 256),
+      meta AS (SELECT SUM(cnt) AS n, COUNT(*) AS v FROM lm),
+      sc AS (SELECT t.doc_id, COUNT(*) AS n_tokens,
+          SUM(CASE WHEN lm.token IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS oov_ratio,
+          AVG(ln((COALESCE(lm.cnt, 0) + 0.5) / (meta.n + 0.5 * (meta.v + 1)))) AS lp
+        FROM tok t LEFT JOIN lm ON t.token = lm.token CROSS JOIN meta
+        GROUP BY t.doc_id)
+      SELECT doc_id AS id, n_tokens, ROUND(oov_ratio, 6) AS oov,
+        ROUND(lp, 6) AS lp, ROUND(exp(-lp), 3) AS ppl
+      FROM sc ORDER BY id"""))
   )
 }

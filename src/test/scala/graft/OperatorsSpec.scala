@@ -610,6 +610,50 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r(1L)._2 > r(2L)._2)             // and scores lower
     assert(r.values.forall { case (rep, q) => rep >= 0 && rep <= 1 && q >= 0 && q <= 1 })
   }
+
+  test("lmTrain/lmScore: perplexity orders in-domain below gibberish") {
+    val train = Seq.tabulate(50)(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val lm = TextAnalysis.lmTrain(train, "text", vocabSize = 8)
+    // vocab bounded at 8 of the 11 distinct tokens; ties by token asc
+    assert(lm.count() == 8)
+    // top-8 of the 11 distinct train tokens by (cnt desc, token asc):
+    // again/the (cnt 100), then and/brown/dog/fox/jumps/lazy — quick and
+    // over fall out on the tie-break, so in-domain docs use kept tokens
+    val docs = Seq(
+      (1L, "the brown fox dog"),              // fully in-vocab
+      (2L, "zyx wvu tsr qpo"),                // pure OOV gibberish
+      (3L, "the brown zyx fox"),              // mixed
+      (4L, "")).toDF("doc_id", "text")        // empty → null scores
+    val out = TextAnalysis.lmScore(docs, lm, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def ppl(id: Long) = out(id).getAs[Double]("perplexity")
+    assert(ppl(1L) < ppl(3L) && ppl(3L) < ppl(2L))
+    assert(out(2L).getAs[Double]("oov_ratio") == 1.0)
+    assert(out(1L).getAs[Double]("oov_ratio") == 0.0)
+    assert(out(4L).isNullAt(out(4L).fieldIndex("avg_logprob")))
+    assert(out(4L).getAs[Long]("n_tokens") == 0L)
+    // hand-check doc 1 against the closed form
+    val n = lm.agg(org.apache.spark.sql.functions.sum("cnt")).head().getLong(0)
+    val denom = n + 0.5 * (8 + 1)
+    val cnts = lm.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = Seq("the", "brown", "fox", "dog")
+      .map(t => math.log((cnts(t) + 0.5) / denom)).sum / 4.0
+    assert(math.abs(out(1L).getAs[Double]("avg_logprob") - expect) < 1e-12)
+  }
+
+  test("lm_train/lm_score SQL surface") {
+    val g = graft.engine.GraftSession(spark)
+    Seq((1L, "alpha beta gamma"), (2L, "alpha beta delta"))
+      .toDF("doc_id", "text").createOrReplaceTempView("lm_docs")
+    val out = g.sql(
+      """SELECT id, perplexity FROM
+         lm_score(lm_docs, lm_train(lm_docs, 'text', 3), 'text', 'doc_id')
+         ORDER BY id""").collect()
+    assert(out.length == 2)
+    assert(out.forall(!_.isNullAt(1)))
+  }
 }
 
 class CustomAggregatesSpec extends SparkTestBase {
