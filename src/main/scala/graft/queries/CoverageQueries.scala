@@ -372,7 +372,8 @@ object CoverageQueries {
       cg AS (SELECT doc_id, UNNEST(gs) AS g FROM gr WHERE doc_id % 37 <> 0)
       SELECT doc_id AS id, COUNT(*) AS shared_ngrams
       FROM cg JOIN bg USING (g)
-      GROUP BY doc_id HAVING COUNT(*) >= 2 ORDER BY id""")),
+      GROUP BY doc_id HAVING COUNT(*) >= 2 ORDER BY id"""),
+      bench = true),
 
     QueryDef("q170_lm_perplexity", (s, dir) => {
       // CCNet-style LM perplexity quality filter (r13): a bounded unigram
@@ -404,6 +405,7 @@ object CoverageQueries {
         GROUP BY t.doc_id)
       SELECT doc_id AS id, n_tokens, ROUND(oov_ratio, 6) AS oov,
         ROUND(lp, 6) AS lp, ROUND(exp(-lp), 3) AS ppl
-      FROM sc ORDER BY id"""))
+      FROM sc ORDER BY id"""),
+      bench = true)
   )
 }

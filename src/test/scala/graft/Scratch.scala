@@ -22,6 +22,7 @@ object Scratch {
     if (args.headOption.contains("remotedrive")) { remoteDrive(g); g.spark.stop(); return }
     if (args.headOption.contains("tlsdrive")) { tlsDrive(g); g.spark.stop(); return }
     if (args.headOption.contains("bench1")) { bench1(args.drop(1)); g.spark.stop(); return }
+    if (args.headOption.contains("bloomshuffle")) { bloomShuffle(g); g.spark.stop(); return }
     val names = if (args.nonEmpty) args.toSeq else Seq("q01_tpch_q1")
     names.foreach { n =>
       println(s"=== $n ===")
@@ -532,6 +533,65 @@ object Scratch {
       g.spark.table("nation").groupBy("n_regionkey").agg(count(lit(1)).as("n"))
         .orderBy("n_regionkey").show(false)
     } finally server.stop()
+  }
+
+  /** r13 evidence probe: shuffle bytes of the three decontamination legs on
+    * a LARGE-benchmark shape (the regime decontaminateBloom exists for) —
+    * exact+broadcast (the baseline that stops fitting), exact without the
+    * broadcast hint (the naive fallback: full corpus-gram shuffle), and the
+    * bloom path (bits broadcast; only candidates + bench shuffle).
+    */
+  private def bloomShuffle(g: graft.engine.GraftSession): Unit = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    import org.apache.spark.sql.functions._
+    val spark = g.spark
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    // replicate the corpus 10x (50k docs) against a 10% benchmark slice —
+    // big bench gram set relative to corpus
+    val corpus = (0 until 10).map(k =>
+      docs.select((col("doc_id") + k * 1000000L).as("doc_id"), col("text")))
+      .reduce(_ unionByName _).cache()
+    corpus.count()
+    val bench = docs.filter(col("doc_id") % 10 === 0).cache()
+    bench.count()
+    val sb = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        sb.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+    def leg(name: String)(body: => org.apache.spark.sql.DataFrame): Unit = {
+      Thread.sleep(500); sb.set(0)
+      val t0 = System.nanoTime()
+      val n = body.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      println(f"$name%-28s rows=$n%6d  sec=$sec%6.2f  shuffle=${sb.get()}%,12d")
+    }
+    val C = graft.operators.Curation
+    leg("exact+broadcast") {
+      C.decontaminate(corpus, bench, "text", "doc_id", n = 5, minShared = 2) }
+    leg("naive shuffle join") {
+      // what a user is left with when the gram set outgrows the broadcast:
+      // same logic, no broadcast hint, AQE off so the join really shuffles
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val toks = graft.functions.GraftFunctions.tokenize(col("text"))
+      val grams = when(size(toks) >= 5,
+        array_distinct(transform(sequence(lit(0), size(toks) - 5),
+          i => conv(substring(md5(concat_ws(" ", slice(toks, i + 1, lit(5)))), 1, 15),
+            16, 10).cast("long"))))
+        .otherwise(array().cast("array<long>"))
+      val bg = bench.select(explode(grams).as("g")).distinct()
+      corpus.select(col("doc_id").as("id"), explode(grams).as("g"))
+        .join(bg, "g")
+        .groupBy("id").agg(count(lit(1)).as("shared_ngrams"))
+        .filter(col("shared_ngrams") >= 2)
+    }
+    leg("bloom prefilter + verify") {
+      C.decontaminateBloom(corpus, bench, "text", "doc_id", n = 5,
+        minShared = 2, fpp = 0.01) }
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
   /** Isolated single-query bench probe under the EXACT Bench protocol
