@@ -297,8 +297,10 @@ object TextAnalysis {
   def lmScore(docs: DataFrame, lm: DataFrame, textCol: String, idCol: String,
       alpha: Double = 0.5): DataFrame = {
     require(alpha > 0, s"alpha must be positive: $alpha")
-    val Array(nTotal, vSize) =
-      lm.agg(sum("cnt"), count(lit(1))).head().toSeq.map(_.toString.toLong).toArray
+    val head = lm.agg(sum("cnt"), count(lit(1))).head()
+    require(!head.isNullAt(0),
+      "lmScore: empty language model (lmTrain over an empty/token-less corpus?)")
+    val Array(nTotal, vSize) = head.toSeq.map(_.toString.toLong).toArray
     val denom = nTotal + alpha * (vSize + 1)
     docs.select(col(idCol).as("id"),
         explode_outer(tokenize(col(textCol))).as("token"))
