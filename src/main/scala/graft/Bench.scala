@@ -118,8 +118,17 @@ object Bench {
     val tripped = slowOnes.filterNot(expectSlower)
     val bigTrips = tripped.filter(n =>
       prevTimes.get(n).exists(p => resultMap(n) - p > 1.0))
+    // a query that FAILED outright (-1) but passed in the previous record is
+    // a crash regression — strictly worse than a slowdown, always refuses
+    val crashed = resultMap.toSeq.collect {
+      case (n, t) if t < 0 && prevTimes.get(n).exists(_ > 0) => n
+    }.filterNot(expectSlower)
     val contaminated =
-      if (bigTrips.nonEmpty || tripped.size >= 3) tripped else Seq.empty[String]
+      if (crashed.nonEmpty || bigTrips.nonEmpty || tripped.size >= 3)
+        (crashed ++ tripped).distinct
+      else Seq.empty[String]
+    crashed.foreach(n => System.err.println(
+      s"[bench-delta] $n FAILED this run but passed in the previous record"))
     if (tripped.nonEmpty && contaminated.isEmpty)
       System.err.println(s"[bench-delta] ${tripped.size} small flap(s) " +
         s"(${tripped.mkString(", ")}) — within idle-machine noise, recording")

@@ -324,12 +324,16 @@ final class GraftSession(val spark: SparkSession) {
           }
         Some(s"(SELECT CAST(id AS $cast) AS number FROM range($count))")
       // generateRandom('spec'[, seed[, N]]) — the reference's generator is
-      // unbounded/parameterized (table_functions.py:1051); N defaults to
-      // 10000 and accepts scientific notation like numbers() does
+      // unbounded/parameterized (table_functions.py:1051). The SEED parses
+      // as an exact integer (a Double round-trip would silently corrupt
+      // seeds above 2^53); only the row count N accepts scientific
+      // notation, like numbers(1e10) does.
       case "generaterandom" if args.nonEmpty && quotedTok(args.head) &&
-          args.tail.forall(_.matches("[0-9]+([.][0-9]*)?([eE][0-9]+)?")) =>
+          args.lift(1).forall(_.matches("[0-9]+")) &&
+          args.lift(2).forall(_.matches("[0-9]+([.][0-9]*)?([eE][0-9]+)?")) &&
+          args.length <= 3 =>
         Some(registerGenerateRandom(unquote(args.head),
-          args.lift(1).map(_.toDouble.toLong).getOrElse(42L),
+          args.lift(1).map(_.toLong).getOrElse(42L),
           args.lift(2).map(_.toDouble.toLong).getOrElse(10000L)))
       // federated JDBC table functions (reference table_functions.py:570-667):
       // mysql/postgresql('host:port', 'db', 'table', 'user', 'password'

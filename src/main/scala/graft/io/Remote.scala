@@ -22,17 +22,29 @@ import org.apache.spark.sql.types.StructType
   */
 object RemoteClient extends Serializable {
 
-  /** Client TLS trust for remoteSecure(): a PKCS12 truststore holding the
-    * server's certificate. Serializable — executors open their own TLS
-    * sockets, so the trust config rides into the fetch closures.
+  /** Client TLS trust for remoteSecure(): the BYTES of a PKCS12 truststore
+    * holding the server's certificate. Serializable — executors open their
+    * own TLS sockets, so the trust config rides into the fetch closures,
+    * and it must carry the keystore CONTENT, not a driver-local path (a
+    * path would FileNotFound on every executor of a real multi-node
+    * cluster; the file is read once, driver-side, in [[Tls.fromFile]]).
+    * Empty bytes = JVM-default trust (javax.net.ssl sysprops).
     */
-  final case class Tls(trustStore: String, password: String)
+  final case class Tls(trustStoreBytes: Array[Byte], password: String)
+
+  object Tls {
+    /** Read a truststore file driver-side into a shippable [[Tls]]. */
+    def fromFile(path: String, password: String): Tls =
+      if (path.isEmpty) Tls(Array.emptyByteArray, password)
+      else Tls(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        password)
+  }
 
   private def clientSslContext(tls: Tls): javax.net.ssl.SSLContext = {
-    if (tls.trustStore.isEmpty) // JVM-default trust (javax.net.ssl sysprops)
+    if (tls.trustStoreBytes.isEmpty) // JVM-default trust (javax.net.ssl sysprops)
       return javax.net.ssl.SSLContext.getDefault
     val ks = java.security.KeyStore.getInstance("PKCS12")
-    val in = new java.io.FileInputStream(tls.trustStore)
+    val in = new java.io.ByteArrayInputStream(tls.trustStoreBytes)
     try ks.load(in, tls.password.toCharArray) finally in.close()
     val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
       javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)

@@ -165,7 +165,8 @@ object Sources {
 
   /** Resolve the client truststore: explicit args > spark conf
     * (`spark.graft.remote.trustStore[Password]`) > JVM default trust
-    * (javax.net.ssl sysprops, represented as Tls("", "") → default context).
+    * (empty bytes → default context). The file is read HERE, driver-side —
+    * executors receive the keystore bytes in the closure, never a path.
     */
   private def tlsConfig(spark: SparkSession, trustStore: String,
       trustStorePassword: String): Some[RemoteClient.Tls] = {
@@ -173,7 +174,7 @@ object Sources {
       else spark.conf.get("spark.graft.remote.trustStore", "")
     val pw = if (trustStore.nonEmpty) trustStorePassword
       else spark.conf.get("spark.graft.remote.trustStorePassword", "")
-    Some(RemoteClient.Tls(ts, pw))
+    Some(RemoteClient.Tls.fromFile(ts, pw))
   }
 
   /** redis('host:6379', keyCol, 'k String, f1 INT, …'[, password, dbIndex,

@@ -261,7 +261,13 @@ object Curation {
       n: Int = 8, minShared: Int = 1,
       expectedGrams: Long = 0L, fpp: Double = 0.01): DataFrame = {
     val grams = gramHashes(textCol, n)
+    // persisted: the gram pipeline (tokenize + md5 + explode + distinct
+    // shuffle) feeds up to three consumers — the sizing count, the bloom
+    // build, and the verify join — and at the very scale this path exists
+    // for, recomputing it three times is the dominant cost. MEMORY_AND_DISK
+    // so an over-RAM gram set spills instead of thrashing.
     val bench = benchmark.select(explode(grams).as("g")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // driver-sized scalar: the bloom must be sized before it is built
     val expected = if (expectedGrams > 0) expectedGrams
       else math.max(1L, bench.count())

@@ -307,8 +307,12 @@ object TextAnalysis {
       .join(broadcast(lm), Seq("token"), "left")
       .groupBy("id").agg(
         count(col("token")).as("n_tokens"),
-        (count(when(col("token").isNotNull && col("cnt").isNull, 1)) /
-          greatest(count(col("token")), lit(1)).cast("double")).as("oov_ratio"),
+        // token-less documents get null here too (the documented contract:
+        // empty docs have NO scores, not "0% OOV"); explicit when() rather
+        // than 0/0 so the semantics hold under ANSI mode as well
+        when(count(col("token")) > 0,
+          count(when(col("token").isNotNull && col("cnt").isNull, 1)) /
+            count(col("token")).cast("double")).as("oov_ratio"),
         // the when() guard keeps explode_outer's null row (empty document)
         // out of the mean — avg skips nulls, so empty docs score null
         avg(when(col("token").isNotNull,

@@ -389,13 +389,17 @@ class GenerateRandomSqlSpec extends SparkTestBase {
     // default stays 10000
     assert(g.sql("SELECT count(*) AS n FROM generateRandom('a Int32')")
       .head().getLong(0) == 10000L)
-    // same spec+seed at different N: the shared prefix is identical (the
-    // generator is deterministic in `number`, not in N)
-    val a = g.sql("SELECT a FROM generateRandom('a Int32', 7, 100) ORDER BY a")
-      .collect().map(_.getInt(0)).toSeq
-    val b = g.sql("SELECT a FROM generateRandom('a Int32', 7, 100) ORDER BY a")
-      .collect().map(_.getInt(0)).toSeq
-    assert(a == b)
+    // same spec+seed at DIFFERENT N: the md5-string column is a pure
+    // function of the row index, so the N=100 value set is a strict subset
+    // of the N=250 set (a real cross-N property — same-N calls resolve to
+    // the same cached view and would compare equal tautologically)
+    def tags(n: Int) = g.sql(
+      s"SELECT tag FROM generateRandom('tag String', 7, $n)")
+      .collect().map(_.getString(0)).toSet
+    val (small, large) = (tags(100), tags(250))
+    assert(small.size == 100 && large.size == 250 && small.subsetOf(large))
+    // fractional/overflowing seeds are rejected, not silently truncated
+    intercept[Exception] { g.sql("SELECT * FROM generateRandom('a Int32', 42.5)").collect() }
   }
 }
 

@@ -633,6 +633,7 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(2L).getAs[Double]("oov_ratio") == 1.0)
     assert(out(1L).getAs[Double]("oov_ratio") == 0.0)
     assert(out(4L).isNullAt(out(4L).fieldIndex("avg_logprob")))
+    assert(out(4L).isNullAt(out(4L).fieldIndex("oov_ratio"))) // null, not "0% OOV"
     assert(out(4L).getAs[Long]("n_tokens") == 0L)
     // hand-check doc 1 against the closed form
     val n = lm.agg(org.apache.spark.sql.functions.sum("cnt")).head().getLong(0)

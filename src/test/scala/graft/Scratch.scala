@@ -568,13 +568,16 @@ object Scratch {
       println(f"$name%-28s rows=$n%6d  sec=$sec%6.2f  shuffle=${sb.get()}%,12d")
     }
     val C = graft.operators.Curation
+    // leg 1: the small-bench baseline, session defaults (broadcast + AQE)
     leg("exact+broadcast") {
       C.decontaminate(corpus, bench, "text", "doc_id", n = 5, minShared = 2) }
+    // legs 2+3 BOTH run in the large-bench regime — broadcast disabled,
+    // AQE off — so naive-vs-bloom is an apples-to-apples comparison of
+    // what each shuffles when the gram set cannot broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     leg("naive shuffle join") {
-      // what a user is left with when the gram set outgrows the broadcast:
-      // same logic, no broadcast hint, AQE off so the join really shuffles
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // what a user is left with when the gram set outgrows the broadcast
       val toks = graft.functions.GraftFunctions.tokenize(col("text"))
       val grams = when(size(toks) >= 5,
         array_distinct(transform(sequence(lit(0), size(toks) - 5),
