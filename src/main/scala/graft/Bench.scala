@@ -65,7 +65,12 @@ object Bench {
     def once(q: graft.queries.QueryDef): Double = {
       val t0 = System.nanoTime()
       try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => return -1.0 }
+      catch { case e: Throwable =>
+        // -1 in the record must be diagnosable from the bench log (r13
+        // verdict): print the failure before swallowing it.
+        System.err.println(s"[bench] ${q.name} FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val results = headline.map { q =>
@@ -133,10 +138,15 @@ object Bench {
     val bigTrips = tripped.filter(n =>
       prevTimes.get(n).exists(p => resultMap(n) - p > 1.0))
     // a query that FAILED outright (-1) but passed in the previous record is
-    // a crash regression — strictly worse than a slowdown, always refuses
+    // a crash regression — strictly worse than a slowdown, always refuses.
+    // EXPECT_SLOWER (an intentional-slowdown declaration) deliberately does
+    // NOT waive a crash; an intentional removal/failure must be declared
+    // separately via SPARK_GRAFT_EXPECT_FAIL=q1,q2.
+    val expectFail = sys.env.getOrElse("SPARK_GRAFT_EXPECT_FAIL", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val crashed = resultMap.toSeq.collect {
       case (n, t) if t < 0 && prevTimes.get(n).exists(_ > 0) => n
-    }.filterNot(expectSlower)
+    }.filterNot(expectFail)
     val contaminated =
       if (crashed.nonEmpty || bigTrips.nonEmpty || tripped.size >= 3)
         (crashed ++ tripped).distinct

@@ -100,10 +100,18 @@ final class GraftServer(
       }
       val user = req.getOrElse("user", "default")
       // constant-time compare — the credential check's timing must not leak
-      // how much of the password prefix matched
-      val authed = users.get(user).exists(expected =>
-        java.security.MessageDigest.isEqual(
-          expected.getBytes(UTF_8), req.getOrElse("password", "").getBytes(UTF_8)))
+      // how much of the password prefix matched, NOR whether the username
+      // exists: an unknown user runs the same compare against a dummy value
+      // so both paths do comparable work.
+      val supplied = req.getOrElse("password", "").getBytes(UTF_8)
+      val authed = users.get(user) match {
+        case Some(expected) =>
+          java.security.MessageDigest.isEqual(expected.getBytes(UTF_8), supplied)
+        case None =>
+          java.security.MessageDigest.isEqual(
+            "graft-no-such-user-dummy".getBytes(UTF_8), supplied)
+          false
+      }
       if (!authed) {
         fail(s"authentication failed for user '$user'"); return
       }
@@ -126,8 +134,12 @@ final class GraftServer(
       dfE match {
         case Left(err) => fail(err)
         case Right(df) =>
+          // "proto" advertises the framing version (2 = blank-line + eof
+          // trailer, r13) so a client seeing a truncation can distinguish a
+          // genuinely cut stream from version skew against an older server.
           val header = GraftServer.jsonObj(Seq(
-            "ok" -> "true", "schema" -> GraftServer.jsonStr(df.schema.toDDL)))
+            "ok" -> "true", "proto" -> "2",
+            "schema" -> GraftServer.jsonStr(df.schema.toDDL)))
           out.write((header + "\n").getBytes(UTF_8))
           if (op != "schema" && op != "query_schema") {
             // stream partitions one at a time — the result is never

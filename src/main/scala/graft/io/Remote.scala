@@ -146,13 +146,21 @@ object RemoteClient extends Serializable {
     // a task that stops consuming mid-stream still closes the socket
     Option(org.apache.spark.TaskContext.get())
       .foreach(_.addTaskCompletionListener[Unit](_ => sock.close()))
+    // framing version advertised by the server ("proto":"2" = blank-line +
+    // eof-trailer framing); a pre-r13 server omits it, so a truncation error
+    // can name version skew as the likely cause instead of a cut stream
+    val proto = hdr.get("proto")
     new Iterator[String] {
       private var seen = 0L
       private var nextLine: String = advance()
       private def truncated(detail: String): Nothing = {
         sock.close()
+        val skewHint = if (proto.isEmpty)
+          "; server did not advertise a framing version — likely version " +
+            "skew (pre-trailer server talking to a trailer-expecting client)"
+        else ""
         throw new java.io.IOException(
-          s"remote($hostPort): truncated row stream after $seen rows ($detail)")
+          s"remote($hostPort): truncated row stream after $seen rows ($detail)$skewHint")
       }
       private def advance(): String = {
         val l = GraftServer.readLine(in)

@@ -277,11 +277,23 @@ object Curation {
       graft.functions.BloomMightContain(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("g")),
         bcast))
-    corpus.select(col(idCol).as("id"), explode(grams).as("g"))
+    val out = corpus.select(col(idCol).as("id"), explode(grams).as("g"))
       .filter(admits)
       .join(bench, "g") // exact verify — fpp noise dies here
       .groupBy("id").agg(count(lit(1)).as("shared_ngrams"))
       .filter(col("shared_ngrams") >= minShared)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialize the (contaminated-id-sized, i.e. small) result NOW so the
+    // GB-scale inputs can be released immediately — on the very path sized
+    // for huge blooms, leaving the gram cache + bloom broadcast pinned for
+    // the session lifetime is a leak (r13 advice). unpersist, not destroy:
+    // if a recompute is ever forced (executor loss evicting the cached
+    // result), the bloom re-ships from the driver and the gram pipeline
+    // re-derives — slower, still correct.
+    out.foreach(_ => ())
+    bench.unpersist(blocking = false)
+    bcast.unpersist(blocking = false)
+    out
   }
 
   /** Per-group cap — the crawl-curation "at most `cap` documents per domain"

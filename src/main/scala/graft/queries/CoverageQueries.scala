@@ -406,6 +406,41 @@ object CoverageQueries {
       SELECT doc_id AS id, n_tokens, ROUND(oov_ratio, 6) AS oov,
         ROUND(lp, 6) AS lp, ROUND(exp(-lp), 3) AS ppl
       FROM sc ORDER BY id"""),
-      bench = true)
+      bench = true),
+
+    QueryDef("q171_sparkbar", (s, dir) => {
+      // sparkBar aggregate (§2.D's last spec-only row — ClickHouse sparkbar):
+      // per event_type, a 16-char unicode bar of event counts bucketed over
+      // the observed hour-of-day range. Every step is deterministic and
+      // replayed verbatim in DuckDB: integer bucket sums (no float
+      // association), floor-binning over [xMin, xMax], level =
+      // clamp(ceil(h/hMax*8), 0, 8) into the fixed 9-char ramp " ▁▂▃▄▅▆▇█".
+      v(s, dir, "events")
+      graft.engine.GraftSession(s).sql(
+        """SELECT event_type, sparkBar(16, hour(ts), 1) AS bar
+           FROM events GROUP BY event_type ORDER BY event_type""")
+    }, Some("""WITH pts AS (
+        SELECT event_type, CAST(EXTRACT(hour FROM ts) AS DOUBLE) AS x FROM events),
+      mm AS (SELECT event_type, MIN(x) AS xmin, MAX(x) AS xmax
+        FROM pts GROUP BY event_type),
+      binned AS (SELECT p.event_type,
+          CASE WHEN m.xmax = m.xmin THEN 0
+               ELSE LEAST(15, CAST(floor((p.x - m.xmin) / (m.xmax - m.xmin) * 16) AS INT))
+          END AS bin
+        FROM pts p JOIN mm m USING (event_type)),
+      hts AS (SELECT g.event_type, b.bin, COALESCE(c.cnt, 0) AS h
+        FROM (SELECT DISTINCT event_type FROM pts) g
+        CROSS JOIN (SELECT UNNEST(range(0, 16)) AS bin) b
+        LEFT JOIN (SELECT event_type, bin, COUNT(*) AS cnt
+                   FROM binned GROUP BY event_type, bin) c
+          ON c.event_type = g.event_type AND c.bin = b.bin),
+      lv AS (SELECT event_type, bin, h,
+          MAX(h) OVER (PARTITION BY event_type) AS hmax FROM hts)
+      SELECT event_type,
+        string_agg([' ','▁','▂','▃','▄','▅','▆','▇','█'][
+          LEAST(8, GREATEST(0, CASE WHEN hmax <= 0 THEN 0
+            ELSE CAST(ceil(h * 1.0 / hmax * 8) AS INT) END)) + 1],
+          '' ORDER BY bin) AS bar
+      FROM lv GROUP BY event_type ORDER BY event_type"""))
   )
 }
