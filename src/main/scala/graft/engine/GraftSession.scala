@@ -617,6 +617,71 @@ final class GraftSession(val spark: SparkSession) {
       : (Array[org.apache.spark.sql.Row], graft.ds.GraftFrame.QueryMetrics) =
     graft.ds.GraftFrame(sql(query)).collectWithMetrics()
 
+  private val lastMetricsRef = GraftSession.metricsFor(spark)
+
+  /** rows/bytes/wall of the most recent materialized action on this
+    * session (reference README.md:266-268 — `rows_read()/bytes_read()/
+    * elapsed()` are read back off the result after a query): backed by a
+    * QueryExecutionListener registered ONCE per SparkSession, so any
+    * action (collect/count/write), by any GraftSession wrapping the same
+    * session, updates it. rowsRead counts rows leaving the leaf scans
+    * (post-pushdown — the reference's rows_read semantics); bytesRead the
+    * scanned file bytes. The listener bus posts asynchronously — call
+    * [[awaitMetrics]] first when reading immediately after an action.
+    */
+  def lastQueryMetrics: Option[GraftSession.SessionQueryMetrics] =
+    Option(lastMetricsRef.get())
+
+  /** Drain pending listener-bus events so [[lastQueryMetrics]] reflects
+    * the action that just returned.
+    */
+  def awaitMetrics(): Unit =
+    org.apache.spark.sql.graftbridge.PlanBridge.waitForListenerBus(spark)
+
+  /** Reference-parity explain (core.py:707; docs/EXPLAIN_METHOD.md): the
+    * physical plan rendered the way the reference renders segment plans —
+    * one line per operator carrying the decision that matters at scale
+    * (pushed filters + read schema for scans, partitioning for exchanges,
+    * strategy + keys for joins, partial/final mode for aggregates), headed
+    * by exchange/codegen/scan counts. `verbose = true` appends Spark's own
+    * formatted explain (full per-node detail + codegen stage ids).
+    */
+  def explain(query: String, verbose: Boolean = false): String = {
+    val qe = sql(query).queryExecution
+    val pb = org.apache.spark.sql.graftbridge.PlanBridge
+    val plan = qe.executedPlan
+    val c = pb.planCounts(plan)
+    val header = s"== Graft Plan == exchanges: shuffle=${c("shuffleExchanges")} " +
+      s"broadcast=${c("broadcastExchanges")} | codegen spans: ${c("codegenSpans")} " +
+      s"| scans: ${c("scans")}"
+    val body = pb.describe(plan).map { case (d, l) => ("  " * d) + l }.mkString("\n")
+    header + "\n" + body + (if (verbose) "\n\n" + pb.formatted(qe) else "")
+  }
+
+  /** Run a query with live progress ticks (reference chdb/__init__.py:173-217
+    * progress callbacks / `send_progress`): `progress` = "err" (stderr,
+    * default) or "tty" (stdout) — a carriage-return-updated
+    * `tasksDone/tasksTotal (pct) rows=N` line, finalized with a newline.
+    * Returns the collected rows.
+    */
+  def queryWithProgress(query: String, progress: String = "err")
+      : Array[org.apache.spark.sql.Row] = {
+    // capture the CALLING thread's Console.out binding eagerly: ticks are
+    // delivered on the listener-bus thread, where a Console.withOut
+    // redirection (thread-local) would not be in scope
+    val target = if (progress == "tty") Console.out else null
+    val out: String => Unit = progress match {
+      case "tty" => s => { target.print(s); target.flush() }
+      case _ => s => { System.err.print(s); System.err.flush() }
+    }
+    val rows = collectWithProgress(sql(query), p => {
+      val pct = if (p.tasksTotal > 0) p.tasksDone * 100 / p.tasksTotal else 0
+      out(s"\r[graft] ${p.tasksDone}/${p.tasksTotal} tasks ($pct%) rows=${p.recordsRead}")
+    })
+    out("\n")
+    rows
+  }
+
   /** ClickHouse Pretty: box-drawing table, names embedded in the top
     * border, numbers right-aligned, NULL as ᴺᵁᴸᴸ — the reference README's
     * flagship interactive format (`chdb.query(sql, "Pretty")`).
@@ -767,6 +832,11 @@ final class GraftSession(val spark: SparkSession) {
     try df.collect()
     finally {
       sc.clearJobGroup()
+      // the bus posts asynchronously — drain queued task-end events so the
+      // last ticks are delivered before the listener detaches
+      try org.apache.spark.sql.graftbridge.PlanBridge
+        .waitForListenerBus(df.sparkSession)
+      catch { case _: Throwable => }
       sc.removeSparkListener(listener)
     }
   }
@@ -793,6 +863,20 @@ final class GraftSession(val spark: SparkSession) {
     */
   def registerArrow(name: String, bytes: Array[Byte]): DataFrame = {
     val df = org.apache.spark.sql.graftbridge.ArrowBridge.fromArrowStream(spark, bytes)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
+  /** Chunked-pull ingest — the reference PyReader's contract
+    * (chdb/__init__.py:222: the engine PULLS `read(col_names, count)`
+    * repeatedly until the reader is exhausted; README.md:430-460): an
+    * iterator of complete Arrow IPC streams, drained lazily and spooled to
+    * disk chunk by chunk, so total ingest is NOT bounded by one driver
+    * buffer the way [[registerArrow]] is — only the current chunk is ever
+    * in memory.
+    */
+  def registerArrowBatches(name: String, chunks: Iterator[Array[Byte]]): DataFrame = {
+    val df = org.apache.spark.sql.graftbridge.ArrowBridge.fromArrowBatches(spark, chunks)
     df.createOrReplaceTempView(name)
     df
   }
@@ -994,6 +1078,41 @@ object GraftSession {
     */
   final case class QueryProgress(tasksDone: Int, tasksTotal: Int,
       recordsRead: Long)
+
+  /** Result metadata of the last materialized action (reference
+    * README.md:266-268): rows out of the leaf scans, scanned file bytes,
+    * wall-clock of the action.
+    */
+  final case class SessionQueryMetrics(
+      rowsRead: Long, bytesRead: Long, elapsedMs: Long)
+
+  // one metrics listener per SparkSession (GraftSession instances are
+  // cheap wrappers created per call site — a listener per instance would
+  // pile up); WeakHashMap so a dropped session is not pinned by the map
+  private val metricsRefs = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.atomic.AtomicReference[SessionQueryMetrics]]())
+  private[engine] def metricsFor(spark: SparkSession)
+      : java.util.concurrent.atomic.AtomicReference[SessionQueryMetrics] =
+    metricsRefs.synchronized {
+      val existing = metricsRefs.get(spark)
+      if (existing != null) existing
+      else {
+        val ref = new java.util.concurrent.atomic.AtomicReference[SessionQueryMetrics](null)
+        spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+            val (rows, bytes) = org.apache.spark.sql.graftbridge.PlanBridge
+              .scanTotals(qe.executedPlan)
+            ref.set(SessionQueryMetrics(rows, bytes, durationNs / 1000000L))
+          }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+        })
+        metricsRefs.put(spark, ref)
+        ref
+      }
+    }
 
   val tableNames: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",

@@ -317,6 +317,26 @@ object CoverageQueries {
     }, Some("""SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
 
+    QueryDef("q172_arrow_chunked", (s, dir) => {
+      // CHUNKED Arrow ingest (r14 — reference PyReader's pull contract,
+      // chdb/__init__.py:222: read(col_names, count) is pulled repeatedly):
+      // customer is rendered as FOUR separate Arrow IPC streams and fed to
+      // registerArrowBatches as an iterator; each chunk spools to disk as
+      // it is pulled, so ingest is bounded by ONE chunk of driver memory,
+      // not the whole table (q167 covers the single-buffer path).
+      v(s, dir, "customer")
+      val gs = graft.engine.GraftSession(s)
+      val chunks = (0 until 4).iterator.map(i => gs.queryAsBytes(
+        s"""SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+            WHERE c_custkey % 4 = $i""", "Arrow"))
+      gs.registerArrowBatches("__arrow_customer_chunks", chunks)
+      gs.sql("""SELECT c_nationkey, count(*) AS n,
+          CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+        FROM __arrow_customer_chunks GROUP BY c_nationkey ORDER BY c_nationkey""")
+    }, Some("""SELECT c_nationkey, count(*) AS n,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+      FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
     QueryDef("q168_url_http", (s, dir) => {
       // url() over LIVE HTTP (reference table_functions.py:213): a loopback
       // com.sun.net.httpserver serves the nation parquet fixture; the query

@@ -89,4 +89,32 @@ object ArrowBridge {
       allocator.close()
     }
   }
+
+  /** The CHUNKED ingest half — the reference PyReader's pull contract
+    * (chdb/__init__.py:222: `read(col_names, count)` is called repeatedly
+    * until it returns empty; README.md:430-460): an iterator of complete
+    * Arrow IPC streams is drained one chunk at a time, each chunk spooled
+    * to a local parquet append as soon as it is parsed, so DRIVER MEMORY IS
+    * BOUNDED BY ONE CHUNK — ingest size is bounded by disk, not by a
+    * single in-memory byte buffer (the [[fromArrowStream]] contract).
+    * Chunks after the first must match the first chunk's schema exactly.
+    * The spool directory lives under java.io.tmpdir for the session's
+    * lifetime (one per call).
+    */
+  def fromArrowBatches(spark: org.apache.spark.sql.SparkSession,
+      chunks: Iterator[Array[Byte]]): DataFrame = {
+    if (!chunks.hasNext) return spark.emptyDataFrame
+    val dir = java.nio.file.Files.createTempDirectory("graft-arrow-ingest")
+    var schema: org.apache.spark.sql.types.StructType = null
+    var i = 0
+    while (chunks.hasNext) {
+      val df = fromArrowStream(spark, chunks.next())
+      if (schema == null) schema = df.schema
+      else require(df.schema == schema,
+        s"arrow chunk $i schema ${df.schema.toDDL} != first chunk's ${schema.toDDL}")
+      df.write.mode("append").parquet(dir.toString)
+      i += 1
+    }
+    spark.read.schema(schema).parquet(dir.toString)
+  }
 }
