@@ -280,6 +280,32 @@ object Multimodal {
       samples(i * 2 + 1) = ((v >> 8) & 0xFF).toByte
       i += 1
     }
+    wav16(samples, n, sampleRate)
+  }
+
+  /** Deterministic INTEGER-PCM mono WAV synth (r14): sample i of stream
+    * `seed` is ((seed·7919 + i·104729) mod 65536) − 32768 — pure integer
+    * arithmetic end to end, so the features the decoder derives from the
+    * samples (RMS, zero-crossing rate, peak — exact dyadic rationals whose
+    * sums stay under 53 significand bits) are BIT-EXACTLY replayable by any
+    * engine, unlike [[sineWav]] whose libm sin() is not cross-runtime
+    * bit-stable. Still drives the REAL javax.sound.sampled decode path:
+    * RIFF container parse, PCM framing, streamed feature extraction.
+    */
+  def lcgWav(seed: Long, ms: Int, sampleRate: Int = 8000): Array[Byte] = {
+    val n = sampleRate * ms / 1000
+    val samples = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = (((seed * 7919L + i.toLong * 104729L) % 65536L) - 32768L).toInt
+      samples(i * 2) = (v & 0xFF).toByte
+      samples(i * 2 + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    wav16(samples, n, sampleRate)
+  }
+
+  private def wav16(samples: Array[Byte], n: Int, sampleRate: Int): Array[Byte] = {
     val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(samples), fmt, n.toLong)

@@ -1513,14 +1513,20 @@ ORDER BY d.doc_id""")),
     QueryDef("q90_multimodal_decode", (s, dir) => {
       // image leg: documents' text bytes stand in for image payloads (the
       // deterministic fallback path); audio leg: per-doc synthesized WAV
-      // driven through the REAL javax.sound.sampled decode (r7)
+      // driven through the REAL javax.sound.sampled decode (r7).
+      // r14: promoted to a DIRECT oracle via two devices — (1) the image
+      // fallback's bytesHash (FNV-1a + splitmix-style finalizer) replays in
+      // DuckDB with q75's HUGEINT mod-2^64 arithmetic; (2) the audio
+      // fixture switched from sineWav to lcgWav (integer PCM), making the
+      // decoder's RMS/ZCR exact dyadic arithmetic both engines reproduce
+      // bit-for-bit (libm sin was the only non-replayable step).
       val media = graft.operators.Multimodal.withMedia(
         Q.t(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("content")),
         "content", "image", "jpeg", width = 640, height = 480)
       val image = graft.operators.Multimodal.decodeImageFeatures(media, "content", batchSize = 64)
         .select(col("doc_id"), col("media_meta.size_bytes").as("size_bytes"),
           col("image_features.phash").as("phash"),
-          round(element_at(col("image_features.mean_rgb"), 1), 6).as("mean_r"))
+          round(element_at(col("image_features.mean_rgb"), 1).cast("double"), 6).as("mean_r"))
       val ids = Q.t(s, dir, "documents").select(col("doc_id"))
       val wavSchema = org.apache.spark.sql.types.StructType(ids.schema.fields :+
         org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType))
@@ -1528,8 +1534,8 @@ ORDER BY d.doc_id""")),
       val wavs = ids.mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
-          org.apache.spark.sql.Row(id, graft.operators.Multimodal.sineWav(
-            200.0 + (id % 20) * 40.0, 40 + (id % 5).toInt * 10))
+          org.apache.spark.sql.Row(id, graft.operators.Multimodal.lcgWav(
+            id, 40 + (id % 5).toInt * 10))
         }
       }(wavEnc)
       val audio = graft.operators.Multimodal.decodeAudioFeatures(wavs, "content", batchSize = 64)
@@ -1539,7 +1545,55 @@ ORDER BY d.doc_id""")),
           round(col("audio_features.rms"), 6).as("rms"),
           round(col("audio_features.zero_crossing_rate"), 6).as("zcr"))
       image.join(audio, "doc_id").orderBy("doc_id")
-    }, None),
+    }, Some("""WITH docs AS (SELECT doc_id, text FROM documents),
+      -- image fallback features: FNV-1a over the UTF-8 bytes (ASCII corpus:
+      -- = codepoints) + the splitmix-style finalizer, mod-2^64 in HUGEINT
+      -- (q75's device; 64x64 multiplies split hi/lo 32-bit)
+      fnv AS (SELECT doc_id,
+          list_reduce(
+            list_prepend(CAST(14695981039346656037 AS HUGEINT),
+              list_transform(split(text, ''), c -> CAST(unicode(c) AS HUGEINT))),
+            (h, c) -> (xor(h, c) * CAST(1099511628211 AS HUGEINT))
+                      % CAST(18446744073709551616 AS HUGEINT)) AS x
+        FROM docs),
+      m1 AS (SELECT doc_id, xor(x, x >> 30) AS x FROM fnv),
+      m2 AS (SELECT doc_id,
+        ((x % 4294967296) * CAST(13787848793156543929 AS HUGEINT)
+         + (((x >> 32) * 484763065) % 4294967296) * 4294967296)
+        % CAST(18446744073709551616 AS HUGEINT) AS x FROM m1),
+      m3 AS (SELECT doc_id, xor(x, x >> 27) AS x FROM m2),
+      m4 AS (SELECT doc_id,
+        ((x % 4294967296) * CAST(10723151780598845931 AS HUGEINT)
+         + (((x >> 32) * 321982955) % 4294967296) * 4294967296)
+        % CAST(18446744073709551616 AS HUGEINT) AS x FROM m3),
+      ph AS (SELECT doc_id, xor(x, x >> 31) AS h FROM m4),
+      img AS (SELECT d.doc_id,
+          octet_length(encode(d.text)) AS size_bytes,
+          CAST(CASE WHEN p.h >= CAST(9223372036854775808 AS HUGEINT)
+            THEN p.h - CAST(18446744073709551616 AS HUGEINT) ELSE p.h END AS BIGINT) AS phash,
+          ROUND(CAST(CAST(CAST(p.h % 65536 AS INTEGER) AS REAL)
+            / CAST(65535 AS REAL) AS DOUBLE), 6) AS mean_r
+        FROM docs d JOIN ph p USING (doc_id)),
+      -- audio: replay the integer-PCM synth (lcgWav) sample by sample;
+      -- every v = k/32768 is an exact dyadic and sum(v^2) < 2^10 with
+      -- 30 fractional bits -> exact in ANY summation order
+      au AS (SELECT doc_id, 320 + (doc_id % 5) * 80 AS n FROM documents),
+      sm AS (SELECT doc_id, n, UNNEST(range(0, n)) AS i FROM au),
+      kv AS (SELECT doc_id, n, i,
+          ((doc_id * 7919 + i * 104729) % 65536) - 32768 AS k FROM sm),
+      lg AS (SELECT doc_id, n, i, k,
+          LAG(k) OVER (PARTITION BY doc_id ORDER BY i) AS pk FROM kv),
+      aagg AS (SELECT doc_id, MAX(n) AS n,
+          SUM((k / 32768.0) * (k / 32768.0)) AS ss,
+          SUM(CASE WHEN pk IS NOT NULL AND ((pk < 0) <> (k < 0))
+              THEN 1 ELSE 0 END) AS cr
+        FROM lg GROUP BY doc_id)
+      SELECT i.doc_id, i.size_bytes, i.phash, i.mean_r,
+        CAST(8000 AS INT) AS sample_rate,
+        CAST(a.n / 8 AS BIGINT) AS audio_ms,
+        ROUND(sqrt(a.ss / a.n), 6) AS rms,
+        ROUND(CAST(a.cr AS DOUBLE) / a.n, 6) AS zcr
+      FROM img i JOIN aagg a USING (doc_id) ORDER BY i.doc_id""")),
 
     QueryDef("q91_stream_window_batch", (s, dir) =>
       // Structured-Streaming windowed aggregation run on the bounded frame —
