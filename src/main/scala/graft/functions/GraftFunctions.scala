@@ -979,6 +979,10 @@ object GraftFunctions {
     add("simHash")(es => SimHash(es.head))
     add("fingerprint")(es => TextFingerprint(es.head, es.lift(1).getOrElse(col2e(lit(8)))))
     add("hammingDistance")(es => col2e(bit_count(e2col(es.head).bitwiseXOR(e2col(es(1))))))
+    // BPE tokenizer encode (r14 — subword units from a trained merge table;
+    // train with operators.Tokenizer.bpeTrain)
+    add("bpeEncode")(es => BpeEncode(es.head, es(1)))
+    add("bpeTokenCount")(es => catalyst.expressions.Size(BpeEncode(es.head, es(1))))
 
     // the registry tail (round 7): generated case variants + composed and
     // custom implementations of the remaining reference names. Precedence:

@@ -729,3 +729,112 @@ private[functions] object Mix64 {
     mix(h)
   }
 }
+
+/** bpeEncode(text, merges): byte-pair-encoding tokenization with a FIXED
+  * merge table — the encode half of a real subword tokenizer (Sennrich et
+  * al. 2016, the GPT-2/LLaMA vocabulary construction; the reference's text
+  * tier stops at whitespace/regex token counts, this goes one level
+  * deeper to actual tokenizer units, the unit token budgets are priced in).
+  *
+  * `merges` is a foldable string: comma-separated ordered pairs, each pair
+  * "left right" (space-separated), e.g. "t h,th e,i n". Encoding: the text
+  * is tokenized to words ([[TokenizerOps.split]] semantics — lowercase,
+  * letter/number runs), each word starts as its character symbols, and
+  * each merge is applied IN TABLE ORDER over every word, merging
+  * left-to-right without overlap (exactly java.lang.String.replace
+  * semantics over a space-joined symbol string — what makes the kernel
+  * replayable in SQL). Output: the document's symbols in word order.
+  *
+  * 100 TB shape: a pure projection — the merge table parses ONCE per
+  * (expression instance) via the codegen reference object, never per row;
+  * training ([[graft.operators.Tokenizer.bpeTrain]]) is a separate
+  * sample-bounded step whose output string feeds this literal.
+  */
+case class BpeEncode(text: Expression, merges: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = text
+  override def right: Expression = merges
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  // the merge table is a query-constant: parse it once at plan time
+  private lazy val table: Array[String] = {
+    require(merges.foldable, "bpeEncode merges must be a literal")
+    val m = merges.eval()
+    require(m != null, "bpeEncode merges must not be null")
+    BpeOps.parseMerges(m.toString)
+  }
+
+  override protected def nullSafeEval(t: Any, m: Any): Any =
+    BpeOps.encode(t.asInstanceOf[UTF8String], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMerges", table, "java.lang.String[]")
+    defineCodeGen(ctx, ev, (t, _) => s"graft.functions.BpeOps.encode($t, $ref)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BpeEncode =
+    copy(text = l, merges = r)
+}
+
+/** Static kernels behind [[BpeEncode]] (static forwarders for codegen). */
+object BpeOps {
+
+  /** "t h,th e" → flattened [left0, right0, left1, right1, …]. */
+  def parseMerges(spec: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String]
+    spec.split(',').foreach { p =>
+      val t = p.trim
+      if (t.nonEmpty) {
+        val sp = t.indexOf(' ')
+        require(sp > 0 && sp < t.length - 1, s"malformed merge pair '$t' (want 'left right')")
+        out += t.substring(0, sp)
+        out += t.substring(sp + 1)
+      }
+    }
+    out.toArray
+  }
+
+  /** One merge pass over a symbol list: left-to-right, non-overlapping
+    * (String.replace semantics over the space-joined form).
+    */
+  private def applyMerge(syms: java.util.ArrayList[String], l: String, r: String)
+      : java.util.ArrayList[String] = {
+    val out = new java.util.ArrayList[String](syms.size)
+    var i = 0
+    val n = syms.size
+    while (i < n) {
+      if (i + 1 < n && syms.get(i) == l && syms.get(i + 1) == r) {
+        out.add(l + r); i += 2
+      } else { out.add(syms.get(i)); i += 1 }
+    }
+    out
+  }
+
+  def encode(s: UTF8String, merges: Array[String]): GenericArrayData = {
+    val words = TokenizerOps.split(s)
+    val out = new java.util.ArrayList[AnyRef]
+    var w = 0
+    while (w < words.numElements()) {
+      val word = words.getUTF8String(w).toString
+      var syms = new java.util.ArrayList[String](word.length)
+      // split to code points (symbols start as single characters)
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        val len = Character.charCount(cp)
+        syms.add(word.substring(i, i + len))
+        i += len
+      }
+      var m = 0
+      while (m < merges.length) {
+        syms = applyMerge(syms, merges(m), merges(m + 1))
+        m += 2
+      }
+      var j = 0
+      while (j < syms.size) { out.add(UTF8String.fromString(syms.get(j))); j += 1 }
+      w += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}

@@ -337,6 +337,46 @@ object CoverageQueries {
         CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
       FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")),
 
+    {
+      // q173: BPE tokenizer ENCODE (r14 — graft.functions.BpeEncode, the
+      // codegen'd projection behind operators.Tokenizer). The merge table is
+      // a FIXED literal here so DuckDB can replay encoding independently:
+      // each word becomes marker-prefixed symbols ("_t_h_e"), and each merge
+      // "l r" is one sequential replace("_l_r" -> "_lr") — the marker makes
+      // a substring match exactly a symbol-pair match (symbols are \p{L}\p{N}
+      // only, so '_' never occurs inside one) and replace()'s left-to-right
+      // non-overlapping scan is precisely BpeOps.applyMerge's semantics.
+      // (Training is sample-bounded and spec-locked in BpeSpec; the encode
+      // projection is the side that touches 100 TB.)
+      val mergePairs = Seq("t h", "th e", "i n", "a n", "an d", "e r", "o n",
+        "r e", "e n", "a t", "e s", "o r", "s t", "a r", "a l", "o u",
+        "i t", "i s", "in g", "e d")
+      val spec = mergePairs.mkString(",")
+      val inner = mergePairs.foldLeft("'_' || array_to_string(split(w, ''), '_')") {
+        case (acc, pair) =>
+          val Array(l, r) = pair.split(' ')
+          s"replace($acc, '_${l}_$r', '_$l$r')"
+      }
+      QueryDef("q173_bpe_encode", (s, dir) => {
+        v(s, dir, "documents")
+        graft.engine.GraftSession(s).sql(
+          s"""SELECT doc_id, CAST(size(bpe) AS BIGINT) AS n_tokens,
+                array_join(slice(bpe, 1, 8), ' ') AS head
+              FROM (SELECT doc_id, bpeEncode(text, '$spec') AS bpe FROM documents)
+              ORDER BY doc_id""")
+      }, Some(s"""WITH w AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'),
+              x -> x <> '') AS ws
+          FROM documents),
+        enc AS (SELECT doc_id, list_transform(ws, w -> $inner) AS es FROM w),
+        j AS (SELECT doc_id, array_to_string(es, '') AS s FROM enc)
+        SELECT doc_id,
+          CAST(len(str_split(s, '_')) - 1 AS BIGINT) AS n_tokens,
+          array_to_string(str_split(s, '_')[2:9], ' ') AS head
+        FROM j ORDER BY doc_id"""),
+        bench = true)
+    },
+
     QueryDef("q168_url_http", (s, dir) => {
       // url() over LIVE HTTP (reference table_functions.py:213): a loopback
       // com.sun.net.httpserver serves the nation parquet fixture; the query
