@@ -292,6 +292,19 @@ final case class GraftFrame(df: DataFrame) {
       alpha: Double = 0.5): GraftFrame =
     GraftFrame(TextAnalysis.lmScore(df, lm.df, textCol, idCol, alpha))
 
+  /** Learn a BPE merge table from this frame's text (r14; sample-bounded —
+    * see [[graft.operators.Tokenizer.bpeTrain]]'s scale contract).
+    */
+  def bpeTrain(textCol: String, numMerges: Int, topWords: Int = 10000): Seq[(String, String)] =
+    graft.operators.Tokenizer.bpeTrain(df, textCol, numMerges, topWords)
+
+  /** Encode text to BPE subword tokens (`<outCol>` array + `<outCol>_count`)
+    * with a trained merge table — a pure codegen'd projection.
+    */
+  def bpeEncode(textCol: String, merges: Seq[(String, String)],
+      outCol: String = "bpe"): GraftFrame =
+    GraftFrame(graft.operators.Tokenizer.bpeEncode(df, textCol, merges, outCol))
+
   /** Redact PII (emails/SSNs/phones/IPs) in place (q117 shape). */
   def scrubPii(textCol: String): GraftFrame =
     GraftFrame(df.withColumn(textCol, TextAnalysis.scrubPii(col(textCol))))
