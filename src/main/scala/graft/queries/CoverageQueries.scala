@@ -377,6 +377,72 @@ object CoverageQueries {
         bench = true)
     },
 
+    QueryDef("q174_result_metadata", (s, dir) => {
+      // §2.L result metadata (reference README.md:266-268 rows_read()/
+      // bytes_read()/elapsed(), r14): a full unfiltered scan's
+      // lastQueryMetrics.rowsRead must equal the table's row count exactly —
+      // the metadata itself becomes the oracle-checked value. bytes/elapsed
+      // are asserted non-zero in IntrospectionSpec (not portable numbers).
+      v(s, dir, "orders")
+      val gs = graft.engine.GraftSession(s)
+      val returned = gs.sql("SELECT * FROM orders").collect().length
+      gs.awaitMetrics()
+      val m = gs.lastQueryMetrics.getOrElse(
+        throw new IllegalStateException("metrics not recorded"))
+      import s.implicits._
+      Seq((m.rowsRead, returned.toLong)).toDF("rows_read", "rows_returned")
+    }, Some("SELECT count(*) AS rows_read, count(*) AS rows_returned FROM orders")),
+
+    QueryDef("q175_progress_stream", (s, dir) => {
+      // §2.L progress callbacks (reference chdb/__init__.py:173-217, r14):
+      // the tick stream's FINAL state is exact — records streamed equals the
+      // table row count (inputMetrics over the query's own job group) and
+      // the task counter completes. Ticks are drained before the listener
+      // detaches (collectWithProgress's bus drain), so the final tick is
+      // always observed.
+      v(s, dir, "documents")
+      val gs = graft.engine.GraftSession(s)
+      val last = new java.util.concurrent.atomic.AtomicReference[
+        graft.engine.GraftSession.QueryProgress](null)
+      val ticks = new java.util.concurrent.atomic.AtomicLong(0L)
+      // sum(n_chars) forces a real row read (no metadata-only count path)
+      gs.collectWithProgress(
+        gs.sql("SELECT sum(n_chars) AS c FROM documents"),
+        p => { ticks.incrementAndGet(); last.set(p) })
+      // NOTE tasksTotal is a MOVING denominator by contract (AQE registers
+      // per-job stages, some of which are skipped), so completion is not
+      // tasksDone == tasksTotal; the exact invariants are the streamed
+      // record count and that ticks were delivered at all.
+      val fin = last.get()
+      import s.implicits._
+      Seq((fin.recordsRead, ticks.get() > 0))
+        .toDF("rows_streamed", "ticked")
+    }, Some("""SELECT count(*) AS rows_streamed, CAST(1 AS BOOLEAN) AS ticked
+      FROM documents""")),
+
+    QueryDef("q176_salted_join", (s, dir) => {
+      // §2.C skewed-key salted join (r14 — previously spec-only): the salted
+      // plan must be ROW-IDENTICAL to the plain equi-join (each probe row
+      // matches exactly one replicated build row — its own salt), so the
+      // oracle is the unsalted join. Exact integer aggregates (count,
+      // id-sum, dim passthrough) make the compare float-free.
+      v(s, dir, "events")
+      val ev = Q.t(s, dir, "events")
+      val dim = ev.groupBy("event_type").agg(count(lit(1)).as("type_n"))
+      graft.operators.Skew.saltedJoin(
+          ev.select(col("event_id"), col("event_type")), dim,
+          Seq("event_type"), buckets = 8)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"),
+          max("type_n").as("type_n"))
+        .orderBy("event_type")
+    }, Some("""WITH d AS (SELECT event_type, COUNT(*) AS type_n
+          FROM events GROUP BY event_type)
+      SELECT e.event_type, COUNT(*) AS n,
+        CAST(SUM(e.event_id) AS BIGINT) AS id_sum, MAX(d.type_n) AS type_n
+      FROM events e JOIN d USING (event_type)
+      GROUP BY e.event_type ORDER BY e.event_type""")),
+
     QueryDef("q168_url_http", (s, dir) => {
       // url() over LIVE HTTP (reference table_functions.py:213): a loopback
       // com.sun.net.httpserver serves the nation parquet fixture; the query
