@@ -443,6 +443,41 @@ object CoverageQueries {
       FROM events e JOIN d USING (event_type)
       GROUP BY e.event_type ORDER BY e.event_type""")),
 
+    QueryDef("q177_bucketed_join", (s, dir) => {
+      // §2.C co-located bucketed join (r14 — previously plan-spec-only):
+      // both sides bucketed on user_id via Sources.writeBucketed, joined on
+      // the bucket key (zero shuffle exchanges — the PLAN property stays
+      // locked in SkewBucketJoinSpec), and the RESULT proven row-identical
+      // to the plain join with exact integer aggregates.
+      val ev = Q.t(s, dir, "events")
+      Seq("q177_ev_b", "q177_agg_b").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        // a fresh JVM's in-memory catalog forgets the table but the
+        // warehouse directory survives — saveAsTable refuses to reuse the
+        // location, so clear it on the filesystem too
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), t)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
+      graft.io.Sources.writeBucketed(
+        ev.select(col("event_id"), col("user_id")), "q177_ev_b",
+        Seq("user_id"), 8)
+      graft.io.Sources.writeBucketed(
+        ev.groupBy("user_id").agg(count(lit(1)).as("user_n")), "q177_agg_b",
+        Seq("user_id"), 8)
+      s.table("q177_ev_b").join(s.table("q177_agg_b"), "user_id")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"),
+          max("user_n").as("user_n"))
+        .orderBy("user_id")
+    }, Some("""WITH d AS (SELECT user_id, COUNT(*) AS user_n
+          FROM events GROUP BY user_id)
+      SELECT e.user_id, COUNT(*) AS n,
+        CAST(SUM(e.event_id) AS BIGINT) AS id_sum, MAX(d.user_n) AS user_n
+      FROM events e JOIN d USING (user_id)
+      GROUP BY e.user_id ORDER BY e.user_id""")),
+
     QueryDef("q168_url_http", (s, dir) => {
       // url() over LIVE HTTP (reference table_functions.py:213): a loopback
       // com.sun.net.httpserver serves the nation parquet fixture; the query
