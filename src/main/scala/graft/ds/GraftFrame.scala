@@ -292,6 +292,13 @@ final case class GraftFrame(df: DataFrame) {
       alpha: Double = 0.5): GraftFrame =
     GraftFrame(TextAnalysis.lmScore(df, lm.df, textCol, idCol, alpha))
 
+  /** BM25 relevance of every document to a seed query (r14 — quality-
+    * targeted selection): (idCol, n_terms, bm25) for docs matching ≥1 term.
+    */
+  def bm25(textCol: String, idCol: String, query: String,
+      k1: Double = 1.2, b: Double = 0.75): GraftFrame =
+    GraftFrame(graft.operators.Retrieval.bm25(df, textCol, idCol, query, k1, b))
+
   /** Learn a BPE merge table from this frame's text (r14; sample-bounded —
     * see [[graft.operators.Tokenizer.bpeTrain]]'s scale contract).
     */

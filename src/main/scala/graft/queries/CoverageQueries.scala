@@ -478,6 +478,37 @@ object CoverageQueries {
       FROM events e JOIN d USING (user_id)
       GROUP BY e.user_id ORDER BY e.user_id""")),
 
+    QueryDef("q178_bm25", (s, dir) => {
+      // BM25 seed-query retrieval (r14 — operators.Retrieval through the
+      // SQL surface): quality-targeted document selection. Every arithmetic
+      // step mirrors the kernel exactly in DuckDB (same literal forms, same
+      // evaluation order); ln + per-doc term-sum follow the repo's ROUND(6)
+      // float-oracle convention (q170 precedent).
+      v(s, dir, "documents")
+      graft.engine.GraftSession(s).sql(
+        """SELECT doc_id, n_terms, ROUND(bm25, 6) AS bm25
+           FROM bm25(documents, 'text', 'doc_id', 'fast hash join order')
+           ORDER BY doc_id""")
+    }, Some("""WITH base AS (SELECT doc_id,
+          list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+            x -> x <> '') AS ws
+        FROM documents),
+      dl AS (SELECT doc_id, len(ws) AS dl FROM base),
+      meta AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl),
+      tok AS (SELECT doc_id, UNNEST(ws) AS t FROM base),
+      q AS (SELECT UNNEST(['fast', 'hash', 'join', 'order']) AS t),
+      tf AS (SELECT doc_id, tok.t AS t, COUNT(*) AS tf
+        FROM tok JOIN q ON tok.t = q.t GROUP BY doc_id, tok.t),
+      dfc AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+      idf AS (SELECT t, ln(1.0 + (m.n - df + 0.5) / (df + 0.5)) AS idf
+        FROM dfc CROSS JOIN meta m)
+      SELECT f.doc_id, COUNT(*) AS n_terms,
+        ROUND(SUM(i.idf * (f.tf * (1.2 + 1.0)) /
+          (f.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / m.avgdl))), 6) AS bm25
+      FROM tf f JOIN idf i USING (t) JOIN dl d USING (doc_id) CROSS JOIN meta m
+      GROUP BY f.doc_id ORDER BY f.doc_id""")),
+
     QueryDef("q168_url_http", (s, dir) => {
       // url() over LIVE HTTP (reference table_functions.py:213): a loopback
       // com.sun.net.httpserver serves the nation parquet fixture; the query
