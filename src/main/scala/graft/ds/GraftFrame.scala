@@ -292,6 +292,16 @@ final case class GraftFrame(df: DataFrame) {
       alpha: Double = 0.5): GraftFrame =
     GraftFrame(TextAnalysis.lmScore(df, lm.df, textCol, idCol, alpha))
 
+  /** Train a bounded BIGRAM LM (r14): unigram rows (w2 null) + top bigrams. */
+  def lmTrain2(textCol: String, vocabSize: Int = 65536,
+      bigramSize: Int = 262144): GraftFrame =
+    GraftFrame(TextAnalysis.lmTrain2(df, textCol, vocabSize, bigramSize))
+
+  /** Bigram perplexity scoring with unigram backoff at vocabulary edges. */
+  def lmScore2(lm2: GraftFrame, textCol: String, idCol: String,
+      alpha: Double = 0.5): GraftFrame =
+    GraftFrame(TextAnalysis.lmScore2(df, lm2.df, textCol, idCol, alpha))
+
   /** BM25 relevance of every document to a seed query (r14 — quality-
     * targeted selection): (idCol, n_terms, bm25) for docs matching ≥1 term.
     */

@@ -117,7 +117,7 @@ final class GraftSession(val spark: SparkSession) {
     "dedup_exact", "dedup_groups", "dedup_spans", "minhash_pairs",
     "ngram_jaccard_pairs", "simhash_pairs", "embedding_neardup",
     "quality_score", "language_id", "token_count", "scrub_pii",
-    "lm_train", "lm_score", "bm25",
+    "lm_train", "lm_score", "lm_train2", "lm_score2", "bm25",
     "repetition_features", "curate", "hash_split", "temperature_mixture",
     "pack_sequences", "pack_greedy", "decontaminate", "decontaminate_bloom",
     "ann_topk",
@@ -142,6 +142,8 @@ final class GraftSession(val spark: SparkSession) {
     "language_id" -> ("language_id(table, 'textCol')", 2),
     "lm_train" -> ("lm_train(table, 'textCol'[, vocabSize=65536])", 3),
     "lm_score" -> ("lm_score(table, lmTable, 'textCol', 'idCol'[, alpha=0.5])", 5),
+    "lm_train2" -> ("lm_train2(table, 'textCol'[, vocabSize=65536, bigramSize=262144])", 4),
+    "lm_score2" -> ("lm_score2(table, lm2Table, 'textCol', 'idCol'[, alpha=0.5])", 5),
     "bm25" -> ("bm25(table, 'textCol', 'idCol', 'query words'[, k1=1.2, b=0.75])", 6),
     "token_count" -> ("token_count(table, 'textCol')", 2),
     "scrub_pii" -> ("scrub_pii(table, 'textCol')", 2),
@@ -456,6 +458,11 @@ final class GraftSession(val spark: SparkSession) {
         case "bm25" =>
           t(0, "table").bm25(str(1, "textCol"), str(2, "idCol"),
             str(3, "query"), num(4, 1.2), num(5, 0.75))
+        case "lm_train2" =>
+          t(0, "table").lmTrain2(str(1, "textCol"), int(2, 65536), int(3, 262144))
+        case "lm_score2" =>
+          t(0, "table").lmScore2(t(1, "lm2Table"), str(2, "textCol"),
+            str(3, "idCol"), num(4, 0.5))
         case "repetition_features" => t(0, "table").repetitionFeatures(str(1, "textCol"))
         case "curate" =>
           t(0, "table").curate(str(1, "textCol"), str(2, "idCol"),

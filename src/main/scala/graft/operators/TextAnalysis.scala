@@ -319,4 +319,83 @@ object TextAnalysis {
           log((coalesce(col("cnt"), lit(0L)) + alpha) / denom))).as("avg_logprob"))
       .withColumn("perplexity", exp(-col("avg_logprob")))
   }
+
+  /** BIGRAM language model (r14 — the n-gram regime CCNet's perplexity
+    * filter actually runs in; [[lmTrain]] is the order-1 base). One model
+    * frame (w1, w2, cnt): unigram rows carry w2 = null (top `vocabSize` by
+    * count), bigram rows the top `bigramSize` adjacent pairs — BOTH cuts
+    * ride TakeOrderedAndProject (partition-local top-K, driver merge), so
+    * the model is bounded by construction and always broadcastable.
+    * Deterministic tie-breaks: count desc, then token(s) asc.
+    */
+  def lmTrain2(corpus: DataFrame, textCol: String, vocabSize: Int = 65536,
+      bigramSize: Int = 262144): DataFrame = {
+    require(vocabSize > 0 && bigramSize > 0)
+    val uni = lmTrain(corpus, textCol, vocabSize)
+      .select(col("token").as("w1"), lit(null).cast("string").as("w2"), col("cnt"))
+    // adjacent pairs built per row from array slices — zero shuffle before
+    // the one count exchange
+    val ts = tokenize(col(textCol))
+    val bi = corpus
+      .select(ts.as("ts"))
+      .select(col("ts"), posexplode(col("ts")).as(Seq("pos", "w2")))
+      .filter(col("pos") > 0)
+      .select(element_at(col("ts"), col("pos")).as("w1"), col("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2"))
+      .limit(bigramSize)
+    uni.unionByName(bi)
+  }
+
+  /** Score documents under a [[lmTrain2]] bigram model: token 0 (and any
+    * token whose predecessor is out-of-vocabulary) scores by the smoothed
+    * UNIGRAM p(w) = (cnt(w)+α)/(N+α·(V+1)); every other token by the
+    * smoothed conditional p(w|v) = (cnt(v,w)+α)/(cnt(v)+α·(V+1)) — the
+    * standard add-alpha bigram with unigram backoff at vocabulary edges.
+    * Output schema and empty-doc contract match [[lmScore]].
+    *
+    * Scale: the model is bounded (V+B rows) and broadcasts into all three
+    * joins; pair construction is per-row (posexplode + element_at — no
+    * window, no self-join); the only exchange is the per-id mean.
+    */
+  def lmScore2(docs: DataFrame, lm2: DataFrame, textCol: String, idCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha must be positive: $alpha")
+    val uniModel = lm2.filter(col("w2").isNull)
+      .select(col("w1").as("token"), col("cnt"))
+    val biModel = lm2.filter(col("w2").isNotNull)
+      .select(col("w1"), col("w2"), col("cnt").as("bcnt"))
+    val head = uniModel.agg(sum("cnt"), count(lit(1))).head()
+    require(!head.isNullAt(0),
+      "lmScore2: empty language model (no unigram rows)")
+    val Array(nTotal, vSize) = head.toSeq.map(_.toString.toLong).toArray
+    val denomU = nTotal + alpha * (vSize + 1)
+    val condAdd = alpha * (vSize + 1)
+
+    val base = docs
+      .select(col(idCol).as("id"), tokenize(col(textCol)).as("ts"))
+      .select(col("id"), col("ts"), posexplode_outer(col("ts")).as(Seq("pos", "cur")))
+      .withColumn("prev", when(col("pos") > 0, element_at(col("ts"), col("pos"))))
+      .drop("ts")
+    val scored = base
+      .join(broadcast(uniModel.select(col("token").as("cur"), col("cnt").as("c_cur"))),
+        Seq("cur"), "left")
+      .join(broadcast(uniModel.select(col("token").as("prev"), col("cnt").as("c_prev"))),
+        Seq("prev"), "left")
+      .join(broadcast(biModel.select(col("w1").as("prev"), col("w2").as("cur"), col("bcnt"))),
+        Seq("prev", "cur"), "left")
+      .withColumn("logp",
+        when(col("cur").isNull, lit(null))
+          .when(col("prev").isNull || col("c_prev").isNull,
+            log((coalesce(col("c_cur"), lit(0L)) + alpha) / denomU))
+          .otherwise(log((coalesce(col("bcnt"), lit(0L)) + alpha) /
+            (col("c_prev") + condAdd))))
+    scored.groupBy("id").agg(
+        count(col("cur")).as("n_tokens"),
+        when(count(col("cur")) > 0,
+          count(when(col("cur").isNotNull && col("c_cur").isNull, 1)) /
+            count(col("cur")).cast("double")).as("oov_ratio"),
+        avg(col("logp")).as("avg_logprob"))
+      .withColumn("perplexity", exp(-col("avg_logprob")))
+  }
 }

@@ -507,7 +507,57 @@ object CoverageQueries {
         ROUND(SUM(i.idf * (f.tf * (1.2 + 1.0)) /
           (f.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / m.avgdl))), 6) AS bm25
       FROM tf f JOIN idf i USING (t) JOIN dl d USING (doc_id) CROSS JOIN meta m
-      GROUP BY f.doc_id ORDER BY f.doc_id""")),
+      GROUP BY f.doc_id ORDER BY f.doc_id"""),
+      bench = true),
+
+    QueryDef("q179_lm2_perplexity", (s, dir) => {
+      // Bigram perplexity filter (r14 — lmTrain2/lmScore2, the n-gram
+      // regime CCNet's quality filter runs in; q170 is the order-1 base):
+      // token 0 and OOV-predecessor tokens back off to the smoothed
+      // unigram, everything else scores the smoothed conditional. The FULL
+      // model (both top-K cuts, backoff rule, smoothing) replays in DuckDB;
+      // floats follow the ROUND convention.
+      v(s, dir, "documents")
+      val docs = s.table("documents")
+      docs.filter(col("doc_id") % 37 === 0).createOrReplaceTempView("q179_train")
+      graft.engine.GraftSession(s).sql(
+        """SELECT id, n_tokens, ROUND(oov_ratio, 6) AS oov,
+             ROUND(avg_logprob, 6) AS lp, ROUND(perplexity, 3) AS ppl
+           FROM lm_score2(documents, lm_train2(q179_train, 'text', 256, 512),
+                          'text', 'doc_id')
+           WHERE n_tokens > 0 ORDER BY id""")
+    }, Some("""WITH base AS (SELECT doc_id,
+          list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+            x -> x <> '') AS ws
+        FROM documents),
+      tr AS (SELECT ws FROM base WHERE doc_id % 37 = 0),
+      uni AS (SELECT t AS token, COUNT(*) AS cnt
+        FROM (SELECT UNNEST(ws) AS t FROM tr)
+        GROUP BY t ORDER BY cnt DESC, t LIMIT 256),
+      bi AS (SELECT w1, w2, COUNT(*) AS bcnt FROM (
+          SELECT ws[i - 1] AS w1, ws[i] AS w2
+          FROM tr, UNNEST(range(2, len(ws) + 1)) AS r(i))
+        GROUP BY w1, w2 ORDER BY bcnt DESC, w1, w2 LIMIT 512),
+      meta AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS v FROM uni),
+      tokpos AS (SELECT doc_id, i, ws[i] AS cur,
+          CASE WHEN i = 1 THEN NULL ELSE ws[i - 1] END AS prev
+        FROM base, UNNEST(range(1, len(ws) + 1)) AS r(i)),
+      sc AS (SELECT t.doc_id, COUNT(*) AS n_tokens,
+          SUM(CASE WHEN uc.cnt IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS oov_ratio,
+          AVG(CASE WHEN t.prev IS NULL OR up.cnt IS NULL
+            THEN ln((COALESCE(uc.cnt, 0) + 0.5) / (m.n + 0.5 * (m.v + 1)))
+            ELSE ln((COALESCE(b.bcnt, 0) + 0.5) / (up.cnt + 0.5 * (m.v + 1)))
+          END) AS lp
+        FROM tokpos t
+        LEFT JOIN uni uc ON t.cur = uc.token
+        LEFT JOIN uni up ON t.prev = up.token
+        LEFT JOIN bi b ON t.prev = b.w1 AND t.cur = b.w2
+        CROSS JOIN meta m
+        GROUP BY t.doc_id)
+      SELECT doc_id AS id, n_tokens, ROUND(oov_ratio, 6) AS oov,
+        ROUND(lp, 6) AS lp, ROUND(exp(-lp), 3) AS ppl
+      FROM sc WHERE n_tokens > 0 ORDER BY id"""),
+      bench = true),
 
     QueryDef("q168_url_http", (s, dir) => {
       // url() over LIVE HTTP (reference table_functions.py:213): a loopback

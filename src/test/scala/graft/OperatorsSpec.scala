@@ -655,6 +655,45 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out.length == 2)
     assert(out.forall(!_.isNullAt(1)))
   }
+
+  test("lmTrain2/lmScore2: bigram conditional with unigram backoff, hand-checked") {
+    val train = Seq.tabulate(10)(i => (i.toLong, "a b a b a c"))
+      .toDF("doc_id", "text")
+    val lm2 = TextAnalysis.lmTrain2(train, "text", vocabSize = 3, bigramSize = 4)
+    // unigram: a=30, b=20, c=10; bigrams per doc: (a,b)x2 (b,a)x2 (a,c)x1
+    val uni = lm2.filter("w2 IS NULL").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(uni == Map("a" -> 30L, "b" -> 20L, "c" -> 10L))
+    val bi = lm2.filter("w2 IS NOT NULL").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(bi == Map(("a", "b") -> 20L, ("b", "a") -> 20L, ("a", "c") -> 10L))
+    val docs = Seq((1L, "a b c"), (2L, "zz a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore2(docs, lm2, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val n = 60.0; val v = 3.0
+    def pu(c: Double) = (c + 0.5) / (n + 0.5 * (v + 1))
+    def pb(cb: Double, cp: Double) = (cb + 0.5) / (cp + 0.5 * (v + 1))
+    // doc 1 "a b c": p(a) unigram, p(b|a) bigram, p(c|b) bigram-count-0
+    val d1 = (math.log(pu(30)) + math.log(pb(20, 30)) + math.log(pb(0, 20))) / 3
+    // doc 2 "zz a b": p(zz) unigram OOV; p(a|zz) backs off to unigram
+    // (predecessor OOV); p(b|a) bigram
+    val d2 = (math.log(pu(0)) + math.log(pu(30)) + math.log(pb(20, 30))) / 3
+    assert(math.abs(out(1L).getAs[Double]("avg_logprob") - d1) < 1e-12)
+    assert(math.abs(out(2L).getAs[Double]("avg_logprob") - d2) < 1e-12)
+    assert(out(2L).getAs[Double]("oov_ratio") - 1.0 / 3 < 1e-12)
+  }
+
+  test("lm_train2/lm_score2 SQL surface composes like the unigram pair") {
+    val g = graft.engine.GraftSession(spark)
+    Seq((1L, "alpha beta gamma"), (2L, "alpha beta delta"))
+      .toDF("doc_id", "text").createOrReplaceTempView("lm2_docs")
+    val out = g.sql(
+      """SELECT id, perplexity FROM
+         lm_score2(lm2_docs, lm_train2(lm2_docs, 'text', 4, 8), 'text', 'doc_id')
+         ORDER BY id""").collect()
+    assert(out.length == 2)
+    assert(out.forall(!_.isNullAt(1)))
+  }
 }
 
 class CustomAggregatesSpec extends SparkTestBase {
