@@ -683,6 +683,20 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(2L).getAs[Double]("oov_ratio") - 1.0 / 3 < 1e-12)
   }
 
+  test("lmScore2 plan: all three model joins broadcast, corpus never shuffled against the model") {
+    val train = Seq.tabulate(5)(i => (i.toLong, "a b c d e")).toDF("doc_id", "text")
+    val lm2 = TextAnalysis.lmTrain2(train, "text", vocabSize = 8, bigramSize = 8)
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = TextAnalysis.lmScore2(docs, lm2, "text", "doc_id")
+      .queryExecution.sparkPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j }
+    assert(joins.size == 3, s"expected 3 broadcast model joins:\n$plan")
+    assert(plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }.isEmpty,
+      "the vocab-bounded model must never force a corpus shuffle")
+  }
+
   test("lm_train2/lm_score2 SQL surface composes like the unigram pair") {
     val g = graft.engine.GraftSession(spark)
     Seq((1L, "alpha beta gamma"), (2L, "alpha beta delta"))
