@@ -983,6 +983,11 @@ object GraftFunctions {
     // train with operators.Tokenizer.bpeTrain)
     add("bpeEncode")(es => BpeEncode(es.head, es(1)))
     add("bpeTokenCount")(es => catalyst.expressions.Size(BpeEncode(es.head, es(1))))
+    // byte-level variant (r15 — GPT-2-class whitespace-prefix convention,
+    // UTF-8-byte symbols as uppercase hex pairs)
+    add("bpeEncodeBytes")(es => BpeEncodeBytes(es.head, es(1)))
+    add("bpeTokenCountBytes")(es =>
+      catalyst.expressions.Size(BpeEncodeBytes(es.head, es(1))))
 
     // the registry tail (round 7): generated case variants + composed and
     // custom implementations of the remaining reference names. Precedence:

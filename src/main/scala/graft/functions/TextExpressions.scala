@@ -777,8 +777,91 @@ case class BpeEncode(text: Expression, merges: Expression)
     copy(text = l, merges = r)
 }
 
+/** bpeEncodeBytes(text, merges): BYTE-LEVEL byte-pair encoding with a fixed
+  * merge table — the GPT-2/LLaMA-class variant of [[BpeEncode]] (Radford et
+  * al. 2019 tokenizer; Sennrich et al. 2016 merges). Where [[BpeEncode]]
+  * tokenizes to lowercase letter/number runs (so budgets diverge from real
+  * LLM tokenizers on punctuation/whitespace/case-heavy text), this one:
+  *
+  *  - pre-tokenizes with the whitespace-PREFIX convention: pieces are
+  *    matches of `" ?[\p{L}\p{N}]+| ?[^\p{L}\p{N}\s]+"` over the RAW text
+  *    (case preserved, punctuation kept; a single U+0020 attaches to the
+  *    piece that follows it, so " the" and "the" learn different tokens —
+  *    the GPT-2 'Ġ' convention; other whitespace separates and is dropped);
+  *  - initial symbols are the piece's UTF-8 BYTES, rendered as two
+  *    UPPERCASE hex chars each ("74" = 't', "20" = space, "C3 A9" = 'é') —
+  *    every byte sequence is representable, nothing is un-encodable, and
+  *    the hex alphabet keeps the kernel exactly replayable in SQL (DuckDB
+  *    `hex()` emits the same uppercase pairs);
+  *  - merges apply in table order, left-to-right non-overlapping — the
+  *    identical [[BpeOps.applyMerge]] kernel as [[BpeEncode]].
+  *
+  * Output: the document's tokens in piece order, each token a hex string
+  * of the bytes it covers (lossless; budgets count these units).
+  * 100 TB shape: identical to [[BpeEncode]] — a pure codegen projection,
+  * merge table parsed once at plan time.
+  */
+case class BpeEncodeBytes(text: Expression, merges: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = text
+  override def right: Expression = merges
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  private lazy val table: Array[String] = {
+    require(merges.foldable, "bpeEncodeBytes merges must be a literal")
+    val m = merges.eval()
+    require(m != null, "bpeEncodeBytes merges must not be null")
+    BpeOps.parseMerges(m.toString)
+  }
+
+  override protected def nullSafeEval(t: Any, m: Any): Any =
+    BpeOps.encodeBytes(t.asInstanceOf[UTF8String], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMerges", table, "java.lang.String[]")
+    defineCodeGen(ctx, ev, (t, _) => s"graft.functions.BpeOps.encodeBytes($t, $ref)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BpeEncodeBytes =
+    copy(text = l, merges = r)
+}
+
 /** Static kernels behind [[BpeEncode]] (static forwarders for codegen). */
 object BpeOps {
+
+  /** [[BpeEncodeBytes]]'s pre-tokenizer: optional single leading space +
+    * a letter/number run, or optional single leading space + a
+    * punctuation/symbol run. Compiled once per JVM.
+    */
+  private val piecePattern = java.util.regex.Pattern.compile(
+    " ?[\\p{L}\\p{N}]+| ?[^\\p{L}\\p{N}\\s]+")
+
+  private val HEX = "0123456789ABCDEF".toCharArray
+
+  /** Byte-level encode: pieces → uppercase-hex byte symbols → merges. */
+  def encodeBytes(s: UTF8String, merges: Array[String]): GenericArrayData = {
+    val matcher = piecePattern.matcher(s.toString)
+    val out = new java.util.ArrayList[AnyRef]
+    while (matcher.find()) {
+      val bytes = matcher.group().getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var syms = new java.util.ArrayList[String](bytes.length)
+      var i = 0
+      while (i < bytes.length) {
+        val b = bytes(i) & 0xFF
+        syms.add(new String(Array(HEX(b >>> 4), HEX(b & 0xF))))
+        i += 1
+      }
+      var m = 0
+      while (m < merges.length) {
+        syms = applyMerge(syms, merges(m), merges(m + 1))
+        m += 2
+      }
+      var j = 0
+      while (j < syms.size) { out.add(UTF8String.fromString(syms.get(j))); j += 1 }
+    }
+    new GenericArrayData(out.toArray)
+  }
 
   /** "t h,th e" → flattened [left0, right0, left1, right1, …]. */
   def parseMerges(spec: String): Array[String] = {

@@ -254,6 +254,15 @@ object Curation {
     * trades candidate-shuffle volume against bloom size, never
     * correctness. The 100 TB corpus still streams through exactly once,
     * and the verify join ships only the candidate slice.
+    *
+    * CONTRACT — EAGER, returns a persisted frame: unlike the rest of the
+    * operator surface this method RUNS A JOB at call time (it must, to
+    * release the GB-scale gram cache and broadcast bloom immediately after
+    * the contaminated-id-sized result materializes — r13 advice trade,
+    * SCALING.md). The returned DataFrame is persisted MEMORY_AND_DISK for
+    * the caller; call `.unpersist()` on it when done to release the
+    * (small) cached result. Callers composing lazy pipelines should treat
+    * this call as the pipeline's execution point.
     */
   def decontaminateBloom(
       corpus: DataFrame, benchmark: DataFrame,

@@ -297,7 +297,10 @@ object Multimodal {
     val samples = new Array[Byte](n * 2)
     var i = 0
     while (i < n) {
-      val v = (((seed * 7919L + i.toLong * 104729L) % 65536L) - 32768L).toInt
+      // floorMod, not %: a negative seed must still land in [0, 65536) so
+      // the documented sample formula holds for ALL seeds (Java % yields
+      // negative remainders that would wrap silently in the 16-bit pack)
+      val v = (Math.floorMod(seed * 7919L + i.toLong * 104729L, 65536L) - 32768L).toInt
       samples(i * 2) = (v & 0xFF).toByte
       samples(i * 2 + 1) = ((v >> 8) & 0xFF).toByte
       i += 1

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus retrieval scoring — BM25 (Robertson et al.; the Lucene
@@ -10,64 +10,85 @@ import org.apache.spark.sql.functions._
   * primitive (quality-targeted sampling / domain boosting), one level
   * above the bag-of-heuristics quality scores.
   *
-  * 100 TB shape: the query's term set is DRIVER-TINY and prefilters the
-  * exploded token stream BEFORE the only shuffle (per-(doc, term) counts
-  * of query terms only — the full token stream is never shuffled);
-  * corpus scalars (N, avgdl) come from one map-side-combined aggregate
-  * over a zero-shuffle per-row token-count projection; per-term document
-  * frequencies are bounded by |query| and come back to the driver, where
-  * idf is computed and re-broadcast as a literal frame into the scoring
-  * join. Scoring itself is a small-key aggregation over ≤ |query| rows
-  * per matched document.
+  * 100 TB shape (r15): ONE corpus-side shuffle total. The query's term
+  * set is DRIVER-TINY; it prefilters the exploded token stream, and the
+  * surviving (query-term occurrence) rows are aggregated straight to one
+  * row per matched document — `groupBy(id, dl)` with one conditional
+  * `sum` per query term — so the document length rides the same shuffle
+  * (no corpus-wide (id, dl) join, no second tokenize of the scored side).
+  * Corpus scalars (N, avgdl) come from one map-side-combined aggregate
+  * over a zero-shuffle token-count projection; per-term document
+  * frequencies are |query|-bounded, derived from the same per-doc frame
+  * and collected to the driver, where idf folds into the final scoring
+  * PROJECTION as literals. Nothing corpus-sized is ever joined or
+  * re-shuffled after the single (id, dl) aggregation.
   */
 object Retrieval {
 
   /** Per-document BM25 score for `query` over `textCol`; returns
     * (idCol, n_terms, bm25) for documents matching ≥1 query term.
     * Tokenization is the engine-wide [[graft.functions.GraftFunctions
-    * .tokenize]] (lowercase letter/number runs).
+    * .tokenize]] (lowercase letter/number runs). Rows with NULL `textCol`
+    * are excluded from the corpus entirely (they can match no term and
+    * would otherwise skew N/avgdl while contributing nothing).
     */
   def bm25(df: DataFrame, textCol: String, idCol: String, query: String,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val terms = query.toLowerCase.split("[^\\p{L}\\p{N}]+")
       .filter(_.nonEmpty).distinct.toSeq
     require(terms.nonEmpty, "bm25: query has no tokens")
-    val spark = df.sparkSession
 
     val toks = graft.functions.GraftFunctions.tokenize(col(textCol))
-    val withDl = df.select(col(idCol).as("id"), size(toks).as("dl"))
-    // corpus scalars: one aggregate over a zero-shuffle projection
-    val meta = withDl.agg(count(lit(1)).as("n"), sum("dl").as("sumdl")).head()
+    val tokenized = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), size(toks).as("dl"), toks.as("toks"))
+
+    // corpus scalars: one map-side-combined aggregate, zero shuffle
+    val meta = tokenized.agg(count(lit(1)).as("n"), sum("dl").as("sumdl")).head()
     val n = meta.getLong(0)
     require(n > 0, "bm25: empty corpus")
     val avgdl = meta.getLong(1).toDouble / n
 
-    // the ONLY shuffle: (doc, term) counts restricted to the query's terms
-    val tf = df
-      .select(col(idCol).as("id"), explode(toks).as("t"))
+    // the ONLY corpus-side shuffle: explode → keep query terms only →
+    // straight to one row per matched doc, dl riding the grouping key
+    // (dl is functionally dependent on id). |terms| conditional sums —
+    // bounded by the query, map-side combined.
+    def tfc(i: Int) = col(s"tf_$i")
+    val perDoc = tokenized
+      .select(col("id"), col("dl"), explode(col("toks")).as("t"))
       .filter(col("t").isin(terms: _*))
-      .groupBy("id", "t").agg(count(lit(1)).as("tf"))
+      .groupBy("id", "dl")
+      .agg(
+        sum(when(col("t") === terms.head, 1L).otherwise(0L)).as("tf_0"),
+        terms.tail.zipWithIndex.map { case (t, i) =>
+          sum(when(col("t") === t, 1L).otherwise(0L)).as(s"tf_${i + 1}")
+        }: _*)
 
-    // per-term document frequency: bounded by |query|, driver-side idf
-    val dfByTerm = tf.groupBy("t").agg(count(lit(1)).as("df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // terms absent from the corpus simply have no idf row — the join drops
-    // them, and an all-absent query yields an empty, correctly-typed result
-    val idfRows = terms.flatMap { t =>
-      dfByTerm.get(t).map { d =>
-        (t, math.log(1.0 + (n - d + 0.5) / (d + 0.5)))
-      }
+    // per-term document frequency: |query|-bounded row, from the SAME
+    // per-doc frame (no extra corpus pass beyond re-running this plan)
+    // coalesce: an all-absent query leaves perDoc empty and sum() NULL
+    def dfAgg(i: Int) =
+      coalesce(sum(when(tfc(i) > 0, 1L).otherwise(0L)), lit(0L)).as(s"df_$i")
+    val dfRow = perDoc.agg(dfAgg(0), terms.indices.tail.map(dfAgg): _*).head()
+    // terms absent from the corpus have tf_i = 0 everywhere: the
+    // when(tf > 0) guards below make them contribute nothing to either
+    // n_terms or the score, so their idf value is irrelevant (an
+    // all-absent query yields an empty, correctly-typed result).
+    val idf = terms.indices.map { i =>
+      val d = dfRow.getLong(i)
+      math.log(1.0 + (n - d + 0.5) / (d + 0.5))
     }
-    import spark.implicits._
-    val idf = broadcast(idfRows.toDF("t", "idf"))
 
-    tf.join(idf, "t")
-      .join(withDl, "id")
-      .withColumn("contrib",
-        col("idf") * (col("tf") * (k1 + 1.0)) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + col("dl") * b / avgdl)))
-      .groupBy("id")
-      .agg(count(lit(1)).as("n_terms"), sum("contrib").as("bm25"))
-      .withColumnRenamed("id", idCol)
+    // scoring is a pure projection over the per-doc frame
+    val nTerms: Column = terms.indices
+      .map(i => when(tfc(i) > 0, 1L).otherwise(0L)).reduce(_ + _)
+    val score: Column = terms.indices.map { i =>
+      when(tfc(i) > 0,
+        lit(idf(i)) * (tfc(i) * (k1 + 1.0)) /
+          (tfc(i) + lit(k1) * (lit(1.0 - b) + col("dl") * b / avgdl)))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+
+    perDoc.select(col("id").as(idCol), nTerms.as("n_terms"),
+      score.as("bm25"))
   }
 }

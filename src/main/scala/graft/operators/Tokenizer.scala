@@ -31,16 +31,38 @@ object Tokenizer {
     * left-to-right non-overlapping ([[graft.functions.BpeOps]] semantics,
     * which encode replays exactly). Ties break deterministically: highest
     * count, then lexicographically smallest (left, right).
+    *
+    * `byteLevel = true` trains in [[graft.functions.BpeEncodeBytes]]'s
+    * regime instead: vocabulary entries are whitespace-prefix PIECES of the
+    * raw text (case preserved, punctuation kept, a single leading space
+    * attaches to its piece), initial symbols are the piece's UTF-8 bytes as
+    * uppercase hex pairs — the learned merges feed `bpeEncodeBytes`, where
+    * the default mode's feed `bpeEncode`.
+    *
+    * Driver-cost ceiling: the merge loop is
+    * O(numMerges × topWords × avgSymbols) with no further cluster work —
+    * at the documented defaults (e.g. 50k merges × 10k words × ~10
+    * symbols ≈ 5·10^9 cheap ops) it is seconds to low minutes on the
+    * driver; it is NOT sized for vocabularies in the 10^5-merges ×
+    * 10^6-words regime. At that scale raise the corpus sample into
+    * `topWords` rather than the merge count — token quality saturates in
+    * the tens of thousands of merges (Sennrich et al. 2016 use 10k-90k).
     */
   def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
-      topWords: Int = 10000): Seq[(String, String)] = {
+      topWords: Int = 10000, byteLevel: Boolean = false): Seq[(String, String)] = {
     require(numMerges >= 0 && topWords > 0)
+    val pieceCol =
+      if (byteLevel) regexp_extract_all(col(textCol),
+        lit(" ?[\\p{L}\\p{N}]+| ?[^\\p{L}\\p{N}\\s]+"), lit(0))
+      else graft.functions.GraftFunctions.tokenize(col(textCol))
+    def symbols(w: String): Array[String] =
+      if (byteLevel) hexBytes(w) else codePoints(w)
     val wordFreq: Array[(Array[String], Long)] =
-      df.select(explode(graft.functions.GraftFunctions.tokenize(col(textCol))).as("w"))
+      df.select(explode(pieceCol).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c"))
         .orderBy(desc("c"), asc("w")).limit(topWords) // TakeOrderedAndProject
         .collect()
-        .map(r => (codePoints(r.getString(0)), r.getLong(1)))
+        .map(r => (symbols(r.getString(0)), r.getLong(1)))
 
     var vocab = wordFreq
     val merges = mutable.ArrayBuffer.empty[(String, String)]
@@ -73,19 +95,31 @@ object Tokenizer {
 
   /** Convenience: train on `trainDf`, attach `<outCol>` (token array) and
     * `<outCol>_count` to `df` via the codegen'd encode projection.
+    * `byteLevel` must match how the merges were trained.
     */
   def bpeEncode(df: DataFrame, textCol: String, merges: Seq[(String, String)],
-      outCol: String = "bpe"): DataFrame = {
-    val enc = encodeColumn(col(textCol), mergesSpec(merges))
+      outCol: String = "bpe", byteLevel: Boolean = false): DataFrame = {
+    val enc = encodeColumn(col(textCol), mergesSpec(merges), byteLevel)
     df.withColumn(outCol, enc).withColumn(s"${outCol}_count", size(col(outCol)))
   }
 
   /** The encode expression as a Column (merges as a literal spec string). */
-  def encodeColumn(text: Column, mergesSpec: String): Column =
+  def encodeColumn(text: Column, mergesSpec: String,
+      byteLevel: Boolean = false): Column = {
+    val t = org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)
+    val m = org.apache.spark.sql.graftbridge.ColumnBridge.expression(lit(mergesSpec))
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
-      graft.functions.BpeEncode(
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text),
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(lit(mergesSpec))))
+      if (byteLevel) graft.functions.BpeEncodeBytes(t, m)
+      else graft.functions.BpeEncode(t, m))
+  }
+
+  private def hexBytes(w: String): Array[String] = {
+    val hex = "0123456789ABCDEF"
+    w.getBytes(java.nio.charset.StandardCharsets.UTF_8).map { b0 =>
+      val b = b0 & 0xFF
+      new String(Array(hex(b >>> 4), hex(b & 0xF)))
+    }
+  }
 
   private def codePoints(w: String): Array[String] = {
     val out = mutable.ArrayBuffer.empty[String]

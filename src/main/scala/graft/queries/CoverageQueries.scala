@@ -492,7 +492,7 @@ object CoverageQueries {
     }, Some("""WITH base AS (SELECT doc_id,
           list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
             x -> x <> '') AS ws
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
       dl AS (SELECT doc_id, len(ws) AS dl FROM base),
       meta AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
         FROM dl),
@@ -649,6 +649,51 @@ object CoverageQueries {
         ROUND(lp, 6) AS lp, ROUND(exp(-lp), 3) AS ppl
       FROM sc ORDER BY id"""),
       bench = true),
+
+    {
+      // q182: BYTE-level BPE encode (r15 — graft.functions.BpeEncodeBytes,
+      // the GPT-2-class regime: whitespace-PREFIX pieces over the raw text,
+      // UTF-8 bytes as initial symbols rendered as uppercase hex pairs, so
+      // " the" and "the" are different tokens and punctuation/case count in
+      // the budget — where q173's letter-run mode diverges from real LLM
+      // tokenizers). The merge table below was TRAINED by
+      // Tokenizer.bpeTrain(byteLevel = true) on the documents fixture and
+      // is fixed as a literal so DuckDB replays encoding exactly: pieces
+      // via the same RE2/Java-compatible regex, hex() emits the same
+      // uppercase pairs, and each merge is one marker-prefixed sequential
+      // replace (q173's replay device — '_' never occurs inside a hex
+      // symbol).
+      val mergePairs = Seq("20 73", "65 72", "69 6E", "6F 77", "6F 72",
+        "6D 6572", "61 74", "6C 75", "20 63", "61 73", "20 62", "20 76",
+        "61 72", "70 6172", "20 66", "20 61", "20 74", "6A 6F",
+        "6A6F 696E", "6173 68", "68 617368", "20 6A6F696E", "73 74",
+        "72 6F77")
+      val spec = mergePairs.mkString(",")
+      val inner = mergePairs.foldLeft(
+        """regexp_replace(hex(w), '(..)', '_\1', 'g')""") { case (acc, pair) =>
+        val Array(l, r) = pair.split(' ')
+        s"replace($acc, '_${l}_$r', '_$l$r')"
+      }
+      QueryDef("q182_bpe_bytes", (s, dir) => {
+        v(s, dir, "documents")
+        graft.engine.GraftSession(s).sql(
+          s"""SELECT doc_id, CAST(size(bpe) AS BIGINT) AS n_tokens,
+                array_join(slice(bpe, 1, 10), ' ') AS head
+              FROM (SELECT doc_id, bpeEncodeBytes(text, '$spec') AS bpe
+                    FROM documents)
+              ORDER BY doc_id""")
+      }, Some(s"""WITH p AS (SELECT doc_id,
+            regexp_extract_all(text,
+              ' ?[\\p{L}\\p{N}]+| ?[^\\p{L}\\p{N}\\s]+') AS ps
+          FROM documents),
+        enc AS (SELECT doc_id, list_transform(ps, w -> $inner) AS es FROM p),
+        j AS (SELECT doc_id, array_to_string(es, '') AS s FROM enc)
+        SELECT doc_id,
+          CAST(len(str_split(s, '_')) - 1 AS BIGINT) AS n_tokens,
+          array_to_string(str_split(s, '_')[2:11], ' ') AS head
+        FROM j ORDER BY doc_id"""),
+        bench = true)
+    },
 
     QueryDef("q171_sparkbar", (s, dir) => {
       // sparkBar aggregate (§2.D's last spec-only row — ClickHouse sparkbar):

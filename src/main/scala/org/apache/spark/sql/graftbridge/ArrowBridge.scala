@@ -90,21 +90,46 @@ object ArrowBridge {
     }
   }
 
+  // spool dirs awaiting JVM-exit cleanup; one shutdown hook for all calls
+  private val spoolDirs = new java.util.concurrent.ConcurrentLinkedQueue[
+    (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path)]()
+  private lazy val installCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      spoolDirs.forEach(t =>
+        try t._1.delete(t._2, true) catch { case _: Throwable => () })))
+
   /** The CHUNKED ingest half — the reference PyReader's pull contract
     * (chdb/__init__.py:222: `read(col_names, count)` is called repeatedly
     * until it returns empty; README.md:430-460): an iterator of complete
     * Arrow IPC streams is drained one chunk at a time, each chunk spooled
-    * to a local parquet append as soon as it is parsed, so DRIVER MEMORY IS
+    * to a parquet append as soon as it is parsed, so DRIVER MEMORY IS
     * BOUNDED BY ONE CHUNK — ingest size is bounded by disk, not by a
     * single in-memory byte buffer (the [[fromArrowStream]] contract).
     * Chunks after the first must match the first chunk's schema exactly.
-    * The spool directory lives under java.io.tmpdir for the session's
-    * lifetime (one per call).
+    * The spool directory is resolved against the CLUSTER-VISIBLE
+    * filesystem: java.io.tmpdir is only valid on a local master (executors
+    * share the driver's disk); on any other master it goes under the
+    * warehouse dir's filesystem, which every executor can reach. All spool
+    * dirs are deleted by a JVM shutdown hook (one hook, every call's dir).
     */
   def fromArrowBatches(spark: org.apache.spark.sql.SparkSession,
       chunks: Iterator[Array[Byte]]): DataFrame = {
     if (!chunks.hasNext) return spark.emptyDataFrame
-    val dir = java.nio.file.Files.createTempDirectory("graft-arrow-ingest")
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val dir: org.apache.hadoop.fs.Path =
+      if (spark.sparkContext.isLocal)
+        new org.apache.hadoop.fs.Path("file:" +
+          java.nio.file.Files.createTempDirectory("graft-arrow-ingest"))
+      else {
+        // shared storage all executors write to (HDFS/S3/... in cluster mode)
+        val p = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"),
+          s"_graft_arrow_ingest_${java.util.UUID.randomUUID()}")
+        p.getFileSystem(hadoopConf).mkdirs(p)
+        p
+      }
+    installCleanupHook
+    spoolDirs.add((dir.getFileSystem(hadoopConf), dir))
     var schema: org.apache.spark.sql.types.StructType = null
     var i = 0
     while (chunks.hasNext) {

@@ -17,12 +17,16 @@ object PlanBridge {
 
   /** Every node of the FINAL plan — AQE wrappers and materialized query
     * stages unwrapped, so metric extraction sees the scans that actually
-    * ran rather than the adaptive placeholder.
+    * ran rather than the adaptive placeholder. Stops AT a
+    * ReusedExchangeExec: its referenced exchange subtree is already
+    * visited at its own position in the plan, so recursing into it would
+    * double-count scans/exchanges in [[scanTotals]]/[[planCounts]]
+    * (e.g. a self-join with exchange reuse would report 2× rowsRead).
     */
   def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
     case q: QueryStageExec => nodes(q.plan)
-    case r: ReusedExchangeExec => r +: nodes(r.child)
+    case r: ReusedExchangeExec => Seq(r)
     case o => o +: o.children.flatMap(nodes)
   }
 

@@ -69,4 +69,47 @@ class BpeSpec extends SparkTestBase {
     val out = sql("SELECT bpeTokenCount('', 't h') AS a, bpeTokenCount('!!! ...', 't h') AS b").head()
     assert(out.getInt(0) == 0 && out.getInt(1) == 0)
   }
+
+  test("byte-level encode: GPT-2-style hand-computed example (r15)") {
+    // pieces of "The cat, the cat!": "The", " cat", ",", " the", " cat", "!"
+    // (whitespace-prefix convention; case preserved, punctuation kept)
+    // hex: The=54 68 65 | " cat"=20 63 61 74 | ","=2C | " the"=20 74 68 65
+    // merges: t+h, space+c, " c"+a, " ca"+t  ->  " cat" fuses to ONE token,
+    // "The" stays 3 (capital T: no 74 68), " the" keeps its space symbol
+    val merges = Seq(("74", "68"), ("20", "63"), ("2063", "61"), ("206361", "74"))
+    val df = Seq("The cat, the cat!").toDF("text")
+    val got = Tokenizer.bpeEncode(df, "text", merges, byteLevel = true)
+      .select("bpe", "bpe_count").head()
+    assert(got.getSeq[String](0) == Seq(
+      "54", "68", "65",      // The
+      "20636174",            // " cat" — one merged token
+      "2C",                  // ,
+      "20", "7468", "65",    // " the" — th merged, space separate
+      "20636174",            // " cat"
+      "21"),                 // !
+      got.getSeq[String](0).toString)
+    assert(got.getInt(1) == 10)
+  }
+
+  test("byte-level training learns whitespace-prefixed pieces") {
+    // pieces: "aa" ×1, " aa" ×3 -> pair counts (61,61)=4, (20,61)=3
+    // round 1 merges (61,61); round 2 the only remaining pair is (20,6161)
+    val df = Seq("aa aa aa aa").toDF("text")
+    val merges = Tokenizer.bpeTrain(df, "text", numMerges = 2, byteLevel = true)
+    assert(merges == Seq(("61", "61"), ("20", "6161")), merges.toString)
+  }
+
+  test("byte-level SQL surface agrees with the operator; multi-byte UTF-8 splits") {
+    val merges = Seq(("74", "68"), ("20", "63"), ("2063", "61"), ("206361", "74"))
+    val spec = Tokenizer.mergesSpec(merges)
+    val viaSql = sql(s"SELECT bpeEncodeBytes('The cat, the cat!', '$spec') AS b, " +
+      s"bpeTokenCountBytes('The cat, the cat!', '$spec') AS n").head()
+    val viaOp = Tokenizer.bpeEncode(Seq("The cat, the cat!").toDF("text"),
+      "text", merges, byteLevel = true).select("bpe", "bpe_count").head()
+    assert(viaSql.getSeq[String](0) == viaOp.getSeq[String](0))
+    assert(viaSql.getInt(1) == viaOp.getInt(1))
+    // 'é' is two UTF-8 bytes (C3 A9): with no merges each byte is a symbol
+    val acc = sql("SELECT bpeEncodeBytes('é', '74 68') AS b").head()
+    assert(acc.getSeq[String](0) == Seq("C3", "A9"))
+  }
 }

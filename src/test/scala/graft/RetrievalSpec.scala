@@ -52,4 +52,31 @@ class RetrievalSpec extends SparkTestBase {
     assert(plan.contains("fast") && plan.contains("join"),
       "the tiny term set must appear as a pushed filter:\n" + plan)
   }
+
+  test("exactly ONE corpus-side shuffle; no corpus join (r15 dl-carry)") {
+    val plan = Retrieval.bm25(corpus, "text", "doc_id", "fast join")
+      .queryExecution.executedPlan.toString
+    // dl rides the single (id, dl) aggregation shuffle — the r14 design's
+    // corpus-wide (id, dl) join exchange and third tokenize are gone
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      "bm25 scoring plan must have exactly one hash exchange:\n" + plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Join"),
+      "bm25 scoring must be join-free (idf folds in as literals):\n" + plan)
+  }
+
+  test("null-text rows are excluded from the corpus (no NPE, clean N/avgdl)") {
+    val withNulls = corpus.union(
+      Seq((4L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val got = Retrieval.bm25(withNulls, "text", "doc_id", "fast join")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val clean = Retrieval.bm25(corpus, "text", "doc_id", "fast join")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got == clean, "a null-text row must not change any score")
+    // all-null corpus: clear error, not an NPE
+    val allNull = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.bm25(allNull, "text", "doc_id", "fast")
+    }
+    assert(e.getMessage.contains("empty corpus"))
+  }
 }
