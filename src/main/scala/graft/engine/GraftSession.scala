@@ -604,6 +604,20 @@ final class GraftSession(val spark: SparkSession) {
     }
   }
 
+  /** Result-side CHUNKED streaming (reference docs/streaming.rst:1-120;
+    * chdb/__init__.py:222 `session.send_query(sql, "Arrow")` →
+    * `StreamingResult`): the query result as an iterator of self-contained
+    * Arrow IPC streams of `rowsPerChunk` rows each. Rows are pulled
+    * partition by partition as the consumer advances (driver memory holds
+    * ONE chunk), and `close()` cancels the running job — the reference's
+    * early-close semantics, where dropping the StreamingResult stops the
+    * query. [[queryAsBytes]] stays the one-buffer surface;
+    * [[registerArrowBatches]] is this method's exact inverse.
+    */
+  def queryAsArrowChunks(query: String, rowsPerChunk: Int = 8192)
+      : org.apache.spark.sql.graftbridge.ArrowBridge.ArrowChunks =
+    org.apache.spark.sql.graftbridge.ArrowBridge.arrowChunks(sql(query), rowsPerChunk)
+
   private def parquetBytes(df: DataFrame): Array[Byte] = {
     val dir = java.nio.file.Files.createTempDirectory("graft_pq_out_")
     try {
@@ -1078,7 +1092,11 @@ object GraftSession {
       val Seq(host, db, table, user, pass) = args.take(5)
       val tbl =
         if (fn == "postgresql" && args.length == 6) s"${args(5)}.$table" else table
-      (s"jdbc:$fn://$host/$db", tbl, Map("user" -> user, "password" -> pass))
+      val url = s"jdbc:$fn://$host/$db"
+      // no vendor pg driver in this container: fall back to the built-in
+      // wire client (graft.io.PgJdbcDriver) so postgresql() is a LIVE read
+      (url, tbl, Map("user" -> user, "password" -> pass) ++
+        graft.io.PgJdbcDriver.driverOptions(url))
     case "sqlite" => (s"jdbc:sqlite:${args.head}", args(1), Map.empty)
     case "jdbc" => (args.head, args(1), Map.empty)
     case other => throw new IllegalArgumentException(s"not a jdbc table fn: $other")

@@ -48,7 +48,9 @@ object Sources {
   def jdbc(spark: SparkSession, url: String, table: String,
       options: Map[String, String] = Map.empty): DataFrame =
     spark.read.format("jdbc")
-      .option("url", url).option("dbtable", table).options(options).load()
+      .option("url", url).option("dbtable", table)
+      // jdbc:postgresql:// with no vendor jar → built-in wire client
+      .options(PgJdbcDriver.driverOptions(url) ++ options).load()
 
   /** numbers(n) — integer generator (reference table_functions.py:995;
     * spark.range is already distributed + codegen'd).

@@ -650,6 +650,52 @@ object CoverageQueries {
       FROM sc ORDER BY id"""),
       bench = true),
 
+    QueryDef("q180_postgresql_live", (s, dir) => {
+      // postgresql() table function over a LIVE PostgreSQL v3-protocol
+      // round trip (r15 — the last federated source never exercised
+      // against a real handshake; reference table_functions.py:620-667):
+      // graft.io.PgServer serves this session's `supplier` view on a
+      // loopback socket, and the read path is Spark's JDBC source through
+      // the built-in graft.io.PgJdbcDriver wire client — SSLRequest probe,
+      // startup, cleartext auth, RowDescription/DataRow text decode, the
+      // WHERE filter pushed down the wire. Materialized durably before the
+      // server stops (q166's device).
+      v(s, dir, "supplier")
+      val gs = graft.engine.GraftSession(s)
+      val server = new graft.io.PgServer(gs, users = Map("u" -> "pw")).start()
+      try {
+        val df = gs.sql(
+          s"""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+              FROM postgresql('${server.hostPort}', 'db', 'supplier', 'u', 'pw')
+              WHERE s_nationkey < 13
+              ORDER BY s_suppkey""")
+        s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+      } finally server.stop()
+    }, Some("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        FROM supplier WHERE s_nationkey < 13 ORDER BY s_suppkey""")),
+
+    QueryDef("q181_arrow_chunk_stream", (s, dir) => {
+      // Result-side CHUNKED streaming (r15 — queryAsArrowChunks, the
+      // reference's send_query → StreamingResult surface, q172's inverse):
+      // customer streams OUT as self-contained Arrow IPC chunks (pulled
+      // lazily, one chunk of driver memory), the chunks feed straight back
+      // into the chunked INGEST surface, and the aggregate runs over the
+      // reassembled view. Chunk size 64 forces many chunks at every SF.
+      v(s, dir, "customer")
+      val gs = graft.engine.GraftSession(s)
+      val chunks = gs.queryAsArrowChunks(
+        "SELECT c_custkey, c_nationkey, c_acctbal FROM customer", rowsPerChunk = 64)
+      gs.registerArrowBatches("__q181_customer", chunks)
+      // exact-decimal sum: order-independent across engines (repo money rule)
+      gs.sql("""SELECT c_nationkey, COUNT(*) AS n,
+          CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+          SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS bal_sum
+        FROM __q181_customer GROUP BY c_nationkey ORDER BY c_nationkey""")
+    }, Some("""SELECT c_nationkey, COUNT(*) AS n,
+        CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+        SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS bal_sum
+      FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
     {
       // q182: BYTE-level BPE encode (r15 — graft.functions.BpeEncodeBytes,
       // the GPT-2-class regime: whitespace-PREFIX pieces over the raw text,

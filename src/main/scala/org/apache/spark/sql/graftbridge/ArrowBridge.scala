@@ -22,9 +22,23 @@ import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnVector, Columna
   */
 object ArrowBridge {
 
-  def toArrowStream(df: DataFrame, batchSize: Int = 8192): Array[Byte] = {
-    val tz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
-    val arrowSchema = ArrowUtils.toArrowSchema(df.schema, tz,
+  def toArrowStream(df: DataFrame, batchSize: Int = 8192): Array[Byte] =
+    // executeCollect returns the result as InternalRows (the same rows
+    // Dataset.collect converts); driver-sized by this API's contract
+    rowsToArrowStream(df.sparkSession, df.schema,
+      df.queryExecution.executedPlan.executeCollect().iterator, batchSize)
+
+  /** Render already-materialized InternalRows as ONE self-contained Arrow
+    * IPC stream (schema header + record batches + EOS) — the shared kernel
+    * behind [[toArrowStream]] and the chunked result surface
+    * ([[graft.engine.GraftSession]].queryAsArrowChunks), where each CHUNK
+    * is a complete stream an independent reader can parse.
+    */
+  def rowsToArrowStream(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      rows: Iterator[InternalRow], batchSize: Int = 8192): Array[Byte] = {
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    val arrowSchema = ArrowUtils.toArrowSchema(schema, tz,
       errorOnDuplicatedFieldNames = true, largeVarTypes = false)
     val allocator = ArrowUtils.rootAllocator
       .newChildAllocator("graft-arrow-out", 0, Long.MaxValue)
@@ -34,9 +48,6 @@ object ArrowBridge {
     try {
       val writer = ArrowWriter.create(root)
       stream.start()
-      // executeCollect returns the result as InternalRows (the same rows
-      // Dataset.collect converts); driver-sized by this API's contract
-      val rows = df.queryExecution.executedPlan.executeCollect().iterator
       while (rows.hasNext) {
         var n = 0
         while (rows.hasNext && n < batchSize) { writer.write(rows.next()); n += 1 }
@@ -89,6 +100,57 @@ object ArrowBridge {
       allocator.close()
     }
   }
+
+  /** The RESULT-side streaming surface (reference docs/streaming.rst +
+    * chdb/__init__.py:222 `send_query` → `StreamingResult`): the query's
+    * rows as an iterator of SELF-CONTAINED Arrow IPC streams of
+    * `rowsPerChunk` rows each, pulled lazily — `toRdd.toLocalIterator`
+    * launches one Spark job per partition AS THE CONSUMER ADVANCES, so
+    * driver memory holds one chunk, never the whole result. `close()`
+    * cancels the iterator's job group (the reference's
+    * `StreamingResult.close()`): any in-flight partition job is killed and
+    * no further jobs launch. Each chunk parses independently
+    * ([[fromArrowStream]] / pyarrow / DuckDB), so chunks can be shipped
+    * over a language boundary one at a time — [[fromArrowBatches]]'s exact
+    * inverse.
+    */
+  final class ArrowChunks private[graftbridge] (df: DataFrame, rowsPerChunk: Int)
+      extends Iterator[Array[Byte]] with AutoCloseable {
+    require(rowsPerChunk > 0, "rowsPerChunk must be positive")
+    private val session = df.sparkSession
+    private val sc = session.sparkContext
+    val jobGroup: String = s"graft-arrow-chunks-${java.util.UUID.randomUUID()}"
+    @volatile private var closed = false
+    // copy EXECUTOR-side: codegen'd plans yield one reused UnsafeRow per
+    // partition, and toLocalIterator collects the partition into an array
+    // before shipping — without the copy every row in a partition would
+    // alias the last one
+    private lazy val rows: Iterator[InternalRow] =
+      df.queryExecution.toRdd.map(_.copy()).toLocalIterator
+    // the group is thread-local: (re)set around every pull so partition
+    // jobs triggered by the iterator stay cancellable wherever consumed
+    private def withGroup[T](f: => T): T = {
+      sc.setJobGroup(jobGroup, "queryAsArrowChunks", interruptOnCancel = true)
+      try f finally sc.clearJobGroup()
+    }
+    override def hasNext: Boolean = !closed && withGroup(rows.hasNext)
+    override def next(): Array[Byte] = {
+      if (!hasNext) throw new NoSuchElementException("arrow chunk iterator exhausted")
+      val buf = new ArrayBuffer[InternalRow](rowsPerChunk)
+      withGroup {
+        while (buf.length < rowsPerChunk && rows.hasNext) buf += rows.next()
+      }
+      rowsToArrowStream(session, df.schema, buf.iterator, rowsPerChunk)
+    }
+    /** Early close — kills the in-flight partition job, stops the stream. */
+    override def close(): Unit = {
+      closed = true
+      sc.cancelJobGroup(jobGroup)
+    }
+  }
+
+  def arrowChunks(df: DataFrame, rowsPerChunk: Int = 8192): ArrowChunks =
+    new ArrowChunks(df, rowsPerChunk)
 
   // spool dirs awaiting JVM-exit cleanup; one shutdown hook for all calls
   private val spoolDirs = new java.util.concurrent.ConcurrentLinkedQueue[
