@@ -12,20 +12,35 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // Settle before timing anything: the 1-min loadavg decays slowly after
-    // a prior heavy JVM (the driver runs verify right before bench; an sbt
-    // server may be winding down), and timing into that tail is exactly the
-    // contamination the band guard would refuse — cheaper to wait it out up
-    // front (bounded). Tunable/disable: SPARK_GRAFT_SETTLE_LOAD=99.
-    val settleTarget = sys.env.getOrElse("SPARK_GRAFT_SETTLE_LOAD", "2.0").toDouble
-    val settleDeadline = System.currentTimeMillis + 180000
-    def load1: Double = try {
-      scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
-    } catch { case _: Throwable => 0.0 }
-    while (load1 > settleTarget && System.currentTimeMillis < settleDeadline) {
-      System.err.println(f"[bench] settling: 1-min loadavg ${load1}%.2f > $settleTarget — waiting")
+    // Settle before timing anything — on BOTH the 1-min AND the 5-min
+    // loadavg (r15, from r14's burned bench run: a launch at 1-min 0.03
+    // under a decaying 5/15-min tail ~2 min after the full test suite still
+    // co-inflated 12 queries ~20% and the guard refused the record; the
+    // rerun 8 min after suite-end was clean). The 5-min average decays with
+    // a ~5-minute time constant, so the deadline is 10 min, enough for a
+    // post-verify tail to clear. Tunable/disable:
+    // SPARK_GRAFT_SETTLE_LOAD / SPARK_GRAFT_SETTLE_LOAD5 = 99.
+    val settleTarget1 = sys.env.getOrElse("SPARK_GRAFT_SETTLE_LOAD", "2.0").toDouble
+    val settleTarget5 = sys.env.getOrElse("SPARK_GRAFT_SETTLE_LOAD5", "2.0").toDouble
+    def loadTriple: (Double, Double, Double) = try {
+      val f = scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")
+      (f(0).toDouble, f(1).toDouble, f(2).toDouble)
+    } catch { case _: Throwable => (0.0, 0.0, 0.0) }
+    val settleStart = System.currentTimeMillis
+    val settleDeadline = settleStart + 600000
+    var loads = loadTriple
+    while ((loads._1 > settleTarget1 || loads._2 > settleTarget5) &&
+        System.currentTimeMillis < settleDeadline) {
+      System.err.println(f"[bench] settling: loadavg ${loads._1}%.2f/${loads._2}%.2f " +
+        f"(1m/5m) > $settleTarget1%.1f/$settleTarget5%.1f — waiting")
       Thread.sleep(10000)
+      loads = loadTriple
     }
+    val settleWaitSec = (System.currentTimeMillis - settleStart) / 1000
+    // the (1,5,15) triple AT MEASUREMENT START goes into the JSON record so
+    // a tripped guard is adjudicable from the artifact alone (r14 needed a
+    // judge rerun to establish the refused record was load contamination)
+    loads = loadTriple
     // Bench-protocol knobs, measured by graft.BenchTune at sf0.1 (one JVM,
     // shared JIT): AQE OFF and 8 shuffle partitions beat AQE-on/32 by ~25% —
     // at this scale AQE's per-stage re-optimization is pure driver latency
@@ -58,6 +73,20 @@ object Bench {
     }
 
     val headline = Queries.all.filter(_.bench)
+    // per-query peak execution memory (r15 stretch): sum over the run's
+    // tasks of TaskMetrics.peakExecutionMemory — the number the SQL UI
+    // aggregates; wall time alone hides executor-memory regressions (the
+    // q169 bloom trade). Captured on the LAST measured run of each query
+    // (memory is deterministic across runs the way time is not); purely
+    // informational — the contamination guard ignores it.
+    val peakAcc = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          peakAcc.addAndGet(te.taskMetrics.peakExecutionMemory)
+    })
+    val peakMem = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     // Action = noop sink, not count(): under a bare count Catalyst prunes
     // every unreferenced projection (and can drop whole Window operators), so
     // expression-heavy queries would time the scan instead of the operator.
@@ -86,7 +115,13 @@ object Bench {
       // transient machine load (r6's committed bench had seven queries 3-7x
       // over their quiet-machine times from one CPU spike). The minimum is
       // the standard load-insensitive estimator for a deterministic workload.
-      val ts = Seq(once(q), once(q), once(q)).filter(_ >= 0)
+      val first = Seq(once(q), once(q))
+      org.apache.spark.sql.graftbridge.PlanBridge.waitForListenerBus(spark)
+      peakAcc.set(0)
+      val last = once(q)
+      org.apache.spark.sql.graftbridge.PlanBridge.waitForListenerBus(spark)
+      peakMem(q.name) = peakAcc.get
+      val ts = (first :+ last).filter(_ >= 0)
       q.name -> (if (ts.isEmpty) -1.0 else ts.min)
     }
     val resultMap = scala.collection.mutable.LinkedHashMap(results: _*)
@@ -171,7 +206,12 @@ object Bench {
       else if (bandAccept.nonEmpty)
         "\"band_note\":\"" + bandAccept.replaceAll("[\"\\\\]", "'") + "\","
       else "\"contaminated\":true,"
-    println(s"""{"metric":"total","value":$total,"unit":"sec",$flag"queries":$qs,"sf":"$sfDir"}""")
+    val pm = peakMem.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val loadsEnd = loadTriple
+    val loadJson = f""""load_start":[${loads._1}%.2f,${loads._2}%.2f,${loads._3}%.2f],""" +
+      f""""load_end":[${loadsEnd._1}%.2f,${loadsEnd._2}%.2f,${loadsEnd._3}%.2f],""" +
+      s""""settle_wait_sec":$settleWaitSec,"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$flag$loadJson"queries":$qs,"peakMemBytes":$pm,"sf":"$sfDir"}""")
     spark.stop()
     if (contaminated.nonEmpty && bandAccept.isEmpty) {
       System.err.println(s"[bench-delta] STILL >1.5x after $retries retries " +
@@ -203,10 +243,15 @@ object Bench {
     val prev = benches.last
     val src = scala.io.Source.fromFile(prev)
     val json = try src.mkString finally src.close()
-    // minimal extraction of "name":seconds pairs; the driver wraps our JSON
-    // line inside a "tail" string field, so quotes may arrive escaped (\")
+    // scope extraction to the "queries":{...} object — the record also
+    // carries "peakMemBytes":{...} with the SAME query names (r15), and a
+    // whole-line scan would overwrite seconds with bytes. The driver wraps
+    // our JSON line inside a "tail" string field, so quotes may arrive
+    // escaped (\"); neither object nests braces.
+    val queriesObj = """\\?"queries\\?"\s*:\s*\{([^}]*)\}""".r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse(json)
     val pair = """\\?"([A-Za-z0-9_]+)\\?":\s*([-0-9.Ee]+)""".r
-    (prev.getName, pair.findAllMatchIn(json)
+    (prev.getName, pair.findAllMatchIn(queriesObj)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap - "value")
   } catch { case _: Throwable => ("", Map.empty) }
 

@@ -13,9 +13,12 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Queries.byName("q01_tpch_q1").fn(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 (benchOnly
+    * entries time production parameterizations and stay out of the gate —
+    * their correctness twin carries the oracle).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all.map(q => q.name -> q.fn).toMap
+    Queries.all.filterNot(_.benchOnly).map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops

@@ -1708,6 +1708,25 @@ ORDER BY d.doc_id""")),
         .orderBy("id")
     }, Some(semDedupOracle8x2), bench = true),
 
+    QueryDef("q183_semdedup_auto", (s, dir) => {
+      // BENCH-ONLY (r15 verdict #5): SemDeDup at its PRODUCTION
+      // parameterization — kCells = 0 → auto ≈ √n cells (resolveCells),
+      // the shape users actually run and the one whose pair work scales
+      // ~n^1.5 instead of q146's oracle-pinned kCells=8 (~n²/8 by
+      // construction — a fixture artifact that was the most expensive
+      // bench query). Same planted copies so the ε-rule still binds;
+      // correctness of the kernel is q146/q149's oracle, this entry only
+      // puts the auto shape on the per-round record.
+      val e = Q.t(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = e.filter(col("vec_id") < 20).select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+      graft.operators.Dedup.semDedup(
+          e.unionByName(planted), "embedding", "vec_id",
+          tau = 0.95, kCells = 0, iters = 2)
+        .orderBy("id")
+    }, None, bench = true, benchOnly = true),
+
     QueryDef("q149_semdedup_paper", (s, dir) => {
       // the PAPER's keep rule (SemDeDup §2.2: per ε-ball keep the example
       // LEAST similar to its cluster centroid — the least-prototypical

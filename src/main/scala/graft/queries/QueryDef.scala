@@ -6,13 +6,18 @@ import org.apache.spark.sql.types.DecimalType
 
 /** One driver-checked operator query: Spark implementation + (when ANSI-SQL-
   * expressible) a DuckDB oracle over the same tables. `bench = true` marks it
-  * part of the headline Bench set run at sf0.1.
+  * part of the headline Bench set run at sf0.1. `benchOnly = true` keeps it
+  * OUT of the correctness gate (SparkEntry.queries/Verify): for timing a
+  * production parameterization whose CORRECTNESS is already pinned by a
+  * fixture-shaped sibling (q183 times SemDeDup's auto-√n defaults; q146
+  * holds its oracle).
   */
 case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    bench: Boolean = false)
+    bench: Boolean = false,
+    benchOnly: Boolean = false)
 
 /** Shared helpers for cross-engine float determinism.
   *

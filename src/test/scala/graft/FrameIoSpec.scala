@@ -254,9 +254,13 @@ class LakehouseSpec extends SparkTestBase {
     import graft.engine.GraftSession.jdbcTarget
     assert(jdbcTarget("mysql", Seq("h:3306", "db1", "t1", "u", "p")) ==
       (("jdbc:mysql://h:3306/db1", "t1", Map("user" -> "u", "password" -> "p"))))
+    // postgresql URLs additionally carry the built-in wire-client driver
+    // (r15 — no vendor jar in this container, so PgJdbcDriver makes the
+    // read LIVE; a classpath org.postgresql.Driver would suppress this)
     assert(jdbcTarget("postgresql", Seq("h:5432", "db2", "t2", "u", "p", "sch")) ==
       (("jdbc:postgresql://h:5432/db2", "sch.t2",
-        Map("user" -> "u", "password" -> "p"))))
+        Map("user" -> "u", "password" -> "p",
+          "driver" -> "graft.io.PgJdbcDriver"))))
     assert(jdbcTarget("sqlite", Seq("/tmp/x.db", "t")) ==
       (("jdbc:sqlite:/tmp/x.db", "t", Map())))
     val gs = new graft.engine.GraftSession(spark)

@@ -93,6 +93,29 @@ class IntrospectionSpec extends SparkTestBase {
       s"filtered-scan rowsRead should be scan-side (25 pre-prune or 5 pruned), got $filtered")
   }
 
+  test("lastQueryMetrics: exchange reuse does not double-count the scan (r15)") {
+    val s2 = spark.newSession()
+    val g2 = GraftSession(s2)
+    // both CTE references plan the identical aggregate subtree, so Spark
+    // reuses one exchange — before the r15 fix, PlanBridge.nodes recursed
+    // into ReusedExchangeExec's child and summed the scan's numOutputRows
+    // twice (rowsRead = 2n)
+    val df = g2.sql(
+      s"""WITH g AS (SELECT n_regionkey, count(*) AS c
+            FROM file('$sf/nation.parquet', Parquet) GROUP BY n_regionkey)
+          SELECT g1.n_regionkey FROM g g1 JOIN g g2 ON g1.n_regionkey = g2.n_regionkey""")
+    df.collect()
+    val exec = df.queryExecution.executedPlan
+    val all = org.apache.spark.sql.graftbridge.PlanBridge.nodes(exec)
+    assert(all.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.exchange.ReusedExchangeExec]),
+      "plan must actually contain a ReusedExchange for this test to bind:\n" + exec)
+    g2.awaitMetrics()
+    val m = g2.lastQueryMetrics.getOrElse(fail("metrics not recorded"))
+    assert(m.rowsRead == 25L,
+      s"nation scanned ONCE (the other side reuses the exchange); got ${m.rowsRead}")
+  }
+
   // ---- queryWithProgress — progress callbacks rendered to a stream
 
   test("queryWithProgress renders tick lines and returns the result") {
