@@ -1093,10 +1093,11 @@ object GraftSession {
       val tbl =
         if (fn == "postgresql" && args.length == 6) s"${args(5)}.$table" else table
       val url = s"jdbc:$fn://$host/$db"
-      // no vendor pg driver in this container: fall back to the built-in
-      // wire client (graft.io.PgJdbcDriver) so postgresql() is a LIVE read
+      // no vendor pg/mysql driver in this container: fall back to the
+      // built-in wire clients so postgresql()/mysql() are LIVE reads
       (url, tbl, Map("user" -> user, "password" -> pass) ++
-        graft.io.PgJdbcDriver.driverOptions(url))
+        graft.io.PgJdbcDriver.driverOptions(url) ++
+        graft.io.MyJdbcDriver.driverOptions(url))
     case "sqlite" => (s"jdbc:sqlite:${args.head}", args(1), Map.empty)
     case "jdbc" => (args.head, args(1), Map.empty)
     case other => throw new IllegalArgumentException(s"not a jdbc table fn: $other")

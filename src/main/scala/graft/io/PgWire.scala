@@ -347,12 +347,13 @@ object PgJdbcDriver {
     }
 }
 
-/** One live v3-protocol connection; JDBC interfaces are served by dynamic
-  * proxies so only the methods Spark actually calls need real handling —
-  * anything else fails loudly with the method name.
+/** One live v3-protocol connection. The protocol half lives here (SSLRequest
+  * probe, startup, cleartext password, simple query, DataRow pulls); the
+  * JDBC facade Spark consumes is the shared [[WireJdbc.WireConnection]].
   */
 private[io] final class PgClientConnection(
-    host: String, port: Int, db: String, user: String, pass: String) {
+    host: String, port: Int, db: String, user: String, pass: String)
+  extends WireJdbc.WireConnection {
 
   import PgWire._
 
@@ -360,7 +361,13 @@ private[io] final class PgClientConnection(
   private val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
   private val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
   private var closed = false
-  private var autoCommit = true
+
+  override def jdbcUrl: String = s"jdbc:postgresql://$host:$port/$db"
+  override def dbName: String = db
+  override def userName: String = user
+  override def productName: String = "PostgreSQL"
+  override def productVersion: String = "16.0 (graft)"
+  override def wireClosed: Boolean = closed
 
   private def cstrBytes(s: String): Array[Byte] = {
     val b = s.getBytes(UTF_8); java.util.Arrays.copyOf(b, b.length + 1)
@@ -422,13 +429,13 @@ private[io] final class PgClientConnection(
     }
   }
 
-  /** Issue a simple query; returns a STREAMING result (rows pulled off the
-    * socket as the ResultSet advances — exactly one query may be open per
-    * connection at a time, which is how Spark's JDBC partitions use it).
+  /** Issue a simple query; rows stream off the socket as the ResultSet
+    * advances — exactly one query may be open per connection at a time,
+    * which is how Spark's JDBC partitions use it.
     */
-  private def query(sql: String): PgResult = {
+  override def wireQuery(sql: String): WireJdbc.WireResult = {
     send('Q', cstrBytes(sql))
-    var fields: Array[(String, Int, Int)] = null // (name, oid, typmod)
+    var fields: Array[WireJdbc.ColInfo] = null
     var done = false
     while (fields == null && !done) recv() match {
       case ('T', body) =>
@@ -443,7 +450,8 @@ private[io] final class PgClientConnection(
           d.readInt(); d.readShort() // table oid / attnum
           val oid = d.readInt(); d.readShort() // typlen
           val typmod = d.readInt(); d.readShort() // format
-          (nm, oid, typmod)
+          val (jt, tn, p, s, sg) = jdbcType(oid, typmod)
+          WireJdbc.ColInfo(nm, jt, tn, p, s, sg)
         }
       case ('E', body) =>
         val m = errorMessage(body)
@@ -455,12 +463,16 @@ private[io] final class PgClientConnection(
       case ('S' | 'N', _) => // async ParameterStatus / notice
       case (t, _) => throw new SQLException(s"unexpected message '$t'")
     }
-    if (fields == null) new PgResult(this, Array.empty, exhausted = true)
-    else new PgResult(this, fields, exhausted = false)
+    if (fields == null)
+      new WireJdbc.WireResult(Array.empty, () => None)
+    else {
+      val n = fields.length
+      new WireJdbc.WireResult(fields, () => nextRow(n))
+    }
   }
 
   /** Pull the next DataRow; None at CommandComplete (drains to ready). */
-  private[io] def nextRow(nCols: Int): Option[Array[String]] = {
+  private def nextRow(nCols: Int): Option[Array[String]] = {
     while (true) recv() match {
       case ('D', body) =>
         val d = new DataInputStream(new java.io.ByteArrayInputStream(body))
@@ -487,7 +499,7 @@ private[io] final class PgClientConnection(
     None
   }
 
-  private[io] def drainToReady(): Unit = {
+  private def drainToReady(): Unit = {
     var z = false
     while (!z) recv() match {
       case ('Z', _) => z = true
@@ -495,201 +507,9 @@ private[io] final class PgClientConnection(
     }
   }
 
-  private def closeConn(): Unit = if (!closed) {
+  override def wireClose(): Unit = if (!closed) {
     closed = true
     try { out.writeByte('X'); out.writeInt(4); out.flush() } catch { case _: Throwable => }
     try sock.close() catch { case _: Throwable => }
-  }
-
-  // ---- JDBC facade (dynamic proxies; unknown methods fail loudly) ----
-
-  private def proxy[T](iface: Class[T])(
-      pf: PartialFunction[(String, Array[AnyRef]), AnyRef]): T =
-    java.lang.reflect.Proxy.newProxyInstance(
-      getClass.getClassLoader, Array[Class[_]](iface),
-      (_, method, argsOrNull) => {
-        val args = if (argsOrNull == null) Array.empty[AnyRef] else argsOrNull
-        val key = (method.getName, args)
-        if (pf.isDefinedAt(key)) pf(key)
-        else method.getName match {
-          case "toString" => s"graft-pg-${iface.getSimpleName}"
-          case "hashCode" => Int.box(System.identityHashCode(this))
-          case "equals" => Boolean.box(args.headOption.exists(_ eq this))
-          case "isWrapperFor" => Boolean.box(false)
-          case other => throw new SQLException(
-            s"graft pg-jdbc: ${iface.getSimpleName}.$other not implemented")
-        }
-      }).asInstanceOf[T]
-
-  def asConnection: Connection = proxy(classOf[Connection]) {
-    case ("prepareStatement", args) => statement(args(0).asInstanceOf[String])
-    case ("createStatement", _) => statement(null)
-    case ("setAutoCommit", args) => autoCommit = args(0).asInstanceOf[Boolean]; null
-    case ("getAutoCommit", _) => Boolean.box(autoCommit)
-    case ("commit", _) | ("rollback", _) => null
-    case ("close", _) => closeConn(); null
-    case ("isClosed", _) => Boolean.box(closed)
-    case ("isValid", _) => Boolean.box(!closed)
-    case ("setReadOnly", _) | ("setTransactionIsolation", _) |
-         ("clearWarnings", _) | ("setNetworkTimeout", _) => null
-    case ("getTransactionIsolation", _) =>
-      Int.box(Connection.TRANSACTION_READ_COMMITTED)
-    case ("getWarnings", _) => null
-    case ("getMetaData", _) => databaseMetaData
-    case ("getCatalog", _) => db
-    case ("getSchema", _) => "public"
-  }
-
-  private def databaseMetaData: java.sql.DatabaseMetaData =
-    proxy(classOf[java.sql.DatabaseMetaData]) {
-      case ("getDatabaseProductName", _) => "PostgreSQL"
-      case ("getDatabaseProductVersion", _) => "16.0 (graft)"
-      case ("getDatabaseMajorVersion", _) => Int.box(16)
-      case ("getDatabaseMinorVersion", _) => Int.box(0)
-      case ("getDriverName", _) => "graft-pg-jdbc"
-      case ("getDriverVersion", _) => "1.0"
-      case ("getDriverMajorVersion", _) => Int.box(1)
-      case ("getDriverMinorVersion", _) => Int.box(0)
-      case ("getJDBCMajorVersion", _) => Int.box(4)
-      case ("getJDBCMinorVersion", _) => Int.box(2)
-      case ("getURL", _) => s"jdbc:postgresql://$host:$port/$db"
-      case ("getUserName", _) => user
-      case ("supportsTransactions", _) => Boolean.box(true)
-    }
-
-  private def statement(preparedSql: String): PreparedStatement = {
-    var currentResult: PgResult = null
-    var stmtClosed = false
-    def run(sql: String): ResultSet = {
-      val r = query(sql)
-      currentResult = r
-      r.asResultSet
-    }
-    proxy(classOf[PreparedStatement]) {
-      case ("executeQuery", args) if args.nonEmpty =>
-        run(args(0).asInstanceOf[String])
-      case ("executeQuery", _) => run(preparedSql)
-      case ("setQueryTimeout", _) | ("setFetchSize", _) | ("setMaxRows", _) |
-           ("setEscapeProcessing", _) | ("clearWarnings", _) |
-           ("cancel", _) => null
-      case ("getWarnings", _) => null
-      case ("close", _) =>
-        if (!stmtClosed) {
-          stmtClosed = true
-          if (currentResult != null) currentResult.closeResult()
-        }
-        null
-      case ("isClosed", _) => Boolean.box(stmtClosed)
-      case ("getConnection", _) => asConnection
-    }
-  }
-}
-
-/** Streaming result of one simple query: DataRows are pulled from the
-  * connection as `next()` advances; closing drains to ReadyForQuery.
-  */
-private[io] final class PgResult(
-    conn: PgClientConnection,
-    fields: Array[(String, Int, Int)],
-    exhausted: Boolean) {
-
-  import PgWire._
-
-  private var row: Array[String] = null
-  private var done = exhausted
-  private var nullFlag = false
-  private var rsClosed = false
-
-  private[io] def closeResult(): Unit = if (!rsClosed) {
-    rsClosed = true
-    // drain any rows still on the wire so the connection is reusable
-    while (!done) done = conn.nextRow(fields.length).isEmpty
-  }
-
-  private def value(i: Int): String = {
-    val v = row(i - 1)
-    nullFlag = v == null
-    v
-  }
-  private def num[T](i: Int, parse: String => T, zero: T): T = {
-    val v = value(i)
-    if (v == null) zero else parse(v)
-  }
-
-  private def proxy[T](iface: Class[T])(
-      pf: PartialFunction[(String, Array[AnyRef]), AnyRef]): T =
-    java.lang.reflect.Proxy.newProxyInstance(
-      getClass.getClassLoader, Array[Class[_]](iface),
-      (_, method, argsOrNull) => {
-        val args = if (argsOrNull == null) Array.empty[AnyRef] else argsOrNull
-        val key = (method.getName, args)
-        if (pf.isDefinedAt(key)) pf(key)
-        else method.getName match {
-          case "toString" => s"graft-pg-${iface.getSimpleName}"
-          case "isWrapperFor" => Boolean.box(false)
-          case other => throw new SQLException(
-            s"graft pg-jdbc: ${iface.getSimpleName}.$other not implemented")
-        }
-      }).asInstanceOf[T]
-
-  def asResultSet: ResultSet = proxy(classOf[ResultSet]) {
-    case ("next", _) =>
-      if (done) Boolean.box(false)
-      else conn.nextRow(fields.length) match {
-        case Some(r) => row = r; Boolean.box(true)
-        case None => done = true; Boolean.box(false)
-      }
-    case ("wasNull", _) => Boolean.box(nullFlag)
-    case ("getString", args) => value(args(0).asInstanceOf[Int])
-    case ("getInt", args) => Int.box(num(args(0).asInstanceOf[Int], _.toInt, 0))
-    case ("getLong", args) => Long.box(num(args(0).asInstanceOf[Int], _.toLong, 0L))
-    case ("getShort", args) =>
-      Short.box(num(args(0).asInstanceOf[Int], _.toShort, 0.toShort))
-    case ("getDouble", args) =>
-      Double.box(num(args(0).asInstanceOf[Int], _.toDouble, 0.0))
-    case ("getFloat", args) =>
-      Float.box(num(args(0).asInstanceOf[Int], _.toFloat, 0.0f))
-    case ("getBoolean", args) =>
-      val v = value(args(0).asInstanceOf[Int])
-      Boolean.box(v != null && (v == "t" || v == "true" || v == "1"))
-    case ("getBigDecimal", args) =>
-      num(args(0).asInstanceOf[Int], new java.math.BigDecimal(_), null)
-    case ("getDate", args) =>
-      num(args(0).asInstanceOf[Int], java.sql.Date.valueOf, null)
-    case ("getTimestamp", args) =>
-      num(args(0).asInstanceOf[Int], java.sql.Timestamp.valueOf, null)
-    case ("getBytes", args) =>
-      val v = value(args(0).asInstanceOf[Int])
-      if (v == null) null else v.getBytes(UTF_8)
-    case ("getMetaData", _) => metaData
-    case ("close", _) => closeResult(); null
-    case ("isClosed", _) => Boolean.box(rsClosed)
-    case ("getFetchSize", _) => Int.box(0)
-    case ("setFetchSize", _) | ("clearWarnings", _) => null
-    case ("getWarnings", _) => null
-    case ("findColumn", args) =>
-      Int.box(fields.indexWhere(_._1 == args(0).asInstanceOf[String]) + 1)
-  }
-
-  private def metaData: ResultSetMetaData = proxy(classOf[ResultSetMetaData]) {
-    case ("getColumnCount", _) => Int.box(fields.length)
-    case ("getColumnName", args) => fields(args(0).asInstanceOf[Int] - 1)._1
-    case ("getColumnLabel", args) => fields(args(0).asInstanceOf[Int] - 1)._1
-    case ("getColumnType", args) =>
-      val f = fields(args(0).asInstanceOf[Int] - 1)
-      Int.box(jdbcType(f._2, f._3)._1)
-    case ("getColumnTypeName", args) =>
-      val f = fields(args(0).asInstanceOf[Int] - 1)
-      jdbcType(f._2, f._3)._2
-    case ("getPrecision", args) =>
-      val f = fields(args(0).asInstanceOf[Int] - 1)
-      Int.box(jdbcType(f._2, f._3)._3)
-    case ("getScale", args) =>
-      val f = fields(args(0).asInstanceOf[Int] - 1)
-      Int.box(jdbcType(f._2, f._3)._4)
-    case ("isSigned", args) =>
-      val f = fields(args(0).asInstanceOf[Int] - 1)
-      Boolean.box(jdbcType(f._2, f._3)._5)
-    case ("isNullable", _) => Int.box(ResultSetMetaData.columnNullable)
   }
 }

@@ -49,8 +49,10 @@ object Sources {
       options: Map[String, String] = Map.empty): DataFrame =
     spark.read.format("jdbc")
       .option("url", url).option("dbtable", table)
-      // jdbc:postgresql:// with no vendor jar → built-in wire client
-      .options(PgJdbcDriver.driverOptions(url) ++ options).load()
+      // jdbc:postgresql:// / jdbc:mysql:// with no vendor jar → built-in
+      // wire clients
+      .options(PgJdbcDriver.driverOptions(url) ++
+        MyJdbcDriver.driverOptions(url) ++ options).load()
 
   /** numbers(n) — integer generator (reference table_functions.py:995;
     * spark.range is already distributed + codegen'd).

@@ -674,6 +674,28 @@ object CoverageQueries {
     }, Some("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         FROM supplier WHERE s_nationkey < 13 ORDER BY s_suppkey""")),
 
+    QueryDef("q184_mysql_live", (s, dir) => {
+      // mysql() table function over a LIVE MySQL-protocol round trip (r15 —
+      // q180's sibling; reference table_functions.py:570-619): graft.io
+      // .MyServer serves this session's `part` view, read back through
+      // Spark's JDBC source + the built-in MyJdbcDriver wire client —
+      // HandshakeV10, mysql_native_password scramble, COM_QUERY text
+      // resultset, the WHERE pushed down the wire. With q180 every
+      // federated RDBMS source the reference registers has a live oracle.
+      v(s, dir, "part")
+      val gs = graft.engine.GraftSession(s)
+      val server = new graft.io.MyServer(gs, users = Map("u" -> "pw")).start()
+      try {
+        val df = gs.sql(
+          s"""SELECT p_partkey, p_brand, p_size, p_retailprice
+              FROM mysql('${server.hostPort}', 'db', 'part', 'u', 'pw')
+              WHERE p_size >= 25
+              ORDER BY p_partkey""")
+        s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+      } finally server.stop()
+    }, Some("""SELECT p_partkey, p_brand, p_size, p_retailprice
+        FROM part WHERE p_size >= 25 ORDER BY p_partkey""")),
+
     QueryDef("q181_arrow_chunk_stream", (s, dir) => {
       // Result-side CHUNKED streaming (r15 — queryAsArrowChunks, the
       // reference's send_query → StreamingResult surface, q172's inverse):

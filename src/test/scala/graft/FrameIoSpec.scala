@@ -253,7 +253,9 @@ class LakehouseSpec extends SparkTestBase {
     // honest serverless maximum)
     import graft.engine.GraftSession.jdbcTarget
     assert(jdbcTarget("mysql", Seq("h:3306", "db1", "t1", "u", "p")) ==
-      (("jdbc:mysql://h:3306/db1", "t1", Map("user" -> "u", "password" -> "p"))))
+      (("jdbc:mysql://h:3306/db1", "t1",
+        Map("user" -> "u", "password" -> "p",
+          "driver" -> "graft.io.MyJdbcDriver"))))
     // postgresql URLs additionally carry the built-in wire-client driver
     // (r15 — no vendor jar in this container, so PgJdbcDriver makes the
     // read LIVE; a classpath org.postgresql.Driver would suppress this)

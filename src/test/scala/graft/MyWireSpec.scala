@@ -1,0 +1,116 @@
+package graft
+
+import java.sql.SQLException
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.GraftSession
+import graft.io.{MyServer, MyWire, Sources}
+
+/** mysql() over a REAL loopback MySQL-protocol handshake — [[graft.io
+  * .MyServer]] serves this session's views and the read path is Spark's
+  * JDBC source through the built-in [[graft.io.MyJdbcDriver]]: HandshakeV10,
+  * mysql_native_password scramble, COM_QUERY, classic text resultsets.
+  * [[PgWireSpec]]'s sibling — with this, every federated RDBMS source the
+  * reference registers has a live wire test.
+  */
+class MyWireSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def withServer[T](users: Map[String, String] = Map("u" -> "pw"))(
+      f: MyServer => T): T = {
+    val server = new MyServer(GraftSession(spark), users = users).start()
+    try f(server) finally server.stop()
+  }
+
+  test("mysql_native_password scramble matches the documented construction") {
+    // SHA1(pass) XOR SHA1(nonce + SHA1(SHA1(pass))) — verify the identity
+    // by recomputing both halves with MessageDigest directly
+    val nonce = Array.tabulate[Byte](20)(i => (i * 3 + 1).toByte)
+    val token = MyWire.nativePassword("secret", nonce)
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    val p1 = md.digest("secret".getBytes("UTF-8"))
+    md.reset(); val p2 = md.digest(p1)
+    md.reset(); md.update(nonce); md.update(p2)
+    val mix = md.digest()
+    assert(token.toSeq == p1.indices.map(i => (p1(i) ^ mix(i)).toByte))
+    assert(MyWire.nativePassword("", nonce).isEmpty, "empty password → empty token")
+  }
+
+  test("mysql: typed round trip — long/int/double/bool/string/date/timestamp/decimal + nulls") {
+    val src = spark.sql(
+      """SELECT * FROM VALUES
+           (1L, 10, 1.5D, true,  'alpha', DATE'2024-03-01',
+            TIMESTAMP'2024-03-01 10:11:12.5', CAST(12.34 AS DECIMAL(10,2))),
+           (2L, -7, -0.25D, false, 'be''ta', DATE'1999-12-31',
+            TIMESTAMP'1999-12-31 23:59:59', CAST(-0.01 AS DECIMAL(10,2))),
+           (3L, CAST(NULL AS INT), CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN),
+            CAST(NULL AS STRING), CAST(NULL AS DATE), CAST(NULL AS TIMESTAMP),
+            CAST(NULL AS DECIMAL(10,2)))
+         AS t(id, i, d, b, s, dt, ts, m)""")
+    src.createOrReplaceTempView("my_src")
+    withServer() { server =>
+      val got = Sources.jdbc(spark, s"jdbc:mysql://${server.hostPort}/db",
+        "my_src", Map("user" -> "u", "password" -> "pw"))
+      assert(got.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        src.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+        got.schema.treeString)
+      assert(got.orderBy("id").collect().toSeq == src.orderBy("id").collect().toSeq)
+    }
+  }
+
+  test("mysql: Spark pushes the filter down the wire; SQL surface is a live read") {
+    Tables.load(spark, SparkTestBase.sfDir, "nation").createOrReplaceTempView("nation")
+    withServer() { server =>
+      val df = Sources.jdbc(spark, s"jdbc:mysql://${server.hostPort}/db",
+        "nation", Map("user" -> "u", "password" -> "pw"))
+        .filter(col("n_regionkey") === 2).select("n_nationkey", "n_name")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") && plan.contains("n_regionkey"), plan)
+      val expect = Tables.load(spark, SparkTestBase.sfDir, "nation")
+        .filter(col("n_regionkey") === 2).select("n_nationkey", "n_name")
+      assert(df.orderBy("n_nationkey").collect().toSeq ==
+        expect.orderBy("n_nationkey").collect().toSeq)
+      // the SQL table-function surface rides the same wire
+      val viaSql = sql(
+        s"""SELECT n_nationkey FROM mysql('${server.hostPort}', 'db', 'nation', 'u', 'pw')
+            WHERE n_regionkey = 2 ORDER BY n_nationkey""")
+        .collect().map(_.getInt(0)).toSeq
+      assert(viaSql == expect.orderBy("n_nationkey")
+        .collect().map(_.getInt(0)).toSeq)
+    }
+  }
+
+  test("mysql: wrong password is refused with the server's 1045 access-denied") {
+    Seq((1L, "x")).toDF("k", "v").createOrReplaceTempView("my_auth_t")
+    withServer() { server =>
+      val e = intercept[Exception] {
+        Sources.jdbc(spark, s"jdbc:mysql://${server.hostPort}/db",
+          "my_auth_t", Map("user" -> "u", "password" -> "WRONG")).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(m => m.contains("1045") || m.contains("Access denied")),
+        messages(e).mkString(" | "))
+    }
+  }
+
+  test("mysql: a bad query surfaces the ERR packet and the connection survives") {
+    withServer() { server =>
+      val conn = new graft.io.MyJdbcDriver().connect(
+        s"jdbc:mysql://${server.hostPort}/db", {
+          val p = new java.util.Properties()
+          p.setProperty("user", "u"); p.setProperty("password", "pw"); p
+        })
+      try {
+        val bad = intercept[SQLException] {
+          conn.createStatement().executeQuery("SELECT * FROM no_such_table_xyz")
+        }
+        assert(bad.getMessage.contains("mysql query failed"), bad.getMessage)
+        val rs = conn.createStatement().executeQuery("SELECT 41 + 1 AS x")
+        assert(rs.next() && rs.getInt(1) == 42 && !rs.next())
+      } finally conn.close()
+    }
+  }
+}
