@@ -70,6 +70,27 @@ class PgWireSpec extends SparkTestBase {
     }
   }
 
+  test("pg: PARTITIONED read — concurrent executor-side connections (100 TB fan-out)") {
+    // the shape a real federated read takes at scale: Spark's JDBC source
+    // splits the key range into stride queries and each partition opens its
+    // OWN wire connection from its task — here 2 concurrent live
+    // handshakes against the server (2, not 4: reader tasks block their
+    // local[4] slots while the server's own jobs need the remaining cores)
+    Tables.load(spark, SparkTestBase.sfDir, "orders").createOrReplaceTempView("pg_orders")
+    withServer() { server =>
+      val df = Sources.jdbc(spark, s"jdbc:postgresql://${server.hostPort}/db",
+        "pg_orders", Map("user" -> "u", "password" -> "pw",
+          "partitionColumn" -> "o_orderkey", "lowerBound" -> "0",
+          "upperBound" -> "1500", "numPartitions" -> "2"))
+      assert(df.rdd.getNumPartitions == 2, "one JDBC partition per stride")
+      val got = df.agg(count(lit(1)), sum("o_orderkey"), sum("o_totalprice")).head()
+      val want = Tables.load(spark, SparkTestBase.sfDir, "orders")
+        .agg(count(lit(1)), sum("o_orderkey"), sum("o_totalprice")).head()
+      assert(got.getLong(0) == want.getLong(0) && got.getLong(1) == want.getLong(1))
+      assert(math.abs(got.getDouble(2) - want.getDouble(2)) < 1e-6)
+    }
+  }
+
   test("pg: q180 shape — SQL surface with WHERE over a fixture table") {
     Tables.load(spark, SparkTestBase.sfDir, "supplier").createOrReplaceTempView("supplier")
     withServer() { server =>
