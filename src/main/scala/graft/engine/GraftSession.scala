@@ -347,6 +347,17 @@ final class GraftSession(val spark: SparkSession) {
           args.forall(quotedTok) =>
         val (u, t, o) = GraftSession.jdbcTarget(lw, args.map(unquote))
         Some(registerJdbc(u, t, o))
+      // sqlite('path', 'table') with no vendor jar on the classpath reads
+      // the database FILE FORMAT directly (graft.io.SqliteFile — a real
+      // b-tree/record parser from the public spec, r15); a classpath
+      // org.sqlite.JDBC driver would win and route through Sources.jdbc.
+      case "sqlite" if args.length == 2 && args.forall(quotedTok) &&
+          !GraftSession.sqliteJdbcPresent =>
+        val Seq(path, table) = args.map(unquote)
+        val name = s"__graft_sqlite_${md5hex(s"$path|$table")}"
+        if (!spark.catalog.tableExists(name))
+          graft.io.SqliteFile.read(spark, path, table).createOrReplaceTempView(name)
+        Some(name)
       case "sqlite" | "jdbc" if args.length == 2 && args.forall(quotedTok) =>
         val (u, t, o) = GraftSession.jdbcTarget(lw, args.map(unquote))
         Some(registerJdbc(u, t, o))
@@ -1086,6 +1097,14 @@ object GraftSession {
     * 'table'), jdbc('url', 'table'). Factored out so the URL assembly is
     * unit-testable without a live server (zero-egress container).
     */
+  /** True when a vendor SQLite JDBC driver is on the classpath — then
+    * sqlite() routes through Spark's JDBC source instead of the built-in
+    * file-format reader.
+    */
+  private[graft] lazy val sqliteJdbcPresent: Boolean =
+    try { Class.forName("org.sqlite.JDBC"); true }
+    catch { case _: ClassNotFoundException => false }
+
   private[graft] def jdbcTarget(fn: String, args: Seq[String])
       : (String, String, Map[String, String]) = fn match {
     case "mysql" | "postgresql" =>

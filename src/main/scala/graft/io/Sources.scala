@@ -54,6 +54,13 @@ object Sources {
       .options(PgJdbcDriver.driverOptions(url) ++
         MyJdbcDriver.driverOptions(url) ++ options).load()
 
+  /** sqlite(path, table) — reads the database FILE FORMAT directly via
+    * [[SqliteFile]] (reference table_functions.py:772-807; no driver jar
+    * needed — the on-disk format is the public, stable interface).
+    */
+  def sqlite(spark: SparkSession, path: String, table: String): DataFrame =
+    SqliteFile.read(spark, path, table)
+
   /** numbers(n) — integer generator (reference table_functions.py:995;
     * spark.range is already distributed + codegen'd).
     */

@@ -696,6 +696,34 @@ object CoverageQueries {
     }, Some("""SELECT p_partkey, p_brand, p_size, p_retailprice
         FROM part WHERE p_size >= 25 ORDER BY p_partkey""")),
 
+    QueryDef("q185_sqlite_file", (s, dir) => {
+      // sqlite() table function over the database FILE FORMAT (r15 —
+      // graft.io.SqliteFile; reference table_functions.py:772-807): the
+      // supplier slice round-trips through a REAL standards-compliant
+      // .sqlite file (b-tree pages, varint cells, serial-type records —
+      // the writer's output passes sqlite3's own PRAGMA integrity_check;
+      // the reader is golden-proven against python-sqlite3-written files
+      // incl. overflow chains, SqliteFileSpec) and is read back through
+      // the SQL surface with no driver jar involved. INTEGER affinity
+      // widens s_nationkey to BIGINT on the way back — values identical.
+      v(s, dir, "supplier")
+      val rows = Q.t(s, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .collect().map(_.toSeq).toSeq
+      val path = java.nio.file.Files.createTempDirectory("graft_q185")
+        .resolve("supplier.sqlite").toString
+      graft.io.SqliteFile.write(path, "supplier", Seq(
+        ("s_suppkey", org.apache.spark.sql.types.LongType),
+        ("s_name", org.apache.spark.sql.types.StringType),
+        ("s_nationkey", org.apache.spark.sql.types.LongType),
+        ("s_acctbal", org.apache.spark.sql.types.DoubleType)), rows)
+      graft.engine.GraftSession(s).sql(
+        s"""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+            FROM sqlite('$path', 'supplier')
+            WHERE s_acctbal > 0 ORDER BY s_suppkey""")
+    }, Some("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        FROM supplier WHERE s_acctbal > 0 ORDER BY s_suppkey""")),
+
     QueryDef("q181_arrow_chunk_stream", (s, dir) => {
       // Result-side CHUNKED streaming (r15 — queryAsArrowChunks, the
       // reference's send_query → StreamingResult surface, q172's inverse):

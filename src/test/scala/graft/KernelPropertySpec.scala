@@ -130,4 +130,36 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(gotPairs == want, s"trial $trial dims=$dims k=$k nProbe=$nProbe")
     }
   }
+
+  test("byte-level BPE: lossless — decoded hex tokens reconstruct the piece bytes (r15)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val text: Gen[String] = for {
+      n <- Gen.choose(0, 40)
+      cs <- Gen.listOfN(n, Gen.frequency(
+        6 -> Gen.alphaNumChar, 2 -> Gen.const(' '),
+        1 -> Gen.oneOf('.', ',', '!', 'é', 'ß', '中'), 1 -> Gen.const('\n')))
+    } yield cs.mkString
+    val piece = java.util.regex.Pattern.compile(
+      " ?[\\p{L}\\p{N}]+| ?[^\\p{L}\\p{N}\\s]+")
+    def hexToBytes(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // arbitrary merge tables must never change WHAT bytes the tokens
+    // cover, only how they are grouped
+    val merges = Seq(Array[String](), Array("74", "68", "7468", "65"),
+      Array("20", "61", "C3", "A9", "61", "61"))
+    for (s <- samples(text); m <- merges) {
+      val enc = graft.functions.BpeOps.encodeBytes(UTF8String.fromString(s), m)
+      val got = (0 until enc.numElements())
+        .flatMap(i => hexToBytes(enc.getUTF8String(i).toString))
+      val matcher = piece.matcher(s)
+      val want = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      while (matcher.find()) want ++= matcher.group().getBytes("UTF-8")
+      assert(got == want.toSeq, s"'$s' merges=${m.mkString(",")}")
+      // every token is whole bytes: even hex length, uppercase alphabet
+      (0 until enc.numElements()).foreach { i =>
+        val t = enc.getUTF8String(i).toString
+        assert(t.length % 2 == 0 && t.forall("0123456789ABCDEF".contains(_)), t)
+      }
+    }
+  }
 }
