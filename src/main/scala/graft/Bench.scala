@@ -16,10 +16,9 @@ object Bench {
     // loadavg (r15, from r14's burned bench run: a launch at 1-min 0.03
     // under a decaying 5/15-min tail ~2 min after the full test suite still
     // co-inflated 12 queries ~20% and the guard refused the record; the
-    // rerun 8 min after suite-end was clean). The 5-min average decays with
-    // a ~5-minute time constant, so the deadline is 10 min, enough for a
-    // post-verify tail to clear. Tunable/disable:
-    // SPARK_GRAFT_SETTLE_LOAD / SPARK_GRAFT_SETTLE_LOAD5 = 99.
+    // rerun 8 min after suite-end was clean). The deadline is 15 min —
+    // sized to the 15-min average's decay constant. Tunable/disable:
+    // SPARK_GRAFT_SETTLE_LOAD / _LOAD5 / _LOAD15 = 99.
     val settleTarget1 = sys.env.getOrElse("SPARK_GRAFT_SETTLE_LOAD", "2.0").toDouble
     val settleTarget5 = sys.env.getOrElse("SPARK_GRAFT_SETTLE_LOAD5", "2.0").toDouble
     // the 15-min average too (r15, adjudicated from the first refused
@@ -214,8 +213,13 @@ object Bench {
       else "\"contaminated\":true,"
     val pm = peakMem.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val loadsEnd = loadTriple
-    val loadJson = f""""load_start":[${loads._1}%.2f,${loads._2}%.2f,${loads._3}%.2f],""" +
-      f""""load_end":[${loadsEnd._1}%.2f,${loadsEnd._2}%.2f,${loadsEnd._3}%.2f],""" +
+    // Locale.ROOT: the f"%.2f" interpolator is locale-sensitive and a
+    // comma-decimal default locale would corrupt the JSON record
+    def l2(d: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+    def triple(t: (Double, Double, Double)): String =
+      s"[${l2(t._1)},${l2(t._2)},${l2(t._3)}]"
+    val loadJson = s""""load_start":${triple(loads)},""" +
+      s""""load_end":${triple(loadsEnd)},""" +
       s""""settle_wait_sec":$settleWaitSec,"""
     println(s"""{"metric":"total","value":$total,"unit":"sec",$flag$loadJson"queries":$qs,"peakMemBytes":$pm,"sf":"$sfDir"}""")
     spark.stop()

@@ -1097,14 +1097,6 @@ object GraftSession {
     * 'table'), jdbc('url', 'table'). Factored out so the URL assembly is
     * unit-testable without a live server (zero-egress container).
     */
-  /** True when a vendor SQLite JDBC driver is on the classpath — then
-    * sqlite() routes through Spark's JDBC source instead of the built-in
-    * file-format reader.
-    */
-  private[graft] lazy val sqliteJdbcPresent: Boolean =
-    try { Class.forName("org.sqlite.JDBC"); true }
-    catch { case _: ClassNotFoundException => false }
-
   private[graft] def jdbcTarget(fn: String, args: Seq[String])
       : (String, String, Map[String, String]) = fn match {
     case "mysql" | "postgresql" =>
@@ -1121,6 +1113,14 @@ object GraftSession {
     case "jdbc" => (args.head, args(1), Map.empty)
     case other => throw new IllegalArgumentException(s"not a jdbc table fn: $other")
   }
+
+  /** True when a vendor SQLite JDBC driver is on the classpath — then
+    * sqlite() routes through Spark's JDBC source instead of the built-in
+    * file-format reader.
+    */
+  private[graft] lazy val sqliteJdbcPresent: Boolean =
+    try { Class.forName("org.sqlite.JDBC"); true }
+    catch { case _: ClassNotFoundException => false }
   /** One progress tick of a running query (the reference streams these to a
     * user callback — chdb/__init__.py:173-217; rows_read/elapsed there map
     * to recordsRead/task counts here, the units Spark actually schedules).

@@ -69,7 +69,11 @@ object MyWire {
     p1.indices.map(i => (p1(i) ^ mix(i)).toByte).toArray
   }
 
-  /** Spark type → (mysql type byte, display length, decimals). */
+  /** Spark type → (mysql type byte, display length, decimals). Binary and
+    * nested types are REJECTED: the text resultset here is UTF-8 strings,
+    * and silently stringified bytes/structs would be corruption — the PG
+    * wire pair carries bytea; parquet/arrow carry everything.
+    */
   def myType(dt: DataType): (Int, Long, Int) = dt match {
     case BooleanType => (TypeTiny, 1L, 0) // MySQL BOOL = TINYINT(1)
     case ShortType => (TypeShort, 6L, 0)
@@ -80,7 +84,10 @@ object MyWire {
     case DateType => (TypeDate, 10L, 0)
     case TimestampType | TimestampNTZType => (TypeDatetime, 26L, 6)
     case d: DecimalType => (TypeNewDecimal, d.precision.toLong + 2, d.scale)
-    case _ => (TypeVarString, 4096L, 0)
+    case StringType | ByteType | NullType => (TypeVarString, 4096L, 0)
+    case other => throw new IllegalArgumentException(
+      s"unsupported column type for mysql wire serving: $other " +
+        "(binary → postgresql()/bytea; nested → parquet/arrow surfaces)")
   }
 
   /** (mysql type byte, display length, decimals) → the client-side
@@ -110,7 +117,11 @@ object MyWire {
     */
   def render(v: Any): String = v match {
     case b: Boolean => if (b) "1" else "0"
-    case ldt: java.time.LocalDateTime => ldt.toString.replace('T', ' ')
+    case ldt: java.time.LocalDateTime =>
+      // pad the ":00" seconds LocalDateTime.toString omits (client parses
+      // with Timestamp.valueOf, which requires them)
+      val s = ldt.toString.replace('T', ' ')
+      if (s.length == 16) s + ":00" else s
     case other => other.toString
   }
 
@@ -118,6 +129,11 @@ object MyWire {
 
   private[io] def writePacket(out: DataOutputStream, seq: Int,
       payload: Array[Byte]): Unit = {
+    // the 3-byte length caps a packet at 16 MB - 1; real servers split
+    // larger payloads across continuation packets — this surface serves
+    // result rows, which a 16 MB cell would not be a sane shape for
+    require(payload.length < 0xFFFFFF,
+      s"mysql packet too large (${payload.length} bytes; 16MB protocol frame)")
     out.write(payload.length & 0xFF)
     out.write((payload.length >> 8) & 0xFF)
     out.write((payload.length >> 16) & 0xFF)
@@ -284,9 +300,12 @@ final class MyServer(
             try {
               val df = gs.sql(sql) // backtick idents are Spark-native
               val fields = df.schema.fields
+              // resolve EVERY column's wire type before emitting any
+              // resultset bytes: a mid-stream throw after the column-count
+              // packet would corrupt the framing instead of sending ERR
+              val fieldMeta = fields.map(f => (f, myType(f.dataType)))
               packet(next())(lenencInt(_, fields.length.toLong))
-              fields.foreach { f =>
-                val (t, len, dec) = myType(f.dataType)
+              fieldMeta.foreach { case (f, (t, len, dec)) =>
                 packet(next()) { d =>
                   lenencStr(d, "def"); lenencStr(d, "graft") // catalog, schema
                   lenencStr(d, ""); lenencStr(d, "") // table, org_table
@@ -512,7 +531,7 @@ private[io] final class MyClientConnection(
     val (_, sep) = readPacket(in) // EOF after column definitions
     if ((sep(0) & 0xFF) != 0xfe)
       throw new SQLException("expected EOF after column definitions")
-    new WireJdbc.WireResult(fields, () => nextRow(colCount))
+    new WireJdbc.WireResult(fields, () => nextRow(colCount), () => wireClose())
   }
 
   private def nextRow(nCols: Int): Option[Array[String]] = {

@@ -48,7 +48,10 @@ object PgWire {
 
   /** Spark type → (type oid, typlen, typmod) from the public pg_type
     * catalog defaults (int2=21 int4=23 int8=20 float4=700 float8=701
-    * bool=16 text=25 numeric=1700 date=1082 timestamp=1114).
+    * bool=16 text=25 bytea=17 numeric=1700 date=1082 timestamp=1114).
+    * Nested types are REJECTED, not stringified: a silent toString of an
+    * array/struct would be data corruption on a wire whose other end
+    * trusts the declared oid.
     */
   private[io] def pgType(dt: DataType): (Int, Int, Int) = dt match {
     case ShortType => (21, 2, -1)
@@ -60,7 +63,11 @@ object PgWire {
     case DateType => (1082, 4, -1)
     case TimestampType | TimestampNTZType => (1114, 8, -1)
     case d: DecimalType => (1700, -1, ((d.precision << 16) | d.scale) + 4)
-    case _ => (25, -1, -1) // text; values render via toString
+    case BinaryType => (17, -1, -1) // bytea, text format "\x<hex>"
+    case StringType | ByteType | NullType => (25, -1, -1)
+    case other => throw new IllegalArgumentException(
+      s"unsupported column type for wire serving: $other " +
+        "(use the parquet/arrow surfaces for nested data)")
   }
 
   /** oid → (java.sql.Types code, pg type name, precision, scale, signed) —
@@ -79,14 +86,40 @@ object PgWire {
       case 1700 =>
         val m = typmod - 4
         (Types.NUMERIC, "numeric", (m >> 16) & 0xFFFF, m & 0xFFFF, true)
+      case 17 => (Types.BINARY, "bytea", 0, 0, false)
       case _ => (Types.VARCHAR, "text", 0, 0, false)
     }
 
   /** Text-format rendering (what a real backend sends with format=0). */
   private[io] def render(v: Any): String = v match {
     case b: Boolean => if (b) "t" else "f"
-    case ldt: java.time.LocalDateTime => ldt.toString.replace('T', ' ')
+    case ldt: java.time.LocalDateTime =>
+      // LocalDateTime.toString drops ":00" seconds entirely — pad them
+      // back or Timestamp.valueOf on the client side rejects the value
+      val s = ldt.toString.replace('T', ' ')
+      if (s.length == 16) s + ":00" else s
+    case bytes: Array[Byte] => // PG bytea hex form
+      "\\x" + bytes.map(b => f"${b & 0xFF}%02x").mkString
     case other => other.toString // Date/Timestamp toString match PG text form
+  }
+
+  /** PG double-quoted identifiers → Spark backticks, WITHOUT touching
+    * double quotes inside single-quoted string literals (PG escapes a
+    * quote inside a literal as '' — the scanner stays in-literal across
+    * it naturally, since each ' flips the state).
+    */
+  private[graft] def identsToBackticks(sql: String): String = {
+    val out = new java.lang.StringBuilder(sql.length)
+    var inLiteral = false
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'') { inLiteral = !inLiteral; out.append(c) }
+      else if (c == '"' && !inLiteral) out.append('`')
+      else out.append(c)
+      i += 1
+    }
+    out.toString
   }
 }
 
@@ -223,10 +256,7 @@ final class PgServer(
               try {
                 if (sql.trim.isEmpty) msg('I')(_ => ())
                 else {
-                  // PG double-quoted idents -> Spark backticks (string
-                  // literals are single-quoted in both, so '"' only wraps
-                  // identifiers on this surface)
-                  val df = gs.sql(sql.replace('"', '`'))
+                  val df = gs.sql(identsToBackticks(sql))
                   val fields = df.schema.fields
                   msg('T') { d =>
                     d.writeShort(fields.length)
@@ -467,7 +497,7 @@ private[io] final class PgClientConnection(
       new WireJdbc.WireResult(Array.empty, () => None)
     else {
       val n = fields.length
-      new WireJdbc.WireResult(fields, () => nextRow(n))
+      new WireJdbc.WireResult(fields, () => nextRow(n), () => wireClose())
     }
   }
 

@@ -215,8 +215,31 @@ object SqliteFile {
     }
     parts += body.substring(startIdx)
     val constraintKw = Set("PRIMARY", "UNIQUE", "CHECK", "FOREIGN", "CONSTRAINT")
+    // a table-level PRIMARY KEY(col) over a single INTEGER column is ALSO
+    // the rowid alias (lang_createtable.html "ROWID and the INTEGER
+    // PRIMARY KEY") — collect its bare column name
+    val tablePkCol: Option[String] = parts.map(_.trim).collectFirst {
+      case p if p.toUpperCase.startsWith("PRIMARY") && p.contains('(') &&
+          p.lastIndexOf(')') > p.indexOf('(') =>
+        val inner = p.substring(p.indexOf('(') + 1, p.lastIndexOf(')'))
+        if (inner.contains(',')) "" // composite PK: never an alias
+        else inner.trim.stripPrefix("\"").stripSuffix("\"")
+          .stripPrefix("`").stripSuffix("`").stripPrefix("[").stripSuffix("]")
+          .split("\\s+")(0)
+    }.filter(_.nonEmpty)
     parts.map(_.trim).filter(_.nonEmpty).flatMap { coldef =>
-      val firstTok = coldef.split("\\s+", 2)(0)
+      // a quoted identifier may contain spaces: "my col" TEXT / [my col] / `x y`
+      val firstTok = coldef.head match {
+        case q @ ('"' | '`') =>
+          val end = coldef.indexOf(q, 1)
+          require(end > 0, s"unterminated quoted identifier: $coldef")
+          coldef.substring(0, end + 1)
+        case '[' =>
+          val end = coldef.indexOf(']', 1)
+          require(end > 0, s"unterminated [identifier]: $coldef")
+          coldef.substring(0, end + 1)
+        case _ => coldef.split("\\s+", 2)(0)
+      }
       val bare = firstTok.stripPrefix("\"").stripSuffix("\"")
         .stripPrefix("`").stripSuffix("`").stripPrefix("[").stripSuffix("]")
       if (constraintKw.contains(bare.toUpperCase)) None
@@ -230,7 +253,17 @@ object SqliteFile {
           else if (restU.contains("REAL") || restU.contains("FLOA") ||
             restU.contains("DOUB")) DoubleType
           else StringType // NUMERIC affinity, rendered
-        val isRowidAlias = affinity == LongType && restU.contains("PRIMARY KEY")
+        // rowid-alias rule (lang_createtable.html): the declared type must
+        // be EXACTLY "INTEGER" — INT/BIGINT PRIMARY KEY columns store real
+        // values in the record — and "PRIMARY KEY DESC" is documented NOT
+        // to alias (the historical quirk the format preserves). The column
+        // is also an alias when a single-column table-level
+        // PRIMARY KEY(col) names it.
+        val typeTok = restU.trim.split("\\s+").headOption.getOrElse("")
+        val exactInteger = typeTok == "INTEGER"
+        val isRowidAlias = exactInteger && (
+          (restU.contains("PRIMARY KEY") && !restU.contains("PRIMARY KEY DESC")) ||
+            tablePkCol.exists(_.equalsIgnoreCase(bare)))
         Some(SqliteColumn(bare, affinity, isRowidAlias))
       }
     }.toSeq
@@ -258,7 +291,10 @@ object SqliteFile {
         // before an ALTER TABLE ADD COLUMN) — missing trailing cols = null
         val v: AnyRef = if (i < vals.length) vals(i) else null
         out(i) =
-          if (c.rowidAlias) Long.box(rowid) // stored NULL; value IS rowid
+          // a TRUE alias column always stores NULL (the value IS the
+          // rowid); preferring a non-null stored value makes an alias
+          // misdetection harmless instead of silently wrong
+          if (c.rowidAlias && v == null) Long.box(rowid)
           else coerce(v, c.dataType)
         i += 1
       }

@@ -120,10 +120,16 @@ private[io] object WireJdbc {
 
   /** Streaming result of one wire query: `pull()` returns the next row's
     * text-format values (null entries = SQL NULL) or None at end-of-rows
-    * (by then the protocol's own trailer has been consumed).
+    * (by then the protocol's own trailer has been consumed). Closing an
+    * EXHAUSTED result is free; closing one with rows still on the wire
+    * calls `abort` (closes the connection) instead of draining — a task
+    * that stops early (take/limit) on a large table must not pull the
+    * whole remainder over the socket, and Spark's JDBC connections are
+    * per-operation, so the poisoned connection is being discarded anyway.
     */
   final class WireResult(fields: Array[ColInfo],
-      pull: () => Option[Array[String]]) {
+      pull: () => Option[Array[String]],
+      abort: () => Unit = () => ()) {
 
     private var row: Array[String] = null
     private var done = fields.isEmpty
@@ -132,8 +138,7 @@ private[io] object WireJdbc {
 
     private[io] def closeResult(): Unit = if (!rsClosed) {
       rsClosed = true
-      // drain rows still on the wire so the connection is reusable
-      while (!done) done = pull().isEmpty
+      if (!done) { abort(); done = true }
     }
 
     private def value(i: Int): String = {
@@ -175,7 +180,10 @@ private[io] object WireJdbc {
         num(args(0).asInstanceOf[Int], java.sql.Timestamp.valueOf, null)
       case ("getBytes", args) =>
         val v = value(args(0).asInstanceOf[Int])
-        if (v == null) null else v.getBytes(UTF_8)
+        if (v == null) null
+        else if (v.startsWith("\\x")) // PG bytea text form
+          v.drop(2).grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+        else v.getBytes(UTF_8)
       case ("getMetaData", _) => metaData
       case ("close", _) => closeResult(); null
       case ("isClosed", _) => Boolean.box(rsClosed)
@@ -183,7 +191,10 @@ private[io] object WireJdbc {
       case ("setFetchSize", _) | ("clearWarnings", _) => null
       case ("getWarnings", _) => null
       case ("findColumn", args) =>
-        Int.box(fields.indexWhere(_.name == args(0).asInstanceOf[String]) + 1)
+        val idx = fields.indexWhere(_.name == args(0).asInstanceOf[String])
+        if (idx < 0) throw new SQLException( // JDBC contract: throw, not 0
+          s"no such column '${args(0)}' (have: ${fields.map(_.name).mkString(", ")})")
+        Int.box(idx + 1)
     }
 
     private def metaData: ResultSetMetaData = proxy(classOf[ResultSetMetaData]) {

@@ -128,10 +128,19 @@ object ArrowBridge {
     private lazy val rows: Iterator[InternalRow] =
       df.queryExecution.toRdd.map(_.copy()).toLocalIterator
     // the group is thread-local: (re)set around every pull so partition
-    // jobs triggered by the iterator stay cancellable wherever consumed
+    // jobs triggered by the iterator stay cancellable wherever consumed —
+    // and RESTORED after, so a caller that set its own group before
+    // iterating keeps it for its subsequent jobs
     private def withGroup[T](f: => T): T = {
+      val prevGroup = sc.getLocalProperty("spark.jobGroup.id")
+      val prevDesc = sc.getLocalProperty("spark.job.description")
+      val prevInterrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
       sc.setJobGroup(jobGroup, "queryAsArrowChunks", interruptOnCancel = true)
-      try f finally sc.clearJobGroup()
+      try f finally {
+        sc.setLocalProperty("spark.jobGroup.id", prevGroup)
+        sc.setLocalProperty("spark.job.description", prevDesc)
+        sc.setLocalProperty("spark.job.interruptOnCancel", prevInterrupt)
+      }
     }
     override def hasNext: Boolean = !closed && withGroup(rows.hasNext)
     override def next(): Array[Byte] = {

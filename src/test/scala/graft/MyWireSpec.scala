@@ -81,6 +81,27 @@ class MyWireSpec extends SparkTestBase {
     }
   }
 
+  test("mysql: whole-minute timestamps round-trip; binary columns are rejected clearly") {
+    spark.sql("SELECT 1L AS id, TIMESTAMP'2024-03-01 10:11:00' AS ts")
+      .createOrReplaceTempView("my_ts_t")
+    withServer() { server =>
+      val got = Sources.jdbc(spark, s"jdbc:mysql://${server.hostPort}/db",
+        "my_ts_t", Map("user" -> "u", "password" -> "pw")).collect()
+      assert(got.head.getTimestamp(1) ==
+        java.sql.Timestamp.valueOf("2024-03-01 10:11:00"))
+      // binary → clear refusal, not silently stringified bytes
+      spark.sql("SELECT X'0102' AS b").createOrReplaceTempView("my_bin_t")
+      val e = intercept[Exception] {
+        Sources.jdbc(spark, s"jdbc:mysql://${server.hostPort}/db",
+          "my_bin_t", Map("user" -> "u", "password" -> "pw")).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("unsupported column type")),
+        messages(e).mkString(" | "))
+    }
+  }
+
   test("mysql: wrong password is refused with the server's 1045 access-denied") {
     Seq((1L, "x")).toDF("k", "v").createOrReplaceTempView("my_auth_t")
     withServer() { server =>

@@ -108,6 +108,30 @@ class PgWireSpec extends SparkTestBase {
     }
   }
 
+  test("pg: bytea + whole-minute timestamps + quoted-literal filters (r15 review fixes)") {
+    // identsToBackticks must not touch double quotes INSIDE string literals
+    assert(graft.io.PgWire.identsToBackticks(
+      """SELECT "a" FROM t WHERE "n" = 'say "hi"' AND "m" = 'it''s "x"'""") ==
+      """SELECT `a` FROM t WHERE `n` = 'say "hi"' AND `m` = 'it''s "x"'""")
+    val src = spark.sql(
+      """SELECT * FROM VALUES
+           (1L, X'01FF00AB', TIMESTAMP'2024-03-01 10:11:00', 'say "hi"'),
+           (2L, CAST(NULL AS BINARY), TIMESTAMP'2024-03-01 10:11:12.25', 'plain')
+         AS t(id, bin, ts, s)""")
+    src.createOrReplaceTempView("pg_bytea_t")
+    withServer() { server =>
+      val got = Sources.jdbc(spark, s"jdbc:postgresql://${server.hostPort}/db",
+        "pg_bytea_t", Map("user" -> "u", "password" -> "pw"))
+      assert(got.schema.fields.map(_.dataType).toSeq ==
+        src.schema.fields.map(_.dataType).toSeq, got.schema.treeString)
+      assert(got.orderBy("id").collect().toSeq == src.orderBy("id").collect().toSeq)
+      // a pushed-down filter whose literal CONTAINS a double quote
+      val filtered = got.filter(col("s") === """say "hi"""").select("id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(filtered == Seq(1L), "quote inside a pushed literal must survive")
+    }
+  }
+
   test("pg: wrong password fails with the server's 28P01 error") {
     Seq((1L, "x")).toDF("k", "v").createOrReplaceTempView("pg_auth_t")
     withServer() { server =>
