@@ -47,7 +47,12 @@ object Sources {
     */
   def jdbc(spark: SparkSession, url: String, table: String,
       options: Map[String, String] = Map.empty): DataFrame =
-    spark.read.format("jdbc")
+    // jdbc:sqlite: with no vendor jar → the built-in FILE-FORMAT reader
+    // (so uri("jdbc:sqlite:/p#t") and jdbc(url, t) route like sqlite())
+    if (url.startsWith("jdbc:sqlite:") &&
+        !graft.engine.GraftSession.sqliteJdbcPresent)
+      SqliteFile.read(spark, url.stripPrefix("jdbc:sqlite:"), table)
+    else spark.read.format("jdbc")
       .option("url", url).option("dbtable", table)
       // jdbc:postgresql:// / jdbc:mysql:// with no vendor jar → built-in
       // wire clients
