@@ -147,6 +147,28 @@ class PgWireSpec extends SparkTestBase {
     }
   }
 
+  test("pg: early close of a partially-read result aborts instead of draining") {
+    spark.range(200000).selectExpr("id", "repeat('x', 50) AS pad")
+      .createOrReplaceTempView("pg_big_t")
+    withServer() { server =>
+      val conn = new graft.io.PgJdbcDriver().connect(
+        s"jdbc:postgresql://${server.hostPort}/db", {
+          val p = new java.util.Properties()
+          p.setProperty("user", "u"); p.setProperty("password", "pw"); p
+        })
+      val st = conn.createStatement()
+      val rs = st.executeQuery("SELECT * FROM pg_big_t")
+      (1 to 5).foreach(_ => assert(rs.next()))
+      val t0 = System.nanoTime()
+      st.close() // 199995 rows still on the wire
+      val closeMs = (System.nanoTime() - t0) / 1e6
+      // draining 200k × 60-byte rows would take visibly long; abort is
+      // instant and poisons the per-task connection (by design)
+      assert(closeMs < 1000, s"close took ${closeMs}ms — it drained instead of aborting")
+      assert(conn.isClosed, "aborting a mid-stream result closes the wire connection")
+    }
+  }
+
   test("pg: a bad query surfaces the server's ErrorResponse and the connection survives") {
     withServer() { server =>
       val conn = new graft.io.PgJdbcDriver().connect(
