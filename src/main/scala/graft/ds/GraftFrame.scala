@@ -311,16 +311,19 @@ final case class GraftFrame(df: DataFrame) {
 
   /** Learn a BPE merge table from this frame's text (r14; sample-bounded —
     * see [[graft.operators.Tokenizer.bpeTrain]]'s scale contract).
+    * `byteLevel = true` trains the GPT-2-class byte-level regime (r15).
     */
-  def bpeTrain(textCol: String, numMerges: Int, topWords: Int = 10000): Seq[(String, String)] =
-    graft.operators.Tokenizer.bpeTrain(df, textCol, numMerges, topWords)
+  def bpeTrain(textCol: String, numMerges: Int, topWords: Int = 10000,
+      byteLevel: Boolean = false): Seq[(String, String)] =
+    graft.operators.Tokenizer.bpeTrain(df, textCol, numMerges, topWords, byteLevel)
 
   /** Encode text to BPE subword tokens (`<outCol>` array + `<outCol>_count`)
-    * with a trained merge table — a pure codegen'd projection.
+    * with a trained merge table — a pure codegen'd projection. `byteLevel`
+    * must match how the merges were trained.
     */
   def bpeEncode(textCol: String, merges: Seq[(String, String)],
-      outCol: String = "bpe"): GraftFrame =
-    GraftFrame(graft.operators.Tokenizer.bpeEncode(df, textCol, merges, outCol))
+      outCol: String = "bpe", byteLevel: Boolean = false): GraftFrame =
+    GraftFrame(graft.operators.Tokenizer.bpeEncode(df, textCol, merges, outCol, byteLevel))
 
   /** Redact PII (emails/SSNs/phones/IPs) in place (q117 shape). */
   def scrubPii(textCol: String): GraftFrame =
