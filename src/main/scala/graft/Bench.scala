@@ -206,11 +206,19 @@ object Bench {
 
     val qs = resultMap.map { case (k, t) => "\"" + k + "\":" + t }.mkString("{", ",", "}")
     val total = resultMap.values.filter(_ >= 0).sum
+    val refused = contaminated.nonEmpty && bandAccept.isEmpty
     val flag =
       if (contaminated.isEmpty) ""
       else if (bandAccept.nonEmpty)
         "\"band_note\":\"" + bandAccept.replaceAll("[\"\\\\]", "'") + "\","
       else "\"contaminated\":true,"
+    // A refused run must never masquerade as the round's record: lead the
+    // JSON with "refused":true (the FIRST key — visible in any head/peek,
+    // unlike an rc field buried after a 2KB tail; r15 verdict task 3) and
+    // mirror the full line into BENCH_refused.json next to the cwd so the
+    // canonical BENCH_rN.json filename can be restored from git if a
+    // driver redirect already overwrote it.
+    val refusedFlag = if (refused) "\"refused\":true," else ""
     val pm = peakMem.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val loadsEnd = loadTriple
     // Locale.ROOT: the f"%.2f" interpolator is locale-sensitive and a
@@ -221,7 +229,12 @@ object Bench {
     val loadJson = s""""load_start":${triple(loads)},""" +
       s""""load_end":${triple(loadsEnd)},""" +
       s""""settle_wait_sec":$settleWaitSec,"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec",$flag$loadJson"queries":$qs,"peakMemBytes":$pm,"sf":"$sfDir"}""")
+    val line = s"""{$refusedFlag"metric":"total","value":$total,"unit":"sec",$flag$loadJson"queries":$qs,"peakMemBytes":$pm,"sf":"$sfDir"}"""
+    println(line)
+    if (refused) try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_refused.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => /* best-effort side copy */ }
     spark.stop()
     if (contaminated.nonEmpty && bandAccept.isEmpty) {
       System.err.println(s"[bench-delta] STILL >1.5x after $retries retries " +

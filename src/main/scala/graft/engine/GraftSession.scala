@@ -354,7 +354,11 @@ final class GraftSession(val spark: SparkSession) {
       case "sqlite" if args.length == 2 && args.forall(quotedTok) &&
           !GraftSession.sqliteJdbcPresent =>
         val Seq(path, table) = args.map(unquote)
-        val name = s"__graft_sqlite_${md5hex(s"$path|$table")}"
+        // key the cached view on (length, mtime) too: the reference
+        // re-opens the file per query, so a .sqlite rewritten at the same
+        // path mid-session must serve the NEW rows, not a stale snapshot
+        val f = new java.io.File(path)
+        val name = s"__graft_sqlite_${md5hex(s"$path|$table|${f.length}|${f.lastModified}")}"
         if (!spark.catalog.tableExists(name))
           graft.io.SqliteFile.read(spark, path, table).createOrReplaceTempView(name)
         Some(name)

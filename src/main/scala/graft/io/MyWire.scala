@@ -173,6 +173,13 @@ object MyWire {
   * classic text resultsets. MySQL quotes identifiers with BACKTICKS — the
   * same quoting Spark SQL parses — so incoming federated queries run
   * through [[GraftSession.sql]] verbatim.
+  *
+  * '''Same-cluster slot starvation''': as with [[PgServer]], served-query
+  * jobs share the scheduler with any Spark JDBC reader tasks pointed at
+  * this server; a partitioned read with `numPartitions` >= free task slots
+  * can deadlock. Handler threads run in the `graft-wire-server` scheduler
+  * pool (effective under FAIR mode); otherwise cap reader partitions or
+  * serve from a separate cluster.
   */
 final class MyServer(
     gs: GraftSession,
@@ -211,6 +218,9 @@ final class MyServer(
 
   private def handle(sock: Socket): Unit = {
     try {
+      // isolate served-query jobs in their own pool (see class scaladoc)
+      gs.spark.sparkContext.setLocalProperty(
+        "spark.scheduler.pool", "graft-wire-server")
       val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
       val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
       def packet(seq: Int)(body: DataOutputStream => Unit): Unit = {

@@ -129,6 +129,16 @@ object PgWire {
   * identifiers (what Spark's PostgresDialect emits) — translated to
   * backticks and run through [[GraftSession.sql]], so WHERE pushdown and
   * column pruning from a federated Spark reader land on the real engine.
+  *
+  * '''Same-cluster slot starvation''': the served query's Spark jobs run
+  * on the SAME scheduler as any Spark JDBC reader tasks pointed at this
+  * server. A partitioned read whose `numPartitions` >= free task slots can
+  * deadlock — every slot holds a reader task blocked on a server response
+  * the server can't compute because no slot is free. Handler threads run
+  * their jobs in the `graft-wire-server` scheduler pool (effective under
+  * `spark.scheduler.mode=FAIR`), but the robust deployments are: serve
+  * from a session whose cluster is not also the reader, or cap the
+  * reader's `numPartitions` below the executor slot count.
   */
 final class PgServer(
     gs: GraftSession,
@@ -166,6 +176,9 @@ final class PgServer(
 
   private def handle(sock: Socket): Unit = {
     try {
+      // isolate served-query jobs in their own pool (see class scaladoc)
+      gs.spark.sparkContext.setLocalProperty(
+        "spark.scheduler.pool", "graft-wire-server")
       val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
       val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
 

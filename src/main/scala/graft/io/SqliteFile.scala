@@ -321,6 +321,10 @@ object SqliteFile {
     case (b: Array[Byte], StringType) => new String(b, UTF_8)
     case (b: Array[Byte], BinaryType) => b
     case (s: String, BinaryType) => s.getBytes(UTF_8)
+    // a BLOB stored under INTEGER/REAL affinity is legal in SQLite's
+    // dynamic typing and never converts numerically (datatype3.html §4.2
+    // table, BLOB row) — surface NULL, consistent with unparseable strings
+    case (_: Array[Byte], LongType) | (_: Array[Byte], DoubleType) => null
     case (other, _) => other.toString
   }
 
@@ -481,8 +485,17 @@ object SqliteFile {
       putPage(rootPage, leafPage(leaves.head, 0))
     }
 
-    // page 1: 100-byte header + sqlite_master leaf
+    // page 1: 100-byte header + sqlite_master leaf. Page 1 loses the
+    // 100-byte file header PLUS the 8-byte leaf page header and one
+    // 2-byte cell pointer, so the generic one-page bound (usable-35) is
+    // not enough here — a CREATE TABLE near ~3.9KB (many/long column
+    // names) would silently overlap the header and corrupt the file.
     val masterRec = recordBytes(Seq("table", table, table, rootPage.toLong, createSql))
+    val masterCellMax = usable - 100 - 8 - 2 - 9 * 2 // varint headroom
+    require(masterRec.length <= masterCellMax,
+      s"sqlite_master record ${masterRec.length}B exceeds page-1 capacity " +
+        s"($masterCellMax B after the 100-byte file header) — shorten the " +
+        "table/column names; the minimal writer has no overflow pages")
     val masterPage = leafPage(Seq((1L, cellBytes(1L, masterRec))), 100)
     val h = ByteBuffer.wrap(masterPage)
     h.put(Magic)

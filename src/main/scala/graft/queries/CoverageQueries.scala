@@ -736,14 +736,17 @@ object CoverageQueries {
       val chunks = gs.queryAsArrowChunks(
         "SELECT c_custkey, c_nationkey, c_acctbal FROM customer", rowsPerChunk = 64)
       gs.registerArrowBatches("__q181_customer", chunks)
-      // exact-decimal sum: order-independent across engines (repo money rule)
+      // exact-decimal sum, then the repo money rule's outer DOUBLE cast:
+      // without it Spark's sum type is DECIMAL(28,2) vs DuckDB's
+      // DECIMAL(38,2) and the driver's physical-type hash diverges even
+      // though all values match (r15 verdict, adjudicated value-equal).
       gs.sql("""SELECT c_nationkey, COUNT(*) AS n,
           CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
-          SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS bal_sum
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
         FROM __q181_customer GROUP BY c_nationkey ORDER BY c_nationkey""")
     }, Some("""SELECT c_nationkey, COUNT(*) AS n,
         CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
-        SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS bal_sum
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
       FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")),
 
     {
