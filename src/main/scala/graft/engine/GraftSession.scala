@@ -550,10 +550,182 @@ final class GraftSession(val spark: SparkSession) {
   // are session confs, safe to strip at the statement tail
   private val trailingSettings =
     "(?is)\\s+SETTINGS\\s+\\w+\\s*=\\s*[^,;]+(?:\\s*,\\s*\\w+\\s*=\\s*[^,;]+)*\\s*;?\\s*$".r
+
+  // ---- ClickHouse read-path clause tail (r16) ----
+  // `LIMIT n BY c1[, c2…]` (ClickHouse SELECT grammar; the reference emits
+  // it for drop_duplicates pushdown — sql_executor.py:901-910): keep the
+  // first n rows per distinct BY-tuple, in the query's ORDER BY order.
+  // Spark-first rewrite: row_number() partitioned by the BY columns and
+  // ordered by the query's own ORDER BY (BY-column order — "any n rows",
+  // ClickHouse's documented contract — when the query has none), filtered
+  // <= n; the outer ORDER BY is re-applied for output order and a trailing
+  // plain LIMIT cuts AFTER the per-group cut, as in ClickHouse. Scope:
+  // top-level clause only (guarded by paren balance); name/expression
+  // ORDER BY terms (not ordinals — window specs don't resolve positions).
+  private val limitByRe =
+    "(?is)^(.*?)\\s+LIMIT\\s+(\\d+)\\s+BY\\s+(.+?)(\\s+LIMIT\\s+(\\d+))?\\s*;?\\s*$".r
+  private def parenBalanced(s: String): Boolean = {
+    var d = 0; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '(') d += 1
+      else if (c == ')') { d -= 1; if (d < 0) return false }
+      i += 1
+    }
+    d == 0
+  }
+  /** Index of the first top-level (paren-depth-0, outside '…'/`…` quoting)
+    * occurrence of the keyword, or -1. */
+  private def topLevelKeyword(s: String, kw: String): Int = {
+    val u = s.toUpperCase(java.util.Locale.ROOT)
+    val k = kw.toUpperCase(java.util.Locale.ROOT)
+    def isWordChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
+    var d = 0; var i = 0; var inStr = false; var inTick = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (inTick) { if (c == '`') inTick = false }
+      else c match {
+        case '\'' => inStr = true
+        case '`' => inTick = true
+        case '(' => d += 1
+        case ')' => d -= 1
+        case _ =>
+          if (d == 0 && u.startsWith(k, i) &&
+              (i == 0 || !isWordChar(u.charAt(i - 1))) &&
+              (i + k.length >= u.length || !isWordChar(u.charAt(i + k.length))))
+            return i
+      }
+      i += 1
+    }
+    -1
+  }
+  /** Split on top-level commas (outside parens and quotes). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var d = 0; var i = 0; var start = 0; var inStr = false; var inTick = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (inTick) { if (c == '`') inTick = false }
+      else c match {
+        case '\'' => inStr = true
+        case '`' => inTick = true
+        case '(' => d += 1
+        case ')' => d -= 1
+        case ',' if d == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+  private def rewriteLimitBy(q: String): String =
+    limitByRe.findFirstMatchIn(q) match {
+      case Some(m) if parenBalanced(m.group(1)) && parenBalanced(m.group(3)) =>
+        // the reference emits PG-style double-quoted identifiers in the BY
+        // list (sql_executor.py:907-910: LIMIT 1 BY "a", "b") — Spark quotes
+        // with backticks (ClickHouse strings are single-quoted, so '"' here
+        // can only be an identifier quote)
+        val (base, n) = (m.group(1), m.group(2))
+        val cols = m.group(3).trim.replace('"', '`')
+        val outerLimit = Option(m.group(5)).map(l => s" LIMIT $l").getOrElse("")
+        val ordRe = "(?is)^(.*\\S)\\s+ORDER\\s+BY\\s+(.+)$".r
+        val (inner0, ordOpt) = ordRe.findFirstMatchIn(base) match {
+          case Some(om) if parenBalanced(om.group(1)) && parenBalanced(om.group(2)) =>
+            (om.group(1), Some(om.group(2).trim))
+          case _ => (base, None)
+        }
+        // ORDER BY may reference source columns the projection dropped
+        // (legal in ClickHouse and ANSI: `SELECT a FROM t ORDER BY b`).
+        // For a plain SELECT…FROM (no DISTINCT, no top-level GROUP BY),
+        // append each ORDER BY expression to the projection as a hidden
+        // __graft_ob_i column — evaluated against the SOURCE scope like the
+        // original clause — then window/sort over those and strip them via
+        // EXCEPT. Aggregated/DISTINCT queries keep the direct form (their
+        // ORDER BY must name output columns anyway).
+        val selRe = "(?is)^\\s*SELECT\\s+".r
+        val selEnd = selRe.findFirstMatchIn(inner0).map(_.end).getOrElse(-1)
+        val fromAt = topLevelKeyword(inner0, "FROM")
+        val distinct = selEnd >= 0 &&
+          inner0.substring(selEnd).matches("(?is)^\\s*DISTINCT\\b.*")
+        val grouped = topLevelKeyword(inner0, "GROUP") >= 0
+        val modRe = "(?is)^(.+?)(\\s+(?:ASC|DESC))?(\\s+NULLS\\s+(?:FIRST|LAST))?\\s*$".r
+        val terms = splitTopLevel(ordOpt.getOrElse(cols).replace('"', '`')).map {
+          t => modRe.findFirstMatchIn(t) match {
+            case Some(tm) => (tm.group(1).trim,
+              Option(tm.group(2)).getOrElse("") + Option(tm.group(3)).getOrElse(""))
+            case None => (t, "")
+          }
+        }
+        if (selEnd >= 0 && fromAt > selEnd && !distinct && !grouped) {
+          val proj = inner0.substring(selEnd, fromAt)
+          val rest = inner0.substring(fromAt)
+          val hidden = terms.zipWithIndex
+            .map { case ((e, _), i) => s"($e) AS __graft_ob_$i" }.mkString(", ")
+          val wOrd = terms.zipWithIndex
+            .map { case ((_, mod), i) => s"__graft_ob_$i$mod" }.mkString(", ")
+          val inner = s"SELECT $proj, $hidden $rest"
+          val drop = ("__graft_lb_rn" +: terms.indices.map(i => s"__graft_ob_$i"))
+            .mkString(", ")
+          val ordTail = if (ordOpt.isDefined) s" ORDER BY $wOrd" else ""
+          s"SELECT * EXCEPT ($drop) FROM (SELECT *, row_number() OVER " +
+            s"(PARTITION BY $cols ORDER BY $wOrd) AS __graft_lb_rn FROM ( $inner " +
+            s") __graft_lb_in) __graft_lb WHERE __graft_lb_rn <= $n$ordTail$outerLimit"
+        } else {
+          val ord = terms.map { case (e, mod) => s"$e$mod" }.mkString(", ")
+          val ordTail = if (ordOpt.isDefined) s" ORDER BY $ord" else ""
+          s"SELECT * EXCEPT (__graft_lb_rn) FROM (SELECT *, row_number() OVER " +
+            s"(PARTITION BY $cols ORDER BY $ord) AS __graft_lb_rn FROM ( $inner0 " +
+            s") __graft_lb_in) __graft_lb WHERE __graft_lb_rn <= $n$ordTail$outerLimit"
+        }
+      case _ => q
+    }
+
+  // `PREWHERE cond` — ClickHouse's storage-evaluation-order hint; for
+  // deterministic predicates it IS WHERE, and Spark already pushes those to
+  // the scan (PushedFilters), so the hint half is free. The combined
+  // `PREWHERE a … WHERE b` form folds into one parenthesized conjunction.
+  // Scope: subquery-free conditions — PREWHERE is by design a cheap
+  // column-level predicate, that's the point of the clause.
+  private val prewhereCombinedRe =
+    ("(?is)\\bPREWHERE\\s+(.+?)\\s+WHERE\\s+(.+?)(?=\\s+(?:GROUP\\s+BY|HAVING" +
+      "|ORDER\\s+BY|LIMIT|WINDOW|UNION|SETTINGS|FORMAT)\\b|\\s*;?\\s*$)").r
+  private val prewhereRe = "(?i)\\bPREWHERE\\b".r
+  private def rewritePrewhere(q: String): String = {
+    val folded = prewhereCombinedRe.replaceAllIn(q, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        s"WHERE (${m.group(1)}) AND (${m.group(2)})"))
+    prewhereRe.replaceAllIn(folded, "WHERE")
+  }
+
+  // `FROM t [alias] SAMPLE f` — ClickHouse's sampling clause ≡ Spark's
+  // TABLESAMPLE: f in (0,1] → percent, integer n > 1 → approximate row
+  // count. Inserted BEFORE the alias (Spark grammar: table TABLESAMPLE
+  // alias). Seed-divergent across engines by nature — oracle checks are
+  // row-count bounds, not hashes. `SAMPLE k OFFSET m` is not accepted.
+  private val sampleRe =
+    ("(?i)\\b(FROM\\s+[\\w.`\"]+)((?:\\s+(?:AS\\s+)?[A-Za-z_]\\w*)?)" +
+      "\\s+SAMPLE\\s+(\\d+(?:\\.\\d+)?)").r
+  private def rewriteSample(q: String): String =
+    sampleRe.replaceAllIn(q, { m =>
+      val v = BigDecimal(m.group(3))
+      val ts =
+        if (v <= 1) s"TABLESAMPLE (${(v * 100).bigDecimal.stripTrailingZeros.toPlainString} PERCENT)"
+        else s"TABLESAMPLE (${m.group(3)} ROWS)"
+      scala.util.matching.Regex.quoteReplacement(s"${m.group(1)} $ts${m.group(2)}")
+    })
+
+  // PREWHERE folds and SAMPLE rewrites FIRST (they precede LIMIT BY in
+  // clause order; folding later would let prewhereCombinedRe match the
+  // WHERE the LIMIT BY wrap itself generates), then the LIMIT BY wrap,
+  // then table-function call sites inside whatever the wrap produced.
   private def rewriteDialect(q: String): String =
     dateDiffQuotedUnit.replaceAllIn(
-      rewriteTableFns(trailingFormat.replaceFirstIn(
-        trailingSettings.replaceFirstIn(q, ""), "")), m => "dateDiffCH($1")
+      rewriteTableFns(rewriteLimitBy(rewriteSample(rewritePrewhere(
+        trailingFormat.replaceFirstIn(
+          trailingSettings.replaceFirstIn(q, ""), ""))))), m => "dateDiffCH($1")
 
   /** Parameterized query — the reference's `{name:Type}` placeholders bound
     * via params= (reference chdb/__init__.py:145-160, README.md:276-289).

@@ -827,6 +827,44 @@ object CoverageQueries {
           LEAST(8, GREATEST(0, CASE WHEN hmax <= 0 THEN 0
             ELSE CAST(ceil(h * 1.0 / hmax * 8) AS INT) END)) + 1],
           '' ORDER BY bin) AS bar
-      FROM lv GROUP BY event_type ORDER BY event_type"""))
+      FROM lv GROUP BY event_type ORDER BY event_type""")),
+
+    QueryDef("q186_limit_by", (s, dir) => {
+      // ClickHouse `LIMIT n BY cols` on the raw-SQL surface (r16 — the
+      // reference emits LIMIT 1 BY "a","b" for drop_duplicates pushdown,
+      // sql_executor.py:901-910, and surfaces the clause verbatim in SQL
+      // builds): the rewriter turns it into a row_number window partitioned
+      // by the BY columns, ordered by the query's own ORDER BY, with the
+      // trailing plain LIMIT applied AFTER the per-group cut. The tie-break
+      // o_orderkey makes every step deterministic across engines.
+      v(s, dir, "orders")
+      graft.engine.GraftSession(s).sql(
+        """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+           ORDER BY o_totalprice DESC, o_orderkey
+           LIMIT 2 BY o_custkey LIMIT 50""")
+    }, Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (
+          PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) WHERE rn <= 2
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""")),
+
+    QueryDef("q187_prewhere", (s, dir) => {
+      // ClickHouse `PREWHERE` acceptance (r16): the combined
+      // `PREWHERE a … WHERE b` form folds to WHERE (a) AND (b) — for
+      // deterministic predicates PREWHERE is exactly WHERE plus a storage
+      // hint Spark's scan pushdown already provides (PushedFilters).
+      v(s, dir, "lineitem")
+      graft.engine.GraftSession(s).sql(
+        """SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+           FROM lineitem
+           PREWHERE l_shipdate >= TIMESTAMP '1994-01-01'
+           WHERE l_discount > 0.05
+           GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }, Some("""SELECT l_returnflag, COUNT(*) AS n,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_discount > 0.05
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

@@ -1,0 +1,107 @@
+package graft
+
+/** ClickHouse read-path clause tail on the raw-SQL surface (r16):
+  * `LIMIT n BY cols` (reference sql_executor.py:901-910 emits
+  * `LIMIT 1 BY "a", "b"` for drop_duplicates pushdown), `PREWHERE`
+  * (≡ WHERE + a storage hint Spark's pushdown already provides) and
+  * `SAMPLE f` (≡ TABLESAMPLE). A chdb user pasting ClickHouse SQL with
+  * these clauses gets the documented semantics, not a parse error.
+  */
+class ClauseRewriteSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def g = new graft.engine.GraftSession(spark)
+
+  private def docs(): Unit =
+    Seq(
+      ("a.com", 1L, 9.0), ("a.com", 2L, 7.0), ("a.com", 3L, 5.0),
+      ("b.com", 4L, 8.0), ("b.com", 5L, 6.0),
+      ("c.com", 6L, 4.0)
+    ).toDF("domain", "id", "score").createOrReplaceTempView("cr_docs")
+
+  test("LIMIT n BY keeps first n per group in ORDER BY order") {
+    docs()
+    val rows = g.sql(
+      "SELECT domain, id FROM cr_docs ORDER BY score DESC, id LIMIT 2 BY domain")
+      .collect()
+    // global ORDER BY preserved on output; per-domain cut at 2 best scores
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a.com", 1L), ("b.com", 4L), ("a.com", 2L), ("b.com", 5L), ("c.com", 6L)))
+  }
+
+  test("reference drop_duplicates emission: LIMIT 1 BY with double-quoted idents") {
+    docs()
+    val rows = g.sql("""SELECT domain, id FROM cr_docs ORDER BY id LIMIT 1 BY "domain"""")
+      .collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(1L, 4L, 6L))
+  }
+
+  test("trailing plain LIMIT cuts AFTER the per-group cut") {
+    docs()
+    val rows = g.sql(
+      "SELECT domain, id FROM cr_docs ORDER BY score DESC, id LIMIT 2 BY domain LIMIT 3")
+      .collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(1L, 4L, 2L))
+  }
+
+  test("LIMIT n BY without ORDER BY keeps exactly n arbitrary rows per group") {
+    docs()
+    val counts = g.sql("SELECT domain, id FROM cr_docs LIMIT 2 BY domain")
+      .groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a.com" -> 2L, "b.com" -> 2L, "c.com" -> 1L))
+  }
+
+  test("LIMIT n BY tolerates parens (expressions, table functions) in the prefix") {
+    val rows = g.sql(
+      "SELECT number % 3 AS g, number FROM numbers(30) ORDER BY number LIMIT 2 BY g")
+      .collect()
+    assert(rows.map(_.getAs[Number]("number").longValue).toSeq ==
+      Seq(0L, 1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("PREWHERE alone is WHERE") {
+    docs()
+    val n = g.sql("SELECT id FROM cr_docs PREWHERE score > 6.5").count()
+    assert(n == 3L)
+  }
+
+  test("PREWHERE + WHERE folds into a parenthesized conjunction (OR precedence)") {
+    docs()
+    // without the parens this would parse as (score>6.5 AND domain='b.com') OR id=6
+    val ids = g.sql(
+      "SELECT id FROM cr_docs PREWHERE score > 6.5 WHERE domain = 'b.com' OR id = 6 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(4L))
+  }
+
+  test("PREWHERE + WHERE + GROUP BY keeps the aggregate clauses intact") {
+    docs()
+    val r = g.sql(
+      """SELECT domain, COUNT(*) AS n FROM cr_docs
+         PREWHERE score >= 5 WHERE id <= 5
+         GROUP BY domain ORDER BY domain""").collect()
+    assert(r.map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      Seq(("a.com", 3L), ("b.com", 2L)))
+  }
+
+  test("SAMPLE f becomes TABLESAMPLE percent; row counts are bounded") {
+    spark.range(10000).toDF("n").createOrReplaceTempView("cr_big")
+    val n = g.sql("SELECT n FROM cr_big SAMPLE 0.1").count()
+    // Bernoulli sampling: expect ~1000, assert generous bounds
+    assert(n > 400 && n < 2500, s"SAMPLE 0.1 of 10000 returned $n rows")
+    // fraction 1 = whole table
+    assert(g.sql("SELECT n FROM cr_big SAMPLE 1").count() == 10000L)
+  }
+
+  test("integer SAMPLE n becomes TABLESAMPLE (n ROWS)") {
+    spark.range(10000).toDF("n").createOrReplaceTempView("cr_big2")
+    assert(g.sql("SELECT n FROM cr_big2 SAMPLE 100").count() == 100L)
+  }
+
+  test("SAMPLE after an alias lands before the alias for Spark's grammar") {
+    spark.range(1000).toDF("n").createOrReplaceTempView("cr_big3")
+    val n = g.sql("SELECT t.n FROM cr_big3 t SAMPLE 0.5 WHERE t.n >= 0").count()
+    assert(n > 200 && n < 800)
+  }
+}

@@ -622,6 +622,20 @@ class ReadmeParitySpec extends SparkTestBase {
     assert(rows(1).getDate(0).toString == "2025-01-02")
   }
 
+  test("verbatim ClickHouse LIMIT BY + PREWHERE + FORMAT paste works end to end") {
+    // the canonical ClickHouse docs shape for LIMIT BY, pasted verbatim
+    // (with the usual chdb FORMAT tail) — r16 dialect-tail acceptance
+    val out = g.queryAs(
+      """SELECT number % 4 AS domain, number AS id
+         FROM numbers(40)
+         PREWHERE number < 20
+         ORDER BY domain, id
+         LIMIT 2 BY domain
+         FORMAT CSV""")
+    assert(out.linesIterator.size == 8) // 4 domains × first 2 ids each
+    assert(out.startsWith("0,0"))
+  }
+
   test("numbers_mt with scientific notation and a SETTINGS clause") {
     val r = g.sql(
       "SELECT sum(number) AS s FROM numbers_mt(1e6) GROUP BY number % 10 SETTINGS max_threads=4")

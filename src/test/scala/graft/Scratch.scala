@@ -23,6 +23,11 @@ object Scratch {
     if (args.headOption.contains("tlsdrive")) { tlsDrive(g); g.spark.stop(); return }
     if (args.headOption.contains("bench1")) { bench1(args.drop(1)); g.spark.stop(); return }
     if (args.headOption.contains("bloomshuffle")) { bloomShuffle(g); g.spark.stop(); return }
+    if (args.headOption.contains("lbprobe")) {
+      val df = g.sql("SELECT number % 3 AS g, number FROM numbers(30) ORDER BY number LIMIT 2 BY g")
+      df.printSchema(); df.show(10, false)
+      g.spark.stop(); return
+    }
     val names = if (args.nonEmpty) args.toSeq else Seq("q01_tpch_q1")
     names.foreach { n =>
       println(s"=== $n ===")
