@@ -125,7 +125,10 @@ object PgWire {
 
 /** Serve the session's registered tables/views over the PostgreSQL v3
   * protocol: SSLRequest answered 'N' (plaintext), cleartext-password auth,
-  * then simple-query cycles. Incoming SQL uses PG's double-quoted
+  * then BOTH query sub-protocols — simple ('Q') and extended
+  * (Parse/Bind/Describe/Execute/Close/Flush/Sync with text-format
+  * parameters, the cycle vendor clients like psycopg2 and the real PG JDBC
+  * driver use by default; r16). Incoming SQL uses PG's double-quoted
   * identifiers (what Spark's PostgresDialect emits) — translated to
   * backticks and run through [[GraftSession.sql]], so WHERE pushdown and
   * column pruning from a federated Spark reader land on the real engine.
@@ -254,7 +257,78 @@ final class PgServer(
       msg('K') { d => d.writeInt(0); d.writeInt(0) } // BackendKeyData
       readyForQuery(); out.flush()
 
-      // ---- simple-query cycle ----
+      // ---- query cycles: simple ('Q') AND extended (P/B/D/E/C/H/S) ----
+      // The extended slice is what vendor clients (psycopg2, the real PG
+      // JDBC driver) speak by default: Parse/Bind/Describe/Execute/Sync
+      // with text-format parameters. Named statements/portals are kept in
+      // per-connection maps (the unnamed "" entry is just a map key). Per
+      // the spec, an error in extended mode discards messages until Sync.
+      def sendRowDescription(fields: Array[org.apache.spark.sql.types.StructField]): Unit =
+        msg('T') { d =>
+          d.writeShort(fields.length)
+          fields.foreach { f =>
+            val (oid, typlen, typmod) = pgType(f.dataType)
+            cstr(d, f.name)
+            d.writeInt(0); d.writeShort(0) // table oid / attnum
+            d.writeInt(oid); d.writeShort(typlen)
+            d.writeInt(typmod); d.writeShort(0) // text format
+          }
+        }
+      def sendRows(df: org.apache.spark.sql.DataFrame): Long = {
+        val fields = df.schema.fields
+        var n = 0L
+        val it = df.toLocalIterator()
+        while (it.hasNext) {
+          val row = it.next()
+          msg('D') { d =>
+            d.writeShort(fields.length)
+            var i = 0
+            while (i < fields.length) {
+              if (row.isNullAt(i)) d.writeInt(-1)
+              else {
+                val b = render(row.get(i)).getBytes(UTF_8)
+                d.writeInt(b.length); d.write(b)
+              }
+              i += 1
+            }
+          }
+          n += 1
+        }
+        n
+      }
+      // $n placeholders → bound text values as SQL literals (numbers raw,
+      // everything else single-quoted with '' escaping), skipping string
+      // literals so a quoted "$1" in data survives.
+      def bindParams(sql: String, params: IndexedSeq[Option[String]]): String = {
+        val out = new java.lang.StringBuilder(sql.length + 16)
+        var i = 0; var inStr = false
+        while (i < sql.length) {
+          val c = sql.charAt(i)
+          if (inStr) { if (c == '\'') inStr = false; out.append(c); i += 1 }
+          else if (c == '\'') { inStr = true; out.append(c); i += 1 }
+          else if (c == '$' && i + 1 < sql.length && Character.isDigit(sql.charAt(i + 1))) {
+            var j = i + 1
+            while (j < sql.length && Character.isDigit(sql.charAt(j))) j += 1
+            val k = sql.substring(i + 1, j).toInt
+            val lit = params.lift(k - 1).flatten match {
+              case None => "NULL"
+              case Some(v) if v.matches("-?\\d+(\\.\\d+)?") => v
+              case Some(v) => "'" + v.replace("'", "''") + "'"
+            }
+            out.append(lit); i = j
+          } else { out.append(c); i += 1 }
+        }
+        out.toString
+      }
+
+      val statements = scala.collection.mutable.Map.empty[String, String]
+      // portal -> bound, ready-to-run SQL
+      val portals = scala.collection.mutable.Map.empty[String, String]
+      var skipUntilSync = false
+      def extendedError(code: String, m: String): Unit = {
+        errorResponse(code, m); skipUntilSync = true
+      }
+
       var open = true
       while (open) {
         val t = in.read()
@@ -263,42 +337,17 @@ final class PgServer(
           val len = in.readInt()
           val body = new Array[Byte](len - 4)
           in.readFully(body)
-          t match {
+          val d = new DataInputStream(new java.io.ByteArrayInputStream(body))
+          if (skipUntilSync && t != 'S' && t != 'X') { /* discard until Sync */ }
+          else t match {
             case 'Q' =>
               val sql = new String(body.takeWhile(_ != 0), UTF_8)
               try {
                 if (sql.trim.isEmpty) msg('I')(_ => ())
                 else {
                   val df = gs.sql(identsToBackticks(sql))
-                  val fields = df.schema.fields
-                  msg('T') { d =>
-                    d.writeShort(fields.length)
-                    fields.foreach { f =>
-                      val (oid, typlen, typmod) = pgType(f.dataType)
-                      cstr(d, f.name)
-                      d.writeInt(0); d.writeShort(0) // table oid / attnum
-                      d.writeInt(oid); d.writeShort(typlen)
-                      d.writeInt(typmod); d.writeShort(0) // text format
-                    }
-                  }
-                  var n = 0L
-                  val it = df.toLocalIterator()
-                  while (it.hasNext) {
-                    val row = it.next()
-                    msg('D') { d =>
-                      d.writeShort(fields.length)
-                      var i = 0
-                      while (i < fields.length) {
-                        if (row.isNullAt(i)) d.writeInt(-1)
-                        else {
-                          val b = render(row.get(i)).getBytes(UTF_8)
-                          d.writeInt(b.length); d.write(b)
-                        }
-                        i += 1
-                      }
-                    }
-                    n += 1
-                  }
+                  sendRowDescription(df.schema.fields)
+                  val n = sendRows(df)
                   msg('C')(cstr(_, s"SELECT $n"))
                 }
               } catch {
@@ -307,7 +356,86 @@ final class PgServer(
                     Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
               }
               readyForQuery(); out.flush()
-            case _ => // extended-protocol messages: not served here
+            case 'P' => // Parse: name, query, param-type oids (advisory)
+              val name = readCstr(d)
+              val sql = readCstr(d)
+              statements(name) = sql
+              msg('1')(_ => ()) // ParseComplete
+            case 'B' => // Bind: portal, statement, formats, params, result formats
+              val portal = readCstr(d)
+              val stmt = readCstr(d)
+              statements.get(stmt) match {
+                case None => extendedError("26000", s"prepared statement \"$stmt\" does not exist")
+                case Some(sql) =>
+                  val nFmt = d.readShort()
+                  val fmts = Array.fill(nFmt.toInt)(d.readShort())
+                  val nPar = d.readShort()
+                  val params = (0 until nPar).map { i =>
+                    val plen = d.readInt()
+                    if (plen < 0) None
+                    else {
+                      val b = new Array[Byte](plen); d.readFully(b)
+                      val fmt = if (nFmt == 0) 0 else if (nFmt == 1) fmts(0) else fmts(i)
+                      if (fmt != 0) Some(new String(b, UTF_8)) // binary unsupported → best-effort text
+                      else Some(new String(b, UTF_8))
+                    }
+                  }
+                  val nRes = d.readShort()
+                  val resFmts = Array.fill(nRes.toInt)(d.readShort())
+                  if (resFmts.exists(_ != 0))
+                    extendedError("0A000", "binary result format not supported (text only)")
+                  else {
+                    portals(portal) = bindParams(sql, params.toIndexedSeq)
+                    msg('2')(_ => ()) // BindComplete
+                  }
+              }
+            case 'D' => // Describe 'S' statement | 'P' portal
+              val kind = d.read().toChar
+              val name = readCstr(d)
+              val sqlOpt = kind match {
+                case 'S' => statements.get(name)
+                  .map(s => bindParams(s, IndexedSeq.empty)) // params → NULL for analysis
+                case _ => portals.get(name)
+              }
+              sqlOpt match {
+                case None => extendedError("26000", s"no such ${if (kind == 'S') "statement" else "portal"} \"$name\"")
+                case Some(sql) =>
+                  if (kind == 'S') msg('t')(_.writeShort(0)) // ParameterDescription
+                  try {
+                    if (sql.trim.isEmpty) msg('n')(_ => ()) // NoData
+                    else sendRowDescription(gs.sql(identsToBackticks(sql)).schema.fields)
+                  } catch {
+                    case e: Throwable => extendedError("42601",
+                      Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
+                  }
+              }
+            case 'E' => // Execute: portal, maxRows (0 = all; row-limit/suspend unsupported — stream all)
+              val portal = readCstr(d)
+              d.readInt() // maxRows — served whole; PortalSuspended never sent
+              portals.get(portal) match {
+                case None => extendedError("34000", s"portal \"$portal\" does not exist")
+                case Some(sql) =>
+                  try {
+                    if (sql.trim.isEmpty) msg('I')(_ => ())
+                    else {
+                      val n = sendRows(gs.sql(identsToBackticks(sql)))
+                      msg('C')(cstr(_, s"SELECT $n"))
+                    }
+                  } catch {
+                    case e: Throwable => extendedError("42601",
+                      Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
+                  }
+              }
+            case 'C' => // Close statement/portal
+              val kind = d.read().toChar
+              val name = readCstr(d)
+              if (kind == 'S') statements.remove(name) else portals.remove(name)
+              msg('3')(_ => ()) // CloseComplete
+            case 'H' => out.flush() // Flush
+            case 'S' => // Sync: end of extended batch
+              skipUntilSync = false
+              readyForQuery(); out.flush()
+            case _ =>
               errorResponse("0A000", s"unsupported message type ${t.toChar}")
               readyForQuery(); out.flush()
           }
@@ -347,7 +475,14 @@ final class PgJdbcDriver extends Driver {
     }
     val user = Option(info.getProperty("user")).getOrElse("default")
     val pass = Option(info.getProperty("password")).getOrElse("")
-    new PgClientConnection(host, port, db, user, pass).asConnection
+    // ?preferQueryMode=extended (the real pgjdbc knob) drives the
+    // Parse/Bind/Describe/Execute/Sync cycle instead of simple query —
+    // the spec uses it to prove PgServer serves what vendor clients send
+    val urlQuery = rest.split("\\?", 2).lift(1).getOrElse("")
+    val extended =
+      urlQuery.contains("preferQueryMode=extended") ||
+        Option(info.getProperty("preferQueryMode")).contains("extended")
+    new PgClientConnection(host, port, db, user, pass, extended).asConnection
   }
 
   override def getMajorVersion: Int = 1
@@ -395,7 +530,8 @@ object PgJdbcDriver {
   * JDBC facade Spark consumes is the shared [[WireJdbc.WireConnection]].
   */
 private[io] final class PgClientConnection(
-    host: String, port: Int, db: String, user: String, pass: String)
+    host: String, port: Int, db: String, user: String, pass: String,
+    extendedMode: Boolean = false)
   extends WireJdbc.WireConnection {
 
   import PgWire._
@@ -472,12 +608,32 @@ private[io] final class PgClientConnection(
     }
   }
 
-  /** Issue a simple query; rows stream off the socket as the ResultSet
+  /** Issue a query; rows stream off the socket as the ResultSet
     * advances — exactly one query may be open per connection at a time,
-    * which is how Spark's JDBC partitions use it.
+    * which is how Spark's JDBC partitions use it. In extendedMode the
+    * query goes out as the unnamed-statement Parse/Bind/Describe(portal)/
+    * Execute/Sync pipeline vendor clients default to; the reply stream is
+    * then ParseComplete, BindComplete, RowDescription, DataRows,
+    * CommandComplete, ReadyForQuery — which the same reader loop below
+    * consumes ('1'/'2'/'3' are ignored, 'n' NoData ends a rowless result).
     */
   override def wireQuery(sql: String): WireJdbc.WireResult = {
-    send('Q', cstrBytes(sql))
+    if (extendedMode) {
+      val b = new ByteArrayOutputStream(sql.length + 64)
+      def put(t: Char, body: Array[Byte]): Unit = {
+        b.write(t)
+        val d = new DataOutputStream(b)
+        d.writeInt(body.length + 4); d.write(body)
+      }
+      val two0 = Array[Byte](0, 0)
+      put('P', cstrBytes("") ++ cstrBytes(sql) ++ two0) // Parse, 0 param types
+      // Bind: portal "", stmt "", 0 fmt codes, 0 params, 0 result fmt codes
+      put('B', cstrBytes("") ++ cstrBytes("") ++ two0 ++ two0 ++ two0)
+      put('D', Array[Byte]('P'.toByte, 0)) // Describe portal ""
+      put('E', cstrBytes("") ++ Array[Byte](0, 0, 0, 0)) // Execute, no row cap
+      put('S', Array.emptyByteArray) // Sync
+      out.write(b.toByteArray); out.flush()
+    } else send('Q', cstrBytes(sql))
     var fields: Array[WireJdbc.ColInfo] = null
     var done = false
     while (fields == null && !done) recv() match {
@@ -504,6 +660,8 @@ private[io] final class PgClientConnection(
       case ('Z', _) => done = true
       case ('I', _) => drainToReady(); done = true // EmptyQueryResponse
       case ('S' | 'N', _) => // async ParameterStatus / notice
+      case ('1' | '2' | '3' | 't', _) => // Parse/Bind/CloseComplete, ParameterDescription
+      case ('n', _) => drainToReady(); done = true // NoData (extended, rowless)
       case (t, _) => throw new SQLException(s"unexpected message '$t'")
     }
     if (fields == null)
@@ -536,6 +694,7 @@ private[io] final class PgClientConnection(
         val m = errorMessage(body); drainToReady()
         throw new SQLException(s"pg query failed mid-stream: $m")
       case ('S' | 'N', _) => // ignore
+      case ('1' | '2' | '3' | 't' | 'n' | 's', _) => // extended-mode bookkeeping
       case ('Z', _) => return None
       case (t, _) => throw new SQLException(s"unexpected message '$t'")
     }

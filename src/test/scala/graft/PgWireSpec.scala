@@ -169,6 +169,117 @@ class PgWireSpec extends SparkTestBase {
     }
   }
 
+  test("pg: extended query cycle (preferQueryMode=extended) — typed round trip") {
+    // vendor clients (psycopg2, the real PG JDBC driver) default to
+    // Parse/Bind/Describe/Execute/Sync — the r15 server only spoke
+    // simple-query. Same typed matrix as the simple-mode test, through
+    // the full Spark JDBC read path with the extended-mode client.
+    val src = spark.sql(
+      """SELECT * FROM VALUES
+           (1L, 10, 1.5D, true,  'alpha',  DATE'2024-03-01', TIMESTAMP'2024-03-01 10:11:12.5'),
+           (2L, -7, -0.25D, false, 'be''ta', DATE'1999-12-31', TIMESTAMP'1999-12-31 23:59:59'),
+           (3L, CAST(NULL AS INT), CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN),
+            CAST(NULL AS STRING), CAST(NULL AS DATE), CAST(NULL AS TIMESTAMP))
+         AS t(id, i, d, b, s, dt, ts)""")
+    src.createOrReplaceTempView("pg_ext_src")
+    withServer() { server =>
+      val got = Sources.jdbc(spark,
+        s"jdbc:postgresql://${server.hostPort}/db?preferQueryMode=extended",
+        "pg_ext_src", Map("user" -> "u", "password" -> "pw"))
+      assert(got.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        src.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+        got.schema.treeString)
+      assert(got.orderBy("id").collect().toSeq == src.orderBy("id").collect().toSeq)
+    }
+  }
+
+  test("pg: extended-mode error discards to Sync and the connection survives") {
+    withServer() { server =>
+      val conn = new graft.io.PgJdbcDriver().connect(
+        s"jdbc:postgresql://${server.hostPort}/db?preferQueryMode=extended", {
+          val p = new java.util.Properties()
+          p.setProperty("user", "u"); p.setProperty("password", "pw"); p
+        })
+      try {
+        val bad = intercept[SQLException] {
+          conn.createStatement().executeQuery("SELECT * FROM no_such_table_ext")
+        }
+        assert(bad.getMessage.contains("pg query failed"), bad.getMessage)
+        val rs = conn.createStatement().executeQuery("SELECT 41 + 1 AS x")
+        assert(rs.next() && rs.getInt(1) == 42 && !rs.next())
+      } finally conn.close()
+    }
+  }
+
+  test("pg: raw extended-protocol exchange with a bound $1 text parameter") {
+    // the exact message sequence a vendor client emits for a parameterized
+    // SELECT, hand-assembled so the server half is proven independently of
+    // the built-in client (which always binds zero parameters)
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b"), (3L, "b$1c")).toDF("k", "v")
+      .createOrReplaceTempView("pg_ext_param_t")
+    withServer() { server =>
+      val sock = new java.net.Socket("127.0.0.1", server.boundPort)
+      try {
+        val in = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(sock.getInputStream))
+        val out = new java.io.DataOutputStream(
+          new java.io.BufferedOutputStream(sock.getOutputStream))
+        def cstr(s: String): Array[Byte] = s.getBytes("UTF-8") :+ 0.toByte
+        def send(t: Char, body: Array[Byte]): Unit = {
+          out.writeByte(t); out.writeInt(body.length + 4); out.write(body); out.flush()
+        }
+        def recv(): (Char, Array[Byte]) = {
+          val t = in.read(); assert(t >= 0, "server closed early")
+          val len = in.readInt(); val b = new Array[Byte](len - 4)
+          in.readFully(b); (t.toChar, b)
+        }
+        // startup (no SSL probe — optional per protocol) + cleartext auth
+        val su = new java.io.ByteArrayOutputStream()
+        val sd = new java.io.DataOutputStream(su)
+        sd.writeInt(196608); sd.write(cstr("user")); sd.write(cstr("u")); sd.writeByte(0)
+        out.writeInt(su.size + 4); su.writeTo(out); out.flush()
+        assert(recv()._1 == 'R') // AuthenticationCleartextPassword
+        send('p', cstr("pw"))
+        var z = false
+        while (!z) if (recv()._1 == 'Z') z = true
+        // Parse unnamed with $1, Bind one text param, Describe portal,
+        // Execute, Sync — one pipelined batch like real clients send
+        send('P', cstr("") ++ cstr("SELECT k, v FROM pg_ext_param_t WHERE v = $1 ORDER BY k")
+          ++ Array[Byte](0, 0))
+        val pb = new java.io.ByteArrayOutputStream()
+        val pd = new java.io.DataOutputStream(pb)
+        pd.write(cstr("")); pd.write(cstr("")) // portal, statement
+        pd.writeShort(0) // param format codes: none → all text
+        pd.writeShort(1); pd.writeInt(1); pd.write("b".getBytes("UTF-8"))
+        pd.writeShort(0) // result format codes: none → all text
+        send('B', pb.toByteArray)
+        send('D', Array[Byte]('P'.toByte, 0))
+        send('E', cstr("") ++ Array[Byte](0, 0, 0, 0))
+        send('S', Array.emptyByteArray)
+        val types = scala.collection.mutable.ArrayBuffer[Char]()
+        val rows = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+        var zr = false
+        while (!zr) {
+          val (t, b) = recv(); types += t
+          if (t == 'E') fail("server errored: " + new String(b, "UTF-8"))
+          if (t == 'D') {
+            val d = new java.io.DataInputStream(new java.io.ByteArrayInputStream(b))
+            val n = d.readShort()
+            rows += (0 until n).map { _ =>
+              val l = d.readInt()
+              if (l < 0) null else { val v = new Array[Byte](l); d.readFully(v); new String(v, "UTF-8") }
+            }
+          }
+          if (t == 'Z') zr = true
+        }
+        assert(types.take(3) == Seq('1', '2', 'T'), types.mkString(","))
+        assert(types.containsSlice(Seq('C', 'Z')), types.mkString(","))
+        assert(rows.toSeq == Seq(Seq("2", "b")), rows.toString)
+      } finally sock.close()
+    }
+  }
+
   test("pg: a bad query surfaces the server's ErrorResponse and the connection survives") {
     withServer() { server =>
       val conn = new graft.io.PgJdbcDriver().connect(
