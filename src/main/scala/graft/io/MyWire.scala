@@ -53,7 +53,15 @@ object MyWire {
   val TypeDate = 0x0a
   val TypeDatetime = 0x0c
   val TypeNewDecimal = 0xf6
+  val TypeBlob = 0xfc
   val TypeVarString = 0xfd
+
+  /** Protocol charset ids: utf8_general_ci for text, `binary` (63) for
+    * BLOB columns — the charset, not the type byte, is what distinguishes
+    * BLOB from TEXT on a real MySQL wire (both are Type 0xfc).
+    */
+  val CharsetUtf8 = 33
+  val CharsetBinary = 63
 
   /** mysql_native_password scramble. */
   def nativePassword(password: String, nonce: Array[Byte]): Array[Byte] = {
@@ -69,10 +77,13 @@ object MyWire {
     p1.indices.map(i => (p1(i) ^ mix(i)).toByte).toArray
   }
 
-  /** Spark type → (mysql type byte, display length, decimals). Binary and
-    * nested types are REJECTED: the text resultset here is UTF-8 strings,
-    * and silently stringified bytes/structs would be corruption — the PG
-    * wire pair carries bytea; parquet/arrow carry everything.
+  /** Spark type → (mysql type byte, display length, decimals). Nested
+    * types are REJECTED: a silently stringified struct/array would be
+    * corruption — parquet/arrow carry everything. BinaryType serves as a
+    * real BLOB (r16): Type 0xfc + `binary` charset, the raw octets carried
+    * verbatim in the row's length-encoded string (the length-encoded
+    * framing is byte-transparent — text rows are just the UTF-8 special
+    * case).
     */
   def myType(dt: DataType): (Int, Long, Int) = dt match {
     case BooleanType => (TypeTiny, 1L, 0) // MySQL BOOL = TINYINT(1)
@@ -84,17 +95,23 @@ object MyWire {
     case DateType => (TypeDate, 10L, 0)
     case TimestampType | TimestampNTZType => (TypeDatetime, 26L, 6)
     case d: DecimalType => (TypeNewDecimal, d.precision.toLong + 2, d.scale)
+    case BinaryType => (TypeBlob, 65535L, 0)
     case StringType | ByteType | NullType => (TypeVarString, 4096L, 0)
     case other => throw new IllegalArgumentException(
       s"unsupported column type for mysql wire serving: $other " +
-        "(binary → postgresql()/bytea; nested → parquet/arrow surfaces)")
+        "(nested → parquet/arrow surfaces)")
   }
 
-  /** (mysql type byte, display length, decimals) → the client-side
-    * [[WireJdbc.ColInfo]] JDBC metadata Spark's getSchema reads.
+  /** (mysql type byte, display length, decimals, charset) → the
+    * client-side [[WireJdbc.ColInfo]] JDBC metadata Spark's getSchema
+    * reads. Type 0xfc with the `binary` charset is BLOB; with a text
+    * charset it is TEXT (VARCHAR) — real servers use the charset as the
+    * discriminator.
     */
-  def jdbcType(t: Int, length: Long, decimals: Int)
-      : (Int, String, Int, Int, Boolean) = t match {
+  def jdbcType(t: Int, length: Long, decimals: Int,
+      charset: Int = CharsetUtf8): (Int, String, Int, Int, Boolean) = t match {
+    case TypeBlob if charset == CharsetBinary =>
+      (Types.LONGVARBINARY, "BLOB", 0, 0, false)
     case TypeTiny if length == 1 => (Types.BIT, "BIT", 1, 0, false)
     case TypeTiny => (Types.TINYINT, "TINYINT", 3, 0, true)
     case TypeShort => (Types.SMALLINT, "SMALLINT", 5, 0, true)
@@ -321,10 +338,12 @@ final class MyServer(
                   lenencStr(d, ""); lenencStr(d, "") // table, org_table
                   lenencStr(d, f.name); lenencStr(d, f.name)
                   d.write(0x0c) // fixed-length fields marker
-                  d.write(33); d.write(0) // charset utf8
+                  val blob = t == TypeBlob
+                  d.write(if (blob) CharsetBinary else CharsetUtf8); d.write(0)
                   var i = 0; while (i < 4) { d.write(((len >> (8 * i)) & 0xFF).toInt); i += 1 }
                   d.write(t)
-                  d.write(0); d.write(0) // flags
+                  // BLOB columns carry BLOB_FLAG|BINARY_FLAG (0x10|0x80)
+                  d.write(if (blob) 0x90 else 0); d.write(0)
                   d.write(dec) // decimals
                   d.write(0); d.write(0) // filler
                 }
@@ -337,7 +356,11 @@ final class MyServer(
                   var i = 0
                   while (i < fields.length) {
                     if (row.isNullAt(i)) d.write(0xfb)
-                    else lenencStr(d, render(row.get(i)))
+                    else row.get(i) match {
+                      case b: Array[Byte] => // BLOB: raw octets, verbatim
+                        lenencInt(d, b.length.toLong); d.write(b)
+                      case v => lenencStr(d, render(v))
+                    }
                     i += 1
                   }
                 }
@@ -529,22 +552,26 @@ private[io] final class MyClientConnection(
       lenencString(d); lenencString(d) // table, org_table
       val name = lenencString(d); lenencString(d) // name, org_name
       d.skipBytes(1) // 0x0c
-      d.skipBytes(2) // charset
+      val charset = d.read() | (d.read() << 8)
       var len = 0L; var i = 0
       while (i < 4) { len |= d.read().toLong << (8 * i); i += 1 }
       val t = d.read()
       d.skipBytes(2) // flags
       val dec = d.read()
-      val (jt, tn, p, s, sg) = jdbcType(t, len, dec)
+      val (jt, tn, p, s, sg) = jdbcType(t, len, dec, charset)
       WireJdbc.ColInfo(name, jt, tn, p, s, sg)
     }
     val (_, sep) = readPacket(in) // EOF after column definitions
     if ((sep(0) & 0xFF) != 0xfe)
       throw new SQLException("expected EOF after column definitions")
-    new WireJdbc.WireResult(fields, () => nextRow(colCount), () => wireClose())
+    // BLOB cells arrive as raw octets; re-encode them in the PG bytea hex
+    // form the shared WireJdbc.getBytes decodes (the facade's row values
+    // are strings; hex is the lossless carrier)
+    val binCols = fields.map(_.jdbcType == Types.LONGVARBINARY)
+    new WireJdbc.WireResult(fields, () => nextRow(colCount, binCols), () => wireClose())
   }
 
-  private def nextRow(nCols: Int): Option[Array[String]] = {
+  private def nextRow(nCols: Int, binCols: Array[Boolean]): Option[Array[String]] = {
     val (_, p) = readPacket(in)
     (p(0) & 0xFF) match {
       case 0xfe if p.length < 9 => None // EOF (not a lenenc-8 row value)
@@ -568,7 +595,9 @@ private[io] final class MyClientConnection(
               case other => throw new SQLException(s"bad row lenenc $other")
             }).toInt
             val b = new Array[Byte](n); d.readFully(b)
-            row(i) = new String(b, UTF_8)
+            row(i) =
+              if (binCols(i)) "\\x" + b.map(x => f"${x & 0xFF}%02x").mkString
+              else new String(b, UTF_8)
           }
           i += 1
         }

@@ -81,7 +81,7 @@ class MyWireSpec extends SparkTestBase {
     }
   }
 
-  test("mysql: whole-minute timestamps round-trip; binary columns are rejected clearly") {
+  test("mysql: whole-minute timestamps round-trip") {
     spark.sql("SELECT 1L AS id, TIMESTAMP'2024-03-01 10:11:00' AS ts")
       .createOrReplaceTempView("my_ts_t")
     withServer() { server =>
@@ -89,11 +89,53 @@ class MyWireSpec extends SparkTestBase {
         "my_ts_t", Map("user" -> "u", "password" -> "pw")).collect()
       assert(got.head.getTimestamp(1) ==
         java.sql.Timestamp.valueOf("2024-03-01 10:11:00"))
-      // binary → clear refusal, not silently stringified bytes
-      spark.sql("SELECT X'0102' AS b").createOrReplaceTempView("my_bin_t")
+    }
+  }
+
+  test("mysql: BLOB columns round-trip byte-exactly (r16 — was a refusal)") {
+    // raw octets over the wire: Type 0xfc + binary charset (63), the
+    // length-encoded string carrying the bytes verbatim — including values
+    // that are NOT valid UTF-8 (0xFF 0xFE) and embedded NULs, which would
+    // corrupt under any text decode
+    val src = spark.sql(
+      """SELECT * FROM VALUES
+           (1L, X'01FF00AB'),
+           (2L, X''),
+           (3L, CAST(NULL AS BINARY)),
+           (4L, CAST('plain text' AS BINARY))
+         AS t(id, bin)""")
+    src.createOrReplaceTempView("my_blob_t")
+    withServer() { server =>
+      val got = Sources.jdbc(spark, s"jdbc:mysql://${server.hostPort}/db",
+        "my_blob_t", Map("user" -> "u", "password" -> "pw"))
+      assert(got.schema.fields.map(_.dataType).toSeq ==
+        src.schema.fields.map(_.dataType).toSeq, got.schema.treeString)
+      val rows = got.orderBy("id").collect()
+      val want = src.orderBy("id").collect()
+      rows.zip(want).foreach { case (g, w) =>
+        assert(g.getLong(0) == w.getLong(0))
+        val (gb, wb) = (g.get(1), w.get(1))
+        if (wb == null) assert(gb == null, s"id ${g.getLong(0)}: expected NULL")
+        else assert(java.util.Arrays.equals(gb.asInstanceOf[Array[Byte]],
+          wb.asInstanceOf[Array[Byte]]), s"id ${g.getLong(0)}: byte mismatch")
+      }
+      // a TEXT (string) column alongside still arrives as a string — the
+      // charset, not the type byte, discriminates BLOB from TEXT
+      spark.sql("SELECT X'CAFE' AS b, 'café' AS s").createOrReplaceTempView("my_mix_t")
+      val mix = Sources.jdbc(spark, s"jdbc:mysql://${server.hostPort}/db",
+        "my_mix_t", Map("user" -> "u", "password" -> "pw")).head()
+      assert(mix.get(0).asInstanceOf[Array[Byte]].toSeq ==
+        Seq(0xCA.toByte, 0xFE.toByte))
+      assert(mix.getString(1) == "café")
+    }
+  }
+
+  test("mysql: nested columns are still rejected clearly") {
+    spark.sql("SELECT array(1, 2) AS a").createOrReplaceTempView("my_arr_t")
+    withServer() { server =>
       val e = intercept[Exception] {
         Sources.jdbc(spark, s"jdbc:mysql://${server.hostPort}/db",
-          "my_bin_t", Map("user" -> "u", "password" -> "pw")).collect()
+          "my_arr_t", Map("user" -> "u", "password" -> "pw")).collect()
       }
       def messages(t: Throwable): Seq[String] =
         if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
