@@ -37,6 +37,15 @@ import graft.engine.GraftSession
   * (arbitrary SQL via [[graft.engine.GraftSession.sql]] — the pushdown path:
   * [[Sources.remoteQuery]] ships the WHERE/aggregate to the data).
   *
+  * '''Arrow framing (r16)''': every header advertises `"arrow":"true"`; a
+  * request carrying `"format":"arrow"` gets, instead of JSONEachRow, a
+  * binary payload of length-prefixed SELF-CONTAINED Arrow IPC chunks
+  * (int32 length + bytes per frame, int32 0 terminator, int32 -1 = abort),
+  * then a JSON trailer line `{"eof":true,"chunks":N}`. Clients negotiate it
+  * automatically off the schema fetch and decode frames executor-side —
+  * timestamps/decimals/binary cross type-exact with no text coercion, and
+  * the JSONEachRow framing remains for pre-arrow servers.
+  *
   * Scale: the server streams each partition via `toLocalIterator` (one
   * partition pinned at a time, never the whole result materialized), and the
   * CLIENT fetch runs on executors — [[Sources.remote]] parallelizes over the
@@ -137,11 +146,42 @@ final class GraftServer(
           // "proto" advertises the framing version (2 = blank-line + eof
           // trailer, r13) so a client seeing a truncation can distinguish a
           // genuinely cut stream from version skew against an older server.
+          // "arrow":"true" advertises the Arrow-framed payload mode (r16) —
+          // clients that saw it on the schema fetch re-request with
+          // "format":"arrow" and get binary frames instead of JSONEachRow.
+          val wantArrow = req.get("format").contains("arrow")
           val header = GraftServer.jsonObj(Seq(
-            "ok" -> "true", "proto" -> "2",
-            "schema" -> GraftServer.jsonStr(df.schema.toDDL)))
+            "ok" -> "true", "proto" -> "2", "arrow" -> "true") ++
+            (if (wantArrow) Seq("format" -> "arrow") else Nil) :+
+            ("schema" -> GraftServer.jsonStr(df.schema.toDDL)))
           out.write((header + "\n").getBytes(UTF_8))
-          if (op != "schema" && op != "query_schema") {
+          if (wantArrow && op != "schema" && op != "query_schema") {
+            // Arrow-framed payload: length-prefixed SELF-CONTAINED Arrow IPC
+            // chunks (each one parses alone), a 0-length terminator, then a
+            // JSON trailer line carrying the chunk count — the same
+            // truncation-proof contract as the text framing, but type-exact
+            // (timestamps/decimals/binary survive without text coercion) and
+            // with no per-row JSON encode on the hot path. Chunks come from
+            // the lazy result iterator, so driver memory holds one chunk.
+            var chunks = 0L
+            val trailer: String =
+              try {
+                val it = org.apache.spark.sql.graftbridge.ArrowBridge
+                  .arrowChunks(df, req.get("chunk").flatMap(_.toIntOption).getOrElse(8192))
+                while (it.hasNext) {
+                  val b = it.next()
+                  out.writeInt(b.length); out.write(b); chunks += 1
+                }
+                out.writeInt(0) // end of frames
+                GraftServer.jsonObj(Seq("eof" -> "true", "chunks" -> chunks.toString))
+              } catch {
+                case e: Throwable =>
+                  try out.writeInt(-1) catch { case _: Throwable => } // abort marker
+                  GraftServer.jsonObj(Seq("eof" -> "false", "error" ->
+                    GraftServer.jsonStr(Option(e.getMessage).getOrElse(e.toString))))
+              }
+            out.write((trailer + "\n").getBytes(UTF_8))
+          } else if (op != "schema" && op != "query_schema") {
             // stream partitions one at a time — the result is never
             // materialized driver-side in full. The payload is terminated by
             // a blank line + a trailer carrying the row count; without it the

@@ -109,18 +109,25 @@ object RemoteClient extends Serializable {
     GraftServer.parseFlatJson(line)
   }
 
-  /** Header-only round trip; returns the schema DDL. Raises on server error. */
-  def fetchSchema(hostPort: String, fields: Seq[(String, String)],
-      tls: Option[Tls] = None): String = {
+  /** Header-only round trip; returns the full response header (schema DDL
+    * under "schema", capability flags like "arrow"). Raises on server error.
+    */
+  def fetchHeaderFields(hostPort: String, fields: Seq[(String, String)],
+      tls: Option[Tls] = None): Map[String, String] = {
     val sock = connect(hostPort, tls)
     try {
       val in = request(sock, fields)
       val hdr = readHeader(hostPort, in)
-      if (hdr.get("ok").contains("true")) hdr.getOrElse("schema", "")
+      if (hdr.get("ok").contains("true")) hdr
       else throw new IllegalArgumentException(
         s"remote($hostPort): ${hdr.getOrElse("error", "malformed response header")}")
     } finally sock.close()
   }
+
+  /** Header-only round trip; returns the schema DDL. Raises on server error. */
+  def fetchSchema(hostPort: String, fields: Seq[(String, String)],
+      tls: Option[Tls] = None): String =
+    fetchHeaderFields(hostPort, fields, tls).getOrElse("schema", "")
 
   /** Streaming payload fetch — yields JSONEachRow lines as they arrive on
     * the wire; the socket closes at EOF or when the iterator is abandoned
@@ -181,6 +188,95 @@ object RemoteClient extends Serializable {
     }
   }
 
+  /** Streaming Arrow-framed payload fetch (r16) — yields SELF-CONTAINED
+    * Arrow IPC chunk byte arrays as they arrive: each frame is a 4-byte
+    * length prefix + bytes, a 0 length ends the stream, a -1 length is the
+    * server's mid-stream abort marker, and a JSON trailer line carries the
+    * chunk count. Raw EOF before the terminator, a count mismatch, or an
+    * abort marker all raise — same truncation-proof contract as
+    * [[fetchLines]]. Runs on executors.
+    */
+  def fetchArrowFrames(hostPort: String, fields: Seq[(String, String)],
+      tls: Option[Tls] = None): Iterator[Array[Byte]] = {
+    val sock = connect(hostPort, tls)
+    val in = request(sock, ("format" -> "arrow") +: fields)
+    val hdr = readHeader(hostPort, in)
+    if (!hdr.get("ok").contains("true")) {
+      sock.close()
+      throw new IllegalArgumentException(
+        s"remote($hostPort): ${hdr.getOrElse("error", "malformed response header")}")
+    }
+    if (!hdr.get("format").contains("arrow")) {
+      sock.close()
+      throw new java.io.IOException(
+        s"remote($hostPort): server did not switch to arrow framing " +
+          "(version skew — pre-arrow server asked for arrow payload)")
+    }
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => sock.close()))
+    new Iterator[Array[Byte]] {
+      private var seen = 0L
+      private var nextFrame: Array[Byte] = advance()
+      private def truncated(detail: String): Nothing = {
+        sock.close()
+        throw new java.io.IOException(
+          s"remote($hostPort): truncated arrow stream after $seen chunks ($detail)")
+      }
+      private def advance(): Array[Byte] = {
+        val len =
+          try in.readInt()
+          catch { case _: java.io.EOFException => truncated("connection closed mid-frame") }
+        if (len == 0) { // end of frames: verify the trailer
+          val tl = GraftServer.readLine(in)
+          if (tl == null) truncated("terminator but no trailer")
+          val trailer = GraftServer.parseFlatJson(tl)
+          if (!trailer.get("eof").contains("true"))
+            truncated(s"server error mid-stream: ${trailer.getOrElse("error", tl)}")
+          val n = trailer.get("chunks").map(_.toLong)
+          if (!n.contains(seen)) truncated(s"server sent ${n.getOrElse("?")} chunks")
+          sock.close(); null
+        } else if (len < 0) { // abort marker
+          val tl = Option(GraftServer.readLine(in)).getOrElse("")
+          truncated("server abort: " +
+            GraftServer.parseFlatJson(tl).getOrElse("error", tl))
+        } else {
+          val b = new Array[Byte](len)
+          try in.readFully(b)
+          catch { case _: java.io.EOFException => truncated("connection closed mid-frame") }
+          seen += 1; b
+        }
+      }
+      def hasNext: Boolean = nextFrame != null
+      def next(): Array[Byte] = { val f = nextFrame; nextFrame = advance(); f }
+    }
+  }
+
+  /** Distributed fetch+decode: one task per shard, frames decoded INSIDE the
+    * partition task (no text round trip — timestamps/decimals/binary arrive
+    * type-exact), falling back to the JSONEachRow framing when the server
+    * predates the arrow mode (no "arrow" capability in its header).
+    */
+  private def shardedRead(spark: SparkSession, shards: Seq[String],
+      header: Map[String, String], payloadFields: Seq[(String, String)],
+      tls: Option[Tls]): DataFrame = {
+    val schema = StructType.fromDDL(header.getOrElse("schema", ""))
+    if (header.get("arrow").contains("true")) {
+      val rows = spark.sparkContext
+        .makeRDD(shards, shards.size)
+        .mapPartitions(_.flatMap(h =>
+          fetchArrowFrames(h, payloadFields, tls).flatMap(bytes =>
+            org.apache.spark.sql.graftbridge.ArrowBridge.decodeArrowStream(bytes)._2)))
+      org.apache.spark.sql.graftbridge.ArrowBridge.internalRowsDF(spark, schema, rows)
+    } else {
+      val rows = spark.createDataset(
+        spark.sparkContext
+          .makeRDD(shards, shards.size)
+          .mapPartitions(_.flatMap(h => fetchLines(h, payloadFields, tls))))(
+        Encoders.STRING)
+      spark.read.schema(schema).json(rows)
+    }
+  }
+
   /** Shard-parallel table read; see [[Sources.remote]] for the public entry. */
   private[io] def readTable(
       spark: SparkSession, hostPattern: String, database: String, table: String,
@@ -189,14 +285,8 @@ object RemoteClient extends Serializable {
     require(shards.nonEmpty, "remote(): empty host list")
     val base = Seq("database" -> database, "table" -> table,
       "user" -> user, "password" -> password)
-    val ddl = fetchSchema(shards.head, ("op" -> "schema") +: base, tls)
-    val schema = StructType.fromDDL(ddl)
-    val rows = spark.createDataset(
-      spark.sparkContext
-        .makeRDD(shards, shards.size)
-        .mapPartitions(_.flatMap(h => fetchLines(h, ("op" -> "table") +: base, tls))))(
-      Encoders.STRING)
-    spark.read.schema(schema).json(rows)
+    val hdr = fetchHeaderFields(shards.head, ("op" -> "schema") +: base, tls)
+    shardedRead(spark, shards, hdr, ("op" -> "table") +: base, tls)
   }
 
   /** Remote SQL execution (pushdown path); result typed from the header DDL. */
@@ -207,12 +297,7 @@ object RemoteClient extends Serializable {
     require(shards.nonEmpty, "remote(): empty host list")
     val base = Seq("op" -> "query", "sql" -> sql,
       "user" -> user, "password" -> password)
-    val ddl = fetchSchema(shards.head, ("op" -> "query_schema") +: base.tail, tls)
-    val schema = StructType.fromDDL(ddl)
-    val rows = spark.createDataset(
-      spark.sparkContext
-        .makeRDD(shards, shards.size)
-        .mapPartitions(_.flatMap(h => fetchLines(h, base, tls))))(Encoders.STRING)
-    spark.read.schema(schema).json(rows)
+    val hdr = fetchHeaderFields(shards.head, ("op" -> "query_schema") +: base.tail, tls)
+    shardedRead(spark, shards, hdr, base, tls)
   }
 }

@@ -865,6 +865,29 @@ object CoverageQueries {
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_discount > 0.05
-      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+      GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    QueryDef("q188_remote_arrow", (s, dir) => {
+      // remote() over the ARROW-framed wire mode (r16): the server streams
+      // self-contained Arrow IPC chunks (length-prefixed frames + chunk-count
+      // trailer) and executors decode them in place — timestamps and
+      // decimals cross the wire type-exact, with no JSON text coercion
+      // anywhere (q166's transport upgraded; the decimal column would not
+      // round-trip bit-stably through text). Materialized before the server
+      // stops (q166's device).
+      v(s, dir, "orders")
+      val gs = graft.engine.GraftSession(s)
+      val server = new graft.io.GraftServer(gs).start()
+      try {
+        val df = graft.io.Sources.remoteQuery(s, server.hostPort,
+          """SELECT o_orderkey, o_orderdate,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS price
+             FROM orders WHERE o_orderkey % 32 = 0""", "default", "")
+          .orderBy("o_orderkey")
+        s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+      } finally server.stop()
+    }, Some("""SELECT o_orderkey, o_orderdate,
+        CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      FROM orders WHERE o_orderkey % 32 = 0 ORDER BY o_orderkey"""))
   )
 }

@@ -75,6 +75,22 @@ object ArrowBridge {
     */
   def fromArrowStream(spark: org.apache.spark.sql.SparkSession,
       bytes: Array[Byte]): DataFrame = {
+    val (schema, rows) = decodeArrowStream(bytes)
+    val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val parallelism = math.max(1, math.min(rows.size,
+      session.sparkContext.defaultParallelism))
+    session.internalCreateDataFrame(
+      session.sparkContext.parallelize(rows, parallelism), schema)
+  }
+
+  /** Decode one complete Arrow IPC stream into (schema, materialized rows).
+    * EXECUTOR-SAFE — no SparkSession touched, only the Arrow jars Spark
+    * ships on every node — so distributed consumers (the Arrow-framed
+    * remote() fetch) can decode frames inside their partition tasks.
+    * Rows are `copy()`d out of Arrow memory before the buffers are freed.
+    */
+  def decodeArrowStream(bytes: Array[Byte])
+      : (org.apache.spark.sql.types.StructType, Seq[InternalRow]) = {
     val allocator = ArrowUtils.rootAllocator
       .newChildAllocator("graft-arrow-in", 0, Long.MaxValue)
     val reader = new ArrowStreamReader(new ByteArrayInputStream(bytes), allocator)
@@ -90,16 +106,24 @@ object ArrowBridge {
         // freed when the reader closes
         batch.rowIterator().asScala.foreach(r => rows += r.copy())
       }
-      val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      val parallelism = math.max(1, math.min(rows.size,
-        session.sparkContext.defaultParallelism))
-      session.internalCreateDataFrame(
-        session.sparkContext.parallelize(rows.toSeq, parallelism), schema)
+      (schema, rows.toSeq)
     } finally {
       reader.close()
       allocator.close()
     }
   }
+
+  /** Assemble a DataFrame from distributed InternalRows whose layout
+    * matches `schema` — the bridge the Arrow-framed remote() read uses to
+    * go from executor-decoded frames to a typed DataFrame without a text
+    * round trip (internalCreateDataFrame is private[sql]; this package is
+    * the sanctioned doorway).
+    */
+  def internalRowsDF(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      rows: org.apache.spark.rdd.RDD[InternalRow]): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rows, schema)
 
   /** The RESULT-side streaming surface (reference docs/streaming.rst +
     * chdb/__init__.py:222 `send_query` → `StreamingResult`): the query's

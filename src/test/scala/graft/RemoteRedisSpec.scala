@@ -105,6 +105,42 @@ class RemoteRedisSpec extends SparkTestBase {
     } finally server.stop()
   }
 
+  test("remote: arrow framing carries timestamp/decimal/binary type-exactly (r16)") {
+    // the r15 transport was JSONEachRow: decimals re-parsed from text,
+    // binary unrepresentable. The arrow mode (advertised in the header,
+    // negotiated automatically) ships self-contained Arrow IPC chunks that
+    // executors decode in place — no text coercion anywhere.
+    val gs = GraftSession(spark)
+    val src = spark.sql(
+      """SELECT * FROM VALUES
+           (1L, TIMESTAMP'2024-03-01 10:11:12.123456', CAST(12345.67 AS DECIMAL(12,2)),
+            X'01FF00AB', 'text'),
+           (2L, CAST(NULL AS TIMESTAMP), CAST(NULL AS DECIMAL(12,2)),
+            CAST(NULL AS BINARY), CAST(NULL AS STRING))
+         AS t(id, ts, dec, bin, s)""")
+    src.createOrReplaceTempView("ra_t")
+    val server = new GraftServer(gs).start()
+    try {
+      val got = Sources.remote(spark, server.hostPort, "default", "ra_t")
+      assert(got.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        src.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+        got.schema.treeString)
+      val rows = got.orderBy("id").collect()
+      val want = src.orderBy("id").collect()
+      assert(rows(0).getTimestamp(1) == want(0).getTimestamp(1),
+        "microsecond timestamp must survive without text coercion")
+      assert(rows(0).getDecimal(2) == want(0).getDecimal(2))
+      assert(java.util.Arrays.equals(rows(0).getAs[Array[Byte]](3),
+        want(0).getAs[Array[Byte]](3)), "binary is JSON-unrepresentable; arrow carries it")
+      assert(rows(0).getString(4) == "text")
+      assert((1 to 4).forall(rows(1).isNullAt), "nulls survive every arrow type")
+      // the pushdown (query) surface takes the same framing
+      val q = Sources.remoteQuery(spark, server.hostPort,
+        "SELECT id, dec FROM ra_t WHERE bin IS NOT NULL").collect()
+      assert(q.length == 1 && q(0).getDecimal(1).toString == "12345.67")
+    } finally server.stop()
+  }
+
   test("remote: server-side failure mid-stream raises, not a short result") {
     val gs = GraftSession(spark)
     spark.udf.register("boom_if", (x: Long) => { require(x < 5, "boom"); x })
