@@ -370,19 +370,23 @@ final class PgServer(
                   val nFmt = d.readShort()
                   val fmts = Array.fill(nFmt.toInt)(d.readShort())
                   val nPar = d.readShort()
+                  var binaryParam = false
                   val params = (0 until nPar).map { i =>
+                    val fmt = if (nFmt == 0) 0 else if (nFmt == 1) fmts(0) else fmts(i)
+                    if (fmt != 0) binaryParam = true
                     val plen = d.readInt()
                     if (plen < 0) None
                     else {
                       val b = new Array[Byte](plen); d.readFully(b)
-                      val fmt = if (nFmt == 0) 0 else if (nFmt == 1) fmts(0) else fmts(i)
-                      if (fmt != 0) Some(new String(b, UTF_8)) // binary unsupported → best-effort text
-                      else Some(new String(b, UTF_8))
+                      Some(new String(b, UTF_8))
                     }
                   }
                   val nRes = d.readShort()
                   val resFmts = Array.fill(nRes.toInt)(d.readShort())
-                  if (resFmts.exists(_ != 0))
+                  if (binaryParam) // refuse loudly — a UTF-8 decode of a
+                    // binary-format value would bind silent garbage
+                    extendedError("0A000", "binary parameter format not supported (text only)")
+                  else if (resFmts.exists(_ != 0))
                     extendedError("0A000", "binary result format not supported (text only)")
                   else {
                     portals(portal) = bindParams(sql, params.toIndexedSeq)
