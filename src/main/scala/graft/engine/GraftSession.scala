@@ -562,8 +562,12 @@ final class GraftSession(val spark: SparkSession) {
   // plain LIMIT cuts AFTER the per-group cut, as in ClickHouse. Scope:
   // top-level clause only (guarded by paren balance); name/expression
   // ORDER BY terms (not ordinals — window specs don't resolve positions).
+  // accepts all three documented shapes: `LIMIT n BY`, `LIMIT m, n BY`
+  // (offset-first, the ClickHouse docs' bracketed form) and
+  // `LIMIT n OFFSET m BY`
   private val limitByRe =
-    "(?is)^(.*?)\\s+LIMIT\\s+(\\d+)\\s+BY\\s+(.+?)(\\s+LIMIT\\s+(\\d+))?\\s*;?\\s*$".r
+    ("(?is)^(.*?)\\s+LIMIT\\s+(?:(\\d+)\\s*,\\s*)?(\\d+)(?:\\s+OFFSET\\s+(\\d+))?" +
+      "\\s+BY\\s+(.+?)(\\s+LIMIT\\s+(\\d+))?\\s*;?\\s*$").r
   private def parenBalanced(s: String): Boolean = {
     var d = 0; var i = 0
     while (i < s.length) {
@@ -623,14 +627,21 @@ final class GraftSession(val spark: SparkSession) {
   }
   private def rewriteLimitBy(q: String): String =
     limitByRe.findFirstMatchIn(q) match {
-      case Some(m) if parenBalanced(m.group(1)) && parenBalanced(m.group(3)) =>
+      case Some(m) if parenBalanced(m.group(1)) && parenBalanced(m.group(5)) =>
         // the reference emits PG-style double-quoted identifiers in the BY
         // list (sql_executor.py:907-910: LIMIT 1 BY "a", "b") — Spark quotes
         // with backticks (ClickHouse strings are single-quoted, so '"' here
         // can only be an identifier quote)
-        val (base, n) = (m.group(1), m.group(2))
-        val cols = m.group(3).trim.replace('"', '`')
-        val outerLimit = Option(m.group(5)).map(l => s" LIMIT $l").getOrElse("")
+        val base = m.group(1)
+        val n = m.group(3).toLong
+        val off = Option(m.group(2)).orElse(Option(m.group(4)))
+          .map(_.toLong).getOrElse(0L)
+        val cols = m.group(5).trim.replace('"', '`')
+        val outerLimit = Option(m.group(7)).map(l => s" LIMIT $l").getOrElse("")
+        // per-group keep: rows off+1 .. off+n in ORDER BY order
+        val keep =
+          if (off == 0) s"__graft_lb_rn <= $n"
+          else s"__graft_lb_rn > $off AND __graft_lb_rn <= ${off + n}"
         val ordRe = "(?is)^(.*\\S)\\s+ORDER\\s+BY\\s+(.+)$".r
         val (inner0, ordOpt) = ordRe.findFirstMatchIn(base) match {
           case Some(om) if parenBalanced(om.group(1)) && parenBalanced(om.group(2)) =>
@@ -672,13 +683,13 @@ final class GraftSession(val spark: SparkSession) {
           val ordTail = if (ordOpt.isDefined) s" ORDER BY $wOrd" else ""
           s"SELECT * EXCEPT ($drop) FROM (SELECT *, row_number() OVER " +
             s"(PARTITION BY $cols ORDER BY $wOrd) AS __graft_lb_rn FROM ( $inner " +
-            s") __graft_lb_in) __graft_lb WHERE __graft_lb_rn <= $n$ordTail$outerLimit"
+            s") __graft_lb_in) __graft_lb WHERE $keep$ordTail$outerLimit"
         } else {
           val ord = terms.map { case (e, mod) => s"$e$mod" }.mkString(", ")
           val ordTail = if (ordOpt.isDefined) s" ORDER BY $ord" else ""
           s"SELECT * EXCEPT (__graft_lb_rn) FROM (SELECT *, row_number() OVER " +
             s"(PARTITION BY $cols ORDER BY $ord) AS __graft_lb_rn FROM ( $inner0 " +
-            s") __graft_lb_in) __graft_lb WHERE __graft_lb_rn <= $n$ordTail$outerLimit"
+            s") __graft_lb_in) __graft_lb WHERE $keep$ordTail$outerLimit"
         }
       case _ => q
     }

@@ -60,6 +60,20 @@ class ClauseRewriteSpec extends SparkTestBase {
       Seq(0L, 1L, 2L, 3L, 4L, 5L))
   }
 
+  test("offset forms: LIMIT m, n BY and LIMIT n OFFSET m BY skip the first m per group") {
+    docs()
+    // a.com ordered by score desc: ids 1,2,3 — offset 1, take 2 → ids 2,3
+    val commaForm = g.sql(
+      "SELECT domain, id FROM cr_docs ORDER BY score DESC, id LIMIT 1, 2 BY domain")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val offsetForm = g.sql(
+      "SELECT domain, id FROM cr_docs ORDER BY score DESC, id LIMIT 2 OFFSET 1 BY domain")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = Set(("a.com", 2L), ("a.com", 3L), ("b.com", 5L)) // c.com has 1 row, all skipped
+    assert(commaForm == want, commaForm.toString)
+    assert(offsetForm == want, offsetForm.toString)
+  }
+
   test("PREWHERE alone is WHERE") {
     docs()
     val n = g.sql("SELECT id FROM cr_docs PREWHERE score > 6.5").count()
