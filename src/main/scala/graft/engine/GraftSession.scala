@@ -354,13 +354,20 @@ final class GraftSession(val spark: SparkSession) {
       case "sqlite" if args.length == 2 && args.forall(quotedTok) &&
           !GraftSession.sqliteJdbcPresent =>
         val Seq(path, table) = args.map(unquote)
-        // key the cached view on (length, mtime) too: the reference
+        // STABLE view name + (length, mtime) freshness stamp: the reference
         // re-opens the file per query, so a .sqlite rewritten at the same
-        // path mid-session must serve the NEW rows, not a stale snapshot
+        // path mid-session must serve the NEW rows — and the refreshed view
+        // REPLACES the old one (stamping the name itself would leak one
+        // fully-materialized snapshot per rewrite for the session lifetime)
         val f = new java.io.File(path)
-        val name = s"__graft_sqlite_${md5hex(s"$path|$table|${f.length}|${f.lastModified}")}"
-        if (!spark.catalog.tableExists(name))
+        val name = s"__graft_sqlite_${md5hex(s"$path|$table")}"
+        val stamp = s"${f.length}|${f.lastModified}"
+        val key = System.identityHashCode(spark) + "|" + name
+        if (!spark.catalog.tableExists(name) ||
+            !Option(GraftSession.sqliteStamps.get(key)).contains(stamp)) {
           graft.io.SqliteFile.read(spark, path, table).createOrReplaceTempView(name)
+          GraftSession.sqliteStamps.put(key, stamp)
+        }
         Some(name)
       case "sqlite" | "jdbc" if args.length == 2 && args.forall(quotedTok) =>
         val (u, t, o) = GraftSession.jdbcTarget(lw, args.map(unquote))
@@ -568,15 +575,58 @@ final class GraftSession(val spark: SparkSession) {
   private val limitByRe =
     ("(?is)^(.*?)\\s+LIMIT\\s+(?:(\\d+)\\s*,\\s*)?(\\d+)(?:\\s+OFFSET\\s+(\\d+))?" +
       "\\s+BY\\s+(.+?)(\\s+LIMIT\\s+(\\d+))?\\s*;?\\s*$").r
+  /** Paren balance of SQL text, ignoring parens inside '…'/`…` quoting —
+    * a smiley in a string literal must not read as an unbalanced paren.
+    */
   private def parenBalanced(s: String): Boolean = {
-    var d = 0; var i = 0
+    var d = 0; var i = 0; var inStr = false; var inTick = false
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '(') d += 1
-      else if (c == ')') { d -= 1; if (d < 0) return false }
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (inTick) { if (c == '`') inTick = false }
+      else c match {
+        case '\'' => inStr = true
+        case '`' => inTick = true
+        case '(' => d += 1
+        case ')' => d -= 1; if (d < 0) return false
+        case _ =>
+      }
       i += 1
     }
     d == 0
+  }
+  /** Is `pos` at paren-depth 0 AND outside '…'/`…` quoting? (Scans from the
+    * start — quote state is not locally decidable.)
+    */
+  private def isTopLevelAt(s: String, pos: Int): Boolean = {
+    var d = 0; var i = 0; var inStr = false; var inTick = false
+    while (i < pos && i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (inTick) { if (c == '`') inTick = false }
+      else c match {
+        case '\'' => inStr = true
+        case '`' => inTick = true
+        case '(' => d += 1
+        case ')' => d -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    d == 0 && !inStr && !inTick
+  }
+  /** Is `pos` inside a '…'/`…` quoted region? */
+  private def inLiteralAt(s: String, pos: Int): Boolean = {
+    var i = 0; var inStr = false; var inTick = false
+    while (i < pos && i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (inTick) { if (c == '`') inTick = false }
+      else if (c == '\'') inStr = true
+      else if (c == '`') inTick = true
+      i += 1
+    }
+    inStr || inTick
   }
   /** Index of the first top-level (paren-depth-0, outside '…'/`…` quoting)
     * occurrence of the keyword, or -1. */
@@ -627,7 +677,12 @@ final class GraftSession(val spark: SparkSession) {
   }
   private def rewriteLimitBy(q: String): String =
     limitByRe.findFirstMatchIn(q) match {
-      case Some(m) if parenBalanced(m.group(1)) && parenBalanced(m.group(5)) =>
+      case Some(m) if parenBalanced(m.group(1)) && parenBalanced(m.group(5)) &&
+          // the matched LIMIT keyword itself must sit at top level OUTSIDE
+          // string literals — 'rate LIMIT 5 BY user' in a WHERE literal is
+          // data, not a clause
+          isTopLevelAt(q, q.toUpperCase(java.util.Locale.ROOT)
+            .indexOf("LIMIT", m.end(1))) =>
         // the reference emits PG-style double-quoted identifiers in the BY
         // list (sql_executor.py:907-910: LIMIT 1 BY "a", "b") — Spark quotes
         // with backticks (ClickHouse strings are single-quoted, so '"' here
@@ -663,7 +718,7 @@ final class GraftSession(val spark: SparkSession) {
           inner0.substring(selEnd).matches("(?is)^\\s*DISTINCT\\b.*")
         val grouped = topLevelKeyword(inner0, "GROUP") >= 0
         val modRe = "(?is)^(.+?)(\\s+(?:ASC|DESC))?(\\s+NULLS\\s+(?:FIRST|LAST))?\\s*$".r
-        val terms = splitTopLevel(ordOpt.getOrElse(cols).replace('"', '`')).map {
+        val terms0 = splitTopLevel(ordOpt.getOrElse(cols).replace('"', '`')).map {
           t => modRe.findFirstMatchIn(t) match {
             case Some(tm) => (tm.group(1).trim,
               Option(tm.group(2)).getOrElse("") + Option(tm.group(3)).getOrElse(""))
@@ -673,6 +728,23 @@ final class GraftSession(val spark: SparkSession) {
         if (selEnd >= 0 && fromAt > selEnd && !distinct && !grouped) {
           val proj = inner0.substring(selEnd, fromAt)
           val rest = inner0.substring(fromAt)
+          // ordinal ORDER BY positions (ORDER BY 2 DESC) would become
+          // constant expressions inside a window spec — silently arbitrary
+          // rows. Resolve them against the projection list here; refuse
+          // loudly when that's impossible (the fallback branch below).
+          val projItems = splitTopLevel(proj)
+          val aliasRe = "(?is)^(.*\\S)\\s+AS\\s+([A-Za-z_]\\w*|`[^`]+`)\\s*$".r
+          val terms = terms0.map {
+            case (e, mod) if e.matches("\\d+") =>
+              val k = e.toInt
+              require(k >= 1 && k <= projItems.length,
+                s"ORDER BY position $k with LIMIT BY is out of range " +
+                  s"(projection has ${projItems.length} columns)")
+              val item = projItems(k - 1)
+              val expr = aliasRe.findFirstMatchIn(item).map(_.group(1)).getOrElse(item)
+              (expr, mod)
+            case other => other
+          }
           val hidden = terms.zipWithIndex
             .map { case ((e, _), i) => s"($e) AS __graft_ob_$i" }.mkString(", ")
           val wOrd = terms.zipWithIndex
@@ -685,7 +757,10 @@ final class GraftSession(val spark: SparkSession) {
             s"(PARTITION BY $cols ORDER BY $wOrd) AS __graft_lb_rn FROM ( $inner " +
             s") __graft_lb_in) __graft_lb WHERE $keep$ordTail$outerLimit"
         } else {
-          val ord = terms.map { case (e, mod) => s"$e$mod" }.mkString(", ")
+          require(!terms0.exists(_._1.matches("\\d+")),
+            "ORDER BY ordinal positions with LIMIT BY are not supported on " +
+              "aggregated/DISTINCT queries — name the column instead")
+          val ord = terms0.map { case (e, mod) => s"$e$mod" }.mkString(", ")
           val ordTail = if (ordOpt.isDefined) s" ORDER BY $ord" else ""
           s"SELECT * EXCEPT (__graft_lb_rn) FROM (SELECT *, row_number() OVER " +
             s"(PARTITION BY $cols ORDER BY $ord) AS __graft_lb_rn FROM ( $inner0 " +
@@ -698,17 +773,67 @@ final class GraftSession(val spark: SparkSession) {
   // deterministic predicates it IS WHERE, and Spark already pushes those to
   // the scan (PushedFilters), so the hint half is free. The combined
   // `PREWHERE a … WHERE b` form folds into one parenthesized conjunction.
-  // Scope: subquery-free conditions — PREWHERE is by design a cheap
-  // column-level predicate, that's the point of the clause.
-  private val prewhereCombinedRe =
-    ("(?is)\\bPREWHERE\\s+(.+?)\\s+WHERE\\s+(.+?)(?=\\s+(?:GROUP\\s+BY|HAVING" +
-      "|ORDER\\s+BY|LIMIT|WINDOW|UNION|SETTINGS|FORMAT)\\b|\\s*;?\\s*$)").r
-  private val prewhereRe = "(?i)\\bPREWHERE\\b".r
+  // Scanner-based (r16 review): literal-aware (a 'PREWHERE' inside a string
+  // is data), works at any subquery depth, and the condition's extent stops
+  // at the next clause keyword AT THE SAME DEPTH (or the enclosing scope's
+  // closing paren) — a WHERE inside a nested subquery never terminates it.
+  private val prewhereBounds = Seq("WHERE", "GROUP", "HAVING", "ORDER",
+    "LIMIT", "WINDOW", "UNION", "INTERSECT", "EXCEPT", "SETTINGS", "FORMAT")
   private def rewritePrewhere(q: String): String = {
-    val folded = prewhereCombinedRe.replaceAllIn(q, m =>
-      scala.util.matching.Regex.quoteReplacement(
-        s"WHERE (${m.group(1)}) AND (${m.group(2)})"))
-    prewhereRe.replaceAllIn(folded, "WHERE")
+    val u = q.toUpperCase(java.util.Locale.ROOT)
+    def isWordChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
+    def isWord(i: Int, k: String): Boolean =
+      u.startsWith(k, i) && (i == 0 || !isWordChar(u.charAt(i - 1))) &&
+        (i + k.length >= u.length || !isWordChar(u.charAt(i + k.length)))
+    // locate the first PREWHERE outside literals, remembering its depth
+    var i = 0; var d = 0; var inStr = false; var inTick = false
+    var p = -1; var pd = 0
+    while (i < q.length && p < 0) {
+      val c = q.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (inTick) { if (c == '`') inTick = false }
+      else c match {
+        case '\'' => inStr = true
+        case '`' => inTick = true
+        case '(' => d += 1
+        case ')' => d -= 1
+        case _ => if (isWord(i, "PREWHERE")) { p = i; pd = d }
+      }
+      i += 1
+    }
+    if (p < 0) return q
+    // extent of a condition starting at `from` (known depth pd, outside
+    // literals): up to the next same-depth boundary keyword or the
+    // enclosing scope's ')'
+    def boundAfter(from: Int): Int = {
+      var j = from; var dd = pd; var inS = false; var inT = false
+      while (j < q.length) {
+        val c = q.charAt(j)
+        if (inS) { if (c == '\'') inS = false }
+        else if (inT) { if (c == '`') inT = false }
+        else c match {
+          case '\'' => inS = true
+          case '`' => inT = true
+          case '(' => dd += 1
+          case ')' => dd -= 1; if (dd < pd) return j
+          case _ =>
+            if (dd == pd && prewhereBounds.exists(isWord(j, _))) return j
+        }
+        j += 1
+      }
+      q.length
+    }
+    val condStart = p + "PREWHERE".length
+    val b1 = boundAfter(condStart)
+    val cond1 = q.substring(condStart, b1).trim
+    val out =
+      if (b1 < q.length && isWord(b1, "WHERE")) {
+        val b2 = boundAfter(b1 + "WHERE".length)
+        val cond2 = q.substring(b1 + "WHERE".length, b2).trim
+        q.substring(0, p) + s"WHERE ($cond1) AND ($cond2) " + q.substring(b2)
+      } else
+        q.substring(0, p) + s"WHERE $cond1 " + q.substring(b1)
+    rewritePrewhere(out) // fold any further PREWHEREs (UNION branches)
   }
 
   // `FROM t [alias] SAMPLE f` — ClickHouse's sampling clause ≡ Spark's
@@ -721,11 +846,15 @@ final class GraftSession(val spark: SparkSession) {
       "\\s+SAMPLE\\s+(\\d+(?:\\.\\d+)?)").r
   private def rewriteSample(q: String): String =
     sampleRe.replaceAllIn(q, { m =>
-      val v = BigDecimal(m.group(3))
-      val ts =
-        if (v <= 1) s"TABLESAMPLE (${(v * 100).bigDecimal.stripTrailingZeros.toPlainString} PERCENT)"
-        else s"TABLESAMPLE (${m.group(3)} ROWS)"
-      scala.util.matching.Regex.quoteReplacement(s"${m.group(1)} $ts${m.group(2)}")
+      if (inLiteralAt(q, m.start)) // 'from t sample 5' inside a string is data
+        scala.util.matching.Regex.quoteReplacement(m.matched)
+      else {
+        val v = BigDecimal(m.group(3))
+        val ts =
+          if (v <= 1) s"TABLESAMPLE (${(v * 100).bigDecimal.stripTrailingZeros.toPlainString} PERCENT)"
+          else s"TABLESAMPLE (${m.group(3)} ROWS)"
+        scala.util.matching.Regex.quoteReplacement(s"${m.group(1)} $ts${m.group(2)}")
+      }
     })
 
   // PREWHERE folds and SAMPLE rewrites FIRST (they precede LIMIT BY in
@@ -1308,6 +1437,12 @@ object GraftSession {
   private[graft] lazy val sqliteJdbcPresent: Boolean =
     try { Class.forName("org.sqlite.JDBC"); true }
     catch { case _: ClassNotFoundException => false }
+
+  /** (session, view) → "length|mtime" stamp of the .sqlite file the cached
+    * view was materialized from; a changed stamp replaces the view in place.
+    */
+  private[engine] val sqliteStamps =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   /** One progress tick of a running query (the reference streams these to a
     * user callback — chdb/__init__.py:173-217; rows_read/elapsed there map
     * to recordsRead/task counts here, the units Spark actually schedules).

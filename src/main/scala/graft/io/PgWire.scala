@@ -296,9 +296,13 @@ final class PgServer(
         }
         n
       }
-      // $n placeholders → bound text values as SQL literals (numbers raw,
-      // everything else single-quoted with '' escaping), skipping string
-      // literals so a quoted "$1" in data survives.
+      // $n placeholders → bound text values as SQL literals, skipping string
+      // literals so a quoted "$1" in data survives. Values are ALWAYS
+      // single-quoted (Spark coerces 'col = <string>' per the column type,
+      // matching PG's treatment of text parameters — injecting '007' bare
+      // would numeric-coerce a string comparison) and backslashes are
+      // doubled (Spark's default parser treats backslash as an escape in
+      // literals; PG with standard_conforming_strings=on does not).
       def bindParams(sql: String, params: IndexedSeq[Option[String]]): String = {
         val out = new java.lang.StringBuilder(sql.length + 16)
         var i = 0; var inStr = false
@@ -312,18 +316,37 @@ final class PgServer(
             val k = sql.substring(i + 1, j).toInt
             val lit = params.lift(k - 1).flatten match {
               case None => "NULL"
-              case Some(v) if v.matches("-?\\d+(\\.\\d+)?") => v
-              case Some(v) => "'" + v.replace("'", "''") + "'"
+              case Some(v) => "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
             }
             out.append(lit); i = j
           } else { out.append(c); i += 1 }
         }
         out.toString
       }
+      // highest $n outside string literals — what ParameterDescription owes
+      // a vendor client that Describes a parameterized statement
+      def countParams(sql: String): Int = {
+        var i = 0; var inStr = false; var mx = 0
+        while (i < sql.length) {
+          val c = sql.charAt(i)
+          if (inStr) { if (c == '\'') inStr = false; i += 1 }
+          else if (c == '\'') { inStr = true; i += 1 }
+          else if (c == '$' && i + 1 < sql.length && Character.isDigit(sql.charAt(i + 1))) {
+            var j = i + 1
+            while (j < sql.length && Character.isDigit(sql.charAt(j))) j += 1
+            mx = math.max(mx, sql.substring(i + 1, j).toInt); i = j
+          } else i += 1
+        }
+        mx
+      }
 
       val statements = scala.collection.mutable.Map.empty[String, String]
       // portal -> bound, ready-to-run SQL
       val portals = scala.collection.mutable.Map.empty[String, String]
+      // portal -> DataFrame already analyzed by Describe('P') — Execute
+      // reuses it instead of planning the same query twice (the default
+      // client pipeline is always Describe+Execute)
+      val portalDf = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.DataFrame]
       var skipUntilSync = false
       def extendedError(code: String, m: String): Unit = {
         errorResponse(code, m); skipUntilSync = true
@@ -390,28 +413,48 @@ final class PgServer(
                     extendedError("0A000", "binary result format not supported (text only)")
                   else {
                     portals(portal) = bindParams(sql, params.toIndexedSeq)
+                    portalDf.remove(portal) // new bind invalidates the analyzed plan
                     msg('2')(_ => ()) // BindComplete
                   }
               }
             case 'D' => // Describe 'S' statement | 'P' portal
               val kind = d.read().toChar
               val name = readCstr(d)
-              val sqlOpt = kind match {
-                case 'S' => statements.get(name)
-                  .map(s => bindParams(s, IndexedSeq.empty)) // params → NULL for analysis
-                case _ => portals.get(name)
-              }
-              sqlOpt match {
-                case None => extendedError("26000", s"no such ${if (kind == 'S') "statement" else "portal"} \"$name\"")
-                case Some(sql) =>
-                  if (kind == 'S') msg('t')(_.writeShort(0)) // ParameterDescription
-                  try {
-                    if (sql.trim.isEmpty) msg('n')(_ => ()) // NoData
-                    else sendRowDescription(gs.sql(identsToBackticks(sql)).schema.fields)
-                  } catch {
-                    case e: Throwable => extendedError("42601",
-                      Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
-                  }
+              kind match {
+                case 'S' => statements.get(name) match {
+                  case None => extendedError("26000", s"no such statement \"$name\"")
+                  case Some(raw) =>
+                    // real parameter count (a client that Describes a $1
+                    // statement refuses to Bind against a claimed 0)
+                    msg('t') { t =>
+                      val n = countParams(raw)
+                      t.writeShort(n)
+                      (1 to n).foreach(_ => t.writeInt(25)) // text oid
+                    }
+                    val sql = bindParams(raw, IndexedSeq.empty) // params → NULL for analysis
+                    try {
+                      if (sql.trim.isEmpty) msg('n')(_ => ()) // NoData
+                      else sendRowDescription(gs.sql(identsToBackticks(sql)).schema.fields)
+                    } catch {
+                      case e: Throwable => extendedError("42601",
+                        Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
+                    }
+                }
+                case _ => portals.get(name) match {
+                  case None => extendedError("34000", s"no such portal \"$name\"")
+                  case Some(sql) =>
+                    try {
+                      if (sql.trim.isEmpty) msg('n')(_ => ()) // NoData
+                      else {
+                        val df = gs.sql(identsToBackticks(sql))
+                        portalDf(name) = df // Execute reuses the analyzed plan
+                        sendRowDescription(df.schema.fields)
+                      }
+                    } catch {
+                      case e: Throwable => extendedError("42601",
+                        Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
+                    }
+                }
               }
             case 'E' => // Execute: portal, maxRows (0 = all; row-limit/suspend unsupported — stream all)
               val portal = readCstr(d)
@@ -422,7 +465,8 @@ final class PgServer(
                   try {
                     if (sql.trim.isEmpty) msg('I')(_ => ())
                     else {
-                      val n = sendRows(gs.sql(identsToBackticks(sql)))
+                      val df = portalDf.getOrElse(portal, gs.sql(identsToBackticks(sql)))
+                      val n = sendRows(df)
                       msg('C')(cstr(_, s"SELECT $n"))
                     }
                   } catch {
@@ -433,7 +477,8 @@ final class PgServer(
             case 'C' => // Close statement/portal
               val kind = d.read().toChar
               val name = readCstr(d)
-              if (kind == 'S') statements.remove(name) else portals.remove(name)
+              if (kind == 'S') statements.remove(name)
+              else { portals.remove(name); portalDf.remove(name) }
               msg('3')(_ => ()) // CloseComplete
             case 'H' => out.flush() // Flush
             case 'S' => // Sync: end of extended batch

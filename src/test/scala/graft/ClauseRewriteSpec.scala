@@ -99,6 +99,54 @@ class ClauseRewriteSpec extends SparkTestBase {
       Seq(("a.com", 3L), ("b.com", 2L)))
   }
 
+  test("clause keywords INSIDE string literals are data, not clauses (r16 review)") {
+    docs()
+    // PREWHERE as a literal value must survive verbatim
+    assert(g.sql("SELECT 'PREWHERE' AS k").head().getString(0) == "PREWHERE")
+    // LIMIT n BY inside a literal must not trigger the window wrap
+    val lit = g.sql("SELECT 'rate LIMIT 5 BY user' AS msg, id FROM cr_docs ORDER BY id")
+      .collect()
+    assert(lit.length == 6 && lit.forall(_.getString(0) == "rate LIMIT 5 BY user"))
+    // FROM-t-SAMPLE-n inside a literal must not become TABLESAMPLE
+    assert(g.sql("SELECT 'rows from t SAMPLE 5' AS note").head().getString(0) ==
+      "rows from t SAMPLE 5")
+  }
+
+  test("PREWHERE inside a subquery folds within its own scope (r16 review)") {
+    docs()
+    val ids = g.sql(
+      """SELECT id FROM (SELECT * FROM cr_docs PREWHERE score > 6.5) u
+         WHERE u.domain = 'a.com' ORDER BY id""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(1L, 2L))
+  }
+
+  test("a paren inside a string literal does not disable the LIMIT BY rewrite") {
+    docs()
+    val rows = g.sql(
+      """SELECT domain, id FROM cr_docs WHERE domain != ':-)'
+         ORDER BY score DESC, id LIMIT 1 BY domain""")
+      .collect().map(_.getLong(1)).toSet
+    assert(rows == Set(1L, 4L, 6L))
+  }
+
+  test("ordinal ORDER BY positions resolve against the projection (r16 review)") {
+    docs()
+    // ORDER BY 3 = score: a constant in the window spec would keep an
+    // arbitrary row; the resolved form must keep the best-scored per domain
+    val rows = g.sql(
+      "SELECT domain, id, score FROM cr_docs ORDER BY 3 DESC, 2 LIMIT 1 BY domain")
+      .collect().map(_.getLong(1)).toSeq
+    assert(rows == Seq(1L, 4L, 6L), rows.toString)
+    // on an aggregated query ordinals refuse loudly instead of silently
+    // ordering by a constant
+    val e = intercept[Exception] {
+      g.sql("""SELECT domain, COUNT(*) AS n FROM cr_docs
+               GROUP BY domain ORDER BY 2 DESC LIMIT 1 BY domain""").collect()
+    }
+    assert(e.getMessage.contains("ordinal"), e.getMessage)
+  }
+
   test("SAMPLE f becomes TABLESAMPLE percent; row counts are bounded") {
     spark.range(10000).toDF("n").createOrReplaceTempView("cr_big")
     val n = g.sql("SELECT n FROM cr_big SAMPLE 0.1").count()

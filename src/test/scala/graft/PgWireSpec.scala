@@ -280,6 +280,69 @@ class PgWireSpec extends SparkTestBase {
     }
   }
 
+  test("pg: bound parameters escape backslashes and keep text semantics (r16 review)") {
+    // 'C:\temp' must not become 'C:<TAB>emp' under Spark's backslash-escape
+    // parsing, and '007' bound against a STRING column must match only
+    // '007' (always-quoted text semantics), not numeric-coerce to 7
+    import spark.implicits._
+    Seq((1L, "C:\\temp"), (2L, "007"), (3L, "7")).toDF("k", "v")
+      .createOrReplaceTempView("pg_esc_t")
+    withServer() { server =>
+      val sock = new java.net.Socket("127.0.0.1", server.boundPort)
+      try {
+        val in = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(sock.getInputStream))
+        val out = new java.io.DataOutputStream(
+          new java.io.BufferedOutputStream(sock.getOutputStream))
+        def cstr(s: String): Array[Byte] = s.getBytes("UTF-8") :+ 0.toByte
+        def send(t: Char, body: Array[Byte]): Unit = {
+          out.writeByte(t); out.writeInt(body.length + 4); out.write(body); out.flush()
+        }
+        def recv(): (Char, Array[Byte]) = {
+          val t = in.read(); assert(t >= 0, "server closed early")
+          val len = in.readInt(); val b = new Array[Byte](len - 4)
+          in.readFully(b); (t.toChar, b)
+        }
+        val su = new java.io.ByteArrayOutputStream()
+        val sd = new java.io.DataOutputStream(su)
+        sd.writeInt(196608); sd.write(cstr("user")); sd.write(cstr("u")); sd.writeByte(0)
+        out.writeInt(su.size + 4); su.writeTo(out); out.flush()
+        assert(recv()._1 == 'R'); send('p', cstr("pw"))
+        var z = false
+        while (!z) if (recv()._1 == 'Z') z = true
+        def runParam(p: String): Seq[Long] = {
+          send('P', cstr("") ++ cstr("SELECT k FROM pg_esc_t WHERE v = $1 ORDER BY k")
+            ++ Array[Byte](0, 0))
+          val pb = new java.io.ByteArrayOutputStream()
+          val pd = new java.io.DataOutputStream(pb)
+          pd.write(cstr("")); pd.write(cstr(""))
+          pd.writeShort(0)
+          pd.writeShort(1); val vb = p.getBytes("UTF-8"); pd.writeInt(vb.length); pd.write(vb)
+          pd.writeShort(0)
+          send('B', pb.toByteArray)
+          send('E', cstr("") ++ Array[Byte](0, 0, 0, 0))
+          send('S', Array.emptyByteArray)
+          val ks = scala.collection.mutable.ArrayBuffer[Long]()
+          var zz = false
+          while (!zz) {
+            val (t, b) = recv()
+            if (t == 'E') fail("server errored: " + new String(b, "UTF-8"))
+            if (t == 'D') {
+              val d = new java.io.DataInputStream(new java.io.ByteArrayInputStream(b))
+              d.readShort(); val l = d.readInt(); val v = new Array[Byte](l); d.readFully(v)
+              ks += new String(v, "UTF-8").toLong
+            }
+            if (t == 'Z') zz = true
+          }
+          ks.toSeq
+        }
+        assert(runParam("C:\\temp") == Seq(1L), "backslash must survive binding")
+        assert(runParam("007") == Seq(2L), "leading zeros must keep text semantics")
+        assert(runParam("7") == Seq(3L))
+      } finally sock.close()
+    }
+  }
+
   test("pg: a bad query surfaces the server's ErrorResponse and the connection survives") {
     withServer() { server =>
       val conn = new graft.io.PgJdbcDriver().connect(
