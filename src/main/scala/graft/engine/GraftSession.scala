@@ -844,6 +844,20 @@ final class GraftSession(val spark: SparkSession) {
   private val sampleRe =
     ("(?i)\\b(FROM\\s+[\\w.`\"]+)((?:\\s+(?:AS\\s+)?[A-Za-z_]\\w*)?)" +
       "\\s+SAMPLE\\s+(\\d+(?:\\.\\d+)?)").r
+  // `FROM t [alias] FINAL` — ClickHouse's merge-collapse modifier for
+  // Replacing/Collapsing engines (reference core.py:7840 lists it among the
+  // clause keywords it tolerates). Our tables are exact — no deferred
+  // merges exist — so FINAL is the identity; accept and drop it. Anchored
+  // to a FROM table reference so a column named `final` is untouched.
+  private val finalRe =
+    ("(?i)\\b(FROM\\s+[\\w.`\"]+(?:\\s+(?:AS\\s+)?[A-Za-z_]\\w*)?)" +
+      "\\s+FINAL\\b").r
+  private def rewriteFinal(q: String): String =
+    finalRe.replaceAllIn(q, { m =>
+      scala.util.matching.Regex.quoteReplacement(
+        if (inLiteralAt(q, m.start)) m.matched else m.group(1))
+    })
+
   private def rewriteSample(q: String): String =
     sampleRe.replaceAllIn(q, { m =>
       if (inLiteralAt(q, m.start)) // 'from t sample 5' inside a string is data
@@ -863,9 +877,9 @@ final class GraftSession(val spark: SparkSession) {
   // then table-function call sites inside whatever the wrap produced.
   private def rewriteDialect(q: String): String =
     dateDiffQuotedUnit.replaceAllIn(
-      rewriteTableFns(rewriteLimitBy(rewriteSample(rewritePrewhere(
+      rewriteTableFns(rewriteLimitBy(rewriteSample(rewriteFinal(rewritePrewhere(
         trailingFormat.replaceFirstIn(
-          trailingSettings.replaceFirstIn(q, ""), ""))))), m => "dateDiffCH($1")
+          trailingSettings.replaceFirstIn(q, ""), "")))))), m => "dateDiffCH($1")
 
   /** Parameterized query — the reference's `{name:Type}` placeholders bound
     * via params= (reference chdb/__init__.py:145-160, README.md:276-289).

@@ -147,6 +147,16 @@ class ClauseRewriteSpec extends SparkTestBase {
     assert(e.getMessage.contains("ordinal"), e.getMessage)
   }
 
+  test("FROM t FINAL is accepted as the identity; a column named final is untouched") {
+    docs()
+    assert(g.sql("SELECT count(*) AS n FROM cr_docs FINAL").head().getLong(0) == 6L)
+    assert(g.sql("SELECT count(*) AS n FROM cr_docs AS d FINAL WHERE d.id > 0")
+      .head().getLong(0) == 6L)
+    // `final` as a projected alias/identifier must survive
+    assert(g.sql("SELECT id AS final FROM cr_docs ORDER BY final").count() == 6L)
+    assert(g.sql("SELECT 'FROM t FINAL' AS s").head().getString(0) == "FROM t FINAL")
+  }
+
   test("SAMPLE f becomes TABLESAMPLE percent; row counts are bounded") {
     spark.range(10000).toDF("n").createOrReplaceTempView("cr_big")
     val n = g.sql("SELECT n FROM cr_big SAMPLE 0.1").count()

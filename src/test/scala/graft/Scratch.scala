@@ -23,6 +23,46 @@ object Scratch {
     if (args.headOption.contains("tlsdrive")) { tlsDrive(g); g.spark.stop(); return }
     if (args.headOption.contains("bench1")) { bench1(args.drop(1)); g.spark.stop(); return }
     if (args.headOption.contains("bloomshuffle")) { bloomShuffle(g); g.spark.stop(); return }
+    if (args.headOption.contains("remotearrowbench")) {
+      // measure remote() payload framings on identical data: JSONEachRow
+      // (r15 transport) vs Arrow frames (r16 default) — same server, same
+      // 500k-row mixed-type table, executor-side fetch both ways
+      val spark = g.spark
+      import org.apache.spark.sql.Encoders
+      spark.range(500000).selectExpr(
+        "id", "CAST(id % 97 AS DOUBLE) / 7 AS d",
+        "repeat('x', 24) AS s",
+        "timestamp_seconds(1700000000 + id % 86400) AS ts",
+        "CAST(id AS DECIMAL(18,4)) / 3 AS dec")
+        .createOrReplaceTempView("rab_t")
+      val server = new graft.io.GraftServer(g).start()
+      try {
+        val base = Seq("database" -> "default", "table" -> "rab_t",
+          "user" -> "default", "password" -> "")
+        val hdr = graft.io.RemoteClient.fetchHeaderFields(
+          server.hostPort, ("op" -> "schema") +: base, None)
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(hdr("schema"))
+        val host = server.hostPort
+        def timed(label: String)(f: => Long): Unit = {
+          (1 to 3).foreach { i =>
+            val t0 = System.nanoTime()
+            val n = f
+            println(f"$label run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+          }
+        }
+        timed("json ") {
+          val lines = spark.createDataset(
+            spark.sparkContext.makeRDD(Seq(host), 1).mapPartitions(_.flatMap(h =>
+              graft.io.RemoteClient.fetchLines(h, ("op" -> "table") +: base, None))))(
+            Encoders.STRING)
+          spark.read.schema(schema).json(lines).count()
+        }
+        timed("arrow") {
+          graft.io.Sources.remote(spark, host, "default", "rab_t").count()
+        }
+      } finally server.stop()
+      g.spark.stop(); return
+    }
     if (args.headOption.contains("lbprobe")) {
       val df = g.sql("SELECT number % 3 AS g, number FROM numbers(30) ORDER BY number LIMIT 2 BY g")
       df.printSchema(); df.show(10, false)
