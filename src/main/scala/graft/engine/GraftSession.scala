@@ -858,6 +858,70 @@ final class GraftSession(val spark: SparkSession) {
         if (inLiteralAt(q, m.start)) m.matched else m.group(1))
     })
 
+  // `[LEFT] ARRAY JOIN items` — ClickHouse's explode clause (reference
+  // core.py:7840 tolerates it in its SQL scanner). Spark-first mapping:
+  //  - `ARRAY JOIN expr AS a`      → LATERAL VIEW explode(expr) … AS a
+  //  - `LEFT ARRAY JOIN …`         → explode_outer (empty arrays keep rows)
+  //  - `ARRAY JOIN col` (bare)     → the exploded value REPLACES the column
+  //    (ClickHouse semantics) via an EXCEPT re-projection wrap
+  //  - `ARRAY JOIN a AS x, b AS y` → element-wise ZIP (ClickHouse zips
+  //    parallel arrays, NOT a cartesian) via explode(arrays_zip(a, b))
+  // Literal-aware; the items list must be paren-balanced.
+  private val arrayJoinRe =
+    ("(?is)\\bFROM\\s+([\\w.`\"]+" +
+      "(?:\\s+(?:AS\\s+)?(?!(?:LEFT|ARRAY|INNER|CROSS|JOIN|WHERE|GROUP|ORDER" +
+      "|LIMIT|HAVING|UNION|ON|USING)\\b)[A-Za-z_]\\w*)?)" +
+      "\\s+(LEFT\\s+)?ARRAY\\s+JOIN\\s+(.+?)" +
+      "(?=\\s+(?:WHERE|GROUP\\s+BY|HAVING|ORDER\\s+BY|LIMIT|WINDOW|UNION" +
+      "|SETTINGS|FORMAT)\\b|\\s*;?\\s*$)").r
+  private def rewriteArrayJoin(q: String): String =
+    arrayJoinRe.replaceAllIn(q, { m =>
+      val items0 = m.group(3)
+      if (inLiteralAt(q, m.start) || !parenBalanced(items0))
+        scala.util.matching.Regex.quoteReplacement(m.matched)
+      else {
+        val tbl = m.group(1).trim
+        val explodeFn = if (m.group(2) != null) "explode_outer" else "explode"
+        val aliasRe = "(?is)^(.+?)\\s+AS\\s+([A-Za-z_]\\w*|`[^`]+`)\\s*$".r
+        val items = splitTopLevel(items0).map { it =>
+          aliasRe.findFirstMatchIn(it) match {
+            case Some(x) => (x.group(1).trim, Some(x.group(2)))
+            case None => (it.trim, None)
+          }
+        }
+        val repl = items match {
+          case Seq((expr, Some(a))) =>
+            s"FROM $tbl LATERAL VIEW $explodeFn($expr) __graft_ajt AS $a"
+          case Seq((col, None)) =>
+            require(col.matches("[A-Za-z_]\\w*|`[^`]+`"),
+              s"bare ARRAY JOIN needs a simple column (got '$col') — use AS for expressions")
+            val parts = tbl.split("\\s+")
+            val (tname, talias) =
+              if (parts.length > 1) (parts.head, parts.last)
+              else (tbl, "__graft_aj_t")
+            s"FROM (SELECT * EXCEPT (__graft_aj) FROM (SELECT * EXCEPT ($col), " +
+              s"__graft_aj AS $col FROM $tname LATERAL VIEW $explodeFn($col) " +
+              s"__graft_ajt AS __graft_aj) __graft_aj_in) $talias"
+          case multi =>
+            require(multi.forall(_._2.isDefined),
+              "multi-column ARRAY JOIN requires AS aliases on every item")
+            val zip = multi.map(_._1).mkString(", ")
+            val fields = multi.zipWithIndex.map { case ((e, aOpt), i) =>
+              // arrays_zip names struct fields after plain column refs;
+              // computed expressions get positional names
+              val f =
+                if (e.matches("[A-Za-z_]\\w*(\\.[A-Za-z_]\\w*)*"))
+                  e.split('.').last
+                else i.toString
+              s"__graft_aj.`$f` AS ${aOpt.get}"
+            }.mkString(", ")
+            s"FROM (SELECT * EXCEPT (__graft_aj), $fields FROM $tbl " +
+              s"LATERAL VIEW $explodeFn(arrays_zip($zip)) __graft_ajt AS __graft_aj) __graft_aj_w"
+        }
+        scala.util.matching.Regex.quoteReplacement(repl)
+      }
+    })
+
   private def rewriteSample(q: String): String =
     sampleRe.replaceAllIn(q, { m =>
       if (inLiteralAt(q, m.start)) // 'from t sample 5' inside a string is data
@@ -877,9 +941,9 @@ final class GraftSession(val spark: SparkSession) {
   // then table-function call sites inside whatever the wrap produced.
   private def rewriteDialect(q: String): String =
     dateDiffQuotedUnit.replaceAllIn(
-      rewriteTableFns(rewriteLimitBy(rewriteSample(rewriteFinal(rewritePrewhere(
-        trailingFormat.replaceFirstIn(
-          trailingSettings.replaceFirstIn(q, ""), "")))))), m => "dateDiffCH($1")
+      rewriteTableFns(rewriteLimitBy(rewriteArrayJoin(rewriteSample(rewriteFinal(
+        rewritePrewhere(trailingFormat.replaceFirstIn(
+          trailingSettings.replaceFirstIn(q, ""), ""))))))), m => "dateDiffCH($1")
 
   /** Parameterized query — the reference's `{name:Type}` placeholders bound
     * via params= (reference chdb/__init__.py:145-160, README.md:276-289).

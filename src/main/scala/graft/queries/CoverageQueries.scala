@@ -888,6 +888,20 @@ object CoverageQueries {
       } finally server.stop()
     }, Some("""SELECT o_orderkey, o_orderdate,
         CAST(o_totalprice AS DECIMAL(12,2)) AS price
-      FROM orders WHERE o_orderkey % 32 = 0 ORDER BY o_orderkey"""))
+      FROM orders WHERE o_orderkey % 32 = 0 ORDER BY o_orderkey""")),
+
+    QueryDef("q189_array_join", (s, dir) => {
+      // ClickHouse `ARRAY JOIN` on the raw-SQL surface (r16 — the explode
+      // clause the reference's scanner tolerates, core.py:7840): rewritten
+      // to LATERAL VIEW explode. The array is computed per row
+      // (sequence(1, k)) so DuckDB replays it exactly via range/UNNEST.
+      v(s, dir, "nation")
+      graft.engine.GraftSession(s).sql(
+        """SELECT n_nationkey, CAST(x AS BIGINT) AS x
+           FROM nation ARRAY JOIN sequence(1, n_nationkey % 3 + 1) AS x
+           ORDER BY n_nationkey, x""")
+    }, Some("""SELECT n_nationkey, CAST(t.x AS BIGINT) AS x
+      FROM nation, UNNEST(range(1, n_nationkey % 3 + 2)) AS t(x)
+      ORDER BY n_nationkey, x"""))
   )
 }

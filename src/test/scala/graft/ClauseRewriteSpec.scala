@@ -147,6 +147,43 @@ class ClauseRewriteSpec extends SparkTestBase {
     assert(e.getMessage.contains("ordinal"), e.getMessage)
   }
 
+  test("ARRAY JOIN explodes: AS alias, LEFT keeps empty rows, bare col replaces") {
+    Seq(
+      (1L, Seq(10, 20), Seq("a", "b")),
+      (2L, Seq(30), Seq("c")),
+      (3L, Seq.empty[Int], Seq.empty[String])
+    ).toDF("id", "xs", "ys").createOrReplaceTempView("aj_t")
+    // AS alias form → LATERAL VIEW explode
+    val basic = g.sql("SELECT id, v FROM aj_t ARRAY JOIN xs AS v ORDER BY id, v")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(basic == Seq((1L, 10), (1L, 20), (2L, 30)))
+    // LEFT keeps the empty-array row with a NULL element
+    val left = g.sql("SELECT id, v FROM aj_t LEFT ARRAY JOIN xs AS v ORDER BY id, v")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1 else r.getInt(1))).toSeq
+    assert(left == Seq((1L, 10), (1L, 20), (2L, 30), (3L, -1)))
+    // bare column: the exploded value REPLACES the column (CH semantics)
+    val bare = g.sql("SELECT id, xs FROM aj_t ARRAY JOIN xs ORDER BY id, xs")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(bare == Seq((1L, 10), (1L, 20), (2L, 30)))
+  }
+
+  test("multi-column ARRAY JOIN zips element-wise (not a cartesian)") {
+    Seq((1L, Seq(10, 20), Seq("a", "b"))).toDF("id", "xs", "ys")
+      .createOrReplaceTempView("aj_zip_t")
+    val rows = g.sql(
+      "SELECT id, x, y FROM aj_zip_t ARRAY JOIN xs AS x, ys AS y ORDER BY x")
+      .collect().map(r => (r.getInt(1), r.getString(2))).toSeq
+    assert(rows == Seq((10, "a"), (20, "b")), s"zip, not cartesian: $rows")
+    // expression item with mandatory alias
+    val expr = g.sql(
+      "SELECT id, v FROM aj_zip_t ARRAY JOIN sequence(1, 3) AS v ORDER BY v")
+      .collect().map(_.getInt(1)).toSeq
+    assert(expr == Seq(1, 2, 3))
+    // 'ARRAY JOIN' inside a string literal is data
+    assert(g.sql("SELECT 'FROM t ARRAY JOIN xs' AS s").head().getString(0) ==
+      "FROM t ARRAY JOIN xs")
+  }
+
   test("FROM t FINAL is accepted as the identity; a column named final is untouched") {
     docs()
     assert(g.sql("SELECT count(*) AS n FROM cr_docs FINAL").head().getLong(0) == 6L)
