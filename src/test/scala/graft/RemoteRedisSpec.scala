@@ -141,6 +141,20 @@ class RemoteRedisSpec extends SparkTestBase {
     } finally server.stop()
   }
 
+  test("remote: empty table over arrow framing returns an empty, typed frame") {
+    val gs = GraftSession(spark)
+    spark.range(0).selectExpr("id", "CAST(id AS DECIMAL(10,2)) AS d")
+      .createOrReplaceTempView("re_empty_t")
+    val server = new GraftServer(gs).start()
+    try {
+      val got = Sources.remote(spark, server.hostPort, "default", "re_empty_t")
+      assert(got.count() == 0)
+      assert(got.schema.map(_.dataType).toSeq ==
+        Seq(org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.DecimalType(10, 2)))
+    } finally server.stop()
+  }
+
   test("remote: server-side failure mid-stream raises, not a short result") {
     val gs = GraftSession(spark)
     spark.udf.register("boom_if", (x: Long) => { require(x < 5, "boom"); x })
