@@ -97,6 +97,15 @@ final class GraftServer(
 
   private def handle(sock: Socket): Unit = {
     try {
+      // same-cluster slot starvation (as with PgServer/MyServer): this
+      // handler's Spark jobs (toLocalIterator / arrow chunk pulls) share
+      // the scheduler with the remote() fetch tasks pointed at this server;
+      // shards >= free task slots can deadlock. Served jobs run in a
+      // dedicated pool (effective under FAIR mode); otherwise cap the
+      // reader's shard fan-out below the executor slot count or serve from
+      // a cluster that is not also the reader.
+      gs.spark.sparkContext.setLocalProperty(
+        "spark.scheduler.pool", "graft-wire-server")
       sock.setTcpNoDelay(true)
       val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
       val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream, 1 << 16))

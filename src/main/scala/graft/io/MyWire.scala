@@ -53,8 +53,12 @@ object MyWire {
   val TypeDate = 0x0a
   val TypeDatetime = 0x0c
   val TypeNewDecimal = 0xf6
+  val TypeTinyBlob = 0xf9
+  val TypeMediumBlob = 0xfa
+  val TypeLongBlob = 0xfb
   val TypeBlob = 0xfc
   val TypeVarString = 0xfd
+  val TypeString = 0xfe
 
   /** Protocol charset ids: utf8_general_ci for text, `binary` (63) for
     * BLOB columns — the charset, not the type byte, is what distinguishes
@@ -110,7 +114,12 @@ object MyWire {
     */
   def jdbcType(t: Int, length: Long, decimals: Int,
       charset: Int = CharsetUtf8): (Int, String, Int, Int, Boolean) = t match {
-    case TypeBlob if charset == CharsetBinary =>
+    // the WHOLE string/blob family is binary when the charset says so: a
+    // real server sends VARBINARY as 0xfd, BINARY as 0xfe, TINY/MEDIUM/
+    // LONGBLOB as 0xf9-0xfb — all with charset 63; checking only 0xfc
+    // would UTF-8-mangle the rest (r16 review)
+    case TypeTinyBlob | TypeMediumBlob | TypeLongBlob | TypeBlob |
+         TypeVarString | TypeString if charset == CharsetBinary =>
       (Types.LONGVARBINARY, "BLOB", 0, 0, false)
     case TypeTiny if length == 1 => (Types.BIT, "BIT", 1, 0, false)
     case TypeTiny => (Types.TINYINT, "TINYINT", 3, 0, true)
@@ -144,29 +153,47 @@ object MyWire {
 
   // ---- packet-level io helpers shared by server and client ----
 
+  /** Write one logical payload, splitting at the protocol's 16MB-1 frame
+    * cap like a real server: each full 0xFFFFFF chunk is followed by a
+    * continuation packet (a trailing EXACT-multiple payload gets an empty
+    * terminator packet, per the documented splitting rule). Returns the
+    * next sequence number.
+    */
   private[io] def writePacket(out: DataOutputStream, seq: Int,
-      payload: Array[Byte]): Unit = {
-    // the 3-byte length caps a packet at 16 MB - 1; real servers split
-    // larger payloads across continuation packets — this surface serves
-    // result rows, which a 16 MB cell would not be a sane shape for
-    require(payload.length < 0xFFFFFF,
-      s"mysql packet too large (${payload.length} bytes; 16MB protocol frame)")
-    out.write(payload.length & 0xFF)
-    out.write((payload.length >> 8) & 0xFF)
-    out.write((payload.length >> 16) & 0xFF)
-    out.write(seq & 0xFF)
-    out.write(payload)
+      payload: Array[Byte]): Int = {
+    var off = 0; var s = seq
+    var continue = true
+    while (continue) {
+      val n = math.min(payload.length - off, 0xFFFFFF)
+      out.write(n & 0xFF)
+      out.write((n >> 8) & 0xFF)
+      out.write((n >> 16) & 0xFF)
+      out.write(s & 0xFF)
+      out.write(payload, off, n)
+      off += n; s += 1
+      continue = n == 0xFFFFFF // exact multiple → one final empty packet
+    }
+    s
   }
 
-  /** (sequence, payload); throws at EOF. */
+  /** (next sequence, payload) — reassembles continuation packets (a
+    * 0xFFFFFF-length frame means more follows); throws at EOF.
+    */
   private[io] def readPacket(in: DataInputStream): (Int, Array[Byte]) = {
-    val b0 = in.read(); val b1 = in.read(); val b2 = in.read()
-    if (b0 < 0 || b1 < 0 || b2 < 0) throw new SQLException("mysql stream closed")
-    val len = b0 | (b1 << 8) | (b2 << 16)
-    val seq = in.read()
-    val body = new Array[Byte](len)
-    in.readFully(body)
-    (seq, body)
+    val out = new ByteArrayOutputStream(64)
+    var seq = 0
+    var more = true
+    while (more) {
+      val b0 = in.read(); val b1 = in.read(); val b2 = in.read()
+      if (b0 < 0 || b1 < 0 || b2 < 0) throw new SQLException("mysql stream closed")
+      val len = b0 | (b1 << 8) | (b2 << 16)
+      seq = in.read()
+      val body = new Array[Byte](len)
+      in.readFully(body)
+      out.write(body)
+      more = len == 0xFFFFFF
+    }
+    (seq + 1, out.toByteArray)
   }
 
   private[io] def lenencInt(d: DataOutputStream, v: Long): Unit =
@@ -240,7 +267,9 @@ final class MyServer(
         "spark.scheduler.pool", "graft-wire-server")
       val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
       val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
-      def packet(seq: Int)(body: DataOutputStream => Unit): Unit = {
+      // returns the NEXT sequence number: a >=16MB payload spans several
+      // frames and each frame consumes one sequence slot
+      def packet(seq: Int)(body: DataOutputStream => Unit): Int = {
         val buf = new ByteArrayOutputStream(64)
         body(new DataOutputStream(buf))
         writePacket(out, seq, buf.toByteArray)
@@ -323,7 +352,6 @@ final class MyServer(
           case 0x03 => // COM_QUERY
             val sql = new String(cmd, 1, cmd.length - 1, UTF_8)
             var seq = 1
-            def next(): Int = { val s = seq; seq += 1; s }
             try {
               val df = gs.sql(sql) // backtick idents are Spark-native
               val fields = df.schema.fields
@@ -331,9 +359,9 @@ final class MyServer(
               // resultset bytes: a mid-stream throw after the column-count
               // packet would corrupt the framing instead of sending ERR
               val fieldMeta = fields.map(f => (f, myType(f.dataType)))
-              packet(next())(lenencInt(_, fields.length.toLong))
+              seq = packet(seq)(lenencInt(_, fields.length.toLong))
               fieldMeta.foreach { case (f, (t, len, dec)) =>
-                packet(next()) { d =>
+                seq = packet(seq) { d =>
                   lenencStr(d, "def"); lenencStr(d, "graft") // catalog, schema
                   lenencStr(d, ""); lenencStr(d, "") // table, org_table
                   lenencStr(d, f.name); lenencStr(d, f.name)
@@ -348,11 +376,11 @@ final class MyServer(
                   d.write(0); d.write(0) // filler
                 }
               }
-              eof(next())
+              eof(seq); seq += 1
               val it = df.toLocalIterator()
               while (it.hasNext) {
                 val row = it.next()
-                packet(next()) { d =>
+                seq = packet(seq) { d =>
                   var i = 0
                   while (i < fields.length) {
                     if (row.isNullAt(i)) d.write(0xfb)
@@ -365,10 +393,10 @@ final class MyServer(
                   }
                 }
               }
-              eof(next())
+              eof(seq); seq += 1
             } catch {
               case e: Throwable =>
-                err(next(), 1064, "42000",
+                err(seq, 1064, "42000",
                   Option(e.getMessage).getOrElse(e.getClass.getName))
             }
             out.flush()
@@ -596,7 +624,7 @@ private[io] final class MyClientConnection(
             }).toInt
             val b = new Array[Byte](n); d.readFully(b)
             row(i) =
-              if (binCols(i)) "\\x" + b.map(x => f"${x & 0xFF}%02x").mkString
+              if (binCols(i)) WireJdbc.hexBytea(b)
               else new String(b, UTF_8)
           }
           i += 1

@@ -98,8 +98,7 @@ object PgWire {
       // back or Timestamp.valueOf on the client side rejects the value
       val s = ldt.toString.replace('T', ' ')
       if (s.length == 16) s + ":00" else s
-    case bytes: Array[Byte] => // PG bytea hex form
-      "\\x" + bytes.map(b => f"${b & 0xFF}%02x").mkString
+    case bytes: Array[Byte] => WireJdbc.hexBytea(bytes) // PG bytea hex form
     case other => other.toString // Date/Timestamp toString match PG text form
   }
 
@@ -305,11 +304,13 @@ final class PgServer(
       // literals; PG with standard_conforming_strings=on does not).
       def bindParams(sql: String, params: IndexedSeq[Option[String]]): String = {
         val out = new java.lang.StringBuilder(sql.length + 16)
-        var i = 0; var inStr = false
+        var i = 0; var inStr = false; var inIdent = false
         while (i < sql.length) {
           val c = sql.charAt(i)
           if (inStr) { if (c == '\'') inStr = false; out.append(c); i += 1 }
+          else if (inIdent) { if (c == '"') inIdent = false; out.append(c); i += 1 }
           else if (c == '\'') { inStr = true; out.append(c); i += 1 }
+          else if (c == '"') { inIdent = true; out.append(c); i += 1 } // "a$1" is a column name
           else if (c == '$' && i + 1 < sql.length && Character.isDigit(sql.charAt(i + 1))) {
             var j = i + 1
             while (j < sql.length && Character.isDigit(sql.charAt(j))) j += 1
@@ -326,11 +327,13 @@ final class PgServer(
       // highest $n outside string literals — what ParameterDescription owes
       // a vendor client that Describes a parameterized statement
       def countParams(sql: String): Int = {
-        var i = 0; var inStr = false; var mx = 0
+        var i = 0; var inStr = false; var inIdent = false; var mx = 0
         while (i < sql.length) {
           val c = sql.charAt(i)
           if (inStr) { if (c == '\'') inStr = false; i += 1 }
+          else if (inIdent) { if (c == '"') inIdent = false; i += 1 }
           else if (c == '\'') { inStr = true; i += 1 }
+          else if (c == '"') { inIdent = true; i += 1 }
           else if (c == '$' && i + 1 < sql.length && Character.isDigit(sql.charAt(i + 1))) {
             var j = i + 1
             while (j < sql.length && Character.isDigit(sql.charAt(j))) j += 1
@@ -349,7 +352,12 @@ final class PgServer(
       val portalDf = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.DataFrame]
       var skipUntilSync = false
       def extendedError(code: String, m: String): Unit = {
-        errorResponse(code, m); skipUntilSync = true
+        errorResponse(code, m)
+        // flush NOW: a Flush-and-wait client (libpq pipeline mode, the
+        // legal Parse/Bind/Flush pattern) blocks on this ErrorResponse
+        // while we block reading — mutual deadlock if it sits buffered
+        out.flush()
+        skipUntilSync = true
       }
 
       var open = true
@@ -361,7 +369,10 @@ final class PgServer(
           val body = new Array[Byte](len - 4)
           in.readFully(body)
           val d = new DataInputStream(new java.io.ByteArrayInputStream(body))
-          if (skipUntilSync && t != 'S' && t != 'X') { /* discard until Sync */ }
+          // per spec, an extended-mode error discards messages until Sync —
+          // but Flush must still flush (a pipelining client may be waiting
+          // on the ErrorResponse behind it)
+          if (skipUntilSync && t != 'S' && t != 'X' && t != 'H') { /* discard */ }
           else t match {
             case 'Q' =>
               val sql = new String(body.takeWhile(_ != 0), UTF_8)

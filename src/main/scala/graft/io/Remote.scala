@@ -253,14 +253,22 @@ object RemoteClient extends Serializable {
 
   /** Distributed fetch+decode: one task per shard, frames decoded INSIDE the
     * partition task (no text round trip — timestamps/decimals/binary arrive
-    * type-exact), falling back to the JSONEachRow framing when the server
-    * predates the arrow mode (no "arrow" capability in its header).
+    * type-exact), falling back to the JSONEachRow framing when any server
+    * predates the arrow mode. Capability is negotiated across the WHOLE
+    * fleet (one header round trip per extra shard): during a rolling
+    * upgrade a mixed shard list must keep reading — via JSON — rather than
+    * hard-fail the pre-arrow shards with a version-skew error (r16 review).
     */
   private def shardedRead(spark: SparkSession, shards: Seq[String],
-      header: Map[String, String], payloadFields: Seq[(String, String)],
-      tls: Option[Tls]): DataFrame = {
+      header: Map[String, String], probeFields: Seq[(String, String)],
+      payloadFields: Seq[(String, String)], tls: Option[Tls]): DataFrame = {
     val schema = StructType.fromDDL(header.getOrElse("schema", ""))
-    if (header.get("arrow").contains("true")) {
+    val fleetArrow = header.get("arrow").contains("true") &&
+      shards.tail.forall { h =>
+        try fetchHeaderFields(h, probeFields, tls).get("arrow").contains("true")
+        catch { case _: Exception => false }
+      }
+    if (fleetArrow) {
       val rows = spark.sparkContext
         .makeRDD(shards, shards.size)
         .mapPartitions(_.flatMap(h =>
@@ -286,7 +294,8 @@ object RemoteClient extends Serializable {
     val base = Seq("database" -> database, "table" -> table,
       "user" -> user, "password" -> password)
     val hdr = fetchHeaderFields(shards.head, ("op" -> "schema") +: base, tls)
-    shardedRead(spark, shards, hdr, ("op" -> "table") +: base, tls)
+    shardedRead(spark, shards, hdr, ("op" -> "schema") +: base,
+      ("op" -> "table") +: base, tls)
   }
 
   /** Remote SQL execution (pushdown path); result typed from the header DDL. */
@@ -298,6 +307,6 @@ object RemoteClient extends Serializable {
     val base = Seq("op" -> "query", "sql" -> sql,
       "user" -> user, "password" -> password)
     val hdr = fetchHeaderFields(shards.head, ("op" -> "query_schema") +: base.tail, tls)
-    shardedRead(spark, shards, hdr, base, tls)
+    shardedRead(spark, shards, hdr, ("op" -> "query_schema") +: base.tail, base, tls)
   }
 }

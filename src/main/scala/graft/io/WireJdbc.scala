@@ -20,6 +20,34 @@ private[io] object WireJdbc {
   final case class ColInfo(name: String, jdbcType: Int, typeName: String,
       precision: Int, scale: Int, signed: Boolean)
 
+  /** The facade's lossless text carrier for binary values — PG's bytea hex
+    * form ("\x" + lowercase pairs), shared by both wire clients and
+    * [[PgWire.render]]. Table-driven: the per-byte format-interpolator
+    * alternative allocates a Formatter per byte on the row-decode hot path.
+    */
+  private val hexDigits = "0123456789abcdef".toCharArray
+  private[io] def hexBytea(b: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(2 + b.length * 2)
+    sb.append('\\').append('x')
+    var i = 0
+    while (i < b.length) {
+      val v = b(i) & 0xFF
+      sb.append(hexDigits(v >> 4)).append(hexDigits(v & 0xF))
+      i += 1
+    }
+    sb.toString
+  }
+  private[io] def unhexBytea(s: String): Array[Byte] = {
+    val out = new Array[Byte]((s.length - 2) / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((Character.digit(s.charAt(2 + i * 2), 16) << 4) |
+        Character.digit(s.charAt(3 + i * 2), 16)).toByte
+      i += 1
+    }
+    out
+  }
+
   private[io] def proxy[T](iface: Class[T])(
       pf: PartialFunction[(String, Array[AnyRef]), AnyRef]): T =
     java.lang.reflect.Proxy.newProxyInstance(
@@ -181,8 +209,7 @@ private[io] object WireJdbc {
       case ("getBytes", args) =>
         val v = value(args(0).asInstanceOf[Int])
         if (v == null) null
-        else if (v.startsWith("\\x")) // PG bytea text form
-          v.drop(2).grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+        else if (v.startsWith("\\x")) unhexBytea(v) // PG bytea text form
         else v.getBytes(UTF_8)
       case ("getMetaData", _) => metaData
       case ("close", _) => closeResult(); null

@@ -130,6 +130,42 @@ class MyWireSpec extends SparkTestBase {
     }
   }
 
+  test("mysql: a >16MB BLOB spans continuation packets and round-trips (r16 review)") {
+    // one row whose packet exceeds the protocol's 0xFFFFFF frame cap: the
+    // server must split like a real server (full frame + continuation) and
+    // the client must reassemble — the r16-as-shipped code threw mid-stream
+    val n = 17 * 1024 * 1024
+    val big = Array.tabulate[Byte](n)(i => (i * 131 + (i >> 13)).toByte)
+    spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(1L, big)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("bin",
+          org.apache.spark.sql.types.BinaryType))))
+      .createOrReplaceTempView("my_bigblob_t")
+    withServer() { server =>
+      val got = Sources.jdbc(spark, s"jdbc:mysql://${server.hostPort}/db",
+        "my_bigblob_t", Map("user" -> "u", "password" -> "pw")).head()
+      val gb = got.getAs[Array[Byte]](1)
+      assert(gb.length == n, s"got ${gb.length} bytes")
+      assert(java.util.Arrays.equals(gb, big), "byte-exact across frame splits")
+    }
+  }
+
+  test("mysql: jdbcType maps the whole binary-charset family, not just 0xfc") {
+    // a REAL server sends VARBINARY as 0xfd, BINARY as 0xfe, TINY/MEDIUM/
+    // LONGBLOB as 0xf9-0xfb — all charset 63; text charsets stay VARCHAR
+    for (t <- Seq(MyWire.TypeTinyBlob, MyWire.TypeMediumBlob,
+        MyWire.TypeLongBlob, MyWire.TypeBlob, MyWire.TypeVarString,
+        MyWire.TypeString)) {
+      assert(MyWire.jdbcType(t, 255, 0, MyWire.CharsetBinary)._1 ==
+        java.sql.Types.LONGVARBINARY, s"type 0x${t.toHexString} + binary charset")
+    }
+    assert(MyWire.jdbcType(MyWire.TypeBlob, 255, 0, MyWire.CharsetUtf8)._1 ==
+      java.sql.Types.VARCHAR, "TEXT (0xfc + utf8) stays a string")
+  }
+
   test("mysql: nested columns are still rejected clearly") {
     spark.sql("SELECT array(1, 2) AS a").createOrReplaceTempView("my_arr_t")
     withServer() { server =>

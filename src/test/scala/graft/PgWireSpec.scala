@@ -343,6 +343,61 @@ class PgWireSpec extends SparkTestBase {
     }
   }
 
+  test("pg: $n inside a double-quoted identifier is a name, not a parameter (r16 review)") {
+    // Spark's PostgresDialect double-quotes every identifier, and Spark
+    // permits $ in column names — "a$1" must survive extended-mode binding
+    import spark.implicits._
+    Seq((1L, "x")).toDF("k", "a$1").createOrReplaceTempView("pg_dollar_t")
+    withServer() { server =>
+      val got = Sources.jdbc(spark,
+        s"jdbc:postgresql://${server.hostPort}/db?preferQueryMode=extended",
+        "pg_dollar_t", Map("user" -> "u", "password" -> "pw")).head()
+      assert(got.getLong(0) == 1L && got.getString(1) == "x")
+    }
+  }
+
+  test("pg: failed Bind + Flush delivers the ErrorResponse without Sync (r16 review)") {
+    // the legal Parse/Bind/Flush wait pattern (libpq pipeline mode): an
+    // unflushed buffered ErrorResponse would deadlock client and server
+    withServer() { server =>
+      val sock = new java.net.Socket("127.0.0.1", server.boundPort)
+      try {
+        sock.setSoTimeout(5000) // fail the test instead of hanging forever
+        val in = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(sock.getInputStream))
+        val out = new java.io.DataOutputStream(
+          new java.io.BufferedOutputStream(sock.getOutputStream))
+        def cstr(s: String): Array[Byte] = s.getBytes("UTF-8") :+ 0.toByte
+        def send(t: Char, body: Array[Byte]): Unit = {
+          out.writeByte(t); out.writeInt(body.length + 4); out.write(body); out.flush()
+        }
+        def recv(): (Char, Array[Byte]) = {
+          val t = in.read(); assert(t >= 0, "server closed early")
+          val len = in.readInt(); val b = new Array[Byte](len - 4)
+          in.readFully(b); (t.toChar, b)
+        }
+        val su = new java.io.ByteArrayOutputStream()
+        val sd = new java.io.DataOutputStream(su)
+        sd.writeInt(196608); sd.write(cstr("user")); sd.write(cstr("u")); sd.writeByte(0)
+        out.writeInt(su.size + 4); su.writeTo(out); out.flush()
+        assert(recv()._1 == 'R'); send('p', cstr("pw"))
+        var z = false
+        while (!z) if (recv()._1 == 'Z') z = true
+        // Bind against a statement that does not exist, then Flush and WAIT
+        val pb = new java.io.ByteArrayOutputStream()
+        val pd = new java.io.DataOutputStream(pb)
+        pd.write(cstr("")); pd.write(cstr("nope"))
+        pd.writeShort(0); pd.writeShort(0); pd.writeShort(0)
+        send('B', pb.toByteArray)
+        send('H', Array.emptyByteArray) // Flush — no Sync yet
+        val (t1, _) = recv()
+        assert(t1 == 'E', s"expected ErrorResponse before Sync, got '$t1'")
+        send('S', Array.emptyByteArray)
+        assert(recv()._1 == 'Z')
+      } finally sock.close()
+    }
+  }
+
   test("pg: a bad query surfaces the server's ErrorResponse and the connection survives") {
     withServer() { server =>
       val conn = new graft.io.PgJdbcDriver().connect(

@@ -141,6 +141,38 @@ class RemoteRedisSpec extends SparkTestBase {
     } finally server.stop()
   }
 
+  test("remote: mixed-version fleet (arrow + pre-arrow shard) falls back to JSON (r16 review)") {
+    // rolling-upgrade shape: shards.head speaks arrow, another shard is a
+    // pre-r16 JSON-only server — the read must negotiate DOWN to JSON for
+    // the whole fleet, not version-skew-fail the old shard
+    val gs = GraftSession(spark)
+    spark.range(3).toDF("id").createOrReplaceTempView("mix_t")
+    val real = new GraftServer(gs).start()
+    // fake pre-arrow server: ok header WITHOUT the arrow capability,
+    // correct JSONEachRow payload + eof trailer
+    val ss = new java.net.ServerSocket(0, 4, java.net.InetAddress.getLoopbackAddress)
+    val t = new Thread(() => {
+      try while (true) {
+        val s = ss.accept()
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(s.getInputStream))
+        in.readLine() // request (op=schema probe or op=table payload — same reply)
+        val out = s.getOutputStream
+        out.write(("{\"ok\":true,\"proto\":\"2\",\"schema\":\"id BIGINT\"}\n" +
+          "{\"id\":100}\n{\"id\":101}\n" +
+          "\n{\"eof\":true,\"rows\":2}\n").getBytes("UTF-8"))
+        out.flush(); s.close()
+      } catch { case _: Throwable => /* server socket closed */ }
+    })
+    t.setDaemon(true); t.start()
+    try {
+      val got = Sources.remote(spark,
+        s"${real.hostPort},127.0.0.1:${ss.getLocalPort}", "default", "mix_t")
+      val ids = got.collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(0L, 1L, 2L, 100L, 101L), ids.toString)
+    } finally { real.stop(); ss.close() }
+  }
+
   test("remote: empty table over arrow framing returns an empty, typed frame") {
     val gs = GraftSession(spark)
     spark.range(0).selectExpr("id", "CAST(id AS DECIMAL(10,2)) AS d")
