@@ -40,6 +40,16 @@ final case class GraftFrame(df: DataFrame) {
   def addSuffix(s: String): GraftFrame =
     GraftFrame(df.toDF(df.columns.map(_ + s).toIndexedSeq: _*))
 
+  /** pandas df.replace({col: {old: new}}) — exact value substitution as a
+    * chained CASE (reference lazy_ops.py:543 value-replace): unmatched
+    * values pass through unchanged.
+    */
+  def replaceValues(column: String, mapping: Map[Any, Any]): GraftFrame =
+    GraftFrame(df.withColumn(column,
+      mapping.foldLeft(col(column)) { case (acc, (from, to)) =>
+        when(col(column) === lit(from), lit(to)).otherwise(acc)
+      }))
+
   /** astype: per-column casts (reference lazy_ops.py:720 LazyAsType). */
   def astype(casts: (String, String)*): GraftFrame =
     GraftFrame(casts.foldLeft(df) { case (d, (c, t)) => d.withColumn(c, col(c).cast(t)) })

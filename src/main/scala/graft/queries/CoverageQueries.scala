@@ -902,6 +902,26 @@ object CoverageQueries {
            ORDER BY n_nationkey, x""")
     }, Some("""SELECT n_nationkey, CAST(t.x AS BIGINT) AS x
       FROM nation, UNNEST(range(1, n_nationkey % 3 + 2)) AS t(x)
-      ORDER BY n_nationkey, x"""))
+      ORDER BY n_nationkey, x""")),
+
+    QueryDef("q190_rename_replace", (s, dir) => {
+      // §2.B's last spec-only row made oracle-checkable (r16): the pandas
+      // column/value transform chain — rename, value replace (chained CASE,
+      // reference lazy_ops.py:522/543), drop, add_prefix — through the
+      // public GraftFrame surface, aggregated so DuckDB replays it exactly.
+      import org.apache.spark.sql.functions._
+      val f = GraftFrame(Q.t(s, dir, "orders"))
+        .rename("o_orderstatus" -> "status")
+        .replaceValues("status", Map("O" -> "OPEN", "F" -> "FILLED", "P" -> "PARTIAL"))
+        .drop("o_comment", "o_clerk")
+        .addPrefix("t_")
+      f.df.groupBy("t_status")
+        .agg(count(lit(1)).as("n"), max(col("t_o_orderpriority")).as("top_pri"))
+        .orderBy("t_status")
+    }, Some("""SELECT
+        CASE o_orderstatus WHEN 'O' THEN 'OPEN' WHEN 'F' THEN 'FILLED'
+          WHEN 'P' THEN 'PARTIAL' ELSE o_orderstatus END AS t_status,
+        COUNT(*) AS n, MAX(o_orderpriority) AS top_pri
+      FROM orders GROUP BY 1 ORDER BY t_status"""))
   )
 }

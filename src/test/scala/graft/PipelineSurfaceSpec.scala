@@ -22,6 +22,20 @@ class PipelineSurfaceSpec extends SparkTestBase {
 
   // ------------------------------------------------ frame-method surface
 
+  test("frame: replaceValues substitutes exact values, pass-through otherwise") {
+    val f = GraftFrame(Seq(("O", 1), ("F", 2), ("X", 3), (null, 4))
+      .toDF("st", "k"))
+      .replaceValues("st", Map("O" -> "OPEN", "F" -> "FILLED"))
+    val got = f.df.orderBy("k").collect().map(r =>
+      if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(got == Seq("OPEN", "FILLED", "X", null))
+    // numeric mapping too
+    val g = GraftFrame(Seq(1, 2, 3).toDF("v"))
+      .replaceValues("v", Map(2 -> 20))
+      .df.orderBy("v").collect().map(_.getInt(0)).toSeq
+    assert(g == Seq(1, 3, 20))
+  }
+
   test("frame: dedupExact/dedupGroups delegate to Dedup") {
     val keyed = docs.withColumn("key", substring(col("text"), 1, 40))
     assert(rows(GraftFrame(keyed).dedupExact("key", "doc_id").df.select("doc_id"))
