@@ -17,7 +17,7 @@ import graft.functions.GraftFunctions
   *   - expose table registration so SQL can name parquet tables directly
   *     (the reference's `file()` table function, table_functions.py:123-207)
   */
-final class GraftSession(val spark: SparkSession) {
+final class GraftSession(val spark: SparkSession) extends DialectWave2 {
   GraftFunctions.register(spark)
 
   /** Raw SQL entry point (ClickHouse-alias dialect accepted).
@@ -542,7 +542,7 @@ final class GraftSession(val spark: SparkSession) {
     name
   }
 
-  private def rewriteTableFns(q: String): String =
+  private[engine] def rewriteTableFns(q: String): String =
     systemNumbers.replaceAllIn(rewriteCallSites(q),
       "(SELECT id AS number FROM range(8589934592))")
 
@@ -578,7 +578,7 @@ final class GraftSession(val spark: SparkSession) {
   /** Paren balance of SQL text, ignoring parens inside '…'/`…` quoting —
     * a smiley in a string literal must not read as an unbalanced paren.
     */
-  private def parenBalanced(s: String): Boolean = {
+  private[engine] def parenBalanced(s: String): Boolean = {
     var d = 0; var i = 0; var inStr = false; var inTick = false
     while (i < s.length) {
       val c = s.charAt(i)
@@ -616,7 +616,7 @@ final class GraftSession(val spark: SparkSession) {
     d == 0 && !inStr && !inTick
   }
   /** Is `pos` inside a '…'/`…` quoted region? */
-  private def inLiteralAt(s: String, pos: Int): Boolean = {
+  private[engine] def inLiteralAt(s: String, pos: Int): Boolean = {
     var i = 0; var inStr = false; var inTick = false
     while (i < pos && i < s.length) {
       val c = s.charAt(i)
@@ -630,7 +630,7 @@ final class GraftSession(val spark: SparkSession) {
   }
   /** Index of the first top-level (paren-depth-0, outside '…'/`…` quoting)
     * occurrence of the keyword, or -1. */
-  private def topLevelKeyword(s: String, kw: String): Int = {
+  private[engine] def topLevelKeyword(s: String, kw: String): Int = {
     val u = s.toUpperCase(java.util.Locale.ROOT)
     val k = kw.toUpperCase(java.util.Locale.ROOT)
     def isWordChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
@@ -655,7 +655,7 @@ final class GraftSession(val spark: SparkSession) {
     -1
   }
   /** Split on top-level commas (outside parens and quotes). */
-  private def splitTopLevel(s: String): Seq[String] = {
+  private[engine] def splitTopLevel(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var d = 0; var i = 0; var start = 0; var inStr = false; var inTick = false
     while (i < s.length) {
@@ -937,13 +937,20 @@ final class GraftSession(val spark: SparkSession) {
 
   // PREWHERE folds and SAMPLE rewrites FIRST (they precede LIMIT BY in
   // clause order; folding later would let prewhereCombinedRe match the
-  // WHERE the LIMIT BY wrap itself generates), then the LIMIT BY wrap,
-  // then table-function call sites inside whatever the wrap produced.
+  // WHERE the LIMIT BY wrap itself generates). Join-shape rewrites
+  // (strictness/GLOBAL/ASOF/ANY — DialectWave2) run before the clause
+  // wraps so their generated subqueries are wrapped like any other FROM;
+  // star modifiers expand before LIMIT BY/WITH FILL so those see plain
+  // projections; table-function call sites resolve last, inside whatever
+  // the wraps produced.
   private def rewriteDialect(q: String): String =
     dateDiffQuotedUnit.replaceAllIn(
-      rewriteTableFns(rewriteLimitBy(rewriteArrayJoin(rewriteSample(rewriteFinal(
-        rewritePrewhere(trailingFormat.replaceFirstIn(
-          trailingSettings.replaceFirstIn(q, ""), ""))))))), m => "dateDiffCH($1")
+      rewriteTableFns(rewriteWithFill(rewriteLimitBy(rewriteStarModifiers(
+        rewriteWithTotals(rewriteArrayJoin(rewriteAnyJoin(rewriteAsofJoin(
+          dropGlobal(normalizeJoinStrictness(rewriteSample(rewriteFinal(
+            rewritePrewhere(trailingFormat.replaceFirstIn(
+              trailingSettings.replaceFirstIn(q, ""), "")))))))))))))),
+      m => "dateDiffCH($1")
 
   /** Parameterized query — the reference's `{name:Type}` placeholders bound
     * via params= (reference chdb/__init__.py:145-160, README.md:276-289).

@@ -31,9 +31,10 @@ object AsOfJoin {
       rightTs: String,
       rightCols: Seq[String],
       tsOut: String = "__asof_ts",
-      toleranceMicros: Long = -1L): DataFrame =
+      toleranceMicros: Long = -1L,
+      keepMatchTs: Boolean = false): DataFrame =
     join(left, right, byKeys, leftTs, rightTs, rightCols, tsOut,
-      forward = false, toleranceMicros)
+      forward = false, toleranceMicros, keepMatchTs)
 
   def forward(
       left: DataFrame,
@@ -43,9 +44,10 @@ object AsOfJoin {
       rightTs: String,
       rightCols: Seq[String],
       tsOut: String = "__asof_ts",
-      toleranceMicros: Long = -1L): DataFrame =
+      toleranceMicros: Long = -1L,
+      keepMatchTs: Boolean = false): DataFrame =
     join(left, right, byKeys, leftTs, rightTs, rightCols, tsOut,
-      forward = true, toleranceMicros)
+      forward = true, toleranceMicros, keepMatchTs)
 
   /** direction="nearest": per left row, whichever of the backward/forward
     * match is closer in time (ties → the earlier/backward one, pandas

@@ -922,6 +922,149 @@ object CoverageQueries {
         CASE o_orderstatus WHEN 'O' THEN 'OPEN' WHEN 'F' THEN 'FILLED'
           WHEN 'P' THEN 'PARTIAL' ELSE o_orderstatus END AS t_status,
         COUNT(*) AS n, MAX(o_orderpriority) AS top_pri
-      FROM orders GROUP BY 1 ORDER BY t_status"""))
+      FROM orders GROUP BY 1 ORDER BY t_status""")),
+
+    QueryDef("q191_star_replace", (s, dir) => {
+      // ClickHouse `* REPLACE(expr AS col)` column transformer (r16 wave 2):
+      // rewritten onto Spark's native `* EXCEPT (col), expr AS col`. DuckDB
+      // replays the construct natively (`SELECT * REPLACE (...)`), so the
+      // oracle exercises identical ClickHouse-shaped SQL end to end. The
+      // replaced columns move to the projection tail (documented divergence
+      // from ClickHouse's in-place position); the driver's compare is
+      // name-keyed, so the check is position-independent.
+      v(s, dir, "nation")
+      graft.engine.GraftSession(s).sql(
+        """SELECT * REPLACE(upper(n_name) AS n_name,
+             CAST(n_nationkey + 100 AS BIGINT) AS n_nationkey)
+           FROM nation ORDER BY n_nationkey""")
+    }, Some("""SELECT * REPLACE (upper(n_name) AS n_name,
+        CAST(n_nationkey + 100 AS BIGINT) AS n_nationkey)
+      FROM nation ORDER BY n_nationkey""")),
+
+    QueryDef("q192_star_apply", (s, dir) => {
+      // ClickHouse `* EXCEPT(…) APPLY(fn)` transformer (r16 wave 2): the
+      // star expands against the FROM clause's analyzed schema (analysis
+      // only — no job) into fn(col) per surviving column with ClickHouse's
+      // `fn(col)` output naming. Renamed after the fact only because parquet
+      // (the Verify dump format) forbids parens in field names.
+      v(s, dir, "orders")
+      graft.engine.GraftSession(s).sql(
+        """SELECT * EXCEPT(o_orderstatus, o_orderdate, o_orderpriority)
+             APPLY(max) FROM orders""")
+        .select(col("`max(o_orderkey)`").as("max_okey"),
+          col("`max(o_custkey)`").as("max_ckey"),
+          col("`max(o_totalprice)`").cast("double").as("max_price"))
+    }, Some("""SELECT MAX(o_orderkey) AS max_okey, MAX(o_custkey) AS max_ckey,
+        CAST(MAX(o_totalprice) AS DOUBLE) AS max_price FROM orders""")),
+
+    QueryDef("q193_any_join", (s, dir) => {
+      // ClickHouse `[GLOBAL] ANY LEFT JOIN` (r16 wave 2): at most one right
+      // row per left row. ClickHouse's pick is documented non-deterministic;
+      // this engine's contract is the lexicographically smallest right row
+      // (non-key columns, schema order, ASC NULLS FIRST) — ONE row_number
+      // window shuffle on the join key dedups the right side before a plain
+      // join. The oracle replays that exact contract. GLOBAL exercises the
+      // distribution-hint drop on the same statement.
+      v(s, dir, "orders", "lineitem")
+      graft.engine.GraftSession(s).sql(
+        """SELECT o.o_orderkey, o.o_custkey, l.l_linenumber, l.l_quantity
+           FROM orders o GLOBAL ANY LEFT JOIN lineitem l
+             ON o.o_orderkey = l.l_orderkey
+           WHERE o.o_orderkey % 7 = 0 ORDER BY o.o_orderkey""")
+    }, Some("""WITH l1 AS (
+        SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+          ORDER BY l_partkey ASC NULLS FIRST, l_suppkey ASC NULLS FIRST,
+            l_linenumber ASC NULLS FIRST, l_quantity ASC NULLS FIRST,
+            l_extendedprice ASC NULLS FIRST, l_discount ASC NULLS FIRST,
+            l_tax ASC NULLS FIRST, l_returnflag ASC NULLS FIRST,
+            l_linestatus ASC NULLS FIRST, l_shipdate ASC NULLS FIRST) AS rn
+        FROM lineitem) WHERE rn = 1)
+      SELECT o.o_orderkey, o.o_custkey, l.l_linenumber, l.l_quantity
+      FROM orders o LEFT JOIN l1 l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderkey % 7 = 0 ORDER BY o.o_orderkey""")),
+
+    QueryDef("q194_asof_sql", (s, dir) => {
+      // ClickHouse `ASOF LEFT JOIN` on the raw-SQL surface (r16 wave 2):
+      // q72's merge_asof shape pasted as SQL. Routed onto the AsOfJoin
+      // union+window operator (one shuffle); the matched right timestamp is
+      // exposed under its own column name (cts), exactly as ClickHouse
+      // exposes r's ts. DuckDB replays with its native ASOF LEFT JOIN.
+      v(s, dir, "events")
+      val gs = graft.engine.GraftSession(s)
+      gs.sql("""CREATE OR REPLACE TEMPORARY VIEW q194_purch AS
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase'""")
+      gs.sql("""CREATE OR REPLACE TEMPORARY VIEW q194_click AS
+        SELECT user_id, ts AS cts, MAX(value) AS click_value FROM events
+        WHERE event_type = 'click' GROUP BY user_id, ts""")
+      gs.sql("""SELECT p.user_id, p.ts, p.event_id, p.value, c.click_value, c.cts
+           FROM q194_purch p ASOF LEFT JOIN q194_click c
+           ON p.user_id = c.user_id AND p.ts >= c.cts
+           ORDER BY p.event_id""")
+    }, Some("""SELECT p.user_id, p.ts, p.event_id, p.value, c.click_value, c.cts
+      FROM (SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT user_id, ts AS cts, MAX(value) AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts) c
+      ON p.user_id = c.user_id AND p.ts >= c.cts
+      ORDER BY p.event_id""")),
+
+    QueryDef("q195_with_totals", (s, dir) => {
+      // ClickHouse `GROUP BY … WITH TOTALS` (r16 wave 2) → GROUPING SETS
+      // ((keys), ()). Divergence documented in DialectWave2: the totals row
+      // carries NULL keys (ANSI convention) where ClickHouse fills type
+      // defaults; aggregate values identical. NULLS FIRST pinned on both
+      // sides (Spark's ASC default vs DuckDB's NULLS LAST).
+      v(s, dir, "orders")
+      graft.engine.GraftSession(s).sql(
+        """SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS rev
+           FROM orders GROUP BY o_orderstatus WITH TOTALS
+           ORDER BY o_orderstatus NULLS FIRST""")
+    }, Some("""SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS rev
+      FROM orders GROUP BY GROUPING SETS ((o_orderstatus), ())
+      ORDER BY o_orderstatus NULLS FIRST""")),
+
+    QueryDef("q196_with_fill", (s, dir) => {
+      // ClickHouse `ORDER BY … WITH FILL FROM a TO b` (r16 wave 2): gap rows
+      // for the missing grid points, generated from sequence() in executors
+      // and located with ONE anti-join — no driver loop. Gap rows carry
+      // ClickHouse-style defaults (0 for numerics). TO is exclusive.
+      v(s, dir, "orders")
+      graft.engine.GraftSession(s).sql(
+        """SELECT CAST(o_custkey AS BIGINT) AS ck, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS rev
+           FROM orders WHERE o_custkey <= 60 GROUP BY CAST(o_custkey AS BIGINT)
+           ORDER BY ck WITH FILL FROM 1 TO 61""")
+    }, Some("""WITH src AS (SELECT CAST(o_custkey AS BIGINT) AS ck,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS rev
+      FROM orders WHERE o_custkey <= 60 GROUP BY 1)
+      SELECT * FROM src
+      UNION ALL
+      SELECT g.x, CAST(0 AS BIGINT), CAST(0 AS DOUBLE)
+      FROM (SELECT UNNEST(range(1, 61)) AS x) g
+      WHERE NOT EXISTS (SELECT 1 FROM src WHERE src.ck = g.x)
+      ORDER BY ck""")),
+
+    QueryDef("q197_semi_anti_sql", (s, dir) => {
+      // ClickHouse strictness-first `SEMI LEFT JOIN` / `ANTI LEFT JOIN`
+      // keyword order (r16 wave 2) → Spark's LEFT SEMI / LEFT ANTI. Both
+      // branches of one UNION exercise the rewrite twice in one statement.
+      v(s, dir, "customer", "orders")
+      graft.engine.GraftSession(s).sql(
+        """SELECT 'with' AS side, c.c_custkey FROM customer c
+           SEMI LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+           UNION ALL
+           SELECT 'without', c.c_custkey FROM customer c
+           ANTI LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+           ORDER BY side, c_custkey""")
+    }, Some("""SELECT 'with' AS side, c_custkey FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      UNION ALL
+      SELECT 'without', c_custkey FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      ORDER BY side, c_custkey"""))
   )
 }

@@ -1,0 +1,244 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** ClickHouse SQL dialect tail, wave 2 (r16): GLOBAL hints, join strictness
+  * (ALL/ANY/SEMI/ANTI order), ASOF JOIN on the raw-SQL surface, star
+  * transformers (* REPLACE / * APPLY), GROUP BY … WITH TOTALS and
+  * ORDER BY … WITH FILL. A chdb user pasting these ClickHouse constructs
+  * gets the documented semantics, not a parse error.
+  */
+class DialectWave2Spec extends SparkTestBase {
+  import spark.implicits._
+
+  private def g = new graft.engine.GraftSession(spark)
+
+  private def views(): Unit = {
+    Seq((1, "ASIA"), (2, "EUROPE")).toDF("rk", "rname")
+      .createOrReplaceTempView("w2_region")
+    Seq((10, 1, "alpha"), (11, 1, "beta"), (12, 2, "gamma"), (13, 3, "delta"))
+      .toDF("nk", "rk2", "nname").createOrReplaceTempView("w2_nation")
+    Seq((1, "x", 5.0), (1, "a", 9.0), (2, "b", 3.0)).toDF("k", "tag", "v")
+      .createOrReplaceTempView("w2_dup")
+    Seq((1, "L1"), (2, "L2"), (3, "L3")).toDF("k", "lab")
+      .createOrReplaceTempView("w2_left")
+    Seq((1, 10, "T1"), (1, 25, "T2"), (2, 5, "T3")).toDF("uid", "t", "trade")
+      .createOrReplaceTempView("w2_trades")
+    Seq((1, 8, 100.0), (1, 20, 110.0), (2, 50, 90.0)).toDF("uid", "qt", "px")
+      .createOrReplaceTempView("w2_quotes")
+  }
+
+  // ---- GLOBAL / strictness keywords ----
+
+  test("GLOBAL IN is the identity (dropped)") {
+    views()
+    val rows = g.sql(
+      """SELECT nk FROM w2_nation WHERE rk2 GLOBAL IN
+         (SELECT rk FROM w2_region WHERE rname = 'ASIA') ORDER BY nk""").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(10, 11))
+  }
+
+  test("GLOBAL ALL INNER JOIN drops both hint words") {
+    views()
+    val rows = g.sql(
+      """SELECT nk, rname FROM w2_nation n GLOBAL ALL INNER JOIN w2_region r
+         ON n.rk2 = r.rk ORDER BY nk""").collect()
+    assert(rows.length == 3 && rows.head.getString(1) == "ASIA")
+  }
+
+  test("SEMI LEFT JOIN / ANTI LEFT JOIN reorder to Spark's spelling") {
+    views()
+    val semi = g.sql(
+      """SELECT k FROM w2_left SEMI LEFT JOIN w2_dup ON w2_left.k = w2_dup.k
+         ORDER BY k""").collect().map(_.getInt(0)).toSeq
+    assert(semi == Seq(1, 2))
+    val anti = g.sql(
+      """SELECT k FROM w2_left ANTI LEFT JOIN w2_dup ON w2_left.k = w2_dup.k
+         ORDER BY k""").collect().map(_.getInt(0)).toSeq
+    assert(anti == Seq(3))
+  }
+
+  test("SEMI RIGHT JOIN is refused loudly") {
+    views()
+    val e = intercept[UnsupportedOperationException] {
+      g.sql("SELECT 1 FROM w2_left SEMI RIGHT JOIN w2_dup ON w2_left.k = w2_dup.k")
+    }
+    assert(e.getMessage.contains("swap the join sides"))
+  }
+
+  // ---- ANY JOIN ----
+
+  test("ANY LEFT JOIN keeps one right row per key (lexicographic-min pick)") {
+    views()
+    val rows = g.sql(
+      """SELECT l.k, l.lab, d.tag, d.v FROM w2_left l ANY LEFT JOIN w2_dup d
+         ON l.k = d.k ORDER BY l.k""").collect()
+    // key 1 has ("a",9.0) and ("x",5.0): "a" sorts first → deterministic pick
+    assert(rows(0) == Row(1, "L1", "a", 9.0))
+    assert(rows(1) == Row(2, "L2", "b", 3.0))
+    assert(rows(2) == Row(3, "L3", null, null))
+  }
+
+  test("bare ANY JOIN is inner; USING form works") {
+    views()
+    val on = g.sql(
+      """SELECT l.k, d.tag FROM w2_left l ANY JOIN w2_dup d ON l.k = d.k
+         ORDER BY l.k""").collect()
+    assert(on.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "a"), (2, "b")))
+    val using = g.sql(
+      """SELECT k, tag FROM w2_left ANY JOIN w2_dup USING (k) ORDER BY k""")
+      .collect()
+    assert(using.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "a"), (2, "b")))
+  }
+
+  test("ANY RIGHT JOIN is refused loudly") {
+    views()
+    val e = intercept[UnsupportedOperationException] {
+      g.sql("SELECT 1 FROM w2_left l ANY RIGHT JOIN w2_dup d ON l.k = d.k")
+    }
+    assert(e.getMessage.contains("ANY LEFT JOIN"))
+  }
+
+  // ---- ASOF JOIN on the SQL surface ----
+
+  test("ASOF JOIN (inner, backward) matches most recent right row") {
+    views()
+    val rows = g.sql(
+      """SELECT tr.uid, tr.t, tr.trade, q.qt, q.px FROM w2_trades tr
+         ASOF JOIN w2_quotes q ON tr.uid = q.uid AND tr.t >= q.qt
+         ORDER BY tr.trade""").collect()
+    // T3 (uid 2, t=5) has no quote at-or-before → dropped by inner strictness
+    assert(rows.map(r => (r.getString(2), r.getInt(3), r.getDouble(4))).toSeq ==
+      Seq(("T1", 8, 100.0), ("T2", 20, 110.0)))
+  }
+
+  test("ASOF LEFT JOIN keeps unmatched rows with NULLs") {
+    views()
+    val rows = g.sql(
+      """SELECT trade, px FROM w2_trades tr ASOF LEFT JOIN w2_quotes q
+         ON tr.uid = q.uid AND tr.t >= q.qt ORDER BY trade""").collect()
+    assert(rows.length == 3 && rows(2).getString(0) == "T3" && rows(2).isNullAt(1))
+  }
+
+  test("ASOF JOIN <= is the forward direction") {
+    views()
+    val rows = g.sql(
+      """SELECT trade, qt FROM w2_trades tr ASOF JOIN w2_quotes q
+         ON tr.uid = q.uid AND tr.t <= q.qt ORDER BY trade""").collect()
+    // T1 t=10 → qt=20; T2 t=25 → none; T3 t=5 → qt=50
+    assert(rows.map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("T1", 20), ("T3", 50)))
+  }
+
+  test("strict ASOF inequality and subquery sides are refused loudly") {
+    views()
+    val e1 = intercept[UnsupportedOperationException] {
+      g.sql("""SELECT 1 FROM w2_trades tr ASOF JOIN w2_quotes q
+               ON tr.uid = q.uid AND tr.t > q.qt""")
+    }
+    assert(e1.getMessage.contains(">= or <="))
+    val e2 = intercept[UnsupportedOperationException] {
+      g.sql("""SELECT 1 FROM (SELECT * FROM w2_trades) tr ASOF JOIN w2_quotes q
+               ON tr.uid = q.uid AND tr.t >= q.qt""")
+    }
+    assert(e2.getMessage.contains("named temp views"))
+  }
+
+  // ---- star transformers ----
+
+  test("* REPLACE rewrites onto Spark's * EXCEPT") {
+    views()
+    val df = g.sql("SELECT * REPLACE(upper(lab) AS lab) FROM w2_left ORDER BY k")
+    assert(df.columns.toSet == Set("k", "lab"))
+    assert(df.collect().map(_.getAs[String]("lab")).toSeq == Seq("L1", "L2", "L3"))
+  }
+
+  test("* EXCEPT(…) REPLACE(…) composes") {
+    views()
+    val df = g.sql(
+      "SELECT * EXCEPT(v) REPLACE(concat(tag, '!') AS tag) FROM w2_dup WHERE k = 2")
+    assert(df.columns.toSet == Set("k", "tag"))
+    assert(df.collect().head.getAs[String]("tag") == "b!")
+  }
+
+  test("* APPLY expands per column with ClickHouse naming") {
+    views()
+    val df = g.sql("SELECT * APPLY(max) FROM w2_dup")
+    assert(df.columns.toSet == Set("max(k)", "max(tag)", "max(v)"))
+    val r = df.collect().head
+    assert(r.getAs[Int]("max(k)") == 2 && r.getAs[String]("max(tag)") == "x" &&
+      r.getAs[Double]("max(v)") == 9.0)
+  }
+
+  test("* EXCEPT(…) REPLACE(…) APPLY(fn) composes in ClickHouse order") {
+    views()
+    val df = g.sql("SELECT * EXCEPT(tag) REPLACE(v * 2 AS v) APPLY(sum) FROM w2_dup")
+    val r = df.collect().head
+    assert(r.getAs[Long]("sum(k)") == 4L)
+    assert(r.getAs[Double]("sum(v)") == 34.0)
+  }
+
+  test("multiplication before a function call is never a star transformer") {
+    views()
+    val r = g.sql(
+      "SELECT k * length(replace(tag, 'a', 'aa')) AS r FROM w2_dup WHERE tag = 'a'")
+      .collect().head
+    assert(r.getInt(0) == 2)
+  }
+
+  // ---- WITH TOTALS ----
+
+  test("GROUP BY … WITH TOTALS adds a NULL-keyed grand-total row") {
+    views()
+    val rows = g.sql(
+      """SELECT tag, COUNT(*) AS n FROM w2_dup GROUP BY tag WITH TOTALS
+         ORDER BY tag""").collect()
+    // Spark ASC puts NULLs first: totals row leads
+    assert(rows.head.isNullAt(0) && rows.head.getLong(1) == 3L)
+    assert(rows.map(_.getLong(1)).sum == 6L && rows.length == 4)
+  }
+
+  test("WITH TOTALS refuses ROLLUP/CUBE combinations") {
+    views()
+    val e = intercept[UnsupportedOperationException] {
+      g.sql("SELECT tag, COUNT(*) FROM w2_dup GROUP BY ROLLUP(tag) WITH TOTALS")
+    }
+    assert(e.getMessage.contains("ROLLUP"))
+  }
+
+  // ---- WITH FILL ----
+
+  test("ORDER BY … WITH FILL FROM/TO/STEP inserts missing grid rows") {
+    views()
+    val rows = g.sql(
+      """SELECT k AS kk, COUNT(*) AS n FROM w2_dup GROUP BY k
+         ORDER BY kk WITH FILL FROM 1 TO 6 STEP 2""").collect()
+    // grid 1,3,5 (TO exclusive); src has kk=1,2 → fill adds 3 and 5 with n=0
+    assert(rows.map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((1, 2L), (2, 1L), (3, 0L), (5, 0L)))
+  }
+
+  test("WITH FILL without bounds fills between min and max inclusive") {
+    views()
+    val rows = g.sql(
+      """SELECT k * 2 AS kk, MAX(tag) AS t, COUNT(*) AS n FROM w2_dup
+         GROUP BY k * 2 ORDER BY kk WITH FILL""").collect()
+    // src kk = 2, 4 → fill adds 3 with string default '' and count default 0
+    assert(rows.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((2, "x", 2L), (3, "", 0L), (4, "b", 1L)))
+  }
+
+  test("WITH FILL refuses DESC and INTERPOLATE loudly") {
+    views()
+    val e1 = intercept[UnsupportedOperationException] {
+      g.sql("SELECT k FROM w2_dup ORDER BY k DESC WITH FILL")
+    }
+    assert(e1.getMessage.contains("DESC"))
+    val e2 = intercept[UnsupportedOperationException] {
+      g.sql("SELECT k, v FROM w2_dup ORDER BY k WITH FILL INTERPOLATE (v AS v + 1)")
+    }
+    assert(e2.getMessage.contains("INTERPOLATE"))
+  }
+}

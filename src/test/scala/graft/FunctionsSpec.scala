@@ -636,6 +636,30 @@ class ReadmeParitySpec extends SparkTestBase {
     assert(out.startsWith("0,0"))
   }
 
+  test("verbatim ClickHouse wave-2 paste: ANY JOIN, star transformers, TOTALS, FILL") {
+    // the ClickHouse-docs shapes for the r16 wave-2 dialect tail, pasted
+    // as a chdb user would write them
+    spark.sql("SELECT * FROM VALUES (1,'a',2.0D),(1,'b',3.0D),(2,'c',4.0D) AS t(k, tag, v)")
+      .createOrReplaceTempView("rp_facts")
+    spark.sql("SELECT * FROM VALUES (1,'L1'),(3,'L3') AS t(k, lab)")
+      .createOrReplaceTempView("rp_dim")
+    val any = g.sql(
+      """SELECT d.k, d.lab, f.tag FROM rp_dim d
+         GLOBAL ANY LEFT JOIN rp_facts f ON d.k = f.k ORDER BY d.k""").collect()
+    assert(any.map(r => (r.getInt(0), r.getString(2))).toSeq ==
+      Seq((1, "a"), (3, null)))
+    val apply = g.sql("SELECT * EXCEPT(tag) APPLY(sum) FROM rp_facts").collect().head
+    assert(apply.getAs[Long]("sum(k)") == 4L && apply.getAs[Double]("sum(v)") == 9.0)
+    val totals = g.sql(
+      "SELECT tag, sum(v) AS s FROM rp_facts GROUP BY tag WITH TOTALS ORDER BY tag")
+      .collect()
+    assert(totals.head.isNullAt(0) && totals.head.getDouble(1) == 9.0)
+    val fill = g.sql(
+      """SELECT k AS kk, count(*) AS n FROM rp_facts GROUP BY k
+         ORDER BY kk WITH FILL FROM 1 TO 4""").collect()
+    assert(fill.map(_.getLong(1)).toSeq == Seq(2L, 1L, 0L))
+  }
+
   test("numbers_mt with scientific notation and a SETTINGS clause") {
     val r = g.sql(
       "SELECT sum(number) AS s FROM numbers_mt(1e6) GROUP BY number % 10 SETTINGS max_threads=4")
