@@ -189,16 +189,17 @@ private[engine] trait DialectWave2 { self: GraftSession =>
   private val anyJoinRe =
     ("(?is)\\bANY\\s+((?:LEFT|INNER)\\s+)?JOIN\\s+([A-Za-z_][\\w.]*|`[^`]+`)" +
       "((?:\\s+(?:AS\\s+)?(?!(?:ON|USING)\\b)[A-Za-z_]\\w*)?)\\s+(ON|USING)\\b").r
+  private val anyLeftoverRe =
+    "(?i)\\bANY\\s+((?:LEFT|INNER)\\s+)?JOIN\\b".r
   @tailrec
   private[engine] final def rewriteAnyJoin(q: String): String = {
-    anyRightRe.findFirstMatchIn(q).foreach { m =>
-      if (!inLiteralAt(q, m.start))
-        throw new UnsupportedOperationException(
-          s"ANY ${m.group(1).toUpperCase(Locale.ROOT)} JOIN is not supported — " +
-            "swap the join sides and use ANY LEFT JOIN")
+    anyRightRe.findAllMatchIn(q).find(m => !inLiteralAt(q, m.start)).foreach { m =>
+      throw new UnsupportedOperationException(
+        s"ANY ${m.group(1).toUpperCase(Locale.ROOT)} JOIN is not supported — " +
+          "swap the join sides and use ANY LEFT JOIN")
     }
-    anyJoinRe.findFirstMatchIn(q) match {
-      case Some(m) if !inLiteralAt(q, m.start) =>
+    anyJoinRe.findAllMatchIn(q).find(m => !inLiteralAt(q, m.start)) match {
+      case Some(m) =>
         val joinWord =
           Option(m.group(1)).map(_.trim.toUpperCase(Locale.ROOT)).getOrElse("INNER")
         val rt = m.group(2)
@@ -218,10 +219,11 @@ private[engine] trait DialectWave2 { self: GraftSession =>
             splitTopLevel(inner).map(unquoteIdent)
           } else {
             splitTopLevelWord(cond, "AND").map { c =>
-              val sides = c.split("=", 2)
-              require(sides.length == 2 && !c.contains("<") && !c.contains(">"),
+              // exactly one bare '=' — a '!='/'<='/'>' condition is not a
+              // dedup key and would silently break the at-most-one contract
+              require(c.matches("(?s)^[^=<>!]+=[^=<>!]+$"),
                 s"ANY JOIN supports only AND-chained equality conditions (got '$c')")
-              val refs = sides.map(_.trim)
+              val refs = c.split("=", 2).map(_.trim)
               val rRef = refs.find { r =>
                 val parts = r.split("\\.", 2)
                 parts.length == 2 && unquoteIdent(parts(0)).equalsIgnoreCase(ra)
@@ -248,7 +250,19 @@ private[engine] trait DialectWave2 { self: GraftSession =>
           s"__graft_any_rn FROM $rt) __graft_any_i WHERE __graft_any_rn = 1)"
         rewriteAnyJoin(q.substring(0, m.start) +
           s"$jw $sub $aliasText ${m.group(4)}" + q.substring(m.end))
-      case _ => q
+      case _ =>
+        // leftover ANY JOIN = a shape the rewriter does not parse (subquery
+        // or quoted right side). Spark would silently read `ANY` as a table
+        // alias and run a plain join — fail with the contract instead.
+        anyLeftoverRe.findAllMatchIn(q).find(m => !inLiteralAt(q, m.start))
+          .foreach { _ =>
+            throw new UnsupportedOperationException(
+              "ANY JOIN is supported as: ANY [LEFT|INNER] JOIN <table> [alias] " +
+                "ON <equalities>/USING (cols) — wrap subquery sides in named " +
+                "temp views first (a relation literally aliased `any` must be " +
+                "renamed on this surface)")
+          }
+        q
     }
   }
 
@@ -271,23 +285,25 @@ private[engine] trait DialectWave2 { self: GraftSession =>
       "|LIMIT|HAVING|UNION|ON|USING|SAMPLE|FINAL)\\b)[A-Za-z_]\\w*)?)" +
       "\\s+ASOF\\s+(LEFT\\s+)?JOIN\\s+([A-Za-z_][\\w.]*|`[^`]+`)" +
       "((?:\\s+(?:AS\\s+)?(?!ON\\b)[A-Za-z_]\\w*)?)\\s+ON\\b").r
+  private val asofLeftoverRe = "(?i)\\bASOF\\s+(LEFT\\s+)?JOIN\\b".r
   private[engine] def rewriteAsofJoin(q: String): String = {
     val out = rewriteAsofJoinOnce(q)
     if (out eq q) {
-      // leftover top-level ASOF = a shape v1 does not parse; fail with the
-      // contract instead of Spark's opaque parse error
-      val at = topLevelKeyword(q, "ASOF")
-      if (at >= 0 && !inLiteralAt(q, at))
-        throw new UnsupportedOperationException(
-          "ASOF JOIN is supported as: FROM <table> [alias] ASOF [LEFT] JOIN " +
-            "<table> [alias] ON <equi-conditions AND one >=/<= condition> — " +
-            "wrap subquery sides in named temp views first")
+      // leftover ASOF JOIN (any depth) = a shape v1 does not parse; fail
+      // with the contract instead of Spark's opaque parse error
+      asofLeftoverRe.findAllMatchIn(q).find(m => !inLiteralAt(q, m.start))
+        .foreach { _ =>
+          throw new UnsupportedOperationException(
+            "ASOF JOIN is supported as: FROM <table> [alias] ASOF [LEFT] JOIN " +
+              "<table> [alias] ON <equi-conditions AND one >=/<= condition> — " +
+              "wrap subquery sides in named temp views first")
+        }
       q
     } else rewriteAsofJoin(out)
   }
   private def rewriteAsofJoinOnce(q: String): String =
-    asofRe.findFirstMatchIn(q) match {
-      case Some(m) if !inLiteralAt(q, m.start) =>
+    asofRe.findAllMatchIn(q).find(m => !inLiteralAt(q, m.start)) match {
+      case Some(m) =>
         val lName = unquoteIdent(m.group(1))
         val lAlias = {
           val a = m.group(2).trim.replaceFirst("(?i)^AS\\s+", "")
@@ -299,12 +315,30 @@ private[engine] trait DialectWave2 { self: GraftSession =>
           val a = m.group(5).trim.replaceFirst("(?i)^AS\\s+", "")
           if (a.isEmpty) rName.split('.').last else a
         }
+        require(!lAlias.equalsIgnoreCase(rAlias),
+          s"ASOF JOIN: both sides resolve to the alias '$lAlias' — alias one")
+        // the textual rewrite re-homes `rAlias.` refs onto the joined view;
+        // that is only sound when neither alias is ALSO bound to another
+        // relation in the statement (same-named aliases in subqueries/UNION
+        // branches would be corrupted — refuse instead)
+        Seq(lAlias, rAlias).foreach { a =>
+          require(aliasBindings(q, a) <= 1,
+            s"ASOF JOIN: alias '$a' is bound to more than one relation in " +
+              "the statement — the textual rewrite cannot scope qualifiers; " +
+              "rename one of them")
+        }
         val condEnd = clauseExtent(q, m.end, joinCondBounds)
         val cond = q.substring(m.end, condEnd).trim
         val lDf = spark.table(lName)
         val rDf0 = spark.table(rName)
         val lColsLower = lDf.columns.map(_.toLowerCase(Locale.ROOT)).toSet
         val rColsLower = rDf0.columns.map(_.toLowerCase(Locale.ROOT)).toSet
+        // ON-clause spellings are case-insensitive SQL; the operator works on
+        // exact names — canonicalize to each side's schema spelling
+        def canonL(c: String): String =
+          lDf.columns.find(_.equalsIgnoreCase(c)).getOrElse(c)
+        def canonR(c: String): String =
+          rDf0.columns.find(_.equalsIgnoreCase(c)).getOrElse(c)
 
         // classify each AND-ed condition: (leftRef, op, rightRef)
         case class Cmp(lCol: String, op: String, rCol: String)
@@ -315,15 +349,15 @@ private[engine] trait DialectWave2 { self: GraftSession =>
           require(ref.matches("[A-Za-z_`][\\w.`]*"),
             s"ASOF JOIN ON conditions must be plain column references (got '$ref')")
           if (parts.length == 2) {
-            if (parts(0).equalsIgnoreCase(lAlias)) ("l", parts(1))
-            else if (parts(0).equalsIgnoreCase(rAlias)) ("r", parts(1))
+            if (parts(0).equalsIgnoreCase(lAlias)) ("l", canonL(parts(1)))
+            else if (parts(0).equalsIgnoreCase(rAlias)) ("r", canonR(parts(1)))
             else throw new IllegalArgumentException(
               s"ASOF JOIN: qualifier '${parts(0)}' is neither side's alias")
           } else {
             val c = parts(0).toLowerCase(Locale.ROOT)
             (lColsLower(c), rColsLower(c)) match {
-              case (true, false) => ("l", parts(0))
-              case (false, true) => ("r", parts(0))
+              case (true, false) => ("l", canonL(parts(0)))
+              case (false, true) => ("r", canonR(parts(0)))
               case (true, true) => throw new IllegalArgumentException(
                 s"ASOF JOIN: unqualified column '$ref' exists on both sides")
               case _ => throw new IllegalArgumentException(
@@ -393,39 +427,70 @@ private[engine] trait DialectWave2 { self: GraftSession =>
           if (exposeRts) joined1.withColumnRenamed("__asof_match_ts", rightTs)
           else joined1.drop("__asof_match_ts")
 
-        val vn = s"__graft_asof_${DialectWave2.viewCounter.incrementAndGet()}"
+        // rotating view-name pool: createOrReplaceTempView overwrites the
+        // slot, so a long-lived session does not leak one catalog entry per
+        // ASOF statement. An already-returned DataFrame is unaffected (its
+        // plan was resolved at parse time); a collision would need 64
+        // statements in flight between rewrite and parse simultaneously.
+        val vn = s"__graft_asof_${DialectWave2.viewCounter.incrementAndGet() & 63}"
         joined.createOrReplaceTempView(vn)
-        val replaced = q.substring(0, m.start) + s"FROM $vn " + q.substring(condEnd)
-        stripQualifiers(replaced, Seq(lAlias, rAlias))
+        // the view carries BOTH sides' columns; aliasing it with the LEFT
+        // alias keeps `lAlias.col` refs (including correlated ones in
+        // subqueries) resolving unchanged — only `rAlias.` is re-homed
+        val replaced = q.substring(0, m.start) + s"FROM $vn $lAlias " +
+          q.substring(condEnd)
+        mapQualifier(replaced, rAlias, lAlias)
       case _ => q
     }
 
-  /** Remove `alias.` qualifiers (the asof view is one flat relation now).
-    * Word-anchored and literal-aware; `t.alias.x` chains are untouched.
+  /** Number of places the statement binds `alias` to a relation: after a
+    * FROM/JOIN table reference or a subquery's closing paren. Literal-aware.
+    * Used to refuse ASOF rewrites whose qualifier re-homing would leak into
+    * another scope that reuses the alias name.
     */
-  private def stripQualifiers(q: String, aliases: Seq[String]): String =
-    aliases.distinct.foldLeft(q) { (s, a) =>
-      val re = ("(?i)(?<![\\w.`])" + Regex.quote(a) + "\\s*\\.").r
-      re.replaceAllIn(s, m => if (inLiteralAt(s, m.start)) qr(m.matched) else "")
-    }
+  private def aliasBindings(q: String, alias: String): Int = {
+    val re = ("(?is)(?:\\bFROM\\s+[A-Za-z_`][\\w.`]*|\\bJOIN\\s+[A-Za-z_`]" +
+      "[\\w.`]*|\\))\\s+(?:AS\\s+)?" + Regex.quote(alias) + "\\b").r
+    re.findAllMatchIn(q).count(m => !inLiteralAt(q, m.start))
+  }
+
+  /** Re-home `from.` qualifiers onto `to.` (the asof view carries both
+    * sides' columns under the `to` alias). Word-anchored and literal-aware;
+    * `t.from.x` chains are untouched.
+    */
+  private def mapQualifier(q: String, from: String, to: String): String = {
+    val re = ("(?i)(?<![\\w.`])" + Regex.quote(from) + "\\s*\\.").r
+    re.replaceAllIn(q, m => if (inLiteralAt(q, m.start)) qr(m.matched) else s"$to.")
+  }
 
   // ---- GROUP BY … WITH TOTALS ---------------------------------------------
   // ClickHouse's extra grand-total row → ANSI `GROUPING SETS ((keys), ())`.
   // Documented divergence: the totals row carries NULL group keys (the
   // ANSI/Spark grouping-sets convention) where ClickHouse fills type
   // defaults (0/''); the aggregate values are identical.
-  private val totalsRe = "(?is)\\bGROUP\\s+BY\\s+(.+?)\\s+WITH\\s+TOTALS\\b".r
+  // scanner-based, not one lazy regex: the keys span is the text between
+  // this TOTALS and the NEAREST preceding GROUP BY with a paren-balanced
+  // span — a lazy (.+?) anchored on the leftmost GROUP BY would latch onto
+  // a subquery's inner GROUP BY and consume (and so never rewrite) the
+  // real outer clause.
+  private val totalsWordRe = "(?i)\\bWITH\\s+TOTALS\\b".r
+  private val groupByRe = "(?i)\\bGROUP\\s+BY\\b".r
   private[engine] def rewriteWithTotals(q: String): String =
-    totalsRe.replaceAllIn(q, { m =>
-      if (inLiteralAt(q, m.start) || !parenBalanced(m.group(1))) qr(m.matched)
-      else {
-        val keys = m.group(1).trim
+    totalsWordRe.findAllMatchIn(q).find(m => !inLiteralAt(q, m.start)) match {
+      case Some(m) =>
+        val gb = groupByRe.findAllMatchIn(q.substring(0, m.start)).toSeq
+          .filter(g => !inLiteralAt(q, g.start))
+          .reverse.find(g => parenBalanced(q.substring(g.end, m.start)))
+          .getOrElse(throw new IllegalArgumentException(
+            "WITH TOTALS without a matching GROUP BY"))
+        val keys = q.substring(gb.end, m.start).trim
         if (keys.matches("(?is).*\\b(ROLLUP|CUBE|GROUPING)\\b.*"))
           throw new UnsupportedOperationException(
             "WITH TOTALS cannot be combined with ROLLUP/CUBE/GROUPING SETS")
-        qr(s"GROUP BY GROUPING SETS (($keys), ())")
-      }
-    })
+        rewriteWithTotals(q.substring(0, gb.start) +
+          s"GROUP BY GROUPING SETS (($keys), ())" + q.substring(m.end))
+      case None => q
+    }
 
   // ---- ORDER BY col WITH FILL ---------------------------------------------
   // ClickHouse's gap-filling ORDER BY modifier: emit a row for every grid
@@ -632,7 +697,7 @@ private[engine] trait DialectWave2 { self: GraftSession =>
     val repl = sm.applyFn match {
       case Some(fn) =>
         // need the star's source columns: the FROM clause at this star's depth
-        val fromAt = sameDepthKeyword(q, sm.end, "FROM")
+        val fromAt = topLevelKeyword(q, "FROM", sm.end)
         require(fromAt >= 0, "* APPLY requires a FROM clause")
         val fromEnd = clauseExtent(q, fromAt + 4, fromBounds)
         val schema = probeSchema(q.substring(fromAt + 4, fromEnd))
@@ -652,33 +717,6 @@ private[engine] trait DialectWave2 { self: GraftSession =>
     q.substring(0, star) + repl + q.substring(sm.end)
   }
 
-  /** First occurrence of keyword `kw` at the same paren depth as `from`
-    * (scanning forward; stops when the enclosing scope closes), or -1.
-    */
-  private def sameDepthKeyword(s: String, from: Int, kw: String): Int = {
-    val u = s.toUpperCase(Locale.ROOT)
-    val k = kw.toUpperCase(Locale.ROOT)
-    def isWordChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
-    var d = 0; var i = from; var inStr = false; var inTick = false
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
-      else if (inTick) { if (c == '`') inTick = false }
-      else c match {
-        case '\'' => inStr = true
-        case '`' => inTick = true
-        case '(' => d += 1
-        case ')' => d -= 1; if (d < 0) return -1
-        case _ =>
-          if (d == 0 && u.startsWith(k, i) &&
-              (i == 0 || !isWordChar(u.charAt(i - 1))) &&
-              (i + k.length >= u.length || !isWordChar(u.charAt(i + k.length))))
-            return i
-      }
-      i += 1
-    }
-    -1
-  }
 }
 
 private[engine] object DialectWave2 {

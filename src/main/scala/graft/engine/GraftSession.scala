@@ -628,13 +628,17 @@ final class GraftSession(val spark: SparkSession) extends DialectWave2 {
     }
     inStr || inTick
   }
-  /** Index of the first top-level (paren-depth-0, outside '…'/`…` quoting)
-    * occurrence of the keyword, or -1. */
-  private[engine] def topLevelKeyword(s: String, kw: String): Int = {
+  /** Index of the first occurrence of the keyword at the SAME paren depth
+    * as position `from` (outside '…'/`…` quoting), or -1. With the default
+    * `from = 0` this is "first top-level occurrence"; a positive `from`
+    * scans a subscope and gives up when that scope's ')' closes (the
+    * shared scanner DialectWave2's star-transformer expansion uses too).
+    */
+  private[engine] def topLevelKeyword(s: String, kw: String, from: Int = 0): Int = {
     val u = s.toUpperCase(java.util.Locale.ROOT)
     val k = kw.toUpperCase(java.util.Locale.ROOT)
     def isWordChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
-    var d = 0; var i = 0; var inStr = false; var inTick = false
+    var d = 0; var i = from; var inStr = false; var inTick = false
     while (i < s.length) {
       val c = s.charAt(i)
       if (inStr) { if (c == '\'') inStr = false }
@@ -643,7 +647,7 @@ final class GraftSession(val spark: SparkSession) extends DialectWave2 {
         case '\'' => inStr = true
         case '`' => inTick = true
         case '(' => d += 1
-        case ')' => d -= 1
+        case ')' => d -= 1; if (d < 0) return -1
         case _ =>
           if (d == 0 && u.startsWith(k, i) &&
               (i == 0 || !isWordChar(u.charAt(i - 1))) &&

@@ -146,6 +146,76 @@ class DialectWave2Spec extends SparkTestBase {
     assert(e2.getMessage.contains("named temp views"))
   }
 
+  // ---- review-pass regressions (r16 self-review) ----
+
+  test("ASOF: correlated subquery references through the left alias survive") {
+    views()
+    // tr.uid inside EXISTS must keep resolving to the join output (the view
+    // is aliased tr), not get stripped into the inner scope
+    val rows = g.sql(
+      """SELECT tr.trade, tr.px FROM w2_trades tr ASOF JOIN w2_quotes q
+         ON tr.uid = q.uid AND tr.t >= q.qt
+         WHERE EXISTS (SELECT 1 FROM w2_left x WHERE x.k = tr.uid)
+         ORDER BY tr.trade""").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("T1", "T2"))
+  }
+
+  test("ASOF: alias reused by another relation is refused, not corrupted") {
+    views()
+    val e = intercept[IllegalArgumentException] {
+      g.sql("""SELECT tr.trade FROM w2_trades tr ASOF JOIN w2_quotes q
+               ON tr.uid = q.uid AND tr.t >= q.qt
+               WHERE tr.uid IN (SELECT k FROM w2_dup q WHERE q.v > 0)""")
+    }
+    assert(e.getMessage.contains("bound to more than one relation"))
+  }
+
+  test("ASOF: ON-clause key case differing from the schema still works") {
+    views()
+    val rows = g.sql(
+      """SELECT trade, px FROM w2_trades tr ASOF JOIN w2_quotes q
+         ON tr.UID = q.Uid AND tr.T >= q.QT ORDER BY trade""").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("T1", "T2"))
+  }
+
+  test("ASOF: a string-literal decoy does not abort the real rewrite") {
+    views()
+    val rows = g.sql(
+      """SELECT 'x FROM a ASOF JOIN b ON c' AS note, tr.trade
+         FROM w2_trades tr ASOF JOIN w2_quotes q
+         ON tr.uid = q.uid AND tr.t >= q.qt ORDER BY tr.trade""").collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("T1", "T2"))
+  }
+
+  test("ANY JOIN: non-equality conditions (!=) are refused, not mis-keyed") {
+    views()
+    val e = intercept[IllegalArgumentException] {
+      g.sql("""SELECT l.k FROM w2_left l ANY LEFT JOIN w2_dup d
+               ON l.k = d.k AND l.lab != d.tag""")
+    }
+    assert(e.getMessage.contains("equality"))
+  }
+
+  test("ANY JOIN: subquery right side is refused loudly, not silently joined") {
+    views()
+    val e = intercept[UnsupportedOperationException] {
+      g.sql("""SELECT l.k FROM w2_left l ANY LEFT JOIN
+               (SELECT k, tag FROM w2_dup) d ON l.k = d.k""")
+    }
+    assert(e.getMessage.contains("named temp views"))
+  }
+
+  test("WITH TOTALS binds to the outer GROUP BY past a subquery's inner one") {
+    views()
+    val rows = g.sql(
+      """SELECT s.k, COUNT(*) AS n FROM
+         (SELECT k FROM w2_dup GROUP BY k, tag) s
+         GROUP BY s.k WITH TOTALS ORDER BY s.k""").collect()
+    // inner groups: (1,x),(1,a),(2,b) → s rows k=1,1,2; outer: 1→2, 2→1, totals 3
+    assert(rows.head.isNullAt(0) && rows.head.getLong(1) == 3L)
+    assert(rows.map(_.getLong(1)).toSeq == Seq(3L, 2L, 1L))
+  }
+
   // ---- star transformers ----
 
   test("* REPLACE rewrites onto Spark's * EXCEPT") {
