@@ -500,39 +500,102 @@ private[engine] trait DialectWave2 { self: GraftSession =>
   // found with ONE anti-join against the source, and the union re-sorts —
   // no driver loop, no collect. Gap rows carry ClickHouse-style type
   // defaults (0 for numbers, '' for strings, false for booleans) and NULL
-  // for other types. Scope (v1): a single integral fill column, ascending,
-  // positive literal STEP; INTERPOLATE and DESC fills are refused loudly.
+  // for other types. Fill columns: integral (numeric grid, integer STEP) or
+  // DATE/TIMESTAMP (`STEP INTERVAL n unit`, default INTERVAL 1 DAY; FROM/TO
+  // accept DATE/TIMESTAMP literals). `INTERPOLATE (c1[, c2…])` carries each
+  // listed column's most recent source value into gap rows (ClickHouse's
+  // bare-column form; `col AS expr` chains are refused — they recur on the
+  // previous OUTPUT row, which no window can express); bare `INTERPOLATE ()`
+  // carries every non-fill column. The interpolation window is a global
+  // last_value IGNORE NULLS over the fill order — sized for the ordered,
+  // presentation-bound results WITH FILL produces, like ClickHouse's own
+  // single-stream fill. Scope: single ascending fill column; DESC refused.
   private val fillRe =
     ("(?is)^(.*\\S)\\s+ORDER\\s+BY\\s+([A-Za-z_]\\w*|`[^`]+`)(\\s+ASC)?" +
-      "\\s+WITH\\s+FILL(\\s+FROM\\s+(-?\\d+))?(\\s+TO\\s+(-?\\d+))?" +
-      "(\\s+STEP\\s+(-?\\d+))?\\s*;?\\s*$").r
+      "\\s+WITH\\s+FILL" +
+      "(\\s+FROM\\s+(-?\\d+|DATE\\s+'[^']+'|TIMESTAMP\\s+'[^']+'))?" +
+      "(\\s+TO\\s+(-?\\d+|DATE\\s+'[^']+'|TIMESTAMP\\s+'[^']+'))?" +
+      "(\\s+STEP\\s+(-?\\d+|INTERVAL\\s+\\d+\\s+[A-Za-z]+))?" +
+      "(\\s+INTERPOLATE\\s*\\(([^)]*)\\))?\\s*;?\\s*$").r
   private[engine] def rewriteWithFill(q: String): String =
     fillRe.findFirstMatchIn(q) match {
       case Some(m) if parenBalanced(m.group(1)) &&
           !inLiteralAt(q, q.toUpperCase(Locale.ROOT).lastIndexOf("WITH FILL")) =>
         val base = m.group(1)
-        val fcRaw = m.group(2)
-        val fcName = unquoteIdent(fcRaw)
+        val fcName = unquoteIdent(m.group(2))
         val schema = probeSchema(s"( $base ) __graft_fill_probe")
         val f = schema.fields.find(_.name.equalsIgnoreCase(fcName)).getOrElse(
           throw new IllegalArgumentException(
             s"WITH FILL column '$fcName' is not in the result " +
               s"(${schema.fieldNames.mkString(", ")})"))
-        f.dataType match {
-          case ByteType | ShortType | IntegerType | LongType =>
+        val temporal = f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType => false
+          case DateType | TimestampType | TimestampNTZType => true
           case other => throw new UnsupportedOperationException(
-            s"WITH FILL supports integral fill columns (got ${other.sql})")
+            s"WITH FILL supports integral and DATE/TIMESTAMP fill columns " +
+              s"(got ${other.sql})")
         }
-        val step = Option(m.group(9)).map(_.toLong).getOrElse(1L)
-        require(step > 0, "WITH FILL STEP must be positive")
-        val fromE = Option(m.group(5)).getOrElse(
-          s"(SELECT MIN(CAST(`${f.name}` AS BIGINT)) FROM __graft_fill_src)")
-        // ClickHouse TO is exclusive; the implicit max bound is inclusive
-        val toI = Option(m.group(7)).map(t => (t.toLong - 1).toString).getOrElse(
-          s"(SELECT MAX(CAST(`${f.name}` AS BIGINT)) FROM __graft_fill_src)")
+        val stepRaw = Option(m.group(9))
+        // grid cell type + expressions, by fill-column family
+        val (gridT, fromE, toI, stepE) =
+          if (temporal) {
+            val step = stepRaw.getOrElse("INTERVAL 1 DAY")
+            require(step.toUpperCase(Locale.ROOT).startsWith("INTERVAL"),
+              "WITH FILL on a DATE/TIMESTAMP column needs STEP INTERVAL n unit")
+            val fromE = Option(m.group(5)).map(l => s"CAST($l AS TIMESTAMP)")
+              .getOrElse(
+                s"(SELECT MIN(CAST(`${f.name}` AS TIMESTAMP)) FROM __graft_fill_src)")
+            // ClickHouse TO is exclusive; implicit max bound is inclusive
+            val toI = Option(m.group(7))
+              .map(l => s"CAST($l AS TIMESTAMP) - $step")
+              .getOrElse(
+                s"(SELECT MAX(CAST(`${f.name}` AS TIMESTAMP)) FROM __graft_fill_src)")
+            ("TIMESTAMP", fromE, toI, step)
+          } else {
+            val step = stepRaw.map(_.toLong).getOrElse(1L)
+            require(step > 0, "WITH FILL STEP must be positive")
+            val fromE = Option(m.group(5)).map { l =>
+              require(l.matches("-?\\d+"),
+                "WITH FILL FROM on an integral column must be an integer")
+              l
+            }.getOrElse(
+              s"(SELECT MIN(CAST(`${f.name}` AS BIGINT)) FROM __graft_fill_src)")
+            val toI = Option(m.group(7)).map { l =>
+              require(l.matches("-?\\d+"),
+                "WITH FILL TO on an integral column must be an integer")
+              (l.toLong - 1).toString
+            }.getOrElse(
+              s"(SELECT MAX(CAST(`${f.name}` AS BIGINT)) FROM __graft_fill_src)")
+            ("BIGINT", fromE, toI, step.toString)
+          }
+        // INTERPOLATE list: bare column names; () = every non-fill column
+        val interp: Set[String] = Option(m.group(11)) match {
+          case None => Set.empty
+          case Some(items) =>
+            val names = splitTopLevel(items)
+            if (names.exists(_.matches("(?is).*\\sAS\\s.*")))
+              throw new UnsupportedOperationException(
+                "INTERPOLATE (col AS expr) is not supported — bare " +
+                  "INTERPOLATE (col) carries the previous source value forward")
+            val resolved = names.map { n =>
+              val u = unquoteIdent(n)
+              schema.fields.find(_.name.equalsIgnoreCase(u)).getOrElse(
+                throw new IllegalArgumentException(
+                  s"INTERPOLATE column '$u' is not in the result")).name
+            }
+            val all =
+              if (resolved.isEmpty)
+                schema.fieldNames.toSeq.filterNot(_.equalsIgnoreCase(f.name))
+              else resolved
+            require(!all.exists(_.equalsIgnoreCase(f.name)),
+              "the WITH FILL column cannot be INTERPOLATEd")
+            all.toSet
+        }
         val proj = schema.fields.map { fd =>
           if (fd.name.equalsIgnoreCase(f.name))
             s"CAST(__graft_fx AS ${fd.dataType.sql}) AS `${fd.name}`"
+          else if (interp(fd.name)) // NULL here; the outer window fills it
+            s"CAST(NULL AS ${fd.dataType.sql}) AS `${fd.name}`"
           else {
             val dflt = fd.dataType match {
               case ByteType | ShortType | IntegerType | LongType |
@@ -546,23 +609,38 @@ private[engine] trait DialectWave2 { self: GraftSession =>
           }
         }.mkString(", ")
         // empty source / inverted bounds → CASE falls to the empty array
-        s"""WITH __graft_fill_src AS ( $base )
-           |SELECT * FROM __graft_fill_src
-           |UNION ALL
-           |SELECT $proj FROM (SELECT explode(CASE WHEN CAST(($toI) AS BIGINT) >= CAST(($fromE) AS BIGINT)
-           |  THEN sequence(CAST(($fromE) AS BIGINT), CAST(($toI) AS BIGINT), $step)
-           |  ELSE CAST(array() AS ARRAY<BIGINT>) END) AS __graft_fx) __graft_fill_g
-           |LEFT ANTI JOIN __graft_fill_src
-           |  ON __graft_fill_g.__graft_fx = CAST(__graft_fill_src.`${f.name}` AS BIGINT)
-           |ORDER BY `${f.name}` ASC NULLS FIRST""".stripMargin
+        val unioned =
+          s"""SELECT * FROM __graft_fill_src
+             |UNION ALL
+             |SELECT $proj FROM (SELECT explode(CASE WHEN CAST(($toI) AS $gridT) >= CAST(($fromE) AS $gridT)
+             |  THEN sequence(CAST(($fromE) AS $gridT), CAST(($toI) AS $gridT), $stepE)
+             |  ELSE CAST(array() AS ARRAY<$gridT>) END) AS __graft_fx) __graft_fill_g
+             |LEFT ANTI JOIN __graft_fill_src
+             |  ON __graft_fill_g.__graft_fx = CAST(__graft_fill_src.`${f.name}` AS $gridT)""".stripMargin
+        val ordTail = s"ORDER BY `${f.name}` ASC NULLS FIRST"
+        if (interp.isEmpty)
+          s"WITH __graft_fill_src AS ( $base )\n$unioned\n$ordTail"
+        else {
+          val w = s"OVER (ORDER BY `${f.name}` ASC NULLS FIRST " +
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+          val outer = schema.fields.map { fd =>
+            if (interp(fd.name))
+              s"last_value(`${fd.name}`) IGNORE NULLS $w AS `${fd.name}`"
+            else s"`${fd.name}`"
+          }.mkString(", ")
+          s"WITH __graft_fill_src AS ( $base ),\n__graft_fill_all AS (\n" +
+            s"$unioned\n)\nSELECT $outer FROM __graft_fill_all\n$ordTail"
+        }
       case _ =>
         val at = q.toUpperCase(Locale.ROOT).indexOf("WITH FILL")
         if (at >= 0 && !inLiteralAt(q, at) &&
             q.substring(at).matches("(?is)WITH\\s+FILL\\b.*"))
           throw new UnsupportedOperationException(
-            "WITH FILL is supported as a trailing `ORDER BY <intColumn> [ASC] " +
-              "WITH FILL [FROM n] [TO n] [STEP n]` — DESC fills, expression " +
-              "columns and INTERPOLATE are not supported")
+            "WITH FILL is supported as a trailing `ORDER BY <col> [ASC] WITH " +
+              "FILL [FROM v] [TO v] [STEP n|INTERVAL n unit] [INTERPOLATE " +
+              "(cols)]` over an integral or DATE/TIMESTAMP column — DESC " +
+              "fills, expression fill columns and INTERPOLATE (col AS expr) " +
+              "are not supported")
         q
     }
 

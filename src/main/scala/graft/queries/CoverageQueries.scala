@@ -1065,6 +1065,52 @@ object CoverageQueries {
       UNION ALL
       SELECT 'without', c_custkey FROM customer c
       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-      ORDER BY side, c_custkey"""))
+      ORDER BY side, c_custkey""")),
+
+    QueryDef("q198_fill_interval", (s, dir) => {
+      // `WITH FILL STEP INTERVAL 1 DAY` over a timestamp column (r16 wave 2,
+      // the time-series form): the daily grid comes from sequence() with a
+      // day-time interval step, bounds from the source's min/max, missing
+      // days located by ONE anti-join. The sparse o_orderkey slice leaves
+      // most days as gaps — the fill does real work.
+      v(s, dir, "orders")
+      graft.engine.GraftSession(s).sql(
+        """SELECT date_trunc('day', o_orderdate) AS d, COUNT(*) AS n
+           FROM orders WHERE o_orderkey % 101 = 0
+           GROUP BY date_trunc('day', o_orderdate)
+           ORDER BY d WITH FILL STEP INTERVAL 1 DAY""")
+    }, Some("""WITH src AS (SELECT date_trunc('day', o_orderdate) AS d,
+        COUNT(*) AS n FROM orders WHERE o_orderkey % 101 = 0 GROUP BY 1)
+      SELECT * FROM src
+      UNION ALL
+      SELECT g.x, CAST(0 AS BIGINT) FROM (SELECT UNNEST(generate_series(
+        (SELECT MIN(d) FROM src), (SELECT MAX(d) FROM src),
+        INTERVAL 1 DAY)) AS x) g
+      WHERE NOT EXISTS (SELECT 1 FROM src WHERE src.d = g.x)
+      ORDER BY d""")),
+
+    QueryDef("q199_fill_interpolate", (s, dir) => {
+      // `WITH FILL … INTERPOLATE (col)` (r16 wave 2): gap rows carry the
+      // most recent source value of the interpolated column (last_value
+      // IGNORE NULLS over the fill order) while non-interpolated columns
+      // keep ClickHouse-style defaults. DuckDB replays the same window.
+      v(s, dir, "orders")
+      graft.engine.GraftSession(s).sql(
+        """SELECT CAST(o_custkey AS BIGINT) AS ck, COUNT(*) AS n,
+             MAX(o_orderpriority) AS pri
+           FROM orders WHERE o_custkey <= 40 GROUP BY CAST(o_custkey AS BIGINT)
+           ORDER BY ck WITH FILL FROM 1 TO 41 INTERPOLATE (pri)""")
+    }, Some("""WITH src AS (SELECT CAST(o_custkey AS BIGINT) AS ck,
+        COUNT(*) AS n, MAX(o_orderpriority) AS pri
+        FROM orders WHERE o_custkey <= 40 GROUP BY 1),
+      allr AS (
+        SELECT * FROM src
+        UNION ALL
+        SELECT g.x, CAST(0 AS BIGINT), CAST(NULL AS VARCHAR)
+        FROM (SELECT UNNEST(range(1, 41)) AS x) g
+        WHERE NOT EXISTS (SELECT 1 FROM src WHERE src.ck = g.x))
+      SELECT ck, n, last_value(pri IGNORE NULLS) OVER (ORDER BY ck
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pri
+      FROM allr ORDER BY ck"""))
   )
 }

@@ -300,6 +300,39 @@ class DialectWave2Spec extends SparkTestBase {
       Seq((2, "x", 2L), (3, "", 0L), (4, "b", 1L)))
   }
 
+  test("WITH FILL over a timestamp column with STEP INTERVAL") {
+    views()
+    Seq(("2024-01-01 00:00:00", 5.0), ("2024-01-04 00:00:00", 8.0))
+      .toDF("d0", "v")
+      .selectExpr("CAST(d0 AS TIMESTAMP) AS d", "v")
+      .createOrReplaceTempView("w2_days")
+    val rows = g.sql(
+      """SELECT d, SUM(v) AS s FROM w2_days GROUP BY d
+         ORDER BY d WITH FILL STEP INTERVAL 1 DAY""").collect()
+    assert(rows.length == 4) // Jan 1..4, gaps Jan 2 and 3 filled
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(5.0, 0.0, 0.0, 8.0))
+    assert(rows(1).getTimestamp(0).toString.startsWith("2024-01-02"))
+  }
+
+  test("WITH FILL INTERPOLATE carries the previous source value into gaps") {
+    views()
+    val rows = g.sql(
+      """SELECT k AS kk, MAX(tag) AS t, COUNT(*) AS n FROM w2_dup GROUP BY k
+         ORDER BY kk WITH FILL FROM 1 TO 5 INTERPOLATE (t)""").collect()
+    // src kk=1 (t=x), kk=2 (t=b); gaps 3,4 carry t='b' forward, n default 0
+    assert(rows.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1, "x", 2L), (2, "b", 1L), (3, "b", 0L), (4, "b", 0L)))
+  }
+
+  test("bare INTERPOLATE () carries every non-fill column") {
+    views()
+    val rows = g.sql(
+      """SELECT k AS kk, MAX(tag) AS t, COUNT(*) AS n FROM w2_dup GROUP BY k
+         ORDER BY kk WITH FILL FROM 1 TO 5 INTERPOLATE ()""").collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1, "x", 2L), (2, "b", 1L), (3, "b", 1L), (4, "b", 1L)))
+  }
+
   test("WITH FILL refuses DESC and INTERPOLATE loudly") {
     views()
     val e1 = intercept[UnsupportedOperationException] {
