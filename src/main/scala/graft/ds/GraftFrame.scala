@@ -291,6 +291,15 @@ final case class GraftFrame(df: DataFrame) {
   def tokenCount(textCol: String, outCol: String = "n_tokens"): GraftFrame =
     GraftFrame(df.withColumn(outCol, TextAnalysis.tokenCount(col(textCol))))
 
+  /** Overlapping fixed-window document chunking (r16, q200 shape). */
+  def chunkText(textCol: String, idCol: String, chunkChars: Int,
+      overlapChars: Int = 0): GraftFrame =
+    GraftFrame(TextAnalysis.chunkFixed(df, textCol, idCol, chunkChars, overlapChars))
+
+  /** Sentence-aware greedy chunking (r16, q201 shape). */
+  def chunkSentences(textCol: String, idCol: String, maxChars: Int): GraftFrame =
+    GraftFrame(TextAnalysis.chunkSentences(df, textCol, idCol, maxChars))
+
   /** Train a bounded unigram LM over this frame's text (token, cnt). */
   def lmTrain(textCol: String, vocabSize: Int = 65536): GraftFrame =
     GraftFrame(TextAnalysis.lmTrain(df, textCol, vocabSize))

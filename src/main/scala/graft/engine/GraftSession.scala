@@ -117,6 +117,7 @@ final class GraftSession(val spark: SparkSession) extends DialectWave2 {
     "dedup_exact", "dedup_groups", "dedup_spans", "minhash_pairs",
     "ngram_jaccard_pairs", "simhash_pairs", "embedding_neardup",
     "quality_score", "language_id", "token_count", "scrub_pii",
+    "chunk_text", "chunk_sentences",
     "lm_train", "lm_score", "lm_train2", "lm_score2", "bm25",
     "repetition_features", "curate", "hash_split", "temperature_mixture",
     "pack_sequences", "pack_greedy", "decontaminate", "decontaminate_bloom",
@@ -146,6 +147,10 @@ final class GraftSession(val spark: SparkSession) extends DialectWave2 {
     "lm_score2" -> ("lm_score2(table, lm2Table, 'textCol', 'idCol'[, alpha=0.5])", 5),
     "bm25" -> ("bm25(table, 'textCol', 'idCol', 'query words'[, k1=1.2, b=0.75])", 6),
     "token_count" -> ("token_count(table, 'textCol')", 2),
+    "chunk_text" ->
+      ("chunk_text(table, 'textCol', 'idCol'[, chunkChars=512, overlapChars=0])", 5),
+    "chunk_sentences" ->
+      ("chunk_sentences(table, 'textCol', 'idCol'[, maxChars=512])", 4),
     "scrub_pii" -> ("scrub_pii(table, 'textCol')", 2),
     "repetition_features" -> ("repetition_features(table, 'textCol')", 2),
     "curate" -> ("curate(table, 'textCol', 'idCol'[, 'lang'='en', minQuality=0.3])", 5),
@@ -471,6 +476,12 @@ final class GraftSession(val spark: SparkSession) extends DialectWave2 {
         case "quality_score" => t(0, "table").qualityScore(str(1, "textCol"))
         case "language_id" => t(0, "table").languageId(str(1, "textCol"))
         case "token_count" => t(0, "table").tokenCount(str(1, "textCol"))
+        case "chunk_text" =>
+          t(0, "table").chunkText(str(1, "textCol"), str(2, "idCol"),
+            int(3, 512), int(4, 0))
+        case "chunk_sentences" =>
+          t(0, "table").chunkSentences(str(1, "textCol"), str(2, "idCol"),
+            int(3, 512))
         case "scrub_pii" => t(0, "table").scrubPii(str(1, "textCol"))
         case "lm_train" =>
           t(0, "table").lmTrain(str(1, "textCol"), int(2, 65536))

@@ -398,4 +398,70 @@ object TextAnalysis {
         avg(col("logp")).as("avg_logprob"))
       .withColumn("perplexity", exp(-col("avg_logprob")))
   }
+
+  /** Overlapping fixed-window document chunking (r16) — the window step a
+    * RAG/pretraining corpus pipeline runs before embedding or packing.
+    * Window i covers characters [i*stride, i*stride + chunkChars) with
+    * stride = chunkChars - overlapChars; the last window may be shorter;
+    * empty/null documents emit no chunks.
+    *
+    * Scale shape: a pure projection + explode — zero shuffles, fully
+    * codegen'd, at most ceil(len/stride) rows per document. The reference
+    * has no chunking operator (it ships text to pandas for this); windowed
+    * substrings over a corpus ARE expressible as columns, so that is the
+    * whole implementation.
+    */
+  def chunkFixed(df: DataFrame, textCol: String, idCol: String,
+      chunkChars: Int, overlapChars: Int = 0): DataFrame = {
+    require(chunkChars > 0, "chunkChars must be positive")
+    require(overlapChars >= 0 && overlapChars < chunkChars,
+      "overlapChars must be in [0, chunkChars)")
+    val stride = chunkChars - overlapChars
+    val len = length(col(textCol))
+    val n = when(len.isNull || len === 0, lit(0)).otherwise(
+      lit(1) + greatest(lit(0),
+        ceil((len - lit(chunkChars)).cast("double") / lit(stride)).cast("int")))
+    val idxs = when(n > 0, sequence(lit(0), n - 1))
+      .otherwise(lit(Array.empty[Int]))
+    df.select(col(idCol), col(textCol), explode(idxs).as("chunk_ix"))
+      .select(col(idCol), col("chunk_ix"),
+        expr(s"substring(`$textCol`, chunk_ix * $stride + 1, $chunkChars)")
+          .as("chunk"))
+  }
+
+  /** Sentence-aware greedy chunking (r16): split at sentence boundaries
+    * ([.!?] + whitespace), then pack consecutive sentences into chunks of
+    * at most `maxChars` characters (joined with one space; a single
+    * sentence longer than the budget becomes its own chunk — sentences are
+    * never split). The boundary is marked with \u0001 and split on it
+    * instead of a lookbehind so the exact same regex replays on RE2-based
+    * engines (the DuckDB oracle).
+    *
+    * Scale shape: one aggregate() fold over the per-document sentence
+    * array — a pure projection (no shuffle, no UDF); the greedy state
+    * (packed chunks + current buffer) lives inside the higher-order
+    * expression.
+    */
+  def chunkSentences(df: DataFrame, textCol: String, idCol: String,
+      maxChars: Int): DataFrame = {
+    require(maxChars > 0, "maxChars must be positive")
+    val marked = regexp_replace(col(textCol), "([.!?])\\s+", "$1\u0001")
+    val sents = filter(split(marked, "\u0001"), s => length(s) > 0)
+    val zero = struct(lit(Array.empty[String]).as("chunks"), lit("").as("cur"))
+    val packed = aggregate(sents, zero,
+      (acc: Column, s: Column) => {
+        val cur = acc.getField("cur")
+        val chunks = acc.getField("chunks")
+        val fits = length(cur) + lit(1) + length(s) <= lit(maxChars)
+        when(length(cur) === 0, struct(chunks.as("chunks"), s.as("cur")))
+          .when(fits,
+            struct(chunks.as("chunks"), concat(cur, lit(" "), s).as("cur")))
+          .otherwise(
+            struct(array_append(chunks, cur).as("chunks"), s.as("cur")))
+      },
+      (acc: Column) => when(length(acc.getField("cur")) > 0,
+          array_append(acc.getField("chunks"), acc.getField("cur")))
+        .otherwise(acc.getField("chunks")))
+    df.select(col(idCol), posexplode(packed).as(Seq("chunk_ix", "chunk")))
+  }
 }

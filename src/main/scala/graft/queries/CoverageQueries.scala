@@ -1111,6 +1111,75 @@ object CoverageQueries {
         WHERE NOT EXISTS (SELECT 1 FROM src WHERE src.ck = g.x))
       SELECT ck, n, last_value(pri IGNORE NULLS) OVER (ORDER BY ck
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pri
-      FROM allr ORDER BY ck"""))
+      FROM allr ORDER BY ck""")),
+
+    QueryDef("q200_chunk_fixed", (s, dir) => {
+      // Overlapping fixed-window document chunking (r16) — the RAG/pretrain
+      // windowing step before embedding or packing. Pure projection +
+      // explode (zero shuffle, codegen); window i covers [i*stride,
+      // i*stride+size), stride = size - overlap. DuckDB replays the window
+      // arithmetic with a correlated range() lateral.
+      import graft.ds.GraftFrame
+      GraftFrame(Q.t(s, dir, "documents")
+          .filter(col("doc_id") % 17 === 0 && length(col("text")) > 0))
+        .chunkText("text", "doc_id", 400, 100)
+        .df.orderBy("doc_id", "chunk_ix")
+    }, Some("""SELECT d.doc_id, CAST(g.i AS INT) AS chunk_ix,
+        substring(d.text, CAST(g.i AS INT)*300 + 1, 400) AS chunk
+      FROM (SELECT doc_id, text FROM documents
+        WHERE doc_id % 17 = 0 AND length(text) > 0) d,
+        UNNEST(range(0, 1 + GREATEST(0,
+          CAST(CEIL((length(d.text) - 400) / 300.0) AS BIGINT)))) AS g(i)
+      ORDER BY doc_id, chunk_ix""")),
+
+    QueryDef("q201_chunk_sentences", (s, dir) => {
+      // Sentence-aware greedy chunking (r16): sentences pack into chunks of
+      // at most maxChars, never split mid-sentence; an oversized sentence
+      // becomes its own chunk. One aggregate() fold per document — no
+      // shuffle, no UDF. The fixture text has no punctuation, so both
+      // engines first sentencify it identically (a period after every 5
+      // words); DuckDB replays the greedy fold as a recursive CTE over the
+      // same sentence split (boundary marked with chr(1) — no lookbehind,
+      // RE2-safe on both engines by construction).
+      import graft.ds.GraftFrame
+      val docs = Q.t(s, dir, "documents")
+        .filter(col("doc_id") % 23 === 0)
+        .select(col("doc_id"), regexp_replace(col("text"),
+          "(\\w+ \\w+ \\w+ \\w+ \\w+) ", "$1. ").as("text"))
+      GraftFrame(docs).chunkSentences("text", "doc_id", 120)
+        .df.orderBy("doc_id", "chunk_ix")
+    }, Some("""WITH RECURSIVE
+      d AS (SELECT doc_id,
+        regexp_replace(
+          regexp_replace(text, '(\w+ \w+ \w+ \w+ \w+) ', '\1. ', 'g'),
+          '([.!?])\s+', '\1' || chr(1), 'g') AS m
+        FROM documents WHERE doc_id % 23 = 0),
+      sl AS (SELECT doc_id,
+        list_filter(string_split(m, chr(1)), x -> length(x) > 0) AS sents
+        FROM d),
+      sent AS (SELECT doc_id, CAST(t.i AS INT) AS i,
+          sents[CAST(t.i AS INT)] AS s, CAST(len(sents) AS INT) AS n
+        FROM sl, UNNEST(range(1, len(sents)+1)) AS t(i) WHERE len(sents) > 0),
+      pack AS (
+        SELECT doc_id, i, n, 0 AS cix, s AS cur,
+          CAST(NULL AS VARCHAR) AS emit, CAST(NULL AS INT) AS emit_ix
+        FROM sent WHERE i = 1
+        UNION ALL
+        SELECT p.doc_id, sn.i, p.n,
+          CASE WHEN length(p.cur) + 1 + length(sn.s) <= 120
+            THEN p.cix ELSE p.cix + 1 END,
+          CASE WHEN length(p.cur) + 1 + length(sn.s) <= 120
+            THEN p.cur || ' ' || sn.s ELSE sn.s END,
+          CASE WHEN length(p.cur) + 1 + length(sn.s) <= 120
+            THEN NULL ELSE p.cur END,
+          CASE WHEN length(p.cur) + 1 + length(sn.s) <= 120
+            THEN NULL ELSE p.cix END
+        FROM pack p JOIN sent sn ON sn.doc_id = p.doc_id AND sn.i = p.i + 1
+      )
+      SELECT doc_id, emit_ix AS chunk_ix, emit AS chunk FROM pack
+      WHERE emit IS NOT NULL
+      UNION ALL
+      SELECT doc_id, cix, cur FROM pack WHERE i = n
+      ORDER BY doc_id, chunk_ix"""))
   )
 }

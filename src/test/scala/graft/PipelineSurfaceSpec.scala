@@ -22,6 +22,52 @@ class PipelineSurfaceSpec extends SparkTestBase {
 
   // ------------------------------------------------ frame-method surface
 
+  test("frame: chunkText fixed windows with overlap; empty/null docs drop") {
+    val df = Seq((1L, "abcdefghij"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = GraftFrame(df).chunkText("text", "id", 6, 2)
+      .df.orderBy("id", "chunk_ix").collect()
+    // stride 4: windows [1..6], [5..10]
+    assert(out.map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq ==
+      Seq((1L, 0, "abcdef"), (1L, 1, "efghij")))
+    // exact multiple: len 8, size 4, no overlap -> exactly 2 full windows
+    val ex = GraftFrame(Seq((9L, "abcdefgh")).toDF("id", "text"))
+      .chunkText("text", "id", 4).df.orderBy("chunk_ix").collect()
+    assert(ex.map(_.getString(2)).toSeq == Seq("abcd", "efgh"))
+  }
+
+  test("frame: chunkSentences packs greedily, never splits a sentence") {
+    val text =
+      "One two. Three four five. Six! Seven eight nine ten eleven? Tail"
+    val out = GraftFrame(Seq((1L, text)).toDF("id", "text"))
+      .chunkSentences("text", "id", 26).df.orderBy("chunk_ix").collect()
+    assert(out.map(_.getString(2)).toSeq == Seq(
+      "One two. Three four five.", // 8 + 1 + 16 = 25 <= 26
+      "Six!",                       // next sentence would overflow
+      "Seven eight nine ten eleven?", // longer than budget: own chunk
+      "Tail"))
+    // one short sentence -> one chunk
+    val single = GraftFrame(Seq((1L, "Hi there.")).toDF("id", "text"))
+      .chunkSentences("text", "id", 100).df.collect()
+    assert(single.length == 1 && single.head.getString(2) == "Hi there.")
+  }
+
+  test("sql: chunk_text / chunk_sentences table functions") {
+    val gs = new graft.engine.GraftSession(spark)
+    Seq((1L, "abcdefghij"), (2L, "One two. Three four five six seven."))
+      .toDF("doc_id", "text").createOrReplaceTempView("__psurf_chunk")
+    val fixed = gs.sql(
+      "SELECT doc_id, chunk_ix, chunk FROM chunk_text(__psurf_chunk, 'text', 'doc_id', 6, 2) " +
+        "WHERE doc_id = 1 ORDER BY chunk_ix").collect()
+    assert(fixed.map(_.getString(2)).toSeq == Seq("abcdef", "efghij"))
+    val sent = gs.sql(
+      "SELECT chunk FROM chunk_sentences(__psurf_chunk, 'text', 'doc_id', 10) " +
+        "WHERE doc_id = 2 ORDER BY chunk_ix").collect()
+    assert(sent.map(_.getString(0)).toSeq ==
+      Seq("One two.", "Three four five six seven."))
+  }
+
+
   test("frame: replaceValues substitutes exact values, pass-through otherwise") {
     val f = GraftFrame(Seq(("O", 1), ("F", 2), ("X", 3), (null, 4))
       .toDF("st", "k"))
