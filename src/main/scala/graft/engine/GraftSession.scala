@@ -246,7 +246,7 @@ final class GraftSession(val spark: SparkSession) extends DialectWave2 {
   private val sourceHeads = Set("file", "url", "deltalake", "delta_lake",
     "iceberg", "hudi", "numbers", "numbers_mt", "generaterandom",
     "mysql", "postgresql", "sqlite", "jdbc", "remote", "remotesecure",
-    "redis", "mongodb")
+    "redis", "mongodb", "s3")
 
   /** Rewrite ALL table-function call sites by SCANNING, not regex: string
     * literals, back-quoted identifiers and comments are copied verbatim
@@ -343,6 +343,19 @@ final class GraftSession(val spark: SparkSession) extends DialectWave2 {
         Some(registerGenerateRandom(unquote(args.head),
           args.lift(1).map(_.toLong).getOrElse(42L),
           args.lift(2).map(_.toDouble.toLong).getOrElse(10000L)))
+      // s3('s3://bucket/key'[, 'accessKey', 'secret'[, 'Format']]) —
+      // reference table_functions.py:316-387; served by the vendor
+      // S3AFileSystem when hadoop-aws is present, else by the built-in
+      // SigV4 protocol client (io.S3Lite)
+      case "s3" if args.nonEmpty && args.length <= 4 && args.forall(quotedTok) =>
+        val a = args.map(unquote)
+        val digest = md5hex(a.mkString("|"))
+        val name = s"__graft_s3_$digest"
+        if (!spark.catalog.tableExists(name))
+          graft.io.Sources.s3(spark, a.head, a.lift(1).getOrElse(""),
+            a.lift(2).getOrElse(""), chFormat(a.lift(3).getOrElse("")))
+            .createOrReplaceTempView(name)
+        Some(name)
       // federated JDBC table functions (reference table_functions.py:570-667):
       // mysql/postgresql('host:port', 'db', 'table', 'user', 'password'
       // [, 'schema' for postgresql]), sqlite('path', 'table'), and the
@@ -1536,6 +1549,14 @@ object GraftSession {
     */
   private[graft] lazy val sqliteJdbcPresent: Boolean =
     try { Class.forName("org.sqlite.JDBC"); true }
+    catch { case _: ClassNotFoundException => false }
+
+  /** True when hadoop-aws's S3AFileSystem is on the classpath — then the
+    * vendor filesystem serves s3a:// and the built-in S3 protocol client
+    * stays out of the way.
+    */
+  private[graft] lazy val s3aPresent: Boolean =
+    try { Class.forName("org.apache.hadoop.fs.s3a.S3AFileSystem"); true }
     catch { case _: ClassNotFoundException => false }
 
   /** (session, view) → "length|mtime" stamp of the .sqlite file the cached

@@ -1,0 +1,586 @@
+package graft.io
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, InputStream, OutputStream}
+import java.net.{HttpURLConnection, InetSocketAddress, URI, URL, URLEncoder}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+import java.util.Locale
+import java.util.concurrent.ConcurrentHashMap
+
+import javax.crypto.Mac
+import javax.crypto.spec.SecretKeySpec
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs._
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+
+/** A from-scratch S3 protocol stack (r16) — the object-store leg of the
+  * reference's `s3()` table function (reference table_functions.py:316-387:
+  * url + access_key_id + secret_access_key [+ nosign]), built the same way
+  * as the r15 wire tier (PgWire/MyWire/SqliteFile): the PUBLIC protocol is
+  * the interface, no vendor jar required.
+  *
+  *  - [[SigV4]] — AWS Signature Version 4 request signing exactly as
+  *    published (canonical request → string-to-sign → HMAC-SHA256 key
+  *    chain), used by the client to SIGN and by the server to VERIFY (the
+  *    server recomputes the signature from the raw request and rejects
+  *    mismatches — the same prove-both-halves discipline as the SCRAM and
+  *    MySQL auth implementations).
+  *  - [[S3LiteFileSystem]] — a Hadoop `FileSystem` speaking the S3 REST
+  *    API (GET/HEAD/PUT/DELETE/ListObjectsV2, ranged reads, server-side
+  *    COPY), so `s3a://bucket/key.parquet` resolves through the standard
+  *    Spark readers/writers: every executor task opens its own ranged
+  *    streams — reads scale with the cluster, exactly how a 1000-executor
+  *    job pulls 100 TB from object storage. When the real hadoop-aws jar
+  *    is on the classpath its S3AFileSystem is preferred (we only install
+  *    ourselves when the scheme would otherwise be unserviceable).
+  *  - [[S3LiteServer]] — a loopback S3 endpoint (in-memory object map)
+  *    that verifies SigV4 on every request, for live round-trip tests in
+  *    a container with no object store.
+  *
+  * Scope: path-style addressing, single-object PUT (the FileSystem buffers
+  * a part file and PUTs on close — Spark part files are bounded by the
+  * task split, so no multipart), no encryption headers, no versioning.
+  */
+object SigV4 {
+  private val amzDateFmt =
+    DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(ZoneOffset.UTC)
+
+  def sha256Hex(data: Array[Byte]): String =
+    MessageDigest.getInstance("SHA-256").digest(data)
+      .map("%02x".format(_)).mkString
+
+  private def hmac(key: Array[Byte], data: String): Array[Byte] = {
+    val mac = Mac.getInstance("HmacSHA256")
+    mac.init(new SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(data.getBytes(UTF_8))
+  }
+
+  /** RFC 3986 encode, keeping `keepSlash` for URI paths. */
+  def uriEncode(s: String, keepSlash: Boolean): String = {
+    val enc = URLEncoder.encode(s, "UTF-8")
+      .replace("+", "%20").replace("*", "%2A").replace("%7E", "~")
+    if (keepSlash) enc.replace("%2F", "/") else enc
+  }
+
+  def amzDate(now: Instant): String = amzDateFmt.format(now)
+
+  /** The published signing algorithm. `query` is the raw (unencoded)
+    * key→value map; `headers` must include host, x-amz-date and
+    * x-amz-content-sha256 (which is also the payload hash).
+    */
+  def signature(method: String, path: String, query: Seq[(String, String)],
+      headers: Seq[(String, String)], payloadHash: String,
+      secretKey: String, region: String = "us-east-1"): (String, String) = {
+    val canonicalQuery = query
+      .map { case (k, v) => (uriEncode(k, keepSlash = false),
+        uriEncode(v, keepSlash = false)) }
+      .sorted.map { case (k, v) => s"$k=$v" }.mkString("&")
+    val hs = headers.map { case (k, v) =>
+      (k.toLowerCase(Locale.ROOT), v.trim) }.sortBy(_._1)
+    val canonicalHeaders = hs.map { case (k, v) => s"$k:$v\n" }.mkString
+    val signedHeaders = hs.map(_._1).mkString(";")
+    val canonicalRequest = Seq(method, uriEncode(path, keepSlash = true),
+      canonicalQuery, canonicalHeaders, signedHeaders, payloadHash)
+      .mkString("\n")
+    val amzDate = hs.find(_._1 == "x-amz-date").map(_._2).getOrElse(
+      throw new IllegalArgumentException("x-amz-date header required"))
+    val date = amzDate.substring(0, 8)
+    val scope = s"$date/$region/s3/aws4_request"
+    val stringToSign = Seq("AWS4-HMAC-SHA256", amzDate, scope,
+      sha256Hex(canonicalRequest.getBytes(UTF_8))).mkString("\n")
+    val kDate = hmac(("AWS4" + secretKey).getBytes(UTF_8), date)
+    val kRegion = hmac(kDate, region)
+    val kService = hmac(kRegion, "s3")
+    val kSigning = hmac(kService, "aws4_request")
+    val sig = hmac(kSigning, stringToSign).map("%02x".format(_)).mkString
+    (sig, signedHeaders)
+  }
+
+  def authorizationHeader(accessKey: String, sig: String,
+      signedHeaders: String, amzDate: String,
+      region: String = "us-east-1"): String = {
+    val scope = s"${amzDate.substring(0, 8)}/$region/s3/aws4_request"
+    s"AWS4-HMAC-SHA256 Credential=$accessKey/$scope, " +
+      s"SignedHeaders=$signedHeaders, Signature=$sig"
+  }
+}
+
+/** Minimal S3 REST client used by the FileSystem (one request per call;
+  * executors create their own instances — no shared driver state).
+  */
+private[io] final class S3LiteClient(endpoint: String, accessKey: String,
+    secretKey: String) extends Serializable {
+
+  private def request(method: String, path: String,
+      query: Seq[(String, String)], body: Array[Byte],
+      extraHeaders: Seq[(String, String)] = Nil): HttpURLConnection = {
+    val qs =
+      if (query.isEmpty) ""
+      else "?" + query.map { case (k, v) =>
+        s"${SigV4.uriEncode(k, keepSlash = false)}=${SigV4.uriEncode(v, keepSlash = false)}"
+      }.mkString("&")
+    val url = new URL(endpoint + SigV4.uriEncode(path, keepSlash = true) + qs)
+    val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    conn.setConnectTimeout(10000)
+    conn.setReadTimeout(60000)
+    val payloadHash = SigV4.sha256Hex(Option(body).getOrElse(Array.empty))
+    val amzDate = SigV4.amzDate(Instant.now())
+    val host = url.getHost + (if (url.getPort > 0) s":${url.getPort}" else "")
+    val signHeaders = Seq("host" -> host, "x-amz-date" -> amzDate,
+      "x-amz-content-sha256" -> payloadHash) ++ extraHeaders
+    val (sig, signed) = SigV4.signature(method, path, query, signHeaders,
+      payloadHash, secretKey)
+    conn.setRequestProperty("x-amz-date", amzDate)
+    conn.setRequestProperty("x-amz-content-sha256", payloadHash)
+    extraHeaders.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+    conn.setRequestProperty("Authorization",
+      SigV4.authorizationHeader(accessKey, sig, signed, amzDate))
+    if (body != null && body.nonEmpty || method == "PUT") {
+      conn.setDoOutput(true)
+      val out = conn.getOutputStream
+      if (body != null) out.write(body)
+      out.close()
+    }
+    conn
+  }
+
+  private def drainAndClose(conn: HttpURLConnection): Unit = {
+    val s = if (conn.getResponseCode >= 400) conn.getErrorStream
+      else conn.getInputStream
+    if (s != null) { while (s.read() >= 0) {}; s.close() }
+  }
+
+  def put(path: String, body: Array[Byte]): Unit = {
+    val c = request("PUT", path, Nil, body)
+    val rc = c.getResponseCode
+    drainAndClose(c)
+    if (rc != 200) throw new java.io.IOException(s"S3 PUT $path -> $rc")
+  }
+
+  def copy(srcPath: String, dstPath: String): Unit = {
+    val c = request("PUT", dstPath, Nil, Array.empty,
+      Seq("x-amz-copy-source" -> srcPath))
+    val rc = c.getResponseCode
+    drainAndClose(c)
+    if (rc != 200) throw new java.io.IOException(s"S3 COPY $srcPath -> $rc")
+  }
+
+  def delete(path: String): Unit = {
+    val c = request("DELETE", path, Nil, null)
+    val rc = c.getResponseCode
+    drainAndClose(c)
+    if (rc != 204 && rc != 200 && rc != 404)
+      throw new java.io.IOException(s"S3 DELETE $path -> $rc")
+  }
+
+  /** HEAD → Some(length) or None when absent. */
+  def head(path: String): Option[Long] = {
+    val c = request("HEAD", path, Nil, null)
+    val rc = c.getResponseCode
+    val len = c.getHeaderField("Content-Length")
+    drainAndClose(c)
+    if (rc == 200) Some(Option(len).map(_.toLong).getOrElse(0L)) else None
+  }
+
+  /** Ranged GET from `from` (inclusive) to end of object. */
+  def getRange(path: String, from: Long): InputStream = {
+    val c = request("GET", path, Nil, null,
+      if (from > 0) Seq("range" -> s"bytes=$from-") else Nil)
+    val rc = c.getResponseCode
+    if (rc != 200 && rc != 206) {
+      drainAndClose(c)
+      throw new java.io.IOException(s"S3 GET $path from=$from -> $rc")
+    }
+    c.getInputStream
+  }
+
+  /** ListObjectsV2 with delimiter — returns (keys+sizes, commonPrefixes). */
+  def list(bucket: String, prefix: String,
+      delimiter: String): (Seq[(String, Long)], Seq[String]) = {
+    val q = Seq("list-type" -> "2", "prefix" -> prefix) ++
+      (if (delimiter.nonEmpty) Seq("delimiter" -> delimiter) else Nil)
+    val c = request("GET", s"/$bucket", q, null)
+    val rc = c.getResponseCode
+    if (rc != 200) {
+      drainAndClose(c)
+      throw new java.io.IOException(s"S3 LIST $bucket/$prefix -> $rc")
+    }
+    val xml = new String(c.getInputStream.readAllBytes(), UTF_8)
+    c.getInputStream.close()
+    val keyRe = "(?s)<Contents>.*?<Key>(.*?)</Key>.*?<Size>(\\d+)</Size>.*?</Contents>".r
+    val cpRe = "<Prefix>(.*?)</Prefix>".r
+    val contents = keyRe.findAllMatchIn(xml)
+      .map(m => (xmlUnescape(m.group(1)), m.group(2).toLong)).toSeq
+    val cps = "(?s)<CommonPrefixes>(.*?)</CommonPrefixes>".r
+      .findAllMatchIn(xml)
+      .flatMap(m => cpRe.findFirstMatchIn(m.group(1)).map(x => xmlUnescape(x.group(1))))
+      .toSeq
+    (contents, cps)
+  }
+
+  private def xmlUnescape(s: String): String =
+    s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      .replace("&apos;", "'").replace("&amp;", "&")
+}
+
+/** Hadoop FileSystem over the S3 REST protocol (path-style). Bucket =
+  * URI authority; keys have no leading slash. Directories are S3-style:
+  * implicit (any key under the prefix) plus zero-byte `dir/` markers so
+  * empty directories survive the Spark committer's mkdirs/rename dance.
+  */
+final class S3LiteFileSystem extends FileSystem {
+  private var fsUri: URI = _
+  private var bucket: String = _
+  private var client: S3LiteClient = _
+  private var workingDir: Path = _
+
+  override def initialize(name: URI, conf: Configuration): Unit = {
+    super.initialize(name, conf)
+    setConf(conf)
+    fsUri = URI.create(s"${name.getScheme}://${name.getAuthority}")
+    bucket = name.getAuthority
+    val endpoint = conf.get("fs.s3lite.endpoint")
+    require(endpoint != null,
+      "fs.s3lite.endpoint must be set (e.g. http://127.0.0.1:9000)")
+    client = new S3LiteClient(endpoint,
+      conf.get("fs.s3lite.access.key", ""),
+      conf.get("fs.s3lite.secret.key", ""))
+    workingDir = new Path(s"${name.getScheme}://$bucket/")
+  }
+
+  override def getScheme: String = "s3a"
+  override def getUri: URI = fsUri
+  override def getWorkingDirectory: Path = workingDir
+  override def setWorkingDirectory(dir: Path): Unit = { workingDir = dir }
+
+  private def key(p: Path): String = {
+    val raw = p.toUri.getPath
+    if (raw == null || raw.isEmpty) "" else raw.stripPrefix("/")
+  }
+  private def objPath(k: String): String = s"/$bucket/$k"
+
+  override def getFileStatus(p: Path): FileStatus = {
+    val k = key(p)
+    if (k.isEmpty)
+      return new FileStatus(0, true, 1, 0, 0, p)
+    client.head(objPath(k)) match {
+      case Some(len) =>
+        new FileStatus(len, false, 1, 32 * 1024 * 1024, 0, p)
+      case None =>
+        // dir marker or implicit prefix
+        if (client.head(objPath(k + "/")).isDefined)
+          new FileStatus(0, true, 1, 0, 0, p)
+        else {
+          val (contents, cps) = client.list(bucket, k + "/", "/")
+          if (contents.nonEmpty || cps.nonEmpty)
+            new FileStatus(0, true, 1, 0, 0, p)
+          else throw new java.io.FileNotFoundException(p.toString)
+        }
+    }
+  }
+
+  override def listStatus(p: Path): Array[FileStatus] = {
+    val k = key(p)
+    // a plain file lists as itself
+    if (k.nonEmpty && client.head(objPath(k)).isDefined)
+      return Array(getFileStatus(p))
+    val prefix = if (k.isEmpty) "" else k + "/"
+    val (contents, cps) = client.list(bucket, prefix, "/")
+    val base = s"${fsUri.getScheme}://$bucket/"
+    val files = contents.filterNot(_._1 == prefix).map { case (ck, len) =>
+      new FileStatus(len, ck.endsWith("/"), 1, 32 * 1024 * 1024, 0,
+        new Path(base + ck.stripSuffix("/")))
+    }
+    val dirs = cps.map(cp =>
+      new FileStatus(0, true, 1, 0, 0, new Path(base + cp.stripSuffix("/"))))
+    if (files.isEmpty && dirs.isEmpty && k.nonEmpty &&
+        client.head(objPath(prefix)).isEmpty)
+      throw new java.io.FileNotFoundException(p.toString)
+    (files ++ dirs).toArray
+  }
+
+  override def open(p: Path, bufferSize: Int): FSDataInputStream = {
+    val st = getFileStatus(p)
+    if (st.isDirectory)
+      throw new java.io.FileNotFoundException(s"$p is a directory")
+    new FSDataInputStream(new S3LiteInputStream(client, objPath(key(p)), st.getLen))
+  }
+
+  override def create(p: Path, permission: FsPermission, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream = {
+    if (!overwrite && client.head(objPath(key(p))).isDefined)
+      throw new java.io.IOException(s"$p already exists")
+    val buf = new ByteArrayOutputStream()
+    val k = objPath(key(p))
+    new FSDataOutputStream(new OutputStream {
+      override def write(b: Int): Unit = buf.write(b)
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        buf.write(b, off, len)
+      override def close(): Unit = client.put(k, buf.toByteArray)
+    }, statistics)
+  }
+
+  override def append(p: Path, bufferSize: Int,
+      progress: Progressable): FSDataOutputStream =
+    throw new UnsupportedOperationException("S3 objects are immutable")
+
+  override def mkdirs(p: Path, permission: FsPermission): Boolean = {
+    val k = key(p)
+    if (k.nonEmpty) client.put(objPath(k + "/"), Array.empty)
+    true
+  }
+
+  override def delete(p: Path, recursive: Boolean): Boolean = {
+    val k = key(p)
+    if (client.head(objPath(k)).isDefined) { client.delete(objPath(k)); true }
+    else {
+      val (contents, _) = client.list(bucket, k + "/", "")
+      if (contents.isEmpty && client.head(objPath(k + "/")).isEmpty) false
+      else {
+        if (contents.nonEmpty && !recursive)
+          throw new java.io.IOException(s"$p is a non-empty directory")
+        contents.foreach { case (ck, _) => client.delete(objPath(ck)) }
+        client.delete(objPath(k + "/"))
+        true
+      }
+    }
+  }
+
+  override def rename(src: Path, dst: Path): Boolean = {
+    val sk = key(src)
+    val dkRaw = key(dst)
+    // Hadoop contract: renaming into an existing directory moves src UNDER it
+    val dstIsDir =
+      try getFileStatus(dst).isDirectory
+      catch { case _: java.io.FileNotFoundException => false }
+    val dk = if (dstIsDir) s"$dkRaw/${src.getName}".stripPrefix("/") else dkRaw
+    if (client.head(objPath(sk)).isDefined) {
+      client.copy(objPath(sk), objPath(dk))
+      client.delete(objPath(sk))
+      true
+    } else {
+      val (contents, _) = client.list(bucket, sk + "/", "")
+      if (contents.isEmpty && client.head(objPath(sk + "/")).isEmpty) false
+      else {
+        contents.foreach { case (ck, _) =>
+          val suffix = ck.stripPrefix(sk + "/")
+          client.copy(objPath(ck), objPath(s"$dk/$suffix"))
+          client.delete(objPath(ck))
+        }
+        client.delete(objPath(sk + "/"))
+        client.put(objPath(dk + "/"), Array.empty)
+        true
+      }
+    }
+  }
+}
+
+/** Seekable ranged-GET input stream (each seek re-opens from the new
+  * position; positioned reads come through FSInputStream's default
+  * seek/read/seek-back).
+  */
+private[io] final class S3LiteInputStream(client: S3LiteClient, path: String,
+    length: Long) extends FSInputStream {
+  private var pos = 0L
+  private var in: InputStream = _
+
+  private def ensure(): Boolean = {
+    if (pos >= length) false
+    else { if (in == null) in = client.getRange(path, pos); true }
+  }
+  private def dropStream(): Unit = { if (in != null) { in.close(); in = null } }
+
+  override def seek(newPos: Long): Unit =
+    if (newPos != pos) { dropStream(); pos = newPos }
+  override def getPos: Long = pos
+  override def seekToNewSource(targetPos: Long): Boolean = false
+
+  override def read(): Int = {
+    if (!ensure()) return -1
+    val b = in.read()
+    if (b >= 0) pos += 1 else dropStream()
+    b
+  }
+  override def read(b: Array[Byte], off: Int, len: Int): Int = {
+    if (!ensure()) return -1
+    val n = in.read(b, off, len)
+    if (n > 0) pos += n else dropStream()
+    n
+  }
+  override def close(): Unit = dropStream()
+}
+
+/** Loopback S3 endpoint: in-memory objects, SigV4 VERIFIED on every request
+  * (the server recomputes the signature from the raw request and the shared
+  * secret; a bad or missing signature is a 403). Supports GET (+Range),
+  * HEAD, PUT (+x-amz-copy-source), DELETE and ListObjectsV2 with delimiter.
+  */
+final class S3LiteServer(accessKey: String, secretKey: String) {
+  import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+  private val objects = new ConcurrentHashMap[String, Array[Byte]]()
+  private var server: HttpServer = _
+
+  def port: Int = server.getAddress.getPort
+  def endpoint: String = s"http://127.0.0.1:$port"
+
+  /** Direct server-side fixture load (test setup device, like MiniRedis). */
+  def putObject(bucketKey: String, data: Array[Byte]): Unit =
+    objects.put(bucketKey, data)
+  def objectKeys: Seq[String] = objects.keySet().asScala.toSeq.sorted
+
+  def start(): S3LiteServer = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        try handleOne(ex)
+        catch { case e: Exception => respond(ex, 500, e.toString.getBytes(UTF_8)) }
+        finally ex.close()
+    })
+    server.start()
+    this
+  }
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  private def respond(ex: HttpExchange, code: Int, body: Array[Byte],
+      headers: Seq[(String, String)] = Nil): Unit = {
+    headers.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
+    val len = if (body.isEmpty) -1L else body.length.toLong
+    if (ex.getRequestMethod == "HEAD") {
+      // HttpServer contract: HEAD sends headers only
+      ex.getResponseHeaders.set("Content-Length", body.length.toString)
+      ex.sendResponseHeaders(code, -1)
+    } else {
+      ex.sendResponseHeaders(code, len)
+      if (body.nonEmpty) { ex.getResponseBody.write(body); ex.getResponseBody.close() }
+    }
+  }
+
+  private def xmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** Recompute and check the request's SigV4 signature. */
+  private def verify(ex: HttpExchange, body: Array[Byte]): Boolean = {
+    val auth = ex.getRequestHeaders.getFirst("Authorization")
+    if (auth == null || !auth.startsWith("AWS4-HMAC-SHA256")) return false
+    val credRe = "Credential=([^/]+)/([^,]+), SignedHeaders=([^,]+), Signature=([0-9a-f]+)".r
+    credRe.findFirstMatchIn(auth) match {
+      case Some(m) =>
+        if (m.group(1) != accessKey) return false
+        val signedHeaders = m.group(3).split(";").toSeq
+        val claimedSig = m.group(4)
+        val payloadHash = ex.getRequestHeaders.getFirst("x-amz-content-sha256")
+        if (payloadHash == null || payloadHash != SigV4.sha256Hex(body))
+          return false
+        val headers = signedHeaders.map { h =>
+          h -> Option(ex.getRequestHeaders.getFirst(h)).getOrElse("")
+        }
+        val query = Option(ex.getRequestURI.getRawQuery).toSeq
+          .flatMap(_.split("&")).map { kv =>
+            val i = kv.indexOf('=')
+            if (i < 0) (urlDecode(kv), "")
+            else (urlDecode(kv.substring(0, i)), urlDecode(kv.substring(i + 1)))
+          }
+        val (expected, _) = SigV4.signature(ex.getRequestMethod,
+          ex.getRequestURI.getPath, query, headers, payloadHash, secretKey)
+        MessageDigest.isEqual(expected.getBytes(UTF_8), claimedSig.getBytes(UTF_8))
+      case None => false
+    }
+  }
+
+  private def urlDecode(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def handleOne(ex: HttpExchange): Unit = {
+    val body = ex.getRequestBody.readAllBytes()
+    if (!verify(ex, body)) { respond(ex, 403, "SignatureDoesNotMatch".getBytes(UTF_8)); return }
+    val path = urlDecode(ex.getRequestURI.getPath).stripPrefix("/")
+    val query = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    val isList = query.contains("list-type=2")
+    ex.getRequestMethod match {
+      case "GET" if isList =>
+        val bucket = path.split("/", 2)(0)
+        val params = query.split("&").map { kv =>
+          val i = kv.indexOf('=')
+          if (i < 0) (kv, "") else (kv.substring(0, i), urlDecode(kv.substring(i + 1)))
+        }.toMap
+        val prefix = params.getOrElse("prefix", "")
+        val delim = params.getOrElse("delimiter", "")
+        val all = objects.keySet().asScala.toSeq.sorted
+          .filter(k => k.startsWith(s"$bucket/") &&
+            k.stripPrefix(s"$bucket/").startsWith(prefix))
+          .map(_.stripPrefix(s"$bucket/"))
+        val (direct, prefixed) =
+          if (delim.isEmpty) (all, Seq.empty[String])
+          else all.partition(k => !k.stripPrefix(prefix).contains(delim))
+        val cps = prefixed
+          .map(k => prefix + k.stripPrefix(prefix).takeWhile(_ != delim.head) + delim)
+          .distinct
+        val xml = new StringBuilder(
+          "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<ListBucketResult>" +
+            "<IsTruncated>false</IsTruncated>")
+        direct.foreach { k =>
+          val size = objects.get(s"$bucket/$k").length
+          xml.append(s"<Contents><Key>${xmlEscape(k)}</Key><Size>$size</Size>" +
+            "<LastModified>2026-01-01T00:00:00.000Z</LastModified>" +
+            "<ETag>\"0\"</ETag></Contents>")
+        }
+        cps.foreach(cp => xml.append(
+          s"<CommonPrefixes><Prefix>${xmlEscape(cp)}</Prefix></CommonPrefixes>"))
+        xml.append("</ListBucketResult>")
+        respond(ex, 200, xml.toString.getBytes(UTF_8),
+          Seq("Content-Type" -> "application/xml"))
+      case "GET" =>
+        Option(objects.get(path)) match {
+          case None => respond(ex, 404, "NoSuchKey".getBytes(UTF_8))
+          case Some(data) =>
+            val range = ex.getRequestHeaders.getFirst("range")
+            if (range != null && range.startsWith("bytes=")) {
+              val spec = range.stripPrefix("bytes=")
+              val from = spec.takeWhile(_ != '-').toLong
+              val toOpt = spec.dropWhile(_ != '-').drop(1)
+              val to = if (toOpt.isEmpty) data.length - 1L
+                else math.min(toOpt.toLong, data.length - 1L)
+              if (from >= data.length)
+                respond(ex, 416, Array.empty)
+              else respond(ex, 206,
+                java.util.Arrays.copyOfRange(data, from.toInt, to.toInt + 1))
+            } else respond(ex, 200, data)
+        }
+      case "HEAD" =>
+        Option(objects.get(path)) match {
+          case None => respond(ex, 404, Array.empty)
+          case Some(data) => respond(ex, 200, data)
+        }
+      case "PUT" =>
+        val copySrc = ex.getRequestHeaders.getFirst("x-amz-copy-source")
+        if (copySrc != null) {
+          val src = urlDecode(copySrc).stripPrefix("/")
+          Option(objects.get(src)) match {
+            case None => respond(ex, 404, "NoSuchKey".getBytes(UTF_8))
+            case Some(data) =>
+              objects.put(path, data)
+              respond(ex, 200,
+                "<CopyObjectResult><ETag>\"0\"</ETag></CopyObjectResult>"
+                  .getBytes(UTF_8))
+          }
+        } else {
+          objects.put(path, body)
+          respond(ex, 200, Array.empty)
+        }
+      case "DELETE" =>
+        objects.remove(path)
+        respond(ex, 204, Array.empty)
+      case other =>
+        respond(ex, 405, s"method $other".getBytes(UTF_8))
+    }
+  }
+}

@@ -41,6 +41,38 @@ object Sources {
       jdbc(spark, url, table)
     } else file(spark, u)
 
+  /** s3(url[, accessKey, secret[, format]]) — the reference's object-store
+    * table function (reference table_functions.py:316-387). With hadoop-aws
+    * on the classpath the vendor S3AFileSystem serves the scheme untouched;
+    * without it the built-in from-scratch S3 protocol client
+    * ([[S3LiteFileSystem]] — SigV4-signed REST, ranged reads) is installed
+    * for s3://-style URIs, with the endpoint from the
+    * `spark.graft.s3.endpoint` session conf (or an already-set
+    * `fs.s3lite.endpoint` Hadoop conf). Reads then flow through the
+    * standard Spark readers: executor tasks open their own ranged streams,
+    * the same shape a 1000-executor job uses against 100 TB of objects.
+    */
+  def s3(spark: SparkSession, url: String, accessKey: String = "",
+      secret: String = "", format: String = ""): DataFrame = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    if (accessKey.nonEmpty) {
+      hc.set("fs.s3lite.access.key", accessKey)
+      hc.set("fs.s3lite.secret.key", secret)
+    }
+    spark.conf.getOption("spark.graft.s3.endpoint")
+      .foreach(e => hc.set("fs.s3lite.endpoint", e))
+    if (!graft.engine.GraftSession.s3aPresent) {
+      hc.set("fs.s3a.impl", classOf[S3LiteFileSystem].getName)
+      hc.set("fs.s3.impl", classOf[S3LiteFileSystem].getName)
+      // endpoint/creds change per session — never cache across configs
+      hc.set("fs.s3a.impl.disable.cache", "true")
+      hc.set("fs.s3.impl.disable.cache", "true")
+    }
+    val path =
+      if (url.startsWith("s3://")) "s3a://" + url.stripPrefix("s3://") else url
+    file(spark, path, format)
+  }
+
   /** mysql()/postgresql()/sqlite() analog — federated JDBC table read
     * (reference table_functions.py:570-667; SURVEY maps it to the JDBC
     * source, which pushes filters and prunes columns server-side).

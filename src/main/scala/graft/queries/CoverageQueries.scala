@@ -1180,6 +1180,34 @@ object CoverageQueries {
       WHERE emit IS NOT NULL
       UNION ALL
       SELECT doc_id, cix, cur FROM pack WHERE i = n
-      ORDER BY doc_id, chunk_ix"""))
+      ORDER BY doc_id, chunk_ix""")),
+
+    QueryDef("q202_s3_live", (s, dir) => {
+      // s3() over the LIVE built-in S3 protocol stack (r16): the customer
+      // fixture is uploaded to a loopback S3 endpoint that VERIFIES AWS
+      // SigV4 on every request, then read back through the s3() SQL table
+      // function — ranged GETs, signed by the from-scratch client
+      // (io.S3Lite; the signer matches AWS's published test vector,
+      // S3LiteSpec). Materialized before the server stops (q166's device).
+      val server = new graft.io.S3LiteServer("AKGRAFT", "graft-secret").start()
+      val hc = s.sparkContext.hadoopConfiguration
+      try {
+        server.putObject("graft/customer.parquet",
+          java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(s"$dir/customer.parquet")))
+        s.conf.set("spark.graft.s3.endpoint", server.endpoint)
+        val gs = graft.engine.GraftSession(s)
+        val df = gs.sql(
+          """SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS bal
+             FROM s3('s3://graft/customer.parquet', 'AKGRAFT', 'graft-secret')
+             WHERE c_custkey % 11 = 0 ORDER BY c_custkey""")
+        s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+      } finally {
+        server.stop()
+        s.conf.unset("spark.graft.s3.endpoint")
+        hc.unset("fs.s3lite.endpoint")
+      }
+    }, Some("""SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS bal
+      FROM customer WHERE c_custkey % 11 = 0 ORDER BY c_custkey"""))
   )
 }
