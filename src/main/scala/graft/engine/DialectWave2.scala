@@ -503,13 +503,17 @@ private[engine] trait DialectWave2 { self: GraftSession =>
   // for other types. Fill columns: integral (numeric grid, integer STEP) or
   // DATE/TIMESTAMP (`STEP INTERVAL n unit`, default INTERVAL 1 DAY; FROM/TO
   // accept DATE/TIMESTAMP literals). `INTERPOLATE (c1[, c2…])` carries each
-  // listed column's most recent source value into gap rows (ClickHouse's
-  // bare-column form; `col AS expr` chains are refused — they recur on the
-  // previous OUTPUT row, which no window can express); bare `INTERPOLATE ()`
-  // carries every non-fill column. The interpolation window is a global
-  // last_value IGNORE NULLS over the fill order — sized for the ordered,
-  // presentation-bound results WITH FILL produces, like ClickHouse's own
-  // single-stream fill. Scope: single ascending fill column; DESC refused.
+  // listed column's most recent NON-NULL source value into GAP ROWS ONLY —
+  // source rows keep their own values, including legitimate NULLs
+  // (ClickHouse computes INTERPOLATE only for inserted rows; a NULL-valued
+  // source row is carried as the older non-null value in following gaps —
+  // the one documented ignore-nulls divergence). `col AS expr` chains are
+  // refused — they recur on the previous OUTPUT row, which no window can
+  // express; bare `INTERPOLATE ()` carries every non-fill column. The
+  // interpolation window is a global last_value IGNORE NULLS over the fill
+  // order — sized for the ordered, presentation-bound results WITH FILL
+  // produces, like ClickHouse's own single-stream fill. Scope: single
+  // ascending fill column; DESC refused.
   private val fillRe =
     ("(?is)^(.*\\S)\\s+ORDER\\s+BY\\s+([A-Za-z_]\\w*|`[^`]+`)(\\s+ASC)?" +
       "\\s+WITH\\s+FILL" +
@@ -536,8 +540,12 @@ private[engine] trait DialectWave2 { self: GraftSession =>
               s"(got ${other.sql})")
         }
         val stepRaw = Option(m.group(9))
-        // grid cell type + expressions, by fill-column family
-        val (gridT, fromE, toI, stepE) =
+        // grid cell type + expressions, by fill-column family. `gridCut` is
+        // the explicit-TO exclusivity filter: the grid is generated through
+        // TO inclusive and cut strictly-below, so a TO that is NOT a whole
+        // number of steps from FROM still yields every grid point < TO
+        // (subtracting one step from TO would silently drop the last point).
+        val (gridT, fromE, toI, stepE, gridCut) =
           if (temporal) {
             val step = stepRaw.getOrElse("INTERVAL 1 DAY")
             require(step.toUpperCase(Locale.ROOT).startsWith("INTERVAL"),
@@ -546,12 +554,16 @@ private[engine] trait DialectWave2 { self: GraftSession =>
               .getOrElse(
                 s"(SELECT MIN(CAST(`${f.name}` AS TIMESTAMP)) FROM __graft_fill_src)")
             // ClickHouse TO is exclusive; implicit max bound is inclusive
-            val toI = Option(m.group(7))
-              .map(l => s"CAST($l AS TIMESTAMP) - $step")
+            val toI = Option(m.group(7)).map(l => s"CAST($l AS TIMESTAMP)")
               .getOrElse(
                 s"(SELECT MAX(CAST(`${f.name}` AS TIMESTAMP)) FROM __graft_fill_src)")
-            ("TIMESTAMP", fromE, toI, step)
+            val cut = Option(m.group(7))
+              .map(l => s" WHERE __graft_fx < CAST($l AS TIMESTAMP)").getOrElse("")
+            ("TIMESTAMP", fromE, toI, step, cut)
           } else {
+            require(stepRaw.forall(_.matches("-?\\d+")),
+              "STEP INTERVAL requires a DATE/TIMESTAMP fill column — use a " +
+                "plain integer STEP on integral columns")
             val step = stepRaw.map(_.toLong).getOrElse(1L)
             require(step > 0, "WITH FILL STEP must be positive")
             val fromE = Option(m.group(5)).map { l =>
@@ -566,7 +578,7 @@ private[engine] trait DialectWave2 { self: GraftSession =>
               (l.toLong - 1).toString
             }.getOrElse(
               s"(SELECT MAX(CAST(`${f.name}` AS BIGINT)) FROM __graft_fill_src)")
-            ("BIGINT", fromE, toI, step.toString)
+            ("BIGINT", fromE, toI, step.toString, "")
           }
         // INTERPOLATE list: bare column names; () = every non-fill column
         val interp: Set[String] = Option(m.group(11)) match {
@@ -608,13 +620,21 @@ private[engine] trait DialectWave2 { self: GraftSession =>
             s"CAST($dflt AS ${fd.dataType.sql}) AS `${fd.name}`"
           }
         }.mkString(", ")
-        // empty source / inverted bounds → CASE falls to the empty array
+        // empty source / inverted bounds → CASE falls to the empty array.
+        // With INTERPOLATE the union carries a source/gap tag so the
+        // carry-forward window rewrites ONLY gap rows — a source row's own
+        // NULL stays a NULL (ClickHouse computes INTERPOLATE values only
+        // for inserted rows).
+        val tagCols =
+          if (interp.isEmpty) ("", "")
+          else (", 1 AS __graft_fill_tag", ", 0 AS __graft_fill_tag")
         val unioned =
-          s"""SELECT * FROM __graft_fill_src
+          s"""SELECT *${tagCols._1} FROM __graft_fill_src
              |UNION ALL
-             |SELECT $proj FROM (SELECT explode(CASE WHEN CAST(($toI) AS $gridT) >= CAST(($fromE) AS $gridT)
+             |SELECT $proj${tagCols._2} FROM (SELECT __graft_fx FROM
+             |  (SELECT explode(CASE WHEN CAST(($toI) AS $gridT) >= CAST(($fromE) AS $gridT)
              |  THEN sequence(CAST(($fromE) AS $gridT), CAST(($toI) AS $gridT), $stepE)
-             |  ELSE CAST(array() AS ARRAY<$gridT>) END) AS __graft_fx) __graft_fill_g
+             |  ELSE CAST(array() AS ARRAY<$gridT>) END) AS __graft_fx)$gridCut) __graft_fill_g
              |LEFT ANTI JOIN __graft_fill_src
              |  ON __graft_fill_g.__graft_fx = CAST(__graft_fill_src.`${f.name}` AS $gridT)""".stripMargin
         val ordTail = s"ORDER BY `${f.name}` ASC NULLS FIRST"
@@ -625,7 +645,8 @@ private[engine] trait DialectWave2 { self: GraftSession =>
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
           val outer = schema.fields.map { fd =>
             if (interp(fd.name))
-              s"last_value(`${fd.name}`) IGNORE NULLS $w AS `${fd.name}`"
+              s"CASE WHEN __graft_fill_tag = 1 THEN `${fd.name}` ELSE " +
+                s"last_value(`${fd.name}`) IGNORE NULLS $w END AS `${fd.name}`"
             else s"`${fd.name}`"
           }.mkString(", ")
           s"WITH __graft_fill_src AS ( $base ),\n__graft_fill_all AS (\n" +

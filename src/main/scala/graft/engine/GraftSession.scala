@@ -343,18 +343,27 @@ final class GraftSession(val spark: SparkSession) extends DialectWave2 {
         Some(registerGenerateRandom(unquote(args.head),
           args.lift(1).map(_.toLong).getOrElse(42L),
           args.lift(2).map(_.toDouble.toLong).getOrElse(10000L)))
-      // s3('s3://bucket/key'[, 'accessKey', 'secret'[, 'Format']]) —
-      // reference table_functions.py:316-387; served by the vendor
+      // s3(url[, NOSIGN|format]) / s3(url, NOSIGN, format) /
+      // s3(url, accessKey, secret[, format]) — the ClickHouse argument
+      // forms (reference table_functions.py:316-387); served by the vendor
       // S3AFileSystem when hadoop-aws is present, else by the built-in
       // SigV4 protocol client (io.S3Lite)
-      case "s3" if args.nonEmpty && args.length <= 4 && args.forall(quotedTok) =>
-        val a = args.map(unquote)
-        val digest = md5hex(a.mkString("|"))
-        val name = s"__graft_s3_$digest"
-        if (!spark.catalog.tableExists(name))
-          graft.io.Sources.s3(spark, a.head, a.lift(1).getOrElse(""),
-            a.lift(2).getOrElse(""), chFormat(a.lift(3).getOrElse("")))
-            .createOrReplaceTempView(name)
+      case "s3" if args.nonEmpty && args.length <= 4 &&
+          args.forall(a => quotedTok(a) || a.equalsIgnoreCase("NOSIGN")) =>
+        val a = args.map(x => if (x.equalsIgnoreCase("NOSIGN")) "NOSIGN"
+          else unquote(x))
+        val nosign = a.lift(1).contains("NOSIGN")
+        val (ak, sk, fmt) =
+          if (a.length <= 1) ("", "", "")
+          else if (nosign) ("", "", a.lift(2).getOrElse(""))
+          else if (a.length == 2) ("", "", a(1)) // s3(url, format)
+          else (a(1), a(2), a.lift(3).getOrElse(""))
+        val name = s"__graft_s3_${md5hex(a.mkString("|"))}"
+        // ALWAYS re-registered: the endpoint and credentials live in
+        // session conf and may have changed since an identical-args call
+        // (a cached view would sign against a dead endpoint)
+        graft.io.Sources.s3(spark, a.head, ak, sk, chFormat(fmt))
+          .createOrReplaceTempView(name)
         Some(name)
       // federated JDBC table functions (reference table_functions.py:570-667):
       // mysql/postgresql('host:port', 'db', 'table', 'user', 'password'

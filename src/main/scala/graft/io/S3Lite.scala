@@ -166,7 +166,7 @@ private[io] final class S3LiteClient(endpoint: String, accessKey: String,
 
   def copy(srcPath: String, dstPath: String): Unit = {
     val c = request("PUT", dstPath, Nil, Array.empty,
-      Seq("x-amz-copy-source" -> srcPath))
+      Seq("x-amz-copy-source" -> SigV4.uriEncode(srcPath, keepSlash = true)))
     val rc = c.getResponseCode
     drainAndClose(c)
     if (rc != 200) throw new java.io.IOException(s"S3 COPY $srcPath -> $rc")
@@ -201,28 +201,41 @@ private[io] final class S3LiteClient(endpoint: String, accessKey: String,
     c.getInputStream
   }
 
-  /** ListObjectsV2 with delimiter — returns (keys+sizes, commonPrefixes). */
+  /** ListObjectsV2 with delimiter — returns (keys+sizes, commonPrefixes).
+    * Follows <NextContinuationToken> pages until <IsTruncated> is false, so
+    * listings over one page (1000 keys on real endpoints) are complete.
+    */
   def list(bucket: String, prefix: String,
       delimiter: String): (Seq[(String, Long)], Seq[String]) = {
-    val q = Seq("list-type" -> "2", "prefix" -> prefix) ++
-      (if (delimiter.nonEmpty) Seq("delimiter" -> delimiter) else Nil)
-    val c = request("GET", s"/$bucket", q, null)
-    val rc = c.getResponseCode
-    if (rc != 200) {
-      drainAndClose(c)
-      throw new java.io.IOException(s"S3 LIST $bucket/$prefix -> $rc")
-    }
-    val xml = new String(c.getInputStream.readAllBytes(), UTF_8)
-    c.getInputStream.close()
     val keyRe = "(?s)<Contents>.*?<Key>(.*?)</Key>.*?<Size>(\\d+)</Size>.*?</Contents>".r
     val cpRe = "<Prefix>(.*?)</Prefix>".r
-    val contents = keyRe.findAllMatchIn(xml)
-      .map(m => (xmlUnescape(m.group(1)), m.group(2).toLong)).toSeq
-    val cps = "(?s)<CommonPrefixes>(.*?)</CommonPrefixes>".r
-      .findAllMatchIn(xml)
-      .flatMap(m => cpRe.findFirstMatchIn(m.group(1)).map(x => xmlUnescape(x.group(1))))
-      .toSeq
-    (contents, cps)
+    val contents = Seq.newBuilder[(String, Long)]
+    val cps = Seq.newBuilder[String]
+    var token: Option[String] = None
+    var more = true
+    while (more) {
+      val q = Seq("list-type" -> "2", "prefix" -> prefix) ++
+        (if (delimiter.nonEmpty) Seq("delimiter" -> delimiter) else Nil) ++
+        token.map("continuation-token" -> _)
+      val c = request("GET", s"/$bucket", q, null)
+      val rc = c.getResponseCode
+      if (rc != 200) {
+        drainAndClose(c)
+        throw new java.io.IOException(s"S3 LIST $bucket/$prefix -> $rc")
+      }
+      val xml = new String(c.getInputStream.readAllBytes(), UTF_8)
+      c.getInputStream.close()
+      contents ++= keyRe.findAllMatchIn(xml)
+        .map(m => (xmlUnescape(m.group(1)), m.group(2).toLong))
+      cps ++= "(?s)<CommonPrefixes>(.*?)</CommonPrefixes>".r
+        .findAllMatchIn(xml)
+        .flatMap(m => cpRe.findFirstMatchIn(m.group(1))
+          .map(x => xmlUnescape(x.group(1))))
+      token = "<NextContinuationToken>(.*?)</NextContinuationToken>".r
+        .findFirstMatchIn(xml).map(m => xmlUnescape(m.group(1)))
+      more = xml.contains("<IsTruncated>true</IsTruncated>") && token.isDefined
+    }
+    (contents.result(), cps.result().distinct)
   }
 
   private def xmlUnescape(s: String): String =
@@ -246,12 +259,16 @@ final class S3LiteFileSystem extends FileSystem {
     setConf(conf)
     fsUri = URI.create(s"${name.getScheme}://${name.getAuthority}")
     bucket = name.getAuthority
-    val endpoint = conf.get("fs.s3lite.endpoint")
-    require(endpoint != null,
+    // per-bucket settings win over the session-global fallbacks, so two
+    // buckets with different credentials coexist in one session
+    def perBucket(suffix: String): String =
+      conf.get(s"fs.s3lite.bucket.$bucket.$suffix",
+        conf.get(s"fs.s3lite.$suffix", ""))
+    val endpoint = perBucket("endpoint")
+    require(endpoint.nonEmpty,
       "fs.s3lite.endpoint must be set (e.g. http://127.0.0.1:9000)")
     client = new S3LiteClient(endpoint,
-      conf.get("fs.s3lite.access.key", ""),
-      conf.get("fs.s3lite.secret.key", ""))
+      perBucket("access.key"), perBucket("secret.key"))
     workingDir = new Path(s"${name.getScheme}://$bucket/")
   }
 
@@ -345,7 +362,10 @@ final class S3LiteFileSystem extends FileSystem {
       val (contents, _) = client.list(bucket, k + "/", "")
       if (contents.isEmpty && client.head(objPath(k + "/")).isEmpty) false
       else {
-        if (contents.nonEmpty && !recursive)
+        // the directory's own zero-byte marker is not "content" — an empty
+        // directory deletes non-recursively per the FileSystem contract
+        val nonMarker = contents.filterNot(_._1 == k + "/")
+        if (nonMarker.nonEmpty && !recursive)
           throw new java.io.IOException(s"$p is a non-empty directory")
         contents.foreach { case (ck, _) => client.delete(objPath(ck)) }
         client.delete(objPath(k + "/"))
@@ -423,7 +443,8 @@ private[io] final class S3LiteInputStream(client: S3LiteClient, path: String,
   * secret; a bad or missing signature is a 403). Supports GET (+Range),
   * HEAD, PUT (+x-amz-copy-source), DELETE and ListObjectsV2 with delimiter.
   */
-final class S3LiteServer(accessKey: String, secretKey: String) {
+final class S3LiteServer(accessKey: String, secretKey: String,
+    maxKeysPerPage: Int = 1000) {
   import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 
   private val objects = new ConcurrentHashMap[String, Array[Byte]]()
@@ -499,10 +520,17 @@ final class S3LiteServer(accessKey: String, secretKey: String) {
   private def urlDecode(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
 
+  /** Percent-decode a PATH exactly once: work from the RAW path (URI.getPath
+    * is already decoded — decoding it again corrupts keys containing '%')
+    * and protect '+' first (a literal character in paths, not a space).
+    */
+  private def pathDecode(raw: String): String =
+    java.net.URLDecoder.decode(raw.replace("+", "%2B"), "UTF-8")
+
   private def handleOne(ex: HttpExchange): Unit = {
     val body = ex.getRequestBody.readAllBytes()
     if (!verify(ex, body)) { respond(ex, 403, "SignatureDoesNotMatch".getBytes(UTF_8)); return }
-    val path = urlDecode(ex.getRequestURI.getPath).stripPrefix("/")
+    val path = pathDecode(ex.getRequestURI.getRawPath).stripPrefix("/")
     val query = Option(ex.getRequestURI.getRawQuery).getOrElse("")
     val isList = query.contains("list-type=2")
     ex.getRequestMethod match {
@@ -514,19 +542,31 @@ final class S3LiteServer(accessKey: String, secretKey: String) {
         }.toMap
         val prefix = params.getOrElse("prefix", "")
         val delim = params.getOrElse("delimiter", "")
-        val all = objects.keySet().asScala.toSeq.sorted
+        val token = params.get("continuation-token")
+        val all0 = objects.keySet().asScala.toSeq.sorted
           .filter(k => k.startsWith(s"$bucket/") &&
             k.stripPrefix(s"$bucket/").startsWith(prefix))
           .map(_.stripPrefix(s"$bucket/"))
+        // pagination over the raw key scan (like real S3): the token is the
+        // last key of the previous page
+        val afterToken = token match {
+          case Some(t) => all0.dropWhile(_ <= t)
+          case None => all0
+        }
+        val page = afterToken.take(maxKeysPerPage)
+        val truncated = afterToken.length > page.length
         val (direct, prefixed) =
-          if (delim.isEmpty) (all, Seq.empty[String])
-          else all.partition(k => !k.stripPrefix(prefix).contains(delim))
+          if (delim.isEmpty) (page, Seq.empty[String])
+          else page.partition(k => !k.stripPrefix(prefix).contains(delim))
         val cps = prefixed
           .map(k => prefix + k.stripPrefix(prefix).takeWhile(_ != delim.head) + delim)
           .distinct
         val xml = new StringBuilder(
           "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<ListBucketResult>" +
-            "<IsTruncated>false</IsTruncated>")
+            s"<IsTruncated>$truncated</IsTruncated>" +
+            (if (truncated)
+              s"<NextContinuationToken>${xmlEscape(page.last)}</NextContinuationToken>"
+             else ""))
         direct.foreach { k =>
           val size = objects.get(s"$bucket/$k").length
           xml.append(s"<Contents><Key>${xmlEscape(k)}</Key><Size>$size</Size>" +
@@ -563,7 +603,7 @@ final class S3LiteServer(accessKey: String, secretKey: String) {
       case "PUT" =>
         val copySrc = ex.getRequestHeaders.getFirst("x-amz-copy-source")
         if (copySrc != null) {
-          val src = urlDecode(copySrc).stripPrefix("/")
+          val src = pathDecode(copySrc).stripPrefix("/")
           Option(objects.get(src)) match {
             case None => respond(ex, 404, "NoSuchKey".getBytes(UTF_8))
             case Some(data) =>

@@ -55,9 +55,22 @@ object Sources {
   def s3(spark: SparkSession, url: String, accessKey: String = "",
       secret: String = "", format: String = ""): DataFrame = {
     val hc = spark.sparkContext.hadoopConfiguration
-    if (accessKey.nonEmpty) {
-      hc.set("fs.s3lite.access.key", accessKey)
-      hc.set("fs.s3lite.secret.key", secret)
+    // credentials are scoped PER BUCKET (fs.s3lite.bucket.<b>.*) so two
+    // frames reading different buckets with different keys in one session
+    // don't sign with whichever credentials were set last; the global keys
+    // remain the fallback for direct s3a:// reads
+    val bucketOpt =
+      if (url.startsWith("s3://") || url.startsWith("s3a://"))
+        Option(java.net.URI.create(
+          url.replaceFirst("^s3:", "s3a:")).getAuthority)
+      else None
+    if (accessKey.nonEmpty) bucketOpt match {
+      case Some(b) =>
+        hc.set(s"fs.s3lite.bucket.$b.access.key", accessKey)
+        hc.set(s"fs.s3lite.bucket.$b.secret.key", secret)
+      case None =>
+        hc.set("fs.s3lite.access.key", accessKey)
+        hc.set("fs.s3lite.secret.key", secret)
     }
     spark.conf.getOption("spark.graft.s3.endpoint")
       .foreach(e => hc.set("fs.s3lite.endpoint", e))

@@ -333,6 +333,43 @@ class DialectWave2Spec extends SparkTestBase {
       Seq((1, "x", 2L), (2, "b", 1L), (3, "b", 1L), (4, "b", 1L)))
   }
 
+  test("INTERPOLATE rewrites gap rows ONLY — source NULLs are preserved") {
+    views()
+    Seq((1, Some("x")), (3, None), (6, Some("y")))
+      .toDF("kk", "t").createOrReplaceTempView("w2_srcnull")
+    val rows = g.sql(
+      """SELECT kk, t FROM w2_srcnull
+         ORDER BY kk WITH FILL FROM 1 TO 7 INTERPOLATE (t)""").collect()
+    val got = rows.map(r => (r.getInt(0),
+      if (r.isNullAt(1)) null else r.getString(1))).toSeq
+    // kk=3 is a SOURCE row with a legitimate NULL — it must stay NULL;
+    // gaps 2 carry 'x', gaps 4,5 carry 'x' (ignore-nulls past the NULL
+    // source row — the documented divergence), kk=6 keeps 'y'
+    assert(got == Seq((1, "x"), (2, "x"), (3, null), (4, "x"), (5, "x"), (6, "y")))
+  }
+
+  test("temporal WITH FILL TO that is not step-aligned keeps the last grid point") {
+    views()
+    Seq(("2024-01-01 00:00:00", 1.0)).toDF("d0", "v")
+      .selectExpr("CAST(d0 AS TIMESTAMP) AS d", "v")
+      .createOrReplaceTempView("w2_unaligned")
+    val rows = g.sql(
+      """SELECT d, SUM(v) AS s FROM w2_unaligned GROUP BY d
+         ORDER BY d WITH FILL FROM TIMESTAMP '2024-01-01 00:00:00'
+         TO TIMESTAMP '2024-01-06 00:00:00' STEP INTERVAL 2 DAY""").collect()
+    // grid Jan 1, 3, 5 (all < Jan 6): TO - step would have dropped Jan 5
+    assert(rows.map(_.getTimestamp(0).toString.substring(0, 10)).toSeq ==
+      Seq("2024-01-01", "2024-01-03", "2024-01-05"))
+  }
+
+  test("STEP INTERVAL on an integral column is refused loudly") {
+    views()
+    val e = intercept[IllegalArgumentException] {
+      g.sql("SELECT k FROM w2_dup ORDER BY k WITH FILL STEP INTERVAL 1 DAY")
+    }
+    assert(e.getMessage.contains("DATE/TIMESTAMP"))
+  }
+
   test("WITH FILL refuses DESC and INTERPOLATE loudly") {
     views()
     val e1 = intercept[UnsupportedOperationException] {

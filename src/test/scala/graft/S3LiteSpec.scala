@@ -107,6 +107,103 @@ class S3LiteSpec extends SparkTestBase {
     }
   }
 
+  // ---- review-pass regressions (r16 self-review) ----
+
+  test("keys with '%' and '+' survive the wire (single path decode)") {
+    withServer { server =>
+      import org.apache.hadoop.fs.Path
+      val fs = new Path("s3a://enc/")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val p = new Path("s3a://enc/t/p=100%25/f+1.txt")
+      val out = fs.create(p, true)
+      out.write("data!".getBytes("UTF-8")); out.close()
+      assert(server.objectKeys.contains("enc/t/p=100%25/f+1.txt"))
+      val in = fs.open(p, 4096)
+      val buf = new Array[Byte](5); in.readFully(0, buf); in.close()
+      assert(new String(buf, "UTF-8") == "data!")
+    }
+  }
+
+  test("listings follow continuation tokens across pages") {
+    val server = new S3LiteServer("AKTEST", "sekrit", maxKeysPerPage = 7).start()
+    val hc = spark.sparkContext.hadoopConfiguration
+    try {
+      hc.set("fs.s3lite.endpoint", server.endpoint)
+      hc.set("fs.s3lite.access.key", "AKTEST")
+      hc.set("fs.s3lite.secret.key", "sekrit")
+      hc.set("fs.s3a.impl", classOf[graft.io.S3LiteFileSystem].getName)
+      hc.set("fs.s3a.impl.disable.cache", "true")
+      (0 until 23).foreach(i =>
+        server.putObject(f"paged/d/k$i%03d", Array[Byte](1, 2, 3)))
+      import org.apache.hadoop.fs.Path
+      val fs = new Path("s3a://paged/")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // 23 keys at 7 per page = 4 pages; a truncation bug returns 7
+      assert(fs.listStatus(new Path("s3a://paged/d")).length == 23)
+      assert(fs.delete(new Path("s3a://paged/d"), true))
+      assert(fs.listStatus(new Path("s3a://paged/")).isEmpty)
+    } finally { server.stop(); hc.unset("fs.s3lite.endpoint") }
+  }
+
+  test("empty directory deletes non-recursively (marker is not content)") {
+    withServer { _ =>
+      import org.apache.hadoop.fs.Path
+      val fs = new Path("s3a://edel/")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new Path("s3a://edel/staging"))
+      assert(fs.delete(new Path("s3a://edel/staging"), false))
+      assert(!fs.exists(new Path("s3a://edel/staging")))
+    }
+  }
+
+  test("per-bucket credentials: two buckets sign independently") {
+    withServer { server =>
+      Seq((1, "a")).toDF("id", "t").write.mode("overwrite")
+        .parquet("s3a://bucket1/t")
+      // bucket2's creds are per-bucket WRONG; bucket1 keeps working
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.s3lite.bucket.bucket2.access.key", "AKTEST")
+      hc.set("fs.s3lite.bucket.bucket2.secret.key", "not-the-secret")
+      try {
+        assert(Sources.s3(spark, "s3://bucket1/t", "AKTEST", "sekrit")
+          .count() == 1)
+        val e = intercept[Exception] {
+          Sources.s3(spark, "s3://bucket2/t", "AKTEST", "not-the-secret").count()
+        }
+        assert(e.toString.contains("403") || e.getMessage.contains("403") ||
+          e.toString.contains("FileNotFound"))
+      } finally {
+        hc.unset("fs.s3lite.bucket.bucket2.access.key")
+        hc.unset("fs.s3lite.bucket.bucket2.secret.key")
+        hc.unset("fs.s3lite.bucket.bucket1.access.key")
+        hc.unset("fs.s3lite.bucket.bucket1.secret.key")
+      }
+    }
+  }
+
+  test("s3(url, format) and s3(url, NOSIGN) ClickHouse argument forms") {
+    withServer { server =>
+      // csv object, read via the two-arg (url, format) form
+      server.putObject("forms/data.csv", "id,tag\n5,z\n6,w\n".getBytes("UTF-8"))
+      spark.conf.set("spark.graft.s3.endpoint",
+        spark.sparkContext.hadoopConfiguration.get("fs.s3lite.endpoint"))
+      try {
+        val gs = new graft.engine.GraftSession(spark)
+        val rows = gs.sql(
+          "SELECT id, tag FROM s3('s3://forms/data.csv', 'CSV') ORDER BY id")
+          .collect()
+        assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+          Seq((5, "z"), (6, "w")))
+        // NOSIGN parses (signing with empty creds; this server requires real
+        // creds, so the global conf from withServer still authenticates)
+        val n = gs.sql(
+          "SELECT COUNT(*) FROM s3('s3://forms/data.csv', NOSIGN, 'CSV')")
+          .collect().head.getLong(0)
+        assert(n == 2L)
+      } finally spark.conf.unset("spark.graft.s3.endpoint")
+    }
+  }
+
   test("directory semantics: list, rename-into-dir, recursive delete") {
     withServer { server =>
       import org.apache.hadoop.fs.Path
