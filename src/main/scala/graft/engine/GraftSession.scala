@@ -246,7 +246,7 @@ final class GraftSession(val spark: SparkSession) extends DialectWave2 {
   private val sourceHeads = Set("file", "url", "deltalake", "delta_lake",
     "iceberg", "hudi", "numbers", "numbers_mt", "generaterandom",
     "mysql", "postgresql", "sqlite", "jdbc", "remote", "remotesecure",
-    "redis", "mongodb", "s3")
+    "redis", "mongodb", "s3", "gcs", "hdfs", "azureblobstorage")
 
   /** Rewrite ALL table-function call sites by SCANNING, not regex: string
     * literals, back-quoted identifiers and comments are copied verbatim
@@ -363,6 +363,41 @@ final class GraftSession(val spark: SparkSession) extends DialectWave2 {
         // session conf and may have changed since an identical-args call
         // (a cached view would sign against a dead endpoint)
         graft.io.Sources.s3(spark, a.head, ak, sk, chFormat(fmt))
+          .createOrReplaceTempView(name)
+        Some(name)
+      // gcs(url[, NOSIGN|format]) / gcs(url, hmac_key, hmac_secret
+      // [, format]) — reference table_functions.py:468-523; GCS's XML API
+      // speaks AWS SigV4 with HMAC keys (the documented S3-interop mode),
+      // so the same built-in client serves it
+      case "gcs" if args.nonEmpty && args.length <= 4 &&
+          args.forall(a => quotedTok(a) || a.equalsIgnoreCase("NOSIGN")) =>
+        val a = args.map(x => if (x.equalsIgnoreCase("NOSIGN")) "NOSIGN"
+          else unquote(x))
+        val nosign = a.lift(1).contains("NOSIGN")
+        val (ak, sk, fmt) =
+          if (a.length <= 1) ("", "", "")
+          else if (nosign) ("", "", a.lift(2).getOrElse(""))
+          else if (a.length == 2) ("", "", a(1))
+          else (a(1), a(2), a.lift(3).getOrElse(""))
+        val name = s"__graft_gcs_${md5hex(a.mkString("|"))}"
+        graft.io.Sources.gcs(spark, a.head, ak, sk, chFormat(fmt))
+          .createOrReplaceTempView(name)
+        Some(name)
+      // hdfs('uri'[, 'Format']) — reference table_functions.py:525-568;
+      // the URI rides the Hadoop filesystem layer (scheme-routed)
+      case "hdfs" if args.nonEmpty && args.length <= 2 && args.forall(quotedTok) =>
+        Some(registerSource("file", unquote(args.head),
+          chFormat(args.lift(1).map(unquote).getOrElse(""))))
+      // azureBlobStorage('connstr', 'container', 'path'[, 'Format']) —
+      // reference table_functions.py:411-466; served by hadoop-azure when
+      // present, else by the built-in SharedKey client (io.AzureLite)
+      case "azureblobstorage" if args.length >= 3 && args.length <= 4 &&
+          args.forall(quotedTok) =>
+        val a = args.map(unquote)
+        val name = s"__graft_az_${md5hex(a.mkString("|"))}"
+        // ALWAYS re-registered (endpoint/keys live in session conf)
+        graft.io.Sources.azureBlobStorage(spark, a(0), a(1), a(2),
+          chFormat(a.lift(3).getOrElse("")))
           .createOrReplaceTempView(name)
         Some(name)
       // federated JDBC table functions (reference table_functions.py:570-667):
@@ -1566,6 +1601,14 @@ object GraftSession {
     */
   private[graft] lazy val s3aPresent: Boolean =
     try { Class.forName("org.apache.hadoop.fs.s3a.S3AFileSystem"); true }
+    catch { case _: ClassNotFoundException => false }
+
+  /** True when hadoop-azure's NativeAzureFileSystem is on the classpath —
+    * then the vendor filesystem serves wasb:// and the built-in SharedKey
+    * protocol client stays out of the way.
+    */
+  private[graft] lazy val hadoopAzurePresent: Boolean =
+    try { Class.forName("org.apache.hadoop.fs.azure.NativeAzureFileSystem"); true }
     catch { case _: ClassNotFoundException => false }
 
   /** (session, view) → "length|mtime" stamp of the .sqlite file the cached

@@ -115,7 +115,9 @@ object SigV4 {
   * executors create their own instances — no shared driver state).
   */
 private[io] final class S3LiteClient(endpoint: String, accessKey: String,
-    secretKey: String) extends Serializable {
+    secretKey: String, bucket: String) extends ObjectClient with Serializable {
+
+  private def objPath(key: String): String = s"/$bucket/$key"
 
   private def request(method: String, path: String,
       query: Seq[(String, String)], body: Array[Byte],
@@ -157,22 +159,25 @@ private[io] final class S3LiteClient(endpoint: String, accessKey: String,
     if (s != null) { while (s.read() >= 0) {}; s.close() }
   }
 
-  def put(path: String, body: Array[Byte]): Unit = {
+  override def put(key: String, body: Array[Byte]): Unit = {
+    val path = objPath(key)
     val c = request("PUT", path, Nil, body)
     val rc = c.getResponseCode
     drainAndClose(c)
     if (rc != 200) throw new java.io.IOException(s"S3 PUT $path -> $rc")
   }
 
-  def copy(srcPath: String, dstPath: String): Unit = {
-    val c = request("PUT", dstPath, Nil, Array.empty,
-      Seq("x-amz-copy-source" -> SigV4.uriEncode(srcPath, keepSlash = true)))
+  override def copy(srcKey: String, dstKey: String): Unit = {
+    val c = request("PUT", objPath(dstKey), Nil, Array.empty,
+      Seq("x-amz-copy-source" ->
+        SigV4.uriEncode(objPath(srcKey), keepSlash = true)))
     val rc = c.getResponseCode
     drainAndClose(c)
-    if (rc != 200) throw new java.io.IOException(s"S3 COPY $srcPath -> $rc")
+    if (rc != 200) throw new java.io.IOException(s"S3 COPY $srcKey -> $rc")
   }
 
-  def delete(path: String): Unit = {
+  override def delete(key: String): Unit = {
+    val path = objPath(key)
     val c = request("DELETE", path, Nil, null)
     val rc = c.getResponseCode
     drainAndClose(c)
@@ -181,8 +186,8 @@ private[io] final class S3LiteClient(endpoint: String, accessKey: String,
   }
 
   /** HEAD → Some(length) or None when absent. */
-  def head(path: String): Option[Long] = {
-    val c = request("HEAD", path, Nil, null)
+  override def head(key: String): Option[Long] = {
+    val c = request("HEAD", objPath(key), Nil, null)
     val rc = c.getResponseCode
     val len = c.getHeaderField("Content-Length")
     drainAndClose(c)
@@ -190,7 +195,8 @@ private[io] final class S3LiteClient(endpoint: String, accessKey: String,
   }
 
   /** Ranged GET from `from` (inclusive) to end of object. */
-  def getRange(path: String, from: Long): InputStream = {
+  override def getRange(key: String, from: Long): InputStream = {
+    val path = objPath(key)
     val c = request("GET", path, Nil, null,
       if (from > 0) Seq("range" -> s"bytes=$from-") else Nil)
     val rc = c.getResponseCode
@@ -205,7 +211,7 @@ private[io] final class S3LiteClient(endpoint: String, accessKey: String,
     * Follows <NextContinuationToken> pages until <IsTruncated> is false, so
     * listings over one page (1000 keys on real endpoints) are complete.
     */
-  def list(bucket: String, prefix: String,
+  override def list(prefix: String,
       delimiter: String): (Seq[(String, Long)], Seq[String]) = {
     val keyRe = "(?s)<Contents>.*?<Key>(.*?)</Key>.*?<Size>(\\d+)</Size>.*?</Contents>".r
     val cpRe = "<Prefix>(.*?)</Prefix>".r
@@ -243,199 +249,25 @@ private[io] final class S3LiteClient(endpoint: String, accessKey: String,
       .replace("&apos;", "'").replace("&amp;", "&")
 }
 
-/** Hadoop FileSystem over the S3 REST protocol (path-style). Bucket =
-  * URI authority; keys have no leading slash. Directories are S3-style:
-  * implicit (any key under the prefix) plus zero-byte `dir/` markers so
-  * empty directories survive the Spark committer's mkdirs/rename dance.
+/** Hadoop FileSystem over the S3 REST protocol: the generic
+  * [[ObjectFileSystem]] with an [[S3LiteClient]] per (bucket, conf) —
+  * per-bucket settings (fs.s3lite.bucket.<b>.*) win over the
+  * session-global fs.s3lite.* fallbacks, so buckets with different
+  * endpoints/credentials coexist in one session.
   */
-final class S3LiteFileSystem extends FileSystem {
-  private var fsUri: URI = _
-  private var bucket: String = _
-  private var client: S3LiteClient = _
-  private var workingDir: Path = _
-
-  override def initialize(name: URI, conf: Configuration): Unit = {
-    super.initialize(name, conf)
-    setConf(conf)
-    fsUri = URI.create(s"${name.getScheme}://${name.getAuthority}")
-    bucket = name.getAuthority
-    // per-bucket settings win over the session-global fallbacks, so two
-    // buckets with different credentials coexist in one session
+final class S3LiteFileSystem extends ObjectFileSystem {
+  override def getScheme: String = "s3a"
+  override protected def makeClient(conf: Configuration,
+      authority: String): ObjectClient = {
     def perBucket(suffix: String): String =
-      conf.get(s"fs.s3lite.bucket.$bucket.$suffix",
+      conf.get(s"fs.s3lite.bucket.$authority.$suffix",
         conf.get(s"fs.s3lite.$suffix", ""))
     val endpoint = perBucket("endpoint")
     require(endpoint.nonEmpty,
       "fs.s3lite.endpoint must be set (e.g. http://127.0.0.1:9000)")
-    client = new S3LiteClient(endpoint,
-      perBucket("access.key"), perBucket("secret.key"))
-    workingDir = new Path(s"${name.getScheme}://$bucket/")
+    new S3LiteClient(endpoint, perBucket("access.key"),
+      perBucket("secret.key"), authority)
   }
-
-  override def getScheme: String = "s3a"
-  override def getUri: URI = fsUri
-  override def getWorkingDirectory: Path = workingDir
-  override def setWorkingDirectory(dir: Path): Unit = { workingDir = dir }
-
-  private def key(p: Path): String = {
-    val raw = p.toUri.getPath
-    if (raw == null || raw.isEmpty) "" else raw.stripPrefix("/")
-  }
-  private def objPath(k: String): String = s"/$bucket/$k"
-
-  override def getFileStatus(p: Path): FileStatus = {
-    val k = key(p)
-    if (k.isEmpty)
-      return new FileStatus(0, true, 1, 0, 0, p)
-    client.head(objPath(k)) match {
-      case Some(len) =>
-        new FileStatus(len, false, 1, 32 * 1024 * 1024, 0, p)
-      case None =>
-        // dir marker or implicit prefix
-        if (client.head(objPath(k + "/")).isDefined)
-          new FileStatus(0, true, 1, 0, 0, p)
-        else {
-          val (contents, cps) = client.list(bucket, k + "/", "/")
-          if (contents.nonEmpty || cps.nonEmpty)
-            new FileStatus(0, true, 1, 0, 0, p)
-          else throw new java.io.FileNotFoundException(p.toString)
-        }
-    }
-  }
-
-  override def listStatus(p: Path): Array[FileStatus] = {
-    val k = key(p)
-    // a plain file lists as itself
-    if (k.nonEmpty && client.head(objPath(k)).isDefined)
-      return Array(getFileStatus(p))
-    val prefix = if (k.isEmpty) "" else k + "/"
-    val (contents, cps) = client.list(bucket, prefix, "/")
-    val base = s"${fsUri.getScheme}://$bucket/"
-    val files = contents.filterNot(_._1 == prefix).map { case (ck, len) =>
-      new FileStatus(len, ck.endsWith("/"), 1, 32 * 1024 * 1024, 0,
-        new Path(base + ck.stripSuffix("/")))
-    }
-    val dirs = cps.map(cp =>
-      new FileStatus(0, true, 1, 0, 0, new Path(base + cp.stripSuffix("/"))))
-    if (files.isEmpty && dirs.isEmpty && k.nonEmpty &&
-        client.head(objPath(prefix)).isEmpty)
-      throw new java.io.FileNotFoundException(p.toString)
-    (files ++ dirs).toArray
-  }
-
-  override def open(p: Path, bufferSize: Int): FSDataInputStream = {
-    val st = getFileStatus(p)
-    if (st.isDirectory)
-      throw new java.io.FileNotFoundException(s"$p is a directory")
-    new FSDataInputStream(new S3LiteInputStream(client, objPath(key(p)), st.getLen))
-  }
-
-  override def create(p: Path, permission: FsPermission, overwrite: Boolean,
-      bufferSize: Int, replication: Short, blockSize: Long,
-      progress: Progressable): FSDataOutputStream = {
-    if (!overwrite && client.head(objPath(key(p))).isDefined)
-      throw new java.io.IOException(s"$p already exists")
-    val buf = new ByteArrayOutputStream()
-    val k = objPath(key(p))
-    new FSDataOutputStream(new OutputStream {
-      override def write(b: Int): Unit = buf.write(b)
-      override def write(b: Array[Byte], off: Int, len: Int): Unit =
-        buf.write(b, off, len)
-      override def close(): Unit = client.put(k, buf.toByteArray)
-    }, statistics)
-  }
-
-  override def append(p: Path, bufferSize: Int,
-      progress: Progressable): FSDataOutputStream =
-    throw new UnsupportedOperationException("S3 objects are immutable")
-
-  override def mkdirs(p: Path, permission: FsPermission): Boolean = {
-    val k = key(p)
-    if (k.nonEmpty) client.put(objPath(k + "/"), Array.empty)
-    true
-  }
-
-  override def delete(p: Path, recursive: Boolean): Boolean = {
-    val k = key(p)
-    if (client.head(objPath(k)).isDefined) { client.delete(objPath(k)); true }
-    else {
-      val (contents, _) = client.list(bucket, k + "/", "")
-      if (contents.isEmpty && client.head(objPath(k + "/")).isEmpty) false
-      else {
-        // the directory's own zero-byte marker is not "content" — an empty
-        // directory deletes non-recursively per the FileSystem contract
-        val nonMarker = contents.filterNot(_._1 == k + "/")
-        if (nonMarker.nonEmpty && !recursive)
-          throw new java.io.IOException(s"$p is a non-empty directory")
-        contents.foreach { case (ck, _) => client.delete(objPath(ck)) }
-        client.delete(objPath(k + "/"))
-        true
-      }
-    }
-  }
-
-  override def rename(src: Path, dst: Path): Boolean = {
-    val sk = key(src)
-    val dkRaw = key(dst)
-    // Hadoop contract: renaming into an existing directory moves src UNDER it
-    val dstIsDir =
-      try getFileStatus(dst).isDirectory
-      catch { case _: java.io.FileNotFoundException => false }
-    val dk = if (dstIsDir) s"$dkRaw/${src.getName}".stripPrefix("/") else dkRaw
-    if (client.head(objPath(sk)).isDefined) {
-      client.copy(objPath(sk), objPath(dk))
-      client.delete(objPath(sk))
-      true
-    } else {
-      val (contents, _) = client.list(bucket, sk + "/", "")
-      if (contents.isEmpty && client.head(objPath(sk + "/")).isEmpty) false
-      else {
-        contents.foreach { case (ck, _) =>
-          val suffix = ck.stripPrefix(sk + "/")
-          client.copy(objPath(ck), objPath(s"$dk/$suffix"))
-          client.delete(objPath(ck))
-        }
-        client.delete(objPath(sk + "/"))
-        client.put(objPath(dk + "/"), Array.empty)
-        true
-      }
-    }
-  }
-}
-
-/** Seekable ranged-GET input stream (each seek re-opens from the new
-  * position; positioned reads come through FSInputStream's default
-  * seek/read/seek-back).
-  */
-private[io] final class S3LiteInputStream(client: S3LiteClient, path: String,
-    length: Long) extends FSInputStream {
-  private var pos = 0L
-  private var in: InputStream = _
-
-  private def ensure(): Boolean = {
-    if (pos >= length) false
-    else { if (in == null) in = client.getRange(path, pos); true }
-  }
-  private def dropStream(): Unit = { if (in != null) { in.close(); in = null } }
-
-  override def seek(newPos: Long): Unit =
-    if (newPos != pos) { dropStream(); pos = newPos }
-  override def getPos: Long = pos
-  override def seekToNewSource(targetPos: Long): Boolean = false
-
-  override def read(): Int = {
-    if (!ensure()) return -1
-    val b = in.read()
-    if (b >= 0) pos += 1 else dropStream()
-    b
-  }
-  override def read(b: Array[Byte], off: Int, len: Int): Int = {
-    if (!ensure()) return -1
-    val n = in.read(b, off, len)
-    if (n > 0) pos += n else dropStream()
-    n
-  }
-  override def close(): Unit = dropStream()
 }
 
 /** Loopback S3 endpoint: in-memory objects, SigV4 VERIFIED on every request

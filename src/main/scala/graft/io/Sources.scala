@@ -86,6 +86,81 @@ object Sources {
     file(spark, path, format)
   }
 
+  /** gcs(url, hmac_key, hmac_secret[, format]) — the reference's GCS table
+    * function (reference table_functions.py:468-523). Google Cloud
+    * Storage's XML API accepts AWS Signature V4 with HMAC keys (the
+    * documented S3-interoperability mode), so the same from-scratch SigV4
+    * client serves it: `https://storage.googleapis.com/bucket/key` URLs
+    * carry their own endpoint; `gs://bucket/key` takes the endpoint from
+    * `spark.graft.s3.endpoint` (or defaults to the public GCS endpoint).
+    * Endpoint and credentials are scoped per bucket.
+    */
+  def gcs(spark: SparkSession, url: String, hmacKey: String = "",
+      hmacSecret: String = "", format: String = ""): DataFrame = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val (endpoint, bucket, key) =
+      if (url.startsWith("gs://")) {
+        val u = java.net.URI.create(url.replaceFirst("^gs:", "s3a:"))
+        val ep = spark.conf.getOption("spark.graft.s3.endpoint")
+          .orElse(Option(hc.get("fs.s3lite.endpoint")))
+          .getOrElse("https://storage.googleapis.com")
+        (ep, u.getAuthority, u.getPath.stripPrefix("/"))
+      } else {
+        val u = java.net.URI.create(url)
+        val segs = u.getPath.stripPrefix("/").split("/", 2)
+        (s"${u.getScheme}://${u.getAuthority}", segs(0),
+          segs.lift(1).getOrElse(""))
+      }
+    hc.set(s"fs.s3lite.bucket.$bucket.endpoint", endpoint)
+    if (hmacKey.nonEmpty) {
+      hc.set(s"fs.s3lite.bucket.$bucket.access.key", hmacKey)
+      hc.set(s"fs.s3lite.bucket.$bucket.secret.key", hmacSecret)
+    }
+    if (!graft.engine.GraftSession.s3aPresent) {
+      hc.set("fs.s3a.impl", classOf[S3LiteFileSystem].getName)
+      hc.set("fs.s3a.impl.disable.cache", "true")
+    }
+    file(spark, s"s3a://$bucket/$key", format)
+  }
+
+  /** azureBlobStorage(connection_string, container, path[, format]) — the
+    * reference's Azure table function (reference table_functions.py:
+    * 411-466). The connection string's AccountName/AccountKey/BlobEndpoint
+    * configure the built-in SharedKey protocol client ([[AzureBlobClient]])
+    * unless hadoop-azure's NativeAzureFileSystem is on the classpath; the
+    * read flows through `wasb://container@account/path` and the standard
+    * Spark readers (per-task ranged GETs, like the S3 half).
+    */
+  def azureBlobStorage(spark: SparkSession, connectionString: String,
+      container: String, path: String, format: String = ""): DataFrame = {
+    val kv = connectionString.split(";").filter(_.contains("="))
+      .map { t => val i = t.indexOf('='); (t.substring(0, i), t.substring(i + 1)) }
+      .toMap
+    val account = kv.getOrElse("AccountName",
+      throw new IllegalArgumentException(
+        "azureBlobStorage: connection string needs AccountName=…"))
+    val hc = spark.sparkContext.hadoopConfiguration
+    kv.get("AccountKey").foreach(k =>
+      hc.set(s"fs.azlite.account.$account.key", k))
+    kv.get("BlobEndpoint").foreach(e =>
+      hc.set(s"fs.azlite.account.$account.endpoint", e))
+    if (!graft.engine.GraftSession.hadoopAzurePresent) {
+      hc.set("fs.wasb.impl", classOf[AzureLiteFileSystem].getName)
+      hc.set("fs.wasbs.impl", classOf[AzureLiteFileSystem].getName)
+      hc.set("fs.wasb.impl.disable.cache", "true")
+      hc.set("fs.wasbs.impl.disable.cache", "true")
+    }
+    file(spark, s"wasb://$container@$account/${path.stripPrefix("/")}", format)
+  }
+
+  /** hdfs(uri[, format]) — reference table_functions.py:525-568: the URI
+    * goes straight to the Hadoop filesystem layer (the scheme selects the
+    * FS — hdfs://namenode:port/... on a real cluster; any Hadoop-served
+    * scheme works through the same call).
+    */
+  def hdfs(spark: SparkSession, uri: String, format: String = ""): DataFrame =
+    file(spark, uri, format)
+
   /** mysql()/postgresql()/sqlite() analog — federated JDBC table read
     * (reference table_functions.py:570-667; SURVEY maps it to the JDBC
     * source, which pushes filters and prunes columns server-side).

@@ -1208,6 +1208,31 @@ object CoverageQueries {
         hc.unset("fs.s3lite.endpoint")
       }
     }, Some("""SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS bal
-      FROM customer WHERE c_custkey % 11 = 0 ORDER BY c_custkey"""))
+      FROM customer WHERE c_custkey % 11 = 0 ORDER BY c_custkey""")),
+
+    QueryDef("q203_azure_live", (s, dir) => {
+      // azureBlobStorage() over the LIVE built-in Blob protocol stack
+      // (r16): the supplier fixture is uploaded to a loopback endpoint that
+      // VERIFIES Azure SharedKey on every request, then read back through
+      // the SQL table function with a standard connection string — ranged
+      // GETs signed by the from-scratch client (io.AzureLite).
+      val key = java.util.Base64.getEncoder.encodeToString(
+        "q203-azure-account-key-32-bytes!".getBytes("UTF-8"))
+      val server = new graft.io.AzureLiteServer("graftacct", key).start()
+      try {
+        server.putBlob("box/supplier.parquet",
+          java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(s"$dir/supplier.parquet")))
+        val gs = graft.engine.GraftSession(s)
+        val conn = s"DefaultEndpointsProtocol=http;AccountName=graftacct;" +
+          s"AccountKey=$key;BlobEndpoint=${server.endpoint}"
+        val df = gs.sql(
+          s"""SELECT s_suppkey, s_name, s_nationkey
+              FROM azureBlobStorage('$conn', 'box', 'supplier.parquet')
+              WHERE s_suppkey % 3 = 0 ORDER BY s_suppkey""")
+        s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+      } finally server.stop()
+    }, Some("""SELECT s_suppkey, s_name, s_nationkey FROM supplier
+      WHERE s_suppkey % 3 = 0 ORDER BY s_suppkey"""))
   )
 }

@@ -204,6 +204,27 @@ class S3LiteSpec extends SparkTestBase {
     }
   }
 
+  test("gcs() rides the same SigV4 stack (GCS XML-API interop mode)") {
+    withServer { server =>
+      server.putObject("gbucket/data.csv", "id,tag\n7,q\n".getBytes("UTF-8"))
+      // the https-style URL carries its own endpoint (here the loopback
+      // server standing in for storage.googleapis.com)
+      val url = s"${server.endpoint}/gbucket/data.csv"
+      val gs = new graft.engine.GraftSession(spark)
+      val rows = gs.sql(
+        s"SELECT id, tag FROM gcs('$url', 'AKTEST', 'sekrit', 'CSV')").collect()
+      assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((7, "q")))
+    }
+  }
+
+  test("hdfs() routes the URI through the Hadoop FS layer") {
+    val gs = new graft.engine.GraftSession(spark)
+    val n = gs.sql(
+      s"SELECT COUNT(*) FROM hdfs('file://${SparkTestBase.sfDir}/nation.parquet', 'Parquet')")
+      .collect().head.getLong(0)
+    assert(n == 25L)
+  }
+
   test("directory semantics: list, rename-into-dir, recursive delete") {
     withServer { server =>
       import org.apache.hadoop.fs.Path
@@ -224,5 +245,103 @@ class S3LiteSpec extends SparkTestBase {
       assert(fs.delete(new Path("s3a://dirs/moved"), true))
       assert(!fs.exists(new Path("s3a://dirs/moved/b/f1.txt")))
     }
+  }
+}
+
+/** The from-scratch Azure Blob SharedKey stack (r16): signer vs a hand
+  * vector, live FileSystem round trips against the verifying loopback
+  * server, and the azureBlobStorage() SQL surface.
+  */
+class AzureLiteSpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.io.{AzureLiteServer, AzureSharedKey}
+
+  private val key = java.util.Base64.getEncoder.encodeToString(
+    "a-32-byte-looking-account-key!!!".getBytes("UTF-8"))
+
+  test("SharedKey string-to-sign has the published slot layout") {
+    val ts = AzureSharedKey.stringToSign("GET", "acct", "/c/b.txt",
+      Seq("comp" -> "list", "restype" -> "container"),
+      Seq("x-ms-date" -> "Sat, 16 Aug 2026 00:00:00 GMT",
+        "x-ms-version" -> "2020-10-02"))
+    val lines = ts.split("\n", -1)
+    assert(lines(0) == "GET")
+    assert(lines(3) == "") // content-length: absent -> empty
+    assert(lines(6) == "") // Date slot empty when x-ms-date is carried
+    assert(lines(12) == "x-ms-date:Sat, 16 Aug 2026 00:00:00 GMT")
+    assert(lines(13) == "x-ms-version:2020-10-02")
+    // canonicalized resource: /account + path, then sorted query params
+    assert(lines(14) == "/acct/c/b.txt")
+    assert(lines(15) == "comp:list" && lines(16) == "restype:container")
+  }
+
+  private def withServer(f: AzureLiteServer => Unit): Unit = {
+    val server = new AzureLiteServer("acct", key).start()
+    val hc = spark.sparkContext.hadoopConfiguration
+    try {
+      hc.set("fs.azlite.endpoint", server.endpoint)
+      hc.set(s"fs.azlite.account.acct.key", key)
+      hc.set(s"fs.azlite.account.acct.endpoint", server.endpoint)
+      hc.set("fs.wasb.impl", classOf[graft.io.AzureLiteFileSystem].getName)
+      hc.set("fs.wasb.impl.disable.cache", "true")
+      f(server)
+    } finally { server.stop(); hc.unset("fs.azlite.endpoint") }
+  }
+
+  test("Spark parquet write + read round trip over the live Blob wire") {
+    withServer { server =>
+      Seq((1L, "x"), (2L, "y")).toDF("id", "t")
+        .write.mode("overwrite").parquet("wasb://box@acct/t")
+      assert(server.blobNames.exists(_.matches("box/t/part-.*\\.parquet")))
+      val back = spark.read.parquet("wasb://box@acct/t").orderBy("id").collect()
+      assert(back.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((1L, "x"), (2L, "y")))
+    }
+  }
+
+  test("a wrong account key is rejected with 403") {
+    withServer { _ =>
+      spark.range(3).write.mode("overwrite").parquet("wasb://box@acct/sec")
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set(s"fs.azlite.account.acct.key",
+        java.util.Base64.getEncoder.encodeToString("wrong".getBytes))
+      try {
+        val e = intercept[Exception] {
+          spark.read.parquet("wasb://box@acct/sec").count()
+        }
+        assert(e.toString.contains("403") || e.getMessage.contains("403"))
+      } finally hc.set(s"fs.azlite.account.acct.key", key)
+    }
+  }
+
+  test("azureBlobStorage() SQL surface with a connection string") {
+    withServer { server =>
+      server.putBlob("sqlc/d.csv", "id,tag\n9,az\n".getBytes("UTF-8"))
+      val gs = new graft.engine.GraftSession(spark)
+      val conn = s"DefaultEndpointsProtocol=http;AccountName=acct;" +
+        s"AccountKey=$key;BlobEndpoint=${server.endpoint}"
+      val rows = gs.sql(
+        s"SELECT id, tag FROM azureBlobStorage('$conn', 'sqlc', 'd.csv', 'CSV')")
+        .collect()
+      assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((9, "az")))
+    }
+  }
+
+  test("paged listings follow NextMarker") {
+    val server = new AzureLiteServer("acct", key, maxResultsPerPage = 5).start()
+    val hc = spark.sparkContext.hadoopConfiguration
+    try {
+      hc.set("fs.azlite.endpoint", server.endpoint)
+      hc.set(s"fs.azlite.account.acct.key", key)
+      hc.set(s"fs.azlite.account.acct.endpoint", server.endpoint)
+      hc.set("fs.wasb.impl", classOf[graft.io.AzureLiteFileSystem].getName)
+      hc.set("fs.wasb.impl.disable.cache", "true")
+      (0 until 17).foreach(i =>
+        server.putBlob(f"box/d/k$i%03d", Array[Byte](1)))
+      import org.apache.hadoop.fs.Path
+      val fs = new Path("wasb://box@acct/")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.listStatus(new Path("wasb://box@acct/d")).length == 17)
+    } finally { server.stop(); hc.unset("fs.azlite.endpoint") }
   }
 }
