@@ -343,12 +343,13 @@ final class GraftSession(val spark: SparkSession) extends DialectWave2 {
         Some(registerGenerateRandom(unquote(args.head),
           args.lift(1).map(_.toLong).getOrElse(42L),
           args.lift(2).map(_.toDouble.toLong).getOrElse(10000L)))
-      // s3(url[, NOSIGN|format]) / s3(url, NOSIGN, format) /
-      // s3(url, accessKey, secret[, format]) — the ClickHouse argument
-      // forms (reference table_functions.py:316-387); served by the vendor
-      // S3AFileSystem when hadoop-aws is present, else by the built-in
-      // SigV4 protocol client (io.S3Lite)
-      case "s3" if args.nonEmpty && args.length <= 4 &&
+      // s3/gcs(url[, NOSIGN|format]) / (url, NOSIGN, format) /
+      // (url, key, secret[, format]) — the ClickHouse argument forms
+      // (reference table_functions.py:316-387 s3, :468-523 gcs); served by
+      // vendor jars when present, else by the built-in SigV4 client. ONE
+      // positional parse for both (the NOSIGN/credential/format
+      // disambiguation is subtle enough to keep in a single place).
+      case fn @ ("s3" | "gcs") if args.nonEmpty && args.length <= 4 &&
           args.forall(a => quotedTok(a) || a.equalsIgnoreCase("NOSIGN")) =>
         val a = args.map(x => if (x.equalsIgnoreCase("NOSIGN")) "NOSIGN"
           else unquote(x))
@@ -356,38 +357,26 @@ final class GraftSession(val spark: SparkSession) extends DialectWave2 {
         val (ak, sk, fmt) =
           if (a.length <= 1) ("", "", "")
           else if (nosign) ("", "", a.lift(2).getOrElse(""))
-          else if (a.length == 2) ("", "", a(1)) // s3(url, format)
+          else if (a.length == 2) ("", "", a(1)) // (url, format)
           else (a(1), a(2), a.lift(3).getOrElse(""))
-        val name = s"__graft_s3_${md5hex(a.mkString("|"))}"
+        val name = s"__graft_${fn}_${md5hex(a.mkString("|"))}"
         // ALWAYS re-registered: the endpoint and credentials live in
         // session conf and may have changed since an identical-args call
         // (a cached view would sign against a dead endpoint)
-        graft.io.Sources.s3(spark, a.head, ak, sk, chFormat(fmt))
-          .createOrReplaceTempView(name)
-        Some(name)
-      // gcs(url[, NOSIGN|format]) / gcs(url, hmac_key, hmac_secret
-      // [, format]) — reference table_functions.py:468-523; GCS's XML API
-      // speaks AWS SigV4 with HMAC keys (the documented S3-interop mode),
-      // so the same built-in client serves it
-      case "gcs" if args.nonEmpty && args.length <= 4 &&
-          args.forall(a => quotedTok(a) || a.equalsIgnoreCase("NOSIGN")) =>
-        val a = args.map(x => if (x.equalsIgnoreCase("NOSIGN")) "NOSIGN"
-          else unquote(x))
-        val nosign = a.lift(1).contains("NOSIGN")
-        val (ak, sk, fmt) =
-          if (a.length <= 1) ("", "", "")
-          else if (nosign) ("", "", a.lift(2).getOrElse(""))
-          else if (a.length == 2) ("", "", a(1))
-          else (a(1), a(2), a.lift(3).getOrElse(""))
-        val name = s"__graft_gcs_${md5hex(a.mkString("|"))}"
-        graft.io.Sources.gcs(spark, a.head, ak, sk, chFormat(fmt))
-          .createOrReplaceTempView(name)
+        val df =
+          if (fn == "s3") graft.io.Sources.s3(spark, a.head, ak, sk, chFormat(fmt))
+          else graft.io.Sources.gcs(spark, a.head, ak, sk, chFormat(fmt))
+        df.createOrReplaceTempView(name)
         Some(name)
       // hdfs('uri'[, 'Format']) — reference table_functions.py:525-568;
       // the URI rides the Hadoop filesystem layer (scheme-routed)
       case "hdfs" if args.nonEmpty && args.length <= 2 && args.forall(quotedTok) =>
-        Some(registerSource("file", unquote(args.head),
-          chFormat(args.lift(1).map(unquote).getOrElse(""))))
+        val a = args.map(unquote)
+        val name = s"__graft_hdfs_${md5hex(a.mkString("|"))}"
+        if (!spark.catalog.tableExists(name))
+          graft.io.Sources.hdfs(spark, a.head,
+            chFormat(a.lift(1).getOrElse(""))).createOrReplaceTempView(name)
+        Some(name)
       // azureBlobStorage('connstr', 'container', 'path'[, 'Format']) —
       // reference table_functions.py:411-466; served by hadoop-azure when
       // present, else by the built-in SharedKey client (io.AzureLite)

@@ -109,14 +109,19 @@ private[io] final class AzureBlobClient(endpoint: String, account: String,
         Seq("content-length" -> body.length.toString,
           "content-type" -> "application/octet-stream")
       else Nil) ++ extraHeaders
-    val toSign = AzureSharedKey.stringToSign(method, account, path,
-      query, baseHeaders)
-    val sig = AzureSharedKey.signature(toSign, accountKeyB64)
+    val sig =
+      if (accountKeyB64.isEmpty) ""
+      else AzureSharedKey.signature(
+        AzureSharedKey.stringToSign(method, account, path, query, baseHeaders),
+        accountKeyB64)
     baseHeaders.foreach { case (k, v) =>
       if (k != "content-length") conn.setRequestProperty(k, v)
     }
-    conn.setRequestProperty("Authorization",
-      AzureSharedKey.authorizationHeader(account, sig))
+    // empty key = anonymous access (public containers): send NO
+    // Authorization header rather than an empty-key signature
+    if (accountKeyB64.nonEmpty)
+      conn.setRequestProperty("Authorization",
+        AzureSharedKey.authorizationHeader(account, sig))
     if (hasBody) {
       conn.setDoOutput(true)
       conn.setFixedLengthStreamingMode(body.length)
@@ -127,11 +132,8 @@ private[io] final class AzureBlobClient(endpoint: String, account: String,
     conn
   }
 
-  private def drainAndClose(conn: HttpURLConnection): Unit = {
-    val s = if (conn.getResponseCode >= 400) conn.getErrorStream
-      else conn.getInputStream
-    if (s != null) { while (s.read() >= 0) {}; s.close() }
-  }
+  private def drainAndClose(conn: HttpURLConnection): Unit =
+    ObjectHttp.drainAndClose(conn)
 
   override def head(key: String): Option[Long] = {
     val c = request("HEAD", blobPath(key), Nil, null)
@@ -211,9 +213,7 @@ private[io] final class AzureBlobClient(endpoint: String, account: String,
     (blobs.result(), cps.result().distinct)
   }
 
-  private def xmlUnescape(s: String): String =
-    s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
-      .replace("&apos;", "'").replace("&amp;", "&")
+  private def xmlUnescape(s: String): String = ObjectHttp.xmlUnescape(s)
 }
 
 /** Hadoop FileSystem over the Blob REST protocol. URI form:

@@ -17,6 +17,22 @@ import org.apache.hadoop.util.Progressable
   * listings — live here once; each protocol contributes only its REST
   * dialect and signature scheme.
   */
+/** HTTP/XML helpers shared by the protocol clients — the error-stream
+  * drain rule and entity unescape order are correctness-sensitive and live
+  * here once.
+  */
+private[io] object ObjectHttp {
+  def drainAndClose(conn: java.net.HttpURLConnection): Unit = {
+    val s = if (conn.getResponseCode >= 400) conn.getErrorStream
+      else conn.getInputStream
+    if (s != null) { while (s.read() >= 0) {}; s.close() }
+  }
+
+  def xmlUnescape(s: String): String =
+    s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      .replace("&apos;", "'").replace("&amp;", "&")
+}
+
 private[io] trait ObjectClient {
   /** Some(length) when the object exists. */
   def head(key: String): Option[Long]

@@ -142,8 +142,11 @@ private[io] final class S3LiteClient(endpoint: String, accessKey: String,
     conn.setRequestProperty("x-amz-date", amzDate)
     conn.setRequestProperty("x-amz-content-sha256", payloadHash)
     extraHeaders.foreach { case (k, v) => conn.setRequestProperty(k, v) }
-    conn.setRequestProperty("Authorization",
-      SigV4.authorizationHeader(accessKey, sig, signed, amzDate))
+    // empty access key = anonymous (the NOSIGN form): a public endpoint
+    // must see NO Authorization header, not an empty-credential signature
+    if (accessKey.nonEmpty)
+      conn.setRequestProperty("Authorization",
+        SigV4.authorizationHeader(accessKey, sig, signed, amzDate))
     if (body != null && body.nonEmpty || method == "PUT") {
       conn.setDoOutput(true)
       val out = conn.getOutputStream
@@ -153,11 +156,8 @@ private[io] final class S3LiteClient(endpoint: String, accessKey: String,
     conn
   }
 
-  private def drainAndClose(conn: HttpURLConnection): Unit = {
-    val s = if (conn.getResponseCode >= 400) conn.getErrorStream
-      else conn.getInputStream
-    if (s != null) { while (s.read() >= 0) {}; s.close() }
-  }
+  private def drainAndClose(conn: HttpURLConnection): Unit =
+    ObjectHttp.drainAndClose(conn)
 
   override def put(key: String, body: Array[Byte]): Unit = {
     val path = objPath(key)
@@ -244,9 +244,7 @@ private[io] final class S3LiteClient(endpoint: String, accessKey: String,
     (contents.result(), cps.result().distinct)
   }
 
-  private def xmlUnescape(s: String): String =
-    s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
-      .replace("&apos;", "'").replace("&amp;", "&")
+  private def xmlUnescape(s: String): String = ObjectHttp.xmlUnescape(s)
 }
 
 /** Hadoop FileSystem over the S3 REST protocol: the generic
@@ -320,9 +318,13 @@ final class S3LiteServer(accessKey: String, secretKey: String,
   private def xmlEscape(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
-  /** Recompute and check the request's SigV4 signature. */
+  /** Recompute and check the request's SigV4 signature. An empty server
+    * accessKey means a PUBLIC endpoint: anonymous (no-Authorization)
+    * requests are accepted — the device for NOSIGN round trips.
+    */
   private def verify(ex: HttpExchange, body: Array[Byte]): Boolean = {
     val auth = ex.getRequestHeaders.getFirst("Authorization")
+    if (accessKey.isEmpty) return auth == null
     if (auth == null || !auth.startsWith("AWS4-HMAC-SHA256")) return false
     val credRe = "Credential=([^/]+)/([^,]+), SignedHeaders=([^,]+), Signature=([0-9a-f]+)".r
     credRe.findFirstMatchIn(auth) match {

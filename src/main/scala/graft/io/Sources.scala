@@ -68,12 +68,23 @@ object Sources {
       case Some(b) =>
         hc.set(s"fs.s3lite.bucket.$b.access.key", accessKey)
         hc.set(s"fs.s3lite.bucket.$b.secret.key", secret)
+        // vendor hadoop-aws reads ITS per-bucket keys — set both families
+        // so the call works whichever filesystem serves the scheme
+        hc.set(s"fs.s3a.bucket.$b.access.key", accessKey)
+        hc.set(s"fs.s3a.bucket.$b.secret.key", secret)
       case None =>
         hc.set("fs.s3lite.access.key", accessKey)
         hc.set("fs.s3lite.secret.key", secret)
     }
-    spark.conf.getOption("spark.graft.s3.endpoint")
-      .foreach(e => hc.set("fs.s3lite.endpoint", e))
+    spark.conf.getOption("spark.graft.s3.endpoint").foreach { e =>
+      hc.set("fs.s3lite.endpoint", e)
+      // the per-bucket endpoint too: an earlier gcs() read of a same-named
+      // bucket must not hijack this frame's endpoint resolution
+      bucketOpt.foreach { b =>
+        hc.set(s"fs.s3lite.bucket.$b.endpoint", e)
+        hc.set(s"fs.s3a.bucket.$b.endpoint", e)
+      }
+    }
     if (!graft.engine.GraftSession.s3aPresent) {
       hc.set("fs.s3a.impl", classOf[S3LiteFileSystem].getName)
       hc.set("fs.s3.impl", classOf[S3LiteFileSystem].getName)
@@ -107,9 +118,18 @@ object Sources {
         (ep, u.getAuthority, u.getPath.stripPrefix("/"))
       } else {
         val u = java.net.URI.create(url)
-        val segs = u.getPath.stripPrefix("/").split("/", 2)
-        (s"${u.getScheme}://${u.getAuthority}", segs(0),
-          segs.lift(1).getOrElse(""))
+        val host = u.getAuthority
+        // virtual-hosted form: https://<bucket>.storage.googleapis.com/key
+        // → path-style against the bare service endpoint
+        val vhRe = "^([^.]+)\\.(storage\\.googleapis\\.com(?::\\d+)?)$".r
+        vhRe.findFirstMatchIn(host) match {
+          case Some(m) =>
+            (s"${u.getScheme}://${m.group(2)}", m.group(1),
+              u.getPath.stripPrefix("/"))
+          case None =>
+            val segs = u.getPath.stripPrefix("/").split("/", 2)
+            (s"${u.getScheme}://$host", segs(0), segs.lift(1).getOrElse(""))
+        }
       }
     hc.set(s"fs.s3lite.bucket.$bucket.endpoint", endpoint)
     if (hmacKey.nonEmpty) {
@@ -119,6 +139,15 @@ object Sources {
     if (!graft.engine.GraftSession.s3aPresent) {
       hc.set("fs.s3a.impl", classOf[S3LiteFileSystem].getName)
       hc.set("fs.s3a.impl.disable.cache", "true")
+    } else {
+      // route the vendor S3AFileSystem at GCS's interop endpoint with the
+      // HMAC credentials — otherwise it would resolve the bucket against
+      // AWS with ambient credentials
+      hc.set(s"fs.s3a.bucket.$bucket.endpoint", endpoint)
+      if (hmacKey.nonEmpty) {
+        hc.set(s"fs.s3a.bucket.$bucket.access.key", hmacKey)
+        hc.set(s"fs.s3a.bucket.$bucket.secret.key", hmacSecret)
+      }
     }
     file(spark, s"s3a://$bucket/$key", format)
   }
@@ -140,17 +169,31 @@ object Sources {
       throw new IllegalArgumentException(
         "azureBlobStorage: connection string needs AccountName=…"))
     val hc = spark.sparkContext.hadoopConfiguration
+    // endpoint: explicit BlobEndpoint= wins (emulators/loopback); else the
+    // standard portal form derives it from protocol + account + suffix
+    val endpoint = kv.get("BlobEndpoint").getOrElse {
+      val proto = kv.getOrElse("DefaultEndpointsProtocol", "https")
+      val suffix = kv.getOrElse("EndpointSuffix", "core.windows.net")
+      s"$proto://$account.blob.$suffix"
+    }
     kv.get("AccountKey").foreach(k =>
       hc.set(s"fs.azlite.account.$account.key", k))
-    kv.get("BlobEndpoint").foreach(e =>
-      hc.set(s"fs.azlite.account.$account.endpoint", e))
+    hc.set(s"fs.azlite.account.$account.endpoint", endpoint)
     if (!graft.engine.GraftSession.hadoopAzurePresent) {
       hc.set("fs.wasb.impl", classOf[AzureLiteFileSystem].getName)
       hc.set("fs.wasbs.impl", classOf[AzureLiteFileSystem].getName)
       hc.set("fs.wasb.impl.disable.cache", "true")
       hc.set("fs.wasbs.impl.disable.cache", "true")
+      file(spark, s"wasb://$container@$account/${path.stripPrefix("/")}", format)
+    } else {
+      // vendor hadoop-azure expects the FQDN authority and its own
+      // credential key family
+      val suffix = kv.getOrElse("EndpointSuffix", "core.windows.net")
+      val fqdn = s"$account.blob.$suffix"
+      kv.get("AccountKey").foreach(k =>
+        hc.set(s"fs.azure.account.key.$fqdn", k))
+      file(spark, s"wasb://$container@$fqdn/${path.stripPrefix("/")}", format)
     }
-    file(spark, s"wasb://$container@$account/${path.stripPrefix("/")}", format)
   }
 
   /** hdfs(uri[, format]) — reference table_functions.py:525-568: the URI

@@ -225,6 +225,29 @@ class S3LiteSpec extends SparkTestBase {
     assert(n == 25L)
   }
 
+  test("NOSIGN sends NO Authorization header (anonymous public-bucket read)") {
+    // a PUBLIC endpoint (empty server key) accepts only anonymous requests —
+    // an empty-credential SigV4 header would be rejected, so this proves the
+    // client genuinely omits Authorization under NOSIGN
+    val server = new S3LiteServer("", "").start()
+    val hc = spark.sparkContext.hadoopConfiguration
+    try {
+      server.putObject("pub/open.csv", "id,tag\n3,n\n".getBytes("UTF-8"))
+      hc.set("fs.s3lite.endpoint", server.endpoint)
+      hc.unset("fs.s3lite.access.key"); hc.unset("fs.s3lite.secret.key")
+      hc.set("fs.s3a.impl", classOf[graft.io.S3LiteFileSystem].getName)
+      hc.set("fs.s3a.impl.disable.cache", "true")
+      spark.conf.set("spark.graft.s3.endpoint", server.endpoint)
+      val gs = new graft.engine.GraftSession(spark)
+      val rows = gs.sql(
+        "SELECT id, tag FROM s3('s3://pub/open.csv', NOSIGN, 'CSV')").collect()
+      assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((3, "n")))
+    } finally {
+      server.stop(); hc.unset("fs.s3lite.endpoint")
+      spark.conf.unset("spark.graft.s3.endpoint")
+    }
+  }
+
   test("directory semantics: list, rename-into-dir, recursive delete") {
     withServer { server =>
       import org.apache.hadoop.fs.Path
