@@ -1130,7 +1130,7 @@ object CoverageQueries {
         WHERE doc_id % 17 = 0 AND length(text) > 0) d,
         UNNEST(range(0, 1 + GREATEST(0,
           CAST(CEIL((length(d.text) - 400) / 300.0) AS BIGINT)))) AS g(i)
-      ORDER BY doc_id, chunk_ix""")),
+      ORDER BY doc_id, chunk_ix"""), bench = true),
 
     QueryDef("q201_chunk_sentences", (s, dir) => {
       // Sentence-aware greedy chunking (r16): sentences pack into chunks of
