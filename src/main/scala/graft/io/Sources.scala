@@ -39,7 +39,9 @@ object Sources {
     if (u.startsWith("jdbc:")) {
       val Array(url, table) = u.split("#", 2)
       jdbc(spark, url, table)
-    } else file(spark, u)
+    } else if (u.startsWith("s3://") || u.startsWith("s3a://")) s3(spark, u)
+    else if (u.startsWith("gs://")) gcs(spark, u)
+    else file(spark, u)
 
   /** s3(url[, accessKey, secret[, format]]) — the reference's object-store
     * table function (reference table_functions.py:316-387). With hadoop-aws
