@@ -70,6 +70,39 @@ final case class GraftFrame(df: DataFrame) {
   def mask(cond: Column, other: Column, cols: Seq[String]): GraftFrame =
     whereValue(!cond, other, cols)
 
+  /** pandas clip on one column (reference lazy_result.py:811 /
+    * pandas_compat.py:863) — either bound optional, NULLs preserved.
+    */
+  def clip(c: String, lower: Option[Any] = None,
+      upper: Option[Any] = None): GraftFrame = {
+    import graft.ds.syntax._
+    GraftFrame(df.withColumn(c, col(c).clip(lower, upper)))
+  }
+
+  /** pandas between_time — time-of-day filter on a timestamp column
+    * (reference pandas_compat.py:2756). `start > end` selects the
+    * wrap-around interval crossing midnight, exactly as pandas does;
+    * inclusive = both/neither/left/right. Times accept HH:mm or HH:mm:ss.
+    */
+  def betweenTime(tsCol: String, start: String, end: String,
+      inclusive: String = "both"): GraftFrame = {
+    def norm(t: String): String =
+      if (t.count(_ == ':') == 1) t + ":00" else t
+    val (s0, e0) = (norm(start), norm(end))
+    val t = date_format(col(tsCol), "HH:mm:ss")
+    val (incLo, incHi) = inclusive match {
+      case "both" => (true, true)
+      case "neither" => (false, false)
+      case "left" => (true, false)
+      case "right" => (false, true)
+      case other => throw new IllegalArgumentException(
+        s"betweenTime: inclusive must be both/neither/left/right (got '$other')")
+    }
+    val lo = if (incLo) t >= lit(s0) else t > lit(s0)
+    val hi = if (incHi) t <= lit(e0) else t < lit(e0)
+    GraftFrame(df.filter(if (s0 <= e0) lo && hi else lo || hi))
+  }
+
   // ---- null handling ----
 
   def fillna(value: Any, cols: Seq[String] = Nil): GraftFrame = {

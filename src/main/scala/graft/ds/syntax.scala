@@ -20,6 +20,30 @@ object syntax {
     def arr: ArrOps = new ArrOps(c)
     def json: JsonOps = new JsonOps(c)
     def url: UrlOps = new UrlOps(c)
+
+    /** pandas `Series.between(left, right, inclusive)` (reference
+      * column_expr.py:3081) — all four inclusive modes.
+      */
+    def between(lo: Any, hi: Any, inclusive: String = "both"): Column =
+      inclusive match {
+        case "both" => c >= lit(lo) && c <= lit(hi)
+        case "neither" => c > lit(lo) && c < lit(hi)
+        case "left" => c >= lit(lo) && c < lit(hi)
+        case "right" => c > lit(lo) && c <= lit(hi)
+        case other => throw new IllegalArgumentException(
+          s"between: inclusive must be both/neither/left/right (got '$other')")
+      }
+
+    /** pandas `Series.clip(lower, upper)` (reference lazy_result.py:811,
+      * pandas_compat.py:863) — either bound optional. NULLs pass through
+      * explicitly: Spark's greatest/least SKIP nulls (a NULL value would
+      * silently become the bound), so the null case is guarded.
+      */
+    def clip(lower: Option[Any] = None, upper: Option[Any] = None): Column = {
+      val lo = lower.map(v => greatest(c, lit(v))).getOrElse(c)
+      val bounded = upper.map(v => least(lo, lit(v))).getOrElse(lo)
+      when(c.isNull, c).otherwise(bounded)
+    }
   }
 
   final class StrOps(private val c: Column) extends AnyVal {

@@ -1233,6 +1233,35 @@ object CoverageQueries {
         s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
       } finally server.stop()
     }, Some("""SELECT s_suppkey, s_name, s_nationkey FROM supplier
-      WHERE s_suppkey % 3 = 0 ORDER BY s_suppkey"""))
+      WHERE s_suppkey % 3 = 0 ORDER BY s_suppkey""")),
+
+    QueryDef("q204_between_clip", (s, dir) => {
+      // pandas between/clip/between_time (reference column_expr.py:3081,
+      // lazy_result.py:811, pandas_compat.py:2756): a morning time-of-day
+      // filter, per-column clip (NULL-preserving — Spark's greatest/least
+      // would silently turn a NULL into the bound), and the four-mode
+      // between as a flag column; aggregated with exact (min/max/count)
+      // statistics so both engines replay deterministically.
+      import graft.ds.syntax._
+      val f = GraftFrame(Q.t(s, dir, "events"))
+        .betweenTime("ts", "06:00", "11:59:59")
+        .clip("value", Some(0.0), Some(50.0))
+      f.df.select(col("event_type"), col("value"),
+          col("user_id").between(100, 200).as("mid"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+          count(when(col("mid"), 1)).as("n_mid"))
+        .orderBy("event_type")
+    }, Some("""SELECT event_type, COUNT(*) AS n, MIN(v) AS vmin,
+        MAX(v) AS vmax, COUNT(*) FILTER (mid) AS n_mid
+      FROM (SELECT event_type,
+          CASE WHEN value IS NULL THEN NULL
+            ELSE GREATEST(LEAST(value, 50.0), 0.0) END AS v,
+          user_id >= 100 AND user_id <= 200 AS mid
+        FROM events
+        WHERE CAST(ts AS TIME) >= TIME '06:00:00'
+          AND CAST(ts AS TIME) <= TIME '11:59:59')
+      GROUP BY event_type ORDER BY event_type"""))
   )
 }
