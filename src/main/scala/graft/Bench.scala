@@ -204,7 +204,16 @@ object Bench {
     // trip still refuses (exit 1) — r12's silent commit stays impossible.
     val bandAccept = sys.env.getOrElse("SPARK_GRAFT_BAND_ACCEPT", "")
 
-    val qs = resultMap.map { case (k, t) => "\"" + k + "\":" + t }.mkString("{", ",", "}")
+    // Stdout seconds are rounded to 0.1 ms: the driver captures only a tail
+    // window of stdout, and 61 full-precision Double reprs outgrew it in r16
+    // (the driver's own re-run recorded "parsed": null). Sub-0.1ms digits are
+    // noise at this protocol's precision anyway. The FILE record keeps full
+    // precision.
+    def r4(t: Double): String =
+      if (t < 0) t.toString
+      else String.format(java.util.Locale.ROOT, "%.4f", Double.box(t))
+    val qs = resultMap.map { case (k, t) => "\"" + k + "\":" + r4(t) }.mkString("{", ",", "}")
+    val qsFull = resultMap.map { case (k, t) => "\"" + k + "\":" + t }.mkString("{", ",", "}")
     val total = resultMap.values.filter(_ >= 0).sum
     val refused = contaminated.nonEmpty && bandAccept.isEmpty
     val flag =
@@ -229,12 +238,21 @@ object Bench {
     val loadJson = s""""load_start":${triple(loads)},""" +
       s""""load_end":${triple(loadsEnd)},""" +
       s""""settle_wait_sec":$settleWaitSec,"""
-    val line = s"""{$refusedFlag"metric":"total","value":$total,"unit":"sec",$flag$loadJson"queries":$qs,"peakMemBytes":$pm,"sf":"$sfDir"}"""
+    // TWO copies of the record (r16 verdict task 2 — the driver's tail
+    // capture of stdout outgrew the one-line record and its re-runs parsed
+    // null): stdout stays the one-JSON-line contract but COMPACT (rounded
+    // seconds, no peakMemBytes); the FULL record (full-precision seconds +
+    // peakMemBytes) goes to SPARK_GRAFT_BENCH_OUT (default bench_out.json)
+    // where no capture window can truncate it.
+    val line = s"""{$refusedFlag"metric":"total","value":${r4(total)},"unit":"sec",$flag$loadJson"queries":$qs,"sf":"$sfDir"}"""
+    val fullLine = s"""{$refusedFlag"metric":"total","value":$total,"unit":"sec",$flag$loadJson"queries":$qsFull,"peakMemBytes":$pm,"sf":"$sfDir"}"""
     println(line)
-    if (refused) try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_refused.json"),
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def writeFile(path: String, content: String): Unit = try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        (content + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => /* best-effort side copy */ }
+    writeFile(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"), fullLine)
+    if (refused) writeFile("BENCH_refused.json", fullLine)
     spark.stop()
     if (contaminated.nonEmpty && bandAccept.isEmpty) {
       System.err.println(s"[bench-delta] STILL >1.5x after $retries retries " +

@@ -44,6 +44,9 @@ import graft.operators.AsOfJoin
 private[engine] trait DialectWave2 { self: GraftSession =>
 
   private def qr(s: String): String = Regex.quoteReplacement(s)
+  // ASOF rewrite builds the replacement text before the view name is minted
+  // (reference rewriting must inspect it first); this token marks the slot.
+  private val vnPlaceholder = "__graft_asof_vn__"
 
   // ---- GLOBAL hint -------------------------------------------------------
   // `GLOBAL IN` / `GLOBAL NOT IN` / `GLOBAL <strictness/direction> JOIN`:
@@ -423,9 +426,31 @@ private[engine] trait DialectWave2 { self: GraftSession =>
           else joined0.filter(col("__asof_match_ts").isNotNull)
         val exposeRts = !rightTs.equalsIgnoreCase(leftTs) &&
           !lColsLower(rightTs.toLowerCase(Locale.ROOT))
-        val joined =
-          if (exposeRts) joined1.withColumnRenamed("__asof_match_ts", rightTs)
-          else joined1.drop("__asof_match_ts")
+        val replaced0 = q.substring(0, m.start) + s"FROM $vnPlaceholder $lAlias " +
+          q.substring(condEnd)
+        // When the right timestamp shares its name with a left column (the
+        // common `ON l.k=r.k AND l.ts >= r.ts` same-name shape), dropping
+        // the match ts and letting mapQualifier re-home `rAlias.ts` onto the
+        // LEFT alias would silently return the left timestamp where
+        // ClickHouse returns the matched right value (r16 ADVICE). Instead:
+        // if the statement still references `rAlias.<rightTs>`, expose the
+        // match ts under a disambiguated name and rewrite those references
+        // to it BEFORE the blanket qualifier re-homing.
+        val rtsRefRe = ("(?i)(?<![\\w.`])" + Regex.quote(rAlias) +
+          "\\s*\\.\\s*(`" + Regex.quote(rightTs) + "`|" + Regex.quote(rightTs) +
+          ")(?![\\w`])").r
+        val rtsReferenced = !exposeRts && rtsRefRe.findAllMatchIn(replaced0)
+          .exists(mm => !inLiteralAt(replaced0, mm.start))
+        val disamb = s"__asof_r_${rightTs.toLowerCase(Locale.ROOT)}"
+        val (joined, replaced1) =
+          if (exposeRts)
+            (joined1.withColumnRenamed("__asof_match_ts", rightTs), replaced0)
+          else if (rtsReferenced)
+            (joined1.withColumnRenamed("__asof_match_ts", disamb),
+              rtsRefRe.replaceAllIn(replaced0, mm =>
+                if (inLiteralAt(replaced0, mm.start)) qr(mm.matched)
+                else qr(s"`$disamb`")))
+          else (joined1.drop("__asof_match_ts"), replaced0)
 
         // rotating view-name pool: createOrReplaceTempView overwrites the
         // slot, so a long-lived session does not leak one catalog entry per
@@ -437,9 +462,7 @@ private[engine] trait DialectWave2 { self: GraftSession =>
         // the view carries BOTH sides' columns; aliasing it with the LEFT
         // alias keeps `lAlias.col` refs (including correlated ones in
         // subqueries) resolving unchanged — only `rAlias.` is re-homed
-        val replaced = q.substring(0, m.start) + s"FROM $vn $lAlias " +
-          q.substring(condEnd)
-        mapQualifier(replaced, rAlias, lAlias)
+        mapQualifier(replaced1.replace(vnPlaceholder, vn), rAlias, lAlias)
       case _ => q
     }
 
@@ -462,6 +485,40 @@ private[engine] trait DialectWave2 { self: GraftSession =>
     val re = ("(?i)(?<![\\w.`])" + Regex.quote(from) + "\\s*\\.").r
     re.replaceAllIn(q, m => if (inLiteralAt(q, m.start)) qr(m.matched) else s"$to.")
   }
+
+  private val identRe = "`[^`]+`|[A-Za-z_]\\w*".r
+
+  /** Lower-cased column-shaped identifiers in a scalar expression: bare or
+    * backtick-quoted names that are not function calls (no following paren),
+    * not qualified (no adjacent dot), and not inside string literals.
+    * Keywords fall out naturally — they never match a result column name.
+    */
+  private def exprColumnRefs(expr: String): Set[String] =
+    identRe.findAllMatchIn(expr).filter { m =>
+      !inLiteralAt(expr, m.start) &&
+        (m.start == 0 || expr.charAt(m.start - 1) != '.') && {
+          var j = m.end
+          while (j < expr.length && Character.isWhitespace(expr.charAt(j))) j += 1
+          !(j < expr.length && (expr.charAt(j) == '(' || expr.charAt(j) == '.'))
+        }
+    }.map(m => unquoteIdent(m.matched).toLowerCase(Locale.ROOT)).toSet
+
+  /** Replace each reference to a column in `cols` (lower-cased names) with
+    * `lag(col) <lagW>` — turning "expr over this row" into "expr over the
+    * previous output row". Same identifier discipline as [[exprColumnRefs]].
+    */
+  private def rewriteExprRefs(expr: String, cols: Set[String], lagW: String): String =
+    identRe.replaceAllIn(expr, m => {
+      val isRef = !inLiteralAt(expr, m.start) &&
+        (m.start == 0 || expr.charAt(m.start - 1) != '.') && {
+          var j = m.end
+          while (j < expr.length && Character.isWhitespace(expr.charAt(j))) j += 1
+          !(j < expr.length && (expr.charAt(j) == '(' || expr.charAt(j) == '.'))
+        }
+      val u = unquoteIdent(m.matched)
+      if (isRef && cols(u.toLowerCase(Locale.ROOT)))
+        qr(s"lag(`$u`) $lagW") else qr(m.matched)
+    })
 
   // ---- GROUP BY … WITH TOTALS ---------------------------------------------
   // ClickHouse's extra grand-total row → ANSI `GROUPING SETS ((keys), ())`.
@@ -507,9 +564,12 @@ private[engine] trait DialectWave2 { self: GraftSession =>
   // source rows keep their own values, including legitimate NULLs
   // (ClickHouse computes INTERPOLATE only for inserted rows; a NULL-valued
   // source row is carried as the older non-null value in following gaps —
-  // the one documented ignore-nulls divergence). `col AS expr` chains are
-  // refused — they recur on the previous OUTPUT row, which no window can
-  // express; bare `INTERPOLATE ()` carries every non-fill column. The
+  // the one documented ignore-nulls divergence). `col AS expr` (r17)
+  // computes expr over the previous OUTPUT row via lag() when expr
+  // references only non-interpolated columns; SELF-referential chains stay
+  // refused — they recur on their own previous OUTPUT, which no
+  // fixed-depth window expresses; bare `INTERPOLATE ()` carries every
+  // non-fill column. The
   // interpolation window is a global last_value IGNORE NULLS over the fill
   // order — sized for the ordered, presentation-bound results WITH FILL
   // produces, like ClickHouse's own single-stream fill. Scope: single
@@ -520,7 +580,7 @@ private[engine] trait DialectWave2 { self: GraftSession =>
       "(\\s+FROM\\s+(-?\\d+|DATE\\s+'[^']+'|TIMESTAMP\\s+'[^']+'))?" +
       "(\\s+TO\\s+(-?\\d+|DATE\\s+'[^']+'|TIMESTAMP\\s+'[^']+'))?" +
       "(\\s+STEP\\s+(-?\\d+|INTERVAL\\s+\\d+\\s+[A-Za-z]+))?" +
-      "(\\s+INTERPOLATE\\s*\\(([^)]*)\\))?\\s*;?\\s*$").r
+      "(\\s+INTERPOLATE\\s*\\((.*)\\))?\\s*;?\\s*$").r
   private[engine] def rewriteWithFill(q: String): String =
     fillRe.findFirstMatchIn(q) match {
       case Some(m) if parenBalanced(m.group(1)) &&
@@ -580,28 +640,55 @@ private[engine] trait DialectWave2 { self: GraftSession =>
               s"(SELECT MAX(CAST(`${f.name}` AS BIGINT)) FROM __graft_fill_src)")
             ("BIGINT", fromE, toI, step.toString, "")
           }
-        // INTERPOLATE list: bare column names; () = every non-fill column
-        val interp: Set[String] = Option(m.group(11)) match {
-          case None => Set.empty
+        // INTERPOLATE list: `col` carries the last non-null source value
+        // forward; `col AS expr` (r17) computes expr over the PREVIOUS
+        // OUTPUT row when inserting each gap row — ClickHouse's semantics —
+        // expressed as lag() over the fill order after every referenced
+        // column's output value is materialized in the tagged union. That
+        // window form exists only when expr references NO interpolated
+        // column (incl. itself): a self-referential chain recurs on its own
+        // previous OUTPUT, which no fixed-depth window can express — still
+        // refused loudly. () = every non-fill column carried forward.
+        val asItemRe = "(?is)^\\s*([A-Za-z_]\\w*|`[^`]+`)\\s+AS\\s+(.+?)\\s*$".r
+        val interpItems: Seq[(String, Option[String])] = Option(m.group(11)) match {
+          case None => Seq.empty
           case Some(items) =>
-            val names = splitTopLevel(items)
-            if (names.exists(_.matches("(?is).*\\sAS\\s.*")))
-              throw new UnsupportedOperationException(
-                "INTERPOLATE (col AS expr) is not supported — bare " +
-                  "INTERPOLATE (col) carries the previous source value forward")
-            val resolved = names.map { n =>
+            def resolve(n: String): String = {
               val u = unquoteIdent(n)
               schema.fields.find(_.name.equalsIgnoreCase(u)).getOrElse(
                 throw new IllegalArgumentException(
                   s"INTERPOLATE column '$u' is not in the result")).name
             }
+            val parsed = splitTopLevel(items).map {
+              case asItemRe(n, e) => (resolve(n), Some(e))
+              case n => (resolve(n), None)
+            }
             val all =
-              if (resolved.isEmpty)
+              if (parsed.isEmpty)
                 schema.fieldNames.toSeq.filterNot(_.equalsIgnoreCase(f.name))
-              else resolved
-            require(!all.exists(_.equalsIgnoreCase(f.name)),
+                  .map(n => (n, None: Option[String]))
+              else parsed
+            require(!all.exists(_._1.equalsIgnoreCase(f.name)),
               "the WITH FILL column cannot be INTERPOLATEd")
-            all.toSet
+            all
+        }
+        val interp: Set[String] = interpItems.map(_._1).toSet
+        val interpExpr: Map[String, String] =
+          interpItems.collect { case (n, Some(e)) => n -> e }.toMap
+        val interpLower = interp.map(_.toLowerCase(Locale.ROOT))
+        interpExpr.foreach { case (n, e) =>
+          val refs = exprColumnRefs(e)
+          val bad = refs.filter(interpLower)
+          if (bad.nonEmpty) throw new UnsupportedOperationException(
+            s"INTERPOLATE ($n AS expr): the expression references " +
+              s"interpolated column(s) ${bad.mkString(", ")} — chains that " +
+              "recur on the previous OUTPUT row are not supported; " +
+              "reference only non-interpolated result columns")
+          val unknown = refs.filterNot(r =>
+            schema.fieldNames.exists(_.equalsIgnoreCase(r)))
+          if (unknown.nonEmpty) throw new IllegalArgumentException(
+            s"INTERPOLATE ($n AS expr): unknown column(s) " +
+              unknown.mkString(", "))
         }
         val proj = schema.fields.map { fd =>
           if (fd.name.equalsIgnoreCase(f.name))
@@ -641,10 +728,25 @@ private[engine] trait DialectWave2 { self: GraftSession =>
         if (interp.isEmpty)
           s"WITH __graft_fill_src AS ( $base )\n$unioned\n$ordTail"
         else {
+          // The carry-forward/lag window is deliberately UNPARTITIONED
+          // (global ORDER BY over the fill column): WITH FILL output is by
+          // construction a final, result-sized, totally-ordered set — the
+          // same bound as the ORDER BY it decorates — so a global window
+          // adds no scale risk beyond the sort that already exists.
           val w = s"OVER (ORDER BY `${f.name}` ASC NULLS FIRST " +
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+          val lagW = s"OVER (ORDER BY `${f.name}` ASC NULLS FIRST)"
           val outer = schema.fields.map { fd =>
-            if (interp(fd.name))
+            if (interpExpr.contains(fd.name)) {
+              // gap rows: expr over the previous OUTPUT row — every
+              // referenced column's output value already sits in
+              // __graft_fill_all (source value on source rows, type default
+              // on gap rows), so lag(col) IS the previous row's value
+              val e = rewriteExprRefs(interpExpr(fd.name), schema.fieldNames
+                .map(_.toLowerCase(Locale.ROOT)).toSet, lagW)
+              s"CASE WHEN __graft_fill_tag = 1 THEN `${fd.name}` ELSE " +
+                s"CAST(($e) AS ${fd.dataType.sql}) END AS `${fd.name}`"
+            } else if (interp(fd.name))
               s"CASE WHEN __graft_fill_tag = 1 THEN `${fd.name}` ELSE " +
                 s"last_value(`${fd.name}`) IGNORE NULLS $w END AS `${fd.name}`"
             else s"`${fd.name}`"
@@ -659,9 +761,10 @@ private[engine] trait DialectWave2 { self: GraftSession =>
           throw new UnsupportedOperationException(
             "WITH FILL is supported as a trailing `ORDER BY <col> [ASC] WITH " +
               "FILL [FROM v] [TO v] [STEP n|INTERVAL n unit] [INTERPOLATE " +
-              "(cols)]` over an integral or DATE/TIMESTAMP column — DESC " +
-              "fills, expression fill columns and INTERPOLATE (col AS expr) " +
-              "are not supported")
+              "(col [AS expr], …)]` over an integral or DATE/TIMESTAMP " +
+              "column — DESC fills and expression fill columns are not " +
+              "supported, and an INTERPOLATE expr may reference only " +
+              "non-interpolated result columns")
         q
     }
 

@@ -370,15 +370,79 @@ class DialectWave2Spec extends SparkTestBase {
     assert(e.getMessage.contains("DATE/TIMESTAMP"))
   }
 
-  test("WITH FILL refuses DESC and INTERPOLATE loudly") {
+  test("WITH FILL refuses DESC and self-referential INTERPOLATE loudly") {
     views()
     val e1 = intercept[UnsupportedOperationException] {
       g.sql("SELECT k FROM w2_dup ORDER BY k DESC WITH FILL")
     }
     assert(e1.getMessage.contains("DESC"))
+    // `v AS v + 1` recurs on its own previous OUTPUT value — still refused
     val e2 = intercept[UnsupportedOperationException] {
       g.sql("SELECT k, v FROM w2_dup ORDER BY k WITH FILL INTERPOLATE (v AS v + 1)")
     }
     assert(e2.getMessage.contains("INTERPOLATE"))
+  }
+
+  test("INTERPOLATE (col AS expr) computes expr over the previous output row") {
+    views()
+    Seq((1, 10L), (4, 40L)).toDF("kk", "n").createOrReplaceTempView("w2_iexpr")
+    val rows = g.sql(
+      """SELECT kk, n, CAST(n AS DOUBLE) AS d FROM w2_iexpr
+         ORDER BY kk WITH FILL FROM 1 TO 6 INTERPOLATE (d AS n * 2.0)""").collect()
+    // gap kk=2: prev row is SOURCE kk=1 (n=10) → d=20; gap kk=3: prev row is
+    // GAP kk=2 whose OUTPUT n is the type default 0 → d=0 (ClickHouse's
+    // previous-output-row semantics, not carry-forward); kk=5: prev is
+    // source kk=4 (n=40) → 80. Source rows keep their own d.
+    assert(rows.map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((1, 10L, 10.0), (2, 0L, 20.0), (3, 0L, 0.0),
+        (4, 40L, 40.0), (5, 0L, 80.0)))
+  }
+
+  test("INTERPOLATE expr may mix carry-forward and expr columns") {
+    views()
+    val rows = g.sql(
+      """SELECT k AS kk, MAX(tag) AS t, COUNT(*) AS n FROM w2_dup GROUP BY k
+         ORDER BY kk WITH FILL FROM 1 TO 5
+         INTERPOLATE (t, n AS 7)""").collect()
+    // t carries forward; n's expr is a literal → every gap row gets 7
+    assert(rows.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1, "x", 2L), (2, "b", 1L), (3, "b", 7L), (4, "b", 7L)))
+  }
+
+  test("INTERPOLATE expr referencing another interpolated column is refused") {
+    views()
+    val e = intercept[UnsupportedOperationException] {
+      g.sql("""SELECT k AS kk, MAX(tag) AS t, COUNT(*) AS n FROM w2_dup
+               GROUP BY k ORDER BY kk WITH FILL FROM 1 TO 5
+               INTERPOLATE (t, n AS length(t))""")
+    }
+    assert(e.getMessage.contains("non-interpolated"))
+  }
+
+  test("ASOF JOIN same-name right timestamp: r.ts resolves to the MATCHED value") {
+    views()
+    // quotes carry the ts under the LEFT column's name `t` — the common
+    // `ON l.k=r.k AND l.t >= r.t` spelling. q.t must be the matched RIGHT
+    // timestamp, not silently the left one (r16 ADVICE medium).
+    Seq((1, 8, 100.0), (1, 20, 110.0), (2, 50, 90.0)).toDF("uid", "t", "px")
+      .createOrReplaceTempView("w2_quotes_same")
+    val rows = g.sql(
+      """SELECT tr.trade, tr.t, q.t AS qt, q.px FROM w2_trades tr
+         ASOF JOIN w2_quotes_same q ON tr.uid = q.uid AND tr.t >= q.t
+         ORDER BY tr.trade""").collect()
+    assert(rows.map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+      .toSeq == Seq(("T1", 10, 8, 100.0), ("T2", 25, 20, 110.0)))
+  }
+
+  test("ASOF JOIN same-name right ts without references still drops cleanly") {
+    views()
+    Seq((1, 8, 100.0), (1, 20, 110.0), (2, 50, 90.0)).toDF("uid", "t", "px")
+      .createOrReplaceTempView("w2_quotes_same")
+    val rows = g.sql(
+      """SELECT tr.trade, q.px FROM w2_trades tr
+         ASOF JOIN w2_quotes_same q ON tr.uid = q.uid AND tr.t >= q.t
+         ORDER BY tr.trade""").collect()
+    assert(rows.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("T1", 100.0), ("T2", 110.0)))
   }
 }
