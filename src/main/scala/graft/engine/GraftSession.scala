@@ -349,11 +349,24 @@ final class GraftSession(val spark: SparkSession) extends DialectWave2 {
       // vendor jars when present, else by the built-in SigV4 client. ONE
       // positional parse for both (the NOSIGN/credential/format
       // disambiguation is subtle enough to keep in a single place).
-      case fn @ ("s3" | "gcs") if args.nonEmpty && args.length <= 4 &&
+      case fn @ ("s3" | "gcs") if args.nonEmpty && args.length <= 5 &&
           args.forall(a => quotedTok(a) || a.equalsIgnoreCase("NOSIGN")) =>
         val a = args.map(x => if (x.equalsIgnoreCase("NOSIGN")) "NOSIGN"
           else unquote(x))
         val nosign = a.lift(1).contains("NOSIGN")
+        // the reference emits s3(url, key, secret, session_token[, format])
+        // when a session token is set — refuse BOTH token forms loudly
+        // instead of misreading the token as a format (4-arg) or falling
+        // through to an opaque Spark parse error (5-arg)
+        val knownFmt = Set("", "parquet", "csv", "csvwithnames", "tsv",
+          "tabseparated", "tabseparatedwithnames", "jsoneachrow", "json",
+          "ndjson", "orc", "avro")
+        if (a.length == 5 || (a.length == 4 && !nosign &&
+            !knownFmt(a(3).toLowerCase)))
+          throw new UnsupportedOperationException(
+            s"$fn(url, key, secret, session_token[, format]): session " +
+              "tokens are not supported — use long-lived access/secret " +
+              "keys (argument 4 is not a known format name)")
         val (ak, sk, fmt) =
           if (a.length <= 1) ("", "", "")
           else if (nosign) ("", "", a.lift(2).getOrElse(""))
@@ -364,7 +377,8 @@ final class GraftSession(val spark: SparkSession) extends DialectWave2 {
         // session conf and may have changed since an identical-args call
         // (a cached view would sign against a dead endpoint)
         val df =
-          if (fn == "s3") graft.io.Sources.s3(spark, a.head, ak, sk, chFormat(fmt))
+          if (fn == "s3")
+            graft.io.Sources.s3(spark, a.head, ak, sk, chFormat(fmt), nosign)
           else graft.io.Sources.gcs(spark, a.head, ak, sk, chFormat(fmt))
         df.createOrReplaceTempView(name)
         Some(name)

@@ -54,18 +54,50 @@ object Sources {
     * standard Spark readers: executor tasks open their own ranged streams,
     * the same shape a 1000-executor job uses against 100 TB of objects.
     */
+  /** (endpoint, bucket, s3a-path) for every accepted s3() URL spelling:
+    * `s3://`/`s3a://` (no endpoint — session conf or default), AWS
+    * virtual-hosted https (`https://bucket.s3[.region].amazonaws.com/key`),
+    * and generic http(s) PATH-STYLE (`http://host[:port]/bucket/key` — the
+    * shape MinIO / loopback verifiers / interop gateways serve).
+    */
+  private[graft] def parseS3Url(url: String): (Option[String], Option[String], String) = {
+    val vhAws = ("^([^.]+)\\.(s3[.-][a-z0-9-]+\\.amazonaws\\.com|" +
+      "s3\\.amazonaws\\.com)(:\\d+)?$").r
+    if (url.startsWith("s3://") || url.startsWith("s3a://")) {
+      val u = java.net.URI.create(url.replaceFirst("^s3:", "s3a:"))
+      (None, Option(u.getAuthority), "s3a://" + u.getAuthority + u.getPath)
+    } else if (url.startsWith("http://") || url.startsWith("https://")) {
+      val u = java.net.URI.create(url)
+      val host = u.getAuthority
+      vhAws.findFirstMatchIn(host) match {
+        case Some(m) =>
+          val ep = s"${u.getScheme}://${m.group(2)}${Option(m.group(3)).getOrElse("")}"
+          (Some(ep), Some(m.group(1)), s"s3a://${m.group(1)}${u.getPath}")
+        case None =>
+          val segs = u.getPath.stripPrefix("/").split("/", 2)
+          require(segs.head.nonEmpty,
+            s"s3: cannot parse bucket from path-style URL '$url'")
+          (Some(s"${u.getScheme}://$host"), Some(segs.head),
+            s"s3a://${segs.head}/${segs.lift(1).getOrElse("")}")
+      }
+    } else (None, None, url)
+  }
+
   def s3(spark: SparkSession, url: String, accessKey: String = "",
-      secret: String = "", format: String = ""): DataFrame = {
+      secret: String = "", format: String = "", nosign: Boolean = false): DataFrame = {
     val hc = spark.sparkContext.hadoopConfiguration
+    // https forms — the reference's PRIMARY documented spelling (reference
+    // table_functions.py:316-387 uses https://bucket.s3.region.amazonaws
+    // .com/key): virtual-hosted AWS URLs parse to (endpoint, bucket, key);
+    // any other http(s) URL parses PATH-STYLE (first path segment = bucket)
+    // — the shape every S3-compatible endpoint (MinIO, loopback test
+    // servers, interop gateways) serves. Both route through the same
+    // per-bucket fs.s3lite config as s3:// URLs, like gcs() already does.
+    val (endpointOpt, bucketOpt, path) = parseS3Url(url)
     // credentials are scoped PER BUCKET (fs.s3lite.bucket.<b>.*) so two
     // frames reading different buckets with different keys in one session
     // don't sign with whichever credentials were set last; the global keys
     // remain the fallback for direct s3a:// reads
-    val bucketOpt =
-      if (url.startsWith("s3://") || url.startsWith("s3a://"))
-        Option(java.net.URI.create(
-          url.replaceFirst("^s3:", "s3a:")).getAuthority)
-      else None
     if (accessKey.nonEmpty) bucketOpt match {
       case Some(b) =>
         hc.set(s"fs.s3lite.bucket.$b.access.key", accessKey)
@@ -77,8 +109,21 @@ object Sources {
       case None =>
         hc.set("fs.s3lite.access.key", accessKey)
         hc.set("fs.s3lite.secret.key", secret)
+    } else if (nosign) {
+      // true NOSIGN: a prior signed read of this bucket must not leave its
+      // keys behind — against real S3, stale invalid credentials BEAT
+      // anonymous and 403 where an unsigned request would succeed
+      bucketOpt.foreach { b =>
+        Seq(s"fs.s3lite.bucket.$b.access.key", s"fs.s3lite.bucket.$b.secret.key",
+          s"fs.s3a.bucket.$b.access.key", s"fs.s3a.bucket.$b.secret.key")
+          .foreach(hc.unset)
+      }
+      Seq("fs.s3lite.access.key", "fs.s3lite.secret.key").foreach(hc.unset)
     }
-    spark.conf.getOption("spark.graft.s3.endpoint").foreach { e =>
+    // an https URL carries its own endpoint; the session conf still wins so
+    // a test harness can redirect a production URL at a loopback verifier
+    val ep = spark.conf.getOption("spark.graft.s3.endpoint").orElse(endpointOpt)
+    ep.foreach { e =>
       hc.set("fs.s3lite.endpoint", e)
       // the per-bucket endpoint too: an earlier gcs() read of a same-named
       // bucket must not hijack this frame's endpoint resolution
@@ -94,8 +139,6 @@ object Sources {
       hc.set("fs.s3a.impl.disable.cache", "true")
       hc.set("fs.s3.impl.disable.cache", "true")
     }
-    val path =
-      if (url.startsWith("s3://")) "s3a://" + url.stripPrefix("s3://") else url
     file(spark, path, format)
   }
 
@@ -192,6 +235,17 @@ object Sources {
       // credential key family
       val suffix = kv.getOrElse("EndpointSuffix", "core.windows.net")
       val fqdn = s"$account.blob.$suffix"
+      // an explicit BlobEndpoint that differs from the account-derived FQDN
+      // (an emulator / loopback endpoint) cannot be expressed through the
+      // wasb:// authority — refuse loudly rather than silently routing the
+      // traffic to <account>.blob.core.windows.net (r16 ADVICE)
+      kv.get("BlobEndpoint").foreach { be =>
+        val beHost = java.net.URI.create(be).getHost
+        require(beHost == null || beHost.equalsIgnoreCase(fqdn),
+          s"azureBlobStorage: BlobEndpoint=$be does not match the " +
+            s"account-derived endpoint $fqdn — custom endpoints require " +
+            "the built-in client (remove hadoop-azure from the classpath)")
+      }
       kv.get("AccountKey").foreach(k =>
         hc.set(s"fs.azure.account.key.$fqdn", k))
       file(spark, s"wasb://$container@$fqdn/${path.stripPrefix("/")}", format)

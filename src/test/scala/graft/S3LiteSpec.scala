@@ -194,13 +194,66 @@ class S3LiteSpec extends SparkTestBase {
           .collect()
         assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq ==
           Seq((5, "z"), (6, "w")))
-        // NOSIGN parses (signing with empty creds; this server requires real
-        // creds, so the global conf from withServer still authenticates)
-        val n = gs.sql(
-          "SELECT COUNT(*) FROM s3('s3://forms/data.csv', NOSIGN, 'CSV')")
-          .collect().head.getLong(0)
-        assert(n == 2L)
-      } finally spark.conf.unset("spark.graft.s3.endpoint")
+        // TRUE NOSIGN (r17): the call clears the session's S3 credentials
+        // for this bucket, so against this creds-requiring server the
+        // anonymous request is now genuinely rejected — the r16 behavior
+        // (stale global creds silently authenticating a NOSIGN read) was
+        // the ADVICE finding
+        val e = intercept[Exception] {
+          gs.sql("SELECT COUNT(*) FROM s3('s3://forms/data.csv', NOSIGN, 'CSV')")
+            .collect()
+        }
+        assert(e.getMessage.contains("403") || e.toString.contains("403"))
+      } finally {
+        spark.conf.unset("spark.graft.s3.endpoint")
+        // restore the globals the NOSIGN call cleared for following tests
+        val hc = spark.sparkContext.hadoopConfiguration
+        hc.set("fs.s3lite.access.key", "AKTEST")
+        hc.set("fs.s3lite.secret.key", "sekrit")
+      }
+    }
+  }
+
+  test("s3() session-token argument forms are refused loudly") {
+    val gs = new graft.engine.GraftSession(spark)
+    // 4-arg where the 4th is not a format name = the reference's
+    // (url, key, secret, session_token) spelling
+    val e1 = intercept[UnsupportedOperationException] {
+      gs.sql("SELECT * FROM s3('s3://b/k.parquet', 'AK', 'SK', 'FQoGZXIvYXdz')")
+    }
+    assert(e1.getMessage.contains("session"))
+    // 5-arg (url, key, secret, token, format) — refused, not an opaque
+    // fall-through to Spark's parser
+    val e2 = intercept[UnsupportedOperationException] {
+      gs.sql("SELECT * FROM s3('s3://b/k', 'AK', 'SK', 'tok', 'Parquet')")
+    }
+    assert(e2.getMessage.contains("session"))
+  }
+
+  test("https URL forms parse to (endpoint, bucket, key)") {
+    // AWS virtual-hosted, regional + legacy global
+    assert(Sources.parseS3Url("https://bkt.s3.us-east-1.amazonaws.com/a/b.parquet") ==
+      ((Some("https://s3.us-east-1.amazonaws.com"), Some("bkt"), "s3a://bkt/a/b.parquet")))
+    assert(Sources.parseS3Url("https://bkt.s3.amazonaws.com/k.csv") ==
+      ((Some("https://s3.amazonaws.com"), Some("bkt"), "s3a://bkt/k.csv")))
+    // dash-regional spelling (s3-us-west-2)
+    assert(Sources.parseS3Url("https://bkt.s3-us-west-2.amazonaws.com/k") ==
+      ((Some("https://s3-us-west-2.amazonaws.com"), Some("bkt"), "s3a://bkt/k")))
+    // generic endpoint → path-style (MinIO/loopback shape)
+    assert(Sources.parseS3Url("http://127.0.0.1:9000/bkt/dir/f.parquet") ==
+      ((Some("http://127.0.0.1:9000"), Some("bkt"), "s3a://bkt/dir/f.parquet")))
+    // s3:// passes through with no endpoint
+    assert(Sources.parseS3Url("s3://bkt/k") ==
+      ((None, Some("bkt"), "s3a://bkt/k")))
+  }
+
+  test("https path-style URL reads through the per-bucket endpoint") {
+    withServer { server =>
+      server.putObject("hbkt/data.csv", "id,tag\n9,h\n".getBytes("UTF-8"))
+      // the URL carries its own endpoint — no spark.graft.s3.endpoint set
+      val rows = Sources.s3(spark, s"${server.endpoint}/hbkt/data.csv",
+        "AKTEST", "sekrit", "csv").collect()
+      assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((9, "h")))
     }
   }
 
@@ -242,6 +295,38 @@ class S3LiteSpec extends SparkTestBase {
       val rows = gs.sql(
         "SELECT id, tag FROM s3('s3://pub/open.csv', NOSIGN, 'CSV')").collect()
       assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((3, "n")))
+    } finally {
+      server.stop(); hc.unset("fs.s3lite.endpoint")
+      spark.conf.unset("spark.graft.s3.endpoint")
+    }
+  }
+
+  test("NOSIGN clears stale per-bucket credentials from an earlier signed read") {
+    // r16 ADVICE: after s3(url, key, secret) of a bucket, a later
+    // s3(url, NOSIGN) of the SAME bucket must not keep sending the stale
+    // Authorization header — against real S3 invalid credentials BEAT
+    // anonymous and 403 where an unsigned request would succeed. The
+    // public loopback server reproduces that: it accepts ONLY anonymous.
+    val server = new S3LiteServer("", "").start()
+    val hc = spark.sparkContext.hadoopConfiguration
+    try {
+      server.putObject("pub2/open.csv", "id\n4\n".getBytes("UTF-8"))
+      hc.set("fs.s3a.impl", classOf[graft.io.S3LiteFileSystem].getName)
+      hc.set("fs.s3a.impl.disable.cache", "true")
+      spark.conf.set("spark.graft.s3.endpoint", server.endpoint)
+      val gs = new graft.engine.GraftSession(spark)
+      // signed read leaves fs.s3lite.bucket.pub2.* behind (and is rejected
+      // by the anonymous-only server)
+      intercept[Exception] {
+        gs.sql("SELECT * FROM s3('s3://pub2/open.csv', 'STALE', 'STALE', 'CSV')")
+          .collect()
+      }
+      assert(hc.get("fs.s3lite.bucket.pub2.access.key") == "STALE")
+      // NOSIGN must clear them and read anonymously
+      val n = gs.sql("SELECT COUNT(*) FROM s3('s3://pub2/open.csv', NOSIGN, 'CSV')")
+        .collect().head.getLong(0)
+      assert(n == 1L)
+      assert(hc.get("fs.s3lite.bucket.pub2.access.key") == null)
     } finally {
       server.stop(); hc.unset("fs.s3lite.endpoint")
       spark.conf.unset("spark.graft.s3.endpoint")
