@@ -102,6 +102,126 @@ object PgWire {
     case other => other.toString // Date/Timestamp toString match PG text form
   }
 
+  // ---- binary result format (r17) ----
+  // The per-OID wire encodings from PG's own send/recv functions (documented
+  // in the protocol + src/backend/utils/adt — all public): integers and
+  // floats big-endian, bool one byte, bytea raw, text UTF-8 (same bytes as
+  // text format), date int4 days since 2000-01-01, timestamp int8
+  // MICROSECONDS since 2000-01-01 00:00:00, numeric the base-10000 digit
+  // array (ndigits, weight, sign, dscale, digits[]).
+  private[io] val PgEpochDay = 10957L // 2000-01-01 in unix epoch days
+  private[io] val PgEpochMicros = 946684800000000L
+
+  /** numeric binary form of a BigDecimal (sign 0x4000 = negative). */
+  private[io] def numericBinary(bd0: java.math.BigDecimal): Array[Byte] = {
+    val dscale = math.max(bd0.scale, 0)
+    val bd = bd0.setScale(dscale)
+    val neg = bd.signum < 0
+    val plain = bd.abs.toPlainString
+    val dot = plain.indexOf('.')
+    val ip0 = if (dot < 0) plain else plain.substring(0, dot)
+    val fp0 = if (dot < 0) "" else plain.substring(dot + 1)
+    val ip = ip0.replaceFirst("^0+", "")
+    val ipPad = "0" * ((4 - ip.length % 4) % 4) + ip
+    val fpPad = fp0 + "0" * ((4 - fp0.length % 4) % 4)
+    val groups = (ipPad + fpPad).grouped(4).map(_.toInt).toArray
+    var weight = ipPad.length / 4 - 1
+    var start = 0
+    while (start < groups.length && groups(start) == 0) { start += 1; weight -= 1 }
+    var end = groups.length
+    while (end > start && groups(end - 1) == 0) end -= 1
+    val digits = groups.slice(start, end)
+    if (digits.isEmpty) weight = 0
+    val out = java.nio.ByteBuffer.allocate(8 + 2 * digits.length)
+    out.putShort(digits.length.toShort)
+    out.putShort(weight.toShort)
+    out.putShort(if (neg) 0x4000.toShort else 0.toShort)
+    out.putShort(dscale.toShort)
+    digits.foreach(g => out.putShort(g.toShort))
+    out.array
+  }
+
+  /** BigDecimal from the numeric wire form (client-side decode). */
+  private[io] def numericDecode(b: Array[Byte]): java.math.BigDecimal = {
+    val in = java.nio.ByteBuffer.wrap(b)
+    val n = in.getShort.toInt
+    val weight = in.getShort.toInt
+    val sign = in.getShort
+    val dscale = in.getShort.toInt
+    var acc = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < n) {
+      acc = acc.add(java.math.BigDecimal.valueOf(in.getShort.toLong)
+        .scaleByPowerOfTen(4 * (weight - i)))
+      i += 1
+    }
+    val signed = if (sign == 0x4000) acc.negate else acc
+    signed.setScale(dscale)
+  }
+
+  /** Binary-format payload of one non-null value (length prefix excluded). */
+  private[io] def binaryEncode(dt: DataType, v: Any): Array[Byte] = dt match {
+    case ShortType => java.nio.ByteBuffer.allocate(2)
+      .putShort(v.asInstanceOf[Short]).array
+    case IntegerType => java.nio.ByteBuffer.allocate(4)
+      .putInt(v.asInstanceOf[Int]).array
+    case LongType => java.nio.ByteBuffer.allocate(8)
+      .putLong(v.asInstanceOf[Long]).array
+    case FloatType => java.nio.ByteBuffer.allocate(4)
+      .putFloat(v.asInstanceOf[Float]).array
+    case DoubleType => java.nio.ByteBuffer.allocate(8)
+      .putDouble(v.asInstanceOf[Double]).array
+    case BooleanType => Array[Byte](if (v.asInstanceOf[Boolean]) 1 else 0)
+    case BinaryType => v.asInstanceOf[Array[Byte]]
+    case DateType =>
+      val days = v match {
+        case d: java.sql.Date => d.toLocalDate.toEpochDay
+        case ld: java.time.LocalDate => ld.toEpochDay
+      }
+      java.nio.ByteBuffer.allocate(4).putInt((days - PgEpochDay).toInt).array
+    case TimestampType | TimestampNTZType =>
+      val micros = v match {
+        case ts: java.sql.Timestamp =>
+          math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+        case ldt: java.time.LocalDateTime =>
+          ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+            ldt.getNano / 1000L
+        case ins: java.time.Instant =>
+          ins.getEpochSecond * 1000000L + ins.getNano / 1000L
+      }
+      java.nio.ByteBuffer.allocate(8).putLong(micros - PgEpochMicros).array
+    case _: DecimalType =>
+      numericBinary(v match {
+        case bd: java.math.BigDecimal => bd
+        case bd: scala.math.BigDecimal => bd.underlying
+      })
+    // text oid (25): binary format IS the UTF-8 text bytes
+    case _ => render(v).getBytes(UTF_8)
+  }
+
+  /** One-shot client COPY cycle (spec surface): connect, COPY, close. */
+  private[graft] def clientCopyOut(host: String, port: Int, db: String,
+      user: String, pass: String, sql: String): (Seq[String], Long) = {
+    val c = new PgClientConnection(host, port, db, user, pass)
+    try c.copyOut(sql) finally c.wireClose()
+  }
+
+  // ---- COPY OUT (r17) ----
+  // `COPY (SELECT …) TO STDOUT` / `COPY table TO STDOUT [WITH] [(FORMAT f)]`
+  private[io] val copyOutRe =
+    ("(?is)^\\s*COPY\\s+(?:\\((.+)\\)|([A-Za-z_\"][\\w.\"]*))\\s+TO\\s+STDOUT" +
+      "\\s*(?:WITH\\s*)?(?:\\(\\s*FORMAT\\s+(\\w+)\\s*\\))?\\s*;?\\s*$").r
+
+  /** COPY text-format field escaping (PG's documented rules): backslash,
+    * tab, newline, carriage return.
+    */
+  private[io] def copyEscape(s: String): String = {
+    if (s.indexOf('\\') < 0 && s.indexOf('\t') < 0 &&
+        s.indexOf('\n') < 0 && s.indexOf('\r') < 0) s
+    else s.replace("\\", "\\\\").replace("\t", "\\t")
+      .replace("\n", "\\n").replace("\r", "\\r")
+  }
+
   /** PG double-quoted identifiers → Spark backticks, WITHOUT touching
     * double quotes inside single-quoted string literals (PG escapes a
     * quote inside a literal as '' — the scanner stays in-literal across
@@ -127,7 +247,13 @@ object PgWire {
   * then BOTH query sub-protocols — simple ('Q') and extended
   * (Parse/Bind/Describe/Execute/Close/Flush/Sync with text-format
   * parameters, the cycle vendor clients like psycopg2 and the real PG JDBC
-  * driver use by default; r16). Incoming SQL uses PG's double-quoted
+  * driver use by default; r16). RESULT rows are served in the format each
+  * Bind requests per column — text or binary (r17: the common OIDs
+  * int2/int4/int8/float4/float8/bool/text/bytea/date/timestamp/numeric;
+  * what pgjdbc's binaryTransfer=true and psycopg3's default binary cursors
+  * ask for). Binary PARAMETERS are still refused cleanly (0A000) — a UTF-8
+  * decode of a binary value would bind garbage. Incoming SQL uses PG's
+  * double-quoted
   * identifiers (what Spark's PostgresDialect emits) — translated to
   * backticks and run through [[GraftSession.sql]], so WHERE pushdown and
   * column pruning from a federated Spark reader land on the real engine.
@@ -262,18 +388,26 @@ final class PgServer(
       // with text-format parameters. Named statements/portals are kept in
       // per-connection maps (the unnamed "" entry is just a map key). Per
       // the spec, an error in extended mode discards messages until Sync.
-      def sendRowDescription(fields: Array[org.apache.spark.sql.types.StructField]): Unit =
+      // fmts: per-column result format codes (0 text / 1 binary) from the
+      // portal's Bind; null = all text (simple query, Describe('S') where
+      // the spec says formats are "not yet known" and zero is sent)
+      def sendRowDescription(fields: Array[org.apache.spark.sql.types.StructField],
+          fmts: Array[Int] = null): Unit =
         msg('T') { d =>
           d.writeShort(fields.length)
+          var i = 0
           fields.foreach { f =>
             val (oid, typlen, typmod) = pgType(f.dataType)
             cstr(d, f.name)
             d.writeInt(0); d.writeShort(0) // table oid / attnum
             d.writeInt(oid); d.writeShort(typlen)
-            d.writeInt(typmod); d.writeShort(0) // text format
+            d.writeInt(typmod)
+            d.writeShort(if (fmts == null) 0 else fmts(i))
+            i += 1
           }
         }
-      def sendRows(df: org.apache.spark.sql.DataFrame): Long = {
+      def sendRows(df: org.apache.spark.sql.DataFrame,
+          fmts: Array[Int] = null): Long = {
         val fields = df.schema.fields
         var n = 0L
         val it = df.toLocalIterator()
@@ -285,7 +419,10 @@ final class PgServer(
             while (i < fields.length) {
               if (row.isNullAt(i)) d.writeInt(-1)
               else {
-                val b = render(row.get(i)).getBytes(UTF_8)
+                val b =
+                  if (fmts != null && fmts(i) == 1)
+                    binaryEncode(fields(i).dataType, row.get(i))
+                  else render(row.get(i)).getBytes(UTF_8)
                 d.writeInt(b.length); d.write(b)
               }
               i += 1
@@ -346,6 +483,15 @@ final class PgServer(
       val statements = scala.collection.mutable.Map.empty[String, String]
       // portal -> bound, ready-to-run SQL
       val portals = scala.collection.mutable.Map.empty[String, String]
+      // portal -> Bind's raw result-format codes (r17 binary results):
+      // empty = all text, one code = applies to every column, else per-column
+      val portalResFmts = scala.collection.mutable.Map.empty[String, Array[Short]]
+      def resolveFmts(portal: String, n: Int): Array[Int] = {
+        val rf = portalResFmts.getOrElse(portal, Array.empty[Short])
+        if (rf.isEmpty) Array.fill(n)(0)
+        else if (rf.length == 1) Array.fill(n)(rf(0).toInt)
+        else Array.tabulate(n)(i => if (i < rf.length) rf(i).toInt else 0)
+      }
       // portal -> DataFrame already analyzed by Describe('P') — Execute
       // reuses it instead of planning the same query twice (the default
       // client pipeline is always Describe+Execute)
@@ -378,11 +524,43 @@ final class PgServer(
               val sql = new String(body.takeWhile(_ != 0), UTF_8)
               try {
                 if (sql.trim.isEmpty) msg('I')(_ => ())
-                else {
-                  val df = gs.sql(identsToBackticks(sql))
-                  sendRowDescription(df.schema.fields)
-                  val n = sendRows(df)
-                  msg('C')(cstr(_, s"SELECT $n"))
+                else PgWire.copyOutRe.findFirstMatchIn(sql) match {
+                  case Some(cm) =>
+                    // COPY (…) TO STDOUT — the bulk-extract subprotocol real
+                    // PG clients (psql \copy, psycopg copy_expert) use
+                    // (r17). TEXT format: tab-separated, \N nulls,
+                    // backslash escapes, one CopyData per row, CopyDone,
+                    // then the COPY n row-count trailer.
+                    val fmt = Option(cm.group(3)).getOrElse("text")
+                    if (!fmt.equalsIgnoreCase("text"))
+                      throw new UnsupportedOperationException(
+                        s"COPY format '$fmt' not supported (text only)")
+                    val inner = Option(cm.group(1))
+                      .getOrElse(s"SELECT * FROM ${cm.group(2)}")
+                    val df = gs.sql(identsToBackticks(inner))
+                    val fields = df.schema.fields
+                    msg('H') { d => // CopyOutResponse: overall text, per-col text
+                      d.writeByte(0); d.writeShort(fields.length)
+                      fields.indices.foreach(_ => d.writeShort(0))
+                    }
+                    var n = 0L
+                    val it = df.toLocalIterator()
+                    while (it.hasNext) {
+                      val row = it.next()
+                      val line = fields.indices.map { i =>
+                        if (row.isNullAt(i)) "\\N"
+                        else PgWire.copyEscape(render(row.get(i)))
+                      }.mkString("", "\t", "\n")
+                      msg('d')(_.write(line.getBytes(UTF_8)))
+                      n += 1
+                    }
+                    msg('c')(_ => ()) // CopyDone
+                    msg('C')(cstr(_, s"COPY $n"))
+                  case None =>
+                    val df = gs.sql(identsToBackticks(sql))
+                    sendRowDescription(df.schema.fields)
+                    val n = sendRows(df)
+                    msg('C')(cstr(_, s"SELECT $n"))
                 }
               } catch {
                 case e: Throwable =>
@@ -420,10 +598,13 @@ final class PgServer(
                   if (binaryParam) // refuse loudly — a UTF-8 decode of a
                     // binary-format value would bind silent garbage
                     extendedError("0A000", "binary parameter format not supported (text only)")
-                  else if (resFmts.exists(_ != 0))
-                    extendedError("0A000", "binary result format not supported (text only)")
+                  else if (resFmts.exists(f => f != 0 && f != 1))
+                    extendedError("08P01", s"invalid result format code")
                   else {
+                    // binary RESULT format (r17): served per column — the
+                    // codes land in this portal's RowDescription and DataRows
                     portals(portal) = bindParams(sql, params.toIndexedSeq)
+                    portalResFmts(portal) = resFmts
                     portalDf.remove(portal) // new bind invalidates the analyzed plan
                     msg('2')(_ => ()) // BindComplete
                   }
@@ -459,7 +640,8 @@ final class PgServer(
                       else {
                         val df = gs.sql(identsToBackticks(sql))
                         portalDf(name) = df // Execute reuses the analyzed plan
-                        sendRowDescription(df.schema.fields)
+                        sendRowDescription(df.schema.fields,
+                          resolveFmts(name, df.schema.fields.length))
                       }
                     } catch {
                       case e: Throwable => extendedError("42601",
@@ -477,7 +659,8 @@ final class PgServer(
                     if (sql.trim.isEmpty) msg('I')(_ => ())
                     else {
                       val df = portalDf.getOrElse(portal, gs.sql(identsToBackticks(sql)))
-                      val n = sendRows(df)
+                      val n = sendRows(df,
+                        resolveFmts(portal, df.schema.fields.length))
                       msg('C')(cstr(_, s"SELECT $n"))
                     }
                   } catch {
@@ -489,7 +672,8 @@ final class PgServer(
               val kind = d.read().toChar
               val name = readCstr(d)
               if (kind == 'S') statements.remove(name)
-              else { portals.remove(name); portalDf.remove(name) }
+              else { portals.remove(name); portalDf.remove(name)
+                portalResFmts.remove(name) }
               msg('3')(_ => ()) // CloseComplete
             case 'H' => out.flush() // Flush
             case 'S' => // Sync: end of extended batch
@@ -542,7 +726,14 @@ final class PgJdbcDriver extends Driver {
     val extended =
       urlQuery.contains("preferQueryMode=extended") ||
         Option(info.getProperty("preferQueryMode")).contains("extended")
-    new PgClientConnection(host, port, db, user, pass, extended).asConnection
+    // ?binaryTransfer=true (the real pgjdbc knob) asks for binary RESULT
+    // format on every column (r17) — implies the extended cycle, since
+    // only Bind carries result-format codes
+    val binary =
+      urlQuery.contains("binaryTransfer=true") ||
+        Option(info.getProperty("binaryTransfer")).contains("true")
+    new PgClientConnection(host, port, db, user, pass,
+      extended || binary, binary).asConnection
   }
 
   override def getMajorVersion: Int = 1
@@ -591,8 +782,10 @@ object PgJdbcDriver {
   */
 private[io] final class PgClientConnection(
     host: String, port: Int, db: String, user: String, pass: String,
-    extendedMode: Boolean = false)
+    extendedMode: Boolean = false, binaryResults: Boolean = false)
   extends WireJdbc.WireConnection {
+  require(!binaryResults || extendedMode,
+    "binary results require the extended query protocol")
 
   import PgWire._
 
@@ -687,8 +880,11 @@ private[io] final class PgClientConnection(
       }
       val two0 = Array[Byte](0, 0)
       put('P', cstrBytes("") ++ cstrBytes(sql) ++ two0) // Parse, 0 param types
-      // Bind: portal "", stmt "", 0 fmt codes, 0 params, 0 result fmt codes
-      put('B', cstrBytes("") ++ cstrBytes("") ++ two0 ++ two0 ++ two0)
+      // Bind: portal "", stmt "", 0 fmt codes, 0 params, then result fmt
+      // codes — one code 1 (binary, applies to every column) when
+      // binaryResults, else 0 codes (all text)
+      val resFmt = if (binaryResults) Array[Byte](0, 1, 0, 1) else two0
+      put('B', cstrBytes("") ++ cstrBytes("") ++ two0 ++ two0 ++ resFmt)
       put('D', Array[Byte]('P'.toByte, 0)) // Describe portal ""
       put('E', cstrBytes("") ++ Array[Byte](0, 0, 0, 0)) // Execute, no row cap
       put('S', Array.emptyByteArray) // Sync
@@ -700,6 +896,9 @@ private[io] final class PgClientConnection(
       case ('T', body) =>
         val d = new DataInputStream(new java.io.ByteArrayInputStream(body))
         val n = d.readShort()
+        resultOids = new Array[Int](n)
+        resultFmts = new Array[Int](n)
+        var ci = 0
         fields = Array.fill(n) {
           val nm = {
             val b = new ByteArrayOutputStream(16)
@@ -708,7 +907,9 @@ private[io] final class PgClientConnection(
           }
           d.readInt(); d.readShort() // table oid / attnum
           val oid = d.readInt(); d.readShort() // typlen
-          val typmod = d.readInt(); d.readShort() // format
+          val typmod = d.readInt()
+          val fmt = d.readShort() // format code (0 text / 1 binary)
+          resultOids(ci) = oid; resultFmts(ci) = fmt; ci += 1
           val (jt, tn, p, s, sg) = jdbcType(oid, typmod)
           WireJdbc.ColInfo(nm, jt, tn, p, s, sg)
         }
@@ -732,6 +933,36 @@ private[io] final class PgClientConnection(
     }
   }
 
+  // column oids + format codes from the last RowDescription — what the
+  // binary DataRow decode keys on (r17)
+  private var resultOids: Array[Int] = Array.empty
+  private var resultFmts: Array[Int] = Array.empty
+
+  /** Binary payload → the same text rendering the text format carries, so
+    * the WireResult surface (and every getter above it) is format-agnostic.
+    */
+  private def decodeBinary(oid: Int, b: Array[Byte]): String = oid match {
+    case 21 => java.nio.ByteBuffer.wrap(b).getShort.toString
+    case 23 => java.nio.ByteBuffer.wrap(b).getInt.toString
+    case 20 => java.nio.ByteBuffer.wrap(b).getLong.toString
+    case 700 => java.nio.ByteBuffer.wrap(b).getFloat.toString
+    case 701 => java.nio.ByteBuffer.wrap(b).getDouble.toString
+    case 16 => if (b(0) != 0) "t" else "f"
+    case 17 => WireJdbc.hexBytea(b)
+    case 1082 => java.time.LocalDate
+      .ofEpochDay(PgWire.PgEpochDay + java.nio.ByteBuffer.wrap(b).getInt).toString
+    case 1114 =>
+      val micros = java.nio.ByteBuffer.wrap(b).getLong + PgWire.PgEpochMicros
+      val sec = math.floorDiv(micros, 1000000L)
+      val nano = math.floorMod(micros, 1000000L) * 1000L
+      val s = java.time.LocalDateTime
+        .ofEpochSecond(sec, nano.toInt, java.time.ZoneOffset.UTC)
+        .toString.replace('T', ' ')
+      if (s.length == 16) s + ":00" else s
+    case 1700 => PgWire.numericDecode(b).toPlainString
+    case _ => new String(b, UTF_8)
+  }
+
   /** Pull the next DataRow; None at CommandComplete (drains to ready). */
   private def nextRow(nCols: Int): Option[Array[String]] = {
     while (true) recv() match {
@@ -744,7 +975,10 @@ private[io] final class PgClientConnection(
           val len = d.readInt()
           if (len >= 0) {
             val b = new Array[Byte](len); d.readFully(b)
-            row(i) = new String(b, UTF_8)
+            row(i) =
+              if (i < resultFmts.length && resultFmts(i) == 1)
+                decodeBinary(resultOids(i), b)
+              else new String(b, UTF_8)
           } // else null
           i += 1
         }
@@ -767,6 +1001,36 @@ private[io] final class PgClientConnection(
       case ('Z', _) => z = true
       case _ => // discard until ReadyForQuery
     }
+  }
+
+  /** COPY … TO STDOUT cycle (r17): returns the raw text-format lines and
+    * the row count from the `COPY n` CommandComplete trailer. Uses the
+    * simple-query channel, like psql's \copy.
+    */
+  def copyOut(sql: String): (Seq[String], Long) = {
+    send('Q', cstrBytes(sql))
+    val data = new ByteArrayOutputStream(4096)
+    var count = -1L
+    var started = false
+    var done = false
+    while (!done) recv() match {
+      case ('H', _) => started = true // CopyOutResponse
+      case ('d', body) => data.write(body) // CopyData
+      case ('c', _) => // CopyDone
+      case ('C', body) =>
+        val tag = new String(body.takeWhile(_ != 0), UTF_8)
+        require(tag.startsWith("COPY "), s"expected COPY trailer, got '$tag'")
+        count = tag.stripPrefix("COPY ").trim.toLong
+      case ('Z', _) => done = true
+      case ('E', body) =>
+        val m = errorMessage(body); drainToReady()
+        throw new SQLException(s"pg COPY failed: $m")
+      case ('S' | 'N', _) => // async noise
+      case (t, _) => throw new SQLException(s"unexpected COPY message '$t'")
+    }
+    require(started, "server never sent CopyOutResponse")
+    val text = new String(data.toByteArray, UTF_8)
+    (text.split("\n", -1).toSeq.filter(_.nonEmpty), count)
   }
 
   override def wireClose(): Unit = if (!closed) {

@@ -193,6 +193,146 @@ class PgWireSpec extends SparkTestBase {
     }
   }
 
+  test("pg: binary result format round-trips the common OIDs byte-exactly") {
+    // pgjdbc's binaryTransfer=true / psycopg3's default binary cursors: Bind
+    // sends one result-format code 1, the server answers RowDescription with
+    // format=1 and binary DataRows (r16 refused these with 0A000). The
+    // built-in client decodes by OID; equality against the SAME query read
+    // in text mode proves every type's binary encoding round-trips exactly.
+    val src = spark.sql(
+      """SELECT * FROM VALUES
+           (1L, 10, 1.5D, true,  'alpha', X'DEADBEEF',
+            DATE'2024-03-01', TIMESTAMP'2024-03-01 10:11:12.5',
+            CAST(12345.67 AS DECIMAL(12,2))),
+           (2L, -7, -0.25D, false, 'be''ta', X'00FF',
+            DATE'1999-12-31', TIMESTAMP'1999-12-31 23:59:59',
+            CAST(-0.05 AS DECIMAL(12,2))),
+           (3L, CAST(NULL AS INT), CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN),
+            CAST(NULL AS STRING), CAST(NULL AS BINARY), CAST(NULL AS DATE),
+            CAST(NULL AS TIMESTAMP), CAST(NULL AS DECIMAL(12,2)))
+         AS t(id, i, d, b, s, bin, dt, ts, num)""")
+    src.createOrReplaceTempView("pg_bin_src")
+    withServer() { server =>
+      def read(urlTail: String) = Sources.jdbc(spark,
+        s"jdbc:postgresql://${server.hostPort}/db?$urlTail",
+        "pg_bin_src", Map("user" -> "u", "password" -> "pw"))
+      val bin = read("binaryTransfer=true")
+      val txt = read("preferQueryMode=extended")
+      assert(bin.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        src.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+        bin.schema.treeString)
+      val binRows = bin.orderBy("id").collect().toSeq
+      assert(binRows == txt.orderBy("id").collect().toSeq)
+      assert(binRows == src.orderBy("id").collect().toSeq)
+      // the bytea column byte-exactly (Row equality compares arrays by ref)
+      assert(binRows.head.getAs[Array[Byte]]("bin").toSeq ==
+        Seq(0xDE, 0xAD, 0xBE, 0xEF).map(_.toByte))
+    }
+  }
+
+  test("pg: mixed per-column result formats in one Bind (raw protocol)") {
+    // a psycopg3-style Bind with DIFFERENT codes per column: col1 text,
+    // col2 binary — RowDescription must echo the per-column codes and the
+    // DataRow must mix encodings
+    import spark.implicits._
+    Seq((7L, 1000)).toDF("k", "n").createOrReplaceTempView("pg_mixfmt_t")
+    withServer() { server =>
+      val sock = new java.net.Socket("127.0.0.1", server.boundPort)
+      try {
+        val in = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(sock.getInputStream))
+        val out = new java.io.DataOutputStream(
+          new java.io.BufferedOutputStream(sock.getOutputStream))
+        def cstr(s: String): Array[Byte] = s.getBytes("UTF-8") :+ 0.toByte
+        def send(t: Char, body: Array[Byte]): Unit = {
+          out.writeByte(t); out.writeInt(body.length + 4); out.write(body); out.flush()
+        }
+        def recv(): (Char, Array[Byte]) = {
+          val t = in.read(); assert(t >= 0, "server closed early")
+          val len = in.readInt(); val b = new Array[Byte](len - 4)
+          in.readFully(b); (t.toChar, b)
+        }
+        val su = new java.io.ByteArrayOutputStream()
+        val sd = new java.io.DataOutputStream(su)
+        sd.writeInt(196608); sd.write(cstr("user")); sd.write(cstr("u")); sd.writeByte(0)
+        out.writeInt(su.size + 4); su.writeTo(out); out.flush()
+        assert(recv()._1 == 'R')
+        send('p', cstr("pw"))
+        var z = false
+        while (!z) if (recv()._1 == 'Z') z = true
+        send('P', cstr("") ++ cstr("SELECT k, n FROM pg_mixfmt_t") ++ Array[Byte](0, 0))
+        val pb = new java.io.ByteArrayOutputStream()
+        val pd = new java.io.DataOutputStream(pb)
+        pd.write(cstr("")); pd.write(cstr(""))
+        pd.writeShort(0) // no param format codes
+        pd.writeShort(0) // no params
+        pd.writeShort(2); pd.writeShort(0); pd.writeShort(1) // k text, n binary
+        send('B', pb.toByteArray)
+        send('D', Array[Byte]('P'.toByte, 0))
+        send('E', cstr("") ++ Array[Byte](0, 0, 0, 0))
+        send('S', Array.emptyByteArray)
+        var rowBody: Array[Byte] = null
+        var descFmts: Seq[Int] = Nil
+        var zr = false
+        while (!zr) recv() match {
+          case ('T', b) =>
+            val d = new java.io.DataInputStream(new java.io.ByteArrayInputStream(b))
+            val n = d.readShort()
+            descFmts = (0 until n).map { _ =>
+              var c = d.read(); while (c > 0) c = d.read() // name cstr
+              d.readInt(); d.readShort(); d.readInt(); d.readShort(); d.readInt()
+              d.readShort().toInt // the format code
+            }
+          case ('D', b) => rowBody = b
+          case ('E', b) => fail("server errored: " + new String(b, "UTF-8"))
+          case ('Z', _) => zr = true
+          case _ =>
+        }
+        assert(descFmts == Seq(0, 1), descFmts.toString)
+        val d = new java.io.DataInputStream(new java.io.ByteArrayInputStream(rowBody))
+        assert(d.readShort() == 2)
+        val l1 = d.readInt(); val c1 = new Array[Byte](l1); d.readFully(c1)
+        assert(new String(c1, "UTF-8") == "7") // text int8
+        val l2 = d.readInt()
+        assert(l2 == 4) // binary int4 is exactly 4 bytes
+        assert(d.readInt() == 1000)
+      } finally sock.close()
+    }
+  }
+
+  test("pg: COPY (SELECT …) TO STDOUT streams text rows with the COPY n trailer") {
+    // the bulk-extract path real clients use (psql \copy, psycopg
+    // copy_expert): CopyOutResponse → one CopyData per row (tab-separated,
+    // \N nulls, backslash escapes) → CopyDone → `COPY n`
+    val src = spark.sql(
+      """SELECT * FROM VALUES
+           (1L, 'plain', 1.5D),
+           (2L, 'tab\there', CAST(NULL AS DOUBLE)),
+           (3L, CAST(NULL AS STRING), -0.25D)
+         AS t(k, s, v)""")
+    src.createOrReplaceTempView("pg_copy_t")
+    withServer() { server =>
+      val (lines, n) = graft.io.PgWire.clientCopyOut(
+        "127.0.0.1", server.boundPort, "db", "u", "pw",
+        "COPY (SELECT k, s, v FROM pg_copy_t ORDER BY k) TO STDOUT")
+      assert(n == 3L && lines.length == 3, s"n=$n lines=$lines")
+      assert(lines(0) == "1\tplain\t1.5")
+      assert(lines(1) == "2\ttab\\there\t\\N") // tab escaped, NULL as \N
+      assert(lines(2) == "3\t\\N\t-0.25")
+      // bare-table form + the connection survives for a following query
+      val (all, nAll) = graft.io.PgWire.clientCopyOut(
+        "127.0.0.1", server.boundPort, "db", "u", "pw",
+        "COPY pg_copy_t TO STDOUT (FORMAT text)")
+      assert(nAll == 3L && all.length == 3)
+      // non-text formats are refused loudly
+      val e = intercept[SQLException] {
+        graft.io.PgWire.clientCopyOut("127.0.0.1", server.boundPort, "db",
+          "u", "pw", "COPY pg_copy_t TO STDOUT (FORMAT binary)")
+      }
+      assert(e.getMessage.contains("text only"), e.getMessage)
+    }
+  }
+
   test("pg: extended-mode error discards to Sync and the connection survives") {
     withServer() { server =>
       val conn = new graft.io.PgJdbcDriver().connect(
