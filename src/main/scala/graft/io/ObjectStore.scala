@@ -47,6 +47,22 @@ private[io] trait ObjectClient {
     * protocol's pagination to completion.
     */
   def list(prefix: String, delimiter: String): (Seq[(String, Long)], Seq[String])
+
+  // ---- multipart upload (r17; optional) ----
+  /** Some(uploadId) when the store supports multipart uploads for this key;
+    * None → the FileSystem falls back to buffer-whole-object + single PUT.
+    */
+  def createMultipart(key: String): Option[String] = None
+  /** Upload one part (1-based part numbers) → its ETag. */
+  def uploadPart(key: String, uploadId: String, partNumber: Int,
+      data: Array[Byte]): String =
+    throw new UnsupportedOperationException("multipart upload unsupported")
+  /** Assemble the uploaded parts into the final object. */
+  def completeMultipart(key: String, uploadId: String,
+      parts: Seq[(Int, String)]): Unit =
+    throw new UnsupportedOperationException("multipart upload unsupported")
+  /** Drop a failed upload's parts (best-effort). */
+  def abortMultipart(key: String, uploadId: String): Unit = ()
 }
 
 /** Flat-keyspace object store presented as a Hadoop FileSystem: the URI
@@ -126,19 +142,23 @@ abstract class ObjectFileSystem extends FileSystem {
     new FSDataInputStream(new ObjectInputStream(client, key(p), st.getLen))
   }
 
+  /** Part size for streaming writes; Long.MaxValue = multipart disabled
+    * (buffer whole object, single PUT). Stores with a multipart protocol
+    * override this from their conf — real S3 caps a single PUT at 5 GB, so
+    * a task output beyond one part MUST stream as multipart, and rolling
+    * parts out as they fill keeps the writer's memory at one part instead
+    * of the whole object.
+    */
+  protected def multipartPartSize(conf: Configuration): Long = Long.MaxValue
+
   override def create(p: Path, permission: FsPermission, overwrite: Boolean,
       bufferSize: Int, replication: Short, blockSize: Long,
       progress: Progressable): FSDataOutputStream = {
     val k = key(p)
     if (!overwrite && client.head(k).isDefined)
       throw new java.io.IOException(s"$p already exists")
-    val buf = new ByteArrayOutputStream()
-    new FSDataOutputStream(new OutputStream {
-      override def write(b: Int): Unit = buf.write(b)
-      override def write(b: Array[Byte], off: Int, len: Int): Unit =
-        buf.write(b, off, len)
-      override def close(): Unit = client.put(k, buf.toByteArray)
-    }, statistics)
+    new FSDataOutputStream(
+      new ObjectWriteStream(client, k, multipartPartSize(getConf)), statistics)
   }
 
   override def append(p: Path, bufferSize: Int,
@@ -195,6 +215,65 @@ abstract class ObjectFileSystem extends FileSystem {
         client.put(dk + "/", Array.empty)
         true
       }
+    }
+  }
+}
+
+/** Object writer: buffers at most ONE part. Writes under `partSize` close
+  * as a plain single PUT (the cheap, dominant case — Spark part files are
+  * usually well under the part size); the first buffer overflow opens a
+  * multipart upload and each full part ships immediately, so memory stays
+  * O(partSize) however large the object grows. A store without multipart
+  * (createMultipart → None) degrades to the pre-r17 buffer-and-PUT path.
+  * Close completes the upload or aborts it on failure (no orphaned parts).
+  */
+private[io] final class ObjectWriteStream(client: ObjectClient, key: String,
+    partSize: Long) extends OutputStream {
+  private val buf = new ByteArrayOutputStream()
+  private var uploadId: Option[String] = None
+  private var noMultipart = false
+  private var partNum = 0
+  private val etags = Seq.newBuilder[(Int, String)]
+  private var closed = false
+
+  private def rollPart(): Unit = {
+    if (uploadId.isEmpty && !noMultipart) {
+      uploadId = client.createMultipart(key)
+      if (uploadId.isEmpty) noMultipart = true
+    }
+    uploadId.foreach { id =>
+      partNum += 1
+      etags += ((partNum, client.uploadPart(key, id, partNum, buf.toByteArray)))
+      buf.reset()
+    }
+  }
+  private def maybeRoll(): Unit = if (buf.size >= partSize) rollPart()
+
+  override def write(b: Int): Unit = { buf.write(b); maybeRoll() }
+  override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+    // chunk the input so the buffer never exceeds one part — a single
+    // large write must still produce partSize-bounded parts
+    var o = off; var rem = len
+    while (rem > 0) {
+      val room = math.min(partSize - buf.size, rem.toLong).toInt
+      val n = math.max(room, 1)
+      buf.write(b, o, n); o += n; rem -= n
+      maybeRoll()
+    }
+  }
+  override def close(): Unit = if (!closed) {
+    closed = true
+    uploadId match {
+      case None => client.put(key, buf.toByteArray)
+      case Some(id) =>
+        try {
+          if (buf.size > 0) rollPart() // final part (may be under the min)
+          client.completeMultipart(key, id, etags.result())
+        } catch {
+          case e: Throwable =>
+            try client.abortMultipart(key, id) catch { case _: Throwable => }
+            throw e
+        }
     }
   }
 }

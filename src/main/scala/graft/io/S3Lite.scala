@@ -43,9 +43,11 @@ import org.apache.hadoop.util.Progressable
   *    that verifies SigV4 on every request, for live round-trip tests in
   *    a container with no object store.
   *
-  * Scope: path-style addressing, single-object PUT (the FileSystem buffers
-  * a part file and PUTs on close — Spark part files are bounded by the
-  * task split, so no multipart), no encryption headers, no versioning.
+  * Scope: path-style addressing, single-object PUT for writes under one
+  * part plus MULTIPART upload beyond it (r17 — Create/UploadPart/Complete/
+  * Abort, part size fs.s3lite.multipart.size default 64 MB: real S3 caps a
+  * single PUT at 5 GB, and rolling parts keeps writer memory at one part
+  * instead of the whole object), no encryption headers, no versioning.
   */
 object SigV4 {
   private val amzDateFmt =
@@ -244,6 +246,62 @@ private[io] final class S3LiteClient(endpoint: String, accessKey: String,
     (contents.result(), cps.result().distinct)
   }
 
+  // ---- multipart upload (r17): CreateMultipartUpload / UploadPart /
+  // CompleteMultipartUpload / AbortMultipartUpload, each request signed and
+  // the query params part of the canonical request (the loopback server
+  // verifies every part's signature like any other request) ----
+
+  override def createMultipart(key: String): Option[String] = {
+    val path = objPath(key)
+    val c = request("POST", path, Seq("uploads" -> ""), Array.empty)
+    val rc = c.getResponseCode
+    if (rc != 200) {
+      drainAndClose(c)
+      throw new java.io.IOException(s"S3 CreateMultipartUpload $path -> $rc")
+    }
+    val xml = new String(c.getInputStream.readAllBytes(), UTF_8)
+    c.getInputStream.close()
+    Some("<UploadId>(.*?)</UploadId>".r.findFirstMatchIn(xml)
+      .map(m => xmlUnescape(m.group(1)))
+      .getOrElse(throw new java.io.IOException(
+        s"S3 CreateMultipartUpload $path: no UploadId in response")))
+  }
+
+  override def uploadPart(key: String, uploadId: String, partNumber: Int,
+      data: Array[Byte]): String = {
+    val path = objPath(key)
+    // query keys pre-sorted (partNumber < uploadId) — the signer sorts too
+    val c = request("PUT", path,
+      Seq("partNumber" -> partNumber.toString, "uploadId" -> uploadId), data)
+    val rc = c.getResponseCode
+    val etag = Option(c.getHeaderField("ETag")).getOrElse("")
+    drainAndClose(c)
+    if (rc != 200)
+      throw new java.io.IOException(s"S3 UploadPart $path#$partNumber -> $rc")
+    etag
+  }
+
+  override def completeMultipart(key: String, uploadId: String,
+      parts: Seq[(Int, String)]): Unit = {
+    val path = objPath(key)
+    val xml = parts.sortBy(_._1).map { case (n, etag) =>
+      s"<Part><PartNumber>$n</PartNumber><ETag>${etag
+        .replace("&", "&amp;").replace("<", "&lt;")}</ETag></Part>"
+    }.mkString("<CompleteMultipartUpload>", "", "</CompleteMultipartUpload>")
+    val c = request("POST", path, Seq("uploadId" -> uploadId),
+      xml.getBytes(UTF_8))
+    val rc = c.getResponseCode
+    drainAndClose(c)
+    if (rc != 200)
+      throw new java.io.IOException(s"S3 CompleteMultipartUpload $path -> $rc")
+  }
+
+  override def abortMultipart(key: String, uploadId: String): Unit = {
+    val c = request("DELETE", objPath(key), Seq("uploadId" -> uploadId), null)
+    c.getResponseCode
+    drainAndClose(c)
+  }
+
   private def xmlUnescape(s: String): String = ObjectHttp.xmlUnescape(s)
 }
 
@@ -255,6 +313,12 @@ private[io] final class S3LiteClient(endpoint: String, accessKey: String,
   */
 final class S3LiteFileSystem extends ObjectFileSystem {
   override def getScheme: String = "s3a"
+  /** Streaming-write part size (fs.s3lite.multipart.size, default 64 MB):
+    * real S3 caps single PUT at 5 GB and multipart parts at 5 MB minimum
+    * (last part exempt) — values under 5 MB would fail against AWS.
+    */
+  override protected def multipartPartSize(conf: Configuration): Long =
+    conf.getLong("fs.s3lite.multipart.size", 64L * 1024 * 1024)
   override protected def makeClient(conf: Configuration,
       authority: String): ObjectClient = {
     def perBucket(suffix: String): String =
@@ -278,7 +342,17 @@ final class S3LiteServer(accessKey: String, secretKey: String,
   import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 
   private val objects = new ConcurrentHashMap[String, Array[Byte]]()
+  // in-flight multipart uploads: uploadId -> (target path, parts by number)
+  private val uploads = new ConcurrentHashMap[
+    String, (String, java.util.concurrent.ConcurrentSkipListMap[Integer, Array[Byte]])]()
+  private val uploadSeq = new java.util.concurrent.atomic.AtomicLong(0)
   private var server: HttpServer = _
+
+  /** Part counts of completed multipart objects (spec introspection). */
+  private val completedParts = new ConcurrentHashMap[String, Integer]()
+  def multipartPartCount(bucketKey: String): Option[Int] =
+    Option(completedParts.get(bucketKey)).map(_.intValue)
+  def pendingUploads: Int = uploads.size
 
   def port: Int = server.getAddress.getPort
   def endpoint: String = s"http://127.0.0.1:$port"
@@ -367,7 +441,52 @@ final class S3LiteServer(accessKey: String, secretKey: String,
     val path = pathDecode(ex.getRequestURI.getRawPath).stripPrefix("/")
     val query = Option(ex.getRequestURI.getRawQuery).getOrElse("")
     val isList = query.contains("list-type=2")
+    val qParams = query.split("&").filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      if (i < 0) (kv, "") else (kv.substring(0, i), urlDecode(kv.substring(i + 1)))
+    }.toMap
+    val uploadId = qParams.get("uploadId")
     ex.getRequestMethod match {
+      // ---- multipart upload (r17) — signature already verified above ----
+      case "POST" if qParams.contains("uploads") =>
+        val id = s"upload-${uploadSeq.incrementAndGet()}"
+        uploads.put(id, (path,
+          new java.util.concurrent.ConcurrentSkipListMap[Integer, Array[Byte]]()))
+        respond(ex, 200,
+          (s"<InitiateMultipartUploadResult><UploadId>$id</UploadId>" +
+            "</InitiateMultipartUploadResult>").getBytes(UTF_8),
+          Seq("Content-Type" -> "application/xml"))
+      case "PUT" if uploadId.isDefined =>
+        Option(uploads.get(uploadId.get)) match {
+          case None => respond(ex, 404, "NoSuchUpload".getBytes(UTF_8))
+          case Some((upPath, parts)) if upPath != path =>
+            respond(ex, 400, "InvalidRequest: key mismatch".getBytes(UTF_8))
+          case Some((_, parts)) =>
+            val pn = qParams.get("partNumber").map(_.toInt).getOrElse(0)
+            if (pn < 1) respond(ex, 400, "InvalidPartNumber".getBytes(UTF_8))
+            else {
+              parts.put(pn, body)
+              respond(ex, 200, Array.empty,
+                Seq("ETag" -> ("\"" + SigV4.sha256Hex(body).take(32) + "\"")))
+            }
+        }
+      case "POST" if uploadId.isDefined =>
+        Option(uploads.remove(uploadId.get)) match {
+          case None => respond(ex, 404, "NoSuchUpload".getBytes(UTF_8))
+          case Some((upPath, parts)) =>
+            // assemble in part-number order (the ConcurrentSkipListMap's)
+            val out = new java.io.ByteArrayOutputStream()
+            parts.values().asScala.foreach(out.write)
+            objects.put(upPath, out.toByteArray)
+            completedParts.put(upPath, parts.size())
+            respond(ex, 200,
+              (s"<CompleteMultipartUploadResult><Key>${xmlEscape(upPath)}</Key>" +
+                "<ETag>\"0\"</ETag></CompleteMultipartUploadResult>").getBytes(UTF_8),
+              Seq("Content-Type" -> "application/xml"))
+        }
+      case "DELETE" if uploadId.isDefined =>
+        uploads.remove(uploadId.get)
+        respond(ex, 204, Array.empty)
       case "GET" if isList =>
         val bucket = path.split("/", 2)(0)
         val params = query.split("&").map { kv =>

@@ -333,6 +333,42 @@ class S3LiteSpec extends SparkTestBase {
     }
   }
 
+  test("multipart upload: a write beyond one part streams as signed parts") {
+    withServer { server =>
+      import org.apache.hadoop.fs.Path
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.setLong("fs.s3lite.multipart.size", 1024) // tiny parts for the test
+      try {
+        val fs = new Path("s3a://mpu/")
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // ~5.5 parts of deterministic bytes — crosses the part boundary
+        // mid-buffer and leaves a short final part (the <5MB-last-part case)
+        val data = Array.tabulate(5 * 1024 + 512)(i => (i * 31 % 251).toByte)
+        val out = fs.create(new Path("s3a://mpu/big.bin"), true)
+        out.write(data); out.close()
+        // the server assembled it from SIX signature-verified parts
+        assert(server.multipartPartCount("mpu/big.bin").contains(6),
+          server.multipartPartCount("mpu/big.bin").toString)
+        assert(server.pendingUploads == 0, "no orphaned uploads after close")
+        // read back byte-exact through the ranged-GET path
+        val in = fs.open(new Path("s3a://mpu/big.bin"), 4096)
+        val back = new Array[Byte](data.length)
+        in.readFully(0, back); in.close()
+        assert(back.toSeq == data.toSeq)
+        // a small write on the SAME conf still single-PUTs (no upload id)
+        val o2 = fs.create(new Path("s3a://mpu/small.bin"), true)
+        o2.write(Array[Byte](1, 2, 3)); o2.close()
+        assert(server.multipartPartCount("mpu/small.bin").isEmpty)
+        // full Spark committer round trip with multipart-sized parts
+        spark.range(0, 2000).selectExpr("id", "id * 3 AS v")
+          .repartition(1).write.mode("overwrite").parquet("s3a://mpu/t")
+        val got = Sources.s3(spark, "s3://mpu/t", "AKTEST", "sekrit")
+          .agg(org.apache.spark.sql.functions.sum("v")).collect().head.getLong(0)
+        assert(got == (0L until 2000L).map(_ * 3).sum)
+      } finally hc.unset("fs.s3lite.multipart.size")
+    }
+  }
+
   test("directory semantics: list, rename-into-dir, recursive delete") {
     withServer { server =>
       import org.apache.hadoop.fs.Path
