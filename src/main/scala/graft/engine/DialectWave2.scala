@@ -65,15 +65,34 @@ private[engine] trait DialectWave2 { self: GraftSession =>
   // ClickHouse spells strictness BEFORE the direction (`SEMI LEFT JOIN`);
   // Spark spells it after (`LEFT SEMI JOIN`). Same semantics, keyword swap.
   // `ALL` is ClickHouse's explicit default strictness = plain SQL join.
+  // SEMI/ANTI RIGHT JOIN (r17): ClickHouse's right-semi returns the RIGHT
+  // side's matching rows — Spark has no RIGHT SEMI, but swapping the two
+  // relation references turns it into the LEFT form with identical output
+  // (the result carries only right-side columns, and the ON condition is
+  // side-symmetric text). The swap needs both sides as named relations; a
+  // subquery side still refuses with guidance.
+  private val semiAntiRightRe =
+    ("(?is)\\bFROM\\s+([A-Za-z_][\\w.]*|`[^`]+`)" +
+      "((?:\\s+(?:AS\\s+)?(?!(?:SEMI|ANTI|LEFT|INNER|CROSS|JOIN|WHERE|GROUP" +
+      "|ORDER|LIMIT|HAVING|UNION|ON|USING|SAMPLE|FINAL)\\b)[A-Za-z_]\\w*)?)" +
+      "\\s+(SEMI|ANTI)\\s+RIGHT\\s+JOIN\\s+([A-Za-z_][\\w.]*|`[^`]+`)" +
+      "((?:\\s+(?:AS\\s+)?(?!ON\\b)[A-Za-z_]\\w*)?)\\s+(ON|USING)\\b").r
   private val semiAntiRe = "(?i)\\b(SEMI|ANTI)\\s+(LEFT|RIGHT)\\s+JOIN\\b".r
   private val allJoinRe = "(?i)\\bALL\\s+(?=(?:INNER|LEFT|RIGHT|FULL|JOIN)\\b)".r
   private[engine] def normalizeJoinStrictness(q: String): String = {
-    val s1 = semiAntiRe.replaceAllIn(q, { m =>
+    val s0 = semiAntiRightRe.replaceAllIn(q, { m =>
       if (inLiteralAt(q, m.start)) qr(m.matched)
+      else qr(s"FROM ${m.group(4)}${m.group(5)} " +
+        s"LEFT ${m.group(3).toUpperCase(Locale.ROOT)} JOIN " +
+        s"${m.group(1)}${m.group(2)} ${m.group(6).toUpperCase(Locale.ROOT)}")
+    })
+    val s1 = semiAntiRe.replaceAllIn(s0, { m =>
+      if (inLiteralAt(s0, m.start)) qr(m.matched)
       else if (m.group(2).equalsIgnoreCase("RIGHT"))
         throw new UnsupportedOperationException(
-          s"${m.group(1).toUpperCase(Locale.ROOT)} RIGHT JOIN is not supported — " +
-            "swap the join sides and use the LEFT form")
+          s"${m.group(1).toUpperCase(Locale.ROOT)} RIGHT JOIN is supported " +
+            "only with named relations on both sides (the rewrite swaps " +
+            "them to the LEFT form) — wrap subquery sides in temp views")
       else qr(s"${m.group(2).toUpperCase(Locale.ROOT)} " +
         s"${m.group(1).toUpperCase(Locale.ROOT)} JOIN")
     })
@@ -290,19 +309,107 @@ private[engine] trait DialectWave2 { self: GraftSession =>
       "((?:\\s+(?:AS\\s+)?(?!ON\\b)[A-Za-z_]\\w*)?)\\s+ON\\b").r
   private val asofLeftoverRe = "(?i)\\bASOF\\s+(LEFT\\s+)?JOIN\\b".r
   private[engine] def rewriteAsofJoin(q: String): String = {
-    val out = rewriteAsofJoinOnce(q)
-    if (out eq q) {
+    val lifted = liftAsofSubqueries(q)
+    val out = rewriteAsofJoinOnce(lifted)
+    if (out eq lifted) {
       // leftover ASOF JOIN (any depth) = a shape v1 does not parse; fail
       // with the contract instead of Spark's opaque parse error
-      asofLeftoverRe.findAllMatchIn(q).find(m => !inLiteralAt(q, m.start))
+      asofLeftoverRe.findAllMatchIn(lifted).find(m => !inLiteralAt(lifted, m.start))
         .foreach { _ =>
           throw new UnsupportedOperationException(
-            "ASOF JOIN is supported as: FROM <table> [alias] ASOF [LEFT] JOIN " +
-              "<table> [alias] ON <equi-conditions AND one >=/<= condition> — " +
-              "wrap subquery sides in named temp views first")
+            "ASOF JOIN is supported as: FROM <table|(subquery)> [alias] ASOF " +
+              "[LEFT] JOIN <table|(subquery)> [alias] ON <equi-conditions " +
+              "AND one >=/<= condition>")
         }
-      q
+      lifted
     } else rewriteAsofJoin(out)
+  }
+
+  /** Subquery sides of an ASOF JOIN (r17): `FROM (SELECT …) a ASOF JOIN
+    * (SELECT …) b ON …` — each parenthesized side is materialized as a temp
+    * VIEW (a name the operator rewrite can `spark.table()`), and the text is
+    * rewritten to reference it. The subquery runs through the full dialect
+    * chain (self.sql), so nested ClickHouse constructs inside it work too.
+    * View registration is analysis-only — no job runs until the result is
+    * consumed.
+    */
+  private def liftAsofSubqueries(q: String): String = {
+    val asofAt = asofLeftoverRe.findAllMatchIn(q)
+      .find(m => !inLiteralAt(q, m.start)).map(_.start).getOrElse(return q)
+    def matchForward(open: Int): Int = { // index of the matching ')'
+      var d = 0; var i = open; var inStr = false; var inTick = false
+      while (i < q.length) {
+        val c = q.charAt(i)
+        if (inStr) { if (c == '\'') inStr = false }
+        else if (inTick) { if (c == '`') inTick = false }
+        else c match {
+          case '\'' => inStr = true
+          case '`' => inTick = true
+          case '(' => d += 1
+          case ')' => d -= 1; if (d == 0) return i
+          case _ =>
+        }
+        i += 1
+      }
+      -1
+    }
+    def mkView(sub: String): String = {
+      val vn = s"__graft_asof_sub_${DialectWave2.viewCounter.incrementAndGet() & 63}"
+      self.sql(sub).createOrReplaceTempView(vn)
+      vn
+    }
+    // RIGHT side: "(…)" directly after the JOIN keyword
+    val joinEnd = q.toUpperCase(Locale.ROOT).indexOf("JOIN", asofAt) + 4
+    var out = q
+    var i = joinEnd
+    while (i < out.length && Character.isWhitespace(out.charAt(i))) i += 1
+    if (i < out.length && out.charAt(i) == '(') {
+      val close = matchForward(i)
+      require(close > 0, "ASOF JOIN: unbalanced parenthesis in right side")
+      val vn = mkView(out.substring(i + 1, close))
+      out = out.substring(0, i) + vn + out.substring(close + 1)
+    }
+    // LEFT side: "… FROM (…) [AS] alias ASOF" — walk back over the alias
+    val asofAt2 = asofLeftoverRe.findAllMatchIn(out)
+      .find(m => !inLiteralAt(out, m.start)).map(_.start).getOrElse(return out)
+    var j = asofAt2 - 1
+    while (j >= 0 && Character.isWhitespace(out.charAt(j))) j -= 1
+    val aliasEnd = j
+    while (j >= 0 && (Character.isLetterOrDigit(out.charAt(j)) || out.charAt(j) == '_')) j -= 1
+    val hasAlias = j < aliasEnd
+    // optional AS before the alias
+    var k = j
+    while (k >= 0 && Character.isWhitespace(out.charAt(k))) k -= 1
+    if (hasAlias && k >= 1 &&
+        out.substring(k - 1, k + 1).equalsIgnoreCase("AS") &&
+        (k - 2 < 0 || !Character.isLetterOrDigit(out.charAt(k - 2)))) k -= 2
+    while (k >= 0 && Character.isWhitespace(out.charAt(k))) k -= 1
+    if (hasAlias && k >= 0 && out.charAt(k) == ')') {
+      // find the '(' matching the ')' at k with one literal-aware forward
+      // scan (a reverse count would miscount parens inside string literals)
+      var open = -1
+      val stack = new java.util.ArrayDeque[Integer]()
+      var p = 0; var inStr = false; var inTick = false
+      while (p <= k) {
+        val c = out.charAt(p)
+        if (inStr) { if (c == '\'') inStr = false }
+        else if (inTick) { if (c == '`') inTick = false }
+        else c match {
+          case '\'' => inStr = true
+          case '`' => inTick = true
+          case '(' => stack.push(p)
+          case ')' =>
+            val o = if (stack.isEmpty) -1 else stack.pop().intValue
+            if (p == k) open = o
+          case _ =>
+        }
+        p += 1
+      }
+      require(open >= 0, "ASOF JOIN: unbalanced parenthesis in left side")
+      val vn = mkView(out.substring(open + 1, k))
+      out = out.substring(0, open) + vn + out.substring(k + 1)
+    }
+    out
   }
   private def rewriteAsofJoinOnce(q: String): String =
     asofRe.findAllMatchIn(q).find(m => !inLiteralAt(q, m.start)) match {
@@ -572,10 +679,11 @@ private[engine] trait DialectWave2 { self: GraftSession =>
   // non-fill column. The
   // interpolation window is a global last_value IGNORE NULLS over the fill
   // order — sized for the ordered, presentation-bound results WITH FILL
-  // produces, like ClickHouse's own single-stream fill. Scope: single
-  // ascending fill column; DESC refused.
+  // produces, like ClickHouse's own single-stream fill. Scope: single fill
+  // column, ASC or DESC (r17 — DESC walks FROM (default max) downward to
+  // TO (default min; explicit TO exclusive at the bottom)).
   private val fillRe =
-    ("(?is)^(.*\\S)\\s+ORDER\\s+BY\\s+([A-Za-z_]\\w*|`[^`]+`)(\\s+ASC)?" +
+    ("(?is)^(.*\\S)\\s+ORDER\\s+BY\\s+([A-Za-z_]\\w*|`[^`]+`)(\\s+(?:ASC|DESC))?" +
       "\\s+WITH\\s+FILL" +
       "(\\s+FROM\\s+(-?\\d+|DATE\\s+'[^']+'|TIMESTAMP\\s+'[^']+'))?" +
       "(\\s+TO\\s+(-?\\d+|DATE\\s+'[^']+'|TIMESTAMP\\s+'[^']+'))?" +
@@ -600,45 +708,54 @@ private[engine] trait DialectWave2 { self: GraftSession =>
               s"(got ${other.sql})")
         }
         val stepRaw = Option(m.group(9))
+        // DESC fill (r17): the grid runs downward — FROM defaults to the
+        // MAX (the start of a descending order), TO to the MIN; an explicit
+        // TO is exclusive at the BOTTOM; the step is applied negatively.
+        val desc = Option(m.group(3)).exists(_.trim.equalsIgnoreCase("DESC"))
         // grid cell type + expressions, by fill-column family. `gridCut` is
         // the explicit-TO exclusivity filter: the grid is generated through
-        // TO inclusive and cut strictly-below, so a TO that is NOT a whole
-        // number of steps from FROM still yields every grid point < TO
-        // (subtracting one step from TO would silently drop the last point).
+        // TO inclusive and cut strictly-inside, so a TO that is NOT a whole
+        // number of steps from FROM still yields every grid point before TO
+        // (adjusting TO by one step would silently drop the last point).
         val (gridT, fromE, toI, stepE, gridCut) =
           if (temporal) {
             val step = stepRaw.getOrElse("INTERVAL 1 DAY")
             require(step.toUpperCase(Locale.ROOT).startsWith("INTERVAL"),
               "WITH FILL on a DATE/TIMESTAMP column needs STEP INTERVAL n unit")
+            val stepSigned =
+              if (desc) step.replaceFirst("(?i)^INTERVAL\\s+", "INTERVAL -")
+              else step
+            val srcEdge = (agg: String) =>
+              s"(SELECT $agg(CAST(`${f.name}` AS TIMESTAMP)) FROM __graft_fill_src)"
             val fromE = Option(m.group(5)).map(l => s"CAST($l AS TIMESTAMP)")
-              .getOrElse(
-                s"(SELECT MIN(CAST(`${f.name}` AS TIMESTAMP)) FROM __graft_fill_src)")
-            // ClickHouse TO is exclusive; implicit max bound is inclusive
+              .getOrElse(srcEdge(if (desc) "MAX" else "MIN"))
+            // ClickHouse TO is exclusive; implicit far bound is inclusive
             val toI = Option(m.group(7)).map(l => s"CAST($l AS TIMESTAMP)")
-              .getOrElse(
-                s"(SELECT MAX(CAST(`${f.name}` AS TIMESTAMP)) FROM __graft_fill_src)")
-            val cut = Option(m.group(7))
-              .map(l => s" WHERE __graft_fx < CAST($l AS TIMESTAMP)").getOrElse("")
-            ("TIMESTAMP", fromE, toI, step, cut)
+              .getOrElse(srcEdge(if (desc) "MIN" else "MAX"))
+            val cut = Option(m.group(7)).map { l =>
+              val cmp = if (desc) ">" else "<"
+              s" WHERE __graft_fx $cmp CAST($l AS TIMESTAMP)"
+            }.getOrElse("")
+            ("TIMESTAMP", fromE, toI, stepSigned, cut)
           } else {
             require(stepRaw.forall(_.matches("-?\\d+")),
               "STEP INTERVAL requires a DATE/TIMESTAMP fill column — use a " +
                 "plain integer STEP on integral columns")
             val step = stepRaw.map(_.toLong).getOrElse(1L)
             require(step > 0, "WITH FILL STEP must be positive")
+            val srcEdge = (agg: String) =>
+              s"(SELECT $agg(CAST(`${f.name}` AS BIGINT)) FROM __graft_fill_src)"
             val fromE = Option(m.group(5)).map { l =>
               require(l.matches("-?\\d+"),
                 "WITH FILL FROM on an integral column must be an integer")
               l
-            }.getOrElse(
-              s"(SELECT MIN(CAST(`${f.name}` AS BIGINT)) FROM __graft_fill_src)")
+            }.getOrElse(srcEdge(if (desc) "MAX" else "MIN"))
             val toI = Option(m.group(7)).map { l =>
               require(l.matches("-?\\d+"),
                 "WITH FILL TO on an integral column must be an integer")
-              (l.toLong - 1).toString
-            }.getOrElse(
-              s"(SELECT MAX(CAST(`${f.name}` AS BIGINT)) FROM __graft_fill_src)")
-            ("BIGINT", fromE, toI, step.toString, "")
+              (if (desc) l.toLong + 1 else l.toLong - 1).toString
+            }.getOrElse(srcEdge(if (desc) "MIN" else "MAX"))
+            ("BIGINT", fromE, toI, (if (desc) -step else step).toString, "")
           }
         // INTERPOLATE list: `col` carries the last non-null source value
         // forward; `col AS expr` (r17) computes expr over the PREVIOUS
@@ -715,16 +832,22 @@ private[engine] trait DialectWave2 { self: GraftSession =>
         val tagCols =
           if (interp.isEmpty) ("", "")
           else (", 1 AS __graft_fill_tag", ", 0 AS __graft_fill_tag")
+        // inverted-bounds guard follows the fill direction (empty grid when
+        // the bounds cross); DESC walks fromE downward to toI
+        val guard =
+          if (desc) s"CAST(($fromE) AS $gridT) >= CAST(($toI) AS $gridT)"
+          else s"CAST(($toI) AS $gridT) >= CAST(($fromE) AS $gridT)"
         val unioned =
           s"""SELECT *${tagCols._1} FROM __graft_fill_src
              |UNION ALL
              |SELECT $proj${tagCols._2} FROM (SELECT __graft_fx FROM
-             |  (SELECT explode(CASE WHEN CAST(($toI) AS $gridT) >= CAST(($fromE) AS $gridT)
+             |  (SELECT explode(CASE WHEN $guard
              |  THEN sequence(CAST(($fromE) AS $gridT), CAST(($toI) AS $gridT), $stepE)
              |  ELSE CAST(array() AS ARRAY<$gridT>) END) AS __graft_fx)$gridCut) __graft_fill_g
              |LEFT ANTI JOIN __graft_fill_src
              |  ON __graft_fill_g.__graft_fx = CAST(__graft_fill_src.`${f.name}` AS $gridT)""".stripMargin
-        val ordTail = s"ORDER BY `${f.name}` ASC NULLS FIRST"
+        val ordDir = if (desc) "DESC NULLS LAST" else "ASC NULLS FIRST"
+        val ordTail = s"ORDER BY `${f.name}` $ordDir"
         if (interp.isEmpty)
           s"WITH __graft_fill_src AS ( $base )\n$unioned\n$ordTail"
         else {
@@ -733,9 +856,9 @@ private[engine] trait DialectWave2 { self: GraftSession =>
           // construction a final, result-sized, totally-ordered set — the
           // same bound as the ORDER BY it decorates — so a global window
           // adds no scale risk beyond the sort that already exists.
-          val w = s"OVER (ORDER BY `${f.name}` ASC NULLS FIRST " +
+          val w = s"OVER (ORDER BY `${f.name}` $ordDir " +
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-          val lagW = s"OVER (ORDER BY `${f.name}` ASC NULLS FIRST)"
+          val lagW = s"OVER (ORDER BY `${f.name}` $ordDir)"
           val outer = schema.fields.map { fd =>
             if (interpExpr.contains(fd.name)) {
               // gap rows: expr over the previous OUTPUT row — every
@@ -759,10 +882,10 @@ private[engine] trait DialectWave2 { self: GraftSession =>
         if (at >= 0 && !inLiteralAt(q, at) &&
             q.substring(at).matches("(?is)WITH\\s+FILL\\b.*"))
           throw new UnsupportedOperationException(
-            "WITH FILL is supported as a trailing `ORDER BY <col> [ASC] WITH " +
-              "FILL [FROM v] [TO v] [STEP n|INTERVAL n unit] [INTERPOLATE " +
-              "(col [AS expr], …)]` over an integral or DATE/TIMESTAMP " +
-              "column — DESC fills and expression fill columns are not " +
+            "WITH FILL is supported as a trailing `ORDER BY <col> [ASC|DESC] " +
+              "WITH FILL [FROM v] [TO v] [STEP n|INTERVAL n unit] " +
+              "[INTERPOLATE (col [AS expr], …)]` over an integral or " +
+              "DATE/TIMESTAMP column — expression fill columns are not " +
               "supported, and an INTERPOLATE expr may reference only " +
               "non-interpolated result columns")
         q

@@ -1299,6 +1299,70 @@ object CoverageQueries {
         CASE WHEN tag = 1 THEN rev
           ELSE CAST(round(lag(n) OVER (ORDER BY ck) * 1000.0, 1) + 5
             AS DOUBLE) END AS rev
-      FROM allr ORDER BY ck"""))
+      FROM allr ORDER BY ck""")),
+
+    QueryDef("q206_fill_desc", (s, dir) => {
+      // `ORDER BY … DESC WITH FILL` (r17): the grid walks FROM (45)
+      // downward, TO (0) exclusive at the bottom; INTERPOLATE carries the
+      // previous (larger-key) source value down; source rows outside the
+      // bounds are kept. DuckDB replays with a descending range() grid and
+      // the same descending carry window.
+      v(s, dir, "orders")
+      graft.engine.GraftSession(s).sql(
+        """SELECT CAST(o_custkey AS BIGINT) AS ck, COUNT(*) AS n,
+             MAX(o_orderpriority) AS pri
+           FROM orders WHERE o_custkey <= 40 GROUP BY CAST(o_custkey AS BIGINT)
+           ORDER BY ck DESC WITH FILL FROM 45 TO 0 INTERPOLATE (pri)""")
+    }, Some("""WITH src AS (SELECT CAST(o_custkey AS BIGINT) AS ck,
+        COUNT(*) AS n, MAX(o_orderpriority) AS pri
+        FROM orders WHERE o_custkey <= 40 GROUP BY 1),
+      allr AS (
+        SELECT ck, n, pri, 1 AS tag FROM src
+        UNION ALL
+        SELECT g.x, CAST(0 AS BIGINT), CAST(NULL AS VARCHAR), 0
+        FROM (SELECT UNNEST(range(45, 0, -1)) AS x) g
+        WHERE NOT EXISTS (SELECT 1 FROM src WHERE src.ck = g.x))
+      SELECT ck, n,
+        CASE WHEN tag = 1 THEN pri
+          ELSE last_value(pri IGNORE NULLS) OVER (ORDER BY ck DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) END AS pri
+      FROM allr ORDER BY ck DESC""")),
+
+    QueryDef("q207_semi_right", (s, dir) => {
+      // ClickHouse `SEMI RIGHT JOIN` (r17): the RIGHT side's rows that have
+      // a match in the left — rewritten by swapping the named relations to
+      // Spark's LEFT SEMI form. DuckDB replays as EXISTS.
+      v(s, dir, "orders"); v(s, dir, "customer")
+      graft.engine.GraftSession(s).sql(
+        """SELECT c_custkey, c_name FROM orders o SEMI RIGHT JOIN customer c
+           ON o.o_custkey = c.c_custkey
+           WHERE c_custkey % 7 = 0 ORDER BY c_custkey""")
+    }, Some("""SELECT c_custkey, c_name FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        AND c_custkey % 7 = 0 ORDER BY c_custkey""")),
+
+    QueryDef("q208_asof_subquery", (s, dir) => {
+      // ASOF JOIN with SUBQUERY sides (r17): q194's exact query with the
+      // sides inline instead of pre-registered temp views — the rewrite
+      // lifts each parenthesized side into a view (through the full dialect
+      // chain) and routes onto the same single-shuffle AsOfJoin operator.
+      // DuckDB replays with its native ASOF LEFT JOIN over the same inline
+      // subqueries.
+      v(s, dir, "events")
+      graft.engine.GraftSession(s).sql(
+        """SELECT p.user_id, p.ts, p.event_id, p.value, c.click_value, c.cts
+           FROM (SELECT event_id, user_id, ts, value FROM events
+             WHERE event_type = 'purchase') p
+           ASOF LEFT JOIN (SELECT user_id, ts AS cts, MAX(value) AS click_value
+             FROM events WHERE event_type = 'click' GROUP BY user_id, ts) c
+           ON p.user_id = c.user_id AND p.ts >= c.cts
+           ORDER BY p.event_id""")
+    }, Some("""SELECT p.user_id, p.ts, p.event_id, p.value, c.click_value, c.cts
+      FROM (SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT user_id, ts AS cts, MAX(value) AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts) c
+      ON p.user_id = c.user_id AND p.ts >= c.cts
+      ORDER BY p.event_id"""))
   )
 }

@@ -58,12 +58,15 @@ class DialectWave2Spec extends SparkTestBase {
     assert(anti == Seq(3))
   }
 
-  test("SEMI RIGHT JOIN is refused loudly") {
+  test("SEMI RIGHT JOIN with a subquery side is refused loudly") {
     views()
+    // named-relation sides swap to the LEFT form (see the r17 test below);
+    // a subquery side cannot be swapped textually and still refuses
     val e = intercept[UnsupportedOperationException] {
-      g.sql("SELECT 1 FROM w2_left SEMI RIGHT JOIN w2_dup ON w2_left.k = w2_dup.k")
+      g.sql("""SELECT 1 FROM (SELECT * FROM w2_left) x SEMI RIGHT JOIN w2_dup
+               ON x.k = w2_dup.k""")
     }
-    assert(e.getMessage.contains("swap the join sides"))
+    assert(e.getMessage.contains("temp views"))
   }
 
   // ---- ANY JOIN ----
@@ -132,18 +135,13 @@ class DialectWave2Spec extends SparkTestBase {
       Seq(("T1", 20), ("T3", 50)))
   }
 
-  test("strict ASOF inequality and subquery sides are refused loudly") {
+  test("strict ASOF inequalities are refused loudly") {
     views()
     val e1 = intercept[UnsupportedOperationException] {
       g.sql("""SELECT 1 FROM w2_trades tr ASOF JOIN w2_quotes q
                ON tr.uid = q.uid AND tr.t > q.qt""")
     }
     assert(e1.getMessage.contains(">= or <="))
-    val e2 = intercept[UnsupportedOperationException] {
-      g.sql("""SELECT 1 FROM (SELECT * FROM w2_trades) tr ASOF JOIN w2_quotes q
-               ON tr.uid = q.uid AND tr.t >= q.qt""")
-    }
-    assert(e2.getMessage.contains("named temp views"))
   }
 
   // ---- review-pass regressions (r16 self-review) ----
@@ -370,17 +368,59 @@ class DialectWave2Spec extends SparkTestBase {
     assert(e.getMessage.contains("DATE/TIMESTAMP"))
   }
 
-  test("WITH FILL refuses DESC and self-referential INTERPOLATE loudly") {
+  test("WITH FILL refuses self-referential INTERPOLATE loudly") {
     views()
-    val e1 = intercept[UnsupportedOperationException] {
-      g.sql("SELECT k FROM w2_dup ORDER BY k DESC WITH FILL")
-    }
-    assert(e1.getMessage.contains("DESC"))
     // `v AS v + 1` recurs on its own previous OUTPUT value — still refused
     val e2 = intercept[UnsupportedOperationException] {
       g.sql("SELECT k, v FROM w2_dup ORDER BY k WITH FILL INTERPOLATE (v AS v + 1)")
     }
     assert(e2.getMessage.contains("INTERPOLATE"))
+  }
+
+  test("ORDER BY … DESC WITH FILL walks the grid downward (r17)") {
+    views()
+    Seq((1, "a"), (4, "d")).toDF("kk", "t").createOrReplaceTempView("w2_descf")
+    // default bounds: FROM = max (4) down to min (1) inclusive
+    val rows = g.sql(
+      "SELECT kk, t FROM w2_descf ORDER BY kk DESC WITH FILL").collect()
+    assert(rows.map(r => (r.getInt(0),
+      if (r.isNullAt(1)) "" else r.getString(1))).toSeq ==
+      Seq((4, "d"), (3, ""), (2, ""), (1, "a")))
+    // explicit FROM/TO: TO is exclusive at the BOTTOM (grid 6,5,4,3);
+    // INTERPOLATE carries the previous (larger-kk) source value downward;
+    // SOURCE rows outside the bounds are KEPT (ClickHouse bounds only the
+    // inserted rows) — kk=1 stays with its own value
+    val r2 = g.sql(
+      """SELECT kk, t FROM w2_descf
+         ORDER BY kk DESC WITH FILL FROM 6 TO 2 INTERPOLATE (t)""").collect()
+    assert(r2.map(r => (r.getInt(0),
+      if (r.isNullAt(1)) null else r.getString(1))).toSeq ==
+      Seq((6, null), (5, null), (4, "d"), (3, "d"), (1, "a")))
+  }
+
+  test("SEMI/ANTI RIGHT JOIN swap to the LEFT form (r17)") {
+    views()
+    // SEMI RIGHT = the RIGHT side's rows that have a match in the left
+    val semi = g.sql(
+      """SELECT k, lab FROM w2_dup d SEMI RIGHT JOIN w2_left l
+         ON d.k = l.k ORDER BY k""").collect()
+    assert(semi.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "L1"), (2, "L2")))
+    val anti = g.sql(
+      """SELECT k, lab FROM w2_dup d ANTI RIGHT JOIN w2_left l
+         ON d.k = l.k ORDER BY k""").collect()
+    assert(anti.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((3, "L3")))
+  }
+
+  test("ASOF JOIN subquery sides are lifted into views (r17)") {
+    views()
+    val rows = g.sql(
+      """SELECT tr.trade, q.px FROM (SELECT uid, t, trade FROM w2_trades) tr
+         ASOF JOIN (SELECT uid, qt, px * 2 AS px FROM w2_quotes) q
+         ON tr.uid = q.uid AND tr.t >= q.qt
+         ORDER BY tr.trade""").collect()
+    assert(rows.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("T1", 200.0), ("T2", 220.0)))
   }
 
   test("INTERPOLATE (col AS expr) computes expr over the previous output row") {
