@@ -199,6 +199,33 @@ object PgWire {
     case _ => render(v).getBytes(UTF_8)
   }
 
+  /** Binary parameter payload → the text spelling the bind path quotes
+    * (r17). None = no lossless text round trip for the oid (bytea — raw
+    * bytes can't survive the quoted-literal path — or an undeclared oid).
+    */
+  private[io] def decodeBinaryParam(oid: Int, b: Array[Byte]): Option[String] = oid match {
+    case 21 => Some(java.nio.ByteBuffer.wrap(b).getShort.toString)
+    case 23 => Some(java.nio.ByteBuffer.wrap(b).getInt.toString)
+    case 20 => Some(java.nio.ByteBuffer.wrap(b).getLong.toString)
+    case 700 => Some(java.nio.ByteBuffer.wrap(b).getFloat.toString)
+    case 701 => Some(java.nio.ByteBuffer.wrap(b).getDouble.toString)
+    case 16 => Some(if (b(0) != 0) "true" else "false")
+    case 1082 => Some(java.time.LocalDate
+      .ofEpochDay(PgEpochDay + java.nio.ByteBuffer.wrap(b).getInt).toString)
+    case 1114 =>
+      val micros = java.nio.ByteBuffer.wrap(b).getLong + PgEpochMicros
+      val sec = math.floorDiv(micros, 1000000L)
+      val nano = math.floorMod(micros, 1000000L) * 1000L
+      val s = java.time.LocalDateTime
+        .ofEpochSecond(sec, nano.toInt, java.time.ZoneOffset.UTC)
+        .toString.replace('T', ' ')
+      Some(if (s.length == 16) s + ":00" else s)
+    case 1700 => Some(numericDecode(b).toPlainString)
+    // the text family's binary format IS its UTF-8 text
+    case 25 | 1043 | 1042 | 19 => Some(new String(b, UTF_8))
+    case _ => None
+  }
+
   /** One-shot client COPY cycle (spec surface): connect, COPY, close. */
   private[graft] def clientCopyOut(host: String, port: Int, db: String,
       user: String, pass: String, sql: String): (Seq[String], Long) = {
@@ -251,8 +278,10 @@ object PgWire {
   * Bind requests per column — text or binary (r17: the common OIDs
   * int2/int4/int8/float4/float8/bool/text/bytea/date/timestamp/numeric;
   * what pgjdbc's binaryTransfer=true and psycopg3's default binary cursors
-  * ask for). Binary PARAMETERS are still refused cleanly (0A000) — a UTF-8
-  * decode of a binary value would bind garbage. Incoming SQL uses PG's
+  * ask for). Binary PARAMETERS decode through the Parse-declared type oid
+  * (same OID set minus bytea — raw bytes have no lossless path through the
+  * quoted-literal bind); an undeclared oid or bytea still refuses cleanly
+  * (0A000) rather than binding garbage. Incoming SQL uses PG's
   * double-quoted
   * identifiers (what Spark's PostgresDialect emits) — translated to
   * backticks and run through [[GraftSession.sql]], so WHERE pushdown and
@@ -481,6 +510,8 @@ final class PgServer(
       }
 
       val statements = scala.collection.mutable.Map.empty[String, String]
+      // statement -> Parse's declared parameter-type oids (r17)
+      val stmtParamOids = scala.collection.mutable.Map.empty[String, Array[Int]]
       // portal -> bound, ready-to-run SQL
       val portals = scala.collection.mutable.Map.empty[String, String]
       // portal -> Bind's raw result-format codes (r17 binary results):
@@ -568,10 +599,14 @@ final class PgServer(
                     Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
               }
               readyForQuery(); out.flush()
-            case 'P' => // Parse: name, query, param-type oids (advisory)
+            case 'P' => // Parse: name, query, param-type oids
               val name = readCstr(d)
               val sql = readCstr(d)
               statements(name) = sql
+              // the declared oids key binary-parameter decode (r17); a
+              // client that declares none and then binds binary is refused
+              val nOids = d.readShort()
+              stmtParamOids(name) = Array.fill(nOids.toInt)(d.readInt())
               msg('1')(_ => ()) // ParseComplete
             case 'B' => // Bind: portal, statement, formats, params, result formats
               val portal = readCstr(d)
@@ -582,22 +617,35 @@ final class PgServer(
                   val nFmt = d.readShort()
                   val fmts = Array.fill(nFmt.toInt)(d.readShort())
                   val nPar = d.readShort()
-                  var binaryParam = false
+                  // binary parameters (r17): decoded via the Parse-declared
+                  // oid into the same text form the text path binds — an
+                  // UNDECLARED (missing/0) oid or an oid without a lossless
+                  // text round trip (bytea) refuses 0A000 instead of
+                  // binding garbage
+                  val oids = stmtParamOids.getOrElse(stmt, Array.empty[Int])
+                  var paramErr: String = null
                   val params = (0 until nPar).map { i =>
                     val fmt = if (nFmt == 0) 0 else if (nFmt == 1) fmts(0) else fmts(i)
-                    if (fmt != 0) binaryParam = true
                     val plen = d.readInt()
                     if (plen < 0) None
                     else {
                       val b = new Array[Byte](plen); d.readFully(b)
-                      Some(new String(b, UTF_8))
+                      if (fmt == 0) Some(new String(b, UTF_8))
+                      else decodeBinaryParam(oids.lift(i).getOrElse(0), b) match {
+                        case Some(v) => Some(v)
+                        case None =>
+                          if (paramErr == null) paramErr =
+                            s"binary format for parameter ${i + 1} (oid " +
+                              s"${oids.lift(i).getOrElse(0)}) not supported — " +
+                              "declare a supported type oid in Parse or send text"
+                          None
+                      }
                     }
                   }
                   val nRes = d.readShort()
                   val resFmts = Array.fill(nRes.toInt)(d.readShort())
-                  if (binaryParam) // refuse loudly — a UTF-8 decode of a
-                    // binary-format value would bind silent garbage
-                    extendedError("0A000", "binary parameter format not supported (text only)")
+                  if (paramErr != null)
+                    extendedError("0A000", paramErr)
                   else if (resFmts.exists(f => f != 0 && f != 1))
                     extendedError("08P01", s"invalid result format code")
                   else {
@@ -671,7 +719,7 @@ final class PgServer(
             case 'C' => // Close statement/portal
               val kind = d.read().toChar
               val name = readCstr(d)
-              if (kind == 'S') statements.remove(name)
+              if (kind == 'S') { statements.remove(name); stmtParamOids.remove(name) }
               else { portals.remove(name); portalDf.remove(name)
                 portalResFmts.remove(name) }
               msg('3')(_ => ()) // CloseComplete

@@ -300,6 +300,92 @@ class PgWireSpec extends SparkTestBase {
     }
   }
 
+  test("pg: binary parameters decode via the Parse-declared oid (raw protocol)") {
+    // pgjdbc with binaryTransfer sends int8/date/timestamp params in binary;
+    // Parse declares oid int8 (20), Bind sends format=1 with the 8-byte
+    // big-endian value — the r16 server refused all binary params with 0A000
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .createOrReplaceTempView("pg_binp_t")
+    withServer() { server =>
+      val sock = new java.net.Socket("127.0.0.1", server.boundPort)
+      try {
+        val in = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(sock.getInputStream))
+        val out = new java.io.DataOutputStream(
+          new java.io.BufferedOutputStream(sock.getOutputStream))
+        def cstr(s: String): Array[Byte] = s.getBytes("UTF-8") :+ 0.toByte
+        def send(t: Char, body: Array[Byte]): Unit = {
+          out.writeByte(t); out.writeInt(body.length + 4); out.write(body); out.flush()
+        }
+        def recv(): (Char, Array[Byte]) = {
+          val t = in.read(); assert(t >= 0, "server closed early")
+          val len = in.readInt(); val b = new Array[Byte](len - 4)
+          in.readFully(b); (t.toChar, b)
+        }
+        val su = new java.io.ByteArrayOutputStream()
+        val sd = new java.io.DataOutputStream(su)
+        sd.writeInt(196608); sd.write(cstr("user")); sd.write(cstr("u")); sd.writeByte(0)
+        out.writeInt(su.size + 4); su.writeTo(out); out.flush()
+        assert(recv()._1 == 'R')
+        send('p', cstr("pw"))
+        var z = false
+        while (!z) if (recv()._1 == 'Z') z = true
+        // Parse declaring one int8 (oid 20) parameter
+        val pp = new java.io.ByteArrayOutputStream()
+        val ppd = new java.io.DataOutputStream(pp)
+        ppd.write(cstr("")); ppd.write(cstr("SELECT k, v FROM pg_binp_t WHERE k = $1"))
+        ppd.writeShort(1); ppd.writeInt(20)
+        send('P', pp.toByteArray)
+        // Bind with one BINARY param: 8-byte big-endian 2
+        val pb = new java.io.ByteArrayOutputStream()
+        val pd = new java.io.DataOutputStream(pb)
+        pd.write(cstr("")); pd.write(cstr(""))
+        pd.writeShort(1); pd.writeShort(1) // one param format code: binary
+        pd.writeShort(1); pd.writeInt(8); pd.writeLong(2L)
+        pd.writeShort(0) // result formats: all text
+        send('B', pb.toByteArray)
+        send('D', Array[Byte]('P'.toByte, 0))
+        send('E', cstr("") ++ Array[Byte](0, 0, 0, 0))
+        send('S', Array.emptyByteArray)
+        val rows = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+        var zr = false
+        while (!zr) recv() match {
+          case ('E', b) => fail("server errored: " + new String(b, "UTF-8"))
+          case ('D', b) =>
+            val d = new java.io.DataInputStream(new java.io.ByteArrayInputStream(b))
+            val n = d.readShort()
+            rows += (0 until n).map { _ =>
+              val l = d.readInt()
+              if (l < 0) null else { val v = new Array[Byte](l); d.readFully(v); new String(v, "UTF-8") }
+            }
+          case ('Z', _) => zr = true
+          case _ =>
+        }
+        assert(rows.toSeq == Seq(Seq("2", "b")), rows.toString)
+        // an UNDECLARED oid with a binary param still refuses 0A000
+        send('P', cstr("") ++ cstr("SELECT 1 WHERE 1 = $1") ++ Array[Byte](0, 0))
+        val pb2 = new java.io.ByteArrayOutputStream()
+        val pd2 = new java.io.DataOutputStream(pb2)
+        pd2.write(cstr("")); pd2.write(cstr(""))
+        pd2.writeShort(1); pd2.writeShort(1)
+        pd2.writeShort(1); pd2.writeInt(4); pd2.writeInt(1)
+        pd2.writeShort(0)
+        send('B', pb2.toByteArray)
+        send('S', Array.emptyByteArray)
+        var sawErr = false; var z2 = false
+        while (!z2) recv() match {
+          case ('E', b) =>
+            sawErr = true
+            assert(new String(b, "UTF-8").contains("0A000"))
+          case ('Z', _) => z2 = true
+          case _ =>
+        }
+        assert(sawErr, "expected a 0A000 refusal for the undeclared-oid binary param")
+      } finally sock.close()
+    }
+  }
+
   test("pg: COPY (SELECT …) TO STDOUT streams text rows with the COPY n trailer") {
     // the bulk-extract path real clients use (psql \copy, psycopg
     // copy_expert): CopyOutResponse → one CopyData per row (tab-separated,
