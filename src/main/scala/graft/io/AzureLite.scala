@@ -213,6 +213,46 @@ private[io] final class AzureBlobClient(endpoint: String, account: String,
     (blobs.result(), cps.result().distinct)
   }
 
+  // ---- Block Blob staged writes (r17) — Azure's multipart: Put Block +
+  // Put Block List (the published Blob REST operations). The service mints
+  // no upload id and uncommitted blocks expire server-side after a week, so
+  // createMultipart mints a client-local id (block IDs must be SAME-LENGTH
+  // base64 within a blob — fixed-width part numbers guarantee it) and
+  // abort is a no-op.
+  private val uploadSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  override def createMultipart(key: String): Option[String] =
+    Some(f"g${uploadSeq.incrementAndGet()}%08d")
+
+  private def blockId(uploadId: String, n: Int): String =
+    java.util.Base64.getEncoder.encodeToString(
+      f"$uploadId%s-$n%08d".getBytes(UTF_8))
+
+  override def uploadPart(key: String, uploadId: String, partNumber: Int,
+      data: Array[Byte]): String = {
+    val bid = blockId(uploadId, partNumber)
+    val c = request("PUT", blobPath(key),
+      Seq("blockid" -> bid, "comp" -> "block"), data)
+    val rc = c.getResponseCode
+    drainAndClose(c)
+    if (rc != 201)
+      throw new java.io.IOException(s"Azure PutBlock $key#$partNumber -> $rc")
+    bid
+  }
+
+  override def completeMultipart(key: String, uploadId: String,
+      parts: Seq[(Int, String)]): Unit = {
+    val xml = parts.sortBy(_._1).map(p => s"<Latest>${p._2}</Latest>")
+      .mkString("<?xml version=\"1.0\" encoding=\"utf-8\"?><BlockList>",
+        "", "</BlockList>")
+    val c = request("PUT", blobPath(key), Seq("comp" -> "blocklist"),
+      xml.getBytes(UTF_8))
+    val rc = c.getResponseCode
+    drainAndClose(c)
+    if (rc != 201)
+      throw new java.io.IOException(s"Azure PutBlockList $key -> $rc")
+  }
+
   private def xmlUnescape(s: String): String = ObjectHttp.xmlUnescape(s)
 }
 
@@ -223,6 +263,12 @@ private[io] final class AzureBlobClient(endpoint: String, account: String,
   */
 final class AzureLiteFileSystem extends ObjectFileSystem {
   override def getScheme: String = "wasb"
+  /** Streaming-write block size (fs.azlite.multipart.size, default 64 MB):
+    * a blob beyond one block streams as staged Put Block calls + one Put
+    * Block List, keeping writer memory at one block.
+    */
+  override protected def multipartPartSize(conf: Configuration): Long =
+    conf.getLong("fs.azlite.multipart.size", 64L * 1024 * 1024)
   override protected def makeClient(conf: Configuration,
       authority: String): ObjectClient = {
     val parts = authority.split("@", 2)
@@ -242,13 +288,17 @@ final class AzureLiteFileSystem extends ObjectFileSystem {
   * every request (the server rebuilds the string-to-sign from the raw
   * request and compares; a bad or missing signature is a 403). Supports
   * Get/Put/Delete Blob, Copy Blob (x-ms-copy-source), List Blobs with
-  * prefix/delimiter and NextMarker pagination.
+  * prefix/delimiter and NextMarker pagination, and Put Block / Put Block
+  * List staged writes (r17).
   */
 final class AzureLiteServer(account: String, accountKeyB64: String,
     maxResultsPerPage: Int = 1000) {
   import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 
   private val blobs = new ConcurrentHashMap[String, Array[Byte]]()
+  // uncommitted staged blocks: (blob path, block id) -> data (r17)
+  private val staged = new ConcurrentHashMap[(String, String), Array[Byte]]()
+  private val committedBlocks = new ConcurrentHashMap[String, Integer]()
   private var server: HttpServer = _
 
   def port: Int = server.getAddress.getPort
@@ -257,6 +307,10 @@ final class AzureLiteServer(account: String, accountKeyB64: String,
   def putBlob(containerAndName: String, data: Array[Byte]): Unit =
     blobs.put(containerAndName, data)
   def blobNames: Seq[String] = blobs.keySet().asScala.toSeq.sorted
+  /** Block count of a blob committed via Put Block List (spec surface). */
+  def blockCount(containerAndName: String): Option[Int] =
+    Option(committedBlocks.get(containerAndName)).map(_.intValue)
+  def stagedBlockCount: Int = staged.size
 
   def start(): AzureLiteServer = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
@@ -377,6 +431,27 @@ final class AzureLiteServer(account: String, accountKeyB64: String,
         Option(blobs.get(path)) match {
           case None => respond(ex, 404, Array.empty)
           case Some(data) => respond(ex, 200, data)
+        }
+      case "PUT" if params.get("comp").contains("block") =>
+        // Put Block: stage the data uncommitted under its block id
+        val bid = params.getOrElse("blockid", "")
+        if (bid.isEmpty) respond(ex, 400, "MissingBlockId".getBytes(UTF_8))
+        else { staged.put((path, bid), body); respond(ex, 201, Array.empty) }
+      case "PUT" if params.get("comp").contains("blocklist") =>
+        // Put Block List: commit in the XML's order; any id not staged (or
+        // already consumed) is the client's error
+        val ids = "<(?:Latest|Uncommitted|Committed)>(.*?)</".r
+          .findAllMatchIn(new String(body, UTF_8)).map(_.group(1)).toSeq
+        val missing = ids.filter(id => !staged.containsKey((path, id)))
+        if (missing.nonEmpty)
+          respond(ex, 400, s"InvalidBlockList: ${missing.head}".getBytes(UTF_8))
+        else {
+          val out = new java.io.ByteArrayOutputStream()
+          ids.foreach(id => out.write(staged.get((path, id))))
+          ids.foreach(id => staged.remove((path, id)))
+          blobs.put(path, out.toByteArray)
+          committedBlocks.put(path, ids.length)
+          respond(ex, 201, Array.empty)
         }
       case "PUT" =>
         val copySrc = ex.getRequestHeaders.getFirst("x-ms-copy-source")

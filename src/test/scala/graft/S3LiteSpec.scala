@@ -443,6 +443,33 @@ class AzureLiteSpec extends SparkTestBase {
     }
   }
 
+  test("Block Blob staged write: Put Block + Put Block List beyond one part") {
+    withServer { server =>
+      import org.apache.hadoop.fs.Path
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.setLong("fs.azlite.multipart.size", 1024)
+      try {
+        val fs = new Path("wasb://box@acct/")
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val data = Array.tabulate(3 * 1024 + 100)(i => (i * 17 % 239).toByte)
+        val out = fs.create(new Path("wasb://box@acct/blocks.bin"), true)
+        out.write(data); out.close()
+        // committed from FOUR SharedKey-verified staged blocks, none left
+        assert(server.blockCount("box/blocks.bin").contains(4),
+          server.blockCount("box/blocks.bin").toString)
+        assert(server.stagedBlockCount == 0)
+        val in = fs.open(new Path("wasb://box@acct/blocks.bin"), 4096)
+        val back = new Array[Byte](data.length)
+        in.readFully(0, back); in.close()
+        assert(back.toSeq == data.toSeq)
+        // small writes still single Put Blob
+        val o2 = fs.create(new Path("wasb://box@acct/tiny.bin"), true)
+        o2.write(Array[Byte](9, 8)); o2.close()
+        assert(server.blockCount("box/tiny.bin").isEmpty)
+      } finally hc.unset("fs.azlite.multipart.size")
+    }
+  }
+
   test("a wrong account key is rejected with 403") {
     withServer { _ =>
       spark.range(3).write.mode("overwrite").parquet("wasb://box@acct/sec")
