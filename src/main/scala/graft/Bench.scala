@@ -289,8 +289,11 @@ object Bench {
     // whole-line scan would overwrite seconds with bytes. The driver wraps
     // our JSON line inside a "tail" string field, so quotes may arrive
     // escaped (\"); neither object nests braces.
+    // a record with NO queries object (e.g. a driver wrapper whose tail
+    // window truncated it, r16) yields an EMPTY baseline — falling back to
+    // the whole text would misread peakMemBytes values as seconds
     val queriesObj = """\\?"queries\\?"\s*:\s*\{([^}]*)\}""".r
-      .findFirstMatchIn(json).map(_.group(1)).getOrElse(json)
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse(return (prev.getName, Map.empty))
     val pair = """\\?"([A-Za-z0-9_]+)\\?":\s*([-0-9.Ee]+)""".r
     (prev.getName, pair.findAllMatchIn(queriesObj)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap - "value")

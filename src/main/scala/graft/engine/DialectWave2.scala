@@ -627,6 +627,101 @@ private[engine] trait DialectWave2 { self: GraftSession =>
         qr(s"lag(`$u`) $lagW") else qr(m.matched)
     })
 
+  // ---- scalar WITH (ClickHouse CTE extension) -------------------------------
+  // `WITH <expr> AS <ident>[, …] SELECT …` — ClickHouse's scalar alias form
+  // (expr may be a constant, a function call, or a scalar subquery), which
+  // ANSI/Spark SQL cannot parse (Spark's WITH needs `ident AS (subquery)`).
+  // Rewrite: each scalar entry is INLINED as `(expr)` at every unqualified,
+  // non-alias-position reference in the statement (and in later scalar
+  // entries); standard `ident AS (subquery)` entries in the same list are
+  // kept as a normal WITH prefix. Documented divergence: ClickHouse lets a
+  // real column of the same name shadow the alias — inlining always wins
+  // here, so name your aliases distinctly. Only the statement-level leading
+  // WITH is handled; an inner scalar WITH still fails Spark's parser loudly.
+  private val leadingWithRe = "(?is)^\\s*WITH\\b".r
+  private val stdCteRe = "(?is)^\\s*(?:[A-Za-z_]\\w*|`[^`]+`)\\s+AS\\s*\\(.*\\)\\s*$".r
+  private val scalarTailRe = "(?is)^([A-Za-z_]\\w*|`[^`]+`)\\s*$".r
+
+  private[engine] def rewriteScalarWith(q: String): String = {
+    val m = leadingWithRe.findFirstMatchIn(q).getOrElse(return q)
+    // the WITH list ends at the first top-level SELECT after it
+    val selAt = clauseExtent(q, m.end, Seq("SELECT"))
+    if (selAt >= q.length) return q
+    val listText = q.substring(m.end, selAt)
+    if (!parenBalanced(listText)) return q
+    val entries = splitTopLevel(listText)
+    if (entries.forall(e => stdCteRe.pattern.matcher(e).matches())) return q
+    // classify each entry: standard CTE kept; `expr AS ident` inlined
+    var rest = q.substring(selAt)
+    val kept = Seq.newBuilder[String]
+    val scalars = Seq.newBuilder[(String, String)] // (ident, expr)
+    entries.foreach { e =>
+      if (stdCteRe.pattern.matcher(e).matches()) kept += e.trim
+      else {
+        // the LAST top-level AS splits expr from the alias ident
+        val u = e.toUpperCase(Locale.ROOT)
+        var d = 0; var i = 0; var inStr = false; var inTick = false
+        var lastAs = -1
+        while (i < e.length - 1) {
+          val c = e.charAt(i)
+          if (inStr) { if (c == '\'') inStr = false }
+          else if (inTick) { if (c == '`') inTick = false }
+          else c match {
+            case '\'' => inStr = true
+            case '`' => inTick = true
+            case '(' => d += 1
+            case ')' => d -= 1
+            case _ =>
+              if (d == 0 && u.startsWith("AS", i) &&
+                  (i == 0 || !Character.isLetterOrDigit(u.charAt(i - 1)) && u.charAt(i - 1) != '_') &&
+                  (i + 2 >= u.length || !Character.isLetterOrDigit(u.charAt(i + 2)) && u.charAt(i + 2) != '_'))
+                lastAs = i
+          }
+          i += 1
+        }
+        require(lastAs > 0, s"WITH: cannot parse entry '$e' — expected " +
+          "`expr AS ident` (ClickHouse scalar alias) or `ident AS (subquery)`")
+        val ident = e.substring(lastAs + 2).trim
+        require(scalarTailRe.pattern.matcher(ident).matches(),
+          s"WITH: '$e' does not end in a plain alias identifier")
+        scalars += ((unquoteIdent(ident), e.substring(0, lastAs).trim))
+      }
+    }
+    // inline each scalar into LATER scalar exprs and the statement body —
+    // unqualified references only, never in alias-definition position
+    var resolved = Seq.empty[(String, String)]
+    scalars.result().foreach { case (ident, expr0) =>
+      val expr = resolved.foldLeft(expr0) { case (e, (n, v)) =>
+        inlineIdent(e, n, v)
+      }
+      resolved :+= ((ident, expr))
+    }
+    resolved.foreach { case (n, v) => rest = inlineIdent(rest, n, v) }
+    // standard CTE bodies in the same list may reference the scalars too
+    val keptList = kept.result().map(e =>
+      resolved.foldLeft(e) { case (t, (n, v)) => inlineIdent(t, n, v) })
+    val prefix = if (keptList.isEmpty) "" else keptList.mkString("WITH ", ", ", " ")
+    q.substring(0, m.start) + prefix + rest.trim
+  }
+
+  /** Replace unqualified, non-call, non-alias-position references to
+    * `ident` with `(expr)` — word-anchored and literal-aware.
+    */
+  private def inlineIdent(text: String, ident: String, expr: String): String = {
+    val re = ("(?i)(?<![\\w.`])(?:" + Regex.quote(ident) + "|`" +
+      Regex.quote(ident) + "`)(?![\\w`])").r
+    re.replaceAllIn(text, mm => {
+      val before = text.substring(0, mm.start)
+      // alias-definition position: immediately preceded by AS
+      val isAliasDef = "(?is).*\\bAS\\s*$".r.pattern.matcher(before).matches()
+      var j = mm.end
+      while (j < text.length && Character.isWhitespace(text.charAt(j))) j += 1
+      val isCall = j < text.length && text.charAt(j) == '('
+      if (inLiteralAt(text, mm.start) || isAliasDef || isCall) qr(mm.matched)
+      else qr(s"($expr)")
+    })
+  }
+
   // ---- GROUP BY … WITH TOTALS ---------------------------------------------
   // ClickHouse's extra grand-total row → ANSI `GROUPING SETS ((keys), ())`.
   // Documented divergence: the totals row carries NULL group keys (the

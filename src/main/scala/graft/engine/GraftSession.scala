@@ -1023,8 +1023,8 @@ final class GraftSession(val spark: SparkSession) extends DialectWave2 {
       rewriteTableFns(rewriteWithFill(rewriteLimitBy(rewriteStarModifiers(
         rewriteWithTotals(rewriteArrayJoin(rewriteAnyJoin(rewriteAsofJoin(
           dropGlobal(normalizeJoinStrictness(rewriteSample(rewriteFinal(
-            rewritePrewhere(trailingFormat.replaceFirstIn(
-              trailingSettings.replaceFirstIn(q, ""), "")))))))))))))),
+            rewritePrewhere(rewriteScalarWith(trailingFormat.replaceFirstIn(
+              trailingSettings.replaceFirstIn(q, ""), ""))))))))))))))),
       m => "dateDiffCH($1")
 
   /** Parameterized query — the reference's `{name:Type}` placeholders bound

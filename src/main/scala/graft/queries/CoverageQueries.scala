@@ -1363,6 +1363,28 @@ object CoverageQueries {
       ASOF LEFT JOIN (SELECT user_id, ts AS cts, MAX(value) AS click_value
         FROM events WHERE event_type = 'click' GROUP BY user_id, ts) c
       ON p.user_id = c.user_id AND p.ts >= c.cts
-      ORDER BY p.event_id"""))
+      ORDER BY p.event_id""")),
+
+    QueryDef("q209_scalar_with", (s, dir) => {
+      // ClickHouse scalar WITH (r17): `WITH expr AS ident` — constants and
+      // a scalar subquery inlined at every reference, mixed with a standard
+      // CTE in the same list. DuckDB replays with its own scalar-subquery
+      // spelling (ANSI has no scalar-alias WITH).
+      v(s, dir, "lineitem")
+      graft.engine.GraftSession(s).sql(
+        """WITH 0.05 AS disc_lo,
+               (SELECT AVG(l_quantity) FROM lineitem) AS avg_qty,
+               flagged AS (SELECT l_returnflag, l_quantity, l_discount
+                 FROM lineitem WHERE l_discount > disc_lo)
+           SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CASE WHEN l_quantity > avg_qty THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_above
+           FROM flagged GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }, Some("""WITH flagged AS (SELECT l_returnflag, l_quantity, l_discount
+        FROM lineitem WHERE l_discount > 0.05)
+      SELECT l_returnflag, COUNT(*) AS n,
+        CAST(SUM(CASE WHEN l_quantity > (SELECT AVG(l_quantity) FROM lineitem)
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+      FROM flagged GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

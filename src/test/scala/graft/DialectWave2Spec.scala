@@ -412,6 +412,35 @@ class DialectWave2Spec extends SparkTestBase {
     assert(anti.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((3, "L3")))
   }
 
+  test("scalar WITH: ClickHouse `WITH expr AS ident` inlines (r17)") {
+    views()
+    // constants, function calls, later-entry references, scalar subqueries
+    val r1 = g.sql(
+      """WITH 2 AS mult, mult + 1 AS mult3
+         SELECT k, v * mult AS v2, v * mult3 AS v3 FROM w2_dup
+         WHERE tag = 'b'""").collect()
+    assert(r1.map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSeq ==
+      Seq((2, 6.0, 9.0)))
+    val r2 = g.sql(
+      """WITH (SELECT MAX(v) FROM w2_dup) AS vmax
+         SELECT k, tag FROM w2_dup WHERE v = vmax""").collect()
+    assert(r2.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "a")))
+  }
+
+  test("scalar WITH mixes with standard CTEs; alias positions are protected") {
+    views()
+    val rows = g.sql(
+      """WITH 10 AS base, big AS (SELECT k, v * base AS vb FROM w2_dup)
+         SELECT k, vb, base AS base FROM big WHERE vb > 40 ORDER BY vb""").collect()
+    // `AS base` keeps the alias name; references inline to (10)
+    assert(rows.map(r => (r.getInt(0), r.getDouble(1), r.getInt(2))).toSeq ==
+      Seq((1, 50.0, 10), (1, 90.0, 10)))
+    // a pure standard-CTE WITH is untouched
+    val std = g.sql(
+      "WITH t AS (SELECT 7 AS x) SELECT x FROM t").collect()
+    assert(std.head.getInt(0) == 7)
+  }
+
   test("ASOF JOIN subquery sides are lifted into views (r17)") {
     views()
     val rows = g.sql(
