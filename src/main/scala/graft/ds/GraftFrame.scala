@@ -333,6 +333,12 @@ final case class GraftFrame(df: DataFrame) {
   def chunkSentences(textCol: String, idCol: String, maxChars: Int): GraftFrame =
     GraftFrame(TextAnalysis.chunkSentences(df, textCol, idCol, maxChars))
 
+  /** CCNet-style corpus boilerplate removal (r17, q210 shape): lines seen
+    * in >= minDocs distinct documents are dropped from every document.
+    */
+  def removeBoilerplate(textCol: String, idCol: String, minDocs: Int): GraftFrame =
+    GraftFrame(TextAnalysis.removeBoilerplate(df, textCol, idCol, minDocs))
+
   /** Train a bounded unigram LM over this frame's text (token, cnt). */
   def lmTrain(textCol: String, vocabSize: Int = 65536): GraftFrame =
     GraftFrame(TextAnalysis.lmTrain(df, textCol, vocabSize))

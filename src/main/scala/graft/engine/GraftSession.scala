@@ -117,7 +117,7 @@ final class GraftSession(val spark: SparkSession) extends DialectWave2 {
     "dedup_exact", "dedup_groups", "dedup_spans", "minhash_pairs",
     "ngram_jaccard_pairs", "simhash_pairs", "embedding_neardup",
     "quality_score", "language_id", "token_count", "scrub_pii",
-    "chunk_text", "chunk_sentences",
+    "chunk_text", "chunk_sentences", "remove_boilerplate",
     "lm_train", "lm_score", "lm_train2", "lm_score2", "bm25",
     "repetition_features", "curate", "hash_split", "temperature_mixture",
     "pack_sequences", "pack_greedy", "decontaminate", "decontaminate_bloom",
@@ -151,6 +151,8 @@ final class GraftSession(val spark: SparkSession) extends DialectWave2 {
       ("chunk_text(table, 'textCol', 'idCol'[, chunkChars=512, overlapChars=0])", 5),
     "chunk_sentences" ->
       ("chunk_sentences(table, 'textCol', 'idCol'[, maxChars=512])", 4),
+    "remove_boilerplate" ->
+      ("remove_boilerplate(table, 'textCol', 'idCol'[, minDocs=3])", 4),
     "scrub_pii" -> ("scrub_pii(table, 'textCol')", 2),
     "repetition_features" -> ("repetition_features(table, 'textCol')", 2),
     "curate" -> ("curate(table, 'textCol', 'idCol'[, 'lang'='en', minQuality=0.3])", 5),
@@ -542,6 +544,9 @@ final class GraftSession(val spark: SparkSession) extends DialectWave2 {
         case "chunk_sentences" =>
           t(0, "table").chunkSentences(str(1, "textCol"), str(2, "idCol"),
             int(3, 512))
+        case "remove_boilerplate" =>
+          t(0, "table").removeBoilerplate(str(1, "textCol"), str(2, "idCol"),
+            int(3, 3))
         case "scrub_pii" => t(0, "table").scrubPii(str(1, "textCol"))
         case "lm_train" =>
           t(0, "table").lmTrain(str(1, "textCol"), int(2, 65536))

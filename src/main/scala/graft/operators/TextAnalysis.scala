@@ -464,4 +464,42 @@ object TextAnalysis {
         .otherwise(acc.getField("chunks")))
     df.select(col(idCol), posexplode(packed).as(Seq("chunk_ix", "chunk")))
   }
+
+  /** Corpus-level boilerplate removal (r17) — the CCNet/RefinedWeb line
+    * dedup step: a line whose trimmed form appears in at least `minDocs`
+    * DISTINCT documents (headers, footers, nav chrome, cookie banners) is
+    * dropped from EVERY document; remaining lines are reassembled in their
+    * original order. Blank lines never count as boilerplate (they are
+    * structure, not content) and are kept.
+    *
+    * Scale shape: explode to lines (projection), ONE count-distinct shuffle
+    * keyed on the trimmed line, a left-anti join back (line-keyed — the
+    * boilerplate set is the join's build side and is corpus-frequency
+    * bounded), and one regroup by document id. No driver collection; every
+    * stage is key-partitioned. The reference has no such operator (its
+    * pipelines run this step in pandas).
+    */
+  def removeBoilerplate(df: DataFrame, textCol: String, idCol: String,
+      minDocs: Int): DataFrame = {
+    require(minDocs >= 2, "minDocs must be at least 2")
+    val others = df.columns.filter(c => c != textCol)
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("__ix", "__line")))
+    val boiler = lines
+      .filter(length(trim(col("__line"))) > 0)
+      .groupBy(trim(col("__line")).as("__key"))
+      .agg(countDistinct(col(idCol)).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select("__key")
+    val kept = lines.join(boiler,
+      trim(lines("__line")) === boiler("__key"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__ix"), col("__line")))),
+          x => x.getField("__line")), "\n").as(textCol))
+    // docs whose every line was boilerplate keep an empty text, not a NULL
+    df.select(others.map(col): _*)
+      .join(rebuilt, Seq(idCol), "left")
+      .na.fill(Map(textCol -> ""))
+  }
 }

@@ -1385,6 +1385,39 @@ object CoverageQueries {
       SELECT l_returnflag, COUNT(*) AS n,
         CAST(SUM(CASE WHEN l_quantity > (SELECT AVG(l_quantity) FROM lineitem)
           THEN 1 ELSE 0 END) AS BIGINT) AS n_above
-      FROM flagged GROUP BY l_returnflag ORDER BY l_returnflag"""))
+      FROM flagged GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    QueryDef("q210_boilerplate", (s, dir) => {
+      // CCNet-style corpus boilerplate removal (r17): lines appearing in >=
+      // 3 distinct documents (the planted SHARED HEADER in every doc, each
+      // FOOTER k in ~1/3 of them) are dropped from every document; each
+      // document's own text line survives. Driven through the SQL table
+      // function so both public surfaces are exercised; DuckDB replays the
+      // line explode + distinct-doc count + anti-join + ordered reassembly.
+      v(s, dir, "documents")
+      val gs = graft.engine.GraftSession(s)
+      gs.sql("""CREATE OR REPLACE TEMPORARY VIEW q210_docs AS
+        SELECT doc_id, concat('SHARED HEADER', chr(10), text, chr(10),
+          'FOOTER ', CAST(doc_id % 3 AS STRING)) AS text
+        FROM documents WHERE doc_id % 29 = 0""")
+      gs.sql("""SELECT doc_id, text
+        FROM remove_boilerplate(q210_docs, 'text', 'doc_id', 3)
+        ORDER BY doc_id""")
+    }, Some("""WITH docs AS (SELECT doc_id,
+        concat('SHARED HEADER', chr(10), text, chr(10),
+          'FOOTER ', CAST(doc_id % 3 AS VARCHAR)) AS dtext
+        FROM documents WHERE doc_id % 29 = 0),
+      lines AS (SELECT d.doc_id, CAST(t.i AS INT) AS ix,
+          d.arr[CAST(t.i AS INT)] AS line
+        FROM (SELECT doc_id, string_split(dtext, chr(10)) AS arr FROM docs) d,
+        UNNEST(range(1, len(d.arr) + 1)) AS t(i)),
+      bp AS (SELECT trim(line) AS key FROM lines
+        WHERE length(trim(line)) > 0
+        GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 3),
+      kept AS (SELECT * FROM lines WHERE trim(line) NOT IN (SELECT key FROM bp))
+      SELECT docs.doc_id,
+        coalesce(string_agg(kept.line, chr(10) ORDER BY kept.ix), '') AS text
+      FROM docs LEFT JOIN kept ON kept.doc_id = docs.doc_id
+      GROUP BY docs.doc_id ORDER BY docs.doc_id"""))
   )
 }
