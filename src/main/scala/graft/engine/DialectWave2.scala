@@ -774,11 +774,20 @@ private[engine] trait DialectWave2 { self: GraftSession =>
   // non-fill column. The
   // interpolation window is a global last_value IGNORE NULLS over the fill
   // order — sized for the ordered, presentation-bound results WITH FILL
-  // produces, like ClickHouse's own single-stream fill. Scope: single fill
-  // column, ASC or DESC (r17 — DESC walks FROM (default max) downward to
-  // TO (default min; explicit TO exclusive at the bottom)).
+  // produces, like ClickHouse's own single-stream fill — EXCEPT grouped
+  // fills (below), whose windows partition by the prefix. Scope: one fill
+  // column (the LAST sort key), ASC or DESC (r17 — DESC walks FROM
+  // (default max) downward to TO (default min; explicit TO exclusive at
+  // the bottom)), optionally preceded by plain sort columns
+  // (`ORDER BY key, ts WITH FILL`, r17): those become a PER-GROUP fill —
+  // per-group default bounds from one grouped aggregate, a grid
+  // co-partitioned with the keys, gap rows carrying the group's values
+  // (ClickHouse copies the prefix from the previous row — identical within
+  // a sorted group), and prefix-PARTITIONed interpolation windows.
   private val fillRe =
-    ("(?is)^(.*\\S)\\s+ORDER\\s+BY\\s+([A-Za-z_]\\w*|`[^`]+`)(\\s+(?:ASC|DESC))?" +
+    ("(?is)^(.*\\S)\\s+ORDER\\s+BY\\s+" +
+      "((?:(?:[A-Za-z_]\\w*|`[^`]+`)(?:\\s+(?:ASC|DESC))?\\s*,\\s*)*)" +
+      "([A-Za-z_]\\w*|`[^`]+`)(\\s+(?:ASC|DESC))?" +
       "\\s+WITH\\s+FILL" +
       "(\\s+FROM\\s+(-?\\d+|DATE\\s+'[^']+'|TIMESTAMP\\s+'[^']+'))?" +
       "(\\s+TO\\s+(-?\\d+|DATE\\s+'[^']+'|TIMESTAMP\\s+'[^']+'))?" +
@@ -789,7 +798,7 @@ private[engine] trait DialectWave2 { self: GraftSession =>
       case Some(m) if parenBalanced(m.group(1)) &&
           !inLiteralAt(q, q.toUpperCase(Locale.ROOT).lastIndexOf("WITH FILL")) =>
         val base = m.group(1)
-        val fcName = unquoteIdent(m.group(2))
+        val fcName = unquoteIdent(m.group(3))
         val schema = probeSchema(s"( $base ) __graft_fill_probe")
         val f = schema.fields.find(_.name.equalsIgnoreCase(fcName)).getOrElse(
           throw new IllegalArgumentException(
@@ -802,11 +811,36 @@ private[engine] trait DialectWave2 { self: GraftSession =>
             s"WITH FILL supports integral and DATE/TIMESTAMP fill columns " +
               s"(got ${other.sql})")
         }
-        val stepRaw = Option(m.group(9))
+        val stepRaw = Option(m.group(10))
         // DESC fill (r17): the grid runs downward — FROM defaults to the
         // MAX (the start of a descending order), TO to the MIN; an explicit
         // TO is exclusive at the BOTTOM; the step is applied negatively.
-        val desc = Option(m.group(3)).exists(_.trim.equalsIgnoreCase("DESC"))
+        val desc = Option(m.group(4)).exists(_.trim.equalsIgnoreCase("DESC"))
+        // grouped fill (r17): leading sort columns before the fill column
+        // (`ORDER BY key, ts WITH FILL`) become a PER-GROUP fill — gap rows
+        // carry the group's values (ClickHouse copies the prefix from the
+        // previous row, which within a sorted group is the same thing), the
+        // default bounds are per-group min/max, and every window is
+        // PARTITIONed by the prefix, so the fill distributes across groups.
+        val prefix: Seq[(String, String)] = // (schema-canonical name, dir)
+          splitTopLevel(m.group(2).trim.stripSuffix(",")).filter(_.nonEmpty)
+            .map { ent =>
+              val mm = "(?is)^\\s*([A-Za-z_]\\w*|`[^`]+`)(\\s+(?:ASC|DESC))?\\s*$".r
+                .findFirstMatchIn(ent).getOrElse(throw new IllegalArgumentException(
+                  s"WITH FILL: cannot parse leading sort column '$ent'"))
+              val u = unquoteIdent(mm.group(1))
+              val name = schema.fields.find(_.name.equalsIgnoreCase(u)).getOrElse(
+                throw new IllegalArgumentException(
+                  s"WITH FILL: leading sort column '$u' is not in the result"))
+                .name
+              (name, Option(mm.group(2)).map(_.trim.toUpperCase(Locale.ROOT))
+                .getOrElse("ASC"))
+            }
+        require(!prefix.exists(_._1.equalsIgnoreCase(f.name)),
+          "WITH FILL: the fill column cannot also be a leading sort column")
+        val grouped = prefix.nonEmpty
+        val pRefs = prefix.map(p => s"`${p._1}`")
+        val pSel = pRefs.mkString(", ")
         // grid cell type + expressions, by fill-column family. `gridCut` is
         // the explicit-TO exclusivity filter: the grid is generated through
         // TO inclusive and cut strictly-inside, so a TO that is NOT a whole
@@ -820,14 +854,16 @@ private[engine] trait DialectWave2 { self: GraftSession =>
             val stepSigned =
               if (desc) step.replaceFirst("(?i)^INTERVAL\\s+", "INTERVAL -")
               else step
+            // grouped default bounds come from the per-group aggregate row
             val srcEdge = (agg: String) =>
-              s"(SELECT $agg(CAST(`${f.name}` AS TIMESTAMP)) FROM __graft_fill_src)"
-            val fromE = Option(m.group(5)).map(l => s"CAST($l AS TIMESTAMP)")
+              if (grouped) (if (agg == "MIN") "__graft_min" else "__graft_max")
+              else s"(SELECT $agg(CAST(`${f.name}` AS TIMESTAMP)) FROM __graft_fill_src)"
+            val fromE = Option(m.group(6)).map(l => s"CAST($l AS TIMESTAMP)")
               .getOrElse(srcEdge(if (desc) "MAX" else "MIN"))
             // ClickHouse TO is exclusive; implicit far bound is inclusive
-            val toI = Option(m.group(7)).map(l => s"CAST($l AS TIMESTAMP)")
+            val toI = Option(m.group(8)).map(l => s"CAST($l AS TIMESTAMP)")
               .getOrElse(srcEdge(if (desc) "MIN" else "MAX"))
-            val cut = Option(m.group(7)).map { l =>
+            val cut = Option(m.group(8)).map { l =>
               val cmp = if (desc) ">" else "<"
               s" WHERE __graft_fx $cmp CAST($l AS TIMESTAMP)"
             }.getOrElse("")
@@ -839,13 +875,14 @@ private[engine] trait DialectWave2 { self: GraftSession =>
             val step = stepRaw.map(_.toLong).getOrElse(1L)
             require(step > 0, "WITH FILL STEP must be positive")
             val srcEdge = (agg: String) =>
-              s"(SELECT $agg(CAST(`${f.name}` AS BIGINT)) FROM __graft_fill_src)"
-            val fromE = Option(m.group(5)).map { l =>
+              if (grouped) (if (agg == "MIN") "__graft_min" else "__graft_max")
+              else s"(SELECT $agg(CAST(`${f.name}` AS BIGINT)) FROM __graft_fill_src)"
+            val fromE = Option(m.group(6)).map { l =>
               require(l.matches("-?\\d+"),
                 "WITH FILL FROM on an integral column must be an integer")
               l
             }.getOrElse(srcEdge(if (desc) "MAX" else "MIN"))
-            val toI = Option(m.group(7)).map { l =>
+            val toI = Option(m.group(8)).map { l =>
               require(l.matches("-?\\d+"),
                 "WITH FILL TO on an integral column must be an integer")
               (if (desc) l.toLong + 1 else l.toLong - 1).toString
@@ -862,7 +899,7 @@ private[engine] trait DialectWave2 { self: GraftSession =>
         // previous OUTPUT, which no fixed-depth window can express — still
         // refused loudly. () = every non-fill column carried forward.
         val asItemRe = "(?is)^\\s*([A-Za-z_]\\w*|`[^`]+`)\\s+AS\\s+(.+?)\\s*$".r
-        val interpItems: Seq[(String, Option[String])] = Option(m.group(11)) match {
+        val interpItems: Seq[(String, Option[String])] = Option(m.group(12)) match {
           case None => Seq.empty
           case Some(items) =>
             def resolve(n: String): String = {
@@ -877,11 +914,16 @@ private[engine] trait DialectWave2 { self: GraftSession =>
             }
             val all =
               if (parsed.isEmpty)
-                schema.fieldNames.toSeq.filterNot(_.equalsIgnoreCase(f.name))
+                schema.fieldNames.toSeq.filterNot(n =>
+                  n.equalsIgnoreCase(f.name) ||
+                    prefix.exists(_._1.equalsIgnoreCase(n)))
                   .map(n => (n, None: Option[String]))
               else parsed
             require(!all.exists(_._1.equalsIgnoreCase(f.name)),
               "the WITH FILL column cannot be INTERPOLATEd")
+            require(!all.exists(a => prefix.exists(_._1.equalsIgnoreCase(a._1))),
+              "a leading sort column cannot be INTERPOLATEd — gap rows carry " +
+                "the group's own values")
             all
         }
         val interp: Set[String] = interpItems.map(_._1).toSet
@@ -905,6 +947,8 @@ private[engine] trait DialectWave2 { self: GraftSession =>
         val proj = schema.fields.map { fd =>
           if (fd.name.equalsIgnoreCase(f.name))
             s"CAST(__graft_fx AS ${fd.dataType.sql}) AS `${fd.name}`"
+          else if (prefix.exists(_._1.equalsIgnoreCase(fd.name)))
+            s"__graft_fill_g.`${fd.name}` AS `${fd.name}`" // the group's value
           else if (interp(fd.name)) // NULL here; the outer window fills it
             s"CAST(NULL AS ${fd.dataType.sql}) AS `${fd.name}`"
           else {
@@ -932,28 +976,51 @@ private[engine] trait DialectWave2 { self: GraftSession =>
         val guard =
           if (desc) s"CAST(($fromE) AS $gridT) >= CAST(($toI) AS $gridT)"
           else s"CAST(($toI) AS $gridT) >= CAST(($fromE) AS $gridT)"
+        val gridExplode =
+          s"""explode(CASE WHEN $guard
+             |  THEN sequence(CAST(($fromE) AS $gridT), CAST(($toI) AS $gridT), $stepE)
+             |  ELSE CAST(array() AS ARRAY<$gridT>) END) AS __graft_fx""".stripMargin
+        // global: one sequence(); grouped: a per-group sequence over the
+        // group's own (or the explicit) bounds, generated from ONE grouped
+        // aggregate over the source — still zero driver work, and the grid
+        // is co-partitioned with the group keys
+        val gridSel =
+          if (!grouped)
+            s"(SELECT __graft_fx FROM\n  (SELECT $gridExplode)$gridCut)"
+          else
+            s"""(SELECT $pSel, __graft_fx FROM
+               |  (SELECT $pSel, $gridExplode FROM
+               |    (SELECT $pSel, MIN(CAST(`${f.name}` AS $gridT)) AS __graft_min,
+               |       MAX(CAST(`${f.name}` AS $gridT)) AS __graft_max
+               |     FROM __graft_fill_src GROUP BY $pSel))$gridCut)""".stripMargin
+        val antiOn = (Seq(
+          s"__graft_fill_g.__graft_fx = CAST(__graft_fill_src.`${f.name}` AS $gridT)") ++
+          prefix.map(p =>
+            s"__graft_fill_g.`${p._1}` <=> __graft_fill_src.`${p._1}`"))
+          .mkString(" AND ")
         val unioned =
           s"""SELECT *${tagCols._1} FROM __graft_fill_src
              |UNION ALL
-             |SELECT $proj${tagCols._2} FROM (SELECT __graft_fx FROM
-             |  (SELECT explode(CASE WHEN $guard
-             |  THEN sequence(CAST(($fromE) AS $gridT), CAST(($toI) AS $gridT), $stepE)
-             |  ELSE CAST(array() AS ARRAY<$gridT>) END) AS __graft_fx)$gridCut) __graft_fill_g
+             |SELECT $proj${tagCols._2} FROM $gridSel __graft_fill_g
              |LEFT ANTI JOIN __graft_fill_src
-             |  ON __graft_fill_g.__graft_fx = CAST(__graft_fill_src.`${f.name}` AS $gridT)""".stripMargin
+             |  ON $antiOn""".stripMargin
         val ordDir = if (desc) "DESC NULLS LAST" else "ASC NULLS FIRST"
-        val ordTail = s"ORDER BY `${f.name}` $ordDir"
+        val ordPrefix = prefix.map(p => s"`${p._1}` ${p._2}, ").mkString
+        val ordTail = s"ORDER BY $ordPrefix`${f.name}` $ordDir"
         if (interp.isEmpty)
           s"WITH __graft_fill_src AS ( $base )\n$unioned\n$ordTail"
         else {
-          // The carry-forward/lag window is deliberately UNPARTITIONED
-          // (global ORDER BY over the fill column): WITH FILL output is by
-          // construction a final, result-sized, totally-ordered set — the
-          // same bound as the ORDER BY it decorates — so a global window
-          // adds no scale risk beyond the sort that already exists.
-          val w = s"OVER (ORDER BY `${f.name}` $ordDir " +
+          // Ungrouped fill: the carry-forward/lag window is deliberately
+          // UNPARTITIONED (global ORDER BY over the fill column) — WITH FILL
+          // output is by construction a final, result-sized, totally-ordered
+          // set, the same bound as the ORDER BY it decorates. GROUPED fill
+          // (leading sort columns) PARTITIONs every window by the prefix, so
+          // the fill distributes like any keyed window.
+          val part =
+            if (grouped) s"PARTITION BY $pSel " else ""
+          val w = s"OVER (${part}ORDER BY `${f.name}` $ordDir " +
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-          val lagW = s"OVER (ORDER BY `${f.name}` $ordDir)"
+          val lagW = s"OVER (${part}ORDER BY `${f.name}` $ordDir)"
           val outer = schema.fields.map { fd =>
             if (interpExpr.contains(fd.name)) {
               // gap rows: expr over the previous OUTPUT row — every
@@ -977,10 +1044,11 @@ private[engine] trait DialectWave2 { self: GraftSession =>
         if (at >= 0 && !inLiteralAt(q, at) &&
             q.substring(at).matches("(?is)WITH\\s+FILL\\b.*"))
           throw new UnsupportedOperationException(
-            "WITH FILL is supported as a trailing `ORDER BY <col> [ASC|DESC] " +
-              "WITH FILL [FROM v] [TO v] [STEP n|INTERVAL n unit] " +
+            "WITH FILL is supported as a trailing `ORDER BY [key, …,] <col> " +
+              "[ASC|DESC] WITH FILL [FROM v] [TO v] [STEP n|INTERVAL n unit] " +
               "[INTERPOLATE (col [AS expr], …)]` over an integral or " +
-              "DATE/TIMESTAMP column — expression fill columns are not " +
+              "DATE/TIMESTAMP fill column (leading plain sort columns make " +
+              "it a per-group fill) — expression fill columns are not " +
               "supported, and an INTERPOLATE expr may reference only " +
               "non-interpolated result columns")
         q

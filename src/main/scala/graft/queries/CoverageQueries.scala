@@ -1418,6 +1418,39 @@ object CoverageQueries {
       SELECT docs.doc_id,
         coalesce(string_agg(kept.line, chr(10) ORDER BY kept.ix), '') AS text
       FROM docs LEFT JOIN kept ON kept.doc_id = docs.doc_id
-      GROUP BY docs.doc_id ORDER BY docs.doc_id"""))
+      GROUP BY docs.doc_id ORDER BY docs.doc_id""")),
+
+    QueryDef("q211_fill_grouped", (s, dir) => {
+      // Grouped WITH FILL (r17): leading sort columns before the fill
+      // column — `ORDER BY uid, hh WITH FILL` — fill per group with
+      // per-group default bounds, gap rows carrying the group's key, and
+      // the INTERPOLATE carry window PARTITIONed by the prefix (the fill
+      // distributes across groups instead of one global sort window).
+      // DuckDB replays per-group min/max bounds + grid + partitioned carry.
+      v(s, dir, "events")
+      graft.engine.GraftSession(s).sql(
+        """SELECT CAST(user_id % 15 AS BIGINT) AS uid,
+             CAST(hour(ts) AS BIGINT) AS hh, COUNT(*) AS n
+           FROM events WHERE user_id % 4 = 0
+           GROUP BY CAST(user_id % 15 AS BIGINT), CAST(hour(ts) AS BIGINT)
+           ORDER BY uid, hh WITH FILL INTERPOLATE (n)""")
+    }, Some("""WITH src AS (SELECT CAST(user_id % 15 AS BIGINT) AS uid,
+        CAST(hour(ts) AS BIGINT) AS hh, COUNT(*) AS n
+        FROM events WHERE user_id % 4 = 0 GROUP BY 1, 2),
+      bounds AS (SELECT uid, MIN(hh) AS mn, MAX(hh) AS mx FROM src GROUP BY uid),
+      grid AS (SELECT b.uid, CAST(t.x AS BIGINT) AS hh
+        FROM bounds b, UNNEST(range(b.mn, b.mx + 1)) AS t(x)),
+      gaps AS (SELECT g.uid, g.hh FROM grid g
+        WHERE NOT EXISTS (SELECT 1 FROM src s
+          WHERE s.uid = g.uid AND s.hh = g.hh)),
+      allr AS (
+        SELECT uid, hh, n, 1 AS tag FROM src
+        UNION ALL
+        SELECT uid, hh, CAST(NULL AS BIGINT), 0 FROM gaps)
+      SELECT uid, hh,
+        CASE WHEN tag = 1 THEN n
+          ELSE last_value(n IGNORE NULLS) OVER (PARTITION BY uid ORDER BY hh
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) END AS n
+      FROM allr ORDER BY uid, hh"""))
   )
 }

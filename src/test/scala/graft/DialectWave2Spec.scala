@@ -412,6 +412,44 @@ class DialectWave2Spec extends SparkTestBase {
     assert(anti.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((3, "L3")))
   }
 
+  test("grouped WITH FILL: leading sort columns make a per-group fill (r17)") {
+    views()
+    Seq(("a", 1, 10L), ("a", 4, 40L), ("b", 7, 70L), ("b", 9, 90L))
+      .toDF("g", "kk", "n").createOrReplaceTempView("w2_gfill")
+    // default bounds are PER GROUP (a: 1..4, b: 7..9); gap rows carry the
+    // group's value and type defaults elsewhere
+    val rows = g.sql(
+      "SELECT g, kk, n FROM w2_gfill ORDER BY g, kk WITH FILL").collect()
+    assert(rows.map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq ==
+      Seq(("a", 1, 10L), ("a", 2, 0L), ("a", 3, 0L), ("a", 4, 40L),
+        ("b", 7, 70L), ("b", 8, 0L), ("b", 9, 90L)))
+    // INTERPOLATE windows partition by the prefix: the carry never crosses
+    // from group a into group b
+    val r2 = g.sql(
+      """SELECT g, kk, n FROM w2_gfill
+         ORDER BY g, kk WITH FILL INTERPOLATE (n)""").collect()
+    assert(r2.map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq ==
+      Seq(("a", 1, 10L), ("a", 2, 10L), ("a", 3, 10L), ("a", 4, 40L),
+        ("b", 7, 70L), ("b", 8, 70L), ("b", 9, 90L)))
+    // explicit FROM/TO apply to every group
+    val r3 = g.sql(
+      """SELECT g, kk, n FROM w2_gfill
+         ORDER BY g, kk WITH FILL FROM 8 TO 11""").collect()
+    assert(r3.map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("a", 1), ("a", 4), ("a", 8), ("a", 9), ("a", 10),
+        ("b", 7), ("b", 8), ("b", 9), ("b", 10)))
+  }
+
+  test("grouped WITH FILL refuses interpolating a leading sort column") {
+    views()
+    Seq(("a", 1, 10L)).toDF("g", "kk", "n").createOrReplaceTempView("w2_gfill2")
+    val e = intercept[IllegalArgumentException] {
+      g.sql("""SELECT g, kk, n FROM w2_gfill2
+               ORDER BY g, kk WITH FILL INTERPOLATE (g)""")
+    }
+    assert(e.getMessage.contains("leading sort column"))
+  }
+
   test("scalar WITH: ClickHouse `WITH expr AS ident` inlines (r17)") {
     views()
     // constants, function calls, later-entry references, scalar subqueries
