@@ -28,7 +28,54 @@ final class GraftSession(val spark: SparkSession) extends DialectWave2 {
     * rewritten onto the registry-resolved dateDiffCH (boundary-crossing
     * semantics, GraftFunctions). Everything else is plain function aliasing.
     */
-  def sql(query: String): DataFrame = spark.sql(rewriteDialect(query))
+  def sql(query: String): DataFrame = {
+    val u = query.toUpperCase(java.util.Locale.ROOT)
+    if (u.contains("INTO OUTFILE")) outfileRe.findFirstMatchIn(query) match {
+      case Some(m) if !inLiteralAt(query, m.start + m.group(1).length + 1) =>
+        return writeOutfile(m.group(1), m.group(2), Option(m.group(4)))
+      case _ =>
+    }
+    spark.sql(rewriteDialect(query))
+  }
+
+  // ---- INTO OUTFILE (r17) ---------------------------------------------------
+  // ClickHouse's client-side export clause (the reference executes full CH
+  // SQL, and chdb.query("SELECT … INTO OUTFILE 'f.csv'") is a README-level
+  // workflow): the inner query renders in the requested (or
+  // extension-inferred) format and is written to the local path. ClickHouse
+  // refuses an existing file — so do we. Driver-sized by design, exactly
+  // like the reference's single-process OUTFILE; large exports should use
+  // `sql(query).write` instead. Divergence: ClickHouse returns an empty
+  // result set (the client prints the count); we return one row
+  // (file, bytes_written) so the operation is observable from the API.
+  private val outfileRe =
+    ("(?is)^(.*\\S)\\s+INTO\\s+OUTFILE\\s+'([^']+)'" +
+      "(\\s+FORMAT\\s+([A-Za-z][A-Za-z0-9]*))?\\s*;?\\s*$").r
+
+  private def writeOutfile(inner: String, path: String,
+      fmtOpt: Option[String]): DataFrame = {
+    val f = new java.io.File(path)
+    require(!f.exists,
+      s"INTO OUTFILE: file '$path' already exists (ClickHouse refuses to " +
+        "overwrite — remove it or write elsewhere)")
+    val fmt = fmtOpt.getOrElse {
+      val lower = path.toLowerCase(java.util.Locale.ROOT)
+      if (lower.endsWith(".csv")) "CSVWithNames"
+      else if (lower.endsWith(".tsv")) "TSV"
+      else if (lower.endsWith(".json") || lower.endsWith(".ndjson")) "JSONEachRow"
+      else if (lower.endsWith(".parquet")) "Parquet"
+      else if (lower.endsWith(".arrow")) "Arrow"
+      else "TSV" // ClickHouse's default TabSeparated
+    }
+    val bytes = fmt.toUpperCase(java.util.Locale.ROOT) match {
+      case "ARROW" | "ARROWSTREAM" | "PARQUET" => queryAsBytes(inner, fmt)
+      case other => queryAs(inner, other)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }
+    java.nio.file.Files.write(f.toPath, bytes)
+    import spark.implicits._
+    Seq((path, bytes.length.toLong)).toDF("file", "bytes_written")
+  }
 
   // ---- SQL-level table functions (the reference's flagship FROM syntax:
   // file('x.parquet', Parquet) / url(...) / numbers(N) — table_functions.py).
@@ -619,8 +666,57 @@ final class GraftSession(val spark: SparkSession) extends DialectWave2 {
   }
 
   private[engine] def rewriteTableFns(q: String): String =
-    systemNumbers.replaceAllIn(rewriteCallSites(q),
+    systemNumbers.replaceAllIn(rewriteSystemTables(rewriteCallSites(q)),
       "(SELECT id AS number FROM range(8589934592))")
+
+  // ---- system.* introspection tables (r17) ----------------------------------
+  // ClickHouse's catalog views a drop-in user queries for introspection
+  // (the reference's engine serves them natively). Registered as snapshot
+  // temp views at rewrite time — driver-side catalog metadata only, never a
+  // data scan. system.one is CH's one-row dummy (its implicit FROM);
+  // system.tables/columns reflect the Spark catalog's current database;
+  // system.functions lists every name the dialect registry resolves.
+  private val systemTableRe =
+    "(?i)\\bsystem\\.(one|tables|columns|databases|functions)\\b".r
+  private[engine] def rewriteSystemTables(q: String): String =
+    systemTableRe.replaceAllIn(q, m => {
+      if (inLiteralAt(q, m.start))
+        scala.util.matching.Regex.quoteReplacement(m.matched)
+      else {
+        val which = m.group(1).toLowerCase(java.util.Locale.ROOT)
+        val vn = s"__graft_system_$which"
+        import spark.implicits._
+        val df = which match {
+          case "one" => Seq(0.toByte).toDF("dummy")
+          case "databases" =>
+            spark.catalog.listDatabases().collect().toSeq.map(_.name)
+              .toDF("name")
+          case "tables" =>
+            val db = spark.catalog.currentDatabase
+            spark.catalog.listTables().collect().toSeq
+              .map(t => (Option(t.database).getOrElse(db), t.name,
+                if (t.isTemporary) "View" else t.tableType))
+              .toDF("database", "name", "engine")
+          case "columns" =>
+            val db = spark.catalog.currentDatabase
+            spark.catalog.listTables().collect().toSeq.flatMap { t =>
+              try spark.catalog.listColumns(t.name).collect().toSeq
+                .zipWithIndex.map { case (c, i) =>
+                  (Option(t.database).getOrElse(db), t.name, c.name,
+                    c.dataType, (i + 1).toLong)
+                }
+              catch { case _: Exception => Seq.empty }
+            }.toDF("database", "table", "name", "type", "position")
+          case "functions" =>
+            // every resolvable name: Spark built-ins + the dialect registry
+            // (column subset of CH's system.functions — name only)
+            spark.catalog.listFunctions().collect().toSeq.map(_.name)
+              .toDF("name")
+        }
+        df.createOrReplaceTempView(vn)
+        scala.util.matching.Regex.quoteReplacement(vn)
+      }
+    })
 
   private val dateDiffQuotedUnit =
     "(?i)\\b(?:datediff|date_diff|timestampdiff)\\s*\\(\\s*(')".r

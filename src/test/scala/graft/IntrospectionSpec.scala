@@ -165,4 +165,58 @@ class IntrospectionSpec extends SparkTestBase {
   test("registerArrowBatches: empty iterator yields an empty frame") {
     assert(gs.registerArrowBatches("intro_arrow_empty", Iterator.empty).count() == 0L)
   }
+
+  // ---- INTO OUTFILE (r17) ----
+
+  test("INTO OUTFILE writes the rendered result and refuses an existing file") {
+    import spark.implicits._
+    Seq((1, "a"), (2, "b")).toDF("k", "v").createOrReplaceTempView("of_t")
+    val dir = java.nio.file.Files.createTempDirectory("graft_outfile").toFile
+    val csv = new java.io.File(dir, "out.csv")
+    val res = gs.sql(
+      s"SELECT k, v FROM of_t ORDER BY k INTO OUTFILE '${csv.getPath}'")
+      .collect()
+    assert(res.length == 1 && res.head.getString(0) == csv.getPath)
+    // .csv extension infers CSVWithNames
+    val content = new String(java.nio.file.Files.readAllBytes(csv.toPath), "UTF-8")
+    assert(content == "k,v\n1,a\n2,b\n", content)
+    val e = intercept[IllegalArgumentException] {
+      gs.sql(s"SELECT 1 INTO OUTFILE '${csv.getPath}'")
+    }
+    assert(e.getMessage.contains("already exists"))
+    // explicit FORMAT wins over the extension; parquet round-trips via file()
+    val pq = new java.io.File(dir, "out.bin")
+    gs.sql(s"SELECT k, v FROM of_t INTO OUTFILE '${pq.getPath}' FORMAT Parquet")
+      .collect()
+    val back = gs.sql(s"SELECT k, v FROM file('${pq.getPath}', 'Parquet') ORDER BY k")
+      .collect()
+    assert(back.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "a"), (2, "b")))
+    // the clause inside a string literal is data, not an export
+    val lit = gs.sql("SELECT 'x INTO OUTFILE ''/tmp/nope''' AS s").collect()
+    assert(lit.head.getString(0).contains("INTO OUTFILE"))
+  }
+
+  // ---- system.* introspection tables (r17) ----
+
+  test("system.one / tables / columns / functions / databases resolve") {
+    import spark.implicits._
+    Seq((1, 2.5)).toDF("a", "b").createOrReplaceTempView("sys_probe_t")
+    assert(gs.sql("SELECT dummy FROM system.one").collect().head.getByte(0) == 0)
+    val tabs = gs.sql(
+      "SELECT name FROM system.tables WHERE name = 'sys_probe_t'").collect()
+    assert(tabs.length == 1)
+    val cols = gs.sql(
+      """SELECT name, type, position FROM system.columns
+         WHERE table = 'sys_probe_t' ORDER BY position""").collect()
+    assert(cols.map(r => (r.getString(0), r.getLong(2))).toSeq ==
+      Seq(("a", 1L), ("b", 2L)))
+    // the dialect registry's names are listed (a CH-only spelling resolves)
+    val fns = gs.sql(
+      "SELECT COUNT(*) FROM system.functions WHERE name IN ('uniqexact', 'topk')")
+      .collect().head.getLong(0)
+    assert(fns >= 1, s"expected dialect names in system.functions, got $fns")
+    assert(gs.sql("SELECT COUNT(*) FROM system.databases").collect()
+      .head.getLong(0) >= 1)
+  }
 }
