@@ -35,8 +35,72 @@ final class GraftSession(val spark: SparkSession) extends DialectWave2 {
         return writeOutfile(m.group(1), m.group(2), Option(m.group(4)))
       case _ =>
     }
+    // mutation statements (r17): ClickHouse's ALTER TABLE … UPDATE/DELETE
+    // spellings (the reference's engine-native mutations) and the ANSI
+    // UPDATE/DELETE forms route onto the same row-level helpers — native
+    // copy-on-write for [[registerDelta]] tables, capability-gated
+    // passthrough otherwise. Mutations return an empty frame (ClickHouse
+    // returns no rows; the observable effect is the table's new state).
+    val trimmedU = u.trim
+    if (trimmedU.startsWith("ALTER TABLE")) query match {
+      case alterUpdateRe(tbl, setList, where) =>
+        updateSet(tbl, parseSetList(setList), where); return emptyResult
+      case alterDeleteRe(tbl, where) =>
+        deleteRows(tbl, where); return emptyResult
+      case _ => // other ALTERs (ADD COLUMN …) fall through to Spark
+    }
+    else if (trimmedU.startsWith("UPDATE")) query match {
+      case sqlUpdateRe(tbl, setList, where) if deltaTables.contains(tbl) =>
+        updateSet(tbl, parseSetList(setList), where); return emptyResult
+      case _ =>
+    }
+    else if (trimmedU.startsWith("DELETE")) query match {
+      case sqlDeleteRe(tbl, where) if deltaTables.contains(tbl) =>
+        deleteRows(tbl, where); return emptyResult
+      case _ =>
+    }
     spark.sql(rewriteDialect(query))
   }
+
+  private val alterUpdateRe =
+    "(?is)^\\s*ALTER\\s+TABLE\\s+([A-Za-z_][\\w.]*)\\s+UPDATE\\s+(.+?)\\s+WHERE\\s+(.+?)\\s*;?\\s*$".r
+  private val alterDeleteRe =
+    "(?is)^\\s*ALTER\\s+TABLE\\s+([A-Za-z_][\\w.]*)\\s+DELETE\\s+WHERE\\s+(.+?)\\s*;?\\s*$".r
+  private val sqlUpdateRe =
+    "(?is)^\\s*UPDATE\\s+([A-Za-z_][\\w.]*)\\s+SET\\s+(.+?)\\s+WHERE\\s+(.+?)\\s*;?\\s*$".r
+  private val sqlDeleteRe =
+    "(?is)^\\s*DELETE\\s+FROM\\s+([A-Za-z_][\\w.]*)\\s+WHERE\\s+(.+?)\\s*;?\\s*$".r
+
+  private def emptyResult: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Nil))
+
+  /** `col = expr, col2 = expr2` → assignment map (top-level commas/equals
+    * only — an '=' inside a nested function call or literal is untouched).
+    */
+  private def parseSetList(setList: String): Map[String, String] =
+    splitTopLevel(setList).map { a =>
+      val i = {
+        var d = 0; var j = 0; var inStr = false; var inTick = false; var eq = -1
+        while (j < a.length && eq < 0) {
+          val c = a.charAt(j)
+          if (inStr) { if (c == '\'') inStr = false }
+          else if (inTick) { if (c == '`') inTick = false }
+          else c match {
+            case '\'' => inStr = true
+            case '`' => inTick = true
+            case '(' => d += 1
+            case ')' => d -= 1
+            case '=' if d == 0 => eq = j
+            case _ =>
+          }
+          j += 1
+        }
+        eq
+      }
+      require(i > 0, s"cannot parse assignment '$a' — expected col = expr")
+      a.substring(0, i).trim -> a.substring(i + 1).trim
+    }.toMap
 
   // ---- INTO OUTFILE (r17) ---------------------------------------------------
   // ClickHouse's client-side export clause (the reference executes full CH

@@ -1451,6 +1451,28 @@ object CoverageQueries {
         CASE WHEN tag = 1 THEN n
           ELSE last_value(n IGNORE NULLS) OVER (PARTITION BY uid ORDER BY hh
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) END AS n
-      FROM allr ORDER BY uid, hh"""))
+      FROM allr ORDER BY uid, hh""")),
+
+    QueryDef("q212_mutation_sql", (s, dir) => {
+      // ClickHouse mutation SQL (r17): `ALTER TABLE … UPDATE/DELETE` — the
+      // reference executes these natively; here they route to the native
+      // Delta copy-on-write helpers for registered tables, then the final
+      // state is read back. The oracle replays the two mutations as a CASE
+      // + filter over the source rows.
+      val docs = Q.t(s, dir, "documents").select("doc_id", "source", "lang")
+      val path = s"/tmp/graft_mut_${new java.io.File(dir).getName}/documents"
+      graft.io.DeltaNative.write(docs, path, mode = "overwrite")
+      val gs = graft.engine.GraftSession(s)
+      gs.registerDelta("q212_docs", path)
+      gs.sql("ALTER TABLE q212_docs UPDATE lang = upper(lang) WHERE doc_id % 5 = 0")
+      gs.sql("ALTER TABLE q212_docs DELETE WHERE doc_id % 7 = 0")
+      gs.sql("""SELECT source, lang, COUNT(*) AS n,
+          CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM q212_docs GROUP BY source, lang ORDER BY source, lang""")
+    }, Some("""SELECT source,
+        CASE WHEN doc_id % 5 = 0 THEN upper(lang) ELSE lang END AS lang,
+        COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM documents WHERE doc_id % 7 <> 0
+      GROUP BY 1, 2 ORDER BY source, lang"""))
   )
 }

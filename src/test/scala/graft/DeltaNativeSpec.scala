@@ -223,6 +223,23 @@ class DeltaNativeSpec extends SparkTestBase {
     assert(Sources.deltaLake(spark, p, versionAsOf = Some(0L)).count() == 5)
   }
 
+  test("delta: ClickHouse mutation SQL — ALTER TABLE UPDATE/DELETE and ANSI forms") {
+    val p = tmpDir("chdml")
+    DeltaNative.write(base, p)
+    val g = new graft.engine.GraftSession(spark)
+    g.registerDelta("mut_delta", p)
+    // the ClickHouse spellings the reference executes natively
+    assert(g.sql("ALTER TABLE mut_delta UPDATE name = upper(name) WHERE id <= 2")
+      .count() == 0) // mutations return no rows
+    g.sql("ALTER TABLE mut_delta DELETE WHERE id = 5")
+    // the ANSI spellings route to the same CoW path for registered tables
+    g.sql("UPDATE mut_delta SET name = concat(name, '!') WHERE id = 3")
+    g.sql("DELETE FROM mut_delta WHERE id = 4")
+    val back = g.sql("SELECT id, name FROM mut_delta ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(back == Seq((1L, "ALPHA"), (2L, "BETA"), (3L, "gamma!")))
+  }
+
   test("delta: partition filter prunes the file list at plan time (FileIndex)") {
     val p = tmpDir("prune")
     val df = (1 to 100).map(i => (i.toLong, s"n$i", (i % 5).toString))
