@@ -59,8 +59,86 @@ final class GraftSession(val spark: SparkSession) extends DialectWave2 {
         deleteRows(tbl, where); return emptyResult
       case _ =>
     }
+    else if (trimmedU.startsWith("OPTIMIZE")) query match {
+      // ClickHouse `OPTIMIZE TABLE t [FINAL]` = merge parts → Delta compact
+      case optimizeRe(tbl) if deltaTables.contains(tbl) =>
+        graft.io.DeltaNative.optimizeCompact(spark, deltaTables(tbl))
+        refreshDelta(tbl); return emptyResult
+      case _ =>
+    }
+    else if (trimmedU.startsWith("TRUNCATE")) query match {
+      // ClickHouse `TRUNCATE TABLE t` → delete-all CoW for registered
+      // Delta tables (Spark's native TRUNCATE serves catalog tables)
+      case truncateRe(tbl) if deltaTables.contains(tbl) =>
+        deleteRows(tbl, "true"); return emptyResult
+      case _ =>
+    }
+    else if (trimmedU.startsWith("INSERT")) query match {
+      // chdb's inline-data INSERT (r17): `INSERT INTO t [(cols)] FORMAT
+      // JSONEachRow/CSV/… <data>` — ClickHouse reads the DATA from the
+      // statement text after the format name, and chdb.query() ports that
+      // verbatim. VALUES/SELECT inserts fall through to Spark's parser.
+      case insertFormatRe(tbl, _, colList, fmt, payload) =>
+        return insertInline(tbl, Option(colList), fmt, payload)
+      case _ =>
+    }
     spark.sql(rewriteDialect(query))
   }
+
+  private val insertFormatRe =
+    ("(?is)^\\s*INSERT\\s+INTO\\s+(?:TABLE\\s+)?([A-Za-z_][\\w.]*)\\s*" +
+      "(\\(([^)]*)\\))?\\s*FORMAT\\s+([A-Za-z][A-Za-z0-9]*)\\s+(.+)$").r
+
+  private def insertInline(tbl: String, colList: Option[String],
+      fmt: String, payload: String): DataFrame = {
+    val target = spark.table(tbl).schema
+    def bare(s: String): String = {
+      val t = s.trim
+      if (t.startsWith("`") && t.endsWith("`")) t.substring(1, t.length - 1) else t
+    }
+    val colNames: Seq[String] = colList
+      .map(splitTopLevel(_).map(bare).filter(_.nonEmpty))
+      .getOrElse(target.fieldNames.toSeq)
+    val subset = org.apache.spark.sql.types.StructType(colNames.map(n =>
+      target.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
+        throw new IllegalArgumentException(
+          s"INSERT INTO $tbl: column '$n' is not in the table"))))
+    import spark.implicits._
+    val lines = payload.split("\n").toSeq
+      .map(_.stripSuffix("\r")).filter(_.trim.nonEmpty)
+    val ds = spark.createDataset(lines)
+    val rd = spark.read.schema(subset)
+    val parsed = fmt.toUpperCase(java.util.Locale.ROOT) match {
+      case "JSONEACHROW" | "NDJSON" | "JSON" => rd.json(ds)
+      case "CSV" => rd.csv(ds)
+      case "CSVWITHNAMES" => rd.option("header", "true").csv(ds)
+      case "TSV" | "TABSEPARATED" => rd.option("sep", "\t").csv(ds)
+      case "TSVWITHNAMES" | "TABSEPARATEDWITHNAMES" =>
+        rd.option("sep", "\t").option("header", "true").csv(ds)
+      case other => throw new IllegalArgumentException(
+        s"INSERT … FORMAT '$other' not supported (JSONEachRow, CSV, " +
+          "CSVWithNames, TSV, TSVWithNames; use VALUES for literal rows)")
+    }
+    // align to the table's column order; unlisted columns insert as NULL
+    val aligned = parsed.select(target.fields.map { fd =>
+      if (colNames.exists(_.equalsIgnoreCase(fd.name)))
+        org.apache.spark.sql.functions.col(fd.name)
+      else org.apache.spark.sql.functions.lit(null)
+        .cast(fd.dataType).as(fd.name)
+    }.toIndexedSeq: _*)
+    deltaTables.get(tbl) match {
+      case Some(path) =>
+        graft.io.DeltaNative.write(aligned, path, mode = "append")
+        refreshDelta(tbl)
+      case None => aligned.write.mode("append").insertInto(tbl)
+    }
+    emptyResult
+  }
+
+  private val optimizeRe =
+    "(?is)^\\s*OPTIMIZE\\s+TABLE\\s+([A-Za-z_][\\w.]*)(?:\\s+FINAL)?\\s*;?\\s*$".r
+  private val truncateRe =
+    "(?is)^\\s*TRUNCATE\\s+TABLE\\s+([A-Za-z_][\\w.]*)\\s*;?\\s*$".r
 
   private val alterUpdateRe =
     "(?is)^\\s*ALTER\\s+TABLE\\s+([A-Za-z_][\\w.]*)\\s+UPDATE\\s+(.+?)\\s+WHERE\\s+(.+?)\\s*;?\\s*$".r

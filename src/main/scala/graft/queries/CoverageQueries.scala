@@ -1473,6 +1473,33 @@ object CoverageQueries {
         CASE WHEN doc_id % 5 = 0 THEN upper(lang) ELSE lang END AS lang,
         COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
       FROM documents WHERE doc_id % 7 <> 0
-      GROUP BY 1, 2 ORDER BY source, lang"""))
+      GROUP BY 1, 2 ORDER BY source, lang""")),
+
+    QueryDef("q213_insert_format", (s, dir) => {
+      // chdb's inline-data INSERT (r17): ClickHouse reads the DATA from the
+      // statement after the FORMAT name — `INSERT INTO t FORMAT JSONEachRow
+      // {…}` and a column-subset CSV form (unlisted columns → NULL). The
+      // oracle replays the literal payload as VALUES.
+      val gs = graft.engine.GraftSession(s)
+      s.sql("DROP TABLE IF EXISTS q213_tbl")
+      val wh = new java.io.File(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "q213_tbl")
+      if (wh.exists) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(wh.toPath).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      gs.createTable("q213_tbl", "k INT, name STRING, score DOUBLE")
+      gs.sql("""INSERT INTO q213_tbl FORMAT JSONEachRow
+{"k": 1, "name": "alpha", "score": 1.5}
+{"k": 2, "name": "beta", "score": -0.25}""")
+      gs.sql("INSERT INTO q213_tbl (k, name) FORMAT CSV\n3,gamma\n4,delta")
+      gs.sql("SELECT k, name, score FROM q213_tbl ORDER BY k")
+    }, Some("""SELECT * FROM (VALUES
+        (1, 'alpha', CAST(1.5 AS DOUBLE)),
+        (2, 'beta', CAST(-0.25 AS DOUBLE)),
+        (3, 'gamma', CAST(NULL AS DOUBLE)),
+        (4, 'delta', CAST(NULL AS DOUBLE))) t(k, name, score)
+      ORDER BY k"""))
   )
 }

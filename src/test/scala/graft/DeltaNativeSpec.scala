@@ -240,6 +240,25 @@ class DeltaNativeSpec extends SparkTestBase {
     assert(back == Seq((1L, "ALPHA"), (2L, "BETA"), (3L, "gamma!")))
   }
 
+  test("delta: OPTIMIZE TABLE FINAL compacts; TRUNCATE TABLE empties; inline INSERT appends") {
+    val p = tmpDir("optsql")
+    val g = new graft.engine.GraftSession(spark)
+    // many small files: one per append
+    DeltaNative.write(Seq((1L, "a")).toDF("id", "name"), p)
+    DeltaNative.write(Seq((2L, "b")).toDF("id", "name"), p, mode = "append")
+    DeltaNative.write(Seq((3L, "c")).toDF("id", "name"), p, mode = "append")
+    g.registerDelta("opt_delta", p)
+    assert(DeltaNative.snapshot(spark, p).files.size == 3)
+    assert(g.sql("OPTIMIZE TABLE opt_delta FINAL").count() == 0)
+    assert(DeltaNative.snapshot(spark, p).files.size == 1)
+    assert(g.sql("SELECT COUNT(*) FROM opt_delta").collect().head.getLong(0) == 3)
+    // inline-data INSERT appends through the Delta writer
+    g.sql("INSERT INTO opt_delta FORMAT CSV\n4,d\n5,e")
+    assert(g.sql("SELECT COUNT(*) FROM opt_delta").collect().head.getLong(0) == 5)
+    g.sql("TRUNCATE TABLE opt_delta")
+    assert(g.sql("SELECT COUNT(*) FROM opt_delta").collect().head.getLong(0) == 0)
+  }
+
   test("delta: partition filter prunes the file list at plan time (FileIndex)") {
     val p = tmpDir("prune")
     val df = (1 to 100).map(i => (i.toLong, s"n$i", (i % 5).toString))
