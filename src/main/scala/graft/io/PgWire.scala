@@ -3,6 +3,7 @@ package graft.io
 import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 import java.net.{InetAddress, ServerSocket, Socket}
 import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
 import java.sql.{Connection, Driver, DriverPropertyInfo, PreparedStatement, ResultSet, ResultSetMetaData, SQLException, Statement, Types}
 import java.util.Properties
 import java.util.concurrent.Executors
@@ -226,6 +227,18 @@ object PgWire {
     case _ => None
   }
 
+  /** PG MD5 password response (the published exchange, r17):
+    * "md5" + hex(md5(hex(md5(password + user)) + salt)).
+    */
+  private[io] def md5Password(password: String, user: String,
+      salt: Array[Byte]): String = {
+    def md5hex(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+        .map("%02x".format(_)).mkString
+    val inner = md5hex((password + user).getBytes(UTF_8))
+    "md5" + md5hex(inner.getBytes(UTF_8) ++ salt)
+  }
+
   /** One-shot client COPY cycle (spec surface): connect, COPY, close. */
   private[graft] def clientCopyOut(host: String, port: Int, db: String,
       user: String, pass: String, sql: String): (Seq[String], Long) = {
@@ -300,7 +313,10 @@ object PgWire {
 final class PgServer(
     gs: GraftSession,
     port: Int = 0,
-    users: Map[String, String] = Map("default" -> "")) {
+    users: Map[String, String] = Map("default" -> ""),
+    authMethod: String = "cleartext") {
+  require(authMethod == "cleartext" || authMethod == "md5",
+    s"authMethod must be cleartext or md5 (got '$authMethod')")
 
   import PgWire._
 
@@ -391,15 +407,31 @@ final class PgServer(
         }
       }
 
-      // ---- cleartext password auth ----
-      msg('R')(_.writeInt(3)); out.flush()
+      // ---- password auth: cleartext (code 3) or MD5 (code 5 + salt —
+      // the exchange pgjdbc/psycopg2 answer automatically: the client
+      // sends md5(md5(password + user) + salt) hex-prefixed "md5") ----
+      val salt = new Array[Byte](4)
+      if (authMethod == "md5") {
+        // per-connection salt from a CSPRNG (replay protection)
+        new java.security.SecureRandom().nextBytes(salt)
+        msg('R') { d => d.writeInt(5); d.write(salt) }
+      } else msg('R')(_.writeInt(3))
+      out.flush()
       val pt = in.read()
       if (pt != 'p') { sock.close(); return }
       val plen = in.readInt()
       val pbody = new Array[Byte](plen - 4)
       in.readFully(pbody)
       val pass = new String(pbody.takeWhile(_ != 0), UTF_8)
-      if (!users.get(user).contains(pass)) {
+      val ok = users.get(user).exists { expected =>
+        if (authMethod == "md5")
+          MessageDigest.isEqual(
+            PgWire.md5Password(expected, user, salt).getBytes(UTF_8),
+            pass.getBytes(UTF_8))
+        else MessageDigest.isEqual(
+          expected.getBytes(UTF_8), pass.getBytes(UTF_8))
+      }
+      if (!ok) {
         errorResponse("28P01", s"password authentication failed for user \"$user\"")
         out.flush(); sock.close(); return
       }
@@ -900,6 +932,9 @@ private[io] final class PgClientConnection(
         code match {
           case 0 => // AuthenticationOk
           case 3 => send('p', cstrBytes(pass)) // cleartext password
+          case 5 => // MD5: body carries the 4-byte salt after the code
+            val salt = java.util.Arrays.copyOfRange(body, 4, 8)
+            send('p', cstrBytes(PgWire.md5Password(pass, user, salt)))
           case other => throw new SQLException(s"unsupported auth method $other")
         }
       case ('E', body) => throw new SQLException("pg auth failed: " + errorMessage(body))

@@ -132,6 +132,25 @@ class PgWireSpec extends SparkTestBase {
     }
   }
 
+  test("pg: MD5 auth round trip — salted exchange, wrong password rejected") {
+    import spark.implicits._
+    Seq((1L, "m")).toDF("k", "v").createOrReplaceTempView("pg_md5_t")
+    val server = new graft.io.PgServer(GraftSession(spark),
+      users = Map("u" -> "pw"), authMethod = "md5").start()
+    try {
+      val got = Sources.jdbc(spark, s"jdbc:postgresql://${server.hostPort}/db",
+        "pg_md5_t", Map("user" -> "u", "password" -> "pw"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got == Seq((1L, "m")))
+      val e = intercept[Exception] {
+        Sources.jdbc(spark, s"jdbc:postgresql://${server.hostPort}/db",
+          "pg_md5_t", Map("user" -> "u", "password" -> "nope")).collect()
+      }
+      assert(e.getMessage.contains("28P01") || e.toString.contains("auth"),
+        e.getMessage)
+    } finally server.stop()
+  }
+
   test("pg: wrong password fails with the server's 28P01 error") {
     Seq((1L, "x")).toDF("k", "v").createOrReplaceTempView("pg_auth_t")
     withServer() { server =>
