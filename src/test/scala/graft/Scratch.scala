@@ -18,6 +18,7 @@ object Scratch {
     if (args.headOption.contains("ncmicro")) { ncMicro(); g.spark.stop(); return }
     if (args.headOption.contains("ncplan")) { ncPlan(g); g.spark.stop(); return }
     if (args.headOption.contains("r12drive")) { r12drive(g); g.spark.stop(); return }
+    if (args.headOption.contains("r17plans")) { r17plans(g); g.spark.stop(); return }
     if (args.headOption.contains("capprof")) { capProf(g); g.spark.stop(); return }
     if (args.headOption.contains("remotedrive")) { remoteDrive(g); g.spark.stop(); return }
     if (args.headOption.contains("tlsdrive")) { tlsDrive(g); g.spark.stop(); return }
@@ -708,5 +709,57 @@ object Scratch {
         println("!! UNEXPECTED: untrusted client read data")
       } catch { case e: Exception => println(s"rejected as expected: ${e.getClass.getSimpleName}") }
     } finally { server.stop(); ksFile.delete() }
+  }
+
+  /** r17 plan audit: the round's new operators, .explain'd for anti-patterns
+    * (cartesian products, unexpected single-partition windows, missed
+    * pushdowns). Eyeball output; the greps below flag the key shapes.
+    */
+  private def r17plans(g: graft.engine.GraftSession): Unit = {
+    val spark = g.spark
+    val sf = "/root/testdata/sf0.001"
+    Seq("documents", "events", "orders").foreach(t =>
+      graft.Tables.load(spark, sf, t).createOrReplaceTempView(t))
+
+    def audit(name: String, df: org.apache.spark.sql.DataFrame,
+        mustHave: Seq[String] = Nil, mustNot: Seq[String] = Nil): Unit = {
+      val plan = df.queryExecution.executedPlan.toString
+      println(s"\n=== $name ===")
+      mustHave.foreach(p => println(
+        s"  HAVE '$p': ${if (plan.contains(p)) "OK" else "MISSING!"}"))
+      mustNot.foreach(p => println(
+        s"  NOT  '$p': ${if (!plan.contains(p)) "OK" else "PRESENT!"}"))
+      if (mustHave.exists(p => !plan.contains(p)) ||
+          mustNot.exists(plan.contains)) println(plan.take(6000))
+    }
+
+    audit("q210 removeBoilerplate",
+      graft.ds.GraftFrame(spark.table("documents"))
+        .removeBoilerplate("text", "doc_id", 3).df,
+      mustHave = Seq("LeftAnti"),
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+
+    audit("q211 grouped fill (windows must be PARTITIONed)",
+      g.sql("""SELECT CAST(user_id % 15 AS BIGINT) AS uid,
+           CAST(hour(ts) AS BIGINT) AS hh, COUNT(*) AS n
+         FROM events GROUP BY 1, 2
+         ORDER BY uid, hh WITH FILL INTERPOLATE (n)"""),
+      mustHave = Seq("windowspecdefinition(uid"),
+      mustNot = Seq("CartesianProduct"))
+
+    audit("q205 interpolate-expr (global window is the documented bound)",
+      g.sql("""SELECT CAST(o_custkey AS BIGINT) AS ck, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DOUBLE)) AS DOUBLE) AS rev
+         FROM orders WHERE o_custkey <= 60 GROUP BY 1
+         ORDER BY ck WITH FILL FROM 1 TO 61 INTERPOLATE (rev AS n * 2.0)"""),
+      mustNot = Seq("CartesianProduct"))
+
+    audit("q208 asof subquery sides (single union+window, no explosion)",
+      g.sql("""SELECT p.user_id, p.ts, c.cts
+         FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT user_id, ts AS cts FROM events
+           WHERE event_type = 'click') c
+         ON p.user_id = c.user_id AND p.ts >= c.cts"""),
+      mustNot = Seq("CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"))
   }
 }
