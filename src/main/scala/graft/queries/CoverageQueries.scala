@@ -1500,6 +1500,35 @@ object CoverageQueries {
         (2, 'beta', CAST(-0.25 AS DOUBLE)),
         (3, 'gamma', CAST(NULL AS DOUBLE)),
         (4, 'delta', CAST(NULL AS DOUBLE))) t(k, name, score)
-      ORDER BY k"""))
+      ORDER BY k""")),
+
+    QueryDef("q214_cumprod_pct_change", (s, dir) => {
+      // pandas cumprod + pct_change (reference pandas_compat.py:891, :935)
+      // under the explicit-order contract: cumprod = the product
+      // TypedImperativeAggregate over a running window (no exp/ln trick —
+      // exact for zeros and negatives); pct_change = value/lag - 1. DuckDB
+      // replays both (it has a native product window).
+      v(s, dir, "orders")
+      graft.engine.GraftSession(s).sql(
+        """SELECT o_orderkey,
+             CAST(product(1.0 + l) OVER wf AS DOUBLE) AS cum_growth,
+             CAST(l / lag(l) OVER wo - 1.0 AS DOUBLE) AS pct_chg
+           FROM (SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice AS DOUBLE) / 100000.0 AS l
+             FROM orders WHERE o_custkey <= 20)
+           WINDOW wf AS (PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wo AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+           ORDER BY o_orderkey""")
+    }, Some("""SELECT o_orderkey,
+        CAST(product(1.0 + l) OVER wf AS DOUBLE) AS cum_growth,
+        CAST(l / lag(l) OVER wo - 1.0 AS DOUBLE) AS pct_chg
+      FROM (SELECT o_orderkey, o_custkey,
+          CAST(o_totalprice AS DOUBLE) / 100000.0 AS l
+        FROM orders WHERE o_custkey <= 20)
+      WINDOW wf AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      wo AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+      ORDER BY o_orderkey"""))
   )
 }
