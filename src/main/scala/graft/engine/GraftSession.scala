@@ -126,13 +126,67 @@ final class GraftSession(val spark: SparkSession) extends DialectWave2 {
       else org.apache.spark.sql.functions.lit(null)
         .cast(fd.dataType).as(fd.name)
     }.toIndexedSeq: _*)
+    appendToTable(tbl, aligned)
+    emptyResult
+  }
+
+  /** Append rows to a table by name: native Delta writer for
+    * [[registerDelta]] tables, `insertInto` for catalog tables.
+    */
+  private[graft] def appendToTable(tbl: String, aligned: DataFrame): Unit =
     deltaTables.get(tbl) match {
       case Some(path) =>
         graft.io.DeltaNative.write(aligned, path, mode = "append")
         refreshDelta(tbl)
       case None => aligned.write.mode("append").insertInto(tbl)
     }
-    emptyResult
+
+  /** Schema of `tbl` (COPY FROM STDIN needs it before any rows arrive). */
+  private[graft] def tableSchema(tbl: String): org.apache.spark.sql.types.StructType =
+    spark.table(tbl).schema
+
+  /** COPY FROM STDIN text payload → typed rows appended to `tbl` (r17):
+    * tab-separated fields, `\\N` nulls, backslash escapes — the inverse of
+    * the COPY OUT rendering. Returns the row count.
+    */
+  private[graft] def copyInText(tbl: String, lines: Seq[String]): Long = {
+    val target = tableSchema(tbl)
+    def unescape(s: String): String = {
+      if (s.indexOf('\\') < 0) return s
+      val b = new java.lang.StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case 't' => b.append('\t'); i += 2
+            case 'n' => b.append('\n'); i += 2
+            case 'r' => b.append('\r'); i += 2
+            case '\\' => b.append('\\'); i += 2
+            case other => b.append(other); i += 2
+          }
+        } else { b.append(c); i += 1 }
+      }
+      b.toString
+    }
+    val rows = lines.map { line =>
+      val fields = line.split("\t", -1)
+      require(fields.length == target.fields.length,
+        s"COPY $tbl: expected ${target.fields.length} fields, " +
+          s"got ${fields.length} in '${line.take(80)}'")
+      org.apache.spark.sql.Row.fromSeq(fields.toIndexedSeq.map(f =>
+        if (f == "\\N") null else unescape(f)))
+    }
+    val strSchema = org.apache.spark.sql.types.StructType(target.fields.map(f =>
+      org.apache.spark.sql.types.StructField(f.name,
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    val raw = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq), strSchema)
+    val typed = raw.select(target.fields.map(f =>
+      org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name))
+      .toIndexedSeq: _*)
+    appendToTable(tbl, typed)
+    rows.length.toLong
   }
 
   private val optimizeRe =

@@ -246,10 +246,21 @@ object PgWire {
     try c.copyOut(sql) finally c.wireClose()
   }
 
-  // ---- COPY OUT (r17) ----
+  /** One-shot client COPY FROM STDIN cycle: connect, stream lines, close. */
+  private[graft] def clientCopyIn(host: String, port: Int, db: String,
+      user: String, pass: String, sql: String, lines: Seq[String]): Long = {
+    val c = new PgClientConnection(host, port, db, user, pass)
+    try c.copyIn(sql, lines) finally c.wireClose()
+  }
+
+  // ---- COPY OUT / COPY IN (r17) ----
   // `COPY (SELECT …) TO STDOUT` / `COPY table TO STDOUT [WITH] [(FORMAT f)]`
   private[io] val copyOutRe =
     ("(?is)^\\s*COPY\\s+(?:\\((.+)\\)|([A-Za-z_\"][\\w.\"]*))\\s+TO\\s+STDOUT" +
+      "\\s*(?:WITH\\s*)?(?:\\(\\s*FORMAT\\s+(\\w+)\\s*\\))?\\s*;?\\s*$").r
+  // `COPY table FROM STDIN [WITH] [(FORMAT f)]`
+  private[io] val copyInRe =
+    ("(?is)^\\s*COPY\\s+([A-Za-z_\"][\\w.\"]*)\\s+FROM\\s+STDIN" +
       "\\s*(?:WITH\\s*)?(?:\\(\\s*FORMAT\\s+(\\w+)\\s*\\))?\\s*;?\\s*$").r
 
   /** COPY text-format field escaping (PG's documented rules): backslash,
@@ -587,6 +598,49 @@ final class PgServer(
               val sql = new String(body.takeWhile(_ != 0), UTF_8)
               try {
                 if (sql.trim.isEmpty) msg('I')(_ => ())
+                else if (PgWire.copyInRe.findFirstMatchIn(sql).isDefined) {
+                  // COPY table FROM STDIN (r17) — the bulk-load subprotocol
+                  // (psql \copy from, psycopg copy). CopyInResponse, then
+                  // CopyData chunks accumulate until CopyDone; the text
+                  // payload parses by the table's schema and appends.
+                  val cm = PgWire.copyInRe.findFirstMatchIn(sql).get
+                  val fmt = Option(cm.group(2)).getOrElse("text")
+                  if (!fmt.equalsIgnoreCase("text"))
+                    throw new UnsupportedOperationException(
+                      s"COPY format '$fmt' not supported (text only)")
+                  val tbl = cm.group(1).replace("\"", "")
+                  val nCols = gs.tableSchema(tbl).fields.length // resolves/validates
+                  msg('G') { d => // CopyInResponse, overall + per-col text
+                    d.writeByte(0); d.writeShort(nCols)
+                    (0 until nCols).foreach(_ => d.writeShort(0))
+                  }
+                  out.flush()
+                  val data = new ByteArrayOutputStream(4096)
+                  var copying = true
+                  var failed: String = null
+                  while (copying) {
+                    val ct = in.read()
+                    if (ct < 0) throw new java.io.EOFException("client left mid-COPY")
+                    val clen = in.readInt()
+                    val cbody = new Array[Byte](clen - 4)
+                    in.readFully(cbody)
+                    ct match {
+                      case 'd' => data.write(cbody)
+                      case 'c' => copying = false // CopyDone
+                      case 'f' => // CopyFail: message follows
+                        failed = new String(cbody.takeWhile(_ != 0), UTF_8)
+                        copying = false
+                      case _ => // per spec, ignore other messages mid-copy
+                    }
+                  }
+                  if (failed != null)
+                    throw new IllegalStateException(s"COPY aborted by client: $failed")
+                  val lines = new String(data.toByteArray, UTF_8)
+                    .split("\n", -1).toSeq.filter(_.nonEmpty)
+                    .takeWhile(_ != "\\.") // optional end-of-data marker
+                  val n = gs.copyInText(tbl, lines)
+                  msg('C')(cstr(_, s"COPY $n"))
+                }
                 else PgWire.copyOutRe.findFirstMatchIn(sql) match {
                   case Some(cm) =>
                     // COPY (…) TO STDOUT — the bulk-extract subprotocol real
@@ -1114,6 +1168,36 @@ private[io] final class PgClientConnection(
     require(started, "server never sent CopyOutResponse")
     val text = new String(data.toByteArray, UTF_8)
     (text.split("\n", -1).toSeq.filter(_.nonEmpty), count)
+  }
+
+  /** COPY … FROM STDIN cycle (r17): waits for CopyInResponse, streams the
+    * text lines as CopyData, CopyDone, and returns the `COPY n` count.
+    */
+  def copyIn(sql: String, lines: Seq[String]): Long = {
+    send('Q', cstrBytes(sql))
+    var inCopy = false
+    var count = -1L
+    var done = false
+    while (!done) recv() match {
+      case ('G', _) if !inCopy => // CopyInResponse — ship the payload
+        inCopy = true
+        lines.grouped(256).foreach { batch =>
+          send('d', batch.mkString("", "\n", "\n").getBytes(UTF_8))
+        }
+        send('c', Array.emptyByteArray) // CopyDone
+      case ('C', body) =>
+        val tag = new String(body.takeWhile(_ != 0), UTF_8)
+        require(tag.startsWith("COPY "), s"expected COPY trailer, got '$tag'")
+        count = tag.stripPrefix("COPY ").trim.toLong
+      case ('Z', _) => done = true
+      case ('E', body) =>
+        val m = errorMessage(body); drainToReady()
+        throw new SQLException(s"pg COPY IN failed: $m")
+      case ('S' | 'N', _) =>
+      case (t, _) => throw new SQLException(s"unexpected COPY IN message '$t'")
+    }
+    require(inCopy, "server never sent CopyInResponse")
+    count
   }
 
   override def wireClose(): Unit = if (!closed) {

@@ -438,6 +438,39 @@ class PgWireSpec extends SparkTestBase {
     }
   }
 
+  test("pg: COPY table FROM STDIN bulk-loads typed rows (round trip with COPY OUT)") {
+    // the load half of the COPY pair: psql \copy from / psycopg copy. The
+    // text payload (tabs, \N nulls, escapes) parses by the table's schema.
+    val gs2 = GraftSession(spark)
+    spark.sql("DROP TABLE IF EXISTS pg_copyin_t")
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "pg_copyin_t")
+    if (wh.exists) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(wh.toPath).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    gs2.createTable("pg_copyin_t", "k BIGINT, s STRING, v DOUBLE")
+    withServer() { server =>
+      val n = graft.io.PgWire.clientCopyIn(
+        "127.0.0.1", server.boundPort, "db", "u", "pw",
+        "COPY pg_copyin_t FROM STDIN",
+        Seq("1\tplain\t1.5", "2\ttab\\there\t\\N", "3\t\\N\t-0.25"))
+      assert(n == 3L)
+      val back = gs2.sql("SELECT k, s, v FROM pg_copyin_t ORDER BY k").collect()
+      assert(back.map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSeq ==
+        Seq((1L, "plain", 1.5), (2L, "tab\there", null), (3L, null, -0.25)))
+      // full circle: COPY OUT reproduces the same text payload
+      val (lines, cnt) = graft.io.PgWire.clientCopyOut(
+        "127.0.0.1", server.boundPort, "db", "u", "pw",
+        "COPY (SELECT k, s, v FROM pg_copyin_t ORDER BY k) TO STDOUT")
+      assert(cnt == 3L)
+      assert(lines == Seq("1\tplain\t1.5", "2\ttab\\there\t\\N", "3\t\\N\t-0.25"))
+    }
+  }
+
   test("pg: extended-mode error discards to Sync and the connection survives") {
     withServer() { server =>
       val conn = new graft.io.PgJdbcDriver().connect(
