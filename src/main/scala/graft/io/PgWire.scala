@@ -227,6 +227,46 @@ object PgWire {
     case _ => None
   }
 
+  /** SCRAM-SHA-256 primitives (RFC 5802/7677, r17) — the SASL mechanism
+    * PostgreSQL 10+ defaults to (AuthenticationSASL code 10 → SASLContinue
+    * 11 → SASLFinal 12). Same construction as the repo's Mongo
+    * SCRAM-SHA-1, over SHA-256, with PG's no-channel-binding "n,," gs2.
+    */
+  private[io] object Scram256 {
+    def h(data: Array[Byte]): Array[Byte] =
+      java.security.MessageDigest.getInstance("SHA-256").digest(data)
+    def hmac(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+      val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+      mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+      mac.doFinal(data)
+    }
+    def xor(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      a.zip(b).map { case (x, y) => (x ^ y).toByte }
+    /** RFC 5802 Hi() = PBKDF2-HMAC-SHA256. */
+    def hi(password: String, salt: Array[Byte], iters: Int): Array[Byte] = {
+      var u = hmac(password.getBytes(UTF_8), salt ++ Array[Byte](0, 0, 0, 1))
+      var result = u
+      var i = 1
+      while (i < iters) {
+        u = hmac(password.getBytes(UTF_8), u)
+        result = xor(result, u); i += 1
+      }
+      result
+    }
+    def b64(b: Array[Byte]): String =
+      java.util.Base64.getEncoder.encodeToString(b)
+    def unb64(s: String): Array[Byte] = java.util.Base64.getDecoder.decode(s)
+    /** "k=v,k=v" SCRAM attribute list → first-wins map. */
+    def attrs(s: String): Map[Char, String] =
+      s.split(",").toSeq.filter(e => e.length >= 2 && e.charAt(1) == '=')
+        .map(e => e.charAt(0) -> e.substring(2)).toMap
+    def nonce(): String = {
+      val b = new Array[Byte](18)
+      new java.security.SecureRandom().nextBytes(b)
+      b64(b)
+    }
+  }
+
   /** PG MD5 password response (the published exchange, r17):
     * "md5" + hex(md5(hex(md5(password + user)) + salt)).
     */
@@ -326,8 +366,9 @@ final class PgServer(
     port: Int = 0,
     users: Map[String, String] = Map("default" -> ""),
     authMethod: String = "cleartext") {
-  require(authMethod == "cleartext" || authMethod == "md5",
-    s"authMethod must be cleartext or md5 (got '$authMethod')")
+  require(authMethod == "cleartext" || authMethod == "md5" ||
+      authMethod == "scram-sha-256",
+    s"authMethod must be cleartext, md5 or scram-sha-256 (got '$authMethod')")
 
   import PgWire._
 
@@ -418,33 +459,90 @@ final class PgServer(
         }
       }
 
-      // ---- password auth: cleartext (code 3) or MD5 (code 5 + salt —
-      // the exchange pgjdbc/psycopg2 answer automatically: the client
-      // sends md5(md5(password + user) + salt) hex-prefixed "md5") ----
-      val salt = new Array[Byte](4)
-      if (authMethod == "md5") {
-        // per-connection salt from a CSPRNG (replay protection)
-        new java.security.SecureRandom().nextBytes(salt)
-        msg('R') { d => d.writeInt(5); d.write(salt) }
-      } else msg('R')(_.writeInt(3))
-      out.flush()
-      val pt = in.read()
-      if (pt != 'p') { sock.close(); return }
-      val plen = in.readInt()
-      val pbody = new Array[Byte](plen - 4)
-      in.readFully(pbody)
-      val pass = new String(pbody.takeWhile(_ != 0), UTF_8)
-      val ok = users.get(user).exists { expected =>
-        if (authMethod == "md5")
-          MessageDigest.isEqual(
-            PgWire.md5Password(expected, user, salt).getBytes(UTF_8),
-            pass.getBytes(UTF_8))
-        else MessageDigest.isEqual(
-          expected.getBytes(UTF_8), pass.getBytes(UTF_8))
+      // ---- password auth: cleartext (code 3), MD5 (code 5 + salt — the
+      // client sends md5(md5(password + user) + salt) hex-prefixed "md5"),
+      // or SCRAM-SHA-256 (the SASL exchange PG 10+ defaults to; r17) ----
+      def readP(): Option[Array[Byte]] = {
+        val pt = in.read()
+        if (pt != 'p') None
+        else {
+          val plen = in.readInt()
+          val pbody = new Array[Byte](plen - 4)
+          in.readFully(pbody)
+          Some(pbody)
+        }
       }
-      if (!ok) {
+      def authFail(): Unit = {
         errorResponse("28P01", s"password authentication failed for user \"$user\"")
-        out.flush(); sock.close(); return
+        out.flush(); sock.close()
+      }
+      if (authMethod == "scram-sha-256") {
+        import PgWire.Scram256._
+        // AuthenticationSASL: the mechanism list (no channel binding)
+        msg('R') { d => d.writeInt(10); cstr(d, "SCRAM-SHA-256"); d.writeByte(0) }
+        out.flush()
+        // SASLInitialResponse: cstring mechanism + int32 length + client-first
+        val init = readP().getOrElse { sock.close(); return }
+        val d0 = new DataInputStream(new java.io.ByteArrayInputStream(init))
+        val mech = readCstr(d0)
+        if (mech != "SCRAM-SHA-256") { authFail(); return }
+        val cfLen = d0.readInt()
+        val cf = new Array[Byte](cfLen); d0.readFully(cf)
+        val clientFirst = new String(cf, UTF_8)
+        // gs2 header "n,," (or "y,,") then the bare message
+        val bareAt = clientFirst.indexOf(",,")
+        if (bareAt < 0) { authFail(); return }
+        val clientFirstBare = clientFirst.substring(bareAt + 2)
+        val cAttrs = attrs(clientFirstBare)
+        val cNonce = cAttrs.getOrElse('r', { authFail(); return })
+        val expected = users.getOrElse(user, { authFail(); return })
+        val salt = new Array[Byte](16)
+        new java.security.SecureRandom().nextBytes(salt)
+        val iters = 4096
+        val sNonce = cNonce + nonce()
+        val serverFirst = s"r=$sNonce,s=${b64(salt)},i=$iters"
+        msg('R') { d => d.writeInt(11); d.write(serverFirst.getBytes(UTF_8)) }
+        out.flush()
+        val fin = readP().getOrElse { sock.close(); return }
+        val clientFinal = new String(fin, UTF_8)
+        val fAttrs = attrs(clientFinal)
+        val proofB64 = fAttrs.getOrElse('p', { authFail(); return })
+        if (!fAttrs.get('r').contains(sNonce)) { authFail(); return }
+        val withoutProof = clientFinal.substring(0,
+          clientFinal.lastIndexOf(",p="))
+        val authMsg = s"$clientFirstBare,$serverFirst,$withoutProof"
+        val salted = hi(expected, salt, iters)
+        val clientKey = hmac(salted, "Client Key".getBytes(UTF_8))
+        val storedKey = h(clientKey)
+        val clientSig = hmac(storedKey, authMsg.getBytes(UTF_8))
+        val proof = try unb64(proofB64) catch { case _: Exception => authFail(); return }
+        // RecoveredClientKey = proof XOR signature; verify via StoredKey —
+        // the server-side check the RFC prescribes (never compares plaintext)
+        val recovered = xor(proof, clientSig)
+        if (!MessageDigest.isEqual(h(recovered), storedKey)) { authFail(); return }
+        val serverKey = hmac(salted, "Server Key".getBytes(UTF_8))
+        val serverSig = hmac(serverKey, authMsg.getBytes(UTF_8))
+        msg('R') { d => d.writeInt(12)
+          d.write(s"v=${b64(serverSig)}".getBytes(UTF_8)) }
+      } else {
+        val salt = new Array[Byte](4)
+        if (authMethod == "md5") {
+          // per-connection salt from a CSPRNG (replay protection)
+          new java.security.SecureRandom().nextBytes(salt)
+          msg('R') { d => d.writeInt(5); d.write(salt) }
+        } else msg('R')(_.writeInt(3))
+        out.flush()
+        val pbody = readP().getOrElse { sock.close(); return }
+        val pass = new String(pbody.takeWhile(_ != 0), UTF_8)
+        val ok = users.get(user).exists { expected =>
+          if (authMethod == "md5")
+            MessageDigest.isEqual(
+              PgWire.md5Password(expected, user, salt).getBytes(UTF_8),
+              pass.getBytes(UTF_8))
+          else MessageDigest.isEqual(
+            expected.getBytes(UTF_8), pass.getBytes(UTF_8))
+        }
+        if (!ok) { authFail(); return }
       }
       msg('R')(_.writeInt(0)) // AuthenticationOk
       Seq("server_version" -> "16.0 (graft)", "client_encoding" -> "UTF8",
@@ -980,6 +1078,10 @@ private[io] final class PgClientConnection(
     pd.writeByte(0)
     out.writeInt(params.size + 4); params.writeTo(out); out.flush()
     var ready = false
+    // SCRAM-SHA-256 state across the SASL round trips (r17)
+    var scramNonce = ""
+    var scramFirstBare = ""
+    var scramServerSig: Array[Byte] = null
     while (!ready) recv() match {
       case ('R', body) =>
         val code = java.nio.ByteBuffer.wrap(body).getInt
@@ -989,6 +1091,50 @@ private[io] final class PgClientConnection(
           case 5 => // MD5: body carries the 4-byte salt after the code
             val salt = java.util.Arrays.copyOfRange(body, 4, 8)
             send('p', cstrBytes(PgWire.md5Password(pass, user, salt)))
+          case 10 => // AuthenticationSASL: mechanism list
+            import PgWire.Scram256._
+            val mechs = new String(body, 4, body.length - 4, UTF_8)
+              .split("\u0000") // NUL-separated cstring list
+              .filter(_.nonEmpty).toSeq
+            if (!mechs.contains("SCRAM-SHA-256"))
+              throw new SQLException(
+                s"server offers no supported SASL mechanism (${mechs.mkString(", ")})")
+            scramNonce = nonce()
+            scramFirstBare = s"n=,r=$scramNonce" // PG takes the user from startup
+            val cf = ("n,," + scramFirstBare).getBytes(UTF_8)
+            val b = new ByteArrayOutputStream(64)
+            val d = new DataOutputStream(b)
+            d.write(cstrBytes("SCRAM-SHA-256"))
+            d.writeInt(cf.length); d.write(cf)
+            send('p', b.toByteArray)
+          case 11 => // AuthenticationSASLContinue: server-first-message
+            import PgWire.Scram256._
+            val serverFirst = new String(body, 4, body.length - 4, UTF_8)
+            val a = attrs(serverFirst)
+            val sNonce = a.getOrElse('r',
+              throw new SQLException("SCRAM: server-first lacks r="))
+            if (!sNonce.startsWith(scramNonce))
+              throw new SQLException("SCRAM: server nonce does not extend ours")
+            val salt = unb64(a('s')); val iters = a('i').toInt
+            val withoutProof = s"c=biws,r=$sNonce" // biws = b64("n,,")
+            val authMsg = s"$scramFirstBare,$serverFirst,$withoutProof"
+            val salted = hi(pass, salt, iters)
+            val clientKey = hmac(salted, "Client Key".getBytes(UTF_8))
+            val proof = xor(clientKey,
+              hmac(h(clientKey), authMsg.getBytes(UTF_8)))
+            val serverKey = hmac(salted, "Server Key".getBytes(UTF_8))
+            scramServerSig = hmac(serverKey, authMsg.getBytes(UTF_8))
+            send('p', s"$withoutProof,p=${b64(proof)}".getBytes(UTF_8))
+          case 12 => // AuthenticationSASLFinal: verify the server signature
+            import PgWire.Scram256._
+            val fin = new String(body, 4, body.length - 4, UTF_8)
+            val v = attrs(fin).getOrElse('v',
+              throw new SQLException("SCRAM: final message lacks v="))
+            if (scramServerSig == null ||
+                !MessageDigest.isEqual(unb64(v), scramServerSig))
+              throw new SQLException(
+                "SCRAM: server signature mismatch — not the server that " +
+                  "holds the password")
           case other => throw new SQLException(s"unsupported auth method $other")
         }
       case ('E', body) => throw new SQLException("pg auth failed: " + errorMessage(body))

@@ -151,6 +151,28 @@ class PgWireSpec extends SparkTestBase {
     } finally server.stop()
   }
 
+  test("pg: SCRAM-SHA-256 auth — full SASL exchange with mutual verification") {
+    // the mechanism PG 10+ defaults to (psycopg3/pgjdbc answer it
+    // automatically): AuthenticationSASL → client-first → SASLContinue →
+    // proof → SASLFinal (client verifies the SERVER's signature too)
+    import spark.implicits._
+    Seq((7L, "s")).toDF("k", "v").createOrReplaceTempView("pg_scram_t")
+    val server = new graft.io.PgServer(GraftSession(spark),
+      users = Map("u" -> "pw"), authMethod = "scram-sha-256").start()
+    try {
+      val got = Sources.jdbc(spark, s"jdbc:postgresql://${server.hostPort}/db",
+        "pg_scram_t", Map("user" -> "u", "password" -> "pw"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got == Seq((7L, "s")))
+      val e = intercept[Exception] {
+        Sources.jdbc(spark, s"jdbc:postgresql://${server.hostPort}/db",
+          "pg_scram_t", Map("user" -> "u", "password" -> "bad")).collect()
+      }
+      assert(e.getMessage.contains("28P01") || e.toString.contains("auth"),
+        e.getMessage)
+    } finally server.stop()
+  }
+
   test("pg: wrong password fails with the server's 28P01 error") {
     Seq((1L, "x")).toDF("k", "v").createOrReplaceTempView("pg_auth_t")
     withServer() { server =>
