@@ -1529,6 +1529,22 @@ object CoverageQueries {
       WINDOW wf AS (PARTITION BY o_custkey ORDER BY o_orderkey
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
       wo AS (PARTITION BY o_custkey ORDER BY o_orderkey)
-      ORDER BY o_orderkey"""))
+      ORDER BY o_orderkey""")),
+
+    QueryDef("q215_boilerplate_bench", (s, dir) => {
+      // BENCH-ONLY: removeBoilerplate at corpus scale — the FULL documents
+      // table with planted cross-doc boilerplate (a shared header on every
+      // doc, a per-bucket footer on each third), so the count-distinct
+      // shuffle, anti-join and per-doc regroup all carry the whole corpus.
+      // Correctness is q210's oracle; this entry puts the measured
+      // sf0.1 -> sf1 ratio on the per-round record.
+      import graft.ds.GraftFrame
+      val docs = Q.t(s, dir, "documents")
+        .select(col("doc_id"), concat(lit("SHARED HEADER\n"), col("text"),
+          lit("\nFOOTER "), (col("doc_id") % 3).cast("string")).as("text"))
+      GraftFrame(docs).removeBoilerplate("text", "doc_id", 3)
+        .df.agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("total_chars"))
+    }, None, bench = true, benchOnly = true)
   )
 }
