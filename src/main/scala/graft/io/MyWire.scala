@@ -67,6 +67,23 @@ object MyWire {
   val CharsetUtf8 = 33
   val CharsetBinary = 63
 
+  /** caching_sha2_password fast-path scramble (MySQL 8's default plugin):
+    * XOR(SHA256(pass), SHA256(SHA256(SHA256(pass)) + nonce)) — the
+    * published fast-auth exchange; the full-auth RSA path is a cache-miss
+    * fallback a loopback server that knows the password never needs.
+    */
+  private[io] def cachingSha2Password(password: String,
+      nonce: Array[Byte]): Array[Byte] = {
+    val sha = MessageDigest.getInstance("SHA-256")
+    val p1 = sha.digest(password.getBytes(UTF_8))
+    sha.reset()
+    val p2 = sha.digest(p1)
+    sha.reset()
+    sha.update(p2); sha.update(nonce)
+    val mix = sha.digest()
+    p1.zip(mix).map { case (a, b) => (a ^ b).toByte }
+  }
+
   /** mysql_native_password scramble. */
   def nativePassword(password: String, nonce: Array[Byte]): Array[Byte] = {
     if (password.isEmpty) return Array.empty
@@ -228,7 +245,11 @@ object MyWire {
 final class MyServer(
     gs: GraftSession,
     port: Int = 0,
-    users: Map[String, String] = Map("default" -> "")) {
+    users: Map[String, String] = Map("default" -> ""),
+    authPlugin: String = "mysql_native_password") {
+  require(authPlugin == "mysql_native_password" ||
+      authPlugin == "caching_sha2_password",
+    s"authPlugin must be mysql_native_password or caching_sha2_password")
 
   import MyWire._
 
@@ -308,7 +329,7 @@ final class MyServer(
         d.write(21) // auth data total length (8 + 13)
         d.write(new Array[Byte](10)) // reserved
         d.write(nonce, 8, 12); d.write(0) // auth-data part 2 (+ null)
-        d.write("mysql_native_password".getBytes(UTF_8)); d.write(0)
+        d.write(authPlugin.getBytes(UTF_8)); d.write(0)
       }
       out.flush()
 
@@ -329,8 +350,10 @@ final class MyServer(
       val authLen = rd.read()
       val auth = new Array[Byte](authLen); rd.readFully(auth)
       // database (if CONNECT_WITH_DB) and plugin name follow; not needed
-      val expected = users.get(user).map(p => nativePassword(p, nonce))
-      val authOk = expected.exists(e => java.util.Arrays.equals(e, auth))
+      val expected = users.get(user).map(p =>
+        if (authPlugin == "caching_sha2_password") cachingSha2Password(p, nonce)
+        else nativePassword(p, nonce))
+      val authOk = expected.exists(e => java.security.MessageDigest.isEqual(e, auth))
       if (!authOk) {
         err(2, 1045, "28000", s"Access denied for user '$user'")
         out.flush(); sock.close(); return
@@ -339,7 +362,13 @@ final class MyServer(
         err(2, 1043, "08S01", "CLIENT_PROTOCOL_41 required")
         out.flush(); sock.close(); return
       }
-      ok(2); out.flush()
+      if (authPlugin == "caching_sha2_password") {
+        // AuthMoreData fast_auth_success (0x01 0x03) precedes OK — the
+        // published cached-path reply; loopback always has the "cache"
+        packet(2) { d => d.write(0x01); d.write(0x03) }
+        ok(3)
+      } else ok(2)
+      out.flush()
 
       // ---- command cycle ----
       var open = true
@@ -536,7 +565,18 @@ private[io] final class MyClientConnection(
     val part2Len = math.max(13, authLen - 8)
     val nonce2 = new Array[Byte](part2Len); d.readFully(nonce2)
     val nonce = nonce1 ++ nonce2.take(12) // drop the trailing null
-    val token = nativePassword(pass, nonce)
+    // the server's auth plugin name follows; answer in kind (r17:
+    // caching_sha2_password — MySQL 8's default — fast path)
+    val plugin = {
+      val b = new ByteArrayOutputStream(24)
+      var c = d.read(); while (c > 0) { b.write(c); c = d.read() }
+      val nm = new String(b.toByteArray, UTF_8)
+      if (nm.isEmpty) "mysql_native_password" else nm
+    }
+    val token = plugin match {
+      case "caching_sha2_password" => cachingSha2Password(pass, nonce)
+      case _ => nativePassword(pass, nonce)
+    }
     val body = new ByteArrayOutputStream(96)
     val w = new DataOutputStream(body)
     val caps = ClientLongPassword | ClientConnectWithDb | ClientProtocol41 |
@@ -548,9 +588,19 @@ private[io] final class MyClientConnection(
     w.write(user.getBytes(UTF_8)); w.write(0)
     w.write(token.length); w.write(token)
     w.write(db.getBytes(UTF_8)); w.write(0)
-    w.write("mysql_native_password".getBytes(UTF_8)); w.write(0)
+    w.write(plugin.getBytes(UTF_8)); w.write(0)
     writePacket(out, 1, body.toByteArray); out.flush()
-    val (_, reply) = readPacket(in)
+    var (_, reply) = readPacket(in)
+    if (plugin == "caching_sha2_password" && reply.length >= 2 &&
+        (reply(0) & 0xFF) == 0x01) {
+      // AuthMoreData: 0x03 = fast auth success (OK follows); 0x04 = full
+      // auth (RSA/TLS) — a cache-miss path a loopback server never takes
+      if ((reply(1) & 0xFF) != 0x03)
+        throw new SQLException(
+          "caching_sha2_password full authentication requested — only the " +
+            "fast (cached) path is supported")
+      reply = readPacket(in)._2
+    }
     (reply(0) & 0xFF) match {
       case 0x00 => // OK
       case 0xff => throw new SQLException("mysql auth failed: " + errPacket(reply))

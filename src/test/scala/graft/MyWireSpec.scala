@@ -37,6 +37,28 @@ class MyWireSpec extends SparkTestBase {
     assert(MyWire.nativePassword("", nonce).isEmpty, "empty password → empty token")
   }
 
+  test("mysql: caching_sha2_password (the MySQL 8 default) fast-path auth") {
+    // XOR(SHA256(p), SHA256(SHA256(SHA256(p)) + nonce)) + the 0x01 0x03
+    // fast-auth-success AuthMoreData before OK — what Connector/J speaks
+    // against a stock MySQL 8
+    import spark.implicits._
+    Seq((1L, "c2")).toDF("k", "v").createOrReplaceTempView("my_sha2_t")
+    val server = new MyServer(GraftSession(spark), users = Map("u" -> "pw"),
+      authPlugin = "caching_sha2_password").start()
+    try {
+      val got = Sources.jdbc(spark, s"jdbc:mysql://${server.hostPort}/db",
+        "my_sha2_t", Map("user" -> "u", "password" -> "pw"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got == Seq((1L, "c2")))
+      val e = intercept[Exception] {
+        Sources.jdbc(spark, s"jdbc:mysql://${server.hostPort}/db",
+          "my_sha2_t", Map("user" -> "u", "password" -> "no")).collect()
+      }
+      assert(e.getMessage.contains("1045") || e.toString.contains("Access denied"),
+        e.getMessage)
+    } finally server.stop()
+  }
+
   test("mysql: typed round trip — long/int/double/bool/string/date/timestamp/decimal + nulls") {
     val src = spark.sql(
       """SELECT * FROM VALUES
