@@ -1042,17 +1042,56 @@ private[engine] trait DialectWave2 { self: GraftSession =>
       case _ =>
         val at = q.toUpperCase(Locale.ROOT).indexOf("WITH FILL")
         if (at >= 0 && !inLiteralAt(q, at) &&
-            q.substring(at).matches("(?is)WITH\\s+FILL\\b.*"))
+            q.substring(at).matches("(?is)WITH\\s+FILL\\b.*")) {
+          rewriteExprFill(q).foreach(return _)
           throw new UnsupportedOperationException(
-            "WITH FILL is supported as a trailing `ORDER BY [key, …,] <col> " +
-              "[ASC|DESC] WITH FILL [FROM v] [TO v] [STEP n|INTERVAL n unit] " +
-              "[INTERPOLATE (col [AS expr], …)]` over an integral or " +
-              "DATE/TIMESTAMP fill column (leading plain sort columns make " +
-              "it a per-group fill) — expression fill columns are not " +
-              "supported, and an INTERPOLATE expr may reference only " +
-              "non-interpolated result columns")
+            "WITH FILL is supported as a trailing `ORDER BY [key, …,] " +
+              "<col|expr> [ASC|DESC] WITH FILL [FROM v] [TO v] " +
+              "[STEP n|INTERVAL n unit] [INTERPOLATE (col [AS expr], …)]` " +
+              "over an integral or DATE/TIMESTAMP fill column (leading " +
+              "plain sort columns make it a per-group fill; expression " +
+              "fill columns cannot be combined with leading sort columns) " +
+              "— an INTERPOLATE expr may reference only non-interpolated " +
+              "result columns")
+        }
         q
     }
+
+  /** Expression fill columns (r17): `ORDER BY <expr> WITH FILL …` — the
+    * reference accepts any sort expression. Rewrite: materialize the
+    * expression as a synthetic column over the base, run the ordinary
+    * ident-keyed fill on it, then project the original columns back off
+    * (the outer projection is narrow — no exchange — so the fill's sort
+    * order carries through; same presentation contract as WITH FILL
+    * itself). Gap rows carry type defaults in every original column,
+    * exactly ClickHouse's behavior for a fill expression that is not a
+    * SELECT column. Scope: a single expression (no leading sort columns).
+    */
+  private def rewriteExprFill(q: String): Option[String] = {
+    val m = exprFillRe.findFirstMatchIn(q).getOrElse(return None)
+    if (!parenBalanced(m.group(1))) return None
+    var expr = m.group(2).trim
+    var dir = ""
+    val dirM = "(?is)\\s+(ASC|DESC)$".r.findFirstMatchIn(expr)
+    dirM.foreach { dm => dir = " " + dm.group(1); expr = expr.substring(0, dm.start).trim }
+    // a bare ident (the normal path's shape) or a comma'd list is not ours
+    if (expr.matches("(?s)[A-Za-z_]\\w*|`[^`]+`")) return None
+    if (!parenBalanced(expr) || splitTopLevel(expr).lengthCompare(1) != 0)
+      return None
+    val base = m.group(1)
+    val schema = probeSchema(s"( $base ) __graft_fill_probe")
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase("__graft_fill_x")),
+      "WITH FILL: the result already has a __graft_fill_x column")
+    val inner = s"SELECT *, ($expr) AS __graft_fill_x FROM ( $base ) __graft_fill_eb"
+    val filled = rewriteWithFill(
+      s"SELECT * FROM ( $inner ) __graft_fill_ei " +
+        s"ORDER BY __graft_fill_x$dir WITH FILL${m.group(3)}")
+    val outCols = schema.fieldNames.map(n => s"`$n`").mkString(", ")
+    Some(s"SELECT $outCols FROM (\n$filled\n) __graft_fill_eo")
+  }
+
+  private val exprFillRe =
+    "(?is)^(.*\\S)\\s+ORDER\\s+BY\\s+(.+?)\\s+WITH\\s+FILL(.*)$".r
 
   // ---- SELECT * REPLACE(…) / * [EXCEPT(…)] APPLY(fn) ------------------------
   // ClickHouse column-transformer modifiers on the star (SELECT grammar:

@@ -1545,6 +1545,33 @@ object CoverageQueries {
       GraftFrame(docs).removeBoilerplate("text", "doc_id", 3)
         .df.agg(count(lit(1)).as("n_docs"),
           sum(length(col("text"))).as("total_chars"))
-    }, None, bench = true, benchOnly = true)
+    }, None, bench = true, benchOnly = true),
+
+    QueryDef("q216_fill_expr", (s, dir) => {
+      // Expression fill columns (r17 — the reference accepts any sort
+      // expression): `ORDER BY uid DIV 4 WITH FILL` materializes the
+      // expression as a synthetic column, fills on it, and projects the
+      // original columns back; gap rows carry type defaults in every
+      // SELECT column (the expression itself is not a result column —
+      // ClickHouse's behavior). DuckDB replays grid + anti-set + defaults.
+      v(s, dir, "events")
+      graft.engine.GraftSession(s).sql(
+        """SELECT uid, n FROM (
+             SELECT CAST(user_id AS BIGINT) AS uid, COUNT(*) AS n
+             FROM events WHERE user_id % 5 = 0 AND user_id <= 50
+             GROUP BY CAST(user_id AS BIGINT))
+           ORDER BY uid DIV 4 WITH FILL""")
+    }, Some("""WITH src AS (SELECT CAST(user_id AS BIGINT) AS uid,
+        COUNT(*) AS n FROM events
+        WHERE user_id % 5 = 0 AND user_id <= 50 GROUP BY 1),
+      fx AS (SELECT uid, n, uid // 4 AS x FROM src),
+      b AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM fx),
+      grid AS (SELECT CAST(t.x AS BIGINT) AS x
+        FROM b, UNNEST(range(b.mn, b.mx + 1)) AS t(x)),
+      gaps AS (SELECT x FROM grid WHERE x NOT IN (SELECT x FROM fx))
+      SELECT uid, n FROM fx
+      UNION ALL
+      SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM gaps
+      ORDER BY uid, n"""))
   )
 }

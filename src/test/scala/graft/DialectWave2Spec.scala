@@ -440,6 +440,24 @@ class DialectWave2Spec extends SparkTestBase {
         ("b", 7), ("b", 8), ("b", 9), ("b", 10)))
   }
 
+  test("expression WITH FILL: ORDER BY <expr> WITH FILL materializes and fills (r17)") {
+    views()
+    Seq((2, "a"), (8, "d")).toDF("kk", "t").createOrReplaceTempView("w2_efill")
+    // expr = kk/2 → source points 1 and 4; grid fills 2,3; original
+    // columns carry type defaults in gap rows (the expr is not a SELECT col)
+    val rows = g.sql(
+      "SELECT kk, t FROM w2_efill ORDER BY kk DIV 2 WITH FILL").collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((2, "a"), (0, ""), (0, ""), (8, "d")))
+    // with bounds + DESC on the expression: grid 5..1 (TO 0 exclusive),
+    // source expr-values 4 (kk=8) and 1 (kk=2) anti-join away their grid
+    // points → fill order 5(gap),4(src),3(gap),2(gap),1(src)
+    val r2 = g.sql(
+      "SELECT kk FROM w2_efill ORDER BY kk DIV 2 DESC WITH FILL FROM 5 TO 0")
+      .collect()
+    assert(r2.map(_.getInt(0)).toSeq == Seq(0, 8, 0, 0, 2), r2.mkString(","))
+  }
+
   test("grouped WITH FILL refuses interpolating a leading sort column") {
     views()
     Seq(("a", 1, 10L)).toDF("g", "kk", "n").createOrReplaceTempView("w2_gfill2")
