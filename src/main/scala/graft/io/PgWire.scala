@@ -200,19 +200,23 @@ object PgWire {
     case _ => render(v).getBytes(UTF_8)
   }
 
-  /** Binary parameter payload → the text spelling the bind path quotes
-    * (r17). None = no lossless text round trip for the oid (bytea — raw
-    * bytes can't survive the quoted-literal path — or an undeclared oid).
+  /** Binary parameter payload → (spelling, raw) for the bind path: raw
+    * values inject verbatim (bytea's X'…' hex literal — lossless), the
+    * rest are single-quoted like text parameters. None = an undeclared or
+    * unsupported oid (refused 0A000 rather than bound as garbage).
     */
-  private[io] def decodeBinaryParam(oid: Int, b: Array[Byte]): Option[String] = oid match {
-    case 21 => Some(java.nio.ByteBuffer.wrap(b).getShort.toString)
-    case 23 => Some(java.nio.ByteBuffer.wrap(b).getInt.toString)
-    case 20 => Some(java.nio.ByteBuffer.wrap(b).getLong.toString)
-    case 700 => Some(java.nio.ByteBuffer.wrap(b).getFloat.toString)
-    case 701 => Some(java.nio.ByteBuffer.wrap(b).getDouble.toString)
-    case 16 => Some(if (b(0) != 0) "true" else "false")
-    case 1082 => Some(java.time.LocalDate
-      .ofEpochDay(PgEpochDay + java.nio.ByteBuffer.wrap(b).getInt).toString)
+  private[io] def decodeBinaryParam(oid: Int,
+      b: Array[Byte]): Option[(String, Boolean)] = oid match {
+    case 21 => Some((java.nio.ByteBuffer.wrap(b).getShort.toString, false))
+    case 23 => Some((java.nio.ByteBuffer.wrap(b).getInt.toString, false))
+    case 20 => Some((java.nio.ByteBuffer.wrap(b).getLong.toString, false))
+    case 700 => Some((java.nio.ByteBuffer.wrap(b).getFloat.toString, false))
+    case 701 => Some((java.nio.ByteBuffer.wrap(b).getDouble.toString, false))
+    case 16 => Some((if (b(0) != 0) "true" else "false", false))
+    // bytea: binds LOSSLESSLY as Spark's hex binary literal, injected raw
+    case 17 => Some(("X'" + b.map("%02X".format(_)).mkString + "'", true))
+    case 1082 => Some((java.time.LocalDate
+      .ofEpochDay(PgEpochDay + java.nio.ByteBuffer.wrap(b).getInt).toString, false))
     case 1114 =>
       val micros = java.nio.ByteBuffer.wrap(b).getLong + PgEpochMicros
       val sec = math.floorDiv(micros, 1000000L)
@@ -220,10 +224,10 @@ object PgWire {
       val s = java.time.LocalDateTime
         .ofEpochSecond(sec, nano.toInt, java.time.ZoneOffset.UTC)
         .toString.replace('T', ' ')
-      Some(if (s.length == 16) s + ":00" else s)
-    case 1700 => Some(numericDecode(b).toPlainString)
+      Some((if (s.length == 16) s + ":00" else s, false))
+    case 1700 => Some((numericDecode(b).toPlainString, false))
     // the text family's binary format IS its UTF-8 text
-    case 25 | 1043 | 1042 | 19 => Some(new String(b, UTF_8))
+    case 25 | 1043 | 1042 | 19 => Some((new String(b, UTF_8), false))
     case _ => None
   }
 
@@ -343,9 +347,9 @@ object PgWire {
   * int2/int4/int8/float4/float8/bool/text/bytea/date/timestamp/numeric;
   * what pgjdbc's binaryTransfer=true and psycopg3's default binary cursors
   * ask for). Binary PARAMETERS decode through the Parse-declared type oid
-  * (same OID set minus bytea — raw bytes have no lossless path through the
-  * quoted-literal bind); an undeclared oid or bytea still refuses cleanly
-  * (0A000) rather than binding garbage. Incoming SQL uses PG's
+  * (same OID set; bytea binds losslessly as an X'…' hex literal); an
+  * undeclared oid still refuses cleanly (0A000) rather than binding
+  * garbage. Incoming SQL uses PG's
   * double-quoted
   * identifiers (what Spark's PostgresDialect emits) — translated to
   * backticks and run through [[GraftSession.sql]], so WHERE pushdown and
@@ -609,7 +613,9 @@ final class PgServer(
       // would numeric-coerce a string comparison) and backslashes are
       // doubled (Spark's default parser treats backslash as an escape in
       // literals; PG with standard_conforming_strings=on does not).
-      def bindParams(sql: String, params: IndexedSeq[Option[String]]): String = {
+      // each bound value is (text, raw): raw=true injects verbatim (the
+      // bytea X'…' literal — lossless), raw=false single-quotes + escapes
+      def bindParams(sql: String, params: IndexedSeq[Option[(String, Boolean)]]): String = {
         val out = new java.lang.StringBuilder(sql.length + 16)
         var i = 0; var inStr = false; var inIdent = false
         while (i < sql.length) {
@@ -624,7 +630,8 @@ final class PgServer(
             val k = sql.substring(i + 1, j).toInt
             val lit = params.lift(k - 1).flatten match {
               case None => "NULL"
-              case Some(v) => "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
+              case Some((v, true)) => v // raw literal (bytea X'…')
+              case Some((v, _)) => "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
             }
             out.append(lit); i = j
           } else { out.append(c); i += 1 }
@@ -814,7 +821,7 @@ final class PgServer(
                     if (plen < 0) None
                     else {
                       val b = new Array[Byte](plen); d.readFully(b)
-                      if (fmt == 0) Some(new String(b, UTF_8))
+                      if (fmt == 0) Some((new String(b, UTF_8), false))
                       else decodeBinaryParam(oids.lift(i).getOrElse(0), b) match {
                         case Some(v) => Some(v)
                         case None =>

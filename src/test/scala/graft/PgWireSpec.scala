@@ -404,6 +404,37 @@ class PgWireSpec extends SparkTestBase {
           case _ =>
         }
         assert(rows.toSeq == Seq(Seq("2", "b")), rows.toString)
+        // bytea (oid 17) binds LOSSLESSLY via the X'…' hex literal (r17)
+        Seq((Array[Byte](0, -1, 42), "blob1")).toDF("bin", "tag")
+          .createOrReplaceTempView("pg_binp_bytea")
+        val pp2 = new java.io.ByteArrayOutputStream()
+        val ppd2 = new java.io.DataOutputStream(pp2)
+        ppd2.write(cstr(""))
+        ppd2.write(cstr("SELECT tag FROM pg_binp_bytea WHERE bin = $1"))
+        ppd2.writeShort(1); ppd2.writeInt(17)
+        send('P', pp2.toByteArray)
+        val bb = new java.io.ByteArrayOutputStream()
+        val bd = new java.io.DataOutputStream(bb)
+        bd.write(cstr("")); bd.write(cstr(""))
+        bd.writeShort(1); bd.writeShort(1)
+        bd.writeShort(1); bd.writeInt(3); bd.write(Array[Byte](0, -1, 42))
+        bd.writeShort(0)
+        send('B', bb.toByteArray)
+        send('D', Array[Byte]('P'.toByte, 0))
+        send('E', cstr("") ++ Array[Byte](0, 0, 0, 0))
+        send('S', Array.emptyByteArray)
+        var tag2: String = null; var zb = false
+        while (!zb) recv() match {
+          case ('E', b) => fail("bytea bind errored: " + new String(b, "UTF-8"))
+          case ('D', b) =>
+            val d = new java.io.DataInputStream(new java.io.ByteArrayInputStream(b))
+            d.readShort(); val l = d.readInt()
+            val v = new Array[Byte](l); d.readFully(v)
+            tag2 = new String(v, "UTF-8")
+          case ('Z', _) => zb = true
+          case _ =>
+        }
+        assert(tag2 == "blob1", s"bytea param match returned $tag2")
         // an UNDECLARED oid with a binary param still refuses 0A000
         send('P', cstr("") ++ cstr("SELECT 1 WHERE 1 = $1") ++ Array[Byte](0, 0))
         val pb2 = new java.io.ByteArrayOutputStream()
