@@ -639,7 +639,9 @@ private[engine] trait DialectWave2 { self: GraftSession =>
   // here, so name your aliases distinctly. Only the statement-level leading
   // WITH is handled; an inner scalar WITH still fails Spark's parser loudly.
   private val leadingWithRe = "(?is)^\\s*WITH\\b".r
-  private val stdCteRe = "(?is)^\\s*(?:[A-Za-z_]\\w*|`[^`]+`)\\s+AS\\s*\\(.*\\)\\s*$".r
+  // a standard CTE entry: `ident [(col, …)] AS ( subquery )`
+  private val stdCteRe =
+    "(?is)^\\s*(?:[A-Za-z_]\\w*|`[^`]+`)\\s*(?:\\([^)]*\\))?\\s*AS\\s*\\(.*\\)\\s*$".r
   private val scalarTailRe = "(?is)^([A-Za-z_]\\w*|`[^`]+`)\\s*$".r
 
   private[engine] def rewriteScalarWith(q: String): String = {

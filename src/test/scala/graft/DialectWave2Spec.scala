@@ -495,6 +495,10 @@ class DialectWave2Spec extends SparkTestBase {
     val std = g.sql(
       "WITH t AS (SELECT 7 AS x) SELECT x FROM t").collect()
     assert(std.head.getInt(0) == 7)
+    // a column-list CTE entry is standard, not a scalar alias
+    val cl = g.sql(
+      "WITH t(a, b) AS (SELECT 1, 2) SELECT a + b FROM t").collect()
+    assert(cl.head.getInt(0) == 3)
   }
 
   test("ASOF JOIN subquery sides are lifted into views (r17)") {
