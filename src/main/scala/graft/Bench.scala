@@ -148,9 +148,29 @@ object Bench {
     // swing is not contamination worth refusing a record over. Real load
     // contamination inflates by whole seconds.
     val (prevName, prevTimes) = previousTimes(sfDir)
-    def slowOnes: Seq[String] = resultMap.toSeq.collect {
-      case (n, t) if prevTimes.get(n).exists(p =>
-        p > 0 && t > 0 && t / p > 1.5 && t - p > 0.15) => n
+    // Band normalization (r18 — the r17 driver record was a refusal from a
+    // uniformly ~20% slower machine band even though nothing regressed; the
+    // r16 verdict asked for a band-relative guard). The run's MEDIAN
+    // per-query ratio vs the previous record estimates the machine band:
+    // per-query deltas are judged against p * band, so a uniformly slower
+    // session cancels out while a single-query regression still sticks out
+    // above the median. The factor is clamped to [1.0, 1.5]: a faster band
+    // never tightens the gate below the absolute contract, and a run-wide
+    // median above 1.5x is itself load contamination, not a band — it must
+    // NOT self-excuse (the load-settle loop and refusal stay in charge).
+    def bandFactor: Double = {
+      val ratios = resultMap.toSeq.flatMap { case (n, t) =>
+        prevTimes.get(n).collect { case p if p > 0 && t > 0 => t / p }
+      }.sorted
+      if (ratios.isEmpty) 1.0
+      else math.min(math.max(1.0, ratios(ratios.size / 2)), 1.5)
+    }
+    def slowOnes: Seq[String] = {
+      val band = bandFactor
+      resultMap.toSeq.collect {
+        case (n, t) if prevTimes.get(n).exists(p =>
+          p > 0 && t > 0 && t / (p * band) > 1.5 && t - p * band > 0.15) => n
+      }
     }
     var retries = 0
     while (slowOnes.nonEmpty && retries < 2) {
@@ -174,9 +194,10 @@ object Bench {
     // shows multi-SECOND deltas or 3+ queries inflated together. So refuse
     // only on a >1s single-query delta or >=3 tripped queries; 1-2 small
     // flaps are reported and recorded.
+    val finalBand = bandFactor
     val tripped = slowOnes.filterNot(expectSlower)
     val bigTrips = tripped.filter(n =>
-      prevTimes.get(n).exists(p => resultMap(n) - p > 1.0))
+      prevTimes.get(n).exists(p => resultMap(n) - p * finalBand > 1.0))
     // a query that FAILED outright (-1) but passed in the previous record is
     // a crash regression — strictly worse than a slowdown, always refuses.
     // EXPECT_SLOWER (an intentional-slowdown declaration) deliberately does
@@ -237,7 +258,8 @@ object Bench {
       s"[${l2(t._1)},${l2(t._2)},${l2(t._3)}]"
     val loadJson = s""""load_start":${triple(loads)},""" +
       s""""load_end":${triple(loadsEnd)},""" +
-      s""""settle_wait_sec":$settleWaitSec,"""
+      s""""settle_wait_sec":$settleWaitSec,""" +
+      s""""band_factor":${l2(finalBand)},"band_vs":"$prevName","""
     // TWO copies of the record (r16 verdict task 2 — the driver's tail
     // capture of stdout outgrew the one-line record and its re-runs parsed
     // null): stdout stays the one-JSON-line contract but COMPACT (rounded
@@ -255,8 +277,12 @@ object Bench {
     if (refused) writeFile("BENCH_refused.json", fullLine)
     spark.stop()
     if (contaminated.nonEmpty && bandAccept.isEmpty) {
-      System.err.println(s"[bench-delta] STILL >1.5x after $retries retries " +
+      System.err.println(s"[bench-delta] STILL >1.5x (band-normalized " +
+        f"x$finalBand%.2f) after $retries retries " +
         s"(${contaminated.mkString(", ")}) — refusing a committable record; " +
+        "the full measured record of THIS refused run is in " +
+        "BENCH_refused.json and " +
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json") + "; " +
         "rerun on an idle machine, or after investigating set " +
         "SPARK_GRAFT_EXPECT_SLOWER (per-query, intentional change) or " +
         "SPARK_GRAFT_BAND_ACCEPT=<evidence> (machine-session band)")

@@ -205,8 +205,19 @@ private[engine] trait DialectWave2 { self: GraftSession =>
   // that is strictly cheaper than the join it guards (same keys, right side
   // only, and AQE still picks broadcast when the deduped side is small).
   // Map-typed columns are unorderable and excluded from the tie-break.
-  // `ANY RIGHT/FULL JOIN` (ClickHouse's legacy partial-match forms) are
-  // refused loudly — swap the sides.
+  // `ANY RIGHT JOIN` (r18): all right rows kept, each matching at most one
+  // LEFT row — the exact mirror of ANY LEFT, so named-relation forms swap
+  // the two sides and fall through to the ANY LEFT rewrite below (the same
+  // mechanical swap r17 shipped for SEMI/ANTI RIGHT). `SELECT *` column
+  // order follows the swapped sides (right first) — ClickHouse itself
+  // leaves duplicate-match column order unspecified here. `ANY FULL JOIN`
+  // and subquery-sided ANY RIGHT still refuse loudly.
+  private val anyRightNamedRe =
+    ("(?is)\\bFROM\\s+([A-Za-z_][\\w.]*|`[^`]+`)" +
+      "((?:\\s+(?:AS\\s+)?(?!(?:SEMI|ANTI|ANY|LEFT|INNER|CROSS|JOIN|WHERE|GROUP" +
+      "|ORDER|LIMIT|HAVING|UNION|ON|USING|SAMPLE|FINAL)\\b)[A-Za-z_]\\w*)?)" +
+      "\\s+ANY\\s+RIGHT\\s+JOIN\\s+([A-Za-z_][\\w.]*|`[^`]+`)" +
+      "((?:\\s+(?:AS\\s+)?(?!(?:ON|USING)\\b)[A-Za-z_]\\w*)?)\\s+(ON|USING)\\b").r
   private val anyRightRe = "(?i)\\bANY\\s+(RIGHT|FULL)\\s+JOIN\\b".r
   private val anyJoinRe =
     ("(?is)\\bANY\\s+((?:LEFT|INNER)\\s+)?JOIN\\s+([A-Za-z_][\\w.]*|`[^`]+`)" +
@@ -214,11 +225,21 @@ private[engine] trait DialectWave2 { self: GraftSession =>
   private val anyLeftoverRe =
     "(?i)\\bANY\\s+((?:LEFT|INNER)\\s+)?JOIN\\b".r
   @tailrec
-  private[engine] final def rewriteAnyJoin(q: String): String = {
+  private[engine] final def rewriteAnyJoin(qIn: String): String = {
+    val q = anyRightNamedRe.replaceAllIn(qIn, { m =>
+      if (inLiteralAt(qIn, m.start)) qr(m.matched)
+      else qr(s"FROM ${m.group(3)}${m.group(4)} ANY LEFT JOIN " +
+        s"${m.group(1)}${m.group(2)} ${m.group(5).toUpperCase(Locale.ROOT)}")
+    })
     anyRightRe.findAllMatchIn(q).find(m => !inLiteralAt(q, m.start)).foreach { m =>
       throw new UnsupportedOperationException(
-        s"ANY ${m.group(1).toUpperCase(Locale.ROOT)} JOIN is not supported — " +
-          "swap the join sides and use ANY LEFT JOIN")
+        if (m.group(1).equalsIgnoreCase("RIGHT"))
+          "ANY RIGHT JOIN is supported only with named relations on both " +
+            "sides (the rewrite swaps them to the ANY LEFT form) — wrap " +
+            "subquery sides in temp views"
+        else
+          "ANY FULL JOIN is not supported — use FULL JOIN against an " +
+            "ANY-deduplicated side")
     }
     anyJoinRe.findAllMatchIn(q).find(m => !inLiteralAt(q, m.start)) match {
       case Some(m) =>
@@ -296,8 +317,9 @@ private[engine] trait DialectWave2 { self: GraftSession =>
   // union+window shuffle on the keys, no pair explosion — the same plan a
   // 1000-executor cluster wants. ClickHouse's default strictness is INNER
   // (unmatched left rows dropped); `ASOF LEFT JOIN` keeps them with NULLs.
-  // Scope (v1): both sides are named tables/views; strict inequalities
-  // (>/<) are refused loudly (use >=/<=); right-side non-key columns that
+  // Scope: both sides are named tables/views or lifted subqueries; all four
+  // bounds (>=/<=/>/<) accepted — strict bounds (r18) exclude exact-equal
+  // timestamps via the carry window's tie order; right-side non-key columns that
   // collide with left column names are refused (project/rename first). The
   // matched right timestamp is exposed under its own column name when it
   // differs from the left's (ClickHouse exposes r.ts the same way).
@@ -319,7 +341,7 @@ private[engine] trait DialectWave2 { self: GraftSession =>
           throw new UnsupportedOperationException(
             "ASOF JOIN is supported as: FROM <table|(subquery)> [alias] ASOF " +
               "[LEFT] JOIN <table|(subquery)> [alias] ON <equi-conditions " +
-              "AND one >=/<= condition>")
+              "AND one >=/<=/>/< condition>")
         }
       lifted
     } else rewriteAsofJoin(out)
@@ -498,10 +520,10 @@ private[engine] trait DialectWave2 { self: GraftSession =>
         require(ineqs.length == 1,
           s"ASOF JOIN needs exactly one inequality condition (got ${ineqs.length})")
         val ineq = ineqs.head
-        if (ineq.op == ">" || ineq.op == "<")
-          throw new UnsupportedOperationException(
-            "strict ASOF inequalities (>/<) are not supported — use >= or <=")
-        val forward = ineq.op == "<="
+        // strict bounds (r18): ClickHouse accepts all four of >=/<=/>/<;
+        // `l.ts > r.ts` = backward match excluding exact-equal timestamps
+        val strict = ineq.op == ">" || ineq.op == "<"
+        val forward = ineq.op == "<=" || ineq.op == "<"
         val leftTs = ineq.lCol
         val rightTs = ineq.rCol
         require(eqs.nonEmpty, "ASOF JOIN needs at least one equality (key) condition")
@@ -524,10 +546,10 @@ private[engine] trait DialectWave2 { self: GraftSession =>
         val joined0 =
           if (forward)
             AsOfJoin.forward(lDf, rDf, byKeys, leftTs, rightTs, rightCols,
-              tsOut = leftTs, keepMatchTs = true)
+              tsOut = leftTs, keepMatchTs = true, strict = strict)
           else
             AsOfJoin.backward(lDf, rDf, byKeys, leftTs, rightTs, rightCols,
-              tsOut = leftTs, keepMatchTs = true)
+              tsOut = leftTs, keepMatchTs = true, strict = strict)
         val joined1 =
           if (leftOuter) joined0
           else joined0.filter(col("__asof_match_ts").isNotNull)
@@ -745,11 +767,25 @@ private[engine] trait DialectWave2 { self: GraftSession =>
           .getOrElse(throw new IllegalArgumentException(
             "WITH TOTALS without a matching GROUP BY"))
         val keys = q.substring(gb.end, m.start).trim
-        if (keys.matches("(?is).*\\b(ROLLUP|CUBE|GROUPING)\\b.*"))
-          throw new UnsupportedOperationException(
-            "WITH TOTALS cannot be combined with ROLLUP/CUBE/GROUPING SETS")
-        rewriteWithTotals(q.substring(0, gb.start) +
-          s"GROUP BY GROUPING SETS (($keys), ())" + q.substring(m.end))
+        // ROLLUP/CUBE/GROUPING SETS + TOTALS (r18): the totals row is one
+        // MORE grand-aggregate row on top of whatever () set the analytic
+        // form already emits (ClickHouse prints it in its separate totals
+        // block; flattened here, so rollup+totals carries two all-NULL-key
+        // rows — the ClickHouse row multiset, minus the block framing).
+        // Spark accepts duplicate grouping sets (Expand emits one
+        // projection per set), so appending () is the whole rewrite.
+        val totalsForm =
+          if (keys.matches("(?is)^(ROLLUP|CUBE)\\s*\\(.*\\)\\s*$"))
+            s"GROUP BY GROUPING SETS ($keys, ())"
+          else if (keys.matches("(?is)^GROUPING\\s+SETS\\s*\\(.*\\)\\s*$")) {
+            val close = keys.lastIndexOf(')')
+            s"GROUP BY ${keys.substring(0, close)}, ()${keys.substring(close)}"
+          } else if (keys.matches("(?is).*\\b(ROLLUP|CUBE|GROUPING)\\b.*"))
+            throw new UnsupportedOperationException(
+              "WITH TOTALS supports plain keys, ROLLUP(…), CUBE(…), or " +
+                "GROUPING SETS(…) — not mixed/concatenated analytic forms")
+          else s"GROUP BY GROUPING SETS (($keys), ())"
+        rewriteWithTotals(q.substring(0, gb.start) + totalsForm + q.substring(m.end))
       case None => q
     }
 
@@ -1106,11 +1142,40 @@ private[engine] trait DialectWave2 { self: GraftSession =>
   //    output naming), resolved from the FROM clause's analyzed schema —
   //    analysis only, no job. REPLACE composes into APPLY's input exprs
   //    (ClickHouse transformer order: EXCEPT → REPLACE → APPLY).
+  //  - APPLY lambdas (r18): `* APPLY (x -> <body>)` substitutes each star
+  //    column for the bound variable in the body (case-sensitive,
+  //    word-boundary, literal-aware — the ClickHouse lambda contract);
+  //    output name = the body with the bare column name substituted.
   // Only a SELECT-position star (after SELECT/DISTINCT, a comma, or an
   // opening paren) is a candidate — `price * replace(code,'X','')` is
   // multiplication followed by a function call and is never touched.
   private case class StarMods(exceptCols: Seq[String],
-      replaces: Seq[(String, String)], applyFn: Option[String], end: Int)
+      replaces: Seq[(String, String)], applyFn: Option[String],
+      applyLambda: Option[(String, String)], end: Int)
+
+  /** Replace word-boundary occurrences of identifier `v` in `body` with
+    * `replacement`, skipping string/backtick literals and dotted refs
+    * (`t.v` is a qualified column, not the lambda variable).
+    */
+  private def substIdent(body: String, v: String, replacement: String): String = {
+    def isW(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
+    val sb = new StringBuilder
+    var i = 0; var inStr = false; var inTick = false
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (inStr) { sb += c; if (c == '\'') inStr = false; i += 1 }
+      else if (inTick) { sb += c; if (c == '`') inTick = false; i += 1 }
+      else if (c == '\'') { sb += c; inStr = true; i += 1 }
+      else if (c == '`') { sb += c; inTick = true; i += 1 }
+      else if (isW(c) &&
+          (i == 0 || (!isW(body.charAt(i - 1)) && body.charAt(i - 1) != '.')) &&
+          body.regionMatches(false, i, v, 0, v.length) &&
+          (i + v.length >= body.length || !isW(body.charAt(i + v.length)))) {
+        sb ++= replacement; i += v.length
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
 
   private[engine] def rewriteStarModifiers(q: String): String = {
     var i = 0; var inStr = false; var inTick = false
@@ -1208,23 +1273,37 @@ private[engine] trait DialectWave2 { self: GraftSession =>
       }
     }
     var applyFn: Option[String] = None
+    var applyLambda: Option[(String, String)] = None
+    val lambdaRe = "(?s)^\\s*([A-Za-z_]\\w*)\\s*->\\s*(.+)$".r
     if (wordAt(i, "APPLY")) {
       group(i + 5) match {
         case Some((content, e)) if content.trim.matches("[A-Za-z_]\\w*") =>
           applyFn = Some(content.trim); i = e
+        case Some((content, e)) if lambdaRe.findFirstMatchIn(content).isDefined =>
+          val m = lambdaRe.findFirstMatchIn(content).get
+          applyLambda = Some((m.group(1), m.group(2).trim)); i = e
         case Some((content, _)) => throw new UnsupportedOperationException(
-          s"* APPLY supports a bare function name (got '${content.trim}') — " +
-            "lambdas are not supported")
+          s"* APPLY supports a bare function name or a single-argument " +
+            s"lambda `x -> expr` (got '${content.trim}')")
         case None => return None
       }
     }
-    if (!sawReplace && applyFn.isEmpty) None
-    else Some(StarMods(exceptCols, replaces, applyFn, i))
+    if (!sawReplace && applyFn.isEmpty && applyLambda.isEmpty) None
+    else Some(StarMods(exceptCols, replaces, applyFn, applyLambda, i))
   }
 
   private def applyStarMods(q: String, star: Int, sm: StarMods): String = {
-    val repl = sm.applyFn match {
-      case Some(fn) =>
+    // per-column projection builder shared by the bare-fn and lambda forms:
+    // (exprText, outputName) from the column's input expr and bare name
+    val applyForms: Option[(String, String) => (String, String)] =
+      sm.applyFn.map(fn =>
+        (base: String, n: String) => (s"$fn($base)", s"$fn($n)")
+      ).orElse(sm.applyLambda.map { case (v, body) =>
+        (base: String, n: String) =>
+          (substIdent(body, v, s"($base)"), substIdent(body, v, n))
+      })
+    val repl = applyForms match {
+      case Some(mk) =>
         // need the star's source columns: the FROM clause at this star's depth
         val fromAt = topLevelKeyword(q, "FROM", sm.end)
         require(fromAt >= 0, "* APPLY requires a FROM clause")
@@ -1236,7 +1315,8 @@ private[engine] trait DialectWave2 { self: GraftSession =>
           .filterNot(n => exceptLower(n.toLowerCase(Locale.ROOT)))
           .map { n =>
             val base = replMap.getOrElse(n.toLowerCase(Locale.ROOT), s"`$n`")
-            s"$fn($base) AS `$fn($n)`"
+            val (expr, name) = mk(base, n)
+            s"$expr AS `$name`"
           }.mkString(", ")
       case None =>
         val dropped = (sm.exceptCols ++ sm.replaces.map(r => s"`${r._2}`")).mkString(", ")

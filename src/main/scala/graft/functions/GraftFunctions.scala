@@ -938,7 +938,21 @@ object GraftFunctions {
     add("topK")(es => TopK(es.head, es(1)).toAggregateExpression())
     // topKWeighted(x, k, weight) — CH's parametric topKWeighted(k)(x, weight)
     add("topKWeighted")(es => TopK(es.head, es(1), Some(es(2))).toAggregateExpression())
-    add("windowFunnel")(es => WindowFunnel(es.head, es(1), es.drop(2)).toAggregateExpression())
+    // windowFunnel(w[, 'strict_order'|'strict_dedup'|'strict_increase', …],
+    // ts, cond…) — CH's parametric windowFunnel(w, 'mode')(ts, cond…)
+    // flattened; mode strings are recognized literals after the window arg
+    add("windowFunnel")(es => {
+      val modeNames = Set("strict_order", "strict_dedup",
+        "strict_deduplication", "strict_increase")
+      val modeList = es.drop(1).iterator.map {
+        case catalyst.expressions.Literal(s: org.apache.spark.unsafe.types.UTF8String, _)
+            if modeNames(s.toString.toLowerCase(java.util.Locale.ROOT)) =>
+          s.toString.toLowerCase(java.util.Locale.ROOT)
+        case _ => ""
+      }.takeWhile(_.nonEmpty).toList
+      val rest = es.drop(1 + modeList.size)
+      WindowFunnel(es.head, rest.head, rest.drop(1), modeList.toSet).toAggregateExpression()
+    })
     add("retention")(es => Retention(es).toAggregateExpression())
     add("sequenceMatch")(es => SequenceMatchAgg(es.head, es(1), es.drop(2), countMode = false).toAggregateExpression())
     add("sequenceCount")(es => SequenceMatchAgg(es.head, es(1), es.drop(2), countMode = true).toAggregateExpression())

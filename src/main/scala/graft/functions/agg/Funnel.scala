@@ -22,6 +22,9 @@ import org.apache.spark.sql.types._
 final class EventListBuffer extends Serializable {
   val events: ArrayBuffer[(Long, Int)] = ArrayBuffer.empty
   def add(ts: Long, mask: Int): Unit = if (mask != 0) events += ((ts, mask))
+  /** no mask gate — strict_order funnels keep non-matching events as
+    * chain-breakers */
+  def addAny(ts: Long, mask: Int): Unit = events += ((ts, mask))
   def mergeIn(o: EventListBuffer): Unit = events ++= o.events
   def sorted: Array[(Long, Int)] = events.toArray.sortBy(e => (e._1, e._2))
 }
@@ -29,6 +32,12 @@ final class EventListBuffer extends Serializable {
 private[agg] trait EventListAggregate extends TypedImperativeAggregate[EventListBuffer] {
   def tsExpr: Expression
   def conds: Seq[Expression]
+  /** retain events matching NO condition (mask 0) in the buffer — needed by
+    * windowFunnel 'strict_order', where any other event interrupts a chain.
+    * Costs buffer space proportional to the group's full event count, so on
+    * by request only.
+    */
+  protected def keepUnmatched: Boolean = false
 
   override def createAggregationBuffer(): EventListBuffer = new EventListBuffer
 
@@ -42,7 +51,8 @@ private[agg] trait EventListAggregate extends TypedImperativeAggregate[EventList
         if (c != null && c.asInstanceOf[Boolean]) mask |= (1 << i)
         i += 1
       }
-      buffer.add(ts.asInstanceOf[Number].longValue(), mask)
+      if (keepUnmatched) buffer.addAny(ts.asInstanceOf[Number].longValue(), mask)
+      else buffer.add(ts.asInstanceOf[Number].longValue(), mask)
     }
     buffer
   }
@@ -56,33 +66,57 @@ private[agg] trait EventListAggregate extends TypedImperativeAggregate[EventList
     SerDe.fromBytes[EventListBuffer](bytes)
 }
 
-/** windowFunnel(windowMicros, ts, cond1, …, condN) → max funnel level reached.
+/** windowFunnel(windowMicros[, 'mode', …], ts, cond1, …, condN) → max funnel
+  * level reached.
   *
   * Searches for the longest chain cond1 → cond2 → … with all events within
   * `window` of the chain's cond1 event, events processed in timestamp order —
-  * the ClickHouse windowFunnel contract (strictness modes not implemented).
+  * the ClickHouse windowFunnel contract. Strictness modes (r18, the
+  * documented ClickHouse surface — reference registers windowFunnel in
+  * datastore/function_definitions.py AGGREGATE section):
+  *  - 'strict_order': any other event (a non-matching event, or a funnel
+  *    event whose predecessor level is unreached) after the chain has started
+  *    freezes the level right there;
+  *  - 'strict_dedup' / 'strict_deduplication': a repeat of an
+  *    already-reached condition (other than cond1, which restarts chains)
+  *    stops processing at the level reached so far;
+  *  - 'strict_increase': chain timestamps must strictly increase — an event
+  *    at the same timestamp as its predecessor level cannot advance.
+  * Modes change the scan to ClickHouse's single-chain algorithm
+  * (levels freeze at the first interruption); the default mode keeps this
+  * engine's multi-chain DP, whose existence semantics q55's oracle proves.
   */
 case class WindowFunnel(
     windowExpr: Expression,
     tsExpr: Expression,
     conds: Seq[Expression],
+    modes: Set[String] = Set.empty,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends EventListAggregate {
 
   private lazy val window: Long = windowExpr.eval().asInstanceOf[Number].longValue()
+  private val strictOrder = modes.contains("strict_order")
+  private val strictDedup =
+    modes.contains("strict_dedup") || modes.contains("strict_deduplication")
+  private val strictIncrease = modes.contains("strict_increase")
+  override protected def keepUnmatched: Boolean = strictOrder
 
   override def children: Seq[Expression] = windowExpr +: tsExpr +: conds
   override def nullable: Boolean = false
   override def dataType: DataType = IntegerType
 
-  override def eval(buffer: EventListBuffer): Any = {
+  override def eval(buffer: EventListBuffer): Any =
+    if (strictOrder || strictDedup || strictIncrease) evalStrict(buffer.sorted)
+    else evalDefault(buffer.sorted)
+
+  private def evalDefault(evs: Array[(Long, Int)]): Int = {
     val n = conds.size
     // chainStart(l) = start-ts of a chain that has reached level l+1
     val chainStart = Array.fill[Long](n)(Long.MinValue)
     val reached = Array.fill[Boolean](n)(false)
     var best = 0
-    buffer.sorted.foreach { case (ts, mask) =>
+    evs.foreach { case (ts, mask) =>
       var l = n - 1
       while (l >= 0) {
         if ((mask & (1 << l)) != 0) {
@@ -98,6 +132,49 @@ case class WindowFunnel(
       }
     }
     best
+  }
+
+  /** Single-chain scan with interruption rules. Reached levels are always a
+    * contiguous prefix (level l advances only off level l-1), so "the level
+    * reached so far" is well-defined at any interruption point.
+    */
+  private def evalStrict(evs: Array[(Long, Int)]): Int = {
+    val n = conds.size
+    val startTs = new Array[Long](n) // chain-start ts of the reached level
+    val lastTs = new Array[Long](n) // ts of the level's own event
+    val has = Array.fill[Boolean](n)(false)
+    def level: Int = { var l = 0; while (l < n && has(l)) l += 1; l }
+    var started = false
+    var i = 0
+    while (i < evs.length) {
+      val (ts, mask) = evs(i)
+      if (mask == 0) {
+        // only buffered when strictOrder (keepUnmatched): an unrelated event
+        // after the chain started freezes the level
+        if (started) return level
+      } else {
+        var l = 0
+        while (l < n) {
+          if ((mask & (1 << l)) != 0) {
+            if (l == 0) {
+              // a fresh cond1 restarts the chain window (never interrupts)
+              startTs(0) = ts; lastTs(0) = ts; has(0) = true; started = true
+            } else if (strictDedup && has(l)) {
+              return level
+            } else if (strictOrder && started && !has(l - 1)) {
+              return level // out-of-order funnel event = an intervention
+            } else if (has(l - 1) && ts - startTs(l - 1) <= window &&
+                (!strictIncrease || lastTs(l - 1) < ts)) {
+              startTs(l) = startTs(l - 1); lastTs(l) = ts; has(l) = true
+              if (l == n - 1) return n
+            }
+          }
+          l += 1
+        }
+      }
+      i += 1
+    }
+    level
   }
 
   override def withNewMutableAggBufferOffset(o: Int): WindowFunnel = copy(mutableAggBufferOffset = o)

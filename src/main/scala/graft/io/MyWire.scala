@@ -74,6 +74,9 @@ object MyWire {
     */
   private[io] def cachingSha2Password(password: String,
       nonce: Array[Byte]): Array[Byte] = {
+    // an empty password sends a zero-length auth response, same as
+    // mysql_native_password (ADVICE r17 — real clients/servers expect it)
+    if (password.isEmpty) return Array.empty
     val sha = MessageDigest.getInstance("SHA-256")
     val p1 = sha.digest(password.getBytes(UTF_8))
     sha.reset()

@@ -183,7 +183,12 @@ object PgWire {
     case TimestampType | TimestampNTZType =>
       val micros = v match {
         case ts: java.sql.Timestamp =>
-          math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+          // derive from the LOCAL wall clock (same value Timestamp.toString
+          // renders on the text path) so binary and text result formats agree
+          // on any JVM timezone, not just UTC (ADVICE r17)
+          val ldt = ts.toLocalDateTime
+          ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+            ldt.getNano / 1000L
         case ldt: java.time.LocalDateTime =>
           ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
             ldt.getNano / 1000L
@@ -493,10 +498,20 @@ final class PgServer(
         val cfLen = d0.readInt()
         val cf = new Array[Byte](cfLen); d0.readFully(cf)
         val clientFirst = new String(cf, UTF_8)
-        // gs2 header "n,," (or "y,,") then the bare message
-        val bareAt = clientFirst.indexOf(",,")
-        if (bareAt < 0) { authFail(); return }
-        val clientFirstBare = clientFirst.substring(bareAt + 2)
+        // gs2 header per RFC 5802: cbind flag ('n'/'y', or 'p=<cb-name>'),
+        // ',', optional 'a=<authzid>' (saslname escapes any comma, so the
+        // next raw ',' ends it), ',' — remainder is client-first-bare.
+        // indexOf(",,") would reject spec-valid authzid-bearing headers
+        // like "n,a=bob," (ADVICE r17).
+        val gs2End: Int = {
+          if (clientFirst.isEmpty || !"nyp".contains(clientFirst.charAt(0))) -1
+          else {
+            val c1 = clientFirst.indexOf(',')
+            if (c1 < 0) -1 else clientFirst.indexOf(',', c1 + 1)
+          }
+        }
+        if (gs2End < 0) { authFail(); return }
+        val clientFirstBare = clientFirst.substring(gs2End + 1)
         val cAttrs = attrs(clientFirstBare)
         val cNonce = cAttrs.getOrElse('r', { authFail(); return })
         val expected = users.getOrElse(user, { authFail(); return })
@@ -1320,7 +1335,12 @@ private[io] final class PgClientConnection(
     }
     require(started, "server never sent CopyOutResponse")
     val text = new String(data.toByteArray, UTF_8)
-    (text.split("\n", -1).toSeq.filter(_.nonEmpty), count)
+    // strip ONLY the final newline's empty segment: a row whose single text
+    // column is empty renders as an empty line and is a real row (ADVICE r17)
+    val lines0 = text.split("\n", -1).toSeq
+    val lines = if (lines0.nonEmpty && lines0.last.isEmpty) lines0.dropRight(1)
+      else lines0
+    (lines, count)
   }
 
   /** COPY … FROM STDIN cycle (r17): waits for CopyInResponse, streams the

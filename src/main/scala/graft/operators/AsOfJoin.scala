@@ -20,6 +20,11 @@ import org.apache.spark.sql.functions._
   * recent right row with rightTs <= leftTs. "forward" is the mirror (ordering
   * reversed). Ties on ts: the right row sorts before the left row, so an
   * exactly-equal timestamp matches (pandas allow_exact_matches=True).
+  *
+  * `strict = true` (r18 — ClickHouse `ASOF JOIN … ON l.ts > r.ts` /
+  * pandas allow_exact_matches=False) excludes equal timestamps: the tie
+  * order flips so the left row sorts BEFORE same-ts right rows, putting them
+  * outside its unbounded-preceding carry frame — no second shuffle, same plan.
   */
 object AsOfJoin {
 
@@ -32,9 +37,10 @@ object AsOfJoin {
       rightCols: Seq[String],
       tsOut: String = "__asof_ts",
       toleranceMicros: Long = -1L,
-      keepMatchTs: Boolean = false): DataFrame =
+      keepMatchTs: Boolean = false,
+      strict: Boolean = false): DataFrame =
     join(left, right, byKeys, leftTs, rightTs, rightCols, tsOut,
-      forward = false, toleranceMicros, keepMatchTs)
+      forward = false, toleranceMicros, keepMatchTs, strict)
 
   def forward(
       left: DataFrame,
@@ -45,9 +51,10 @@ object AsOfJoin {
       rightCols: Seq[String],
       tsOut: String = "__asof_ts",
       toleranceMicros: Long = -1L,
-      keepMatchTs: Boolean = false): DataFrame =
+      keepMatchTs: Boolean = false,
+      strict: Boolean = false): DataFrame =
     join(left, right, byKeys, leftTs, rightTs, rightCols, tsOut,
-      forward = true, toleranceMicros, keepMatchTs)
+      forward = true, toleranceMicros, keepMatchTs, strict)
 
   /** direction="nearest": per left row, whichever of the backward/forward
     * match is closer in time (ties → the earlier/backward one, pandas
@@ -106,7 +113,8 @@ object AsOfJoin {
       tsOut: String,
       forward: Boolean,
       toleranceMicros: Long = -1L,
-      keepMatchTs: Boolean = false): DataFrame = {
+      keepMatchTs: Boolean = false,
+      strict: Boolean = false): DataFrame = {
 
     // left's payload columns (ts itself travels as tsOut, so it is excluded
     // here — this also makes tsOut == leftTs legal)
@@ -126,9 +134,12 @@ object AsOfJoin {
           lit(null).cast(right.schema(rightTs).dataType).as("__r___mts")): _*)
 
     val unioned = rightTagged.unionByName(leftTagged)
+    // strict: left (side 1) sorts before same-ts right rows (side 0), so an
+    // exactly-equal right timestamp falls outside the left row's carry frame
+    val sideOrd = if (strict) col("__side").desc else col("__side").asc
     val ord =
-      if (forward) Seq(col(tsOut).desc, col("__side").asc)
-      else Seq(col(tsOut).asc, col("__side").asc)
+      if (forward) Seq(col(tsOut).desc, sideOrd)
+      else Seq(col(tsOut).asc, sideOrd)
     val w = Window.partitionBy(byKeys.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 

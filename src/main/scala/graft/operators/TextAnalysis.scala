@@ -497,9 +497,12 @@ object TextAnalysis {
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("__ix"), col("__line")))),
           x => x.getField("__line")), "\n").as(textCol))
-    // docs whose every line was boilerplate keep an empty text, not a NULL
+    // docs whose every line was boilerplate keep an empty text, not a NULL;
+    // final select restores the INPUT column order (the join moves the
+    // rebuilt text to the end — ADVICE r17)
     df.select(others.map(col): _*)
       .join(rebuilt, Seq(idCol), "left")
       .na.fill(Map(textCol -> ""))
+      .select(df.columns.map(col): _*)
   }
 }

@@ -1572,6 +1572,107 @@ object CoverageQueries {
       SELECT uid, n FROM fx
       UNION ALL
       SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM gaps
-      ORDER BY uid, n"""))
+      ORDER BY uid, n""")),
+
+    QueryDef("q217_asof_strict", (s, dir) => {
+      // ASOF JOIN strict bound (r18): `ON p.ts > e.ets` — the most recent
+      // event STRICTLY BEFORE each purchase. The right side carries every
+      // (user_id, ts) pair including each purchase's own timestamp, so a
+      // non-strict carry would match the row itself — every output row
+      // proves the tie exclusion. DuckDB's native ASOF accepts the same
+      // strict inequality.
+      v(s, dir, "events")
+      graft.engine.GraftSession(s).sql(
+        """SELECT p.user_id, p.ts, p.event_id, p.value, e.prior_value, e.ets
+           FROM (SELECT event_id, user_id, ts, value FROM events
+             WHERE event_type = 'purchase') p
+           ASOF LEFT JOIN (SELECT user_id, ts AS ets, MAX(value) AS prior_value
+             FROM events GROUP BY user_id, ts) e
+           ON p.user_id = e.user_id AND p.ts > e.ets
+           ORDER BY p.event_id""")
+    }, Some("""SELECT p.user_id, p.ts, p.event_id, p.value, e.prior_value, e.ets
+      FROM (SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT user_id, ts AS ets, MAX(value) AS prior_value
+        FROM events GROUP BY user_id, ts) e
+      ON p.user_id = e.user_id AND p.ts > e.ets
+      ORDER BY p.event_id""")),
+
+    QueryDef("q218_funnel_strict", (s, dir) => {
+      // windowFunnel strictness modes (r18, the ClickHouse contract):
+      // one fixture per mode-discriminating case, every mode computed over
+      // the same rows. u2's X event (matches no condition) interrupts only
+      // under 'strict_order'; u3's repeated B stops only 'strict_dedup';
+      // u4's A/B tie at t=1 chains by condition order except under
+      // 'strict_increase'. Oracle = the hand-derived level table.
+      graft.engine.GraftSession(s).sql(
+        """SELECT user_id,
+             windowFunnel(10, tt, ev = 'A', ev = 'B', ev = 'C') AS dflt,
+             windowFunnel(10, 'strict_order', tt, ev = 'A', ev = 'B', ev = 'C') AS so,
+             windowFunnel(10, 'strict_dedup', tt, ev = 'A', ev = 'B', ev = 'C') AS sd,
+             windowFunnel(10, 'strict_increase', tt, ev = 'A', ev = 'B', ev = 'C') AS si
+           FROM VALUES
+             ('u1', 1, 'A'), ('u1', 2, 'B'), ('u1', 3, 'C'),
+             ('u2', 1, 'A'), ('u2', 2, 'X'), ('u2', 3, 'B'), ('u2', 4, 'C'),
+             ('u3', 1, 'A'), ('u3', 2, 'B'), ('u3', 3, 'B'), ('u3', 4, 'C'),
+             ('u4', 1, 'A'), ('u4', 1, 'B'), ('u4', 2, 'C')
+           AS t(user_id, tt, ev)
+           GROUP BY user_id ORDER BY user_id""")
+    }, Some("""SELECT * FROM (VALUES ('u1', 3, 3, 3, 3), ('u2', 3, 1, 3, 3),
+        ('u3', 3, 3, 2, 3), ('u4', 3, 3, 3, 1))
+      AS t(user_id, dflt, so, sd, si) ORDER BY user_id""")),
+
+    QueryDef("q219_any_right", (s, dir) => {
+      // ANY RIGHT JOIN (r18): every customer row, matched with at most one
+      // order — the side-swap rewrite turns it into customer ANY LEFT JOIN
+      // orders, whose deterministic dedup contract picks the
+      // lexicographically smallest non-key order row = MIN(o_orderkey)
+      // (o_orderkey leads the non-key schema order and is unique).
+      v(s, dir, "orders"); v(s, dir, "customer")
+      graft.engine.GraftSession(s).sql(
+        """SELECT c.c_custkey, c.c_name, o.o_orderkey
+           FROM orders o ANY RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+           WHERE c.c_custkey % 11 = 0 ORDER BY c.c_custkey""")
+    }, Some("""SELECT c.c_custkey, c.c_name, o.o_orderkey
+      FROM customer c LEFT JOIN (SELECT o_custkey, MIN(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY o_custkey) o
+      ON o.o_custkey = c.c_custkey
+      WHERE c.c_custkey % 11 = 0 ORDER BY c.c_custkey""")),
+
+    QueryDef("q220_apply_lambda", (s, dir) => {
+      // `* APPLY (x -> expr)` lambda transformer (r18): the body is
+      // substituted per star column (word-boundary, literal-aware); output
+      // names are the body with the bare column name substituted — so the
+      // oracle spells the same aliases explicitly.
+      v(s, dir, "nation")
+      graft.engine.GraftSession(s).sql(
+        """SELECT * APPLY (v -> v * 2 + 1)
+           FROM (SELECT n_nationkey AS a, n_regionkey AS b FROM nation) src
+           ORDER BY `a * 2 + 1`""")
+    }, Some("""SELECT a * 2 + 1 AS "a * 2 + 1", b * 2 + 1 AS "b * 2 + 1"
+      FROM (SELECT n_nationkey AS a, n_regionkey AS b FROM nation) src
+      ORDER BY 1""")),
+
+    QueryDef("q221_totals_rollup", (s, dir) => {
+      // WITH TOTALS over ROLLUP (r18): the totals row is one MORE grand
+      // row on top of ROLLUP's own () set (ClickHouse prints it in a
+      // separate totals block; flattened, the row multiset carries two
+      // all-NULL-key rows). Rewritten to GROUPING SETS (ROLLUP(…), ());
+      // DuckDB replays as ROLLUP ∪ the grand aggregate.
+      v(s, dir, "lineitem")
+      graft.engine.GraftSession(s).sql(
+        """SELECT l_returnflag, l_linestatus,
+             CAST(SUM(l_quantity) AS BIGINT) AS sq, COUNT(*) AS n
+           FROM lineitem
+           GROUP BY ROLLUP(l_returnflag, l_linestatus) WITH TOTALS
+           ORDER BY l_returnflag, l_linestatus, n""")
+    }, Some("""SELECT * FROM (
+        SELECT l_returnflag, l_linestatus,
+          CAST(SUM(l_quantity) AS BIGINT) AS sq, COUNT(*) AS n
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        UNION ALL
+        SELECT NULL, NULL, CAST(SUM(l_quantity) AS BIGINT), COUNT(*)
+        FROM lineitem)
+      ORDER BY l_returnflag, l_linestatus, n"""))
   )
 }

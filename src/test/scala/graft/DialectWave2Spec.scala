@@ -96,12 +96,25 @@ class DialectWave2Spec extends SparkTestBase {
       Seq((1, "a"), (2, "b")))
   }
 
-  test("ANY RIGHT JOIN is refused loudly") {
+  test("ANY RIGHT JOIN keeps all right rows, at most one left match (r18)") {
+    views()
+    // w2_dup has two k=1 rows (tag x and a); the deterministic dedup picks
+    // the lexicographically smallest non-key row → tag 'a'. k=3 has no
+    // match and survives with NULLs (right rows are all kept).
+    val rows = g.sql(
+      """SELECT l.k, l.lab, d.tag FROM w2_dup d ANY RIGHT JOIN w2_left l
+         ON d.k = l.k ORDER BY l.k""").collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1),
+      if (r.isNullAt(2)) null else r.getString(2))).toSeq ==
+      Seq((1, "L1", "a"), (2, "L2", "b"), (3, "L3", null)))
+  }
+
+  test("ANY FULL JOIN is refused loudly") {
     views()
     val e = intercept[UnsupportedOperationException] {
-      g.sql("SELECT 1 FROM w2_left l ANY RIGHT JOIN w2_dup d ON l.k = d.k")
+      g.sql("SELECT 1 FROM w2_left l ANY FULL JOIN w2_dup d ON l.k = d.k")
     }
-    assert(e.getMessage.contains("ANY LEFT JOIN"))
+    assert(e.getMessage.contains("ANY FULL JOIN"))
   }
 
   // ---- ASOF JOIN on the SQL surface ----
@@ -135,13 +148,28 @@ class DialectWave2Spec extends SparkTestBase {
       Seq(("T1", 20), ("T3", 50)))
   }
 
-  test("strict ASOF inequalities are refused loudly") {
+  test("strict ASOF inequality excludes exact-equal timestamps (r18)") {
     views()
-    val e1 = intercept[UnsupportedOperationException] {
-      g.sql("""SELECT 1 FROM w2_trades tr ASOF JOIN w2_quotes q
-               ON tr.uid = q.uid AND tr.t > q.qt""")
-    }
-    assert(e1.getMessage.contains(">= or <="))
+    // quote exactly at T1's t=10: non-strict >= matches it, strict > skips
+    // back to qt=8
+    Seq((1, 8, 100.0), (1, 10, 105.0), (1, 20, 110.0))
+      .toDF("uid", "qt", "px").createOrReplaceTempView("w2_quotes_tie")
+    val lax = g.sql(
+      """SELECT trade, qt FROM w2_trades tr ASOF JOIN w2_quotes_tie q
+         ON tr.uid = q.uid AND tr.t >= q.qt ORDER BY trade""").collect()
+    assert(lax.map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("T1", 10), ("T2", 20)))
+    val strict = g.sql(
+      """SELECT trade, qt FROM w2_trades tr ASOF JOIN w2_quotes_tie q
+         ON tr.uid = q.uid AND tr.t > q.qt ORDER BY trade""").collect()
+    assert(strict.map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("T1", 8), ("T2", 20)))
+    // forward strict: t < qt — T1 t=10 skips the tie at 10, lands on 20
+    val fwd = g.sql(
+      """SELECT trade, qt FROM w2_trades tr ASOF JOIN w2_quotes_tie q
+         ON tr.uid = q.uid AND tr.t < q.qt ORDER BY trade""").collect()
+    assert(fwd.map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("T1", 20)))
   }
 
   // ---- review-pass regressions (r16 self-review) ----
@@ -248,6 +276,27 @@ class DialectWave2Spec extends SparkTestBase {
     assert(r.getAs[Double]("sum(v)") == 34.0)
   }
 
+  test("* APPLY lambda substitutes the star column per output (r18)") {
+    views()
+    val df = g.sql("SELECT * EXCEPT(tag) APPLY(x -> x * 2 + 1) FROM w2_dup")
+    assert(df.columns.toSet == Set("k * 2 + 1", "v * 2 + 1"))
+    val sums = df.collect().map(r => r.getAs[Int]("k * 2 + 1")).sorted.toSeq
+    assert(sums == Seq(3, 3, 5))
+    // the lambda variable never captures string literals or dotted refs
+    val lit = g.sql("SELECT * APPLY(x -> concat(tag, 'x')) FROM " +
+      "(SELECT tag FROM w2_dup WHERE k = 2) s").collect()
+    assert(lit.head.getString(0) == "bx")
+  }
+
+  test("* APPLY lambda composes with REPLACE in transformer order (r18)") {
+    views()
+    val df = g.sql(
+      "SELECT * EXCEPT(tag) REPLACE(v * 10 AS v) APPLY(y -> y + 1) FROM w2_dup")
+    assert(df.columns.toSet == Set("k + 1", "v + 1"))
+    val vs = df.collect().map(r => r.getAs[Double]("v + 1")).sorted.toSeq
+    assert(vs == Seq(31.0, 51.0, 91.0))
+  }
+
   test("multiplication before a function call is never a star transformer") {
     views()
     val r = g.sql(
@@ -268,12 +317,23 @@ class DialectWave2Spec extends SparkTestBase {
     assert(rows.map(_.getLong(1)).sum == 6L && rows.length == 4)
   }
 
-  test("WITH TOTALS refuses ROLLUP/CUBE combinations") {
+  test("WITH TOTALS over ROLLUP adds one MORE grand row (r18)") {
     views()
-    val e = intercept[UnsupportedOperationException] {
-      g.sql("SELECT tag, COUNT(*) FROM w2_dup GROUP BY ROLLUP(tag) WITH TOTALS")
-    }
-    assert(e.getMessage.contains("ROLLUP"))
+    val rows = g.sql(
+      """SELECT tag, COUNT(*) AS n FROM w2_dup
+         GROUP BY ROLLUP(tag) WITH TOTALS ORDER BY tag, n""").collect()
+    // 3 per-tag rows + ROLLUP's own () + the totals row = 5
+    assert(rows.length == 5)
+    assert(rows.count(r => r.isNullAt(0) && r.getLong(1) == 3L) == 2)
+  }
+
+  test("WITH TOTALS over GROUPING SETS appends the totals set (r18)") {
+    views()
+    val rows = g.sql(
+      """SELECT tag, COUNT(*) AS n FROM w2_dup
+         GROUP BY GROUPING SETS ((tag)) WITH TOTALS ORDER BY tag, n""").collect()
+    assert(rows.length == 4 &&
+      rows.count(r => r.isNullAt(0) && r.getLong(1) == 3L) == 1)
   }
 
   // ---- WITH FILL ----
