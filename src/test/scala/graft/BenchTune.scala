@@ -27,9 +27,18 @@ object BenchTune {
       .foreach(Tables.load(spark, sfDir, _))
 
     val headline = Queries.all.filter(_.bench)
+    // r18: toRdd-consume action, matching Bench's protocol (same full-column
+    // evaluation as the old noop sink, minus the write wrapper's second
+    // analyze/optimize pass)
     def once(q: graft.queries.QueryDef): Double = {
       val t0 = System.nanoTime()
-      try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      try {
+        val rdd = q.fn(spark, sfDir).queryExecution.toRdd
+        spark.sparkContext.runJob(rdd,
+          (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+            var n = 0L; while (it.hasNext) { it.next(); n += 1 }; n
+          })
+      }
       catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }

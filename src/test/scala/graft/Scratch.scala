@@ -5,6 +5,9 @@ package graft
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
+    // ovhprof runs BEFORE GraftSession.build: Spark allows one context per
+    // JVM, so the profile session must be the first one constructed
+    if (args.headOption.contains("ovhprof")) { ovhProf(args.drop(1)); return }
     val g = graft.engine.GraftSession.build("local[8]", 8)
     if (args.headOption.contains("r8drive")) { r8drive(g); g.spark.stop(); return }
     if (args.headOption.contains("fieldids")) { fieldIds(g); g.spark.stop(); return }
@@ -648,6 +651,102 @@ object Scratch {
     * for separating machine band from per-query regressions.
     * Usage: bench1 <queryName> <sfDir> [reps]
     */
+  /** r18 fixed-overhead profile: where do the ~25-60 ms of the smallest
+    * bench queries go — DataFrame build (parse+analyze), write-side
+    * planning, or job execution?
+    */
+  private def ovhProf(args: Seq[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.enableInMemory(32)
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings")
+      .foreach(Tables.load(spark, dir, _))
+    val names = if (args.size > 1) args.drop(1)
+      else Seq("cb01_count_scan", "q05_topk_orders", "cb08_like_scan")
+    names.foreach { n =>
+      val q = graft.queries.Queries.byName(n)
+      (1 to 5).foreach(_ =>
+        q.fn(spark, dir).write.format("noop").mode("overwrite").save())
+      val reps = 15
+      var tb = 0.0; var te = 0.0
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val df = q.fn(spark, dir)
+        val t1 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val t2 = System.nanoTime()
+        tb += (t1 - t0) / 1e6; te += (t2 - t1) / 1e6
+        (t2 - t0) / 1e6
+      }
+      // rerun phase split: the same pre-built df saved again (write-side
+      // analysis+planning+execution, no view/parse cost)
+      val df = q.fn(spark, dir)
+      val t3 = System.nanoTime()
+      df.queryExecution.executedPlan
+      val t4 = System.nanoTime()
+      println(f"$n%-22s build=${tb / reps}%6.1f ms  write+exec=${te / reps}%6.1f ms  " +
+        f"planOnly=${(t4 - t3) / 1e6}%6.1f ms  total_min=${ts.min}%6.1f ms")
+    }
+    // raw experiments: same aggregation driven four ways, plus conf sweeps
+    def timeMs(reps: Int)(f: => Unit): Double = {
+      (1 to 3).foreach(_ => f)
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
+      }
+      ts.min
+    }
+    val ev = spark.table("events")
+    println(f"events cached partitions = ${ev.rdd.getNumPartitions}")
+    println(f"raw ev.count                 = ${timeMs(10)(ev.count())}%6.1f ms")
+    val cb01df = spark.sql("""SELECT COUNT(*) AS n,
+      COUNT(CASE WHEN event_type <> 'view' THEN 1 END) AS n_nonview FROM events""")
+    println(f"cb01 collect (prebuilt df)   = ${timeMs(10)(cb01df.collect())}%6.1f ms")
+    println(f"cb01 noop    (prebuilt df)   = ${timeMs(10)(
+      cb01df.write.format("noop").mode("overwrite").save())}%6.1f ms")
+    Seq("1", "8", "32").foreach { sp =>
+      spark.conf.set("spark.sql.shuffle.partitions", sp)
+      println(f"cb01 collect @shuffle=$sp%-3s    = ${timeMs(10)(
+        spark.sql("""SELECT COUNT(*) AS n,
+          COUNT(CASE WHEN event_type <> 'view' THEN 1 END) AS n_nonview
+          FROM events""").collect())}%6.1f ms")
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // toRdd-consume action: evaluates every output column (UnsafeRows are
+    // fully materialized) but reuses the df's own QueryExecution — no
+    // write-wrapper re-analysis/re-planning
+    def consume(df: org.apache.spark.sql.DataFrame): Unit = {
+      val rdd = df.queryExecution.toRdd
+      spark.sparkContext.runJob(rdd,
+        (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+          var n = 0L; while (it.hasNext) { it.next(); n += 1 }; n
+        })
+    }
+    Seq("cb01_count_scan", "q05_topk_orders", "cb08_like_scan").foreach { n =>
+      val q = graft.queries.Queries.byName(n)
+      val pre = q.fn(spark, dir)
+      println(f"$n%-22s consume prebuilt = ${timeMs(10)(consume(pre))}%6.1f ms  " +
+        f"fresh = ${timeMs(10)(consume(q.fn(spark, dir)))}%6.1f ms")
+    }
+    spark.conf.set("spark.sql.analyzer.singlePassResolver.enabled", "true")
+    Seq("cb01_count_scan", "q05_topk_orders", "cb08_like_scan").foreach { n =>
+      val q = graft.queries.Queries.byName(n)
+      try println(f"$n%-22s singlePass fresh-consume = ${
+        timeMs(10)(consume(q.fn(spark, dir)))}%6.1f ms")
+      catch { case e: Throwable =>
+        println(s"$n singlePass FAILED: ${e.getClass.getSimpleName} ${e.getMessage.take(120)}") }
+    }
+    spark.conf.set("spark.sql.analyzer.singlePassResolver.enabled", "false")
+    spark.stop()
+  }
+
   private def bench1(args: Seq[String]): Unit = {
     val name = args.head
     val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
