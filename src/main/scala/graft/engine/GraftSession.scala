@@ -189,6 +189,19 @@ final class GraftSession(val spark: SparkSession) extends DialectWave2 {
     rows.length.toLong
   }
 
+  /** COPY FROM STDIN (FORMAT binary) rows — already typed by the wire
+    * decoder against the table's schema (r18); appended directly, no
+    * string-cast round trip (which would corrupt bytea).
+    */
+  private[graft] def copyInRows(tbl: String,
+      rows: Seq[org.apache.spark.sql.Row]): Long = {
+    val target = tableSchema(tbl)
+    val typed = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq), target)
+    appendToTable(tbl, typed)
+    rows.length.toLong
+  }
+
   private val optimizeRe =
     "(?is)^\\s*OPTIMIZE\\s+TABLE\\s+([A-Za-z_][\\w.]*)(?:\\s+FINAL)?\\s*;?\\s*$".r
   private val truncateRe =

@@ -205,6 +205,78 @@ object PgWire {
     case _ => render(v).getBytes(UTF_8)
   }
 
+  // ---- COPY binary format (r18) ----
+  // Framing per the PG docs' "Binary Format" section: an 11-byte signature,
+  // int32 flags (bit 16 = legacy OID column — refused), int32 header
+  // extension length, then per tuple int16 field-count + per field
+  // int32 length (-1 null) and the SAME per-OID payloads the binary result
+  // format uses; int16 -1 terminates the stream.
+  private[io] val CopyBinSignature: Array[Byte] =
+    Array[Byte]('P', 'G', 'C', 'O', 'P', 'Y', '\n', -1, '\r', '\n', 0)
+
+  /** Binary-format payload → the Spark-typed value for `dt` — the inverse
+    * of [[binaryEncode]] (COPY FROM binary decodes by the TARGET TABLE's
+    * schema, exactly like PG's per-column recv functions).
+    */
+  private[io] def binaryDecodeValue(dt: DataType, b: Array[Byte]): Any = dt match {
+    case ShortType => java.nio.ByteBuffer.wrap(b).getShort
+    case IntegerType => java.nio.ByteBuffer.wrap(b).getInt
+    case LongType => java.nio.ByteBuffer.wrap(b).getLong
+    case FloatType => java.nio.ByteBuffer.wrap(b).getFloat
+    case DoubleType => java.nio.ByteBuffer.wrap(b).getDouble
+    case BooleanType => b.nonEmpty && b(0) == 1
+    case BinaryType => b
+    case DateType =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+        java.nio.ByteBuffer.wrap(b).getInt.toLong + PgEpochDay))
+    case TimestampType | TimestampNTZType =>
+      // micros since 2000-01-01 carry the WALL CLOCK (binaryEncode derives
+      // it from toLocalDateTime) — invert through LocalDateTime
+      val micros = java.nio.ByteBuffer.wrap(b).getLong + PgEpochMicros
+      val ldt = java.time.LocalDateTime.ofEpochSecond(
+        math.floorDiv(micros, 1000000L),
+        (math.floorMod(micros, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+      if (dt == TimestampNTZType) ldt else java.sql.Timestamp.valueOf(ldt)
+    case _: DecimalType => numericDecode(b)
+    case _ => new String(b, UTF_8)
+  }
+
+  /** COPY binary payload (all CopyData chunks concatenated) → typed rows
+    * by the target schema. Refuses the legacy OID-column flag; skips any
+    * header extension; stops at the int16 -1 trailer.
+    */
+  private[io] def parseCopyBinary(schema: StructType,
+      bytes: Array[Byte]): Seq[org.apache.spark.sql.Row] = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val sig = new Array[Byte](11); in.readFully(sig)
+    require(java.util.Arrays.equals(sig, CopyBinSignature),
+      "COPY binary: bad signature")
+    val flags = in.readInt()
+    require((flags & 0x10000) == 0, "COPY binary: OID column not supported")
+    val extLen = in.readInt(); if (extLen > 0) in.skipBytes(extLen)
+    val rows = Seq.newBuilder[org.apache.spark.sql.Row]
+    var done = false
+    while (!done) {
+      val n = in.readShort()
+      if (n == -1) done = true
+      else {
+        require(n == schema.fields.length,
+          s"COPY binary: expected ${schema.fields.length} fields, got $n")
+        val vals = schema.fields.map { f =>
+          val len = in.readInt()
+          if (len < 0) null
+          else {
+            val b = new Array[Byte](len); in.readFully(b)
+            binaryDecodeValue(f.dataType, b)
+          }
+        }
+        rows += org.apache.spark.sql.Row.fromSeq(vals.toIndexedSeq)
+      }
+    }
+    rows.result()
+  }
+
   /** Binary parameter payload → (spelling, raw) for the bind path: raw
     * values inject verbatim (bytea's X'…' hex literal — lossless), the
     * rest are single-quoted like text parameters. None = an undeclared or
@@ -300,6 +372,22 @@ object PgWire {
       user: String, pass: String, sql: String, lines: Seq[String]): Long = {
     val c = new PgClientConnection(host, port, db, user, pass)
     try c.copyIn(sql, lines) finally c.wireClose()
+  }
+
+  /** One-shot binary COPY OUT (spec surface): raw per-field payloads. */
+  private[graft] def clientCopyOutBinary(host: String, port: Int, db: String,
+      user: String, pass: String,
+      sql: String): (Seq[Seq[Option[Array[Byte]]]], Long) = {
+    val c = new PgClientConnection(host, port, db, user, pass)
+    try c.copyOutBinary(sql) finally c.wireClose()
+  }
+
+  /** One-shot binary COPY IN (spec surface). */
+  private[graft] def clientCopyInBinary(host: String, port: Int, db: String,
+      user: String, pass: String, sql: String,
+      rows: Seq[Seq[Option[Array[Byte]]]]): Long = {
+    val c = new PgClientConnection(host, port, db, user, pass)
+    try c.copyInBinary(sql, rows) finally c.wireClose()
   }
 
   // ---- COPY OUT / COPY IN (r17) ----
@@ -725,14 +813,17 @@ final class PgServer(
                   // payload parses by the table's schema and appends.
                   val cm = PgWire.copyInRe.findFirstMatchIn(sql).get
                   val fmt = Option(cm.group(2)).getOrElse("text")
-                  if (!fmt.equalsIgnoreCase("text"))
+                  val binary = fmt.equalsIgnoreCase("binary")
+                  if (!binary && !fmt.equalsIgnoreCase("text"))
                     throw new UnsupportedOperationException(
-                      s"COPY format '$fmt' not supported (text only)")
+                      s"COPY format '$fmt' not supported (text or binary)")
                   val tbl = cm.group(1).replace("\"", "")
-                  val nCols = gs.tableSchema(tbl).fields.length // resolves/validates
-                  msg('G') { d => // CopyInResponse, overall + per-col text
-                    d.writeByte(0); d.writeShort(nCols)
-                    (0 until nCols).foreach(_ => d.writeShort(0))
+                  val schema = gs.tableSchema(tbl) // resolves/validates
+                  val nCols = schema.fields.length
+                  val fmtByte = if (binary) 1 else 0
+                  msg('G') { d => // CopyInResponse, overall + per-col format
+                    d.writeByte(fmtByte); d.writeShort(nCols)
+                    (0 until nCols).foreach(_ => d.writeShort(fmtByte))
                   }
                   out.flush()
                   val data = new ByteArrayOutputStream(4096)
@@ -755,10 +846,16 @@ final class PgServer(
                   }
                   if (failed != null)
                     throw new IllegalStateException(s"COPY aborted by client: $failed")
-                  val lines = new String(data.toByteArray, UTF_8)
-                    .split("\n", -1).toSeq.filter(_.nonEmpty)
-                    .takeWhile(_ != "\\.") // optional end-of-data marker
-                  val n = gs.copyInText(tbl, lines)
+                  val n =
+                    if (binary)
+                      gs.copyInRows(tbl,
+                        PgWire.parseCopyBinary(schema, data.toByteArray))
+                    else {
+                      val lines = new String(data.toByteArray, UTF_8)
+                        .split("\n", -1).toSeq.filter(_.nonEmpty)
+                        .takeWhile(_ != "\\.") // optional end-of-data marker
+                      gs.copyInText(tbl, lines)
+                    }
                   msg('C')(cstr(_, s"COPY $n"))
                 }
                 else PgWire.copyOutRe.findFirstMatchIn(sql) match {
@@ -769,28 +866,50 @@ final class PgServer(
                     // backslash escapes, one CopyData per row, CopyDone,
                     // then the COPY n row-count trailer.
                     val fmt = Option(cm.group(3)).getOrElse("text")
-                    if (!fmt.equalsIgnoreCase("text"))
+                    val binary = fmt.equalsIgnoreCase("binary")
+                    if (!binary && !fmt.equalsIgnoreCase("text"))
                       throw new UnsupportedOperationException(
-                        s"COPY format '$fmt' not supported (text only)")
+                        s"COPY format '$fmt' not supported (text or binary)")
                     val inner = Option(cm.group(1))
                       .getOrElse(s"SELECT * FROM ${cm.group(2)}")
                     val df = gs.sql(identsToBackticks(inner))
                     val fields = df.schema.fields
-                    msg('H') { d => // CopyOutResponse: overall text, per-col text
-                      d.writeByte(0); d.writeShort(fields.length)
-                      fields.indices.foreach(_ => d.writeShort(0))
+                    val fmtByte = if (binary) 1 else 0
+                    msg('H') { d => // CopyOutResponse: overall + per-col format
+                      d.writeByte(fmtByte); d.writeShort(fields.length)
+                      fields.indices.foreach(_ => d.writeShort(fmtByte))
                     }
+                    if (binary) // 19-byte COPY binary header, own CopyData
+                      msg('d') { d =>
+                        d.write(PgWire.CopyBinSignature)
+                        d.writeInt(0); d.writeInt(0)
+                      }
                     var n = 0L
                     val it = df.toLocalIterator()
                     while (it.hasNext) {
                       val row = it.next()
-                      val line = fields.indices.map { i =>
-                        if (row.isNullAt(i)) "\\N"
-                        else PgWire.copyEscape(render(row.get(i)))
-                      }.mkString("", "\t", "\n")
-                      msg('d')(_.write(line.getBytes(UTF_8)))
+                      if (binary)
+                        msg('d') { d =>
+                          d.writeShort(fields.length)
+                          fields.indices.foreach { i =>
+                            if (row.isNullAt(i)) d.writeInt(-1)
+                            else {
+                              val b = PgWire.binaryEncode(
+                                fields(i).dataType, row.get(i))
+                              d.writeInt(b.length); d.write(b)
+                            }
+                          }
+                        }
+                      else {
+                        val line = fields.indices.map { i =>
+                          if (row.isNullAt(i)) "\\N"
+                          else PgWire.copyEscape(render(row.get(i)))
+                        }.mkString("", "\t", "\n")
+                        msg('d')(_.write(line.getBytes(UTF_8)))
+                      }
                       n += 1
                     }
+                    if (binary) msg('d')(_.writeShort(-1)) // stream trailer
                     msg('c')(_ => ()) // CopyDone
                     msg('C')(cstr(_, s"COPY $n"))
                   case None =>
@@ -1358,6 +1477,91 @@ private[io] final class PgClientConnection(
           send('d', batch.mkString("", "\n", "\n").getBytes(UTF_8))
         }
         send('c', Array.emptyByteArray) // CopyDone
+      case ('C', body) =>
+        val tag = new String(body.takeWhile(_ != 0), UTF_8)
+        require(tag.startsWith("COPY "), s"expected COPY trailer, got '$tag'")
+        count = tag.stripPrefix("COPY ").trim.toLong
+      case ('Z', _) => done = true
+      case ('E', body) =>
+        val m = errorMessage(body); drainToReady()
+        throw new SQLException(s"pg COPY IN failed: $m")
+      case ('S' | 'N', _) =>
+      case (t, _) => throw new SQLException(s"unexpected COPY IN message '$t'")
+    }
+    require(inCopy, "server never sent CopyInResponse")
+    count
+  }
+
+  /** COPY … TO STDOUT (FORMAT binary) cycle (r18): returns each tuple's
+    * raw per-field payloads (None = SQL NULL) plus the COPY n count —
+    * byte-exact, no text rendering in either direction.
+    */
+  def copyOutBinary(sql: String): (Seq[Seq[Option[Array[Byte]]]], Long) = {
+    send('Q', cstrBytes(sql))
+    val data = new ByteArrayOutputStream(4096)
+    var count = -1L
+    var started = false
+    var done = false
+    while (!done) recv() match {
+      case ('H', _) => started = true
+      case ('d', body) => data.write(body)
+      case ('c', _) =>
+      case ('C', body) =>
+        val tag = new String(body.takeWhile(_ != 0), UTF_8)
+        require(tag.startsWith("COPY "), s"expected COPY trailer, got '$tag'")
+        count = tag.stripPrefix("COPY ").trim.toLong
+      case ('Z', _) => done = true
+      case ('E', body) =>
+        val m = errorMessage(body); drainToReady()
+        throw new SQLException(s"pg COPY failed: $m")
+      case ('S' | 'N', _) =>
+      case (t, _) => throw new SQLException(s"unexpected COPY message '$t'")
+    }
+    require(started, "server never sent CopyOutResponse")
+    val in = new DataInputStream(
+      new java.io.ByteArrayInputStream(data.toByteArray))
+    val sig = new Array[Byte](11); in.readFully(sig)
+    require(java.util.Arrays.equals(sig, PgWire.CopyBinSignature),
+      "COPY binary: bad signature")
+    in.readInt(); val ext = in.readInt(); if (ext > 0) in.skipBytes(ext)
+    val rows = Seq.newBuilder[Seq[Option[Array[Byte]]]]
+    var trailer = false
+    while (!trailer) {
+      val n = in.readShort()
+      if (n == -1) trailer = true
+      else rows += (0 until n).map { _ =>
+        val len = in.readInt()
+        if (len < 0) None
+        else { val b = new Array[Byte](len); in.readFully(b); Some(b) }
+      }
+    }
+    (rows.result(), count)
+  }
+
+  /** COPY … FROM STDIN (FORMAT binary) cycle (r18): frames the given raw
+    * per-field payloads into the binary COPY stream.
+    */
+  def copyInBinary(sql: String, rows: Seq[Seq[Option[Array[Byte]]]]): Long = {
+    send('Q', cstrBytes(sql))
+    var inCopy = false
+    var count = -1L
+    var done = false
+    while (!done) recv() match {
+      case ('G', _) if !inCopy =>
+        inCopy = true
+        val payload = new ByteArrayOutputStream(4096)
+        val d = new java.io.DataOutputStream(payload)
+        d.write(PgWire.CopyBinSignature); d.writeInt(0); d.writeInt(0)
+        rows.foreach { r =>
+          d.writeShort(r.length)
+          r.foreach {
+            case Some(b) => d.writeInt(b.length); d.write(b)
+            case None => d.writeInt(-1)
+          }
+        }
+        d.writeShort(-1)
+        send('d', payload.toByteArray)
+        send('c', Array.emptyByteArray)
       case ('C', body) =>
         val tag = new String(body.takeWhile(_ != 0), UTF_8)
         require(tag.startsWith("COPY "), s"expected COPY trailer, got '$tag'")

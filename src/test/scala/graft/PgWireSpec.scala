@@ -482,12 +482,69 @@ class PgWireSpec extends SparkTestBase {
         "127.0.0.1", server.boundPort, "db", "u", "pw",
         "COPY pg_copy_t TO STDOUT (FORMAT text)")
       assert(nAll == 3L && all.length == 3)
-      // non-text formats are refused loudly
+      // unknown formats are refused loudly (binary is real since r18)
       val e = intercept[SQLException] {
         graft.io.PgWire.clientCopyOut("127.0.0.1", server.boundPort, "db",
-          "u", "pw", "COPY pg_copy_t TO STDOUT (FORMAT binary)")
+          "u", "pw", "COPY pg_copy_t TO STDOUT (FORMAT csv)")
       }
-      assert(e.getMessage.contains("text only"), e.getMessage)
+      assert(e.getMessage.contains("text or binary"), e.getMessage)
+    }
+  }
+
+  test("pg: COPY binary round-trips all 11 OIDs byte-exactly") {
+    // COPY (FORMAT binary) both directions (r18): the 19-byte PGCOPY
+    // header, per-tuple int16 field count + int32-length-prefixed per-OID
+    // payloads (the r17 binary result codecs), int16 -1 trailer. The spec
+    // drives OUT → IN → OUT and compares raw payload bytes.
+    val gs2 = GraftSession(spark)
+    spark.sql(
+      """SELECT * FROM VALUES
+           (true, X'DEADBEEF', CAST(7 AS SMALLINT), 42, 9000000000L,
+            CAST(1.5 AS FLOAT), 2.25D, 'héllo\ttab', DATE'2024-03-05',
+            TIMESTAMP'2024-03-05 06:07:08.123456',
+            CAST(1234.5678 AS DECIMAL(12,4))),
+           (CAST(NULL AS BOOLEAN), CAST(NULL AS BINARY),
+            CAST(NULL AS SMALLINT), 43, CAST(NULL AS BIGINT),
+            CAST(NULL AS FLOAT), CAST(NULL AS DOUBLE),
+            CAST(NULL AS STRING), CAST(NULL AS DATE),
+            CAST(NULL AS TIMESTAMP), CAST(NULL AS DECIMAL(12,4)))
+         AS t(b, by, i2, i4, i8, f4, f8, s, d, ts, num)""")
+      .createOrReplaceTempView("pg_copybin_src")
+    spark.sql("DROP TABLE IF EXISTS pg_copybin_t")
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "pg_copybin_t")
+    if (wh.exists) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(wh.toPath).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    gs2.createTable("pg_copybin_t",
+      "b BOOLEAN, by BINARY, i2 SMALLINT, i4 INT, i8 BIGINT, f4 FLOAT, " +
+        "f8 DOUBLE, s STRING, d DATE, ts TIMESTAMP, num DECIMAL(12,4)")
+    withServer() { server =>
+      def hex(r: Seq[Seq[Option[Array[Byte]]]]): Seq[Seq[String]] =
+        r.map(_.map(_.fold("NULL")(_.map("%02x".format(_)).mkString)))
+      val (out1, n1) = graft.io.PgWire.clientCopyOutBinary(
+        "127.0.0.1", server.boundPort, "db", "u", "pw",
+        "COPY (SELECT * FROM pg_copybin_src ORDER BY i4) TO STDOUT (FORMAT binary)")
+      assert(n1 == 2L && out1.length == 2 && out1.head.length == 11)
+      val nIn = graft.io.PgWire.clientCopyInBinary(
+        "127.0.0.1", server.boundPort, "db", "u", "pw",
+        "COPY pg_copybin_t FROM STDIN (FORMAT binary)", out1)
+      assert(nIn == 2L)
+      val (out2, n2) = graft.io.PgWire.clientCopyOutBinary(
+        "127.0.0.1", server.boundPort, "db", "u", "pw",
+        "COPY (SELECT * FROM pg_copybin_t ORDER BY i4) TO STDOUT (FORMAT binary)")
+      assert(n2 == 2L)
+      assert(hex(out2) == hex(out1), "binary COPY cycle must be byte-exact")
+      // and the decoded values are the originals
+      val back = gs2.sql(
+        "SELECT b, hex(by), i2, s, CAST(ts AS STRING), CAST(num AS STRING) " +
+          "FROM pg_copybin_t WHERE i4 = 42").collect().head
+      assert(back.getBoolean(0) && back.getString(1) == "DEADBEEF" &&
+        back.getShort(2) == 7 && back.getString(3) == "héllo\ttab" &&
+        back.getString(4) == "2024-03-05 06:07:08.123456" &&
+        back.getString(5) == "1234.5678")
     }
   }
 
