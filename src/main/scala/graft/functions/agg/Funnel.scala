@@ -234,10 +234,13 @@ case class Retention(
 }
 
 /** sequenceMatch(pattern, ts, cond1, …) / sequenceCount — ClickHouse pattern
-  * language subset: `(?N)` condition refs and `.*` gaps (the common cases in
-  * the reference's event analytics; time constraints `(?t<=…)` unsupported).
+  * language: `(?N)` condition refs, `.*` gaps, and (r18) time constraints
+  * `(?t op n)` with op ∈ <, <=, >, >=, == — n in the ts column's own units,
+  * constraining the time between the two ADJACENT matched events (the
+  * ClickHouse contract; a time constraint implies a gap is allowed).
   * Matching runs over events in timestamp order; an event may satisfy any of
-  * the conditions (first match per step wins — greedy subsequence search).
+  * the conditions (first match per step wins — greedy subsequence search,
+  * with candidate re-scan under time constraints).
   */
 case class SequenceMatchAgg(
     patternExpr: Expression,
@@ -248,15 +251,42 @@ case class SequenceMatchAgg(
     inputAggBufferOffset: Int = 0)
   extends EventListAggregate {
 
-  /** parsed pattern: (condIndex, gapAllowedBefore) */
-  private lazy val steps: Seq[(Int, Boolean)] = {
+  /** one parsed step: condition index, whether a gap (`.*` or a time
+    * constraint) precedes it, and the optional (op, bound) time constraint
+    * on the delta from the PREVIOUS matched event
+    */
+  private case class Step(cond: Int, gapOk: Boolean,
+      timeOp: String, timeBound: Long) {
+    def timeOk(delta: Long): Boolean = timeOp match {
+      case "<" => delta < timeBound
+      case "<=" => delta <= timeBound
+      case ">" => delta > timeBound
+      case ">=" => delta >= timeBound
+      case "==" | "=" => delta == timeBound
+      case _ => true // no constraint
+    }
+    /** under an upper-bound op, candidates past the bound can never match —
+      * the scan may stop early (events are sorted by ts) */
+    def timeHopeless(delta: Long): Boolean =
+      (timeOp == "<" || timeOp == "<=" || timeOp == "==" || timeOp == "=") &&
+        delta > timeBound
+  }
+
+  private lazy val steps: Seq[Step] = {
     val p = patternExpr.eval().toString
-    val re = "(\\.\\*)|\\(\\?(\\d+)\\)".r
+    val re = "(\\.\\*)|\\(\\?(\\d+)\\)|\\(\\?t\\s*(<=|>=|==|=|<|>)\\s*(\\d+)\\)".r
     var gap = false
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Boolean)]
+    var top: String = ""
+    var tbound = 0L
+    val out = scala.collection.mutable.ArrayBuffer.empty[Step]
     re.findAllMatchIn(p).foreach { m =>
       if (m.group(1) != null) gap = true
-      else { out += ((m.group(2).toInt - 1, gap)); gap = false }
+      else if (m.group(3) != null) { // (?t op n): implies a gap
+        gap = true; top = m.group(3); tbound = m.group(4).toLong
+      } else {
+        out += Step(m.group(2).toInt - 1, gap, top, tbound)
+        gap = false; top = ""; tbound = 0L
+      }
     }
     out.toSeq
   }
@@ -302,19 +332,26 @@ case class SequenceMatchAgg(
   private def matchAnchored(evs: Array[(Long, Int)], anchor: Int): Int = {
     var i = anchor
     var step = 0
+    var prevTs = 0L // ts of the previous matched step's event
     while (step < steps.size) {
-      val (ci, gapOk) = steps(step)
-      if (step == 0 || gapOk) {
+      val st = steps(step)
+      if (step == 0 || st.gapOk) {
         var found = -1
         var j = i
-        while (found < 0 && j < evs.length) {
-          if ((evs(j)._2 & (1 << ci)) != 0) found = j
-          j += 1
+        var go = j < evs.length
+        while (found < 0 && go) {
+          val delta = evs(j)._1 - prevTs
+          if (step > 0 && st.timeHopeless(delta)) go = false // sorted: stop
+          else if ((evs(j)._2 & (1 << st.cond)) != 0 &&
+              (step == 0 || st.timeOk(delta))) found = j
+          else { j += 1; go = j < evs.length }
         }
         if (found < 0) return -1
+        prevTs = evs(found)._1
         i = found + 1
       } else {
-        if (i >= evs.length || (evs(i)._2 & (1 << ci)) == 0) return -1
+        if (i >= evs.length || (evs(i)._2 & (1 << st.cond)) == 0) return -1
+        prevTs = evs(i)._1
         i += 1
       }
       step += 1

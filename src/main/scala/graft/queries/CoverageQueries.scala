@@ -1673,6 +1673,29 @@ object CoverageQueries {
         UNION ALL
         SELECT NULL, NULL, CAST(SUM(l_quantity) AS BIGINT), COUNT(*)
         FROM lineitem)
-      ORDER BY l_returnflag, l_linestatus, n"""))
+      ORDER BY l_returnflag, l_linestatus, n""")),
+
+    QueryDef("q222_sequence_time", (s, dir) => {
+      // sequenceMatch/sequenceCount time constraints (r18): `(?t op n)`
+      // bounds the delta between ADJACENT matched events (ClickHouse
+      // pattern language). u3 proves the candidate re-scan: its B@4 fails
+      // (?t>5) but B@20 satisfies it; u5 proves non-overlapping counting.
+      // Oracle = the hand-derived truth table.
+      graft.engine.GraftSession(s).sql(
+        """SELECT user_id,
+             CAST(sequenceMatch('(?1)(?t<=5)(?2)', tt, ev = 'A', ev = 'B') AS INT) AS le5,
+             CAST(sequenceMatch('(?1)(?t>5)(?2)', tt, ev = 'A', ev = 'B') AS INT) AS gt5,
+             CAST(sequenceCount('(?1)(?t<=5)(?2)', tt, ev = 'A', ev = 'B') AS INT) AS cnt
+           FROM VALUES
+             ('u1', 1, 'A'), ('u1', 3, 'B'),
+             ('u2', 1, 'A'), ('u2', 10, 'B'),
+             ('u3', 1, 'A'), ('u3', 4, 'B'), ('u3', 20, 'B'),
+             ('u4', 1, 'B'), ('u4', 2, 'A'),
+             ('u5', 1, 'A'), ('u5', 2, 'B'), ('u5', 10, 'A'), ('u5', 11, 'B')
+           AS t(user_id, tt, ev)
+           GROUP BY user_id ORDER BY user_id""")
+    }, Some("""SELECT * FROM (VALUES ('u1', 1, 0, 1), ('u2', 0, 1, 0),
+        ('u3', 1, 1, 1), ('u4', 0, 0, 0), ('u5', 1, 1, 2))
+      AS t(user_id, le5, gt5, cnt) ORDER BY user_id"""))
   )
 }
