@@ -330,8 +330,41 @@ private[engine] trait DialectWave2 { self: GraftSession =>
       "\\s+ASOF\\s+(LEFT\\s+)?JOIN\\s+([A-Za-z_][\\w.]*|`[^`]+`)" +
       "((?:\\s+(?:AS\\s+)?(?!ON\\b)[A-Za-z_]\\w*)?)\\s+ON\\b").r
   private val asofLeftoverRe = "(?i)\\bASOF\\s+(LEFT\\s+)?JOIN\\b".r
+  // `ASOF [LEFT] JOIN t USING (k1, …, kn, ts)` (r18 — the ClickHouse
+  // shorthand; DuckDB spells it identically): the LAST listed column is the
+  // inequality column with >= (backward) semantics, the rest are equality
+  // keys. Rewritten textually to the ON form; both sides then share the
+  // key/ts names, so the ON machinery's same-name handling applies.
+  private val asofUsingRe =
+    ("(?is)\\bFROM\\s+([A-Za-z_][\\w.]*|`[^`]+`)" +
+      "((?:\\s+(?:AS\\s+)?(?!(?:ASOF|LEFT|INNER|CROSS|JOIN|WHERE|GROUP|ORDER" +
+      "|LIMIT|HAVING|UNION|ON|USING|SAMPLE|FINAL)\\b)[A-Za-z_]\\w*)?)" +
+      "\\s+ASOF\\s+(LEFT\\s+)?JOIN\\s+([A-Za-z_][\\w.]*|`[^`]+`)" +
+      "((?:\\s+(?:AS\\s+)?(?!(?:ON|USING)\\b)[A-Za-z_]\\w*)?)" +
+      "\\s+USING\\s*\\(([^)]*)\\)").r
+  private def rewriteAsofUsing(q: String): String =
+    asofUsingRe.replaceAllIn(q, { m =>
+      if (inLiteralAt(q, m.start)) qr(m.matched)
+      else {
+        def aliasOf(name: String, aliasGrp: String): String = {
+          val a = aliasGrp.trim.replaceFirst("(?i)^AS\\s+", "")
+          if (a.isEmpty) unquoteIdent(name).split('.').last else a
+        }
+        val lAlias = aliasOf(m.group(1), m.group(2))
+        val rAlias = aliasOf(m.group(4), m.group(5))
+        val cols = splitTopLevel(m.group(6)).map(unquoteIdent)
+        require(cols.length >= 2,
+          "ASOF JOIN USING needs at least one key and the trailing ordering column")
+        val ts = cols.last
+        val conds = cols.init.map(k => s"$lAlias.`$k` = $rAlias.`$k`") :+
+          s"$lAlias.`$ts` >= $rAlias.`$ts`"
+        qr(s"FROM ${m.group(1)}${m.group(2)} ASOF " +
+          s"${Option(m.group(3)).getOrElse("")}JOIN ${m.group(4)}${m.group(5)} " +
+          s"ON ${conds.mkString(" AND ")}")
+      }
+    })
   private[engine] def rewriteAsofJoin(q: String): String = {
-    val lifted = liftAsofSubqueries(q)
+    val lifted = rewriteAsofUsing(liftAsofSubqueries(q))
     val out = rewriteAsofJoinOnce(lifted)
     if (out eq lifted) {
       // leftover ASOF JOIN (any depth) = a shape v1 does not parse; fail

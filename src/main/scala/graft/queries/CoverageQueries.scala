@@ -1696,6 +1696,29 @@ object CoverageQueries {
            GROUP BY user_id ORDER BY user_id""")
     }, Some("""SELECT * FROM (VALUES ('u1', 1, 0, 1), ('u2', 0, 1, 0),
         ('u3', 1, 1, 1), ('u4', 0, 0, 0), ('u5', 1, 1, 2))
-      AS t(user_id, le5, gt5, cnt) ORDER BY user_id"""))
+      AS t(user_id, le5, gt5, cnt) ORDER BY user_id""")),
+
+    QueryDef("q223_asof_using", (s, dir) => {
+      // ASOF JOIN USING (r18, the ClickHouse shorthand): the trailing USING
+      // column is the >= ordering key, the rest are equalities. Sides are
+      // inline subqueries (lifted first), the right aggregated per
+      // (user_id, ts) so each purchase's own timestamp matches exactly.
+      // DuckDB spells the same USING form natively.
+      v(s, dir, "events")
+      graft.engine.GraftSession(s).sql(
+        """SELECT p.event_id, p.user_id, p.ts, e.prior_max
+           FROM (SELECT event_id, user_id, ts FROM events
+             WHERE event_type = 'purchase') p
+           ASOF LEFT JOIN (SELECT user_id, ts, MAX(value) AS prior_max
+             FROM events GROUP BY user_id, ts) e
+           USING (user_id, ts)
+           ORDER BY p.event_id""")
+    }, Some("""SELECT p.event_id, p.user_id, p.ts, e.prior_max
+      FROM (SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT user_id, ts, MAX(value) AS prior_max
+        FROM events GROUP BY user_id, ts) e
+      USING (user_id, ts)
+      ORDER BY p.event_id"""))
   )
 }

@@ -148,6 +148,24 @@ class DialectWave2Spec extends SparkTestBase {
       Seq(("T1", 20), ("T3", 50)))
   }
 
+  test("ASOF JOIN USING: last column is the >= ordering key (r18)") {
+    views()
+    // USING (uid, t): equality on uid, backward >= on t — same rows as the
+    // explicit ON form. Quote columns share the left's names (t ~ qt), so
+    // rename the right ts into a same-named view first.
+    spark.sql("SELECT uid, qt AS t, px FROM w2_quotes")
+      .createOrReplaceTempView("w2_quotes_using")
+    val rows = g.sql(
+      """SELECT trade, px FROM w2_trades tr
+         ASOF JOIN w2_quotes_using q USING (uid, t) ORDER BY trade""").collect()
+    assert(rows.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("T1", 100.0), ("T2", 110.0)))
+    val left = g.sql(
+      """SELECT trade, px FROM w2_trades tr
+         ASOF LEFT JOIN w2_quotes_using q USING (uid, t) ORDER BY trade""").collect()
+    assert(left.length == 3 && left(2).isNullAt(1))
+  }
+
   test("strict ASOF inequality excludes exact-equal timestamps (r18)") {
     views()
     // quote exactly at T1's t=10: non-strict >= matches it, strict > skips
