@@ -1182,9 +1182,14 @@ private[engine] trait DialectWave2 { self: GraftSession =>
   // Only a SELECT-position star (after SELECT/DISTINCT, a comma, or an
   // opening paren) is a candidate — `price * replace(code,'X','')` is
   // multiplication followed by a function call and is never touched.
+  /** applies: the APPLY chain in order — Left(fnName) or
+    * Right((lambdaVar, body)); colFilter: COLUMNS('re') regex when the
+    * selector is COLUMNS rather than `*`.
+    */
   private case class StarMods(exceptCols: Seq[String],
-      replaces: Seq[(String, String)], applyFn: Option[String],
-      applyLambda: Option[(String, String)], end: Int)
+      replaces: Seq[(String, String)],
+      applies: Seq[Either[String, (String, String)]], end: Int,
+      colFilter: Option[String] = None)
 
   /** Replace word-boundary occurrences of identifier `v` in `body` with
     * `replacement`, skipping string/backtick literals and dotted refs
@@ -1224,9 +1229,41 @@ private[engine] trait DialectWave2 { self: GraftSession =>
           case None =>
         }
       }
+      else if ((c == 'C' || c == 'c') && isSelectStarAt(q, i)) {
+        parseColumnsSelector(q, i) match {
+          case Some(sm) => return rewriteStarModifiers(applyStarMods(q, i, sm))
+          case None =>
+        }
+      }
       i += 1
     }
     q
+  }
+
+  /** `COLUMNS('re') [EXCEPT(…)] [REPLACE(…)] [APPLY(…)]*` (r18): the
+    * ClickHouse dynamic-column selector — expands to the FROM schema's
+    * columns whose names match the regex (unanchored search, like
+    * ClickHouse's RE2 match), then the same transformer tail as `*`.
+    */
+  private def parseColumnsSelector(q: String, at: Int): Option[StarMods] = {
+    if (!q.regionMatches(true, at, "COLUMNS", 0, 7)) return None
+    val after = at + 7
+    if (after < q.length &&
+        (Character.isLetterOrDigit(q.charAt(after)) || q.charAt(after) == '_'))
+      return None
+    var i = after
+    while (i < q.length && Character.isWhitespace(q.charAt(i))) i += 1
+    if (i >= q.length || q.charAt(i) != '(') return None
+    val e = matchParen(q, i)
+    if (e < 0) return None
+    val content = q.substring(i + 1, e - 1).trim
+    "^'(.*)'$".r.findFirstMatchIn(content).map { m =>
+      // parseStarMods scans the transformer tail from skipWs(star + 1):
+      // pass e - 1 so it starts right after the closing paren
+      parseStarMods(q, e - 1)
+        .getOrElse(StarMods(Nil, Nil, Nil, e))
+        .copy(colFilter = Some(m.group(1)))
+    }
   }
 
   /** The star is a projection star iff the previous non-ws token is SELECT,
@@ -1305,57 +1342,74 @@ private[engine] trait DialectWave2 { self: GraftSession =>
         case None => return None
       }
     }
-    var applyFn: Option[String] = None
-    var applyLambda: Option[(String, String)] = None
+    // APPLY chains (r18): ClickHouse accepts any number of APPLY
+    // transformers, composing left to right — `* APPLY(f) APPLY(g)` is
+    // g(f(col))
+    var applies = Seq.empty[Either[String, (String, String)]]
     val lambdaRe = "(?s)^\\s*([A-Za-z_]\\w*)\\s*->\\s*(.+)$".r
-    if (wordAt(i, "APPLY")) {
+    var more = wordAt(i, "APPLY")
+    while (more) {
       group(i + 5) match {
         case Some((content, e)) if content.trim.matches("[A-Za-z_]\\w*") =>
-          applyFn = Some(content.trim); i = e
+          applies :+= Left(content.trim); i = skipWs(e)
         case Some((content, e)) if lambdaRe.findFirstMatchIn(content).isDefined =>
           val m = lambdaRe.findFirstMatchIn(content).get
-          applyLambda = Some((m.group(1), m.group(2).trim)); i = e
+          applies :+= Right((m.group(1), m.group(2).trim)); i = skipWs(e)
         case Some((content, _)) => throw new UnsupportedOperationException(
           s"* APPLY supports a bare function name or a single-argument " +
             s"lambda `x -> expr` (got '${content.trim}')")
         case None => return None
       }
+      more = wordAt(i, "APPLY")
     }
-    if (!sawReplace && applyFn.isEmpty && applyLambda.isEmpty) None
-    else Some(StarMods(exceptCols, replaces, applyFn, applyLambda, i))
+    if (!sawReplace && applies.isEmpty) None
+    else Some(StarMods(exceptCols, replaces, applies, i))
+  }
+
+  /** one APPLY transformer applied to (exprText, outputName) */
+  private def applyOne(t: Either[String, (String, String)],
+      expr: String, name: String): (String, String) = t match {
+    case Left(fn) => (s"$fn($expr)", s"$fn($name)")
+    case Right((v, body)) =>
+      (substIdent(body, v, s"($expr)"), substIdent(body, v, name))
   }
 
   private def applyStarMods(q: String, star: Int, sm: StarMods): String = {
-    // per-column projection builder shared by the bare-fn and lambda forms:
-    // (exprText, outputName) from the column's input expr and bare name
-    val applyForms: Option[(String, String) => (String, String)] =
-      sm.applyFn.map(fn =>
-        (base: String, n: String) => (s"$fn($base)", s"$fn($n)")
-      ).orElse(sm.applyLambda.map { case (v, body) =>
-        (base: String, n: String) =>
-          (substIdent(body, v, s"($base)"), substIdent(body, v, n))
-      })
-    val repl = applyForms match {
-      case Some(mk) =>
-        // need the star's source columns: the FROM clause at this star's depth
+    val needSchema = sm.applies.nonEmpty || sm.colFilter.isDefined
+    val repl =
+      if (needSchema) {
+        // need the selector's source columns: the FROM clause at this depth
         val fromAt = topLevelKeyword(q, "FROM", sm.end)
-        require(fromAt >= 0, "* APPLY requires a FROM clause")
+        require(fromAt >= 0, "* APPLY / COLUMNS(…) requires a FROM clause")
         val fromEnd = clauseExtent(q, fromAt + 4, fromBounds)
         val schema = probeSchema(q.substring(fromAt + 4, fromEnd))
         val exceptLower = sm.exceptCols.map(c => unquoteIdent(c).toLowerCase(Locale.ROOT)).toSet
         val replMap = sm.replaces.map { case (e, n) => n.toLowerCase(Locale.ROOT) -> e }.toMap
-        schema.fieldNames.toSeq
+        // COLUMNS('re') filters by unanchored regex search, like ClickHouse
+        val filter: String => Boolean = sm.colFilter match {
+          case Some(re) =>
+            val p = java.util.regex.Pattern.compile(re)
+            (n: String) => p.matcher(n).find()
+          case None => _ => true
+        }
+        val cols = schema.fieldNames.toSeq
+          .filter(filter)
           .filterNot(n => exceptLower(n.toLowerCase(Locale.ROOT)))
-          .map { n =>
-            val base = replMap.getOrElse(n.toLowerCase(Locale.ROOT), s"`$n`")
-            val (expr, name) = mk(base, n)
-            s"$expr AS `$name`"
-          }.mkString(", ")
-      case None =>
+        require(sm.colFilter.isEmpty || cols.nonEmpty,
+          s"COLUMNS('${sm.colFilter.getOrElse("")}') matched no columns")
+        cols.map { n =>
+          val base = replMap.getOrElse(n.toLowerCase(Locale.ROOT), s"`$n`")
+          val (expr, name) = sm.applies.foldLeft((base, n)) {
+            case ((e, nm), t) => applyOne(t, e, nm)
+          }
+          if (expr == s"`$n`" && name == n) s"`$n`"
+          else s"$expr AS `$name`"
+        }.mkString(", ")
+      } else {
         val dropped = (sm.exceptCols ++ sm.replaces.map(r => s"`${r._2}`")).mkString(", ")
         val extras = sm.replaces.map { case (e, n) => s"$e AS `$n`" }.mkString(", ")
         s"* EXCEPT ($dropped), $extras"
-    }
+      }
     q.substring(0, star) + repl + q.substring(sm.end)
   }
 

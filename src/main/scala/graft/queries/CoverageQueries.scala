@@ -1719,6 +1719,17 @@ object CoverageQueries {
       ASOF LEFT JOIN (SELECT user_id, ts, MAX(value) AS prior_max
         FROM events GROUP BY user_id, ts) e
       USING (user_id, ts)
-      ORDER BY p.event_id"""))
+      ORDER BY p.event_id""")),
+
+    QueryDef("q224_columns_selector", (s, dir) => {
+      // COLUMNS('re') dynamic selector + APPLY chain (r18): regex-matched
+      // columns (unanchored, like ClickHouse's RE2 search) expanded from
+      // the FROM schema, transformers composing left to right. The oracle
+      // spells the expansion and ClickHouse's body-text aliases explicitly.
+      v(s, dir, "nation")
+      graft.engine.GraftSession(s).sql(
+        """SELECT COLUMNS('key') APPLY(x -> x + 1) APPLY(max) FROM nation""")
+    }, Some("""SELECT MAX(n_nationkey + 1) AS "max(n_nationkey + 1)",
+        MAX(n_regionkey + 1) AS "max(n_regionkey + 1)" FROM nation"""))
   )
 }

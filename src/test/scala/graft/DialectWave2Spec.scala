@@ -315,6 +315,29 @@ class DialectWave2Spec extends SparkTestBase {
     assert(vs == Seq(31.0, 51.0, 91.0))
   }
 
+  test("APPLY chains compose left to right (r18)") {
+    views()
+    val df = g.sql("SELECT * EXCEPT(tag) APPLY(x -> x * 2) APPLY(sum) FROM w2_dup")
+    assert(df.columns.toSet == Set("sum(k * 2)", "sum(v * 2)"))
+    val r = df.collect().head
+    assert(r.getAs[Long]("sum(k * 2)") == 8L &&
+      r.getAs[Double]("sum(v * 2)") == 34.0)
+  }
+
+  test("COLUMNS('re') selects matching columns, with transformer tail (r18)") {
+    views()
+    val plain = g.sql("SELECT COLUMNS('^n') FROM w2_nation ORDER BY nk")
+    assert(plain.columns.toSeq == Seq("nk", "nname"))
+    assert(plain.collect().map(_.getInt(0)).toSeq == Seq(10, 11, 12, 13))
+    val ap = g.sql("SELECT COLUMNS('k') APPLY(max) FROM w2_nation")
+    assert(ap.columns.toSet == Set("max(nk)", "max(rk2)"))
+    assert(ap.collect().head.getAs[Int]("max(nk)") == 13)
+    val e = intercept[IllegalArgumentException] {
+      g.sql("SELECT COLUMNS('^zzz') FROM w2_nation")
+    }
+    assert(e.getMessage.contains("matched no columns"))
+  }
+
   test("multiplication before a function call is never a star transformer") {
     views()
     val r = g.sql(
