@@ -169,13 +169,23 @@ final class GraftSession(val spark: SparkSession) extends DialectWave2 {
       }
       b.toString
     }
-    val rows = lines.map { line =>
-      val fields = line.split("\t", -1)
+    copyInStringRows(tbl, lines.map { line =>
+      line.split("\t", -1).toIndexedSeq.map(f =>
+        if (f == "\\N") null else unescape(f))
+    })
+  }
+
+  /** Shared COPY-IN tail: string fields (null = SQL NULL) cast to the
+    * table's schema and appended. Used by the text and csv wire formats.
+    */
+  private[graft] def copyInStringRows(tbl: String,
+      fieldRows: Seq[Seq[String]]): Long = {
+    val target = tableSchema(tbl)
+    val rows = fieldRows.map { fields =>
       require(fields.length == target.fields.length,
         s"COPY $tbl: expected ${target.fields.length} fields, " +
-          s"got ${fields.length} in '${line.take(80)}'")
-      org.apache.spark.sql.Row.fromSeq(fields.toIndexedSeq.map(f =>
-        if (f == "\\N") null else unescape(f)))
+          s"got ${fields.length} in '${fields.mkString(",").take(80)}'")
+      org.apache.spark.sql.Row.fromSeq(fields)
     }
     val strSchema = org.apache.spark.sql.types.StructType(target.fields.map(f =>
       org.apache.spark.sql.types.StructField(f.name,

@@ -394,11 +394,73 @@ object PgWire {
   // `COPY (SELECT …) TO STDOUT` / `COPY table TO STDOUT [WITH] [(FORMAT f)]`
   private[io] val copyOutRe =
     ("(?is)^\\s*COPY\\s+(?:\\((.+)\\)|([A-Za-z_\"][\\w.\"]*))\\s+TO\\s+STDOUT" +
-      "\\s*(?:WITH\\s*)?(?:\\(\\s*FORMAT\\s+(\\w+)\\s*\\))?\\s*;?\\s*$").r
-  // `COPY table FROM STDIN [WITH] [(FORMAT f)]`
+      "\\s*(?:WITH\\s*)?(?:\\(\\s*FORMAT\\s+(\\w+)\\s*" +
+      "(,\\s*HEADER(?:\\s+(TRUE|ON|1|FALSE|OFF|0))?)?\\s*\\))?\\s*;?\\s*$").r
+  // `COPY table FROM STDIN [WITH] [(FORMAT f [, HEADER [bool]])]`
   private[io] val copyInRe =
     ("(?is)^\\s*COPY\\s+([A-Za-z_\"][\\w.\"]*)\\s+FROM\\s+STDIN" +
-      "\\s*(?:WITH\\s*)?(?:\\(\\s*FORMAT\\s+(\\w+)\\s*\\))?\\s*;?\\s*$").r
+      "\\s*(?:WITH\\s*)?(?:\\(\\s*FORMAT\\s+(\\w+)\\s*" +
+      "(,\\s*HEADER(?:\\s+(TRUE|ON|1|FALSE|OFF|0))?)?\\s*\\))?\\s*;?\\s*$").r
+
+  /** HEADER option value: present without a value = true (PG boolean
+    * option convention).
+    */
+  private[io] def headerOpt(present: String, value: String): Boolean =
+    present != null &&
+      (value == null ||
+        Set("TRUE", "ON", "1")(value.toUpperCase(java.util.Locale.ROOT)))
+
+  /** COPY csv field rendering (PG defaults: delimiter ',', quote '"',
+    * NULL = empty unquoted, empty string = quoted "").
+    */
+  private[io] def csvField(s: String): String =
+    if (s == null) ""
+    else if (s.isEmpty) "\"\""
+    else if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
+
+  /** COPY csv payload parse (quoted fields may embed delimiters, quotes
+    * and newlines — a line split cannot parse this, so the whole payload
+    * is scanned statefully). Unquoted empty field → null (PG's csv NULL);
+    * quoted empty → "". The optional `\.` end marker terminates.
+    */
+  private[io] def csvParse(text: String): Seq[Seq[String]] = {
+    val rows = Seq.newBuilder[Seq[String]]
+    var fields = Vector.empty[String]
+    val cur = new java.lang.StringBuilder
+    var quoted = false // current field was opened with a quote
+    var inQ = false
+    var i = 0
+    def endField(): Unit = {
+      fields :+= (if (!quoted && cur.length == 0) null else cur.toString)
+      cur.setLength(0); quoted = false
+    }
+    def endRow(): Unit = {
+      endField()
+      if (!(fields.length == 1 && fields(0) == "\\.")) rows += fields
+      fields = Vector.empty
+    }
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inQ) {
+        if (c == '"') {
+          if (i + 1 < text.length && text.charAt(i + 1) == '"') {
+            cur.append('"'); i += 1
+          } else inQ = false
+        } else cur.append(c)
+      } else c match {
+        case '"' if cur.length == 0 && !quoted => inQ = true; quoted = true
+        case ',' => endField()
+        case '\r' => // swallow; the \n ends the row
+        case '\n' => endRow()
+        case other => cur.append(other)
+      }
+      i += 1
+    }
+    if (cur.length > 0 || quoted || fields.nonEmpty) endRow()
+    rows.result()
+  }
 
   /** COPY text-format field escaping (PG's documented rules): backslash,
     * tab, newline, carriage return.
@@ -814,9 +876,11 @@ final class PgServer(
                   val cm = PgWire.copyInRe.findFirstMatchIn(sql).get
                   val fmt = Option(cm.group(2)).getOrElse("text")
                   val binary = fmt.equalsIgnoreCase("binary")
-                  if (!binary && !fmt.equalsIgnoreCase("text"))
+                  val csv = fmt.equalsIgnoreCase("csv")
+                  val header = csv && PgWire.headerOpt(cm.group(3), cm.group(4))
+                  if (!binary && !csv && !fmt.equalsIgnoreCase("text"))
                     throw new UnsupportedOperationException(
-                      s"COPY format '$fmt' not supported (text or binary)")
+                      s"COPY format '$fmt' not supported (text, csv, or binary)")
                   val tbl = cm.group(1).replace("\"", "")
                   val schema = gs.tableSchema(tbl) // resolves/validates
                   val nCols = schema.fields.length
@@ -850,7 +914,11 @@ final class PgServer(
                     if (binary)
                       gs.copyInRows(tbl,
                         PgWire.parseCopyBinary(schema, data.toByteArray))
-                    else {
+                    else if (csv) {
+                      val rows0 = PgWire.csvParse(new String(data.toByteArray, UTF_8))
+                      gs.copyInStringRows(tbl,
+                        if (header) rows0.drop(1) else rows0)
+                    } else {
                       val lines = new String(data.toByteArray, UTF_8)
                         .split("\n", -1).toSeq.filter(_.nonEmpty)
                         .takeWhile(_ != "\\.") // optional end-of-data marker
@@ -867,9 +935,11 @@ final class PgServer(
                     // then the COPY n row-count trailer.
                     val fmt = Option(cm.group(3)).getOrElse("text")
                     val binary = fmt.equalsIgnoreCase("binary")
-                    if (!binary && !fmt.equalsIgnoreCase("text"))
+                    val csv = fmt.equalsIgnoreCase("csv")
+                    val header = csv && PgWire.headerOpt(cm.group(4), cm.group(5))
+                    if (!binary && !csv && !fmt.equalsIgnoreCase("text"))
                       throw new UnsupportedOperationException(
-                        s"COPY format '$fmt' not supported (text or binary)")
+                        s"COPY format '$fmt' not supported (text, csv, or binary)")
                     val inner = Option(cm.group(1))
                       .getOrElse(s"SELECT * FROM ${cm.group(2)}")
                     val df = gs.sql(identsToBackticks(inner))
@@ -884,6 +954,9 @@ final class PgServer(
                         d.write(PgWire.CopyBinSignature)
                         d.writeInt(0); d.writeInt(0)
                       }
+                    if (header) // csv HEADER row: the column names
+                      msg('d')(_.write(fields.map(f => PgWire.csvField(f.name))
+                        .mkString("", ",", "\n").getBytes(UTF_8)))
                     var n = 0L
                     val it = df.toLocalIterator()
                     while (it.hasNext) {
@@ -900,6 +973,13 @@ final class PgServer(
                             }
                           }
                         }
+                      else if (csv) {
+                        val line = fields.indices.map { i =>
+                          if (row.isNullAt(i)) ""
+                          else PgWire.csvField(render(row.get(i)))
+                        }.mkString("", ",", "\n")
+                        msg('d')(_.write(line.getBytes(UTF_8)))
+                      }
                       else {
                         val line = fields.indices.map { i =>
                           if (row.isNullAt(i)) "\\N"

@@ -482,12 +482,61 @@ class PgWireSpec extends SparkTestBase {
         "127.0.0.1", server.boundPort, "db", "u", "pw",
         "COPY pg_copy_t TO STDOUT (FORMAT text)")
       assert(nAll == 3L && all.length == 3)
-      // unknown formats are refused loudly (binary is real since r18)
+      // unknown formats are refused loudly (binary + csv are real since r18)
       val e = intercept[SQLException] {
         graft.io.PgWire.clientCopyOut("127.0.0.1", server.boundPort, "db",
-          "u", "pw", "COPY pg_copy_t TO STDOUT (FORMAT csv)")
+          "u", "pw", "COPY pg_copy_t TO STDOUT (FORMAT avro)")
       }
-      assert(e.getMessage.contains("text or binary"), e.getMessage)
+      assert(e.getMessage.contains("not supported"), e.getMessage)
+    }
+  }
+
+  test("pg: COPY csv round-trips quoting, NULLs, and the HEADER option") {
+    // csv format (r18): delimiter ',', quote '"', NULL = empty unquoted,
+    // empty string = quoted "", embedded delimiter/quote/newline quoted
+    // with doubled quotes; HEADER emits/skips the column-name row.
+    val gs2 = GraftSession(spark)
+    spark.sql(
+      """SELECT * FROM VALUES
+           (1L, 'plain', 2.5D),
+           (2L, 'comma, quote " and
+newline', CAST(NULL AS DOUBLE)),
+           (3L, '', -0.5D),
+           (4L, CAST(NULL AS STRING), 0.25D)
+         AS t(k, s, v)""").createOrReplaceTempView("pg_copycsv_src")
+    spark.sql("DROP TABLE IF EXISTS pg_copycsv_t")
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "pg_copycsv_t")
+    if (wh.exists) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(wh.toPath).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    gs2.createTable("pg_copycsv_t", "k BIGINT, s STRING, v DOUBLE")
+    withServer() { server =>
+      val (lines, n) = graft.io.PgWire.clientCopyOut(
+        "127.0.0.1", server.boundPort, "db", "u", "pw",
+        "COPY (SELECT k, s, v FROM pg_copycsv_src ORDER BY k) TO STDOUT " +
+          "(FORMAT csv, HEADER)")
+      assert(n == 4L)
+      assert(lines.head == "k,s,v") // header row
+      assert(lines(1) == "1,plain,2.5")
+      // row 2 spans two physical lines (embedded newline inside quotes)
+      assert(lines(2) == "2,\"comma, quote \"\" and")
+      assert(lines(3) == "newline\",")
+      assert(lines(4) == "3,\"\",-0.5") // empty string vs...
+      assert(lines(5) == "4,,0.25") // ...NULL
+      // round trip: load the same payload back through COPY csv IN
+      val nIn = graft.io.PgWire.clientCopyIn(
+        "127.0.0.1", server.boundPort, "db", "u", "pw",
+        "COPY pg_copycsv_t FROM STDIN (FORMAT csv, HEADER true)", lines)
+      assert(nIn == 4L)
+      val back = gs2.sql(
+        "SELECT k, s, v FROM pg_copycsv_t ORDER BY k").collect()
+      assert(back.length == 4)
+      assert(back(1).getString(1) == "comma, quote \" and\nnewline" &&
+        back(1).isNullAt(2))
+      assert(back(2).getString(1) == "" && back(3).isNullAt(1))
     }
   }
 
