@@ -405,7 +405,7 @@ object PgWire {
   /** HEADER option value: present without a value = true (PG boolean
     * option convention).
     */
-  private[io] def headerOpt(present: String, value: String): Boolean =
+  private[graft] def headerOpt(present: String, value: String): Boolean =
     present != null &&
       (value == null ||
         Set("TRUE", "ON", "1")(value.toUpperCase(java.util.Locale.ROOT)))
@@ -413,7 +413,7 @@ object PgWire {
   /** COPY csv field rendering (PG defaults: delimiter ',', quote '"',
     * NULL = empty unquoted, empty string = quoted "").
     */
-  private[io] def csvField(s: String): String =
+  private[graft] def csvField(s: String): String =
     if (s == null) ""
     else if (s.isEmpty) "\"\""
     else if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
@@ -425,7 +425,7 @@ object PgWire {
     * is scanned statefully). Unquoted empty field → null (PG's csv NULL);
     * quoted empty → "". The optional `\.` end marker terminates.
     */
-  private[io] def csvParse(text: String): Seq[Seq[String]] = {
+  private[graft] def csvParse(text: String): Seq[Seq[String]] = {
     val rows = Seq.newBuilder[Seq[String]]
     var fields = Vector.empty[String]
     val cur = new java.lang.StringBuilder
