@@ -126,6 +126,17 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("STRICT asof bound keeps the same plan shape — tie order, not a new join (r18)") {
+    // q217 drives `ON p.ts > e.ets` through the SQL surface: strictness
+    // must only flip the side tag's sort direction inside the carry
+    // window, never introduce a join/cartesian or extra exchange
+    val p = plan("q217_asof_strict")
+    assert(p.contains("Union"), p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
   test("caps/sampling/budget/fraction family: ONE group-keyed exchange, no join (r11)") {
     // the four per-group curation ops are each a single window over a
     // hashpartitioning(source) exchange — no cartesian, no join node,
