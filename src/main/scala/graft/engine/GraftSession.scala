@@ -73,6 +73,37 @@ final class GraftSession(val spark: SparkSession) extends DialectWave2 {
         deleteRows(tbl, "true"); return emptyResult
       case _ =>
     }
+    else if (trimmedU.startsWith("RENAME")) query match {
+      // ClickHouse `RENAME TABLE a TO b[, c TO d…]` (r18): catalog tables
+      // route to Spark's ALTER TABLE RENAME; temp views (this engine's
+      // common registration surface) are re-registered under the new name
+      // and dropped under the old — same observable effect.
+      case renameTableRe(pairsText) =>
+        splitTopLevel(pairsText).foreach { p =>
+          val m = "(?is)^\\s*([A-Za-z_][\\w.]*)\\s+TO\\s+([A-Za-z_][\\w.]*)\\s*$".r
+            .findFirstMatchIn(p).getOrElse(throw new IllegalArgumentException(
+              s"RENAME TABLE: cannot parse '$p' — expected <old> TO <new>"))
+          val (from, to) = (m.group(1), m.group(2))
+          if (spark.catalog.tableExists(from) &&
+              spark.catalog.getTable(from).isTemporary) {
+            spark.table(from).createOrReplaceTempView(to)
+            spark.catalog.dropTempView(from)
+            // registered Delta tables keep their mutation routing
+            deltaTables.get(from).foreach { path =>
+              deltaTables.remove(from); deltaTables(to) = path
+            }
+          } else spark.sql(s"ALTER TABLE $from RENAME TO $to")
+        }
+        return emptyResult
+      case _ =>
+    }
+    else if (trimmedU.startsWith("EXISTS")) query match {
+      // ClickHouse `EXISTS [TABLE] t` → one row, UInt8-ish 0/1
+      case existsTableRe(tbl) =>
+        val r = if (spark.catalog.tableExists(tbl)) 1 else 0
+        return spark.sql(s"SELECT CAST($r AS INT) AS result")
+      case _ =>
+    }
     else if (trimmedU.startsWith("INSERT")) query match {
       // chdb's inline-data INSERT (r17): `INSERT INTO t [(cols)] FORMAT
       // JSONEachRow/CSV/… <data>` — ClickHouse reads the DATA from the
@@ -211,6 +242,11 @@ final class GraftSession(val spark: SparkSession) extends DialectWave2 {
     appendToTable(tbl, typed)
     rows.length.toLong
   }
+
+  private val renameTableRe =
+    "(?is)^\\s*RENAME\\s+TABLE\\s+(.+?)\\s*;?\\s*$".r
+  private val existsTableRe =
+    "(?is)^\\s*EXISTS\\s+(?:TABLE\\s+)?([A-Za-z_][\\w.]*)\\s*;?\\s*$".r
 
   private val optimizeRe =
     "(?is)^\\s*OPTIMIZE\\s+TABLE\\s+([A-Za-z_][\\w.]*)(?:\\s+FINAL)?\\s*;?\\s*$".r

@@ -219,4 +219,21 @@ class IntrospectionSpec extends SparkTestBase {
     assert(gs.sql("SELECT COUNT(*) FROM system.databases").collect()
       .head.getLong(0) >= 1)
   }
+
+  test("RENAME TABLE re-homes temp views; EXISTS TABLE answers 0/1 (r18)") {
+    import spark.implicits._
+    Seq((1, "x"), (2, "y")).toDF("k", "s").createOrReplaceTempView("ren_src_t")
+    assert(gs.sql("EXISTS TABLE ren_src_t").collect().head.getInt(0) == 1)
+    gs.sql("RENAME TABLE ren_src_t TO ren_dst_t")
+    assert(gs.sql("EXISTS ren_src_t").collect().head.getInt(0) == 0)
+    assert(gs.sql("EXISTS TABLE ren_dst_t").collect().head.getInt(0) == 1)
+    assert(gs.sql("SELECT COUNT(*) FROM ren_dst_t").collect().head.getLong(0) == 2L)
+    // multi-pair form
+    Seq(3).toDF("z").createOrReplaceTempView("ren_a")
+    gs.sql("RENAME TABLE ren_dst_t TO ren_b, ren_a TO ren_c")
+    assert(gs.sql("EXISTS ren_b").collect().head.getInt(0) == 1)
+    assert(gs.sql("EXISTS ren_c").collect().head.getInt(0) == 1)
+    assert(gs.sql("EXISTS ren_a").collect().head.getInt(0) == 0)
+    spark.catalog.dropTempView("ren_b"); spark.catalog.dropTempView("ren_c")
+  }
 }
