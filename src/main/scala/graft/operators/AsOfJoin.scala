@@ -69,7 +69,8 @@ object AsOfJoin {
       rightTs: String,
       rightCols: Seq[String],
       tsOut: String = "__asof_ts",
-      toleranceMicros: Long = -1L): DataFrame = {
+      toleranceMicros: Long = -1L,
+      strict: Boolean = false): DataFrame = {
     val lid = "__asof_lid"
     // Correlation key must be DETERMINISTIC: the backward and forward join
     // subtrees evaluate `tagged` independently, so monotonically_increasing_id
@@ -83,11 +84,11 @@ object AsOfJoin {
     val wLid = Window.partitionBy(byKeys.map(col): _*).orderBy(col(leftTs).asc)
     val tagged = left.withColumn(lid, row_number().over(wLid))
     val b = join(tagged, right, byKeys, leftTs, rightTs, rightCols, tsOut,
-        forward = false, toleranceMicros, keepMatchTs = true)
+        forward = false, toleranceMicros, keepMatchTs = true, strict = strict)
       .withColumnRenamed("__asof_match_ts", "__bts")
     val bCols = rightCols.map(c => col(s"$c").as(s"__b_$c"))
     val f = join(tagged, right, byKeys, leftTs, rightTs, rightCols, tsOut,
-        forward = true, toleranceMicros, keepMatchTs = true)
+        forward = true, toleranceMicros, keepMatchTs = true, strict = strict)
       .select((byKeys.map(col) :+ col(lid) :+ col("__asof_match_ts").as("__fts")) ++
         rightCols.map(c => col(c).as(s"__f2_$c")): _*)
     val joined = b.select((b.columns.filterNot(rightCols.contains).map(col) ++ bCols): _*)

@@ -45,6 +45,26 @@ class AsOfJoinSpec extends SparkTestBase {
       Seq(("l1", None), ("l2", Some(20.0)), ("l3", None)))
   }
 
+  test("strict excludes exact-ts matches on every direction (r18)") {
+    // pandas allow_exact_matches=False: l2 at 12:00 must skip the 12:00
+    // quote — backward falls to 09:30's 10.0, forward finds nothing
+    val b = AsOfJoin.backward(left, right, Seq("uid"), "ts", "ts",
+        Seq("price"), tsOut = "ts", strict = true)
+      .orderBy("uid", "ts").collect()
+    assert(b.map(r => (r.getAs[String]("tag"), Option(r.getAs[Double]("price")))).toSeq ==
+      Seq(("l1", Some(10.0)), ("l2", Some(10.0)), ("l3", None)))
+    val f = AsOfJoin.forward(left, right, Seq("uid"), "ts", "ts",
+        Seq("price"), tsOut = "ts", strict = true)
+      .orderBy("uid", "ts").collect()
+    assert(f.map(r => (r.getAs[String]("tag"), Option(r.getAs[Double]("price")))).toSeq ==
+      Seq(("l1", Some(20.0)), ("l2", None), ("l3", Some(30.0))))
+    val n = AsOfJoin.nearest(left, right, Seq("uid"), "ts", "ts",
+        Seq("price"), tsOut = "ts", strict = true)
+      .orderBy("uid", "ts").collect()
+    assert(n.map(r => (r.getAs[String]("tag"), Option(r.getAs[Double]("price")))).toSeq ==
+      Seq(("l1", Some(10.0)), ("l2", Some(10.0)), ("l3", Some(30.0))))
+  }
+
   test("nearest picks the closer of backward/forward per row") {
     // l1 10:00: backward 09:30 (30m) vs forward 12:00 (2h) → backward 10.0
     // l3 09:00: no backward; forward 09:30 → 30.0
