@@ -104,6 +104,35 @@ final class GraftSession(val spark: SparkSession) extends DialectWave2 {
         return spark.sql(s"SELECT CAST($r AS INT) AS result")
       case _ =>
     }
+    else if (trimmedU.startsWith("EXPLAIN")) {
+      // ClickHouse EXPLAIN variants (r18): `EXPLAIN SYNTAX q` returns the
+      // DIALECT-REWRITTEN query text (the closest analogue of CH's
+      // normalized-AST echo — it shows what this engine actually runs);
+      // `EXPLAIN PIPELINE q` maps to Spark's FORMATTED physical rendering;
+      // bare `EXPLAIN [PLAN] q` falls through with the inner query
+      // dialect-rewritten so CH constructs explain instead of parse-failing.
+      // the inner query must be rewritten SEPARATELY: whole-statement
+      // rewrites (LIMIT BY, WITH FILL) wrap their input in a subselect,
+      // which would swallow the EXPLAIN keyword itself
+      val synRe = "(?is)^\\s*EXPLAIN\\s+SYNTAX\\s+(.+)$".r
+      val anyRe = ("(?is)^\\s*EXPLAIN" +
+        "(\\s+(?:PIPELINE|PLAN|AST|EXTENDED|FORMATTED|CODEGEN|COST))?\\s+(.+)$").r
+      query match {
+        case synRe(inner) =>
+          import spark.implicits._
+          return rewriteDialect(inner).linesIterator.toSeq.toDF("explain")
+        case anyRe(mode0, inner) =>
+          val mode = Option(mode0).map(_.trim.toUpperCase(java.util.Locale.ROOT))
+            .getOrElse("") match {
+            case "PIPELINE" => "FORMATTED" // CH pipeline ≈ physical rendering
+            case "PLAN" => "" // CH default plan ≈ Spark's default explain
+            case "AST" => "EXTENDED" // closest analogue: parsed+analyzed trees
+            case other => other
+          }
+          return spark.sql(s"EXPLAIN $mode ${rewriteDialect(inner)}")
+        case _ =>
+      }
+    }
     else if (trimmedU.startsWith("INSERT")) query match {
       // chdb's inline-data INSERT (r17): `INSERT INTO t [(cols)] FORMAT
       // JSONEachRow/CSV/… <data>` — ClickHouse reads the DATA from the

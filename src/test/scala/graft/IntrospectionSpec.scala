@@ -220,6 +220,24 @@ class IntrospectionSpec extends SparkTestBase {
       .head.getLong(0) >= 1)
   }
 
+  test("EXPLAIN SYNTAX echoes the dialect-rewritten query (r18)") {
+    import spark.implicits._
+    Seq((1, 2.0), (1, 3.0)).toDF("k", "v").createOrReplaceTempView("exp_syn_t")
+    val out = gs.sql("EXPLAIN SYNTAX SELECT k, v FROM exp_syn_t LIMIT 2 BY k")
+      .collect().map(_.getString(0)).mkString("\n")
+    // LIMIT BY rewrites onto a row_number window — the echo shows it
+    assert(out.contains("row_number"), out)
+    assert(!out.toUpperCase.contains("LIMIT 2 BY"), out)
+    // EXPLAIN PIPELINE renders Spark's formatted physical plan
+    val pipe = gs.sql("EXPLAIN PIPELINE SELECT COUNT(*) FROM exp_syn_t")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(pipe.contains("Physical Plan"), pipe.take(300))
+    // plain EXPLAIN still works, with CH constructs rewritten inside
+    val plain = gs.sql("EXPLAIN SELECT k, v FROM exp_syn_t LIMIT 1 BY k")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(plain.contains("Window") || plain.contains("row_number"), plain.take(300))
+  }
+
   test("RENAME TABLE re-homes temp views; EXISTS TABLE answers 0/1 (r18)") {
     import spark.implicits._
     Seq((1, "x"), (2, "y")).toDF("k", "s").createOrReplaceTempView("ren_src_t")
