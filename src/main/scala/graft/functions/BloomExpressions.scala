@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.broadcast.Broadcast
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Bloom-filter membership over a BROADCAST filter — the prefilter leg of
@@ -35,5 +36,53 @@ case class BloomMightContain(
   }
 
   override protected def withNewChildInternal(c: Expression): BloomMightContain =
+    copy(child = c)
+}
+
+object Md5Prefix60 {
+  // one digest per thread: MessageDigest.getInstance per value is the
+  // dominant constant in the conv(substring(md5…)) spelling this replaces
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits of md5(bytes) — numerically IDENTICAL to the repo's
+    * portable oracle device `conv(substring(md5(s), 1, 15), 16, 10)`:
+    * 15 hex chars = the big-endian first-8-bytes value >>> 4.
+    */
+  def hash(bytes: Array[Byte]): Long = {
+    val d = md.get(); d.reset()
+    val o = d.digest(bytes)
+    (((o(0) & 0xffL) << 56) | ((o(1) & 0xffL) << 48) | ((o(2) & 0xffL) << 40) |
+      ((o(3) & 0xffL) << 32) | ((o(4) & 0xffL) << 24) | ((o(5) & 0xffL) << 16) |
+      ((o(6) & 0xffL) << 8) | (o(7) & 0xffL)) >>> 4
+  }
+}
+
+/** The 60-bit md5-prefix shingle/bucket hash as ONE native expression
+  * (r18). Same value as the md5→hex→substring→conv→cast chain every
+  * oracle-replayed hash device here uses — minus the 32-char hex render,
+  * the substring, and the string base-16 parse, which dominate the gram
+  * kernels of decontaminate/hashSplit at scale (these run per n-gram,
+  * inside higher-order lambdas the optimizer cannot fuse).
+  */
+case class Md5Prefix60(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+
+  def compute(s: UTF8String): Long = Md5Prefix60.hash(s.getBytes)
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("md5p60", this, classOf[Md5Prefix60].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Md5Prefix60 =
     copy(child = c)
 }

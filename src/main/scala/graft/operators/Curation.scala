@@ -46,14 +46,23 @@ object Curation {
     Dedup.exactKeepFirst(scored, textCol, idCol)
   }
 
+  /** The 60-bit md5-prefix value as a Column — numerically identical to
+    * `conv(substring(md5(s), 1, 15), 16, 10)` (KernelPropertySpec-locked),
+    * via the native [[graft.functions.Md5Prefix60]] kernel (r18 — no hex
+    * render / string base-16 parse per value).
+    */
+  private[operators] def md5Prefix60(c: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.Md5Prefix60(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
+
   /** md5-derived bucket in [0, buckets) of `id` — the portable deterministic
     * hash every split/sampling op here keys on (same 60-bit md5-prefix
     * device as the simhash/LSH oracles, so DuckDB replicates assignments
     * bit-for-bit).
     */
   private def md5Bucket(id: Column, buckets: Int): Column =
-    conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
-      .cast("long") % buckets
+    md5Prefix60(id.cast("string")) % buckets
 
   /** Deterministic train/val/test split by id-hash threshold. Stable under
     * reruns, repartitioning AND corpus growth — a document keeps its split
@@ -233,8 +242,7 @@ object Curation {
     val toks = graft.functions.GraftFunctions.tokenize(col(textCol))
     when(size(toks) >= n,
       array_distinct(transform(sequence(lit(0), size(toks) - n),
-        i => conv(substring(md5(concat_ws(" ", slice(toks, i + 1, lit(n)))), 1, 15),
-          16, 10).cast("long"))))
+        i => md5Prefix60(concat_ws(" ", slice(toks, i + 1, lit(n)))))))
       .otherwise(array().cast("array<long>"))
   }
 

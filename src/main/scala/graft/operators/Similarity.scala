@@ -305,8 +305,8 @@ object Similarity {
     require(fraction > 0 && fraction <= 1, s"trainFraction in (0, 1]: $fraction")
     if (fraction >= 1.0) df
     else df.filter(
-      conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
-        .cast("long") % 10000 < math.round(fraction * 10000))
+      Curation.md5Prefix60(col(idCol).cast("string")) % 10000 <
+        math.round(fraction * 10000))
   }
 
   /** Collect a centroid table to the driver — k×dims doubles, bounded. */

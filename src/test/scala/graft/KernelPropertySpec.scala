@@ -162,4 +162,18 @@ class KernelPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("Md5Prefix60 equals the conv(substring(md5, 1, 15), 16, 10) device (r18)") {
+    // the native kernel must be bit-identical to the hex-prefix spelling
+    // every DuckDB oracle replays (q120/q135/q169 stay green off this)
+    val rng = new scala.util.Random(60L)
+    (1 to 500).foreach { _ =>
+      val s = Seq.fill(rng.nextInt(30))(rng.nextPrintableChar()).mkString
+      val bytes = s.getBytes("UTF-8")
+      val hex = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .map("%02x".format(_)).mkString
+      val expected = new java.math.BigInteger(hex.substring(0, 15), 16).longValueExact()
+      assert(graft.functions.Md5Prefix60.hash(bytes) == expected, s"input '$s'")
+    }
+  }
 }
