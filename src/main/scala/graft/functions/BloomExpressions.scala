@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -84,5 +84,52 @@ case class Md5Prefix60(child: Expression)
   }
 
   override protected def withNewChildInternal(c: Expression): Md5Prefix60 =
+    copy(child = c)
+}
+
+/** All word-n-gram 60-bit md5-prefix hashes of a token array in ONE kernel
+  * (r18): value-identical to
+  * `transform(sequence(0, size(toks)-n), i -> Md5Prefix60(concat_ws(" ",
+  * slice(toks, i+1, n))))` with the size(toks) >= n gate folded in (short
+  * inputs yield the empty array). Higher-order lambdas evaluate their body
+  * expression tree interpreted per element, re-slicing the token array per
+  * gram — this loop joins each window once and hashes it, nothing else.
+  */
+case class GramHash60(child: Expression, n: Int)
+  extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(n >= 1, s"n-gram width must be >= 1 (got $n)")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val len = arr.numElements()
+    if (len < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val toks = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val space = UTF8String.fromString(" ")
+    val out = new Array[Long](len - n + 1)
+    i = 0
+    while (i <= len - n) {
+      val window = new Array[UTF8String](n)
+      System.arraycopy(toks, i, window, 0, n)
+      out(i) = Md5Prefix60.hash(
+        UTF8String.concatWs(space, window: _*).getBytes)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gramHash60", this, classOf[GramHash60].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): GramHash60 =
     copy(child = c)
 }

@@ -239,11 +239,13 @@ object Curation {
     * [[decontaminateBloom]].
     */
   private def gramHashes(textCol: String, n: Int): Column = {
+    // one fused kernel per document: tokenize (codegen'd) → the n-gram
+    // join+hash loop (GramHash60, r18 — value-identical to the lambda
+    // spelling, KernelPropertySpec-locked) → distinct
     val toks = graft.functions.GraftFunctions.tokenize(col(textCol))
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - n),
-        i => md5Prefix60(concat_ws(" ", slice(toks, i + 1, lit(n)))))))
-      .otherwise(array().cast("array<long>"))
+    array_distinct(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.GramHash60(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(toks), n)))
   }
 
   /** [[decontaminate]]'s scale path for when the benchmark's distinct gram

@@ -176,4 +176,26 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(graft.functions.Md5Prefix60.hash(bytes) == expected, s"input '$s'")
     }
   }
+
+  test("GramHash60 equals the per-gram join+hash reference loop (r18)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val rng = new scala.util.Random(61L)
+    (1 to 200).foreach { _ =>
+      val len = rng.nextInt(12)
+      val toks = Seq.fill(len)(
+        Seq.fill(1 + rng.nextInt(5))(('a' + rng.nextInt(26)).toChar).mkString)
+      val n = 1 + rng.nextInt(4)
+      val arr = new GenericArrayData(
+        toks.map(t => UTF8String.fromString(t): Any).toArray)
+      val got = graft.functions.GramHash60(
+        org.apache.spark.sql.catalyst.expressions.Literal(1), n).compute(arr)
+      val gotSeq = (0 until got.numElements()).map(got.getLong)
+      val want =
+        if (len < n) Seq.empty
+        else (0 to len - n).map(i => graft.functions.Md5Prefix60.hash(
+          toks.slice(i, i + n).mkString(" ").getBytes("UTF-8")))
+      assert(gotSeq == want, s"toks=$toks n=$n")
+    }
+  }
 }
