@@ -660,6 +660,31 @@ class ReadmeParitySpec extends SparkTestBase {
     assert(fill.map(_.getLong(1)).toSeq == Seq(2L, 1L, 0L))
   }
 
+  test("verbatim ClickHouse r18 paste: COLUMNS, lambda APPLY, strict ASOF, funnel modes") {
+    spark.sql("SELECT * FROM VALUES (1,'a',2.0D),(1,'b',3.0D),(2,'c',4.0D) AS t(k, tag, v)")
+      .createOrReplaceTempView("rp18_facts")
+    // COLUMNS('re') + lambda APPLY chain, ClickHouse-docs shape
+    val cols = g.sql("SELECT COLUMNS('^(k|v)$') APPLY(x -> x + 1) APPLY(max) FROM rp18_facts")
+      .collect().head
+    assert(cols.getAs[Int]("max(k + 1)") == 3 &&
+      cols.getAs[Double]("max(v + 1)") == 5.0)
+    // strict ASOF bound through the raw-SQL surface
+    spark.sql("SELECT * FROM VALUES (1, 10, 'T'),(1, 20, 'U') AS t(uid, t, trade)")
+      .createOrReplaceTempView("rp18_trades")
+    spark.sql("SELECT * FROM VALUES (1, 10, 5.0D),(1, 15, 7.0D) AS t(uid, qt, px)")
+      .createOrReplaceTempView("rp18_quotes")
+    val strict = g.sql(
+      """SELECT trade, px FROM rp18_trades tr ASOF LEFT JOIN rp18_quotes q
+         ON tr.uid = q.uid AND tr.t > q.qt ORDER BY trade""").collect()
+    assert(strict(0).isNullAt(1) && strict(1).getDouble(1) == 7.0)
+    // windowFunnel strictness mode, parametric args flattened chdb-style
+    val lvl = g.sql(
+      """SELECT windowFunnel(100, 'strict_order', t,
+           e = 'A', e = 'B') AS lvl
+         FROM VALUES (1, 'A'), (2, 'X'), (3, 'B') AS t(t, e)""").collect().head
+    assert(lvl.getInt(0) == 1)
+  }
+
   test("numbers_mt with scientific notation and a SETTINGS clause") {
     val r = g.sql(
       "SELECT sum(number) AS s FROM numbers_mt(1e6) GROUP BY number % 10 SETTINGS max_threads=4")
