@@ -206,12 +206,12 @@ private[engine] trait DialectWave2 { self: GraftSession =>
   // only, and AQE still picks broadcast when the deduped side is small).
   // Map-typed columns are unorderable and excluded from the tie-break.
   // `ANY RIGHT JOIN` (r18): all right rows kept, each matching at most one
-  // LEFT row — the exact mirror of ANY LEFT, so named-relation forms swap
-  // the two sides and fall through to the ANY LEFT rewrite below (the same
-  // mechanical swap r17 shipped for SEMI/ANTI RIGHT). `SELECT *` column
-  // order follows the swapped sides (right first) — ClickHouse itself
-  // leaves duplicate-match column order unspecified here. `ANY FULL JOIN`
-  // and subquery-sided ANY RIGHT still refuse loudly.
+  // LEFT row — the LEFT side is deduped IN PLACE (one row_number window
+  // keyed on its join keys, same deterministic lexicographic-min contract
+  // as ANY LEFT) and the join becomes a plain RIGHT JOIN, so `SELECT *`
+  // keeps ClickHouse's left-columns-first order (a side swap would
+  // reverse it — r18 review). `ANY FULL JOIN` and subquery-sided ANY
+  // RIGHT still refuse loudly.
   private val anyRightNamedRe =
     ("(?is)\\bFROM\\s+([A-Za-z_][\\w.]*|`[^`]+`)" +
       "((?:\\s+(?:AS\\s+)?(?!(?:SEMI|ANTI|ANY|LEFT|INNER|CROSS|JOIN|WHERE|GROUP" +
@@ -224,13 +224,63 @@ private[engine] trait DialectWave2 { self: GraftSession =>
       "((?:\\s+(?:AS\\s+)?(?!(?:ON|USING)\\b)[A-Za-z_]\\w*)?)\\s+(ON|USING)\\b").r
   private val anyLeftoverRe =
     "(?i)\\bANY\\s+((?:LEFT|INNER)\\s+)?JOIN\\b".r
+  /** One ANY RIGHT JOIN occurrence → dedup-left + RIGHT JOIN; recurses
+    * until none remain.
+    */
+  private def rewriteAnyRightOnce(q: String): String =
+    anyRightNamedRe.findAllMatchIn(q).find(m => !inLiteralAt(q, m.start)) match {
+      case Some(m) =>
+        val lt = m.group(1)
+        val laRaw = m.group(2).trim
+        val la =
+          if (laRaw.isEmpty) unquoteIdent(lt).split('.').last
+          else laRaw.replaceFirst("(?i)^AS\\s+", "")
+        val kind = m.group(5).toUpperCase(Locale.ROOT)
+        val condEnd = clauseExtent(q, m.end, joinCondBounds)
+        val cond = q.substring(m.end, condEnd).trim
+        // the dedup keys live on the LEFT side: USING names them directly;
+        // ON takes each equality's left-alias-qualified ref
+        val keys: Seq[String] =
+          if (kind == "USING") {
+            val inner =
+              if (cond.startsWith("(")) cond.stripPrefix("(").reverse
+                .dropWhile(_ != ')').drop(1).reverse
+              else cond
+            splitTopLevel(inner).map(unquoteIdent)
+          } else splitTopLevelWord(cond, "AND").map { c =>
+            require(c.matches("(?s)^[^=<>!]+=[^=<>!]+$"),
+              s"ANY RIGHT JOIN supports only AND-chained equality conditions (got '$c')")
+            val refs = c.split("=", 2).map(_.trim)
+            val lRef = refs.find { r =>
+              val p = r.split("\\.", 2)
+              p.length == 2 && unquoteIdent(p(0)).equalsIgnoreCase(la)
+            }.getOrElse(throw new IllegalArgumentException(
+              s"ANY RIGHT JOIN ON condition '$c' has no side qualified by " +
+                s"the left table's alias '$la' — qualify the left-side column"))
+            unquoteIdent(lRef.split("\\.", 2)(1))
+          }
+        val keysLower = keys.map(_.toLowerCase(Locale.ROOT)).toSet
+        val schema = probeSchema(lt)
+        val ordCols = schema.fields.toSeq
+          .filterNot(f => keysLower(f.name.toLowerCase(Locale.ROOT)) ||
+            f.dataType.isInstanceOf[MapType])
+          .map(f => s"`${f.name}` ASC NULLS FIRST")
+        val ord =
+          if (ordCols.nonEmpty) ordCols.mkString(", ")
+          else keys.map(k => s"`$k`").mkString(", ")
+        val part = keys.map(k => s"`$k`").mkString(", ")
+        val sub = s"(SELECT * EXCEPT (__graft_any_rn) FROM (SELECT *, " +
+          s"row_number() OVER (PARTITION BY $part ORDER BY $ord) AS " +
+          s"__graft_any_rn FROM $lt) __graft_anyr_i WHERE __graft_any_rn = 1)"
+        rewriteAnyRightOnce(q.substring(0, m.start) +
+          s"FROM $sub $la RIGHT JOIN ${m.group(3)}${m.group(4)} ${m.group(5)}" +
+          q.substring(m.end))
+      case None => q
+    }
+
   @tailrec
   private[engine] final def rewriteAnyJoin(qIn: String): String = {
-    val q = anyRightNamedRe.replaceAllIn(qIn, { m =>
-      if (inLiteralAt(qIn, m.start)) qr(m.matched)
-      else qr(s"FROM ${m.group(3)}${m.group(4)} ANY LEFT JOIN " +
-        s"${m.group(1)}${m.group(2)} ${m.group(5).toUpperCase(Locale.ROOT)}")
-    })
+    val q = rewriteAnyRightOnce(qIn)
     anyRightRe.findAllMatchIn(q).find(m => !inLiteralAt(q, m.start)).foreach { m =>
       throw new UnsupportedOperationException(
         if (m.group(1).equalsIgnoreCase("RIGHT"))
@@ -1259,8 +1309,10 @@ private[engine] trait DialectWave2 { self: GraftSession =>
     val content = q.substring(i + 1, e - 1).trim
     "^'(.*)'$".r.findFirstMatchIn(content).map { m =>
       // parseStarMods scans the transformer tail from skipWs(star + 1):
-      // pass e - 1 so it starts right after the closing paren
-      parseStarMods(q, e - 1)
+      // pass e - 1 so it starts right after the closing paren. The tail
+      // may be empty or EXCEPT-only — COLUMNS always expands (an EXCEPT
+      // left in the text would read as a set operator).
+      parseStarMods(q, e - 1, requireTransform = false)
         .getOrElse(StarMods(Nil, Nil, Nil, e))
         .copy(colFilter = Some(m.group(1)))
     }
@@ -1303,7 +1355,12 @@ private[engine] trait DialectWave2 { self: GraftSession =>
     -1
   }
 
-  private def parseStarMods(q: String, star: Int): Option[StarMods] = {
+  /** `requireTransform = false` (the COLUMNS path) returns the parsed mods
+    * even when the tail is empty or EXCEPT-only — COLUMNS must always be
+    * expanded, while a bare `* EXCEPT` stays on Spark's native form.
+    */
+  private def parseStarMods(q: String, star: Int,
+      requireTransform: Boolean = true): Option[StarMods] = {
     def skipWs(i0: Int): Int = {
       var i = i0; while (i < q.length && Character.isWhitespace(q.charAt(i))) i += 1; i
     }
@@ -1362,7 +1419,7 @@ private[engine] trait DialectWave2 { self: GraftSession =>
       }
       more = wordAt(i, "APPLY")
     }
-    if (!sawReplace && applies.isEmpty) None
+    if (requireTransform && !sawReplace && applies.isEmpty) None
     else Some(StarMods(exceptCols, replaces, applies, i))
   }
 

@@ -951,6 +951,10 @@ object GraftFunctions {
         case _ => ""
       }.takeWhile(_.nonEmpty).toList
       val rest = es.drop(1 + modeList.size)
+      require(rest.size >= 2,
+        "windowFunnel(window[, 'strict_order'|'strict_dedup'|" +
+          s"'strict_increase', …], timestamp, cond1[, …]) — got ${es.size} " +
+          "argument(s) total")
       WindowFunnel(es.head, rest.head, rest.drop(1), modeList.toSet).toAggregateExpression()
     })
     add("retention")(es => Retention(es).toAggregateExpression())

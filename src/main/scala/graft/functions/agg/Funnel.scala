@@ -312,11 +312,20 @@ case class SequenceMatchAgg(
     if (countMode) count else count > 0
   }
 
+  private lazy val hasTimeConstraints = steps.exists(_.timeOp.nonEmpty)
+
   /** First non-overlapping match starting at or after `start`; returns the
-    * index just past the match's last event, or -1. Retries later anchors on
-    * adjacency failure (backtracking over chain starts).
+    * index just past the match's last event, or -1. Without time
+    * constraints the greedy earliest-candidate scan is optimal (classic
+    * ordered-subsequence matching: taking the earliest candidate never
+    * forecloses a later match); WITH time constraints an earlier pick can
+    * kill a later step's bound, so the search backtracks over candidate
+    * choices (DFS, budgeted like ClickHouse's
+    * sequence_match_max_iterations — r18 review fix).
     */
   private def findMatchFrom(evs: Array[(Long, Int)], start: Int): Int = {
+    if (hasTimeConstraints)
+      return dfsMatch(evs, 0, start, 0L, new SeqBudget(1000000))
     var anchor = start
     while (anchor < evs.length) {
       val end = matchAnchored(evs, anchor)
@@ -324,6 +333,46 @@ case class SequenceMatchAgg(
       anchor += 1
     }
     -1
+  }
+
+  private final class SeqBudget(var n: Int) {
+    def tick(): Unit = {
+      n -= 1
+      if (n < 0) throw new UnsupportedOperationException(
+        "sequenceMatch: pattern search exceeded 1e6 iterations " +
+          "(too many candidate combinations under the time constraints)")
+    }
+  }
+
+  /** Backtracking match: try each viable candidate for the current step,
+    * recursing; returns the index just past the final step's event or -1.
+    * Upper-bound constraints still cut the scan (events sorted by ts).
+    */
+  private def dfsMatch(evs: Array[(Long, Int)], stepIdx: Int, from: Int,
+      prevTs: Long, budget: SeqBudget): Int = {
+    if (stepIdx == steps.size) return from
+    val st = steps(stepIdx)
+    if (stepIdx == 0 || st.gapOk) {
+      var j = from
+      while (j < evs.length) {
+        budget.tick()
+        val delta = evs(j)._1 - prevTs
+        if (stepIdx > 0 && st.timeHopeless(delta)) return -1
+        if ((evs(j)._2 & (1 << st.cond)) != 0 &&
+            (stepIdx == 0 || st.timeOk(delta))) {
+          val r = dfsMatch(evs, stepIdx + 1, j + 1, evs(j)._1, budget)
+          if (r >= 0) return r
+        }
+        j += 1
+      }
+      -1
+    } else {
+      if (from >= evs.length || (evs(from)._2 & (1 << st.cond)) == 0) -1
+      else {
+        budget.tick()
+        dfsMatch(evs, stepIdx + 1, from + 1, evs(from)._1, budget)
+      }
+    }
   }
 
   /** Attempt one match whose first-step event is the first candidate at or

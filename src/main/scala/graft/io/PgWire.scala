@@ -239,7 +239,11 @@ object PgWire {
         java.time.ZoneOffset.UTC)
       if (dt == TimestampNTZType) ldt else java.sql.Timestamp.valueOf(ldt)
     case _: DecimalType => numericDecode(b)
-    case _ => new String(b, UTF_8)
+    case StringType => new String(b, UTF_8)
+    case other => throw new UnsupportedOperationException(
+      s"COPY binary: unsupported column type $other — the binary codec " +
+        "covers bool/int2/int4/int8/float4/float8/text/bytea/date/" +
+        "timestamp/numeric; use FORMAT text or csv for other types")
   }
 
   /** COPY binary payload (all CopyData chunks concatenated) → typed rows
@@ -416,6 +420,7 @@ object PgWire {
   private[graft] def csvField(s: String): String =
     if (s == null) ""
     else if (s.isEmpty) "\"\""
+    else if (s == "\\.") "\"\\.\"" // PG quotes it: a bare \. line ends the stream
     else if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
       "\"" + s.replace("\"", "\"\"") + "\""
     else s
@@ -437,8 +442,10 @@ object PgWire {
       cur.setLength(0); quoted = false
     }
     def endRow(): Unit = {
+      val lastWasQuoted = quoted // a QUOTED "\." is data, not the marker
       endField()
-      if (!(fields.length == 1 && fields(0) == "\\.")) rows += fields
+      if (!(fields.length == 1 && fields(0) == "\\." && !lastWasQuoted))
+        rows += fields
       fields = Vector.empty
     }
     while (i < text.length) {
@@ -452,7 +459,10 @@ object PgWire {
       } else c match {
         case '"' if cur.length == 0 && !quoted => inQ = true; quoted = true
         case ',' => endField()
-        case '\r' => // swallow; the \n ends the row
+        case '\r' => // row terminator (PG treats \r as end-of-line); CRLF
+          // consumes the following \n so the pair is one row end
+          endRow()
+          if (i + 1 < text.length && text.charAt(i + 1) == '\n') i += 1
         case '\n' => endRow()
         case other => cur.append(other)
       }

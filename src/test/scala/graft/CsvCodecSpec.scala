@@ -22,8 +22,6 @@ class CsvCodecSpec extends AnyFunSuite {
       val nCols = 1 + rng.nextInt(4)
       val rows = Seq.fill(1 + rng.nextInt(6))(
         Seq.fill(nCols)(randomField(rng)))
-        // a lone "\." field is the COPY end marker, not data — never rendered
-        .filterNot(r => r.length == 1 && r.head == "\\.")
       val text = rows.map(_.map(PgWire.csvField).mkString(","))
         .mkString("", "\n", "\n")
       val back = PgWire.csvParse(text)
@@ -37,12 +35,18 @@ class CsvCodecSpec extends AnyFunSuite {
     assert(PgWire.csvParse("a,,\"\"\n") == Seq(Seq("a", null, "")))
   }
 
-  test("CRLF line endings parse like LF") {
+  test("CRLF and bare CR line endings both end rows") {
     assert(PgWire.csvParse("a,b\r\nc,d\r\n") == Seq(Seq("a", "b"), Seq("c", "d")))
+    // classic-Mac endings: \r alone is a row terminator (PG end-of-line)
+    assert(PgWire.csvParse("a,b\rc,d\r") == Seq(Seq("a", "b"), Seq("c", "d")))
   }
 
-  test("the \\. end marker terminates a row stream") {
+  test("the \\. end marker terminates a row stream; a \\. VALUE is quoted") {
     assert(PgWire.csvParse("a,b\n\\.\n") == Seq(Seq("a", "b")))
+    // the data value "\." must round-trip, not truncate the stream — PG
+    // quotes it on output for exactly this reason
+    assert(PgWire.csvField("\\.") == "\"\\.\"")
+    assert(PgWire.csvParse("\"\\.\"\nafter\n") == Seq(Seq("\\."), Seq("after")))
   }
 
   test("quoted fields carry delimiters, quotes, and newlines") {

@@ -107,6 +107,11 @@ class DialectWave2Spec extends SparkTestBase {
     assert(rows.map(r => (r.getInt(0), r.getString(1),
       if (r.isNullAt(2)) null else r.getString(2))).toSeq ==
       Seq((1, "L1", "a"), (2, "L2", "b"), (3, "L3", null)))
+    // SELECT * keeps ClickHouse's left-columns-first order (the dedup is
+    // in place, not a side swap — r18 review fix)
+    val star = g.sql(
+      "SELECT * FROM w2_dup d ANY RIGHT JOIN w2_left l ON d.k = l.k")
+    assert(star.columns.toSeq == Seq("k", "tag", "v", "k", "lab"))
   }
 
   test("ANY FULL JOIN is refused loudly") {
@@ -336,6 +341,11 @@ class DialectWave2Spec extends SparkTestBase {
       g.sql("SELECT COLUMNS('^zzz') FROM w2_nation")
     }
     assert(e.getMessage.contains("matched no columns"))
+    // EXCEPT-only tail must still expand (a leftover EXCEPT would read as
+    // a set operator — r18 review fix)
+    val exc = g.sql("SELECT COLUMNS('^n') EXCEPT(nname) FROM w2_nation ORDER BY nk")
+    assert(exc.columns.toSeq == Seq("nk"))
+    assert(exc.collect().map(_.getInt(0)).toSeq == Seq(10, 11, 12, 13))
   }
 
   test("multiplication before a function call is never a star transformer") {

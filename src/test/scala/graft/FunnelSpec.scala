@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.catalyst.expressions.Literal
 
-import graft.functions.agg.{EventListBuffer, WindowFunnel}
+import graft.functions.agg.{EventListBuffer, SequenceMatchAgg, WindowFunnel}
 
 /** Property tests for windowFunnel's strictness modes (r18) — the eval is a
   * pure function of the event buffer, so it is driven directly (no Spark
@@ -111,5 +111,26 @@ class FunnelSpec extends AnyFunSuite {
     (Seq(Set.empty[String]) ++ allModes).foreach { m =>
       assert(level(evs, m) == 2, s"mode $m counted an out-of-window step")
     }
+  }
+
+  private def seqMatch(pattern: String, events: Seq[(Long, Int)],
+      count: Boolean = false): Any = {
+    val agg = SequenceMatchAgg(Literal(pattern), Literal(0L),
+      Seq.fill(N)(Literal(true)), countMode = count)
+    val buf = new EventListBuffer
+    events.foreach { case (t, m) => buf.add(t, m) }
+    agg.eval(buf)
+  }
+
+  test("sequenceMatch backtracks over time-constrained candidates (r18 review fix)") {
+    // greedy picks c2@1 (delta 1 <= 10), then c3@15 fails its bound
+    // (delta 14); the valid chain is c1@0 -> c2@8 -> c3@15 — the DFS must
+    // revisit the step-2 choice
+    val evs = Seq((0L, 1), (1L, 2), (8L, 2), (15L, 4))
+    assert(seqMatch("(?1)(?t<=10)(?2)(?t<=10)(?3)", evs) == true)
+    // and a genuinely unsatisfiable chain still fails
+    assert(seqMatch("(?1)(?t<=10)(?2)(?t<=3)(?3)", evs) == false)
+    // unconstrained patterns keep the greedy path's semantics
+    assert(seqMatch("(?1).*(?2).*(?3)", evs) == true)
   }
 }
