@@ -1681,22 +1681,29 @@ object CoverageQueries {
       // pattern language). u3 proves the candidate re-scan: its B@4 fails
       // (?t>5) but B@20 satisfies it; u5 proves non-overlapping counting.
       // Oracle = the hand-derived truth table.
+      // u6 (r18 review fix) forces BACKTRACKING: the greedy step-2 pick
+      // B@1 kills step 3's bound (C@15: delta 14 > 10) while B@8 -> C@15
+      // (delta 7) satisfies it — m3 = 1 only if the search revisits
       graft.engine.GraftSession(s).sql(
         """SELECT user_id,
              CAST(sequenceMatch('(?1)(?t<=5)(?2)', tt, ev = 'A', ev = 'B') AS INT) AS le5,
              CAST(sequenceMatch('(?1)(?t>5)(?2)', tt, ev = 'A', ev = 'B') AS INT) AS gt5,
-             CAST(sequenceCount('(?1)(?t<=5)(?2)', tt, ev = 'A', ev = 'B') AS INT) AS cnt
+             CAST(sequenceCount('(?1)(?t<=5)(?2)', tt, ev = 'A', ev = 'B') AS INT) AS cnt,
+             CAST(sequenceMatch('(?1)(?t<=10)(?2)(?t<=10)(?3)', tt,
+               ev = 'A', ev = 'B', ev = 'C') AS INT) AS m3
            FROM VALUES
              ('u1', 1, 'A'), ('u1', 3, 'B'),
              ('u2', 1, 'A'), ('u2', 10, 'B'),
              ('u3', 1, 'A'), ('u3', 4, 'B'), ('u3', 20, 'B'),
              ('u4', 1, 'B'), ('u4', 2, 'A'),
-             ('u5', 1, 'A'), ('u5', 2, 'B'), ('u5', 10, 'A'), ('u5', 11, 'B')
+             ('u5', 1, 'A'), ('u5', 2, 'B'), ('u5', 10, 'A'), ('u5', 11, 'B'),
+             ('u6', 0, 'A'), ('u6', 1, 'B'), ('u6', 8, 'B'), ('u6', 15, 'C')
            AS t(user_id, tt, ev)
            GROUP BY user_id ORDER BY user_id""")
-    }, Some("""SELECT * FROM (VALUES ('u1', 1, 0, 1), ('u2', 0, 1, 0),
-        ('u3', 1, 1, 1), ('u4', 0, 0, 0), ('u5', 1, 1, 2))
-      AS t(user_id, le5, gt5, cnt) ORDER BY user_id""")),
+    }, Some("""SELECT * FROM (VALUES ('u1', 1, 0, 1, 0), ('u2', 0, 1, 0, 0),
+        ('u3', 1, 1, 1, 0), ('u4', 0, 0, 0, 0), ('u5', 1, 1, 2, 0),
+        ('u6', 1, 1, 1, 1))
+      AS t(user_id, le5, gt5, cnt, m3) ORDER BY user_id""")),
 
     QueryDef("q223_asof_using", (s, dir) => {
       // ASOF JOIN USING (r18, the ClickHouse shorthand): the trailing USING
