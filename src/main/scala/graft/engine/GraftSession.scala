@@ -1450,11 +1450,21 @@ final class GraftSession(val spark: SparkSession) extends DialectWave2 {
       case "PRETTY" | "PRETTYCOMPACT" => renderPretty(df)
       case "JSON" => renderJson(df, compact = false)
       case "JSONCOMPACT" => renderJson(df, compact = true)
+      case "NULL" => // ClickHouse's discard format (chdb benchmark idiom):
+        // the query still executes FULLY — consuming the df's own
+        // QueryExecution evaluates every output column (a count() would
+        // let Catalyst prune the projections) — but nothing renders
+        val rdd = df.queryExecution.toRdd
+        df.sparkSession.sparkContext.runJob(rdd,
+          (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+            while (it.hasNext) it.next()
+          })
+        ""
       case "ARROW" | "ARROWSTREAM" | "PARQUET" => throw new IllegalArgumentException(
         s"'$format' is a BYTES format — use queryAsBytes(sql, \"$format\")")
       case other => throw new IllegalArgumentException(
         s"unsupported output format '$other' (CSV, CSVWithNames, TSV, " +
-          "JSONEachRow, JSON, JSONCompact, Pretty; Arrow/Parquet via queryAsBytes)")
+          "JSONEachRow, JSON, JSONCompact, Pretty, Null; Arrow/Parquet via queryAsBytes)")
     }
   }
 

@@ -685,6 +685,18 @@ class ReadmeParitySpec extends SparkTestBase {
     assert(lvl.getInt(0) == 1)
   }
 
+  test("FORMAT Null executes fully and renders nothing (r18)") {
+    assert(g.queryAs("SELECT number, number * 2 AS d FROM numbers(100)",
+      "Null") == "")
+    // the FORMAT tail spelling too
+    assert(g.queryAs("SELECT 1 FORMAT Null") == "")
+    // a failing query still fails (execution is real, not skipped)
+    intercept[Exception] {
+      g.queryAs("SELECT assert_true(number < 5, 'boom') FROM numbers(10)",
+        "Null")
+    }
+  }
+
   test("numbers_mt with scientific notation and a SETTINGS clause") {
     val r = g.sql(
       "SELECT sum(number) AS s FROM numbers_mt(1e6) GROUP BY number % 10 SETTINGS max_threads=4")
