@@ -104,6 +104,28 @@ final class GraftSession(val spark: SparkSession) extends DialectWave2 {
         return spark.sql(s"SELECT CAST($r AS INT) AS result")
       case _ =>
     }
+    else if (trimmedU.startsWith("DESCRIBE") || trimmedU.startsWith("DESC ")) {
+      // chdb schema inspection over table functions (r18):
+      // `DESCRIBE [TABLE] file('x.parquet')` (or any table function) maps
+      // onto Spark's DESCRIBE QUERY over a SELECT through the table-fn
+      // rewriter. Plain DESCRIBE <table> stays on Spark's native path.
+      val descFnRe =
+        "(?is)^\\s*DESC(?:RIBE)?\\s+(?:TABLE\\s+)?([A-Za-z_]\\w*\\s*\\(.+\\))\\s*;?\\s*$".r
+      query match {
+        case descFnRe(fn) =>
+          import org.apache.spark.sql.types.{BooleanType, StringType, StructField, StructType}
+          val fields = spark.sql(rewriteDialect(s"SELECT * FROM $fn LIMIT 0"))
+            .schema.fields.toIndexedSeq
+          val rows = fields.map(f => org.apache.spark.sql.Row(f.name,
+            f.dataType.sql.toLowerCase(java.util.Locale.ROOT), f.nullable))
+          return spark.createDataFrame(
+            spark.sparkContext.parallelize(rows),
+            StructType(Seq(StructField("col_name", StringType),
+              StructField("data_type", StringType),
+              StructField("nullable", BooleanType))))
+        case _ =>
+      }
+    }
     else if (trimmedU.startsWith("EXPLAIN")) {
       // ClickHouse EXPLAIN variants (r18): `EXPLAIN SYNTAX q` returns the
       // DIALECT-REWRITTEN query text (the closest analogue of CH's

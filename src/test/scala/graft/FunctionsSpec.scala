@@ -685,6 +685,22 @@ class ReadmeParitySpec extends SparkTestBase {
     assert(lvl.getInt(0) == 1)
   }
 
+  test("DESCRIBE over a table function returns the schema (r18)") {
+    val rows = g.sql(
+      s"DESCRIBE file('${SparkTestBase.sfDir}/nation.parquet', Parquet)")
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("n_nationkey", "n_name", "n_regionkey"))
+    assert(rows.head.getString(1).contains("int") ||
+      rows.head.getString(1).contains("bigint"))
+    val short = g.sql(s"DESC numbers(5)").collect()
+    assert(short.map(_.getString(0)).toSeq == Seq("number"))
+    // plain DESCRIBE <view> stays on Spark's native path
+    spark.sql("SELECT 1 AS one").createOrReplaceTempView("desc_plain_t")
+    assert(g.sql("DESCRIBE desc_plain_t").collect()
+      .map(_.getString(0)).contains("one"))
+  }
+
   test("FORMAT Null executes fully and renders nothing (r18)") {
     assert(g.queryAs("SELECT number, number * 2 AS d FROM numbers(100)",
       "Null") == "")
