@@ -77,6 +77,40 @@ object Bench {
         .foreach(Tables.load(spark, sfDir, _))
     }
 
+    // Machine fingerprint (r19): the r17/r18 "machine-session band"
+    // adjudications needed judge reruns because nothing in the artifact
+    // quantified the session's fixed costs. Two microprobes, recorded in
+    // the JSON so any cross-round comparison can first normalize for the
+    // machine: sched2_ms = min round-trip of an empty 2-stage shuffle job
+    // (32 map tasks -> 8 reduce tasks; the per-stage scheduling latency
+    // that stage-count-heavy sub-200ms queries pay ~6x), cpu_ms = min
+    // single-thread time of a fixed 20M-step xorshift loop (the JIT'd
+    // per-row CPU that regex/codegen-heavy queries scale with).
+    val schedLatMs: Double = {
+      val rdd = spark.sparkContext.parallelize(1 to 256, 32).map(i => (i % 8, 1))
+      (1 to 3).foreach(_ => rdd.reduceByKey(_ + _).count())
+      (1 to 10).map { _ =>
+        val t0 = System.nanoTime()
+        rdd.reduceByKey(_ + _).count()
+        (System.nanoTime() - t0) / 1e6
+      }.min
+    }
+    val cpuScoreMs: Double = {
+      def work(): Long = {
+        var x = 0x9E3779B97F4A7C15L; var acc = 0L; var i = 0
+        while (i < 20000000) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17; acc += x; i += 1
+        }
+        acc
+      }
+      (1 to 3).foreach(_ => work())
+      (1 to 5).map { _ =>
+        val t0 = System.nanoTime(); work(); (System.nanoTime() - t0) / 1e6
+      }.min
+    }
+    System.err.println(
+      f"[bench] machine fingerprint: sched2=${schedLatMs}%.1f ms cpu=${cpuScoreMs}%.1f ms")
+
     val headline = Queries.all.filter(_.bench)
     // per-query peak execution memory (r15 stretch): sum over the run's
     // tasks of TaskMetrics.peakExecutionMemory — the number the SQL UI
@@ -169,16 +203,20 @@ object Bench {
     // per-query ratio vs the previous record estimates the machine band:
     // per-query deltas are judged against p * band, so a uniformly slower
     // session cancels out while a single-query regression still sticks out
-    // above the median. The factor is clamped to [1.0, 1.5]: a faster band
-    // never tightens the gate below the absolute contract, and a run-wide
-    // median above 1.5x is itself load contamination, not a band — it must
-    // NOT self-excuse (the load-settle loop and refusal stay in charge).
+    // above the median. The factor is clamped to [1.0, 1.35] (r19,
+    // advisor: at the old 1.5 clamp the effective per-query gate was
+    // 1.5 x 1.5 = 2.25x — wide enough to hide a real regression; every
+    // band adjudicated so far measured 1.2-1.3, so 1.35 covers real bands,
+    // a faster band never tightens the gate below the absolute contract,
+    // and a run-wide median above the clamp is load contamination, not a
+    // band — it must NOT self-excuse; the settle loop and refusal stay in
+    // charge).
     def bandFactor: Double = {
       val ratios = resultMap.toSeq.flatMap { case (n, t) =>
         prevTimes.get(n).collect { case p if p > 0 && t > 0 => t / p }
       }.sorted
       if (ratios.isEmpty) 1.0
-      else math.min(math.max(1.0, ratios(ratios.size / 2)), 1.5)
+      else math.min(math.max(1.0, ratios(ratios.size / 2)), 1.35)
     }
     def slowOnes: Seq[String] = {
       val band = bandFactor
@@ -274,7 +312,15 @@ object Bench {
     val loadJson = s""""load_start":${triple(loads)},""" +
       s""""load_end":${triple(loadsEnd)},""" +
       s""""settle_wait_sec":$settleWaitSec,""" +
+      s""""sched2_ms":${l2(schedLatMs)},"cpu_ms":${l2(cpuScoreMs)},""" +
       s""""band_factor":${l2(finalBand)},"band_vs":"$prevName","""
+    // per-query band-normalized ratios (FULL record only — r19, advisor:
+    // a high band riding the clamp could absorb a sub-gate regression;
+    // the ratios make any later audit a grep, not a rerun)
+    val bandRatios = resultMap.toSeq.flatMap { case (n, t) =>
+      prevTimes.get(n).collect { case p if p > 0 && t > 0 =>
+        "\"" + n + "\":" + l2(t / (p * finalBand)) }
+    }.mkString("{", ",", "}")
     // TWO copies of the record (r16 verdict task 2 — the driver's tail
     // capture of stdout outgrew the one-line record and its re-runs parsed
     // null): stdout stays the one-JSON-line contract but COMPACT (rounded
@@ -282,7 +328,7 @@ object Bench {
     // peakMemBytes) goes to SPARK_GRAFT_BENCH_OUT (default bench_out.json)
     // where no capture window can truncate it.
     val line = s"""{$refusedFlag"metric":"total","value":${r4(total)},"unit":"sec",$flag$loadJson"queries":$qs,"sf":"$sfDir"}"""
-    val fullLine = s"""{$refusedFlag"metric":"total","value":$total,"unit":"sec",$flag$loadJson"queries":$qsFull,"peakMemBytes":$pm,"sf":"$sfDir"}"""
+    val fullLine = s"""{$refusedFlag"metric":"total","value":$total,"unit":"sec",$flag$loadJson"queries":$qsFull,"peakMemBytes":$pm,"band_ratios":$bandRatios,"sf":"$sfDir"}"""
     println(line)
     def writeFile(path: String, content: String): Unit = try {
       java.nio.file.Files.write(java.nio.file.Paths.get(path),
@@ -312,9 +358,12 @@ object Bench {
     */
   private def previousTimes(sfDir: String): (String, Map[String, Double]) = try {
     val base = new java.io.File(sfDir).getName
+    // any named scale point gets its own baseline family (r19: sf3/sf10
+    // scale-curve records compare like with like, same as sf1)
+    val sfTag = "^(?:testdata-)?(sf\\d+(?:\\.\\d+)?)$".r
     val pattern = base match {
-      case "sf1" | "testdata-sf1" => "BENCH_r\\d+_sf1\\.json"
       case "sf0.1" => "BENCH_r\\d+\\.json"
+      case sfTag(t) => "BENCH_r\\d+_" + t + "\\.json"
       case _ => return ("", Map.empty)
     }
     val dir = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"))

@@ -210,13 +210,17 @@ private[engine] trait DialectWave2 { self: GraftSession =>
   // keyed on its join keys, same deterministic lexicographic-min contract
   // as ANY LEFT) and the join becomes a plain RIGHT JOIN, so `SELECT *`
   // keeps ClickHouse's left-columns-first order (a side swap would
-  // reverse it — r18 review). `ANY FULL JOIN` and subquery-sided ANY
-  // RIGHT still refuse loudly.
+  // reverse it — r18 review). `ANY FULL JOIN` (r19): BOTH sides deduped in
+  // place with the same contract, then a plain FULL JOIN — each surviving
+  // left row meets at most one right row and vice versa, which refines
+  // ClickHouse's non-deterministic any-pick to the stable lexicographic
+  // minimum on each side. Subquery sides of either form are lifted into
+  // temp views first (the ASOF lifting device, r19).
   private val anyRightNamedRe =
     ("(?is)\\bFROM\\s+([A-Za-z_][\\w.]*|`[^`]+`)" +
       "((?:\\s+(?:AS\\s+)?(?!(?:SEMI|ANTI|ANY|LEFT|INNER|CROSS|JOIN|WHERE|GROUP" +
       "|ORDER|LIMIT|HAVING|UNION|ON|USING|SAMPLE|FINAL)\\b)[A-Za-z_]\\w*)?)" +
-      "\\s+ANY\\s+RIGHT\\s+JOIN\\s+([A-Za-z_][\\w.]*|`[^`]+`)" +
+      "\\s+ANY\\s+(RIGHT|FULL)\\s+JOIN\\s+([A-Za-z_][\\w.]*|`[^`]+`)" +
       "((?:\\s+(?:AS\\s+)?(?!(?:ON|USING)\\b)[A-Za-z_]\\w*)?)\\s+(ON|USING)\\b").r
   private val anyRightRe = "(?i)\\bANY\\s+(RIGHT|FULL)\\s+JOIN\\b".r
   private val anyJoinRe =
@@ -224,8 +228,45 @@ private[engine] trait DialectWave2 { self: GraftSession =>
       "((?:\\s+(?:AS\\s+)?(?!(?:ON|USING)\\b)[A-Za-z_]\\w*)?)\\s+(ON|USING)\\b").r
   private val anyLeftoverRe =
     "(?i)\\bANY\\s+((?:LEFT|INNER)\\s+)?JOIN\\b".r
-  /** One ANY RIGHT JOIN occurrence → dedup-left + RIGHT JOIN; recurses
-    * until none remain.
+  /** `(SELECT …)` text deduplicating `rel` to one row per `keys` — the ANY
+    * contract: keep the lexicographically smallest non-key row per key
+    * (schema order, ASC NULLS FIRST; map columns excluded as unorderable).
+    */
+  private def anyDedupSub(rel: String, keys: Seq[String], tag: String): String = {
+    val keysLower = keys.map(_.toLowerCase(Locale.ROOT)).toSet
+    val schema = probeSchema(rel)
+    val ordCols = schema.fields.toSeq
+      .filterNot(f => keysLower(f.name.toLowerCase(Locale.ROOT)) ||
+        f.dataType.isInstanceOf[MapType])
+      .map(f => s"`${f.name}` ASC NULLS FIRST")
+    val ord =
+      if (ordCols.nonEmpty) ordCols.mkString(", ")
+      else keys.map(k => s"`$k`").mkString(", ")
+    val part = keys.map(k => s"`$k`").mkString(", ")
+    s"(SELECT * EXCEPT (__graft_any_rn) FROM (SELECT *, " +
+      s"row_number() OVER (PARTITION BY $part ORDER BY $ord) AS " +
+      s"__graft_any_rn FROM $rel) __graft_$tag WHERE __graft_any_rn = 1)"
+  }
+
+  /** Join keys on `alias`'s side of an ON condition: each AND-ed term must
+    * be a plain equality with exactly one side qualified by `alias`.
+    */
+  private def anyKeysFor(alias: String, cond: String, joinName: String): Seq[String] =
+    splitTopLevelWord(cond, "AND").map { c =>
+      require(c.matches("(?s)^[^=<>!]+=[^=<>!]+$"),
+        s"$joinName supports only AND-chained equality conditions (got '$c')")
+      val refs = c.split("=", 2).map(_.trim)
+      val ref = refs.find { r =>
+        val p = r.split("\\.", 2)
+        p.length == 2 && unquoteIdent(p(0)).equalsIgnoreCase(alias)
+      }.getOrElse(throw new IllegalArgumentException(
+        s"$joinName ON condition '$c' has no side qualified by the " +
+          s"alias '$alias' — qualify the column"))
+      unquoteIdent(ref.split("\\.", 2)(1))
+    }
+
+  /** One ANY RIGHT/FULL JOIN occurrence → dedup-left (+ dedup-right for
+    * FULL) + plain RIGHT/FULL JOIN; recurses until none remain.
     */
   private def rewriteAnyRightOnce(q: String): String =
     anyRightNamedRe.findAllMatchIn(q).find(m => !inLiteralAt(q, m.start)) match {
@@ -235,61 +276,49 @@ private[engine] trait DialectWave2 { self: GraftSession =>
         val la =
           if (laRaw.isEmpty) unquoteIdent(lt).split('.').last
           else laRaw.replaceFirst("(?i)^AS\\s+", "")
-        val kind = m.group(5).toUpperCase(Locale.ROOT)
+        val full = m.group(3).equalsIgnoreCase("FULL")
+        val jn = if (full) "ANY FULL JOIN" else "ANY RIGHT JOIN"
+        val rt = m.group(4)
+        val raRaw = m.group(5).trim
+        val ra =
+          if (raRaw.isEmpty) unquoteIdent(rt).split('.').last
+          else raRaw.replaceFirst("(?i)^AS\\s+", "")
+        val kind = m.group(6).toUpperCase(Locale.ROOT)
         val condEnd = clauseExtent(q, m.end, joinCondBounds)
         val cond = q.substring(m.end, condEnd).trim
-        // the dedup keys live on the LEFT side: USING names them directly;
-        // ON takes each equality's left-alias-qualified ref
-        val keys: Seq[String] =
+        // dedup keys: USING names them directly (same spelling both sides);
+        // ON takes each equality's alias-qualified ref per side
+        val usingKeys: Seq[String] =
           if (kind == "USING") {
             val inner =
               if (cond.startsWith("(")) cond.stripPrefix("(").reverse
                 .dropWhile(_ != ')').drop(1).reverse
               else cond
             splitTopLevel(inner).map(unquoteIdent)
-          } else splitTopLevelWord(cond, "AND").map { c =>
-            require(c.matches("(?s)^[^=<>!]+=[^=<>!]+$"),
-              s"ANY RIGHT JOIN supports only AND-chained equality conditions (got '$c')")
-            val refs = c.split("=", 2).map(_.trim)
-            val lRef = refs.find { r =>
-              val p = r.split("\\.", 2)
-              p.length == 2 && unquoteIdent(p(0)).equalsIgnoreCase(la)
-            }.getOrElse(throw new IllegalArgumentException(
-              s"ANY RIGHT JOIN ON condition '$c' has no side qualified by " +
-                s"the left table's alias '$la' — qualify the left-side column"))
-            unquoteIdent(lRef.split("\\.", 2)(1))
-          }
-        val keysLower = keys.map(_.toLowerCase(Locale.ROOT)).toSet
-        val schema = probeSchema(lt)
-        val ordCols = schema.fields.toSeq
-          .filterNot(f => keysLower(f.name.toLowerCase(Locale.ROOT)) ||
-            f.dataType.isInstanceOf[MapType])
-          .map(f => s"`${f.name}` ASC NULLS FIRST")
-        val ord =
-          if (ordCols.nonEmpty) ordCols.mkString(", ")
-          else keys.map(k => s"`$k`").mkString(", ")
-        val part = keys.map(k => s"`$k`").mkString(", ")
-        val sub = s"(SELECT * EXCEPT (__graft_any_rn) FROM (SELECT *, " +
-          s"row_number() OVER (PARTITION BY $part ORDER BY $ord) AS " +
-          s"__graft_any_rn FROM $lt) __graft_anyr_i WHERE __graft_any_rn = 1)"
+          } else Nil
+        val lKeys = if (kind == "USING") usingKeys else anyKeysFor(la, cond, jn)
+        val lSub = anyDedupSub(lt, lKeys, "anyr_i")
+        val rightText =
+          if (full) {
+            val rKeys = if (kind == "USING") usingKeys else anyKeysFor(ra, cond, jn)
+            s"${anyDedupSub(rt, rKeys, "anyf_i")} $ra"
+          } else s"${m.group(4)}${m.group(5)}"
+        val jw = if (full) "FULL JOIN" else "RIGHT JOIN"
         rewriteAnyRightOnce(q.substring(0, m.start) +
-          s"FROM $sub $la RIGHT JOIN ${m.group(3)}${m.group(4)} ${m.group(5)}" +
+          s"FROM $lSub $la $jw $rightText ${m.group(6)}" +
           q.substring(m.end))
       case None => q
     }
 
   @tailrec
   private[engine] final def rewriteAnyJoin(qIn: String): String = {
-    val q = rewriteAnyRightOnce(qIn)
+    val q = rewriteAnyRightOnce(liftAnySubqueries(qIn))
     anyRightRe.findAllMatchIn(q).find(m => !inLiteralAt(q, m.start)).foreach { m =>
       throw new UnsupportedOperationException(
-        if (m.group(1).equalsIgnoreCase("RIGHT"))
-          "ANY RIGHT JOIN is supported only with named relations on both " +
-            "sides (the rewrite swaps them to the ANY LEFT form) — wrap " +
-            "subquery sides in temp views"
-        else
-          "ANY FULL JOIN is not supported — use FULL JOIN against an " +
-            "ANY-deduplicated side")
+        s"ANY ${m.group(1).toUpperCase(Locale.ROOT)} JOIN is supported as: " +
+          "FROM <table|(subquery)> [alias] ANY RIGHT|FULL JOIN " +
+          "<table|(subquery)> [alias] ON <equalities>/USING (cols) — " +
+          "an unaliased subquery side needs an alias for the lift")
     }
     anyJoinRe.findAllMatchIn(q).find(m => !inLiteralAt(q, m.start)) match {
       case Some(m) =>
@@ -438,9 +467,22 @@ private[engine] trait DialectWave2 { self: GraftSession =>
     * View registration is analysis-only — no job runs until the result is
     * consumed.
     */
-  private def liftAsofSubqueries(q: String): String = {
-    val asofAt = asofLeftoverRe.findAllMatchIn(q)
-      .find(m => !inLiteralAt(q, m.start)).map(_.start).getOrElse(return q)
+  private def liftAsofSubqueries(q: String): String =
+    liftJoinSubqueries(q, s => asofLeftoverRe.findAllMatchIn(s)
+      .find(m => !inLiteralAt(s, m.start)).map(_.start))
+
+  /** ANY-join flavor of the same lift (r19) — closes the r18 refusal on
+    * subquery-sided ANY RIGHT and enables subquery sides for ANY FULL.
+    */
+  private val anyAnyRe =
+    "(?i)\\bANY\\s+(?:(?:RIGHT|FULL|LEFT|INNER)\\s+)?JOIN\\b".r
+  private def liftAnySubqueries(q: String): String =
+    liftJoinSubqueries(q, s => anyAnyRe.findAllMatchIn(s)
+      .find(m => !inLiteralAt(s, m.start)).map(_.start))
+
+  private def liftJoinSubqueries(q: String,
+      findKw: String => Option[Int]): String = {
+    val asofAt = findKw(q).getOrElse(return q)
     def matchForward(open: Int): Int = { // index of the matching ')'
       var d = 0; var i = open; var inStr = false; var inTick = false
       while (i < q.length) {
@@ -470,13 +512,12 @@ private[engine] trait DialectWave2 { self: GraftSession =>
     while (i < out.length && Character.isWhitespace(out.charAt(i))) i += 1
     if (i < out.length && out.charAt(i) == '(') {
       val close = matchForward(i)
-      require(close > 0, "ASOF JOIN: unbalanced parenthesis in right side")
+      require(close > 0, "join subquery lift: unbalanced parenthesis in right side")
       val vn = mkView(out.substring(i + 1, close))
       out = out.substring(0, i) + vn + out.substring(close + 1)
     }
-    // LEFT side: "… FROM (…) [AS] alias ASOF" — walk back over the alias
-    val asofAt2 = asofLeftoverRe.findAllMatchIn(out)
-      .find(m => !inLiteralAt(out, m.start)).map(_.start).getOrElse(return out)
+    // LEFT side: "… FROM (…) [AS] alias ASOF/ANY" — walk back over the alias
+    val asofAt2 = findKw(out).getOrElse(return out)
     var j = asofAt2 - 1
     while (j >= 0 && Character.isWhitespace(out.charAt(j))) j -= 1
     val aliasEnd = j
@@ -510,7 +551,7 @@ private[engine] trait DialectWave2 { self: GraftSession =>
         }
         p += 1
       }
-      require(open >= 0, "ASOF JOIN: unbalanced parenthesis in left side")
+      require(open >= 0, "join subquery lift: unbalanced parenthesis in left side")
       val vn = mkView(out.substring(open + 1, k))
       out = out.substring(0, open) + vn + out.substring(k + 1)
     }
@@ -1467,7 +1508,12 @@ private[engine] trait DialectWave2 { self: GraftSession =>
         val extras = sm.replaces.map { case (e, n) => s"$e AS `$n`" }.mkString(", ")
         s"* EXCEPT ($dropped), $extras"
       }
-    q.substring(0, star) + repl + q.substring(sm.end)
+    // sm.end sits past the whitespace after the last transformer group
+    // (skipWs advanced it during the APPLY-chain lookahead), so the
+    // replacement would abut the next clause token — re-emit one space
+    // (r19, advisor: the old text only lexed because every replacement
+    // happened to end in a backtick)
+    q.substring(0, star) + repl + " " + q.substring(sm.end)
   }
 
 }

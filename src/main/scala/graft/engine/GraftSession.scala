@@ -1322,10 +1322,11 @@ final class GraftSession(val spark: SparkSession) extends DialectWave2 {
   // TABLESAMPLE: f in (0,1] → percent, integer n > 1 → approximate row
   // count. Inserted BEFORE the alias (Spark grammar: table TABLESAMPLE
   // alias). Seed-divergent across engines by nature — oracle checks are
-  // row-count bounds, not hashes. `SAMPLE k OFFSET m` is not accepted.
+  // row-count bounds, not hashes. `SAMPLE k OFFSET m` takes the
+  // deterministic md5-bucket path below instead (exact oracles).
   private val sampleRe =
     ("(?i)\\b(FROM\\s+[\\w.`\"]+)((?:\\s+(?:AS\\s+)?[A-Za-z_]\\w*)?)" +
-      "\\s+SAMPLE\\s+(\\d+(?:\\.\\d+)?)").r
+      "\\s+SAMPLE\\s+(\\d+(?:\\.\\d+)?(?:\\s*/\\s*\\d+(?:\\.\\d+)?)?)").r
   // `FROM t [alias] FINAL` — ClickHouse's merge-collapse modifier for
   // Replacing/Collapsing engines (reference core.py:7840 lists it among the
   // clause keywords it tolerates). Our tables are exact — no deferred
@@ -1409,11 +1410,67 @@ final class GraftSession(val spark: SparkSession) extends DialectWave2 {
       if (inLiteralAt(q, m.start)) // 'from t sample 5' inside a string is data
         scala.util.matching.Regex.quoteReplacement(m.matched)
       else {
-        val v = BigDecimal(m.group(3))
+        // `SAMPLE a/b` (the common ClickHouse fraction spelling, r19) is
+        // parsed as an exact fraction; decimals keep their BigDecimal path
+        val g = m.group(3)
+        val v =
+          if (g.contains("/")) {
+            val p = g.split("/").map(s => BigDecimal(s.trim)); p(0) / p(1)
+          } else BigDecimal(g)
         val ts =
           if (v <= 1) s"TABLESAMPLE (${(v * 100).bigDecimal.stripTrailingZeros.toPlainString} PERCENT)"
-          else s"TABLESAMPLE (${m.group(3)} ROWS)"
+          else s"TABLESAMPLE (${v.toBigInt} ROWS)"
         scala.util.matching.Regex.quoteReplacement(s"${m.group(1)} $ts${m.group(2)}")
+      }
+    })
+
+  // `FROM t [alias] SAMPLE k OFFSET m` (r19): ClickHouse's disjoint-slice
+  // sampling. TABLESAMPLE cannot express the offset (and is seed-divergent
+  // anyway), so this maps to the md5-bucket device the curation splits
+  // already use (hashSplit's contract): bucket = md5-prefix-60bit(key) %
+  // 10000, keep [round(m*10000), round(m*10000)+round(k*10000)). The draw
+  // is a pure function of the key — the same row lands in the same slice
+  // in every engine (oracles replay the arithmetic exactly) and disjoint
+  // OFFSET slices partition the table, ClickHouse's documented use
+  // (processing a table in independent passes). ClickHouse reads the key
+  // from the table's `SAMPLE BY` DDL clause; file-backed tables carry no
+  // DDL, so the key is the table's FIRST column (the fixtures' primary
+  // key) — a documented engine contract. k/m accept decimals or a/b
+  // fractions in [0,1]; the row-count form (`SAMPLE 10000 OFFSET 1/2`)
+  // has no deterministic-slice meaning and refuses.
+  private val sampleOffsetRe =
+    ("(?i)\\bFROM\\s+([\\w.`\"]+)((?:\\s+(?:AS\\s+)?[A-Za-z_]\\w*)?)" +
+      "\\s+SAMPLE\\s+(\\d+(?:\\.\\d+)?(?:\\s*/\\s*\\d+(?:\\.\\d+)?)?)" +
+      "\\s+OFFSET\\s+(\\d+(?:\\.\\d+)?(?:\\s*/\\s*\\d+(?:\\.\\d+)?)?)").r
+  private def parseFrac(s: String): Double = {
+    val parts = s.split("/").map(_.trim)
+    if (parts.length == 2) parts(0).toDouble / parts(1).toDouble
+    else parts(0).toDouble
+  }
+  private def rewriteSampleOffset(q: String): String =
+    sampleOffsetRe.replaceAllIn(q, { m =>
+      if (inLiteralAt(q, m.start))
+        scala.util.matching.Regex.quoteReplacement(m.matched)
+      else {
+        val k = parseFrac(m.group(3)); val off = parseFrac(m.group(4))
+        if (k > 1 || off > 1) throw new UnsupportedOperationException(
+          "SAMPLE k OFFSET m supports fractional k and m in [0, 1] " +
+            "(decimals or a/b fractions); the approximate row-count form " +
+            "cannot name a deterministic slice — use SAMPLE n without OFFSET")
+        val buckets = 10000L
+        val lo = math.round(off * buckets)
+        val hi = math.min(buckets, lo + math.round(k * buckets))
+        val tbl = m.group(1)
+        val bare = tbl.replace("`", "").replace("\"", "")
+        val alias = {
+          val a = m.group(2).trim.replaceFirst("(?i)^AS\\s+", "")
+          if (a.nonEmpty) a else bare.split('.').last
+        }
+        val key = spark.table(bare).columns.head
+        val dev = s"(CAST(conv(substr(md5(CAST(`$key` AS STRING)), 1, 15), " +
+          s"16, 10) AS BIGINT) % $buckets)"
+        scala.util.matching.Regex.quoteReplacement(
+          s"FROM (SELECT * FROM $tbl WHERE $dev >= $lo AND $dev < $hi) $alias")
       }
     })
 
@@ -1429,9 +1486,9 @@ final class GraftSession(val spark: SparkSession) extends DialectWave2 {
     dateDiffQuotedUnit.replaceAllIn(
       rewriteTableFns(rewriteWithFill(rewriteLimitBy(rewriteStarModifiers(
         rewriteWithTotals(rewriteArrayJoin(rewriteAnyJoin(rewriteAsofJoin(
-          dropGlobal(normalizeJoinStrictness(rewriteSample(rewriteFinal(
+          dropGlobal(normalizeJoinStrictness(rewriteSample(rewriteSampleOffset(rewriteFinal(
             rewritePrewhere(rewriteScalarWith(trailingFormat.replaceFirstIn(
-              trailingSettings.replaceFirstIn(q, ""), ""))))))))))))))),
+              trailingSettings.replaceFirstIn(q, ""), "")))))))))))))))),
       m => "dateDiffCH($1")
 
   /** Parameterized query — the reference's `{name:Type}` placeholders bound

@@ -436,10 +436,13 @@ object PgWire {
     val cur = new java.lang.StringBuilder
     var quoted = false // current field was opened with a quote
     var inQ = false
+    var closed = false // quote closed: only delimiter/EOL may follow (PG
+    // raises a COPY syntax error on `"ab"c` — r19, advisor: silently
+    // gluing the tail mangled malformed client CSV into accepted values)
     var i = 0
     def endField(): Unit = {
       fields :+= (if (!quoted && cur.length == 0) null else cur.toString)
-      cur.setLength(0); quoted = false
+      cur.setLength(0); quoted = false; closed = false
     }
     def endRow(): Unit = {
       val lastWasQuoted = quoted // a QUOTED "\." is data, not the marker
@@ -454,10 +457,13 @@ object PgWire {
         if (c == '"') {
           if (i + 1 < text.length && text.charAt(i + 1) == '"') {
             cur.append('"'); i += 1
-          } else inQ = false
+          } else { inQ = false; closed = true }
         } else cur.append(c)
       } else c match {
         case '"' if cur.length == 0 && !quoted => inQ = true; quoted = true
+        case c2 if closed && c2 != ',' && c2 != '\r' && c2 != '\n' =>
+          throw new IllegalArgumentException(
+            s"COPY csv syntax error: data after closing quote (…\"$c2)")
         case ',' => endField()
         case '\r' => // row terminator (PG treats \r as end-of-line); CRLF
           // consumes the following \n so the pair is one row end
@@ -671,7 +677,17 @@ final class PgServer(
           }
         }
         if (gs2End < 0) { authFail(); return }
+        // RFC 5802 §6: a client demanding channel binding ('p=<name>')
+        // against a server that advertised no -PLUS mechanism MUST be
+        // rejected (channel-binding-not-supported), not silently accepted
+        // (r19, advisor)
+        if (clientFirst.charAt(0) == 'p') { authFail(); return }
         val clientFirstBare = clientFirst.substring(gs2End + 1)
+        // client-final 'c=' must round-trip the gs2 header (cbind-input =
+        // gs2-header with no cbind data here) — a mismatch is a tampered
+        // or confused binding and fails authentication per the RFC
+        val expectedCbind = b64(
+          clientFirst.substring(0, gs2End + 1).getBytes(UTF_8))
         val cAttrs = attrs(clientFirstBare)
         val cNonce = cAttrs.getOrElse('r', { authFail(); return })
         val expected = users.getOrElse(user, { authFail(); return })
@@ -687,6 +703,7 @@ final class PgServer(
         val fAttrs = attrs(clientFinal)
         val proofB64 = fAttrs.getOrElse('p', { authFail(); return })
         if (!fAttrs.get('r').contains(sNonce)) { authFail(); return }
+        if (!fAttrs.get('c').contains(expectedCbind)) { authFail(); return }
         val withoutProof = clientFinal.substring(0,
           clientFinal.lastIndexOf(",p="))
         val authMsg = s"$clientFirstBare,$serverFirst,$withoutProof"

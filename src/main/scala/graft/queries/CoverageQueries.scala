@@ -1604,7 +1604,7 @@ object CoverageQueries {
       // the same rows. u2's X event (matches no condition) interrupts only
       // under 'strict_order'; u3's repeated B stops only 'strict_dedup';
       // u4's A/B tie at t=1 chains by condition order except under
-      // 'strict_increase'. Oracle = the hand-derived level table.
+      // 'strict_increase'.
       graft.engine.GraftSession(s).sql(
         """SELECT user_id,
              windowFunnel(10, tt, ev = 'A', ev = 'B', ev = 'C') AS dflt,
@@ -1618,9 +1618,148 @@ object CoverageQueries {
              ('u4', 1, 'A'), ('u4', 1, 'B'), ('u4', 2, 'C')
            AS t(user_id, tt, ev)
            GROUP BY user_id ORDER BY user_id""")
-    }, Some("""SELECT * FROM (VALUES ('u1', 3, 3, 3, 3), ('u2', 3, 1, 3, 3),
-        ('u3', 3, 3, 2, 3), ('u4', 3, 3, 3, 1))
-      AS t(user_id, dflt, so, sd, si) ORDER BY user_id""")),
+    },
+      // COMPUTED oracle (r19, r18 verdict: hand-derived VALUES truth tables
+      // are weaker than a replay). This is an independent DuckDB
+      // implementation of the single-chain strict-scan spec — one recursive
+      // CTE per mode folding the per-user event sequence through the
+      // documented state machine (reached-prefix h0..h2, chain-start/own
+      // timestamps for the window and strict_increase, freeze level on
+      // interruption). NOT list_reduce: DuckDB 1.0 misevaluates grouped
+      // list_reduce folds depending on batch composition (repro in
+      // SCALING.md r19 notes) — recursive CTEs take the reliable path.
+      Some("""WITH RECURSIVE raw AS (SELECT * FROM (VALUES
+     ('u1', 1, 'A'), ('u1', 2, 'B'), ('u1', 3, 'C'),
+     ('u2', 1, 'A'), ('u2', 2, 'X'), ('u2', 3, 'B'), ('u2', 4, 'C'),
+     ('u3', 1, 'A'), ('u3', 2, 'B'), ('u3', 3, 'B'), ('u3', 4, 'C'),
+     ('u4', 1, 'A'), ('u4', 1, 'B'), ('u4', 2, 'C')) t(user_id, tt, ev)),
+ev AS (SELECT user_id, CAST(tt AS BIGINT) AS tt,
+        CASE ev WHEN 'A' THEN 0 WHEN 'B' THEN 1 WHEN 'C' THEN 2 ELSE 3 END AS c,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tt,
+          CASE ev WHEN 'A' THEN 0 WHEN 'B' THEN 1 WHEN 'C' THEN 2 ELSE 3 END) AS seq
+      FROM raw),
+nv AS (SELECT user_id, COUNT(*) AS n_ev FROM ev GROUP BY user_id),
+scan_d AS (
+  SELECT user_id, 0 AS seq, false AS h0, false AS h1, false AS h2,
+         CAST(0 AS BIGINT) AS s0, CAST(0 AS BIGINT) AS s1,
+         CAST(0 AS BIGINT) AS l0, CAST(0 AS BIGINT) AS l1,
+         false AS fr, 0 AS fl
+  FROM nv
+  UNION ALL
+  SELECT user_id, seq,
+    CASE WHEN stop THEN h0 ELSE h0 OR c = 0 END,
+    CASE WHEN stop THEN h1 ELSE h1 OR adv1 END,
+    CASE WHEN stop THEN h2 ELSE h2 OR adv2 END,
+    CASE WHEN NOT stop AND c = 0 THEN tt ELSE s0 END,
+    CASE WHEN NOT stop AND adv1 THEN s0 ELSE s1 END,
+    CASE WHEN NOT stop AND c = 0 THEN tt ELSE l0 END,
+    CASE WHEN NOT stop AND adv1 THEN tt ELSE l1 END,
+    fr OR frz,
+    CASE WHEN frz THEN CAST(h0 AS INT) + CAST(h1 AS INT) + CAST(h2 AS INT) ELSE fl END
+  FROM (SELECT z.*, (done OR frz) AS stop FROM (
+    SELECT s.user_id, s.seq + 1 AS seq, e.tt, e.c,
+      s.h0, s.h1, s.h2, s.s0, s.s1, s.l0, s.l1, s.fr, s.fl,
+      (s.fr OR s.h2) AS done,
+      (NOT (s.fr OR s.h2)) AND (
+        (false AND e.c = 3 AND s.h0) OR (false AND e.c = 1 AND s.h1)
+        OR (false AND e.c = 2 AND s.h0 AND NOT s.h1)) AS frz,
+      (e.c = 1 AND s.h0 AND e.tt - s.s0 <= 10 AND (NOT false OR s.l0 < e.tt)) AS adv1,
+      (e.c = 2 AND s.h1 AND e.tt - s.s1 <= 10 AND (NOT false OR s.l1 < e.tt)) AS adv2
+    FROM scan_d s JOIN ev e ON e.user_id = s.user_id AND e.seq = s.seq + 1) z) z2),
+scan_so AS (
+  SELECT user_id, 0 AS seq, false AS h0, false AS h1, false AS h2,
+         CAST(0 AS BIGINT) AS s0, CAST(0 AS BIGINT) AS s1,
+         CAST(0 AS BIGINT) AS l0, CAST(0 AS BIGINT) AS l1,
+         false AS fr, 0 AS fl
+  FROM nv
+  UNION ALL
+  SELECT user_id, seq,
+    CASE WHEN stop THEN h0 ELSE h0 OR c = 0 END,
+    CASE WHEN stop THEN h1 ELSE h1 OR adv1 END,
+    CASE WHEN stop THEN h2 ELSE h2 OR adv2 END,
+    CASE WHEN NOT stop AND c = 0 THEN tt ELSE s0 END,
+    CASE WHEN NOT stop AND adv1 THEN s0 ELSE s1 END,
+    CASE WHEN NOT stop AND c = 0 THEN tt ELSE l0 END,
+    CASE WHEN NOT stop AND adv1 THEN tt ELSE l1 END,
+    fr OR frz,
+    CASE WHEN frz THEN CAST(h0 AS INT) + CAST(h1 AS INT) + CAST(h2 AS INT) ELSE fl END
+  FROM (SELECT z.*, (done OR frz) AS stop FROM (
+    SELECT s.user_id, s.seq + 1 AS seq, e.tt, e.c,
+      s.h0, s.h1, s.h2, s.s0, s.s1, s.l0, s.l1, s.fr, s.fl,
+      (s.fr OR s.h2) AS done,
+      (NOT (s.fr OR s.h2)) AND (
+        (true AND e.c = 3 AND s.h0) OR (false AND e.c = 1 AND s.h1)
+        OR (true AND e.c = 2 AND s.h0 AND NOT s.h1)) AS frz,
+      (e.c = 1 AND s.h0 AND e.tt - s.s0 <= 10 AND (NOT false OR s.l0 < e.tt)) AS adv1,
+      (e.c = 2 AND s.h1 AND e.tt - s.s1 <= 10 AND (NOT false OR s.l1 < e.tt)) AS adv2
+    FROM scan_so s JOIN ev e ON e.user_id = s.user_id AND e.seq = s.seq + 1) z) z2),
+scan_sd AS (
+  SELECT user_id, 0 AS seq, false AS h0, false AS h1, false AS h2,
+         CAST(0 AS BIGINT) AS s0, CAST(0 AS BIGINT) AS s1,
+         CAST(0 AS BIGINT) AS l0, CAST(0 AS BIGINT) AS l1,
+         false AS fr, 0 AS fl
+  FROM nv
+  UNION ALL
+  SELECT user_id, seq,
+    CASE WHEN stop THEN h0 ELSE h0 OR c = 0 END,
+    CASE WHEN stop THEN h1 ELSE h1 OR adv1 END,
+    CASE WHEN stop THEN h2 ELSE h2 OR adv2 END,
+    CASE WHEN NOT stop AND c = 0 THEN tt ELSE s0 END,
+    CASE WHEN NOT stop AND adv1 THEN s0 ELSE s1 END,
+    CASE WHEN NOT stop AND c = 0 THEN tt ELSE l0 END,
+    CASE WHEN NOT stop AND adv1 THEN tt ELSE l1 END,
+    fr OR frz,
+    CASE WHEN frz THEN CAST(h0 AS INT) + CAST(h1 AS INT) + CAST(h2 AS INT) ELSE fl END
+  FROM (SELECT z.*, (done OR frz) AS stop FROM (
+    SELECT s.user_id, s.seq + 1 AS seq, e.tt, e.c,
+      s.h0, s.h1, s.h2, s.s0, s.s1, s.l0, s.l1, s.fr, s.fl,
+      (s.fr OR s.h2) AS done,
+      (NOT (s.fr OR s.h2)) AND (
+        (false AND e.c = 3 AND s.h0) OR (true AND e.c = 1 AND s.h1)
+        OR (false AND e.c = 2 AND s.h0 AND NOT s.h1)) AS frz,
+      (e.c = 1 AND s.h0 AND e.tt - s.s0 <= 10 AND (NOT false OR s.l0 < e.tt)) AS adv1,
+      (e.c = 2 AND s.h1 AND e.tt - s.s1 <= 10 AND (NOT false OR s.l1 < e.tt)) AS adv2
+    FROM scan_sd s JOIN ev e ON e.user_id = s.user_id AND e.seq = s.seq + 1) z) z2),
+scan_si AS (
+  SELECT user_id, 0 AS seq, false AS h0, false AS h1, false AS h2,
+         CAST(0 AS BIGINT) AS s0, CAST(0 AS BIGINT) AS s1,
+         CAST(0 AS BIGINT) AS l0, CAST(0 AS BIGINT) AS l1,
+         false AS fr, 0 AS fl
+  FROM nv
+  UNION ALL
+  SELECT user_id, seq,
+    CASE WHEN stop THEN h0 ELSE h0 OR c = 0 END,
+    CASE WHEN stop THEN h1 ELSE h1 OR adv1 END,
+    CASE WHEN stop THEN h2 ELSE h2 OR adv2 END,
+    CASE WHEN NOT stop AND c = 0 THEN tt ELSE s0 END,
+    CASE WHEN NOT stop AND adv1 THEN s0 ELSE s1 END,
+    CASE WHEN NOT stop AND c = 0 THEN tt ELSE l0 END,
+    CASE WHEN NOT stop AND adv1 THEN tt ELSE l1 END,
+    fr OR frz,
+    CASE WHEN frz THEN CAST(h0 AS INT) + CAST(h1 AS INT) + CAST(h2 AS INT) ELSE fl END
+  FROM (SELECT z.*, (done OR frz) AS stop FROM (
+    SELECT s.user_id, s.seq + 1 AS seq, e.tt, e.c,
+      s.h0, s.h1, s.h2, s.s0, s.s1, s.l0, s.l1, s.fr, s.fl,
+      (s.fr OR s.h2) AS done,
+      (NOT (s.fr OR s.h2)) AND (
+        (false AND e.c = 3 AND s.h0) OR (false AND e.c = 1 AND s.h1)
+        OR (false AND e.c = 2 AND s.h0 AND NOT s.h1)) AS frz,
+      (e.c = 1 AND s.h0 AND e.tt - s.s0 <= 10 AND (NOT true OR s.l0 < e.tt)) AS adv1,
+      (e.c = 2 AND s.h1 AND e.tt - s.s1 <= 10 AND (NOT true OR s.l1 < e.tt)) AS adv2
+    FROM scan_si s JOIN ev e ON e.user_id = s.user_id AND e.seq = s.seq + 1) z) z2),
+fd AS (SELECT s.user_id, CASE WHEN s.fr THEN s.fl
+    ELSE CAST(s.h0 AS INT) + CAST(s.h1 AS INT) + CAST(s.h2 AS INT) END AS dflt
+  FROM scan_d s JOIN nv ON s.user_id = nv.user_id AND s.seq = nv.n_ev), fso AS (SELECT s.user_id, CASE WHEN s.fr THEN s.fl
+    ELSE CAST(s.h0 AS INT) + CAST(s.h1 AS INT) + CAST(s.h2 AS INT) END AS so
+  FROM scan_so s JOIN nv ON s.user_id = nv.user_id AND s.seq = nv.n_ev),
+fsd AS (SELECT s.user_id, CASE WHEN s.fr THEN s.fl
+    ELSE CAST(s.h0 AS INT) + CAST(s.h1 AS INT) + CAST(s.h2 AS INT) END AS sd
+  FROM scan_sd s JOIN nv ON s.user_id = nv.user_id AND s.seq = nv.n_ev), fsi AS (SELECT s.user_id, CASE WHEN s.fr THEN s.fl
+    ELSE CAST(s.h0 AS INT) + CAST(s.h1 AS INT) + CAST(s.h2 AS INT) END AS si
+  FROM scan_si s JOIN nv ON s.user_id = nv.user_id AND s.seq = nv.n_ev)
+SELECT user_id, dflt, so, sd, si
+FROM fd JOIN fso USING (user_id) JOIN fsd USING (user_id) JOIN fsi USING (user_id)
+ORDER BY user_id""")),
 
     QueryDef("q219_any_right", (s, dir) => {
       // ANY RIGHT JOIN (r18): every customer row, matched with at most one
@@ -1680,7 +1819,6 @@ object CoverageQueries {
       // bounds the delta between ADJACENT matched events (ClickHouse
       // pattern language). u3 proves the candidate re-scan: its B@4 fails
       // (?t>5) but B@20 satisfies it; u5 proves non-overlapping counting.
-      // Oracle = the hand-derived truth table.
       // u6 (r18 review fix) forces BACKTRACKING: the greedy step-2 pick
       // B@1 kills step 3's bound (C@15: delta 14 > 10) while B@8 -> C@15
       // (delta 7) satisfies it — m3 = 1 only if the search revisits
@@ -1700,10 +1838,55 @@ object CoverageQueries {
              ('u6', 0, 'A'), ('u6', 1, 'B'), ('u6', 8, 'B'), ('u6', 15, 'C')
            AS t(user_id, tt, ev)
            GROUP BY user_id ORDER BY user_id""")
-    }, Some("""SELECT * FROM (VALUES ('u1', 1, 0, 1, 0), ('u2', 0, 1, 0, 0),
-        ('u3', 1, 1, 1, 0), ('u4', 0, 0, 0, 0), ('u5', 1, 1, 2, 0),
-        ('u6', 1, 1, 1, 1))
-      AS t(user_id, le5, gt5, cnt, m3) ORDER BY user_id""")),
+    },
+      // COMPUTED oracle (r19): sequenceMatch existence is literally the
+      // exists-a-witness-subsequence semantics, so le5/gt5/m3 replay as
+      // joins with the adjacent-delta bounds; sequenceCount's greedy
+      // non-overlapping scan folds through a recursive CTE (arm on cond1,
+      // fire on a bounded cond2, reset). Independent of the engine's DFS.
+      Some("""WITH RECURSIVE raw AS (SELECT * FROM (VALUES
+     ('u1', 1, 'A'), ('u1', 3, 'B'),
+     ('u2', 1, 'A'), ('u2', 10, 'B'),
+     ('u3', 1, 'A'), ('u3', 4, 'B'), ('u3', 20, 'B'),
+     ('u4', 1, 'B'), ('u4', 2, 'A'),
+     ('u5', 1, 'A'), ('u5', 2, 'B'), ('u5', 10, 'A'), ('u5', 11, 'B'),
+     ('u6', 0, 'A'), ('u6', 1, 'B'), ('u6', 8, 'B'), ('u6', 15, 'C')) t(user_id, tt, ev)),
+u AS (SELECT DISTINCT user_id FROM raw),
+ea AS (SELECT user_id, CAST(tt AS BIGINT) AS tt FROM raw WHERE ev = 'A'),
+eb AS (SELECT user_id, CAST(tt AS BIGINT) AS tt FROM raw WHERE ev = 'B'),
+ec AS (SELECT user_id, CAST(tt AS BIGINT) AS tt FROM raw WHERE ev = 'C'),
+le5 AS (SELECT DISTINCT ea.user_id FROM ea JOIN eb ON ea.user_id = eb.user_id
+        AND eb.tt >= ea.tt AND eb.tt - ea.tt <= 5),
+gt5 AS (SELECT DISTINCT ea.user_id FROM ea JOIN eb ON ea.user_id = eb.user_id
+        AND eb.tt >= ea.tt AND eb.tt - ea.tt > 5),
+m3 AS (SELECT DISTINCT ea.user_id FROM ea
+       JOIN eb ON ea.user_id = eb.user_id AND eb.tt >= ea.tt AND eb.tt - ea.tt <= 10
+       JOIN ec ON ec.user_id = eb.user_id AND ec.tt >= eb.tt AND ec.tt - eb.tt <= 10),
+ev2 AS (SELECT user_id, CAST(tt AS BIGINT) AS tt,
+        CASE ev WHEN 'A' THEN 0 WHEN 'B' THEN 1 ELSE 3 END AS c,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tt,
+          CASE ev WHEN 'A' THEN 0 WHEN 'B' THEN 1 ELSE 3 END) AS seq
+      FROM raw),
+nv AS (SELECT user_id, COUNT(*) AS n_ev FROM ev2 GROUP BY user_id),
+scan AS (
+  SELECT user_id, 0 AS seq, CAST(-1 AS BIGINT) AS p, 0 AS n FROM nv
+  UNION ALL
+  SELECT s.user_id, s.seq + 1,
+    CASE WHEN e.c = 0 AND s.p < 0 THEN e.tt
+         WHEN e.c = 1 AND s.p >= 0 AND e.tt - s.p <= 5 THEN CAST(-1 AS BIGINT)
+         ELSE s.p END,
+    CASE WHEN e.c = 1 AND s.p >= 0 AND e.tt - s.p <= 5 THEN s.n + 1 ELSE s.n END
+  FROM scan s JOIN ev2 e ON e.user_id = s.user_id AND e.seq = s.seq + 1),
+cnt AS (SELECT s.user_id, s.n AS cnt FROM scan s
+        JOIN nv ON s.user_id = nv.user_id AND s.seq = nv.n_ev)
+SELECT u.user_id,
+  CAST(le5.user_id IS NOT NULL AS INT) AS le5,
+  CAST(gt5.user_id IS NOT NULL AS INT) AS gt5,
+  cnt.cnt AS cnt,
+  CAST(m3.user_id IS NOT NULL AS INT) AS m3
+FROM u LEFT JOIN le5 USING (user_id) LEFT JOIN gt5 USING (user_id)
+  LEFT JOIN cnt USING (user_id) LEFT JOIN m3 USING (user_id)
+ORDER BY u.user_id""")),
 
     QueryDef("q223_asof_using", (s, dir) => {
       // ASOF JOIN USING (r18, the ClickHouse shorthand): the trailing USING
@@ -1737,6 +1920,79 @@ object CoverageQueries {
       graft.engine.GraftSession(s).sql(
         """SELECT COLUMNS('key') APPLY(x -> x + 1) APPLY(max) FROM nation""")
     }, Some("""SELECT MAX(n_nationkey + 1) AS "max(n_nationkey + 1)",
-        MAX(n_regionkey + 1) AS "max(n_regionkey + 1)" FROM nation"""))
+        MAX(n_regionkey + 1) AS "max(n_regionkey + 1)" FROM nation""")),
+
+    QueryDef("q225_any_full", (s, dir) => {
+      // ANY FULL JOIN (r19, closes the r18 refusal): BOTH sides deduped in
+      // place to one row per join key (the deterministic lexicographic-min
+      // contract), then a plain FULL JOIN. Left side carries real
+      // duplicates (2 lineitems per order) and a % 3 filter so unmatched
+      // rows exist in BOTH directions; subquery sides prove the r19 lift.
+      v(s, dir, "lineitem"); v(s, dir, "orders")
+      graft.engine.GraftSession(s).sql(
+        """SELECT l.l_orderkey, l.l_quantity, o.o_orderkey, o.o_orderstatus
+           FROM (SELECT l_orderkey, l_quantity FROM lineitem
+             WHERE l_linenumber <= 2 AND l_orderkey % 3 <> 0) l
+           ANY FULL JOIN (SELECT o_orderkey, o_orderstatus FROM orders
+             WHERE o_orderkey % 2 = 0) o
+           ON l.l_orderkey = o.o_orderkey""")
+    }, Some("""WITH l0 AS (SELECT l_orderkey, l_quantity FROM lineitem
+        WHERE l_linenumber <= 2 AND l_orderkey % 3 <> 0),
+      l AS (SELECT l_orderkey, l_quantity FROM (SELECT l0.*, ROW_NUMBER()
+          OVER (PARTITION BY l_orderkey ORDER BY l_quantity ASC NULLS FIRST)
+          AS rn FROM l0) WHERE rn = 1),
+      o AS (SELECT o_orderkey, o_orderstatus FROM orders
+        WHERE o_orderkey % 2 = 0)
+      SELECT l.l_orderkey, l.l_quantity, o.o_orderkey, o.o_orderstatus
+      FROM l FULL JOIN o ON l.l_orderkey = o.o_orderkey""")),
+
+    QueryDef("q226_any_right_subq", (s, dir) => {
+      // ANY RIGHT JOIN with subquery sides (r19, closes the r18 named-
+      // relations-only refusal): both sides are lifted into temp views by
+      // the generalized ASOF lifting, then the r18 dedup-left + RIGHT JOIN
+      // rewrite applies. MIN(o_orderkey) is the deterministic pick
+      // (o_orderkey leads the projected non-key order and is unique).
+      v(s, dir, "orders"); v(s, dir, "customer")
+      graft.engine.GraftSession(s).sql(
+        """SELECT o.o_custkey, o.o_orderkey, c.c_custkey, c.c_name
+           FROM (SELECT o_custkey, o_orderkey FROM orders) o
+           ANY RIGHT JOIN (SELECT c_custkey, c_name FROM customer
+             WHERE c_custkey % 5 = 0) c
+           ON o.o_custkey = c.c_custkey""")
+    }, Some("""SELECT o.o_custkey, o.o_orderkey, c.c_custkey, c.c_name
+      FROM (SELECT o_custkey, MIN(o_orderkey) AS o_orderkey FROM orders
+        GROUP BY o_custkey) o
+      RIGHT JOIN (SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey % 5 = 0) c
+      ON o.o_custkey = c.c_custkey""")),
+
+    QueryDef("q227_sample_offset", (s, dir) => {
+      // SAMPLE k OFFSET m (r19, closes the refusal): deterministic disjoint
+      // slices via the md5-bucket device (hashSplit's contract) keyed on
+      // the table's first column. Three 3/10 slices at offsets 0, 3/10,
+      // 6/10 — exact counts and sums per slice, replayed bucket-for-bucket
+      // by the oracle (no TABLESAMPLE seed divergence).
+      v(s, dir, "orders")
+      graft.engine.GraftSession(s).sql(
+        """SELECT 's1' AS slice, COUNT(*) AS n,
+             CAST(SUM(o_orderkey) AS BIGINT) AS id_sum
+           FROM orders SAMPLE 3/10 OFFSET 0
+           UNION ALL SELECT 's2', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+           FROM orders SAMPLE 3/10 OFFSET 3/10
+           UNION ALL SELECT 's3', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+           FROM orders SAMPLE 3/10 OFFSET 6/10
+           ORDER BY slice""")
+    }, Some("""WITH b AS (SELECT o_orderkey,
+        CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+          AS BIGINT) % 10000 AS bk
+        FROM orders)
+      SELECT 's1' AS slice, COUNT(*) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS id_sum
+      FROM b WHERE bk >= 0 AND bk < 3000
+      UNION ALL SELECT 's2', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+      FROM b WHERE bk >= 3000 AND bk < 6000
+      UNION ALL SELECT 's3', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+      FROM b WHERE bk >= 6000 AND bk < 9000
+      ORDER BY slice"""))
   )
 }

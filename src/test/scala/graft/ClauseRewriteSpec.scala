@@ -208,6 +208,36 @@ class ClauseRewriteSpec extends SparkTestBase {
     assert(g.sql("SELECT n FROM cr_big2 SAMPLE 100").count() == 100L)
   }
 
+  test("SAMPLE k OFFSET m: deterministic disjoint md5-bucket slices (r19)") {
+    spark.range(10000).toDF("n").createOrReplaceTempView("cr_so")
+    val parts = Seq("0", "1/4", "2/4", "3/4")
+      .map(off => g.sql(s"SELECT n FROM cr_so SAMPLE 1/4 OFFSET $off")
+        .collect().map(_.getLong(0)).toSet)
+    // slices partition the table: disjoint, union = everything
+    parts.combinations(2).foreach { case Seq(a, b) =>
+      assert((a & b).isEmpty, "slices overlap")
+    }
+    assert(parts.map(_.size).sum == 10000)
+    // deterministic: the same slice twice is byte-identical
+    assert(g.sql("SELECT n FROM cr_so SAMPLE 1/4 OFFSET 1/4")
+      .collect().map(_.getLong(0)).toSet == parts(1))
+    // fractions close to a quarter of the keyspace (md5 is uniform)
+    parts.foreach(p => assert(p.size > 2000 && p.size < 3000, p.size))
+    // the row-count form with OFFSET has no deterministic meaning
+    val e = intercept[UnsupportedOperationException] {
+      g.sql("SELECT n FROM cr_so SAMPLE 100 OFFSET 1/2")
+    }
+    assert(e.getMessage.contains("OFFSET"))
+    // alias survives the subquery wrap
+    assert(g.sql(
+      "SELECT t.n FROM cr_so t SAMPLE 1/2 OFFSET 0 WHERE t.n >= 0").count() ==
+      g.sql("SELECT n FROM cr_so SAMPLE 1/2 OFFSET 0").count())
+    // `SAMPLE a/b` without OFFSET takes the TABLESAMPLE path (r19 fraction
+    // spelling)
+    val frac = g.sql("SELECT n FROM cr_so SAMPLE 1/10").count()
+    assert(frac > 400 && frac < 2500, s"SAMPLE 1/10 of 10000 returned $frac")
+  }
+
   test("SAMPLE after an alias lands before the alias for Spark's grammar") {
     spark.range(1000).toDF("n").createOrReplaceTempView("cr_big3")
     val n = g.sql("SELECT t.n FROM cr_big3 t SAMPLE 0.5 WHERE t.n >= 0").count()

@@ -49,6 +49,18 @@ class CsvCodecSpec extends AnyFunSuite {
     assert(PgWire.csvParse("\"\\.\"\nafter\n") == Seq(Seq("\\."), Seq("after")))
   }
 
+  test("data after a closing quote is a COPY syntax error, not glued (r19)") {
+    // PG raises `syntax error` on `"ab"c`; silently parsing it as `abc`
+    // ingested mangled values (advisor r18)
+    val e = intercept[IllegalArgumentException] {
+      PgWire.csvParse("\"ab\"c,d\n")
+    }
+    assert(e.getMessage.contains("closing quote"))
+    // a delimiter or EOL directly after the quote stays legal
+    assert(PgWire.csvParse("\"ab\",c\n") == Seq(Seq("ab", "c")))
+    assert(PgWire.csvParse("\"ab\"\n\"cd\"\r\n") == Seq(Seq("ab"), Seq("cd")))
+  }
+
   test("quoted fields carry delimiters, quotes, and newlines") {
     assert(PgWire.csvParse("\"a,b\",\"q\"\"q\",\"l1\nl2\"\n") ==
       Seq(Seq("a,b", "q\"q", "l1\nl2")))

@@ -114,12 +114,19 @@ class DialectWave2Spec extends SparkTestBase {
     assert(star.columns.toSeq == Seq("k", "tag", "v", "k", "lab"))
   }
 
-  test("ANY FULL JOIN is refused loudly") {
+  test("ANY FULL JOIN dedups BOTH sides, keeps unmatched both ways (r19)") {
     views()
-    val e = intercept[UnsupportedOperationException] {
-      g.sql("SELECT 1 FROM w2_left l ANY FULL JOIN w2_dup d ON l.k = d.k")
-    }
-    assert(e.getMessage.contains("ANY FULL JOIN"))
+    // left (subquery — proves the r19 lift) keys {2,3}; right keys {1,1,2}:
+    // k=2 matches, k=3 is left-only, k=1 is right-only deduped to the
+    // lexicographically smallest non-key row → tag 'a'
+    val rows = g.sql(
+      """SELECT l.k, l.lab, d.k AS dk, d.tag
+         FROM (SELECT k, lab FROM w2_left WHERE k >= 2) l
+         ANY FULL JOIN w2_dup d ON l.k = d.k""").collect()
+    def n(r: org.apache.spark.sql.Row, i: Int): Any =
+      if (r.isNullAt(i)) null else r.get(i)
+    assert(rows.map(r => (n(r, 0), n(r, 1), n(r, 2), n(r, 3))).toSet ==
+      Set((2, "L2", 2, "b"), (3, "L3", null, null), (null, null, 1, "a")))
   }
 
   // ---- ASOF JOIN on the SQL surface ----
@@ -245,13 +252,14 @@ class DialectWave2Spec extends SparkTestBase {
     assert(e.getMessage.contains("equality"))
   }
 
-  test("ANY JOIN: subquery right side is refused loudly, not silently joined") {
+  test("ANY JOIN: subquery right side is lifted into a view and dedups (r19)") {
     views()
-    val e = intercept[UnsupportedOperationException] {
-      g.sql("""SELECT l.k FROM w2_left l ANY LEFT JOIN
-               (SELECT k, tag FROM w2_dup) d ON l.k = d.k""")
-    }
-    assert(e.getMessage.contains("named temp views"))
+    val rows = g.sql(
+      """SELECT l.k, d.tag FROM w2_left l ANY LEFT JOIN
+         (SELECT k, tag FROM w2_dup) d ON l.k = d.k ORDER BY l.k""").collect()
+    assert(rows.map(r => (r.getInt(0),
+      if (r.isNullAt(1)) null else r.getString(1))).toSeq ==
+      Seq((1, "a"), (2, "b"), (3, null)))
   }
 
   test("WITH TOTALS binds to the outer GROUP BY past a subquery's inner one") {

@@ -7,8 +7,9 @@ import graft.functions.agg.{EventListBuffer, SequenceMatchAgg, WindowFunnel}
 
 /** Property tests for windowFunnel's strictness modes (r18) — the eval is a
   * pure function of the event buffer, so it is driven directly (no Spark
-  * session). The q218 oracle pins the hand-derived truth table; these lock
-  * the MODE INVARIANTS over seeded random event streams:
+  * session). The q218 oracle replays the single-chain spec in DuckDB
+  * (recursive-CTE fold, r19); these lock the MODE INVARIANTS over seeded
+  * random event streams:
   *   - strictness only removes matches (level never above the default);
   *   - a mode is the identity exactly when its trigger is absent
   *     (no repeats → strict_dedup; strictly increasing unique ts →
@@ -110,6 +111,52 @@ class FunnelSpec extends AnyFunSuite {
     val evs = Seq((1L, 1), (2L, 2), (200L, 4)) // step 3 outside window=100
     (Seq(Set.empty[String]) ++ allModes).foreach { m =>
       assert(level(evs, m) == 2, s"mode $m counted an out-of-window step")
+    }
+  }
+
+  /** Independent reference fold of the single-chain strict scan — the same
+    * state machine the r19 computed q218 oracle replays in DuckDB SQL
+    * (reached-prefix h, chain-start/own timestamps, freeze on
+    * interruption). Differential-tested against evalStrict below so the
+    * oracle's spec and the engine can't drift apart silently. Single-cond
+    * masks only (randomStream generates one-hot masks).
+    */
+  private def refLevel(events: Seq[(Long, Int)], so: Boolean, sd: Boolean,
+      si: Boolean, window: Long = 100L): Int = {
+    val sorted = events.sortBy(e => (e._1, e._2))
+    val h = Array.fill(N)(false)
+    val st = Array.fill(N)(0L)
+    val lt = Array.fill(N)(0L)
+    def lvl: Int = h.takeWhile(identity).length
+    sorted.foreach { case (ts, mask) =>
+      val c = if (mask == 0) -1 else Integer.numberOfTrailingZeros(mask)
+      if (c == -1) { if (so && h(0)) return lvl }
+      else if (c == 0) { st(0) = ts; lt(0) = ts; h(0) = true }
+      else if (sd && h(c)) return lvl
+      else if (so && h(0) && !h(c - 1)) return lvl
+      else if (h(c - 1) && ts - st(c - 1) <= window && (!si || lt(c - 1) < ts)) {
+        st(c) = st(c - 1); lt(c) = ts; h(c) = true
+        if (c == N - 1) return N
+      }
+    }
+    lvl
+  }
+
+  test("strict single-chain scan matches the independent reference fold") {
+    val rng = new scala.util.Random(19L)
+    val modeFlags = Seq(
+      Set("strict_order") -> ((true, false, false)),
+      Set("strict_dedup") -> ((false, true, false)),
+      Set("strict_increase") -> ((false, false, true)),
+      Set("strict_order", "strict_increase") -> ((true, false, true)),
+      Set("strict_dedup", "strict_increase") -> ((false, true, true)))
+    (1 to 500).foreach { _ =>
+      val evs = randomStream(rng, 1 + rng.nextInt(14))
+      modeFlags.foreach { case (modes, (so, sd, si)) =>
+        val fed = if (so) evs else evs.filter(_._2 != 0)
+        assert(level(evs, modes) == refLevel(fed, so, sd, si),
+          s"divergence from reference fold on $evs modes=$modes")
+      }
     }
   }
 

@@ -173,6 +173,86 @@ class PgWireSpec extends SparkTestBase {
     } finally server.stop()
   }
 
+  test("pg: SCRAM rejects a channel-binding demand and a tampered c= (r19)") {
+    // RFC 5802: a client-first gs2 header with 'p=<cb-name>' against a
+    // server that offered no -PLUS mechanism MUST fail; and the
+    // client-final 'c=' must round-trip the gs2 header — a valid proof
+    // computed OVER a wrong c= would otherwise authenticate (the proof
+    // covers the client's own spelling, so only this check catches it).
+    // Independent mini SCRAM client (javax.crypto), raw v3 framing.
+    import spark.implicits._
+    Seq((1L, "x")).toDF("k", "v").createOrReplaceTempView("pg_scram_cb_t")
+    val server = new PgServer(GraftSession(spark),
+      users = Map("u" -> "pw"), authMethod = "scram-sha-256").start()
+    def hmac(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+      val m = javax.crypto.Mac.getInstance("HmacSHA256")
+      m.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+      m.doFinal(data)
+    }
+    def sha(b: Array[Byte]): Array[Byte] =
+      java.security.MessageDigest.getInstance("SHA-256").digest(b)
+    def b64(b: Array[Byte]): String = java.util.Base64.getEncoder.encodeToString(b)
+    def exchange(gs2: String, cOverride: Option[String]): Boolean = {
+      val sock = new java.net.Socket("127.0.0.1", server.boundPort)
+      try {
+        val in = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(sock.getInputStream))
+        val out = new java.io.DataOutputStream(
+          new java.io.BufferedOutputStream(sock.getOutputStream))
+        def cstr(s: String): Array[Byte] = s.getBytes("UTF-8") :+ 0.toByte
+        def send(t: Char, body: Array[Byte]): Unit = {
+          out.writeByte(t); out.writeInt(body.length + 4); out.write(body); out.flush()
+        }
+        def recv(): (Char, Array[Byte]) = {
+          val t = in.read(); assert(t >= 0, "server closed early")
+          val len = in.readInt(); val b = new Array[Byte](len - 4)
+          in.readFully(b); (t.toChar, b)
+        }
+        val su = new java.io.ByteArrayOutputStream()
+        val sd = new java.io.DataOutputStream(su)
+        sd.writeInt(196608); sd.write(cstr("user")); sd.write(cstr("u")); sd.writeByte(0)
+        out.writeInt(su.size + 4); su.writeTo(out); out.flush()
+        assert(recv()._1 == 'R') // AuthenticationSASL
+        val cnonce = "clientnonce123"
+        val bare = s"n=,r=$cnonce"
+        val first = (gs2 + bare).getBytes("UTF-8")
+        val init = new java.io.ByteArrayOutputStream()
+        val id = new java.io.DataOutputStream(init)
+        id.write(cstr("SCRAM-SHA-256")); id.writeInt(first.length); id.write(first)
+        send('p', init.toByteArray)
+        val (t1, b1) = recv()
+        if (t1 == 'E') return false // rejected at client-first
+        val serverFirst = new String(b1.drop(4), "UTF-8") // skip int32 11
+        val at = serverFirst.split(",").map(a => a(0) -> a.drop(2)).toMap
+        val snonce = at('r'); val salt = java.util.Base64.getDecoder.decode(at('s'))
+        val iters = at('i').toInt
+        // Hi() = PBKDF2-HMAC-SHA256
+        val u1 = hmac("pw".getBytes("UTF-8"), salt ++ Array[Byte](0, 0, 0, 1))
+        var ui = u1; val salted = u1.clone()
+        (2 to iters).foreach { _ =>
+          ui = hmac("pw".getBytes("UTF-8"), ui)
+          salted.indices.foreach(i => salted(i) = (salted(i) ^ ui(i)).toByte)
+        }
+        val cVal = cOverride.getOrElse(b64(gs2.getBytes("UTF-8")))
+        val withoutProof = s"c=$cVal,r=$snonce"
+        val authMsg = s"$bare,$serverFirst,$withoutProof".getBytes("UTF-8")
+        val clientKey = hmac(salted, "Client Key".getBytes("UTF-8"))
+        val clientSig = hmac(sha(clientKey), authMsg)
+        val proof = clientKey.clone()
+        proof.indices.foreach(i => proof(i) = (proof(i) ^ clientSig(i)).toByte)
+        send('p', s"$withoutProof,p=${b64(proof)}".getBytes("UTF-8"))
+        recv()._1 == 'R'
+      } finally sock.close()
+    }
+    try {
+      assert(exchange("n,,", None), "control exchange must authenticate")
+      assert(!exchange("p=tls-server-end-point,,", None),
+        "cbind demand against a no-PLUS server must be rejected")
+      assert(!exchange("n,,", Some(b64("y,,".getBytes("UTF-8")))),
+        "a valid proof over a tampered c= must be rejected")
+    } finally server.stop()
+  }
+
   test("pg: wrong password fails with the server's 28P01 error") {
     Seq((1L, "x")).toDF("k", "v").createOrReplaceTempView("pg_auth_t")
     withServer() { server =>
