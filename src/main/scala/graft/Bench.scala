@@ -156,8 +156,16 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // run counts are tunable for the LARGE scale points (r19): at sf10 a
+    // query runs seconds-to-minutes and is data-dominated — the ms-scale
+    // JIT-depth rationale below doesn't apply, and 6 full executions of a
+    // 100-second query buys nothing. Defaults keep the r8-calibrated
+    // protocol (3 warm + 3 measured) for sf0.1/sf1.
+    val nWarm = sys.env.getOrElse("SPARK_GRAFT_WARMUPS", "3").toInt
+    val nMeasured = math.max(1, sys.env.getOrElse("SPARK_GRAFT_MEASURED", "3").toInt)
     val results = headline.map { q =>
-      once(q); once(q); once(q) // warm-ups: codegen cache + C2 JIT. THREE,
+      (1 to nWarm).foreach(_ => once(q))
+      // warm-ups: codegen cache + C2 JIT. THREE,
       // not two (r8): an isolated q103 probe kept improving through run ~6
       // (1.27 → 1.05 → 0.96 → 0.83 → 0.72 s at 32 cpus) — the regex-heavy
       // generated code tiers up slowly, and r7's 0.46 ↔ 0.99 s "swing" was
@@ -169,7 +177,7 @@ object Bench {
       // transient machine load (r6's committed bench had seven queries 3-7x
       // over their quiet-machine times from one CPU spike). The minimum is
       // the standard load-insensitive estimator for a deterministic workload.
-      val first = Seq(once(q), once(q))
+      val first = Seq.fill(nMeasured - 1)(once(q))
       org.apache.spark.sql.graftbridge.PlanBridge.waitForListenerBus(spark)
       peakAcc.set(0)
       val last = once(q)

@@ -761,6 +761,14 @@ private[engine] trait DialectWave2 { self: GraftSession =>
     * previous output row". Same identifier discipline as [[exprColumnRefs]].
     */
   private def rewriteExprRefs(expr: String, cols: Set[String], lagW: String): String =
+    rewriteExprRefsTo(expr, cols, u => s"lag(`$u`) $lagW")
+
+  /** Generalized form (r19): each reference to a column in `cols` is
+    * replaced by `f(name)` — the lag-window device above and the chain
+    * fold's `acc.`col`` both ride this.
+    */
+  private def rewriteExprRefsTo(expr: String, cols: Set[String],
+      f: String => String): String =
     identRe.replaceAllIn(expr, m => {
       val isRef = !inLiteralAt(expr, m.start) &&
         (m.start == 0 || expr.charAt(m.start - 1) != '.') && {
@@ -770,7 +778,7 @@ private[engine] trait DialectWave2 { self: GraftSession =>
         }
       val u = unquoteIdent(m.matched)
       if (isRef && cols(u.toLowerCase(Locale.ROOT)))
-        qr(s"lag(`$u`) $lagW") else qr(m.matched)
+        qr(f(u)) else qr(m.matched)
     })
 
   // ---- scalar WITH (ClickHouse CTE extension) -------------------------------
@@ -1055,11 +1063,11 @@ private[engine] trait DialectWave2 { self: GraftSession =>
         // forward; `col AS expr` (r17) computes expr over the PREVIOUS
         // OUTPUT row when inserting each gap row — ClickHouse's semantics —
         // expressed as lag() over the fill order after every referenced
-        // column's output value is materialized in the tagged union. That
-        // window form exists only when expr references NO interpolated
-        // column (incl. itself): a self-referential chain recurs on its own
-        // previous OUTPUT, which no fixed-depth window can express — still
-        // refused loudly. () = every non-fill column carried forward.
+        // column's output value is materialized in the tagged union. A
+        // SELF-REFERENTIAL chain (expr referencing interpolated columns,
+        // r19) instead folds the expression k times from the gap run's
+        // anchor row via the aggregate() HOF — see the chain block below.
+        // () = every non-fill column carried forward.
         val asItemRe = "(?is)^\\s*([A-Za-z_]\\w*|`[^`]+`)\\s+AS\\s+(.+?)\\s*$".r
         val interpItems: Seq[(String, Option[String])] = Option(m.group(12)) match {
           case None => Seq.empty
@@ -1092,19 +1100,56 @@ private[engine] trait DialectWave2 { self: GraftSession =>
         val interpExpr: Map[String, String] =
           interpItems.collect { case (n, Some(e)) => n -> e }.toMap
         val interpLower = interp.map(_.toLowerCase(Locale.ROOT))
+        // Self-referential chains (r19, closes the last wave-2 refusal):
+        // `INTERPOLATE (pos AS pos + 1)` recurs on its own previous OUTPUT
+        // — no fixed-depth window expresses it, but the k-th gap row after
+        // a source row is exactly the k-fold iteration of the expression
+        // from that source row's state, so an `aggregate(sequence(1, k),
+        // anchorState, step)` HOF computes it row-locally. Supported when
+        // every column the chain references is itself interpolated (the
+        // state struct then evolves deterministically: chained targets
+        // step through their expressions, carried columns stay at their
+        // carried value). A chain referencing a PLAIN result column (whose
+        // previous-output value is a per-step type default) or a
+        // non-chained expression column keeps the loud refusal — those
+        // recur on state the fold cannot track. Cost note: each gap row
+        // folds O(k) steps (k = its offset in the gap run), so a run of
+        // length L costs O(L^2) expression evaluations — fine for the
+        // short gap runs WITH FILL exists for, documented here because
+        // ClickHouse streams it in O(L).
         interpExpr.foreach { case (n, e) =>
           val refs = exprColumnRefs(e)
-          val bad = refs.filter(interpLower)
-          if (bad.nonEmpty) throw new UnsupportedOperationException(
-            s"INTERPOLATE ($n AS expr): the expression references " +
-              s"interpolated column(s) ${bad.mkString(", ")} — chains that " +
-              "recur on the previous OUTPUT row are not supported; " +
-              "reference only non-interpolated result columns")
           val unknown = refs.filterNot(r =>
             schema.fieldNames.exists(_.equalsIgnoreCase(r)))
           if (unknown.nonEmpty) throw new IllegalArgumentException(
             s"INTERPOLATE ($n AS expr): unknown column(s) " +
               unknown.mkString(", "))
+          val bad = refs.filter(interpLower)
+          if (bad.nonEmpty) {
+            val outside = refs.filterNot(interpLower)
+            if (outside.nonEmpty) throw new UnsupportedOperationException(
+              s"INTERPOLATE ($n AS expr): a self-referential chain may " +
+                s"reference only interpolated columns (it references " +
+                s"${outside.mkString(", ")} too) — the previous-output " +
+                "value of a plain column on a gap row is a type default " +
+                "the chain state cannot track")
+          }
+        }
+        // chained = expr references at least one interpolated column
+        val chainedCols: Map[String, String] = interpExpr.filter { case (_, e) =>
+          exprColumnRefs(e).exists(interpLower) }
+        // every interpolated column a chain references must be chained or a
+        // plain carry — a NON-chained expression column's gap values vary
+        // with lag state the fold cannot carry
+        chainedCols.foreach { case (n, e) =>
+          val mixed = exprColumnRefs(e).filter(r =>
+            interpExpr.keys.exists(_.equalsIgnoreCase(r)) &&
+              !chainedCols.keys.exists(_.equalsIgnoreCase(r)))
+          if (mixed.nonEmpty) throw new UnsupportedOperationException(
+            s"INTERPOLATE ($n AS expr): the chain references non-chained " +
+              s"expression column(s) ${mixed.mkString(", ")} — their gap " +
+              "values derive from the previous plain row, which the chain " +
+              "state cannot track")
         }
         val proj = schema.fields.map { fd =>
           if (fd.name.equalsIgnoreCase(f.name))
@@ -1183,8 +1228,67 @@ private[engine] trait DialectWave2 { self: GraftSession =>
           val w = s"OVER (${part}ORDER BY `${f.name}` $ordDir " +
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
           val lagW = s"OVER (${part}ORDER BY `${f.name}` $ordDir)"
+          // chain state machinery (r19): the fold needs, per row, the
+          // nearest source row's values of every state column (the chain's
+          // anchor) and the row's offset k inside its gap run — both are
+          // ordinary windows over the tagged union, so the chain stays as
+          // distributed as the fill itself (grouped fills partition all of
+          // it by the prefix).
+          val chainedLower = chainedCols.keySet.map(_.toLowerCase(Locale.ROOT))
+          val stateCols: Seq[String] = {
+            val refd = chainedCols.values.flatMap(exprColumnRefs).toSet
+            schema.fieldNames.toSeq.filter(n =>
+              chainedLower(n.toLowerCase(Locale.ROOT)) ||
+                (interpLower(n.toLowerCase(Locale.ROOT)) &&
+                  refd(n.toLowerCase(Locale.ROOT))))
+          }
+          def stType(s: String): String =
+            schema.fields.find(_.name == s).get.dataType.sql
+          // anchor per state column: chained targets take the nearest
+          // SOURCE value (struct-wrapped so a legitimately-NULL source
+          // value still anchors); carried columns take their carried value
+          // (last non-null source — exactly what the previous output row
+          // shows)
+          val stExtra = (Seq(s"SUM(__graft_fill_tag) $w AS __graft_fill_run") ++
+            stateCols.map { s =>
+              if (chainedLower(s.toLowerCase(Locale.ROOT)))
+                s"last_value(CASE WHEN __graft_fill_tag = 1 THEN " +
+                  s"named_struct('v', `$s`) END) IGNORE NULLS $w " +
+                  s"AS `__graft_anchor_$s`"
+              else
+                s"last_value(`$s`) IGNORE NULLS $w AS `__graft_anchor_$s`"
+            }).mkString(", ")
+          val kPart =
+            if (grouped) s"PARTITION BY $pSel, __graft_fill_run "
+            else "PARTITION BY __graft_fill_run "
+          val kExpr = s"ROW_NUMBER() OVER (${kPart}ORDER BY `${f.name}` " +
+            s"$ordDir) - 1 AS __graft_fill_k"
+          lazy val fold: String = {
+            val init = stateCols.map { s =>
+              val v =
+                if (chainedLower(s.toLowerCase(Locale.ROOT)))
+                  s"`__graft_anchor_$s`.v"
+                else s"`__graft_anchor_$s`"
+              s"'$s', CAST($v AS ${stType(s)})"
+            }.mkString(", ")
+            val step = stateCols.map { s =>
+              val upd =
+                if (chainedLower(s.toLowerCase(Locale.ROOT)))
+                  rewriteExprRefsTo(chainedCols(s), interpLower,
+                    u => s"__graft_acc.`$u`")
+                else s"__graft_acc.`$s`"
+              s"'$s', CAST(($upd) AS ${stType(s)})"
+            }.mkString(", ")
+            s"aggregate(sequence(1, GREATEST(__graft_fill_k, 1)), " +
+              s"named_struct($init), " +
+              s"(__graft_acc, __graft_i) -> named_struct($step))"
+          }
           val outer = schema.fields.map { fd =>
-            if (interpExpr.contains(fd.name)) {
+            if (chainedCols.contains(fd.name))
+              s"CASE WHEN __graft_fill_tag = 1 THEN `${fd.name}` ELSE " +
+                s"CAST(($fold).`${fd.name}` AS ${fd.dataType.sql}) END " +
+                s"AS `${fd.name}`"
+            else if (interpExpr.contains(fd.name)) {
               // gap rows: expr over the previous OUTPUT row — every
               // referenced column's output value already sits in
               // __graft_fill_all (source value on source rows, type default
@@ -1198,8 +1302,15 @@ private[engine] trait DialectWave2 { self: GraftSession =>
                 s"last_value(`${fd.name}`) IGNORE NULLS $w END AS `${fd.name}`"
             else s"`${fd.name}`"
           }.mkString(", ")
-          s"WITH __graft_fill_src AS ( $base ),\n__graft_fill_all AS (\n" +
-            s"$unioned\n)\nSELECT $outer FROM __graft_fill_all\n$ordTail"
+          if (chainedCols.isEmpty)
+            s"WITH __graft_fill_src AS ( $base ),\n__graft_fill_all AS (\n" +
+              s"$unioned\n)\nSELECT $outer FROM __graft_fill_all\n$ordTail"
+          else
+            s"WITH __graft_fill_src AS ( $base ),\n__graft_fill_all AS (\n" +
+              s"$unioned\n),\n__graft_fill_st AS (\n" +
+              s"SELECT *, $stExtra FROM __graft_fill_all\n),\n" +
+              s"__graft_fill_k2 AS (\nSELECT *, $kExpr FROM __graft_fill_st\n)\n" +
+              s"SELECT $outer FROM __graft_fill_k2\n$ordTail"
         }
       case _ =>
         val at = q.toUpperCase(Locale.ROOT).indexOf("WITH FILL")

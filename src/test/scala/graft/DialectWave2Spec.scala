@@ -487,13 +487,34 @@ class DialectWave2Spec extends SparkTestBase {
     assert(e.getMessage.contains("DATE/TIMESTAMP"))
   }
 
-  test("WITH FILL refuses self-referential INTERPOLATE loudly") {
+  test("self-referential INTERPOLATE folds the chain per gap row (r19)") {
     views()
-    // `v AS v + 1` recurs on its own previous OUTPUT value — still refused
+    // classic ClickHouse counter chain: each inserted row's v = previous
+    // OUTPUT v + 1, restarting from every source row
+    Seq((1, 10.0), (4, 100.0), (7, 50.0)).toDF("k", "v")
+      .createOrReplaceTempView("w2_chain")
+    val rows = g.sql(
+      """SELECT k, v FROM w2_chain ORDER BY k WITH FILL
+         INTERPOLATE (v AS v + 1)""").collect()
+    assert(rows.map(r => (r.getInt(0), r.getDouble(1))).toSeq ==
+      Seq((1, 10.0), (2, 11.0), (3, 12.0), (4, 100.0), (5, 101.0),
+        (6, 102.0), (7, 50.0)))
+    // geometric chain + a chain referencing a CARRIED column
+    Seq((1, 2.0, 5.0), (5, 3.0, 7.0)).toDF("k", "v", "c")
+      .createOrReplaceTempView("w2_chain2")
+    val rows2 = g.sql(
+      """SELECT k, v, c FROM w2_chain2 ORDER BY k WITH FILL
+         INTERPOLATE (v AS v * 2 + c, c)""").collect()
+    // gap rows: c carries (5.0), v chains v*2+5 from the anchor v=2
+    assert(rows2.map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSeq ==
+      Seq((1, 2.0, 5.0), (2, 9.0, 5.0), (3, 23.0, 5.0), (4, 51.0, 5.0),
+        (5, 3.0, 7.0)))
+    // a chain referencing a PLAIN result column keeps the loud refusal
     val e2 = intercept[UnsupportedOperationException] {
-      g.sql("SELECT k, v FROM w2_dup ORDER BY k WITH FILL INTERPOLATE (v AS v + 1)")
+      g.sql("""SELECT k, v, c FROM w2_chain2 ORDER BY k WITH FILL
+               INTERPOLATE (v AS v + c)""")
     }
-    assert(e2.getMessage.contains("INTERPOLATE"))
+    assert(e2.getMessage.contains("interpolated columns"))
   }
 
   test("ORDER BY … DESC WITH FILL walks the grid downward (r17)") {
@@ -657,14 +678,17 @@ class DialectWave2Spec extends SparkTestBase {
       Seq((1, "x", 2L), (2, "b", 1L), (3, "b", 7L), (4, "b", 7L)))
   }
 
-  test("INTERPOLATE expr referencing another interpolated column is refused") {
+  test("INTERPOLATE expr referencing another interpolated column chains (r19)") {
     views()
-    val e = intercept[UnsupportedOperationException] {
-      g.sql("""SELECT k AS kk, MAX(tag) AS t, COUNT(*) AS n FROM w2_dup
-               GROUP BY k ORDER BY kk WITH FILL FROM 1 TO 5
-               INTERPOLATE (t, n AS length(t))""")
-    }
-    assert(e.getMessage.contains("non-interpolated"))
+    // `n AS length(t)` references the CARRIED column t — previously
+    // refused, now a chain: each gap row's n = length(previous output t),
+    // and t's previous output is its carried value
+    val rows = g.sql(
+      """SELECT k AS kk, MAX(tag) AS t, COUNT(*) AS n FROM w2_dup
+         GROUP BY k ORDER BY kk WITH FILL FROM 1 TO 5
+         INTERPOLATE (t, n AS length(t))""").collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1, "x", 2L), (2, "b", 1L), (3, "b", 1L), (4, "b", 1L)))
   }
 
   test("ASOF JOIN same-name right timestamp: r.ts resolves to the MATCHED value") {
