@@ -50,16 +50,29 @@ object Bench {
     // shared JIT): AQE OFF and 8 shuffle partitions beat AQE-on/32 by ~25% —
     // at this scale AQE's per-stage re-optimization is pure driver latency
     // (there's nothing to re-plan over MB-sized in-memory partitions), and 8
-    // reducers cut task-launch overhead without losing parallelism. These are
-    // BENCH defaults only: production (GraftSession) keeps AQE on — at the
-    // 100 TB design point runtime re-planning and skew-join splitting matter.
-    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8")
+    // reducers cut task-launch overhead without losing parallelism. Those
+    // numbers are small-sf-specific: at sf10 the r19 scale-curve probes
+    // measured the inverse (q88 6.6 s at 8 reducers vs 4.6 s at 32 — eight
+    // reducers starve second-stage parallelism once partitions carry real
+    // data, and AQE's coalescing/runtime stats are exactly what the 100 TB
+    // deployment runs with), while at sf1 the small protocol still wins or
+    // ties (q88 0.65 s at 8 vs 0.84 at 32; q21 1.57 vs 1.59 — measured
+    // r19). So the defaults are SF-AWARE around that crossover: sf <= 1
+    // keeps the BenchTune ms-scale protocol; larger scale points run the
+    // production shape (AQE on, reducers = cores). Explicit env always wins.
+    val isSmallSf = {
+      val tag = new java.io.File(sfDir).getName
+      "(?:testdata-)?sf(\\d+(?:\\.\\d+)?)".r.findFirstMatchIn(tag)
+        .map(_.group(1).toDouble <= 1.0).getOrElse(true)
+    }
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      if (isSmallSf) "8" else cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE", if (isSmallSf) "false" else "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -51,17 +51,39 @@ abstract class VectorKernel extends BinaryExpression {
   }
 }
 
-/** cosine(a, b) = Σaᵢbᵢ / (√Σaᵢ² · √Σbᵢ²), one pass. */
+/** cosine(a, b) = Σaᵢbᵢ / (√Σaᵢ² · √Σbᵢ²), one pass.
+  *
+  * r19: the float/float and double/double element types take a
+  * monomorphic fast loop — the generic `get` pattern-matches the
+  * DataType PER ELEMENT, which is the dominant cost when the kernel sits
+  * inside a pair join evaluating millions of times (q146's within-cell
+  * scan). Arithmetic is IDENTICAL (same `.toDouble` widening, same
+  * accumulation order), so every hash-checked oracle stays bit-equal.
+  */
 case class CosineSim(left: Expression, right: Expression) extends VectorKernel {
   override def compute(va: ArrayData, vb: ArrayData): Double = {
     val (ta, tb) = elemTypes
     val n = math.min(va.numElements(), vb.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
-    while (i < n) {
-      val x = get(va, ta, i); val y = get(vb, tb, i)
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
+    if (ta == FloatType && tb == FloatType) {
+      while (i < n) {
+        val x = va.getFloat(i).toDouble; val y = vb.getFloat(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+    } else if (ta == DoubleType && tb == DoubleType) {
+      while (i < n) {
+        val x = va.getDouble(i); val y = vb.getDouble(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        val x = get(va, ta, i); val y = get(vb, tb, i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
@@ -69,14 +91,22 @@ case class CosineSim(left: Expression, right: Expression) extends VectorKernel {
     copy(left = l, right = r)
 }
 
-/** Σ aᵢ·bᵢ. */
+/** Σ aᵢ·bᵢ (same monomorphic fast paths as [[CosineSim]], r19). */
 case class DotProd(left: Expression, right: Expression) extends VectorKernel {
   override def compute(va: ArrayData, vb: ArrayData): Double = {
     val (ta, tb) = elemTypes
     val n = math.min(va.numElements(), vb.numElements())
     var dot = 0.0
     var i = 0
-    while (i < n) { dot += get(va, ta, i) * get(vb, tb, i); i += 1 }
+    if (ta == FloatType && tb == FloatType) {
+      while (i < n) {
+        dot += va.getFloat(i).toDouble * vb.getFloat(i).toDouble; i += 1
+      }
+    } else if (ta == DoubleType && tb == DoubleType) {
+      while (i < n) { dot += va.getDouble(i) * vb.getDouble(i); i += 1 }
+    } else {
+      while (i < n) { dot += get(va, ta, i) * get(vb, tb, i); i += 1 }
+    }
     dot
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProd =

@@ -465,14 +465,33 @@ object Dedup {
     // centroid — the least-prototypical representative); the drop order
     // becomes (centroid_sim asc, id asc) lexicographic instead of plain id.
     // Ties (exact replicas have bit-equal sims) fall through to the id.
-    val idx =
+    val idx1 =
       if (keep == "minId") idx0
       else idx0.join(broadcast(cent.select(col("cell"), col("c"))), Seq("cell"))
         .withColumn("sim", cosineSimilarity(col("v"), col("c"))).drop("c")
+    // r19 (q146 profile): two per-row costs were being paid per PAIR or per
+    // REFERENCE instead of once.
+    //  - The row norms were recomputed inside the cosine kernel for each of
+    //    the O(Σ cell²) pairs; they are per-ROW quantities — computed here
+    //    once, the pair filter reduces to one dot product and a division.
+    //    sqrt(Σx²) sums in the same element order the fused kernel used, so
+    //    dot/(sn_a·sn_b) is bit-equal to the old cosineSimilarity call and
+    //    every hash-checked oracle stands.
+    //  - The assignment index is consumed THREE times (both pair-join sides
+    //    and the survivor anti-join); unpersisted, each reference re-ran the
+    //    float→double cast + argmin assignment over the corpus (measured
+    //    ~1.1 s of q146's 2.8 s at sf1). The operator is already eager
+    //    (ivfTrain collects centroids per Lloyd iteration), and the paper's
+    //    own pipeline materializes the cluster assignment, so persisting it
+    //    is the intended shape — MEMORY_AND_DISK keeps the 100 TB case
+    //    spillable, and the entry is GC-cleaned with the returned frame.
+    val idx = idx1.withColumn("sn", l2Norm(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rank: Seq[Column] =
       if (keep == "minId") Seq(col("id")) else Seq(col("sim"), col("id"))
     def side(sfx: String) =
       idx.select(col("cell") +: col("id").as(s"id$sfx") +: col("v").as(s"v$sfx") +:
+        col("sn").as(s"sn$sfx") +:
         (if (keep == "minId") Seq.empty[Column]
          else Seq(col("sim").as(s"sim$sfx"))): _*)
     val earlier = // a precedes b in the keep order
@@ -481,7 +500,8 @@ object Dedup {
         (col("sim_a") === col("sim_b") && col("id_a") < col("id_b"))
     val dropped = side("_a").join(side("_b"), Seq("cell"))
       .filter(col("id_a") =!= col("id_b")).filter(earlier)
-      .filter(cosineSimilarity(col("v_a"), col("v_b")) >= tau)
+      .filter(dotProduct(col("v_a"), col("v_b")) /
+        (col("sn_a") * col("sn_b")) >= tau)
       .select(col("id_b").as("id")).distinct()
     idx.join(dropped, Seq("id"), "left_anti").select(col("cell"), col("id"))
   }

@@ -18,6 +18,7 @@ object Scratch {
     if (args.headOption.contains("q103prof")) { q103prof(g); g.spark.stop(); return }
     if (args.headOption.contains("mdprobe")) { multiDistinctProbe(g); g.spark.stop(); return }
     if (args.headOption.contains("semprof")) { semProf(g); g.spark.stop(); return }
+    if (args.headOption.contains("semprof146")) { semProf146(args.drop(1)); g.spark.stop(); return }
     if (args.headOption.contains("ncmicro")) { ncMicro(); g.spark.stop(); return }
     if (args.headOption.contains("ncplan")) { ncPlan(g); g.spark.stop(); return }
     if (args.headOption.contains("r12drive")) { r12drive(g); g.spark.stop(); return }
@@ -410,6 +411,66 @@ object Scratch {
     }
   }
 
+  /** Stage split of q146's EXACT construction (pinned kCells=8) at a given
+    * sf dir: train+index vs the within-cell pair scan, and the pair scan
+    * with/without carrying the vector arrays through the join output.
+    */
+  private def semProf146(args: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val dir = args.headOption.getOrElse("/tmp/testdata-sf1")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.enableInMemory(32)
+    val e = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    val planted = e.filter(col("vec_id") < 20).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+    val df = e.unionByName(planted)
+    def time(label: String, reps: Int = 3)(f: => Long): Unit = {
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      println(f"$label%-42s min=${ts.map(_._1).min}%6.2f s (n=${ts.head._2})")
+    }
+    val cent = graft.operators.Similarity.ivfTrain(df, "embedding", "vec_id", 8, 2, 1.0)
+    time("ivfTrain k=8 iters=2") { cent.count() }
+    val idx = graft.operators.Similarity.ivfIndex(df, "embedding", "vec_id", cent)
+      .withColumn("sn", graft.functions.GraftFunctions.l2Norm(col("v")))
+      .cache()
+    time("ivfIndex + norm (cached)") { idx.count() }
+    def sideCols(sfx: String, withV: Boolean) =
+      idx.select(col("cell") +: col("id").as(s"id$sfx") +: col("sn").as(s"sn$sfx") +:
+        (if (withV) Seq(col("v").as(s"v$sfx")) else Seq.empty[org.apache.spark.sql.Column]): _*)
+    time("pair join: ids only (row-assembly floor)") {
+      sideCols("_a", false).join(sideCols("_b", false), Seq("cell"))
+        .filter(col("id_a") < col("id_b")).count()
+    }
+    time("pair join + dot/sn filter (current shape)") {
+      sideCols("_a", true).join(sideCols("_b", true), Seq("cell"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(graft.functions.GraftFunctions.dotProduct(col("v_a"), col("v_b")) /
+          (col("sn_a") * col("sn_b")) >= 0.95)
+        .select(col("id_b")).distinct().count()
+    }
+    time("pair join + legacy cosine (pre-r19 shape)") {
+      sideCols("_a", true).join(sideCols("_b", true), Seq("cell"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(graft.functions.GraftFunctions.cosineSimilarity(col("v_a"), col("v_b")) >= 0.95)
+        .select(col("id_b")).distinct().count()
+    }
+    time("FULL semDedup (operator, as q146 calls it)") {
+      graft.operators.Dedup.semDedup(df, "embedding", "vec_id",
+        tau = 0.95, kCells = 8, iters = 2).count()
+    }
+  }
+
   private def q103prof(g: graft.engine.GraftSession): Unit = {
     import org.apache.spark.sql.functions._
     val spark = g.spark
@@ -753,7 +814,8 @@ object Scratch {
     val reps = args.lift(2).map(_.toInt).getOrElse(3)
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
