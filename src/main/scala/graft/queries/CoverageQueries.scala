@@ -1993,6 +1993,40 @@ ORDER BY u.user_id""")),
       FROM b WHERE bk >= 3000 AND bk < 6000
       UNION ALL SELECT 's3', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
       FROM b WHERE bk >= 6000 AND bk < 9000
-      ORDER BY slice"""))
+      ORDER BY slice""")),
+
+    QueryDef("q228_interpolate_chain", (s, dir) => {
+      // Self-referential INTERPOLATE chain (r19) on a GROUPED fill: each
+      // inserted hour's n = previous OUTPUT n + 10, restarting at every
+      // source row, per user group. The engine folds the chain with the
+      // aggregate() HOF from each gap run's anchor; with step 1 the k-th
+      // gap row is anchor_n + 10*k, so DuckDB replays the recurrence in
+      // closed form (anchor value + 10 * rows-since-anchor) — a computed
+      // oracle for the whole grouped-fill + chain pipeline.
+      v(s, dir, "events")
+      graft.engine.GraftSession(s).sql(
+        """SELECT CAST(user_id % 5 AS BIGINT) AS ug,
+             CAST(hour(ts) AS BIGINT) AS hh, COUNT(*) AS n
+           FROM events WHERE user_id % 7 = 0
+           GROUP BY 1, 2
+           ORDER BY ug, hh WITH FILL INTERPOLATE (n AS n + 10)""")
+    }, Some("""WITH src AS (SELECT CAST(user_id % 5 AS BIGINT) AS ug,
+          CAST(hour(ts) AS BIGINT) AS hh, COUNT(*) AS n
+        FROM events WHERE user_id % 7 = 0 GROUP BY 1, 2),
+      b AS (SELECT ug, MIN(hh) AS lo, MAX(hh) AS hi FROM src GROUP BY ug),
+      grid AS (SELECT ug, UNNEST(range(lo, hi + 1)) AS hh FROM b),
+      j AS (SELECT grid.ug, grid.hh, src.n,
+            CASE WHEN src.n IS NULL THEN 0 ELSE 1 END AS tag
+          FROM grid LEFT JOIN src USING (ug, hh)),
+      k AS (SELECT ug, hh, n, tag,
+            last_value(CASE WHEN tag = 1 THEN n END IGNORE NULLS)
+              OVER (PARTITION BY ug ORDER BY hh) AS a_n,
+            last_value(CASE WHEN tag = 1 THEN hh END IGNORE NULLS)
+              OVER (PARTITION BY ug ORDER BY hh) AS a_hh
+          FROM j)
+      SELECT ug, hh,
+        CAST(CASE WHEN tag = 1 THEN n ELSE a_n + 10 * (hh - a_hh) END
+          AS BIGINT) AS n
+      FROM k ORDER BY ug, hh"""))
   )
 }
