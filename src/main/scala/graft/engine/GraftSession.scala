@@ -1047,6 +1047,34 @@ final class GraftSession(val spark: SparkSession) extends DialectWave2 {
   // plain LIMIT cuts AFTER the per-group cut, as in ClickHouse. Scope:
   // top-level clause only (guarded by paren balance); name/expression
   // ORDER BY terms (not ordinals — window specs don't resolve positions).
+  // `ORDER BY … LIMIT n WITH TIES` (r19, the ClickHouse/ANSI FETCH…WITH
+  // TIES semantics): keep the first n rows PLUS every row tying with the
+  // n-th on the full ORDER BY key. rank() <= n is exactly that set (a tie
+  // group straddling position n has its shared rank <= n, so all members
+  // qualify). The rank window is deliberately UNPARTITIONED — WITH TIES
+  // decorates a final, result-sized ORDER BY, the same documented global
+  // bound as ungrouped WITH FILL. Contract: the ORDER BY must name result
+  // columns (the subquery wrap re-scopes it; ClickHouse's
+  // order-by-source-column extension is not carried through this clause).
+  private val limitTiesRe =
+    ("(?is)^(.*\\S)\\s+ORDER\\s+BY\\s+(.+?)\\s+LIMIT\\s+(\\d+)" +
+      "\\s+WITH\\s+TIES\\s*;?\\s*$").r
+  private def rewriteWithTies(q: String): String =
+    limitTiesRe.findFirstMatchIn(q) match {
+      case Some(m) if parenBalanced(m.group(1)) && parenBalanced(m.group(2)) &&
+          isTopLevelAt(q, m.end(1)) &&
+          !inLiteralAt(q, q.toUpperCase(java.util.Locale.ROOT)
+            .lastIndexOf("WITH")) =>
+        val ord = m.group(2).trim.replace('"', '`')
+        val n = m.group(3).toLong
+        s"""SELECT * EXCEPT (__graft_wt_rk) FROM (
+           |  SELECT *, RANK() OVER (ORDER BY $ord) AS __graft_wt_rk
+           |  FROM ( ${m.group(1)} ) __graft_wt_i
+           |) __graft_wt WHERE __graft_wt_rk <= $n
+           |ORDER BY $ord""".stripMargin
+      case _ => q
+    }
+
   // accepts all three documented shapes: `LIMIT n BY`, `LIMIT m, n BY`
   // (offset-first, the ClickHouse docs' bracketed form) and
   // `LIMIT n OFFSET m BY`
@@ -1484,11 +1512,11 @@ final class GraftSession(val spark: SparkSession) extends DialectWave2 {
   // the wraps produced.
   private def rewriteDialect(q: String): String =
     dateDiffQuotedUnit.replaceAllIn(
-      rewriteTableFns(rewriteWithFill(rewriteLimitBy(rewriteStarModifiers(
+      rewriteTableFns(rewriteWithFill(rewriteLimitBy(rewriteWithTies(rewriteStarModifiers(
         rewriteWithTotals(rewriteArrayJoin(rewriteAnyJoin(rewriteAsofJoin(
           dropGlobal(normalizeJoinStrictness(rewriteSample(rewriteSampleOffset(rewriteFinal(
             rewritePrewhere(rewriteScalarWith(trailingFormat.replaceFirstIn(
-              trailingSettings.replaceFirstIn(q, ""), "")))))))))))))))),
+              trailingSettings.replaceFirstIn(q, ""), ""))))))))))))))))),
       m => "dateDiffCH($1")
 
   /** Parameterized query — the reference's `{name:Type}` placeholders bound

@@ -2027,6 +2027,23 @@ ORDER BY u.user_id""")),
       SELECT ug, hh,
         CAST(CASE WHEN tag = 1 THEN n ELSE a_n + 10 * (hh - a_hh) END
           AS BIGINT) AS n
-      FROM k ORDER BY ug, hh"""))
+      FROM k ORDER BY ug, hh""")),
+
+    QueryDef("q229_limit_with_ties", (s, dir) => {
+      // LIMIT n WITH TIES (r19, ClickHouse/ANSI FETCH…WITH TIES): the top
+      // 12 order totals per the (floored) total, PLUS every order tying
+      // with the 12th. Flooring to hundreds manufactures real ties in the
+      // fixture so the clause binds. DuckDB 1.0 has no native WITH TIES —
+      // the oracle replays the rank() <= n contract directly.
+      v(s, dir, "orders")
+      graft.engine.GraftSession(s).sql(
+        """SELECT o_orderkey, CAST(FLOOR(o_totalprice / 100) AS BIGINT) AS tp
+           FROM orders
+           ORDER BY tp DESC LIMIT 12 WITH TIES""")
+    }, Some("""SELECT o_orderkey, tp FROM (
+        SELECT o_orderkey, CAST(FLOOR(o_totalprice / 100) AS BIGINT) AS tp,
+          RANK() OVER (ORDER BY CAST(FLOOR(o_totalprice / 100) AS BIGINT)
+            DESC) AS rk
+        FROM orders) WHERE rk <= 12 ORDER BY tp DESC"""))
   )
 }

@@ -208,6 +208,26 @@ class ClauseRewriteSpec extends SparkTestBase {
     assert(g.sql("SELECT n FROM cr_big2 SAMPLE 100").count() == 100L)
   }
 
+  test("LIMIT n WITH TIES keeps every row tying with the n-th (r19)") {
+    import spark.implicits._
+    Seq((1, "a"), (2, "b"), (2, "c"), (3, "d"), (3, "e"), (4, "f"))
+      .toDF("k", "v").createOrReplaceTempView("cr_ties")
+    // the 2nd row's key (2) ties with a 3rd row — all three come back
+    assert(g.sql("SELECT k, v FROM cr_ties ORDER BY k LIMIT 2 WITH TIES")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set((1, "a"), (2, "b"), (2, "c")))
+    // DESC + a tiebreaker column: v breaks the k tie, so exactly 3 rows
+    assert(g.sql(
+      "SELECT k, v FROM cr_ties ORDER BY k DESC, v LIMIT 3 WITH TIES")
+      .collect().map(_.getString(1)).toSet == Set("f", "d", "e"))
+    // no tie at the boundary = plain LIMIT semantics
+    assert(g.sql("SELECT k, v FROM cr_ties ORDER BY k, v LIMIT 2 WITH TIES")
+      .count() == 2)
+    // a string literal spelling the clause is data, not a clause
+    assert(g.sql("SELECT 'LIMIT 2 WITH TIES' AS s FROM cr_ties LIMIT 1")
+      .head().getString(0) == "LIMIT 2 WITH TIES")
+  }
+
   test("SAMPLE k OFFSET m: deterministic disjoint md5-bucket slices (r19)") {
     spark.range(10000).toDF("n").createOrReplaceTempView("cr_so")
     val parts = Seq("0", "1/4", "2/4", "3/4")
