@@ -117,7 +117,7 @@ private[engine] trait DialectWave2 { self: GraftSession =>
     * words that open a call), or the enclosing scope's ')' position, or EOS.
     * `from` must itself be outside literals.
     */
-  private def clauseExtent(s: String, from: Int, bounds: Seq[String]): Int = {
+  private[engine] def clauseExtent(s: String, from: Int, bounds: Seq[String]): Int = {
     val u = s.toUpperCase(Locale.ROOT)
     def isWordChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
     var d = 0; var i = from; var inStr = false; var inTick = false

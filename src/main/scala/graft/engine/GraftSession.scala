@@ -1047,6 +1047,38 @@ final class GraftSession(val spark: SparkSession) extends DialectWave2 {
   // plain LIMIT cuts AFTER the per-group cut, as in ClickHouse. Scope:
   // top-level clause only (guarded by paren balance); name/expression
   // ORDER BY terms (not ordinals — window specs don't resolve positions).
+  // `QUALIFY <pred>` (r19): ClickHouse's post-window filter clause, which
+  // Spark's parser lacks. CH evaluates QUALIFY after the projection and
+  // its window functions, so the rewrite materializes the predicate as a
+  // boolean column over the ORIGINAL query's output — alias references
+  // and window functions in the predicate both resolve there — then
+  // filters and strips it. Contract: the predicate sees the query's
+  // OUTPUT columns (a source column the projection dropped is an
+  // analysis error, stated by Spark); QUALIFY binds to the whole
+  // top-level statement, so a UNION ahead of it refuses loudly
+  // (ClickHouse scopes it to the last branch — wrap that branch in a
+  // subquery instead).
+  private val qualifyBounds = Seq("ORDER", "LIMIT", "OFFSET", "UNION",
+    "SETTINGS", "FORMAT", "INTERSECT", "EXCEPT")
+  private def rewriteQualify(q: String): String = {
+    val at = topLevelKeyword(q, "QUALIFY")
+    if (at < 0) return q
+    val base = q.substring(0, at).trim
+    if (topLevelKeyword(base, "UNION") >= 0 ||
+        topLevelKeyword(base, "INTERSECT") >= 0 ||
+        topLevelKeyword(base, "EXCEPT") >= 0)
+      throw new UnsupportedOperationException(
+        "QUALIFY after a set operation is ambiguous on this surface — " +
+          "wrap the branch it belongs to in a subquery")
+    val predEnd = clauseExtent(q, at + "QUALIFY".length, qualifyBounds)
+    val pred = q.substring(at + "QUALIFY".length, predEnd).trim
+    val tail = q.substring(predEnd)
+    require(pred.nonEmpty, "QUALIFY requires a predicate")
+    s"""SELECT * EXCEPT (__graft_q) FROM (
+       |  SELECT *, ($pred) AS __graft_q FROM ( $base ) __graft_qi
+       |) __graft_qo WHERE __graft_q $tail""".stripMargin
+  }
+
   // `ORDER BY … LIMIT n WITH TIES` (r19, the ClickHouse/ANSI FETCH…WITH
   // TIES semantics): keep the first n rows PLUS every row tying with the
   // n-th on the full ORDER BY key. rank() <= n is exactly that set (a tie
@@ -1512,11 +1544,11 @@ final class GraftSession(val spark: SparkSession) extends DialectWave2 {
   // the wraps produced.
   private def rewriteDialect(q: String): String =
     dateDiffQuotedUnit.replaceAllIn(
-      rewriteTableFns(rewriteWithFill(rewriteLimitBy(rewriteWithTies(rewriteStarModifiers(
+      rewriteTableFns(rewriteWithFill(rewriteLimitBy(rewriteWithTies(rewriteQualify(rewriteStarModifiers(
         rewriteWithTotals(rewriteArrayJoin(rewriteAnyJoin(rewriteAsofJoin(
           dropGlobal(normalizeJoinStrictness(rewriteSample(rewriteSampleOffset(rewriteFinal(
             rewritePrewhere(rewriteScalarWith(trailingFormat.replaceFirstIn(
-              trailingSettings.replaceFirstIn(q, ""), ""))))))))))))))))),
+              trailingSettings.replaceFirstIn(q, ""), "")))))))))))))))))),
       m => "dateDiffCH($1")
 
   /** Parameterized query — the reference's `{name:Type}` placeholders bound

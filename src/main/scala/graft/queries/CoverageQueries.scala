@@ -2044,6 +2044,28 @@ ORDER BY u.user_id""")),
         SELECT o_orderkey, CAST(FLOOR(o_totalprice / 100) AS BIGINT) AS tp,
           RANK() OVER (ORDER BY CAST(FLOOR(o_totalprice / 100) AS BIGINT)
             DESC) AS rk
-        FROM orders) WHERE rk <= 12 ORDER BY tp DESC"""))
+        FROM orders) WHERE rk <= 12 ORDER BY tp DESC""")),
+
+    QueryDef("q230_qualify", (s, dir) => {
+      // QUALIFY (r19): ClickHouse's post-window filter, which Spark's
+      // parser lacks — the rewrite materializes the predicate over the
+      // query's OUTPUT (aliases and window functions both resolve there),
+      // filters, strips. The canonical use: each customer's 2 most recent
+      // orders. DuckDB speaks QUALIFY natively, so the oracle is the SAME
+      // clause — the strongest replay an added surface can get.
+      v(s, dir, "orders")
+      graft.engine.GraftSession(s).sql(
+        """SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey) AS rn
+           FROM orders WHERE o_custkey % 10 = 0
+           QUALIFY rn <= 2
+           ORDER BY o_custkey, rn""")
+    }, Some("""SELECT o_custkey, o_orderkey,
+        ROW_NUMBER() OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey) AS rn
+      FROM orders WHERE o_custkey % 10 = 0
+      QUALIFY rn <= 2
+      ORDER BY o_custkey, rn"""))
   )
 }

@@ -208,6 +208,39 @@ class ClauseRewriteSpec extends SparkTestBase {
     assert(g.sql("SELECT n FROM cr_big2 SAMPLE 100").count() == 100L)
   }
 
+  test("QUALIFY filters on window expressions and projection aliases (r19)") {
+    import spark.implicits._
+    Seq((1, "a", 5.0), (1, "b", 9.0), (2, "c", 3.0), (2, "d", 7.0), (2, "e", 1.0))
+      .toDF("g", "v", "x").createOrReplaceTempView("cr_qual")
+    // direct window expression in the predicate (the canonical per-group top-1)
+    assert(g.sql(
+      """SELECT g, v, x FROM cr_qual
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY x DESC) = 1
+         ORDER BY g""").collect().map(_.getString(1)).toSeq == Seq("b", "d"))
+    // predicate over a PROJECTION ALIAS (ClickHouse allows it; the wrap
+    // evaluates the predicate over the query's output columns)
+    assert(g.sql(
+      """SELECT g, v, RANK() OVER (PARTITION BY g ORDER BY x) AS rk
+         FROM cr_qual QUALIFY rk <= 1 ORDER BY g""")
+      .collect().map(_.getString(1)).toSeq == Seq("a", "e"))
+    // tail clauses stay outside the wrap: kept set is {a,b,c,e} (d is the
+    // group-2 rn=3 row), top-2 by x desc = b(9), a(5)
+    assert(g.sql(
+      """SELECT g, v, x FROM cr_qual
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) <= 2
+         ORDER BY x DESC LIMIT 2""").collect().map(_.getString(1)).toSeq ==
+      Seq("b", "a"))
+    // a QUALIFY inside a string literal is data
+    assert(g.sql("SELECT 'QUALIFY rk = 1' AS s FROM cr_qual LIMIT 1")
+      .head().getString(0) == "QUALIFY rk = 1")
+    // set operation ahead of QUALIFY refuses loudly
+    val e = intercept[UnsupportedOperationException] {
+      g.sql("""SELECT g FROM cr_qual UNION ALL SELECT g FROM cr_qual
+               QUALIFY ROW_NUMBER() OVER (ORDER BY g) = 1""")
+    }
+    assert(e.getMessage.contains("set operation"))
+  }
+
   test("LIMIT n WITH TIES keeps every row tying with the n-th (r19)") {
     import spark.implicits._
     Seq((1, "a"), (2, "b"), (2, "c"), (3, "d"), (3, "e"), (4, "f"))
