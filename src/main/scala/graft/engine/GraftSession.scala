@@ -1047,6 +1047,117 @@ final class GraftSession(val spark: SparkSession) extends DialectWave2 {
   // plain LIMIT cuts AFTER the per-group cut, as in ClickHouse. Scope:
   // top-level clause only (guarded by paren balance); name/expression
   // ORDER BY terms (not ordinals — window specs don't resolve positions).
+  // `SELECT DISTINCT ON (k1[, …]) …` (r19): ClickHouse/PG's first-row-per-
+  // group projection, which Spark's parser lacks. Rewrite: inject a
+  // ROW_NUMBER window PARTITIONed by the ON keys into the projection
+  // (evaluated in the ORIGINAL select scope, so keys and ordering may
+  // reference source columns), keep rank 1, strip the helper; a trailing
+  // ORDER BY orders the window (ClickHouse's first-in-that-order
+  // semantics) and is re-applied outside. Without an ORDER BY the pick
+  // within a key group is arbitrary — exactly ClickHouse's documented
+  // non-determinism; add an ORDER BY for a stable result. Top-level
+  // statements only (a subquery DISTINCT ON fails loudly in the parser).
+  private val distinctOnRe = "(?is)^\\s*SELECT\\s+DISTINCT\\s+ON\\s*\\(".r
+  private def rewriteDistinctOn(q: String): String =
+    distinctOnRe.findFirstMatchIn(q) match {
+      case Some(m) =>
+        val open = m.end - 1
+        val close = matchParenGs(q, open)
+        require(close > 0, "DISTINCT ON: unbalanced parenthesis in key list")
+        val keys = q.substring(open + 1, close - 1).trim.replace('"', '`')
+        require(keys.nonEmpty, "DISTINCT ON requires at least one key")
+        val rest = q.substring(close).trim // projection onward
+        // split a trailing LIMIT, then a trailing ORDER BY (both optional)
+        val limRe = "(?is)^(.*\\S)\\s+LIMIT\\s+(\\d+)\\s*;?\\s*$".r
+        val (noLim, limTail) = limRe.findFirstMatchIn(rest) match {
+          case Some(lm) if parenBalanced(lm.group(1)) =>
+            (lm.group(1), s" LIMIT ${lm.group(2)}")
+          case _ => (rest.replaceAll(";\\s*$", ""), "")
+        }
+        val ordRe = "(?is)^(.*\\S)\\s+ORDER\\s+BY\\s+(.+)$".r
+        val (core, ordOpt) = ordRe.findFirstMatchIn(noLim) match {
+          case Some(om) if parenBalanced(om.group(1)) &&
+              parenBalanced(om.group(2)) =>
+            (om.group(1), Some(om.group(2).trim.replace('"', '`')))
+          case _ => (noLim, None)
+        }
+        val fromAt = topLevelKeyword(core, "FROM")
+        require(fromAt > 0, "DISTINCT ON requires a FROM clause")
+        val proj = core.substring(0, fromAt).trim
+        val tail = core.substring(fromAt)
+        val ord = ordOpt.getOrElse(keys)
+        // the outer re-sort may reference SOURCE columns the projection
+        // dropped (legal in ClickHouse: SELECT DISTINCT ON (g) g, v … ORDER
+        // BY x) — same device as LIMIT BY: for a plain SELECT…FROM, emit
+        // each ORDER BY expression as a hidden __graft_ob_i column
+        // (evaluated in the source scope) and sort/strip those outside;
+        // grouped/DISTINCT queries keep the direct form (their ORDER BY
+        // must name output columns anyway).
+        val grouped = topLevelKeyword(core, "GROUP") >= 0 ||
+          proj.matches("(?is)^DISTINCT\\b.*")
+        val modRe = "(?is)^(.+?)(\\s+(?:ASC|DESC))?(\\s+NULLS\\s+(?:FIRST|LAST))?\\s*$".r
+        val terms = splitTopLevel(ord).map { t =>
+          modRe.findFirstMatchIn(t) match {
+            case Some(tm) => (tm.group(1).trim,
+              Option(tm.group(2)).getOrElse("") + Option(tm.group(3)).getOrElse(""))
+            case None => (t, "")
+          }
+        }
+        if (grouped || ordOpt.isEmpty) {
+          val inner = s"SELECT $proj, ROW_NUMBER() OVER (PARTITION BY $keys " +
+            s"ORDER BY $ord) AS __graft_don $tail"
+          s"SELECT * EXCEPT (__graft_don) FROM ( $inner ) __graft_don_i " +
+            s"WHERE __graft_don = 1" +
+            ordOpt.map(o => s" ORDER BY $o").getOrElse("") + limTail
+        } else {
+          val hidden = terms.zipWithIndex
+            .map { case ((e, _), i) => s"$e AS __graft_ob_$i" }.mkString(", ")
+          val outerOrd = terms.zipWithIndex
+            .map { case ((_, mod), i) => s"__graft_ob_$i$mod" }.mkString(", ")
+          val strip = "__graft_don" +: terms.indices.map(i => s"__graft_ob_$i")
+          val inner = s"SELECT $proj, $hidden, ROW_NUMBER() OVER " +
+            s"(PARTITION BY $keys ORDER BY $ord) AS __graft_don $tail"
+          s"SELECT * EXCEPT (${strip.mkString(", ")}) FROM ( $inner ) " +
+            s"__graft_don_i WHERE __graft_don = 1 ORDER BY $outerOrd$limTail"
+        }
+      case None => q
+    }
+
+  /** Balanced-paren end (EXCLUSIVE index after ')') — local copy of the
+    * scanner shape used throughout; returns -1 when unbalanced.
+    */
+  private def matchParenGs(q: String, open: Int): Int = {
+    var d = 0; var i = open; var inStr = false; var inTick = false
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (inTick) { if (c == '`') inTick = false }
+      else c match {
+        case '\'' => inStr = true
+        case '`' => inTick = true
+        case '(' => d += 1
+        case ')' => d -= 1; if (d == 0) return i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  // `SELECT TOP n [WITH TIES] …` (r19): ClickHouse accepts the T-SQL TOP
+  // spelling as an alternative to LIMIT — normalized here to the LIMIT
+  // form (WITH TIES rides the r19 rank rewrite below). Top-level only.
+  private val topNRe =
+    "(?is)^(\\s*SELECT\\s+)TOP\\s+(\\d+)(\\s+WITH\\s+TIES)?\\s+".r
+  private def rewriteTopN(q: String): String =
+    topNRe.findFirstMatchIn(q) match {
+      case Some(m) =>
+        val ties = Option(m.group(3)).map(_ => " WITH TIES").getOrElse("")
+        q.substring(0, m.end(1)) + q.substring(m.end).replaceAll(";\\s*$", "") +
+          s" LIMIT ${m.group(2)}$ties"
+      case None => q
+    }
+
   // `QUALIFY <pred>` (r19): ClickHouse's post-window filter clause, which
   // Spark's parser lacks. CH evaluates QUALIFY after the projection and
   // its window functions, so the rewrite materializes the predicate as a
@@ -1545,10 +1656,10 @@ final class GraftSession(val spark: SparkSession) extends DialectWave2 {
   private def rewriteDialect(q: String): String =
     dateDiffQuotedUnit.replaceAllIn(
       rewriteTableFns(rewriteWithFill(rewriteLimitBy(rewriteWithTies(rewriteQualify(rewriteStarModifiers(
-        rewriteWithTotals(rewriteArrayJoin(rewriteAnyJoin(rewriteAsofJoin(
+        rewriteDistinctOn(rewriteTopN(rewriteWithTotals(rewriteArrayJoin(rewriteAnyJoin(rewriteAsofJoin(
           dropGlobal(normalizeJoinStrictness(rewriteSample(rewriteSampleOffset(rewriteFinal(
             rewritePrewhere(rewriteScalarWith(trailingFormat.replaceFirstIn(
-              trailingSettings.replaceFirstIn(q, ""), "")))))))))))))))))),
+              trailingSettings.replaceFirstIn(q, ""), "")))))))))))))))))))),
       m => "dateDiffCH($1")
 
   /** Parameterized query — the reference's `{name:Type}` placeholders bound

@@ -2066,6 +2066,26 @@ ORDER BY u.user_id""")),
           ORDER BY o_orderdate DESC, o_orderkey) AS rn
       FROM orders WHERE o_custkey % 10 = 0
       QUALIFY rn <= 2
-      ORDER BY o_custkey, rn"""))
+      ORDER BY o_custkey, rn""")),
+
+    QueryDef("q231_distinct_on", (s, dir) => {
+      // SELECT DISTINCT ON (r19): each customer's most recent order
+      // (ClickHouse/PG surface; Spark's parser lacks it). The trailing
+      // ORDER BY orders the per-key window AND the result — its columns
+      // are re-emitted as hidden source-scope columns so dropped source
+      // refs still sort (the LIMIT BY device). The oracle replays the
+      // row_number contract explicitly — engine-neutral, no reliance on
+      // DuckDB's own DISTINCT ON tie rules.
+      v(s, dir, "orders")
+      graft.engine.GraftSession(s).sql(
+        """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderdate
+           FROM orders WHERE o_custkey % 10 = 3
+           ORDER BY o_orderdate DESC, o_orderkey""")
+    }, Some("""SELECT o_custkey, o_orderkey, o_orderdate FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey) AS rn
+        FROM orders WHERE o_custkey % 10 = 3) WHERE rn = 1
+      ORDER BY o_orderdate DESC, o_orderkey"""))
   )
 }

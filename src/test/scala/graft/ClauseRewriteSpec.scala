@@ -208,6 +208,37 @@ class ClauseRewriteSpec extends SparkTestBase {
     assert(g.sql("SELECT n FROM cr_big2 SAMPLE 100").count() == 100L)
   }
 
+  test("DISTINCT ON keeps the first row per key in ORDER BY order (r19)") {
+    import spark.implicits._
+    Seq((1, "a", 5.0), (1, "b", 9.0), (2, "c", 3.0), (2, "d", 7.0))
+      .toDF("g", "v", "x").createOrReplaceTempView("cr_don")
+    // highest x per g
+    assert(g.sql(
+      "SELECT DISTINCT ON (g) g, v, x FROM cr_don ORDER BY x DESC")
+      .collect().map(_.getString(1)).toSet == Set("b", "d"))
+    // the outer ORDER BY survives (result ordered by x desc)
+    assert(g.sql(
+      "SELECT DISTINCT ON (g) g, v, x FROM cr_don ORDER BY x DESC")
+      .collect().map(_.getString(1)).toSeq == Seq("b", "d"))
+    // trailing LIMIT applies after the dedup
+    assert(g.sql(
+      "SELECT DISTINCT ON (g) g, v FROM cr_don ORDER BY x DESC LIMIT 1")
+      .collect().map(_.getString(1)).toSeq == Seq("b"))
+    // no ORDER BY: one row per key (pick is CH-style arbitrary)
+    assert(g.sql("SELECT DISTINCT ON (g) g, v FROM cr_don").count() == 2)
+  }
+
+  test("SELECT TOP n [WITH TIES] normalizes to the LIMIT form (r19)") {
+    import spark.implicits._
+    Seq(1, 2, 2, 3).toDF("k").createOrReplaceTempView("cr_top")
+    assert(g.sql("SELECT TOP 2 k FROM cr_top ORDER BY k").count() == 2)
+    assert(g.sql("SELECT TOP 2 WITH TIES k FROM cr_top ORDER BY k")
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 2))
+    // a projected string mentioning TOP is untouched
+    assert(g.sql("SELECT 'TOP 5 hits' AS s FROM cr_top LIMIT 1")
+      .head().getString(0) == "TOP 5 hits")
+  }
+
   test("QUALIFY filters on window expressions and projection aliases (r19)") {
     import spark.implicits._
     Seq((1, "a", 5.0), (1, "b", 9.0), (2, "c", 3.0), (2, "d", 7.0), (2, "e", 1.0))
