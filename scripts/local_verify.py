@@ -15,6 +15,10 @@ for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
 oracles = json.load(open(f"{OUT}/oracle_sql.json"))
+# a filtered Verify run ("--present") compares only the dumped subset
+if "--present" in sys.argv:
+    import os
+    oracles = {k: v for k, v in oracles.items() if os.path.isdir(f"{OUT}/{k}")}
 
 def norm(rows):
     out = []

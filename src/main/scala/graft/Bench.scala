@@ -310,11 +310,27 @@ object Bench {
     // the DRIVER cannot adjudicate (r17's round record was exactly such a
     // refusal). The run records with an automatic, evidence-carrying
     // band_note instead. A trip on a HEALTHY-probe session still refuses.
+    // r20 (ADVICE): the probe thresholds are RELATIVE to the previous
+    // committed record's own probes (sched2_ms/cpu_ms ride every record
+    // since r19) — a host whose healthy scheduling band sits above this
+    // machine's 44-60 ms no longer self-excuses every trip, and a host
+    // below it no longer under-triggers. The r19 absolute numbers remain
+    // only as the fallback when no prior record carries probes.
+    val (prevSched, prevCpu) = previousProbes(prevName)
+    val schedDegraded = prevSched match {
+      case Some(p) if p > 0 => schedLatMs > p * 1.35
+      case _ => schedLatMs > 70.0
+    }
+    val cpuStillHealthy = prevCpu match {
+      case Some(p) if p > 0 => cpuScoreMs < p * 1.25
+      case _ => cpuScoreMs < 75.0
+    }
     val bandAccept = {
       val manual = sys.env.getOrElse("SPARK_GRAFT_BAND_ACCEPT", "")
       if (manual.nonEmpty) manual
-      else if (slowOnes.nonEmpty && schedLatMs > 70.0 && cpuScoreMs < 75.0)
-        f"auto: scheduling-band session (sched2=${schedLatMs}%.0fms, " +
+      else if (slowOnes.nonEmpty && schedDegraded && cpuStillHealthy)
+        f"auto: scheduling-band session (sched2=${schedLatMs}%.0fms vs " +
+          f"baseline ${prevSched.getOrElse(70.0)}%.0fms, " +
           f"cpu=${cpuScoreMs}%.0fms healthy) — stage-latency-sensitive " +
           "queries inflate with the probe, not with code"
       else ""
@@ -399,13 +415,19 @@ object Bench {
     * baseline — the guard only compares like with like.
     */
   private def previousTimes(sfDir: String): (String, Map[String, Double]) = try {
-    val base = new java.io.File(sfDir).getName
+    // r20 (ADVICE): normalize the fixture-dir spelling BEFORE the match so
+    // "testdata-sf0.1" and "sf0.1" share the BENCH_r\d+.json family (the
+    // prefixed spelling used to fall through to a nonexistent
+    // "BENCH_r\d+_sf0.1.json" family — with an unquoted '.' to boot — and
+    // silently disarmed the contamination gate), and Pattern.quote the tag.
+    val base = new java.io.File(sfDir).getName.stripPrefix("testdata-")
     // any named scale point gets its own baseline family (r19: sf3/sf10
     // scale-curve records compare like with like, same as sf1)
-    val sfTag = "^(?:testdata-)?(sf\\d+(?:\\.\\d+)?)$".r
+    val sfTag = "^(sf\\d+(?:\\.\\d+)?)$".r
     val pattern = base match {
       case "sf0.1" => "BENCH_r\\d+\\.json"
-      case sfTag(t) => "BENCH_r\\d+_" + t + "\\.json"
+      case sfTag(t) =>
+        "BENCH_r\\d+_" + java.util.regex.Pattern.quote(t) + "\\.json"
       case _ => return ("", Map.empty)
     }
     val dir = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"))
@@ -445,6 +467,21 @@ object Bench {
   } catch { case _: Throwable => ("", Map.empty) }
 
   /** Stderr band report (stdout keeps the one-JSON-line contract). */
+  /** sched2/cpu fingerprint probes carried by the previous committed
+    * record (r20 ADVICE): the per-machine baseline the auto band-accept
+    * compares against, instead of one machine's absolute numbers.
+    */
+  private def previousProbes(name: String): (Option[Double], Option[Double]) = try {
+    if (name.isEmpty) return (None, None)
+    val dir = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"))
+    val src = scala.io.Source.fromFile(new java.io.File(dir, name))
+    val json = try src.mkString finally src.close()
+    def num(k: String): Option[Double] =
+      ("\\\\?\"" + k + "\\\\?\"\\s*:\\s*([-0-9.Ee]+)").r
+        .findFirstMatchIn(json).map(_.group(1).toDouble)
+    (num("sched2_ms"), num("cpu_ms"))
+  } catch { case _: Throwable => (None, None) }
+
   private def reportDeltas(results: Seq[(String, Double)], prevName: String,
       prevTimes: Map[String, Double]): Unit = {
     if (prevTimes.isEmpty) return

@@ -1110,13 +1110,33 @@ final class GraftSession(val spark: SparkSession) extends DialectWave2 {
             s"WHERE __graft_don = 1" +
             ordOpt.map(o => s" ORDER BY $o").getOrElse("") + limTail
         } else {
-          val hidden = terms.zipWithIndex
-            .map { case ((e, _), i) => s"$e AS __graft_ob_$i" }.mkString(", ")
+          // r20 (ADVICE): the window order and the hidden __graft_ob_i
+          // columns are evaluated in the SOURCE scope, where a projection
+          // alias (legal in ClickHouse: SELECT DISTINCT ON (g) x+1 AS y …
+          // ORDER BY y) does not resolve — substitute each bare-identifier
+          // ORDER BY term that names a projection alias with the aliased
+          // expression (value-identical: the alias is a pure rename of it)
+          val aliasRe = "(?is)^(.+?)\\s+AS\\s+(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+          val aliasMap: Map[String, String] = splitTopLevel(proj).flatMap { item =>
+            aliasRe.findFirstMatchIn(item).map { am =>
+              am.group(2).stripPrefix("`").stripSuffix("`")
+                .toLowerCase(java.util.Locale.ROOT) -> am.group(1).trim
+            }
+          }.toMap
+          def resolveAlias(e: String): String =
+            if (e.matches("(?s)^[A-Za-z_][A-Za-z0-9_]*$") || e.matches("(?s)^`[^`]+`$"))
+              aliasMap.getOrElse(
+                e.stripPrefix("`").stripSuffix("`").toLowerCase(java.util.Locale.ROOT), e)
+            else e
+          val resolved = terms.map { case (e, mod) => (resolveAlias(e), mod) }
+          val windowOrd = resolved.map { case (e, m) => s"($e)$m" }.mkString(", ")
+          val hidden = resolved.zipWithIndex
+            .map { case ((e, _), i) => s"($e) AS __graft_ob_$i" }.mkString(", ")
           val outerOrd = terms.zipWithIndex
             .map { case ((_, mod), i) => s"__graft_ob_$i$mod" }.mkString(", ")
           val strip = "__graft_don" +: terms.indices.map(i => s"__graft_ob_$i")
           val inner = s"SELECT $proj, $hidden, ROW_NUMBER() OVER " +
-            s"(PARTITION BY $keys ORDER BY $ord) AS __graft_don $tail"
+            s"(PARTITION BY $keys ORDER BY $windowOrd) AS __graft_don $tail"
           s"SELECT * EXCEPT (${strip.mkString(", ")}) FROM ( $inner ) " +
             s"__graft_don_i WHERE __graft_don = 1 ORDER BY $outerOrd$limTail"
         }
@@ -1153,8 +1173,22 @@ final class GraftSession(val spark: SparkSession) extends DialectWave2 {
     topNRe.findFirstMatchIn(q) match {
       case Some(m) =>
         val ties = Option(m.group(3)).map(_ => " WITH TIES").getOrElse("")
-        q.substring(0, m.end(1)) + q.substring(m.end).replaceAll(";\\s*$", "") +
-          s" LIMIT ${m.group(2)}$ties"
+        val rest = q.substring(m.end).replaceAll(";\\s*$", "")
+        // r20 (ADVICE): the LIMIT this rewrite appends binds to the
+        // statement END — ahead of a top-level set operation that is the
+        // whole union, not the TOP's own SELECT, and WITH TIES without a
+        // trailing ORDER BY would fall through to Spark's parser as a bare
+        // syntax error. Both refuse with the contract stated.
+        if (Seq("UNION", "INTERSECT", "EXCEPT")
+            .exists(k => topLevelKeyword(rest, k) >= 0))
+          throw new UnsupportedOperationException(
+            "SELECT TOP ahead of a top-level set operation is ambiguous — " +
+              "use LIMIT inside the branch it belongs to")
+        if (ties.nonEmpty && topLevelKeyword(rest, "ORDER") < 0)
+          throw new UnsupportedOperationException(
+            "SELECT TOP n WITH TIES requires a trailing ORDER BY " +
+              "to define the tie key")
+        q.substring(0, m.end(1)) + rest + s" LIMIT ${m.group(2)}$ties"
       case None => q
     }
 
@@ -1165,22 +1199,34 @@ final class GraftSession(val spark: SparkSession) extends DialectWave2 {
   // and window functions in the predicate both resolve there — then
   // filters and strips it. Contract: the predicate sees the query's
   // OUTPUT columns (a source column the projection dropped is an
-  // analysis error, stated by Spark); QUALIFY binds to the whole
-  // top-level statement, so a UNION ahead of it refuses loudly
-  // (ClickHouse scopes it to the last branch — wrap that branch in a
-  // subquery instead).
+  // analysis error, stated by Spark). A QUALIFY written after a set
+  // operation scopes to the LAST branch (r20, was a refusal): ClickHouse
+  // applies post-SELECT clauses written after a UNION arm to that arm,
+  // not to the union result, so the rewrite wraps the final branch —
+  // including the QUALIFY and everything after it — in a parenthesized
+  // subquery and recurses.
   private val qualifyBounds = Seq("ORDER", "LIMIT", "OFFSET", "UNION",
     "SETTINGS", "FORMAT", "INTERSECT", "EXCEPT")
   private def rewriteQualify(q: String): String = {
     val at = topLevelKeyword(q, "QUALIFY")
     if (at < 0) return q
+    val before = q.substring(0, at)
+    val lastSetOp = Seq("UNION", "INTERSECT", "EXCEPT").flatMap { k =>
+      Iterator.iterate(topLevelKeyword(before, k))(p =>
+          if (p < 0) -1 else topLevelKeyword(before, k, p + 1))
+        .takeWhile(_ >= 0).toSeq.lastOption.map(p => (p, k))
+    }.sortBy(_._1).lastOption
+    lastSetOp match {
+      case Some((p, k)) =>
+        var branchStart = p + k.length
+        val quant = "(?is)^\\s+(ALL|DISTINCT)\\b".r
+        branchStart +=
+          quant.findFirstMatchIn(before.substring(branchStart)).map(_.end).getOrElse(0)
+        return q.substring(0, branchStart) + " ( " +
+          rewriteQualify(q.substring(branchStart).trim.replaceAll(";\\s*$", "")) + " )"
+      case None =>
+    }
     val base = q.substring(0, at).trim
-    if (topLevelKeyword(base, "UNION") >= 0 ||
-        topLevelKeyword(base, "INTERSECT") >= 0 ||
-        topLevelKeyword(base, "EXCEPT") >= 0)
-      throw new UnsupportedOperationException(
-        "QUALIFY after a set operation is ambiguous on this surface — " +
-          "wrap the branch it belongs to in a subquery")
     val predEnd = clauseExtent(q, at + "QUALIFY".length, qualifyBounds)
     val pred = q.substring(at + "QUALIFY".length, predEnd).trim
     val tail = q.substring(predEnd)

@@ -38,6 +38,70 @@ object Dedup {
       .agg(count(lit(1)).as("n"), sort_array(collect_list(col(idCol))).as("ids"))
       .filter(col("n") > 1)
 
+  /** EXACT-DUPLICATE COLLAPSE (r19 verdict #1a). Rows whose content key
+    * (`keyCols`: the shingle-hash set / simhash / embedding vector) is
+    * identical are all mutual duplicates AND indistinguishable to every
+    * candidate-generation scheme in this file — identical keys produce
+    * identical signatures, band keys, buckets and cells, so an m-copy
+    * cluster used to inject C(m,2) candidate pairs into ONE reducer's
+    * bucket (the r19 sf10 curve: exact-replica fixtures pinned one cell at
+    * 91.6 GB / 61 s). Collapsing each group to its MINIMUM-id
+    * representative makes the pairwise stage's input one row per DISTINCT
+    * content; member results are then fanned back: cross-group pairs
+    * inherit their representatives' verified value (jaccard / cosine /
+    * hamming is a pure function of the content keys), within-group pairs
+    * are emitted directly with the self-value the verification kernel
+    * yields on equal inputs — no candidate generation, no verification, no
+    * wide arrays on the shuffle for any of them.
+    *
+    * One keyed window, no join; grouping is on the VALUES themselves, not
+    * a digest, so collapse can never merge two distinct contents. Adds
+    * `rep` (group minimum id) and `grpn` (group size) to every row.
+    */
+  private def withExactGroups(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    df.withColumn("rep", min(col(idCol)).over(w))
+      .withColumn("grpn", count(lit(1)).over(w))
+  }
+
+  /** Fan representative-level verified pairs back to member-level pairs:
+    * every (member of a, member of b) combination inherits the reps' value,
+    * reordered so id_a < id_b (member ids of different groups interleave).
+    * `members` is (rep, id); `repPairs` is (id_a, id_b, valueCol) over reps.
+    */
+  private def expandRepPairs(
+      repPairs: DataFrame, members: DataFrame, valueCol: String): DataFrame =
+    repPairs
+      .join(members.select(col("rep").as("id_a"), col("id").as("__ma")), Seq("id_a"))
+      .join(members.select(col("rep").as("id_b"), col("id").as("__mb")), Seq("id_b"))
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col(valueCol))
+
+  /** Within-group member pairs (id_a < id_b) of every duplicate group,
+    * carrying `value` as the pair value — the clique the exact-duplicate
+    * contract implies. Quadratic ONLY in output rows (which the true pair
+    * set contains anyway); no shuffle carries anything wider than ids.
+    */
+  private def cliquePairs(
+      groups: DataFrame, value: Column, valueName: String): DataFrame = {
+    val m = groups.filter(col("grpn") > 1)
+    m.select(col("rep"), col("id").as("id_a"))
+      .join(m.select(col("rep"), col("id").as("id_b")), Seq("rep"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), value.as(valueName))
+  }
+
+  /** Default per-(band, bucket) membership cap for [[minhashLsh]]: a bucket
+    * of B members emits C(B,2) candidate pairs from ONE reducer task, so an
+    * UN-collapsible degenerate bucket (near-identical but not bit-identical
+    * boilerplate — exact replicas never get here, [[withExactGroups]] folds
+    * them first) must be bounded for the job to finish: 5 000 keeps the
+    * worst single-task pair fan-out at ~12.5 M pairs. When the cap binds the
+    * smallest-id members are kept and [[CapWarnings]] logs the cut loudly on
+    * every materialization — no silent truncation (r19 verdict #1b).
+    */
+  val defaultBandBucketCap: Int = 5000
+
   /** Candidate near-duplicate pairs via MinHash + LSH banding, verified with
     * exact Jaccard over token shingles. Returns (id_a, id_b, jaccard) with
     * id_a < id_b and jaccard >= threshold.
@@ -53,19 +117,40 @@ object Dedup {
       threshold: Double = 0.5,
       shingleSize: Int = 3,
       bands: Int = 8,
-      rowsPerBand: Int = 2): DataFrame = {
+      rowsPerBand: Int = 2,
+      maxBucketSize: Int = defaultBandBucketCap): DataFrame = {
     val (hs, candidates) =
-      minhashParts(df, textCol, idCol, shingleSize, bands, rowsPerBand)
+      minhashParts(df, textCol, idCol, shingleSize, bands, rowsPerBand, maxBucketSize)
+    minhashFanBack(hs, candidates, threshold)
+  }
+
+  /** Verification + member fan-back over [[minhashParts]] output — split
+    * out so the scale harness can count candidates and build the final
+    * pair set from ONE pipeline (and unpersist `hs` afterwards).
+    *
+    * Cross-group pairs inherit the reps' verified jaccard (a pure function
+    * of the two shingle SETS); within-group pairs have identical sets —
+    * intersection = union, so the kernel's value is exactly 1.0 and needs
+    * no candidate generation, verification, or array shuffle. threshold >
+    * 1.0 keeps even the cliques out (jaccard can never exceed 1.0),
+    * matching the uncollapsed pipeline's behavior.
+    */
+  private[graft] def minhashFanBack(
+      hs: DataFrame, candidates: DataFrame, threshold: Double): DataFrame = {
     val withSets = candidates
       .join(hs.select(col("id").as("id_a"), col("hs").as("sh_a")), Seq("id_a"))
       .join(hs.select(col("id").as("id_b"), col("hs").as("sh_b")), Seq("id_b"))
-    verifyJaccard(withSets, threshold)
+    val repPairs = verifyJaccard(withSets, threshold)
+    val cross = expandRepPairs(repPairs, hs.select(col("rep"), col("id")), "jaccard")
+    if (threshold > 1.0) cross
+    else cross.unionByName(cliquePairs(hs, lit(1.0), "jaccard"))
   }
 
   /** The two stages of [[minhashLsh]] before verification — exposed so the
     * scale harness (DedupScaleBench) can measure the CANDIDATE set, the
     * quantity whose growth decides whether the scheme survives 100 TB.
-    * Returns (persisted shingle-hash sets, deduped candidate id pairs).
+    * Returns (persisted shingle-hash sets with rep/grpn group columns,
+    * deduped candidate id pairs over exact-duplicate REPRESENTATIVES).
     */
   private[graft] def minhashParts(
       df: DataFrame,
@@ -73,7 +158,8 @@ object Dedup {
       idCol: String,
       shingleSize: Int,
       bands: Int,
-      rowsPerBand: Int): (DataFrame, DataFrame) = {
+      rowsPerBand: Int,
+      maxBucketSize: Int = defaultBandBucketCap): (DataFrame, DataFrame) = {
     val k = bands * rowsPerBand
     // Tokenize → shingle → hash exactly ONCE — the fused shingleHashes
     // kernel (r11; was interpreted slice/zip/concat_ws + hash lambdas) —
@@ -84,11 +170,18 @@ object Dedup {
     // the long arrays directly — Jaccard over distinct 64-bit hashes
     // equals Jaccard over the string shingles up to ~n²/2⁶⁴ collisions,
     // and longs shuffle ~10× smaller than the shingle strings.
-    val hs = df.select(
-      col(idCol).as("id"),
-      shingleHashes(col(textCol), shingleSize).as("hs"))
-      .filter(size(col("hs")) > 0)
+    // r20: [[withExactGroups]] marks each row's exact-duplicate group
+    // (identical hs arrays) before anything else; signatures, banding, and
+    // candidate pairs run over REPRESENTATIVES only. The persisted frame
+    // carries rep/grpn so [[minhashLsh]] can fan verified pairs back out.
+    val hs = withExactGroups(
+      df.select(
+        col(idCol).as("id"),
+        shingleHashes(col(textCol), shingleSize).as("hs"))
+        .filter(size(col("hs")) > 0),
+      "id", Seq("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repsOnly = hs.filter(col("id") === col("rep"))
     // The k minhash permutations remix the base hash numerically (xxhash64
     // over (long, seed)) instead of re-hashing the string k times. The
     // signature is computed by explode → groupBy(id) with k min() aggregates
@@ -97,7 +190,7 @@ object Dedup {
     // expressions, while the exploded aggregation evaluates it once per
     // shingle and shuffles only (id, 8-byte hash) — also the plan shape that
     // scales: map-side partial min makes the shuffle |corpus|-sized.
-    val explodedHashes = hs.select(col("id"), explode(col("hs")).as("h"))
+    val explodedHashes = repsOnly.select(col("id"), explode(col("hs")).as("h"))
     val sig = explodedHashes.groupBy("id")
       .agg((0 until k).map(seed => min(xxhash64(col("h"), lit(seed))).as(s"m$seed")).head,
         (1 until k).map(seed => min(xxhash64(col("h"), lit(seed))).as(s"m$seed")): _*)
@@ -114,8 +207,20 @@ object Dedup {
     val banded = sig.select(
       col("id"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
-    val candidates = banded.select(col("band"), col("bh"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("bh"), col("id").as("id_b")), Seq("band", "bh"))
+    // r20 per-bucket cap (verdict #1b): a (band, bh) bucket of B members
+    // fans out C(B,2) pairs in ONE reducer task, so a degenerate bucket of
+    // near-identical-but-not-bit-identical members (exact replicas never
+    // reach here — collapsed above) is bounded to its `maxBucketSize`
+    // smallest ids. Deterministic (id order), and every materialization of
+    // a capped result logs the cut loudly via [[CapWarnings]].
+    val wb = Window.partitionBy(col("band"), col("bh")).orderBy(col("id"))
+    val ranked = banded.withColumn("__brank", row_number().over(wb))
+    val aSide = CapWarnings.observed(ranked, "__brank", maxBucketSize,
+        "minhashLsh band bucket (members/bucket)")
+      .filter(col("__brank") <= maxBucketSize)
+    val bSide = ranked.filter(col("__brank") <= maxBucketSize)
+    val candidates = aSide.select(col("band"), col("bh"), col("id").as("id_a"))
+      .join(bSide.select(col("band"), col("bh"), col("id").as("id_b")), Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
@@ -139,15 +244,25 @@ object Dedup {
       threshold: Double = 0.3,
       shingleSize: Int = 5,
       maxDocFreq: Int = 1000): DataFrame = {
-    val hs = df.select(
-      col(idCol).as("id"),
-      shingleHashes(col(textCol), shingleSize).as("hs"))
-      .filter(size(col("hs")) > 0)
+    // r20: exact-duplicate collapse, same device as [[minhashParts]]. One
+    // semantic shift, documented: `maxDocFreq` now counts a shingle's
+    // document frequency over DISTINCT shingle-sets — a 1 000-copy
+    // boilerplate cluster no longer pushes its own shingles over the hot
+    // threshold (which used to cost the ORIGINAL recall on exactly the
+    // pairs a dedup pipeline exists to find).
+    val hs = withExactGroups(
+      df.select(
+        col(idCol).as("id"),
+        shingleHashes(col(textCol), shingleSize).as("hs"))
+        .filter(size(col("hs")) > 0),
+      "id", Seq("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repsOnly = hs.filter(col("id") === col("rep"))
 
     // prefix = first (n − ⌈t·n⌉ + 1) sorted hashes; postings carry 16 bytes
     val prefLen = greatest(
       (size(col("hs")) - ceil(lit(threshold) * size(col("hs"))) + 1).cast("int"), lit(1))
-    val index = hs.select(explode(slice(col("hs"), lit(1), prefLen)).as("g"), col("id"))
+    val index = repsOnly.select(explode(slice(col("hs"), lit(1), prefLen)).as("g"), col("id"))
     val hot = index.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") > maxDocFreq)
     val cold = index.join(broadcast(hot), Seq("g"), "left_anti")
 
@@ -159,7 +274,10 @@ object Dedup {
       .join(hs.select(col("id").as("id_a"), col("hs").as("sh_a")), Seq("id_a"))
       .join(hs.select(col("id").as("id_b"), col("hs").as("sh_b")), Seq("id_b"))
 
-    verifyJaccard(pairs, threshold)
+    val repPairs = verifyJaccard(pairs, threshold)
+    val cross = expandRepPairs(repPairs, hs.select(col("rep"), col("id")), "jaccard")
+    if (threshold > 1.0) cross
+    else cross.unionByName(cliquePairs(hs, lit(1.0), "jaccard"))
   }
 
   /** SimHash near-duplicates: ALL pairs within Hamming distance `maxHamming`
@@ -202,13 +320,28 @@ object Dedup {
 
   /** Banding + verification over precomputed (id, h: long) simhashes —
     * separated so specs can plant hashes at exact Hamming distances.
+    *
+    * r20: rows with the SAME 64-bit simhash collapse to their min-id
+    * representative before banding (identical hashes share every index key,
+    * so an m-copy cluster used to put C(m,2) pairs in each of its
+    * C(blocks, h) buckets); member pairs fan back with the inherited
+    * hamming — within-group pairs at exactly h ⊕ h = 0.
     */
   def simhashPairsFromHashes(
-      h: DataFrame, maxHamming: Int, tableCap: Int = 64): DataFrame =
-    simhashCandidatesFromHashes(h, maxHamming, tableCap)
-      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      h: DataFrame, maxHamming: Int, tableCap: Int = 64): DataFrame = {
+    val base = withExactGroups(h.select(col("id"), col("h")), "id", Seq("h"))
+    val repPairs =
+      simhashCandidatesFromHashes(base.filter(col("id") === col("rep"))
+          .select("id", "h"), maxHamming, tableCap)
+        .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+        .filter(col("hamming") <= maxHamming)
+        .select("id_a", "id_b", "hamming")
+    val cross = expandRepPairs(repPairs, base.select(col("rep"), col("id")), "hamming")
+    // null hashes never pair in the uncollapsed scheme (null ⊕ null → null
+    // fails `<= maxHamming`), so their groups emit no cliques either
+    cross.unionByName(
+      cliquePairs(base.filter(col("h").isNotNull), bit_count(lit(0L)), "hamming"))
+  }
 
   /** Candidate pairs (pre popcount verification) — exposed for the scale
     * harness's candidate-growth measurements.
@@ -262,16 +395,28 @@ object Dedup {
       threshold: Double = 0.95,
       bits: Int = 12,
       bands: Int = 1): DataFrame = {
+    // r20: exact-duplicate vectors collapse to representatives before the
+    // signature pass — identical embeddings match EVERY band by
+    // construction, so an m-copy cluster used to contribute C(m,2)
+    // candidates per band to one bucket's reducer. Same fan-back contract
+    // as [[minhashLsh]]; within-group pairs carry the value the kernel
+    // itself yields on an identical pair (cosineSimilarity(v, v) — ≈1 but
+    // NOT forced to literal 1.0: sqrt rounding keeps it bit-equal to what
+    // the uncollapsed pipeline produced), evaluated once per group.
+    val base = withExactGroups(
+      df.select(col(idCol).as("id"), col(vecCol).as("v")), "id", Seq("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repsDf = base.filter(col("id") === col("rep")).select("id", "v")
     val keyed =
       if (bands <= 1)
-        Similarity.hyperplaneSignature(df, vecCol, idCol, bits)
+        Similarity.hyperplaneSignature(repsDf, "v", "id", bits)
           .select(col("id"), col("v"), lit(0).as("band"), col("bucket").as("key"))
-      else Similarity.hyperplaneBands(df, vecCol, idCol, bits, bands)
+      else Similarity.hyperplaneBands(repsDf, "v", "id", bits, bands)
     val sig = keyed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vecs = sig.select("id", "v").dropDuplicates("id")
     val a = sig.select(col("band"), col("key"), col("id").as("id_a"))
     val b = sig.select(col("band"), col("key"), col("id").as("id_b"))
-    a.join(b, Seq("band", "key"))
+    val repPairs = a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
@@ -279,6 +424,23 @@ object Dedup {
       .withColumn("cos", cosineSimilarity(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
+    val cross = expandRepPairs(repPairs, base.select(col("rep"), col("id")), "cos")
+    // per-group self-cosine through the SAME kernel and the SAME `>=`
+    // comparison (Spark NaN-ordering included: a zero-norm group's NaN
+    // self-cosine sorts above the threshold and pairs, exactly as the
+    // uncollapsed pipeline paired its identical members), evaluated once
+    // per group instead of once per member pair
+    val selfQual = base.filter(col("grpn") > 1).filter(col("id") === col("rep"))
+      .withColumn("selfcos", cosineSimilarity(col("v"), col("v")))
+      .filter(col("selfcos") >= threshold)
+      .select(col("rep"), col("selfcos"))
+    val m = base.select(col("rep"), col("id"))
+    val cliques = selfQual
+      .join(m.select(col("rep"), col("id").as("id_a")), Seq("rep"))
+      .join(m.select(col("rep"), col("id").as("id_b")), Seq("rep"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("selfcos").as("cos"))
+    cross.unionByName(cliques)
   }
 
   /** Connected components over a near-duplicate pair set: assigns every
@@ -454,9 +616,11 @@ object Dedup {
   def semDedup(
       df: DataFrame, vecCol: String, idCol: String,
       tau: Double = 0.95, kCells: Int = 0, iters: Int = 2,
-      trainFraction: Double = 1.0, keep: String = "minId"): DataFrame = {
+      trainFraction: Double = 1.0, keep: String = "minId",
+      maxCellReps: Int = 1 << 17): DataFrame = {
     require(keep == "minId" || keep == "centroidFar",
       s"keep must be minId or centroidFar: $keep")
+    val paper = keep == "centroidFar"
     val cent = Similarity.ivfTrain(df, vecCol, idCol,
       Similarity.resolveCells(df, kCells), iters, trainFraction)
     val idx0 = Similarity.ivfIndex(df, vecCol, idCol, cent)
@@ -466,43 +630,99 @@ object Dedup {
     // becomes (centroid_sim asc, id asc) lexicographic instead of plain id.
     // Ties (exact replicas have bit-equal sims) fall through to the id.
     val idx1 =
-      if (keep == "minId") idx0
+      if (!paper) idx0
       else idx0.join(broadcast(cent.select(col("cell"), col("c"))), Seq("cell"))
         .withColumn("sim", cosineSimilarity(col("v"), col("c"))).drop("c")
-    // r19 (q146 profile): two per-row costs were being paid per PAIR or per
-    // REFERENCE instead of once.
-    //  - The row norms were recomputed inside the cosine kernel for each of
-    //    the O(Σ cell²) pairs; they are per-ROW quantities — computed here
-    //    once, the pair filter reduces to one dot product and a division.
-    //    sqrt(Σx²) sums in the same element order the fused kernel used, so
-    //    dot/(sn_a·sn_b) is bit-equal to the old cosineSimilarity call and
-    //    every hash-checked oracle stands.
-    //  - The assignment index is consumed THREE times (both pair-join sides
-    //    and the survivor anti-join); unpersisted, each reference re-ran the
-    //    float→double cast + argmin assignment over the corpus (measured
-    //    ~1.1 s of q146's 2.8 s at sf1). The operator is already eager
-    //    (ivfTrain collects centroids per Lloyd iteration), and the paper's
-    //    own pipeline materializes the cluster assignment, so persisting it
-    //    is the intended shape — MEMORY_AND_DISK keeps the 100 TB case
-    //    spillable, and the entry is GC-cleaned with the returned frame.
+    // Per-row norms hoisted out of the pair kernel (r19, q146 profile):
+    // sqrt(Σx²) sums in the same element order the fused kernel used, so
+    // dot/(sn_a·sn_b) is bit-equal to the old cosineSimilarity call and
+    // every hash-checked oracle stands.
     val idx = idx1.withColumn("sn", l2Norm(col("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rank: Seq[Column] =
-      if (keep == "minId") Seq(col("id")) else Seq(col("sim"), col("id"))
-    def side(sfx: String) =
-      idx.select(col("cell") +: col("id").as(s"id$sfx") +: col("v").as(s"v$sfx") +:
-        col("sn").as(s"sn$sfx") +:
-        (if (keep == "minId") Seq.empty[Column]
-         else Seq(col("sim").as(s"sim$sfx"))): _*)
-    val earlier = // a precedes b in the keep order
-      if (keep == "minId") col("id_a") < col("id_b")
-      else col("sim_a") < col("sim_b") ||
-        (col("sim_a") === col("sim_b") && col("id_a") < col("id_b"))
-    val dropped = side("_a").join(side("_b"), Seq("cell"))
-      .filter(col("id_a") =!= col("id_b")).filter(earlier)
+
+    // ---- r20 (verdict #1a): EXACT-DUPLICATE COLLAPSE. --------------------
+    // The quadratic stage runs over one row per DISTINCT vector. This is
+    // value-preserving, not an approximation: cell, sn, sim, and every
+    // pairwise cosine are pure functions of the vector, so for any member m
+    // of group B the original rule "∃ row x in the cell, x ≠ m, x earlier
+    // than m in the keep order, cos(x, m) ≥ τ" decomposes exactly into
+    //   (a) x inside B:  cos = B's self-cosine; an earlier x exists iff
+    //       m is not B's min-id member (sims are bit-equal inside B, so
+    //       the keep order falls through to the id either way);
+    //   (b) x in another group A: cos(x, m) = cos(rep_A, rep_B), and A has
+    //       an earlier-than-m member iff rep_A is earlier than m (rep is
+    //       A's keep-order minimum — again because sims are bit-equal
+    //       inside A).
+    // So the survivor test needs only each group's self-cosine and the
+    // keep-order MINIMUM over its τ-neighbor groups' representatives — the
+    // witness is a min, so one aggregate per victim group replaces the
+    // distinct-over-pairs, and fan-back to members is a linear join.
+    // SemDeDup §2.2 collapses duplicates within ε-balls; representatives
+    // are semantics-preserving for it (here: bit-exact, per the above).
+    // Nothing is persisted (r19 verdict #3): the group aggregate's shuffle
+    // is one exchange whose subtree is identical under every consumer, so
+    // Spark's ReuseExchange materializes it once inside the caller's single
+    // action, and no MEMORY_AND_DISK entry outlives the operator
+    // (spec-asserted via getPersistentRDDs).
+    val keyCols = Seq("cell", "v", "sn") ++ (if (paper) Seq("sim") else Nil)
+    val g = idx.groupBy(keyCols.map(col): _*).agg(min(col("id")).as("rep"))
+    // the group's own content drops its non-representatives iff the SAME
+    // kernel expression the pair filter uses passes on (v, v) — usually
+    // ≈1 ≥ τ, but NOT forced: sqrt rounding and NaN ordering must match
+    // the uncollapsed pipeline bit-for-bit
+    val gSelf = g.withColumn("selfdup",
+      dotProduct(col("v"), col("v")) / (col("sn") * col("sn")) >= tau)
+
+    // r20 (verdict #1b): keep-order rank inside each cell bounds the pair
+    // stage — pairs whose EARLIER side ranks beyond `maxCellReps` are
+    // skipped (victims stay complete against every in-cap dropper), so a
+    // cell of n distinct vectors does at most maxCellReps·n cosine checks
+    // instead of C(n,2). Binding is loud ([[CapWarnings]]), never silent.
+    val keepOrder: Seq[Column] =
+      if (paper) Seq(col("sim"), col("rep")) else Seq(col("rep"))
+    val wCell = Window.partitionBy(col("cell")).orderBy(keepOrder.map(_.asc): _*)
+    val ranked = gSelf.withColumn("__crank", row_number().over(wCell))
+    val aSrc = CapWarnings.observed(ranked, "__crank", maxCellReps,
+        "semDedup cell (distinct vectors/cell, earlier pair side)")
+      .filter(col("__crank") <= maxCellReps)
+    def side(src: DataFrame, sfx: String) = src.select(
+      col("cell") +: col("rep").as(s"rep$sfx") +: col("v").as(s"v$sfx") +:
+        col("sn").as(s"sn$sfx") +: col("__crank").as(s"__crank$sfx") +:
+        (if (paper) Seq(col("sim").as(s"sim$sfx")) else Seq.empty[Column]): _*)
+    // each unordered group pair's cosine computed ONCE (rank_a < rank_b
+    // enumerates it exactly once); both directions then feed the witness
+    // aggregate, because a group later in the keep order can still drop a
+    // HIGH-id member of an earlier group
+    val cand = side(aSrc, "_a").join(side(ranked, "_b"), Seq("cell"))
+      .filter(col("__crank_a") < col("__crank_b"))
       .filter(dotProduct(col("v_a"), col("v_b")) /
         (col("sn_a") * col("sn_b")) >= tau)
-      .select(col("id_b").as("id")).distinct()
-    idx.join(dropped, Seq("id"), "left_anti").select(col("cell"), col("id"))
+    val nbrs =
+      if (!paper)
+        cand.select(col("rep_b").as("rep"), col("rep_a").as("nbr"))
+          .unionByName(cand.select(col("rep_a").as("rep"), col("rep_b").as("nbr")))
+      else
+        cand.select(col("rep_b").as("rep"),
+            struct(col("sim_a").as("nsim"), col("rep_a").as("nid")).as("nbr"))
+          .unionByName(cand.select(col("rep_a").as("rep"),
+            struct(col("sim_b").as("nsim"), col("rep_b").as("nid")).as("nbr")))
+    val minNbr =
+      if (!paper) nbrs.groupBy("rep").agg(min(col("nbr")).as("nbrId"))
+      else nbrs.groupBy("rep").agg(min(col("nbr")).as("n"))
+        .select(col("rep"), col("n.nsim").as("nbrSim"), col("n.nid").as("nbrId"))
+
+    // fan back: every corpus row joins its group's (rep, selfdup) and, if
+    // any, the keep-order-minimum τ-neighbor representative — then one
+    // per-member comparison decides survival; all linear, no distinct
+    val meta = gSelf.select(keyCols.map(col) :+ col("rep") :+ col("selfdup"): _*)
+    val laterThanNbr =
+      if (!paper) col("nbrId") < col("id")
+      else col("nbrSim") < col("sim") ||
+        (col("nbrSim") === col("sim") && col("nbrId") < col("id"))
+    val droppedPred = (col("selfdup") && col("id") =!= col("rep")) ||
+      (col("nbrId").isNotNull && laterThanNbr)
+    idx.join(meta, keyCols)
+      .join(minNbr, Seq("rep"), "left")
+      .filter(!droppedPred)
+      .select(col("cell"), col("id"))
   }
 }

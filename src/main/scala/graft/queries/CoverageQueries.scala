@@ -919,7 +919,7 @@ object CoverageQueries {
       val f = GraftFrame(Q.t(s, dir, "orders"))
         .rename("o_orderstatus" -> "status")
         .replaceValues("status", Map("O" -> "OPEN", "F" -> "FILLED", "P" -> "PARTIAL"))
-        .drop("o_comment", "o_clerk")
+        .drop("o_comment", "o_orderpriority")
         .addPrefix("t_")
       f.df.groupBy("t_status")
         .agg(count(lit(1)).as("n"), max(col("t_o_orderpriority")).as("top_pri"))
@@ -2086,6 +2086,30 @@ ORDER BY u.user_id""")),
           ROW_NUMBER() OVER (PARTITION BY o_custkey
             ORDER BY o_orderdate DESC, o_orderkey) AS rn
         FROM orders WHERE o_custkey % 10 = 3) WHERE rn = 1
-      ORDER BY o_orderdate DESC, o_orderkey"""))
+      ORDER BY o_orderdate DESC, o_orderkey""")),
+
+    QueryDef("q232_qualify_union", (s, dir) => {
+      // QUALIFY after a set operation (r20, closes the r19 refusal):
+      // ClickHouse scopes post-SELECT clauses written after a UNION arm to
+      // that ARM, so the rewrite wraps the last branch — here the second
+      // arm keeps the 2 lowest-keyed orders per priority band while the first arm
+      // passes through whole. Oracle: DuckDB's NATIVE QUALIFY with the
+      // branch parenthesized explicitly (the scoping made engine-neutral).
+      v(s, dir, "orders")
+      graft.engine.GraftSession(s).sql(
+        """SELECT o_orderkey, o_orderpriority FROM orders WHERE o_custkey % 100 = 7
+           UNION ALL SELECT o_orderkey, o_orderpriority
+           FROM orders WHERE o_custkey % 100 = 11
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+             ORDER BY o_orderkey) <= 2""")
+        // the trailing clauses above scope to the ARM (CH semantics), so
+        // the result-wide order is applied on the returned frame
+        .orderBy("o_orderkey")
+    }, Some("""(SELECT o_orderkey, o_orderpriority FROM orders WHERE o_custkey % 100 = 7)
+      UNION ALL
+      (SELECT o_orderkey, o_orderpriority FROM orders WHERE o_custkey % 100 = 11
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+         ORDER BY o_orderkey) <= 2)
+      ORDER BY o_orderkey"""))
   )
 }

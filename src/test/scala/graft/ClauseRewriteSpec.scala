@@ -264,12 +264,47 @@ class ClauseRewriteSpec extends SparkTestBase {
     // a QUALIFY inside a string literal is data
     assert(g.sql("SELECT 'QUALIFY rk = 1' AS s FROM cr_qual LIMIT 1")
       .head().getString(0) == "QUALIFY rk = 1")
-    // set operation ahead of QUALIFY refuses loudly
-    val e = intercept[UnsupportedOperationException] {
-      g.sql("""SELECT g FROM cr_qual UNION ALL SELECT g FROM cr_qual
+    // QUALIFY after a set operation scopes to the LAST branch (r20, was a
+    // refusal): the first arm contributes all 5 g values, the second arm
+    // is filtered to its single row_number-1 row
+    assert(g.sql("""SELECT g FROM cr_qual UNION ALL SELECT g FROM cr_qual
                QUALIFY ROW_NUMBER() OVER (ORDER BY g) = 1""")
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 1, 1, 2, 2, 2))
+    // … and the scoping recurses across several arms / INTERSECT too
+    assert(g.sql("""SELECT g FROM cr_qual WHERE g = 1
+               INTERSECT SELECT g FROM cr_qual
+               QUALIFY ROW_NUMBER() OVER (ORDER BY g) <= 2""")
+      .collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
+  test("TOP refusals: WITH TIES without ORDER BY, TOP ahead of a set op (r20 ADVICE)") {
+    import spark.implicits._
+    Seq((1, "a"), (2, "b")).toDF("k", "v").createOrReplaceTempView("cr_topg")
+    val e1 = intercept[UnsupportedOperationException] {
+      g.sql("SELECT TOP 2 WITH TIES k FROM cr_topg")
     }
-    assert(e.getMessage.contains("set operation"))
+    assert(e1.getMessage.contains("ORDER BY"))
+    val e2 = intercept[UnsupportedOperationException] {
+      g.sql("SELECT TOP 1 k FROM cr_topg UNION ALL SELECT k FROM cr_topg")
+    }
+    assert(e2.getMessage.contains("set operation"))
+    // subquery-level ORDER BY/UNION do not trip the top-level guards
+    assert(g.sql("""SELECT TOP 1 k FROM
+        (SELECT k FROM cr_topg UNION ALL SELECT k FROM cr_topg) ORDER BY k""")
+      .collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
+  test("DISTINCT ON: ORDER BY over a projection alias resolves (r20 ADVICE)") {
+    import spark.implicits._
+    Seq((1, 5), (1, 9), (2, 3), (2, 7)).toDF("gk", "x")
+      .createOrReplaceTempView("cr_don_alias")
+    // ClickHouse-legal: the alias y = x + 1 drives both the per-key pick
+    // and the final sort; the rewrite substitutes the aliased expression
+    // into the source-scope window/hidden columns
+    val rows = g.sql("""SELECT DISTINCT ON (gk) gk, x + 1 AS y
+        FROM cr_don_alias ORDER BY y DESC""")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(rows == Seq((1, 10), (2, 8)), rows.toString)
   }
 
   test("LIMIT n WITH TIES keeps every row tying with the n-th (r19)") {

@@ -44,9 +44,16 @@ object DedupScaleBench {
     graft.functions.GraftFunctions.register(spark)
 
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    // worst single-stage execution-memory footprint (sum of task peaks per
+    // stage, max over stages) — the number that blows up when a duplicate
+    // cluster concentrates quadratic pair work in one reducer (r19 #1)
+    val peakMem = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        peakMem.accumulateAndGet(
+          sc.stageInfo.taskMetrics.peakExecutionMemory, (a, b) => math.max(a, b))
+      }
     })
     // stage-completion events arrive asynchronously; drain before reading
     def drainAndRead(): Long = { Thread.sleep(400); shuffleBytes.get() }
@@ -55,13 +62,14 @@ object DedupScaleBench {
 
     def measure(op: String, factor: Int, n: Long)(body: => (Long, Long)): Unit = {
       if (!only.forall(_.contains(op))) return
-      drainAndRead(); shuffleBytes.set(0)
+      drainAndRead(); shuffleBytes.set(0); peakMem.set(0)
       val t0 = System.nanoTime()
       val (cand, out) = body
       val sec = (System.nanoTime() - t0) / 1e9
       val sb = drainAndRead()
       val line = f"""{"op":"$op","factor":$factor,"rows":$n,"candidates":$cand,""" +
-        f""""output_pairs":$out,"sec":$sec%.3f,"shuffle_bytes":$sb}"""
+        f""""output_pairs":$out,"sec":$sec%.3f,"shuffle_bytes":$sb,""" +
+        f""""peak_stage_mem_bytes":${peakMem.get()}}"""
       println(line); results += line
     }
 
@@ -86,14 +94,15 @@ object DedupScaleBench {
       val nEmb = emb.count()
 
       measure("minhash_lsh", f, nDocs) {
+        // candidates are REPRESENTATIVE-level since r20 (exact-duplicate
+        // collapse) — the honest pair-stage work metric; output counts the
+        // fanned-back member pairs, the same set the uncollapsed pipeline
+        // produced
         val (hs, cand) = graft.operators.Dedup
           .minhashParts(docs, "text", "doc_id", 3, 8, 2)
         val c = cand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nC = c.count()
-        val withSets = c
-          .join(hs.select(col("id").as("id_a"), col("hs").as("sh_a")), Seq("id_a"))
-          .join(hs.select(col("id").as("id_b"), col("hs").as("sh_b")), Seq("id_b"))
-        val out = graft.operators.Dedup.verifyJaccard(withSets, 0.5).count()
+        val out = graft.operators.Dedup.minhashFanBack(hs, c, 0.5).count()
         c.unpersist(); hs.unpersist()
         (nC, out)
       }
@@ -264,6 +273,80 @@ object DedupScaleBench {
       skewed.unpersist()
 
       docs.unpersist(); emb.unpersist()
+    }
+
+    // ---- r20 planted-cluster legs (verdict #1 "done" evidence) ----------
+    // A 1 000-copy duplicate cluster planted into the sf0.1 corpora — the
+    // boilerplate shape the replica fixtures exaggerate. EXACT copies must
+    // be absorbed by the collapse (candidates stay corpus-shaped; the
+    // C(1000,2)=499 500-pair clique appears only in the OUTPUT, generated
+    // without verification); NEAR copies (distinct one-token suffixes, the
+    // un-collapsible shape) must be bounded by the per-bucket cap, loudly.
+    if (only.forall(s => s.exists(_.startsWith("cluster_")))) {
+      val docs0 = Tables.load(spark, src, "documents")
+      val dSpan = docs0.agg(max("doc_id")).head().getLong(0) + 1
+      val boiler = "terms of service apply to all content on this site " +
+        "please review the privacy policy before continuing to use this site"
+      def planted(copies: Int, exact: Boolean): DataFrame = {
+        val extra = spark.range(copies).select(
+          (col("id") + dSpan).as("doc_id"),
+          (if (exact) lit(boiler)
+           else concat(lit(boiler), lit(" v"), col("id"))).as("text"))
+        docs0.select("doc_id", "text").unionByName(extra)
+      }
+      val exactDocs = planted(1000, exact = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nE = exactDocs.count()
+      measure("cluster_exact_minhash", 1, nE) {
+        val (hs, cand) = graft.operators.Dedup
+          .minhashParts(exactDocs, "text", "doc_id", 3, 8, 2)
+        val nC = cand.count() // rep-level: the 1 000-copy cluster is ONE rep
+        val out = graft.operators.Dedup.minhashFanBack(hs, cand, 0.5).count()
+        hs.unpersist()
+        (nC, out)
+      }
+      exactDocs.unpersist()
+
+      val nearDocs = planted(1000, exact = false)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nN = nearDocs.count()
+      measure("cluster_near_uncapped", 1, nN) {
+        val (hs, cand) = graft.operators.Dedup
+          .minhashParts(nearDocs, "text", "doc_id", 3, 8, 2, Int.MaxValue)
+        val nC = cand.count()
+        val out = graft.operators.Dedup.minhashFanBack(hs, cand, 0.5).count()
+        hs.unpersist()
+        (nC, out)
+      }
+      measure("cluster_near_capped100", 1, nN) {
+        val (hs, cand) = graft.operators.Dedup
+          .minhashParts(nearDocs, "text", "doc_id", 3, 8, 2, 100)
+        val nC = cand.count() // expect ≈ C(100,2)·families: the cap binds (and logs)
+        val out = graft.operators.Dedup.minhashFanBack(hs, cand, 0.5).count()
+        hs.unpersist()
+        (nC, out)
+      }
+      nearDocs.unpersist()
+
+      val emb0 = Tables.load(spark, src, "embeddings")
+      val vSpan = emb0.agg(max("vec_id")).head().getLong(0) + 1
+      val one = emb0.orderBy("vec_id").limit(1)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val clusterEmb = emb0.select("vec_id", "embedding").unionByName(
+        spark.range(1000).select((col("id") + vSpan).as("vec_id"),
+          array(one.map(x => lit(x)): _*).as("embedding")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nV = clusterEmb.count()
+      measure("cluster_exact_semdedup", 1, nV) {
+        // kCells pinned small so the cluster's cell is ALSO dense with
+        // distinct vectors — the adversarial layout; candidates = in-cell
+        // DISTINCT-vector pairs (the post-collapse pair-stage work)
+        val kept = graft.operators.Dedup
+          .semDedup(clusterEmb, "embedding", "vec_id", 0.95, kCells = 8)
+          .count()
+        (-1L, kept)
+      }
+      clusterEmb.unpersist()
     }
 
     println("=== dedup-scale summary ===")

@@ -158,6 +158,60 @@ class DedupSpec extends SparkTestBase {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 2L)))
   }
+
+  test("exact-duplicate collapse fans the full clique and cross pairs back (r20)") {
+    // a 5-copy exact cluster + one near-dup of it + one unrelated doc: the
+    // pair stage sees ONE representative for the cluster, but the member
+    // pair set must be complete — C(5,2) clique at jaccard exactly 1.0 and
+    // a (cluster member × near-dup) pair for EVERY member, with interleaved
+    // ids reordered so id_a < id_b
+    val boiler = "all rights reserved contact the site administrator for details"
+    val c = (Seq(2L, 4L, 9L, 11L, 30L).map(i => (i, boiler)) ++ Seq(
+      (7L, boiler + " thanks"), // near-dup INSIDE the id range of the cluster
+      (50L, "unrelated text about catalyst optimizer rules and exchanges")))
+      .toDF("id", "text")
+    val pairs = Dedup.minhashLsh(c, "text", "id", threshold = 0.5,
+        shingleSize = 3, bands = 8, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val members = Seq(2L, 4L, 9L, 11L, 30L)
+    for (Seq(a, b) <- members.combinations(2))
+      assert(pairs.get((a, b)).contains(1.0), s"clique pair ($a,$b): $pairs")
+    for (m <- members) {
+      val key = (math.min(m, 7L), math.max(m, 7L))
+      assert(pairs.contains(key) && pairs(key) < 1.0, s"cross pair $key: $pairs")
+    }
+    assert(pairs.size == 10 + 5) // nothing else — 50 pairs with no one
+    // simhash path: identical texts collapse too, cliques at hamming 0
+    val sh = Dedup.simhashPairs(c, "text", "id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    for (Seq(a, b) <- members.combinations(2))
+      assert(sh.get((a, b)).contains(0), s"simhash clique ($a,$b): $sh")
+    assert(!sh.keySet.exists(p => p._1 == 50L || p._2 == 50L))
+  }
+
+  test("minhash bucket cap binds LOUDLY on a near-dup cluster, never silently (r20)") {
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    // 8 NEAR-copies (distinct suffixes — un-collapsible) all land in shared
+    // band buckets; cap 3 truncates each bucket to its 3 smallest ids
+    val boiler = "please accept cookies to continue browsing this website today"
+    val near = (0 until 8).map(i => (i.toLong, s"$boiler v$i")).toDF("id", "text")
+    graft.operators.CapWarnings.truncatedTotal.set(0)
+    val capped = Dedup.minhashLsh(near, "text", "id", 0.5, 3, 8, 2, maxBucketSize = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    PlanBridge.waitForListenerBus(spark)
+    assert(graft.operators.CapWarnings.truncatedTotal.get() > 0,
+      "cap bound but no loud warning was observed")
+    val full = Dedup.minhashLsh(near, "text", "id", 0.5, 3, 8, 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(full) && capped.nonEmpty && capped.size < full.size)
+    // pairs among the kept (smallest-id) bucket members survive the cap
+    assert(capped.contains((0L, 1L)))
+    // and the default cap stays silent on a cap-free corpus
+    graft.operators.CapWarnings.truncatedTotal.set(0)
+    Dedup.minhashLsh(docs, "text", "id", 0.5, 3, 8, 2).count()
+    PlanBridge.waitForListenerBus(spark)
+    assert(graft.operators.CapWarnings.truncatedTotal.get() == 0)
+  }
 }
 
 class SimilaritySpec extends SparkTestBase {
@@ -236,6 +290,62 @@ class SimilaritySpec extends SparkTestBase {
     }
     assert(cos(Array(1.0f, 0.02f, 0.0f), cent) < cos(Array(1.0f, 0.30f, 0.0f), cent))
     assert(paper == Seq(11L, 30L))
+  }
+
+  test("semDedup collapse: interleaved-id exact groups drop exactly per the pair rule (r20)") {
+    // group A = {2, 40} (identical vectors), group B = {10} τ-close to A:
+    //  - 2 survives (nothing earlier);
+    //  - 10 is dropped by A (rep 2 < 10, cos ≥ τ);
+    //  - 40 is dropped by its own group's representative;
+    // and the asymmetric witness: B's rep (10) is LATER than A's rep but
+    // EARLIER than member 40 — the min-neighbor fan-back must not lose
+    // that direction either (here 40 is dropped by selfdup anyway, so add
+    // group C = {5, 6} with B earlier than C's members but later than
+    // nothing — 5 must fall to B's side of the witness)
+    val v1 = Array(1.0f, 0.0f, 0.0f)
+    val v2 = Array(0.99f, 0.10f, 0.0f)  // cos(v1,v2) ≈ 0.995 ≥ 0.95
+    val vs = Seq((2L, v1), (40L, v1), (10L, v2))
+      .toDF("vec_id", "embedding")
+    val kept = Dedup.semDedup(vs, "embedding", "vec_id",
+        tau = 0.95, kCells = 1, iters = 1)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L), s"kept $kept")
+    // later-group drops earlier-group's high member: A = {3}, B = {5, 6}
+    // with rep 5 > 3 — member 6 of B is dropped by A AND by its own rep;
+    // A itself survives (5 > 3 so B cannot drop A's only member)
+    val vs2 = Seq((3L, v2), (5L, v1), (6L, v1)).toDF("vec_id", "embedding")
+    val kept2 = Dedup.semDedup(vs2, "embedding", "vec_id",
+        tau = 0.95, kCells = 1, iters = 1)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept2 == Seq(3L), s"kept2 $kept2")
+  }
+
+  test("semDedup leaves NO persisted entries behind; cell cap binds loudly (r19 #3, r20)") {
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val outMin = Dedup.semDedup(vecs, "embedding", "vec_id",
+      tau = 0.95, kCells = 2, iters = 1).collect()
+    val outPaper = Dedup.semDedup(vecs, "embedding", "vec_id",
+      tau = 0.95, kCells = 2, iters = 1, keep = "centroidFar").collect()
+    assert(outMin.nonEmpty && outPaper.nonEmpty)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"semDedup left persisted RDDs behind: $leaked")
+    // cap = 1: only the keep-order-first group of each cell participates as
+    // the earlier pair side; with 0≈1 in one cell that still drops 1, but
+    // the truncation is observed and warned
+    graft.operators.CapWarnings.truncatedTotal.set(0)
+    val capped = Dedup.semDedup(vecs, "embedding", "vec_id",
+        tau = 0.95, kCells = 2, iters = 1, maxCellReps = 1)
+      .select("id").as[Long].collect().sorted.toSeq
+    PlanBridge.waitForListenerBus(spark)
+    assert(graft.operators.CapWarnings.truncatedTotal.get() > 0,
+      "cell cap bound but no loud warning was observed")
+    assert(!capped.contains(1L) && capped.contains(0L))
+    // uncapped runs stay silent
+    graft.operators.CapWarnings.truncatedTotal.set(0)
+    Dedup.semDedup(vecs, "embedding", "vec_id", 0.95, 2, 1).count()
+    PlanBridge.waitForListenerBus(spark)
+    assert(graft.operators.CapWarnings.truncatedTotal.get() == 0)
   }
 
   test("int8 quantization: codes bounded, round-trip error <= scale/2, cosine close") {
