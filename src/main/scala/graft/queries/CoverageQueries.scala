@@ -919,7 +919,7 @@ object CoverageQueries {
       val f = GraftFrame(Q.t(s, dir, "orders"))
         .rename("o_orderstatus" -> "status")
         .replaceValues("status", Map("O" -> "OPEN", "F" -> "FILLED", "P" -> "PARTIAL"))
-        .drop("o_comment", "o_orderpriority")
+        .drop("o_comment", "o_clerk")
         .addPrefix("t_")
       f.df.groupBy("t_status")
         .agg(count(lit(1)).as("n"), max(col("t_o_orderpriority")).as("top_pri"))

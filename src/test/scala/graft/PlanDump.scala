@@ -1,0 +1,52 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+import graft.queries.Queries
+
+/** Dump `.explain("formatted")` for bench queries to plans/<tag>/<name>_<suffix>.txt
+  * under the SAME session shape Bench uses at sf0.1 (AQE off, 8 shuffle
+  * partitions, in-memory tables), so the committed plan files show the plan
+  * the bench actually executes. Usage:
+  *   sbt "Test/runMain graft.PlanDump r20 before [nameFilter...]"
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val tag = if (args.length > 0) args(0) else "r20"
+    val suffix = if (args.length > 1) args(1) else "before"
+    val filters = args.drop(2).toSet
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.enableInMemory(cpus.toInt)
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings")
+      .foreach(Tables.load(spark, sfDir, _))
+    val dir = java.nio.file.Paths.get(s"plans/$tag")
+    java.nio.file.Files.createDirectories(dir)
+    val headline = Queries.all.filter(_.bench)
+      .filter(q => filters.isEmpty || filters(q.name))
+    headline.foreach { q =>
+      try {
+        val df = q.fn(spark, sfDir)
+        val plan = org.apache.spark.sql.graftbridge.PlanBridge
+          .formatted(df.queryExecution)
+        java.nio.file.Files.write(dir.resolve(s"${q.name}_$suffix.txt"),
+          plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        println(s"[plandump] ${q.name} -> plans/$tag/${q.name}_$suffix.txt")
+      } catch { case e: Throwable =>
+        println(s"[plandump] ${q.name} FAILED: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}
