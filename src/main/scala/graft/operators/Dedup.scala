@@ -213,14 +213,19 @@ object Dedup {
     // reach here — collapsed above) is bounded to its `maxBucketSize`
     // smallest ids. Deterministic (id order), and every materialization of
     // a capped result logs the cut loudly via [[CapWarnings]].
+    // ONE observed+capped frame self-joined (r20 perf): observing only one
+    // join side puts a CollectMetrics node in that side's subtree and not
+    // the other's, so the two sides stop canonicalizing identically and the
+    // whole shingle→signature→banding pipeline materializes TWICE. The same
+    // CollectMetrics node appearing on both sides of the self-join is one
+    // observation, and exchange reuse keeps the pipeline single-pass.
     val wb = Window.partitionBy(col("band"), col("bh")).orderBy(col("id"))
-    val ranked = banded.withColumn("__brank", row_number().over(wb))
-    val aSide = CapWarnings.observed(ranked, "__brank", maxBucketSize,
-        "minhashLsh band bucket (members/bucket)")
+    val capped = CapWarnings.observed(
+        banded.withColumn("__brank", row_number().over(wb)), "__brank",
+        maxBucketSize, "minhashLsh band bucket (members/bucket)")
       .filter(col("__brank") <= maxBucketSize)
-    val bSide = ranked.filter(col("__brank") <= maxBucketSize)
-    val candidates = aSide.select(col("band"), col("bh"), col("id").as("id_a"))
-      .join(bSide.select(col("band"), col("bh"), col("id").as("id_b")), Seq("band", "bh"))
+    val candidates = capped.select(col("band"), col("bh"), col("id").as("id_a"))
+      .join(capped.select(col("band"), col("bh"), col("id").as("id_b")), Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
@@ -623,28 +628,17 @@ object Dedup {
     val paper = keep == "centroidFar"
     val cent = Similarity.ivfTrain(df, vecCol, idCol,
       Similarity.resolveCells(df, kCells), iters, trainFraction)
-    val idx0 = Similarity.ivfIndex(df, vecCol, idCol, cent)
-    // keep="centroidFar" is the PAPER's rule (SemDeDup §2.2: within each
-    // ε-ball keep the example with LOWEST cosine similarity to the cluster
-    // centroid — the least-prototypical representative); the drop order
-    // becomes (centroid_sim asc, id asc) lexicographic instead of plain id.
-    // Ties (exact replicas have bit-equal sims) fall through to the id.
-    val idx1 =
-      if (!paper) idx0
-      else idx0.join(broadcast(cent.select(col("cell"), col("c"))), Seq("cell"))
-        .withColumn("sim", cosineSimilarity(col("v"), col("c"))).drop("c")
-    // Per-row norms hoisted out of the pair kernel (r19, q146 profile):
-    // sqrt(Σx²) sums in the same element order the fused kernel used, so
-    // dot/(sn_a·sn_b) is bit-equal to the old cosineSimilarity call and
-    // every hash-checked oracle stands.
-    val idx = idx1.withColumn("sn", l2Norm(col("v")))
 
-    // ---- r20 (verdict #1a): EXACT-DUPLICATE COLLAPSE. --------------------
-    // The quadratic stage runs over one row per DISTINCT vector. This is
-    // value-preserving, not an approximation: cell, sn, sim, and every
-    // pairwise cosine are pure functions of the vector, so for any member m
-    // of group B the original rule "∃ row x in the cell, x ≠ m, x earlier
-    // than m in the keep order, cos(x, m) ≥ τ" decomposes exactly into
+    // ---- r20 (verdict #1a): EXACT-DUPLICATE COLLAPSE, corpus-side FIRST. --
+    // Same eligibility as ivfIndex (clean array<double>), but the corpus is
+    // collapsed to one row per DISTINCT vector BEFORE any assignment work:
+    // cell, sn, sim, and every pairwise cosine are pure functions of the
+    // vector, so grouping by v alone partitions rows exactly as the old
+    // (cell, v, sn[, sim]) keys did, and computing those columns on the
+    // collapsed frame is bit-identical. This is value-preserving, not an
+    // approximation: for any member m of group B the original rule "∃ row x
+    // in the cell, x ≠ m, x earlier than m in the keep order, cos(x, m) ≥ τ"
+    // decomposes exactly into
     //   (a) x inside B:  cos = B's self-cosine; an earlier x exists iff
     //       m is not B's min-id member (sims are bit-equal inside B, so
     //       the keep order falls through to the id either way);
@@ -658,32 +652,62 @@ object Dedup {
     // distinct-over-pairs, and fan-back to members is a linear join.
     // SemDeDup §2.2 collapses duplicates within ε-balls; representatives
     // are semantics-preserving for it (here: bit-exact, per the above).
-    // Nothing is persisted (r19 verdict #3): the group aggregate's shuffle
-    // is one exchange whose subtree is identical under every consumer, so
-    // Spark's ReuseExchange materializes it once inside the caller's single
-    // action, and no MEMORY_AND_DISK entry outlives the operator
+    //
+    // Why collapse-first (r20 perf, the mid-round 4× regression): grouping
+    // AFTER assignment put the full k-means expression under every consumer
+    // subtree — the un-persisted pipeline (r19 verdict #3 removed the
+    // cache) re-ran the per-corpus-row assignment once per consumer, and
+    // the join planner's inferred isnotnull(cell) pushed the WHOLE
+    // assignment expression into one side's scan as a filter, breaking
+    // exchange reuse between the pair sides. Collapse-first leaves ONE
+    // corpus-sized exchange (keyed by v, map-side combined); assignment,
+    // norms and windows run over distinct vectors only, the pair sides
+    // share that subtree via ReuseExchange (cell is KnownNotNull — see
+    // Similarity.withCell — so no inferred filter splits them), and the
+    // fan-back re-reads the corpus WITHOUT any assignment work. Nothing is
+    // persisted: no MEMORY_AND_DISK entry outlives the operator
     // (spec-asserted via getPersistentRDDs).
-    val keyCols = Seq("cell", "v", "sn") ++ (if (paper) Seq("sim") else Nil)
-    val g = idx.groupBy(keyCols.map(col): _*).agg(min(col("id")).as("rep"))
-    // the group's own content drops its non-representatives iff the SAME
+    val e = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull && size(col("v")) > 0)
+    val g0 = e.groupBy("v").agg(min(col("id")).as("rep"))
+    val gCell = Similarity.withCell(g0, "v", cent)
+    // keep="centroidFar" is the PAPER's rule (SemDeDup §2.2: within each
+    // ε-ball keep the example with LOWEST cosine similarity to the cluster
+    // centroid — the least-prototypical representative); the drop order
+    // becomes (centroid_sim asc, id asc) lexicographic instead of plain id.
+    // Ties (exact replicas have bit-equal sims) fall through to the id.
+    val gSim =
+      if (!paper) gCell
+      else gCell.join(broadcast(cent.select(col("cell"), col("c"))), Seq("cell"))
+        .withColumn("sim", cosineSimilarity(col("v"), col("c"))).drop("c")
+    // Per-row norms hoisted out of the pair kernel (r19, q146 profile):
+    // sqrt(Σx²) sums in the same element order the fused kernel used, so
+    // dot/(sn_a·sn_b) is bit-equal to the old cosineSimilarity call and
+    // every hash-checked oracle stands.
+    // The group's own content drops its non-representatives iff the SAME
     // kernel expression the pair filter uses passes on (v, v) — usually
     // ≈1 ≥ τ, but NOT forced: sqrt rounding and NaN ordering must match
-    // the uncollapsed pipeline bit-for-bit
-    val gSelf = g.withColumn("selfdup",
-      dotProduct(col("v"), col("v")) / (col("sn") * col("sn")) >= tau)
+    // the uncollapsed pipeline bit-for-bit.
+    val gSelf = gSim.withColumn("sn", l2Norm(col("v")))
+      .withColumn("selfdup",
+        dotProduct(col("v"), col("v")) / (col("sn") * col("sn")) >= tau)
 
     // r20 (verdict #1b): keep-order rank inside each cell bounds the pair
     // stage — pairs whose EARLIER side ranks beyond `maxCellReps` are
     // skipped (victims stay complete against every in-cap dropper), so a
     // cell of n distinct vectors does at most maxCellReps·n cosine checks
     // instead of C(n,2). Binding is loud ([[CapWarnings]]), never silent.
+    // The observation wraps the SHARED ranked frame (not just the capped
+    // side): both join sides then consume one identical subtree, so the
+    // distinct-vector exchange materializes once (the same CollectMetrics
+    // node appearing at several points of the DAG is one observation).
     val keepOrder: Seq[Column] =
       if (paper) Seq(col("sim"), col("rep")) else Seq(col("rep"))
     val wCell = Window.partitionBy(col("cell")).orderBy(keepOrder.map(_.asc): _*)
-    val ranked = gSelf.withColumn("__crank", row_number().over(wCell))
-    val aSrc = CapWarnings.observed(ranked, "__crank", maxCellReps,
-        "semDedup cell (distinct vectors/cell, earlier pair side)")
-      .filter(col("__crank") <= maxCellReps)
+    val ranked = CapWarnings.observed(
+      gSelf.withColumn("__crank", row_number().over(wCell)), "__crank",
+      maxCellReps, "semDedup cell (distinct vectors/cell, earlier pair side)")
+    val aSrc = ranked.filter(col("__crank") <= maxCellReps)
     def side(src: DataFrame, sfx: String) = src.select(
       col("cell") +: col("rep").as(s"rep$sfx") +: col("v").as(s"v$sfx") +:
         col("sn").as(s"sn$sfx") +: col("__crank").as(s"__crank$sfx") +:
@@ -710,18 +734,23 @@ object Dedup {
       else nbrs.groupBy("rep").agg(min(col("nbr")).as("n"))
         .select(col("rep"), col("n.nsim").as("nbrSim"), col("n.nid").as("nbrId"))
 
-    // fan back: every corpus row joins its group's (rep, selfdup) and, if
-    // any, the keep-order-minimum τ-neighbor representative — then one
-    // per-member comparison decides survival; all linear, no distinct
-    val meta = gSelf.select(keyCols.map(col) :+ col("rep") :+ col("selfdup"): _*)
+    // fan back: the keep-order-minimum τ-neighbor joins the GROUP-level
+    // frame first (rep-keyed, one row per distinct vector — never the
+    // corpus), then every corpus row picks up its group's verdict columns
+    // BY VECTOR — one more plain corpus scan with no assignment work, and
+    // the only corpus-sized exchange of the fan-back; then one per-member
+    // comparison decides survival; all linear, no distinct
+    val meta = gSelf.select(
+      col("v") +: col("cell") +: col("rep") +: col("selfdup") +:
+        (if (paper) Seq(col("sim")) else Seq.empty[Column]): _*)
+      .join(minNbr, Seq("rep"), "left")
     val laterThanNbr =
       if (!paper) col("nbrId") < col("id")
       else col("nbrSim") < col("sim") ||
         (col("nbrSim") === col("sim") && col("nbrId") < col("id"))
     val droppedPred = (col("selfdup") && col("id") =!= col("rep")) ||
       (col("nbrId").isNotNull && laterThanNbr)
-    idx.join(meta, keyCols)
-      .join(minNbr, Seq("rep"), "left")
+    e.join(meta, Seq("v"))
       .filter(!droppedPred)
       .select(col("cell"), col("id"))
   }

@@ -203,16 +203,20 @@ object Similarity {
     var cent: Seq[(Int, Seq[Double])] =
       e.orderBy("id").limit(k).select("v").collect()
         .zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](0) }.toSeq
+    // per-dim means as ONE groupBy(cell) with dims avg aggregates (r20):
+    // the posexplode form shuffled corpus×dims rows through TWO exchanges
+    // per Lloyd pass; dims is known from the init centroids, so a flat
+    // array(avg(v[0]), …, avg(v[dims-1])) computes the same means with
+    // map-side partial aggregation, one exchange, and corpus-sized input.
+    // Same double-avg arithmetic per dimension → same centroid values.
+    val dims = cent.headOption.map(_._2.size).getOrElse(0)
     var it = 0
     while (it < iters) {
       val assigned = e.withColumn("cell",
         nearestCells(col("v"), cent, 1).getItem(0).getField("cell"))
       cent = assigned
-        .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
-        .groupBy("cell", "d").agg(avg(col("x")).as("m"))
         .groupBy("cell")
-        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
-          s => s.getField("m")).as("c"))
+        .agg(array((0 until dims).map(i => avg(col("v").getItem(i))): _*).as("c"))
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1))
         .sortBy(_._1).toSeq
       it += 1
@@ -234,7 +238,7 @@ object Similarity {
     * (k ≈ 32 at 64 dims) keeps codegen where it measurably wins and the
     * kernel everywhere scale matters.
     */
-  private[operators] val inlineCentroidLimit = 2048
+  private[operators] val inlineCentroidLimit = 0
 
   /** The `nProbe` nearest cells of `v` as a sorted array of
     * struct(dist, cell) — a PURE PROJECTION: assignment shuffles NOTHING
@@ -292,6 +296,23 @@ object Similarity {
         .getItem(0).getField("cell"))
       .select(col("cell"), col("id"), col("v"))
   }
+
+  /** Append the assignment column `cell` to a frame that already carries a
+    * clean `vecCol` (non-null, non-empty array<double>) — the same
+    * [[nearestCells]] head element [[ivfIndex]] computes, so assignments are
+    * bit-identical, but WITHOUT re-deriving id/eligibility (callers that
+    * collapse duplicate vectors first assign one row per DISTINCT vector).
+    * The column is wrapped [[ColumnBridge.knownNotNull]]: on a clean vector
+    * the head of a k≥1 sorted assignment array can never be null, and
+    * leaving it nullable makes join planning push an `isnotnull(<entire
+    * assignment expression>)` filter into the corpus scan (a second full
+    * per-row evaluation that also breaks exchange reuse — the r20 semDedup
+    * 4× regression).
+    */
+  private[graft] def withCell(df: DataFrame, vecCol: String, cent: DataFrame): DataFrame =
+    df.withColumn("cell",
+      org.apache.spark.sql.graftbridge.ColumnBridge.knownNotNull(
+        nearestCells(col(vecCol), centLocal(cent), 1).getItem(0).getField("cell")))
 
   /** Deterministic md5-bucket sample for quantizer training — the same
     * portable id-hash device as [[Curation.hashSplit]]: stable under

@@ -17,7 +17,8 @@ object Profile {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
@@ -34,10 +35,39 @@ object Profile {
     val q = Queries.all.find(_.name == name)
       .getOrElse(sys.error(s"no such query: $name"))
     if (showPlan) q.fn(spark, sfDir).explain("formatted")
+    // per-iteration job/stage accounting: at ms scale the fixed per-stage
+    // scheduling cost dominates, so the stage COUNT is the number to drive
+    // down (guide §1 measure-first; sched2 fingerprint ≈ 25 ms/stage here)
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val stages = new java.util.concurrent.atomic.AtomicLong
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    val stageLog = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(String, Long, Int)]())
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        taskMs.addAndGet(s.stageInfo.taskMetrics.executorRunTime)
+        stageLog.add((s.stageInfo.name.takeWhile(_ != '\n').take(90),
+          s.stageInfo.taskMetrics.executorRunTime, s.stageInfo.numTasks))
+      }
+    })
     (1 to iters).foreach { i =>
+      jobs.set(0); stages.set(0); taskMs.set(0); stageLog.clear()
       val t0 = System.nanoTime()
       q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(f"[profile] $name iter $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      val dt = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.sql.graftbridge.PlanBridge.waitForListenerBus(spark)
+      println(f"[profile] $name iter $i: $dt%.3f s  " +
+        f"(jobs=${jobs.get}, stages=${stages.get}, taskTime=${taskMs.get / 1000.0}%.2f s)")
+      if (i == iters) {
+        import scala.jdk.CollectionConverters._
+        stageLog.asScala.toSeq.sortBy(-_._2).take(8).foreach { case (n, ms, nt) =>
+          println(f"[profile]   stage ${ms / 1000.0}%7.2f s taskTime ($nt tasks): $n")
+        }
+      }
     }
     spark.stop()
   }

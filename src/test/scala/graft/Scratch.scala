@@ -8,6 +8,7 @@ object Scratch {
     // ovhprof runs BEFORE GraftSession.build: Spark allows one context per
     // JVM, so the profile session must be the first one constructed
     if (args.headOption.contains("ovhprof")) { ovhProf(args.drop(1)); return }
+    if (args.headOption.contains("semprof20")) { semProf20(args.drop(1)); return }
     val g = graft.engine.GraftSession.build("local[8]", 8)
     if (args.headOption.contains("r8drive")) { r8drive(g); g.spark.stop(); return }
     if (args.headOption.contains("fieldids")) { fieldIds(g); g.spark.stop(); return }
@@ -415,6 +416,63 @@ object Scratch {
     * sf dir: train+index vs the within-cell pair scan, and the pair scan
     * with/without carrying the vector arrays through the join output.
     */
+  // r20 micro-decomposition of the Lloyd pass that dominates q146: which of
+  // scan / kernel assignment / 64-avg aggregate carries the 1.9 s taskTime?
+  private def semProf20(args: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.enableInMemory(32)
+    val e0 = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    val planted = e0.filter(col("vec_id") < 20).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+    val df = e0.unionByName(planted)
+    val e = df.select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+      .filter(col("v").isNotNull && org.apache.spark.sql.functions.size(col("v")) > 0)
+    def time(label: String, reps: Int = 5)(f: => Any): Unit = {
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[semprof20] $label%-46s min=${ts.min}%6.3f s")
+    }
+    time("e.count (scan+cast+filter)") { e.count() }
+    val cent8 = (0 until 8).map(i => i -> Seq.tabulate(64)(d => (i * 64 + d) / 512.0))
+    val assigned = e.withColumn("cell",
+      graft.operators.Similarity.nearestCellsImpl(col("v"), cent8, 1, inline = false)
+        .getItem(0).getField("cell"))
+    time("assign(kernel k=8) + count agg") {
+      assigned.groupBy("cell").agg(count(lit(1))).collect()
+    }
+    time("assign(kernel k=8) + 64 avg aggs") {
+      assigned.groupBy("cell")
+        .agg(array((0 until 64).map(i => avg(col("v").getItem(i))): _*).as("c"))
+        .collect()
+    }
+    time("no assign, groupBy(id%8) + 64 avg aggs") {
+      e.groupBy((col("id") % 8).as("cell"))
+        .agg(array((0 until 64).map(i => avg(col("v").getItem(i))): _*).as("c"))
+        .collect()
+    }
+    time("assign(INLINE k=8) + count agg") {
+      e.withColumn("cell",
+        graft.operators.Similarity.nearestCellsImpl(col("v"), cent8, 1, inline = true)
+          .getItem(0).getField("cell"))
+        .groupBy("cell").agg(count(lit(1))).collect()
+    }
+    time("full ivfTrain k=8 iters=2") {
+      graft.operators.Similarity.ivfTrain(df, "embedding", "vec_id", 8, 2, 1.0).count()
+    }
+    spark.stop()
+  }
+
   private def semProf146(args: Seq[String]): Unit = {
     import org.apache.spark.sql.functions._
     val dir = args.headOption.getOrElse("/tmp/testdata-sf1")
