@@ -444,7 +444,8 @@ object Scratch {
       println(f"[semprof20] $label%-46s min=${ts.min}%6.3f s")
     }
     time("e.count (scan+cast+filter)") { e.count() }
-    val cent8 = (0 until 8).map(i => i -> Seq.tabulate(64)(d => (i * 64 + d) / 512.0))
+    val kk = args.lift(1).map(_.toInt).getOrElse(8)
+    val cent8 = (0 until kk).map(i => i -> Seq.tabulate(64)(d => (i * 64 + d) / 512.0))
     val assigned = e.withColumn("cell",
       graft.operators.Similarity.nearestCellsImpl(col("v"), cent8, 1, inline = false)
         .getItem(0).getField("cell"))
@@ -467,8 +468,8 @@ object Scratch {
           .getItem(0).getField("cell"))
         .groupBy("cell").agg(count(lit(1))).collect()
     }
-    time("full ivfTrain k=8 iters=2") {
-      graft.operators.Similarity.ivfTrain(df, "embedding", "vec_id", 8, 2, 1.0).count()
+    time("full ivfTrain k=kk iters=2") {
+      graft.operators.Similarity.ivfTrain(df, "embedding", "vec_id", kk, 2, 1.0).count()
     }
     spark.stop()
   }
