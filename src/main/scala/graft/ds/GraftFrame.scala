@@ -86,10 +86,19 @@ final case class GraftFrame(df: DataFrame) {
     */
   def betweenTime(tsCol: String, start: String, end: String,
       inclusive: String = "both"): GraftFrame = {
-    def norm(t: String): String =
-      if (t.count(_ == ':') == 1) t + ":00" else t
+    // Compare times at MICROSECOND precision (r20, surfaced by the sf0.1
+    // full-oracle run): "HH:mm:ss" formatting truncated sub-seconds, so a
+    // ts of 11:59:59.742 passed an inclusive 11:59:59 upper bound — pandas
+    // between_time (and the DuckDB oracle's CAST(ts AS TIME)) exclude it.
+    // Fixed-width "HH:mm:ss.SSSSSS" strings order exactly like the times.
+    def norm(t: String): String = {
+      val withSec = if (t.count(_ == ':') == 1) t + ":00" else t
+      if (withSec.contains('.'))
+        withSec.padTo(withSec.indexOf('.') + 7, '0')
+      else withSec + ".000000"
+    }
     val (s0, e0) = (norm(start), norm(end))
-    val t = date_format(col(tsCol), "HH:mm:ss")
+    val t = date_format(col(tsCol), "HH:mm:ss.SSSSSS")
     val (incLo, incHi) = inclusive match {
       case "both" => (true, true)
       case "neither" => (false, false)

@@ -27,10 +27,15 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Tables.enableInMemory(cpus.toInt)
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "documents", "embeddings")
-      .foreach(Tables.load(spark, sfDir, _))
+    // SPARK_GRAFT_MEMTABLES=false dumps the PARQUET-scan plans instead —
+    // the shape that shows PushedFilters/ReadSchema (guide §6), which the
+    // in-memory bench tables hide behind InMemoryTableScan
+    if (sys.env.getOrElse("SPARK_GRAFT_MEMTABLES", "true") == "true") {
+      Tables.enableInMemory(cpus.toInt)
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings")
+        .foreach(Tables.load(spark, sfDir, _))
+    }
     val dir = java.nio.file.Paths.get(s"plans/$tag")
     java.nio.file.Files.createDirectories(dir)
     val headline = Queries.all.filter(_.bench)

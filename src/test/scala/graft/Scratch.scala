@@ -9,6 +9,7 @@ object Scratch {
     // JVM, so the profile session must be the first one constructed
     if (args.headOption.contains("ovhprof")) { ovhProf(args.drop(1)); return }
     if (args.headOption.contains("semprof20")) { semProf20(args.drop(1)); return }
+    if (args.headOption.contains("bandprobe")) { bandProbe(); return }
     val g = graft.engine.GraftSession.build("local[8]", 8)
     if (args.headOption.contains("r8drive")) { r8drive(g); g.spark.stop(); return }
     if (args.headOption.contains("fieldids")) { fieldIds(g); g.spark.stop(); return }
@@ -416,6 +417,35 @@ object Scratch {
     * sf dir: train+index vs the within-cell pair scan, and the pair scan
     * with/without carrying the vector arrays through the join output.
     */
+  // r20: the Bench fingerprint probes alone (~30 s), so a session can check
+  // whether the machine is in a healthy scheduling epoch BEFORE spending a
+  // full bench run on it (healthy band on this host: sched2 ~44-60 ms).
+  private def bandProbe(): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val rdd = spark.sparkContext.parallelize(1 to 256, 32).map(i => (i % 8, 1))
+    (1 to 3).foreach(_ => rdd.reduceByKey(_ + _).count())
+    val sched = (1 to 10).map { _ =>
+      val t0 = System.nanoTime(); rdd.reduceByKey(_ + _).count()
+      (System.nanoTime() - t0) / 1e6
+    }.min
+    def work(): Long = {
+      var x = 0x9E3779B97F4A7C15L; var acc = 0L; var i = 0
+      while (i < 20000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; acc += x; i += 1 }
+      acc
+    }
+    (1 to 3).foreach(_ => work())
+    val cpu = (1 to 5).map { _ =>
+      val t0 = System.nanoTime(); work(); (System.nanoTime() - t0) / 1e6
+    }.min
+    println(f"[bandprobe] sched2=$sched%.1f ms cpu=$cpu%.1f ms " +
+      f"load=${scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ").take(3).mkString("/")}")
+    spark.stop()
+  }
+
   // r20 micro-decomposition of the Lloyd pass that dominates q146: which of
   // scan / kernel assignment / 64-avg aggregate carries the 1.9 s taskTime?
   private def semProf20(args: Seq[String]): Unit = {
