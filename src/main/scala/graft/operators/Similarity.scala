@@ -203,12 +203,17 @@ object Similarity {
     var cent: Seq[(Int, Seq[Double])] =
       e.orderBy("id").limit(k).select("v").collect()
         .zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](0) }.toSeq
-    // per-dim means as ONE groupBy(cell) with dims avg aggregates (r20):
-    // the posexplode form shuffled corpus×dims rows through TWO exchanges
-    // per Lloyd pass; dims is known from the init centroids, so a flat
-    // array(avg(v[0]), …, avg(v[dims-1])) computes the same means with
-    // map-side partial aggregation, one exchange, and corpus-sized input.
-    // Same double-avg arithmetic per dimension → same centroid values.
+    // per-dim means as ONE groupBy(cell) with dims SUM aggregates + one
+    // count (r20): the posexplode form shuffled corpus×dims rows through
+    // TWO exchanges per Lloyd pass; dims is known from the init centroids,
+    // so sum(v[i]) per dimension with map-side partial aggregation does the
+    // same in one exchange over corpus-sized input. Sums, NOT dims avg
+    // aggregates: Average carries a (sum, count) pair per function, and the
+    // measured wide-buffer aggregate cost tracks buffer width (64 avgs
+    // 0.44 s vs 64 sums + 1 count 0.25 s vs posexplode 0.22 s per pass at
+    // the bench point — semprof20); the division happens once on the
+    // driver. Bit-identical to avg: Spark's Average IS sum/count with the
+    // same partial-sum accumulation order.
     val dims = cent.headOption.map(_._2.size).getOrElse(0)
     var it = 0
     while (it < iters) {
@@ -216,8 +221,12 @@ object Similarity {
         nearestCells(col("v"), cent, 1).getItem(0).getField("cell"))
       cent = assigned
         .groupBy("cell")
-        .agg(array((0 until dims).map(i => avg(col("v").getItem(i))): _*).as("c"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1))
+        .agg(count(lit(1)).as("n"),
+          array((0 until dims).map(i => sum(col("v").getItem(i))): _*).as("s"))
+        .collect().map { r =>
+          val n = r.getLong(1).toDouble
+          r.getInt(0) -> r.getSeq[Double](2).map(_ / n)
+        }
         .sortBy(_._1).toSeq
       it += 1
     }

@@ -487,6 +487,10 @@ object Scratch {
         .agg(array((0 until 64).map(i => avg(col("v").getItem(i))): _*).as("c"))
         .collect()
     }
+    if (args.contains("explain"))
+      assigned.groupBy("cell")
+        .agg(array((0 until 64).map(i => avg(col("v").getItem(i))): _*).as("c"))
+        .explain("formatted")
     time("no assign, groupBy(id%8) + 64 avg aggs") {
       e.groupBy((col("id") % 8).as("cell"))
         .agg(array((0 until 64).map(i => avg(col("v").getItem(i))): _*).as("c"))
@@ -500,6 +504,21 @@ object Scratch {
     }
     time("full ivfTrain k=kk iters=2") {
       graft.operators.Similarity.ivfTrain(df, "embedding", "vec_id", kk, 2, 1.0).count()
+    }
+    time("Lloyd pass, posexplode shape (r19)") {
+      assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("cell", "d").agg(avg(col("x")).as("m"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+          s => s.getField("m")).as("c"))
+        .collect()
+    }
+    time("Lloyd pass, 64-sum+1-count shape") {
+      assigned.groupBy("cell")
+        .agg(count(lit(1)).as("n"),
+          array((0 until 64).map(i => sum(col("v").getItem(i))): _*).as("s"))
+        .collect()
     }
     spark.stop()
   }
