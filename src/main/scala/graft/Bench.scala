@@ -217,7 +217,7 @@ object Bench {
     // cb12 0.072 vs 0.120 s across two back-to-back idle runs), and a 50ms
     // swing is not contamination worth refusing a record over. Real load
     // contamination inflates by whole seconds.
-    val (prevName, prevTimes) = previousTimes(sfDir)
+    val (prevName, prevTimes) = previousTimes(sfDir, cpus)
     // Band normalization (r18 — the r17 driver record was a refusal from a
     // uniformly ~20% slower machine band even though nothing regressed; the
     // r16 verdict asked for a band-relative guard). The run's MEDIAN
@@ -260,6 +260,34 @@ object Bench {
     }
     val expectSlower = sys.env.getOrElse("SPARK_GRAFT_EXPECT_SLOWER", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    // r21 per-query escape valve (r20 verdict #3): the blanket auto
+    // band-accept waives ALL tripped queries at once, which is how cb23's
+    // one-off 0.420 s (4.5x its r19 time; the very next run measured
+    // 0.126 s) rode into the r20 record. A query whose band-NORMALIZED
+    // ratio exceeds 2.5x is beyond any plausible scheduling band — it gets
+    // up to 3 forced extra reruns (min kept), and one that STILL exceeds
+    // the valve is flagged loudly as "suspect":[...] in BOTH record copies
+    // so no later comparison can mistake it for a clean sample. Detection
+    // is [[bandSuspects]], a pure function, spec-tested with a planted
+    // slowdown.
+    var valveTries = 0
+    var valveSus = bandSuspects(resultMap.toMap, prevTimes, bandFactor, expectSlower)
+    while (valveSus.nonEmpty && valveTries < 3) {
+      valveTries += 1
+      System.err.println(s"[bench-valve] rerun $valveTries for " +
+        s"${valveSus.size} suspect (>2.5x band-normalized): ${valveSus.mkString(", ")}")
+      valveSus.foreach { n =>
+        headline.find(_.name == n).foreach { q =>
+          val t = once(q)
+          if (t >= 0 && t < resultMap(n)) resultMap(n) = t
+        }
+      }
+      valveSus = bandSuspects(resultMap.toMap, prevTimes, bandFactor, expectSlower)
+    }
+    val suspectsFinal = valveSus
+    if (suspectsFinal.nonEmpty)
+      System.err.println(s"[bench-valve] STILL >2.5x after $valveTries reruns — " +
+        s"recording as suspect: ${suspectsFinal.mkString(", ")}")
     reportDeltas(resultMap.toSeq, prevName, prevTimes)
     // Refusal criterion, calibrated on r13's idle-machine runs: every clean
     // run shows 1-2 sub-0.5s queries flapping 1.5-1.8x (a DIFFERENT pair
@@ -336,23 +364,44 @@ object Bench {
       else ""
     }
 
-    // Stdout seconds are rounded to 0.1 ms: the driver captures only a tail
-    // window of stdout, and 61 full-precision Double reprs outgrew it in r16
-    // (the driver's own re-run recorded "parsed": null). Sub-0.1ms digits are
-    // noise at this protocol's precision anyway. The FILE record keeps full
-    // precision.
-    def r4(t: Double): String =
-      if (t < 0) t.toString
-      else String.format(java.util.Locale.ROOT, "%.4f", Double.box(t))
-    val qs = resultMap.map { case (k, t) => "\"" + k + "\":" + r4(t) }.mkString("{", ",", "}")
+    // Stdout seconds are rounded to 1 ms WITH trailing zeros trimmed: the
+    // driver captures only the LAST 2000 CHARS of stdout (measured from the
+    // BENCH_r19/r20 wrappers — both carry exactly 2000 tail chars starting
+    // mid-line, "parsed": null), and the r20 line (~3.1 KB with load
+    // triples, band_vs and 0.1ms-precision seconds) outgrew it, so PERF_r20
+    // computed nothing (r20 verdict #1a). The 63-query map alone is ~1.7 KB
+    // at 3 decimals; trimming + dropping the load/settle fields from stdout
+    // leaves ~150 chars of headroom under the window after sbt's trailing
+    // "[success]" line. Sub-1ms digits are noise at this protocol's
+    // precision anyway. The FILE record keeps full precision and every
+    // dropped field.
+    def r3(t: Double): String =
+      if (t < 0) "-1"
+      else {
+        val s = String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
+        val trimmed = s.reverse.dropWhile(_ == '0').reverse
+        if (trimmed.endsWith(".")) trimmed + "0" else trimmed
+      }
+    val qs = resultMap.map { case (k, t) => "\"" + k + "\":" + r3(t) }.mkString("{", ",", "}")
     val qsFull = resultMap.map { case (k, t) => "\"" + k + "\":" + t }.mkString("{", ",", "}")
     val total = resultMap.values.filter(_ >= 0).sum
     val refused = contaminated.nonEmpty && bandAccept.isEmpty
+    // full-record flag keeps the complete band evidence; the STDOUT copy
+    // compacts it (the 2000-char window again) — the full reason is always
+    // in the bench_out.json record.
     val flag =
       if (contaminated.isEmpty) ""
       else if (bandAccept.nonEmpty)
         "\"band_note\":\"" + bandAccept.replaceAll("[\"\\\\]", "'") + "\","
       else "\"contaminated\":true,"
+    val flagCompact =
+      if (contaminated.isEmpty) ""
+      else if (bandAccept.nonEmpty)
+        f"""\"band_note\":\"band sched2=${schedLatMs}%.0fms\","""
+      else "\"contaminated\":true,"
+    val suspectFlag =
+      if (suspectsFinal.isEmpty) ""
+      else suspectsFinal.mkString("\"suspect\":[\"", "\",\"", "\"],")
     // A refused run must never masquerade as the round's record: lead the
     // JSON with "refused":true (the FIRST key — visible in any head/peek,
     // unlike an rc field buried after a 2KB tail; r15 verdict task 3) and
@@ -379,14 +428,16 @@ object Bench {
       prevTimes.get(n).collect { case p if p > 0 && t > 0 =>
         "\"" + n + "\":" + l2(t / (p * finalBand)) }
     }.mkString("{", ",", "}")
-    // TWO copies of the record (r16 verdict task 2 — the driver's tail
-    // capture of stdout outgrew the one-line record and its re-runs parsed
-    // null): stdout stays the one-JSON-line contract but COMPACT (rounded
-    // seconds, no peakMemBytes); the FULL record (full-precision seconds +
-    // peakMemBytes) goes to SPARK_GRAFT_BENCH_OUT (default bench_out.json)
-    // where no capture window can truncate it.
-    val line = s"""{$refusedFlag"metric":"total","value":${r4(total)},"unit":"sec",$flag$loadJson"queries":$qs,"sf":"$sfDir"}"""
-    val fullLine = s"""{$refusedFlag"metric":"total","value":$total,"unit":"sec",$flag$loadJson"queries":$qsFull,"peakMemBytes":$pm,"band_ratios":$bandRatios,"sf":"$sfDir"}"""
+    // TWO copies of the record (r16 verdict task 2; re-slimmed r21 after
+    // the driver's 2000-char tail window truncated the r19/r20 lines —
+    // verdict #1a): stdout stays the one-JSON-line contract but MINIMAL
+    // (trimmed 1ms seconds, probe fingerprints, band factor, cpus, queries,
+    // sf — no load triples / settle / band_vs / peakMemBytes /
+    // band_ratios); the FULL record (full-precision seconds + every
+    // diagnostic map) goes to SPARK_GRAFT_BENCH_OUT (default
+    // bench_out.json) where no capture window can truncate it.
+    val line = s"""{$refusedFlag"metric":"total","value":${r3(total)},"unit":"sec",$suspectFlag$flagCompact"sched2_ms":${l2(schedLatMs)},"cpu_ms":${l2(cpuScoreMs)},"band_factor":${l2(finalBand)},"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}"""
+    val fullLine = s"""{$refusedFlag"metric":"total","value":$total,"unit":"sec",$suspectFlag$flag$loadJson"cpus":$cpus,"queries":$qsFull,"peakMemBytes":$pm,"band_ratios":$bandRatios,"sf":"$sfDir"}"""
     println(line)
     def writeFile(path: String, content: String): Unit = try {
       java.nio.file.Files.write(java.nio.file.Paths.get(path),
@@ -409,12 +460,37 @@ object Bench {
     }
   }
 
-  /** Per-query seconds from the newest committed same-sf record:
+  /** Escape-valve predicate (r20 verdict #3), pure so the spec can plant a
+    * slowdown: queries whose band-NORMALIZED ratio vs the previous record
+    * exceeds `ratio` (2.5 — beyond any adjudicated scheduling band, which
+    * measured 1.2-1.35x) with a > 0.1 s absolute delta (sub-0.2 s queries
+    * flap tens of ms on scheduler noise alone). `waived` carries the
+    * SPARK_GRAFT_EXPECT_SLOWER declarations.
+    */
+  private[graft] def bandSuspects(
+      times: Map[String, Double], prev: Map[String, Double],
+      band: Double, waived: Set[String] = Set.empty,
+      ratio: Double = 2.5): Seq[String] =
+    times.toSeq.collect {
+      case (n, t) if !waived(n) && prev.get(n).exists(p =>
+        p > 0 && t > 0 && t / (p * band) > ratio && t - p * band > 0.1) => n
+    }.sorted
+
+  /** Per-query seconds from the newest committed same-(sf, cpus) record:
     * BENCH_r*_sf1.json when benching /…/sf1, else BENCH_r*.json (the
     * driver's sf0.1 rounds). Other sf dirs (local sf0.01 iteration) get no
     * baseline — the guard only compares like with like.
+    *
+    * r21 (verdict #1b): the family is additionally keyed by CPU COUNT — the
+    * driver's 8-core scaling run used to be gated against the 32-core
+    * record, trip >1.5x on every genuinely-parallel query, and exit rc=1
+    * (r20: the whole scaling block came back empty). A record whose "cpus"
+    * differs from this run's is not a baseline; records predating the field
+    * are all 32-core driver runs and default to 32. A low-core run
+    * therefore finds no baseline, runs ungated, and exits 0.
     */
-  private def previousTimes(sfDir: String): (String, Map[String, Double]) = try {
+  private def previousTimes(
+      sfDir: String, cpus: String): (String, Map[String, Double]) = try {
     // r20 (ADVICE): normalize the fixture-dir spelling BEFORE the match so
     // "testdata-sf0.1" and "sf0.1" share the BENCH_r\d+.json family (the
     // prefixed spelling used to fall through to a nonexistent
@@ -448,6 +524,11 @@ object Bench {
       val prev = benches(i)
       val src = scala.io.Source.fromFile(prev)
       val json = try src.mkString finally src.close()
+      // (sf, cpus) family keying: the driver wrapper carries "cpus": N at
+      // top level and the embedded line carries \"cpus\":N — either counts.
+      // Records predating the field are the 32-core driver rounds.
+      val recCpus = """\\?"cpus\\?"\s*:\s*(\d+)""".r
+        .findFirstMatchIn(json).map(_.group(1)).getOrElse("32")
       // scope extraction to the "queries":{...} object — the record also
       // carries "peakMemBytes":{...} with the SAME query names (r15), and a
       // whole-line scan would overwrite seconds with bytes. The driver wraps
@@ -455,7 +536,7 @@ object Bench {
       // escaped (\"); neither object nests braces.
       val queriesObj = """\\?"queries\\?"\s*:\s*\{([^}]*)\}""".r
         .findFirstMatchIn(json).map(_.group(1))
-      queriesObj.foreach { qo =>
+      if (recCpus == cpus) queriesObj.foreach { qo =>
         val pair = """\\?"([A-Za-z0-9_]+)\\?":\s*([-0-9.Ee]+)""".r
         val times = pair.findAllMatchIn(qo)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap - "value"

@@ -45,9 +45,29 @@ object PlanDump {
         val df = q.fn(spark, sfDir)
         val plan = org.apache.spark.sql.graftbridge.PlanBridge
           .formatted(df.queryExecution)
-        java.nio.file.Files.write(dir.resolve(s"${q.name}_$suffix.txt"),
+        // BEFORE-plans are round evidence and must stay immutable (the r20
+        // verdict caught the working-tree q146/q183 _before files
+        // regenerated AFTER the fix — the genuine before survived only in
+        // git history). An existing _before.txt is never overwritten; a
+        // re-dump lands in a versioned sibling (_before_v2.txt, _v3, …).
+        val target = {
+          val first = dir.resolve(s"${q.name}_$suffix.txt")
+          if (suffix != "before" || !java.nio.file.Files.exists(first)) first
+          else {
+            var v = 2
+            var cand = dir.resolve(s"${q.name}_${suffix}_v$v.txt")
+            while (java.nio.file.Files.exists(cand)) {
+              v += 1
+              cand = dir.resolve(s"${q.name}_${suffix}_v$v.txt")
+            }
+            System.err.println(s"[plandump] ${q.name}_$suffix.txt exists — " +
+              s"keeping it immutable, writing ${cand.getFileName}")
+            cand
+          }
+        }
+        java.nio.file.Files.write(target,
           plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        println(s"[plandump] ${q.name} -> plans/$tag/${q.name}_$suffix.txt")
+        println(s"[plandump] ${q.name} -> plans/$tag/${target.getFileName}")
       } catch { case e: Throwable =>
         println(s"[plandump] ${q.name} FAILED: ${e.getMessage}")
       }
