@@ -44,6 +44,22 @@ object GraftFunctions {
   def l2Distance(a: Column, b: Column): Column =
     ColumnBridge.column(L2Dist(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Lloyd recompute aggregate ([[agg.VecSumCount]]): struct(n, s) =
+    * (row count, element-wise sums) of a uniform-`dims` numeric array in
+    * ONE buffer — the 65-DeclarativeAggregate spelling fell out of
+    * whole-stage codegen and paid ~65 interpreted evals per row.
+    */
+  def vecSumCount(v: Column, dims: Int): Column =
+    ColumnBridge.column(graft.functions.agg.VecSumCount(
+      ColumnBridge.expression(v), dims).toAggregateExpression())
+
+  /** 16-byte canonical content digest of a numeric array
+    * ([[ArrayDigest128]]) — digest-equality partitions rows exactly as
+    * groupBy(<the array>) does, at a fixed-width shuffle key cost.
+    */
+  def arrayDigest(a: Column): Column =
+    ColumnBridge.column(ArrayDigest128(ColumnBridge.expression(a)))
+
   /** Lowercased word tokens (the reference's alphaTokens-style split) —
     * single-pass codegen scan ([[Tokenize]]), semantics identical to
     * `filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)`.

@@ -360,6 +360,87 @@ case class NearestCells(child: Expression, cells: Seq[Int],
     copy(child = c)
 }
 
+/** 128-bit content digest of a numeric array — the fixed-width stand-in
+  * for "group/join by the array VALUES" at scale (r20 verdict #2: semDedup's
+  * collapse keyed its corpus-sized exchanges on the raw array<double> — 512 B
+  * of key per row, hashed and compared element-wise; the digest
+  * shuffles/sorts 16 bytes and lets the fan-back join drop the vector from
+  * the shuffle entirely). Element bits are canonicalized exactly the way
+  * Spark's NormalizeFloatingNumbers canonicalizes float grouping keys
+  * (−0.0 → +0.0 via the ==0 check; every NaN → the canonical quiet NaN via
+  * doubleToLongBits/floatToIntBits), and null elements occupy their own
+  * position-slot domain, so digest-equality partitions rows exactly as
+  * groupBy(<array>) does. Two independently-seeded murmur-finalizer lanes
+  * over position-mixed element bits + the length → ~2⁻¹²⁸ pairwise collision
+  * probability, the same class of guarantee as the md5(text) grouping key
+  * the exact-dedup family already stands on (Dedup.exactKeepFirst).
+  */
+case class ArrayDigest128(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+    z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+    z ^ (z >>> 33)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("arrayDigest", this, classOf[ArrayDigest128].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  /** The kernel — shared verbatim by interpreted eval and generated code. */
+  def compute(v: ArrayData): Array[Byte] = {
+    val et = child.dataType.asInstanceOf[ArrayType].elementType
+    val n = v.numElements()
+    var h1 = 0x87c37b91114253d5L
+    var h2 = 0x4cf5ad432745937fL
+    var i = 0
+    while (i < n) {
+      // value slots are even, null slots odd — a null element can never
+      // collide with any value's bit pattern
+      val (slot, bits) =
+        if (v.isNullAt(i)) (2L * i + 1, 0L)
+        else (2L * i, et match {
+          case DoubleType =>
+            val x = v.getDouble(i)
+            if (x == 0.0) 0L else java.lang.Double.doubleToLongBits(x)
+          case FloatType =>
+            val x = v.getFloat(i)
+            if (x == 0.0f) 0L else java.lang.Float.floatToIntBits(x).toLong
+          case LongType => v.getLong(i)
+          case IntegerType => v.getInt(i).toLong
+          case ShortType => v.getShort(i).toLong
+          case other =>
+            throw new IllegalArgumentException(s"non-numeric vector element: $other")
+        })
+      val m = mix64(bits + 0x9E3779B97F4A7C15L * slot)
+      h1 = mix64(h1 ^ m)
+      h2 = mix64(h2 + m)
+      i += 1
+    }
+    h1 = mix64(h1 ^ n)
+    h2 = mix64(h2 + n)
+    val out = new Array[Byte](16)
+    var j = 0
+    while (j < 8) {
+      out(j) = (h1 >>> (56 - 8 * j)).toByte
+      out(j + 8) = (h2 >>> (56 - 8 * j)).toByte
+      j += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): ArrayDigest128 =
+    copy(child = c)
+}
+
 /** √Σ(aᵢ−bᵢ)². */
 case class L2Dist(left: Expression, right: Expression) extends VectorKernel {
   override def compute(va: ArrayData, vb: ArrayData): Double = {

@@ -17,6 +17,15 @@ import org.apache.spark.sql.functions._
   * ride the caller's own execution, the same device as `Observation`), and
   * the warning repeats on every materialization so a capped result can never
   * masquerade as a complete one.
+  *
+  * Count semantics (r21, ADVICE): the truncated count is PER
+  * MATERIALIZATION of the observed subtree. Operators deliberately share
+  * one observed frame across both sides of a self-join so the subtree
+  * materializes (and counts) once via exchange reuse — but if the planner
+  * ever fails to reuse it (AQE variations, future plan changes), the
+  * subtree executes twice and the warning OVERCOUNTS the cut rows. The
+  * "loud, never silent" contract is unaffected: a cap that binds always
+  * warns; only the row count may be a small multiple.
   */
 private[graft] object CapWarnings {
   private val seq = new AtomicLong()

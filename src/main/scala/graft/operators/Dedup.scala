@@ -54,12 +54,26 @@ object Dedup {
     * yields on equal inputs — no candidate generation, no verification, no
     * wide arrays on the shuffle for any of them.
     *
-    * One keyed window, no join; grouping is on the VALUES themselves, not
-    * a digest, so collapse can never merge two distinct contents. Adds
-    * `rep` (group minimum id) and `grpn` (group size) to every row.
+    * One keyed window, no join. Scalar keys (the 64-bit simhash) partition
+    * the window directly; ARRAY keys (shingle-hash sets, embedding
+    * vectors) partition by their 16-byte canonical digest
+    * ([[graft.functions.GraftFunctions.arrayDigest]], r21) — the window's
+    * corpus-sized exchange then hashes/sorts a fixed-width key instead of
+    * the raw array (a shingle set is hundreds of longs, an embedding 512 B;
+    * at 100 TB the array-keyed sort dominates). Digest-equality partitions
+    * rows exactly as the raw values do (the kernel canonicalizes ±0.0/NaN
+    * the way Spark's own float-key normalization does; 128 bits is the
+    * same collision class as the md5 key [[exactKeepFirst]] stands on).
+    * Adds `rep` (group minimum id) and `grpn` (group size) to every row.
     */
   private def withExactGroups(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*)
+    val parts = keyCols.map { c =>
+      df.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.ArrayType => arrayDigest(col(c))
+        case _ => col(c)
+      }
+    }
+    val w = Window.partitionBy(parts: _*)
     df.withColumn("rep", min(col(idCol)).over(w))
       .withColumn("grpn", count(lit(1)).over(w))
   }
@@ -667,9 +681,38 @@ object Dedup {
     // fan-back re-reads the corpus WITHOUT any assignment work. Nothing is
     // persisted: no MEMORY_AND_DISK entry outlives the operator
     // (spec-asserted via getPersistentRDDs).
+    // r21 (verdict #2): the collapse and the fan-back key on a 16-byte
+    // CANONICAL DIGEST of the vector ([[graft.functions.GraftFunctions
+    // .arrayDigest]]) instead of the raw array<double>. Digest-equality
+    // partitions rows exactly as groupBy(v) did (the kernel canonicalizes
+    // ±0.0/NaN the way Spark's NormalizeFloatingNumbers canonicalizes
+    // array grouping keys; 128 bits ≈ the md5 key exactKeepFirst stands
+    // on), so the grouping — and therefore every downstream value — is
+    // unchanged, while the corpus-sized exchanges hash/sort/compare a
+    // fixed-width key (at 100 TB the 512 B/row vector-keyed shuffle was
+    // the dominant projected cost) and the fan-back exchange sheds the
+    // vector payload entirely: it ships (id, digest) and nothing else.
+    // knownNotNull on the digest, same device (and same reason) as
+    // Similarity.withCell's assignment column: the digest of an already-
+    // null-filtered vector can never be null, and leaving it nullable makes
+    // join planning push an isnotnull(arraydigest128(cast(...))) filter
+    // into both corpus scans — a second full digest+cast evaluation per row
+    // that also breaks canonicalization between the collapse side and the
+    // fan-back side (measured: +2 Exchange, −2 ReusedExchange).
     val e = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .filter(col("v").isNotNull && size(col("v")) > 0)
-    val g0 = e.groupBy("v").agg(min(col("id")).as("rep"))
+      .select(col("id"), col("v"),
+        org.apache.spark.sql.graftbridge.ColumnBridge.knownNotNull(
+          arrayDigest(col("v"))).as("dig"))
+    // min_by, NOT first: First is flagged non-deterministic (order-
+    // dependent), which poisons the whole subtree's canonicalization — the
+    // grouped exchange stops being reused across the pair sides and the
+    // fan-back (measured: +2 Exchange, −2 ReusedExchange, task time 2×).
+    // min_by(v, id) is deterministic and picks the REPRESENTATIVE's vector,
+    // which is also bit-wise the value the old groupBy(v) key carried for
+    // the group (members are elementwise-equal by construction).
+    val g0 = e.groupBy("dig").agg(min(col("id")).as("rep"),
+      min_by(col("v"), col("id")).as("v"))
     val gCell = Similarity.withCell(g0, "v", cent)
     // keep="centroidFar" is the PAPER's rule (SemDeDup §2.2: within each
     // ε-ball keep the example with LOWEST cosine similarity to the cluster
@@ -737,11 +780,12 @@ object Dedup {
     // fan back: the keep-order-minimum τ-neighbor joins the GROUP-level
     // frame first (rep-keyed, one row per distinct vector — never the
     // corpus), then every corpus row picks up its group's verdict columns
-    // BY VECTOR — one more plain corpus scan with no assignment work, and
-    // the only corpus-sized exchange of the fan-back; then one per-member
-    // comparison decides survival; all linear, no distinct
+    // BY DIGEST — one more plain corpus scan with no assignment work, and
+    // the only corpus-sized exchange of the fan-back, carrying (id, 16 B
+    // digest) and no vector; then one per-member comparison decides
+    // survival; all linear, no distinct
     val meta = gSelf.select(
-      col("v") +: col("cell") +: col("rep") +: col("selfdup") +:
+      col("dig") +: col("cell") +: col("rep") +: col("selfdup") +:
         (if (paper) Seq(col("sim")) else Seq.empty[Column]): _*)
       .join(minNbr, Seq("rep"), "left")
     val laterThanNbr =
@@ -750,7 +794,7 @@ object Dedup {
         (col("nbrSim") === col("sim") && col("nbrId") < col("id"))
     val droppedPred = (col("selfdup") && col("id") =!= col("rep")) ||
       (col("nbrId").isNotNull && laterThanNbr)
-    e.join(meta, Seq("v"))
+    e.select(col("id"), col("dig")).join(meta, Seq("dig"))
       .filter(!droppedPred)
       .select(col("cell"), col("id"))
   }

@@ -203,29 +203,42 @@ object Similarity {
     var cent: Seq[(Int, Seq[Double])] =
       e.orderBy("id").limit(k).select("v").collect()
         .zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](0) }.toSeq
-    // per-dim means as ONE groupBy(cell) with dims SUM aggregates + one
-    // count (r20): the posexplode form shuffled corpus×dims rows through
-    // TWO exchanges per Lloyd pass; dims is known from the init centroids,
-    // so sum(v[i]) per dimension with map-side partial aggregation does the
-    // same in one exchange over corpus-sized input. Sums, NOT dims avg
-    // aggregates: Average carries a (sum, count) pair per function, and the
-    // measured wide-buffer aggregate cost tracks buffer width (64 avgs
-    // 0.44 s vs 64 sums + 1 count 0.25 s vs posexplode 0.22 s per pass at
-    // the bench point — semprof20); the division happens once on the
-    // driver. Bit-identical to avg: Spark's Average IS sum/count with the
-    // same partial-sum accumulation order.
+    // per-dim means as ONE groupBy(cell) with ONE [[GraftFunctions
+    // .vecSumCount]] aggregate (r21): r20's `count + dims × sum(v[i])`
+    // spelling beat the r19 posexplode shape on exchanges (one instead of
+    // two per pass) but its 65 separate DeclarativeAggregates pushed the
+    // HashAggregate out of whole-stage codegen — the update path ran ~65
+    // interpreted expression evals per row (~110 µs/row measured; the
+    // largest single component of the q146 bench time). The kernel
+    // aggregate keeps the one-exchange shape and does one virtual call +
+    // 64 primitive adds per row; partial/merge structure is identical to
+    // Sum's, so values match wherever the sums shape's did (and for
+    // float-derived corpora the double sums are exact, hence order-free).
+    // The division still happens once on the driver.
+    //
+    // PRECONDITION (r21, ADVICE): sum/count equals avg only for
+    // UNIFORM-LENGTH, null-element-free vectors — avg divides by the
+    // per-dim non-null count, this code by the cell's row count. The
+    // uniformity half is ENFORCED: Lloyd trains on rows whose length
+    // matches the init vectors' dims (a ragged row used to contribute its
+    // prefix dims under r19's posexplode and an under-length null tail
+    // under r20's — neither is a defensible "mean"; every declared corpus
+    // is uniform, so nothing observable changes). A null ELEMENT inside a
+    // matching-length vector fails loudly inside the kernel instead of
+    // NPE-ing on Seq[Double] unboxing at collect.
     val dims = cent.headOption.map(_._2.size).getOrElse(0)
+    val eTrain = e.filter(size(col("v")) === dims)
     var it = 0
     while (it < iters) {
-      val assigned = e.withColumn("cell",
+      val assigned = eTrain.withColumn("cell",
         nearestCells(col("v"), cent, 1).getItem(0).getField("cell"))
       cent = assigned
         .groupBy("cell")
-        .agg(count(lit(1)).as("n"),
-          array((0 until dims).map(i => sum(col("v").getItem(i))): _*).as("s"))
+        .agg(vecSumCount(col("v"), dims).as("sc"))
         .collect().map { r =>
-          val n = r.getLong(1).toDouble
-          r.getInt(0) -> r.getSeq[Double](2).map(_ / n)
+          val sc = r.getStruct(1)
+          val n = sc.getLong(0).toDouble
+          r.getInt(0) -> sc.getSeq[Double](1).map(_ / n)
         }
         .sortBy(_._1).toSeq
       it += 1
@@ -235,17 +248,19 @@ object Similarity {
 
   /** Above this many total centroid doubles (k·dims), assignment switches
     * from per-centroid unrolled literal expressions to the
-    * [[graft.functions.NearestCells]] tight-loop kernel. The unrolled form
-    * is whole-stage-codegen'd and fine for SMALL k, but its cost is NOT
-    * linear in work: k struct constructions + an array_sort of k structs
-    * per row. MEASURED r11 (k≈800, dims 64, 100 k rows, local[8]): inline
-    * 621 s vs kernel 5.3 s — ~120×. The original gate of 50 000 (set for
-    * Janino codegen limits, r10 watch item #1) was ~25× too high: the r11
-    * sem_dedup 50× scale leg trained k=800 but Lloyd's empty-cell drop
-    * left k·dims just UNDER the gate, and the leg burned 525 s in the
-    * inline path (the probe that caught it is Scratch.ncPlan). 2048
-    * (k ≈ 32 at 64 dims) keeps codegen where it measurably wins and the
-    * kernel everywhere scale matters.
+    * [[graft.functions.NearestCells]] tight-loop kernel. History: the gate
+    * started at 50 000 (Janino codegen limits, r10), was cut to 2048 after
+    * the r11 measurement (k≈800, dims 64, 100 k rows, local[8]: inline
+    * 621 s vs kernel 5.3 s — the unrolled form's k struct constructions +
+    * array_sort of k structs per row are NOT linear in work), and r20
+    * RETIRED the inline path entirely (limit 0): re-measured at the bench
+    * point, the kernel won or tied at every centroid count including k=8
+    * (the unrolled higher-order-function literals never enter whole-stage
+    * codegen), so the inline branch now runs only for the degenerate
+    * empty-centroid table. The branch itself is kept because
+    * [[nearestCellsImpl]]'s bit-identity contract (inline ≡ kernel) is what
+    * the spec asserts the kernel AGAINST — it is the executable
+    * specification, not a production path.
     */
   private[operators] val inlineCentroidLimit = 0
 
@@ -318,10 +333,19 @@ object Similarity {
     * per-row evaluation that also breaks exchange reuse — the r20 semDedup
     * 4× regression).
     */
-  private[graft] def withCell(df: DataFrame, vecCol: String, cent: DataFrame): DataFrame =
+  private[graft] def withCell(df: DataFrame, vecCol: String, cent: DataFrame): DataFrame = {
+    val local = centLocal(cent)
+    // r21 (ADVICE): KnownNotNull below ASSERTS "head of a k≥1 assignment
+    // array" — check the k≥1 half instead of leaving an empty centroid
+    // table (possible when trainFraction sampling selects no rows) to
+    // whatever analysis/codegen does with a false not-null assertion.
+    require(local.nonEmpty,
+      "withCell: empty centroid table (ivfTrain over an empty corpus or a " +
+        "trainFraction that sampled no rows?) — cannot assign cells")
     df.withColumn("cell",
       org.apache.spark.sql.graftbridge.ColumnBridge.knownNotNull(
-        nearestCells(col(vecCol), centLocal(cent), 1).getItem(0).getField("cell")))
+        nearestCells(col(vecCol), local, 1).getItem(0).getField("cell")))
+  }
 
   /** Deterministic md5-bucket sample for quantizer training — the same
     * portable id-hash device as [[Curation.hashSplit]]: stable under

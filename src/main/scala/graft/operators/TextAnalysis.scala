@@ -297,14 +297,28 @@ object TextAnalysis {
   def lmScore(docs: DataFrame, lm: DataFrame, textCol: String, idCol: String,
       alpha: Double = 0.5): DataFrame = {
     require(alpha > 0, s"alpha must be positive: $alpha")
-    val head = lm.agg(sum("cnt"), count(lit(1))).head()
-    require(!head.isNullAt(0),
+    // r21 (perf): the model materializes to the DRIVER once and every
+    // consumer builds from that LocalRelation. The old shape executed the
+    // whole train pipeline TWICE per run — once under lm.agg(...).head()
+    // for the N/V scalars and once more to build the broadcast join side
+    // (q170's bench plan carried 7 corpus scans for this reason). The
+    // model is vocab-bounded by construction — the same bounded-metadata
+    // contract as ivfTrain's driver-side centroid table — and N, V, and
+    // the broadcast relation carry the identical rows, so scores are
+    // unchanged.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val model = lm.select(col("token").cast("string"), col("cnt").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    require(model.nonEmpty,
       "lmScore: empty language model (lmTrain over an empty/token-less corpus?)")
-    val Array(nTotal, vSize) = head.toSeq.map(_.toString.toLong).toArray
+    val nTotal = model.iterator.map(_._2).sum
+    val vSize = model.size.toLong
     val denom = nTotal + alpha * (vSize + 1)
+    val lmLocal = model.toDF("token", "cnt")
     docs.select(col(idCol).as("id"),
         explode_outer(tokenize(col(textCol))).as("token"))
-      .join(broadcast(lm), Seq("token"), "left")
+      .join(broadcast(lmLocal), Seq("token"), "left")
       .groupBy("id").agg(
         count(col("token")).as("n_tokens"),
         // token-less documents get null here too (the documented contract:
@@ -361,14 +375,26 @@ object TextAnalysis {
   def lmScore2(docs: DataFrame, lm2: DataFrame, textCol: String, idCol: String,
       alpha: Double = 0.5): DataFrame = {
     require(alpha > 0, s"alpha must be positive: $alpha")
-    val uniModel = lm2.filter(col("w2").isNull)
-      .select(col("w1").as("token"), col("cnt"))
-    val biModel = lm2.filter(col("w2").isNotNull)
-      .select(col("w1"), col("w2"), col("cnt").as("bcnt"))
-    val head = uniModel.agg(sum("cnt"), count(lit(1))).head()
-    require(!head.isNullAt(0),
+    // r21 (perf): same driver-side materialization as [[lmScore]], with a
+    // bigger payoff — the old shape executed the full lmTrain2 pipeline
+    // (unigram top-K + bigram top-K, each a corpus tokenize) FOUR times
+    // per run: once under the N/V head() and once per broadcast build
+    // (three joins). The model is (V+B)-bounded by construction; the three
+    // joins now build from LocalRelations carrying the identical rows.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = lm2.select(col("w1").cast("string"), col("w2").cast("string"),
+      col("cnt").cast("long")).collect()
+    val uniLocal = rows.filter(_.isNullAt(1))
+      .map(r => (r.getString(0), r.getLong(2))).toSeq
+    val biLocal = rows.filterNot(_.isNullAt(1))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    require(uniLocal.nonEmpty,
       "lmScore2: empty language model (no unigram rows)")
-    val Array(nTotal, vSize) = head.toSeq.map(_.toString.toLong).toArray
+    val uniModel = uniLocal.toDF("token", "cnt")
+    val biModel = biLocal.toDF("w1", "w2", "bcnt")
+    val nTotal = uniLocal.iterator.map(_._2).sum
+    val vSize = uniLocal.size.toLong
     val denomU = nTotal + alpha * (vSize + 1)
     val condAdd = alpha * (vSize + 1)
 

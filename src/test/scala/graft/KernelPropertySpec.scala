@@ -198,4 +198,40 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(gotSeq == want, s"toks=$toks n=$n")
     }
   }
+
+  test("ArrayDigest128: canonical equality, distinctness, null/length domains (r21)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+    def digD(xs: Seq[java.lang.Double]): Seq[Byte] =
+      graft.functions.ArrayDigest128(Literal.create(xs, ArrayType(DoubleType)))
+        .eval(null).asInstanceOf[Array[Byte]].toSeq
+    def digL(xs: Seq[Long]): Seq[Byte] =
+      graft.functions.ArrayDigest128(Literal.create(xs, ArrayType(LongType, false)))
+        .eval(null).asInstanceOf[Array[Byte]].toSeq
+
+    // grouping-key canonicalization: −0.0 ≡ +0.0, every NaN bit pattern ≡
+    // the canonical NaN — exactly NormalizeFloatingNumbers' contract
+    assert(digD(Seq(0.0, 1.5)) === digD(Seq(-0.0, 1.5)))
+    val weirdNaN = java.lang.Double.longBitsToDouble(0x7ff8000000000001L)
+    assert(digD(Seq(Double.NaN)) === digD(Seq(weirdNaN)))
+    // value identity
+    assert(digD(Seq(1.0, 2.0, 3.0)) === digD(Seq(1.0, 2.0, 3.0)))
+    // null elements live in their own slot domain: distinct from any value
+    // and from absence
+    assert(digD(Seq(null, 1.0)) !== digD(Seq(0.0, 1.0)))
+    assert(digD(Seq(1.0, null)) !== digD(Seq(1.0)))
+    // length-sensitive
+    assert(digD(Seq(1.0)) !== digD(Seq(1.0, 0.0)))
+    // distinctness over random corpora (the property semDedup's collapse
+    // stands on): 4000 distinct vectors → 4000 distinct digests
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 4000).map(_ => Seq.fill(8)(
+      java.lang.Double.valueOf(rnd.nextDouble())))
+    assert(vecs.map(digD).distinct.size === vecs.size)
+    // long arrays (shingle-hash sets) digest and distinguish too
+    val longs = (0 until 2000).map(_ => Seq.fill(6)(rnd.nextLong()))
+    assert(longs.map(digL).distinct.size === longs.size)
+    // order-sensitive (sets here are sorted arrays; order is content)
+    assert(digL(Seq(1L, 2L)) !== digL(Seq(2L, 1L)))
+  }
 }
