@@ -177,24 +177,31 @@ object Dedup {
     val k = bands * rowsPerBand
     // Tokenize → shingle → hash exactly ONCE — the fused shingleHashes
     // kernel (r11; was interpreted slice/zip/concat_ws + hash lambdas) —
-    // into a sorted array of 64-bit shingle hashes, and PERSIST it: the
-    // array feeds both the signature pass and the verification join, and
-    // without the cache the whole pipeline re-runs over the full corpus
-    // for each consumer (the r2 bench's top cost). Verification runs over
+    // into a sorted array of 64-bit shingle hashes. Verification runs over
     // the long arrays directly — Jaccard over distinct 64-bit hashes
     // equals Jaccard over the string shingles up to ~n²/2⁶⁴ collisions,
     // and longs shuffle ~10× smaller than the shingle strings.
     // r20: [[withExactGroups]] marks each row's exact-duplicate group
     // (identical hs arrays) before anything else; signatures, banding, and
-    // candidate pairs run over REPRESENTATIVES only. The persisted frame
-    // carries rep/grpn so [[minhashLsh]] can fan verified pairs back out.
+    // candidate pairs run over REPRESENTATIVES only. The frame carries
+    // rep/grpn so [[minhashLsh]] can fan verified pairs back out.
+    // r21 (verdict #6): NOT persisted. The r19/r20 shape cached this frame
+    // MEMORY_AND_DISK and never unpersisted it — the exact cross-run cache
+    // leak the r19 verdict ordered out of semDedup (warm bench runs re-hit
+    // the previous run's blocks). Single-pass now comes from the plan
+    // instead: every consumer (signature pass, the two verification-join
+    // sides, the member fan-back, the cliques) contains the SAME
+    // digest-keyed window subtree, so ReuseExchange materializes the
+    // shingle kernel once and replays its exchange output; only the
+    // post-exchange window/sort re-runs per consumer. A caller that wants
+    // a checkpoint (the scale harness measures candidate counts mid-
+    // pipeline) persists and unpersists at its own level.
     val hs = withExactGroups(
       df.select(
         col(idCol).as("id"),
         shingleHashes(col(textCol), shingleSize).as("hs"))
         .filter(size(col("hs")) > 0),
       "id", Seq("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val repsOnly = hs.filter(col("id") === col("rep"))
     // The k minhash permutations remix the base hash numerically (xxhash64
     // over (long, seed)) instead of re-hashing the string k times. The
@@ -269,13 +276,16 @@ object Dedup {
     // boilerplate cluster no longer pushes its own shingles over the hot
     // threshold (which used to cost the ORIGINAL recall on exactly the
     // pairs a dedup pipeline exists to find).
+    // r21 (verdict #6): un-persisted, same reasoning as [[minhashParts]] —
+    // the digest-keyed window exchange is the single materialization point
+    // shared by the index side, both verification-join sides, the fan-back
+    // and the cliques.
     val hs = withExactGroups(
       df.select(
         col(idCol).as("id"),
         shingleHashes(col(textCol), shingleSize).as("hs"))
         .filter(size(col("hs")) > 0),
       "id", Seq("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val repsOnly = hs.filter(col("id") === col("rep"))
 
     // prefix = first (n − ⌈t·n⌉ + 1) sorted hashes; postings carry 16 bytes
@@ -422,17 +432,24 @@ object Dedup {
     // itself yields on an identical pair (cosineSimilarity(v, v) — ≈1 but
     // NOT forced to literal 1.0: sqrt rounding keeps it bit-equal to what
     // the uncollapsed pipeline produced), evaluated once per group.
+    // r21 (verdict #6): un-persisted — the r19/r20 persists (base AND the
+    // signature frame) were never unpersisted, the cross-run cache-leak
+    // shape the r19 verdict ordered out of semDedup. The digest-keyed
+    // window exchange in [[withExactGroups]] is the shared materialization
+    // point for every consumer of `base`, and the two bucket-join sides of
+    // `sig` are projections of one identical subtree (ReuseExchange).
     val base = withExactGroups(
       df.select(col(idCol).as("id"), col(vecCol).as("v")), "id", Seq("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val repsDf = base.filter(col("id") === col("rep")).select("id", "v")
-    val keyed =
+    val sig =
       if (bands <= 1)
         Similarity.hyperplaneSignature(repsDf, "v", "id", bits)
           .select(col("id"), col("v"), lit(0).as("band"), col("bucket").as("key"))
       else Similarity.hyperplaneBands(repsDf, "v", "id", bits, bands)
-    val sig = keyed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val vecs = sig.select("id", "v").dropDuplicates("id")
+    // one row per rep id by construction (reps are distinct ids and every
+    // sig row of an id carries the same v) — the old dropDuplicates("id")
+    // over `sig` paid a corpus-sized aggregate exchange for a no-op
+    val vecs = repsDf
     val a = sig.select(col("band"), col("key"), col("id").as("id_a"))
     val b = sig.select(col("band"), col("key"), col("id").as("id_b"))
     val repPairs = a.join(b, Seq("band", "key"))

@@ -16,12 +16,13 @@ import org.apache.spark.sql.functions._
   * row per matched document — `groupBy(id, dl)` with one conditional
   * `sum` per query term — so the document length rides the same shuffle
   * (no corpus-wide (id, dl) join, no second tokenize of the scored side).
-  * Corpus scalars (N, avgdl) come from one map-side-combined aggregate
-  * over a zero-shuffle token-count projection; per-term document
-  * frequencies are |query|-bounded, derived from the same per-doc frame
-  * and collected to the driver, where idf folds into the final scoring
-  * PROJECTION as literals. Nothing corpus-sized is ever joined or
-  * re-shuffled after the single (id, dl) aggregation.
+  * Corpus scalars (N, avgdl) AND the |query|-bounded per-term document
+  * frequencies (array_contains over the unexploded token array) come from
+  * ONE map-side-combined aggregate over a zero-shuffle projection (r21 —
+  * the old shape collected df from a second execution of the per-doc
+  * pipeline, a full extra corpus pass plus its shuffle); idf folds into
+  * the final scoring PROJECTION as literals. Nothing corpus-sized is ever
+  * joined or re-shuffled after the single (id, dl) aggregation.
   */
 object Retrieval {
 
@@ -42,8 +43,20 @@ object Retrieval {
     val tokenized = df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), size(toks).as("dl"), toks.as("toks"))
 
-    // corpus scalars: one map-side-combined aggregate, zero shuffle
-    val meta = tokenized.agg(count(lit(1)).as("n"), sum("dl").as("sumdl")).head()
+    // corpus scalars AND per-term document frequencies in ONE map-side-
+    // combined aggregate, zero shuffle (r21). df_i = #docs whose token
+    // array contains term i — array_contains over the unexploded array is
+    // the same integer the old shape derived from the per-doc tf frame
+    // (tf_i > 0 ⟺ the array contains the term), so every idf literal and
+    // therefore every score is bit-identical; what's gone is the SECOND
+    // full corpus pass (tokenize → explode → groupBy shuffle) the old
+    // dfRow collection re-executed before the real scoring pass ran it
+    // again (guide §1.2: don't compute things twice; §2.4 remove shuffles).
+    val statCols = sum("dl").as("sumdl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(col("toks"), t), 1L).otherwise(0L)).as(s"df_$i")
+      }
+    val meta = tokenized.agg(count(lit(1)).as("n"), statCols: _*).head()
     val n = meta.getLong(0)
     require(n > 0, "bm25: empty corpus")
     val avgdl = meta.getLong(1).toDouble / n
@@ -63,18 +76,12 @@ object Retrieval {
           sum(when(col("t") === t, 1L).otherwise(0L)).as(s"tf_${i + 1}")
         }: _*)
 
-    // per-term document frequency: |query|-bounded row, from the SAME
-    // per-doc frame (no extra corpus pass beyond re-running this plan)
-    // coalesce: an all-absent query leaves perDoc empty and sum() NULL
-    def dfAgg(i: Int) =
-      coalesce(sum(when(tfc(i) > 0, 1L).otherwise(0L)), lit(0L)).as(s"df_$i")
-    val dfRow = perDoc.agg(dfAgg(0), terms.indices.tail.map(dfAgg): _*).head()
-    // terms absent from the corpus have tf_i = 0 everywhere: the
-    // when(tf > 0) guards below make them contribute nothing to either
+    // terms absent from the corpus have df_i = 0 and tf_i = 0 everywhere:
+    // the when(tf > 0) guards below make them contribute nothing to either
     // n_terms or the score, so their idf value is irrelevant (an
     // all-absent query yields an empty, correctly-typed result).
     val idf = terms.indices.map { i =>
-      val d = dfRow.getLong(i)
+      val d = meta.getLong(2 + i)
       math.log(1.0 + (n - d + 0.5) / (d + 0.5))
     }
 

@@ -498,37 +498,61 @@ object TextAnalysis {
     * original order. Blank lines never count as boilerplate (they are
     * structure, not content) and are kept.
     *
-    * Scale shape: explode to lines (projection), ONE count-distinct shuffle
-    * keyed on the trimmed line, a left-anti join back (line-keyed — the
-    * boilerplate set is the join's build side and is corpus-frequency
-    * bounded), and one regroup by document id. No driver collection; every
-    * stage is key-partitioned. The reference has no such operator (its
-    * pipelines run this step in pandas).
+    * Scale shape (r21 — guide §2.4 remove shuffles outright): explode to
+    * lines (outer, so every document row survives the regroup), ONE
+    * count-distinct shuffle keyed on the trimmed line, a MARKING left join
+    * back (line-keyed — the boilerplate set is the join's build side and is
+    * corpus-frequency bounded; boilerplate lines are dropped inside the
+    * regroup's conditional collect, the [[graft.operators.Dedup.dedupSpans]]
+    * device, rather than by a separate anti-join pass), and one regroup by
+    * document id. When the frame is just (id, text) — the common corpus
+    * shape — the regroup IS the result and the old corpus-sized
+    * rejoin-with-the-input (a second scan plus a join exchange) is gone;
+    * wider frames still join the rebuilt text back so the payload columns
+    * never ride the line-level shuffles. No driver collection; every stage
+    * is key-partitioned. The reference has no such operator (its pipelines
+    * run this step in pandas).
+    *
+    * Contract note for the (id, text) shape: `idCol` is treated as the
+    * document key — duplicate ids collapse to one output row (their lines
+    * were already pooled by the regroup; the old shape emitted that same
+    * pooled text once per duplicate row).
     */
   def removeBoilerplate(df: DataFrame, textCol: String, idCol: String,
       minDocs: Int): DataFrame = {
     require(minDocs >= 2, "minDocs must be at least 2")
     val others = df.columns.filter(c => c != textCol)
     val lines = df.select(col(idCol),
-      posexplode(split(col(textCol), "\n")).as(Seq("__ix", "__line")))
+      posexplode_outer(split(col(textCol), "\n")).as(Seq("__ix", "__line")))
     val boiler = lines
       .filter(length(trim(col("__line"))) > 0)
       .groupBy(trim(col("__line")).as("__key"))
       .agg(countDistinct(col(idCol)).as("__docs"))
       .filter(col("__docs") >= minDocs)
       .select("__key")
-    val kept = lines.join(boiler,
-      trim(lines("__line")) === boiler("__key"), "left_anti")
-    val rebuilt = kept.groupBy(col(idCol))
+    // boiler keys are unique (group keys) and non-blank, so the left join
+    // preserves line multiplicity; a null match column marks a kept line
+    // (blank and null lines never match — they are structure, kept)
+    val keep = col("__key").isNull
+    val rebuilt = lines
+      .join(boiler, trim(lines("__line")) === boiler("__key"), "left")
+      .groupBy(col(idCol))
       .agg(array_join(
-        transform(array_sort(collect_list(struct(col("__ix"), col("__line")))),
+        transform(array_sort(collect_list(when(keep, struct(col("__ix"), col("__line"))))),
           x => x.getField("__line")), "\n").as(textCol))
-    // docs whose every line was boilerplate keep an empty text, not a NULL;
-    // final select restores the INPUT column order (the join moves the
-    // rebuilt text to the end — ADVICE r17)
-    df.select(others.map(col): _*)
-      .join(rebuilt, Seq(idCol), "left")
-      .na.fill(Map(textCol -> ""))
-      .select(df.columns.map(col): _*)
+    // docs whose every line was boilerplate keep an empty text, not a NULL
+    // (array_join over an empty/all-null collect is ""); final column order
+    // is the INPUT's (ADVICE r17)
+    if (others.sameElements(Array(idCol)))
+      // a null id never matched the old rejoin and came back as "" — keep
+      // that exact behavior without the join
+      rebuilt.withColumn(textCol,
+          when(col(idCol).isNull, lit("")).otherwise(col(textCol)))
+        .select(df.columns.map(col): _*)
+    else
+      df.select(others.map(col): _*)
+        .join(rebuilt, Seq(idCol), "left")
+        .na.fill(Map(textCol -> ""))
+        .select(df.columns.map(col): _*)
   }
 }

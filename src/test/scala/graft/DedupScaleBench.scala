@@ -98,8 +98,11 @@ object DedupScaleBench {
         // collapse) — the honest pair-stage work metric; output counts the
         // fanned-back member pairs, the same set the uncollapsed pipeline
         // produced
-        val (hs, cand) = graft.operators.Dedup
+        val (hs0, cand) = graft.operators.Dedup
           .minhashParts(docs, "text", "doc_id", 3, 8, 2)
+        // minhashParts stopped persisting internally (r21 verdict #6) —
+        // the harness checkpoints both halves itself, and unpersists
+        val hs = hs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val c = cand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nC = c.count()
         val out = graft.operators.Dedup.minhashFanBack(hs, c, 0.5).count()
@@ -196,8 +199,9 @@ object DedupScaleBench {
       }
 
       measure("connected_components", f, nDocs) {
-        val (hs, cand) = graft.operators.Dedup
+        val (hs0, cand) = graft.operators.Dedup
           .minhashParts(docs, "text", "doc_id", 3, 8, 2)
+        val hs = hs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val withSets = cand
           .join(hs.select(col("id").as("id_a"), col("hs").as("sh_a")), Seq("id_a"))
           .join(hs.select(col("id").as("id_b"), col("hs").as("sh_b")), Seq("id_b"))
@@ -298,8 +302,9 @@ object DedupScaleBench {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nE = exactDocs.count()
       measure("cluster_exact_minhash", 1, nE) {
-        val (hs, cand) = graft.operators.Dedup
+        val (hs0, cand) = graft.operators.Dedup
           .minhashParts(exactDocs, "text", "doc_id", 3, 8, 2)
+        val hs = hs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nC = cand.count() // rep-level: the 1 000-copy cluster is ONE rep
         val out = graft.operators.Dedup.minhashFanBack(hs, cand, 0.5).count()
         hs.unpersist()
@@ -311,16 +316,18 @@ object DedupScaleBench {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nN = nearDocs.count()
       measure("cluster_near_uncapped", 1, nN) {
-        val (hs, cand) = graft.operators.Dedup
+        val (hs0, cand) = graft.operators.Dedup
           .minhashParts(nearDocs, "text", "doc_id", 3, 8, 2, Int.MaxValue)
+        val hs = hs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nC = cand.count()
         val out = graft.operators.Dedup.minhashFanBack(hs, cand, 0.5).count()
         hs.unpersist()
         (nC, out)
       }
       measure("cluster_near_capped100", 1, nN) {
-        val (hs, cand) = graft.operators.Dedup
+        val (hs0, cand) = graft.operators.Dedup
           .minhashParts(nearDocs, "text", "doc_id", 3, 8, 2, 100)
+        val hs = hs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nC = cand.count() // expect ≈ C(100,2)·families: the cap binds (and logs)
         val out = graft.operators.Dedup.minhashFanBack(hs, cand, 0.5).count()
         hs.unpersist()

@@ -125,6 +125,23 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("pair operators leave NO persisted entries behind (r21 verdict #6)") {
+    // the r19/r20 shape persisted the shingle-hash / signature frames and
+    // never unpersisted them — the cross-run cache-leak shape the r19
+    // verdict ordered out of semDedup; single-pass now comes from exchange
+    // reuse, so nothing may outlive the operator
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    assert(Dedup.minhashLsh(docs, "text", "id", 0.5, 3, 8, 2).collect().nonEmpty)
+    assert(Dedup.ngramJaccard(docs, "text", "id", 0.3, 3).collect().nonEmpty)
+    assert(Dedup.simhashPairs(docs, "text", "id", 3).collect().nonEmpty)
+    val embs = Seq((0L, Array(1.0, 0.0)), (1L, Array(1.0, 0.0)),
+      (2L, Array(0.0, 1.0))).toDF("vec_id", "embedding")
+    assert(Dedup.embeddingNearDup(embs, "embedding", "vec_id", 0.95, 4)
+      .collect() != null)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"pair operators left persisted RDDs behind: $leaked")
+  }
+
   test("simhash banding has exact recall at hamming == maxHamming (pigeonhole)") {
     // plant pairs at EXACTLY the requested radius, with bit flips placed
     // adversarially (clustered low bits, spread bits, high bits) — every

@@ -38,8 +38,11 @@ object PlanDump {
     }
     val dir = java.nio.file.Paths.get(s"plans/$tag")
     java.nio.file.Files.createDirectories(dir)
-    val headline = Queries.all.filter(_.bench)
-      .filter(q => filters.isEmpty || filters(q.name))
+    // Explicitly named queries are dumped even when not on the bench list
+    // (oracle-only operators like q62/q64/q210 need plan evidence too).
+    val headline =
+      if (filters.isEmpty) Queries.all.filter(_.bench)
+      else Queries.all.filter(q => filters(q.name))
     headline.foreach { q =>
       try {
         val df = q.fn(spark, sfDir)
