@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Scale-safe GLOBAL ranking (row_number / ntile / percent_rank / cume_dist
   * over a total order) — the operator a 100 TB engine needs where
@@ -17,9 +16,9 @@ import org.apache.spark.storage.StorageLevel
   *   2. assign each row a range-bucket id with a pure comparison projection —
   *      no shuffle, monotone in the key, equal keys land in one bucket;
   *   3. ONE hash shuffle by bucket id → per-bucket sort + local row_number;
-  *   4. per-bucket counts (map-side-combined aggregate over the persisted
-  *      ranked frame, collected: `buckets` longs) become broadcast prefix
-  *      offsets; global rn = local rn + offset.
+  *   4. per-bucket counts (a windowless map-side-combined aggregate over the
+  *      bucket-id projection, collected: `buckets` longs) become broadcast
+  *      prefix offsets; global rn = local rn + offset.
   *
   * Total shuffle cost: one exchange of the data — the theoretical minimum for
   * a distributed sort. Skew note: a single heavily-repeated leading key value
@@ -47,8 +46,18 @@ object Ranking {
     val w = Window.partitionBy("__pid").orderBy((keyCol +: tieBreakers): _*)
     val local = df.withColumn("__pid", pid)
       .withColumn("__lrn", row_number().over(w))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val counts = local.groupBy("__pid").agg(count(lit(1)).as("c"))
+    // Per-bucket counts do NOT need the window: pid is a deterministic
+    // literal-bounded comparison projection (rangeBucket embeds the sampled
+    // boundaries as literals), so a windowless map-side-combined groupBy over
+    // the input gives the same counts as counting the sorted frame. r21: this
+    // replaces persisting the windowed frame (the persist was never
+    // unpersisted — the r19 cross-run cache-leak shape — and at 100 TB it
+    // materialized the full sorted corpus to MEMORY_AND_DISK just to count
+    // bucket sizes). The counts pass is a cheap scan+agg; the one data
+    // shuffle (window exchange) still happens exactly once, in the caller's
+    // consuming action.
+    val counts = df.select(pid.as("__pid")).groupBy("__pid")
+      .agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val total = counts.map(_._2).sum
     val offsets = counts.map(_._1).zip(

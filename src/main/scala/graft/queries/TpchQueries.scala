@@ -235,15 +235,19 @@ object TpchQueries {
         .join(broadcast(Q.t(s, dir, "region").filter(col("r_name") === "ASIA")),
           col("n_regionkey") === col("r_regionkey"))
         .select("s_suppkey")
-      // vals feeds both the output and the threshold scalar — persist so the
-      // fact join + aggregation runs once (Spark recomputes shared subplans)
+      // vals feeds both the output and the threshold scalar. r21 (the r19
+      // semDedup leak lesson): NOT persisted — a query-definition persist is
+      // never unpersisted, so warm bench runs re-hit the previous run's
+      // cache (cross-run result caching, which the brief forbids). The two
+      // consumers contain the SAME aggregate subtree, so its shuffle is
+      // materialized once and replayed via ReuseExchange; only the cheap
+      // post-exchange final agg runs per consumer.
       val vals = Q.t(s, dir, "lineitem")
         .join(Q.dim(asiaSupp), col("l_suppkey") === col("s_suppkey"))
         .join(Q.dim(Q.t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
         .groupBy("p_partkey")
         .agg(sum(Q.money(col("p_retailprice")) * col("l_quantity").cast(DecimalType(4, 0)))
           .cast("double").as("value"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val total = vals.agg(sum(Q.money(col("value"))).cast("double").as("t"))
       vals.crossJoin(broadcast(total))
         .filter(col("value") > col("t") * 0.001)
@@ -321,15 +325,23 @@ object TpchQueries {
 
     // Q15: top supplier(s) by quarterly revenue (the view + max subquery)
     QueryDef("tpch15_top_supplier", (s, dir) => {
-      // rev feeds both the join and the max scalar — persist (one fact scan)
+      // rev feeds both the join and the max scalar. r21: NOT persisted (the
+      // never-unpersisted query persist is the r19 cross-run cache-leak
+      // shape); the two consumers share the aggregate's exchange via
+      // ReuseExchange, so the fact scan + partial agg still run once.
+      // knownNotNull on the group key (the r20 semDedup device): without it
+      // the supplier equi-join infers isnotnull(l_suppkey) into ONE
+      // consumer's scan only, the subtrees canonicalize differently, and
+      // the fact aggregate runs twice. l_suppkey is a TPC-H FK (never
+      // null); the oracle hash-checks the assertion.
       val rev = Q.t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
           && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
-        .groupBy(col("l_suppkey").as("supplier_no"))
+        .groupBy(org.apache.spark.sql.graftbridge.ColumnBridge
+          .knownNotNull(col("l_suppkey")).as("supplier_no"))
         .agg(sum(Q.money(col("l_extendedprice")) *
             (lit(1).cast(DecimalType(3, 2)) - Q.rate(col("l_discount"))))
           .cast("double").as("total_revenue"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val top = rev.agg(max("total_revenue").as("mr"))
       Q.t(s, dir, "supplier")
         .join(rev, col("s_suppkey") === col("supplier_no"))

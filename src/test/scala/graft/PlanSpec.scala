@@ -69,6 +69,22 @@ class PlanSpec extends SparkTestBase {
       "global rank must not funnel data through one task")
   }
 
+  test("scalar-reusing queries leave NO persisted entries behind (r21)") {
+    // tpch11/tpch15 persisted their shared aggregate (never unpersisted) and
+    // q34's ranking persisted the windowed corpus — the r19 cross-run
+    // cache-leak shape: a bench warm run re-hits the previous run's cache.
+    // Single-execution now comes from ReuseExchange (see plans/r21), and the
+    // ranking's counts come from a windowless aggregate.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    for (name <- Seq("tpch11_important_stock", "tpch15_top_supplier",
+        "q34_window_ntile")) {
+      assert(Queries.byName(name).fn(spark, SparkTestBase.sfDir)
+        .collect().nonEmpty, s"$name returned no rows")
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(leaked.isEmpty, s"$name left persisted RDDs behind: $leaked")
+    }
+  }
+
   test("tpch suite: no cartesian products, constant dims broadcast") {
     for (name <- Seq("tpch07_volume_shipping", "tpch09_product_profit",
         "tpch10_returned_items", "tpch19_disjunctive")) {
