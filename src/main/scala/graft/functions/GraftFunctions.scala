@@ -53,6 +53,16 @@ object GraftFunctions {
     ColumnBridge.column(graft.functions.agg.VecSumCount(
       ColumnBridge.expression(v), dims).toAggregateExpression())
 
+  /** struct(min(id), min_by(v, id)) in ONE buffer ([[agg.MinIdVec]]) —
+    * the two-aggregate spelling's array-typed min_by buffer forces
+    * SortAggregate (a corpus sort before partial AND final aggregation,
+    * the final one replayed per consumer); the typed-imperative form plans
+    * as hash-based ObjectHashAggregate with map-side partials.
+    */
+  def minIdVec(v: Column, id: Column): Column =
+    ColumnBridge.column(graft.functions.agg.MinIdVec(
+      ColumnBridge.expression(v), ColumnBridge.expression(id)).toAggregateExpression())
+
   /** 16-byte canonical content digest of a numeric array
     * ([[ArrayDigest128]]) — digest-equality partitions rows exactly as
     * groupBy(<the array>) does, at a fixed-width shuffle key cost.

@@ -721,15 +721,22 @@ object Dedup {
       .select(col("id"), col("v"),
         org.apache.spark.sql.graftbridge.ColumnBridge.knownNotNull(
           arrayDigest(col("v"))).as("dig"))
-    // min_by, NOT first: First is flagged non-deterministic (order-
+    // minIdVec = struct(min(id), min_by(v, id)) in ONE typed-imperative
+    // buffer. min_by, NOT first: First is flagged non-deterministic (order-
     // dependent), which poisons the whole subtree's canonicalization — the
     // grouped exchange stops being reused across the pair sides and the
     // fan-back (measured: +2 Exchange, −2 ReusedExchange, task time 2×).
     // min_by(v, id) is deterministic and picks the REPRESENTATIVE's vector,
     // which is also bit-wise the value the old groupBy(v) key carried for
-    // the group (members are elementwise-equal by construction).
-    val g0 = e.groupBy("dig").agg(min(col("id")).as("rep"),
-      min_by(col("v"), col("id")).as("v"))
+    // the group (members are elementwise-equal by construction). And ONE
+    // kernel aggregate, NOT min + min_by (r21 sf1 profile): min_by's
+    // array-typed buffer cannot live in an UnsafeRow, so the plan fell back
+    // to SortAggregate — a full corpus sort before the partial AND final
+    // aggregation, with the final Sort+SortAggregate replayed once per
+    // consumer of this frame (measured 2× total task time). The typed-
+    // imperative form plans as hash-based ObjectHashAggregate.
+    val g0 = e.groupBy("dig").agg(minIdVec(col("v"), col("id")).as("rv"))
+      .select(col("dig"), col("rv.rep").as("rep"), col("rv.v").as("v"))
     val gCell = Similarity.withCell(g0, "v", cent)
     // keep="centroidFar" is the PAPER's rule (SemDeDup §2.2: within each
     // ε-ball keep the example with LOWEST cosine similarity to the cluster
